@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen helpers — top-level objects so the generated Java can call
+  * them through their static forwarders.
+  */
+object VecOps {
+  /** Dot product of two float vectors, accumulated in double (element
+    * order preserved so results are bit-identical to a sequential sum).
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** L2 norm, double accumulation. */
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
+  }
+
+  /** djb2 (h = h*33 + c over code points, 64-bit wrap), the reference
+    * engine's reducer-routing hash — /root/reference/src/
+    * omp_count_words.cpp:291-303 (`Hash`, `unsigned long`, byte-wise;
+    * identical for the ASCII corpora the reference processes).
+    */
+  def djb2(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 5381L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = h * 33L + cp
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** Native (whole-stage-codegen) dot product over two `array<float>`
+  * columns. Preferred over `aggregate(zip_with(...))` in the KNN hot
+  * path: stays inside WholeStageCodegen with a tight primitive loop
+  * instead of per-element lambda evaluation.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.functions.VecOps.dot($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class FloatVecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = VecOps.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.norm($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class FloatVecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** djb2 of a string column (see VecOps.djb2). */
+case class Djb2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any = VecOps.djb2(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.djb2($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge.{toColumn => column, toExpression => expression}
+
+/** Column-facing façade over graft's native Catalyst expressions.
+  * These run inside whole-stage codegen (each has `doGenCode`), unlike
+  * Scala UDFs or higher-order-function lambdas.
+  */
+package object functions {
+  /** Dot product of two `array<float>` columns (double accumulation). */
+  def vec_dot(a: Column, b: Column): Column =
+    column(FloatVecDot(expression(a), expression(b)))
+
+  /** L2 norm of an `array<float>` column. */
+  def vec_norm(a: Column): Column =
+    column(FloatVecNorm(expression(a)))
+
+  /** Cosine similarity of two `array<float>` columns. */
+  def vec_cosine(a: Column, b: Column): Column =
+    column(FloatVecCosine(expression(a), expression(b)))
+
+  /** djb2 hash of a string column — the reference engine's reducer
+    * routing hash (omp_count_words.cpp:291-303).
+    */
+  def djb2(c: Column): Column =
+    column(Djb2(expression(c)))
+}

@@ -1,0 +1,330 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Relational analytics block (SURVEY.md §2.2) — the reference's
+  * map → hash-partition → reduce engine generalized to declarative
+  * relational operators. Every query is a pure DataFrame plan: filters
+  * and projections reach the parquet scan (PushedFilters/ReadSchema),
+  * aggregates get map-side partial aggregation (the Spark equivalent of
+  * the reference's per-thread local maps, omp_count_words.cpp:85-117),
+  * dimension joins are broadcast, fact-fact joins shuffle on their keys
+  * with AQE handling skew at scale.
+  *
+  * Double-valued aggregates are rounded to 4 decimals in BOTH the Spark
+  * plan and the DuckDB oracle so the comparison is stable across
+  * summation orders.
+  */
+object Relational {
+
+  // B1 — scan + filter + project; predicate & projection push down to parquet.
+  def qFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") > 0.05)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+  val qFilterSql: String =
+    """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05""".stripMargin
+
+  // B2 — flagship hash aggregate (TPC-H Q1 flavor). Partial agg on the map
+  // side means the shuffle carries ~|groups| rows per partition, not |input|.
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // B3 — distributed top-K: TakeOrderedAndProject, no full sort shuffle.
+  def qTopkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val qTopkOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // B4 — shuffle join: customer ⋈ orders ⋈ lineitem (TPC-H Q3 flavor).
+  // customer side is small → Catalyst broadcasts it; orders⋈lineitem
+  // shuffles on the order key (both sides fact-sized at 100 TB).
+  def q3Join(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-06-30").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select("o_orderkey", "o_orderdate", "revenue")
+  }
+
+  val q3JoinSql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-30'
+      |  AND l_shipdate > TIMESTAMP '1998-06-30'
+      |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+      |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // B5 — broadcast join: the filtered part dimension ships to every
+  // executor; no shuffle of the lineitem fact at any scale.
+  def qBcastJoin(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_size") <= 10)
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"))
+  }
+
+  val qBcastJoinSql: String =
+    """SELECT p_brand, count(*) AS n_items,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 10
+      |GROUP BY p_brand""".stripMargin
+
+  // B6 — multiway join (TPC-H Q5 flavor): region→nation broadcast chain
+  // into customer/orders/lineitem/supplier; revenue per nation.
+  def q5Multijoin(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    val su = Tables.supplier(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+  }
+
+  val q5MultijoinSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  // B7 — left semi join (EXISTS): probe side streams, no row duplication.
+  def qSemi(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+    Tables.orders(s, d)
+      .join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+  }
+
+  val qSemiSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin
+
+  // B8 — left anti join (NOT EXISTS): customers who never placed an
+  // urgent order.
+  def qAnti(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  val qAntiSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  // B9 — distinct aggregation (expand + two-phase agg under the hood).
+  def qDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  val qDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // B10 — window functions: rank + running sum per customer. One shuffle
+  // on o_custkey serves both window specs.
+  def qWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_spend",
+        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn", "running_spend")
+  }
+
+  val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, rn, running_spend FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+      |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+      |  FROM orders) t
+      |WHERE rn <= 3""".stripMargin
+
+  // B11 — rollup: hierarchical aggregation in one pass (Expand operator).
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+
+  val qRollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // B12 — exact percentiles (continuous interpolation, same as DuckDB's
+  // quantile_cont). At 100 TB prefer approx_percentile; exact kept for
+  // oracle parity.
+  def qPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+
+  val qPercentileSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // B13 — conditional aggregation (CASE WHEN inside agg).
+  def qCasewhen(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        round(sum(when(col("o_totalprice") > 200000, col("o_totalprice")).otherwise(0.0)), 4)
+          .as("big_revenue"))
+
+  val qCasewhenSql: String =
+    """SELECT o_orderpriority, count(*) AS n_total,
+      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+      |  round(sum(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END), 4) AS big_revenue
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // B14 — set operations: (A ∪ B) \ C with set semantics.
+  def qSetops(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val a = c.filter(col("c_acctbal") > 9000).select("c_custkey")
+    val b = c.filter(col("c_nationkey").isin(1, 2)).select("c_custkey")
+    val x = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    a.union(b).distinct().except(x)
+  }
+
+  val qSetopsSql: String =
+    """(SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+      | UNION
+      | SELECT c_custkey FROM customer WHERE c_nationkey IN (1, 2))
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
+
+  // B15 — HyperLogLog approximate count-distinct: the 100 TB substitute
+  // for B9 (no exact-distinct expand). Approximate → rows-only check.
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter" -> qFilter,
+    "q1_agg" -> q1Agg,
+    "q_topk_orders" -> qTopkOrders,
+    "q3_join" -> q3Join,
+    "q_bcast_join" -> qBcastJoin,
+    "q5_multijoin" -> q5Multijoin,
+    "q_semi" -> qSemi,
+    "q_anti" -> qAnti,
+    "q_distinct" -> qDistinct,
+    "q_window" -> qWindow,
+    "q_rollup" -> qRollup,
+    "q_percentile" -> qPercentile,
+    "q_casewhen" -> qCasewhen,
+    "q_setops" -> qSetops,
+    "q_approx_distinct" -> qApproxDistinct)
+
+  def oracles: Map[String, String] = Map(
+    "q_filter" -> qFilterSql,
+    "q1_agg" -> q1AggSql,
+    "q_topk_orders" -> qTopkOrdersSql,
+    "q3_join" -> q3JoinSql,
+    "q_bcast_join" -> qBcastJoinSql,
+    "q5_multijoin" -> q5MultijoinSql,
+    "q_semi" -> qSemiSql,
+    "q_anti" -> qAntiSql,
+    "q_distinct" -> qDistinctSql,
+    "q_window" -> qWindowSql,
+    "q_rollup" -> qRollupSql,
+    "q_percentile" -> qPercentileSql,
+    "q_casewhen" -> qCasewhenSql,
+    "q_setops" -> qSetopsSql)
+}

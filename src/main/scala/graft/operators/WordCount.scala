@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.djb2
+
+/** Word-count block (SURVEY.md §2.1) — the reference engine's whole
+  * surface, re-expressed as a declarative Spark plan.
+  *
+  * Reference mapping:
+  *  - mmap + delimiter-snapped chunking (omp_count_words.cpp:231-289)
+  *    → splittable FileScan: Spark assigns input splits and parquet/text
+  *    row-group boundaries itself; nothing to hand-roll.
+  *  - whitespace tokenization via `istringstream >> word`
+  *    (utils.cpp:6-15) → `split(text, "\\s+")` + drop empties: identical
+  *    token stream (runs of whitespace collapse, no empty tokens).
+  *  - per-thread local maps + lock-guarded routing by djb2 % R
+  *    (omp_count_words.cpp:323-354) → map-side partial aggregation +
+  *    HashPartitioning exchange. The lock contention the reference pays
+  *    per word becomes a single shuffle; partial agg means the exchange
+  *    carries one row per (partition, word), not per occurrence — at
+  *    100 TB that is the difference between shuffling ~vocabulary-sized
+  *    data and shuffling the corpus.
+  *  - per-reducer output files + combined file (omp_count_words.cpp:
+  *    133-165) → partitioned text sink / coalesced single-file sink.
+  */
+object WordCount {
+
+  /** A2: tokenize a text column into one row per word occurrence. */
+  def tokenize(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** A1/A2/A3/A5: word → count over the documents corpus. */
+  def wcCount(s: SparkSession, d: String): DataFrame =
+    tokenize(Tables.documents(s, d), "text")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  val wcCountSql: String =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+      |WHERE word <> '' GROUP BY word""".stripMargin
+
+  // A6 — top-K words by count.
+  def wcTopk(s: SparkSession, d: String): DataFrame =
+    wcCount(s, d).orderBy(col("cnt").desc, col("word").asc).limit(100)
+
+  val wcTopkSql: String =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+      |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin
+
+  // A7 — per-corpus (source) counting: the reference's multi-file surface
+  // where each input file contributes to one logical corpus.
+  def wcPerSource(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source")
+      .agg(count(lit(1)).as("tokens"), countDistinct(col("word")).as("distinct_words"))
+
+  val wcPerSourceSql: String =
+    """SELECT source, count(*) AS tokens, count(DISTINCT word) AS distinct_words
+      |FROM (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+      |WHERE word <> '' GROUP BY source""".stripMargin
+
+  // A4 — deterministic reducer routing: the reference's djb2 % R
+  // (omp_count_words.cpp:291-303, 347), R = 16 reducers. The oracle
+  // replays the identical recurrence with 128-bit arithmetic; `& 15`
+  // == unsigned mod 16 on the wrapped 64-bit hash.
+  def wcPartitions(s: SparkSession, d: String): DataFrame =
+    wcCount(s, d)
+      .withColumn("pid", djb2(col("word")).bitwiseAND(lit(15L)))
+      .groupBy("pid")
+      .agg(countDistinct(col("word")).as("n_words"), sum(col("cnt")).as("n_occurrences"))
+
+  val wcPartitionsSql: String =
+    """WITH words AS (
+      |  SELECT word, count(*) AS cnt
+      |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+      |  WHERE word <> '' GROUP BY word),
+      |hashed AS (
+      |  SELECT word, cnt,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(5381 AS HUGEINT),
+      |        list_transform(regexp_split_to_array(word, ''), c -> CAST(ord(c) AS HUGEINT))),
+      |      (h, c) -> (h * 33 + c) % CAST(18446744073709551616 AS HUGEINT)) % 16 AS BIGINT) AS pid
+      |  FROM words)
+      |SELECT pid, count(*) AS n_words, sum(cnt) AS n_occurrences
+      |FROM hashed GROUP BY pid""".stripMargin
+
+  /** A8: the reference's two sink modes — one `word:count` text file per
+    * reducer partition (output_files/output{i}.txt) or a single combined
+    * file (combined_omp_wc.txt). `numPartitions = 0` keeps Spark's own
+    * partitioning (cluster-scale); `1` coalesces like the combined sink.
+    */
+  def writeCounts(counts: DataFrame, path: String, numPartitions: Int = 0): Unit = {
+    val base = counts.select(
+      concat_ws(":", col("word"), col("cnt").cast("string")).as("value"))
+    val sized =
+      if (numPartitions == 1) base.coalesce(1)
+      else if (numPartitions > 1) base.repartition(numPartitions, col("value"))
+      else base
+    sized.write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wc_count" -> wcCount,
+    "wc_topk" -> wcTopk,
+    "wc_per_source" -> wcPerSource,
+    "wc_partitions" -> wcPartitions)
+
+  def oracles: Map[String, String] = Map(
+    "wc_count" -> wcCountSql,
+    "wc_topk" -> wcTopkSql,
+    "wc_per_source" -> wcPerSourceSql,
+    "wc_partitions" -> wcPartitionsSql)
+}
