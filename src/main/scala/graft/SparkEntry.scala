@@ -16,12 +16,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ WordCount.queries ++ Events.queries
+    Relational.queries ++ WordCount.queries ++ Events.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate / stubbed ops)
     * get the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ WordCount.oracles ++ Events.oracles
+    Relational.oracles ++ WordCount.oracles ++ Events.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.{vec_cosine, vec_norm}
+
+/** Similarity-search block (SURVEY.md §2.5) — ANN over the embeddings
+  * table. The cosine kernel is graft's native Catalyst expression
+  * (FloatVecCosine, whole-stage codegen), not a UDF or higher-order
+  * lambda.
+  *
+  * Scale path: brute force is the exact baseline (O(Q·N) — fine for a
+  * bounded query set, the pattern used for oracle/eval at any scale);
+  * `lshKnn` buckets vectors by random-hyperplane sign bits so each
+  * query only scans its bucket — O(Q·N/2^bits) expected, the shape
+  * that survives 100 TB. Recall vs the exact baseline is asserted in
+  * SimilaritySpec.
+  */
+object Similarity {
+
+  // E3 — vector norms: sanity/projection op, also demonstrates the
+  // native expression.
+  def qVectorNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(vec_norm(col("embedding")), 4).as("l2_norm"))
+
+  val qVectorNormSql: String =
+    """SELECT vec_id, label, len(embedding) AS dim,
+      |  round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS l2_norm
+      |FROM embeddings""".stripMargin
+
+  /** E1 — exact top-k neighbors for each query vector: broadcast the
+    * (small) query set against the full corpus, rank per query.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(vec_cosine(col("q.embedding"), col("c.embedding")), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  def qKnnBrute(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    bruteForceKnn(e, e.filter(col("vec_id") < 20), 5)
+  }
+
+  val qKnnBruteSql: String =
+    """WITH n AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos_sim
+      |  FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Random-hyperplane signature: bit b = sign of dot(v, h_b) where
+    * h_b is a deterministic pseudo-random ±1 hyperplane derived from
+    * md5(seed, b, i) — reproducible across engines and runs with no
+    * stored model.
+    */
+  def hyperplaneSig(vecCol: String, bits: Int): org.apache.spark.sql.Column = {
+    // ±1 component for hyperplane b, dim i: parity of a hash nibble.
+    val sigBit: Int => org.apache.spark.sql.Column = b =>
+      expr(
+        s"""CASE WHEN aggregate(
+           |  zip_with($vecCol, sequence(0, size($vecCol) - 1),
+           |    (x, i) -> CAST(x AS DOUBLE) *
+           |      (CASE WHEN (CAST(conv(substr(md5(concat('hp', '$b', '_', i)), 1, 8), 16, 10) AS BIGINT) & 1) = 1
+           |        THEN 1.0 ELSE -1.0 END)),
+           |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) > 0
+           |THEN ${1L << b} ELSE 0 END""".stripMargin)
+    (0 until bits).map(sigBit).reduce(_ + _)
+  }
+
+  /** E2 — LSH-bucketed approximate KNN: vectors and queries are hashed
+    * to 2^bits buckets; candidates come only from the query's bucket.
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4): DataFrame = {
+    val cb = corpus.withColumn("bucket", hyperplaneSig("embedding", bits))
+    val qb = queries.withColumn("bucket", hyperplaneSig("embedding", bits))
+    val scored = cb.as("c")
+      .join(broadcast(qb.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(vec_cosine(col("q.embedding"), col("c.embedding")), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  def qKnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    lshKnn(e, e.filter(col("vec_id") < 20), 5)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vector_norm" -> qVectorNorm,
+    "q_knn_brute" -> qKnnBrute,
+    "q_knn_lsh" -> qKnnLsh)
+
+  def oracles: Map[String, String] = Map(
+    "q_vector_norm" -> qVectorNormSql,
+    "q_knn_brute" -> qKnnBruteSql)
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis block (SURVEY.md §2.6) — per-document metrics for a
+  * training-data pipeline. Everything is built from codegen'd built-in
+  * expressions over one scan of `documents`; no UDFs, so the plans
+  * stay inside WholeStageCodegen and scale linearly with the corpus.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens, as a SQL expression string (kept
+    * textual so the DuckDB oracle mirrors it token-for-token).
+    */
+  private val wordsExpr = raw"filter(split(text, '\\s+'), x -> x <> '')"
+
+  // F1 — token counting: whitespace tokens plus a BPE-ish breakdown into
+  // word/number/other character classes.
+  def qTokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"$wordsExpr AS w", "text")
+      .selectExpr(
+        "doc_id",
+        "CAST(size(w) AS BIGINT) AS n_tokens",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        "CAST(size(filter(w, x -> x rlike '^[a-z]+$')) AS BIGINT) AS n_alpha_tokens",
+        "CAST(size(filter(w, x -> x rlike '^[0-9]+$')) AS BIGINT) AS n_num_tokens",
+        "CAST(size(array_distinct(w)) AS BIGINT) AS n_distinct_tokens")
+
+  val qTokenStatsSql: String =
+    """WITH t AS (SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(w) AS n_tokens,
+      |  length(text) AS n_chars,
+      |  len(list_filter(w, x -> regexp_full_match(x, '[a-z]+'))) AS n_alpha_tokens,
+      |  len(list_filter(w, x -> regexp_full_match(x, '[0-9]+'))) AS n_num_tokens,
+      |  len(list_distinct(w)) AS n_distinct_tokens
+      |FROM t""".stripMargin
+
+  // F2 — quality scoring: the usual pretraining-filter features
+  // (length, punctuation density, stopword ratio, lexical diversity).
+  def qQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"$wordsExpr AS w", "text")
+      .selectExpr(
+        "doc_id",
+        "CAST(size(w) AS BIGINT) AS n_tokens",
+        "round(CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / length(text), 4) AS punct_ratio",
+        "round(CAST(size(filter(w, x -> x IN ('a', 'the', 'of', 'and', 'in', 'to', 'is'))) AS DOUBLE) / size(w), 4) AS stopword_ratio",
+        "round(aggregate(w, CAST(0 AS BIGINT), (acc, x) -> acc + length(x)) / CAST(size(w) AS DOUBLE), 4) AS mean_token_len",
+        "round(CAST(size(array_distinct(w)) AS DOUBLE) / size(w), 4) AS unique_ratio",
+        "size(w) >= 5 AND size(w) <= 10000 AND CAST(size(filter(w, x -> x IN ('a', 'the', 'of', 'and', 'in', 'to', 'is'))) AS DOUBLE) / size(w) > 0.01 AS quality_ok")
+
+  val qQualitySql: String =
+    """WITH t AS (SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(w) AS n_tokens,
+      |  round((length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')))::DOUBLE / length(text), 4) AS punct_ratio,
+      |  round(len(list_filter(w, x -> list_contains(['a', 'the', 'of', 'and', 'in', 'to', 'is'], x)))::DOUBLE / len(w), 4) AS stopword_ratio,
+      |  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 4) AS mean_token_len,
+      |  round(len(list_distinct(w))::DOUBLE / len(w), 4) AS unique_ratio,
+      |  len(w) >= 5 AND len(w) <= 10000 AND len(list_filter(w, x -> list_contains(['a', 'the', 'of', 'and', 'in', 'to', 'is'], x)))::DOUBLE / len(w) > 0.01 AS quality_ok
+      |FROM t""".stripMargin
+
+  // F3 — language ID: marker-stopword voting with a deterministic
+  // argmax (en > es > fr > de on ties, 'und' when no marker hits).
+  // A real pipeline swaps in richer marker lists / fastText; the
+  // operator shape (per-doc score vector → argmax) is the same.
+  def qLangid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"$wordsExpr AS w")
+      .selectExpr(
+        "doc_id",
+        "CAST(size(filter(w, x -> x IN ('the', 'a', 'is', 'and', 'of'))) AS BIGINT) AS en_hits",
+        "CAST(size(filter(w, x -> x IN ('el', 'la', 'los', 'es', 'y'))) AS BIGINT) AS es_hits",
+        "CAST(size(filter(w, x -> x IN ('le', 'la', 'les', 'est', 'et'))) AS BIGINT) AS fr_hits",
+        "CAST(size(filter(w, x -> x IN ('der', 'die', 'das', 'ist', 'und'))) AS BIGINT) AS de_hits")
+      .selectExpr(
+        "doc_id", "en_hits", "es_hits", "fr_hits", "de_hits",
+        """CASE
+          |  WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'und'
+          |  WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+          |  WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+          |  WHEN fr_hits >= de_hits THEN 'fr'
+          |  ELSE 'de'
+          |END AS predicted_lang""".stripMargin)
+
+  val qLangidSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |  len(list_filter(w, x -> list_contains(['the', 'a', 'is', 'and', 'of'], x))) AS en_hits,
+      |  len(list_filter(w, x -> list_contains(['el', 'la', 'los', 'es', 'y'], x))) AS es_hits,
+      |  len(list_filter(w, x -> list_contains(['le', 'la', 'les', 'est', 'et'], x))) AS fr_hits,
+      |  len(list_filter(w, x -> list_contains(['der', 'die', 'das', 'ist', 'und'], x))) AS de_hits
+      |  FROM t)
+      |SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+      |  CASE
+      |    WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'und'
+      |    WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+      |    WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+      |    WHEN fr_hits >= de_hits THEN 'fr'
+      |    ELSE 'de'
+      |  END AS predicted_lang
+      |FROM h""".stripMargin
+
+  // F4 — document fingerprinting: md5 of the normalized text plus a
+  // 60-bit integer fingerprint (md5-prefix), the join key for exact
+  // dedup across shards.
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id",
+        "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) AS norm")
+      .selectExpr(
+        "doc_id",
+        "md5(norm) AS fp_md5",
+        "CAST(conv(substr(md5(norm), 1, 15), 16, 10) AS BIGINT) AS fp64")
+
+  val qFingerprintSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id, md5(norm) AS fp_md5,
+      |  CAST(('0x' || substr(md5(norm), 1, 15)) AS BIGINT) AS fp64
+      |FROM t""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_stats" -> qTokenStats,
+    "q_quality" -> qQuality,
+    "q_langid" -> qLangid,
+    "q_fingerprint" -> qFingerprint)
+
+  def oracles: Map[String, String] = Map(
+    "q_token_stats" -> qTokenStatsSql,
+    "q_quality" -> qQualitySql,
+    "q_langid" -> qLangidSql,
+    "q_fingerprint" -> qFingerprintSql)
+}
