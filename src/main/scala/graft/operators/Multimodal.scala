@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column block (SURVEY.md §2.7).
+  *
+  * Pattern: media travels as an opaque `binary` column next to a typed
+  * metadata struct; decode / feature-extraction runs batched per
+  * partition so a real decoder (JNI image lib, ffmpeg pipe, ONNX
+  * session) is initialized once per partition, not per row — the Scala
+  * analog of `mapInPandas`. The decode KERNEL here is a deterministic
+  * STUB (this container has no image/audio libraries); everything
+  * around it — schema, encoders, partition batching, feature shape —
+  * is the real plumbing a production decoder drops into.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      mean_byte: Double,
+      max_run: Long,
+      feat: Array[Double],
+      decoder: String)
+
+  // G1 — payload + typed metadata plumbing: binary column, byte length,
+  // content checksum, mime tag. (The synthetic corpus has no real media,
+  // so payloads are the utf-8 bytes of `text` — the schema/partition
+  // path is identical for jpeg/wav bytes.)
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("checksum")).as("meta"))
+
+  def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    withPayload(Tables.documents(s, d))
+      .select(
+        col("doc_id"),
+        col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.checksum").as("checksum"))
+
+  val qMultimodalMetaSql: String =
+    """SELECT doc_id, 'text/plain' AS mime,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS checksum
+      |FROM documents""".stripMargin
+
+  /** The STUBBED decode kernel: stands in for image decode + feature
+    * extraction. Deterministic in the payload bytes so runs are
+    * reproducible; swap this body for the real decoder.
+    */
+  private[operators] def decodeStub(payload: Array[Byte]): (Double, Long, Array[Double]) = {
+    if (payload.isEmpty) return (0.0, 0L, Array.fill(4)(0.0))
+    var sum = 0L
+    var maxRun = 1L
+    var run = 1L
+    var i = 0
+    while (i < payload.length) {
+      sum += payload(i) & 0xff
+      if (i > 0 && payload(i) == payload(i - 1)) { run += 1; if (run > maxRun) maxRun = run }
+      else run = 1
+      i += 1
+    }
+    val mean = sum.toDouble / payload.length
+    // 4-bucket byte histogram as the stand-in "embedding".
+    val hist = new Array[Double](4)
+    payload.foreach(b => hist((b & 0xff) / 64) += 1.0)
+    (mean, maxRun, hist.map(_ / payload.length))
+  }
+
+  // G2 — per-partition batched decode: one "decoder init" per partition,
+  // rows streamed through it. Narrow transformation — no shuffle; at
+  // 100 TB this scales with input splits.
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real pipeline: init decoder/session HERE, once per partition
+      rows.map { r =>
+        val (mean, maxRun, hist) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length.toLong, mean, maxRun, hist, "stub-v1")
+      }
+    }
+  }
+
+  def qMultimodalFeat(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = withPayload(Tables.documents(s, d))
+      .select(col("doc_id"), col("payload"))
+      .as[MediaRow]
+    extractFeatures(media)
+      .select(
+        col("doc_id"), col("n_bytes"),
+        round(col("mean_byte"), 4).as("mean_byte"),
+        col("max_run"),
+        round(element_at(col("feat"), 1), 4).as("f0"),
+        round(element_at(col("feat"), 2), 4).as("f1"),
+        col("decoder"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_feat" -> qMultimodalFeat)
+
+  def oracles: Map[String, String] = Map(
+    "q_multimodal_meta" -> qMultimodalMetaSql)
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming block (SURVEY.md §2.3, stream side).
+  *
+  * The same tumbling-window aggregation as the batch `q_events_tumble`,
+  * but executed by the streaming engine: file source → event-time
+  * watermark → windowed agg → sink. Because the plan is declarative,
+  * the identical query runs against a Kafka source on a cluster —
+  * only the `readStream`/`writeStream` endpoints change. Verified
+  * against the same DuckDB batch oracle (stream/batch unification).
+  */
+object EventsStream {
+
+  /** events schema as the streaming source must declare it (ts read as
+    * raw nanos — see Tables.events).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The streaming plan, source-agnostic: event-time watermark + 1h
+    * tumbling window per event_type.
+    */
+  def tumblingAgg(src: DataFrame): DataFrame =
+    src
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  // C3 — run the streaming query synchronously over the parquet file
+  // source and hand back the materialized result (memory sink,
+  // complete mode: every window closes once the file is drained).
+  def qStreamTumble(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file streaming source monitors a directory; stage the single
+    // events file into one via symlink (testdata itself is read-only).
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+    val src = s.readStream.schema(eventsSchema).parquet(dir.toString)
+    val name = "stream_tumble_out"
+    val q = tumblingAgg(src).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  val qStreamTumbleSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** C4 — custom streaming state: running per-user event counter and
+    * value total via mapGroupsWithState (the arbitrary-state API; the
+    * state store shards by user_id across executors). Exercised by
+    * StreamingSpec with a MemoryStream source.
+    */
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserState(n: Long, total: Double)
+  case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
+
+  def updateUserState(
+      userId: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[UserState]): UserSnapshot = {
+    val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+    var n = prev.n
+    var total = prev.total
+    events.foreach { e => n += 1; total += e.value }
+    state.update(UserState(n, total))
+    UserSnapshot(userId, n, total)
+  }
+
+  def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateUserState)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumble" -> qStreamTumble)
+
+  def oracles: Map[String, String] = Map(
+    "q_stream_tumble" -> qStreamTumbleSql)
+}
