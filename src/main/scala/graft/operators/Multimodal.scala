@@ -58,7 +58,7 @@ object Multimodal {
     * extraction. Deterministic in the payload bytes so runs are
     * reproducible; swap this body for the real decoder.
     */
-  private[operators] def decodeStub(payload: Array[Byte]): (Double, Long, Array[Double]) = {
+  private[graft] def decodeStub(payload: Array[Byte]): (Double, Long, Array[Double]) = {
     if (payload.isEmpty) return (0.0, 0L, Array.fill(4)(0.0))
     var sum = 0L
     var maxRun = 1L

@@ -68,36 +68,49 @@ object Similarity {
       |  FROM scored)
       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
 
-  /** Random-hyperplane signature: bit b = sign of dot(v, h_b) where
-    * h_b is a deterministic pseudo-random ±1 hyperplane derived from
-    * md5(seed, b, i) — reproducible across engines and runs with no
-    * stored model.
+  /** Random-hyperplane signature for one LSH table: bit b = sign of
+    * dot(v, h_{t,b}) where the ±1 hyperplane components are derived
+    * deterministically from md5(table, bit, dim) — reproducible across
+    * engines and runs with no stored model.
     */
-  def hyperplaneSig(vecCol: String, bits: Int): org.apache.spark.sql.Column = {
-    // ±1 component for hyperplane b, dim i: parity of a hash nibble.
+  def hyperplaneSig(vecCol: String, table: Int, bits: Int): org.apache.spark.sql.Column = {
     val sigBit: Int => org.apache.spark.sql.Column = b =>
       expr(
         s"""CASE WHEN aggregate(
            |  zip_with($vecCol, sequence(0, size($vecCol) - 1),
            |    (x, i) -> CAST(x AS DOUBLE) *
-           |      (CASE WHEN (CAST(conv(substr(md5(concat('hp', '$b', '_', i)), 1, 8), 16, 10) AS BIGINT) & 1) = 1
+           |      (CASE WHEN (CAST(conv(substr(md5(concat('hp', '$table', '_', '$b', '_', i)), 1, 8), 16, 10) AS BIGINT) & 1) = 1
            |        THEN 1.0 ELSE -1.0 END)),
            |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) > 0
            |THEN ${1L << b} ELSE 0 END""".stripMargin)
     (0 until bits).map(sigBit).reduce(_ + _)
   }
 
-  /** E2 — LSH-bucketed approximate KNN: vectors and queries are hashed
-    * to 2^bits buckets; candidates come only from the query's bucket.
+  /** E2 — multi-table LSH approximate KNN: each of `tables` independent
+    * hyperplane sets buckets every vector into 2^bits buckets; a
+    * query's candidates are the union of its buckets across tables
+    * (expected scan fraction ≈ tables/2^bits of the corpus, vs 1.0 for
+    * brute force — the knob that keeps ANN sublinear at 100 TB while
+    * multi-table union keeps recall high).
     */
-  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4): DataFrame = {
-    val cb = corpus.withColumn("bucket", hyperplaneSig("embedding", bits))
-    val qb = queries.withColumn("bucket", hyperplaneSig("embedding", bits))
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 3, tables: Int = 4): DataFrame = {
+    def withBuckets(df: DataFrame): DataFrame = {
+      val buckets = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"), hyperplaneSig("embedding", t, bits).as("bkt")))
+      df.select(col("vec_id"), col("embedding"), explode(array(buckets: _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"),
+          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    }
+    val cb = withBuckets(corpus)
+    val qb = withBuckets(queries)
     val scored = cb.as("c")
       .join(broadcast(qb.as("q")),
-        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+        col("q.tbl") === col("c.tbl") && col("q.bkt") === col("c.bkt") &&
+          col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         round(vec_cosine(col("q.embedding"), col("c.embedding")), 4).as("cos_sim"))
+      .distinct() // same pair can surface from several tables
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends GraftSuite {
+
+  test("q1_agg groups by (returnflag, linestatus) with consistent totals") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("q_filter pushes predicate and projection into the parquet scan") {
+    val plan = Relational.qFilter(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull"))
+    // projection pruned to the selected + filtered columns only
+    assert(!plan.contains("l_comment") && !plan.contains("l_tax,"))
+  }
+
+  test("q_bcast_join broadcasts the part dimension") {
+    val plan = Relational.qBcastJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q_topk_orders returns exactly the 10 priciest orders") {
+    val got = Relational.qTopkOrders(spark, sf).collect().map(_.getAs[Long]("o_orderkey"))
+    val want = Tables.orders(spark, sf)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10).collect().map(_.getAs[Long]("o_orderkey"))
+    assert(got.sameElements(want))
+  }
+
+  test("q_semi + q_anti partition orders-with/without matching rows") {
+    val semi = Relational.qSemi(spark, sf).count()
+    val withBig = Tables.lineitem(spark, sf).filter(col("l_quantity") >= 49)
+      .select("l_orderkey").distinct().count()
+    assert(semi == withBig)
+  }
+
+  test("q_rollup contains the grand total row") {
+    val rows = Relational.qRollup(spark, sf).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == Tables.lineitem(spark, sf).count())
+  }
+
+  test("q_window running_spend is monotone within a customer") {
+    val rows = Relational.qWindow(spark, sf)
+      .orderBy("o_custkey", "rn").collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    rows.values.foreach { rs =>
+      val spends = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("running_spend"))
+      assert(spends.sameElements(spends.sorted))
+    }
+  }
+}

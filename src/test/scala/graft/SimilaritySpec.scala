@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.{vec_cosine, vec_dot, vec_norm}
+
+class SimilaritySpec extends GraftSuite {
+  import spark.implicits._
+
+  test("native vector expressions match scala-side math") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f))).toDF("a", "b")
+    val rows = df.select(
+      vec_dot(col("a"), col("b")).as("dot"),
+      vec_norm(col("a")).as("na"),
+      vec_cosine(col("a"), col("b")).as("cos")).collect()
+    assert(math.abs(rows(0).getDouble(0) - 32.0) < 1e-12)
+    assert(math.abs(rows(0).getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(rows(0).getDouble(2) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+    assert(rows(1).getDouble(2) == 0.0) // zero vector → defined 0, not NaN
+  }
+
+  test("brute-force KNN returns k ranked neighbors per query") {
+    val knn = Similarity.qKnnBrute(spark, sf).collect()
+    val byQuery = knn.groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rs =>
+      assert(rs.length <= 5)
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sorted.reverse)) // descending by rank
+    }
+  }
+
+  test("LSH KNN achieves reasonable recall vs exact KNN at top-5") {
+    val exact = Similarity.qKnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.qKnnLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(approx.nonEmpty)
+    // 4 tables × 3 bits at ~60° neighbor angles → expected recall ≈ 0.7
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+    // everything returned must be from the query's own bucket and ranked
+    approx.foreach { case (q, n) => assert(q != n) }
+  }
+}
