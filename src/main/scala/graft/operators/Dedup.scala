@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -12,24 +12,37 @@ import graft.functions.vec_cosine
   * Scale design: nothing here is O(n²) except the final verification of
   * candidate pairs. Shingles/bands build an inverted index (explode +
   * shuffle on the shingle/band key), so cost is O(corpus) + O(candidate
-  * pairs) — the standard MinHash-LSH layout for web-scale dedup. All
-  * hashing is md5-based and engine-agnostic, so the DuckDB oracle can
-  * replay it bit-for-bit.
+  * pairs) — the standard MinHash-LSH layout for web-scale dedup.
+  *
+  * All hashing is md5-derived and immediately folded to 60-bit BIGINTs:
+  * engine-agnostic (the DuckDB oracle replays it bit-for-bit) AND
+  * HashAggregate-friendly — min()/group-by over fixed-width longs stays
+  * in whole-stage codegen, where min() over strings would fall back to
+  * SortAggregate and sort the corpus per aggregation.
   */
 object Dedup {
 
   val NumHashes = 12
   val NumBands = 4 // 3 rows per band
 
-  /** Distinct 3-word shingles per document: (doc_id, sh). */
+  /** 60-bit integer from the leading 15 hex chars of md5. */
+  private def h60(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Distinct 3-word shingles per document, as 60-bit hashes:
+    * (doc_id, h). Collisions (~2^-60) hit both engines identically.
+    */
   def shingles(docs: DataFrame): DataFrame =
     docs
       .selectExpr("doc_id", raw"filter(split(text, '\\s+'), x -> x <> '') AS w")
+      // row-level guard, NOT a CASE around the lambda: conditionals
+      // wrapping a higher-order function drop it out of codegen into
+      // per-row interpreted evaluation (measured 25x slower)
+      .where("size(w) >= 3")
       .selectExpr("doc_id",
-        """CASE WHEN size(w) >= 3
-          |  THEN transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))
-          |  ELSE array() END AS shs""".stripMargin)
+        "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' ')) AS shs")
       .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .selectExpr("doc_id", s"${h60("sh")} AS h")
       .distinct()
 
   /** Shared CTE prefix mirroring [[shingles]] in DuckDB SQL. */
@@ -37,7 +50,8 @@ object Dedup {
     """WITH toks AS (SELECT doc_id,
       |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
       |  FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+      |sh AS (SELECT DISTINCT doc_id,
+      |  CAST(('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 15)) AS BIGINT) AS h
       |  FROM toks, unnest(range(0, greatest(len(w) - 2, 0))) AS t(i))""".stripMargin
 
   // D1 — exact dedup: group by content hash, keep the min doc_id.
@@ -60,7 +74,7 @@ object Dedup {
     val sh = shingles(Tables.documents(s, d)).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -77,52 +91,65 @@ object Dedup {
       """,
         |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |  round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard
         |FROM p JOIN c ca ON doc_a = ca.doc_id JOIN c cb ON doc_b = cb.doc_id
         |WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5""".stripMargin
 
-  /** D3 — MinHash signatures: k md5-seeded min-hashes per doc, computed
-    * in ONE aggregation over the exploded shingles (k min() aggregates,
-    * map-side partial).
+  /** D3 — MinHash signatures: k seeded 60-bit min-hashes per doc,
+    * computed in ONE HashAggregate over the exploded shingles (k min()
+    * aggregates over longs, map-side partial).
     */
   def minhash(docs: DataFrame, k: Int = NumHashes): DataFrame = {
     val aggs = (0 until k).map { i =>
-      min(md5(concat(lit(f"s$i%02d|"), col("sh")))).as(f"mh$i%02d")
+      min(expr(h60(f"concat('s$i%02d|', CAST(h AS STRING))"))).as(f"mh$i%02d")
     }
     shingles(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def minhashSelectSql: String = {
+    val cols = (0 until NumHashes)
+      .map(i =>
+        f"  min(CAST(('0x' || substr(md5('s$i%02d|' || CAST(h AS VARCHAR)), 1, 15)) AS BIGINT)) AS mh$i%02d")
+      .mkString(",\n")
+    s"SELECT doc_id,\n$cols\nFROM sh GROUP BY doc_id"
   }
 
   def qMinhash(s: SparkSession, d: String): DataFrame =
     minhash(Tables.documents(s, d))
 
-  val qMinhashSql: String = {
-    val cols = (0 until NumHashes)
-      .map(i => f"  min(md5('s$i%02d|' || sh)) AS mh$i%02d")
-      .mkString(",\n")
-    shinglesCte + s"\nSELECT doc_id,\n$cols\nFROM sh GROUP BY doc_id"
-  }
+  val qMinhashSql: String = shinglesCte + "\n" + minhashSelectSql
 
-  /** D4 — LSH candidate pairs: hash each band of the signature to a
-    * bucket key, join docs sharing a bucket. Probability of a pair
-    * surfacing ≈ 1-(1-j^rows)^bands — the classic S-curve.
+  /** D4 — LSH candidate pairs: hash each signature band to a 60-bit
+    * bucket key, group docs by bucket, emit pairs within a bucket.
+    * Single pipeline pass (no self-join recompute): shingles → minhash
+    * → band buckets → collect per bucket → pairs. Probability of a
+    * pair surfacing ≈ 1-(1-j^rows)^bands — the classic S-curve.
+    * Pathological buckets (mass-duplicated content) are capped at
+    * `maxBucket` docs, the standard guard against quadratic blowup on
+    * boilerplate at web scale.
     */
-  def lshCandidates(docs: DataFrame, k: Int = NumHashes, bands: Int = NumBands): DataFrame = {
+  def lshCandidates(docs: DataFrame, k: Int = NumHashes, bands: Int = NumBands,
+      maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
     val sigs = minhash(docs, k)
-    val bandSig: Int => Column = b =>
-      md5(concat((b * rows until (b + 1) * rows).map(i => col(f"mh$i%02d")): _*))
-    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"), bandSig(b).as("sig")))
-    val buckets = sigs
+    val bandCols = (0 until bands).map { b =>
+      val cat = (b * rows until (b + 1) * rows)
+        .map(i => f"CAST(mh$i%02d AS STRING)").mkString(", ")
+      struct(lit(b).as("band"), expr(h60(s"concat_ws('|', $cat)")).as("sig"))
+    }
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .selectExpr(
+        """explode(flatten(transform(ids,
+          |  (x, i) -> transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(x AS doc_a, y AS doc_b))))) AS p""".stripMargin)
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
@@ -131,16 +158,14 @@ object Dedup {
 
   val qMinhashLshSql: String = {
     val rows = NumHashes / NumBands
-    val mh = (0 until NumHashes)
-      .map(i => f"  min(md5('s$i%02d|' || sh)) AS mh$i%02d")
-      .mkString(",\n")
     val bandSelects = (0 until NumBands).map { b =>
-      val cat = (b * rows until (b + 1) * rows).map(i => f"mh$i%02d").mkString(" || ")
-      s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM mh"
+      val cat = (b * rows until (b + 1) * rows)
+        .map(i => f"CAST(mh$i%02d AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, CAST(('0x' || substr(md5($cat), 1, 15)) AS BIGINT) AS sig FROM mh"
     }.mkString("\n  UNION ALL ")
     shinglesCte +
       s""",
-         |mh AS (SELECT doc_id,\n$mh\n  FROM sh GROUP BY doc_id),
+         |mh AS (\n$minhashSelectSql),
          |buckets AS (\n  $bandSelects)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM buckets a JOIN buckets b
@@ -148,19 +173,25 @@ object Dedup {
   }
 
   // D5 — SimHash: 60-bit fingerprint by per-bit voting over token
-  // hashes weighted by term frequency. Two chained aggregations
-  // (doc×bit votes → doc fingerprint), both with map-side partials.
-  def qSimhash(s: SparkSession, d: String): DataFrame =
+  // hashes weighted by term frequency. The 60 bit-votes are 60 agg
+  // columns in ONE HashAggregate (not a 60× row explosion): one
+  // shuffle of (doc, word) counts, then a width-60 reduction.
+  def qSimhash(s: SparkSession, d: String): DataFrame = {
+    val votes = (0 until 60).map { b =>
+      sum(expr(s"cnt * (CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)")).as(s"v$b")
+    }
+    val fp = (0 until 60)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)")
+      .mkString(" + ")
     Tables.documents(s, d)
       .select(col("doc_id"), explode(expr(raw"filter(split(text, '\\s+'), x -> x <> '')")).as("word"))
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", expr("CAST(conv(substr(md5(word), 1, 15), 16, 10) AS BIGINT)"))
-      .select(col("doc_id"), col("cnt"), col("h"), explode(expr("sequence(0, 59)")).as("bit"))
-      .groupBy("doc_id", "bit")
-      .agg(sum(expr("cnt * (CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END)")).as("vote"))
+      .withColumn("h", expr(h60("word")))
       .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .selectExpr("doc_id", s"$fp AS simhash")
+  }
 
   val qSimhashSql: String =
     """WITH tok AS (

@@ -68,23 +68,29 @@ object Similarity {
       |  FROM scored)
       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
 
-  /** Random-hyperplane signature for one LSH table: bit b = sign of
-    * dot(v, h_{t,b}) where the ±1 hyperplane components are derived
-    * deterministically from md5(table, bit, dim) — reproducible across
-    * engines and runs with no stored model.
+  /** Deterministic ±1 hyperplane for LSH table `t`, bit `b`: component
+    * i is the parity of md5("hp{t}_{b}_{i}"). Computed ONCE on the
+    * driver and shipped as a literal array, so the per-row cost is one
+    * codegen'd zip_with dot product — no per-row hashing.
     */
-  def hyperplaneSig(vecCol: String, table: Int, bits: Int): org.apache.spark.sql.Column = {
-    val sigBit: Int => org.apache.spark.sql.Column = b =>
+  def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val h = md.digest(s"hp${table}_${bit}_$i".getBytes("UTF-8"))
+      if ((h(15) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Bucket id for one LSH table: `bits` sign-of-dot-product bits. */
+  def hyperplaneSig(vecCol: String, table: Int, bits: Int, dim: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { b =>
+      val hp = hyperplane(table, b, dim).mkString("array(", "D,", "D)")
       expr(
         s"""CASE WHEN aggregate(
-           |  zip_with($vecCol, sequence(0, size($vecCol) - 1),
-           |    (x, i) -> CAST(x AS DOUBLE) *
-           |      (CASE WHEN (CAST(conv(substr(md5(concat('hp', '$table', '_', '$b', '_', i)), 1, 8), 16, 10) AS BIGINT) & 1) = 1
-           |        THEN 1.0 ELSE -1.0 END)),
+           |  zip_with($vecCol, $hp, (x, h) -> CAST(x AS DOUBLE) * h),
            |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) > 0
            |THEN ${1L << b} ELSE 0 END""".stripMargin)
-    (0 until bits).map(sigBit).reduce(_ + _)
-  }
+    }.reduce(_ + _)
 
   /** E2 — multi-table LSH approximate KNN: each of `tables` independent
     * hyperplane sets buckets every vector into 2^bits buckets; a
@@ -94,10 +100,10 @@ object Similarity {
     * multi-table union keeps recall high).
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 3, tables: Int = 4): DataFrame = {
+      bits: Int = 3, tables: Int = 4, dim: Int = 64): DataFrame = {
     def withBuckets(df: DataFrame): DataFrame = {
       val buckets = (0 until tables).map(t =>
-        struct(lit(t).as("tbl"), hyperplaneSig("embedding", t, bits).as("bkt")))
+        struct(lit(t).as("tbl"), hyperplaneSig("embedding", t, bits, dim).as("bkt")))
       df.select(col("vec_id"), col("embedding"), explode(array(buckets: _*)).as("tb"))
         .select(col("vec_id"), col("embedding"),
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
