@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL query surface: register the warehouse tables as temp views and
+  * run ANSI SQL through Spark's own parser/Catalyst — the "switch your
+  * queries over unchanged" path for users of the reference engine who
+  * want declarative access instead of the operator API.
+  */
+object GraftSql {
+
+  /** Register every warehouse table under its canonical name. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    Tables.all.foreach { name =>
+      Tables.load(spark, dir, name).createOrReplaceTempView(name)
+    }
+
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(query)
+  }
+
+  // B16 — the SQL interface exercised end-to-end (TPC-H Q6 flavor):
+  // identical text runs in Spark and the DuckDB oracle.
+  val revenueSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 25""".stripMargin
+
+  def qSqlInterface(s: SparkSession, d: String): DataFrame =
+    sql(s, d, revenueSql)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_interface" -> qSqlInterface)
+
+  def oracles: Map[String, String] = Map(
+    "q_sql_interface" -> revenueSql)
+}

@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ WordCount.queries ++ Events.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ graft.streaming.EventsStream.queries
+      Multimodal.queries ++ graft.streaming.EventsStream.queries ++
+      GraftSql.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate / stubbed ops)
@@ -27,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ WordCount.oracles ++ Events.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ graft.streaming.EventsStream.oracles
+      Multimodal.oracles ++ graft.streaming.EventsStream.oracles ++
+      GraftSql.oracles
 }

@@ -232,7 +232,33 @@ object Dedup {
       |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
       |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) >= 0.4""".stripMargin
 
+  // D7 — end-to-end dedup pipeline: the corpus with near-duplicates
+  // removed. Candidates from the LSH/jaccard path, greedy keep-lowest-id
+  // (any doc that is the higher id of a verified pair is dropped), then
+  // an anti join back to the corpus. At 100 TB: candidates are tiny
+  // relative to the corpus, so this is one broadcast-able anti join.
+  def qDedupPipeline(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val drop = qJaccardPairs(s, d, tau).select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(s, d)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "lang", "n_chars")
+  }
+
+  val qDedupPipelineSql: String =
+    shinglesCte +
+      """,
+        |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |drop AS (SELECT DISTINCT doc_b AS doc_id FROM p
+        |  JOIN c ca ON doc_a = ca.doc_id JOIN c cb ON doc_b = cb.doc_id
+        |  WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5)
+        |SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drop)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_pipeline" -> ((s, d) => qDedupPipeline(s, d)),
     "q_dedup_exact" -> qDedupExact,
     "q_jaccard_pairs" -> ((s, d) => qJaccardPairs(s, d)),
     "q_minhash" -> qMinhash,
@@ -241,6 +267,7 @@ object Dedup {
     "q_embed_dup" -> ((s, d) => qEmbedDup(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_dedup_pipeline" -> qDedupPipelineSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_minhash" -> qMinhashSql,

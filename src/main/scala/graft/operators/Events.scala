@@ -66,11 +66,46 @@ object Events {
       |  round(sum(value), 4) AS sum_value
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  // C5 — as-of join: for each purchase, the latest click at-or-before
+  // it by the same user. Composed Spark-first (the preferred path over
+  // a custom SparkPlan): union both sides tagged, ONE window pass
+  // computes the running max click-time per user — no per-key loops,
+  // no range self-join; a single shuffle on user_id at any scale.
+  // Oracle: DuckDB's native ASOF LEFT JOIN.
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val tagged = e.select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"),
+      when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("side"))
+      .filter(col("event_type").isin("click", "purchase"))
+    // clicks (side 0) sort before purchases at equal ts → ">=" semantics
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("click_ts", max(when(col("side") === 0, col("ts"))).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("last_click_ts"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumble" -> qEventsTumble,
-    "q_sessionize" -> qSessionize)
+    "q_sessionize" -> qSessionize,
+    "q_asof_join" -> qAsofJoin)
 
   def oracles: Map[String, String] = Map(
     "q_events_tumble" -> qEventsTumbleSql,
-    "q_sessionize" -> qSessionizeSql)
+    "q_sessionize" -> qSessionizeSql,
+    "q_asof_join" -> qAsofJoinSql)
 }

@@ -41,6 +41,15 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("dedup pipeline drops exactly the higher ids of verified pairs") {
+    val docs = Tables.documents(spark, sf)
+    val dropped = Dedup.qJaccardPairs(spark, sf, tau = 0.5).select("doc_b")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val kept = Dedup.qDedupPipeline(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(kept.size == docs.count() - dropped.size)
+    assert((kept & dropped).isEmpty)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.qEmbedDup(spark, sf, tau = 0.4).collect()
     rows.foreach { r =>

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Events
+
+class EventsSpec extends GraftSuite {
+
+  test("tumbling agg partitions every event into exactly one window") {
+    val n = Events.qEventsTumble(spark, sf).agg(sum("n")).collect()(0).getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+  }
+
+  test("sessionization covers all events with positive-size sessions") {
+    val sess = Events.qSessionize(spark, sf)
+    val n = sess.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+    assert(sess.filter(col("session_id") < 1).count() == 0)
+  }
+
+  test("as-of join keeps one row per purchase with click at-or-before it") {
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    val asof = Events.qAsofJoin(spark, sf)
+    assert(asof.count() == purchases)
+    // matched rows: the click can't be after the purchase (string
+    // compare works on yyyy-MM-dd HH:mm:ss)
+    val bad = asof.filter(col("last_click_ts") > col("purchase_ts")).count()
+    assert(bad == 0)
+  }
+
+  test("sql interface runs the same text as the oracle") {
+    val r = GraftSql.qSqlInterface(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_items") > 0)
+    assert(r.getAs[Double]("revenue") > 0)
+  }
+}
