@@ -33,6 +33,17 @@ object WordCount {
     df.select(explode(split(col(textCol), "\\s+")).as("word"))
       .filter(col("word") =!= "")
 
+  /** A1/A7: the reference's literal I/O surface — count words across
+    * raw text files (its `./omp_count_words files/1.txt files/2.txt …`).
+    * `spark.read.text` gives a splittable scan over all files; the
+    * reference's mmap+chunk machinery (omp_count_words.cpp:97-123)
+    * collapses into input splits the scheduler already handles.
+    */
+  def fromTextFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
+    tokenize(spark.read.text(paths: _*).toDF("text"), "text")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
   /** A1/A2/A3/A5: word → count over the documents corpus. */
   def wcCount(s: SparkSession, d: String): DataFrame =
     tokenize(Tables.documents(s, d), "text")

@@ -37,6 +37,17 @@ class WordCountSpec extends GraftSuite {
     assert(totalWords == WordCount.wcCount(spark, sf).count())
   }
 
+  test("fromTextFiles reproduces the reference CLI surface on raw .txt files") {
+    val dir = java.nio.file.Files.createTempDirectory("wc_txt")
+    java.nio.file.Files.writeString(dir.resolve("1.txt"), "the cat sat\non the mat\n")
+    java.nio.file.Files.writeString(dir.resolve("2.txt"), "the dog  ran\n")
+    val counts = WordCount.fromTextFiles(spark,
+      Seq(s"$dir/1.txt", s"$dir/2.txt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("the" -> 3L, "cat" -> 1L, "sat" -> 1L, "on" -> 1L,
+      "mat" -> 1L, "dog" -> 1L, "ran" -> 1L))
+  }
+
   test("writeCounts emits word:count lines, single-file and partitioned") {
     val dir = java.nio.file.Files.createTempDirectory("wc_sink").toString
     val counts = WordCount.wcCount(spark, sf)
