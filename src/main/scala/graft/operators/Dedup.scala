@@ -40,7 +40,9 @@ object Dedup {
       // per-row interpreted evaluation (measured 25x slower)
       .where("size(w) >= 3")
       .selectExpr("doc_id",
-        "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' ')) AS shs")
+        // three O(1) element_at lookups, not slice+array_join (which
+        // copies a subarray per shingle in the interpreted HOF path)
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))) AS shs")
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .selectExpr("doc_id", s"${h60("sh")} AS h")
       .distinct()
@@ -73,9 +75,19 @@ object Dedup {
   def qJaccardPairs(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
     val sh = shingles(Tables.documents(s, d)).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // posting-list formulation: one shuffle on the shingle hash, pairs
+    // generated inside each posting (sorted, so doc_a < doc_b for free)
+    // — no self-join, so the shingle pipeline runs once, and partial
+    // aggregation compresses (doc_a, doc_b) counts map-side.
+    val inter = sh
+      .groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .selectExpr(
+        """explode(flatten(transform(ids,
+          |  (x, i) -> transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(x AS doc_a, y AS doc_b))))) AS p""".stripMargin)
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
