@@ -20,7 +20,7 @@ object GraftSql {
     spark.sql(query)
   }
 
-  // B16 — the SQL interface exercised end-to-end (TPC-H Q6 flavor):
+  // A9 — the SQL interface exercised end-to-end (TPC-H Q6 flavor):
   // identical text runs in Spark and the DuckDB oracle.
   val revenueSql: String =
     """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,

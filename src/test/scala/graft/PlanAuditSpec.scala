@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape audit across the whole inventory: the properties that
+  * decide whether a query survives a 100× scale-up, asserted on the
+  * actual executed plans.
+  */
+class PlanAuditSpec extends GraftSuite {
+
+  // all-pairs verification kernels: the ONLY queries allowed to build a
+  // nested-loop/cartesian plan (bounded query set or explicit O(n²)).
+  private val allPairsWhitelist = Set("q_embed_dup", "q_knn_brute", "q_knn_lsh")
+  // building these DataFrames runs a streaming query — audited by
+  // StreamingSpec instead.
+  private val skip = Set("q_stream_tumble")
+
+  test("no unintended cartesian/nested-loop joins anywhere in the inventory") {
+    SparkEntry.queries.keys.filterNot(skip).filterNot(allPairsWhitelist).foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("every parquet scan in the inventory prunes its read schema") {
+    // no query needs every lineitem column; a scan reading the full
+    // schema means projection pushdown broke
+    val fullLineitem = "l_orderkey,l_partkey,l_suppkey,l_linenumber,l_quantity," +
+      "l_extendedprice,l_discount,l_tax,l_returnflag,l_linestatus,l_shipdate"
+    SparkEntry.queries.keys.filterNot(skip).foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.replace(" ", "").contains(fullLineitem.replace(" ", "")),
+        s"$name reads all lineitem columns")
+    }
+  }
+
+  test("dimension joins broadcast, never shuffle the fact side") {
+    Seq("q_bcast_join", "q5_multijoin").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name lost its broadcast join")
+    }
+  }
+
+  test("whole-stage codegen covers the flagship aggregation") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    // codegen stages show as "*(n) Operator" in the finalized plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(500))
+  }
+}
