@@ -286,6 +286,32 @@ object Relational {
       |EXCEPT
       |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
 
+  // B17 — bounded top-k per group via the custom TopKByScore Aggregator:
+  // the shuffle carries at most k rows per (map partition, group) where
+  // the window-function formulation shuffles every order of every
+  // customer. Oracle: the row_number() formulation — result equality is
+  // the correctness property.
+  def qTopkPerKey(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(3))
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(
+        col("o_custkey"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("o_orderkey"),
+        col("s.score").as("o_totalprice"))
+  }
+
+  val qTopkPerKeySql: String =
+    """SELECT o_custkey, rn AS rank, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3""".stripMargin
+
   // B15 — HyperLogLog approximate count-distinct: the 100 TB substitute
   // for B9 (no exact-distinct expand). Approximate → rows-only check.
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
@@ -310,6 +336,7 @@ object Relational {
     "q_percentile" -> qPercentile,
     "q_casewhen" -> qCasewhen,
     "q_setops" -> qSetops,
+    "q_topk_per_key" -> qTopkPerKey,
     "q_approx_distinct" -> qApproxDistinct)
 
   def oracles: Map[String, String] = Map(
@@ -326,5 +353,6 @@ object Relational {
     "q_rollup" -> qRollupSql,
     "q_percentile" -> qPercentileSql,
     "q_casewhen" -> qCasewhenSql,
-    "q_setops" -> qSetopsSql)
+    "q_setops" -> qSetopsSql,
+    "q_topk_per_key" -> qTopkPerKeySql)
 }

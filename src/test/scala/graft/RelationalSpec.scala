@@ -48,6 +48,32 @@ class RelationalSpec extends GraftSuite {
     assert(grand.head.getAs[Long]("n") == Tables.lineitem(spark, sf).count())
   }
 
+  test("TopKByScore aggregator: bounded buffer, deterministic merge order") {
+    val agg = new graft.functions.TopKByScore(3)
+    import graft.functions.Scored
+    val rows = Seq(Scored(5, 1), Scored(9, 2), Scored(9, 9), Scored(1, 3), Scored(7, 4))
+    val b = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(b.length == 3)
+    assert(agg.finish(b) == Seq(Scored(9, 2), Scored(9, 9), Scored(7, 4)))
+    // merge of two partial buffers == aggregate of the union
+    val (l, r) = rows.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged) == agg.finish(b))
+  }
+
+  test("q_topk_per_key agrees with the window formulation") {
+    val viaAgg = Relational.qTopkPerKey(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = Tables.orders(spark, sf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("o_custkey", "rank", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("q_window running_spend is monotone within a customer") {
     val rows = Relational.qWindow(spark, sf)
       .orderBy("o_custkey", "rn").collect()
