@@ -99,13 +99,38 @@ object Events {
       |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  // C6 — semi-structured extraction: pull typed fields out of the JSON
+  // props column and aggregate on them. get_json_object is a codegen'd
+  // path expression — no UDF, no schema inference pass over the corpus.
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        round(avg("k"), 4).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumble" -> qEventsTumble,
     "q_sessionize" -> qSessionize,
-    "q_asof_join" -> qAsofJoin)
+    "q_asof_join" -> qAsofJoin,
+    "q_json_extract" -> qJsonExtract)
 
   def oracles: Map[String, String] = Map(
     "q_events_tumble" -> qEventsTumbleSql,
     "q_sessionize" -> qSessionizeSql,
-    "q_asof_join" -> qAsofJoinSql)
+    "q_asof_join" -> qAsofJoinSql,
+    "q_json_extract" -> qJsonExtractSql)
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+class SourcesSpec extends GraftSuite {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_src").toString
+
+  test("csv and json round-trip the documents table losslessly") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+    val dir = tmp()
+    Sources.writeCsv(docs, s"$dir/csv")
+    Sources.writeJson(docs, s"$dir/json")
+    val csv = Sources.readCsv(spark, s"$dir/csv", docs.schema)
+    val json = Sources.readJson(spark, s"$dir/json", docs.schema)
+    val want = docs.collect().map(_.toSeq).toSet
+    assert(csv.collect().map(_.toSeq).toSet == want)
+    assert(json.collect().map(_.toSeq).toSet == want)
+  }
+
+  test("partitioned parquet layout prunes partitions on read") {
+    val docs = Tables.documents(spark, sf)
+    val dir = tmp()
+    Sources.writePartitioned(docs, s"$dir/bylang", "lang")
+    val one = Sources.readParquet(spark, s"$dir/bylang").filter(col("lang") === "en")
+    assert(one.count() == docs.filter(col("lang") === "en").count())
+    // the filter becomes a PartitionFilter on the scan (directory-level
+    // pruning, no data files of other langs touched)
+    val scanned = one.queryExecution.sparkPlan.toString
+    assert(scanned.contains("PartitionFilters") && scanned.contains("lang"),
+      scanned.take(800))
+  }
+}
