@@ -9,10 +9,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSql {
 
-  /** Register every warehouse table under its canonical name. */
+  /** Register every warehouse table under its canonical name. events
+    * goes through Tables.events so its nanos timestamp arrives as a
+    * real timestamp column (plain load would fail or expose raw longs).
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
     Tables.all.foreach { name =>
-      Tables.load(spark, dir, name).createOrReplaceTempView(name)
+      val df =
+        if (name == "events") Tables.events(spark, dir)
+        else Tables.load(spark, dir, name)
+      df.createOrReplaceTempView(name)
     }
 
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {

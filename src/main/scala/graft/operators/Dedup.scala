@@ -175,13 +175,18 @@ object Dedup {
         .map(i => f"CAST(mh$i%02d AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, CAST(('0x' || substr(md5($cat), 1, 15)) AS BIGINT) AS sig FROM mh"
     }.mkString("\n  UNION ALL ")
+    // mirrors lshCandidates exactly, INCLUDING the maxBucket cap
     shinglesCte +
       s""",
          |mh AS (\n$minhashSelectSql),
-         |buckets AS (\n  $bandSelects)
+         |buckets AS (\n  $bandSelects),
+         |sized AS (
+         |  SELECT doc_id, band, sig, count(*) OVER (PARTITION BY band, sig) AS bsz
+         |  FROM buckets)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM buckets a JOIN buckets b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+         |FROM sized a JOIN sized b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |WHERE a.bsz <= 1000""".stripMargin
   }
 
   // D5 — SimHash: 60-bit fingerprint by per-bit voting over token

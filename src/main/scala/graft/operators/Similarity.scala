@@ -100,7 +100,11 @@ object Similarity {
     * multi-table union keeps recall high).
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 3, tables: Int = 4, dim: Int = 64): DataFrame = {
+      bits: Int = 3, tables: Int = 4): DataFrame = {
+    // detect the dimension from the data (one-row scan): a wrong dim
+    // wouldn't error — zip_with null-pads and the sign bits silently
+    // collapse to 0
+    val dim = corpus.select(size(col("embedding")).as("d")).head().getInt(0)
     def withBuckets(df: DataFrame): DataFrame = {
       val buckets = (0 until tables).map(t =>
         struct(lit(t).as("tbl"), hyperplaneSig("embedding", t, bits, dim).as("bkt")))

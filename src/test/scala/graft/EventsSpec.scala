@@ -28,6 +28,13 @@ class EventsSpec extends GraftSuite {
     assert(bad == 0)
   }
 
+  test("sql interface exposes events.ts as a real timestamp") {
+    val df = GraftSql.sql(spark, sf,
+      "SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1")
+    assert(df.schema("h").dataType.typeName.startsWith("timestamp"))
+    assert(df.count() > 0)
+  }
+
   test("sql interface runs the same text as the oracle") {
     val r = GraftSql.qSqlInterface(spark, sf).collect()(0)
     assert(r.getAs[Long]("n_items") > 0)

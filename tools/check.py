@@ -15,12 +15,20 @@ import sys
 import duckdb
 
 
+def sort_key(v):
+    # round floats so engine-side 1-ulp noise can't reorder rows and
+    # defeat the tolerant value compare
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    return str(v)
+
+
 def canon(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in idx))
-    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+    return sorted(cols), sorted(out, key=lambda t: tuple(sort_key(x) for x in t))
 
 
 def eq(a, b):
