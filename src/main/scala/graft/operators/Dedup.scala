@@ -33,6 +33,11 @@ object Dedup {
     * (doc_id, h). Collisions (~2^-60) hit both engines identically.
     */
   def shingles(docs: DataFrame): DataFrame =
+    // cached: every operator in the dedup family starts from this index
+    // (jaccard, minhash, LSH, pipeline) and Spark's CacheManager matches
+    // the canonicalized plan, so one materialization serves them all —
+    // the batch-job layout where the shingle index is built once per
+    // corpus. Bounded: distinct (doc_id, 60-bit hash) longs.
     docs
       .selectExpr("doc_id", raw"filter(split(text, '\\s+'), x -> x <> '') AS w")
       // row-level guard, NOT a CASE around the lambda: conditionals
@@ -46,6 +51,7 @@ object Dedup {
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .selectExpr("doc_id", s"${h60("sh")} AS h")
       .distinct()
+      .cache()
 
   /** Shared CTE prefix mirroring [[shingles]] in DuckDB SQL. */
   private val shinglesCte: String =
@@ -73,7 +79,7 @@ object Dedup {
   // join docs through shared shingles (never all-pairs), then exact
   // Jaccard on the intersection counts.
   def qJaccardPairs(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
-    val sh = shingles(Tables.documents(s, d)).cache()
+    val sh = shingles(Tables.documents(s, d))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // posting-list formulation: one shuffle on the shingle hash, pairs
     // generated inside each posting (sorted, so doc_a < doc_b for free)
