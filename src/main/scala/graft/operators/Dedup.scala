@@ -229,7 +229,7 @@ object Dedup {
       |  FROM tok, unnest(range(0, 60)) AS b(i)
       |  GROUP BY doc_id, i)
       |SELECT doc_id,
-      |  sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+      |  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
       |FROM votes GROUP BY doc_id""".stripMargin
 
   // D6 — embedding near-dup: exact cosine over candidate pairs. Kept

@@ -57,8 +57,8 @@ object Events {
       |  FROM g),
       |sess AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM f)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
@@ -116,7 +116,7 @@ object Events {
 
   val qJsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
       |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k

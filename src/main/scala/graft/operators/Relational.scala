@@ -266,7 +266,7 @@ object Relational {
 
   val qCasewhenSql: String =
     """SELECT o_orderpriority, count(*) AS n_total,
-      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
       |  round(sum(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END), 4) AS big_revenue
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 

@@ -100,7 +100,7 @@ object WordCount {
       |        list_transform(regexp_split_to_array(word, ''), c -> CAST(ord(c) AS HUGEINT))),
       |      (h, c) -> (h * 33 + c) % CAST(18446744073709551616 AS HUGEINT)) % 16 AS BIGINT) AS pid
       |  FROM words)
-      |SELECT pid, count(*) AS n_words, sum(cnt) AS n_occurrences
+      |SELECT pid, count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS n_occurrences
       |FROM hashed GROUP BY pid""".stripMargin
 
   /** A8: the reference's two sink modes — one `word:count` text file per

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.operators.WordCount
+
+/** Drop-in-replacement parity against the reference's OWN corpus and
+  * committed ground truth: the .txt corpus under `/root/reference/files`
+  * counted by the
+  * reference engine into `combined_omp_wc.txt`
+  * (omp_count_words.cpp:133-165 — one `word:count` line per distinct
+  * word, unordered_map iteration order, so parity is MAP equality, not
+  * line order). This is the first thing a real user of the reference
+  * would check before switching engines.
+  */
+class ReferenceParitySpec extends GraftSuite {
+  import spark.implicits._
+
+  private val refDir = Paths.get("/root/reference")
+
+  /** `word:count` lines where the word itself may contain ':' (the
+    * corpus has tokens like "patter;:" ) — split on the LAST colon. */
+  private def parseCounts(p: Path): Map[String, Long] =
+    Files.readAllLines(p).asScala.iterator.filter(_.nonEmpty).map { line =>
+      val i = line.lastIndexOf(':')
+      line.substring(0, i) -> line.substring(i + 1).toLong
+    }.toMap
+
+  /** The reference engine reads raw bytes, so the UTF-8 BOM at the head
+    * of 8 corpus files becomes part of the first word ("﻿Project",
+    * "﻿The" — 8 occurrences total in combined_omp_wc.txt). Spark's
+    * text source strips a leading BOM (the correct reading), so parity
+    * is asserted against the ground truth with BOM-prefixed keys merged
+    * into their plain forms. Every other word must match bit-for-bit.
+    */
+  private def mergeBom(m: Map[String, Long]): Map[String, Long] =
+    m.groupMapReduce { case (w, _) => w.stripPrefix("﻿") } { case (_, c) => c }(_ + _)
+
+  private lazy val expected: Map[String, Long] =
+    mergeBom(parseCounts(refDir.resolve("combined_omp_wc.txt")))
+
+  /** The exact corpus the committed ground truths were produced from
+    * (c_omp.sub / c_serial.sub): files 1-9 and 11-16 — NOT the
+    * small_test*.txt fixtures that also live in files/. */
+  private lazy val refTxtFiles: Seq[String] =
+    ((1 to 9) ++ (11 to 16)).map(i => refDir.resolve(s"files/$i.txt").toString)
+
+  private def available: Boolean = Files.isDirectory(refDir.resolve("files"))
+
+  test("fromTextFiles(reference corpus) == combined_omp_wc.txt exactly") {
+    assume(available, "reference corpus not mounted")
+    val got = WordCount.fromTextFiles(spark, refTxtFiles)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == expected.size,
+      s"distinct words: got ${got.size}, reference ${expected.size}")
+    // Compare maps, reporting the first few diffs rather than a blob.
+    val diffs = (expected.keySet ++ got.keySet).iterator
+      .filter(w => expected.get(w) != got.get(w)).take(5).toSeq
+    assert(diffs.isEmpty, diffs.map(w =>
+      s"'$w': ref=${expected.get(w)} got=${got.get(w)}").mkString("; "))
+  }
+
+  test("serial and OpenMP ground truths agree (sanity on the oracle itself)") {
+    assume(available, "reference corpus not mounted")
+    assert(mergeBom(parseCounts(refDir.resolve("serial_wc.txt"))) == expected)
+  }
+
+  test("writeCounts round-trips the reference corpus in both sink modes") {
+    assume(available, "reference corpus not mounted")
+    val counts = WordCount.fromTextFiles(spark, refTxtFiles)
+    val dir = Files.createTempDirectory("wc_ref_sink").toString
+    // combined sink (reference: combined_omp_wc.txt) and per-reducer
+    // sink (reference: output_files/output{i}.txt, 16 reducers)
+    WordCount.writeCounts(counts, s"$dir/combined", numPartitions = 1)
+    WordCount.writeCounts(counts, s"$dir/sharded", numPartitions = 16)
+    def reread(p: String): Map[String, Long] =
+      spark.read.text(p).as[String].collect().iterator.map { line =>
+        val i = line.lastIndexOf(':')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap
+    assert(reread(s"$dir/combined") == expected)
+    assert(reread(s"$dir/sharded") == expected)
+    val combinedFiles = Files.list(Paths.get(s"$dir/combined")).iterator.asScala
+      .count(_.toString.endsWith(".txt"))
+    assert(combinedFiles == 1, "combined sink must be a single file")
+  }
+}

@@ -5,8 +5,16 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark output) and runs the
 corresponding SQL from <verifyOutDir>/oracle_sql.json in DuckDB against
-the raw tables. Sorts columns by name and rows by value, then compares
-exactly and with a 1e-9 relative float tolerance.
+the raw tables. Mirrors the driver's three checks per query:
+  rows   — same row count
+  schema — same column names AND DuckDB-reported column types
+           (catches e.g. DuckDB HUGEINT sum() vs Spark BIGINT, which
+           the driver's typed hash flags even when values are equal)
+  hash   — bit-exact value equality after sorting columns by name and
+           rows by value (the driver hashes typed values; any float
+           difference, however small, is a hash mismatch)
+A 1e-9-tolerant value compare is reported as diagnostic only ("near"),
+never as a pass.
 """
 import json
 import math
@@ -23,12 +31,13 @@ def sort_key(v):
     return str(v)
 
 
-def canon(rows, cols):
+def canon(rows, cols, types):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in idx))
-    return sorted(cols), sorted(out, key=lambda t: tuple(sort_key(x) for x in t))
+    return (sorted(cols), [str(types[i]) for i in idx],
+            sorted(out, key=lambda t: tuple(sort_key(x) for x in t)))
 
 
 def eq(a, b):
@@ -54,15 +63,22 @@ def main():
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            scols, srows = canon(spark_rel.fetchall(), spark_rel.columns)
+            scols, stypes, srows = canon(
+                spark_rel.fetchall(), spark_rel.columns, spark_rel.types)
             duck_rel = con.sql(sql)
-            dcols, drows = canon(duck_rel.fetchall(), duck_rel.columns)
+            dcols, dtypes, drows = canon(
+                duck_rel.fetchall(), duck_rel.columns, duck_rel.types)
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
         if scols != dcols:
             print(f"FAIL {name}: columns {scols} vs {dcols}")
+            n_fail += 1
+            continue
+        if stypes != dtypes:
+            print(f"FAIL {name}: column types {stypes} vs {dtypes}"
+                  " (driver's typed hash would mismatch)")
             n_fail += 1
             continue
         if len(srows) != len(drows):
@@ -83,9 +99,12 @@ def main():
         if bad:
             print(f"FAIL {name}: value mismatch\n  spark={bad[0]}\n  duck ={bad[1]}")
             n_fail += 1
+        elif not exact:
+            print(f"FAIL {name}: values near but not bit-exact"
+                  " (driver hash would mismatch)")
+            n_fail += 1
         else:
-            tag = "exact" if exact else "approx"
-            print(f"PASS {name} ({len(srows)} rows, {tag})")
+            print(f"PASS {name} ({len(srows)} rows, exact)")
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     sys.exit(1 if n_fail else 0)
