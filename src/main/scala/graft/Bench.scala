@@ -10,11 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/JIT + file index once so the first measured query
-    // doesn't absorb session startup cost.
+    // Warm the JVM/JIT, codegen compiler, and file index with NEUTRAL
+    // work (scan+agg+join+shuffle shapes that are not in the measured
+    // set), so no measured query gets an unfair warm start over the
+    // others.
     try {
-      SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
-      SparkEntry.queries.get("wc_count").foreach(_(spark, sfDir).count())
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.agg(avg("l_tax"), countDistinct("l_linestatus")).count()
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus").count().count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // nudge the ContextCleaner so dead broadcasts/shuffles of prior

@@ -31,6 +31,12 @@ object Events {
   // Classic lag + cumulative-sum formulation: two window passes over ONE
   // shuffle on user_id. Timestamps are compared at full precision via
   // epoch seconds (double).
+  // Precision parity with the oracle: events.parquet is TIMESTAMP(NANOS);
+  // Spark floors to micros (Tables.events, `ts div 1000`) and DuckDB's
+  // parquet reader ALSO truncates ns->us on read (verified:
+  // ...165275999ns reads back as ...165275us) — both engines order and
+  // gap-compare the identical microsecond values, so no sub-us
+  // divergence is possible in this or the as-of oracle.
   def qSessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)

@@ -106,10 +106,41 @@ object Multimodal {
         col("decoder"))
   }
 
+  /** Full oracle for the stubbed decode kernel: the stub is plain byte
+    * arithmetic, so DuckDB replays it over hex(encode(text)) — one row
+    * per byte, mean/histogram by aggregation, max_run by
+    * gaps-and-islands (i - row_number within equal-byte groups). */
+  val qMultimodalFeatSql: String =
+    """WITH bytes AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n, i,
+      |    CAST(('0x' || substr(hx, CAST(2 * i - 1 AS BIGINT), 2)) AS INT) AS byte
+      |  FROM bytes, unnest(range(1, n + 1)) AS t(i)),
+      |runs AS (
+      |  SELECT doc_id, byte,
+      |    i - row_number() OVER (PARTITION BY doc_id, byte ORDER BY i) AS grp
+      |  FROM b),
+      |runlen AS (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, byte, grp),
+      |stats AS (
+      |  SELECT doc_id,
+      |    CAST(any_value(n) AS BIGINT) AS n_bytes,
+      |    round(sum(byte)::DOUBLE / any_value(n), 4) AS mean_byte,
+      |    round(count(*) FILTER (WHERE byte < 64)::DOUBLE / any_value(n), 4) AS f0,
+      |    round(count(*) FILTER (WHERE byte >= 64 AND byte < 128)::DOUBLE / any_value(n), 4) AS f1
+      |  FROM b GROUP BY doc_id),
+      |mr AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run FROM runlen GROUP BY doc_id)
+      |SELECT s.doc_id, s.n_bytes, s.mean_byte, mr.max_run, s.f0, s.f1,
+      |  'stub-v1' AS decoder
+      |FROM stats s JOIN mr USING (doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_feat" -> qMultimodalFeat)
 
   def oracles: Map[String, String] = Map(
-    "q_multimodal_meta" -> qMultimodalMetaSql)
+    "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_multimodal_feat" -> qMultimodalFeatSql)
 }

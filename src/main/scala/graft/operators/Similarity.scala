@@ -81,16 +81,33 @@ object Similarity {
     }
   }
 
-  /** Bucket id for one LSH table: `bits` sign-of-dot-product bits. */
+  /** Bucket id for one LSH table: `bits` sign-of-dot-product bits.
+    * Each dot is the native FloatVecDot expression (whole-stage
+    * codegen), NOT `aggregate(zip_with(...))` — higher-order functions
+    * evaluate on the interpreted path, which measured ~10x slower over
+    * the same vectors. ±1 is exact in float, and the accumulation is
+    * sequential double either way, so the sign bits (and the DuckDB
+    * replay in Dedup.qEmbedDupSql) are unchanged bit-for-bit.
+    */
   def hyperplaneSig(vecCol: String, table: Int, bits: Int, dim: Int): org.apache.spark.sql.Column =
     (0 until bits).map { b =>
-      val hp = hyperplane(table, b, dim).mkString("array(", "D,", "D)")
-      expr(
-        s"""CASE WHEN aggregate(
-           |  zip_with($vecCol, $hp, (x, h) -> CAST(x AS DOUBLE) * h),
-           |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) > 0
-           |THEN ${1L << b} ELSE 0 END""".stripMargin)
+      val hp = typedLit(hyperplane(table, b, dim).map(_.toFloat))
+      when(graft.functions.vec_dot(col(vecCol), hp) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** One-pass embedding-dimension probe. A wrong dim wouldn't error —
+    * zip_with null-pads and the sign bits silently collapse to 0 — so
+    * this asserts the corpus is non-empty AND rectangular (min dim ==
+    * max dim) before any hyperplane is built.
+    */
+  private[operators] def probeDim(corpus: DataFrame): Int = {
+    val row = corpus.agg(
+      min(size(col("embedding"))), max(size(col("embedding")))).head()
+    require(!row.isNullAt(0), "probeDim: empty embedding corpus")
+    val (lo, hi) = (row.getInt(0), row.getInt(1))
+    require(lo == hi, s"probeDim: ragged embedding arrays (dims $lo..$hi)")
+    lo
+  }
 
   /** E2 — multi-table LSH approximate KNN: each of `tables` independent
     * hyperplane sets buckets every vector into 2^bits buckets; a
@@ -101,10 +118,7 @@ object Similarity {
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 3, tables: Int = 4): DataFrame = {
-    // detect the dimension from the data (one-row scan): a wrong dim
-    // wouldn't error — zip_with null-pads and the sign bits silently
-    // collapse to 0
-    val dim = corpus.select(size(col("embedding")).as("d")).head().getInt(0)
+    val dim = probeDim(corpus)
     def withBuckets(df: DataFrame): DataFrame = {
       val buckets = (0 until tables).map(t =>
         struct(lit(t).as("tbl"), hyperplaneSig("embedding", t, bits, dim).as("bkt")))

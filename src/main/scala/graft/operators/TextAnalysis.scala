@@ -44,17 +44,25 @@ object TextAnalysis {
 
   // F2 — quality scoring: the usual pretraining-filter features
   // (length, punctuation density, stopword ratio, lexical diversity).
-  def qQuality(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Empty/whitespace-only docs divide by zero in every ratio; the
+    * guards are nullif + coalesce (0.0 ratios, quality_ok=false),
+    * mirrored verbatim in the oracle — NOT a CASE around the
+    * higher-order aggregate, which would drop it out of codegen into
+    * interpreted per-row eval (measured 25x slower). */
+  def quality(docs: DataFrame): DataFrame =
+    docs
       .selectExpr("doc_id", s"$wordsExpr AS w", "text")
       .selectExpr(
         "doc_id",
         "CAST(size(w) AS BIGINT) AS n_tokens",
-        "round(CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / length(text), 4) AS punct_ratio",
-        "round(CAST(size(filter(w, x -> x IN ('a', 'the', 'of', 'and', 'in', 'to', 'is'))) AS DOUBLE) / size(w), 4) AS stopword_ratio",
-        "round(aggregate(w, CAST(0 AS BIGINT), (acc, x) -> acc + length(x)) / CAST(size(w) AS DOUBLE), 4) AS mean_token_len",
-        "round(CAST(size(array_distinct(w)) AS DOUBLE) / size(w), 4) AS unique_ratio",
-        "size(w) >= 5 AND size(w) <= 10000 AND CAST(size(filter(w, x -> x IN ('a', 'the', 'of', 'and', 'in', 'to', 'is'))) AS DOUBLE) / size(w) > 0.01 AS quality_ok")
+        "coalesce(round(CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / nullif(length(text), 0), 4), 0.0) AS punct_ratio",
+        "coalesce(round(CAST(size(filter(w, x -> x IN ('a', 'the', 'of', 'and', 'in', 'to', 'is'))) AS DOUBLE) / nullif(size(w), 0), 4), 0.0) AS stopword_ratio",
+        "coalesce(round(aggregate(w, CAST(0 AS BIGINT), (acc, x) -> acc + length(x)) / CAST(nullif(size(w), 0) AS DOUBLE), 4), 0.0) AS mean_token_len",
+        "coalesce(round(CAST(size(array_distinct(w)) AS DOUBLE) / nullif(size(w), 0), 4), 0.0) AS unique_ratio",
+        "size(w) >= 5 AND size(w) <= 10000 AND CAST(size(filter(w, x -> x IN ('a', 'the', 'of', 'and', 'in', 'to', 'is'))) AS DOUBLE) / nullif(size(w), 0) > 0.01 AS quality_ok")
+
+  def qQuality(s: SparkSession, d: String): DataFrame =
+    quality(Tables.documents(s, d))
 
   val qQualitySql: String =
     """WITH t AS (SELECT doc_id, text,
@@ -62,11 +70,11 @@ object TextAnalysis {
       |  FROM documents)
       |SELECT doc_id,
       |  len(w) AS n_tokens,
-      |  round((length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')))::DOUBLE / length(text), 4) AS punct_ratio,
-      |  round(len(list_filter(w, x -> list_contains(['a', 'the', 'of', 'and', 'in', 'to', 'is'], x)))::DOUBLE / len(w), 4) AS stopword_ratio,
-      |  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 4) AS mean_token_len,
-      |  round(len(list_distinct(w))::DOUBLE / len(w), 4) AS unique_ratio,
-      |  len(w) >= 5 AND len(w) <= 10000 AND len(list_filter(w, x -> list_contains(['a', 'the', 'of', 'and', 'in', 'to', 'is'], x)))::DOUBLE / len(w) > 0.01 AS quality_ok
+      |  coalesce(round((length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')))::DOUBLE / nullif(length(text), 0), 4), 0.0) AS punct_ratio,
+      |  coalesce(round(len(list_filter(w, x -> list_contains(['a', 'the', 'of', 'and', 'in', 'to', 'is'], x)))::DOUBLE / nullif(len(w), 0), 4), 0.0) AS stopword_ratio,
+      |  coalesce(round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / nullif(len(w), 0), 4), 0.0) AS mean_token_len,
+      |  coalesce(round(len(list_distinct(w))::DOUBLE / nullif(len(w), 0), 4), 0.0) AS unique_ratio,
+      |  len(w) >= 5 AND len(w) <= 10000 AND len(list_filter(w, x -> list_contains(['a', 'the', 'of', 'and', 'in', 'to', 'is'], x)))::DOUBLE / nullif(len(w), 0) > 0.01 AS quality_ok
       |FROM t""".stripMargin
 
   // F3 — language ID: marker-stopword voting with a deterministic

@@ -57,4 +57,30 @@ class DedupSpec extends GraftSuite {
       assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
     }
   }
+
+  test("embed_dup LSH pruning: perfect precision vs the exact all-pairs kernel") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Dedup.allPairsEmbedDup(spark, sf, tau = 0.4).collect().map(key).toSet
+    val pruned = Dedup.qEmbedDup(spark, sf, tau = 0.4).collect().map(key).toSet
+    // every surfaced pair is verified with the exact cosine, so pruning
+    // can only lose pairs (S-curve recall), never invent them
+    assert(pruned.subsetOf(exact))
+    assert(exact.isEmpty || pruned.nonEmpty, "LSH lost every pair")
+  }
+
+  test("connected components merge chains into one component (min label)") {
+    val cc = Dedup.qDedupCc(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    val pairs = Dedup.qJaccardPairs(spark, sf, tau = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // both endpoints of every edge share a component, and the component
+    // label is the min doc_id reachable (<= both endpoints)
+    pairs.foreach { case (a, b) =>
+      assert(cc(a) == cc(b), s"edge ($a,$b) split across components")
+      assert(cc(a) <= a && cc(a) <= b)
+    }
+    // every component's label is a member of that component
+    cc.values.toSet.foreach { comp: Long => assert(cc(comp) == comp) }
+  }
 }

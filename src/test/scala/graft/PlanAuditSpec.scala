@@ -8,7 +8,9 @@ class PlanAuditSpec extends GraftSuite {
 
   // all-pairs verification kernels: the ONLY queries allowed to build a
   // nested-loop/cartesian plan (bounded query set or explicit O(n²)).
-  private val allPairsWhitelist = Set("q_embed_dup", "q_knn_brute", "q_knn_lsh")
+  // q_embed_dup is NOT here anymore — it must plan as an equi-join on
+  // its LSH buckets.
+  private val allPairsWhitelist = Set("q_knn_brute", "q_knn_lsh")
   // building these DataFrames runs a streaming query — audited by
   // StreamingSpec instead.
   private val skip = Set("q_stream_tumble")

@@ -35,6 +35,27 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("quality scoring is total: empty/whitespace docs get 0.0 ratios, not NULL") {
+    import spark.implicits._
+    val rows = TextAnalysis.quality(
+      Seq((1L, ""), (2L, "   \t  "), (3L, "one two three four five six"))
+        .toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      val r = rows(id)
+      assert(r.getAs[Long]("n_tokens") == 0L)
+      // token-based ratios guard on size(w); punct_ratio guards on
+      // length(text) and is legitimately non-zero for whitespace-only
+      Seq("stopword_ratio", "mean_token_len", "unique_ratio")
+        .foreach(c => assert(r.getAs[Double](c) == 0.0, s"doc $id $c"))
+      assert(!r.getAs[Boolean]("quality_ok"))
+      assert(!r.isNullAt(r.fieldIndex("quality_ok")))
+    }
+    assert(rows(1L).getAs[Double]("punct_ratio") == 0.0)
+    assert(!rows(2L).isNullAt(rows(2L).fieldIndex("punct_ratio")))
+    assert(rows(3L).getAs[Double]("mean_token_len") > 0.0)
+  }
+
   test("fingerprints are stable and collision-free on distinct texts") {
     val rows = TextAnalysis.qFingerprint(spark, sf).collect()
     assert(rows.map(_.getAs[String]("fp_md5")).distinct.length == rows.length)
