@@ -70,9 +70,12 @@ object Dedup {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     docs
-      .selectExpr("doc_id", raw"filter(split(text, '\\s+'), x -> x <> '') AS w")
-      .where("size(w) >= 3")
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "w1")))
+      // split on \s+ yields an empty token ONLY at position 0 (leading
+      // whitespace; Java split drops trailing empties), so a codegen'd
+      // row filter after posexplode removes it with the remaining pos
+      // order intact — no interpreted filter() lambda over the array
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "w1")))
+      .where(col("w1") =!= "")
       .withColumn("w2", lead("w1", 1).over(byDoc))
       .withColumn("w3", lead("w1", 2).over(byDoc))
       .where(col("w3").isNotNull)
@@ -280,7 +283,8 @@ object Dedup {
       .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)")
       .mkString(" + ")
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr(raw"filter(split(text, '\\s+'), x -> x <> '')")).as("word"))
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "") // row filter, not an interpreted array lambda
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", expr(h60("word")))
