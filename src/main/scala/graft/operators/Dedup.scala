@@ -428,11 +428,16 @@ object Dedup {
       .withColumn("comp", col("node")).cache()
     var changed = 1L
     while (changed > 0) {
-      // (1) neighbor propagation: min label over self + neighbors
+      // (1) neighbor propagation: min label over self + neighbors.
+      // Materialized once (eager localCheckpoint) because step (2)
+      // reads it on BOTH sides of the self-join — without this the
+      // edges-join-aggregate, the heaviest part of the iteration,
+      // would run twice per round.
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("comp"))
       val prop = labels.select("node", "comp").union(nbrMin)
         .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint()
       // (2) pointer jumping: comp <- comp(comp). Labels are always
       // graph nodes (min seen so far, seeded with self), so following
       // one hop of the label table halves the distance to the

@@ -146,12 +146,98 @@ object Similarity {
     lshKnn(e, e.filter(col("vec_id") < 20), 5)
   }
 
+  /** E4 — IVF-Flat approximate KNN: a coarse quantizer assigns every
+    * vector to its nearest of `cells` centroids (one broadcast +
+    * native-cosine argmax — no shuffle of the corpus beyond the cell
+    * key); each query probes its `nprobe` nearest cells and ranks
+    * candidates by exact cosine. Expected scan fraction ≈
+    * nprobe/cells of the corpus — the other classic sublinear ANN
+    * layout next to LSH (E2), and the one that maps to
+    * centroid-partitioned parquet at 100 TB (cell = partition key →
+    * probing is partition pruning).
+    *
+    * The quantizer is DETERMINISTIC (centroids = the `cells`
+    * lowest-vec_id vectors), so the DuckDB oracle replays the whole
+    * pipeline — assignment, probing, ranking — bit-for-bit: a FULL
+    * correctness check, where a trained k-means quantizer would force
+    * a weaker rows-only check. Swapping in trained centroids changes
+    * only the `centroids` frame, nothing downstream.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val scoredCells = (df: DataFrame) => df
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", vec_cosine(col("embedding"), col("cvec")))
+    // corpus argmax as an aggregation, not a window: the struct-max
+    // combines map-side, so the exchange carries ONE row per vector,
+    // not `cells` of them (ties impossible: cid is unique per group,
+    // and -cid in slot 2 makes a csim tie resolve to the lowest cid,
+    // matching the oracle's ORDER BY csim DESC, cid ASC)
+    val corpusCells = scoredCells(corpus)
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"),
+        col("cid"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"), col("m.cid").as("cid"))
+    // the query side needs top-nprobe (not argmax); the query set is
+    // bounded, so a window over it is cheap at any scale
+    val wq = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    val queryCells = scoredCells(queries)
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    corpusCells.as("c")
+      .join(broadcast(queryCells.as("q")),
+        col("q.cid") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(vec_cosine(col("q.embedding"), col("c.embedding")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  def qKnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    ivfKnn(e, e.filter(col("vec_id") < 20), 5)
+  }
+
+  /** DuckDB replay of [[qKnnIvf]]: same deterministic centroids, same
+    * argmax cell assignment, same nprobe probing, same exact rank. */
+  val qKnnIvfSql: String =
+    """WITH n AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      (list_sum(list_transform(range(1, len(v.embedding) + 1),
+      |        i -> v.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (v.nrm * c.cnrm)) DESC,
+      |      c.cid ASC) AS crn
+      |  FROM n v CROSS JOIN cent c),
+      |corpus AS (SELECT vec_id, embedding, nrm, cid FROM asg WHERE crn = 1),
+      |probes AS (SELECT vec_id, embedding, nrm, cid FROM asg WHERE crn <= 4 AND vec_id < 20),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos_sim
+      |  FROM probes q JOIN corpus c ON q.cid = c.cid AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_norm" -> qVectorNorm,
     "q_knn_brute" -> qKnnBrute,
-    "q_knn_lsh" -> qKnnLsh)
+    "q_knn_lsh" -> qKnnLsh,
+    "q_knn_ivf" -> qKnnIvf)
 
   def oracles: Map[String, String] = Map(
     "q_vector_norm" -> qVectorNormSql,
-    "q_knn_brute" -> qKnnBruteSql)
+    "q_knn_brute" -> qKnnBruteSql,
+    "q_knn_ivf" -> qKnnIvfSql)
 }

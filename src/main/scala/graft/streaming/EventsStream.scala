@@ -97,6 +97,66 @@ object EventsStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateUserState)
   }
 
+  /** C7 — streaming gap sessionization via flatMapGroupsWithState with
+    * EventTimeTimeout: the streaming twin of the batch `q_sessionize`
+    * (same 30-minute gap rule). State per user holds the open session;
+    * an event past the gap closes it (emitted downstream) and opens a
+    * new one; a user going quiet is closed by the event-time timeout
+    * once the watermark passes last_event + gap. Closed sessions are
+    * append-mode output — exactly-once with checkpointing on a real
+    * sink. Open sessions at end-of-stream are deliberately unemitted
+    * (they are not over), which is why this is spec-verified rather
+    * than compared to the batch oracle, whose finite input closes
+    * every session.
+    */
+  case class TsEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessState(startMs: Long, lastMs: Long, n: Long, total: Double)
+  case class ClosedSession(
+      user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, sum_value: Double)
+
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  def sessionizeUser(
+      userId: Long,
+      events: Iterator[TsEvent],
+      state: GroupState[SessState]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator(ClosedSession(userId, s.startMs, s.lastMs, s.n, s.total))
+    }
+    val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+    var cur = state.getOption
+    // micro-batches deliver a group's events unordered; the gap rule
+    // needs time order within the batch
+    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastMs > SessionGapMs =>
+          closed += ClosedSession(userId, s.startMs, s.lastMs, s.n, s.total)
+          cur = Some(SessState(t, t, 1L, e.value))
+        case Some(s) =>
+          cur = Some(SessState(s.startMs, math.max(s.lastMs, t), s.n + 1, s.total + e.value))
+        case None =>
+          cur = Some(SessState(t, t, 1L, e.value))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.lastMs + SessionGapMs)
+    }
+    closed.iterator
+  }
+
+  def streamingSessions(events: Dataset[TsEvent]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionizeUser)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumble" -> qStreamTumble)
 

@@ -6,11 +6,11 @@ package graft
   */
 class PlanAuditSpec extends GraftSuite {
 
-  // all-pairs verification kernels: the ONLY queries allowed to build a
-  // nested-loop/cartesian plan (bounded query set or explicit O(n²)).
-  // q_embed_dup is NOT here anymore — it must plan as an equi-join on
-  // its LSH buckets.
-  private val allPairsWhitelist = Set("q_knn_brute", "q_knn_lsh")
+  // queries allowed to build a nested-loop/cartesian plan: bounded
+  // query-set kernels (q_knn_brute) and bounded broadcast sides
+  // (q_knn_ivf's 16-row centroid table). q_embed_dup is NOT here
+  // anymore — it must plan as an equi-join on its LSH buckets.
+  private val allPairsWhitelist = Set("q_knn_brute", "q_knn_lsh", "q_knn_ivf")
   // building these DataFrames runs a streaming query — audited by
   // StreamingSpec instead.
   private val skip = Set("q_stream_tumble")

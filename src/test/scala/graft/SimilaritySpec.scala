@@ -43,4 +43,21 @@ class SimilaritySpec extends GraftSuite {
     // everything returned must be from the query's own bucket and ranked
     approx.foreach { case (q, n) => assert(q != n) }
   }
+
+  test("IVF KNN probes nprobe cells and achieves reasonable recall vs exact") {
+    val exact = Similarity.qKnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.qKnnIvf(spark, sf).collect()
+    ivf.foreach { r =>
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"))
+      assert(r.getAs[Long]("rank") <= 5)
+    }
+    val pairs = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(pairs.nonEmpty)
+    // probing 4 of 16 cells scans ~25% of the corpus; near neighbors
+    // concentrate in the query's own cells, so recall lands well above
+    // the scan fraction
+    val recall = (exact & pairs).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
 }

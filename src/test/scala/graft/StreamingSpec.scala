@@ -37,4 +37,37 @@ class StreamingSpec extends GraftSuite {
       assert(last(2L) == ((2L, 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessionization: gap closes, timeout closes, order repaired") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, minute: Long, v: Double) = EventsStream.TsEvent(
+      u, new java.sql.Timestamp(1700000000000L + minute * 60000L), v)
+    val input = MemoryStream[EventsStream.TsEvent]
+    val q = EventsStream.streamingSessions(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      // user 1: two events 10 min apart (one session), delivered out of
+      // order; then an event 60 min later IN THE SAME BATCH → the gap
+      // rule must close session 1 inline
+      input.addData(ev(1L, 10, 2.0), ev(1L, 0, 1.0), ev(1L, 70, 5.0), ev(2L, 0, 9.0))
+      q.processAllAvailable()
+      // advance event time far enough that the watermark (delay 30 min)
+      // passes every open session's timeout...
+      input.addData(ev(3L, 300, 0.0))
+      q.processAllAvailable()
+      // ...and one more batch so the timed-out state is actually swept
+      input.addData(ev(3L, 301, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      def mins(u: Long) = out.filter(_._1 == u)
+        .map(t => ((t._2 - 1700000000000L) / 60000L, (t._3 - 1700000000000L) / 60000L, t._4, t._5))
+        .sortBy(_._1).toList
+      // user 1: [0,10] closed by the gap (2 events), [70,70] closed by timeout
+      assert(mins(1L) == Seq((0L, 10L, 2L, 3.0), (70L, 70L, 1L, 5.0)))
+      // user 2: single-event session closed by timeout
+      assert(mins(2L) == Seq((0L, 0L, 1L, 9.0)))
+    } finally q.stop()
+  }
 }
