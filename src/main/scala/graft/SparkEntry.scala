@@ -19,7 +19,7 @@ object SparkEntry {
     Relational.queries ++ WordCount.queries ++ Events.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.streaming.EventsStream.queries ++
-      GraftSql.queries ++ Skew.queries
+      GraftSql.queries ++ Skew.queries ++ graft.plans.Native.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate / stubbed ops)
@@ -29,5 +29,5 @@ object SparkEntry {
     Relational.oracles ++ WordCount.oracles ++ Events.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.streaming.EventsStream.oracles ++
-      GraftSql.oracles ++ Skew.oracles
+      GraftSql.oracles ++ Skew.oracles ++ graft.plans.Native.oracles
 }

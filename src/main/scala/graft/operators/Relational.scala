@@ -321,6 +321,80 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
 
+  // B19 — pivot (wide conditional aggregation). Explicit pivot values
+  // keep the plan single-pass: Spark folds the pivot into ONE hash
+  // aggregate with a CASE-guarded sum per value — no per-value scan,
+  // no values-discovery job — which is exactly the oracle formulation.
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 4))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+
+  val qPivotSql: String =
+    """SELECT l_linestatus,
+      |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 4) AS qty_a,
+      |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 4) AS qty_n,
+      |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS qty_r
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
+  // B20 — cube (all 2^n grouping sets in one pass). Spark expands the
+  // grouping sets inside a single Expand + hash aggregate: one scan,
+  // one shuffle, regardless of how many sets. grouping() flags
+  // disambiguate "NULL because aggregated away" from a real NULL key.
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping("o_orderstatus").cast("int").as("g_status"),
+        grouping("o_orderpriority").cast("int").as("g_prio"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 4).as("sum_price"))
+
+  val qCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 4) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  // B21 — range join: fact rows bucketed into a small table of
+  // [lo, hi) intervals. With a broadcast-able interval side the right
+  // 100 TB plan IS the broadcast nested-loop join (each fact row tests
+  // a handful of in-memory intervals; no shuffle of the fact table at
+  // all). The generic big×big interval join instead bins both sides to
+  // an equi-key first — that pattern is what q_asof_join's bucketed
+  // variant demonstrates; here the dimension side is 4 rows.
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("b1_low", 900.0, 925.0), ("b2_mid", 925.0, 950.0),
+      ("b3_high", 950.0, 975.0), ("b4_top", 975.0, 1000.0))
+      .toDF("band", "lo", "hi")
+    Tables.part(s, d)
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        round(avg("p_retailprice"), 4).as("avg_price"),
+        round(min("p_retailprice"), 4).as("min_price"),
+        round(max("p_retailprice"), 4).as("max_price"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('b1_low', 900.0, 925.0), ('b2_mid', 925.0, 950.0),
+      |  ('b3_high', 950.0, 975.0), ('b4_top', 975.0, 1000.0))
+      |SELECT band, count(*) AS n_parts,
+      |  round(avg(p_retailprice), 4) AS avg_price,
+      |  round(min(p_retailprice), 4) AS min_price,
+      |  round(max(p_retailprice), 4) AS max_price
+      |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY band""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter" -> qFilter,
     "q1_agg" -> q1Agg,
@@ -337,7 +411,10 @@ object Relational {
     "q_casewhen" -> qCasewhen,
     "q_setops" -> qSetops,
     "q_topk_per_key" -> qTopkPerKey,
-    "q_approx_distinct" -> qApproxDistinct)
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_pivot" -> qPivot,
+    "q_cube" -> qCube,
+    "q_range_join" -> qRangeJoin)
 
   def oracles: Map[String, String] = Map(
     "q_filter" -> qFilterSql,
@@ -354,5 +431,8 @@ object Relational {
     "q_percentile" -> qPercentileSql,
     "q_casewhen" -> qCasewhenSql,
     "q_setops" -> qSetopsSql,
-    "q_topk_per_key" -> qTopkPerKeySql)
+    "q_topk_per_key" -> qTopkPerKeySql,
+    "q_pivot" -> qPivotSql,
+    "q_cube" -> qCubeSql,
+    "q_range_join" -> qRangeJoinSql)
 }

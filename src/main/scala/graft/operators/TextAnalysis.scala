@@ -140,15 +140,120 @@ object TextAnalysis {
       |  CAST(('0x' || substr(md5(norm), 1, 15)) AS BIGINT) AS fp64
       |FROM t""".stripMargin
 
+  // F5 — PII redaction: the standard pretraining scrub (emails, phone
+  // numbers, long digit runs as opaque IDs) as pure codegen'd
+  // regexp_replace — one scan, no UDF. Patterns stay in the RE2 ∩
+  // java.util.regex common dialect so the oracle replays them exactly.
+  // The result carries match COUNTS plus an md5 of the redacted text
+  // (comparing a hash, not 500 full documents, keeps the oracle dump
+  // small while still bit-exact on content).
+  private val emailRe = raw"[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = raw"\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val idRe = raw"\\b\\d{4,}\\b"
+
+  def qPiiRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr(
+        "doc_id",
+        s"CAST(size(regexp_extract_all(text, '$emailRe', 0)) AS BIGINT) AS n_emails",
+        s"CAST(size(regexp_extract_all(text, '$phoneRe', 0)) AS BIGINT) AS n_phones",
+        s"CAST(size(regexp_extract_all(text, '$idRe', 0)) AS BIGINT) AS n_ids",
+        s"md5(regexp_replace(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>'), '$phoneRe', '<PHONE>'), '$idRe', '<ID>')) AS redacted_md5")
+
+  val qPiiRedactSql: String =
+    raw"""SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+      |  len(regexp_extract_all(text, '\b\d{4,}\b')) AS n_ids,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+      |    '\b\d{4,}\b', '<ID>', 'g')) AS redacted_md5
+      |FROM documents""".stripMargin
+
+  // F6 — deterministic train/holdout split: bucket = first md5 byte of
+  // the doc id. Content-addressed (no RNG, no row order dependence) so
+  // the split is reproducible across engines, re-runs, and re-shards —
+  // the only property a 100 TB pipeline split can rely on.
+  private val bucketExpr =
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT)"
+
+  def qHashSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr(
+        "doc_id",
+        s"$bucketExpr AS bucket",
+        s"CASE WHEN $bucketExpr < 216 THEN 'train' ELSE 'holdout' END AS split")
+
+  val qHashSplitSql: String =
+    """SELECT doc_id,
+      |  CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 2)) AS BIGINT) AS bucket,
+      |  CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 2)) AS BIGINT) < 216
+      |    THEN 'train' ELSE 'holdout' END AS split
+      |FROM documents""".stripMargin
+
+  // F7 — stratified deterministic sampling: ~20% of each source via the
+  // same md5 bucketing (rate = 51/256). Unlike df.sample, survives
+  // re-partitioning and re-runs bit-identically, and the per-stratum
+  // rate is exact-in-expectation without a count-per-stratum pre-pass.
+  def qSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(expr(s"$bucketExpr < 51"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum("n_chars").as("kept_chars"))
+
+  val qSampleSql: String =
+    """SELECT source, count(*) AS n_kept,
+      |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 2)) AS BIGINT) < 51
+      |GROUP BY source""".stripMargin
+
+  // F8 — n-gram counting (bigrams): posexplode + window-lead pairing —
+  // the same O(1)-per-token shape as the dedup shingle builder (array
+  // higher-order lambdas run interpreted; the window form stays in
+  // codegen + one doc_id-partitioned sort). Deterministic top-30 via
+  // the (cnt DESC, bigram ASC) total order.
+  def qBigrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"$wordsExpr AS w")
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")))
+      .where(col("nxt").isNotNull)
+      .select(concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(30)
+
+  val qBigramsSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM t),
+      |b AS (SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram FROM u)
+      |SELECT bigram, count(*) AS cnt FROM b WHERE bigram IS NOT NULL
+      |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats" -> qTokenStats,
     "q_quality" -> qQuality,
     "q_langid" -> qLangid,
-    "q_fingerprint" -> qFingerprint)
+    "q_fingerprint" -> qFingerprint,
+    "q_pii_redact" -> qPiiRedact,
+    "q_hash_split" -> qHashSplit,
+    "q_sample" -> qSample,
+    "q_bigrams" -> qBigrams)
 
   def oracles: Map[String, String] = Map(
     "q_token_stats" -> qTokenStatsSql,
     "q_quality" -> qQualitySql,
     "q_langid" -> qLangidSql,
-    "q_fingerprint" -> qFingerprintSql)
+    "q_fingerprint" -> qFingerprintSql,
+    "q_pii_redact" -> qPiiRedactSql,
+    "q_hash_split" -> qHashSplitSql,
+    "q_sample" -> qSampleSql,
+    "q_bigrams" -> qBigramsSql)
 }

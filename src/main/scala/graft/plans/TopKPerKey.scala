@@ -1,0 +1,281 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlInternals, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Bounded top-k-per-key as a NATIVE Catalyst operator — the
+  * whole-operator extension path (SURVEY.md §2.2 B18): a custom
+  * [[LogicalPlan]] node, an optimizer [[Rule]], a [[SparkStrategy]],
+  * and a two-stage [[SparkPlan]] (partial per-input-partition heaps →
+  * key-clustered exchange → final merge + rank), registered through
+  * `SparkSessionExtensions` (or post-hoc via
+  * `spark.experimental.extraStrategies`).
+  *
+  * Same semantics as the typed-Aggregator form (B17,
+  * graft.functions.TopKByScore): rank rows per key by (score DESC,
+  * id ASC), keep the first k. The scale argument is identical — the
+  * exchange carries at most k rows per (input partition, key) instead
+  * of every row of every key like a window `row_number` — but here the
+  * shuffled payload is the bare rows themselves (no struct-array
+  * aggregation buffer, no posexplode on the far side), and the merge
+  * is a bounded insertion instead of a sort.
+  *
+  * Reference lineage: this generalizes the reference engine's
+  * per-thread local map → hash-partitioned exchange → per-partition
+  * reduce shape (omp_count_words.cpp:291-354) to a non-algebraic
+  * "keep the k best" reduction.
+  *
+  * Null semantics: rows whose score or id is NULL are dropped
+  * (documented; matches `row_number ... ORDER BY score DESC NULLS
+  * LAST` only when k rows exist anyway, so the library API contract
+  * is simply "null score/id rows do not compete").
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Attribute],
+    score: Attribute,
+    id: Attribute,
+    rankAttr: Attribute,
+    k: Int,
+    child: LogicalPlan)
+  extends UnaryNode {
+
+  override def output: Seq[Attribute] = (keys :+ rankAttr :+ id) :+ score
+
+  // rank is produced here, not consumed from below — without this the
+  // analyzer would report it as a missing input reference
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+
+  override def maxRows: Option[Long] = child.maxRows
+
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Filter pushdown through the custom node: a deterministic predicate
+  * over the KEY columns only commutes with per-key top-k (it removes
+  * whole groups, never reorders within a group), so it can sink below
+  * the operator and keep sinking into the parquet scan. Catalyst
+  * cannot know this for a foreign node — this rule teaches it.
+  */
+object PushFilterThroughTopKPerKey extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Filter(cond, t: TopKPerKeyNode)
+        if cond.deterministic && cond.references.subsetOf(AttributeSet(t.keys)) =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}
+
+/** Plans [[TopKPerKeyNode]] as partial → (exchange via
+  * `requiredChildDistribution`) → final.
+  */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, score, id, rankAttr, k, child) =>
+      val partial = TopKPerKeyPartialExec(keys, score, id, k, planLater(child))
+      TopKPerKeyFinalExec(keys, score, id, rankAttr, k, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** k-bounded buffer ordered (score DESC, id ASC); linear insertion —
+  * k is small by contract (top-k, not top-k-thousand).
+  */
+private[plans] final class BoundedBuffer(k: Int) {
+  val entries = new mutable.ArrayBuffer[(Double, Long, AnyRef)](k + 1)
+
+  @inline private def beats(s: Double, i: Long, os: Double, oi: Long): Boolean =
+    s > os || (s == os && i < oi)
+
+  def offer(s: Double, i: Long, payload: => AnyRef): Unit = {
+    if (entries.length >= k) {
+      val last = entries(entries.length - 1)
+      if (!beats(s, i, last._1, last._2)) return
+    }
+    var pos = 0
+    while (pos < entries.length && beats(entries(pos)._1, entries(pos)._2, s, i)) pos += 1
+    entries.insert(pos, (s, i, payload))
+    if (entries.length > k) entries.remove(entries.length - 1)
+  }
+}
+
+/** Map-side stage: per input partition, keep at most k rows per key
+  * (full input rows, so the exchange above carries pruned originals).
+  * No distribution requirement — runs where the scan runs.
+  */
+case class TopKPerKeyPartialExec(
+    keys: Seq[Attribute],
+    score: Attribute,
+    idAttr: Attribute,
+    k: Int,
+    child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val boundKeys: Seq[Expression] = keys.map(k => BindReferences.bindReference(k: Expression, childOutput))
+    val boundScore: Expression = BindReferences.bindReference(score: Expression, childOutput)
+    val boundId: Expression = BindReferences.bindReference(idAttr: Expression, childOutput)
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      // codegen'd projections are built inside the task, from the
+      // serializable bound expressions
+      val keyProj = UnsafeProjection.create(boundKeys)
+      val buffers = new mutable.HashMap[UnsafeRow, BoundedBuffer]
+      iter.foreach { row =>
+        val s = boundScore.eval(row)
+        val i = boundId.eval(row)
+        if (s != null && i != null) {
+          val key = keyProj(row)
+          val buf = buffers.get(key) match {
+            case Some(b) => b
+            case None =>
+              val b = new BoundedBuffer(kk)
+              buffers.put(key.copy(), b) // copy only on first sight of a key
+              b
+          }
+          buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long], row.copy())
+        }
+      }
+      buffers.valuesIterator.flatMap(_.entries.iterator.map(_._3.asInstanceOf[InternalRow]))
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+}
+
+/** Reduce-side stage: requires key-clustered distribution (Spark's
+  * EnsureRequirements inserts the hash exchange), merges the ≤k
+  * survivors per (map partition, key) and emits `keys, rank, id,
+  * score`. State is bounded by k × |keys in partition| — hash-aggregate
+  * scale behavior, no sort.
+  */
+case class TopKPerKeyFinalExec(
+    keys: Seq[Attribute],
+    score: Attribute,
+    idAttr: Attribute,
+    rankAttr: Attribute,
+    k: Int,
+    child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = (keys :+ rankAttr :+ idAttr) :+ score
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  // post-exchange child is hash-partitioned on keys, which are in our
+  // output unchanged — downstream per-key ops can reuse it shuffle-free
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val boundKeys: Seq[Expression] = keys.map(k => BindReferences.bindReference(k: Expression, childOutput))
+    val boundScore: Expression = BindReferences.bindReference(score: Expression, childOutput)
+    val boundId: Expression = BindReferences.bindReference(idAttr: Expression, childOutput)
+    val keyTypes = keys.map(_.dataType)
+    val outTypes = output.map(_.dataType).toArray
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(boundKeys)
+      val toUnsafe = UnsafeProjection.create(outTypes)
+      val buffers = new mutable.HashMap[UnsafeRow, BoundedBuffer]
+      iter.foreach { row =>
+        val s = boundScore.eval(row)
+        val i = boundId.eval(row)
+        if (s != null && i != null) {
+          val key = keyProj(row)
+          val buf = buffers.get(key) match {
+            case Some(b) => b
+            case None =>
+              val b = new BoundedBuffer(kk)
+              buffers.put(key.copy(), b)
+              b
+          }
+          buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long], null)
+        }
+      }
+      val nKeys = keyTypes.length
+      buffers.iterator.flatMap { case (keyRow, buf) =>
+        buf.entries.iterator.zipWithIndex.map { case ((s, i, _), idx) =>
+          val vals = new Array[Any](outTypes.length)
+          var j = 0
+          while (j < nKeys) { vals(j) = keyRow.get(j, keyTypes(j)); j += 1 }
+          vals(nKeys) = (idx + 1).toLong
+          vals(nKeys + 1) = i
+          vals(nKeys + 2) = s
+          toUnsafe(new GenericInternalRow(vals))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =
+    copy(child = newChild)
+}
+
+/** Session wiring for the graft plan extensions. Build-time path:
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. For
+  * sessions graft did not build (the driver's), [[NativeTopK
+  * .ensureRegistered]] attaches the same strategy/rule post-hoc via
+  * the public `spark.experimental` hooks.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughTopKPerKey)
+  }
+}
+
+object NativeTopK {
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(TopKPerKeyStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKPerKeyStrategy
+    if (!exp.extraOptimizations.contains(PushFilterThroughTopKPerKey))
+      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughTopKPerKey
+  }
+
+  /** Top k rows per key group, ordered (scoreCol DESC, idCol ASC).
+    * Output columns: keyCols..., rank, idCol, scoreCol. scoreCol must
+    * be DOUBLE and idCol BIGINT (the demonstration operator is
+    * deliberately monomorphic — a production surface would dispatch on
+    * an ordering expression).
+    */
+  def topKPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      scoreCol: String,
+      idCol: String,
+      k: Int,
+      rankName: String = "rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    ensureRegistered(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val keys = keyCols.map(attr)
+    val score = attr(scoreCol)
+    val id = attr(idCol)
+    require(score.dataType == DoubleType, s"$scoreCol must be DOUBLE, is ${score.dataType}")
+    require(id.dataType == LongType, s"$idCol must be BIGINT, is ${id.dataType}")
+    val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
+    GraftSqlInternals.ofRows(spark, TopKPerKeyNode(keys, score, id, rankAttr, k, analyzed))
+  }
+}

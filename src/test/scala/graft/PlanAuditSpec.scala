@@ -10,7 +10,9 @@ class PlanAuditSpec extends GraftSuite {
   // query-set kernels (q_knn_brute) and bounded broadcast sides
   // (q_knn_ivf's 16-row centroid table). q_embed_dup is NOT here
   // anymore — it must plan as an equi-join on its LSH buckets.
-  private val allPairsWhitelist = Set("q_knn_brute", "q_knn_lsh", "q_knn_ivf")
+  // q_range_join joins against a 4-row broadcast interval table — the
+  // broadcast nested-loop IS the intended scale plan there.
+  private val allPairsWhitelist = Set("q_knn_brute", "q_knn_lsh", "q_knn_ivf", "q_range_join")
   // building these DataFrames runs a streaming query — audited by
   // StreamingSpec instead.
   private val skip = Set("q_stream_tumble")

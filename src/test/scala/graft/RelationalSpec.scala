@@ -83,4 +83,42 @@ class RelationalSpec extends GraftSuite {
       assert(spends.sameElements(spends.sorted))
     }
   }
+
+  test("q_pivot is one single-pass hash aggregate, totals match q1-style sums") {
+    val df = Relational.qPivot(spark, sf)
+    assert(df.columns.toSeq === Seq("l_linestatus", "qty_a", "qty_n", "qty_r"))
+    // explicit pivot values: ONE aggregate over ONE scan, no values-discovery job
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CollectLimit"), "pivot ran a values-discovery job")
+    val pivotTotal = df.collect()
+      .flatMap(r => Seq("qty_a", "qty_n", "qty_r").map(c =>
+        Option(r.getAs[java.lang.Double](c)).map(_.doubleValue).getOrElse(0.0))).sum
+    val direct = Tables.lineitem(spark, sf).agg(sum("l_quantity")).head.getDouble(0)
+    assert(math.abs(pivotTotal - direct) < 1e-6 * direct)
+  }
+
+  test("q_cube emits all four grouping sets with consistent grand total") {
+    val rows = Relational.qCube(spark, sf).collect()
+    val sets = rows.map(r => (r.getAs[Int]("g_status"), r.getAs[Int]("g_prio"))).toSet
+    assert(sets === Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    val grand = rows.filter(r => r.getAs[Int]("g_status") == 1 && r.getAs[Int]("g_prio") == 1)
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_orders") === Tables.orders(spark, sf).count())
+    // single Expand + aggregate, not one scan per grouping set
+    val plan = Relational.qCube(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert(!plan.contains("Union"), "cube planned as per-set scans + union")
+  }
+
+  test("q_range_join partitions every part into exactly one band") {
+    val rows = Relational.qRangeJoin(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum === Tables.part(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_price") >= 900.0 - 1e-9)
+      assert(r.getAs[Double]("max_price") < 1000.0 + 1e-9)
+    }
+    // the 4-row interval side must broadcast, never shuffle the fact side
+    val plan = Relational.qRangeJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

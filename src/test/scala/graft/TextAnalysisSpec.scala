@@ -63,4 +63,51 @@ class TextAnalysisSpec extends GraftSuite {
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSet ==
       again.map(r => (r.getLong(0), r.getString(1))).toSet)
   }
+
+  test("pii redaction rewrites emails, phones and long ids, counts match") {
+    import spark.implicits._
+    val doc = "mail bob.smith@example.com or call 555-123-4567, badge 123456, room 42"
+    val out = TextAnalysis.qPiiRedact(spark, sf) // plan compiles against real table
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "n_emails", "n_phones", "n_ids", "redacted_md5"))
+    // semantics pinned on a synthetic doc via the same expressions
+    val redacted = Seq((1L, doc)).toDF("doc_id", "text")
+      .selectExpr("doc_id",
+        raw"regexp_replace(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>'), '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>'), '\\b\\d{4,}\\b', '<ID>') AS red")
+      .head.getString(1)
+    assert(redacted === "mail <EMAIL> or call <PHONE>, badge <ID>, room 42")
+  }
+
+  test("hash split is deterministic, content-addressed, and ~84/16") {
+    val rows = TextAnalysis.qHashSplit(spark, sf).collect()
+    val again = TextAnalysis.qHashSplit(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSet ===
+      again.map(r => (r.getLong(0), r.getString(2))).toSet)
+    val train = rows.count(_.getString(2) == "train").toDouble / rows.length
+    assert(train > 0.70 && train < 0.95, s"train fraction $train")
+    rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < 256))
+  }
+
+  test("stratified sample keeps roughly the target rate in every stratum") {
+    val kept = TextAnalysis.qSample(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    val totals = Tables.documents(spark, sf).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    // 51/256 ≈ 0.2; sf0.001 strata are tiny so allow wide but bounded drift
+    kept.foreach { case (src, n) =>
+      val rate = n.toDouble / totals(src)
+      assert(rate > 0.0 && rate < 0.7, s"$src rate $rate")
+    }
+  }
+
+  test("bigram counts: deterministic top-30, counts consistent with token counts") {
+    val rows = TextAnalysis.qBigrams(spark, sf).collect()
+    assert(rows.length <= 30)
+    val counts = rows.map(_.getAs[Long]("cnt"))
+    assert(counts.sameElements(counts.sorted.reverse), "not sorted by cnt desc")
+    // total bigrams across the corpus = sum over docs of (n_tokens - 1)
+    val totalBigrams = TextAnalysis.qTokenStats(spark, sf)
+      .selectExpr("sum(greatest(n_tokens - 1, 0))").head.getLong(0)
+    assert(counts.sum <= totalBigrams)
+  }
 }
