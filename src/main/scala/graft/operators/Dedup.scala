@@ -425,14 +425,22 @@ object Dedup {
       .union(edgesOne.select(col("dst"), col("src")))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).cache()
-    var changed = 1L
-    while (changed > 0) {
+      .withColumn("comp", col("node")).localCheckpoint()
+    // Convergence test: per-node labels only ever DECREASE under
+    // min-propagation, so the global label sum is strictly monotone —
+    // "sum unchanged" ⟺ "no node changed". One tiny aggregate per
+    // round instead of a join+count against the previous labels.
+    var prevSum = labels.agg(sum("comp")).head.getLong(0)
+    var converged = false
+    while (!converged) {
       // (1) neighbor propagation: min label over self + neighbors.
       // Materialized once (eager localCheckpoint) because step (2)
       // reads it on BOTH sides of the self-join — without this the
       // edges-join-aggregate, the heaviest part of the iteration,
-      // would run twice per round.
+      // would run twice per round. This is also the ONLY
+      // materialization per round: step (2) below is a cheap join of
+      // two already-materialized inputs, and its re-execution next
+      // round starts from this checkpoint, so lineage stays bounded.
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("comp"))
       val prop = labels.select("node", "comp").union(nbrMin)
@@ -447,13 +455,9 @@ object Dedup {
         .join(prop.as("y"), col("x.comp") === col("y.node"), "left")
         .select(col("x.node").as("node"),
           least(col("x.comp"), coalesce(col("y.comp"), col("x.comp"))).as("comp"))
-        // truncate the per-iteration lineage so the plan doesn't grow
-        // without bound; eager, so `changed` below reads materialized data
-        .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels.unpersist()
+      val s = next.agg(sum("comp")).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels = next
     }
     edges.unpersist()
