@@ -35,4 +35,26 @@ object Sources {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** Compaction/layout sink: partition directories, rows sorted WITHIN
+    * each file on `sortCols`, files capped at `maxRecordsPerFile` rows.
+    * This is the write-side half of scan performance at 100 TB:
+    * in-file ordering gives parquet min/max row-group pruning on the
+    * sort key (the poor man's Z-order), the per-file cap bounds task
+    * memory and keeps file counts sane for the next reader, and
+    * `sortWithinPartitions` is a LOCAL sort — no global exchange
+    * beyond the partitionBy shuffle.
+    */
+  def writeLayout(
+      df: DataFrame,
+      path: String,
+      partitionCol: String,
+      sortCols: Seq[String],
+      maxRecordsPerFile: Long): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .sortWithinPartitions(partitionCol, sortCols: _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

@@ -43,8 +43,22 @@ object EventsStream {
   // C3 — run the streaming query synchronously over the parquet file
   // source and hand back the materialized result (memory sink,
   // complete mode: every window closes once the file is drained).
+  /** State store: RocksDB instead of the default HDFS-backed heap map.
+    * For this bounded smoke the state is tiny either way; at scale the
+    * difference is structural — RocksDB keeps windowed/sessionized
+    * state off the executor heap (no GC pressure, no OOM from key
+    * cardinality) and checkpoint uploads are incremental SST files
+    * rather than full snapshots. Read per query AT START, so setting
+    * it on the shared session only affects streaming queries started
+    * here.
+    */
+  private def useRocksDbState(s: SparkSession): Unit =
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   def qStreamTumble(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    useRocksDbState(s)
     // The file streaming source monitors a directory; stage the single
     // events file into one via symlink (testdata itself is read-only).
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
@@ -156,6 +170,21 @@ object EventsStream {
       .flatMapGroupsWithState[SessState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionizeUser)
   }
+
+  /** C8 — streaming exact dedup: the ingest-time twin of the batch
+    * `q_dedup_exact`. Dedup state is keyed by content hash (md5), so
+    * the payload never enters the state store, and
+    * `dropDuplicatesWithinWatermark` bounds state to the watermark
+    * horizon — the property that makes continuous dedup viable at
+    * 100 TB/day, where an unbounded `dropDuplicates` would accrete
+    * every hash ever seen. Duplicates arriving within the horizon are
+    * suppressed; the first arrival wins.
+    */
+  def streamingDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumble" -> qStreamTumble)

@@ -32,4 +32,27 @@ class SourcesSpec extends GraftSuite {
     assert(scanned.contains("PartitionFilters") && scanned.contains("lang"),
       scanned.take(800))
   }
+
+  test("layout sink: partition dirs, per-file row cap, in-file sort order") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    val dir = tmp()
+    Sources.writeLayout(docs, s"$dir/layout", "lang", Seq("n_chars", "doc_id"), 100L)
+    val root = new java.io.File(s"$dir/layout")
+    val partDirs = root.listFiles().filter(_.getName.startsWith("lang="))
+    assert(partDirs.nonEmpty)
+    // nothing lost, partition pruning intact
+    val back = Sources.readParquet(spark, s"$dir/layout")
+    assert(back.count() == docs.count())
+    partDirs.foreach { pd =>
+      pd.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val rows = spark.read.parquet(f.getAbsolutePath)
+          .select("n_chars", "doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        // cap respected and rows arrive in (n_chars, doc_id) order —
+        // the property parquet min/max row-group pruning feeds on
+        assert(rows.length <= 100, s"${f.getName}: ${rows.length} rows")
+        assert(rows.sameElements(rows.sorted), s"${f.getName} not sorted")
+      }
+    }
+  }
 }

@@ -70,4 +70,25 @@ class StreamingSpec extends GraftSuite {
       assert(mins(2L) == Seq((0L, 0L, 1L, 9.0)))
     } finally q.stop()
   }
+
+  test("streaming dedup suppresses same-content docs across batches, first wins") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = input.toDS().toDF("doc_id", "text", "ts")
+    val q = EventsStream.streamingDedup(src)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      input.addData((1L, "alpha", ts(0)), (2L, "beta", ts(1)), (3L, "alpha", ts(2)))
+      q.processAllAvailable()
+      input.addData((4L, "alpha", ts(3)), (5L, "gamma", ts(4)))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      // one survivor per content, and it is the FIRST arrival
+      assert(kept.map(_._2).sorted.toSeq === Seq("alpha", "beta", "gamma"))
+      assert(kept.find(_._2 == "alpha").get._1 === 1L)
+    } finally q.stop()
+  }
 }
