@@ -55,31 +55,39 @@ object Dedup {
   /** Distinct 3-word shingles per document, as 60-bit hashes:
     * (doc_id, h). Collisions (~2^-60) hit both engines identically.
     *
-    * Shape: posexplode the token array, ONE shuffle on doc_id (the
-    * window sort), two lead()s to assemble each trigram, then codegen'd
-    * concat+md5. An earlier version built the trigrams inside
-    * `transform(sequence(...), ...)` — higher-order functions run on
-    * Spark's interpreted expression path (~42us per shingle measured,
-    * 50x this plan), which no cluster size rescues at 100 TB. The
-    * window costs one corpus-sized exchange, the same class as the
-    * word-count shuffle, and the trailing distinct reuses the window's
-    * doc_id partitioning (HashPartitioning(doc_id) satisfies the
-    * (doc_id, h) clustering), so no second exchange.
+    * Shape: trigrams are assembled ARRAY-SIDE — three shifted
+    * `slice`s of the token array zipped positionally (slice and
+    * arrays_zip are both codegen'd; no interpreted higher-order
+    * lambda, which runs ~50x slower per element, and unlike the
+    * earlier posexplode + window-lead build, no exchange-and-sort of
+    * raw token STRINGS). The only shuffle in the build moves finished
+    * 16-byte (doc_id, h) rows: repartition(doc_id), which the
+    * trailing distinct reuses (HashPartitioning(doc_id) satisfies the
+    * (doc_id, h) clustering), and every downstream per-doc
+    * aggregation in the family rides the same clustering off the
+    * cache. Measured 2x faster cold than the window build at sf0.1,
+    * bit-identical output.
+    *
+    * Tokenizer parity note: split on \s+ yields an empty token ONLY
+    * at position 0 (leading whitespace; Java split drops trailing
+    * empties), so dropping it is one slice-off-the-front, not an
+    * interpreted filter() over the array.
     */
   private def buildShingleIndex(docs: DataFrame): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    val n3 = size(col("w")) - 2
     docs
-      // split on \s+ yields an empty token ONLY at position 0 (leading
-      // whitespace; Java split drops trailing empties), so a codegen'd
-      // row filter after posexplode removes it with the remaining pos
-      // order intact — no interpreted filter() lambda over the array
-      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "w1")))
-      .where(col("w1") =!= "")
-      .withColumn("w2", lead("w1", 1).over(byDoc))
-      .withColumn("w3", lead("w1", 2).over(byDoc))
-      .where(col("w3").isNotNull)
-      .selectExpr("doc_id", s"${h60("concat_ws(' ', w1, w2, w3)")} AS h")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w0"))
+      .select(col("doc_id"),
+        when(element_at(col("w0"), 1) === "",
+          slice(col("w0"), lit(2), greatest(size(col("w0")) - 1, lit(0))))
+          .otherwise(col("w0")).as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("w"), lit(1), n3).as("a"),
+        slice(col("w"), lit(2), n3).as("b"),
+        slice(col("w"), lit(3), n3).as("c"))).as("z"))
+      .selectExpr("doc_id", s"${h60("concat_ws(' ', z.a, z.b, z.c)")} AS h")
+      .repartition(col("doc_id"))
       .distinct()
   }
 
