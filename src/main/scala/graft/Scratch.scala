@@ -19,49 +19,28 @@ object Scratch {
     time("warmup") {
       spark.read.parquet(s"$sfDir/lineitem.parquet").agg(avg("l_tax")).count()
     }
-    val docs = Tables.documents(spark, sfDir)
-
-    def windowShingles() = {
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      docs
-        .select(col("doc_id"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "w1")))
-        .where(col("w1") =!= "")
-        .withColumn("w2", lead("w1", 1).over(byDoc))
-        .withColumn("w3", lead("w1", 2).over(byDoc))
-        .where(col("w3").isNotNull)
-        .selectExpr("doc_id",
-          "CAST(conv(substr(md5(concat_ws(' ', w1, w2, w3)), 1, 15), 16, 10) AS BIGINT) AS h")
-        .distinct()
+    for (r <- 1 to 2) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      time(s"r$r stream_tumble HDFS-state") {
+        val s = spark
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val dir = java.nio.file.Files.createTempDirectory("graft_stream_hdfs")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$sfDir/events.parquet").toAbsolutePath)
+        val src = s.readStream.schema(graft.streaming.EventsStream.eventsSchema)
+          .parquet(dir.toString)
+        val q = graft.streaming.EventsStream.tumblingAgg(src).writeStream
+          .outputMode("complete").format("memory")
+          .queryName(s"hdfs_tumble_$r").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(s"hdfs_tumble_$r").count()
+      }
+      time(s"r$r stream_tumble RocksDB") {
+        graft.streaming.EventsStream.qStreamTumble(spark, sfDir).count()
+      }
     }
-
-    def zipShingles() = {
-      val n3 = size(col("w")) - 2
-      docs
-        .select(col("doc_id"), split(col("text"), "\\s+").as("w0"))
-        .select(col("doc_id"),
-          when(element_at(col("w0"), 1) === "",
-            slice(col("w0"), lit(2), greatest(size(col("w0")) - 1, lit(0))))
-            .otherwise(col("w0")).as("w"))
-        .where(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(arrays_zip(
-          slice(col("w"), lit(1), n3).as("a"),
-          slice(col("w"), lit(2), n3).as("b"),
-          slice(col("w"), lit(3), n3).as("c"))).as("z"))
-        .selectExpr("doc_id",
-          "CAST(conv(substr(md5(concat_ws(' ', z.a, z.b, z.c)), 1, 15), 16, 10) AS BIGINT) AS h")
-        .repartition(col("doc_id"))
-        .distinct()
-    }
-
-    for (r <- 1 to 3) {
-      time(s"r$r window shingles") { windowShingles().count() }
-      time(s"r$r zip shingles") { zipShingles().count() }
-    }
-    // equality check
-    val a = windowShingles()
-    val b = zipShingles()
-    time("diff a-b + b-a (want 0)") { a.exceptAll(b).count() + b.exceptAll(a).count() }
     spark.stop()
   }
 }

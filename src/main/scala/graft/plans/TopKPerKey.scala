@@ -236,7 +236,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopKPerKey)
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          builder.getClass.getCanonicalName, name),
+        builder))
+    }
   }
+}
+
+/** The native expressions surfaced as SQL functions, so the SQL-text
+  * surface (GraftSql / spark.sql) reaches the same codegen'd kernels
+  * as the Column API: `SELECT vec_cosine(a.embedding, b.embedding)`.
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import graft.functions.{Djb2, FloatVecCosine, FloatVecDot, FloatVecNorm}
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> { args: Seq[Expression] =>
+      require(args.length == 2, "vec_dot(a, b)"); FloatVecDot(args(0), args(1)) },
+    "vec_norm" -> { args: Seq[Expression] =>
+      require(args.length == 1, "vec_norm(a)"); FloatVecNorm(args(0)) },
+    "vec_cosine" -> { args: Seq[Expression] =>
+      require(args.length == 2, "vec_cosine(a, b)"); FloatVecCosine(args(0), args(1)) },
+    "djb2" -> { args: Seq[Expression] =>
+      require(args.length == 1, "djb2(s)"); Djb2(args(0)) })
+
+  /** Post-hoc registration on an existing session (idempotent —
+    * createOrReplace semantics).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftSqlInternals.registerTempFunction(spark, name, builder)
+    }
 }
 
 object NativeTopK {

@@ -15,4 +15,15 @@ object GraftSqlInternals {
 
   def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(session.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Post-hoc SQL function registration for sessions graft did not
+    * build (the build-time path is `GraftExtensions.injectFunction`).
+    */
+  def registerTempFunction(
+      session: SparkSession,
+      name: String,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    session.asInstanceOf[ClassicSparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -82,6 +82,20 @@ class PlansSpec extends GraftSuite {
       s"score filter must NOT sink below top-k:\n$optimized")
   }
 
+  test("native expressions are callable from SQL text after registration") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  round(vec_cosine(CAST(array(3.0, 4.0) AS ARRAY<FLOAT>),
+        |                   CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)), 6) AS c,
+        |  vec_norm(CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS n,
+        |  djb2('abc') AS d""".stripMargin).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 5.0)
+    // djb2: h = 5381, then h*33 + codepoint per char
+    assert(r.getLong(2) === ((5381L * 33 + 'a') * 33 + 'b') * 33 + 'c')
+  }
+
   test("empty input produces empty output") {
     val out = NativeTopK.topKPerKey(
       Tables.orders(spark, sf).filter(lit(false)),
