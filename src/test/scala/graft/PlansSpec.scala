@@ -102,4 +102,57 @@ class PlansSpec extends GraftSuite {
       Seq("o_custkey"), "o_totalprice", "o_orderkey", 2)
     assert(out.count() === 0)
   }
+
+  test("native as-of join agrees with the window composition on click_ts") {
+    val native = graft.plans.Native.qAsofNative(spark, sf)
+    // C5's composition carries only the click timestamp; compare the
+    // shared columns (purchase id -> whether a click matched) plus
+    // count parity
+    val composed = graft.operators.Events.qAsofJoin(spark, sf)
+    val nRows = native.collect().map(r =>
+      (r.getLong(0), r.isNullAt(3))).toMap
+    val cRows = composed.collect().map(r =>
+      (r.getLong(0), r.isNullAt(3))).toMap
+    assert(nRows.keySet === cRows.keySet)
+    // a purchase has a matched click in the native plan iff the window
+    // composition found a last_click_ts
+    assert(nRows === cRows)
+  }
+
+  test("native as-of join: merge semantics on a synthetic stream") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val purchases = Seq(
+      (100L, 1L, ts(10)), (101L, 1L, ts(30)), (102L, 2L, ts(5)), (103L, 3L, ts(1)))
+      .toDF("event_id", "user_id", "ts")
+    val clicks = Seq(
+      (1L, 1L, ts(10), 1.0),  // same minute as purchase 100 (>= matches)
+      (2L, 1L, ts(10), 2.0),  // tie: higher event_id must win
+      (3L, 1L, ts(20), 3.0),  // latest before purchase 101
+      (4L, 2L, ts(9), 4.0))   // AFTER purchase 102 -> no match for user 2
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = graft.plans.NativeAsOfJoin.asofJoin(
+      purchases, clicks, "user_id", "ts",
+      Seq("event_id"), Seq("event_id", "value"), Seq("click_id", "click_value"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (100L, 2L, 2.0),  // tie at ts(10): event 2 beats event 1
+      (101L, 3L, 3.0),  // latest <= ts(30) is ts(20)
+      (102L, -1L, -1.0), // user 2's only click is later
+      (103L, -1L, -1.0))) // user 3 has no clicks
+  }
+
+  test("native as-of join plans as co-partitioned sorted merge, no window") {
+    val df = graft.plans.Native.qAsofNative(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert("Exchange".r.findAllIn(plan).length === 2, s"want 2 exchanges:\n$plan")
+    assert(plan.contains("Sort "), plan)
+    assert(!plan.contains("Window"), s"native path must not fall back to a window:\n$plan")
+  }
 }
