@@ -128,15 +128,77 @@ object Events {
       |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  // C10 — sliding (hopping) window: 1h windows every 30min, so each
+  // event contributes to exactly 2 windows. Spark expands the windows
+  // inside the scan stage; cost is one duplicated map-side row per
+  // slide, collapsed by partial agg before the (window, type) shuffle.
+  // Oracle replays the epoch-aligned window starts explicitly.
+  def qSlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  val qSlidingWindowSql: String =
+    """WITH e AS (SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS s1,
+      |    event_type, value FROM events),
+      |w AS (SELECT unnest([s1, s1 - 1800]) AS ws, event_type, value FROM e)
+      |SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM w GROUP BY 1, 2""".stripMargin
+
+  // C11 — gap sessionization via the BUILT-IN session_window operator
+  // (the engine-native twin of C2's lag+cumsum formulation): merging
+  // session state lives in the aggregation, one shuffle on user_id.
+  // Boundary semantics: a gap of EXACTLY the 30-min window starts a
+  // new session (session end is exclusive), hence >= in the oracle
+  // where C2's manual rule used >.
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+        col("n_events"), col("sum_value"))
+
+  val qSessionWindowSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    epoch(ts) - epoch(lag(ts) OVER w) AS gap_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN gap_s IS NULL OR gap_s >= 1800 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS end_ts,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumble" -> qEventsTumble,
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
-    "q_json_extract" -> qJsonExtract)
+    "q_json_extract" -> qJsonExtract,
+    "q_sliding_window" -> qSlidingWindow,
+    "q_session_window" -> qSessionWindow)
 
   def oracles: Map[String, String] = Map(
     "q_events_tumble" -> qEventsTumbleSql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
-    "q_json_extract" -> qJsonExtractSql)
+    "q_json_extract" -> qJsonExtractSql,
+    "q_sliding_window" -> qSlidingWindowSql,
+    "q_session_window" -> qSessionWindowSql)
 }

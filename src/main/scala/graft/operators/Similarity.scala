@@ -230,14 +230,42 @@ object Similarity {
       |  FROM scored)
       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** E5 — per-label embedding centroids, emitted FLAT as (label, pos,
+    * mean, count) rows. The explode shape is deliberate: posexplode
+    * multiplies rows by dim BEFORE the aggregation, but map-side
+    * partial agg collapses them to |labels|×dim partials per
+    * partition, so the exchange carries centroids, not elements —
+    * the same partial-agg argument as word count. (A typed Aggregator
+    * over whole arrays would shave the explode allocation; the flat
+    * shape keeps the op fully SQL-oracled and the output directly
+    * joinable by (label, pos).)
+    */
+  def qEmbedCentroid(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(
+        round(avg(col("v").cast("double")), 4).as("mean_v"),
+        count(lit(1)).as("n_vecs"))
+
+  val qEmbedCentroidSql: String =
+    """SELECT label, CAST(i - 1 AS INT) AS pos,
+      |  round(avg(v::DOUBLE), 4) AS mean_v, count(*) AS n_vecs
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |        generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings)
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_norm" -> qVectorNorm,
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh" -> qKnnLsh,
-    "q_knn_ivf" -> qKnnIvf)
+    "q_knn_ivf" -> qKnnIvf,
+    "q_embed_centroid" -> qEmbedCentroid)
 
   def oracles: Map[String, String] = Map(
     "q_vector_norm" -> qVectorNormSql,
     "q_knn_brute" -> qKnnBruteSql,
-    "q_knn_ivf" -> qKnnIvfSql)
+    "q_knn_ivf" -> qKnnIvfSql,
+    "q_embed_centroid" -> qEmbedCentroidSql)
 }

@@ -40,4 +40,22 @@ class EventsSpec extends GraftSuite {
     assert(r.getAs[Long]("n_items") > 0)
     assert(r.getAs[Double]("revenue") > 0)
   }
+
+  test("sliding windows double-count every event exactly once per hop") {
+    // 1h window / 30min slide: each event lands in exactly 2 windows,
+    // so the sliding n-total is exactly twice the event count
+    val slidingN = Events.qSlidingWindow(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(slidingN == 2 * Tables.events(spark, sf).count())
+  }
+
+  test("session_window and manual sessionization agree on session count per user") {
+    val builtIn = Events.qSessionWindow(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val manual = Events.qSessionize(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // boundary rule differs only on gaps of EXACTLY 30min (none in the
+    // corpus) — session structure must match
+    assert(builtIn === manual)
+  }
 }

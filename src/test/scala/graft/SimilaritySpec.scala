@@ -60,4 +60,19 @@ class SimilaritySpec extends GraftSuite {
     val recall = (exact & pairs).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall $recall")
   }
+
+  test("per-label centroids cover labels x dims with consistent counts") {
+    val rows = Similarity.qEmbedCentroid(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf)
+    val nLabels = emb.select("label").distinct().count()
+    val dim = emb.selectExpr("size(embedding)").head.getInt(0)
+    assert(rows.length == nLabels * dim)
+    // every (label, pos) cell averaged over that label's full vector count
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    val vecCounts = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.forall(_.getAs[Long]("n_vecs") == vecCounts(l)))
+    }
+  }
 }
