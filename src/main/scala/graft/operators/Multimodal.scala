@@ -136,11 +136,123 @@ object Multimodal {
       |  'stub-v1' AS decoder
       |FROM stats s JOIN mr USING (doc_id)""".stripMargin
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hexUpper(b: Array[Byte]): String =
+    b.map("%02X".format(_)).mkString
+
+  case class ResizedMedia(doc_id: Long, n_resized: Long, mean_byte: Double, checksum: String)
+
+  /** G3 — "resize" kernel (stub): deterministic 1-in-k byte decimation,
+    * standing in for image downscale / audio resample. Same batched
+    * per-partition shape as G2; emits the resized length, mean, and an
+    * md5 over the decimated bytes' hex — the cross-engine content
+    * check (DuckDB's md5 only takes VARCHAR, so both engines hash the
+    * uppercase hex string). Empty payloads produce no row, mirroring
+    * the oracle's empty byte expansion.
+    */
+  def resizeMedia(media: Dataset[MediaRow], k: Int = 4): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.payload.isEmpty) None
+        else {
+          val dec = Array.range(0, r.payload.length, k).map(r.payload)
+          val mean = dec.map(_ & 0xff).map(_.toLong).sum.toDouble / dec.length
+          Some(ResizedMedia(r.doc_id, dec.length.toLong, mean,
+            md5Hex(hexUpper(dec))))
+        }
+      }
+    }
+  }
+
+  def qMediaResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    resizeMedia(withPayload(Tables.documents(s, d))
+      .select(col("doc_id"), col("payload")).as[MediaRow]).toDF()
+      // round in the PLAN, not the kernel: Spark/DuckDB round() agree
+      // (half-away-from-zero) where JVM rint (half-even) would not
+      .withColumn("mean_byte", round(col("mean_byte"), 4))
+  }
+
+  val qMediaResizeSql: String =
+    """WITH bytes AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n, i,
+      |    CAST(('0x' || substr(hx, CAST(2*i - 1 AS BIGINT), 2)) AS INT) AS byte,
+      |    substr(hx, CAST(2*i - 1 AS BIGINT), 2) AS bh
+      |  FROM bytes, unnest(range(1, n + 1)) AS t(i)
+      |  WHERE (i - 1) % 4 = 0)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_resized,
+      |  round(sum(byte)::DOUBLE / count(*), 4) AS mean_byte,
+      |  md5(string_agg(bh, '' ORDER BY i)) AS checksum
+      |FROM b GROUP BY doc_id""".stripMargin
+
+  case class SampledFrames(
+      doc_id: Long, n_frames: Long, n_sampled: Long, mean_byte: Double, checksum: String)
+
+  /** G4 — frame-sampling kernel (stub): payload viewed as fixed 64-byte
+    * frames (video-frame stand-in), complete frames only, keep every
+    * 2nd frame. Docs shorter than one frame produce no row (nothing to
+    * sample), as in the oracle.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameLen: Int = 64,
+      stride: Int = 2): Dataset[SampledFrames] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = r.payload.length / frameLen
+        if (nFrames == 0) None
+        else {
+          val keptFrames = (0 until nFrames).filter(_ % stride == 0)
+          val kept = keptFrames.toArray.flatMap(f =>
+            r.payload.slice(f * frameLen, (f + 1) * frameLen))
+          val mean = kept.map(_ & 0xff).map(_.toLong).sum.toDouble / kept.length
+          Some(SampledFrames(r.doc_id, nFrames.toLong, keptFrames.length.toLong,
+            mean, md5Hex(hexUpper(kept))))
+        }
+      }
+    }
+  }
+
+  def qFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sampleFrames(withPayload(Tables.documents(s, d))
+      .select(col("doc_id"), col("payload")).as[MediaRow]).toDF()
+      .withColumn("mean_byte", round(col("mean_byte"), 4))
+  }
+
+  val qFrameSampleSql: String =
+    """WITH bytes AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n, i,
+      |    CAST((i - 1) // 64 AS BIGINT) AS frame,
+      |    CAST(('0x' || substr(hx, CAST(2*i - 1 AS BIGINT), 2)) AS INT) AS byte,
+      |    substr(hx, CAST(2*i - 1 AS BIGINT), 2) AS bh
+      |  FROM bytes, unnest(range(1, n + 1)) AS t(i)
+      |  WHERE i <= (n // 64) * 64 AND CAST((i - 1) // 64 AS BIGINT) % 2 = 0)
+      |SELECT doc_id,
+      |  CAST(any_value(n // 64) AS BIGINT) AS n_frames,
+      |  CAST(count(DISTINCT frame) AS BIGINT) AS n_sampled,
+      |  round(sum(byte)::DOUBLE / count(*), 4) AS mean_byte,
+      |  md5(string_agg(bh, '' ORDER BY i)) AS checksum
+      |FROM b GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
-    "q_multimodal_feat" -> qMultimodalFeat)
+    "q_multimodal_feat" -> qMultimodalFeat,
+    "q_media_resize" -> qMediaResize,
+    "q_frame_sample" -> qFrameSample)
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
-    "q_multimodal_feat" -> qMultimodalFeatSql)
+    "q_multimodal_feat" -> qMultimodalFeatSql,
+    "q_media_resize" -> qMediaResizeSql,
+    "q_frame_sample" -> qFrameSampleSql)
 }

@@ -24,4 +24,29 @@ class MultimodalSpec extends GraftSuite {
     val meta = Multimodal.qMultimodalMeta(spark, sf).collect()
     assert(meta.forall(_.getAs[String]("mime") == "text/plain"))
   }
+
+  test("resize kernel decimates 1-in-4 with stable checksums") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, Array.tabulate[Byte](10)(_.toByte)))
+      .toDS()
+    val out = Multimodal.resizeMedia(media).collect().head
+    // bytes 0..9, keep positions 0,4,8 -> values 0,4,8
+    assert(out.n_resized == 3L)
+    assert(out.mean_byte == 4.0)
+    val again = Multimodal.resizeMedia(media).collect().head
+    assert(out.checksum == again.checksum && out.checksum.length == 32)
+  }
+
+  test("frame sampler keeps every 2nd complete frame, drops short docs") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array.fill[Byte](200)(7)), // 3 frames of 64 -> keep 0,2
+      Multimodal.MediaRow(2L, Array.fill[Byte](10)(7))   // < 1 frame -> no row
+    ).toDS()
+    val rows = Multimodal.sampleFrames(media).collect()
+    assert(rows.length == 1)
+    assert(rows.head.doc_id == 1L)
+    assert(rows.head.n_frames == 3L && rows.head.n_sampled == 2L)
+    assert(rows.head.mean_byte == 7.0)
+  }
 }
