@@ -186,13 +186,55 @@ object Events {
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  // C12 — resample / gap-fill: a dense hourly spine per event_type with
+  // zero-filled quiet hours (the time-series shape downstream models
+  // expect). The spine is generated DISTRIBUTED-FIRST: bounds come from
+  // one aggregate (no driver-side collect of timestamps), sequence()
+  // explodes them into the spine, and the spine × type cross join is a
+  // bounded dims-only product (hours-in-range × |types|) that
+  // broadcasts against the hourly counts — the fact table is touched
+  // exactly once, by the counting aggregate.
+  def qResample(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val bounds = e.agg(
+      date_trunc("hour", min("ts")).as("lo"),
+      date_trunc("hour", max("ts")).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val types = e.select("event_type").distinct()
+    val counts = e
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sv"))
+    spine.crossJoin(types)
+      .join(counts, Seq("hour", "event_type"), "left")
+      .select(
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        coalesce(col("sv"), lit(0.0)).as("sum_value"))
+  }
+
+  val qResampleSql: String =
+    """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+      |    date_trunc('hour', max(ts)) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |cnt AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      |        round(sum(value), 4) AS sv FROM events GROUP BY 1, 2)
+      |SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour, ty.event_type,
+      |  coalesce(cnt.n, 0) AS n, coalesce(cnt.sv, 0.0) AS sum_value
+      |FROM spine s CROSS JOIN ty
+      |LEFT JOIN cnt ON cnt.hour = s.hour AND cnt.event_type = ty.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumble" -> qEventsTumble,
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
     "q_json_extract" -> qJsonExtract,
     "q_sliding_window" -> qSlidingWindow,
-    "q_session_window" -> qSessionWindow)
+    "q_session_window" -> qSessionWindow,
+    "q_resample" -> qResample)
 
   def oracles: Map[String, String] = Map(
     "q_events_tumble" -> qEventsTumbleSql,
@@ -200,5 +242,6 @@ object Events {
     "q_asof_join" -> qAsofJoinSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_sliding_window" -> qSlidingWindowSql,
-    "q_session_window" -> qSessionWindowSql)
+    "q_session_window" -> qSessionWindowSql,
+    "q_resample" -> qResampleSql)
 }

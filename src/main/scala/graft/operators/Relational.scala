@@ -395,6 +395,44 @@ object Relational {
       |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
       |GROUP BY band""".stripMargin
 
+  // B22 — histogram / binning: fixed-width buckets as a computed group
+  // key. One hash aggregate; the bucket expression is pure codegen'd
+  // arithmetic, so this is exactly the q1_agg shape with a derived key.
+  def qHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("l_extendedprice"), 4).as("lo"),
+        round(max("l_extendedprice"), 4).as("hi"))
+
+  val qHistogramSql: String =
+    """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+      |  count(*) AS n, round(min(l_extendedprice), 4) AS lo,
+      |  round(max(l_extendedprice), 4) AS hi
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // B23 — statistical aggregates: stddev/variance/correlation/
+  // covariance per group. All are single-pass algebraic aggregates
+  // (sum, sum-of-squares, cross-moments) — partial-aggregatable, one
+  // shuffle of O(|groups|) moment tuples at any scale.
+  def qStatsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"))
+
+  val qStatsAggSql: String =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter" -> qFilter,
     "q1_agg" -> q1Agg,
@@ -414,7 +452,9 @@ object Relational {
     "q_approx_distinct" -> qApproxDistinct,
     "q_pivot" -> qPivot,
     "q_cube" -> qCube,
-    "q_range_join" -> qRangeJoin)
+    "q_range_join" -> qRangeJoin,
+    "q_histogram" -> qHistogram,
+    "q_stats_agg" -> qStatsAgg)
 
   def oracles: Map[String, String] = Map(
     "q_filter" -> qFilterSql,
@@ -434,5 +474,7 @@ object Relational {
     "q_topk_per_key" -> qTopkPerKeySql,
     "q_pivot" -> qPivotSql,
     "q_cube" -> qCubeSql,
-    "q_range_join" -> qRangeJoinSql)
+    "q_range_join" -> qRangeJoinSql,
+    "q_histogram" -> qHistogramSql,
+    "q_stats_agg" -> qStatsAggSql)
 }

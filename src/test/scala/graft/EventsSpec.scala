@@ -58,4 +58,17 @@ class EventsSpec extends GraftSuite {
     // corpus) — session structure must match
     assert(builtIn === manual)
   }
+
+  test("resample emits a dense hourly spine with zero-filled gaps") {
+    val rows = Events.qResample(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    // dense grid: every (hour, type) cell present exactly once
+    assert(rows.length % types == 0)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+    // non-gap totals must equal the raw event count
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
+    // and zero rows carry 0.0 sums, not nulls
+    rows.filter(_.getAs[Long]("n") == 0L)
+      .foreach(r => assert(r.getAs[Double]("sum_value") == 0.0))
+  }
 }

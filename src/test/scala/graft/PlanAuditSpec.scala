@@ -12,7 +12,11 @@ class PlanAuditSpec extends GraftSuite {
   // anymore — it must plan as an equi-join on its LSH buckets.
   // q_range_join joins against a 4-row broadcast interval table — the
   // broadcast nested-loop IS the intended scale plan there.
-  private val allPairsWhitelist = Set("q_knn_brute", "q_knn_lsh", "q_knn_ivf", "q_range_join")
+  private val allPairsWhitelist =
+    Set("q_knn_brute", "q_knn_lsh", "q_knn_ivf", "q_range_join",
+      // q_resample: hourly-spine x event-type dims cross join (bounded
+      // dimension product), broadcast against the hourly counts
+      "q_resample")
   // building these DataFrames runs a streaming query — audited by
   // StreamingSpec instead.
   private val skip = Set("q_stream_tumble")

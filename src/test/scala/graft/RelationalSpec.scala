@@ -121,4 +121,24 @@ class RelationalSpec extends GraftSuite {
     val plan = Relational.qRangeJoin(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q_histogram buckets partition all rows with ordered bounds") {
+    val rows = Relational.qHistogram(spark, sf).orderBy("bucket").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.lineitem(spark, sf).count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Double]("lo") >= b * 5000.0 - 1e-6)
+      assert(r.getAs[Double]("hi") < (b + 1) * 5000.0 + 1e-6)
+    }
+  }
+
+  test("q_stats_agg moments are finite and consistent") {
+    val rows = Relational.qStatsAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sd_price") > 0)
+      assert(r.getAs[Double]("var_qty") > 0)
+      assert(math.abs(r.getAs[Double]("corr_qty_price")) <= 1.0)
+    }
+  }
 }
