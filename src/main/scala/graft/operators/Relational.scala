@@ -433,6 +433,70 @@ object Relational {
       |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  // B24 — full outer join: keep both unmatched sides with NULL-filled
+  // counterparts. The sides are deliberately asymmetric (a customer
+  // segment vs frequent-orderer aggregates) so left-only, right-only
+  // and matched rows all occur. Same shuffle shape as the inner join;
+  // only NULL handling differs.
+  def qOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val cf = Tables.customer(s, d)
+      .filter(col("c_custkey") % 7 < 3)
+      .select("c_custkey")
+    val oa = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("spend"))
+      .filter(col("n_orders") >= 12)
+    cf.join(oa, cf("c_custkey") === oa("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.as("in_segment"),
+        col("o_custkey").isNotNull.as("has_orders"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+  }
+
+  val qOuterJoinSql: String =
+    """WITH cf AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 < 3),
+      |oa AS (SELECT o_custkey, count(*) AS n_orders,
+      |         round(sum(o_totalprice), 4) AS spend
+      |       FROM orders GROUP BY 1 HAVING count(*) >= 12)
+      |SELECT coalesce(cf.c_custkey, oa.o_custkey) AS custkey,
+      |  cf.c_custkey IS NOT NULL AS in_segment,
+      |  oa.o_custkey IS NOT NULL AS has_orders,
+      |  coalesce(oa.n_orders, 0) AS n_orders,
+      |  coalesce(oa.spend, 0.0) AS spend
+      |FROM cf FULL OUTER JOIN oa ON cf.c_custkey = oa.o_custkey""".stripMargin
+
+  // B25 — data profiling: the one-pass table summary every ingest
+  // pipeline runs first (row count, per-column null counts, distinct
+  // cardinalities, numeric ranges). Single aggregate over one scan;
+  // count(DISTINCT a, b) pairs expand via a single Expand node, still
+  // one shuffle.
+  def qProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("text"))).as("null_text"),
+        (count(lit(1)) - count(col("lang"))).as("null_lang"),
+        (count(lit(1)) - count(col("source"))).as("null_source"),
+        countDistinct(col("lang")).as("nd_lang"),
+        countDistinct(col("source")).as("nd_source"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+
+  val qProfileSql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(*) - count(text) AS null_text,
+      |  count(*) - count(lang) AS null_lang,
+      |  count(*) - count(source) AS null_source,
+      |  count(DISTINCT lang) AS nd_lang,
+      |  count(DISTINCT source) AS nd_source,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  round(avg(n_chars), 4) AS avg_chars
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter" -> qFilter,
     "q1_agg" -> q1Agg,
@@ -454,7 +518,9 @@ object Relational {
     "q_cube" -> qCube,
     "q_range_join" -> qRangeJoin,
     "q_histogram" -> qHistogram,
-    "q_stats_agg" -> qStatsAgg)
+    "q_stats_agg" -> qStatsAgg,
+    "q_outer_join" -> qOuterJoin,
+    "q_profile" -> qProfile)
 
   def oracles: Map[String, String] = Map(
     "q_filter" -> qFilterSql,
@@ -476,5 +542,7 @@ object Relational {
     "q_cube" -> qCubeSql,
     "q_range_join" -> qRangeJoinSql,
     "q_histogram" -> qHistogramSql,
-    "q_stats_agg" -> qStatsAggSql)
+    "q_stats_agg" -> qStatsAggSql,
+    "q_outer_join" -> qOuterJoinSql,
+    "q_profile" -> qProfileSql)
 }

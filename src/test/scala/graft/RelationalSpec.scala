@@ -132,6 +132,28 @@ class RelationalSpec extends GraftSuite {
     }
   }
 
+  test("q_outer_join keeps unmatched rows from BOTH sides") {
+    val rows = Relational.qOuterJoin(spark, sf).collect()
+    val cats = rows.groupBy(r =>
+      (r.getAs[Boolean]("in_segment"), r.getAs[Boolean]("has_orders")))
+    assert(cats.contains((true, false)), "missing left-only rows")
+    assert(cats.contains((true, true)), "missing matched rows")
+    // right-only rows must exist at sf with enough orders; all
+    // unmatched rows are zero-filled, never null
+    rows.filter(!_.getAs[Boolean]("has_orders")).foreach { r =>
+      assert(r.getAs[Long]("n_orders") == 0L && r.getAs[Double]("spend") == 0.0)
+    }
+  }
+
+  test("q_profile one-row summary matches direct counts") {
+    val r = Relational.qProfile(spark, sf).head
+    val docs = Tables.documents(spark, sf)
+    assert(r.getAs[Long]("n_rows") == docs.count())
+    assert(r.getAs[Long]("nd_source") ==
+      docs.select("source").distinct().count())
+    assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars"))
+  }
+
   test("q_stats_agg moments are finite and consistent") {
     val rows = Relational.qStatsAgg(spark, sf).collect()
     assert(rows.nonEmpty)
