@@ -237,6 +237,88 @@ object TextAnalysis {
       |SELECT bigram, count(*) AS cnt FROM b WHERE bigram IS NOT NULL
       |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 30""".stripMargin
 
+  // F9 — repetition scoring (Gopher-style): the fraction of a doc's
+  // bigrams taken by its single most frequent bigram. Boilerplate and
+  // template spam concentrate mass in one bigram; prose does not. Two
+  // hash aggregates over the bigram stream, both keyed by doc_id so
+  // the second rides the first's partitioning. Docs with < 2 tokens
+  // have no bigrams and emit no row (mirrored by the oracle's
+  // NULL-bigram filter). The `repetitive` flag compares UN-rounded
+  // ratios identically in both engines.
+  def qRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"$wordsExpr AS w")
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"), max("cnt").as("top_cnt"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("top_cnt"),
+        round(col("top_cnt").cast("double") / col("n_bigrams"), 4).as("top_bigram_frac"),
+        (col("top_cnt").cast("double") / col("n_bigrams") > 0.18).as("repetitive"))
+
+  val qRepetitionSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM t),
+      |b AS (SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+      |      FROM u),
+      |c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b
+      |      WHERE bigram IS NOT NULL GROUP BY 1, 2),
+      |s AS (SELECT doc_id, max(cnt) AS top_cnt,
+      |        CAST(sum(cnt) AS BIGINT) AS n_bigrams FROM c GROUP BY 1)
+      |SELECT doc_id, n_bigrams, CAST(top_cnt AS BIGINT) AS top_cnt,
+      |  round(top_cnt::DOUBLE / n_bigrams, 4) AS top_bigram_frac,
+      |  top_cnt::DOUBLE / n_bigrams > 0.18 AS repetitive
+      |FROM s""".stripMargin
+
+  // F10 — unigram language-model scoring: fit corpus unigram
+  // probabilities in one aggregate, then score every doc by its mean
+  // negative log-likelihood — the classic cheap LM-quality signal
+  // (gibberish and rare-token spam score high, fluent prose low).
+  // Plan shape at 100 TB: the vocab is a token-keyed aggregate of the
+  // same corpus (shuffle by token), the corpus total joins in via a
+  // broadcast 1-row aggregate, and the scoring join is token-keyed —
+  // no driver-side model state anywhere.
+  def qUnigramLm(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .selectExpr("doc_id", s"$wordsExpr AS w")
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+    // the FIT pass: one distributed count whose scalar result ships
+    // into the scoring plan as a literal — the same model-as-literal
+    // pattern as the LSH hyperplanes. (A 1-row joined "total" relation
+    // would plan as a nested-loop join; a literal keeps the scoring
+    // pass a pure token-keyed hash join.)
+    val total = toks.count()
+    val probs = Tables.documents(s, d)
+      .selectExpr("doc_id", s"$wordsExpr AS w")
+      .select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(col("tok"), (col("cnt").cast("double") / lit(total)).as("p"))
+    toks.join(probs, "tok")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("p"))), 4).as("mean_nll"))
+  }
+
+  val qUnigramLmSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+      |vocab AS (SELECT tok, count(*) AS cnt FROM u GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab)
+      |SELECT u.doc_id, count(*) AS n_tokens,
+      |  round(avg(-ln(vocab.cnt::DOUBLE / tot.n)), 4) AS mean_nll
+      |FROM u JOIN vocab USING (tok) CROSS JOIN tot
+      |GROUP BY u.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats" -> qTokenStats,
     "q_quality" -> qQuality,
@@ -245,7 +327,9 @@ object TextAnalysis {
     "q_pii_redact" -> qPiiRedact,
     "q_hash_split" -> qHashSplit,
     "q_sample" -> qSample,
-    "q_bigrams" -> qBigrams)
+    "q_bigrams" -> qBigrams,
+    "q_repetition" -> qRepetition,
+    "q_unigram_lm" -> qUnigramLm)
 
   def oracles: Map[String, String] = Map(
     "q_token_stats" -> qTokenStatsSql,
@@ -255,5 +339,7 @@ object TextAnalysis {
     "q_pii_redact" -> qPiiRedactSql,
     "q_hash_split" -> qHashSplitSql,
     "q_sample" -> qSampleSql,
-    "q_bigrams" -> qBigramsSql)
+    "q_bigrams" -> qBigramsSql,
+    "q_repetition" -> qRepetitionSql,
+    "q_unigram_lm" -> qUnigramLmSql)
 }

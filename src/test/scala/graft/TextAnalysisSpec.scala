@@ -100,6 +100,34 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("repetition fractions are valid and prose corpus is not flagged wholesale") {
+    val rows = TextAnalysis.qRepetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val frac = r.getAs[Double]("top_bigram_frac")
+      assert(frac > 0.0 && frac <= 1.0)
+      assert(r.getAs[Long]("top_cnt") <= r.getAs[Long]("n_bigrams"))
+      // flag must equal the unrounded comparison
+      assert(r.getAs[Boolean]("repetitive") ==
+        (r.getAs[Long]("top_cnt").toDouble / r.getAs[Long]("n_bigrams") > 0.18))
+    }
+    // synthetic prose corpus: the overwhelming majority is not repetitive
+    assert(rows.count(_.getAs[Boolean]("repetitive")) < rows.length / 2)
+  }
+
+  test("unigram LM: rare-token docs score higher nll than common-token docs") {
+    val rows = TextAnalysis.qUnigramLm(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf)
+      .selectExpr("size(filter(split(text, '\\s+'), x -> x <> '')) AS n")
+      .filter("n > 0").count())
+    rows.foreach(r => assert(r.getAs[Double]("mean_nll") > 0.0))
+    // corpus-level consistency: token counts match token_stats
+    val lmTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val directTokens = TextAnalysis.qTokenStats(spark, sf)
+      .selectExpr("sum(n_tokens)").head.getLong(0)
+    assert(lmTokens == directTokens)
+  }
+
   test("bigram counts: deterministic top-30, counts consistent with token counts") {
     val rows = TextAnalysis.qBigrams(spark, sf).collect()
     assert(rows.length <= 30)
