@@ -180,7 +180,7 @@ object Dedup {
 
   /** Deterministic (a, b) for hash i, derived on the driver from md5
     * bytes and shipped as literals — a in [1, p-1], b in [0, p-1]. */
-  private[operators] def uhParam(i: Int): (Long, Long) = {
+  private[graft] def uhParam(i: Int): (Long, Long) = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"graft-mh$i".getBytes("UTF-8"))
     def long8(off: Int): Long =

@@ -91,4 +91,41 @@ class StreamingSpec extends GraftSuite {
       assert(kept.find(_._2 == "alpha").get._1 === 1L)
     } finally q.stop()
   }
+
+  test("streaming minhash signatures are bit-identical to the batch pipeline") {
+    import graft.streaming.StreamingNearDup
+    val docs = Tables.documents(spark, sf)
+    val batch = graft.operators.Dedup.minhash(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 12).map(i => r.getLong(i)).toVector).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batch drops docs with < 3 tokens; compare the rest
+    batch.foreach { case (id, sig) =>
+      val streamed = StreamingNearDup.signature(texts(id)).toVector
+      assert(streamed === sig, s"doc $id signature drift")
+    }
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming LSH emits candidate pairs ACROSS micro-batches") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[StreamingNearDup.StreamDoc]
+    val q = StreamingNearDup.candidates(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("neardup_out").start()
+    try {
+      input.addData(
+        StreamingNearDup.StreamDoc(1L, text),
+        StreamingNearDup.StreamDoc(2L, "completely different words nothing shared here at all folks"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() == 0) // nothing similar yet
+      input.addData(StreamingNearDup.StreamDoc(3L, text)) // near-dup arrives LATER
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct
+      assert(pairs.toSeq === Seq((1L, 3L)), s"got ${pairs.toSeq}")
+    } finally q.stop()
+  }
 }
