@@ -197,9 +197,24 @@ object NativeAsOfJoin {
       payloadCols: Seq[String],
       payloadNames: Seq[String]): DataFrame = {
     require(payloadCols.length == payloadNames.length, "payload name per payload col")
-    val spark = leftDf.sparkSession
+    // adapt integral (non-BIGINT) keys/tiebreaks with a cast projection,
+    // keeping the merge kernel monomorphic (see NativeTopK.topKPerKey)
+    def widen(df: DataFrame, cols: Seq[String]): DataFrame =
+      cols.foldLeft(df) { (d, c) =>
+        d.schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+          case Some(f) if Seq(
+              org.apache.spark.sql.types.ByteType,
+              org.apache.spark.sql.types.ShortType,
+              org.apache.spark.sql.types.IntegerType).contains(f.dataType) =>
+            d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(LongType))
+          case _ => d
+        }
+      }
+    val leftW = widen(leftDf, Seq(keyCol))
+    val rightW = widen(rightDf, keyCol +: tiebreakCols)
+    val spark = leftW.sparkSession
     ensureRegistered(spark)
-    val l = leftDf.queryExecution.analyzed
+    val l = leftW.queryExecution.analyzed
     // Self-join safety: left and right often derive from the SAME
     // DataFrame (events → purchases/clicks), so their plans share
     // exprIds. The analyzer's DeduplicateRelations rewrites the right
@@ -208,7 +223,7 @@ object NativeAsOfJoin {
     // right column mints fresh, globally unique exprIds for the
     // attributes we capture, so the node is unambiguous however the
     // children overlap underneath.
-    val rFresh = rightDf.select(rightDf.columns.map(c =>
+    val rFresh = rightW.select(rightW.columns.map(c =>
       org.apache.spark.sql.functions.col(c).as(c)): _*)
     val r = rFresh.queryExecution.analyzed
     def attr(p: LogicalPlan, name: String): Attribute =

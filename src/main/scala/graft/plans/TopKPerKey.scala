@@ -284,10 +284,12 @@ object NativeTopK {
   }
 
   /** Top k rows per key group, ordered (scoreCol DESC, idCol ASC).
-    * Output columns: keyCols..., rank, idCol, scoreCol. scoreCol must
-    * be DOUBLE and idCol BIGINT (the demonstration operator is
-    * deliberately monomorphic — a production surface would dispatch on
-    * an ordering expression).
+    * Output columns: keyCols..., rank, idCol, scoreCol. The physical
+    * operator is monomorphic (DOUBLE score, BIGINT id — one tight
+    * primitive merge loop, no per-row ordering dispatch); any other
+    * numeric input is adapted by a cast projection in front, so the
+    * API accepts e.g. INT scores and the cast cost is one codegen'd
+    * map expression, not a change to the merge kernel.
     */
   def topKPerKey(
       df: DataFrame,
@@ -297,6 +299,20 @@ object NativeTopK {
       k: Int,
       rankName: String = "rank"): DataFrame = {
     require(k > 0, "k must be positive")
+    import org.apache.spark.sql.functions.{col => fcol}
+    import org.apache.spark.sql.types.NumericType
+    val fields = df.schema.fields
+    def fieldType(name: String) = fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+    (fieldType(scoreCol), fieldType(idCol)) match {
+      case (Some(st), Some(it))
+          if (st != DoubleType && st.isInstanceOf[NumericType]) ||
+            (it != LongType && it.isInstanceOf[NumericType]) =>
+        return topKPerKey(
+          df.withColumn(scoreCol, fcol(scoreCol).cast(DoubleType))
+            .withColumn(idCol, fcol(idCol).cast(LongType)),
+          keyCols, scoreCol, idCol, k, rankName)
+      case _ => ()
+    }
     val spark = df.sparkSession
     ensureRegistered(spark)
     val analyzed = df.queryExecution.analyzed

@@ -96,6 +96,27 @@ class PlansSpec extends GraftSuite {
     assert(r.getLong(2) === ((5381L * 33 + 'a') * 33 + 'b') * 33 + 'c')
   }
 
+  test("numeric inputs are widened: INT scores and ids work via cast projection") {
+    import spark.implicits._
+    val df = Seq((1, 5, 10), (1, 9, 11), (1, 7, 12), (2, 3, 20))
+      .toDF("key", "score", "id") // all INT columns
+    val out = NativeTopK.topKPerKey(df, Seq("key"), "score", "id", k = 2)
+      .orderBy("key", "rank").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq ===
+      Seq((1, 1L, 11L, 9.0), (1, 2L, 12L, 7.0), (2, 1L, 20L, 3.0)))
+  }
+
+  test("as-of join widens INT keys and tiebreaks via cast projection") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val purchases = Seq((100, 1, ts(10))).toDF("event_id", "user_id", "ts")
+    val clicks = Seq((1, 1, ts(5), 2.5)).toDF("event_id", "user_id", "ts", "value")
+    val out = graft.plans.NativeAsOfJoin.asofJoin(
+      purchases, clicks, "user_id", "ts",
+      Seq("event_id"), Seq("value"), Seq("click_value")).collect()
+    assert(out.length == 1 && out.head.getDouble(3) == 2.5)
+  }
+
   test("empty input produces empty output") {
     val out = NativeTopK.topKPerKey(
       Tables.orders(spark, sf).filter(lit(false)),
