@@ -103,4 +103,57 @@ object StreamingNearDup {
       .flatMapGroupsWithState[BucketState, CandidatePair](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(updateBucket(maxBucket))
   }
+
+  case class TsStreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  case class TsBandedDoc(bucket: String, doc_id: Long, ts: java.sql.Timestamp)
+
+  def updateBucketTtl(maxBucket: Int, ttlMs: Long)(
+      bucket: String,
+      docs: Iterator[TsBandedDoc],
+      state: GroupState[BucketState]): Iterator[CandidatePair] = {
+    if (state.hasTimedOut) {
+      // bucket went quiet past the TTL: evict — unbounded dedup
+      // history is exactly what this variant exists to prevent
+      state.remove()
+      return Iterator.empty
+    }
+    val seen = state.getOption.map(_.docIds).getOrElse(Nil)
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+    var current = seen
+    var maxMs = Long.MinValue
+    docs.toSeq.sortBy(_.doc_id).foreach { d =>
+      maxMs = math.max(maxMs, d.ts.getTime)
+      if (!current.contains(d.doc_id)) {
+        current.iterator.take(maxBucket).foreach { other =>
+          out += CandidatePair(math.min(other, d.doc_id), math.max(other, d.doc_id), bucket)
+        }
+        current = (d.doc_id :: current).take(maxBucket)
+      }
+    }
+    state.update(BucketState(current))
+    if (maxMs != Long.MinValue) state.setTimeoutTimestamp(maxMs + ttlMs)
+    out.iterator
+  }
+
+  /** TTL variant: bucket state is evicted once the event-time
+    * watermark passes `lastArrival + ttl` — docs only near-dup-match
+    * within the TTL horizon, and state stays bounded by
+    * cap × |buckets active in the horizon| regardless of stream age.
+    * The NoTimeout variant above is the full-history mode for bounded
+    * backfills; this is the always-on ingest mode.
+    */
+  def candidatesWithTtl(
+      docs: Dataset[TsStreamDoc],
+      ttlMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "5 minutes",
+      maxBucket: Int = 1000): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(d => bandKeys(signature(d.text)).map(TsBandedDoc(_, d.doc_id, d.ts)))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateBucketTtl(maxBucket, ttlMs))
+  }
 }

@@ -128,4 +128,35 @@ class StreamingSpec extends GraftSuite {
       assert(pairs.toSeq === Seq((1L, 3L)), s"got ${pairs.toSeq}")
     } finally q.stop()
   }
+
+  test("near-dup TTL: pairs within the horizon, eviction past it") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val text = "one two three four five six seven eight nine ten eleven twelve"
+    val input = MemoryStream[StreamingNearDup.TsStreamDoc]
+    val q = StreamingNearDup.candidatesWithTtl(input.toDS(), ttlMs = 30L * 60 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_ttl").start()
+    try {
+      input.addData(StreamingNearDup.TsStreamDoc(1L, text, ts(0)))
+      q.processAllAvailable()
+      // within the 30-min TTL: match found
+      input.addData(StreamingNearDup.TsStreamDoc(2L, text, ts(10)))
+      q.processAllAvailable()
+      // advance the watermark far past doc 2's timeout (10 + 30 min)
+      input.addData(StreamingNearDup.TsStreamDoc(99L,
+        "completely unrelated filler words to push the watermark forward now", ts(120)))
+      q.processAllAvailable()
+      input.addData(StreamingNearDup.TsStreamDoc(98L,
+        "more unrelated filler words keep pushing the watermark forward again", ts(125)))
+      q.processAllAvailable() // timeout fires in a batch AFTER the watermark moves
+      // same content arrives after eviction: no pair against 1 or 2
+      input.addData(StreamingNearDup.TsStreamDoc(3L, text, ts(130)))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+      assert(pairs === Seq((1L, 2L)), s"got $pairs")
+    } finally q.stop()
+  }
 }
