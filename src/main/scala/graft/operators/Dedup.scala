@@ -117,8 +117,15 @@ object Dedup {
   // join docs through shared shingles (never all-pairs), then exact
   // Jaccard on the intersection counts.
   def qJaccardPairs(s: SparkSession, d: String, tau: Double = 0.5,
+      maxPosting: Int = 1000): DataFrame =
+    jaccardPairs(Tables.documents(s, d), tau, maxPosting)
+
+  /** DataFrame-based form, so pipelines can near-dup any (doc_id, text)
+    * relation (e.g. an already quality-filtered corpus), not just the
+    * warehouse table. */
+  def jaccardPairs(docs: DataFrame, tau: Double = 0.5,
       maxPosting: Int = 1000): DataFrame = {
-    val sh = shingles(Tables.documents(s, d))
+    val sh = shingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // posting-list formulation: ONE shuffle on the shingle hash (the
     // window count), then pairs via a self-equi-join on h — both sides

@@ -148,6 +148,11 @@ object TextAnalysis {
   // (comparing a hash, not 500 full documents, keeps the oracle dump
   // small while still bit-exact on content).
   private val emailRe = raw"[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** SQL expression redacting emails/phones/long-digit IDs from `c` —
+    * the reusable form of q_pii_redact for pipeline composition. */
+  def redactedExpr(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($c, '$emailRe', '<EMAIL>'), '$phoneRe', '<PHONE>'), '$idRe', '<ID>')"
   private val phoneRe = raw"\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
   private val idRe = raw"\\b\\d{4,}\\b"
 
@@ -175,7 +180,9 @@ object TextAnalysis {
   // the doc id. Content-addressed (no RNG, no row order dependence) so
   // the split is reproducible across engines, re-runs, and re-shards —
   // the only property a 100 TB pipeline split can rely on.
-  private val bucketExpr =
+  /** Content-addressed md5 bucket of the doc id (0-255) — reusable for
+    * splits and sampling in pipeline composition. */
+  val bucketExpr =
     "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT)"
 
   def qHashSplit(s: SparkSession, d: String): DataFrame =
