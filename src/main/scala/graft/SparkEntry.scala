@@ -19,7 +19,8 @@ object SparkEntry {
     Relational.queries ++ WordCount.queries ++ Events.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.streaming.EventsStream.queries ++
-      GraftSql.queries ++ Skew.queries ++ graft.plans.Native.queries
+      GraftSql.queries ++ Skew.queries ++ graft.plans.Native.queries ++
+      Tokenizer.queries ++ Decontam.queries ++ Clustering.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate / stubbed ops)
@@ -29,5 +30,6 @@ object SparkEntry {
     Relational.oracles ++ WordCount.oracles ++ Events.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.streaming.EventsStream.oracles ++
-      GraftSql.oracles ++ Skew.oracles ++ graft.plans.Native.oracles
+      GraftSql.oracles ++ Skew.oracles ++ graft.plans.Native.oracles ++
+      Tokenizer.oracles ++ Decontam.oracles ++ Clustering.oracles
 }

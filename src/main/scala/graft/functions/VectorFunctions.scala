@@ -37,6 +37,22 @@ object VecOps {
     if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
   }
 
+  /** Squared L2 distance between a float vector and a DOUBLE vector
+    * (a centroid), sequential left-to-right accumulation so DuckDB's
+    * list_sum(list_transform(...)) replays it bit-for-bit.
+    */
+  def distSq(a: ArrayData, c: ArrayData): Double = {
+    val n = math.min(a.numElements(), c.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val t = a.getFloat(i).toDouble - c.getDouble(i)
+      s += t * t
+      i += 1
+    }
+    s
+  }
+
   /** djb2 (h = h*33 + c over code points, 64-bit wrap), the reference
     * engine's reducer-routing hash — /root/reference/src/
     * omp_count_words.cpp:291-303 (`Hash`, `unsigned long`, byte-wise;
@@ -86,6 +102,20 @@ case class FloatVecCosine(left: Expression, right: Expression)
     VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Squared L2 distance: `array<float>` column vs `array<double>`
+  * centroid literal — the k-means assignment kernel.
+  */
+case class FloatVecDistSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, c: Any): Any =
+    VecOps.distSq(a.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, c) => s"graft.functions.VecOps.distSq($a, $c)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -25,4 +25,20 @@ package object functions {
     */
   def djb2(c: Column): Column =
     column(Djb2(expression(c)))
+
+  /** Squared L2 distance of an `array<float>` column from an
+    * `array<double>` centroid literal.
+    */
+  def vec_dist_sq(a: Column, c: Column): Column =
+    column(FloatVecDistSq(expression(a), expression(c)))
+
+  /** One BPE merge pass over an `array<string>` symbol column. */
+  def bpe_merge(syms: Column, l: Column, r: Column): Column =
+    column(BpeMergeOnce(expression(syms), expression(l), expression(r)))
+
+  /** Full BPE encode of a string column under a merge table given as
+    * parallel lefts/rights `array<string>` literals.
+    */
+  def bpe_encode(word: Column, lefts: Column, rights: Column): Column =
+    column(BpeEncode(expression(word), expression(lefts), expression(rights)))
 }

@@ -15,7 +15,7 @@ object TextAnalysis {
   /** Non-empty whitespace tokens, as a SQL expression string (kept
     * textual so the DuckDB oracle mirrors it token-for-token).
     */
-  private val wordsExpr = raw"filter(split(text, '\\s+'), x -> x <> '')"
+  private[operators] val wordsExpr = raw"filter(split(text, '\\s+'), x -> x <> '')"
 
   // F1 — token counting: whitespace tokens plus a BPE-ish breakdown into
   // word/number/other character classes.
@@ -326,7 +326,54 @@ object TextAnalysis {
       |FROM u JOIN vocab USING (tok) CROSS JOIN tot
       |GROUP BY u.doc_id""".stripMargin
 
+  // F14 — TF-IDF: top-3 terms per document by (cnt/doclen) * ln(N/df),
+  // the standard keyword-extraction / relevance signal. Plan shape at
+  // 100 TB: tf is a (doc, term)-keyed aggregate, df a term-keyed
+  // aggregate of the same rows (rides the first shuffle's output), the
+  // corpus size N ships as a literal (model-as-literal — a 1-row joined
+  // total would plan as a nested-loop join), and the final top-3 is a
+  // doc-partitioned window. Ranking compares the ROUNDED score (then
+  // term ASC) so sub-ulp double noise between engines can't flip the
+  // order of near-ties.
+  def qTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count() // the FIT scalar, shipped as a literal
+    val tf = docs
+      .selectExpr("doc_id", s"$wordsExpr AS w")
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val doclen = tf.groupBy("doc_id").agg(sum("cnt").as("n_tokens"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(doclen, "doc_id").join(df, "term")
+      .select(col("doc_id"), col("term"),
+        round((col("cnt").cast("double") / col("n_tokens")) *
+          log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+  }
+
+  val qTfidfSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(w) AS term FROM t),
+      |tf AS (SELECT doc_id, term, count(*) AS cnt FROM u GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.term,
+      |    round((cnt::DOUBLE / n_tokens) * ln(n_docs::DOUBLE / df.df), 4) AS tfidf
+      |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      |  JOIN df ON tf.term = df.term CROSS JOIN n)
+      |SELECT doc_id, term, tfidf,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |FROM sc
+      |QUALIFY rank <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> qTfidf,
     "q_token_stats" -> qTokenStats,
     "q_quality" -> qQuality,
     "q_langid" -> qLangid,
@@ -339,6 +386,7 @@ object TextAnalysis {
     "q_unigram_lm" -> qUnigramLm)
 
   def oracles: Map[String, String] = Map(
+    "q_tfidf" -> qTfidfSql,
     "q_token_stats" -> qTokenStatsSql,
     "q_quality" -> qQualitySql,
     "q_langid" -> qLangidSql,
