@@ -6,10 +6,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlInternals, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Bounded top-k-per-key as a NATIVE Catalyst operator — the
@@ -107,6 +108,151 @@ private[plans] final class BoundedBuffer(k: Int) {
   }
 }
 
+/** Shared per-task state for the codegen'd path: the key→buffer map
+  * lives here in compiled Scala; the generated Java only evaluates the
+  * key/score/id expressions inline in the child's loop and calls
+  * [[offer]] — so the child→top-k handoff has no iterator, no virtual
+  * next(), and no row materialization unless the row actually enters a
+  * buffer ([[BoundedBuffer.offer]] takes the payload by name).
+  */
+final class TopKPartialBuffers(k: Int) {
+  private val buffers = new mutable.HashMap[UnsafeRow, BoundedBuffer]
+
+  def offer(key: UnsafeRow, score: Double, id: Long, row: UnsafeRow): Unit = {
+    val buf = buffers.get(key) match {
+      case Some(b) => b
+      case None =>
+        val b = new BoundedBuffer(k)
+        buffers.put(key.copy(), b)
+        b
+    }
+    buf.offer(score, id, row.copy())
+  }
+
+  def result(): java.util.Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    buffers.valuesIterator
+      .flatMap(_.entries.iterator.map(_._3.asInstanceOf[InternalRow])).asJava
+  }
+}
+
+/** Final-stage analog: payloads are not kept; the output rows
+  * (keys, rank, id, score) are assembled here, already unsafe-projected
+  * and copied, so the generated loop just drains an iterator.
+  */
+final class TopKFinalBuffers(k: Int, keyTypes: Array[org.apache.spark.sql.types.DataType],
+    outTypes: Array[org.apache.spark.sql.types.DataType]) {
+  private val buffers = new mutable.HashMap[UnsafeRow, BoundedBuffer]
+
+  def offer(key: UnsafeRow, score: Double, id: Long): Unit = {
+    val buf = buffers.get(key) match {
+      case Some(b) => b
+      case None =>
+        val b = new BoundedBuffer(k)
+        buffers.put(key.copy(), b)
+        b
+    }
+    buf.offer(score, id, null)
+  }
+
+  def result(): java.util.Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    val toUnsafe = UnsafeProjection.create(outTypes)
+    val nKeys = keyTypes.length
+    buffers.iterator.flatMap { case (keyRow, buf) =>
+      buf.entries.iterator.zipWithIndex.map { case ((s, i, _), idx) =>
+        val vals = new Array[Any](outTypes.length)
+        var j = 0
+        while (j < nKeys) { vals(j) = keyRow.get(j, keyTypes(j)); j += 1 }
+        vals(nKeys) = (idx + 1).toLong
+        vals(nKeys + 1) = i
+        vals(nKeys + 2) = s
+        toUnsafe(new GenericInternalRow(vals)).copy(): InternalRow
+      }
+    }.asJava
+  }
+}
+
+/** Codegen shared by both stages: blocking produce — the generated
+  * function consumes the ENTIRE child inside this stage (so the scan →
+  * filter → project → top-k-insert path is one fused loop with no
+  * iterator handoff), then drains the helper's result iterator.
+  * SortExec's shape, with the bounded-buffer map in compiled Scala.
+  */
+trait TopKCodegen extends BlockingOperatorWithCodegen { self: UnaryExecNode =>
+  def keys: Seq[Attribute]
+  def score: Attribute
+  def idAttr: Attribute
+
+  /** Java type of the per-task helper; the exec exposes a
+    * `createBuffers()` factory the generated constructor calls. */
+  protected def helperClass: String
+
+  protected var helperTerm: String = _
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needProcess = ctx.addMutableState(
+      CodeGenerator.JAVA_BOOLEAN, "topkNeedProcess", v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("topkPlan", this)
+    helperTerm = ctx.addMutableState(
+      helperClass, "topkBuffers", v => s"$v = $thisPlan.createBuffers();")
+    val outputIter = ctx.addMutableState(
+      "java.util.Iterator<org.apache.spark.sql.catalyst.InternalRow>", "topkOutput")
+    val addToTopK = ctx.freshName("addToTopK")
+    val addToTopKFunc = ctx.addNewFunction(addToTopK,
+      s"""
+         |private void $addToTopK() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val row = ctx.freshName("topkRow")
+    s"""
+       |if ($needProcess) {
+       |  $addToTopKFunc();
+       |  $outputIter = $helperTerm.result();
+       |  $needProcess = false;
+       |}
+       |while ($limitNotReachedCond $outputIter.hasNext()) {
+       |  org.apache.spark.sql.catalyst.InternalRow $row =
+       |    (org.apache.spark.sql.catalyst.InternalRow) $outputIter.next();
+       |  ${consume(ctx, null, row)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  /** Generates: evaluate score/id from the child's loop variables, and
+    * only for rows that compete (non-null) build the key row — plus
+    * whatever extra offer arguments the stage needs — and insert.
+    */
+  protected def consumeToOffer(
+      ctx: CodegenContext, input: Seq[ExprCode],
+      extra: Option[(String, String)]): String = {
+    val childOutput = self.child.output
+    ctx.currentVars = input
+    ctx.INPUT_ROW = null
+    val scoreEv = BindReferences
+      .bindReference(score: Expression, childOutput).genCode(ctx)
+    val idEv = BindReferences
+      .bindReference(idAttr: Expression, childOutput).genCode(ctx)
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      keys.map(k => BindReferences.bindReference(k: Expression, childOutput)))
+    val (extraCode, extraArgs) = extra.getOrElse(("", ""))
+    s"""
+       |${scoreEv.code}
+       |${idEv.code}
+       |if (!(${scoreEv.isNull}) && !(${idEv.isNull})) {
+       |  ${keyEv.code}
+       |  $extraCode
+       |  $helperTerm.offer(${keyEv.value}, ${scoreEv.value}, ${idEv.value}$extraArgs);
+       |}
+     """.stripMargin
+  }
+}
+
 /** Map-side stage: per input partition, keep at most k rows per key
   * (full input rows, so the exchange above carries pruned originals).
   * No distribution requirement — runs where the scan runs.
@@ -117,10 +263,31 @@ case class TopKPerKeyPartialExec(
     idAttr: Attribute,
     k: Int,
     child: SparkPlan)
-  extends UnaryExecNode {
+  extends UnaryExecNode with TopKCodegen {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def helperClass: String = "graft.plans.TopKPartialBuffers"
+
+  /** Per-task helper factory, called from the generated constructor. */
+  def createBuffers(): TopKPartialBuffers = new TopKPartialBuffers(k)
+
+  // the payload is the whole input row, so the parent loop must
+  // evaluate every child column before our consume code runs
+  override def usedInputs: AttributeSet = AttributeSet(child.output)
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    val childOutput = child.output
+    ctx.currentVars = input
+    ctx.INPUT_ROW = null
+    // materialize the payload row ONLY for rows that pass the null
+    // check (the buffer then copies only on actual insertion)
+    val rowEv = GenerateUnsafeProjection.createCode(ctx,
+      childOutput.map(a => BindReferences.bindReference(a: Expression, childOutput)))
+    consumeToOffer(ctx, input, Some((rowEv.code.toString, s", ${rowEv.value}")))
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -169,9 +336,13 @@ case class TopKPerKeyFinalExec(
     rankAttr: Attribute,
     k: Int,
     child: SparkPlan)
-  extends UnaryExecNode {
+  extends UnaryExecNode with TopKCodegen {
 
   override def output: Seq[Attribute] = (keys :+ rankAttr :+ idAttr) :+ score
+
+  // rank originates here (mirrors the logical node) — without this the
+  // plan tree renders with a spurious missing-input marker
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
@@ -179,6 +350,16 @@ case class TopKPerKeyFinalExec(
   // post-exchange child is hash-partitioned on keys, which are in our
   // output unchanged — downstream per-key ops can reuse it shuffle-free
   override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def helperClass: String = "graft.plans.TopKFinalBuffers"
+
+  /** Per-task helper factory, called from the generated constructor. */
+  def createBuffers(): TopKFinalBuffers =
+    new TopKFinalBuffers(k, keys.map(_.dataType).toArray, output.map(_.dataType).toArray)
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+    consumeToOffer(ctx, input, None)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

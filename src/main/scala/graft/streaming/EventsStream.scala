@@ -186,9 +186,67 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** C14 — watermarked stream-stream INTERVAL JOIN: attribute each
+    * purchase to every click by the same user in the preceding 30
+    * minutes. The time-bound condition is what makes this viable
+    * unbounded: with both sides watermarked and the join range closed,
+    * the state store retains only rows inside the watermark ± range
+    * horizon and evicts everything older — without the bound, each
+    * side would buffer forever. Inner-join matches emit as soon as
+    * both rows have arrived (append mode), so on a drained bounded
+    * source the result equals the batch interval join and the DuckDB
+    * oracle applies unchanged (stream/batch unification again).
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    c.join(p, expr(
+      """p.user_id = c.user_id AND
+        |p.ts >= c.ts AND p.ts <= c.ts + interval 30 minutes""".stripMargin))
+      .select(
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"),
+        round(col("p.ts").cast("double") - col("c.ts").cast("double"), 4).as("gap_s"))
+  }
+
+  def qStreamJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    useRocksDbState(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_join")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+    def side(tpe: String): DataFrame =
+      s.readStream.schema(eventsSchema).parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+        .select("event_id", "ts", "user_id")
+    val name = "stream_join_out"
+    val q = intervalJoin(side("click"), side("purchase")).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  val qStreamJoinSql: String =
+    """WITH c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      |  round(epoch(p.ts) - epoch(c.ts), 4) AS gap_s
+      |FROM c JOIN p ON p.user_id = c.user_id
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_tumble" -> qStreamTumble)
+    "q_stream_tumble" -> qStreamTumble,
+    "q_stream_join" -> qStreamJoin)
 
   def oracles: Map[String, String] = Map(
-    "q_stream_tumble" -> qStreamTumbleSql)
+    "q_stream_tumble" -> qStreamTumbleSql,
+    "q_stream_join" -> qStreamJoinSql)
 }

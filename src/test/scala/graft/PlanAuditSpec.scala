@@ -19,7 +19,7 @@ class PlanAuditSpec extends GraftSuite {
       "q_resample")
   // building these DataFrames runs a streaming query — audited by
   // StreamingSpec instead.
-  private val skip = Set("q_stream_tumble")
+  private val skip = Set("q_stream_tumble", "q_stream_join")
 
   test("no unintended cartesian/nested-loop joins anywhere in the inventory") {
     SparkEntry.queries.keys.filterNot(skip).filterNot(allPairsWhitelist).foreach { name =>

@@ -24,6 +24,20 @@ class PlansSpec extends GraftSuite {
     assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty)
   }
 
+  test("both top-k stages run inside whole-stage codegen, no fallback") {
+    // fallback=false turns a generated-code compile failure into a hard
+    // error instead of a silent interpreted re-run — so a pass here
+    // proves the generated code actually compiled and executed
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = graft.plans.Native.qTopkNative(spark, sf)
+      assert(df.collect().length > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) TopKPerKeyPartial""".r.findFirstIn(plan).isDefined, plan)
+      assert("""\*\(\d+\) TopKPerKeyFinal""".r.findFirstIn(plan).isDefined, plan)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("deterministic on score ties: lowest id wins, matches window form") {
     import spark.implicits._
     // 40 rows, 4 keys, every score identical -> pure id tiebreak

@@ -71,6 +71,48 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches across micro-batches and equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def row(id: Long, minute: Long, u: Long) =
+      (id, new java.sql.Timestamp(1700000000000L + minute * 60000L), u)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    def named(ms: MemoryStream[(Long, java.sql.Timestamp, Long)]) =
+      ms.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventsStream.intervalJoin(named(clicks), named(purchases))
+      .writeStream.outputMode("append").format("memory").queryName("sj_out").start()
+    try {
+      // batch 1: clicks only — no output yet, state buffers them
+      clicks.addData(row(100L, 0, 1L), row(101L, 5, 1L), row(102L, 0, 2L))
+      q.processAllAvailable()
+      assert(spark.table("sj_out").count() == 0)
+      // batch 2: purchases arrive — must match clicks from batch 1
+      // (u1@20min pairs with BOTH clicks; u2@40min is outside 30min)
+      purchases.addData(row(200L, 20, 1L), row(201L, 40, 2L))
+      q.processAllAvailable()
+      val got = spark.table("sj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 200L), (101L, 200L)))
+    } finally q.stop()
+  }
+
+  test("q_stream_join equals the equivalent batch interval join") {
+    val streamed = EventsStream.qStreamJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val e = Tables.events(spark, sf).select("event_id", "ts", "user_id", "event_type")
+    import org.apache.spark.sql.functions._
+    val c = e.filter(col("event_type") === "click").alias("c")
+    val p = e.filter(col("event_type") === "purchase").alias("p")
+    val batch = c.join(p, expr(
+        "p.user_id = c.user_id AND p.ts >= c.ts AND p.ts <= c.ts + interval 30 minutes"))
+      .select(col("c.event_id"), col("p.event_id"), col("c.user_id"),
+        round(col("p.ts").cast("double") - col("c.ts").cast("double"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup suppresses same-content docs across batches, first wins") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
