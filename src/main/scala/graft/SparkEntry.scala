@@ -20,7 +20,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.streaming.EventsStream.queries ++
       GraftSql.queries ++ Skew.queries ++ graft.plans.Native.queries ++
-      Tokenizer.queries ++ Decontam.queries ++ Clustering.queries
+      Tokenizer.queries ++ Decontam.queries ++ Clustering.queries ++
+      Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate / stubbed ops)
@@ -31,5 +32,6 @@ object SparkEntry {
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.streaming.EventsStream.oracles ++
       GraftSql.oracles ++ Skew.oracles ++ graft.plans.Native.oracles ++
-      Tokenizer.oracles ++ Decontam.oracles ++ Clustering.oracles
+      Tokenizer.oracles ++ Decontam.oracles ++ Clustering.oracles ++
+      Graph.oracles
 }

@@ -92,7 +92,7 @@ object Dedup {
   }
 
   /** Shared CTE prefix mirroring [[shingles]] in DuckDB SQL. */
-  private val shinglesCte: String =
+  private[operators] val shinglesCte: String =
     """WITH toks AS (SELECT doc_id,
       |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
       |  FROM documents),
@@ -158,7 +158,7 @@ object Dedup {
 
   /** Shared CTE block mirroring [[qJaccardPairs]]: doc sizes, the
     * posting-size cap, and per-pair intersection counts. */
-  private val jaccardPairsCte: String =
+  private[operators] val jaccardPairsCte: String =
     """,
       |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |psz AS (SELECT h, count(*) AS np FROM sh GROUP BY h),

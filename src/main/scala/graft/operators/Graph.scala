@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the near-dup candidate graph (D9) — PageRank
+  * as fixed-iteration distributed join+aggregate, the GraphX/Pregel
+  * workload re-expressed in DataFrames (the same shape as the D8
+  * connected-components loop).
+  *
+  * Scale design: the graph (near-dup pairs) is tiny relative to the
+  * corpus; each iteration is ONE edge⋈rank hash join plus ONE
+  * dst-keyed aggregate — both shuffles on the node key, so at 100 TB
+  * of edges this is the standard iterative-join layout with
+  * `localCheckpoint` bounding lineage per round. The weighted edge
+  * list (1/outdegree) is computed once and cached; N ships as a
+  * literal. Per-iteration ranks are quantized to 8 decimals so the
+  * DuckDB oracle (unrolled CTEs, same quantization) tracks the Spark
+  * values bit-for-bit regardless of either engine's summation order.
+  */
+object Graph {
+
+  val Damping = 0.85
+  val PrIters = 3
+
+  def pagerank(pairs: DataFrame, iters: Int = PrIters,
+      damping: Double = Damping): DataFrame = {
+    val e1 = pairs.toDF("src", "dst")
+    // near-dup similarity is symmetric → undirected graph, no dangling
+    // nodes (every node has outdegree >= 1), total rank mass conserved
+    val edges = e1.union(e1.select(col("dst"), col("src"))).toDF("src", "dst")
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count() // N as literal (model-as-literal pattern)
+    if (n == 0)
+      return nodes.select(col("node").as("doc_id"), lit(0.0).as("pr"))
+    val wedges = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 0 until iters) {
+      val contribs = wedges
+        .join(ranks, wedges("src") === ranks("node"))
+        .groupBy("dst").agg(sum(col("w") * col("pr")).as("contrib"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          round(lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0)), 8).as("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node").as("doc_id"), col("pr"))
+  }
+
+  def qPagerank(s: SparkSession, d: String): DataFrame =
+    pagerank(Dedup.qJaccardPairs(s, d).select("doc_a", "doc_b"))
+
+  /** Unrolled PageRank in DuckDB over the identical jaccard-pair graph:
+    * rN = ranks entering iteration N, quantized round(·, 8) exactly as
+    * the Spark loop. Every fractional literal is cast ::DOUBLE — DuckDB
+    * parses bare decimal literals as DECIMAL, whose exact arithmetic
+    * would diverge from Spark's binary doubles at the last ulp.
+    */
+  val qPagerankSql: String = {
+    def iterCte(t: Int): String =
+      s"""r${t + 1} AS (
+         |  SELECT nodes.node,
+         |    round((1 - 0.85::DOUBLE) / nn.n + 0.85::DOUBLE * coalesce(c.contrib, 0), 8) AS pr
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT we.dst, sum(we.w * r$t.pr) AS contrib
+         |    FROM we JOIN r$t ON we.src = r$t.node GROUP BY we.dst) c
+         |  ON c.dst = nodes.node)""".stripMargin
+    Dedup.shinglesCte + Dedup.jaccardPairsCte +
+      s""",
+         |dup AS (SELECT doc_a, doc_b
+         |  FROM p JOIN c ca ON doc_a = ca.doc_id JOIN c cb ON doc_b = cb.doc_id
+         |  WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+         |  UNION ALL SELECT doc_b, doc_a FROM dup),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |we AS (SELECT e.src, e.dst, 1::DOUBLE / deg.deg AS w
+         |  FROM e JOIN deg ON e.src = deg.src),
+         |r0 AS (SELECT node, 1::DOUBLE / nn.n AS pr FROM nodes CROSS JOIN nn),
+         |${(0 until PrIters).map(iterCte).mkString(",\n")}
+         |SELECT node AS doc_id, pr FROM r$PrIters""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> qPagerank)
+
+  def oracles: Map[String, String] = Map(
+    "q_pagerank" -> qPagerankSql)
+}

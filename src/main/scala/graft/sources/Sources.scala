@@ -30,6 +30,17 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC round-trip — the other columnar warehouse format Spark ships
+    * natively; same pushdown/pruning machinery as parquet (predicate
+    * pushdown via ORC searchable argument, column pruning via the
+    * selected schema).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Partitioned-by-column parquet layout (partition pruning on read —
     * the physical design that makes `WHERE source = …` free at 100 TB).
     */

@@ -20,6 +20,21 @@ class SourcesSpec extends GraftSuite {
     assert(json.collect().map(_.toSeq).toSet == want)
   }
 
+  test("orc round-trips losslessly and pushes filters into the scan") {
+    val docs = Tables.documents(spark, sf)
+    val dir = tmp()
+    Sources.writeOrc(docs, s"$dir/orc")
+    val back = Sources.readOrc(spark, s"$dir/orc")
+    assert(back.collect().map(_.toSeq).toSet ==
+      docs.collect().map(_.toSeq).toSet)
+    // predicate pushdown + column pruning reach the ORC scan exactly
+    // like parquet
+    val q = back.filter(col("n_chars") > 500).select("doc_id", "n_chars")
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"), plan.take(800))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint"), plan.take(800))
+  }
+
   test("partitioned parquet layout prunes partitions on read") {
     val docs = Tables.documents(spark, sf)
     val dir = tmp()
