@@ -22,7 +22,10 @@ object Bench {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy("o_orderstatus").count().count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order: hash-map iteration order would hand the
+    // shared shingle-index build cost to a DIFFERENT dedup-family query
+    // each round, making per-query deltas incomparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // nudge the ContextCleaner so dead broadcasts/shuffles of prior
       // queries are released and a long run doesn't degrade into GC
       // thrash; live caches (the shared shingle index) are kept
@@ -34,7 +37,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

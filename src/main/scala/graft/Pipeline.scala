@@ -3,15 +3,16 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Decontam, Dedup, TextAnalysis}
 
 /** End-to-end training-data pipeline (SURVEY.md §7): the shipped
   * operators composed into the flow a pretraining corpus actually
-  * runs — profile → quality filter → near-dup removal → PII redaction
-  * → deterministic split → partitioned/sorted layout sink. One driver
-  * program; every stage is one of the §2 operators, so the whole
-  * pipeline inherits their plan properties (pushdown, partial agg,
-  * inverted-index dedup, content-addressed split, bounded file sizes).
+  * runs — profile → quality filter → PII redaction → near-dup removal
+  * → deterministic split → decontamination → partitioned/sorted layout
+  * sink. One driver program; every stage is one of the §2 operators,
+  * so the whole pipeline inherits their plan properties (pushdown,
+  * partial agg, inverted-index dedup, content-addressed split,
+  * broadcast decontam semi-join, bounded file sizes).
   *
   * Usage: runMain graft.Pipeline <sfDir> <outDir>
   * Prints one JSON line of per-stage counts.
@@ -22,6 +23,7 @@ object Pipeline {
       input: Long,
       qualityKept: Long,
       dedupKept: Long,
+      decontamKept: Long,
       train: Long,
       holdout: Long)
 
@@ -59,17 +61,31 @@ object Pipeline {
       .selectExpr(
         "doc_id", "text", "lang", "source", "n_chars",
         s"CASE WHEN ${TextAnalysis.bucketExpr} < 216 THEN 'train' ELSE 'holdout' END AS split")
+      .cache()
 
-    // 5. layout sink (A13): split dirs, doc_id-sorted files, bounded size
+    // 5. decontamination (F15): any TRAIN doc still sharing an 8-gram
+    // with the holdout split leaks eval content — drop it. Runs after
+    // dedup (near-dup removal already thinned the overlap) and only
+    // ever removes train rows, so the holdout side stays intact.
+    val trainSide = labeled.filter(col("split") === "train")
+    val holdSide = labeled.filter(col("split") === "holdout")
+    val leakIds = Decontam.contaminatedIds(
+      trainSide.select("doc_id", "text"), holdSide.select("doc_id", "text"))
+    val clean = trainSide.join(leakIds, Seq("doc_id"), "left_anti")
+      .unionByName(holdSide)
+    val decontamKept = clean.count()
+
+    // 6. layout sink (A13): split dirs, doc_id-sorted files, bounded size
     graft.sources.Sources.writeLayout(
-      labeled, outDir, "split", Seq("doc_id"), maxRecordsPerFile = 100000L)
+      clean, outDir, "split", Seq("doc_id"), maxRecordsPerFile = 100000L)
 
     val out = spark.read.parquet(outDir)
     val counts = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     kept.unpersist()
+    labeled.unpersist()
     Dedup.unpersistShingleIndexes()
-    StageCounts(input, qualityKept, dedupKept,
+    StageCounts(input, qualityKept, dedupKept, decontamKept,
       counts.getOrElse("train", 0L), counts.getOrElse("holdout", 0L))
   }
 
@@ -88,7 +104,8 @@ object Pipeline {
     val c = run(spark, sfDir, outDir)
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"metric":"pipeline","input":${c.input},"quality_kept":${c.qualityKept},""" +
-      s""""dedup_kept":${c.dedupKept},"train":${c.train},"holdout":${c.holdout},""" +
+      s""""dedup_kept":${c.dedupKept},"decontam_kept":${c.decontamKept},""" +
+      s""""train":${c.train},"holdout":${c.holdout},""" +
       s""""sec":$sec,"out":"$outDir"}""")
     spark.stop()
   }

