@@ -32,6 +32,10 @@ package object functions {
   def vec_dist_sq(a: Column, c: Column): Column =
     column(FloatVecDistSq(expression(a), expression(c)))
 
+  /** 62-bit Morton (Z-order) code of two BIGINT columns. */
+  def z_value(x: Column, y: Column): Column =
+    column(ZValue(expression(x), expression(y)))
+
   /** One BPE merge pass over an `array<string>` symbol column. */
   def bpe_merge(syms: Column, l: Column, r: Column): Column =
     column(BpeMergeOnce(expression(syms), expression(l), expression(r)))

@@ -497,7 +497,38 @@ object Relational {
       |  round(avg(n_chars), 4) AS avg_chars
       |FROM documents""".stripMargin
 
+  // B26 — Z-order clustering key: the 62-bit Morton code of
+  // (o_custkey, o_orderkey), the multi-dim layout key behind
+  // `Sources.writeZOrdered` (lakehouse OPTIMIZE ZORDER BY). The oracle
+  // replays the magic-number bit-spread step by step in SQL, proving
+  // the interleave bit-for-bit. Deterministic top-100 by z keeps the
+  // dump small while still covering the full bit range.
+  def qZorder(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        graft.functions.z_value(col("o_custkey"), col("o_orderkey")).as("z"))
+      .orderBy(col("z").asc, col("o_orderkey").asc)
+      .limit(100)
+
+  val qZorderSql: String = {
+    def spread(in: String, out: String): String =
+      s"""${out}a AS (SELECT o_orderkey, ($in & 2147483647) AS v FROM ${out}src),
+         |${out}b AS (SELECT o_orderkey, (v | (v << 16)) & 281470681808895 AS v FROM ${out}a),
+         |${out}c AS (SELECT o_orderkey, (v | (v << 8)) & 71777214294589695 AS v FROM ${out}b),
+         |${out}d AS (SELECT o_orderkey, (v | (v << 4)) & 1085102592571150095 AS v FROM ${out}c),
+         |${out}e AS (SELECT o_orderkey, (v | (v << 2)) & 3689348814741910323 AS v FROM ${out}d),
+         |$out AS (SELECT o_orderkey, (v | (v << 1)) & 6148914691236517205 AS v FROM ${out}e)""".stripMargin
+    s"""WITH sxsrc AS (SELECT o_orderkey, o_custkey FROM orders),
+       |sysrc AS (SELECT o_orderkey, o_custkey FROM orders),
+       |${spread("o_custkey", "sx")},
+       |${spread("o_orderkey", "sy")}
+       |SELECT sx.o_orderkey, sx.v | (sy.v << 1) AS z
+       |FROM sx JOIN sy ON sx.o_orderkey = sy.o_orderkey
+       |ORDER BY z, sx.o_orderkey LIMIT 100""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> qZorder,
     "q_filter" -> qFilter,
     "q1_agg" -> q1Agg,
     "q_topk_orders" -> qTopkOrders,
@@ -523,6 +554,7 @@ object Relational {
     "q_profile" -> qProfile)
 
   def oracles: Map[String, String] = Map(
+    "q_zorder" -> qZorderSql,
     "q_filter" -> qFilterSql,
     "q1_agg" -> q1AggSql,
     "q_topk_orders" -> qTopkOrdersSql,

@@ -434,7 +434,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.expressions.Expression
-  import graft.functions.{Djb2, FloatVecCosine, FloatVecDot, FloatVecNorm}
+  import graft.functions.{BpeEncode, BpeMergeOnce, Djb2, FloatVecCosine, FloatVecDistSq, FloatVecDot, FloatVecNorm, ZValue}
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { args: Seq[Expression] =>
@@ -443,8 +443,18 @@ object GraftFunctions {
       require(args.length == 1, "vec_norm(a)"); FloatVecNorm(args(0)) },
     "vec_cosine" -> { args: Seq[Expression] =>
       require(args.length == 2, "vec_cosine(a, b)"); FloatVecCosine(args(0), args(1)) },
+    "vec_dist_sq" -> { args: Seq[Expression] =>
+      require(args.length == 2, "vec_dist_sq(a, c)"); FloatVecDistSq(args(0), args(1)) },
     "djb2" -> { args: Seq[Expression] =>
-      require(args.length == 1, "djb2(s)"); Djb2(args(0)) })
+      require(args.length == 1, "djb2(s)"); Djb2(args(0)) },
+    "bpe_merge" -> { args: Seq[Expression] =>
+      require(args.length == 3, "bpe_merge(syms, l, r)")
+      BpeMergeOnce(args(0), args(1), args(2)) },
+    "bpe_encode" -> { args: Seq[Expression] =>
+      require(args.length == 3, "bpe_encode(word, lefts, rights)")
+      BpeEncode(args(0), args(1), args(2)) },
+    "z_value" -> { args: Seq[Expression] =>
+      require(args.length == 2, "z_value(x, y)"); ZValue(args(0), args(1)) })
 
   /** Post-hoc registration on an existing session (idempotent —
     * createOrReplace semantics).

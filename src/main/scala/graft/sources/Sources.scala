@@ -56,6 +56,41 @@ object Sources {
     * `sortWithinPartitions` is a LOCAL sort — no global exchange
     * beyond the partitionBy shuffle.
     */
+  /** Z-ordered layout (A14): cluster the table on the Morton code of
+    * two columns — range-partition on z (each output file owns a
+    * contiguous z range ≈ a 2-D tile), sort by z within files. Row
+    * groups then have narrow min/max on BOTH dimensions, so parquet
+    * pruning works for predicates on either column — the lakehouse
+    * OPTIMIZE ZORDER BY layout. The z column itself is dropped from
+    * the files: it is a layout key, not data.
+    *
+    * Coordinates are first NORMALIZED onto a 1024×1024 grid via
+    * min/max scaling — interleaving raw values lets whichever column
+    * has the larger magnitude own all the high z bits, which degrades
+    * to a single-column sort (measured: per-file spans of the small
+    * column stayed at ~100% of full range). min/max is one aggregate
+    * whose two scalars ship as literals; production z-ordering on
+    * skewed columns swaps the linear scale for approx-quantile ranks,
+    * same layout otherwise.
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val r = df.agg(
+      min(c1).cast("long"), max(c1).cast("long"),
+      min(c2).cast("long"), max(c2).cast("long")).head()
+    val (lo1, hi1, lo2, hi2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def bucket(c: String, lo: Long, hi: Long) =
+      ((col(c).cast("long") - lo) * 1024L / (hi - lo + 1L)).cast("long")
+    df.withColumn("__z", graft.functions.z_value(
+        bucket(c1, lo1, hi1), bucket(c2, lo2, hi2)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def writeLayout(
       df: DataFrame,
       path: String,

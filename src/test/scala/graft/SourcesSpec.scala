@@ -48,6 +48,52 @@ class SourcesSpec extends GraftSuite {
       scanned.take(800))
   }
 
+  test("z_value matches a naive bit-interleave reference") {
+    import graft.functions.Morton
+    def naive(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (123456789L, 987654321L),
+      (2147483646L, 2147483646L), (42L, 7L))
+    for ((x, y) <- samples)
+      assert(Morton.interleave(x, y) == naive(x, y), s"($x, $y)")
+    assert(samples.forall { case (x, y) => Morton.interleave(x, y) >= 0 })
+  }
+
+  test("z-ordered layout clusters BOTH dimensions into narrow per-file ranges") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val dir = tmp() + "/zorder"
+    Sources.writeZOrdered(orders, dir, "o_custkey", "o_orderkey", numFiles = 16)
+    val back = Sources.readParquet(spark, dir)
+    assert(back.count() == orders.count())
+    // per-file spans: a z-range tile bounds both coordinates, so the
+    // mean per-file span of EACH dimension must be well below the full
+    // span (a single-column sort gives this for one dimension only)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length >= 4, files.length.toString)
+    def spans(colName: String): Seq[Long] = files.toSeq.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(colName).as("lo"), max(colName).as("hi")).head()
+      r.getLong(1) - r.getLong(0)
+    }
+    def full(colName: String): Long = {
+      val r = orders.agg(min(colName).as("lo"), max(colName).as("hi")).head()
+      r.getLong(1) - r.getLong(0)
+    }
+    val custSpans = spans("o_custkey")
+    val okeySpans = spans("o_orderkey")
+    assert(custSpans.sum.toDouble / custSpans.length < 0.6 * full("o_custkey"),
+      s"custkey spans $custSpans vs full ${full("o_custkey")}")
+    assert(okeySpans.sum.toDouble / okeySpans.length < 0.6 * full("o_orderkey"),
+      s"orderkey spans $okeySpans vs full ${full("o_orderkey")}")
+  }
+
   test("layout sink: partition dirs, per-file row cap, in-file sort order") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
     val dir = tmp()
