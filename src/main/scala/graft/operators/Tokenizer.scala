@@ -79,7 +79,22 @@ object Tokenizer {
     * codegen'd merge pass rewriting the symbol arrays. localCheckpoint
     * per iteration keeps lineage flat, exactly like the CC loop.
     */
-  def trainBpe(docs: DataFrame, numMerges: Int = NumMerges): Seq[Merge] = {
+  /** One trained merge table per (corpus plan, numMerges), mirroring
+    * the dedup family's shingle-index registry: the model is
+    * deterministic, tiny (numMerges rows), and shared by every
+    * tokenizer query over the same corpus — q_bpe_tokenize reuses
+    * q_bpe_merges' training instead of re-running 16 aggregate+argmax
+    * rounds. Driver-side state only.
+    */
+  private val trained = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), Seq[Merge]]
+
+  def trainBpe(docs: DataFrame, numMerges: Int = NumMerges): Seq[Merge] = synchronized {
+    val key = (docs.queryExecution.analyzed.canonicalized, numMerges)
+    trained.getOrElseUpdate(key, runTraining(docs, numMerges))
+  }
+
+  private def runTraining(docs: DataFrame, numMerges: Int): Seq[Merge] = {
     var dict = wordFreq(docs)
       .select(col("freq"), split(col("word"), "").as("syms"))
       .localCheckpoint()

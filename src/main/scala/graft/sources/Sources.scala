@@ -91,6 +91,45 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** A15 — file-level data-skipping index: per-file min/max of the
+    * given columns, built in ONE scan (group by input_file_name). This
+    * is the external half of what A14's z-layout sets up: with files
+    * clustered on z, per-file ranges are narrow on every z-ed
+    * dimension, so a range predicate prunes most FILES before Spark
+    * even plans the scan — the Delta/Iceberg stats-skipping pattern
+    * without a table format. At 100 TB the index is a persisted table
+    * maintained incrementally on write; here it is built on demand.
+    */
+  def buildFileIndex(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Range read through the index: keep only files whose [min, max]
+    * intersects [lo, hi], hand exactly those paths to the reader, and
+    * re-apply the row-level predicate on top. The driver action is the
+    * pruned FILE LIST (bounded by file count, the same thing any
+    * catalog hands a planner), never data.
+    */
+  def readPruned(
+      spark: SparkSession, path: String, index: DataFrame,
+      column: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = index
+      .filter(!(col(s"${column}_max") < lo || col(s"${column}_min") > hi))
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(col(column) >= lo && col(column) <= hi)
+        .limit(0)
+    else
+      spark.read.parquet(files: _*)
+        .filter(col(column) >= lo && col(column) <= hi)
+  }
+
   def writeLayout(
       df: DataFrame,
       path: String,

@@ -94,6 +94,34 @@ class SourcesSpec extends GraftSuite {
       s"orderkey spans $okeySpans vs full ${full("o_orderkey")}")
   }
 
+  test("file index + z-layout: range reads prune most files, results exact") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val dir = tmp() + "/zidx"
+    Sources.writeZOrdered(orders, dir, "o_custkey", "o_orderkey", numFiles = 16)
+    val idx = Sources.buildFileIndex(spark, dir, Seq("o_custkey", "o_orderkey"))
+      .cache()
+    val nFiles = idx.count()
+    assert(nFiles >= 8)
+    // narrow range query on EACH dimension: pruned result == full-scan
+    // result, and the file list is a small fraction of the layout
+    for (c <- Seq("o_custkey", "o_orderkey")) {
+      val r = orders.agg(min(c), max(c)).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      // probe a narrow band away from the z-curve's half-way boundary
+      // (file ranges cluster their endpoints exactly there)
+      val qLo = lo + (hi - lo) * 11 / 20
+      val qHi = qLo + (hi - lo) / 50
+      val pruned = Sources.readPruned(spark, dir, idx, c, qLo, qHi)
+      val full = spark.read.parquet(dir).filter(col(c) >= qLo && col(c) <= qHi)
+      assert(pruned.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet)
+      val touched = idx.filter(
+        !(col(s"${c}_max") < qLo || col(s"${c}_min") > qHi)).count()
+      assert(touched < nFiles / 2,
+        s"$c: touched $touched of $nFiles files for a 2% range")
+    }
+    idx.unpersist()
+  }
+
   test("layout sink: partition dirs, per-file row cap, in-file sort order") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
     val dir = tmp()
