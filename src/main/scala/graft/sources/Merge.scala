@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A16 — copy-on-write MERGE (upsert) into a keyed parquet directory:
+  * the Delta/Iceberg `MERGE INTO` write path without the transaction
+  * log. Rows whose key appears in `updates` are replaced; new keys are
+  * inserted.
+  *
+  * Scale design: the whole point is to NOT rewrite the table. The A15
+  * file index finds the files whose key range intersects any update
+  * key (conservative superset of files actually containing one), only
+  * THOSE files are read and rewritten — on a key-clustered layout
+  * (A13/A14) that is a tiny fraction of a 100 TB table — and every
+  * other file is left physically untouched. The update keys broadcast
+  * (updates are small relative to the table by contract). The final
+  * swap is filesystem rename, not a transactional commit — a real
+  * lakehouse puts a metadata log in front of exactly this write
+  * pattern; the data movement is identical.
+  */
+object Merge {
+
+  case class MergeStats(
+      filesTotal: Long,
+      filesRewritten: Long,
+      rowsBefore: Long,
+      rowsAfter: Long,
+      rowsUpdated: Long,
+      rowsInserted: Long)
+
+  def mergeInto(
+      spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String): MergeStats = {
+    val idx = Sources.buildFileIndex(spark, path, Seq(keyCol)).cache()
+    val filesTotal = idx.count()
+    val keys = updates.select(col(keyCol).as("__k")).distinct()
+    val touched = idx
+      .join(broadcast(keys),
+        col("__k") >= col(s"${keyCol}_min") && col("__k") <= col(s"${keyCol}_max"),
+        "left_semi")
+      .select("file").collect().map(_.getString(0))
+    idx.unpersist()
+
+    val target = spark.read.parquet(path)
+    val rowsBefore = target.count()
+    val oldTouched =
+      if (touched.isEmpty) target.limit(0)
+      else spark.read.parquet(touched.toIndexedSeq: _*)
+    // upsert semantics: kept = touched rows whose key is NOT updated;
+    // every update row lands in the table (replacing or inserting)
+    val kept = oldTouched.join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_anti")
+    val rowsUpdated = oldTouched
+      .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_semi").count()
+    val rewritten = kept.unionByName(updates.select(oldTouched.columns.map(col): _*))
+
+    // stage the replacement files, then swap: delete only the touched
+    // files, move the staged ones in (the non-transactional analog of
+    // a table-format commit)
+    val stage = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    rewritten.write.mode(SaveMode.Overwrite).parquet(stage)
+    touched.foreach { f =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        f.stripPrefix("file://").stripPrefix("file:")))
+    }
+    val dst = java.nio.file.Paths.get(path)
+    val staged = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+    try staged.forEach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".parquet"))
+        java.nio.file.Files.move(p, dst.resolve(s"merge_$name"))
+    } finally staged.close()
+    val after = spark.read.parquet(path)
+    val rowsAfter = after.count()
+    MergeStats(filesTotal, touched.length.toLong, rowsBefore, rowsAfter,
+      rowsUpdated, rowsAfter - rowsBefore)
+  }
+}

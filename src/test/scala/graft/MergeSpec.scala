@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Merge, Sources}
+
+/** Copy-on-write MERGE: correctness of the upsert AND physical
+  * minimality of the rewrite (untouched files stay byte-identical).
+  */
+class MergeSpec extends GraftSuite {
+
+  test("mergeInto: upsert semantics, file-pruned rewrite, untouched files intact") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_spec")
+      .toString + "/t"
+    // key-clustered layout: narrow per-file key ranges = prunable merge
+    Sources.writeZOrdered(orders, dir, "o_orderkey", "o_orderkey", numFiles = 16)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val filesBefore = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+
+    // 3 updates to existing adjacent keys + 2 brand-new keys
+    val existing = before.keys.toSeq.sorted.take(3)
+    val updates = (existing.map(k => (k, 999L, 1.5)) ++
+      Seq((9000001L, 999L, 2.5), (9000002L, 999L, 3.5)))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val stats = Merge.mergeInto(spark, dir, updates, "o_orderkey")
+
+    // upsert semantics, checked row for row against a reference map
+    val want = before ++ (existing.map(_ -> ((999L, 1.5))) ++
+      Seq(9000001L -> ((999L, 2.5)), 9000002L -> ((999L, 3.5)))).toMap
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+
+    // physical minimality: few files rewritten, the rest untouched on disk
+    assert(stats.filesTotal == 16)
+    assert(stats.filesRewritten < 8, stats.toString)
+    assert(stats.rowsUpdated == 3 && stats.rowsInserted == 2)
+    val filesAfter = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val survivors = filesBefore.keySet.intersect(filesAfter.keySet)
+    assert(survivors.size == 16 - stats.filesRewritten)
+    for (f <- survivors)
+      assert(filesAfter(f) == filesBefore(f), s"$f was rewritten in place")
+  }
+
+  test("mergeInto with only-new keys touches zero files") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_spec2")
+      .toString + "/t"
+    Sources.writeZOrdered(orders, dir, "o_orderkey", "o_orderkey", numFiles = 8)
+    val n0 = spark.read.parquet(dir).count()
+    val updates = Seq((9100001L, 1L, 1.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val stats = Merge.mergeInto(spark, dir, updates, "o_orderkey")
+    assert(stats.filesRewritten == 0)
+    assert(stats.rowsUpdated == 0 && stats.rowsInserted == 1)
+    assert(spark.read.parquet(dir).count() == n0 + 1)
+  }
+}
