@@ -45,4 +45,10 @@ package object functions {
     */
   def bpe_encode(word: Column, lefts: Column, rights: Column): Column =
     column(BpeEncode(expression(word), expression(lefts), expression(rights)))
+
+  /** Bloom-filter membership probe of a BIGINT key column against a
+    * bitset built by `BloomJoin.buildBloom` (k hash probes, codegen'd).
+    */
+  def bloom_might_contain(key: Column, bits: Array[Long], k: Int): Column =
+    column(BloomMightContain(expression(key.cast("long")), bits, k))
 }

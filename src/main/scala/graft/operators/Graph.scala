@@ -88,9 +88,76 @@ object Graph {
          |SELECT node AS doc_id, pr FROM r$PrIters""".stripMargin
   }
 
+  /** D10 — per-node triangle counts over the near-dup graph.
+    *
+    * Scale design: the naive formulation joins the symmetric edge list
+    * three ways, so a hub of degree d contributes d² wedges. Instead
+    * every edge is DIRECTED from its lower- to its higher-(degree, id)
+    * endpoint first ("degree ordering"): each triangle then has exactly
+    * one rank-ordered orientation (counted once, no /6 correction), and
+    * wedge fan-out is bounded by max OUT-degree, which degree ordering
+    * caps at O(sqrt(m)) — the standard bound that makes distributed
+    * triangle counting survive power-law graphs. Both joins shuffle on
+    * a node key; no cartesian anywhere.
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e1 = pairs.toDF("a", "b")
+    val sym = e1.union(e1.select(col("b"), col("a"))).toDF("u", "v").distinct()
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+    val o = sym
+      .join(deg.as("du"), sym("u") === col("du.node"))
+      .join(deg.as("dv"), sym("v") === col("dv.node"))
+      .filter(col("du.deg") < col("dv.deg") ||
+        (col("du.deg") === col("dv.deg") && sym("u") < sym("v")))
+      .select(sym("u"), sym("v"))
+      .localCheckpoint() // read 3× below; graph ≪ corpus
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.v") === col("e2.u"))
+      .join(o.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("cnt"))
+    deg.select("node")
+      .join(perNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("cnt"), lit(0L)).cast("long").as("tri_cnt"))
+  }
+
+  def qTriangles(s: SparkSession, d: String): DataFrame =
+    triangles(Dedup.qJaccardPairs(s, d).select("doc_a", "doc_b"))
+
+  /** Identical degree-ordering in SQL: same (deg, id) rank, same single
+    * orientation per triangle, zero-filled over the node set. */
+  val qTrianglesSql: String =
+    Dedup.shinglesCte + Dedup.jaccardPairsCte +
+      """,
+        |dup AS (SELECT doc_a, doc_b
+        |  FROM p JOIN c ca ON doc_a = ca.doc_id JOIN c cb ON doc_b = cb.doc_id
+        |  WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+        |  UNION ALL SELECT doc_b, doc_a FROM dup),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+        |o AS (SELECT e.src AS u, e.dst AS v FROM e
+        |  JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node
+        |  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.src < e.dst)),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM o e1
+        |  JOIN o e2 ON e1.v = e2.u
+        |  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t),
+        |pn AS (SELECT node, count(*) AS cnt FROM tn GROUP BY node)
+        |SELECT deg.node AS doc_id,
+        |  CAST(coalesce(pn.cnt, 0) AS BIGINT) AS tri_cnt
+        |FROM deg LEFT JOIN pn ON pn.node = deg.node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> qPagerank)
+    "q_pagerank" -> qPagerank,
+    "q_triangles" -> ((s, d) => qTriangles(s, d)))
 
   def oracles: Map[String, String] = Map(
-    "q_pagerank" -> qPagerankSql)
+    "q_pagerank" -> qPagerankSql,
+    "q_triangles" -> qTrianglesSql)
 }

@@ -28,6 +28,18 @@ class GraphSpec extends GraftSuite {
     assert(got(2L) > got(1L) && got(2L) > got(3L))
   }
 
+  test("triangles: 4-clique + pendant chain, degree-ordered count") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (4 triangles, each node in C(3,2)=3) plus a
+    // chain 4-5-6 that closes nothing
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Graph.triangles(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L, 6L -> 0L))
+  }
+
   test("q_pagerank conserves rank mass on the near-dup graph") {
     val out = Graph.qPagerank(spark, sf).collect().map(_.getDouble(1))
     if (out.nonEmpty) {

@@ -47,6 +47,41 @@ class MergeSpec extends GraftSuite {
       assert(filesAfter(f) == filesBefore(f), s"$f was rewritten in place")
   }
 
+  test("streaming upsert sink: change stream merges into a current snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_spec")
+      .toString + "/t"
+    Sources.writeZOrdered(orders, dir, "o_orderkey", "o_orderkey", numFiles = 8)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val k1 = before.keys.min
+
+    // (key, cust, price, seq): seq orders changes within a batch
+    val changes = MemoryStream[(Long, Long, Double, Long)]
+    val q = graft.streaming.UpsertSink.start(
+      changes.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice", "seq")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "seq"),
+      dir, "o_orderkey", "seq")
+    try {
+      // batch 1: two changes to the same key (later seq must win) + an insert
+      changes.addData((k1, 1L, 10.0, 1L), (k1, 2L, 20.0, 2L), (8000001L, 3L, 30.0, 1L))
+      q.processAllAvailable()
+      // batch 2: update the row batch 1 inserted
+      changes.addData((8000001L, 4L, 40.0, 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = before + (k1 -> ((2L, 20.0))) + (8000001L -> ((4L, 40.0)))
+    assert(got == want)
+  }
+
   test("mergeInto with only-new keys touches zero files") {
     import spark.implicits._
     val orders = Tables.orders(spark, sf)
