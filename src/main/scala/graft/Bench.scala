@@ -25,7 +25,12 @@ object Bench {
     // deterministic name order: hash-map iteration order would hand the
     // shared shingle-index build cost to a DIFFERENT dedup-family query
     // each round, making per-query deltas incomparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: run only the named queries (local iteration aid;
+    // the driver passes none and gets the full suite)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // nudge the ContextCleaner so dead broadcasts/shuffles of prior
       // queries are released and a long run doesn't degrade into GC
       // thrash; live caches (the shared shingle index) are kept

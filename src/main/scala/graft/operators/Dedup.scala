@@ -435,7 +435,10 @@ object Dedup {
     * shallow). The same pattern GraphX/GraphFrames use for CC.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edgesOne = pairs.toDF("src", "dst")
+    // eager one-shot materialization: the symmetrizing union below
+    // would otherwise run the near-dup pair pipeline once PER BRANCH
+    // when the edge cache first fills
+    val edgesOne = pairs.toDF("src", "dst").localCheckpoint()
     val edges = edgesOne
       .union(edgesOne.select(col("dst"), col("src")))
       .toDF("src", "dst").cache()

@@ -25,7 +25,10 @@ object Graph {
 
   def pagerank(pairs: DataFrame, iters: Int = PrIters,
       damping: Double = Damping): DataFrame = {
-    val e1 = pairs.toDF("src", "dst")
+    // one materialization of the pair list; see triangles() — the
+    // union/degree/weight derivations below would otherwise re-run
+    // the upstream near-dup pipeline several times each
+    val e1 = pairs.toDF("src", "dst").localCheckpoint()
     // near-dup similarity is symmetric → undirected graph, no dangling
     // nodes (every node has outdegree >= 1), total rank mass conserved
     val edges = e1.union(e1.select(col("dst"), col("src"))).toDF("src", "dst")
@@ -101,7 +104,11 @@ object Graph {
     * a node key; no cartesian anywhere.
     */
   def triangles(pairs: DataFrame): DataFrame = {
-    val e1 = pairs.toDF("a", "b")
+    // materialize the edge list ONCE: everything below (symmetrize,
+    // degrees, orientation, zero-fill) re-reads it, and re-deriving
+    // the near-dup pair pipeline per reference would dominate the
+    // whole computation (the graph is tiny relative to the corpus)
+    val e1 = pairs.toDF("a", "b").localCheckpoint()
     val sym = e1.union(e1.select(col("b"), col("a"))).toDF("u", "v").distinct()
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
