@@ -21,7 +21,8 @@ object SparkEntry {
       Multimodal.queries ++ graft.streaming.EventsStream.queries ++
       GraftSql.queries ++ Skew.queries ++ graft.plans.Native.queries ++
       Tokenizer.queries ++ Decontam.queries ++ Clustering.queries ++
-      Graph.queries ++ BloomJoin.queries
+      Graph.queries ++ BloomJoin.queries ++ Incremental.queries ++
+      Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate / stubbed ops)
@@ -33,5 +34,6 @@ object SparkEntry {
       Multimodal.oracles ++ graft.streaming.EventsStream.oracles ++
       GraftSql.oracles ++ Skew.oracles ++ graft.plans.Native.oracles ++
       Tokenizer.oracles ++ Decontam.oracles ++ Clustering.oracles ++
-      Graph.oracles ++ BloomJoin.oracles
+      Graph.oracles ++ BloomJoin.oracles ++ Incremental.oracles ++
+      Sketches.oracles
 }

@@ -227,6 +227,47 @@ object Events {
       |FROM spine s CROSS JOIN ty
       |LEFT JOIN cnt ON cnt.hour = s.hour AND cnt.event_type = ty.event_type""".stripMargin
 
+  /** C16 — ordered conversion funnel (view → click → purchase): users
+    * advance a stage only with an event at-or-after their entry to the
+    * previous stage (min-timestamp cascade). Each stage is ONE shuffle
+    * on user_id and the per-user state is a single timestamp, so the
+    * stage frames shrink monotonically — at 100 TB the later joins run
+    * on the (far smaller) converted-user sets, never fact×fact.
+    * Micros-identical timestamps on both engines (see qSessionize note)
+    * make the >= cascade exact cross-engine.
+    */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("vt"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("vt"))
+      .groupBy("user_id").agg(min("ts").as("ct"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("ct"))
+      .groupBy("user_id").agg(min("ts").as("pt"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("users")).withColumn("stage", lit(name))
+    stage(v, "1_view").unionByName(stage(c, "2_click"))
+      .unionByName(stage(p, "3_purchase"))
+      .select("stage", "users")
+  }
+
+  val qFunnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.vt GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.ct GROUP BY 1)
+      |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+      |UNION ALL
+      |SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+      |UNION ALL
+      |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumble" -> qEventsTumble,
     "q_sessionize" -> qSessionize,
@@ -234,7 +275,8 @@ object Events {
     "q_json_extract" -> qJsonExtract,
     "q_sliding_window" -> qSlidingWindow,
     "q_session_window" -> qSessionWindow,
-    "q_resample" -> qResample)
+    "q_resample" -> qResample,
+    "q_funnel" -> qFunnel)
 
   def oracles: Map[String, String] = Map(
     "q_events_tumble" -> qEventsTumbleSql,
@@ -243,5 +285,6 @@ object Events {
     "q_json_extract" -> qJsonExtractSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_session_window" -> qSessionWindowSql,
-    "q_resample" -> qResampleSql)
+    "q_resample" -> qResampleSql,
+    "q_funnel" -> qFunnelSql)
 }

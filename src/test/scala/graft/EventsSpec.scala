@@ -5,6 +5,15 @@ import graft.operators.Events
 
 class EventsSpec extends GraftSuite {
 
+  test("funnel stages are monotone and ordered by the timestamp cascade") {
+    val rows = graft.operators.Events.qFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(rows("1_view") >= rows("2_click"))
+    assert(rows("2_click") >= rows("3_purchase"))
+    assert(rows("1_view") > 0)
+  }
+
   test("tumbling agg partitions every event into exactly one window") {
     val n = Events.qEventsTumble(spark, sf).agg(sum("n")).collect()(0).getLong(0)
     assert(n == Tables.events(spark, sf).count())
