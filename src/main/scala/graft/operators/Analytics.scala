@@ -1,0 +1,312 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Distributed-analytics block (SURVEY.md §2.2 B29-B34 / §2.3 C17) —
+  * patterns whose naive single-node formulations break at cluster
+  * scale, re-expressed in their distributed shapes:
+  *
+  *  - global row numbering WITHOUT a single-partition window (the
+  *    TeraSort layout: range-partition, rank per partition in
+  *    parallel, add broadcast per-partition offsets);
+  *  - equi-depth quantile binning built on that rank (exact, no
+  *    global sort-collect);
+  *  - grouping sets (one Expand + one aggregate for arbitrary
+  *    grouping combinations — not a UNION of N scans);
+  *  - salted exact count-distinct (set-valued aggregation state is
+  *    NOT map-side-combinable the way sums are, so a hot group pins
+  *    one reducer; salting BY THE DISTINCT KEY splits the set
+  *    disjointly and a second tiny aggregate re-sums — exact);
+  *  - z-score outlier detection (tiny stats aggregate broadcast back
+  *    against the fact table);
+  *  - time-range-frame moving average (per-user window, peers
+  *    included by RANGE semantics so ordering ties are harmless);
+  *  - blocked fuzzy matching (entity-resolution shape: dedup to
+  *    distinct values FIRST, block, then edit-distance only within
+  *    blocks — never corpus × corpus).
+  */
+object Analytics {
+
+  /** B29 — global row numbering over a total order, distributed.
+    *
+    * `orderBy + row_number() OVER ()` plans a SINGLE-partition window
+    * — one task ranks the whole table, the anti-pattern at any scale.
+    * The distributed layout: range-partition on the sort keys (each
+    * partition holds a contiguous key range), rank WITHIN partitions
+    * in parallel, then add each partition's global offset (the count
+    * of rows in all lower partitions — a #partitions-row broadcast).
+    *
+    * The range exchange is pinned with localCheckpoint: partition ids
+    * must be identical between the offsets job and the ranking job,
+    * and the range partitioner re-samples per materialization. The
+    * materialization barrier is inherent to the operator (offsets
+    * need every partition's count before any rank is final) — it is
+    * the same barrier TeraSort pays.
+    */
+  def globalRank(df: DataFrame, numParts: Int, keys: Column*): DataFrame = {
+    val parted = df.repartitionByRange(numParts, keys: _*).localCheckpoint()
+      .withColumn("__pid", spark_partition_id())
+    // #partitions rows — the only single-partition window, bounded by
+    // the partition count, never by the data
+    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    parted
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("__pid").orderBy(keys: _*)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("global_rank", col("__off") + col("__r"))
+      .drop("__pid", "__r", "__off")
+  }
+
+  def qGlobalRank(s: SparkSession, d: String): DataFrame =
+    globalRank(
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+      numParts = 32,
+      col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_totalprice", "global_rank")
+
+  val qGlobalRankSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS global_rank
+      |FROM orders""".stripMargin
+
+  /** B31 — exact equi-depth (quantile) binning: bucket b of k holds
+    * ranks (b-1)·N/k .. b·N/k under a total order — computed from the
+    * distributed rank, so no global sort-collect and no interpolated
+    * boundary floats to disagree over (the bucket boundary is an
+    * INTEGER rank comparison, bit-exact in any engine). N ships as a
+    * literal (the model-as-literal pattern, like the unigram LM total).
+    */
+  def qEquidepth(s: SparkSession, d: String, k: Int = 4): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_extendedprice", "l_orderkey", "l_linenumber")
+    val n = li.count()
+    globalRank(li, 32,
+      col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .withColumn("bucket", expr(s"((global_rank - 1) * $k) div $n") + 1)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        round(min("l_extendedprice"), 4).as("lo"),
+        round(max("l_extendedprice"), 4).as("hi"))
+  }
+
+  val qEquidepthSql: String =
+    """WITH r AS (
+      |  SELECT l_extendedprice,
+      |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM lineitem)
+      |SELECT CAST((rn - 1) * 4 // n AS BIGINT) + 1 AS bucket,
+      |  count(*) AS n_rows,
+      |  round(min(l_extendedprice), 4) AS lo,
+      |  round(max(l_extendedprice), 4) AS hi
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** B30 — grouping sets: per-source totals, per-lang totals, and the
+    * grand total in ONE pass (one Expand + one hash aggregate), where
+    * a UNION-of-aggregates formulation scans the table once per set.
+    * grouping() flags disambiguate "NULL because aggregated away"
+    * from a NULL data value, identically in both engines.
+    */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupingSets(
+        Seq(Seq(col("source")), Seq(col("lang")), Seq()),
+        col("source"), col("lang"))
+      .agg(
+        grouping(col("source")).cast("long").as("g_source"),
+        grouping(col("lang")).cast("long").as("g_lang"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+      .select("source", "lang", "g_source", "g_lang", "n_docs", "sum_chars")
+
+  val qGroupingSetsSql: String =
+    """SELECT source, lang,
+      |  grouping(source) AS g_source, grouping(lang) AS g_lang,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((source), (lang), ())""".stripMargin
+
+  /** B34 — salted exact count-distinct. count(DISTINCT x) keeps a SET
+    * per group — not algebraic, so map-side partial aggregation cannot
+    * shrink it and a hot group's whole set converges on one reducer.
+    * Salting by hash(x) splits each group's set into `factor` DISJOINT
+    * subsets (x determines its salt, so no value is counted twice),
+    * distinct-counts them in parallel, and re-sums — exact, with the
+    * hot group's state spread over `factor` reducers. The same layout
+    * Spark plans internally via Expand for multi-distinct; shipping it
+    * explicitly makes the rewrite available to composed pipelines.
+    */
+  def saltedDistinct(df: DataFrame, group: String, key: String,
+      factor: Int = 16): DataFrame =
+    df.groupBy(col(group),
+        pmod(xxhash64(col(key)), lit(factor)).as("__salt"))
+      .agg(count_distinct(col(key)).as("__c"))
+      .groupBy(group)
+      .agg(sum("__c").as(s"uniq_$key"))
+
+  def qSaltedDistinct(s: SparkSession, d: String): DataFrame =
+    saltedDistinct(Tables.lineitem(s, d), "l_returnflag", "l_partkey")
+      .withColumnRenamed("uniq_l_partkey", "uniq_parts")
+
+  val qSaltedDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS uniq_parts
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** B32 — z-score outlier detection over events: per-type mean/stddev
+    * (a |types|-row aggregate) broadcast back against the fact table.
+    * One full scan + one broadcast join; the fact table never
+    * shuffles. Comparison on the ROUNDED z so cross-engine float noise
+    * in the moment sums cannot flip threshold-straddling rows.
+    */
+  def qOutliers(s: SparkSession, d: String, z: Double = 2.5): DataFrame = {
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("__m"), stddev_samp("value").as("__sd"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("zscore", round((col("value") - col("__m")) / col("__sd"), 4))
+      .filter(abs(col("zscore")) > z)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"), col("zscore"))
+  }
+
+  val qOutliersSql: String =
+    """WITH st AS (
+      |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      |  FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, round(value, 4) AS value,
+      |  round((value - m) / sd, 4) AS zscore
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |WHERE abs(round((value - m) / sd, 4)) > 2.5""".stripMargin
+
+  /** C17 — trailing 1-hour moving average per user (time-RANGE window
+    * frame, not ROWS): the frame is defined by the timestamp VALUE, so
+    * same-second peers are all included and ordering ties cannot
+    * change the result. Partitioned by user_id — high cardinality, so
+    * window sort parallelism scales with users, never one task per
+    * event type.
+    */
+  def qMovingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es")
+      .rangeBetween(-3599, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("es", unix_timestamp(col("ts")))
+      .withColumn("mov_avg_1h", round(avg("value").over(w), 4))
+      .select("event_id", "user_id", "es", "mov_avg_1h")
+  }
+
+  val qMovingAvgSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      |  FROM events)
+      |SELECT event_id, user_id, es,
+      |  round(avg(value) OVER (PARTITION BY user_id ORDER BY es
+      |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 4) AS mov_avg_1h
+      |FROM e""".stripMargin
+
+  /** B33 — blocked fuzzy matching (the entity-resolution join): edit
+    * distance is O(|a|·|b|) per comparison, so the scale shape is (1)
+    * collapse to DISTINCT values — the same encode-once-per-unique-word
+    * layout as BPE tokenization, (2) self-join only within a cheap
+    * blocking key (here the head noun), (3) exact levenshtein inside
+    * blocks. Corpus × corpus never happens; cost is Σ block².
+    */
+  def fuzzyPairs(names: DataFrame, col0: String, maxDist: Int): DataFrame = {
+    val blocked = names.select(col(col0).as("name")).distinct()
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.block") === col("b.block") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
+  def qFuzzyMatch(s: SparkSession, d: String): DataFrame =
+    fuzzyPairs(Tables.part(s, d), "p_name", maxDist = 3)
+
+  val qFuzzyMatchSql: String =
+    """WITH n AS (SELECT DISTINCT p_name AS name,
+      |    list_extract(string_split(p_name, ' '), -1) AS block
+      |  FROM part)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  levenshtein(a.name, b.name) AS edit_dist
+      |FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin
+
+  /** B35 — the analytic window-function family (ntile / percent_rank /
+    * cume_dist / lag / lead) over per-customer order histories: the
+    * partition key is HIGH-cardinality (one customer's orders per
+    * window), so window-sort parallelism scales with customers. The
+    * in-partition order is a total order (date, then key), making
+    * every function deterministic; rank ratios round to 6 decimals in
+    * both engines.
+    */
+  def qWindowFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"))
+  }
+
+  val qWindowFuncsSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  /** B36 — ordered collect: each customer's order keys as one sorted,
+    * comma-joined string. collect_list's accumulation order is
+    * partition-nondeterministic, so the sort happens AFTER collection
+    * (sort_array) — the only way a collected sequence is reproducible
+    * in a distributed engine. State is bounded per group (a customer's
+    * own orders), never corpus-sized.
+    */
+  def qCollect(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("order_keys"))
+
+  val qCollectSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS order_keys
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_funcs" -> qWindowFuncs,
+    "q_collect" -> qCollect,
+    "q_global_rank" -> qGlobalRank,
+    "q_equidepth" -> ((s, d) => qEquidepth(s, d)),
+    "q_grouping_sets" -> qGroupingSets,
+    "q_salted_distinct" -> qSaltedDistinct,
+    "q_outliers" -> ((s, d) => qOutliers(s, d)),
+    "q_moving_avg" -> qMovingAvg,
+    "q_fuzzy_match" -> qFuzzyMatch)
+
+  def oracles: Map[String, String] = Map(
+    "q_window_funcs" -> qWindowFuncsSql,
+    "q_collect" -> qCollectSql,
+    "q_global_rank" -> qGlobalRankSql,
+    "q_equidepth" -> qEquidepthSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_salted_distinct" -> qSaltedDistinctSql,
+    "q_outliers" -> qOutliersSql,
+    "q_moving_avg" -> qMovingAvgSql,
+    "q_fuzzy_match" -> qFuzzyMatchSql)
+}

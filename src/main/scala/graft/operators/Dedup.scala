@@ -262,7 +262,10 @@ object Dedup {
   def qMinhashLsh(s: SparkSession, d: String): DataFrame =
     lshCandidates(Tables.documents(s, d))
 
-  val qMinhashLshSql: String = {
+  /** Shared CTE prefix (shingles → signatures → banded buckets with the
+    * maxBucket cap) mirroring [[lshCandidates]]; suffixed by both the
+    * LSH-pairs oracle and the D11 estimation oracle. */
+  private val lshCtePrefix: String = {
     val rows = NumHashes / NumBands
     val rCols = (0 until rows).map(j => s"r$j").mkString(", ")
     val bandSelects = (0 until NumBands).map { b =>
@@ -270,8 +273,6 @@ object Dedup {
         .map(j => f"mh${b * rows + j}%02d AS r$j").mkString(", ")
       s"SELECT doc_id, $b AS band, $sel FROM mh"
     }.mkString("\n  UNION ALL ")
-    val onEq = (0 until rows).map(j => s"a.r$j = b.r$j").mkString(" AND ")
-    // mirrors lshCandidates exactly, INCLUDING the maxBucket cap
     shinglesCte +
       s""",
          |mh AS (\n$minhashSelectSql),
@@ -279,11 +280,55 @@ object Dedup {
          |sized AS (
          |  SELECT doc_id, band, $rCols,
          |    count(*) OVER (PARTITION BY band, $rCols) AS bsz
-         |  FROM buckets)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM sized a JOIN sized b
-         |  ON a.band = b.band AND $onEq AND a.doc_id < b.doc_id
-         |WHERE a.bsz <= 1000""".stripMargin
+         |  FROM buckets)""".stripMargin
+  }
+
+  /** The candidate-pair SELECT, mirroring [[lshCandidates]] exactly,
+    * INCLUDING the maxBucket cap. */
+  private val lshPairSelect: String = {
+    val rows = NumHashes / NumBands
+    val onEq = (0 until rows).map(j => s"a.r$j = b.r$j").mkString(" AND ")
+    s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM sized a JOIN sized b
+       |  ON a.band = b.band AND $onEq AND a.doc_id < b.doc_id
+       |WHERE a.bsz <= 1000""".stripMargin
+  }
+
+  val qMinhashLshSql: String = lshCtePrefix + "\n" + lshPairSelect
+
+  /** D11 — signature-based Jaccard ESTIMATION: for each LSH candidate
+    * pair, the fraction of agreeing MinHash components is an unbiased
+    * estimator of the true Jaccard (P[mh_i(A)=mh_i(B)] = J(A,B), the
+    * MinHash property). This is the triage step web-scale dedup runs
+    * BEFORE exact verification: signatures are k longs per doc, so the
+    * estimate needs only a signature join — the shingle sets never
+    * re-shuffle. Exact arithmetic over integer component equality, so
+    * the oracle replays it bit-for-bit.
+    */
+  def qMinhashEst(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sigs = minhash(docs)
+    val agree = (0 until NumHashes)
+      .map(i => when(col(f"a.mh$i%02d") === col(f"b.mh$i%02d"), 1).otherwise(0))
+      .reduce(_ + _)
+    lshCandidates(docs)
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(agree.cast("double") / NumHashes, 4).as("est_jaccard"))
+  }
+
+  val qMinhashEstSql: String = {
+    val agree = (0 until NumHashes)
+      .map(i => f"(CASE WHEN a.mh$i%02d = b.mh$i%02d THEN 1 ELSE 0 END)")
+      .mkString(" +\n    ")
+    lshCtePrefix +
+      s""",
+         |cand AS (
+         |${lshPairSelect})
+         |SELECT doc_a, doc_b,
+         |  round(($agree)::DOUBLE / $NumHashes, 4) AS est_jaccard
+         |FROM cand JOIN mh a ON doc_a = a.doc_id JOIN mh b ON doc_b = b.doc_id""".stripMargin
   }
 
   // D5 — SimHash: 60-bit fingerprint by per-bit voting over token
@@ -509,6 +554,7 @@ object Dedup {
     "q_jaccard_pairs" -> ((s, d) => qJaccardPairs(s, d)),
     "q_minhash" -> qMinhash,
     "q_minhash_lsh" -> qMinhashLsh,
+    "q_minhash_est" -> qMinhashEst,
     "q_simhash" -> qSimhash,
     "q_embed_dup" -> ((s, d) => qEmbedDup(s, d)))
 
@@ -519,6 +565,7 @@ object Dedup {
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_minhash" -> qMinhashSql,
     "q_minhash_lsh" -> qMinhashLshSql,
+    "q_minhash_est" -> qMinhashEstSql,
     "q_simhash" -> qSimhashSql,
     "q_embed_dup" -> qEmbedDupSql)
 }

@@ -256,7 +256,54 @@ object Similarity {
       |      FROM embeddings)
       |GROUP BY 1, 2""".stripMargin
 
+  /** E7 — scalar quantization (the int8 compression path): per-dim
+    * global [lo, hi] ranges (one 64-row aggregate), each float mapped
+    * to an 8-bit code round((x-lo)/(hi-lo)·254). At 100 TB this is the
+    * 4× memory/bandwidth reduction that lets an ANN index fit hot
+    * storage; reconstruction error is bounded by (hi-lo)/254 per dim.
+    * The ranges join back as a broadcast 1-row array pair — the
+    * model-as-literal pattern without a driver collect. All arithmetic
+    * forced to DOUBLE so both engines quantize bit-identically;
+    * constant dims (hi=lo) code to 0 via the same nullif guard.
+    * Output is the per-vector code sum + min/max — a complete
+    * cross-engine probe of every code without shipping arrays through
+    * the comparator.
+    */
+  def qQuantized(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val ranges = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, lo))), s -> s.lo)").as("los"),
+        expr("transform(array_sort(collect_list(struct(pos, hi))), s -> s.hi)").as("his"))
+    e.crossJoin(broadcast(ranges))
+      .select(col("vec_id"), expr(
+        """transform(embedding, (x, i) ->
+          |  CAST(coalesce(round((CAST(x AS DOUBLE) - los[i]) /
+          |    nullif(his[i] - los[i], 0.0D) * 254), 0) AS BIGINT))""".stripMargin).as("codes"))
+      .select(col("vec_id"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        expr("array_min(codes)").as("code_min"),
+        expr("array_max(codes)").as("code_max"))
+  }
+
+  val qQuantizedSql: String =
+    """WITH u AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |    unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |r AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM u GROUP BY pos),
+      |q AS (SELECT vec_id,
+      |    CAST(coalesce(round((x - lo) / nullif(hi - lo, 0) * 254), 0) AS BIGINT) AS c
+      |  FROM u JOIN r USING (pos))
+      |SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,
+      |  min(c) AS code_min, max(c) AS code_max
+      |FROM q GROUP BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantized" -> qQuantized,
     "q_vector_norm" -> qVectorNorm,
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh" -> qKnnLsh,
@@ -264,6 +311,7 @@ object Similarity {
     "q_embed_centroid" -> qEmbedCentroid)
 
   def oracles: Map[String, String] = Map(
+    "q_quantized" -> qQuantizedSql,
     "q_vector_norm" -> qVectorNormSql,
     "q_knn_brute" -> qKnnBruteSql,
     "q_knn_ivf" -> qKnnIvfSql,

@@ -372,7 +372,41 @@ object TextAnalysis {
       |FROM sc
       |QUALIFY rank <= 3""".stripMargin
 
+  /** F16 — character-level Shannon entropy per document, the cheap
+    * gibberish/compression-quality signal (binary junk and
+    * single-char spam score far from prose's ~4 bits/char). One
+    * map-side explode to (doc, char) with partial counting, then a
+    * doc-keyed aggregate; the shuffle carries per-doc CHARACTER
+    * DISTRIBUTIONS (≤ alphabet size per doc), never the text. Uses
+    * the log identity H = log2(n) - Σ cnt·log2(cnt)/n so one
+    * aggregate suffices (no per-row p=cnt/n window pass).
+    */
+  def qEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n"),
+        sum(col("cnt").cast("double") * log2(col("cnt"))).as("sl"))
+      .select(col("doc_id"), col("n").as("n_chars"),
+        round(log2(col("n")) - col("sl") / col("n"), 4).as("char_entropy"))
+
+  val qEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |cnt AS (SELECT doc_id, ch, count(*) AS cnt FROM ch
+      |  WHERE ch <> '' GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+      |    sum(cnt::DOUBLE * log2(cnt)) AS sl
+      |  FROM cnt GROUP BY 1)
+      |SELECT doc_id, n AS n_chars,
+      |  round(log2(n) - sl / n, 4) AS char_entropy
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entropy" -> qEntropy,
     "q_tfidf" -> qTfidf,
     "q_token_stats" -> qTokenStats,
     "q_quality" -> qQuality,
@@ -386,6 +420,7 @@ object TextAnalysis {
     "q_unigram_lm" -> qUnigramLm)
 
   def oracles: Map[String, String] = Map(
+    "q_entropy" -> qEntropySql,
     "q_tfidf" -> qTfidfSql,
     "q_token_stats" -> qTokenStatsSql,
     "q_quality" -> qQualitySql,

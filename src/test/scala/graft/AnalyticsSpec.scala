@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Analytics, Dedup, TextAnalysis}
+
+class AnalyticsSpec extends GraftSuite {
+
+  test("globalRank matches the single-partition window formulation") {
+    val got = Analytics.qGlobalRank(spark, sf)
+      .select("o_orderkey", "global_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.orders(spark, sf)
+      .withColumn("global_rank", row_number().over(
+        Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+      .select("o_orderkey", "global_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("globalRank ranks within partitions in parallel (no data-sized global window)") {
+    // the plan must not contain a window over an empty partition spec
+    // on the DATA path; the only Window.orderBy-without-partition runs
+    // over the #partitions-row offsets side
+    val plan = Analytics.qGlobalRank(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), "per-partition rank window missing")
+  }
+
+  test("qEquidepth buckets are balanced and cover the value range") {
+    val rows = Analytics.qEquidepth(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val counts = rows.map(_.getAs[Long]("n_rows"))
+    assert(counts.max - counts.min <= 1, s"unbalanced: ${counts.toSeq}")
+    // buckets tile the range in order: each bucket's hi <= next's lo
+    val pairs = rows.sliding(2).toSeq
+    assert(pairs.forall(p =>
+      p(0).getAs[Double]("hi") <= p(1).getAs[Double]("lo")))
+  }
+
+  test("qGroupingSets = per-source + per-lang + grand total in one pass") {
+    val rows = Analytics.qGroupingSets(spark, sf).collect()
+    val grand = rows.filter(r => r.getAs[Long]("g_source") == 1 && r.getAs[Long]("g_lang") == 1)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_docs") == Tables.documents(spark, sf).count())
+    val bySource = rows.filter(_.getAs[Long]("g_source") == 0)
+    assert(bySource.map(_.getAs[Long]("n_docs")).sum == grand.head.getAs[Long]("n_docs"))
+    // one Expand + one aggregate, not a union of scans
+    val plan = Analytics.qGroupingSets(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") && !plan.contains("Union"))
+  }
+
+  test("saltedDistinct is exact: disjoint salt partitions re-sum to the true count") {
+    val got = Analytics.qSaltedDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(count_distinct(col("l_partkey")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("qOutliers flags exactly the rows beyond the rounded z threshold") {
+    val rows = Analytics.qOutliers(spark, sf).collect()
+    assert(rows.forall(r => math.abs(r.getAs[Double]("zscore")) > 2.5))
+    // sanity: outliers are rare (well under 5% of events for z=2.5)
+    val total = Tables.events(spark, sf).count()
+    assert(rows.length < total / 20)
+  }
+
+  test("qMovingAvg matches an independent self-join formulation of the frame") {
+    val got = Analytics.qMovingAvg(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("mov_avg_1h")).toMap
+    val e = Tables.events(spark, sf)
+      .withColumn("es", unix_timestamp(col("ts")))
+      .select("event_id", "user_id", "es", "value")
+    val want = e.as("x")
+      .join(e.as("y"), col("x.user_id") === col("y.user_id") &&
+        col("y.es").between(col("x.es") - 3599, col("x.es")))
+      .groupBy(col("x.event_id"))
+      .agg(round(avg(col("y.value")), 4).as("want"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("want")).toMap
+    assert(got.keySet == want.keySet)
+    assert(got.forall { case (k, v) => math.abs(v - want(k)) <= 1e-4 })
+  }
+
+  test("fuzzyPairs only compares within blocks and finds known near-names") {
+    val pairs = Analytics.qFuzzyMatch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    // all pairs share the head-noun block and respect the cutoff
+    assert(pairs.forall { case (a, b, dst) =>
+      a.split(" ").last == b.split(" ").last && dst <= 3 && a < b })
+    // the classic near-pair surfaces
+    assert(pairs.exists { case (a, b, _) => a == "old bolt" && b == "red bolt" })
+  }
+
+  test("qMinhashEst estimates are within the MinHash error envelope of exact Jaccard") {
+    val est = Dedup.qMinhashEst(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(est.nonEmpty)
+    val exact = Dedup.qJaccardPairs(spark, sf, tau = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    // k=12 hashes: stderr = sqrt(J(1-J)/12) <= 0.145; allow 3 sigma
+    val errs = est.collect { case (k, e) if exact.contains(k) => math.abs(e - exact(k)) }
+    assert(errs.nonEmpty && errs.max <= 0.45, s"worst err ${errs.max}")
+  }
+
+  test("qWindowFuncs: analytic functions are consistent within each customer") {
+    val rows = Analytics.qWindowFuncs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => (1 to 4).contains(r.getAs[Int]("quartile"))))
+    // cume_dist r/N >= percent_rank (r-1)/(N-1) always
+    assert(rows.forall(r => r.getAs[Double]("cume") >= r.getAs[Double]("pct_rank")))
+    // exactly one lag-null (first order) per customer
+    val custs = rows.map(_.getAs[Long]("o_custkey")).distinct.length
+    assert(rows.count(_.isNullAt(rows.head.fieldIndex("prev_price"))) == custs)
+  }
+
+  test("qCollect: sorted joined keys match a direct per-customer computation") {
+    val got = Analytics.qCollect(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r.getAs[String]("order_keys")).toMap
+    val want = Tables.orders(spark, sf).select("o_custkey", "o_orderkey").collect()
+      .groupBy(_.getLong(0))
+      .map { case (c, rs) => c -> rs.map(_.getLong(1)).sorted.mkString(",") }
+    assert(got == want)
+  }
+
+  test("qQuantized: codes span [0, 254] and the quantization is deterministic") {
+    val rows = graft.operators.Similarity.qQuantized(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("code_min") >= 0 &&
+      r.getAs[Long]("code_max") <= 254))
+    // some dim hits each end of the range somewhere in the corpus
+    assert(rows.exists(_.getAs[Long]("code_min") == 0))
+    assert(rows.exists(_.getAs[Long]("code_max") == 254))
+  }
+
+  test("qEntropy: uniform text scores high, constant text scores zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefgh"), // 8 distinct chars -> 3 bits
+      (2L, "aaaaaaaa")  // constant -> 0 bits
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("entropy").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.qEntropy(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("char_entropy")).toMap
+    assert(got(1L) == 3.0)
+    assert(got(2L) == 0.0)
+  }
+}
