@@ -288,7 +288,40 @@ object Analytics {
       |  string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS order_keys
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** A17 — order-independent table fingerprint (the anti-entropy /
+    * replication-check primitive): per-row 60-bit content hash XOR'd
+    * per group. XOR is commutative+associative, so the checksum is
+    * independent of row order, partitioning, AND engine — two copies
+    * of a table can be compared across systems by exchanging one row
+    * per group instead of the data. Hashes only integer/string
+    * columns (double formatting is engine-specific; the md5-of-concat
+    * layout is the same h60 kernel the dedup family oracles). XOR's
+    * known blind spot — a row duplicated an even number of times —
+    * is covered by the accompanying exact count.
+    */
+  def tableChecksum(df: DataFrame, group: String, cols: Seq[String]): DataFrame =
+    df.selectExpr(group +: cols: _*)
+      .withColumn("__h", expr(
+        s"CAST(conv(substr(md5(concat_ws('|', ${cols.mkString(", ")})), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(group)
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("checksum"))
+
+  def qChecksum(s: SparkSession, d: String): DataFrame =
+    tableChecksum(Tables.lineitem(s, d), "l_returnflag",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_linestatus"))
+
+  val qChecksumSql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |    CAST(('0x' || substr(md5(concat_ws('|', l_orderkey, l_partkey,
+      |      l_suppkey, l_linenumber, l_linestatus)), 1, 15)) AS BIGINT) AS hh
+      |  FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n_rows, bit_xor(hh) AS checksum
+      |FROM h GROUP BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_checksum" -> qChecksum,
     "q_window_funcs" -> qWindowFuncs,
     "q_collect" -> qCollect,
     "q_global_rank" -> qGlobalRank,
@@ -300,6 +333,7 @@ object Analytics {
     "q_fuzzy_match" -> qFuzzyMatch)
 
   def oracles: Map[String, String] = Map(
+    "q_checksum" -> qChecksumSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q_collect" -> qCollectSql,
     "q_global_rank" -> qGlobalRankSql,

@@ -268,7 +268,122 @@ object Events {
       |UNION ALL
       |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin
 
+  /** C19 — growth accounting: each user's FIRST event hour, then the
+    * hourly new-user count and its cumulative curve. The scale shape:
+    * first-touch is one user_id-keyed min-aggregate (map-side partial),
+    * the cumulative window runs over the HOUR spine — bounded by the
+    * time range (720 rows/month), never by users or events, so the
+    * unpartitioned running sum is safe at any data size.
+    */
+  def qNewUsers(s: SparkSession, d: String): DataFrame = {
+    val firstTouch = Tables.events(s, d)
+      .groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(date_format(date_trunc("hour", col("first_ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .groupBy("hour").agg(count(lit(1)).as("new_users"))
+    firstTouch.withColumn("cum_users",
+      sum("new_users").over(Window.orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  val qNewUsersSql: String =
+    """WITH ft AS (
+      |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+      |h AS (
+      |  SELECT strftime(date_trunc('hour', first_ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |    count(*) AS new_users
+      |  FROM ft GROUP BY 1)
+      |SELECT hour, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM h""".stripMargin
+
+  /** C20 — cohort retention: users grouped by their signup week, then
+    * distinct active users per (cohort week, week offset) — the classic
+    * retention triangle. Two user_id-keyed aggregates plus one
+    * distinct-count on (cohort, offset, user); every shuffle key is
+    * high-cardinality or bounded.
+    */
+  def qCohort(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("cohort_w"))
+    ev.select(col("user_id"), date_trunc("week", col("ts")).as("act_w"))
+      .join(cohort, "user_id")
+      .groupBy(
+        date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"),
+        // floor division: activity BEFORE the signup week (possible in
+        // the synthetic stream) must land in offset -1, not truncate to
+        // 0 — mirrored by floor(.../7.0) in the oracle
+        floor(datediff(col("act_w"), col("cohort_w")) / 7.0).cast("long").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  val qCohortSql: String =
+    """WITH c AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |a AS (
+      |  SELECT e.user_id, c.cohort_w, date_trunc('week', e.ts) AS act_w
+      |  FROM events e JOIN c ON e.user_id = c.user_id)
+      |SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+      |  CAST(floor(date_diff('day', cohort_w, act_w) / 7.0) AS BIGINT) AS week_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM a GROUP BY 1, 2""".stripMargin
+
+  /** C21 — event-type transition matrix (first-order Markov counts):
+    * each user's event stream in (ts, event_id) total order, paired
+    * with its successor by lead() over the user partition — one
+    * user_id shuffle, then a |types|²-bounded aggregate.
+    */
+  def qTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qTransitionsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** C22 — latest-per-key compaction (the CDC read path): one row per
+    * user, the (ts, event_id)-max event. row_number over the user
+    * partition in descending total order, keep rank 1 — the snapshot
+    * query every upsert table answers. Deterministic via the event_id
+    * tiebreak.
+    */
+  def qLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        round(col("value"), 4).as("value"))
+  }
+
+  val qLatestSql: String =
+    """SELECT user_id, event_id, event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  round(value, 4) AS value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_new_users" -> qNewUsers,
+    "q_cohort" -> qCohort,
+    "q_transitions" -> qTransitions,
+    "q_latest" -> qLatest,
     "q_events_tumble" -> qEventsTumble,
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
@@ -279,6 +394,10 @@ object Events {
     "q_funnel" -> qFunnel)
 
   def oracles: Map[String, String] = Map(
+    "q_new_users" -> qNewUsersSql,
+    "q_cohort" -> qCohortSql,
+    "q_transitions" -> qTransitionsSql,
+    "q_latest" -> qLatestSql,
     "q_events_tumble" -> qEventsTumbleSql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,

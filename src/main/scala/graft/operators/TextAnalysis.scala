@@ -405,7 +405,29 @@ object TextAnalysis {
       |  round(log2(n) - sl / n, 4) AS char_entropy
       |FROM agg""".stripMargin
 
+  /** F18 — regex extraction table: every non-overlapping match of a
+    * pattern, exploded to one row per occurrence with its 1-based
+    * match index (the scan→extract→explode shape behind PII mining,
+    * citation harvesting, markup stripping). Pattern kept in the
+    * RE2 ∩ Java common dialect (like the F5 redaction rules) so both
+    * engines find the identical leftmost-longest match sequence.
+    */
+  def qExtract(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]{5,}', 0)").as("ms"))
+      .select(col("doc_id"), posexplode(col("ms")).as(Seq("idx0", "matched")))
+      .select(col("doc_id"), (col("idx0") + 1).cast("long").as("idx"), col("matched"))
+
+  val qExtractSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z]{5,}') AS ms
+      |  FROM documents)
+      |SELECT doc_id, generate_subscripts(ms, 1) AS idx, unnest(ms) AS matched
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_extract" -> qExtract,
     "q_entropy" -> qEntropy,
     "q_tfidf" -> qTfidf,
     "q_token_stats" -> qTokenStats,
@@ -420,6 +442,7 @@ object TextAnalysis {
     "q_unigram_lm" -> qUnigramLm)
 
   def oracles: Map[String, String] = Map(
+    "q_extract" -> qExtractSql,
     "q_entropy" -> qEntropySql,
     "q_tfidf" -> qTfidfSql,
     "q_token_stats" -> qTokenStatsSql,

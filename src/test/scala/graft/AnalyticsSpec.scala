@@ -135,6 +135,83 @@ class AnalyticsSpec extends GraftSuite {
     assert(rows.exists(_.getAs[Long]("code_max") == 254))
   }
 
+  test("qNewUsers: cumulative curve ends at the distinct-user total") {
+    import graft.operators.Events
+    val rows = Events.qNewUsers(spark, sf).collect().sortBy(_.getAs[String]("hour"))
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("new_users")).sum == totalUsers)
+    assert(rows.last.getAs[Long]("cum_users") == totalUsers)
+    // cumulative is nondecreasing
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("qCohort: every signup cohort is fully active in its own week") {
+    import graft.operators.Events
+    val rows = Events.qCohort(spark, sf).collect()
+    val at0 = rows.filter(_.getAs[Long]("week_offset") == 0)
+      .map(r => r.getAs[String]("cohort_week") -> r.getAs[Long]("n_users")).toMap
+    // offset-0 activity includes at least the signup event itself, so
+    // week-0 retention is 100% of the cohort
+    val cohortSizes = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t"))
+      .select(date_format(date_trunc("week", col("t")), "yyyy-MM-dd").as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(at0 == cohortSizes)
+  }
+
+  test("qTransitions: transition mass = events minus one per user") {
+    import graft.operators.Events
+    val n = Events.qTransitions(spark, sf).collect().map(_.getAs[Long]("n")).sum
+    val events = Tables.events(spark, sf).count()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(n == events - users)
+  }
+
+  test("qLatest: one row per user, carrying that user's max timestamp") {
+    import graft.operators.Events
+    val rows = Events.qLatest(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.length == users)
+    val maxTs = Tables.events(spark, sf).groupBy("user_id")
+      .agg(date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.forall(r => r.getAs[String]("ts_s") == maxTs(r.getAs[Long]("user_id"))))
+  }
+
+  test("tableChecksum is invariant under repartitioning (order-independent)") {
+    val li = Tables.lineitem(spark, sf)
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_linestatus")
+    val a = Analytics.tableChecksum(li, "l_returnflag", cols).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = Analytics.tableChecksum(li.repartition(7), "l_returnflag", cols).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b)
+    // and it actually detects a changed row
+    val mutated = li.withColumn("l_suppkey",
+      when(col("l_orderkey") === li.select("l_orderkey").head().getLong(0),
+        col("l_suppkey") + 1).otherwise(col("l_suppkey")))
+    val c = Analytics.tableChecksum(mutated, "l_returnflag", cols).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a != c)
+  }
+
+  test("qExtract emits every >=5-letter run with 1-based indices") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.qExtract(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[String]("matched").length >= 5 &&
+      r.getAs[Long]("idx") >= 1))
+    // spot-check one doc against an independent Scala regex scan
+    val doc = Tables.documents(spark, sf).select("doc_id", "text").head()
+    val want = "[a-z]{5,}".r.findAllIn(doc.getString(1)).toSeq
+    val got = rows.filter(_.getLong(0) == doc.getLong(0))
+      .sortBy(_.getAs[Long]("idx")).map(_.getAs[String]("matched")).toSeq
+    assert(got == want)
+  }
+
   test("qEntropy: uniform text scores high, constant text scores zero") {
     import spark.implicits._
     val docs = Seq(
