@@ -379,7 +379,158 @@ object Events {
       |QUALIFY row_number() OVER (PARTITION BY user_id
       |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
+  /** Per-user gap sessions as second-granular [lo, hi] intervals —
+    * the C2 sessionization collapsed to interval endpoints, shared by
+    * the overlap join. */
+  private def sessionIntervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("gap_s", col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double"))
+      .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800d, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(unix_timestamp(min("ts")).as("lo"), unix_timestamp(max("ts")).as("hi"))
+  }
+
+  private val sessionIntervalsCte: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM f),
+      |iv AS (
+      |  SELECT user_id, session_id,
+      |    CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+      |    CAST(floor(epoch(max(ts))) AS BIGINT) AS hi
+      |  FROM sess GROUP BY user_id, session_id)""".stripMargin
+
+  /** C18 — interval OVERLAP join (interval × interval, the shape
+    * range-join B21 and as-of C5/C9 don't cover): how many OTHER
+    * users' sessions overlap each session. The distributed layout:
+    * explode each interval to the hour buckets it spans (bounded by
+    * session length — a gap session can't outlive its events),
+    * equi-join on the bucket, then verify true overlap and dedup
+    * pairs that met in several buckets. Cost is Σ per-bucket
+    * concurrency², never sessions² — the Flink/KDB interval-join
+    * bucketing. Zero-overlap sessions surface with 0 via the final
+    * left join.
+    */
+  def qOverlapSessions(s: SparkSession, d: String): DataFrame = {
+    val iv = sessionIntervals(s, d)
+    val b = iv.withColumn("hb",
+      explode(sequence(floor(col("lo") / 3600), floor(col("hi") / 3600))))
+    val pairs = b.as("a")
+      .join(b.as("b"),
+        col("a.hb") === col("b.hb") &&
+          col("a.user_id") =!= col("b.user_id") &&
+          col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .select(col("a.user_id").as("user_id"), col("a.session_id").as("session_id"),
+        col("b.user_id").as("ou"), col("b.session_id").as("os"))
+      .distinct()
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"))
+    iv.join(pairs, Seq("user_id", "session_id"), "left")
+      .select(col("user_id"), col("session_id"), col("lo"), col("hi"),
+        coalesce(col("n"), lit(0L)).as("n_concurrent"))
+  }
+
+  val qOverlapSessionsSql: String =
+    sessionIntervalsCte +
+      """,
+        |p AS (
+        |  SELECT a.user_id, a.session_id, count(*) AS n
+        |  FROM iv a JOIN iv b
+        |    ON a.lo <= b.hi AND b.lo <= a.hi AND a.user_id <> b.user_id
+        |  GROUP BY 1, 2)
+        |SELECT iv.user_id, iv.session_id, lo, hi,
+        |  coalesce(p.n, 0) AS n_concurrent
+        |FROM iv LEFT JOIN p
+        |  ON iv.user_id = p.user_id AND iv.session_id = p.session_id""".stripMargin
+
+  /** C23 — SCD2 / gaps-and-islands: each user's event stream collapsed
+    * to runs of consecutive identical event_type, emitted as validity
+    * intervals [valid_from, valid_to) with the open current run — the
+    * type-2 slowly-changing-dimension build. Change flags + cumulative
+    * run ids are two window passes over ONE user_id shuffle; the
+    * valid_to chain is a lead() over the (small) per-user run table.
+    */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, d)
+      .withColumn("chg", when(lag("event_type", 1).over(w).isNull ||
+        lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"))
+    val wr = Window.partitionBy("user_id").orderBy("run_id")
+    runs
+      .withColumn("valid_to", lead("valid_from", 1).over(wr))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "run_id", "event_type", "n_events",
+        "valid_from", "valid_to", "is_current")
+  }
+
+  val qScd2Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (
+      |  SELECT user_id, event_type, ts,
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      |  FROM c),
+      |runs AS (
+      |  SELECT user_id, run_id, event_type, count(*) AS n_events,
+      |    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS valid_from
+      |  FROM r GROUP BY 1, 2, 3)
+      |SELECT user_id, run_id, event_type, n_events, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current
+      |FROM runs""".stripMargin
+
+  /** C24 — rolling 7-day distinct actives per day (DAU→WAU curve).
+    * Exact, not sketched: collapse to distinct (day, user) pairs first
+    * — DAILY ACTIVES, orders of magnitude under events — then join
+    * the bounded day spine against a trailing 7-day window of those
+    * pairs and distinct-count. The ×7 pair blowup is the explicit,
+    * bounded cost of exact rolling distinct (sets don't subtract, so
+    * no window running-sum shortcut exists).
+    */
+  def qRollingActive(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day").as("d")).distinct()
+    broadcast(days)
+      .join(du, datediff(col("d"), col("day")).between(0, 6))
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .agg(count_distinct(col("user_id")).as("active_7d"))
+  }
+
+  val qRollingActiveSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |ds AS (SELECT DISTINCT day AS d FROM du)
+      |SELECT strftime(d, '%Y-%m-%d') AS day,
+      |  count(DISTINCT user_id) AS active_7d
+      |FROM ds JOIN du ON date_diff('day', du.day, ds.d) BETWEEN 0 AND 6
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_overlap_sessions" -> qOverlapSessions,
+    "q_scd2" -> qScd2,
+    "q_rolling_active" -> qRollingActive,
     "q_new_users" -> qNewUsers,
     "q_cohort" -> qCohort,
     "q_transitions" -> qTransitions,
@@ -394,6 +545,9 @@ object Events {
     "q_funnel" -> qFunnel)
 
   def oracles: Map[String, String] = Map(
+    "q_overlap_sessions" -> qOverlapSessionsSql,
+    "q_scd2" -> qScd2Sql,
+    "q_rolling_active" -> qRollingActiveSql,
     "q_new_users" -> qNewUsersSql,
     "q_cohort" -> qCohortSql,
     "q_transitions" -> qTransitionsSql,

@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A18 — snapshot versioning with time travel (the Delta/Iceberg log
+  * pattern over a plain parquet directory): the MANIFEST, not the
+  * directory listing, is the source of truth for what a version
+  * contains. Writes never delete data files — a versioned merge adds
+  * new files and a new manifest whose live set is (previous live −
+  * rewritten) + staged — so every prior version stays readable until
+  * `vacuum` reclaims files no retained version references.
+  *
+  * Scale design: a manifest is one line per live FILE (not per row),
+  * so log size tracks file count; reads plan from the manifest's
+  * explicit file list, which also skips the directory-listing scan a
+  * 100 TB table pays on an object store. Commit is a single manifest
+  * write — the atom a real table format wraps in a CAS/txn; the data
+  * movement is identical, and the merge itself reuses the A15/A16
+  * index-pruned copy-on-write path (only key-range-intersecting files
+  * rewritten, update keys broadcast).
+  */
+object Snapshots {
+
+  private def logDir(path: String) = Paths.get(path, "_graft_log")
+
+  private def manifestPath(path: String, v: Int) =
+    logDir(path).resolve(f"v$v%06d.manifest")
+
+  /** Latest committed version, or -1 for an uninitialized dir. */
+  def currentVersion(path: String): Int = {
+    val dir = logDir(path)
+    if (!Files.isDirectory(dir)) return -1
+    val vs = Files.list(dir).iterator.asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .toSeq
+    if (vs.isEmpty) -1 else vs.max
+  }
+
+  private def liveFiles(path: String, v: Int): Seq[String] =
+    Files.readAllLines(manifestPath(path, v)).asScala.toSeq.filter(_.nonEmpty)
+
+  private def commit(path: String, files: Seq[String]): Int = {
+    val v = currentVersion(path) + 1
+    Files.createDirectories(logDir(path))
+    Files.write(manifestPath(path, v),
+      files.sorted.mkString("\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW) // refuse to overwrite a committed version
+    v
+  }
+
+  /** Version 0: snapshot the directory's current parquet files. */
+  def init(spark: SparkSession, path: String): Int = {
+    require(currentVersion(path) < 0, s"$path already versioned")
+    val files = Files.list(Paths.get(path)).iterator.asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    commit(path, files)
+  }
+
+  /** Read a specific version (default: latest) from its manifest. */
+  def read(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
+    val v = if (version < 0) currentVersion(path) else version
+    require(Files.exists(manifestPath(path, v)), s"no version $v at $path")
+    val files = liveFiles(path, v)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Versioned upsert: A16's index-pruned copy-on-write, except the
+    * superseded files are retired from the MANIFEST instead of deleted
+    * from disk. Returns the new version.
+    */
+  def mergeVersioned(spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val live = liveFiles(path, v)
+    val target = spark.read.parquet(live: _*)
+    // A15-style pruning over the LIVE set only: per-file key ranges
+    val stats = target
+      .withColumn("file", input_file_name())
+      .groupBy("file")
+      .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+    val keys = updates.select(col(keyCol).as("__k")).distinct()
+    val touched = stats
+      .join(broadcast(keys),
+        col("__k") >= col("kmin") && col("__k") <= col("kmax"), "left_semi")
+      .select("file").collect().map(_.getString(0))
+      .map(_.stripPrefix("file://").stripPrefix("file:"))
+    val oldTouched =
+      if (touched.isEmpty) target.limit(0)
+      else spark.read.parquet(touched.toIndexedSeq: _*)
+    val kept = oldTouched
+      .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_anti")
+    val rewritten = kept.unionByName(updates.select(oldTouched.columns.map(col): _*))
+
+    val stage = Files.createTempDirectory("graft_snap").toString
+    rewritten.write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    val staged = Files.list(Paths.get(stage)).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }.toSeq
+    val touchedSet = touched.toSet
+    val newLive = live.filterNot(f =>
+      touchedSet.contains(f.stripPrefix("file://").stripPrefix("file:"))) ++ staged
+    commit(path, newLive)
+  }
+
+  /** Reclaim space: delete data files referenced ONLY by versions
+    * older than `keepFrom`, and drop those versions' manifests.
+    * Returns the number of data files deleted. Time travel to
+    * versions < keepFrom is gone after this — the retention trade
+    * every table format exposes.
+    */
+  def vacuum(path: String, keepFrom: Int): Int = {
+    val cur = currentVersion(path)
+    require(keepFrom >= 0 && keepFrom <= cur, s"keepFrom $keepFrom out of range 0..$cur")
+    val retained = (keepFrom to cur).flatMap(liveFiles(path, _)).toSet
+    val dropped = (0 until keepFrom).flatMap(liveFiles(path, _)).toSet -- retained
+    dropped.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    (0 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(path, v)))
+    dropped.size
+  }
+}

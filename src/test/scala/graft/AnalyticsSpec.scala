@@ -212,6 +212,50 @@ class AnalyticsSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("qOverlapSessions: bucketed overlap count matches a direct theta join") {
+    import graft.operators.Events
+    val got = Events.qOverlapSessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_concurrent")).toMap
+    // independent check: direct all-pairs overlap on the interval set
+    val iv = Events.qOverlapSessions(spark, sf)
+      .select("user_id", "session_id", "lo", "hi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = iv.map { case (u, s0, lo, hi) =>
+      (u, s0) -> iv.count { case (u2, _, lo2, hi2) =>
+        u2 != u && lo <= hi2 && lo2 <= hi }.toLong
+    }.toMap
+    assert(got == want)
+    assert(got.values.exists(_ > 0))
+  }
+
+  test("qScd2: runs tile each user's history and current runs are open") {
+    import graft.operators.Events
+    val rows = Events.qScd2(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.count(_.getAs[Boolean]("is_current")) == users)
+    // run event counts sum back to the full stream
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count())
+    // within a user, runs alternate: no two consecutive runs share a type
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("run_id")).map(_.getAs[String]("event_type"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a != b })
+    }
+  }
+
+  test("qRollingActive: trailing 7-day actives >= that day's actives") {
+    import graft.operators.Events
+    val roll = Events.qRollingActive(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("active_7d")).toMap
+    val daily = Tables.events(spark, sf)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"), col("user_id"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roll.keySet == daily.keySet)
+    assert(daily.forall { case (d, n) => roll(d) >= n })
+    val total = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(roll.values.forall(_ <= total))
+  }
+
   test("qEntropy: uniform text scores high, constant text scores zero") {
     import spark.implicits._
     val docs = Seq(

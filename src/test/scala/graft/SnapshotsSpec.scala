@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshots
+
+class SnapshotsSpec extends GraftSuite {
+
+  private def freshTable(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snap_spec").toString + "/t"
+    (1L to 100L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    dir
+  }
+
+  test("init snapshots the current files as version 0") {
+    val dir = freshTable()
+    assert(Snapshots.init(spark, dir) == 0)
+    assert(Snapshots.currentVersion(dir) == 0)
+    assert(Snapshots.read(spark, dir).count() == 100)
+  }
+
+  test("mergeVersioned: every version stays readable, bit-exact") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+
+    val up1 = Seq((5L, "UP5", 1L), (200L, "NEW200", 1L)).toDF("k", "payload", "gen")
+    assert(Snapshots.mergeVersioned(spark, dir, up1, "k") == 1)
+    val up2 = Seq((5L, "UP5b", 2L), (300L, "NEW300", 2L)).toDF("k", "payload", "gen")
+    assert(Snapshots.mergeVersioned(spark, dir, up2, "k") == 2)
+
+    def snap(v: Int): Map[Long, (String, Long)] =
+      Snapshots.read(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    val v0 = snap(0); val v1 = snap(1); val v2 = snap(2)
+    assert(v0.size == 100 && v0(5L) == ("v5", 0L) && !v0.contains(200L))
+    assert(v1.size == 101 && v1(5L) == ("UP5", 1L) && v1(200L) == ("NEW200", 1L))
+    assert(v2.size == 102 && v2(5L) == ("UP5b", 2L) &&
+      v2(200L) == ("NEW200", 1L) && v2(300L) == ("NEW300", 2L))
+    // untouched keys identical across every version
+    assert((v0.keySet - 5L).forall(k => v1(k) == v0(k) && v2(k) == v0(k)))
+  }
+
+  test("merge only rewrites key-range-intersecting files; vacuum reclaims the rest") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    val before = Files.list(Paths.get(dir)).iterator()
+    val dataBefore = {
+      var n = 0; while (before.hasNext) { if (before.next().toString.endsWith(".parquet")) n += 1 }; n
+    }
+
+    // update one key: only the one range-partitioned file covering it
+    // is retired from the live set
+    val up = Seq((7L, "UP7", 1L)).toDF("k", "payload", "gen")
+    Snapshots.mergeVersioned(spark, dir, up, "k")
+    val live0 = Snapshots.read(spark, dir, 0).withColumn("f", input_file_name())
+      .select("f").distinct().count()
+    val live1 = Snapshots.read(spark, dir, 1).withColumn("f", input_file_name())
+      .select("f").distinct().count()
+    assert(live0 == dataBefore) // v0 still reads its original files
+    // v1 = (v0 files - 1 touched) + staged files
+    assert(live1 >= dataBefore)
+
+    val dropped = Snapshots.vacuum(dir, keepFrom = 1)
+    assert(dropped >= 1) // at least the superseded file went away
+    // latest still intact, old version gone
+    assert(Snapshots.read(spark, dir).count() == 100)
+    intercept[IllegalArgumentException](Snapshots.read(spark, dir, 0))
+  }
+}
