@@ -320,7 +320,38 @@ object Analytics {
       |SELECT l_returnflag, count(*) AS n_rows, bit_xor(hh) AS checksum
       |FROM h GROUP BY l_returnflag""".stripMargin
 
+  /** B37 — nested types: per-order item STRUCT ARRAYS built, sorted,
+    * and reduced with higher-order functions (sort_array over structs
+    * orders by field position; aggregate() folds the array without
+    * re-exploding). The nested column never shuffles twice — one
+    * groupBy builds it, everything downstream is per-row array math.
+    * For the oracle the array flattens to a canonical string (struct
+    * JSON formatting is engine-specific; 'partkey:qty' joined in line
+    * order is not).
+    */
+  def qNested(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(
+        struct(col("l_linenumber"), col("l_partkey"), col("qty")))).as("items"))
+      .select(col("l_orderkey"),
+        size(col("items")).cast("long").as("n_items"),
+        expr("aggregate(items, 0L, (a, x) -> a + x.qty)").as("total_qty"),
+        expr("""array_join(transform(items,
+          |  x -> concat(CAST(x.l_partkey AS STRING), ':', CAST(x.qty AS STRING))), ',')"""
+          .stripMargin).as("items_s"))
+
+  val qNestedSql: String =
+    """SELECT l_orderkey, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+      |  string_agg(l_partkey || ':' || CAST(l_quantity AS BIGINT), ','
+      |    ORDER BY l_linenumber, l_partkey, CAST(l_quantity AS BIGINT)) AS items_s
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nested" -> qNested,
     "q_checksum" -> qChecksum,
     "q_window_funcs" -> qWindowFuncs,
     "q_collect" -> qCollect,
@@ -333,6 +364,7 @@ object Analytics {
     "q_fuzzy_match" -> qFuzzyMatch)
 
   def oracles: Map[String, String] = Map(
+    "q_nested" -> qNestedSql,
     "q_checksum" -> qChecksumSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q_collect" -> qCollectSql,

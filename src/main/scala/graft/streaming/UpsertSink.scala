@@ -43,4 +43,34 @@ object UpsertSink {
       }
       .start()
   }
+
+  /** C25 — versioned streaming upsert: the same CDC merge, but through
+    * the A18 snapshot log ([[graft.sources.Snapshots.mergeVersioned]])
+    * so every micro-batch commits a NEW TABLE VERSION. The table is
+    * simultaneously a current snapshot (latest version) and a full
+    * history (time travel to any batch boundary) — the
+    * streaming-ingest + reproducible-training-set combination a 100 TB
+    * pipeline needs: a training run pins the version it read, and
+    * later ingest can't silently change it. Per-batch cost is still
+    * index-pruned rewrite; history cost is bounded by `vacuum`.
+    */
+  def startVersioned(changes: DataFrame, path: String, keyCol: String,
+      orderCol: String): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = batch
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(keyCol).orderBy(col(orderCol).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (!latest.isEmpty) {
+          graft.sources.Snapshots.mergeVersioned(
+            batch.sparkSession, path, latest, keyCol)
+          ()
+        }
+      }
+      .start()
+  }
 }

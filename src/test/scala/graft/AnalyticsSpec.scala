@@ -256,6 +256,21 @@ class AnalyticsSpec extends GraftSuite {
     assert(roll.values.forall(_ <= total))
   }
 
+  test("qNested: struct arrays sort by line number and fold to exact totals") {
+    val rows = Analytics.qNested(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == Tables.lineitem(spark, sf).count())
+    val one = rows.maxBy(_.getAs[Long]("n_items"))
+    val want = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === one.getLong(0))
+      // line numbers repeat in the synthetic data, so the total order
+      // (the struct field order sort_array uses) is the reference
+      .sort(col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+      .collect()
+      .map(r => s"${r.getAs[Long]("l_partkey")}:${r.getAs[Double]("l_quantity").toLong}")
+      .mkString(",")
+    assert(one.getAs[String]("items_s") == want)
+  }
+
   test("qEntropy: uniform text scores high, constant text scores zero") {
     import spark.implicits._
     val docs = Seq(

@@ -16,7 +16,13 @@ class PlanAuditSpec extends GraftSuite {
     Set("q_knn_brute", "q_knn_lsh", "q_knn_ivf", "q_range_join",
       // q_resample: hourly-spine x event-type dims cross join (bounded
       // dimension product), broadcast against the hourly counts
-      "q_resample")
+      "q_resample",
+      // q_quantized: ONE broadcast row (the per-dim range arrays)
+      // against the corpus — the model-as-literal join
+      "q_quantized",
+      // q_rolling_active: bounded day spine (one row per day) broadcast
+      // against daily-active pairs on a 7-day band condition
+      "q_rolling_active")
   // building these DataFrames runs a streaming query — audited by
   // StreamingSpec instead.
   private val skip = Set("q_stream_tumble", "q_stream_join")

@@ -45,6 +45,31 @@ class SnapshotsSpec extends GraftSuite {
     assert((v0.keySet - 5L).forall(k => v1(k) == v0(k) && v2(k) == v0(k)))
   }
 
+  test("startVersioned: each micro-batch commits a time-travelable version") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.UpsertSink.startVersioned(
+      input.toDS().toDF("k", "payload", "gen"), dir, "k", "gen")
+    try {
+      input.addData((5L, "B1", 1L), (200L, "B1NEW", 1L))
+      q.processAllAvailable()
+      input.addData((5L, "B2", 2L), (5L, "B2LATE", 3L)) // same key twice: max gen wins
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(Snapshots.currentVersion(dir) == 2)
+    def m(v: Int) = Snapshots.read(spark, dir, v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(0)(5L) == "v5" && !m(0).contains(200L))
+    assert(m(1)(5L) == "B1" && m(1)(200L) == "B1NEW")
+    assert(m(2)(5L) == "B2LATE" && m(2)(200L) == "B1NEW" && m(2).size == 101)
+  }
+
   test("merge only rewrites key-range-intersecting files; vacuum reclaims the rest") {
     import spark.implicits._
     val dir = freshTable()
