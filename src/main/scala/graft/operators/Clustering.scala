@@ -88,7 +88,7 @@ object Clustering {
     * per-dim means. dim is 64 in the test corpus (the Spark side
     * probes it; qEmbedDupSql sets the same precedent).
     */
-  val qKmeansSql: String = {
+  private val kmeansCtes: String = {
     val dim = 64
     val distExpr =
       s"list_sum(list_transform(range(1, ${dim + 1}), " +
@@ -112,13 +112,50 @@ object Clustering {
        |  list_transform(embedding, x -> x::DOUBLE) AS c
        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $K)),
        |$iterCtes,
-       |${assignCte(Iters)}
-       |SELECT vec_id, cl AS cluster, round(d, 4) AS dist_sq FROM a$Iters""".stripMargin
+       |${assignCte(Iters)}""".stripMargin
   }
 
+  val qKmeansSql: String =
+    kmeansCtes + s"\nSELECT vec_id, cl AS cluster, round(d, 4) AS dist_sq FROM a$Iters"
+
+  val CoresetM = 25
+
+  /** E8 — coreset / diversity selection: the m vectors CLOSEST to
+    * their cluster centroid, per cluster — the cluster-stratified
+    * subset a data-selection pipeline trains or evals on instead of
+    * the full corpus. Selection runs through the NATIVE bounded
+    * top-k-per-key operator (B18) with score = −dist², so per-cluster
+    * state is m rows on every partial buffer — no full sort of the
+    * corpus, no window shuffle of anything but survivors. Ties break
+    * on the ROUNDED distance then vec_id, identically in the oracle.
+    */
+  def coreset(emb: DataFrame, m: Int = CoresetM): DataFrame = {
+    val assigned = kmeans(emb)
+      .withColumn("neg_d", -col("dist_sq"))
+    graft.plans.NativeTopK
+      .topKPerKey(assigned, Seq("cluster"), "neg_d", "vec_id", m)
+      .select(col("cluster"), col("rank"), col("vec_id"),
+        round(-col("neg_d"), 4).as("dist_sq"))
+  }
+
+  def qCoreset(s: SparkSession, d: String): DataFrame =
+    coreset(Tables.embeddings(s, d).select("vec_id", "embedding"))
+
+  val qCoresetSql: String =
+    kmeansCtes +
+      s"""
+         |SELECT cluster, rank, vec_id, dist_sq FROM (
+         |  SELECT vec_id, cl AS cluster, round(d, 4) AS dist_sq,
+         |    CAST(row_number() OVER (PARTITION BY cl
+         |      ORDER BY round(d, 4), vec_id) AS BIGINT) AS rank
+         |  FROM a$Iters)
+         |WHERE rank <= $CoresetM""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_kmeans" -> qKmeans)
+    "q_kmeans" -> qKmeans,
+    "q_coreset" -> qCoreset)
 
   def oracles: Map[String, String] = Map(
-    "q_kmeans" -> qKmeansSql)
+    "q_kmeans" -> qKmeansSql,
+    "q_coreset" -> qCoresetSql)
 }

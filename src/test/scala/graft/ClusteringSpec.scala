@@ -50,6 +50,21 @@ class ClusteringSpec extends GraftSuite {
     assert(got.values.toSet == (0 until k).toSet)
   }
 
+  test("coreset keeps exactly the m nearest vectors per cluster, via the native top-k") {
+    val assigned = Clustering.qKmeans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = Clustering.qCoreset(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+    // independent reference: sort each cluster by (dist, id), take m
+    val want = assigned.groupBy(_._2).toSeq.flatMap { case (cl, rs) =>
+      rs.sortBy(r => (r._3, r._1)).take(Clustering.CoresetM)
+        .zipWithIndex.map { case (r, i) => (cl, (i + 1).toLong, r._1) }
+    }.toSet
+    assert(got.toSet == want)
+    // per-cluster cardinality is bounded by m
+    got.groupBy(_._1).foreach { case (_, rs) => assert(rs.length <= Clustering.CoresetM) }
+  }
+
   test("kmeans assignment quality beats a degenerate single cluster") {
     val out = Clustering.qKmeans(spark, sf).collect()
     val inertia = out.map(_.getDouble(2)).sum
