@@ -284,4 +284,26 @@ class AnalyticsSpec extends GraftSuite {
     assert(got(1L) == 3.0)
     assert(got(2L) == 0.0)
   }
+
+  test("degenerate inputs are rejected or well-defined, not silently wrong") {
+    import spark.implicits._
+    // empty-text docs vanish from the entropy output (no char rows) —
+    // the same rows the oracle's unnest produces none for
+    val tmp = java.nio.file.Files.createTempDirectory("degenerate").toString
+    Seq((1L, ""), (2L, "ab")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ids = graft.operators.TextAnalysis.qEntropy(spark, tmp).collect().map(_.getLong(0))
+    assert(ids.toSet == Set(2L))
+    // native top-k refuses nonpositive k instead of returning nothing
+    intercept[IllegalArgumentException] {
+      graft.plans.NativeTopK.topKPerKey(
+        Tables.orders(spark, sf), Seq("o_orderstatus"), "o_totalprice", "o_orderkey", 0)
+    }
+    // ragged embedding corpora are rejected by the dim probe, not
+    // silently collapsed (the guard every vector operator shares)
+    val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.lshKnn(ragged, ragged, k = 1)
+    }
+  }
 }

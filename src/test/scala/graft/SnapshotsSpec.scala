@@ -70,6 +70,26 @@ class SnapshotsSpec extends GraftSuite {
     assert(m(2)(5L) == "B2LATE" && m(2)(200L) == "B1NEW" && m(2).size == 101)
   }
 
+  test("log protocol refuses ill-defined operations instead of corrupting state") {
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    // double-init would fork the version history — rejected
+    intercept[IllegalArgumentException](Snapshots.init(spark, dir))
+    // reading a version that never existed is an error, not empty data
+    intercept[IllegalArgumentException](Snapshots.read(spark, dir, 7))
+    // vacuum beyond the committed range is rejected
+    intercept[IllegalArgumentException](Snapshots.vacuum(dir, keepFrom = 3))
+    // a manifest write NEVER overwrites a committed version: the commit
+    // uses CREATE_NEW, so a racing duplicate version id fails the
+    // filesystem op itself (the lost-update guard a real table format
+    // implements with a CAS)
+    val v0 = Paths.get(dir, "_graft_log", "v000000.manifest")
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Files.write(v0, "x".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    }
+  }
+
   test("merge only rewrites key-range-intersecting files; vacuum reclaims the rest") {
     import spark.implicits._
     val dir = freshTable()
