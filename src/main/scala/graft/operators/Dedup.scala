@@ -50,7 +50,26 @@ object Dedup {
   def unpersistShingleIndexes(): Unit = synchronized {
     shingleIndexes.values.foreach(_.unpersist())
     shingleIndexes.clear()
+    pairLists.values.foreach(_.unpersist())
+    pairLists.clear()
   }
+
+  /** One cached verified near-dup pair list per (corpus plan, tau) —
+    * the shingle-registry pattern one level up: the pair list is the
+    * INPUT of the whole graph family (CC, PageRank, triangles,
+    * pipeline), so one materialization serves four operators instead
+    * of each re-running candidate generation + verification. Bounded:
+    * verified pairs are tiny relative to the corpus by construction.
+    */
+  private val pairLists = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double), DataFrame]
+
+  def nearDupPairs(s: SparkSession, d: String, tau: Double = 0.5): DataFrame =
+    synchronized {
+      val docs = Tables.documents(s, d)
+      val key = (docs.queryExecution.analyzed.canonicalized, tau)
+      pairLists.getOrElseUpdate(key, qJaccardPairs(s, d, tau).cache())
+    }
 
   /** Distinct 3-word shingles per document, as 60-bit hashes:
     * (doc_id, h). Collisions (~2^-60) hit both engines identically.
@@ -455,7 +474,7 @@ object Dedup {
   // an anti join back to the corpus. At 100 TB: candidates are tiny
   // relative to the corpus, so this is one broadcast-able anti join.
   def qDedupPipeline(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
-    val drop = qJaccardPairs(s, d, tau).select(col("doc_b").as("doc_id")).distinct()
+    val drop = nearDupPairs(s, d, tau).select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(s, d)
       .join(drop, Seq("doc_id"), "left_anti")
       .select("doc_id", "source", "lang", "n_chars")
@@ -528,7 +547,7 @@ object Dedup {
   }
 
   def qDedupCc(s: SparkSession, d: String, tau: Double = 0.5): DataFrame =
-    connectedComponents(qJaccardPairs(s, d, tau).select("doc_a", "doc_b"))
+    connectedComponents(nearDupPairs(s, d, tau).select("doc_a", "doc_b"))
 
   /** Recursive transitive closure in DuckDB: min reachable label over
     * the symmetric edge set == min doc_id of the component. */

@@ -56,7 +56,7 @@ object Graph {
   }
 
   def qPagerank(s: SparkSession, d: String): DataFrame =
-    pagerank(Dedup.qJaccardPairs(s, d).select("doc_a", "doc_b"))
+    pagerank(Dedup.nearDupPairs(s, d).select("doc_a", "doc_b"))
 
   /** Unrolled PageRank in DuckDB over the identical jaccard-pair graph:
     * rN = ranks entering iteration N, quantized round(·, 8) exactly as
@@ -134,7 +134,7 @@ object Graph {
   }
 
   def qTriangles(s: SparkSession, d: String): DataFrame =
-    triangles(Dedup.qJaccardPairs(s, d).select("doc_a", "doc_b"))
+    triangles(Dedup.nearDupPairs(s, d).select("doc_a", "doc_b"))
 
   /** Identical degree-ordering in SQL: same (deg, id) rank, same single
     * orientation per triangle, zero-filled over the node set. */
