@@ -15,7 +15,15 @@ object TextAnalysis {
   /** Non-empty whitespace tokens, as a SQL expression string (kept
     * textual so the DuckDB oracle mirrors it token-for-token).
     */
-  private[operators] val wordsExpr = raw"filter(split(text, '\\s+'), x -> x <> '')"
+  private[graft] val wordsExpr = raw"filter(split(text, '\\s+'), x -> x <> '')"
+
+  /** The F2 keep/drop rule over a token-array column `w` — ONE
+    * definition shared by the batch pipeline and the streaming
+    * pipeline so the two ingest paths cannot drift. */
+  private[graft] def qualityOkExpr(w: String): String =
+    s"size($w) >= 5 AND size($w) <= 10000 AND " +
+      s"CAST(size(filter($w, x -> x IN ('a', 'the', 'of', 'and', 'in', 'to', 'is'))) AS DOUBLE)" +
+      s" / nullif(size($w), 0) > 0.01"
 
   // F1 — token counting: whitespace tokens plus a BPE-ish breakdown into
   // word/number/other character classes.
@@ -59,7 +67,7 @@ object TextAnalysis {
         "coalesce(round(CAST(size(filter(w, x -> x IN ('a', 'the', 'of', 'and', 'in', 'to', 'is'))) AS DOUBLE) / nullif(size(w), 0), 4), 0.0) AS stopword_ratio",
         "coalesce(round(aggregate(w, CAST(0 AS BIGINT), (acc, x) -> acc + length(x)) / CAST(nullif(size(w), 0) AS DOUBLE), 4), 0.0) AS mean_token_len",
         "coalesce(round(CAST(size(array_distinct(w)) AS DOUBLE) / nullif(size(w), 0), 4), 0.0) AS unique_ratio",
-        "size(w) >= 5 AND size(w) <= 10000 AND CAST(size(filter(w, x -> x IN ('a', 'the', 'of', 'and', 'in', 'to', 'is'))) AS DOUBLE) / nullif(size(w), 0) > 0.01 AS quality_ok")
+        s"${qualityOkExpr("w")} AS quality_ok")
 
   def qQuality(s: SparkSession, d: String): DataFrame =
     quality(Tables.documents(s, d))
