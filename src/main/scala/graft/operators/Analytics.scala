@@ -350,7 +350,50 @@ object Analytics {
       |    ORDER BY l_linenumber, l_partkey, CAST(l_quantity AS BIGINT)) AS items_s
       |FROM lineitem GROUP BY l_orderkey""".stripMargin
 
+  /** B38 — correlated scalar subquery: orders priced above their own
+    * customer's average. Catalyst DECORRELATES the subquery into an
+    * aggregate + join — the rewrite that makes correlated SQL viable
+    * distributed (naive per-row re-execution would be O(n) scans).
+    * Expressed through the SQL surface on purpose: the decorrelation
+    * is a parser/optimizer capability, not a DataFrame pattern.
+    */
+  def qCorrelated(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(qCorrelatedSql)
+  }
+
+  val qCorrelatedSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > round(1.5 * (
+      |  SELECT avg(o_totalprice) FROM orders i
+      |  WHERE i.o_custkey = o.o_custkey), 2)""".stripMargin
+
+  /** B39 — LATERAL join: for each region's nations, re-usable
+    * per-row derived relations (the SQL-standard way to express
+    * per-row top-n without window functions). Runs through the SQL
+    * surface — Spark plans LATERAL as a rewritten join, DuckDB
+    * natively; both return each nation with its region name and the
+    * count of customers in that nation.
+    */
+  def qLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.region(s, d).createOrReplaceTempView("region")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(qLateralSql)
+  }
+
+  val qLateralSql: String =
+    """SELECT r.r_name, n.n_name, c.n_customers
+      |FROM region r
+      |JOIN nation n ON n.n_regionkey = r.r_regionkey,
+      |LATERAL (
+      |  SELECT count(*) AS n_customers FROM customer
+      |  WHERE c_nationkey = n.n_nationkey) c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_correlated" -> qCorrelated,
+    "q_lateral" -> qLateral,
     "q_nested" -> qNested,
     "q_checksum" -> qChecksum,
     "q_window_funcs" -> qWindowFuncs,
@@ -364,6 +407,8 @@ object Analytics {
     "q_fuzzy_match" -> qFuzzyMatch)
 
   def oracles: Map[String, String] = Map(
+    "q_correlated" -> qCorrelatedSql,
+    "q_lateral" -> qLateralSql,
     "q_nested" -> qNestedSql,
     "q_checksum" -> qChecksumSql,
     "q_window_funcs" -> qWindowFuncsSql,

@@ -527,7 +527,38 @@ object Events {
       |FROM ds JOIN du ON date_diff('day', du.day, ds.d) BETWEEN 0 AND 6
       |GROUP BY 1""".stripMargin
 
+  /** C27 — multi-granularity time rollup: hourly, daily, and
+    * grand-total aggregates per event type in ONE pass (grouping sets
+    * over precomputed time buckets — one Expand + one aggregate,
+    * where a union-of-aggregates formulation scans the stream once
+    * per granularity). The standard time-series OLAP cube layout.
+    */
+  def qTimeRollup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day"), col("hour")),
+          Seq(col("event_type"), col("day")),
+          Seq(col("event_type"))),
+        col("event_type"), col("day"), col("hour"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select("event_type", "day", "hour", "n", "sum_value")
+
+  val qTimeRollupSql: String =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |  FROM events)
+      |SELECT event_type, day, hour, count(*) AS n,
+      |  round(sum(value), 4) AS sum_value
+      |FROM e
+      |GROUP BY GROUPING SETS ((event_type, day, hour), (event_type, day), (event_type))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_rollup" -> qTimeRollup,
     "q_overlap_sessions" -> qOverlapSessions,
     "q_scd2" -> qScd2,
     "q_rolling_active" -> qRollingActive,
@@ -545,6 +576,7 @@ object Events {
     "q_funnel" -> qFunnel)
 
   def oracles: Map[String, String] = Map(
+    "q_time_rollup" -> qTimeRollupSql,
     "q_overlap_sessions" -> qOverlapSessionsSql,
     "q_scd2" -> qScd2Sql,
     "q_rolling_active" -> qRollingActiveSql,

@@ -434,7 +434,31 @@ object TextAnalysis {
       |SELECT doc_id, generate_subscripts(ms, 1) AS idx, unnest(ms) AS matched
       |FROM m""".stripMargin
 
+  /** F19 — deterministic WEIGHTED sampling: keep probability scales
+    * with document length (long docs carry more training signal), but
+    * the coin is the content-addressed md5 bucket — the F6/F7
+    * derandomization applied to importance sampling, so the sample is
+    * re-run- and re-shard-stable with NO RNG state to coordinate
+    * across executors. A doc is kept iff bucket/256 < n_chars/500
+    * (capped at 1): every doc ≥ 500 chars always survives, a 250-char
+    * doc survives with p = 0.5, chosen by its own hash.
+    */
+  def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "source", "n_chars",
+        s"$bucketExpr AS bucket")
+      .where(expr("CAST(bucket AS DOUBLE) / 256.0 < least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)"))
+      .select("doc_id", "source", "n_chars")
+
+  val qWeightedSampleSql: String =
+    """SELECT doc_id, source, n_chars
+      |FROM (SELECT doc_id, source, n_chars,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket
+      |  FROM documents)
+      |WHERE CAST(bucket AS DOUBLE) / 256.0 < least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> qWeightedSample,
     "q_extract" -> qExtract,
     "q_entropy" -> qEntropy,
     "q_tfidf" -> qTfidf,
@@ -450,6 +474,7 @@ object TextAnalysis {
     "q_unigram_lm" -> qUnigramLm)
 
   def oracles: Map[String, String] = Map(
+    "q_weighted_sample" -> qWeightedSampleSql,
     "q_extract" -> qExtractSql,
     "q_entropy" -> qEntropySql,
     "q_tfidf" -> qTfidfSql,

@@ -271,6 +271,52 @@ class AnalyticsSpec extends GraftSuite {
     assert(one.getAs[String]("items_s") == want)
   }
 
+  test("qCorrelated decorrelates to a join and matches a manual aggregate+join") {
+    val rows = Analytics.qCorrelated(spark, sf).collect()
+    val avgs = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(avg("o_totalprice").as("a")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Double]("o_totalprice") >
+      math.round(1.5 * avgs(r.getAs[Long]("o_custkey")) * 100) / 100.0))
+    // the subquery must have been decorrelated: no per-row subquery
+    // node survives in the physical plan
+    val plan = Analytics.qCorrelated(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalarsubquery") || plan.contains("Join"),
+      "correlated subquery not decorrelated into a join")
+  }
+
+  test("qLateral yields one row per nation with exact customer counts") {
+    val rows = Analytics.qLateral(spark, sf).collect()
+    assert(rows.length == Tables.nation(spark, sf).count())
+    assert(rows.map(_.getAs[Long]("n_customers")).sum ==
+      Tables.customer(spark, sf).count())
+  }
+
+  test("qTimeRollup: hour rows aggregate to day rows aggregate to type totals") {
+    import graft.operators.Events
+    val rows = Events.qTimeRollup(spark, sf).collect()
+    val hourly = rows.filter(r => r.getAs[String]("hour") != null)
+    val daily = rows.filter(r => r.getAs[String]("hour") == null && r.getAs[String]("day") != null)
+    val total = rows.filter(r => r.getAs[String]("day") == null)
+    assert(hourly.map(_.getAs[Long]("n")).sum == daily.map(_.getAs[Long]("n")).sum)
+    assert(daily.map(_.getAs[Long]("n")).sum == total.map(_.getAs[Long]("n")).sum)
+    assert(total.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
+  }
+
+  test("qWeightedSample: long docs always survive, short docs by their own hash") {
+    import graft.operators.TextAnalysis
+    val kept = TextAnalysis.qWeightedSample(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "n_chars", s"${TextAnalysis.bucketExpr} AS bucket").collect()
+    docs.foreach { r =>
+      val expect = r.getLong(2) / 256.0 < math.min(r.getLong(1) / 500.0, 1.0)
+      assert(kept.contains(r.getLong(0)) == expect, s"doc ${r.getLong(0)}")
+    }
+    assert(docs.filter(_.getLong(1) >= 500).forall(r => kept.contains(r.getLong(0))))
+  }
+
   test("qEntropy: uniform text scores high, constant text scores zero") {
     import spark.implicits._
     val docs = Seq(
