@@ -391,7 +391,64 @@ object Analytics {
       |  SELECT count(*) AS n_customers FROM customer
       |  WHERE c_nationkey = n.n_nationkey) c""".stripMargin
 
+  /** B40 — unpivot / melt (the inverse of B19's pivot): wide measure
+    * columns stacked to (key, measure, value) rows via the engine's
+    * native unpivot (an Expand node — one pass, no self-union of
+    * scans). The long form is what metric stores and plotting layers
+    * ingest.
+    */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_price"),
+        round(avg("l_discount"), 4).as("avg_disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "measure", "value")
+
+  val qUnpivotSql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    round(sum(l_quantity), 4) AS sum_qty,
+      |    round(sum(l_extendedprice), 4) AS sum_price,
+      |    round(avg(l_discount), 4) AS avg_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price', sum_price FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'avg_disc', avg_disc FROM w""".stripMargin
+
+  /** B41 — MAP-typed aggregation: per source, a lang→count map built
+    * from the sorted entry array (map insertion order is the sorted
+    * order, so downstream map_entries traversal is deterministic).
+    * The map column itself stays Spark-side; the oracle compares the
+    * canonical flattened entry string plus the key cardinality —
+    * the same engine-neutral encoding as the B37 struct arrays.
+    */
+  def qMapAgg(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(expr("map_from_entries(array_sort(collect_list(struct(lang, cnt))))").as("m"))
+      .select(col("source"),
+        size(col("m")).cast("long").as("n_langs"),
+        expr("""array_join(transform(map_entries(m),
+          |  e -> concat(e.key, ':', CAST(e.value AS STRING))), ',')""".stripMargin)
+          .as("lang_counts"))
+
+  val qMapAggSql: String =
+    """WITH c AS (
+      |  SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_langs,
+      |  string_agg(lang || ':' || cnt, ',' ORDER BY lang) AS lang_counts
+      |FROM c GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> qUnpivot,
+    "q_map_agg" -> qMapAgg,
     "q_correlated" -> qCorrelated,
     "q_lateral" -> qLateral,
     "q_nested" -> qNested,
@@ -407,6 +464,8 @@ object Analytics {
     "q_fuzzy_match" -> qFuzzyMatch)
 
   def oracles: Map[String, String] = Map(
+    "q_unpivot" -> qUnpivotSql,
+    "q_map_agg" -> qMapAggSql,
     "q_correlated" -> qCorrelatedSql,
     "q_lateral" -> qLateralSql,
     "q_nested" -> qNestedSql,

@@ -122,6 +122,28 @@ class SourcesSpec extends GraftSuite {
     idx.unpersist()
   }
 
+  test("schema evolution on read: widened files merge, old files null-fill (A19)") {
+    import spark.implicits._
+    val dir = tmp() + "/evolving"
+    // generation 1: (k, a); generation 2 adds column b
+    Seq((1L, "x"), (2L, "y")).toDF("k", "a")
+      .write.parquet(dir)
+    Seq((3L, "z", 30L), (4L, "w", 40L)).toDF("k", "a", "b")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    // unified schema, old rows null-filled in the new column
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "k"))
+    val byK = merged.collect().map(r => r.getAs[Long]("k") ->
+      (if (r.isNullAt(r.fieldIndex("b"))) None else Some(r.getAs[Long]("b")))).toMap
+    assert(byK(1L).isEmpty && byK(2L).isEmpty)
+    assert(byK(3L).contains(30L) && byK(4L).contains(40L))
+    // predicates on the NEW column still push into the scan
+    val plan = merged.filter(col("b") > 35).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(b,35)"),
+      plan.take(400))
+    assert(merged.filter(col("b") > 35).count() == 1)
+  }
+
   test("layout sink: partition dirs, per-file row cap, in-file sort order") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
     val dir = tmp()
