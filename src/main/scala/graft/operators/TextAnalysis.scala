@@ -457,7 +457,79 @@ object TextAnalysis {
       |  FROM documents)
       |WHERE CAST(bucket AS DOUBLE) / 256.0 < least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)""".stripMargin
 
+  /** F20 — distribution drift (Population Stability Index) of document
+    * length per source vs the whole corpus: the monitoring signal that
+    * catches a source whose scrape changed shape. Bins are INTEGER
+    * arithmetic over the exact global [min, max] (a broadcast 1-row
+    * stats join), so bucket assignment is bit-identical cross-engine;
+    * PSI sums (p−q)·ln(p/q) over bins where both sides are nonzero
+    * (the standard zero-bin convention, mirrored in the oracle).
+    * PSI < 0.1 is conventionally "stable" — flagged as `drifted`
+    * on the ROUNDED score.
+    */
+  def qDrift(s: SparkSession, d: String, bins: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val stats = docs.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+    val binned = docs.crossJoin(broadcast(stats))
+      .selectExpr("source",
+        s"CAST(((n_chars - mn) * $bins) div (mx - mn + 1) AS BIGINT) AS bin")
+    val g = binned.groupBy("bin").agg(count(lit(1)).as("gc"))
+      .withColumn("q", col("gc").cast("double") /
+        sum("gc").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val p = binned.groupBy("source", "bin").agg(count(lit(1)).as("sc"))
+      .withColumn("p", col("sc").cast("double") /
+        sum("sc").over(org.apache.spark.sql.expressions.Window.partitionBy("source")))
+    p.join(g.select("bin", "q"), "bin")
+      .groupBy("source")
+      .agg(round(sum(expr("(p - q) * ln(p / q)")), 4).as("psi"))
+      .withColumn("drifted", col("psi") > 0.1)
+  }
+
+  val qDriftSql: String =
+    """WITH st AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+      |b AS (SELECT source,
+      |    CAST((n_chars - mn) * 10 // (mx - mn + 1) AS BIGINT) AS bin
+      |  FROM documents, st),
+      |g AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM b) AS q
+      |  FROM b GROUP BY bin),
+      |p AS (SELECT source, bin,
+      |    count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY source) AS p
+      |  FROM b GROUP BY source, bin)
+      |SELECT source, round(sum((p - q) * ln(p / q)), 4) AS psi,
+      |  round(sum((p - q) * ln(p / q)), 4) > 0.1 AS drifted
+      |FROM p JOIN g USING (bin) GROUP BY source""".stripMargin
+
+  /** F21 — overlapping text chunking (window 200 chars, stride 100):
+    * the long-document splitter every embedding/RAG pipeline runs
+    * before vectorizing. Chunk count derives from length arithmetic
+    * (no per-char explode — the sequence is over CHUNK indexes, so
+    * the row blowup is L/stride, not L), tails shorter than the
+    * window are kept, and chunk content ships as md5 so the oracle
+    * stays bit-exact without moving text twice.
+    */
+  def qChunk(s: SparkSession, d: String, window: Int = 200,
+      stride: Int = 100): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "text",
+        s"""sequence(0, greatest(CAST(ceil((length(text) - $window) / CAST($stride AS DOUBLE)) AS INT), 0))
+           | AS ks""".stripMargin)
+      .select(col("doc_id"), col("text"), explode(col("ks")).as("k"))
+      .selectExpr("doc_id", "CAST(k AS BIGINT) AS chunk_idx",
+        s"CAST(k * $stride + 1 AS BIGINT) AS chunk_start",
+        s"CAST(length(substring(text, k * $stride + 1, $window)) AS BIGINT) AS chunk_len",
+        s"md5(substring(text, k * $stride + 1, $window)) AS chunk_md5")
+
+  val qChunkSql: String =
+    """SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+      |  CAST(k * 100 + 1 AS BIGINT) AS chunk_start,
+      |  length(substr(text, k * 100 + 1, 200)) AS chunk_len,
+      |  md5(substr(text, k * 100 + 1, 200)) AS chunk_md5
+      |FROM documents,
+      |  unnest(range(0, greatest(CAST(ceil((length(text) - 200) / 100.0) AS INT), 0) + 1)) AS t(k)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drift" -> ((s, d) => qDrift(s, d)),
+    "q_chunk" -> ((s, d) => qChunk(s, d)),
     "q_weighted_sample" -> qWeightedSample,
     "q_extract" -> qExtract,
     "q_entropy" -> qEntropy,
@@ -474,6 +546,8 @@ object TextAnalysis {
     "q_unigram_lm" -> qUnigramLm)
 
   def oracles: Map[String, String] = Map(
+    "q_drift" -> qDriftSql,
+    "q_chunk" -> qChunkSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_extract" -> qExtractSql,
     "q_entropy" -> qEntropySql,

@@ -317,6 +317,47 @@ class AnalyticsSpec extends GraftSuite {
     assert(docs.filter(_.getLong(1) >= 500).forall(r => kept.contains(r.getLong(0))))
   }
 
+  test("qChunk: windows tile every document with stride overlap, tails kept") {
+    import graft.operators.TextAnalysis
+    val chunks = TextAnalysis.qChunk(spark, sf).collect()
+    val lens = Tables.documents(spark, sf).selectExpr("doc_id", "length(text) AS l")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == lens.keySet) // every doc chunks, even short ones
+    byDoc.foreach { case (id, cs) =>
+      val l = lens(id)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      // indexes are dense from 0; starts advance by the stride
+      assert(sorted.map(_.getAs[Long]("chunk_idx")).toSeq == sorted.indices.map(_.toLong))
+      assert(sorted.forall(c => c.getAs[Long]("chunk_start") ==
+        c.getAs[Long]("chunk_idx") * 100 + 1))
+      // full coverage: last chunk reaches the end of the document
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_start") + last.getAs[Long]("chunk_len") - 1 == l)
+      // every non-tail chunk is full-window
+      assert(sorted.init.forall(_.getAs[Long]("chunk_len") == 200) || sorted.length == 1)
+    }
+  }
+
+  test("qDrift: PSI is ~0 for the corpus vs itself and detects an injected shift") {
+    import graft.operators.TextAnalysis
+    // per-source PSI vs the global distribution on the real corpus is
+    // small (sources share one generator)
+    val psi = TextAnalysis.qDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    assert(psi.nonEmpty)
+    // a synthetic corpus with one shifted source must flag it
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    val base = (1L to 400L).map(i => (i, "t", "steady", 100L + (i % 50)))
+    val shifted = (401L to 500L).map(i => (i, "t", "shifted", 2000L + (i % 50)))
+    (base ++ shifted).toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val flags = TextAnalysis.qDrift(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("drifted")).toMap
+    assert(flags("shifted"))
+  }
+
   test("qEntropy: uniform text scores high, constant text scores zero") {
     import spark.implicits._
     val docs = Seq(
