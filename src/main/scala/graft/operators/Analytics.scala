@@ -446,7 +446,100 @@ object Analytics {
       |  string_agg(lang || ':' || cnt, ',' ORDER BY lang) AS lang_counts
       |FROM c GROUP BY source""".stripMargin
 
+  /** B42 — end-to-end entity resolution: the B33 blocked fuzzy pairs
+    * become edges, D8's min-label connected components collapse them,
+    * and every name maps to its component's canonical (minimum)
+    * variant — singletons map to themselves. The blocked-pairs →
+    * components → canonical-id shape is the standard large-scale
+    * record-linkage layout; reuses the dedup family's CC kernel on a
+    * different graph.
+    */
+  def qEntityResolution(s: SparkSession, d: String): DataFrame = {
+    // CC runs on 60-bit name hashes (the kernel is long-typed — its
+    // convergence test sums labels); canonical = lexicographic min
+    // NAME within each component, which is hash-free, so a collision
+    // would have to merge components to be visible (~2^-60 at this
+    // name cardinality)
+    val h = "CAST(conv(substr(md5(name), 1, 15), 16, 10) AS BIGINT)"
+    val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      .withColumn("id", expr(h))
+    val pairs = fuzzyPairs(Tables.part(s, d), "p_name", maxDist = 3)
+    val pairIds = pairs
+      .join(names.select(col("name").as("name_a"), col("id").as("ida")), "name_a")
+      .join(names.select(col("name").as("name_b"), col("id").as("idb")), "name_b")
+      .select("ida", "idb")
+    val comps = Dedup.connectedComponents(pairIds.toDF("doc_a", "doc_b"))
+    val labeled = names
+      .join(comps, names("id") === comps("doc_id"), "left")
+      .select(col("name"), coalesce(col("component"), col("id")).as("comp"))
+    val canon = labeled.groupBy("comp").agg(min("name").as("canonical"))
+    labeled.join(canon, "comp").select("name", "canonical")
+  }
+
+  val qEntityResolutionSql: String =
+    """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name,
+      |    list_extract(string_split(p_name, ' '), -1) AS block
+      |  FROM part),
+      |pairs AS (
+      |  SELECT a.name AS na, b.name AS nb
+      |  FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+      |  WHERE levenshtein(a.name, b.name) <= 3),
+      |e AS (SELECT na AS src, nb AS dst FROM pairs
+      |  UNION ALL SELECT nb, na FROM pairs),
+      |reach AS (
+      |  SELECT src AS node, dst AS lbl FROM e
+      |  UNION
+      |  SELECT r.node, e.dst FROM reach r JOIN e ON e.src = r.lbl)
+      |SELECT n.name, coalesce(c.canonical, n.name) AS canonical
+      |FROM n LEFT JOIN (
+      |  SELECT node, least(node, min(lbl)) AS canonical
+      |  FROM reach GROUP BY node) c ON n.name = c.node""".stripMargin
+
+  /** B43 — deterministic A/B testing: hash-assigned cohorts (the F6
+    * derandomization — assignment is a pure function of user_id, so
+    * any engine reproduces the split) and Welch's t statistic per
+    * event type from the moment aggregates. One pass: the t-test is
+    * algebraic over (n, mean, variance), all partial-aggregatable.
+    */
+  def qAbtest(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .selectExpr("event_type", "value",
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2 AS grp")
+      .groupBy("event_type")
+      .agg(
+        count(when(col("grp") === 0, 1)).as("n_a"),
+        count(when(col("grp") === 1, 1)).as("n_b"),
+        avg(when(col("grp") === 0, col("value"))).as("__ma"),
+        avg(when(col("grp") === 1, col("value"))).as("__mb"),
+        var_samp(when(col("grp") === 0, col("value"))).as("__va"),
+        var_samp(when(col("grp") === 1, col("value"))).as("__vb"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("__ma") - col("__mb"), 4).as("mean_diff"),
+        round((col("__ma") - col("__mb")) /
+          sqrt(col("__va") / col("n_a") + col("__vb") / col("n_b")), 4).as("t_stat"))
+
+  val qAbtestSql: String =
+    """WITH g AS (
+      |  SELECT event_type, value,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) % 2 AS grp
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type,
+      |    count(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+      |    count(CASE WHEN grp = 1 THEN 1 END) AS n_b,
+      |    avg(CASE WHEN grp = 0 THEN value END) AS ma,
+      |    avg(CASE WHEN grp = 1 THEN value END) AS mb,
+      |    var_samp(CASE WHEN grp = 0 THEN value END) AS va,
+      |    var_samp(CASE WHEN grp = 1 THEN value END) AS vb
+      |  FROM g GROUP BY event_type)
+      |SELECT event_type, n_a, n_b,
+      |  round(ma - mb, 4) AS mean_diff,
+      |  round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS t_stat
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entity_resolution" -> qEntityResolution,
+    "q_abtest" -> qAbtest,
     "q_unpivot" -> qUnpivot,
     "q_map_agg" -> qMapAgg,
     "q_correlated" -> qCorrelated,
@@ -464,6 +557,8 @@ object Analytics {
     "q_fuzzy_match" -> qFuzzyMatch)
 
   def oracles: Map[String, String] = Map(
+    "q_entity_resolution" -> qEntityResolutionSql,
+    "q_abtest" -> qAbtestSql,
     "q_unpivot" -> qUnpivotSql,
     "q_map_agg" -> qMapAggSql,
     "q_correlated" -> qCorrelatedSql,

@@ -512,7 +512,11 @@ object Dedup {
     // min-propagation, so the global label sum is strictly monotone —
     // "sum unchanged" ⟺ "no node changed". One tiny aggregate per
     // round instead of a join+count against the previous labels.
-    var prevSum = labels.agg(sum("comp")).head.getLong(0)
+    // decimal-typed: node ids may be full-width 60-bit hashes (the
+    // entity-resolution graph), whose long sum overflows ANSI mode
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       // (1) neighbor propagation: min label over self + neighbors.
@@ -537,7 +541,7 @@ object Dedup {
         .join(prop.as("y"), col("x.comp") === col("y.node"), "left")
         .select(col("x.node").as("node"),
           least(col("x.comp"), coalesce(col("y.comp"), col("x.comp"))).as("comp"))
-      val s = next.agg(sum("comp")).head.getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next

@@ -358,6 +358,30 @@ class AnalyticsSpec extends GraftSuite {
     assert(flags("shifted"))
   }
 
+  test("qEntityResolution: fuzzy-linked names share one canonical variant") {
+    val canon = Analytics.qEntityResolution(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon.size == Tables.part(spark, sf).select("p_name").distinct().count())
+    // linked pair collapses to the lexicographic min of its component
+    assert(canon("old bolt") == canon("red bolt"))
+    // every canonical is itself a member name mapping to itself
+    canon.values.foreach(c => assert(canon(c) == c))
+  }
+
+  test("qAbtest: cohorts partition events and the t statistic is finite") {
+    import graft.operators.Events
+    val rows = Analytics.qAbtest(spark, sf).collect()
+    val byType = Tables.events(spark, sf).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == byType(r.getString(0)))
+      assert(!r.getAs[Double]("t_stat").isNaN)
+      // hash split is roughly balanced (well within 4 sigma)
+      val (na, nb) = (r.getAs[Long]("n_a").toDouble, r.getAs[Long]("n_b").toDouble)
+      assert(math.abs(na - nb) < 4 * math.sqrt(na + nb))
+    }
+  }
+
   test("qEntropy: uniform text scores high, constant text scores zero") {
     import spark.implicits._
     val docs = Seq(
