@@ -194,6 +194,47 @@ object Dedup {
         |FROM p JOIN c ca ON doc_a = ca.doc_id JOIN c cb ON doc_b = cb.doc_id
         |WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5""".stripMargin
 
+  /** D12 — containment scoring (Broder's asymmetric Jaccard):
+    * c(A→B) = |A∩B| / |A|. A 50-shingle doc fully quoted inside a
+    * 5000-shingle doc has Jaccard ≈ 0.01 (invisible to D2) but
+    * containment 1.0 — the signal for quote/subset duplication.
+    * Same inverted-index shape and posting cap as D2; only the final
+    * normalization differs, and the emitted pair carries BOTH
+    * directions so the consumer can tell subset from superset.
+    */
+  def qContainment(s: SparkSession, d: String, tau: Double = 0.8,
+      maxPosting: Int = 1000): DataFrame = {
+    val sh = shingles(Tables.documents(s, d))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val capped = sh
+      .withColumn("np", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("np").between(2, maxPosting))
+      .select("doc_id", "h")
+    val inter = capped.as("a")
+      .join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("ca.n"), 4).as("cont_ab"),
+        round(col("inter").cast("double") / col("cb.n"), 4).as("cont_ba"))
+      .filter(col("cont_ab") >= tau || col("cont_ba") >= tau)
+  }
+
+  val qContainmentSql: String =
+    shinglesCte + jaccardPairsCte +
+      """
+        |SELECT doc_a, doc_b,
+        |  round(inter::DOUBLE / ca.n, 4) AS cont_ab,
+        |  round(inter::DOUBLE / cb.n, 4) AS cont_ba
+        |FROM p JOIN c ca ON doc_a = ca.doc_id JOIN c cb ON doc_b = cb.doc_id
+        |WHERE round(inter::DOUBLE / ca.n, 4) >= 0.8
+        |   OR round(inter::DOUBLE / cb.n, 4) >= 0.8""".stripMargin
+
   /** Universal-hash family over the 31-bit field (p = 2^31-1, the
     * Mersenne prime Spark's own MinHashLSH uses): hash i maps a shingle
     * long h to (a_i*(h mod p) + b_i) mod p. Pure 64-bit codegen
@@ -574,6 +615,7 @@ object Dedup {
     "q_dedup_cc" -> ((s, d) => qDedupCc(s, d)),
     "q_dedup_pipeline" -> ((s, d) => qDedupPipeline(s, d)),
     "q_dedup_exact" -> qDedupExact,
+    "q_containment" -> ((s, d) => qContainment(s, d)),
     "q_jaccard_pairs" -> ((s, d) => qJaccardPairs(s, d)),
     "q_minhash" -> qMinhash,
     "q_minhash_lsh" -> qMinhashLsh,
@@ -585,6 +627,7 @@ object Dedup {
     "q_dedup_cc" -> qDedupCcSql,
     "q_dedup_pipeline" -> qDedupPipelineSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_containment" -> qContainmentSql,
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_minhash" -> qMinhashSql,
     "q_minhash_lsh" -> qMinhashLshSql,

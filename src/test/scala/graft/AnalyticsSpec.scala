@@ -382,6 +382,26 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("qContainment finds a full-quote subset pair that Jaccard scores low") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("containment").toString
+    val small = (1 to 10).map(i => s"tok$i").mkString(" ")            // 8 shingles
+    val big = (1 to 200).map(i => s"word$i").mkString(" ") + " " + small
+    Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.qContainment(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("cont_ab"), r.getAs[Double]("cont_ba")))
+    // the small doc is fully contained: cont(A->B) = 1.0
+    assert(rows.exists { case (a, b, cab, _) => a == 1L && b == 2L && cab == 1.0 })
+    // while symmetric Jaccard on the same pair is far below the D2 cutoff
+    val j = Dedup.jaccardPairs(
+      Tables.documents(spark, tmp), tau = 0.0).collect()
+      .map(r => r.getAs[Double]("jaccard")).max
+    assert(j < 0.1)
+    Dedup.unpersistShingleIndexes()
+  }
+
   test("qEntropy: uniform text scores high, constant text scores zero") {
     import spark.implicits._
     val docs = Seq(
