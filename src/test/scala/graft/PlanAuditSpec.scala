@@ -22,7 +22,10 @@ class PlanAuditSpec extends GraftSuite {
       "q_quantized",
       // q_rolling_active: bounded day spine (one row per day) broadcast
       // against daily-active pairs on a 7-day band condition
-      "q_rolling_active")
+      "q_rolling_active",
+      // q_drift: ONE broadcast row (global min/max) against the corpus
+      // for integer bin assignment — the same model-as-literal join
+      "q_drift")
   // building these DataFrames runs a streaming query — audited by
   // StreamingSpec instead.
   private val skip = Set("q_stream_tumble", "q_stream_join")
