@@ -527,7 +527,36 @@ object TextAnalysis {
       |FROM documents,
       |  unnest(range(0, greatest(CAST(ceil((length(text) - 200) / 100.0) AS INT), 0) + 1)) AS t(k)""".stripMargin
 
+  /** F22 — top terms per source (the per-corpus vocabulary report):
+    * token counts keyed by (source, token) — one shuffle, map-side
+    * partial — then rank-5 within each source under the (cnt DESC,
+    * token ASC) total order. The rank window partitions by source
+    * over VOCABULARY-bounded rows (per-source distinct tokens), not
+    * corpus rows, so partition size is bounded by vocabulary at any
+    * corpus scale.
+    */
+  def qTopTerms(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("cnt").desc, col("tok").asc)
+    Tables.documents(s, d)
+      .selectExpr("source", s"$wordsExpr AS w")
+      .select(col("source"), explode(col("w")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  val qTopTermsSql: String =
+    """WITH t AS (SELECT source,
+      |  unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, count(*) AS cnt FROM t GROUP BY 1, 2)
+      |SELECT source, tok, cnt,
+      |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rank
+      |FROM c QUALIFY rank <= 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_terms" -> ((s, d) => qTopTerms(s, d)),
     "q_drift" -> ((s, d) => qDrift(s, d)),
     "q_chunk" -> ((s, d) => qChunk(s, d)),
     "q_weighted_sample" -> qWeightedSample,
@@ -546,6 +575,7 @@ object TextAnalysis {
     "q_unigram_lm" -> qUnigramLm)
 
   def oracles: Map[String, String] = Map(
+    "q_top_terms" -> qTopTermsSql,
     "q_drift" -> qDriftSql,
     "q_chunk" -> qChunkSql,
     "q_weighted_sample" -> qWeightedSampleSql,
