@@ -557,7 +557,42 @@ object Events {
       |FROM e
       |GROUP BY GROUPING SETS ((event_type, day, hour), (event_type, day), (event_type))""".stripMargin
 
+  /** C28 — lag-1 autocorrelation of the hourly volume series per event
+    * type (the cheap seasonality/burstiness diagnostic): hourly counts
+    * (one aggregate), each paired with its predecessor by lag() over
+    * the HOUR series — bounded by the time range, not by events — then
+    * Pearson corr, an algebraic aggregate. Near 0 for a Poisson-flat
+    * stream, positive under bursty/diurnal load.
+    */
+  def qAutocorr(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev", lag("n", 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        round(corr(col("n").cast("double"), col("prev").cast("double")), 4).as("lag1_autocorr"))
+  }
+
+  val qAutocorrSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, n,
+      |    lag(n) OVER (PARTITION BY event_type ORDER BY hour) AS prev
+      |  FROM h)
+      |SELECT event_type, count(*) AS n_hours,
+      |  round(corr(n::DOUBLE, prev::DOUBLE), 4) AS lag1_autocorr
+      |FROM l WHERE prev IS NOT NULL GROUP BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_autocorr" -> qAutocorr,
     "q_time_rollup" -> qTimeRollup,
     "q_overlap_sessions" -> qOverlapSessions,
     "q_scd2" -> qScd2,
@@ -576,6 +611,7 @@ object Events {
     "q_funnel" -> qFunnel)
 
   def oracles: Map[String, String] = Map(
+    "q_autocorr" -> qAutocorrSql,
     "q_time_rollup" -> qTimeRollupSql,
     "q_overlap_sessions" -> qOverlapSessionsSql,
     "q_scd2" -> qScd2Sql,

@@ -415,6 +415,16 @@ class AnalyticsSpec extends GraftSuite {
     assert(broken.count() - broken.select("o_orderkey").distinct().count() == 1)
   }
 
+  test("qAutocorr: one row per event type, correlation within [-1, 1]") {
+    import graft.operators.Events
+    val rows = Events.qAutocorr(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length == types)
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("lag1_autocorr"); c >= -1.0 && c <= 1.0 })
+    assert(rows.forall(_.getAs[Long]("n_hours") > 0))
+  }
+
   test("qEntropy: uniform text scores high, constant text scores zero") {
     import spark.implicits._
     val docs = Seq(
