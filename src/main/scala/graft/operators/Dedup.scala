@@ -556,7 +556,7 @@ object Dedup {
     // decimal-typed: node ids may be full-width 60-bit hashes (the
     // entity-resolution graph), whose long sum overflows ANSI mode
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

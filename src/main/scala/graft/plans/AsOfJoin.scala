@@ -223,7 +223,7 @@ object NativeAsOfJoin {
     // right column mints fresh, globally unique exprIds for the
     // attributes we capture, so the node is unambiguous however the
     // children overlap underneath.
-    val rFresh = rightW.select(rightW.columns.map(c =>
+    val rFresh = rightW.select(rightW.columns.toIndexedSeq.map(c =>
       org.apache.spark.sql.functions.col(c).as(c)): _*)
     val r = rFresh.queryExecution.analyzed
     def attr(p: LogicalPlan, name: String): Attribute =

@@ -52,7 +52,7 @@ object Merge {
     val kept = oldTouched.join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_anti")
     val rowsUpdated = oldTouched
       .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_semi").count()
-    val rewritten = kept.unionByName(updates.select(oldTouched.columns.map(col): _*))
+    val rewritten = kept.unionByName(updates.select(oldTouched.columns.toIndexedSeq.map(col): _*))
 
     // stage the replacement files, then swap: delete only the touched
     // files, move the staged ones in (the non-transactional analog of

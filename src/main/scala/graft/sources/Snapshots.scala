@@ -97,7 +97,7 @@ object Snapshots {
       else spark.read.parquet(touched.toIndexedSeq: _*)
     val kept = oldTouched
       .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_anti")
-    val rewritten = kept.unionByName(updates.select(oldTouched.columns.map(col): _*))
+    val rewritten = kept.unionByName(updates.select(oldTouched.columns.toIndexedSeq.map(col): _*))
 
     val stage = Files.createTempDirectory("graft_snap").toString
     rewritten.write.mode(SaveMode.Overwrite).parquet(stage)

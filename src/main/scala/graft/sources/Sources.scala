@@ -126,7 +126,7 @@ object Sources {
       spark.read.parquet(path).filter(col(column) >= lo && col(column) <= hi)
         .limit(0)
     else
-      spark.read.parquet(files: _*)
+      spark.read.parquet(files.toIndexedSeq: _*)
         .filter(col(column) >= lo && col(column) <= hi)
   }
 
