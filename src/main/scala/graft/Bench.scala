@@ -30,6 +30,11 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    // incremental per-query log: a crash or truncated stdout capture
+    // partway through still leaves every completed timing on disk
+    val logPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG", "/tmp/bench_queries.jsonl"))
+    java.nio.file.Files.deleteIfExists(logPath)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // nudge the ContextCleaner so dead broadcasts/shuffles of prior
       // queries are released and a long run doesn't degrade into GC
@@ -38,12 +43,20 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       // -1 marks a failed query — never report a crash as a fast pass
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      java.nio.file.Files.writeString(logPath, s"""{"$name":$sec}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // full JSON line to a file as well: the driver's tail-capture of
+    // stdout truncated round 3's artifact to 72 of 118 queries
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")), line + "\n")
     spark.stop()
   }
 }

@@ -482,16 +482,7 @@ object Dedup {
     * side). */
   val qEmbedDupSql: String = {
     val dim = 64
-    val bucketSelects = (0 until EmbedTables).map { t =>
-      val bitTerms = (0 until EmbedBits).map { b =>
-        val hp = Similarity.hyperplane(t, b, dim)
-          .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-        s"""(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
-           |      i -> embedding[i]::DOUBLE * ($hp::DOUBLE[])[i])) > 0
-           |    THEN ${1L << b} ELSE 0 END)""".stripMargin
-      }.mkString(" +\n    ")
-      s"  SELECT vec_id, $t AS tbl,\n    $bitTerms AS bkt FROM embeddings"
-    }.mkString("\n  UNION ALL\n")
+    val bucketSelects = Similarity.bucketUnionSql(EmbedBits, EmbedTables, dim)
     s"""WITH buckets AS (
        |$bucketSelects),
        |cand AS (

@@ -146,6 +146,55 @@ object Similarity {
     lshKnn(e, e.filter(col("vec_id") < 20), 5)
   }
 
+  /** DuckDB replay of the hyperplane bucketing: one SELECT per LSH
+    * table over `embeddings`, each bucket id the same ±1-literal
+    * sign-bit sum the Spark side computes (both engines fold the dot
+    * product left-to-right in doubles, so the sign bits agree
+    * bit-for-bit). Shared by [[qKnnLshSql]] and Dedup.qEmbedDupSql.
+    */
+  def bucketUnionSql(bits: Int, tables: Int, dim: Int): String =
+    (0 until tables).map { t =>
+      val bitTerms = (0 until bits).map { b =>
+        val hp = hyperplane(t, b, dim)
+          .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"""(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+           |      i -> embedding[i]::DOUBLE * ($hp::DOUBLE[])[i])) > 0
+           |    THEN ${1L << b} ELSE 0 END)""".stripMargin
+      }.mkString(" +\n    ")
+      s"  SELECT vec_id, $t AS tbl,\n    $bitTerms AS bkt FROM embeddings"
+    }.mkString("\n  UNION ALL\n")
+
+  /** Full DuckDB replay of [[qKnnLsh]] (bits=3, tables=4, k=5): the
+    * same hyperplane literals, the same (table, bucket) candidate
+    * equi-join, the same exact-cosine re-rank — so the approximate
+    * operator gets the full rows+schema+hash oracle, not a weaker
+    * recall-only check. dim is 64 in the test corpus (probeDim asserts
+    * rectangularity on the Spark side).
+    */
+  val qKnnLshSql: String = {
+    val dim = 64
+    s"""WITH buckets AS (
+       |${bucketUnionSql(bits = 3, tables = 4, dim = dim)}),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM buckets q JOIN buckets c
+       |    ON q.tbl = c.tbl AND q.bkt = c.bkt
+       |   AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |n AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |      i -> q.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE)) / (q.nrm * nb.nrm), 4) AS cos_sim
+       |  FROM cand c JOIN n q ON c.query_id = q.vec_id JOIN n nb ON c.neighbor_id = nb.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   /** E4 — IVF-Flat approximate KNN: a coarse quantizer assigns every
     * vector to its nearest of `cells` centroids (one broadcast +
     * native-cosine argmax — no shuffle of the corpus beyond the cell
@@ -314,6 +363,7 @@ object Similarity {
     "q_quantized" -> qQuantizedSql,
     "q_vector_norm" -> qVectorNormSql,
     "q_knn_brute" -> qKnnBruteSql,
+    "q_knn_lsh" -> qKnnLshSql,
     "q_knn_ivf" -> qKnnIvfSql,
     "q_embed_centroid" -> qEmbedCentroidSql)
 }
