@@ -27,6 +27,20 @@ object Snapshots {
 
   private def logDir(path: String) = Paths.get(path, "_graft_log")
 
+  /** Canonical absolute decoded form for file identity: the scan
+    * reports `file:///…` URIs (%-encoded — spaces become %20), while
+    * manifests may hold plain, possibly relative, paths. Comparing raw
+    * strings would fail to retire superseded files and silently keep
+    * both old and new rows — so every comparison and every stored
+    * manifest line goes through this.
+    */
+  private[sources] def canonical(f: String): String = {
+    val p =
+      if (f.startsWith("file:")) Paths.get(java.net.URI.create(f))
+      else Paths.get(f)
+    p.toAbsolutePath.normalize.toString
+  }
+
   private def manifestPath(path: String, v: Int) =
     logDir(path).resolve(f"v$v%06d.manifest")
 
@@ -45,12 +59,24 @@ object Snapshots {
   private def liveFiles(path: String, v: Int): Seq[String] =
     Files.readAllLines(manifestPath(path, v)).asScala.toSeq.filter(_.nonEmpty)
 
+  /** Single manifest write = the commit atom. Content lands in a temp
+    * file first, then an ATOMIC_MOVE rename: a crash mid-write can
+    * never leave a truncated vNNNNNN.manifest that currentVersion
+    * would treat as the latest committed version (a real table format
+    * wraps the same rename in an object-store CAS; the lost-update
+    * exists-check below is the single-writer stand-in).
+    */
   private def commit(path: String, files: Seq[String]): Int = {
     val v = currentVersion(path) + 1
     Files.createDirectories(logDir(path))
-    Files.write(manifestPath(path, v),
-      files.sorted.mkString("\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE_NEW) // refuse to overwrite a committed version
+    val target = manifestPath(path, v)
+    val tmp = Files.createTempFile(logDir(path), "commit", ".tmp")
+    Files.write(tmp, files.map(canonical).sorted.mkString("\n").getBytes("UTF-8"))
+    if (Files.exists(target)) { // lost-update guard (POSIX rename would silently replace)
+      Files.deleteIfExists(tmp)
+      throw new java.nio.file.FileAlreadyExistsException(target.toString)
+    }
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     v
   }
 
@@ -91,7 +117,7 @@ object Snapshots {
       .join(broadcast(keys),
         col("__k") >= col("kmin") && col("__k") <= col("kmax"), "left_semi")
       .select("file").collect().map(_.getString(0))
-      .map(_.stripPrefix("file://").stripPrefix("file:"))
+      .map(canonical)
     val oldTouched =
       if (touched.isEmpty) target.limit(0)
       else spark.read.parquet(touched.toIndexedSeq: _*)
@@ -110,8 +136,7 @@ object Snapshots {
         dst.resolve(name).toString
       }.toSeq
     val touchedSet = touched.toSet
-    val newLive = live.filterNot(f =>
-      touchedSet.contains(f.stripPrefix("file://").stripPrefix("file:"))) ++ staged
+    val newLive = live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged
     commit(path, newLive)
   }
 
@@ -124,10 +149,18 @@ object Snapshots {
   def vacuum(path: String, keepFrom: Int): Int = {
     val cur = currentVersion(path)
     require(keepFrom >= 0 && keepFrom <= cur, s"keepFrom $keepFrom out of range 0..$cur")
-    val retained = (keepFrom to cur).flatMap(liveFiles(path, _)).toSet
-    val dropped = (0 until keepFrom).flatMap(liveFiles(path, _)).toSet -- retained
+    val retained = (keepFrom to cur).flatMap(liveFiles(path, _)).map(canonical).toSet
+    val dropped = (0 until keepFrom).flatMap(liveFiles(path, _)).map(canonical).toSet -- retained
+    // orphan sweep: a crash between staging data files and commit
+    // leaves *.parquet no manifest references; they'd otherwise never
+    // be reclaimed (and a later init would absorb them). Single-writer
+    // assumption: no merge may be in flight during vacuum.
+    val orphans = Files.list(Paths.get(path)).iterator.asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).map(canonical)
+      .filterNot(f => retained.contains(f) || dropped.contains(f)).toSeq
     dropped.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))
     (0 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(path, v)))
-    dropped.size
+    dropped.size + orphans.size
   }
 }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -22,20 +24,52 @@ import graft.sources.Merge
   */
 object UpsertSink {
 
-  /** Start the merge sink. `orderCol` breaks ties when one key changes
-    * several times inside a micro-batch (highest wins = latest change).
+  /** Last change per key within a batch. The window orders by
+    * `orderCol` DESC then by a hash of the full row, so two changes to
+    * the same key that tie on `orderCol` still resolve to ONE
+    * deterministic winner — without the tiebreak the landed table
+    * state would vary run to run.
     */
-  def start(changes: DataFrame, path: String, keyCol: String,
-      orderCol: String): StreamingQuery = {
+  private def latestPerKey(batch: DataFrame, keyCol: String, orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    changes.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val latest = batch
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(keyCol).orderBy(col(orderCol).desc)))
-          .filter(col("__rn") === 1).drop("__rn")
+    batch
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCol)
+          .orderBy(col(orderCol).desc,
+            xxhash64(batch.columns.toIndexedSeq.map(col): _*).asc)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def lastBatchPath(path: String) =
+    Paths.get(path, "_graft_log", "_last_batch")
+
+  /** Highest batchId already merged into `path`, or -1. */
+  def lastCommittedBatch(path: String): Long = {
+    val p = lastBatchPath(path)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+    else -1L
+  }
+
+  private def recordBatch(path: String, batchId: Long): Unit = {
+    val dir = Paths.get(path, "_graft_log")
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "batch", ".tmp")
+    Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+    Files.move(tmp, lastBatchPath(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Start the merge sink. `orderCol` breaks ties when one key changes
+    * several times inside a micro-batch (highest wins = latest change).
+    * Pass `checkpoint` to make restarts resume instead of replay.
+    */
+  def start(changes: DataFrame, path: String, keyCol: String,
+      orderCol: String, checkpoint: Option[String] = None): StreamingQuery = {
+    val w = changes.writeStream.outputMode("append")
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = latestPerKey(batch, keyCol, orderCol)
         if (!latest.isEmpty) {
           Merge.mergeInto(batch.sparkSession, path, latest, keyCol)
           ()
@@ -53,22 +87,27 @@ object UpsertSink {
     * pipeline needs: a training run pins the version it read, and
     * later ingest can't silently change it. Per-batch cost is still
     * index-pruned rewrite; history cost is bounded by `vacuum`.
+    *
+    * Exactly-once versions: the sink records the last merged batchId
+    * in the table's `_graft_log` (the (appId, batchId) txn-marker
+    * pattern of the reference table formats) and skips any replayed
+    * batch ≤ it, so a failure/restart cannot commit duplicate
+    * versions. The marker lands AFTER the version commit: a crash
+    * between the two replays exactly one batch, which re-commits an
+    * extra version with identical table content — duplicate-free
+    * either way. Pass `checkpoint` so the source side also resumes
+    * rather than replays.
     */
   def startVersioned(changes: DataFrame, path: String, keyCol: String,
-      orderCol: String): StreamingQuery = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    changes.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val latest = batch
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(keyCol).orderBy(col(orderCol).desc)))
-          .filter(col("__rn") === 1).drop("__rn")
-        if (!latest.isEmpty) {
+      orderCol: String, checkpoint: Option[String] = None): StreamingQuery = {
+    val w = changes.writeStream.outputMode("append")
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val latest = latestPerKey(batch, keyCol, orderCol)
+        if (batchId > lastCommittedBatch(path) && !latest.isEmpty) {
           graft.sources.Snapshots.mergeVersioned(
             batch.sparkSession, path, latest, keyCol)
-          ()
+          recordBatch(path, batchId)
         }
       }
       .start()

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import graft.sources.Snapshots
@@ -68,6 +69,62 @@ class SnapshotsSpec extends GraftSuite {
     assert(m(0)(5L) == "v5" && !m(0).contains(200L))
     assert(m(1)(5L) == "B1" && m(1)(200L) == "B1NEW")
     assert(m(2)(5L) == "B2LATE" && m(2)(200L) == "B1NEW" && m(2).size == 101)
+  }
+
+  test("mergeVersioned retires superseded files under a relative table path") {
+    import spark.implicits._
+    // relative path: scan URIs (file:///abs, %-encoded) and manifest
+    // entries would mismatch on raw string compare, silently keeping
+    // BOTH old and new rows for an updated key
+    val abs = Paths.get(freshTable())
+    val rel = Paths.get("").toAbsolutePath.relativize(abs).toString
+    Snapshots.init(spark, rel)
+    val up = Seq((5L, "UP5", 1L)).toDF("k", "payload", "gen")
+    Snapshots.mergeVersioned(spark, rel, up, "k")
+    val rows = Snapshots.read(spark, rel).filter(col("k") === 5L).collect()
+    assert(rows.length == 1, s"superseded file not retired: ${rows.toSeq}")
+    assert(rows.head.getString(1) == "UP5")
+    assert(Snapshots.read(spark, rel).count() == 100)
+  }
+
+  test("vacuum sweeps orphan data files no manifest references") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    // simulate a crash between staging and commit: a data file lands in
+    // the table dir but no manifest ever references it
+    val orphanDir = Files.createTempDirectory("graft_orphan").toString
+    Seq((999L, "ORPHAN", 9L)).toDF("k", "payload", "gen")
+      .coalesce(1).write.mode("overwrite").parquet(orphanDir)
+    val part = Files.list(Paths.get(orphanDir)).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(part, Paths.get(dir, "v1_crashed.parquet"))
+    val swept = Snapshots.vacuum(dir, keepFrom = 0)
+    assert(swept == 1, s"expected exactly the orphan swept, got $swept")
+    assert(!Files.exists(Paths.get(dir, "v1_crashed.parquet")))
+    assert(Snapshots.read(spark, dir).count() == 100) // live data untouched
+  }
+
+  test("startVersioned skips replayed batches instead of duplicating versions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    val in1 = MemoryStream[(Long, String, Long)]
+    val q1 = graft.streaming.UpsertSink.startVersioned(
+      in1.toDS().toDF("k", "payload", "gen"), dir, "k", "gen")
+    try { in1.addData((5L, "B1", 1L)); q1.processAllAvailable() } finally q1.stop()
+    assert(Snapshots.currentVersion(dir) == 1)
+    // restart without a checkpoint: the source replays from batchId 0;
+    // the txn marker in _graft_log must reject it, not re-commit
+    val in2 = MemoryStream[(Long, String, Long)]
+    val q2 = graft.streaming.UpsertSink.startVersioned(
+      in2.toDS().toDF("k", "payload", "gen"), dir, "k", "gen")
+    try { in2.addData((5L, "B1", 1L)); q2.processAllAvailable() } finally q2.stop()
+    assert(Snapshots.currentVersion(dir) == 1,
+      "replayed batch 0 committed a duplicate version")
+    assert(graft.streaming.UpsertSink.lastCommittedBatch(dir) == 0L)
   }
 
   test("log protocol refuses ill-defined operations instead of corrupting state") {
