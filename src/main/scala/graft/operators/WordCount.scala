@@ -106,16 +106,36 @@ object WordCount {
   /** A8: the reference's two sink modes — one `word:count` text file per
     * reducer partition (output_files/output{i}.txt) or a single combined
     * file (combined_omp_wc.txt). `numPartitions = 0` keeps Spark's own
-    * partitioning (cluster-scale); `1` coalesces like the combined sink.
+    * partitioning (cluster-scale); `1` coalesces like the combined sink;
+    * `> 1` routes each word by the reference's own djb2 % R reducer
+    * assignment (omp_count_words.cpp:291-303) into a `pid=N` directory
+    * per reducer — the Spark-idiomatic form of the reference's
+    * output{i}.txt layout, with IDENTICAL word→reducer routing (parity
+    * spec replays the recurrence independently).
     */
+  /** The reference's reducer id: UNSIGNED 64-bit djb2 mod R. The
+    * signed Spark hash h ≡ unsigned h + 2^64·[h<0] (mod R), so adding
+    * (2^64 mod R) when h is negative reproduces the unsigned mod for
+    * ANY R (for power-of-two R, e.g. the committed 16, this equals
+    * h & (R−1)).
+    */
+  def djb2Pid(word: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column = {
+    val corr = (BigInt(2).pow(64) mod BigInt(r)).toLong
+    val h = djb2(word)
+    pmod(pmod(h, lit(r.toLong)) + when(h < 0, lit(corr)).otherwise(lit(0L)), lit(r.toLong))
+  }
+
   def writeCounts(counts: DataFrame, path: String, numPartitions: Int = 0): Unit = {
-    val base = counts.select(
+    val base = counts.select(col("word"), col("cnt"),
       concat_ws(":", col("word"), col("cnt").cast("string")).as("value"))
-    val sized =
-      if (numPartitions == 1) base.coalesce(1)
-      else if (numPartitions > 1) base.repartition(numPartitions, col("value"))
-      else base
-    sized.write.mode(SaveMode.Overwrite).text(path)
+    if (numPartitions > 1)
+      base
+        .withColumn("pid", djb2Pid(col("word"), numPartitions))
+        .select("value", "pid")
+        .write.mode(SaveMode.Overwrite).partitionBy("pid").text(path)
+    else
+      (if (numPartitions == 1) base.coalesce(1) else base)
+        .select("value").write.mode(SaveMode.Overwrite).text(path)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

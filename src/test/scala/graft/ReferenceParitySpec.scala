@@ -74,15 +74,49 @@ class ReferenceParitySpec extends GraftSuite {
     // sink (reference: output_files/output{i}.txt, 16 reducers)
     WordCount.writeCounts(counts, s"$dir/combined", numPartitions = 1)
     WordCount.writeCounts(counts, s"$dir/sharded", numPartitions = 16)
+    def parse(line: String): (String, Long) = {
+      val i = line.lastIndexOf(':')
+      line.substring(0, i) -> line.substring(i + 1).toLong
+    }
     def reread(p: String): Map[String, Long] =
-      spark.read.text(p).as[String].collect().iterator.map { line =>
-        val i = line.lastIndexOf(':')
-        line.substring(0, i) -> line.substring(i + 1).toLong
-      }.toMap
+      spark.read.text(p).select("value").as[String].collect()
+        .iterator.map(parse).toMap
     assert(reread(s"$dir/combined") == expected)
     assert(reread(s"$dir/sharded") == expected)
     val combinedFiles = Files.list(Paths.get(s"$dir/combined")).iterator.asScala
       .count(_.toString.endsWith(".txt"))
     assert(combinedFiles == 1, "combined sink must be a single file")
+  }
+
+  /** Independent replay of the reference's reducer hash
+    * (omp_count_words.cpp:291-303): unsigned 64-bit h = h·33 + c,
+    * then % 16 — NOT the graft Column expression, so the sink's
+    * routing is checked against the recurrence itself. */
+  private def refPid(word: String, r: Int): Int = {
+    var h = 5381L
+    word.codePoints().forEach(cp => h = h * 33L + cp)
+    java.lang.Long.remainderUnsigned(h, r.toLong).toInt
+  }
+
+  test("sharded sink routes every word to the reference's djb2 % 16 reducer") {
+    assume(available, "reference corpus not mounted")
+    val counts = WordCount.fromTextFiles(spark, refTxtFiles)
+    val dir = Files.createTempDirectory("wc_ref_route").toString
+    WordCount.writeCounts(counts, dir, numPartitions = 16)
+    val pidDirs = Files.list(Paths.get(dir)).iterator.asScala
+      .filter(p => p.getFileName.toString.startsWith("pid=")).toSeq
+    assert(pidDirs.nonEmpty, "expected pid=N reducer directories")
+    var checked = 0L
+    for (pd <- pidDirs) {
+      val pid = pd.getFileName.toString.stripPrefix("pid=").toInt
+      val words = spark.read.text(pd.toString).as[String].collect()
+        .map(l => l.substring(0, l.lastIndexOf(':')))
+      for (w <- words) {
+        assert(refPid(w, 16) == pid,
+          s"'$w' landed in pid=$pid, reference routes it to ${refPid(w, 16)}")
+        checked += 1
+      }
+    }
+    assert(checked == expected.size, s"routed $checked of ${expected.size} words")
   }
 }

@@ -54,7 +54,8 @@ class WordCountSpec extends GraftSuite {
     WordCount.writeCounts(counts, s"$dir/combined", numPartitions = 1)
     WordCount.writeCounts(counts, s"$dir/sharded", numPartitions = 4)
     val combined = spark.read.text(s"$dir/combined").as[String].collect()
-    val sharded = spark.read.text(s"$dir/sharded").as[String].collect()
+    // the sharded sink is pid=N partition dirs; keep only the payload
+    val sharded = spark.read.text(s"$dir/sharded").select("value").as[String].collect()
     assert(combined.sorted.sameElements(sharded.sorted))
     assert(combined.forall(_.matches("[^:]+:\\d+")))
     assert(combined.length == counts.count())
