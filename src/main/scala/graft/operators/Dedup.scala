@@ -52,6 +52,8 @@ object Dedup {
     shingleIndexes.clear()
     pairLists.values.foreach(_.unpersist())
     pairLists.clear()
+    sigTables.values.foreach(_.unpersist())
+    sigTables.clear()
   }
 
   /** One cached verified near-dup pair list per (corpus plan, tau) —
@@ -255,16 +257,29 @@ object Dedup {
     (Math.floorMod(long8(0), P31 - 1) + 1, Math.floorMod(long8(8), P31))
   }
 
+  /** One cached signature table per (corpus plan, k) — the shingle-
+    * registry pattern for the NEXT derived layer: D3 (signatures), D4
+    * (banding), and D11 (estimation, which needs signatures TWICE —
+    * once for banding, once for the component-agreement join) all read
+    * the same materialization instead of re-running the k-min
+    * aggregate. Bounded: k longs per doc.
+    */
+  private val sigTables = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]
+
   /** D3 — MinHash signatures: k universal min-hashes per doc, computed
     * in ONE HashAggregate over the exploded shingles (k min() aggregates
     * over longs, map-side partial).
     */
-  def minhash(docs: DataFrame, k: Int = NumHashes): DataFrame = {
-    val aggs = (0 until k).map { i =>
-      val (a, b) = uhParam(i)
-      min(expr(s"($a * (h % $P31) + $b) % $P31")).as(f"mh$i%02d")
-    }
-    shingles(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  def minhash(docs: DataFrame, k: Int = NumHashes): DataFrame = synchronized {
+    val key = (docs.queryExecution.analyzed.canonicalized, k)
+    sigTables.getOrElseUpdate(key, {
+      val aggs = (0 until k).map { i =>
+        val (a, b) = uhParam(i)
+        min(expr(s"($a * (h % $P31) + $b) % $P31")).as(f"mh$i%02d")
+      }
+      shingles(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*).cache()
+    })
   }
 
   private def minhashSelectSql: String = {
