@@ -3,10 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlInternals}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, BoundReference, Expression, GenericInternalRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.LongType
 
 /** As-of join as a NATIVE Catalyst operator — the second custom-plan
@@ -68,6 +70,15 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Compiled-side helper for the generated merge loop: deep-copies a
+  * payload value out of the sort iterator's reused row buffer
+  * (UTF8String/array/struct views would otherwise be overwritten by
+  * the next right row). */
+object AsOfHelpers {
+  def copyValue(v: Object): Object =
+    InternalRow.copyValue(v).asInstanceOf[Object]
+}
+
 case class AsOfJoinExec(
     leftKey: Attribute,
     leftTime: Attribute,
@@ -78,9 +89,13 @@ case class AsOfJoinExec(
     payloadOut: Seq[Attribute],
     left: SparkPlan,
     right: SparkPlan)
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  // payload attrs are minted HERE — without this, missingInput is
+  // non-empty and every plan dump prefixes the node with "!"
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
 
   // both sides hash-clustered on the key — EnsureRequirements gives the
   // two exchanges compatible partitioning, exactly as for a shuffle join
@@ -97,6 +112,119 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  // ---- whole-stage codegen: the SortMergeJoin shape — both sorted
+  // children arrive as iterators (their own stages end at the sorts);
+  // the merge pass itself is generated Java fused with the PARENT
+  // operators, so a projection/filter/agg above the join reads the
+  // joined row with no iterator handoff or GenericInternalRow
+  // materialization (doExecute below allocates one per left row).
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    Seq(left.execute(), right.execute())
+
+  // downstream buffering operators must copy: the emitted vars point
+  // into the left iterator's current row / the shared payload slots
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val lOut = left.output
+    val rOut = right.output
+    val nPay = rightPayload.length
+
+    val leftInput = ctx.addMutableState(
+      "scala.collection.Iterator", "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState(
+      "scala.collection.Iterator", "asofRightInput", v => s"$v = inputs[1];")
+    // one-row lookahead over the sorted right stream + O(1) match state
+    val rRow = ctx.addMutableState("InternalRow", "asofRightRow",
+      v => s"$v = $rightInput.hasNext() ? (InternalRow) $rightInput.next() : null;")
+    val hasMatch = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHasMatch")
+    val matchKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofMatchKey")
+    val matchPay = ctx.addMutableState("Object[]", "asofMatchPay",
+      v => s"$v = new Object[$nPay];")
+
+    // right-side expressions evaluate against the lookahead field
+    ctx.INPUT_ROW = rRow
+    ctx.currentVars = null
+    val rkEv = BindReferences.bindReference(rightKey: Expression, rOut).genCode(ctx)
+    val rtEv = BindReferences.bindReference(rightTime: Expression, rOut).genCode(ctx)
+    val copyPay = rightPayload.zipWithIndex.map { case (p, j) =>
+      val ev = BindReferences.bindReference(p: Expression, rOut).genCode(ctx)
+      s"""
+         |${ev.code}
+         |$matchPay[$j] = ${ev.isNull} ? null
+         |  : graft.plans.AsOfHelpers.copyValue((Object) ${ev.value});
+       """.stripMargin
+    }.mkString("\n")
+    // the forward scan: consume right rows while they are <= (lk, lt),
+    // remembering the payload of the last same-key row seen — sort
+    // order makes that the (time, tiebreaks) winner
+    val advanceName = ctx.freshName("asofAdvance")
+    val advanceFn = ctx.addNewFunction(advanceName,
+      s"""
+         |private void $advanceName(long lk, long lt) {
+         |  while ($rRow != null) {
+         |    ${rkEv.code}
+         |    ${rtEv.code}
+         |    if (${rkEv.isNull} || ${rtEv.isNull}) {
+         |      $rRow = $rightInput.hasNext() ? (InternalRow) $rightInput.next() : null;
+         |      continue;
+         |    }
+         |    long rk = ${rkEv.value};
+         |    long rt = (long) ${rtEv.value};
+         |    if (rk < lk || (rk == lk && rt <= lt)) {
+         |      if (rk == lk) {
+         |        $matchKey = rk;
+         |        $hasMatch = true;
+         |        $copyPay
+         |      }
+         |      $rRow = $rightInput.hasNext() ? (InternalRow) $rightInput.next() : null;
+         |    } else {
+         |      break;
+         |    }
+         |  }
+         |}
+       """.stripMargin)
+
+    // left side: evaluate key/time and every output column from the
+    // streamed row, synthesize payload vars from the match slots
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val lkEv = BindReferences.bindReference(leftKey: Expression, lOut).genCode(ctx)
+    val ltEv = BindReferences.bindReference(leftTime: Expression, lOut).genCode(ctx)
+    val leftVars = lOut.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val matched = ctx.freshName("asofMatched")
+    val payVars = payloadOut.zipWithIndex.map { case (a, j) =>
+      val v = ctx.freshName("asofPayVal")
+      val isN = ctx.freshName("asofPayIsNull")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val bt = CodeGenerator.boxedType(a.dataType)
+      val cdeStr =
+        s"""boolean $isN = !$matched || $matchPay[$j] == null;
+           |$jt $v = $isN ? ${CodeGenerator.defaultValue(a.dataType)}
+           |  : ($bt) $matchPay[$j];""".stripMargin
+      ExprCode(code"$cdeStr", JavaCode.isNullVariable(isN), JavaCode.variable(v, a.dataType))
+    }
+    // consume() evaluates leftVars/payVars code at its splice point —
+    // after the matched flag they reference is set
+    s"""
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lkEv.code}
+       |  ${ltEv.code}
+       |  boolean $matched = false;
+       |  if (!(${lkEv.isNull}) && !(${ltEv.isNull})) {
+       |    $advanceFn(${lkEv.value}, (long) ${ltEv.value});
+       |    $matched = $hasMatch && $matchKey == ${lkEv.value};
+       |  }
+       |  ${consume(ctx, leftVars ++ payVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output

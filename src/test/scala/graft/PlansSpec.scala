@@ -190,4 +190,17 @@ class PlansSpec extends GraftSuite {
     assert(plan.contains("Sort "), plan)
     assert(!plan.contains("Window"), s"native path must not fall back to a window:\n$plan")
   }
+
+  test("as-of merge pass runs inside whole-stage codegen, no fallback") {
+    // fallback=false: a generated-code compile failure becomes a hard
+    // error, so a pass proves the merge loop compiled and executed
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = graft.plans.Native.qAsofNative(spark, sf)
+      assert(df.collect().length > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan).isDefined,
+        s"AsOfJoin not inside a WholeStageCodegen span:\n$plan")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
