@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** The adaptive Jaccard join's two regimes (SURVEY §2.4 D2): the
+  * bounded-posting direct pair-count join and the heavy-posting
+  * AllPairs/PPJoin prefix path must be EXACTLY interchangeable — the
+  * prefix + positional bounds are lossless, and verification is a full
+  * set intersection.
+  */
+class PrefixJaccardSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** A corpus with deliberate boilerplate: every doc shares one hot
+    * 10-word preamble (its shingles' postings = the whole corpus —
+    * the web-scale pathology), plus a doc-specific body; docs i and
+    * i+1 for even i share most of their body (near-dup pairs). */
+  private def boilerplateCorpus(nDocs: Int): org.apache.spark.sql.DataFrame = {
+    val preamble = (1 to 10).map(k => s"common$k").mkString(" ")
+    (0 until nDocs).map { i =>
+      val base = i / 2 // doc 2k and 2k+1 share a body
+      val body = (1 to 30).map(k => s"body${base}_$k").mkString(" ")
+      val tail = if (i % 2 == 0) "" else s" extra$i a b"
+      (i.toLong, s"$preamble $body$tail")
+    }.toDF("doc_id", "text")
+  }
+
+  test("direct and prefix regimes produce identical pairs") {
+    val docs = boilerplateCorpus(60)
+    val sh = Dedup.shingles(docs)
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val direct = Dedup.directJaccard(sh, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val prefix = Dedup.prefixJaccard(sh, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(direct.nonEmpty, s"tau=$tau: expected near-dup pairs in the corpus")
+      assert(direct === prefix, s"tau=$tau: regimes disagree")
+    }
+  }
+
+  test("adaptive dispatch picks the heavy regime only for heavy postings") {
+    // boilerplate corpus: the preamble shingles appear in all 60 docs
+    val heavy = boilerplateCorpus(60)
+    val pairsHeavy = Dedup.jaccardPairs(heavy, tau = 0.5, directMaxPosting = 30L)
+    val viaPrefix = Dedup.prefixJaccard(Dedup.shingles(heavy), 0.5)
+    assert(pairsHeavy.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === viaPrefix.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // warehouse corpus: postings are bounded -> direct path (same
+    // output either way; this just pins the dispatch threshold logic)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val direct = Dedup.jaccardPairs(docs, tau = 0.5)
+    assert(direct.columns.toSeq === Seq("doc_a", "doc_b", "jaccard"))
+  }
+
+  test("positional filter bound is lossless on the warehouse corpus") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val direct = Dedup.directJaccard(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefix = Dedup.prefixJaccard(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct === prefix,
+      s"missed: ${(direct -- prefix).take(5)} spurious: ${(prefix -- direct).take(5)}")
+  }
+}
