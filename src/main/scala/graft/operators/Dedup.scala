@@ -682,9 +682,10 @@ object Dedup {
   def qDedupCc(s: SparkSession, d: String, tau: Double = 0.5): DataFrame =
     connectedComponents(nearDupPairs(s, d, tau).select("doc_a", "doc_b"))
 
-  /** Recursive transitive closure in DuckDB: min reachable label over
-    * the symmetric edge set == min doc_id of the component. */
-  val qDedupCcSql: String =
+  /** Recursive transitive closure in DuckDB up to a `comp` CTE —
+    * min reachable label over the symmetric edge set == min doc_id of
+    * the component. Shared by the D8 oracle and TrainPrep's F26. */
+  private[operators] val ccCte: String =
     "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ") + jaccardPairsCte +
       """,
         |dup AS (SELECT doc_a, doc_b FROM p
@@ -695,9 +696,13 @@ object Dedup {
         |reach AS (
         |  SELECT src AS node, dst AS lbl FROM e
         |  UNION
-        |  SELECT r.node, e.dst FROM reach r JOIN e ON e.src = r.lbl)
-        |SELECT node AS doc_id, least(node, min(lbl)) AS component
-        |FROM reach GROUP BY node""".stripMargin
+        |  SELECT r.node, e.dst FROM reach r JOIN e ON e.src = r.lbl),
+        |comp AS (
+        |  SELECT node AS doc_id, least(node, min(lbl)) AS component
+        |  FROM reach GROUP BY node)""".stripMargin
+
+  val qDedupCcSql: String =
+    ccCte + "\nSELECT doc_id, component FROM comp"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cc" -> ((s, d) => qDedupCc(s, d)),

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextAnalysis.wordsExpr
+
+/** Training-data preparation block (SURVEY.md §2.6 F23–F26): the
+  * operators that turn a deduplicated, quality-filtered corpus into
+  * model-ready training shards — sequence packing, vocabulary-growth
+  * monitoring, dedup observability, and cluster-canonicalization.
+  *
+  * Scale design notes per operator are on each method; none collects
+  * to the driver, and every window partitions by a bounded key
+  * (source shard / bucket / component), never globally.
+  */
+object TrainPrep {
+
+  /** F23 — token-budget sequence packing (concat-and-chunk): docs are
+    * concatenated in deterministic (source, doc_id) order and cut at
+    * `budget`-token context boundaries — each doc gets the bin it
+    * STARTS in and its offset there, which is exactly the layout a
+    * packed-pretraining loader needs (a doc may straddle into the
+    * next bin; the loader reads on). Packing is PER SOURCE — the
+    * shard key — so the running-offset window never needs a global
+    * sort: at 100 TB each source packs independently and in parallel,
+    * and adding a source never reshuffles the others' bins.
+    */
+  def qPack(s: SparkSession, d: String, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "source", s"CAST(size($wordsExpr) AS BIGINT) AS n_tokens")
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("offset") / budget).cast("long").as("bin"),
+        (col("offset") % budget).as("bin_offset"))
+  }
+
+  val qPackSql: String =
+    raw"""WITH t AS (SELECT doc_id, source,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT doc_id, source, n_tokens,
+      |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(floor(off / 512.0) AS BIGINT) AS bin,
+      |  off % 512 AS bin_offset
+      |FROM o""".stripMargin
+
+  /** F24 — vocabulary growth curve (the Heaps'-law monitor): how many
+    * NEW distinct tokens each batch of `bucketDocs` documents
+    * contributes, plus the running vocabulary size. The signal a
+    * crawl-ingest pipeline watches for corpus saturation (new-token
+    * rate collapsing → the crawl is re-reading the same material) or
+    * contamination (a spike → a new domain or a junk injection).
+    * One shuffle on token (min-doc aggregate, map-side partial), then
+    * a bucket-count whose cumulative window runs over ~|corpus|/bucket
+    * rows — nothing global touches row-level data.
+    */
+  def qVocabGrowth(s: SparkSession, d: String, bucketDocs: Long = 50L): DataFrame = {
+    val firstSeen = Tables.documents(s, d)
+      .selectExpr("doc_id", s"explode($wordsExpr) AS tok")
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+      .select(floor(col("first_doc") / bucketDocs).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_words"))
+    firstSeen
+      .withColumn("cum_vocab",
+        sum(col("new_words")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  val qVocabGrowthSql: String =
+    raw"""WITH u AS (SELECT doc_id,
+      |  unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |fs AS (SELECT tok, min(doc_id) AS first_doc FROM u GROUP BY tok),
+      |b AS (SELECT CAST(floor(first_doc / 50.0) AS BIGINT) AS bucket,
+      |        count(*) AS new_words
+      |      FROM fs GROUP BY 1)
+      |SELECT bucket, new_words,
+      |  CAST(sum(new_words) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+      |FROM b""".stripMargin
+
+  /** F25 — per-source near-duplication rate (dedup observability):
+    * for each source, how many docs the D7 pipeline would drop and
+    * the drop rate. The per-shard report a 100 TB ingest watches to
+    * catch a mirrored crawl or a boilerplate-heavy domain BEFORE
+    * paying to train on it. Rides the shared verified-pair registry —
+    * the report is a join of (tiny) pair list against (doc_id,
+    * source), grouped by source.
+    */
+  def qDedupRate(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val drop = Dedup.nearDupPairs(s, d, tau)
+      .select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(s, d)
+      .join(drop.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs"), 4).as("dup_rate"))
+  }
+
+  val qDedupRateSql: String =
+    Dedup.shinglesCte + Dedup.jaccardPairsCte +
+      """,
+        |drop AS (SELECT DISTINCT doc_b AS doc_id FROM p
+        |  JOIN c ca ON doc_a = ca.doc_id JOIN c cb ON doc_b = cb.doc_id
+        |  WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  round(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 4) AS dup_rate
+        |FROM documents d LEFT JOIN drop dr ON d.doc_id = dr.doc_id
+        |GROUP BY d.source""".stripMargin
+
+  /** F26 — canonical representative per near-dup cluster: D8's
+    * connected components, but instead of "keep the min doc_id" the
+    * KEPT doc is the best one — longest content wins, doc_id breaks
+    * ties — the "keep the richest copy" refinement real dedup
+    * pipelines apply (a truncated mirror shouldn't shadow the full
+    * original). One struct-max aggregate per component (map-side
+    * combinable), joined against component membership; components are
+    * tiny relative to the corpus by construction.
+    */
+  def qClusterRep(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val comp = Dedup.qDedupCc(s, d, tau) // (doc_id, component)
+    val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+    comp.join(docs, "doc_id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        // max over (n_chars, -doc_id): longest doc, lowest id on ties
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"),
+          col("doc_id"))).as("m"))
+      .select(col("component"), col("n_members"),
+        col("m.doc_id").as("rep_id"), col("m.n_chars").as("rep_chars"))
+  }
+
+  val qClusterRepSql: String =
+    Dedup.ccCte +
+      """
+        |SELECT component, n_members, doc_id AS rep_id, n_chars AS rep_chars
+        |FROM (
+        |  SELECT c.component,
+        |    count(*) OVER (PARTITION BY c.component) AS n_members,
+        |    c.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+        |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+        |WHERE rn = 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack" -> ((s, d) => qPack(s, d)),
+    "q_vocab_growth" -> ((s, d) => qVocabGrowth(s, d)),
+    "q_dedup_rate" -> ((s, d) => qDedupRate(s, d)),
+    "q_cluster_rep" -> ((s, d) => qClusterRep(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "q_pack" -> qPackSql,
+    "q_vocab_growth" -> qVocabGrowthSql,
+    "q_dedup_rate" -> qDedupRateSql,
+    "q_cluster_rep" -> qClusterRepSql)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TrainPrep}
+
+class TrainPrepSpec extends GraftSuite {
+
+  test("packing: offsets chain exactly within each source shard") {
+    val rows = TrainPrep.qPack(spark, sf, budget = 512).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    for ((_, docs) <- rows) {
+      var offset = 0L
+      for ((_, _, nTok, bin, binOff) <- docs.sortBy(_._2)) {
+        assert(bin == offset / 512 && binOff == offset % 512,
+          s"doc at offset $offset got (bin=$bin, off=$binOff)")
+        offset += nTok
+      }
+    }
+  }
+
+  test("vocab growth: increments sum to the distinct vocabulary") {
+    val rows = TrainPrep.qVocabGrowth(spark, sf).orderBy("bucket").collect()
+    val vocab = Tables.documents(spark, sf)
+      .selectExpr(s"explode(${graft.operators.TextAnalysis.wordsExpr}) AS tok")
+      .select("tok").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == vocab)
+    assert(rows.last.getLong(2) == vocab, "running total must end at |vocab|")
+    // cumulative column is the running sum of increments
+    assert(rows.map(_.getLong(1)).scanLeft(0L)(_ + _).tail.toSeq ===
+      rows.map(_.getLong(2)).toSeq)
+  }
+
+  test("dedup rate: covers every source, bounded, consistent with the pipeline") {
+    val rows = TrainPrep.qDedupRate(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val corpus = Tables.documents(spark, sf)
+    assert(rows.values.map(_._1).sum == corpus.count())
+    for ((src, (n, d, rate)) <- rows) {
+      assert(d >= 0 && d <= n, s"$src: $d dups of $n docs")
+      assert(math.abs(rate - d.toDouble / n) < 1e-3)
+    }
+    // total drops match D7's drop set size
+    val dropped = corpus.count() - Dedup.qDedupPipeline(spark, sf).count()
+    assert(rows.values.map(_._2).sum == dropped)
+  }
+
+  test("cluster representative is the longest member, lowest id on ties") {
+    val comp = Dedup.qDedupCc(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = comp.groupBy(_._2).map { case (c, members) =>
+      val ids = members.map(_._1)
+      c -> ((ids.maxBy(id => (chars(id), -id)), ids.length.toLong))
+    }
+    val got = TrainPrep.qClusterRep(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+    assert(got == want)
+  }
+}
