@@ -156,13 +156,53 @@ object TrainPrep {
         |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
         |WHERE rn = 1""".stripMargin
 
+  /** F27 — deterministic mixture construction: downsample each source
+    * to a TOKEN budget (here `frac` of its token mass — in production
+    * a per-source weights map, e.g. "30% web / 30% code / …"). Docs
+    * are admitted in content-addressed md5 order until the budget
+    * fills, so the sample is rerun- and reshard-stable with no RNG
+    * state to coordinate (the F6/F19 property, applied to the
+    * mixture), and a re-crawled copy of a doc keeps its
+    * admission status. Per-source windows only — each mixture
+    * component samples independently at 100 TB. The boundary doc that
+    * crosses the budget is kept (its cum ≤ budget + its own tokens),
+    * matching the "fill then stop" loader convention; output carries
+    * cum_tokens so the loader can trim mid-doc if it must.
+    */
+  def qMixture(s: SparkSession, d: String, frac: Double = 0.4): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("ord", "doc_id")
+    val wTot = Window.partitionBy("source")
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "source", "md5(text) AS ord",
+        s"CAST(size($wordsExpr) AS BIGINT) AS n_tokens")
+      .withColumn("budget", ceil(sum(col("n_tokens")).over(wTot) * frac).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") - col("n_tokens") < col("budget"))
+      .select("doc_id", "source", "n_tokens", "cum")
+  }
+
+  val qMixtureSql: String =
+    raw"""WITH t AS (SELECT doc_id, source, md5(text) AS ord,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |b AS (SELECT doc_id, source, n_tokens,
+      |  CAST(ceil(sum(n_tokens) OVER (PARTITION BY source) * 0.4) AS BIGINT) AS budget,
+      |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens, cum
+      |FROM b WHERE cum - n_tokens < budget""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture" -> ((s, d) => qMixture(s, d)),
     "q_pack" -> ((s, d) => qPack(s, d)),
     "q_vocab_growth" -> ((s, d) => qVocabGrowth(s, d)),
     "q_dedup_rate" -> ((s, d) => qDedupRate(s, d)),
     "q_cluster_rep" -> ((s, d) => qClusterRep(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_mixture" -> qMixtureSql,
     "q_pack" -> qPackSql,
     "q_vocab_growth" -> qVocabGrowthSql,
     "q_dedup_rate" -> qDedupRateSql,

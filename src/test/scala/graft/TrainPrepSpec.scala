@@ -47,6 +47,32 @@ class TrainPrepSpec extends GraftSuite {
     assert(rows.values.map(_._2).sum == dropped)
   }
 
+  test("mixture sample fills each source's token budget then stops") {
+    val frac = 0.4
+    val kept = TrainPrep.qMixture(spark, sf, frac).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val totals = Tables.documents(spark, sf)
+      .selectExpr("source", s"CAST(size(${graft.operators.TextAnalysis.wordsExpr}) AS BIGINT) AS n")
+      .groupBy("source").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == totals.keySet, "every source must be represented")
+    for ((src, docs) <- kept) {
+      val budget = math.ceil(totals(src) * frac).toLong
+      val maxCum = docs.map(_._4).max
+      val lastTokens = docs.maxBy(_._4)._3
+      // the budget is filled: last admitted doc STARTS before the
+      // budget and crossing it by at most that doc's own tokens
+      assert(maxCum - lastTokens < budget && maxCum <= budget + lastTokens)
+      // admitted token mass is ~frac of the source (within one doc)
+      assert(maxCum >= budget, s"$src under-filled: $maxCum < $budget")
+    }
+    // deterministic: a second run is bit-identical
+    val again = TrainPrep.qMixture(spark, sf, frac).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(again == kept.values.flatten.map(t => (t._2, t._4)).toSeq.sorted)
+  }
+
   test("cluster representative is the longest member, lowest id on ties") {
     val comp = Dedup.qDedupCc(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
