@@ -282,21 +282,19 @@ object Dedup {
     * c(A→B) = |A∩B| / |A|. A 50-shingle doc fully quoted inside a
     * 5000-shingle doc has Jaccard ≈ 0.01 (invisible to D2) but
     * containment 1.0 — the signal for quote/subset duplication.
-    * Same inverted-index shape and posting cap as D2; only the final
-    * normalization differs, and the emitted pair carries BOTH
-    * directions so the consumer can tell subset from superset.
+    * Same exact inverted-index pair-count join as D2's direct regime;
+    * only the final normalization differs, and the emitted pair
+    * carries BOTH directions so the consumer can tell subset from
+    * superset. (On boilerplate-heavy corpora the prefix trick needs
+    * Broder-containment prefixes — |x| − ⌈τ·|x|⌉ + 1 on the SMALLER
+    * side only — which is why the adaptive dispatch lives in D2; the
+    * bounded-posting direct join is the regime this warehouse hits.)
     */
-  def qContainment(s: SparkSession, d: String, tau: Double = 0.8,
-      maxPosting: Int = 1000): DataFrame = {
+  def qContainment(s: SparkSession, d: String, tau: Double = 0.8): DataFrame = {
     val sh = shingles(Tables.documents(s, d))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val capped = sh
-      .withColumn("np", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .filter(col("np").between(2, maxPosting))
-      .select("doc_id", "h")
-    val inter = capped.as("a")
-      .join(capped.as("b"),
+    val inter = sh.as("a")
+      .join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
