@@ -244,15 +244,104 @@ object Multimodal {
       |  md5(string_agg(bh, '' ORDER BY i)) AS checksum
       |FROM b GROUP BY doc_id""".stripMargin
 
+  /** G5 — perceptual-hash near-dup over the decoded media (the image-
+    * dedup path: re-encoded/resized copies of one image hash close in
+    * Hamming space where the byte checksum G1 sees different files).
+    *
+    * The "decoded image" is the stub's 60-cell luma grid (cell =
+    * payload slice mean — a real decoder drops its resize-to-grid
+    * here); the hash is aHash: bit c = cell c brighter than the whole
+    * image. Comparisons are INTEGER-EXACT (cell_sum·doc_n >
+    * doc_sum·cell_n — no float means), so the hash is bit-identical
+    * across engines and runs.
+    *
+    * Scale shape: candidate pairs come from a band join — 4 bands of
+    * 15 bits; a pair is a candidate iff SOME band matches exactly, so
+    * the join is equi on (band, value), never all-pairs — then exact
+    * verification via xor popcount. By pigeonhole the candidate set is
+    * COMPLETE for Hamming ≤ 3 (4 bands, ≤ 3 flipped bits → one band
+    * untouched); pairs up to `maxHamming` are surfaced best-effort
+    * when a band happens to agree — the D4 LSH S-curve semantics, and
+    * the oracle replays the banding so parity is still bit-exact. The
+    * same index-then-verify layout as D2/D4, on the multimodal column.
+    */
+  def phashes(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    withPayload(docs)
+      .select(col("doc_id"), posexplode(expr("split(CAST(payload AS STRING), '')"))
+        .as(Seq("pos", "ch")))
+      .select(col("doc_id"), col("pos"), ascii(col("ch")).cast("long").as("v"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("cell", expr("CAST(pos * 60 div n AS BIGINT)"))
+      .groupBy("doc_id", "cell")
+      .agg(sum("v").as("cell_sum"), count(lit(1)).as("cell_n"))
+      .withColumn("doc_sum", sum("cell_sum").over(w))
+      .withColumn("doc_n", sum("cell_n").over(w))
+      .groupBy("doc_id")
+      .agg(sum(when(col("cell_sum") * col("doc_n") > col("doc_sum") * col("cell_n"),
+        expr("CAST(1 AS BIGINT) << CAST(cell AS INT)")).otherwise(lit(0L))).as("phash"))
+  }
+
+  def qPhashDup(s: SparkSession, d: String, maxHamming: Int = 12): DataFrame = {
+    val ph = phashes(Tables.documents(s, d))
+    val bands = (0 until 4).map(b =>
+      struct(lit(b).as("band"), (shiftright(col("phash"), b * 15) % 32768).as("bv")))
+    val banded = ph
+      .select(col("doc_id"), col("phash"), explode(array(bands.toIndexedSeq: _*)).as("tb"))
+      .select(col("doc_id"), col("phash"),
+        col("tb.band").as("band"), col("tb.bv").as("bv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.phash ^ b.phash) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  val qPhashDupSql: String =
+    """WITH cp AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(regexp_split_to_array(text, ''), c -> ord(c))) AS v,
+      |    generate_subscripts(regexp_split_to_array(text, ''), 1) - 1 AS pos,
+      |    len(regexp_split_to_array(text, '')) AS n
+      |  FROM documents),
+      |cell AS (
+      |  SELECT doc_id, (pos * 60) // n AS cell,
+      |    CAST(sum(v) AS BIGINT) AS cell_sum, count(*) AS cell_n
+      |  FROM cp GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, cell, cell_sum, cell_n,
+      |    CAST(sum(cell_sum) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_sum,
+      |    CAST(sum(cell_n) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_n
+      |  FROM cell),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN cell_sum * doc_n > doc_sum * cell_n
+      |      THEN 1::BIGINT << CAST(cell AS INT) ELSE 0 END) AS BIGINT) AS phash
+      |  FROM tot GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, phash, b.band, (phash >> (b.band * 15)) % 32768 AS bv
+      |  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 12""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_feat" -> qMultimodalFeat,
     "q_media_resize" -> qMediaResize,
-    "q_frame_sample" -> qFrameSample)
+    "q_frame_sample" -> qFrameSample,
+    "q_phash_dup" -> ((s, d) => qPhashDup(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_multimodal_feat" -> qMultimodalFeatSql,
     "q_media_resize" -> qMediaResizeSql,
-    "q_frame_sample" -> qFrameSampleSql)
+    "q_frame_sample" -> qFrameSampleSql,
+    "q_phash_dup" -> qPhashDupSql)
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, length, lit}
+
 import graft.operators.Multimodal
 
 class MultimodalSpec extends GraftSuite {
@@ -48,5 +50,48 @@ class MultimodalSpec extends GraftSuite {
     assert(rows.head.doc_id == 1L)
     assert(rows.head.n_frames == 3L && rows.head.n_sampled == 2L)
     assert(rows.head.mean_byte == 7.0)
+  }
+
+  test("phash near-dup: banding complete for hamming<=3, sound up to 12") {
+    import spark.implicits._
+    // controlled corpus: doc 0 repeated with light/medium/heavy edits
+    // (brightness edits move cell means, flipping aHash bits)
+    val base = (1 to 300).map(i => ('a' + i % 20).toChar).mkString
+    def edit(s: String, step: Int, ch: Char): String =
+      s.zipWithIndex.map { case (c, i) => if (step > 0 && i % step == 0) ch else c }.mkString
+    val docs = Seq(
+      0L -> base,
+      1L -> base,                  // exact copy: hamming 0
+      2L -> edit(base, 150, 'z'),  // light edit
+      3L -> edit(base, 40, 'z'),   // medium edit
+      4L -> edit(base, 10, 'z'),   // heavy edit
+      5L -> (1 to 300).map(i => ('A' + i % 23).toChar).mkString // unrelated
+    ).toDF("doc_id", "text")
+    val ph = graft.operators.Multimodal.phashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph.size == 6)
+    assert(ph(0L) == ph(1L), "identical payloads must hash identically")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val ids = ph.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b, ham(ph(a), ph(b)))).toSeq
+    val got = {
+      val tmp = java.nio.file.Files.createTempDirectory("phash").toString
+      docs.withColumn("source", lit("s")).withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      graft.operators.Multimodal.qPhashDup(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    // complete for <=3 (pigeonhole over 4 bands)
+    for ((a, b, h) <- brute if h <= 3)
+      assert(got.exists(t => t._1 == a && t._2 == b && t._3 == h),
+        s"missed guaranteed pair ($a,$b) hamming $h")
+    // sound: every reported pair matches brute-force hamming and <=12
+    for ((a, b, h) <- got) {
+      assert(h <= 12)
+      assert(brute.contains((a, b, h.toInt)), s"bogus pair ($a,$b,$h)")
+    }
   }
 }
