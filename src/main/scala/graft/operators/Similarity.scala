@@ -351,7 +351,83 @@ object Similarity {
       |  min(c) AS code_min, max(c) AS code_max
       |FROM q GROUP BY vec_id""".stripMargin
 
+  /** E9 — product quantization (the ANN compression path beyond E7's
+    * scalar quantization): the 64-dim space is split into `m = 4`
+    * 16-dim subspaces, each with its own `k = 8`-centroid codebook;
+    * a vector compresses to m 3-bit codes (12 bits total vs 256 B —
+    * the memory ratio that lets a billion-vector index sit in RAM,
+    * per Jégou et al., PAMI 2011). Codebooks are DETERMINISTIC (the
+    * first k vectors' subvectors — swap in trained ones without
+    * touching anything downstream), so the DuckDB oracle replays
+    * assignment bit-for-bit.
+    *
+    * Plan shape: centroids are a broadcast 32-row literal-sized
+    * relation; assignment is slice + three native FloatVecDot products
+    * (‖v‖² − 2v·c + ‖c‖², all codegen, no interpreted HOF) + one
+    * struct-max argmin per (vector, subspace) — map-side combinable,
+    * no shuffle of the corpus beyond the final agg. Output is one row
+    * per (vector, subspace) with the code and the rounded quantization
+    * error; per-row doubles only (no cross-row double summation), so
+    * cross-engine fp parity is per-value, never order-dependent.
+    */
+  def qPq(s: SparkSession, d: String, m: Int = 4, k: Int = 8): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val dim = probeDim(e)
+    val dsub = dim / m
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("j"), col("embedding").as("cv"))
+      .select(col("j"), explode(array((0 until m).map(sp =>
+        struct(lit(sp).as("sp"),
+          slice(col("cv"), sp * dsub + 1, dsub).as("cs"))).toIndexedSeq: _*)).as("z"))
+      .select(col("j"), col("z.sp").as("sp"), col("z.cs").as("cs"))
+    val vsub = e
+      .select(col("vec_id"), explode(array((0 until m).map(sp =>
+        struct(lit(sp).as("sp"),
+          slice(col("embedding"), sp * dsub + 1, dsub).as("vs"))).toIndexedSeq: _*)).as("z"))
+      .select(col("vec_id"), col("z.sp").as("sp"), col("z.vs").as("vs"))
+    import graft.functions.vec_dot
+    vsub.join(broadcast(cents), "sp")
+      .withColumn("d2",
+        vec_dot(col("vs"), col("vs")) - lit(2.0) * vec_dot(col("vs"), col("cs"))
+          + vec_dot(col("cs"), col("cs")))
+      .groupBy("vec_id", "sp")
+      // argmin distance, ties to the lowest centroid id (max of
+      // (-d2, -j) = min of (d2, j)) — the IVF argmax pattern
+      .agg(max(struct((-col("d2")).as("nd"), (-col("j")).as("nj"),
+        col("j"), col("d2"))).as("a"))
+      .select(col("vec_id"), col("sp").cast("long").as("subspace"),
+        col("a.j").as("code"), round(col("a.d2"), 4).as("qerr"))
+  }
+
+  val qPqSql: String = {
+    val (m, k, dim) = (4, 8, 64)
+    val dsub = dim / m
+    s"""WITH sub AS (SELECT unnest(range(0, $m)) AS sp),
+       |cents AS (
+       |  SELECT e.vec_id AS j, sub.sp,
+       |    list_slice(e.embedding, sub.sp * $dsub + 1, (sub.sp + 1) * $dsub) AS cs
+       |  FROM embeddings e CROSS JOIN sub WHERE e.vec_id < $k),
+       |vs AS (
+       |  SELECT e.vec_id, sub.sp,
+       |    list_slice(e.embedding, sub.sp * $dsub + 1, (sub.sp + 1) * $dsub) AS vs
+       |  FROM embeddings e CROSS JOIN sub),
+       |d AS (
+       |  SELECT v.vec_id, v.sp, c.j,
+       |    list_sum(list_transform(range(1, $dsub + 1), i -> v.vs[i]::DOUBLE * v.vs[i]::DOUBLE))
+       |    - 2 * list_sum(list_transform(range(1, $dsub + 1), i -> v.vs[i]::DOUBLE * c.cs[i]::DOUBLE))
+       |    + list_sum(list_transform(range(1, $dsub + 1), i -> c.cs[i]::DOUBLE * c.cs[i]::DOUBLE)) AS d2
+       |  FROM vs v JOIN cents c ON v.sp = c.sp),
+       |r AS (
+       |  SELECT vec_id, sp, j, d2,
+       |    row_number() OVER (PARTITION BY vec_id, sp ORDER BY d2 ASC, j ASC) AS rn
+       |  FROM d)
+       |SELECT vec_id, CAST(sp AS BIGINT) AS subspace, j AS code,
+       |  round(d2, 4) AS qerr
+       |FROM r WHERE rn = 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pq" -> ((s, d) => qPq(s, d)),
     "q_quantized" -> qQuantized,
     "q_vector_norm" -> qVectorNorm,
     "q_knn_brute" -> qKnnBrute,
@@ -360,6 +436,7 @@ object Similarity {
     "q_embed_centroid" -> qEmbedCentroid)
 
   def oracles: Map[String, String] = Map(
+    "q_pq" -> qPqSql,
     "q_quantized" -> qQuantizedSql,
     "q_vector_norm" -> qVectorNormSql,
     "q_knn_brute" -> qKnnBruteSql,

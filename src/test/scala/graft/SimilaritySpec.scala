@@ -75,4 +75,23 @@ class SimilaritySpec extends GraftSuite {
       assert(rs.forall(_.getAs[Long]("n_vecs") == vecCounts(l)))
     }
   }
+
+  test("product quantization: codebook seeds self-code with zero error") {
+    val rows = graft.operators.Similarity.qPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val n = Tables.embeddings(spark, sf).count()
+    // every vector gets exactly one code per subspace
+    assert(rows.length == 4 * n)
+    assert(rows.forall { case (_, sp, code, err) =>
+      sp >= 0 && sp < 4 && code >= 0 && code < 8 && err >= -1e-9 })
+    // the k codebook-seed vectors ARE centroids: code == own id, qerr 0
+    for ((id, _, code, err) <- rows if id < 8) {
+      assert(code == id, s"seed $id coded to $code")
+      assert(err == 0.0, s"seed $id err $err")
+    }
+    // quantization error is bounded by the span of the data (sanity:
+    // assigning the NEAREST centroid can't exceed the farthest one)
+    val worst = rows.map(_._4).max
+    assert(worst > 0.0 && worst.isFinite)
+  }
 }
