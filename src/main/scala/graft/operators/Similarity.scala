@@ -370,23 +370,25 @@ object Similarity {
     * error; per-row doubles only (no cross-row double summation), so
     * cross-engine fp parity is per-value, never order-dependent.
     */
-  def qPq(s: SparkSession, d: String, m: Int = 4, k: Int = 8): DataFrame = {
-    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val dim = probeDim(e)
-    val dsub = dim / m
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("j"), col("embedding").as("cv"))
-      .select(col("j"), explode(array((0 until m).map(sp =>
+  /** Per-subspace slices of a vector column: (id, sp, slice). */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+      outCol: String, m: Int, dsub: Int): DataFrame =
+    df.select(col(idCol), explode(array((0 until m).map(sp =>
         struct(lit(sp).as("sp"),
-          slice(col("cv"), sp * dsub + 1, dsub).as("cs"))).toIndexedSeq: _*)).as("z"))
-      .select(col("j"), col("z.sp").as("sp"), col("z.cs").as("cs"))
-    val vsub = e
-      .select(col("vec_id"), explode(array((0 until m).map(sp =>
-        struct(lit(sp).as("sp"),
-          slice(col("embedding"), sp * dsub + 1, dsub).as("vs"))).toIndexedSeq: _*)).as("z"))
-      .select(col("vec_id"), col("z.sp").as("sp"), col("z.vs").as("vs"))
+          slice(col(vecCol), sp * dsub + 1, dsub).as(outCol))).toIndexedSeq: _*)).as("z"))
+      .select(col(idCol), col("z.sp").as("sp"), col(s"z.$outCol").as(outCol))
+
+  /** The m deterministic codebooks: subvectors of the first k vectors. */
+  private def pqCentroids(e: DataFrame, m: Int, k: Int, dsub: Int): DataFrame =
+    subvectors(e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("j"), col("embedding").as("cv")), "j", "cv", "cs", m, dsub)
+
+  /** PQ assignment: per (vector, subspace), the nearest codebook entry
+    * (ties to the lowest id) and its squared distance. */
+  private[operators] def pqAssign(e: DataFrame, m: Int, k: Int, dsub: Int): DataFrame = {
     import graft.functions.vec_dot
-    vsub.join(broadcast(cents), "sp")
+    subvectors(e, "vec_id", "embedding", "vs", m, dsub)
+      .join(broadcast(pqCentroids(e, m, k, dsub)), "sp")
       .withColumn("d2",
         vec_dot(col("vs"), col("vs")) - lit(2.0) * vec_dot(col("vs"), col("cs"))
           + vec_dot(col("cs"), col("cs")))
@@ -395,8 +397,96 @@ object Similarity {
       // (-d2, -j) = min of (d2, j)) — the IVF argmax pattern
       .agg(max(struct((-col("d2")).as("nd"), (-col("j")).as("nj"),
         col("j"), col("d2"))).as("a"))
+      .select(col("vec_id"), col("sp"), col("a.j").as("code"), col("a.d2").as("d2"))
+  }
+
+  def qPq(s: SparkSession, d: String, m: Int = 4, k: Int = 8): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val dsub = probeDim(e) / m
+    pqAssign(e, m, k, dsub)
       .select(col("vec_id"), col("sp").cast("long").as("subspace"),
-        col("a.j").as("code"), round(col("a.d2"), 4).as("qerr"))
+        col("code"), round(col("d2"), 4).as("qerr"))
+  }
+
+  /** E10 — ADC search over the PQ codes (asymmetric distance
+    * computation, the query path of Jégou et al.): each query builds
+    * an m×k DISTANCE TABLE to the codebooks (query subvector vs
+    * centroid — 32 doubles per query), and a corpus vector's
+    * approximate distance is the sum of its m table lookups — the
+    * corpus is scanned as 3-bit codes, never as floats, which is the
+    * whole point of PQ at billion scale. Table entries are quantized
+    * to 1e-4 integers as part of the operator contract, so the
+    * summed rankings are INTEGER-exact — order-free across engines
+    * and partitionings (a double sum of table cells would be
+    * summation-order dependent). Join shape: codes ⋈ broadcast table
+    * on (subspace, code) — one shuffle on (query, vector) for the sum,
+    * everything upstream map-side.
+    */
+  def qKnnPq(s: SparkSession, d: String, nQueries: Int = 20, topK: Int = 5,
+      m: Int = 4, k: Int = 8): DataFrame = {
+    import graft.functions.vec_dot
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val dsub = probeDim(e) / m
+    val codes = pqAssign(e, m, k, dsub).select("vec_id", "sp", "code")
+    val table = subvectors(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", "embedding", "vs", m, dsub)
+      .join(broadcast(pqCentroids(e, m, k, dsub)), "sp")
+      .select(col("query_id"), col("sp"), col("j"),
+        round((vec_dot(col("vs"), col("vs"))
+          - lit(2.0) * vec_dot(col("vs"), col("cs"))
+          + vec_dot(col("cs"), col("cs"))) * 10000).cast("long").as("ti"))
+    val w = Window.partitionBy("query_id").orderBy(col("di").asc, col("neighbor_id").asc)
+    codes
+      .join(broadcast(table),
+        codes("sp") === table("sp") && codes("code") === table("j") &&
+          codes("vec_id") =!= table("query_id"))
+      .groupBy(col("query_id"), codes("vec_id").as("neighbor_id"))
+      .agg(sum("ti").as("di"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("di") / 10000.0, 4).as("approx_d2"), col("rank"))
+  }
+
+  val qKnnPqSql: String = {
+    val (m, k, dim, nq, topK) = (4, 8, 64, 20, 5)
+    val dsub = dim / m
+    s"""WITH sub AS (SELECT unnest(range(0, $m)) AS sp),
+       |cents AS (
+       |  SELECT e.vec_id AS j, sub.sp,
+       |    list_slice(e.embedding, sub.sp * $dsub + 1, (sub.sp + 1) * $dsub) AS cs
+       |  FROM embeddings e CROSS JOIN sub WHERE e.vec_id < $k),
+       |vs AS (
+       |  SELECT e.vec_id, sub.sp,
+       |    list_slice(e.embedding, sub.sp * $dsub + 1, (sub.sp + 1) * $dsub) AS vs
+       |  FROM embeddings e CROSS JOIN sub),
+       |d AS (
+       |  SELECT v.vec_id, v.sp, c.j,
+       |    list_sum(list_transform(range(1, $dsub + 1), i -> v.vs[i]::DOUBLE * v.vs[i]::DOUBLE))
+       |    - 2 * list_sum(list_transform(range(1, $dsub + 1), i -> v.vs[i]::DOUBLE * c.cs[i]::DOUBLE))
+       |    + list_sum(list_transform(range(1, $dsub + 1), i -> c.cs[i]::DOUBLE * c.cs[i]::DOUBLE)) AS d2
+       |  FROM vs v JOIN cents c ON v.sp = c.sp),
+       |codes AS (
+       |  SELECT vec_id, sp, j AS code FROM (
+       |    SELECT vec_id, sp, j,
+       |      row_number() OVER (PARTITION BY vec_id, sp ORDER BY d2 ASC, j ASC) AS rn
+       |    FROM d) WHERE rn = 1),
+       |tbl AS (
+       |  SELECT vec_id AS query_id, sp, j,
+       |    CAST(round(d2 * 10000) AS BIGINT) AS ti
+       |  FROM d WHERE vec_id < $nq),
+       |scored AS (
+       |  SELECT t.query_id, c.vec_id AS neighbor_id, CAST(sum(ti) AS BIGINT) AS di
+       |  FROM codes c JOIN tbl t ON c.sp = t.sp AND c.code = t.j
+       |    AND c.vec_id <> t.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, di,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY di ASC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, round(di / 10000.0, 4) AS approx_d2, rank
+       |FROM ranked WHERE rank <= $topK""".stripMargin
   }
 
   val qPqSql: String = {
@@ -428,6 +518,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq" -> ((s, d) => qPq(s, d)),
+    "q_knn_pq" -> ((s, d) => qKnnPq(s, d)),
     "q_quantized" -> qQuantized,
     "q_vector_norm" -> qVectorNorm,
     "q_knn_brute" -> qKnnBrute,
@@ -437,6 +528,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "q_pq" -> qPqSql,
+    "q_knn_pq" -> qKnnPqSql,
     "q_quantized" -> qQuantizedSql,
     "q_vector_norm" -> qVectorNormSql,
     "q_knn_brute" -> qKnnBruteSql,
