@@ -553,7 +553,7 @@ object Dedup {
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(vec_cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+        (round(vec_cosine(col("a.embedding"), col("b.embedding")), 4) + lit(0.0)).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
       .distinct() // the same pair can surface from several tables
   }
@@ -565,7 +565,7 @@ object Dedup {
     e.as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(vec_cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+        (round(vec_cosine(col("a.embedding"), col("b.embedding")), 4) + lit(0.0)).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
   }
 
@@ -589,7 +589,7 @@ object Dedup {
        |  FROM embeddings)
        |SELECT c.vec_a, c.vec_b,
        |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-       |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos_sim
+       |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) + 0.0 AS cos_sim
        |FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id
        |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
        |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) >= 0.4""".stripMargin

@@ -41,7 +41,7 @@ object Similarity {
     val scored = corpus.as("c")
       .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(vec_cosine(col("q.embedding"), col("c.embedding")), 4).as("cos_sim"))
+        (round(vec_cosine(col("q.embedding"), col("c.embedding")), 4) + lit(0.0)).as("cos_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -60,7 +60,7 @@ object Similarity {
       |scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
-      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos_sim
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) + 0.0 AS cos_sim
       |  FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id, cos_sim,
@@ -133,7 +133,7 @@ object Similarity {
         col("q.tbl") === col("c.tbl") && col("q.bkt") === col("c.bkt") &&
           col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(vec_cosine(col("q.embedding"), col("c.embedding")), 4).as("cos_sim"))
+        (round(vec_cosine(col("q.embedding"), col("c.embedding")), 4) + lit(0.0)).as("cos_sim"))
       .distinct() // same pair can surface from several tables
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored
@@ -186,7 +186,7 @@ object Similarity {
        |scored AS (
        |  SELECT c.query_id, c.neighbor_id,
        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
-       |      i -> q.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE)) / (q.nrm * nb.nrm), 4) AS cos_sim
+       |      i -> q.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE)) / (q.nrm * nb.nrm), 4) + 0.0 AS cos_sim
        |  FROM cand c JOIN n q ON c.query_id = q.vec_id JOIN n nb ON c.neighbor_id = nb.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos_sim,
@@ -242,7 +242,7 @@ object Similarity {
       .join(broadcast(queryCells.as("q")),
         col("q.cid") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(vec_cosine(col("q.embedding"), col("c.embedding")), 4).as("cos_sim"))
+        (round(vec_cosine(col("q.embedding"), col("c.embedding")), 4) + lit(0.0)).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -271,7 +271,7 @@ object Similarity {
       |scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
-      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos_sim
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) + 0.0 AS cos_sim
       |  FROM probes q JOIN corpus c ON q.cid = c.cid AND q.vec_id <> c.vec_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id, cos_sim,
@@ -294,12 +294,15 @@ object Similarity {
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(
-        round(avg(col("v").cast("double")), 4).as("mean_v"),
+        // + 0.0 normalizes IEEE negative zero: a tiny negative mean
+        // rounds to -0.0 in one engine and 0.0 in the other, and the
+        // driver's typed compare tells them apart (hit at sf0.001)
+        (round(avg(col("v").cast("double")), 4) + lit(0.0)).as("mean_v"),
         count(lit(1)).as("n_vecs"))
 
   val qEmbedCentroidSql: String =
     """SELECT label, CAST(i - 1 AS INT) AS pos,
-      |  round(avg(v::DOUBLE), 4) AS mean_v, count(*) AS n_vecs
+      |  round(avg(v::DOUBLE), 4) + 0.0 AS mean_v, count(*) AS n_vecs
       |FROM (SELECT label, unnest(embedding) AS v,
       |        generate_subscripts(embedding, 1) AS i
       |      FROM embeddings)
