@@ -54,6 +54,27 @@ object Dedup {
     pairLists.clear()
     sigTables.values.foreach(_.unpersist())
     sigTables.clear()
+    postingProfiles.clear()
+  }
+
+  /** Cached max posting-list length per shingle index — the one-number
+    * profile the adaptive joins dispatch on. Cached beside the index it
+    * describes so repeated plan construction (pipelines composing the
+    * pair join without executing it, repeated qJaccardPairs calls
+    * outside the [[nearDupPairs]] registry) pays the profiling
+    * aggregate once per corpus, not once per call.
+    */
+  private val postingProfiles = scala.collection.mutable.Map
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]
+
+  private[graft] def maxPosting(sh: DataFrame): Long = synchronized {
+    val key = sh.queryExecution.analyzed.canonicalized
+    postingProfiles.getOrElseUpdate(key,
+      sh.groupBy("h").agg(count(lit(1)).as("np"))
+        .agg(max("np")).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        })
   }
 
   /** One cached verified near-dup pair list per (corpus plan, tau) —
@@ -173,14 +194,21 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, tau: Double = 0.5,
       directMaxPosting: Long = 1000L): DataFrame = {
     val sh = shingles(docs)
-    val pMax = sh.groupBy("h").agg(count(lit(1)).as("np"))
-      .agg(max("np")).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-    if (pMax <= directMaxPosting) directJaccard(sh, tau)
+    if (maxPosting(sh) <= directMaxPosting) directJaccard(sh, tau)
     else prefixJaccard(sh, tau)
   }
+
+  /** Smallest TRUE similarity the rounded emission contract can accept:
+    * both regimes (and the oracle) emit pairs by `round(sim, 4) >= tau`,
+    * which under half-up rounding admits true values down to
+    * tau − 0.00005. Pruning bounds derived from tau itself would drop a
+    * boundary pair (true J just below tau, rounding up to it) that the
+    * direct regime and the DuckDB oracle emit — a regime-DEPENDENT
+    * output. All lossless-pruning math below therefore uses this
+    * slackened threshold (5.1e-5 over-covers the half-ulp); looser
+    * bounds only admit extra candidates for exact verification.
+    */
+  private def tauPruning(tau: Double): Double = math.max(tau - 5.1e-5, 1e-9)
 
   /** Bounded-posting regime: pairs via the full posting self-join,
     * intersection sizes as one pair-count aggregate. One shuffle on h
@@ -206,6 +234,7 @@ object Dedup {
   /** Heavy-posting regime: prefix + positional filtering, then exact
     * array verification for the (few) surviving candidates. */
   private[graft] def prefixJaccard(sh: DataFrame, tau: Double): DataFrame = {
+    val tauP = tauPruning(tau) // see [[tauPruning]]: bounds must admit round-boundary pairs
     val w = org.apache.spark.sql.expressions.Window
     val postings = sh.groupBy("h").agg(count(lit(1)).as("np"))
     // canonical order within each doc: rarest shingle first; n and the
@@ -216,7 +245,7 @@ object Dedup {
         w.partitionBy("doc_id").orderBy(col("np").asc, col("h").asc)))
       .withColumn("n", count(lit(1)).over(w.partitionBy("doc_id")))
     val prefix = ranked
-      .filter(col("r") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .filter(col("r") <= col("n") - ceil(lit(tauP) * col("n")) + 1)
       .select("doc_id", "h", "n")
     // positional filter (the PPJoin bound, aggregate form): let
     // L_x = |x| − ⌈τ|x|⌉ + 1 be the prefix length and v_x the L_x-th
@@ -233,7 +262,7 @@ object Dedup {
     // a notch in fp and over-filter; the extra term reuses the
     // prefix-length expression verbatim so both sides of the
     // inequality share fp behavior.)
-    val alpha = ceil(lit(tau / (1 + tau)) * (col("na") + col("nb")) - lit(1e-9))
+    val alpha = ceil(lit(tauP / (1 + tauP)) * (col("na") + col("nb")) - lit(1e-9))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -241,7 +270,7 @@ object Dedup {
       .agg(count(lit(1)).as("m"),
         first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .filter(col("m") +
-        greatest(ceil(lit(tau) * col("na")), ceil(lit(tau) * col("nb"))) - 1 >= alpha)
+        greatest(ceil(lit(tauP) * col("na")), ceil(lit(tauP) * col("nb"))) - 1 >= alpha)
       .select("doc_a", "doc_b")
     // exact verification: full sorted shingle arrays per doc (no
     // exchange — sh is already doc_id-partitioned), intersected per
@@ -282,16 +311,31 @@ object Dedup {
     * c(A→B) = |A∩B| / |A|. A 50-shingle doc fully quoted inside a
     * 5000-shingle doc has Jaccard ≈ 0.01 (invisible to D2) but
     * containment 1.0 — the signal for quote/subset duplication.
-    * Same exact inverted-index pair-count join as D2's direct regime;
-    * only the final normalization differs, and the emitted pair
-    * carries BOTH directions so the consumer can tell subset from
-    * superset. (On boilerplate-heavy corpora the prefix trick needs
-    * Broder-containment prefixes — |x| − ⌈τ·|x|⌉ + 1 on the SMALLER
-    * side only — which is why the adaptive dispatch lives in D2; the
-    * bounded-posting direct join is the regime this warehouse hits.)
+    * Same exact inverted-index layout as D2, with the same adaptive
+    * regime dispatch: a bounded-posting direct pair-count join, or
+    * Broder containment prefixes (smaller side only) on
+    * boilerplate-heavy corpora. The emitted pair carries BOTH
+    * directions so the consumer can tell subset from superset.
     */
-  def qContainment(s: SparkSession, d: String, tau: Double = 0.8): DataFrame = {
-    val sh = shingles(Tables.documents(s, d))
+  def qContainment(s: SparkSession, d: String, tau: Double = 0.8): DataFrame =
+    containmentPairs(Tables.documents(s, d), tau)
+
+  /** Same adaptive two-regime dispatch as [[jaccardPairs]] — the
+    * containment join shares the direct regime's posting self-join
+    * shape, so it shares its boilerplate pathology too; without the
+    * heavy regime one 10^5-doc boilerplate shingle makes the pair
+    * stream quadratic regardless of how the FINAL filter normalizes.
+    */
+  def containmentPairs(docs: DataFrame, tau: Double = 0.8,
+      directMaxPosting: Long = 1000L): DataFrame = {
+    val sh = shingles(docs)
+    if (maxPosting(sh) <= directMaxPosting) directContainment(sh, tau)
+    else prefixContainment(sh, tau)
+  }
+
+  /** Bounded-posting regime: the full inverted-index pair-count join;
+    * only the normalization differs from [[directJaccard]]. */
+  private[graft] def directContainment(sh: DataFrame, tau: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -304,6 +348,60 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / col("ca.n"), 4).as("cont_ab"),
         round(col("inter").cast("double") / col("cb.n"), 4).as("cont_ba"))
+      .filter(col("cont_ab") >= tau || col("cont_ba") >= tau)
+  }
+
+  /** Heavy-posting regime — Broder containment prefixes. The emitted
+    * predicate `cont_ab >= tau OR cont_ba >= tau` is equivalent to
+    * |A∩B| / min(na, nb) >= tau (the larger of the two ratios divides
+    * by the smaller set), so a surviving pair needs
+    * |A∩B| >= ⌈τ'·n_small⌉ — a bound only the SMALLER side's prefix
+    * can certify. Hence: prefix-filter the probe (smaller) side, index
+    * the larger side in FULL, and verify candidates exactly. Cost is
+    * Σ_h prefix_np(h)·np(h): boilerplate shingles are by definition
+    * frequent, rank LAST in the rarest-first canonical order, and drop
+    * out of every prefix — so hot postings multiply against ~0, not
+    * against themselves.
+    */
+  private[graft] def prefixContainment(sh: DataFrame, tau: Double): DataFrame = {
+    val tauP = tauPruning(tau)
+    val w = org.apache.spark.sql.expressions.Window
+    val postings = sh.groupBy("h").agg(count(lit(1)).as("np"))
+    val ranked = sh.join(postings, "h")
+      .withColumn("r", row_number().over(
+        w.partitionBy("doc_id").orderBy(col("np").asc, col("h").asc)))
+      .withColumn("n", count(lit(1)).over(w.partitionBy("doc_id")))
+    // probe = each doc's containment prefix (valid when that doc is the
+    // pair's smaller side); the join's size ordering makes `a` exactly
+    // that side, with a doc_id tiebreak so equal-size pairs appear once
+    val probe = ranked
+      .filter(col("r") <= col("n") - ceil(lit(tauP) * col("n")) + 1)
+      .select("doc_id", "h", "n")
+    val full = ranked.select("doc_id", "h", "n")
+    val cand = probe.as("a")
+      .join(full.as("b"),
+        col("a.h") === col("b.h") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
+    // re-orient to the direct regime's doc_a < doc_b contract
+    cand
+      .join(sets.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(sets.as("cb"), col("id_b") === col("cb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("ca.hs"), col("cb.hs"))).cast("long"))
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        round(col("inter").cast("double") /
+          when(col("id_a") < col("id_b"), col("ca.n")).otherwise(col("cb.n")), 4)
+          .as("cont_ab"),
+        round(col("inter").cast("double") /
+          when(col("id_a") < col("id_b"), col("cb.n")).otherwise(col("ca.n")), 4)
+          .as("cont_ba"))
       .filter(col("cont_ab") >= tau || col("cont_ba") >= tau)
   }
 

@@ -267,11 +267,16 @@ object Multimodal {
     */
   def phashes(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // n = size of the char array BEFORE exploding: identical by
+    // construction to counting the exploded rows, but free per input
+    // row — the count-over-window it replaces forced an exchange +
+    // window pass over the char-exploded relation (the operator's
+    // largest), roughly doubling its shuffle volume
     withPayload(docs)
-      .select(col("doc_id"), posexplode(expr("split(CAST(payload AS STRING), '')"))
-        .as(Seq("pos", "ch")))
-      .select(col("doc_id"), col("pos"), ascii(col("ch")).cast("long").as("v"))
-      .withColumn("n", count(lit(1)).over(w))
+      .select(col("doc_id"), expr("split(CAST(payload AS STRING), '')").as("cs"))
+      .select(col("doc_id"), size(col("cs")).cast("long").as("n"),
+        posexplode(col("cs")).as(Seq("pos", "ch")))
+      .select(col("doc_id"), col("n"), col("pos"), ascii(col("ch")).cast("long").as("v"))
       .withColumn("cell", expr("CAST(pos * 60 div n AS BIGINT)"))
       .groupBy("doc_id", "cell")
       .agg(sum("v").as("cell_sum"), count(lit(1)).as("cell_n"))

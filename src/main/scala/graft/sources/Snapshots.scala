@@ -44,47 +44,56 @@ object Snapshots {
   private def manifestPath(path: String, v: Int) =
     logDir(path).resolve(f"v$v%06d.manifest")
 
+  /** Directory listing, strict and with the stream closed — Files.list
+    * holds an open file descriptor until closed; a long-lived driver
+    * doing log maintenance in a loop must not leak one per call. */
+  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(dir)
+    try s.iterator.asScala.toList finally s.close()
+  }
+
   /** Latest committed version, or -1 for an uninitialized dir. */
   def currentVersion(path: String): Int = {
     val dir = logDir(path)
     if (!Files.isDirectory(dir)) return -1
-    val vs = Files.list(dir).iterator.asScala
+    val vs = listDir(dir)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
         s.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .toSeq
     if (vs.isEmpty) -1 else vs.max
   }
 
   private def liveFiles(path: String, v: Int): Seq[String] =
     Files.readAllLines(manifestPath(path, v)).asScala.toSeq.filter(_.nonEmpty)
 
-  /** Single manifest write = the commit atom. Content lands in a temp
-    * file first, then an ATOMIC_MOVE rename: a crash mid-write can
-    * never leave a truncated vNNNNNN.manifest that currentVersion
-    * would treat as the latest committed version (a real table format
-    * wraps the same rename in an object-store CAS; the lost-update
-    * exists-check below is the single-writer stand-in).
+  /** Single manifest write = the commit atom. Content lands fully in a
+    * temp file first, which is then HARD-LINKED into place:
+    * Files.createLink is content-atomic (a crash mid-write can never
+    * leave a truncated vNNNNNN.manifest that currentVersion treats as
+    * committed) AND no-replace-atomic (if two committers race to the
+    * same version id, the second link fails with
+    * FileAlreadyExistsException at the filesystem level instead of
+    * silently replacing the winner — a check-then-rename would TOCTOU
+    * here, since POSIX rename replaces). A real table format wraps the
+    * same publish step in an object-store CAS.
     */
-  private def commit(path: String, files: Seq[String]): Int = {
+  private[graft] def commit(path: String, files: Seq[String]): Int = {
     val v = currentVersion(path) + 1
     Files.createDirectories(logDir(path))
     val target = manifestPath(path, v)
     val tmp = Files.createTempFile(logDir(path), "commit", ".tmp")
-    Files.write(tmp, files.map(canonical).sorted.mkString("\n").getBytes("UTF-8"))
-    if (Files.exists(target)) { // lost-update guard (POSIX rename would silently replace)
-      Files.deleteIfExists(tmp)
-      throw new java.nio.file.FileAlreadyExistsException(target.toString)
-    }
-    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.write(tmp, files.map(canonical).sorted.mkString("\n").getBytes("UTF-8"))
+      Files.createLink(target, tmp)
+    } finally Files.deleteIfExists(tmp)
     v
   }
 
   /** Version 0: snapshot the directory's current parquet files. */
   def init(spark: SparkSession, path: String): Int = {
     require(currentVersion(path) < 0, s"$path already versioned")
-    val files = Files.list(Paths.get(path)).iterator.asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val files = listDir(Paths.get(path))
+      .map(_.toString).filter(_.endsWith(".parquet"))
     commit(path, files)
   }
 
@@ -128,13 +137,13 @@ object Snapshots {
     val stage = Files.createTempDirectory("graft_snap").toString
     rewritten.write.mode(SaveMode.Overwrite).parquet(stage)
     val dst = Paths.get(path)
-    val staged = Files.list(Paths.get(stage)).iterator.asScala
+    val staged = listDir(Paths.get(stage))
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val name = s"v${v + 1}_${p.getFileName.toString}"
         Files.move(p, dst.resolve(name))
         dst.resolve(name).toString
-      }.toSeq
+      }
     val touchedSet = touched.toSet
     val newLive = live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged
     commit(path, newLive)
@@ -155,11 +164,15 @@ object Snapshots {
     // leaves *.parquet no manifest references; they'd otherwise never
     // be reclaimed (and a later init would absorb them). Single-writer
     // assumption: no merge may be in flight during vacuum.
-    val orphans = Files.list(Paths.get(path)).iterator.asScala
+    val orphans = listDir(Paths.get(path))
       .map(_.toString).filter(_.endsWith(".parquet")).map(canonical)
-      .filterNot(f => retained.contains(f) || dropped.contains(f)).toSeq
+      .filterNot(f => retained.contains(f) || dropped.contains(f))
     dropped.foreach(f => Files.deleteIfExists(Paths.get(f)))
     orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    // crashed commits/markers leave *.tmp in the log dir that nothing
+    // else reclaims (the same crash window the orphan sweep exists for)
+    listDir(logDir(path)).filter(_.getFileName.toString.endsWith(".tmp"))
+      .foreach(Files.deleteIfExists(_))
     (0 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(path, v)))
     dropped.size + orphans.size
   }

@@ -45,6 +45,7 @@ object StreamingPipeline {
     * `path`. Last change per doc_id wins within a batch (event-time
     * order); each batch commits a new table version.
     */
-  def start(docs: DataFrame, path: String): StreamingQuery =
-    UpsertSink.startVersioned(clean(docs), path, "doc_id", "ts")
+  def start(docs: DataFrame, path: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    UpsertSink.startVersioned(clean(docs), path, "doc_id", "ts", checkpoint)
 }

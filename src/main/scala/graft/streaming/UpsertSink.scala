@@ -41,23 +41,54 @@ object UpsertSink {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  private def lastBatchPath(path: String) =
-    Paths.get(path, "_graft_log", "_last_batch")
+  /** Marker scope = the query's CHECKPOINT identity. BatchIds are only
+    * comparable within one checkpointed query lineage: a fresh query
+    * (new or no checkpoint) restarts them at 0, so a marker keyed on
+    * batchId alone would make it silently DROP its first batches on a
+    * table some earlier query had written — permanent data loss, not
+    * dedup. This is the appId half of the (appId, batchId) txn-marker
+    * pattern of the reference table formats.
+    */
+  private[graft] def markerScope(checkpoint: Option[String]): Option[String] =
+    checkpoint.map { c =>
+      val abs = Paths.get(c).toAbsolutePath.normalize.toString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    }
 
-  /** Highest batchId already merged into `path`, or -1. */
-  def lastCommittedBatch(path: String): Long = {
-    val p = lastBatchPath(path)
+  private def lastBatchPath(path: String, scope: String) =
+    Paths.get(path, "_graft_log", s"_last_batch_$scope")
+
+  /** Highest batchId already merged into `path` by the query lineage
+    * identified by `scope`, or -1. */
+  def lastCommittedBatch(path: String, scope: String): Long = {
+    val p = lastBatchPath(path, scope)
     if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
     else -1L
   }
 
-  private def recordBatch(path: String, batchId: Long): Unit = {
+  private def recordBatch(path: String, scope: String, batchId: Long): Unit = {
     val dir = Paths.get(path, "_graft_log")
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, "batch", ".tmp")
     Files.write(tmp, batchId.toString.getBytes("UTF-8"))
-    Files.move(tmp, lastBatchPath(path),
+    Files.move(tmp, lastBatchPath(path, scope),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One micro-batch of the versioned sink, extracted so the replay
+    * guard is testable without restarting a real streaming query:
+    * commits a new table version unless `scope` marks the batch as
+    * already merged by this same query lineage.
+    */
+  private[graft] def mergeVersionedBatch(path: String, keyCol: String,
+      orderCol: String, scope: Option[String])(batch: DataFrame, batchId: Long): Unit = {
+    val latest = latestPerKey(batch, keyCol, orderCol)
+    val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
+    if (!replayed && !latest.isEmpty) {
+      graft.sources.Snapshots.mergeVersioned(batch.sparkSession, path, latest, keyCol)
+      scope.foreach(sc => recordBatch(path, sc, batchId))
+    }
   }
 
   /** Start the merge sink. `orderCol` breaks ties when one key changes
@@ -88,28 +119,26 @@ object UpsertSink {
     * later ingest can't silently change it. Per-batch cost is still
     * index-pruned rewrite; history cost is bounded by `vacuum`.
     *
-    * Exactly-once versions: the sink records the last merged batchId
-    * in the table's `_graft_log` (the (appId, batchId) txn-marker
-    * pattern of the reference table formats) and skips any replayed
-    * batch ≤ it, so a failure/restart cannot commit duplicate
-    * versions. The marker lands AFTER the version commit: a crash
+    * Exactly-once versions NEED a `checkpoint`: the sink records the
+    * last merged batchId under a marker scoped to the checkpoint
+    * identity (the (appId, batchId) txn-marker pattern of the
+    * reference table formats) and skips any replayed batch ≤ it, so a
+    * failure/restart of THAT query cannot commit duplicate versions —
+    * while a different query (other/no checkpoint, batchIds restarting
+    * at 0) is unaffected by the marker and can never lose its first
+    * batches to it. The marker lands AFTER the version commit: a crash
     * between the two replays exactly one batch, which re-commits an
     * extra version with identical table content — duplicate-free
-    * either way. Pass `checkpoint` so the source side also resumes
-    * rather than replays.
+    * either way. Without a checkpoint there is no cross-run batch
+    * lineage at all, so no guard applies and every run's batches
+    * commit.
     */
   def startVersioned(changes: DataFrame, path: String, keyCol: String,
       orderCol: String, checkpoint: Option[String] = None): StreamingQuery = {
     val w = changes.writeStream.outputMode("append")
     checkpoint.foreach(c => w.option("checkpointLocation", c))
-    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val latest = latestPerKey(batch, keyCol, orderCol)
-        if (batchId > lastCommittedBatch(path) && !latest.isEmpty) {
-          graft.sources.Snapshots.mergeVersioned(
-            batch.sparkSession, path, latest, keyCol)
-          recordBatch(path, batchId)
-        }
-      }
+    val scope = markerScope(checkpoint)
+    w.foreachBatch(mergeVersionedBatch(path, keyCol, orderCol, scope) _)
       .start()
   }
 }

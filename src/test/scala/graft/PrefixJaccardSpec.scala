@@ -54,6 +54,42 @@ class PrefixJaccardSpec extends GraftSuite {
     assert(direct.columns.toSeq === Seq("doc_a", "doc_b", "jaccard"))
   }
 
+  test("rounding-boundary pair survives the prefix pruning (true J < tau, round(J,4) == tau)") {
+    // Two docs engineered so true J = 19999/40001 ≈ 0.4999875 — BELOW
+    // tau=0.5 but rounding to it, so the emission contract
+    // round(J,4) >= tau accepts the pair. Pruning bounds derived from
+    // tau itself (instead of the rounding-aware tau') prune exactly
+    // this pair in the heavy regime while the direct regime and the
+    // oracle emit it — the regime-dependent-output bug this pins down.
+    val common = (1 to 20001).map(k => s"c$k").mkString(" ")
+    val docs = Seq(
+      (0L, common + " " + (1 to 10001).map(k => s"a$k").mkString(" ")),
+      (1L, common + " " + (1 to 10001).map(k => s"b$k").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val direct = Dedup.directJaccard(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val prefix = Dedup.prefixJaccard(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(direct === Seq((0L, 1L, 0.5)), s"construction drifted: $direct")
+    assert(prefix === direct, "prefix regime pruned the rounding-boundary pair")
+  }
+
+  test("containment: direct and prefix regimes produce identical pairs") {
+    val docs = boilerplateCorpus(60)
+    val sh = Dedup.shingles(docs)
+    for (tau <- Seq(0.5, 0.8)) {
+      val direct = Dedup.directContainment(sh, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sorted.toSeq
+      val prefix = Dedup.prefixContainment(sh, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sorted.toSeq
+      assert(direct.nonEmpty, s"tau=$tau: expected containment pairs in the corpus")
+      assert(direct === prefix, s"tau=$tau: containment regimes disagree")
+    }
+  }
+
   test("positional filter bound is lossless on the warehouse corpus") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val sh = Dedup.shingles(docs)

@@ -105,26 +105,61 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.read(spark, dir).count() == 100) // live data untouched
   }
 
-  test("startVersioned skips replayed batches instead of duplicating versions") {
+  test("versioned-sink replay guard: skips same-lineage replays, never poisons a new query") {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = freshTable()
     Snapshots.init(spark, dir)
-    val in1 = MemoryStream[(Long, String, Long)]
-    val q1 = graft.streaming.UpsertSink.startVersioned(
-      in1.toDS().toDF("k", "payload", "gen"), dir, "k", "gen")
-    try { in1.addData((5L, "B1", 1L)); q1.processAllAvailable() } finally q1.stop()
+    // guard exercised through the extracted per-batch hook (a
+    // MemoryStream cannot restart from a checkpoint); scope = what
+    // startVersioned derives from a checkpointLocation
+    val ck1 = graft.streaming.UpsertSink.markerScope(Some("/tmp/ck1"))
+    def run(scope: Option[String], payload: String, batchId: Long): Unit =
+      graft.streaming.UpsertSink.mergeVersionedBatch(dir, "k", "gen", scope)(
+        Seq((5L, payload, 1L)).toDF("k", "payload", "gen"), batchId)
+
+    run(ck1, "B1", 0L)
     assert(Snapshots.currentVersion(dir) == 1)
-    // restart without a checkpoint: the source replays from batchId 0;
-    // the txn marker in _graft_log must reject it, not re-commit
-    val in2 = MemoryStream[(Long, String, Long)]
-    val q2 = graft.streaming.UpsertSink.startVersioned(
-      in2.toDS().toDF("k", "payload", "gen"), dir, "k", "gen")
-    try { in2.addData((5L, "B1", 1L)); q2.processAllAvailable() } finally q2.stop()
+    // crash-replay of the SAME checkpointed query: batch 0 again → skipped
+    run(ck1, "B1", 0L)
     assert(Snapshots.currentVersion(dir) == 1,
       "replayed batch 0 committed a duplicate version")
-    assert(graft.streaming.UpsertSink.lastCommittedBatch(dir) == 0L)
+    assert(graft.streaming.UpsertSink.lastCommittedBatch(dir, ck1.get) == 0L)
+    // a DIFFERENT query lineage (new checkpoint) restarts batchIds at 0
+    // with genuinely new data: the old marker must NOT swallow it
+    val ck2 = graft.streaming.UpsertSink.markerScope(Some("/tmp/ck2"))
+    run(ck2, "B2-new-query", 0L)
+    assert(Snapshots.currentVersion(dir) == 2,
+      "new query's first batch was silently dropped by a stale marker")
+    // no checkpoint → no cross-run lineage → no guard: batches commit
+    run(None, "B3-no-ck", 0L)
+    assert(Snapshots.currentVersion(dir) == 3)
+  }
+
+  test("racing committers: every version id is won by exactly ONE commit") {
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    // 4 threads hammer the commit atom; with a silent-replace race
+    // (check-then-rename) two racers can both "succeed" on one version
+    // id, so successes would exceed distinct committed versions. The
+    // hard-link publish makes the loser fail loudly instead —
+    // conservation: commits_won + races_lost == attempts.
+    val attempts = 25
+    val lost = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 4).map(_ => new Thread(() =>
+      (1 to attempts).foreach { _ =>
+        try { Snapshots.commit(dir, Seq.empty); () }
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          lost.incrementAndGet(); () }
+      }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Snapshots.currentVersion(dir) == 4 * attempts - lost.get,
+      s"version ids double-won: ${4 * attempts - lost.get} successes but " +
+        s"only ${Snapshots.currentVersion(dir)} committed versions")
+    // and no stray tmp files survive a vacuum
+    Snapshots.vacuum(dir, keepFrom = Snapshots.currentVersion(dir))
+    val tmps = Files.list(Paths.get(dir, "_graft_log")).iterator().asScala
+      .count(_.toString.endsWith(".tmp"))
+    assert(tmps == 0)
   }
 
   test("log protocol refuses ill-defined operations instead of corrupting state") {
