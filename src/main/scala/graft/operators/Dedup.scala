@@ -415,6 +415,70 @@ object Dedup {
         |WHERE round(inter::DOUBLE / ca.n, 4) >= 0.8
         |   OR round(inter::DOUBLE / cb.n, 4) >= 0.8""".stripMargin
 
+  /** D13 — cross-document repeated-span detection (the span-level
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22): a K-token window is DUPLICATED
+    * if its token sequence occurs ≥ 2 times corpus-wide (another doc
+    * or a repeat inside the same doc — both are memorization risk).
+    * Per doc: window count, duplicated-window count, duplicated
+    * fraction — the observability layer that decides which corpora
+    * need span REMOVAL, and doc-level near-dup (D2/D4) cannot see a
+    * 50-token boilerplate block pasted into otherwise-unique pages.
+    *
+    * Scale shape: NO pair join anywhere — unlike D2, span dedup needs
+    * only occurrence COUNTS, so boilerplate cannot superlinearize
+    * anything: windows pre-aggregate to (doc_id, h, c) with map-side
+    * partials, the corpus-wide count is a sum-window over h (linear,
+    * one shuffle), and the final per-doc rollup rides a second linear
+    * aggregate. Cost is O(corpus tokens) end to end.
+    */
+  def qDupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    dupSpans(Tables.documents(s, d), k)
+
+  def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val nW = size(col("w")) - (k - 1)
+    // same array-side window assembly as the shingle index (k shifted
+    // slices zipped positionally), but WITHOUT distinct: multiplicity
+    // is the signal here
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w0"))
+      .select(col("doc_id"),
+        when(element_at(col("w0"), 1) === "",
+          slice(col("w0"), lit(2), greatest(size(col("w0")) - 1, lit(0))))
+          .otherwise(col("w0")).as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"), explode(arrays_zip(
+        (1 to k).map(i => slice(col("w"), lit(i), nW).as(s"g$i")): _*)).as("z"))
+      .selectExpr("doc_id",
+        s"${h60("concat_ws(' ', " + (1 to k).map(i => s"z.g$i").mkString(", ") + ")")} AS h")
+    val perDocHash = wins.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    perDocHash
+      .withColumn("ch", sum("c").over(w.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_windows"),
+        sum(when(col("ch") >= 2, col("c")).otherwise(lit(0L))).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4).as("dup_frac"))
+  }
+
+  val qDupSpansSql: String = {
+    val k = 8
+    val cat = (1 to k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |win AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5($cat), 1, 15)) AS BIGINT) AS h
+       |  FROM toks, unnest(range(0, greatest(len(w) - ${k - 1}, 0))) AS t(i)),
+       |dh AS (SELECT doc_id, h, count(*) AS c FROM win GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, h, c, sum(c) OVER (PARTITION BY h) AS ch FROM dh)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_windows,
+       |  CAST(sum(CASE WHEN ch >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       |  round(sum(CASE WHEN ch >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 4) AS dup_frac
+       |FROM tot GROUP BY doc_id""".stripMargin
+  }
+
   /** Universal-hash family over the 31-bit field (p = 2^31-1, the
     * Mersenne prime Spark's own MinHashLSH uses): hash i maps a shingle
     * long h to (a_i*(h mod p) + b_i) mod p. Pure 64-bit codegen
@@ -800,6 +864,84 @@ object Dedup {
   val qDedupCcSql: String =
     ccCte + "\nSELECT doc_id, component FROM comp"
 
+  /** D14 — semantic dedup, cluster-pruned (SemDeDup, Abbas et al.
+    * arXiv'23): embeddings are assigned to coarse-quantizer cells, and
+    * ONLY within-cell pairs are cosine-compared; a vector is dropped
+    * iff a LOWER-id vector in its cell is ≥ τ similar (keep-lowest-id,
+    * the D7 greedy rule — pairwise predicate, no transitive closure,
+    * so the decision is order-free deterministic). This is the
+    * embedding-space twin of D2: near-dup text that was paraphrased
+    * (different shingles, same meaning) only this operator catches.
+    *
+    * Scale shape: the quantizer bounds the quadratic — pairing is per
+    * CELL ((n/cells)² per cell, cells sized so a cell fits a
+    * partition; at 100 TB cell = partition key and the pair join is
+    * exchange-free within partitions). Centroids ride one broadcast;
+    * assignment is a map-side struct-max argmax, the E4 kernel. The
+    * quantizer is DETERMINISTIC (the `cells` lowest-vec_id vectors),
+    * so the oracle replays assignment, pairing, and the drop rule
+    * bit-for-bit — swap in trained centroids and only the centroid
+    * frame changes.
+    */
+  def qSemdedup(s: SparkSession, d: String, tau: Double = 0.4,
+      cells: Int = 16): DataFrame =
+    semdedup(Tables.embeddings(s, d).select("vec_id", "embedding"), tau, cells)
+
+  def semdedup(e: DataFrame, tau: Double = 0.4, cells: Int = 16): DataFrame = {
+    val centroids = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // argmax as an aggregation (not a window): the struct-max combines
+    // map-side, so the exchange carries one row per vector; csim ties
+    // resolve to the lowest cid via -cid, matching the oracle's
+    // ORDER BY csim DESC, cid ASC
+    val assigned = e
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", vec_cosine(col("embedding"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"),
+        col("cid"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cid").as("cell"))
+    val drops = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter((round(vec_cosine(col("a.embedding"), col("b.embedding")), 4)
+        + lit(0.0)) >= tau)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(drops.withColumn("__d", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("__d").isNotNull, lit(0L)).otherwise(lit(1L)).as("keep"))
+  }
+
+  /** Replays [[qSemdedup]] end to end: same deterministic centroids,
+    * same argmax assignment (E4's oracle pattern — sequential-order
+    * double dot products agree bit-for-bit), same within-cell pairing
+    * and keep-lowest-id drop rule. */
+  val qSemdedupSql: String =
+    """WITH n AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      (list_sum(list_transform(range(1, len(v.embedding) + 1),
+      |        i -> v.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (v.nrm * c.cnrm)) DESC,
+      |      c.cid ASC) AS crn
+      |  FROM n v CROSS JOIN cent c),
+      |corpus AS (SELECT vec_id, embedding, nrm, cid AS cell FROM asg WHERE crn = 1),
+      |drops AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4)
+      |    + 0.0 >= 0.4)
+      |SELECT c.vec_id, c.cell,
+      |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM corpus c LEFT JOIN drops d ON c.vec_id = d.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cc" -> ((s, d) => qDedupCc(s, d)),
     "q_dedup_pipeline" -> ((s, d) => qDedupPipeline(s, d)),
@@ -810,7 +952,9 @@ object Dedup {
     "q_minhash_lsh" -> qMinhashLsh,
     "q_minhash_est" -> qMinhashEst,
     "q_simhash" -> qSimhash,
-    "q_embed_dup" -> ((s, d) => qEmbedDup(s, d)))
+    "q_embed_dup" -> ((s, d) => qEmbedDup(s, d)),
+    "q_dup_spans" -> ((s, d) => qDupSpans(s, d)),
+    "q_semdedup" -> ((s, d) => qSemdedup(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_dedup_cc" -> qDedupCcSql,
@@ -822,5 +966,7 @@ object Dedup {
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_est" -> qMinhashEstSql,
     "q_simhash" -> qSimhashSql,
-    "q_embed_dup" -> qEmbedDupSql)
+    "q_embed_dup" -> qEmbedDupSql,
+    "q_dup_spans" -> qDupSpansSql,
+    "q_semdedup" -> qSemdedupSql)
 }

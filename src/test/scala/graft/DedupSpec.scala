@@ -83,4 +83,50 @@ class DedupSpec extends GraftSuite {
     // every component's label is a member of that component
     cc.values.toSet.foreach { comp: Long => assert(cc(comp) == comp) }
   }
+
+  test("dup spans: verbatim copies score 1.0, unique docs 0.0, self-repeats count") {
+    import spark.implicits._
+    val body = (1 to 20).map(k => s"w$k").mkString(" ")
+    val docs = Seq(
+      (0L, body),                     // copied verbatim by doc 1
+      (1L, body),
+      (2L, (1 to 20).map(k => s"u$k").mkString(" ")), // fully unique
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 x r1 r2 r3 r4 r5 r6 r7 r8") // self-repeat
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_dup_windows"), r.getAs[Double]("dup_frac"))).toMap
+    assert(out(0L) == ((13L, 13L, 1.0)))  // 20 tokens -> 13 windows, all shared with doc 1
+    assert(out(1L) == ((13L, 13L, 1.0)))
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0)
+    // doc 3: 17 tokens -> 10 windows; the 8-gram r1..r8 occurs twice
+    // WITHIN the doc (positions 1 and 10) -> exactly those 2 count
+    assert(out(3L) == ((10L, 2L, 0.2)))
+  }
+
+  test("semdedup: drops exactly the higher-id in-cell near-dups, keeps the rest") {
+    import spark.implicits._
+    // cells=2, centroids = vecs 0 and 1 (orthogonal); vec 2 ~ vec 0
+    // (same direction -> same cell, cos 1.0 -> dropped), vec 3 ~ vec 1
+    // but BELOW tau, vec 4 ~ vec 0 exactly -> dropped
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),
+      (3L, Array(0.7f, 1f, 0f, 0f)), // cos vs vec 1 = 1/√1.49 ≈ 0.819 < tau
+      (4L, Array(1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semdedup(e, tau = 0.95, cells = 2).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("cell"), r.getAs[Long]("keep"))).toMap
+    assert(out(0L)._2 == 1L && out(1L)._2 == 1L, "centroid/lowest-id vecs must be kept")
+    assert(out(2L) == ((0L, 0L)), "colinear higher-id vec not dropped")
+    assert(out(4L) == ((0L, 0L)), "identical higher-id vec not dropped")
+    assert(out(3L)._1 == 1L && out(3L)._2 == 1L, "below-tau vec wrongly dropped")
+    // oracled end-to-end shape on the warehouse corpus: all vectors
+    // decided, drops strictly fewer than vectors
+    val full = Dedup.qSemdedup(spark, sf).collect()
+    assert(full.length == Tables.embeddings(spark, sf).count())
+    val dropped = full.count(_.getAs[Long]("keep") == 0L)
+    assert(dropped > 0 && dropped < full.length)
+  }
 }

@@ -25,7 +25,11 @@ class PlanAuditSpec extends GraftSuite {
       "q_rolling_active",
       // q_drift: ONE broadcast row (global min/max) against the corpus
       // for integer bin assignment — the same model-as-literal join
-      "q_drift")
+      "q_drift",
+      // q_semdedup: the E4 quantizer kernel — 16-row centroid table
+      // broadcast against the corpus for cell assignment; the dedup
+      // pair join itself is equi on the cell key
+      "q_semdedup")
   // building these DataFrames runs a streaming query — audited by
   // StreamingSpec instead.
   private val skip = Set("q_stream_tumble", "q_stream_join")
