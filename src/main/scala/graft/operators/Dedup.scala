@@ -479,6 +479,84 @@ object Dedup {
        |FROM tot GROUP BY doc_id""".stripMargin
   }
 
+  /** D15 — repeated-span REMOVAL (the cleaning half of Lee et al.
+    * ACL'22, where D13 is the observability half): every token
+    * position covered by ANY duplicated K-window is cut, and the
+    * surviving tokens are reassembled in order. Output per doc: token
+    * count, removed count, and the md5 of the cleaned text (the
+    * content ships as a fingerprint; a pipeline materializes the text
+    * itself with the identical plan minus the md5).
+    *
+    * Scale shape: linear end to end — window hashes as in D13, global
+    * occurrence counts per hash (map-side combine), covered positions
+    * = K × duplicated windows (a bounded explode), one anti join on
+    * (doc, pos), and a per-doc ordered reassembly whose state is the
+    * doc's own tokens. The reassembly sort is per-group post-collect
+    * (the B36 rule: collected order is partition-nondeterministic);
+    * the transform lambda runs once per DOC on bounded arrays, not
+    * per token in a corpus-wide hot loop.
+    */
+  def qSpanClean(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    spanClean(Tables.documents(s, d), k)
+
+  def spanClean(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w0"))
+      .select(col("doc_id"),
+        when(element_at(col("w0"), 1) === "",
+          slice(col("w0"), lit(2), greatest(size(col("w0")) - 1, lit(0))))
+          .otherwise(col("w0")).as("w"))
+    val pos = toks
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val nW = size(col("w")) - (k - 1)
+    val wins = toks.where(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(arrays_zip(
+        (1 to k).map(i => slice(col("w"), lit(i), nW).as(s"g$i")): _*)).as(Seq("i", "z")))
+      .selectExpr("doc_id", "i + 1 AS start",
+        s"${h60("concat_ws(' ', " + (1 to k).map(i => s"z.g$i").mkString(", ") + ")")} AS h")
+    val counts = wins.groupBy("h").agg(count(lit(1)).as("ch"))
+    val covered = wins.join(counts, "h").where(col("ch") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
+      .distinct()
+    val cleaned = pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(sort_array(collect_list(struct(pos, tok)))," +
+          " x -> x.tok), ' ')").as("ct"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("ct"), lit(""))).as("clean_md5"))
+  }
+
+  val qSpanCleanSql: String = {
+    val k = 8
+    val cat = (1 to k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+       |  FROM toks),
+       |win AS (SELECT doc_id, i + 1 AS start,
+       |  CAST(('0x' || substr(md5($cat), 1, 15)) AS BIGINT) AS h
+       |  FROM toks, unnest(range(0, greatest(len(w) - ${k - 1}, 0))) AS t(i)),
+       |ch AS (SELECT h, count(*) AS c FROM win GROUP BY h),
+       |cov AS (SELECT DISTINCT w.doc_id, w.start + j AS pos
+       |  FROM win w JOIN ch ON w.h = ch.h, unnest(range(0, $k)) AS u(j)
+       |  WHERE ch.c >= 2),
+       |kept AS (SELECT t.doc_id, t.pos, t.tok
+       |  FROM tok t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+       |cl AS (SELECT doc_id, count(*) AS n_kept,
+       |  string_agg(tok, ' ' ORDER BY pos) AS ct FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+       |  CAST(len(d.w) - coalesce(cl.n_kept, 0) AS BIGINT) AS n_removed,
+       |  md5(coalesce(cl.ct, '')) AS clean_md5
+       |FROM toks d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
+  }
+
   /** Universal-hash family over the 31-bit field (p = 2^31-1, the
     * Mersenne prime Spark's own MinHashLSH uses): hash i maps a shingle
     * long h to (a_i*(h mod p) + b_i) mod p. Pure 64-bit codegen
@@ -954,6 +1032,7 @@ object Dedup {
     "q_simhash" -> qSimhash,
     "q_embed_dup" -> ((s, d) => qEmbedDup(s, d)),
     "q_dup_spans" -> ((s, d) => qDupSpans(s, d)),
+    "q_span_clean" -> ((s, d) => qSpanClean(s, d)),
     "q_semdedup" -> ((s, d) => qSemdedup(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -968,5 +1047,6 @@ object Dedup {
     "q_simhash" -> qSimhashSql,
     "q_embed_dup" -> qEmbedDupSql,
     "q_dup_spans" -> qDupSpansSql,
+    "q_span_clean" -> qSpanCleanSql,
     "q_semdedup" -> qSemdedupSql)
 }

@@ -104,6 +104,28 @@ class DedupSpec extends GraftSuite {
     assert(out(3L) == ((10L, 2L, 0.2)))
   }
 
+  test("span clean: removes exactly the covered positions, reassembles in order") {
+    import spark.implicits._
+    val body = (1 to 20).map(k => s"w$k").mkString(" ")
+    val uniq = (1 to 20).map(k => s"u$k").mkString(" ")
+    val docs = Seq(
+      (0L, body), (1L, body),          // verbatim pair: everything removed
+      (2L, uniq),                      // untouched
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 x r1 r2 r3 r4 r5 r6 r7 r8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanClean(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_md5"))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0L) == ((20L, 20L, md5(""))), "verbatim copy not fully removed")
+    assert(out(1L) == ((20L, 20L, md5(""))))
+    assert(out(2L) == ((20L, 0L, md5(uniq))), "unique doc must be untouched")
+    // doc 3: dup windows at starts 1 and 10 cover pos 1..8 and 10..17;
+    // only token 9 ("x") survives
+    assert(out(3L) == ((17L, 16L, md5("x"))))
+  }
+
   test("semdedup: drops exactly the higher-id in-cell near-dups, keeps the rest") {
     import spark.implicits._
     // cells=2, centroids = vecs 0 and 1 (orthogonal); vec 2 ~ vec 0
