@@ -41,7 +41,14 @@ object Bench {
       // thrash; live caches (the shared shingle index) are kept
       System.gc()
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // force through the noop sink, NOT count(): count() lets the
+      // optimizer prune every column the row count doesn't need, so a
+      // query whose cost lives in an output column (q_span_clean's
+      // ordered reassembly + md5) would bench its plan MINUS the
+      // expensive part; noop materializes all columns of every row
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch { case _: Throwable => false }
       // -1 marks a failed query — never report a crash as a fast pass
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       java.nio.file.Files.writeString(logPath, s"""{"$name":$sec}""" + "\n",

