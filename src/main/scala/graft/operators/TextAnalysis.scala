@@ -334,6 +334,55 @@ object TextAnalysis {
       |FROM u JOIN vocab USING (tok) CROSS JOIN tot
       |GROUP BY u.doc_id""".stripMargin
 
+  // F28 — bigram language-model scoring (one order up from F10; the
+  // CCNet/KenLM-style perplexity filter): corpus bigram model with
+  // add-one smoothing over the observed vocabulary, every doc scored
+  // by the mean negative log-likelihood of its bigram stream. Where
+  // F10 flags rare-TOKEN spam, this flags improbable token ORDER —
+  // shuffled/templated text whose unigrams look fluent. Plan shape at
+  // 100 TB: bigrams assemble array-side (two shifted slices zipped, no
+  // per-token window), the model is a (w1,w2)-keyed aggregate joined
+  // with a w1-keyed context aggregate of the same rows, V ships as a
+  // literal (model-as-literal), and scoring is a pair-keyed hash join
+  // — no driver-side model state.
+  def qBigramLm(s: SparkSession, d: String): DataFrame =
+    bigramLm(Tables.documents(s, d))
+
+  def bigramLm(documents: DataFrame): DataFrame = {
+    val docs = documents.selectExpr("doc_id", s"$wordsExpr AS w")
+    val bg = docs.where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("b"))).as("z"))
+      .select(col("doc_id"), col("z.a").as("w1"), col("z.b").as("w2"))
+    val vocabSize = docs.select(explode(col("w")).as("tok"))
+      .agg(countDistinct("tok")).head().getLong(0) // FIT scalar -> literal
+    val pairCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctxCnt = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val probs = pairCnt.join(ctxCnt, "w1")
+      .select(col("w1"), col("w2"),
+        ((col("c12") + 1).cast("double") / (col("c1") + lit(vocabSize))).as("p"))
+    bg.join(probs, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("p"))), 4).as("mean_nll"))
+  }
+
+  val qBigramLmSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |bg AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+      |  FROM t, unnest(range(0, greatest(len(w) - 1, 0))) AS r(i)),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs
+      |  FROM (SELECT unnest(w) AS tok FROM t)),
+      |pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+      |SELECT bg.doc_id, count(*) AS n_bigrams,
+      |  round(avg(-ln((pc.c12 + 1)::DOUBLE / (cc.c1 + v.vs))), 4) AS mean_nll
+      |FROM bg JOIN pc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+      |GROUP BY bg.doc_id""".stripMargin
+
   // F14 — TF-IDF: top-3 terms per document by (cnt/doclen) * ln(N/df),
   // the standard keyword-extraction / relevance signal. Plan shape at
   // 100 TB: tf is a (doc, term)-keyed aggregate, df a term-keyed
@@ -572,7 +621,8 @@ object TextAnalysis {
     "q_sample" -> qSample,
     "q_bigrams" -> qBigrams,
     "q_repetition" -> qRepetition,
-    "q_unigram_lm" -> qUnigramLm)
+    "q_unigram_lm" -> qUnigramLm,
+    "q_bigram_lm" -> qBigramLm)
 
   def oracles: Map[String, String] = Map(
     "q_top_terms" -> qTopTermsSql,
@@ -591,5 +641,6 @@ object TextAnalysis {
     "q_sample" -> qSampleSql,
     "q_bigrams" -> qBigramsSql,
     "q_repetition" -> qRepetitionSql,
-    "q_unigram_lm" -> qUnigramLmSql)
+    "q_unigram_lm" -> qUnigramLmSql,
+    "q_bigram_lm" -> qBigramLmSql)
 }

@@ -118,7 +118,7 @@ class TextAnalysisSpec extends GraftSuite {
   test("unigram LM: rare-token docs score higher nll than common-token docs") {
     val rows = TextAnalysis.qUnigramLm(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf)
-      .selectExpr("size(filter(split(text, '\\s+'), x -> x <> '')) AS n")
+      .selectExpr(s"size(${TextAnalysis.wordsExpr}) AS n")
       .filter("n > 0").count())
     rows.foreach(r => assert(r.getAs[Double]("mean_nll") > 0.0))
     // corpus-level consistency: token counts match token_stats
@@ -126,6 +126,29 @@ class TextAnalysisSpec extends GraftSuite {
     val directTokens = TextAnalysis.qTokenStats(spark, sf)
       .selectExpr("sum(n_tokens)").head.getLong(0)
     assert(lmTokens == directTokens)
+  }
+
+  test("bigram LM: flags improbable token order the unigram model cannot see") {
+    val rows = TextAnalysis.qBigramLm(spark, sf).collect()
+    // every doc with >= 2 tokens is scored, positively
+    assert(rows.length == Tables.documents(spark, sf)
+      .selectExpr(s"size(${TextAnalysis.wordsExpr}) AS n")
+      .filter("n >= 2").count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_nll") > 0.0)
+      assert(r.getAs[Long]("n_bigrams") > 0L)
+    }
+    // hand-checked model: docs "a b","a b","a c" -> V=3, c1(a)=3,
+    // P(b|a)=(2+1)/(3+3)=1/2, P(c|a)=(1+1)/(3+3)=1/3 — the repeated
+    // continuation scores lower NLL than the rare one
+    import spark.implicits._
+    val tiny = Seq((0L, "a b"), (1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(tiny).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("mean_nll")).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(out(0L) == r4(-math.log(0.5)))
+    assert(out(2L) == r4(-math.log(1.0 / 3.0)))
+    assert(out(0L) == out(1L) && out(0L) < out(2L))
   }
 
   test("bigram counts: deterministic top-30, counts consistent with token counts") {
