@@ -212,8 +212,11 @@ object Similarity {
     * a weaker rows-only check. Swapping in trained centroids changes
     * only the `centroids` frame, nothing downstream.
     */
+  /** `maxSim` caps the ranked band: candidates with rounded cosine ≥
+    * maxSim are excluded BEFORE ranking (default 1.1 = no cap). This
+    * is the hard-negative-mining knob — see [[qHardNegatives]]. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+      cells: Int = 16, nprobe: Int = 4, maxSim: Double = 1.1): DataFrame = {
     val centroids = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val scoredCells = (df: DataFrame) => df
@@ -243,6 +246,7 @@ object Similarity {
         col("q.cid") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         (round(vec_cosine(col("q.embedding"), col("c.embedding")), 4) + lit(0.0)).as("cos_sim"))
+      .filter(col("cos_sim") < maxSim)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -277,6 +281,49 @@ object Similarity {
       |  SELECT query_id, neighbor_id, cos_sim,
       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
       |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** E11 — hard-negative mining (contrastive-training data prep): for
+    * each query vector, the top-k NEAREST neighbors whose similarity
+    * is still BELOW the near-dup threshold — the informative negatives
+    * for embedding training (random negatives are trivially separable;
+    * near-dups are false negatives that poison the loss — the band in
+    * between is where the gradient signal lives). The ceiling is the
+    * SAME τ = 0.4 the dedup family (D6/D14) uses, so "negative" here
+    * is definitionally "not a near-duplicate" and the two operator
+    * families cannot disagree.
+    *
+    * Plan = the E4 IVF kernel with a rounded-cosine ceiling applied
+    * before ranking; same deterministic quantizer, same full oracle.
+    */
+  def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    ivfKnn(e, e.filter(col("vec_id") < 20), 5, maxSim = 0.4)
+  }
+
+  val qHardNegativesSql: String =
+    """WITH n AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      (list_sum(list_transform(range(1, len(v.embedding) + 1),
+      |        i -> v.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (v.nrm * c.cnrm)) DESC,
+      |      c.cid ASC) AS crn
+      |  FROM n v CROSS JOIN cent c),
+      |corpus AS (SELECT vec_id, embedding, nrm, cid FROM asg WHERE crn = 1),
+      |probes AS (SELECT vec_id, embedding, nrm, cid FROM asg WHERE crn <= 4 AND vec_id < 20),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) + 0.0 AS cos_sim
+      |  FROM probes q JOIN corpus c ON q.cid = c.cid AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored WHERE cos_sim < 0.4)
       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
 
   /** E5 — per-label embedding centroids, emitted FLAT as (label, pos,
@@ -527,6 +574,7 @@ object Similarity {
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_ivf" -> qKnnIvf,
+    "q_hard_negatives" -> qHardNegatives,
     "q_embed_centroid" -> qEmbedCentroid)
 
   def oracles: Map[String, String] = Map(
@@ -537,5 +585,6 @@ object Similarity {
     "q_knn_brute" -> qKnnBruteSql,
     "q_knn_lsh" -> qKnnLshSql,
     "q_knn_ivf" -> qKnnIvfSql,
+    "q_hard_negatives" -> qHardNegativesSql,
     "q_embed_centroid" -> qEmbedCentroidSql)
 }

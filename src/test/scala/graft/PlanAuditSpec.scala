@@ -29,7 +29,10 @@ class PlanAuditSpec extends GraftSuite {
       // q_semdedup: the E4 quantizer kernel — 16-row centroid table
       // broadcast against the corpus for cell assignment; the dedup
       // pair join itself is equi on the cell key
-      "q_semdedup")
+      "q_semdedup",
+      // q_hard_negatives: the same E4 kernel (bounded centroid
+      // broadcast) with a similarity ceiling before ranking
+      "q_hard_negatives")
   // building these DataFrames runs a streaming query — audited by
   // StreamingSpec instead.
   private val skip = Set("q_stream_tumble", "q_stream_join")

@@ -122,4 +122,36 @@ class SimilaritySpec extends GraftSuite {
     val recall = hits.toDouble / (20 * 5)
     assert(recall > 25.0 / n, s"recall@5 $recall not above chance ${25.0 / n}")
   }
+
+  test("hard negatives: below the dedup threshold, densely ranked, maximal") {
+    val rows = Similarity.qHardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every mined negative sits strictly below the near-dup tau
+    rows.foreach { case (q, nb, cos, _) =>
+      assert(cos < 0.4, s"($q,$nb) cos $cos is a near-dup, not a negative")
+      assert(q != nb)
+    }
+    // ranks are 1..n_q per query with no gaps, capped at 5
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length).toSeq, s"query $q rank gap")
+      assert(rs.length <= 5)
+    }
+    // maximality: each emitted set is the TOP of the sub-tau band —
+    // its minimum cosine is >= any unpicked in-band candidate the IVF
+    // probe could have returned (checked against the capped variant
+    // run with k large enough to see the whole band)
+    val full = Similarity.ivfKnn(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding"),
+      Tables.embeddings(spark, sf).select("vec_id", "embedding")
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 20),
+      Int.MaxValue, maxSim = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val picked = rows.map(r => (r._1, r._2)).toSet
+    full.filter(_._4 > 5).foreach { case (q, nb, cos, _) =>
+      val minPicked = rows.filter(_._1 == q).map(_._3).min
+      assert(cos <= minPicked, s"query $q left a closer negative ($nb, $cos) unpicked")
+      assert(!picked.contains((q, nb)))
+    }
+  }
 }
