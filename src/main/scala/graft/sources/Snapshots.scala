@@ -149,6 +149,44 @@ object Snapshots {
     commit(path, newLive)
   }
 
+  /** A20 — change feed between two committed versions (the Delta CDF
+    * pattern): per-key inserts, updates, and deletes from `fromV` to
+    * `toV`. Reads ONLY the manifest diff — files live in exactly one
+    * of the two versions — because data files are immutable: a key in
+    * a file both versions share cannot have changed, so the scan cost
+    * tracks CHANGED files, not table size (the property that makes a
+    * change feed usable on a 100 TB table; a naive two-version diff
+    * would be two full scans + a table-wide join). Keys rewritten
+    * verbatim during a copy-on-write merge appear on both sides with
+    * equal payloads and are dropped by the null-safe compare.
+    */
+  def changesBetween(spark: SparkSession, path: String, fromV: Int, toV: Int,
+      keyCol: String): DataFrame = {
+    require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
+    val a = liveFiles(path, fromV).toSet
+    val b = liveFiles(path, toV).toSet
+    def readFiles(fs: Set[String]): Option[DataFrame] =
+      if (fs.isEmpty) None else Some(spark.read.parquet(fs.toSeq: _*))
+    val schema = read(spark, path, toV).schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val pre = readFiles(a -- b).getOrElse(empty)
+    val post = readFiles(b -- a).getOrElse(empty)
+    val cols = schema.fieldNames.filterNot(_ == keyCol)
+    val preS = pre.select(col(keyCol).as("__k"),
+      struct(cols.toIndexedSeq.map(col): _*).as("__pre"))
+    val postS = post.select(col(keyCol).as("__k"),
+      struct(cols.toIndexedSeq.map(col): _*).as("__post"))
+    preS.join(postS, Seq("__k"), "full_outer")
+      .withColumn("change_type",
+        when(col("__pre").isNull, lit("insert"))
+          .when(col("__post").isNull, lit("delete"))
+          .when(!(col("__pre") <=> col("__post")), lit("update"))
+          .otherwise(lit(null)))
+      .filter(col("change_type").isNotNull)
+      .select(col("__k").as(keyCol), col("change_type"))
+  }
+
   /** Reclaim space: delete data files referenced ONLY by versions
     * older than `keepFrom`, and drop those versions' manifests.
     * Returns the number of data files deleted. Time travel to

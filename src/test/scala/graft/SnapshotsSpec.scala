@@ -162,6 +162,40 @@ class SnapshotsSpec extends GraftSuite {
     assert(tmps == 0)
   }
 
+  test("change feed: inserts/updates/deletes from the manifest diff only") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    val up = Seq((5L, "UP5", 1L), (200L, "NEW200", 1L)).toDF("k", "payload", "gen")
+    Snapshots.mergeVersioned(spark, dir, up, "k")
+
+    val ch01 = Snapshots.changesBetween(spark, dir, 0, 1, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ch01 == Map(5L -> "update", 200L -> "insert"),
+      s"unexpected change set: $ch01")
+    // no-op range and identical endpoints yield an empty feed
+    assert(Snapshots.changesBetween(spark, dir, 1, 1, "k").isEmpty)
+
+    // deletes: commit a manifest that drops one live file (an external
+    // writer can shrink the live set; the feed must see it)
+    val live = Snapshots.read(spark, dir, 1)
+      .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+    val victim = live.filter(col("k") === 42L)
+      .select("f").head.getString(0)
+    val keptFiles = live.select("f").distinct().collect().map(_.getString(0))
+      .filterNot(_ == victim) // both sides from input_file_name: same form
+    Snapshots.commit(dir, keptFiles.toIndexedSeq)
+    val ch12 = Snapshots.changesBetween(spark, dir, 1, 2, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ch12.nonEmpty && ch12.values.forall(_ == "delete"))
+    assert(ch12.contains(42L))
+    // and the cumulative 0 -> 2 feed agrees key-by-key with a full
+    // two-version diff semantics (42 was unchanged 0->1, so 0->2 = delete)
+    val ch02 = Snapshots.changesBetween(spark, dir, 0, 2, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ch02(42L) == "delete" && ch02(5L) == "update" && ch02(200L) == "insert")
+  }
+
   test("log protocol refuses ill-defined operations instead of corrupting state") {
     val dir = freshTable()
     Snapshots.init(spark, dir)
