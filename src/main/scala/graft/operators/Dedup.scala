@@ -55,6 +55,8 @@ object Dedup {
     sigTables.values.foreach(_.unpersist())
     sigTables.clear()
     postingProfiles.clear()
+    cellAssignments.values.foreach(_.unpersist())
+    cellAssignments.clear()
   }
 
   /** Cached max posting-list length per shingle index — the one-number
@@ -110,28 +112,53 @@ object Dedup {
     * cache. Measured 2x faster cold than the window build at sf0.1,
     * bit-identical output.
     *
-    * Tokenizer parity note: split on \s+ yields an empty token ONLY
-    * at position 0 (leading whitespace; Java split drops trailing
-    * empties), so dropping it is one slice-off-the-front, not an
-    * interpreted filter() over the array.
+    * Tokenization lives in [[tokenArray]] (end-empties stripped with
+    * conditional slices, mirroring the oracles' list_filter — no
+    * interpreted lambda); window assembly in [[windowHashes]].
     */
-  private def buildShingleIndex(docs: DataFrame): DataFrame = {
-    val n3 = size(col("w")) - 2
+  /** Non-empty whitespace tokens as a codegen-only column expression —
+    * NO interpreted filter() lambda (~50x slower per element). A \s+
+    * split can only produce empty tokens at the ENDS (leading
+    * whitespace → position 0; trailing whitespace → last position;
+    * runs collapse, so never interior), so two conditional slices
+    * strip exactly what the oracles' list_filter(x <> '') strips.
+    * (Round-3 code stripped only the LEADING empty — a latent
+    * divergence from every oracle in the family on any doc with
+    * trailing whitespace; the synthetic corpus has none, which is why
+    * it never fired. `get` not `element_at` for the trailing probe:
+    * the array is empty for whitespace-only docs and ANSI element_at
+    * throws on out-of-bounds where get returns null.)
+    */
+  private[graft] def tokenArray: org.apache.spark.sql.Column = {
+    val w0 = split(col("text"), "\\s+")
+    val lead = when(element_at(w0, 1) === "",
+      slice(w0, lit(2), greatest(size(w0) - 1, lit(0)))).otherwise(w0)
+    when(get(lead, size(lead) - 1) === "",
+      slice(lead, lit(1), greatest(size(lead) - 1, lit(0)))).otherwise(lead)
+  }
+
+  /** (doc_id, start, h): every k-token window of every doc — 1-based
+    * start position, 60-bit hash, MULTIPLICITY PRESERVED. The shared
+    * assembly for the shingle index (k=3, distinct on top) and the
+    * span family (k=8, counts need repeats): k shifted slices zipped
+    * positionally, all codegen'd.
+    */
+  private[graft] def windowHashes(docs: DataFrame, k: Int): DataFrame = {
+    val nW = size(col("w")) - (k - 1)
     docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("w0"))
-      .select(col("doc_id"),
-        when(element_at(col("w0"), 1) === "",
-          slice(col("w0"), lit(2), greatest(size(col("w0")) - 1, lit(0))))
-          .otherwise(col("w0")).as("w"))
-      .where(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(arrays_zip(
-        slice(col("w"), lit(1), n3).as("a"),
-        slice(col("w"), lit(2), n3).as("b"),
-        slice(col("w"), lit(3), n3).as("c"))).as("z"))
-      .selectExpr("doc_id", s"${h60("concat_ws(' ', z.a, z.b, z.c)")} AS h")
+      .select(col("doc_id"), tokenArray.as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(arrays_zip(
+        (1 to k).map(i => slice(col("w"), lit(i), nW).as(s"g$i")): _*)).as(Seq("i", "z")))
+      .selectExpr("doc_id", "i + 1 AS start",
+        s"${h60("concat_ws(' ', " + (1 to k).map(i => s"z.g$i").mkString(", ") + ")")} AS h")
+  }
+
+  private def buildShingleIndex(docs: DataFrame): DataFrame =
+    windowHashes(docs, 3)
+      .select("doc_id", "h")
       .repartition(col("doc_id"))
       .distinct()
-  }
 
   /** Shared CTE prefix mirroring [[shingles]] in DuckDB SQL. */
   private[operators] val shinglesCte: String =
@@ -437,21 +464,9 @@ object Dedup {
 
   def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val nW = size(col("w")) - (k - 1)
-    // same array-side window assembly as the shingle index (k shifted
-    // slices zipped positionally), but WITHOUT distinct: multiplicity
-    // is the signal here
-    val wins = docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("w0"))
-      .select(col("doc_id"),
-        when(element_at(col("w0"), 1) === "",
-          slice(col("w0"), lit(2), greatest(size(col("w0")) - 1, lit(0))))
-          .otherwise(col("w0")).as("w"))
-      .where(size(col("w")) >= k)
-      .select(col("doc_id"), explode(arrays_zip(
-        (1 to k).map(i => slice(col("w"), lit(i), nW).as(s"g$i")): _*)).as("z"))
-      .selectExpr("doc_id",
-        s"${h60("concat_ws(' ', " + (1 to k).map(i => s"z.g$i").mkString(", ") + ")")} AS h")
+    // the shared window assembly ([[windowHashes]]) WITHOUT distinct:
+    // multiplicity is the signal here
+    val wins = windowHashes(docs, k).select("doc_id", "h")
     val perDocHash = wins.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
     perDocHash
       .withColumn("ch", sum("c").over(w.partitionBy("h")))
@@ -500,23 +515,18 @@ object Dedup {
     spanClean(Tables.documents(s, d), k)
 
   def spanClean(docs: DataFrame, k: Int = 8): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("w0"))
-      .select(col("doc_id"),
-        when(element_at(col("w0"), 1) === "",
-          slice(col("w0"), lit(2), greatest(size(col("w0")) - 1, lit(0))))
-          .otherwise(col("w0")).as("w"))
+    val ww = org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), tokenArray.as("w"))
     val pos = toks
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-    val nW = size(col("w")) - (k - 1)
-    val wins = toks.where(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(arrays_zip(
-        (1 to k).map(i => slice(col("w"), lit(i), nW).as(s"g$i")): _*)).as(Seq("i", "z")))
-      .selectExpr("doc_id", "i + 1 AS start",
-        s"${h60("concat_ws(' ', " + (1 to k).map(i => s"z.g$i").mkString(", ") + ")")} AS h")
-    val counts = wins.groupBy("h").agg(count(lit(1)).as("ch"))
-    val covered = wins.join(counts, "h").where(col("ch") >= 2)
+    // global occurrence count as a sum-window over h (the D13 shape):
+    // ONE pass over the window hashes — a groupBy+join-back would
+    // build the k-slice hash explode, the operator's most expensive
+    // linear stage, twice
+    val covered = windowHashes(docs, k)
+      .withColumn("ch", count(lit(1)).over(ww.partitionBy("h")))
+      .where(col("ch") >= 2)
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
       .distinct()
@@ -978,12 +988,20 @@ object Dedup {
     * real 100 TB scale the flat quantizer would be swapped for a
     * trained hierarchical one (only the centroid frame changes).
     */
+  /** One cached cell assignment per (corpus plan, cell count) — the
+    * shingle-registry pattern for the embedding side: `assigned` feeds
+    * BOTH sides of the within-cell self-join plus the final keep
+    * projection, and without materialization each branch re-runs the
+    * n×cells assignment cosines. Bounded: one (vec_id, embedding,
+    * cell) row per vector.
+    */
+  private val cellAssignments = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame]
+
   def semdedup(e: DataFrame, tau: Double = 0.4, cells: Int = -1): DataFrame = {
     val nCells =
       if (cells > 0) cells.toLong
       else math.max(16L, math.ceil(math.sqrt(e.count() / 2.0)).toLong)
-    val centroids = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     // argmax as an aggregation (not a window): the struct-max combines
     // map-side, so the exchange carries one row per vector; csim ties
     // resolve to the lowest cid via -cid, matching the oracle's
@@ -993,14 +1011,22 @@ object Dedup {
     // wide rows — three times, once per branch of the self-join below.
     // A narrow argmax + one vec_id equi-join to re-attach embeddings
     // measured 145 s → 8 s at 30× corpus.
-    val best = e
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", vec_cosine(col("embedding"), col("cvec")))
-      .groupBy("vec_id")
-      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"))
-    val assigned = e.join(best, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val assigned = synchronized {
+      val key = (e.queryExecution.analyzed.canonicalized, nCells)
+      cellAssignments.getOrElseUpdate(key, {
+        val centroids = e.filter(col("vec_id") < nCells)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val best = e
+          .crossJoin(broadcast(centroids))
+          .withColumn("csim", vec_cosine(col("embedding"), col("cvec")))
+          .groupBy("vec_id")
+          .agg(max(struct(col("csim"), (-col("cid")).as("ncid"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cell"))
+        e.join(best, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cell"))
+          .cache()
+      })
+    }
     val drops = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -1014,15 +1040,21 @@ object Dedup {
         when(col("__d").isNotNull, lit(0L)).otherwise(lit(1L)).as("keep"))
   }
 
-  /** Replays [[qSemdedup]] end to end: same deterministic centroids,
-    * same argmax assignment (E4's oracle pattern — sequential-order
-    * double dot products agree bit-for-bit), same within-cell pairing
-    * and keep-lowest-id drop rule. */
+  /** Replays [[qSemdedup]] end to end: same data-derived cell count
+    * (the √(n/2) auto-sizing is replayed as a scalar subquery, so
+    * parity holds at ANY corpus size, not just ones that land on a
+    * hardcoded literal), same deterministic centroids, same argmax
+    * assignment (E4's oracle pattern — sequential-order double dot
+    * products agree bit-for-bit), same within-cell pairing and
+    * keep-lowest-id drop rule. */
   val qSemdedupSql: String =
     """WITH n AS (SELECT vec_id, embedding,
       |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
       |  FROM embeddings),
-      |cent AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |nc AS (SELECT greatest(16, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) AS cells
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+      |  FROM n CROSS JOIN nc WHERE vec_id < nc.cells),
       |asg AS (
       |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY

@@ -167,11 +167,21 @@ object Snapshots {
     val b = liveFiles(path, toV).toSet
     def readFiles(fs: Set[String]): Option[DataFrame] =
       if (fs.isEmpty) None else Some(spark.read.parquet(fs.toSeq: _*))
-    val schema = read(spark, path, toV).schema
+    val preOpt = readFiles(a -- b)
+    val postOpt = readFiles(b -- a)
+    // schema from the DIFF reads (a full-version read would touch the
+    // whole live set and break the changed-files-only cost property);
+    // both diffs empty = no changes, where one footer from either
+    // version suffices to type the empty result. An empty toV (a
+    // delete-all commit) types from the fromV side — all deletes.
+    val schema = postOpt.orElse(preOpt).map(_.schema)
+      .orElse((b ++ a).headOption.map(f => spark.read.parquet(f).schema))
+      .getOrElse(new org.apache.spark.sql.types.StructType()
+        .add(keyCol, org.apache.spark.sql.types.StringType))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val pre = readFiles(a -- b).getOrElse(empty)
-    val post = readFiles(b -- a).getOrElse(empty)
+    val pre = preOpt.getOrElse(empty)
+    val post = postOpt.getOrElse(empty)
     val cols = schema.fieldNames.filterNot(_ == keyCol)
     val preS = pre.select(col(keyCol).as("__k"),
       struct(cols.toIndexedSeq.map(col): _*).as("__pre"))

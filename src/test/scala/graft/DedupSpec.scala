@@ -126,6 +126,29 @@ class DedupSpec extends GraftSuite {
     assert(out(3L) == ((17L, 16L, md5("x"))))
   }
 
+  test("tokenization strips END empties only, matching the oracles' list_filter") {
+    import spark.implicits._
+    // \s+ splits leave empty tokens only at the ends; the oracles
+    // filter ALL empties, so the Spark side must too — a trailing-
+    // whitespace doc must not grow a phantom token (round-4 latent
+    // divergence: only the leading empty was stripped)
+    val docs = Seq(
+      (0L, "x y z "), (1L, " x y z"), (2L, "  x y z  "),
+      (3L, "   "), (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanClean(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[String]("clean_md5"))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(out(id) == ((3L, md5("x y z"))), s"doc $id: ${out(id)}")
+    }
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id) == ((0L, md5(""))), s"whitespace-only doc $id: ${out(id)}")
+    }
+  }
+
   test("semdedup: drops exactly the higher-id in-cell near-dups, keeps the rest") {
     import spark.implicits._
     // cells=2, centroids = vecs 0 and 1 (orthogonal); vec 2 ~ vec 0

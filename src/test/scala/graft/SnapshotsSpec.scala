@@ -194,6 +194,13 @@ class SnapshotsSpec extends GraftSuite {
     val ch02 = Snapshots.changesBetween(spark, dir, 0, 2, "k").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(ch02(42L) == "delete" && ch02(5L) == "update" && ch02(200L) == "insert")
+
+    // delete-all: an EMPTY toV manifest must yield one delete per
+    // surviving key, not an unresolvable empty schema
+    Snapshots.commit(dir, Seq.empty)
+    val chAll = Snapshots.changesBetween(spark, dir, 2, 3, "k").collect()
+    assert(chAll.nonEmpty && chAll.forall(_.getString(1) == "delete"))
+    assert(chAll.length == Snapshots.read(spark, dir, 2).count())
   }
 
   test("log protocol refuses ill-defined operations instead of corrupting state") {
