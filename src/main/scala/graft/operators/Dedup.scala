@@ -57,6 +57,7 @@ object Dedup {
     postingProfiles.clear()
     cellAssignments.values.foreach(_.unpersist())
     cellAssignments.clear()
+    vecCounts.clear()
   }
 
   /** Cached max posting-list length per shingle index — the one-number
@@ -96,26 +97,6 @@ object Dedup {
       pairLists.getOrElseUpdate(key, qJaccardPairs(s, d, tau).cache())
     }
 
-  /** Distinct 3-word shingles per document, as 60-bit hashes:
-    * (doc_id, h). Collisions (~2^-60) hit both engines identically.
-    *
-    * Shape: trigrams are assembled ARRAY-SIDE — three shifted
-    * `slice`s of the token array zipped positionally (slice and
-    * arrays_zip are both codegen'd; no interpreted higher-order
-    * lambda, which runs ~50x slower per element, and unlike the
-    * earlier posexplode + window-lead build, no exchange-and-sort of
-    * raw token STRINGS). The only shuffle in the build moves finished
-    * 16-byte (doc_id, h) rows: repartition(doc_id), which the
-    * trailing distinct reuses (HashPartitioning(doc_id) satisfies the
-    * (doc_id, h) clustering), and every downstream per-doc
-    * aggregation in the family rides the same clustering off the
-    * cache. Measured 2x faster cold than the window build at sf0.1,
-    * bit-identical output.
-    *
-    * Tokenization lives in [[tokenArray]] (end-empties stripped with
-    * conditional slices, mirroring the oracles' list_filter — no
-    * interpreted lambda); window assembly in [[windowHashes]].
-    */
   /** Non-empty whitespace tokens as a codegen-only column expression —
     * NO interpreted filter() lambda (~50x slower per element). A \s+
     * split can only produce empty tokens at the ENDS (leading
@@ -154,6 +135,20 @@ object Dedup {
         s"${h60("concat_ws(' ', " + (1 to k).map(i => s"z.g$i").mkString(", ") + ")")} AS h")
   }
 
+  /** Distinct 3-word shingles per document, as 60-bit hashes:
+    * (doc_id, h). Collisions (~2^-60) hit both engines identically.
+    *
+    * Shape: trigrams are assembled ARRAY-SIDE via [[windowHashes]]
+    * (shifted `slice`s zipped positionally — codegen'd, no
+    * interpreted lambda, no exchange-and-sort of raw token STRINGS;
+    * tokenization in [[tokenArray]]). The only shuffle in the build
+    * moves finished 16-byte (doc_id, h) rows: repartition(doc_id),
+    * which the trailing distinct reuses (HashPartitioning(doc_id)
+    * satisfies the (doc_id, h) clustering), and every downstream
+    * per-doc aggregation in the family rides the same clustering off
+    * the cache. Measured 2x faster cold than the round-1 window-lead
+    * build at sf0.1, bit-identical output.
+    */
   private def buildShingleIndex(docs: DataFrame): DataFrame =
     windowHashes(docs, 3)
       .select("doc_id", "h")
@@ -520,13 +515,20 @@ object Dedup {
     val pos = toks
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-    // global occurrence count as a sum-window over h (the D13 shape):
-    // ONE pass over the window hashes — a groupBy+join-back would
-    // build the k-slice hash explode, the operator's most expensive
-    // linear stage, twice
+    // ONE pass over the window hashes (a groupBy+join-back would build
+    // the k-slice hash explode, the operator's most expensive linear
+    // stage, twice), with the D13 (doc, h) pre-aggregation kept so the
+    // exchange combines map-side and the per-h window partitions are
+    // bounded by DOCS containing h, not raw occurrences — a raw-row
+    // window would buffer a 10^7-occurrence boilerplate hash whole in
+    // one WindowExec group. Start positions ride the pre-agg as
+    // per-(doc,h) collected lists (bounded by the doc's own windows).
     val covered = windowHashes(docs, k)
-      .withColumn("ch", count(lit(1)).over(ww.partitionBy("h")))
+      .groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("c"), collect_list(col("start")).as("starts"))
+      .withColumn("ch", sum("c").over(ww.partitionBy("h")))
       .where(col("ch") >= 2)
+      .select(col("doc_id"), explode(col("starts")).as("start"))
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
       .distinct()
@@ -975,19 +977,6 @@ object Dedup {
       cells: Int = -1): DataFrame =
     semdedup(Tables.embeddings(s, d).select("vec_id", "embedding"), tau, cells)
 
-  /** `cells` ≤ 0 auto-sizes the quantizer to √(n/2) cells (one
-    * driver-side count — the model-update pattern). The cell COUNT
-    * must grow with the corpus or the within-cell pair join is
-    * quadratic (measured: fixed 16 cells cost 2.5 s → 9.8 → 50.6 at
-    * 1×/10×/30× corpus), but cells ∝ n makes the brute-force
-    * ASSIGNMENT (n·cells cosines) quadratic instead; √n balances the
-    * two at O(n^1.5) each — the classic IVF sizing. The gate corpus
-    * (500 vecs) auto-sizes to exactly 16 = the oracle's literal.
-    * Near-identical vectors argmax to the same cell at any cell
-    * count, so recall for true near-dups survives the scaling; at
-    * real 100 TB scale the flat quantizer would be swapped for a
-    * trained hierarchical one (only the centroid frame changes).
-    */
   /** One cached cell assignment per (corpus plan, cell count) — the
     * shingle-registry pattern for the embedding side: `assigned` feeds
     * BOTH sides of the within-cell self-join plus the final keep
@@ -998,10 +987,37 @@ object Dedup {
   private val cellAssignments = scala.collection.mutable.Map
     .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame]
 
+  /** Memoized corpus sizes for the auto-sizing count — keyed like the
+    * other registries so repeated semdedup calls (and the cached
+    * assignment they hit) don't re-scan the table for a scalar the
+    * first call already paid for. First call per corpus is still
+    * eager (the model-as-literal pattern needs the number at plan
+    * time). */
+  private val vecCounts = scala.collection.mutable.Map
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]
+
+  /** `cells` ≤ 0 auto-sizes the quantizer to √(n/2) cells (one
+    * memoized driver-side count — the model-update pattern). The cell
+    * COUNT must grow with the corpus or the within-cell pair join is
+    * quadratic (measured: fixed 16 cells cost 2.5 s → 9.8 → 50.6 at
+    * 1×/10×/30× corpus), but cells ∝ n makes the brute-force
+    * ASSIGNMENT (n·cells cosines) quadratic instead; √n balances the
+    * two at O(n^1.5) each — the classic IVF sizing. The gate corpus
+    * (500 vecs) auto-sizes to exactly 16 = the oracle's literal.
+    * Near-identical vectors argmax to the same cell at any cell
+    * count, so recall for true near-dups survives the scaling; at
+    * real 100 TB scale the flat quantizer would be swapped for a
+    * trained hierarchical one (only the centroid frame changes).
+    */
   def semdedup(e: DataFrame, tau: Double = 0.4, cells: Int = -1): DataFrame = {
     val nCells =
       if (cells > 0) cells.toLong
-      else math.max(16L, math.ceil(math.sqrt(e.count() / 2.0)).toLong)
+      else {
+        val n = synchronized {
+          vecCounts.getOrElseUpdate(e.queryExecution.analyzed.canonicalized, e.count())
+        }
+        math.max(16L, math.ceil(math.sqrt(n / 2.0)).toLong)
+      }
     // argmax as an aggregation (not a window): the struct-max combines
     // map-side, so the exchange carries one row per vector; csim ties
     // resolve to the lowest cid via -cid, matching the oracle's

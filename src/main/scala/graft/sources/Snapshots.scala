@@ -171,11 +171,17 @@ object Snapshots {
     val postOpt = readFiles(b -- a)
     // schema from the DIFF reads (a full-version read would touch the
     // whole live set and break the changed-files-only cost property);
-    // both diffs empty = no changes, where one footer from either
-    // version suffices to type the empty result. An empty toV (a
-    // delete-all commit) types from the fromV side — all deletes.
+    // both diffs empty = no changes, where ONE footer suffices to type
+    // the empty result — from either endpoint, else from any retained
+    // version (two consecutive delete-all commits must still type the
+    // key as bigint, not a guessed string, or a caller unioning feed
+    // batches hits a type mismatch only on the empty window). An empty
+    // toV (a delete-all commit) types from the fromV side.
     val schema = postOpt.orElse(preOpt).map(_.schema)
       .orElse((b ++ a).headOption.map(f => spark.read.parquet(f).schema))
+      .orElse((currentVersion(path) to 0 by -1).view
+        .flatMap(v => liveFiles(path, v).headOption).headOption
+        .map(f => spark.read.parquet(f).schema))
       .getOrElse(new org.apache.spark.sql.types.StructType()
         .add(keyCol, org.apache.spark.sql.types.StringType))
     val empty = spark.createDataFrame(
