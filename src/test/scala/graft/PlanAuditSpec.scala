@@ -64,6 +64,21 @@ class PlanAuditSpec extends GraftSuite {
     }
   }
 
+  test("span family: the per-hash window consumes a pre-aggregation, not raw rows") {
+    // the corpus-wide occurrence count must ride the (doc, h) pre-agg
+    // (map-side combine; window partitions bounded by DOCS containing
+    // h) — a window straight over the exploded occurrence rows buffers
+    // a hot boilerplate hash whole in one WindowExec group
+    Seq("q_dup_spans", "q_span_clean").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      val afterWindow = plan.substring(plan.indexOf("Window"))
+      val agg = afterWindow.indexOf("Aggregate")
+      val gen = afterWindow.indexOf("Generate")
+      assert(agg >= 0 && gen > agg,
+        s"$name: window sits on raw exploded rows — the (doc,h) pre-agg is gone")
+    }
+  }
+
   test("whole-stage codegen covers the flagship aggregation") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect() // finalize the adaptive plan
