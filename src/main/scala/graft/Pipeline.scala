@@ -8,8 +8,8 @@ import graft.operators.{Decontam, Dedup, TextAnalysis}
 /** End-to-end training-data pipeline (SURVEY.md §7): the shipped
   * operators composed into the flow a pretraining corpus actually
   * runs — profile → quality filter → PII redaction → near-dup removal
-  * → deterministic split → decontamination → partitioned/sorted layout
-  * sink. One driver program; every stage is one of the §2 operators,
+  * → repeated-span removal → deterministic split → decontamination →
+  * partitioned/sorted layout sink. One driver program; every stage is one of the §2 operators,
   * so the whole pipeline inherits their plan properties (pushdown,
   * partial agg, inverted-index dedup, content-addressed split,
   * broadcast decontam semi-join, bounded file sizes).
@@ -23,6 +23,7 @@ object Pipeline {
       input: Long,
       qualityKept: Long,
       dedupKept: Long,
+      spanTokensRemoved: Long,
       decontamKept: Long,
       train: Long,
       holdout: Long)
@@ -56,8 +57,25 @@ object Pipeline {
     val deduped = kept.join(drop, Seq("doc_id"), "left_anti")
     val dedupKept = deduped.count()
 
+    // 3b. repeated-span removal (D15): doc-level dedup keeps ONE copy
+    // of a near-dup page, but a boilerplate block pasted into
+    // otherwise-unique survivors is still duplicated text — cut every
+    // 8-token window that occurs more than once across the deduped
+    // corpus, keep the reassembled survivors. Runs after doc dedup
+    // (removing whole dups first means shared spans between a page and
+    // its own near-copy don't count), before the split (span removal
+    // changes content, and the split must hash FINAL content).
+    val spanned = deduped.drop("text", "n_chars")
+      .join(Dedup.spanCleanedText(deduped.select("doc_id", "text")), "doc_id")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .cache()
+    val spanTokensRemoved = spanned.agg(sum("n_removed")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+
     // 4. content-addressed split (F6)
-    val labeled = deduped
+    val labeled = spanned.drop("n_tokens", "n_removed")
       .selectExpr(
         "doc_id", "text", "lang", "source", "n_chars",
         s"CASE WHEN ${TextAnalysis.bucketExpr} < 216 THEN 'train' ELSE 'holdout' END AS split")
@@ -83,9 +101,10 @@ object Pipeline {
     val counts = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     kept.unpersist()
+    spanned.unpersist()
     labeled.unpersist()
     Dedup.unpersistShingleIndexes()
-    StageCounts(input, qualityKept, dedupKept, decontamKept,
+    StageCounts(input, qualityKept, dedupKept, spanTokensRemoved, decontamKept,
       counts.getOrElse("train", 0L), counts.getOrElse("holdout", 0L))
   }
 
@@ -104,7 +123,8 @@ object Pipeline {
     val c = run(spark, sfDir, outDir)
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"metric":"pipeline","input":${c.input},"quality_kept":${c.qualityKept},""" +
-      s""""dedup_kept":${c.dedupKept},"decontam_kept":${c.decontamKept},""" +
+      s""""dedup_kept":${c.dedupKept},"span_tokens_removed":${c.spanTokensRemoved},""" +
+      s""""decontam_kept":${c.decontamKept},""" +
       s""""train":${c.train},"holdout":${c.holdout},""" +
       s""""sec":$sec,"out":"$outDir"}""")
     spark.stop()

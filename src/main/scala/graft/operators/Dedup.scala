@@ -509,7 +509,20 @@ object Dedup {
   def qSpanClean(s: SparkSession, d: String, k: Int = 8): DataFrame =
     spanClean(Tables.documents(s, d), k)
 
-  def spanClean(docs: DataFrame, k: Int = 8): DataFrame = {
+  def spanClean(docs: DataFrame, k: Int = 8): DataFrame =
+    spanCleanBase(docs, k)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(coalesce(col("ct"), lit(""))).as("clean_md5"))
+
+  /** The cleaning stage for pipeline composition: same plan, but the
+    * cleaned TEXT rides out instead of its fingerprint (docs whose
+    * every token was covered come back empty, not absent). */
+  def spanCleanedText(docs: DataFrame, k: Int = 8): DataFrame =
+    spanCleanBase(docs, k)
+      .select(col("doc_id"), coalesce(col("ct"), lit("")).as("text"),
+        col("n_tokens"), col("n_removed"))
+
+  private def spanCleanBase(docs: DataFrame, k: Int): DataFrame = {
     val ww = org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), tokenArray.as("w"))
     val pos = toks
@@ -541,7 +554,7 @@ object Dedup {
       .join(cleaned, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        md5(coalesce(col("ct"), lit(""))).as("clean_md5"))
+        col("ct"))
   }
 
   val qSpanCleanSql: String = {
