@@ -24,13 +24,21 @@ object Pipeline {
       qualityKept: Long,
       dedupKept: Long,
       spanTokensRemoved: Long,
+      spanKept: Long,
       decontamKept: Long,
       train: Long,
       holdout: Long)
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
+      tau: Double = 0.5): StageCounts =
+    runOn(spark, Tables.documents(spark, sfDir), outDir, tau)
+
+  /** DataFrame-based form so a pipeline (or a spec) can run any
+    * (doc_id, text, lang, source, n_chars) corpus, not just the
+    * warehouse table. */
+  private[graft] def runOn(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame, outDir: String,
       tau: Double = 0.5): StageCounts = {
-    val docs = Tables.documents(spark, sfDir)
     val input = docs.count()
 
     // 1. quality filter (F2) then 2. PII redaction (F5) — redaction
@@ -54,37 +62,70 @@ object Pipeline {
     // on the redacted corpus, greedy keep-lowest-id, anti join back
     val drop = Dedup.jaccardPairs(kept.select("doc_id", "text"), tau)
       .select(col("doc_b").as("doc_id")).distinct()
-    val deduped = kept.join(drop, Seq("doc_id"), "left_anti")
+    // cached: the span stage below reads this relation three times
+    // (shingle/window builds + the text join-back), and its plan
+    // carries the expensive near-dup anti join
+    val deduped = kept.join(drop, Seq("doc_id"), "left_anti").cache()
     val dedupKept = deduped.count()
 
     // 3b. repeated-span removal (D15): doc-level dedup keeps ONE copy
     // of a near-dup page, but a boilerplate block pasted into
     // otherwise-unique survivors is still duplicated text — cut every
     // 8-token window that occurs more than once across the deduped
-    // corpus, keep the reassembled survivors. Runs after doc dedup
-    // (removing whole dups first means shared spans between a page and
-    // its own near-copy don't count), before the split (span removal
-    // changes content, and the split must hash FINAL content).
-    val spanned = deduped.drop("text", "n_chars")
-      .join(Dedup.spanCleanedText(deduped.select("doc_id", "text")), "doc_id")
-      .withColumn("n_chars", length(col("text")).cast("long"))
+    // corpus. Runs after doc dedup (removing whole dups first means
+    // shared spans between a page and its own near-copy don't count)
+    // and before decontamination, which must compare FINAL content.
+    val cleaned = Dedup.spanCleanedText(deduped.select("doc_id", "text"))
+      .withColumnRenamed("text", "__clean")
+    val spannedAll = deduped
+      .join(cleaned, "doc_id")
+      // untouched docs keep their ORIGINAL text: reassembly is \s+
+      // retokenization + single-space joining, which would flatten
+      // newline/paragraph structure corpus-wide for zero benefit
+      .withColumn("text",
+        when(col("n_removed") === 0L, col("text")).otherwise(col("__clean")))
+      .drop("__clean", "n_tokens")
       .cache()
-    val spanTokensRemoved = spanned.agg(sum("n_removed")).head() match {
+    // measured BEFORE the empty-shell filter: tokens cut from a doc
+    // that vanishes entirely are still tokens cut
+    val spanTokensRemoved = spannedAll.agg(sum("n_removed")).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
+    // a doc can be cut to nothing (all its content duplicated
+    // elsewhere while every pairwise overlap stays below tau) — drop
+    // the empty shells instead of shipping zero-content rows
+    val spanned0 = spannedAll
+      .filter(length(col("text")) > 0)
+      .withColumn("n_chars", length(col("text")).cast("long"))
 
-    // 4. content-addressed split (F6)
-    val labeled = spanned.drop("n_tokens", "n_removed")
+    // 3c. span cutting can CREATE near-dup pairs: removing a block
+    // doc A shares with some THIRD doc shrinks A's unique mass
+    // against B, which can push J(A,B) over tau. One more near-dup
+    // drop on the cleaned text restores the zero-residual property —
+    // and it terminates: dropping docs can only ever LOWER the
+    // similarity of the survivors, so no third pass is needed.
+    val drop2 = Dedup.jaccardPairs(spanned0.select("doc_id", "text"), tau)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val spanned = spanned0.join(drop2, Seq("doc_id"), "left_anti")
+    val spanKept = spanned.count()
+
+    // 4. content-addressed split (F6) — bucket = md5(doc_id), so split
+    // membership is stable regardless of how stages rewrite content
+    val labeled = spanned.drop("n_removed")
       .selectExpr(
         "doc_id", "text", "lang", "source", "n_chars",
         s"CASE WHEN ${TextAnalysis.bucketExpr} < 216 THEN 'train' ELSE 'holdout' END AS split")
       .cache()
 
     // 5. decontamination (F15): any TRAIN doc still sharing an 8-gram
-    // with the holdout split leaks eval content — drop it. Runs after
-    // dedup (near-dup removal already thinned the overlap) and only
-    // ever removes train rows, so the holdout side stays intact.
+    // with the holdout split leaks eval content — drop it. Honest
+    // overlap note: the span stage already cut every corpus-internal
+    // duplicated 8-gram from BOTH sides, so against this INTERNAL
+    // holdout the stage mostly catches grams newly created at
+    // reassembly seams — it earns its keep as defense-in-depth here
+    // and does the real work when pointed at an EXTERNAL eval set the
+    // span stage never saw (the production decontam shape).
     val trainSide = labeled.filter(col("split") === "train")
     val holdSide = labeled.filter(col("split") === "holdout")
     val leakIds = Decontam.contaminatedIds(
@@ -101,11 +142,12 @@ object Pipeline {
     val counts = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     kept.unpersist()
-    spanned.unpersist()
+    deduped.unpersist()
+    spannedAll.unpersist()
     labeled.unpersist()
     Dedup.unpersistShingleIndexes()
-    StageCounts(input, qualityKept, dedupKept, spanTokensRemoved, decontamKept,
-      counts.getOrElse("train", 0L), counts.getOrElse("holdout", 0L))
+    StageCounts(input, qualityKept, dedupKept, spanTokensRemoved, spanKept,
+      decontamKept, counts.getOrElse("train", 0L), counts.getOrElse("holdout", 0L))
   }
 
   def main(args: Array[String]): Unit = {
@@ -124,6 +166,7 @@ object Pipeline {
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"metric":"pipeline","input":${c.input},"quality_kept":${c.qualityKept},""" +
       s""""dedup_kept":${c.dedupKept},"span_tokens_removed":${c.spanTokensRemoved},""" +
+      s""""span_kept":${c.spanKept},""" +
       s""""decontam_kept":${c.decontamKept},""" +
       s""""train":${c.train},"holdout":${c.holdout},""" +
       s""""sec":$sec,"out":"$outDir"}""")
