@@ -75,4 +75,54 @@ object Merge {
     MergeStats(filesTotal, touched.length.toLong, rowsBefore, rowsAfter,
       rowsUpdated, rowsAfter - rowsBefore)
   }
+
+  case class DeleteStats(
+      filesTotal: Long,
+      filesRewritten: Long,
+      rowsBefore: Long,
+      rowsAfter: Long,
+      rowsDeleted: Long)
+
+  /** A21 — copy-on-write DELETE (the Delta/Iceberg `DELETE FROM`
+    * write path): rows matching `predicate` are removed by rewriting
+    * ONLY the files that contain one. File discovery is a single
+    * pushdown-pruned probe — the predicate reaches the parquet reader
+    * and only `input_file_name` comes back — so on a layout clustered
+    * by the predicate column (A13/A14) the probe skips most files via
+    * row-group stats and the rewrite touches a tiny fraction of a
+    * 100 TB table; every other file stays physically untouched.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): DeleteStats = {
+    val target = spark.read.parquet(path)
+    val rowsBefore = target.count()
+    val filesTotal = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      try s.filter(_.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val touched = target.filter(predicate)
+      .select(input_file_name().as("file")).distinct()
+      .collect().map(_.getString(0))
+    if (touched.isEmpty)
+      return DeleteStats(filesTotal, 0L, rowsBefore, rowsBefore, 0L)
+
+    val keptRows = spark.read.parquet(touched.toIndexedSeq: _*).filter(!predicate)
+    val stage = java.nio.file.Files.createTempDirectory("graft_delete").toString
+    keptRows.write.mode(SaveMode.Overwrite).parquet(stage)
+    touched.foreach { f =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        f.stripPrefix("file://").stripPrefix("file:")))
+    }
+    val dst = java.nio.file.Paths.get(path)
+    val staged = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+    try staged.forEach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".parquet"))
+        java.nio.file.Files.move(p, dst.resolve(s"delete_$name"))
+    } finally staged.close()
+    val rowsAfter = spark.read.parquet(path).count()
+    DeleteStats(filesTotal, touched.length.toLong, rowsBefore, rowsAfter,
+      rowsBefore - rowsAfter)
+  }
 }

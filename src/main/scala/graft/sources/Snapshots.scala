@@ -149,6 +149,39 @@ object Snapshots {
     commit(path, newLive)
   }
 
+  /** Versioned DELETE: rows matching `predicate` are removed from the
+    * LIVE set by rewriting only the live files that contain one — the
+    * A21 copy-on-write delete through the A18 log, so every prior
+    * version stays readable (deleted rows remain time-travelable
+    * until `vacuum`) and the delete lands as a new committed version
+    * whose [[changesBetween]] feed reports exactly the removed keys.
+    * Returns the new version.
+    */
+  def deleteVersioned(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val live = liveFiles(path, v)
+    val target = spark.read.parquet(live: _*)
+    val touched = target.filter(predicate)
+      .withColumn("file", input_file_name())
+      .select("file").distinct().collect().map(r => canonical(r.getString(0)))
+    if (touched.isEmpty) return commit(path, live) // no-op version
+    val keptRows = spark.read.parquet(touched.toIndexedSeq: _*).filter(!predicate)
+    val stage = Files.createTempDirectory("graft_snap_del").toString
+    keptRows.write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    val staged = listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    val touchedSet = touched.toSet
+    commit(path, live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged)
+  }
+
   /** A20 — change feed between two committed versions (the Delta CDF
     * pattern): per-key inserts, updates, and deletes from `fromV` to
     * `toV`. Reads ONLY the manifest diff — files live in exactly one

@@ -82,6 +82,42 @@ class MergeSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("deleteWhere: predicate rows gone, file-pruned rewrite, untouched files intact") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_spec")
+      .toString + "/t"
+    Sources.writeZOrdered(orders, dir, "o_orderkey", "o_orderkey", numFiles = 16)
+    val before = spark.read.parquet(dir).select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    val filesBefore = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+
+    // delete a narrow contiguous key band: on the key-clustered layout
+    // only the files covering it are rewritten
+    val keys = before.toSeq.sorted
+    val (lo, hi) = (keys(keys.length / 4), keys(keys.length / 4 + keys.length / 20))
+    val stats = Merge.deleteWhere(spark, dir,
+      col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+
+    val expectGone = before.filter(k => k >= lo && k <= hi)
+    val got = spark.read.parquet(dir).select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == before -- expectGone)
+    assert(stats.rowsDeleted == expectGone.size && stats.rowsDeleted > 0)
+    assert(stats.filesTotal == 16 && stats.filesRewritten < 8, stats.toString)
+    val filesAfter = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val survivors = filesBefore.keySet.intersect(filesAfter.keySet)
+    assert(survivors.size == 16 - stats.filesRewritten)
+    survivors.foreach(f => assert(filesBefore(f) == filesAfter(f), s"$f rewritten"))
+
+    // a no-match predicate is a physical no-op
+    val noop = Merge.deleteWhere(spark, dir, col("o_orderkey") === -1L)
+    assert(noop.filesRewritten == 0 && noop.rowsDeleted == 0)
+  }
+
   test("mergeInto with only-new keys touches zero files") {
     import spark.implicits._
     val orders = Tables.orders(spark, sf)

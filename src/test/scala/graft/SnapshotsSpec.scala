@@ -203,6 +203,22 @@ class SnapshotsSpec extends GraftSuite {
     assert(chAll.length == Snapshots.read(spark, dir, 2).count())
   }
 
+  test("deleteVersioned: time-travelable delete whose change feed is exactly the removed keys") {
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    val v1 = Snapshots.deleteVersioned(spark, dir, col("k") <= 10L)
+    assert(v1 == 1)
+    // prior version keeps the deleted rows readable; new version lost
+    // exactly the predicate band
+    assert(Snapshots.read(spark, dir, 0).count() == 100)
+    val after = Snapshots.read(spark, dir, 1).select("k").collect().map(_.getLong(0)).toSet
+    assert(after == (11L to 100L).toSet)
+    // the change feed reports precisely the deleted keys
+    val ch = Snapshots.changesBetween(spark, dir, 0, 1, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ch == (1L to 10L).map(_ -> "delete").toMap, s"feed: $ch")
+  }
+
   test("log protocol refuses ill-defined operations instead of corrupting state") {
     val dir = freshTable()
     Snapshots.init(spark, dir)
