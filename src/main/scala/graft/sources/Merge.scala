@@ -54,22 +54,15 @@ object Merge {
       .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_semi").count()
     val rewritten = kept.unionByName(updates.select(oldTouched.columns.toIndexedSeq.map(col): _*))
 
-    // stage the replacement files, then swap: delete only the touched
-    // files, move the staged ones in (the non-transactional analog of
-    // a table-format commit)
+    // stage the replacement files, MOVE them into the table dir, and
+    // only then delete the superseded originals (the retain-then-commit
+    // order deleteVersioned uses): a crash inside the swap window then
+    // leaves duplicate rows — recoverable by re-running the merge —
+    // instead of permanently losing the kept rows, which is what
+    // delete-first would do if any later step threw.
     val stage = java.nio.file.Files.createTempDirectory("graft_merge").toString
     rewritten.write.mode(SaveMode.Overwrite).parquet(stage)
-    touched.foreach { f =>
-      java.nio.file.Files.delete(java.nio.file.Paths.get(
-        f.stripPrefix("file://").stripPrefix("file:")))
-    }
-    val dst = java.nio.file.Paths.get(path)
-    val staged = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-    try staged.forEach { p =>
-      val name = p.getFileName.toString
-      if (name.endsWith(".parquet"))
-        java.nio.file.Files.move(p, dst.resolve(s"merge_$name"))
-    } finally staged.close()
+    moveStagedThenDelete(stage, path, "merge", touched)
     val after = spark.read.parquet(path)
     val rowsAfter = after.count()
     MergeStats(filesTotal, touched.length.toLong, rowsBefore, rowsAfter,
@@ -107,22 +100,40 @@ object Merge {
     if (touched.isEmpty)
       return DeleteStats(filesTotal, 0L, rowsBefore, rowsBefore, 0L)
 
-    val keptRows = spark.read.parquet(touched.toIndexedSeq: _*).filter(!predicate)
+    // keep = NOT(pred) with SQL DELETE's null semantics: a NULL
+    // predicate deletes nothing, but NOT(null) is null and filter drops
+    // it — so without the coalesce, null-predicate rows survive in
+    // untouched files yet vanish from any file that had a TRUE match.
+    val keptRows = spark.read.parquet(touched.toIndexedSeq: _*)
+      .filter(!coalesce(predicate, lit(false)))
     val stage = java.nio.file.Files.createTempDirectory("graft_delete").toString
     keptRows.write.mode(SaveMode.Overwrite).parquet(stage)
-    touched.foreach { f =>
-      java.nio.file.Files.delete(java.nio.file.Paths.get(
-        f.stripPrefix("file://").stripPrefix("file:")))
-    }
+    moveStagedThenDelete(stage, path, "delete", touched)
+    val rowsAfter = spark.read.parquet(path).count()
+    DeleteStats(filesTotal, touched.length.toLong, rowsBefore, rowsAfter,
+      rowsBefore - rowsAfter)
+  }
+
+  /** Swap staged replacement files into the table directory BEFORE
+    * deleting the superseded originals. The originals come back from
+    * `input_file_name()` as %-encoded `file:` URIs (a path with a
+    * space arrives as `%20`); routing them through
+    * [[Snapshots.canonical]] decodes to a real filesystem path — the
+    * raw-stripPrefix form made `Files.delete` throw on such paths,
+    * mid-sequence, exactly inside the unrecoverable window.
+    */
+  private def moveStagedThenDelete(
+      stage: String, path: String, prefix: String,
+      originals: Array[String]): Unit = {
     val dst = java.nio.file.Paths.get(path)
     val staged = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
     try staged.forEach { p =>
       val name = p.getFileName.toString
       if (name.endsWith(".parquet"))
-        java.nio.file.Files.move(p, dst.resolve(s"delete_$name"))
+        java.nio.file.Files.move(p, dst.resolve(s"${prefix}_$name"))
     } finally staged.close()
-    val rowsAfter = spark.read.parquet(path).count()
-    DeleteStats(filesTotal, touched.length.toLong, rowsBefore, rowsAfter,
-      rowsBefore - rowsAfter)
+    originals.foreach { f =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(Snapshots.canonical(f)))
+    }
   }
 }

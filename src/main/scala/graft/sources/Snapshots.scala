@@ -167,7 +167,11 @@ object Snapshots {
       .withColumn("file", input_file_name())
       .select("file").distinct().collect().map(r => canonical(r.getString(0)))
     if (touched.isEmpty) return commit(path, live) // no-op version
-    val keptRows = spark.read.parquet(touched.toIndexedSeq: _*).filter(!predicate)
+    // SQL DELETE null semantics: NULL predicate keeps the row, but a
+    // bare filter(!pred) drops it (NOT(null) is null) — coalesce so
+    // null-predicate rows survive the copy-on-write rewrite.
+    val keptRows = spark.read.parquet(touched.toIndexedSeq: _*)
+      .filter(!coalesce(predicate, lit(false)))
     val stage = Files.createTempDirectory("graft_snap_del").toString
     keptRows.write.mode(SaveMode.Overwrite).parquet(stage)
     val dst = Paths.get(path)

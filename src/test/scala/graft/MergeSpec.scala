@@ -118,6 +118,34 @@ class MergeSpec extends GraftSuite {
     assert(noop.filesRewritten == 0 && noop.rowsDeleted == 0)
   }
 
+  test("delete keeps NULL-predicate rows even in files holding a TRUE match") {
+    import spark.implicits._
+    // One file only, so every null-comment row shares a file with a
+    // TRUE-match row — the layout where filter(!pred) used to silently
+    // delete them (NOT(null) is null). SQL DELETE keeps them.
+    val rows = Seq(
+      (1L, Some("drop me")), (2L, Some("keep")),
+      (3L, None: Option[String]), (4L, None: Option[String]))
+      .toDF("k", "comment")
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_null")
+      .toString + "/t"
+    rows.repartition(1).write.parquet(dir)
+    val stats = Merge.deleteWhere(spark, dir, col("comment") === "drop me")
+    assert(stats.rowsDeleted == 1L, stats.toString)
+    assert(spark.read.parquet(dir).select("k").as[Long].collect().toSet ==
+      Set(2L, 3L, 4L))
+
+    // same semantics through the versioned log
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_del_null_v")
+      .toString + "/t"
+    rows.repartition(1).write.parquet(dir2)
+    graft.sources.Snapshots.init(spark, dir2)
+    val v1 = graft.sources.Snapshots.deleteVersioned(spark, dir2,
+      col("comment") === "drop me")
+    assert(graft.sources.Snapshots.read(spark, dir2, v1)
+      .select("k").as[Long].collect().toSet == Set(2L, 3L, 4L))
+  }
+
   test("mergeInto with only-new keys touches zero files") {
     import spark.implicits._
     val orders = Tables.orders(spark, sf)
