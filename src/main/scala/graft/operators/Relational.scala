@@ -236,16 +236,65 @@ object Relational {
       |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
-  // B12 — exact percentiles (continuous interpolation, same as DuckDB's
-  // quantile_cont). At 100 TB prefer approx_percentile; exact kept for
-  // oracle parity.
-  def qPercentile(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  /** Exact per-group continuous quantiles (quantile_cont semantics) on
+    * the B29 global-rank layout instead of Spark's `percentile()`.
+    * `percentile()` is an ObjectHashAggregate whose buffer holds EVERY
+    * value in the group — with a handful of groups each final task
+    * buffers a group's whole column, an executor-OOM at 100 TB. Here
+    * the column is range-partitioned on (group, value) and ranked in
+    * parallel (globalRank); each group's rank interval is known from a
+    * |groups|-row aggregate, so the p-quantile is an INTEGER rank
+    * selection: rank == start + floor((n-1)p) and its ceil neighbor,
+    * joined against a broadcast |groups|×|quantiles| bounds table, with
+    * linear interpolation over the ≤2 surviving rows per (group, p).
+    * No task ever buffers more than its partition slice of the sort —
+    * the same spill-safe shape as TeraSort — and the heavy stages are
+    * one range exchange + one hash aggregate.
+    */
+  def rankQuantiles(df: DataFrame, group: String, value: String,
+      quantiles: Seq[(String, Double)], numParts: Int = 32): DataFrame = {
+    val ranked = Analytics.globalRank(
+      df.select(col(group), col(value)), numParts,
+      col(group).asc, col(value).asc)
+    val stats = ranked.groupBy(group)
+      .agg(min("global_rank").as("__start"), count(lit(1)).as("__n"))
+    // |groups| × |quantiles| rows: integer rank bounds + interpolation
+    // fraction, computed once and broadcast
+    val bounds = quantiles.map { case (name, p) =>
+      val h = (col("__n") - 1) * lit(p)
+      stats.select(col(group).as("__g"), lit(name).as("__q"),
+        (col("__start") + floor(h)).as("__lo"),
+        (col("__start") + ceil(h)).as("__hi"),
+        (h - floor(h)).as("__frac"))
+    }.reduce(_.unionByName(_))
+    ranked.join(broadcast(bounds),
+        col(group) === col("__g") &&
+          (col("global_rank") === col("__lo") ||
+            col("global_rank") === col("__hi")))
+      .groupBy(col(group), col("__q"), col("__frac"))
+      .agg(
+        max(when(col("global_rank") === col("__lo"), col(value))).as("__vlo"),
+        max(when(col("global_rank") === col("__hi"), col(value))).as("__vhi"))
+      .select(col(group), col("__q"),
+        (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo"))).as("__v"))
+  }
+
+  // B12 — exact percentiles via rank selection (scale-safe; matches
+  // DuckDB's quantile_cont bit-for-bit at 4-decimal rounding: both
+  // engines compute h=(n-1)p in double and interpolate lo+frac·(hi−lo)).
+  def qPercentile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val price = rankQuantiles(li, "l_returnflag", "l_extendedprice",
+      Seq("p50_price" -> 0.5, "p95_price" -> 0.95))
+    val qty = rankQuantiles(li, "l_returnflag", "l_quantity",
+      Seq("p50_qty" -> 0.5))
+    price.unionByName(qty)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+        round(max(when(col("__q") === "p50_price", col("__v"))), 4).as("p50_price"),
+        round(max(when(col("__q") === "p95_price", col("__v"))), 4).as("p95_price"),
+        round(max(when(col("__q") === "p50_qty", col("__v"))), 4).as("p50_qty"))
+  }
 
   val qPercentileSql: String =
     """SELECT l_returnflag,

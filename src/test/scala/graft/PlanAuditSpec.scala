@@ -79,6 +79,19 @@ class PlanAuditSpec extends GraftSuite {
     }
   }
 
+  test("q_percentile keeps no full-column aggregation buffer") {
+    // B12 must stay on the global-rank layout: Spark's percentile()
+    // plans an ObjectHashAggregate whose buffer accumulates every value
+    // in the group — a per-task OOM at 100 TB with few groups. The
+    // rank-selection plan has no percentile() call and no
+    // ObjectHashAggregate anywhere.
+    val plan = SparkEntry.queries("q_percentile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("), "percentile() buffer is back")
+    assert(!plan.contains("ObjectHashAggregate"),
+      "q_percentile plans an object-buffer aggregate")
+  }
+
   test("whole-stage codegen covers the flagship aggregation") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect() // finalize the adaptive plan
