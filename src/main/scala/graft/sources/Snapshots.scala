@@ -186,6 +186,45 @@ object Snapshots {
     commit(path, live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged)
   }
 
+  /** A22 — OPTIMIZE: a rewrite-only commit that bin-packs small live
+    * files up to `targetBytes` (the Delta/Iceberg compaction pattern).
+    * Streaming upserts (C25) commit a version per micro-batch; after
+    * thousands of batches the live set is thousands of tiny files and
+    * scan planning degrades. Compaction reads ONLY the live files
+    * smaller than the target, coalesces them — no shuffle: coalesce
+    * merges input partitions in place, so the job moves exactly the
+    * small-file bytes once — into ⌈Σsize/target⌉ packed files, and
+    * commits (live − smalls) + packed as a new version. Pure layout
+    * change: the live row multiset is untouched, so the A20 change
+    * feed across the compaction version is EMPTY, and every prior
+    * version stays time-travelable until vacuum.
+    * Returns the new version, or the current one if there is nothing
+    * worth packing (fewer than `minFiles` sub-target files).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20, minFiles: Int = 2): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val live = liveFiles(path, v)
+    val (small, big) = live.partition(f =>
+      Files.size(Paths.get(canonical(f))) < targetBytes)
+    val totalSmall = small.map(f => Files.size(Paths.get(canonical(f)))).sum
+    val bins = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
+    if (small.size < math.max(minFiles, bins + 1)) return v // already packed
+    val packed = spark.read.parquet(small: _*).coalesce(bins)
+    val stage = Files.createTempDirectory("graft_compact").toString
+    packed.write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    val staged = listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_compact_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    commit(path, big ++ staged)
+  }
+
   /** A20 — change feed between two committed versions (the Delta CDF
     * pattern): per-key inserts, updates, and deletes from `fromV` to
     * `toV`. Reads ONLY the manifest diff — files live in exactly one

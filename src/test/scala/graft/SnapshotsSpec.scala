@@ -219,6 +219,64 @@ class SnapshotsSpec extends GraftSuite {
     assert(ch == (1L to 10L).map(_ -> "delete").toMap, s"feed: $ch")
   }
 
+  test("compact: rewrite-only commit bin-packs small files, zero logical changes") {
+    import spark.implicits._
+    // 32 tiny files — the layout thousands of C25 micro-batch commits
+    // converge on
+    val dir = Files.createTempDirectory("graft_compact_spec").toString + "/t"
+    (1L to 2000L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+      .repartition(32).write.parquet(dir)
+    val v0 = Snapshots.init(spark, dir)
+    val before = Snapshots.read(spark, dir, v0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val nSmall = 32
+    val sizes = Files.list(Paths.get(dir)).iterator.asScala
+      .filter(_.toString.endsWith(".parquet")).map(Files.size).toSeq
+    assert(sizes.size == nSmall)
+
+    // target sized so the packed set must land on ⌈Σsize/target⌉ files
+    val total = sizes.sum
+    val target = total / 4 + 1
+    val expectBins = ((total + target - 1) / target).toInt
+    val v1 = Snapshots.compact(spark, dir, targetBytes = target)
+    assert(v1 == v0 + 1)
+
+    // (a) live rows bit-identical across the compaction version
+    val after = Snapshots.read(spark, dir, v1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(after == before)
+    // (b) file count reduced to the bin-packed minimum
+    val liveAfter = Files.readAllLines(
+      Paths.get(dir, "_graft_log", f"v$v1%06d.manifest")).asScala.filter(_.nonEmpty)
+    assert(liveAfter.size == expectBins, s"live=${liveAfter.size} want=$expectBins")
+    // (c) a pure-layout commit produces NO logical changes
+    assert(Snapshots.changesBetween(spark, dir, v0, v1, "k").count() == 0)
+    // (d) time travel to the pre-compaction version still exact
+    val pre = Snapshots.read(spark, dir, v0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(pre == before)
+
+    // repeated compaction converges: packed files compress below the
+    // pre-pack size estimate, so a second pass may pack further, but a
+    // fixed point is reached and then calls are version no-ops
+    val vFix = Iterator.iterate(v1)(v =>
+      Snapshots.compact(spark, dir, targetBytes = target))
+      .sliding(2).collectFirst { case Seq(a, b) if a == b => a }.get
+    assert(Snapshots.compact(spark, dir, targetBytes = target) == vFix)
+    assert(Snapshots.read(spark, dir, vFix).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq == before)
+
+    // files ≥ target are left alone: recompact with a tiny target
+    assert(Snapshots.compact(spark, dir, targetBytes = 1L) == vFix)
+
+    // vacuum reclaims the superseded small files; latest still exact
+    val reclaimed = Snapshots.vacuum(dir, keepFrom = vFix)
+    assert(reclaimed >= nSmall)
+    val postVac = Snapshots.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(postVac == before)
+  }
+
   test("log protocol refuses ill-defined operations instead of corrupting state") {
     val dir = freshTable()
     Snapshots.init(spark, dir)
