@@ -66,6 +66,26 @@ object Snapshots {
   private def liveFiles(path: String, v: Int): Seq[String] =
     Files.readAllLines(manifestPath(path, v)).asScala.toSeq.filter(_.nonEmpty)
 
+  /** Earliest version whose manifest is still retained (vacuum drops
+    * old manifests), i.e. the furthest back time travel reaches. */
+  private[graft] def earliestVersion(path: String): Int = {
+    val dir = logDir(path)
+    require(Files.isDirectory(dir), s"$path not initialized")
+    val vs = listDir(dir).map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toInt }
+    require(vs.nonEmpty, s"$path not initialized")
+    vs.min
+  }
+
+  /** A23 — open the change feed as an incremental stream: one batch
+    * per committed version, checkpoint-resumable. See
+    * [[graft.streaming.ChangeFeed]].
+    */
+  def readChangesStream(spark: SparkSession, path: String, keyCol: String,
+      checkpointDir: String): graft.streaming.ChangeFeed.Feed =
+    graft.streaming.ChangeFeed.open(spark, path, keyCol, checkpointDir)
+
   /** Single manifest write = the commit atom. Content lands fully in a
     * temp file first, which is then HARD-LINKED into place:
     * Files.createLink is content-atomic (a crash mid-write can never
@@ -237,6 +257,27 @@ object Snapshots {
     * equal payloads and are dropped by the null-safe compare.
     */
   def changesBetween(spark: SparkSession, path: String, fromV: Int, toV: Int,
+      keyCol: String): DataFrame =
+    changeFrame(spark, path, fromV, toV, keyCol)
+      .select(col("__k").as(keyCol), col("change_type"))
+
+  /** A20 change feed WITH post-image payload: every inserted/updated
+    * key carries its new non-key columns (null for deletes) — the form
+    * a downstream pipeline can apply as an upsert+delete, which the
+    * key-only feed cannot. Same manifest-diff cost as
+    * [[changesBetween]].
+    */
+  def changesWithPayload(spark: SparkSession, path: String, fromV: Int, toV: Int,
+      keyCol: String): DataFrame = {
+    val cf = changeFrame(spark, path, fromV, toV, keyCol)
+    val payload = cf.schema("__post").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toIndexedSeq
+    cf.select(col("__k").as(keyCol) +: col("change_type") +:
+      payload.map(c => col(s"__post.$c").as(c)): _*)
+  }
+
+  private def changeFrame(spark: SparkSession, path: String, fromV: Int, toV: Int,
       keyCol: String): DataFrame = {
     require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
     val a = liveFiles(path, fromV).toSet
@@ -276,7 +317,6 @@ object Snapshots {
           .when(!(col("__pre") <=> col("__post")), lit("update"))
           .otherwise(lit(null)))
       .filter(col("change_type").isNotNull)
-      .select(col("__k").as(keyCol), col("change_type"))
   }
 
   /** Reclaim space: delete data files referenced ONLY by versions

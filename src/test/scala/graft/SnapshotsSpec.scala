@@ -277,6 +277,64 @@ class SnapshotsSpec extends GraftSuite {
     assert(postVac == before)
   }
 
+  test("change-feed stream: bronze→silver chaining equals batch replay, restart-safe") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_feed_spec").toString
+    val bronze = base + "/bronze"
+    val silver = base + "/silver"
+    val ckpt = base + "/ckpt"
+    (1L to 100L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+      .repartitionByRange(4, col("k")).write.parquet(bronze)
+    Snapshots.init(spark, bronze)
+
+    def table(path: String): Map[Long, (String, Long)] =
+      Snapshots.read(spark, path).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+    // initial attach: silver bootstraps from the full snapshot
+    val feed = Snapshots.readChangesStream(spark, bronze, "k", ckpt)
+    assert(feed.mirrorAvailable(silver) == 1)
+    assert(table(silver) == table(bronze))
+
+    // upstream commits 3 versions: update+insert, delete, update
+    Snapshots.mergeVersioned(spark, bronze,
+      Seq((5L, "UP5", 1L), (200L, "NEW200", 1L)).toDF("k", "payload", "gen"), "k")
+    Snapshots.deleteVersioned(spark, bronze, col("k") === 7L || col("k") === 200L)
+    Snapshots.mergeVersioned(spark, bronze,
+      Seq((5L, "UP5b", 2L)).toDF("k", "payload", "gen"), "k")
+    assert(feed.mirrorAvailable(silver) == 3)
+    assert(table(silver) == table(bronze))
+    assert(!table(silver).contains(7L) && !table(silver).contains(200L))
+    assert(table(silver)(5L) == ("UP5b", 2L))
+
+    // nothing new → zero batches, zero downstream commits
+    val silverV = Snapshots.currentVersion(silver)
+    assert(feed.mirrorAvailable(silver) == 0)
+    assert(Snapshots.currentVersion(silver) == silverV)
+
+    // restart: a NEW consumer on the SAME checkpoint resumes — it must
+    // not re-deliver processed versions, and must pick up later ones
+    val feed2 = Snapshots.readChangesStream(spark, bronze, "k", ckpt)
+    assert(feed2.lastProcessed == Snapshots.currentVersion(bronze))
+    Snapshots.mergeVersioned(spark, bronze,
+      Seq((300L, "NEW300", 3L)).toDF("k", "payload", "gen"), "k")
+    assert(feed2.mirrorAvailable(silver) == 1)
+    assert(table(silver) == table(bronze))
+
+    // a pure-layout upstream commit flows through as an EMPTY batch:
+    // progress advances, downstream content untouched
+    Snapshots.compact(spark, bronze, targetBytes = 1L << 30)
+    val before = table(silver)
+    feed2.mirrorAvailable(silver)
+    assert(feed2.lastProcessed == Snapshots.currentVersion(bronze))
+    assert(table(silver) == before)
+
+    // silver equals a from-scratch batch replay of bronze's latest
+    val replay = Snapshots.read(spark, bronze).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(table(silver) == replay)
+  }
+
   test("log protocol refuses ill-defined operations instead of corrupting state") {
     val dir = freshTable()
     Snapshots.init(spark, dir)
