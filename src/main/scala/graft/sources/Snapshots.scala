@@ -63,8 +63,35 @@ object Snapshots {
     if (vs.isEmpty) -1 else vs.max
   }
 
+  // A19-on-write: a manifest may carry the version's table schema as a
+  // header line; data lines are the live files. Old manifests without a
+  // header stay readable (plain parquet inference).
+  private val SchemaHeader = "#schema="
+
   private def liveFiles(path: String, v: Int): Seq[String] =
-    Files.readAllLines(manifestPath(path, v)).asScala.toSeq.filter(_.nonEmpty)
+    Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** The table schema RECORDED at version `v` (None for pre-header
+    * manifests). This is what makes schema evolution on write work:
+    * after a widening commit, live files have MIXED physical schemas;
+    * reading them under the recorded schema null-fills the columns an
+    * old file predates, and time travel to a pre-widening version
+    * reads under THAT version's narrower schema — the column simply
+    * does not exist there yet. */
+  private[graft] def tableSchema(path: String, v: Int): Option[org.apache.spark.sql.types.StructType] =
+    Files.readAllLines(manifestPath(path, v)).asScala
+      .find(_.startsWith(SchemaHeader))
+      .map(l => org.apache.spark.sql.types.DataType.fromJson(
+        l.stripPrefix(SchemaHeader)).asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Read `files` under version `v`'s recorded schema when present. */
+  private def readUnder(spark: SparkSession, path: String, v: Int,
+      files: Seq[String]): DataFrame =
+    tableSchema(path, v) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None    => spark.read.parquet(files: _*)
+    }
 
   /** Earliest version whose manifest is still retained (vacuum drops
     * old manifests), i.e. the furthest back time travel reaches. */
@@ -97,13 +124,16 @@ object Snapshots {
     * here, since POSIX rename replaces). A real table format wraps the
     * same publish step in an object-store CAS.
     */
-  private[graft] def commit(path: String, files: Seq[String]): Int = {
+  private[graft] def commit(path: String, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     val v = currentVersion(path) + 1
     Files.createDirectories(logDir(path))
     val target = manifestPath(path, v)
     val tmp = Files.createTempFile(logDir(path), "commit", ".tmp")
     try {
-      Files.write(tmp, files.map(canonical).sorted.mkString("\n").getBytes("UTF-8"))
+      val lines = schema.map(s => SchemaHeader + s.json).toSeq ++
+        files.map(canonical).sorted
+      Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
       Files.createLink(target, tmp)
     } finally Files.deleteIfExists(tmp)
     v
@@ -114,16 +144,22 @@ object Snapshots {
     require(currentVersion(path) < 0, s"$path already versioned")
     val files = listDir(Paths.get(path))
       .map(_.toString).filter(_.endsWith(".parquet"))
-    commit(path, files)
+    val schema =
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*).schema)
+    commit(path, files, schema)
   }
 
-  /** Read a specific version (default: latest) from its manifest. */
+  /** Read a specific version (default: latest) from its manifest,
+    * under the schema recorded AT that version (older files null-fill
+    * columns a later widening added; pre-widening versions don't show
+    * the column at all). */
   def read(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion(path) else version
     require(Files.exists(manifestPath(path, v)), s"no version $v at $path")
     val files = liveFiles(path, v)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    else readUnder(spark, path, v, files)
   }
 
   /** Versioned upsert: A16's index-pruned copy-on-write, except the
@@ -135,7 +171,7 @@ object Snapshots {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     val live = liveFiles(path, v)
-    val target = spark.read.parquet(live: _*)
+    val target = readUnder(spark, path, v, live)
     // A15-style pruning over the LIVE set only: per-file key ranges
     val stats = target
       .withColumn("file", input_file_name())
@@ -149,10 +185,16 @@ object Snapshots {
       .map(canonical)
     val oldTouched =
       if (touched.isEmpty) target.limit(0)
-      else spark.read.parquet(touched.toIndexedSeq: _*)
+      else spark.read.schema(target.schema).parquet(touched.toIndexedSeq: _*)
     val kept = oldTouched
       .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_anti")
-    val rewritten = kept.unionByName(updates.select(oldTouched.columns.toIndexedSeq.map(col): _*))
+    // Schema evolution on write: a batch with NEW columns widens the
+    // table — kept rows null-fill the new columns, and the widened
+    // schema is recorded in the commit header so untouched old files
+    // null-fill on every later read. A batch MISSING table columns
+    // upserts whole rows with nulls there (full-row replace
+    // semantics, same as the unwidened path).
+    val rewritten = kept.unionByName(updates, allowMissingColumns = true)
 
     val stage = Files.createTempDirectory("graft_snap").toString
     rewritten.write.mode(SaveMode.Overwrite).parquet(stage)
@@ -166,7 +208,7 @@ object Snapshots {
       }
     val touchedSet = touched.toSet
     val newLive = live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged
-    commit(path, newLive)
+    commit(path, newLive, Some(rewritten.schema))
   }
 
   /** Versioned DELETE: rows matching `predicate` are removed from the
@@ -182,15 +224,17 @@ object Snapshots {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     val live = liveFiles(path, v)
-    val target = spark.read.parquet(live: _*)
+    val target = readUnder(spark, path, v, live)
     val touched = target.filter(predicate)
       .withColumn("file", input_file_name())
       .select("file").distinct().collect().map(r => canonical(r.getString(0)))
-    if (touched.isEmpty) return commit(path, live) // no-op version
+    if (touched.isEmpty) // no-op version, schema carried forward
+      return commit(path, live, tableSchema(path, v))
     // SQL DELETE null semantics: NULL predicate keeps the row, but a
     // bare filter(!pred) drops it (NOT(null) is null) — coalesce so
     // null-predicate rows survive the copy-on-write rewrite.
-    val keptRows = spark.read.parquet(touched.toIndexedSeq: _*)
+    val keptRows = spark.read.schema(target.schema)
+      .parquet(touched.toIndexedSeq: _*)
       .filter(!coalesce(predicate, lit(false)))
     val stage = Files.createTempDirectory("graft_snap_del").toString
     keptRows.write.mode(SaveMode.Overwrite).parquet(stage)
@@ -203,7 +247,8 @@ object Snapshots {
         dst.resolve(name).toString
       }
     val touchedSet = touched.toSet
-    commit(path, live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged)
+    commit(path, live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged,
+      tableSchema(path, v))
   }
 
   /** A22 — OPTIMIZE: a rewrite-only commit that bin-packs small live
@@ -231,7 +276,10 @@ object Snapshots {
     val totalSmall = small.map(f => Files.size(Paths.get(canonical(f)))).sum
     val bins = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
     if (small.size < math.max(minFiles, bins + 1)) return v // already packed
-    val packed = spark.read.parquet(small: _*).coalesce(bins)
+    // read under the recorded schema: after a widening commit the
+    // small set has MIXED physical schemas; packing must null-fill,
+    // not silently drop the widened column from pre-widening files
+    val packed = readUnder(spark, path, v, small).coalesce(bins)
     val stage = Files.createTempDirectory("graft_compact").toString
     packed.write.mode(SaveMode.Overwrite).parquet(stage)
     val dst = Paths.get(path)
@@ -242,7 +290,7 @@ object Snapshots {
         Files.move(p, dst.resolve(name))
         dst.resolve(name).toString
       }
-    commit(path, big ++ staged)
+    commit(path, big ++ staged, tableSchema(path, v))
   }
 
   /** A20 — change feed between two committed versions (the Delta CDF
@@ -282,8 +330,15 @@ object Snapshots {
     require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
     val a = liveFiles(path, fromV).toSet
     val b = liveFiles(path, toV).toSet
+    // compare under toV's recorded schema (fallback: fromV's): across
+    // a widening commit the pre side null-fills the new column, so a
+    // row whose only change is that column going null→value correctly
+    // reads as an update, and the feed's payload stays typed
+    val hint = tableSchema(path, toV).orElse(tableSchema(path, fromV))
     def readFiles(fs: Set[String]): Option[DataFrame] =
-      if (fs.isEmpty) None else Some(spark.read.parquet(fs.toSeq: _*))
+      if (fs.isEmpty) None
+      else Some(hint.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(fs.toSeq: _*))
     val preOpt = readFiles(a -- b)
     val postOpt = readFiles(b -- a)
     // schema from the DIFF reads (a full-version read would touch the
@@ -295,6 +350,7 @@ object Snapshots {
     // batches hits a type mismatch only on the empty window). An empty
     // toV (a delete-all commit) types from the fromV side.
     val schema = postOpt.orElse(preOpt).map(_.schema)
+      .orElse(hint)
       .orElse((b ++ a).headOption.map(f => spark.read.parquet(f).schema))
       .orElse((currentVersion(path) to 0 by -1).view
         .flatMap(v => liveFiles(path, v).headOption).headOption

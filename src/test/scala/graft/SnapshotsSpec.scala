@@ -247,7 +247,8 @@ class SnapshotsSpec extends GraftSuite {
     assert(after == before)
     // (b) file count reduced to the bin-packed minimum
     val liveAfter = Files.readAllLines(
-      Paths.get(dir, "_graft_log", f"v$v1%06d.manifest")).asScala.filter(_.nonEmpty)
+      Paths.get(dir, "_graft_log", f"v$v1%06d.manifest")).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
     assert(liveAfter.size == expectBins, s"live=${liveAfter.size} want=$expectBins")
     // (c) a pure-layout commit produces NO logical changes
     assert(Snapshots.changesBetween(spark, dir, v0, v1, "k").count() == 0)
@@ -333,6 +334,58 @@ class SnapshotsSpec extends GraftSuite {
     val replay = Snapshots.read(spark, bronze).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(table(silver) == replay)
+  }
+
+  test("schema evolution on write: widening merge, typed feed, exact time travel") {
+    import spark.implicits._
+    val dir = freshTable() // (k, payload, gen) × 100
+    Snapshots.init(spark, dir) // v0
+    assert(Snapshots.mergeVersioned(spark, dir,
+      Seq((5L, "UP5", 1L)).toDF("k", "payload", "gen"), "k") == 1)
+
+    // v2 WIDENS: the batch adds a double column. The commit must
+    // record the widened schema; untouched old files null-fill on read.
+    val wide = Seq((6L, "UP6", 2L, 9.5), (400L, "NEW400", 2L, 1.25))
+      .toDF("k", "payload", "gen", "score")
+    assert(Snapshots.mergeVersioned(spark, dir, wide, "k") == 2)
+    // v3: post-widening update carrying the new column
+    assert(Snapshots.mergeVersioned(spark, dir,
+      Seq((7L, "UP7", 3L, 2.5)).toDF("k", "payload", "gen", "score"), "k") == 3)
+
+    // pre-widening versions don't show the column at all
+    assert(Snapshots.read(spark, dir, 0).columns.toSeq == Seq("k", "payload", "gen"))
+    assert(Snapshots.read(spark, dir, 1).columns.toSeq == Seq("k", "payload", "gen"))
+    // ...and their content is exactly the pre-widening state
+    val v1 = Snapshots.read(spark, dir, 1).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(v1.size == 100 && v1(5L) == ("UP5", 1L) && !v1.contains(400L))
+
+    // post-widening: typed double column, nulls where no file had it
+    val v3df = Snapshots.read(spark, dir, 3)
+    assert(v3df.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val v3 = v3df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(v3.size == 101)
+    assert(v3(6L) == Some(9.5) && v3(400L) == Some(1.25) && v3(7L) == Some(2.5))
+    assert(v3(1L).isEmpty && v3(5L).isEmpty) // untouched + pre-widening update
+
+    // the change feed across the widening stays typed: key 6 is an
+    // update (null→9.5 on the new column), 400 an insert
+    val feed = Snapshots.changesWithPayload(spark, dir, 1, 2, "k")
+    assert(feed.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val ch = feed.collect().map(r => r.getLong(0) -> ((r.getString(1),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(ch(6L) == ("update", Some(9.5)) && ch(400L) == ("insert", Some(1.25)))
+
+    // compaction across mixed physical schemas keeps the widened
+    // column (null-fill, never silent drop)
+    val v4 = Snapshots.compact(spark, dir, targetBytes = 1L << 30)
+    assert(v4 == 4)
+    val v4m = Snapshots.read(spark, dir, v4).collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(v4m == v3)
   }
 
   test("log protocol refuses ill-defined operations instead of corrupting state") {
