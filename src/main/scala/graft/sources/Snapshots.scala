@@ -124,18 +124,32 @@ object Snapshots {
     * here, since POSIX rename replaces). A real table format wraps the
     * same publish step in an object-store CAS.
     */
-  private[graft] def commit(path: String, files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
-    val v = currentVersion(path) + 1
+  /** Commit at an EXPLICIT version id; returns false if another
+    * committer already owns it. The no-replace hard link is the CAS:
+    * losing is detected at the filesystem level, never by a TOCTOU
+    * check, so the caller can rebase and retry (OCC) instead of
+    * silently publishing a manifest built on a stale base. */
+  private[graft] def commitAt(path: String, v: Int, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): Boolean = {
     Files.createDirectories(logDir(path))
     val target = manifestPath(path, v)
+    if (Files.exists(target)) return false
     val tmp = Files.createTempFile(logDir(path), "commit", ".tmp")
     try {
       val lines = schema.map(s => SchemaHeader + s.json).toSeq ++
         files.map(canonical).sorted
       Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-      Files.createLink(target, tmp)
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
+  }
+
+  private[graft] def commit(path: String, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+    val v = currentVersion(path) + 1
+    if (!commitAt(path, v, files, schema))
+      throw new java.nio.file.FileAlreadyExistsException(
+        manifestPath(path, v).toString)
     v
   }
 
@@ -167,7 +181,17 @@ object Snapshots {
     * from disk. Returns the new version.
     */
   def mergeVersioned(spark: SparkSession, path: String,
-      updates: DataFrame, keyCol: String): Int = {
+      updates: DataFrame, keyCol: String): Int =
+    mergeVersionedOCC(spark, path, updates, keyCol, maxRetries = 5,
+      beforeCommit = () => ())
+
+  /** [[mergeVersioned]] with the OCC machinery exposed: `maxRetries`
+    * bounds the rebase loop, `beforeCommit` is a test seam that runs
+    * after staging and before the first commit attempt (where a
+    * concurrent winner lands deterministically in the spec). */
+  private[graft] def mergeVersionedOCC(spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String, maxRetries: Int,
+      beforeCommit: () => Unit): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     val live = liveFiles(path, v)
@@ -206,9 +230,59 @@ object Snapshots {
         Files.move(p, dst.resolve(name))
         dst.resolve(name).toString
       }
+    beforeCommit()
+
+    // OCC commit: try to land on the base we read; if a concurrent
+    // committer won that version, rebase onto the new head — sound iff
+    // (a) every file we rewrote is STILL live (the winner didn't
+    // rewrite it; our kept rows remain valid), and (b) none of our
+    // update keys appear in the files the winner added (no write-write
+    // key conflict — with (a), any key overlap must surface in the
+    // winner's new files, since a winner rewrite of a file covering
+    // our keys would have retired a file we touched). Disjoint keys +
+    // disjoint files commute, so the result equals either serial
+    // order. Bounded retries; a genuine conflict throws instead of
+    // silently losing the winner's update.
     val touchedSet = touched.toSet
-    val newLive = live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged
-    commit(path, newLive, Some(rewritten.schema))
+    var base = v
+    var baseLive = live
+    var attempt = 0
+    while (true) {
+      val newLive = baseLive.filterNot(f => touchedSet.contains(canonical(f))) ++ staged
+      val schema =
+        if (base == v) rewritten.schema
+        else tableSchema(path, base) match {
+          case Some(w) => org.apache.spark.sql.types.StructType(w.fields ++
+            rewritten.schema.fields.filterNot(f => w.fieldNames.contains(f.name)))
+          case None => rewritten.schema
+        }
+      if (commitAt(path, base + 1, newLive, Some(schema))) return base + 1
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.util.ConcurrentModificationException(
+          s"merge on $path lost $attempt commit races")
+      val w = currentVersion(path)
+      val liveW = liveFiles(path, w)
+      val liveWSet = liveW.map(canonical).toSet
+      if (!touched.forall(liveWSet.contains))
+        throw new java.util.ConcurrentModificationException(
+          s"merge on $path conflicts with version $w: a concurrent commit " +
+            "rewrote files this merge also rewrote")
+      val winnerNew = liveW.filterNot(f => liveFiles(path, base).map(canonical)
+        .toSet.contains(canonical(f)))
+      if (winnerNew.nonEmpty) {
+        val clash = !spark.read.parquet(winnerNew: _*).select(col(keyCol))
+          .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_semi")
+          .isEmpty
+        if (clash)
+          throw new java.util.ConcurrentModificationException(
+            s"merge on $path conflicts with version $w: a concurrent commit " +
+              "wrote keys this merge also writes")
+      }
+      base = w
+      baseLive = liveW
+    }
+    -1 // unreachable
   }
 
   /** Versioned DELETE: rows matching `predicate` are removed from the

@@ -388,6 +388,58 @@ class SnapshotsSpec extends GraftSuite {
     assert(v4m == v3)
   }
 
+  test("OCC: concurrent disjoint merges both land via rebase; key conflicts refuse") {
+    import spark.implicits._
+    val dir = freshTable() // keys 1-100 over 4 range-clustered files
+    Snapshots.init(spark, dir)
+    def table(): Map[Long, String] =
+      Snapshots.read(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // merge A stages from v0; before A's commit, a concurrent merge B
+    // lands v1 (the beforeCommit seam makes the race deterministic).
+    // A and B touch disjoint keys in disjoint files → A rebases to v2.
+    val a = Seq((5L, "A5", 1L), (500L, "A500", 1L)).toDF("k", "payload", "gen")
+    val b = Seq((80L, "B80", 1L), (600L, "B600", 1L)).toDF("k", "payload", "gen")
+    var bV = -1
+    val aV = Snapshots.mergeVersionedOCC(spark, dir, a, "k", maxRetries = 5,
+      beforeCommit = () => { bV = Snapshots.mergeVersioned(spark, dir, b, "k") })
+    assert(bV == 1 && aV == 2, s"bV=$bV aV=$aV")
+
+    // both commits landed; the table equals either serial order
+    val got = table()
+    assert(got.size == 102)
+    assert(got(5L) == "A5" && got(500L) == "A500")
+    assert(got(80L) == "B80" && got(600L) == "B600")
+    assert((1L to 100L).filterNot(k => k == 5L || k == 80L)
+      .forall(k => got(k) == s"v$k"))
+    // time travel: v1 holds B's changes only (A hadn't landed yet)
+    val v1 = Snapshots.read(spark, dir, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1(80L) == "B80" && v1(600L) == "B600" &&
+      v1(5L) == "v5" && !v1.contains(500L))
+
+    // a genuine write-write conflict (same key) REFUSES instead of
+    // silently losing the winner's update
+    val c = Seq((5L, "C5", 2L)).toDF("k", "payload", "gen")
+    val d = Seq((5L, "D5", 2L)).toDF("k", "payload", "gen")
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.mergeVersionedOCC(spark, dir, c, "k", maxRetries = 5,
+        beforeCommit = () => { Snapshots.mergeVersioned(spark, dir, d, "k") })
+    }
+    assert(table()(5L) == "D5") // the winner's commit is intact
+
+    // conflict on a freshly INSERTED key (lives only in the winner's
+    // new files, not in any file the loser touched) is also caught
+    val e = Seq((700L, "E700", 3L)).toDF("k", "payload", "gen")
+    val f = Seq((700L, "F700", 3L)).toDF("k", "payload", "gen")
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.mergeVersionedOCC(spark, dir, e, "k", maxRetries = 5,
+        beforeCommit = () => { Snapshots.mergeVersioned(spark, dir, f, "k") })
+    }
+    assert(table()(700L) == "F700")
+  }
+
   test("log protocol refuses ill-defined operations instead of corrupting state") {
     val dir = freshTable()
     Snapshots.init(spark, dir)
