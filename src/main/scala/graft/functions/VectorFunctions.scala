@@ -53,19 +53,23 @@ object VecOps {
     s
   }
 
-  /** djb2 (h = h*33 + c over code points, 64-bit wrap), the reference
-    * engine's reducer-routing hash — /root/reference/src/
-    * omp_count_words.cpp:291-303 (`Hash`, `unsigned long`, byte-wise;
-    * identical for the ASCII corpora the reference processes).
+  /** djb2 (h = h*33 + c, 64-bit wrap) over SIGNED UTF-8 bytes, the
+    * reference engine's reducer-routing hash — /root/reference/src/
+    * omp_count_words.cpp:291-303 (`Hash` folds `char`, which is
+    * signed there: a non-ASCII byte sign-extends before the add).
+    * Folding code points instead diverges on any non-ASCII word —
+    * the reference corpus contains some ('étape') and the parity
+    * spec replays the signed-byte recurrence independently. Java's
+    * wrapping long arithmetic matches C++ unsigned wraparound
+    * bit-for-bit; bytes are already sign-extended by JVM widening.
     */
   def djb2(s: UTF8String): Long = {
-    val str = s.toString
+    val bytes = s.getBytes
     var h = 5381L
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
-      h = h * 33L + cp
-      i += Character.charCount(cp)
+    while (i < bytes.length) {
+      h = h * 33L + bytes(i)
+      i += 1
     }
     h
   }

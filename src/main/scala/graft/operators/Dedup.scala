@@ -19,6 +19,16 @@ import graft.functions.vec_cosine
   * HashAggregate-friendly — min()/group-by over fixed-width longs stays
   * in whole-stage codegen, where min() over strings would fall back to
   * SortAggregate and sort the corpus per aggregation.
+  *
+  * IMMUTABLE-INPUT CONTRACT: the registries below (shingle index,
+  * posting profile, pair lists, signatures, cell assignments, corpus
+  * counts) memoize EAGER results keyed by the canonicalized input
+  * plan. The plan does not change when the files under it do, so if
+  * the corpus is rewritten in-session (mergeVersioned, deleteWhere,
+  * compaction), call [[unpersistShingleIndexes]] first or the family
+  * returns results for the pre-rewrite corpus. This is the standard
+  * cached-index trade: a batch dedup job builds its index once per
+  * corpus snapshot — it does not watch the table.
   */
 object Dedup {
 
@@ -70,14 +80,20 @@ object Dedup {
   private val postingProfiles = scala.collection.mutable.Map
     .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]
 
-  private[graft] def maxPosting(sh: DataFrame): Long = synchronized {
+  private[graft] def maxPosting(sh: DataFrame): Long = {
+    // compute-then-putIfAbsent: the profiling aggregate is a Spark
+    // ACTION — running it while holding the object monitor would
+    // serialize every concurrent caller of the whole registry family
+    // behind one job. A lost race costs one redundant aggregate.
     val key = sh.queryExecution.analyzed.canonicalized
-    postingProfiles.getOrElseUpdate(key,
-      sh.groupBy("h").agg(count(lit(1)).as("np"))
+    synchronized(postingProfiles.get(key)).getOrElse {
+      val profiled = sh.groupBy("h").agg(count(lit(1)).as("np"))
         .agg(max("np")).head() match {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
-        })
+        }
+      synchronized(postingProfiles.getOrElseUpdate(key, profiled))
+    }
   }
 
   /** One cached verified near-dup pair list per (corpus plan, tau) —
@@ -90,12 +106,21 @@ object Dedup {
   private val pairLists = scala.collection.mutable.Map
     .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double), DataFrame]
 
-  def nearDupPairs(s: SparkSession, d: String, tau: Double = 0.5): DataFrame =
-    synchronized {
-      val docs = Tables.documents(s, d)
-      val key = (docs.queryExecution.analyzed.canonicalized, tau)
-      pairLists.getOrElseUpdate(key, qJaccardPairs(s, d, tau).cache())
+  def nearDupPairs(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    // plan construction below dispatches on maxPosting (an action) —
+    // build outside the monitor, publish with putIfAbsent
+    val docs = Tables.documents(s, d)
+    val key = (docs.queryExecution.analyzed.canonicalized, tau)
+    synchronized(pairLists.get(key)).getOrElse {
+      val built = qJaccardPairs(s, d, tau).cache()
+      synchronized {
+        pairLists.get(key) match {
+          case Some(winner) => built.unpersist(); winner
+          case None => pairLists.update(key, built); built
+        }
+      }
     }
+  }
 
   /** Non-empty whitespace tokens as a codegen-only column expression —
     * NO interpreted filter() lambda (~50x slower per element). A \s+
@@ -1026,8 +1051,12 @@ object Dedup {
     val nCells =
       if (cells > 0) cells.toLong
       else {
-        val n = synchronized {
-          vecCounts.getOrElseUpdate(e.queryExecution.analyzed.canonicalized, e.count())
+        // count() is an action — compute-then-putIfAbsent, same as
+        // maxPosting, so the monitor never pins a running Spark job
+        val ck = e.queryExecution.analyzed.canonicalized
+        val n = synchronized(vecCounts.get(ck)).getOrElse {
+          val counted = e.count()
+          synchronized(vecCounts.getOrElseUpdate(ck, counted))
         }
         math.max(16L, math.ceil(math.sqrt(n / 2.0)).toLong)
       }

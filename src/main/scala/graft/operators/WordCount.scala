@@ -79,9 +79,12 @@ object WordCount {
       |WHERE word <> '' GROUP BY source""".stripMargin
 
   // A4 — deterministic reducer routing: the reference's djb2 % R
-  // (omp_count_words.cpp:291-303, 347), R = 16 reducers. The oracle
-  // replays the identical recurrence with 128-bit arithmetic; `& 15`
-  // == unsigned mod 16 on the wrapped 64-bit hash.
+  // (omp_count_words.cpp:291-303, 347), R = 16 reducers. The hash
+  // folds SIGNED UTF-8 bytes (the reference's `char`); the oracle
+  // replays that recurrence with 128-bit arithmetic — each character
+  // expands to its UTF-8 bytes, sign-extended, and the fold keeps the
+  // non-negative 2^64 residue so `% 16` matches `& 15` on the wrapped
+  // 64-bit hash.
   def wcPartitions(s: SparkSession, d: String): DataFrame =
     wcCount(s, d)
       .withColumn("pid", djb2(col("word")).bitwiseAND(lit(15L)))
@@ -97,8 +100,25 @@ object WordCount {
       |  SELECT word, cnt,
       |    CAST(list_reduce(
       |      list_prepend(CAST(5381 AS HUGEINT),
-      |        list_transform(regexp_split_to_array(word, ''), c -> CAST(ord(c) AS HUGEINT))),
-      |      (h, c) -> (h * 33 + c) % CAST(18446744073709551616 AS HUGEINT)) % 16 AS BIGINT) AS pid
+      |        flatten(list_transform(regexp_split_to_array(word, ''), c ->
+      |          CASE
+      |            WHEN ord(c) < 128 THEN [CAST(ord(c) AS HUGEINT)]
+      |            WHEN ord(c) < 2048 THEN [
+      |              CAST(ord(c) // 64 - 64 AS HUGEINT),
+      |              CAST(ord(c) % 64 - 128 AS HUGEINT)]
+      |            WHEN ord(c) < 65536 THEN [
+      |              CAST(ord(c) // 4096 - 32 AS HUGEINT),
+      |              CAST((ord(c) // 64) % 64 - 128 AS HUGEINT),
+      |              CAST(ord(c) % 64 - 128 AS HUGEINT)]
+      |            ELSE [
+      |              CAST(ord(c) // 262144 - 16 AS HUGEINT),
+      |              CAST((ord(c) // 4096) % 64 - 128 AS HUGEINT),
+      |              CAST((ord(c) // 64) % 64 - 128 AS HUGEINT),
+      |              CAST(ord(c) % 64 - 128 AS HUGEINT)]
+      |          END))),
+      |      (h, c) -> ((h * 33 + c) % CAST(18446744073709551616 AS HUGEINT)
+      |                 + CAST(18446744073709551616 AS HUGEINT))
+      |                % CAST(18446744073709551616 AS HUGEINT)) % 16 AS BIGINT) AS pid
       |  FROM words)
       |SELECT pid, count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS n_occurrences
       |FROM hashed GROUP BY pid""".stripMargin

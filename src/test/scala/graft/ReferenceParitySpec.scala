@@ -91,10 +91,15 @@ class ReferenceParitySpec extends GraftSuite {
   /** Independent replay of the reference's reducer hash
     * (omp_count_words.cpp:291-303): unsigned 64-bit h = h·33 + c,
     * then % 16 — NOT the graft Column expression, so the sink's
-    * routing is checked against the recurrence itself. */
+    * routing is checked against the recurrence itself. The reference
+    * folds `char` — SIGNED UTF-8 bytes, sign-extended — so the replay
+    * folds getBytes(UTF_8) the same way: for non-ASCII words this
+    * differs from a code-point fold, and the parity assertion would
+    * surface that divergence instead of masking it. */
   private def refPid(word: String, r: Int): Int = {
     var h = 5381L
-    word.codePoints().forEach(cp => h = h * 33L + cp)
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .foreach(b => h = h * 33L + b) // signed char fold, like the reference
     java.lang.Long.remainderUnsigned(h, r.toLong).toInt
   }
 

@@ -24,8 +24,12 @@ class WordCountSpec extends GraftSuite {
   }
 
   test("djb2 expression reproduces the reference recurrence (h*33+c, 64-bit wrap)") {
-    def ref(s: String): Long = s.foldLeft(5381L)((h, c) => h * 33L + c)
-    val words = Seq("hello", "a", "the", "zygote", "Zz9").toDF("w")
+    // the reference folds `char` = SIGNED UTF-8 bytes — non-ASCII
+    // words pin that (a code-point fold diverges on 'étape')
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(5381L)((h, b) => h * 33L + b)
+    val words = Seq("hello", "a", "the", "zygote", "Zz9",
+      "étape", "naïve", "日本語", "𝄞clef").toDF("w")
     val got = words.select(col("w"), djb2(col("w")).as("h")).collect()
     got.foreach(r => assert(r.getLong(1) == ref(r.getString(0)), r.getString(0)))
   }
