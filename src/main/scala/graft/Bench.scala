@@ -35,7 +35,28 @@ object Bench {
     val logPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG", "/tmp/bench_queries.jsonl"))
     java.nio.file.Files.deleteIfExists(logPath)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // materialize the shared dedup-family registries (shingle index,
+    // MinHash signatures, verified pair list) as an EXPLICIT entry:
+    // they are one-time capital cost for the whole family, and without
+    // this the alphabetically-first family query absorbs ~all of it,
+    // misattributing seconds to whatever query sorts first that round
+    val buildEntry: Seq[(String, Double)] = if (args.isEmpty) {
+      System.gc()
+      val t0 = System.nanoTime()
+      val sec = try {
+        val docs = Tables.documents(spark, sfDir)
+        operators.Dedup.shingles(docs).count()
+        operators.Dedup.minhash(docs).count()
+        operators.Dedup.nearDupPairs(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      java.nio.file.Files.writeString(logPath,
+        s"""{"_build_dedup_family":$sec}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      Seq("_build_dedup_family" -> sec)
+    } else Seq.empty
+    val results = buildEntry ++ selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // nudge the ContextCleaner so dead broadcasts/shuffles of prior
       // queries are released and a long run doesn't degrade into GC
       // thrash; live caches (the shared shingle index) are kept
@@ -64,6 +85,24 @@ object Bench {
     // stdout truncated round 3's artifact to 72 of 118 queries
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")), line + "\n")
+    // ...and the COMMITTED record: BENCH_FULL_rNN.json in the repo,
+    // round-numbered after the driver's newest BENCH_rNN.json, so the
+    // repo artifact always parses to the full per-query map even when
+    // the driver's stdout capture truncates
+    if (args.isEmpty) try {
+      val repo = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+      val pat = "BENCH_r(\\d+)\\.json".r
+      val s = java.nio.file.Files.list(repo)
+      val latest =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .collect { case pat(n) => n.toInt }.maxOption.getOrElse(0)
+        } finally s.close()
+      java.nio.file.Files.writeString(
+        repo.resolve(f"BENCH_FULL_r${latest + 1}%02d.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
