@@ -251,50 +251,65 @@ object Relational {
     * the same spill-safe shape as TeraSort — and the heavy stages are
     * one range exchange + one hash aggregate.
     */
-  def rankQuantiles(df: DataFrame, group: String, value: String,
+  def rankQuantiles(df: DataFrame, groups: Seq[String], value: String,
       quantiles: Seq[(String, Double)], numParts: Int = 32): DataFrame = {
     val ranked = Analytics.globalRank(
-      df.select(col(group), col(value)), numParts,
-      col(group).asc, col(value).asc)
-    val stats = ranked.groupBy(group)
-      .agg(min("global_rank").as("__start"), count(lit(1)).as("__n"))
+      df.select((groups :+ value).map(col): _*), numParts,
+      groups.map(g => col(g).asc) :+ col(value).asc: _*)
+    // each group's rank interval WITHOUT touching the rank layout:
+    // under the (groups, value) total order group blocks are
+    // contiguous, so a block starts at 1 + the running sum of earlier
+    // blocks' counts — a |groups|-row aggregate of the RAW input plus
+    // a window over those |groups| rows. Deriving this from `ranked`
+    // instead (min(global_rank) per group) would execute the whole
+    // rank window a second time just to learn the block boundaries.
+    val stats = df.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__start", lit(1L) + coalesce(
+        sum("__n").over(Window.orderBy(groups.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     // |groups| × |quantiles| rows: integer rank bounds + interpolation
     // fraction, computed once and broadcast
     val bounds = quantiles.map { case (name, p) =>
       val h = (col("__n") - 1) * lit(p)
-      stats.select(col(group).as("__g"), lit(name).as("__q"),
+      stats.select(groups.map(g => col(g).as(s"__g_$g")) ++ Seq(
+        lit(name).as("__q"),
         (col("__start") + floor(h)).as("__lo"),
         (col("__start") + ceil(h)).as("__hi"),
-        (h - floor(h)).as("__frac"))
+        (h - floor(h)).as("__frac")): _*)
     }.reduce(_.unionByName(_))
-    ranked.join(broadcast(bounds),
-        col(group) === col("__g") &&
-          (col("global_rank") === col("__lo") ||
-            col("global_rank") === col("__hi")))
-      .groupBy(col(group), col("__q"), col("__frac"))
+    val hit = groups.map(g => col(g) === col(s"__g_$g")).reduce(_ && _) &&
+      (col("global_rank") === col("__lo") || col("global_rank") === col("__hi"))
+    ranked.join(broadcast(bounds), hit)
+      .groupBy(groups.map(col) ++ Seq(col("__q"), col("__frac")): _*)
       .agg(
         max(when(col("global_rank") === col("__lo"), col(value))).as("__vlo"),
         max(when(col("global_rank") === col("__hi"), col(value))).as("__vhi"))
-      .select(col(group), col("__q"),
-        (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo"))).as("__v"))
+      .select(groups.map(col) ++ Seq(col("__q"),
+        (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo"))).as("__v")): _*)
   }
 
   // B12 — exact percentiles via rank selection (scale-safe; matches
   // DuckDB's quantile_cont bit-for-bit at 4-decimal rounding: both
   // engines compute h=(n-1)p in double and interpolate lo+frac·(hi−lo)).
-  def qPercentile(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    val price = rankQuantiles(li, "l_returnflag", "l_extendedprice",
-      Seq("p50_price" -> 0.5, "p95_price" -> 0.95))
-    val qty = rankQuantiles(li, "l_returnflag", "l_quantity",
-      Seq("p50_qty" -> 0.5))
-    price.unionByName(qty)
+  // The two value columns MELT into (group, metric, value) so ONE
+  // range-partition + rank layout serves every (column, p) pair — the
+  // layout's fixed costs (sampling, exchange, checkpoint, window)
+  // don't multiply per quantile column.
+  def qPercentile(s: SparkSession, d: String): DataFrame =
+    rankQuantiles(
+      Tables.lineitem(s, d).selectExpr("l_returnflag",
+        "stack(2, 'price', l_extendedprice, 'qty', l_quantity) AS (metric, value)"),
+      Seq("l_returnflag", "metric"), "value",
+      Seq("p50" -> 0.5, "p95" -> 0.95))
       .groupBy("l_returnflag")
       .agg(
-        round(max(when(col("__q") === "p50_price", col("__v"))), 4).as("p50_price"),
-        round(max(when(col("__q") === "p95_price", col("__v"))), 4).as("p95_price"),
-        round(max(when(col("__q") === "p50_qty", col("__v"))), 4).as("p50_qty"))
-  }
+        round(max(when(col("metric") === "price" && col("__q") === "p50",
+          col("__v"))), 4).as("p50_price"),
+        round(max(when(col("metric") === "price" && col("__q") === "p95",
+          col("__v"))), 4).as("p95_price"),
+        round(max(when(col("metric") === "qty" && col("__q") === "p50",
+          col("__v"))), 4).as("p50_qty"))
 
   val qPercentileSql: String =
     """SELECT l_returnflag,
