@@ -607,6 +607,78 @@ object Dedup {
        |FROM toks d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
   }
 
+  /** D16 — MULTI-granularity repeated-span detection: D13 at K ∈
+    * {8, 16, 32} in ONE pass over ONE window explode. Lee et al.'s
+    * suffix-array formulation scores maximal duplicated spans of any
+    * length; a single K approximates it from below (every duplicated
+    * span of length ≥ K is fully covered by duplicated K-windows,
+    * nothing shorter than K is visible). Composing K values recovers
+    * the length PROFILE — dup_frac high at 8 but near-zero at 32
+    * separates short boilerplate (navigation chrome) from wholesale
+    * block duplication — without re-running the corpus explode per K:
+    * the kmax shifted slices are zipped and exploded ONCE, each K's
+    * window hash is assembled from the first K zipped tokens and
+    * guarded to start positions where a K-window still fits, and the
+    * per-K hash columns MELT (stack) into (k, h) rows so D13's
+    * count/window/rollup machinery runs once, keyed by k.
+    *
+    * Scale shape identical to D13 — counts only, no pair join, the
+    * (k, doc, h) pre-agg combines map-side, the per-(k,h) sum-window
+    * partitions bounded by docs containing the window. Cost is
+    * O(|ks| × corpus tokens) hashing over ONE explode's rows.
+    */
+  def qDupSpansMulti(s: SparkSession, d: String): DataFrame =
+    dupSpansMulti(Tables.documents(s, d), Seq(8, 16, 32))
+
+  def dupSpansMulti(docs: DataFrame, ks: Seq[Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val kmin = ks.min
+    val kmax = ks.max
+    // one explode at the FINEST granularity; coarser windows reuse the
+    // same zipped slice row, guarded to starts where they fit
+    val nW = size(col("w")) - (kmin - 1)
+    val zipped = docs
+      .select(col("doc_id"), tokenArray.as("w"))
+      .where(size(col("w")) >= kmin)
+      .select(col("doc_id"), size(col("w")).as("n"),
+        posexplode(arrays_zip(
+          (1 to kmax).map(i => slice(col("w"), lit(i), nW).as(s"g$i")): _*))
+          .as(Seq("i", "z")))
+    val hashCols = ks.map { k =>
+      val cat = "concat_ws(' ', " + (1 to k).map(i => s"z.g$i").mkString(", ") + ")"
+      when(col("i") + lit(k) <= col("n"), expr(h60(cat))).as(s"h_$k")
+    }
+    val melted = zipped
+      .select(col("doc_id") +: hashCols: _*)
+      .selectExpr("doc_id",
+        s"stack(${ks.length}, " + ks.map(k => s"$k, h_$k").mkString(", ") +
+          ") AS (k, h)")
+      .where(col("h").isNotNull)
+    melted.groupBy("k", "doc_id", "h").agg(count(lit(1)).as("c"))
+      .withColumn("ch", sum("c").over(w.partitionBy("k", "h")))
+      .groupBy("doc_id", "k")
+      .agg(sum("c").as("n_windows"),
+        sum(when(col("ch") >= 2, col("c")).otherwise(lit(0L))).as("n_dup_windows"))
+      .select(col("doc_id"), col("k"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4)
+          .as("dup_frac"))
+  }
+
+  val qDupSpansMultiSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |win AS (SELECT doc_id, k,
+      |  CAST(('0x' || substr(md5(array_to_string(list_slice(w, i + 1, i + k), ' ')), 1, 15)) AS BIGINT) AS h
+      |  FROM toks, unnest([8, 16, 32]) AS ks(k),
+      |       unnest(range(0, greatest(len(w) - k + 1, 0))) AS t(i)),
+      |dh AS (SELECT doc_id, k, h, count(*) AS c FROM win GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, k, h, c, sum(c) OVER (PARTITION BY k, h) AS ch FROM dh)
+      |SELECT doc_id, k, CAST(sum(c) AS BIGINT) AS n_windows,
+      |  CAST(sum(CASE WHEN ch >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_windows,
+      |  round(sum(CASE WHEN ch >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 4) AS dup_frac
+      |FROM tot GROUP BY doc_id, k""".stripMargin
+
   /** Universal-hash family over the 31-bit field (p = 2^31-1, the
     * Mersenne prime Spark's own MinHashLSH uses): hash i maps a shingle
     * long h to (a_i*(h mod p) + b_i) mod p. Pure 64-bit codegen
@@ -1143,6 +1215,7 @@ object Dedup {
     "q_simhash" -> qSimhash,
     "q_embed_dup" -> ((s, d) => qEmbedDup(s, d)),
     "q_dup_spans" -> ((s, d) => qDupSpans(s, d)),
+    "q_dup_spans_multi" -> ((s, d) => qDupSpansMulti(s, d)),
     "q_span_clean" -> ((s, d) => qSpanClean(s, d)),
     "q_semdedup" -> ((s, d) => qSemdedup(s, d)))
 
@@ -1158,6 +1231,7 @@ object Dedup {
     "q_simhash" -> qSimhashSql,
     "q_embed_dup" -> qEmbedDupSql,
     "q_dup_spans" -> qDupSpansSql,
+    "q_dup_spans_multi" -> qDupSpansMultiSql,
     "q_span_clean" -> qSpanCleanSql,
     "q_semdedup" -> qSemdedupSql)
 }

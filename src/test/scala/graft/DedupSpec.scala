@@ -104,6 +104,36 @@ class DedupSpec extends GraftSuite {
     assert(out(3L) == ((10L, 2L, 0.2)))
   }
 
+  test("multi-K dup spans: k=8 slice equals D13; coarser K sees only long blocks") {
+    import spark.implicits._
+    val body = (1 to 20).map(k => s"w$k").mkString(" ")
+    val docs = Seq(
+      (0L, body), (1L, body),                            // 20-token verbatim pair
+      (2L, (1 to 40).map(k => s"u$k").mkString(" ")),    // unique, 40 tokens
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 x r1 r2 r3 r4 r5 r6 r7 r8"),
+      (4L, (1 to 10).map(k => s"s$k").mkString(" "))     // 10 tokens: k=8 only
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpansMulti(docs, Seq(8, 16, 32)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_dup_windows"), r.getAs[Double]("dup_frac"))).toMap
+    // the k=8 slice must be bit-identical to the single-K operator
+    val d13 = Dedup.dupSpans(docs, 8).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_dup_windows"), r.getAs[Double]("dup_frac"))).toMap
+    d13.foreach { case (id, v) =>
+      assert(out((id, 8)) == v, s"doc $id k=8 diverges from D13")
+    }
+    // verbatim 20-token pair: fully duplicated at k=16 too (5 windows),
+    // invisible at k=32 — no 32-window fits a 20-token doc
+    assert(out((0L, 16)) == ((5L, 5L, 1.0)))
+    assert(!out.contains((0L, 32)))
+    // the 8-token self-repeat is pure k=8 signal: its 2 16-windows
+    // (starts 1, 2 of 17 tokens) are unique
+    assert(out((3L, 16))._2 == 0L)
+    // short docs only get rows for K values that fit
+    assert(out.contains((4L, 8)) && !out.contains((4L, 16)))
+  }
+
   test("span clean: removes exactly the covered positions, reassembles in order") {
     import spark.implicits._
     val body = (1 to 20).map(k => s"w$k").mkString(" ")

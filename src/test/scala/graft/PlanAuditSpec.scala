@@ -64,6 +64,38 @@ class PlanAuditSpec extends GraftSuite {
     }
   }
 
+  test("q5 multijoin: only dimensions build broadcast sides, facts always stream") {
+    // the B6 scale contract: nation/region ride the broadcast chain;
+    // lineitem/orders/customer/supplier may ONLY ever appear on the
+    // streamed side of a broadcast join — a planner/stats change that
+    // flips a fact table into a build side ships the fact to every
+    // executor at 100 TB. Checked on the physical tree, not the plan
+    // string, so the build-side scan set is exact.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    // at the test SF every table fits under the auto-broadcast
+    // threshold and the planner broadcasts the facts too — exactly
+    // what does NOT happen at 100 TB. Disabling auto-broadcast leaves
+    // only the joins the QUERY declares broadcastable, which is the
+    // decision that must hold at any scale.
+    val exec = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      SparkEntry.queries("q5_multijoin")(spark, sf).queryExecution.sparkPlan
+    }
+    val bhj = exec.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 2, s"nation+region broadcast chain degraded: ${bhj.size} broadcasts")
+    val buildScans = bhj.flatMap { j =>
+      val build = if (j.buildSide == BuildRight) j.right else j.left
+      build.collect { case sc: FileSourceScanExec =>
+        sc.relation.location.rootPaths.mkString }
+    }
+    assert(buildScans.nonEmpty)
+    buildScans.foreach { p =>
+      assert(p.contains("nation") || p.contains("region"),
+        s"fact table on a broadcast build side: $p")
+    }
+  }
+
   test("span family: the per-hash window consumes a pre-aggregation, not raw rows") {
     // the corpus-wide occurrence count must ride the (doc, h) pre-agg
     // (map-side combine; window partitions bounded by DOCS containing

@@ -24,4 +24,17 @@ object SparkTestBase {
 abstract class GraftSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
   def sf: String = SparkTestBase.sf
+
+  /** Run `body` with SQL confs temporarily overridden, restoring the
+    * previous values (or unsetting) afterwards — the session is shared
+    * across every suite in the JVM, so overrides must not leak. */
+  def withConf[A](entries: (String, String)*)(body: => A): A = {
+    val prev = entries.map { case (k, _) => k -> spark.conf.getOption(k) }
+    entries.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
