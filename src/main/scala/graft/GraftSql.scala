@@ -10,15 +10,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftSql {
 
   /** Register every warehouse table under its canonical name. events
-    * goes through Tables.events so its nanos timestamp arrives as a
-    * real timestamp column (plain load would fail or expose raw longs).
+    * goes through Tables.events so its timestamp column arrives as a
+    * real TimestampType whatever the on-disk encoding. Registration is
+    * per-table fault-isolated: one unreadable/unparseable table must not
+    * take down SQL over the other nine (a plan-time failure here would
+    * otherwise kill queries that never touch the broken table).
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     Tables.all.foreach { name =>
-      val df =
-        if (name == "events") Tables.events(spark, dir)
-        else Tables.load(spark, dir, name)
-      df.createOrReplaceTempView(name)
+      try {
+        val df =
+          if (name == "events") Tables.events(spark, dir)
+          else Tables.load(spark, dir, name)
+        df.createOrReplaceTempView(name)
+      } catch {
+        case e: Exception =>
+          // Leave the table unregistered; only queries referencing it
+          // fail (TABLE_OR_VIEW_NOT_FOUND), with the root cause logged.
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"graft: skipping unreadable table '$name': ${e.getMessage}")
+      }
     }
 
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {

@@ -26,16 +26,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read it as raw nanos (legacy conf) and floor to the
-    * microsecond precision Spark timestamps carry. Sub-second truncation
-    * is invisible to the second-granular oracles.
+  /** events.ts has shipped in two on-disk encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * accepts as a raw long under the legacy conf) and plain
+    * TIMESTAMP_MICROS. Adapt to whatever the files actually carry: a
+    * LongType read means nanos — floor to micros; any timestamp flavor
+    * (TIMESTAMP or TIMESTAMP_NTZ, depending on the writer's UTC flag)
+    * is cast to session-TZ TimestampType so downstream plans and the
+    * driver's schema hash see one stable dtype either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

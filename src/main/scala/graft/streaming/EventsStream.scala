@@ -16,23 +16,29 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events schema as the streaming source must declare it (ts read as
-    * raw nanos — see Tables.events).
+  /** Streaming file sources require a declared schema, and the events
+    * files have shipped as both legacy TIMESTAMP(NANOS) (long under the
+    * nanos conf) and TIMESTAMP_MICROS — so infer the real on-disk schema
+    * with a one-shot batch footer read of the same directory, then
+    * normalize `ts` to TimestampType exactly like Tables.events. Future
+    * testdata regenerations change the footer, not this code.
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsStreamSource(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDisk = s.read.parquet(dir).schema
+    val src = s.readStream.schema(onDisk).parquet(dir)
+    onDisk("ts").dataType match {
+      case LongType => src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => src.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** The streaming plan, source-agnostic: event-time watermark + 1h
-    * tumbling window per event_type.
+    * tumbling window per event_type. Expects `ts` already normalized to
+    * TimestampType (eventsStreamSource does this for file sources).
     */
   def tumblingAgg(src: DataFrame): DataFrame =
     src
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
@@ -82,7 +88,7 @@ object EventsStream {
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
-    val src = s.readStream.schema(eventsSchema).parquet(dir.toString)
+    val src = eventsStreamSource(s, dir.toString)
     val name = "stream_tumble_out"
     withStreamPartitions(s, 8) {
       val q = tumblingAgg(src).writeStream
@@ -237,8 +243,7 @@ object EventsStream {
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
     def side(tpe: String): DataFrame =
-      s.readStream.schema(eventsSchema).parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      eventsStreamSource(s, dir.toString)
         .filter(col("event_type") === tpe)
         .select("event_id", "ts", "user_id")
     val name = "stream_join_out"

@@ -14,6 +14,23 @@ class EventsSpec extends GraftSuite {
     assert(rows("1_view") > 0)
   }
 
+  test("events read adapts to the REAL testdata schema with sane epochs") {
+    // The on-disk ts encoding has changed between testdata generations
+    // (TIMESTAMP(NANOS) → TIMESTAMP_MICROS); this pins the adaptive
+    // read against whatever /root/testdata currently carries. The range
+    // assertion catches the silent failure class too: a stale
+    // nanos-vs-micros rescale lands timestamps 1000× off, far outside
+    // any plausible year.
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val yr = ev.select(
+      min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi")).head
+    assert(yr.getInt(0) >= 1990 && yr.getInt(1) <= 2100,
+      s"events.ts outside sane epoch range: $yr — stale ts rescale?")
+    assert(ev.count() > 0)
+  }
+
   test("tumbling agg partitions every event into exactly one window") {
     val n = Events.qEventsTumble(spark, sf).agg(sum("n")).collect()(0).getLong(0)
     assert(n == Tables.events(spark, sf).count())
