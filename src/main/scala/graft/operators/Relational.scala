@@ -236,35 +236,53 @@ object Relational {
       |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
-  /** Exact per-group continuous quantiles (quantile_cont semantics) on
-    * the B29 global-rank layout instead of Spark's `percentile()`.
-    * `percentile()` is an ObjectHashAggregate whose buffer holds EVERY
-    * value in the group — with a handful of groups each final task
-    * buffers a group's whole column, an executor-OOM at 100 TB. Here
-    * the column is range-partitioned on (group, value) and ranked in
-    * parallel (globalRank); each group's rank interval is known from a
-    * |groups|-row aggregate, so the p-quantile is an INTEGER rank
-    * selection: rank == start + floor((n-1)p) and its ceil neighbor,
-    * joined against a broadcast |groups|×|quantiles| bounds table, with
+  /** Exact per-group continuous quantiles (quantile_cont semantics)
+    * without Spark's `percentile()`. `percentile()` is an
+    * ObjectHashAggregate whose buffer holds EVERY value in the group —
+    * with a handful of groups each final task buffers a group's whole
+    * column, an executor-OOM at 100 TB.
+    *
+    * Shape: (1) COLLAPSE to distinct values — groupBy(group, value)
+    * .count() is a plain hash aggregate with map-side combine, so the
+    * data entering the heavy layout shrinks by the duplication factor
+    * and the exchange carries (group, value, weight) triples, never
+    * raw rows. (2) Range-partition the collapsed table on
+    * (group, value) — contiguous key ranges per partition, the
+    * TeraSort shape; localCheckpoint pins the sampled partitioning so
+    * the two downstream jobs see identical partition ids. (3) One
+    * #partitions-row broadcast of per-partition weight totals turns a
+    * within-partition running sum of weights into a GLOBAL cumulative
+    * row count: each collapsed row covers the contiguous rank interval
+    * (cum − weight, cum]. (4) Group rank intervals come from a
+    * per-group weight total over the same checkpoint (no extra scan of
+    * the input), so the p-quantile is integer-rank selection: target
+    * ranks start + floor((n−1)p) / ceil, joined against a broadcast
+    * |groups|×|quantiles| bounds table via interval containment, with
     * linear interpolation over the ≤2 surviving rows per (group, p).
-    * No task ever buffers more than its partition slice of the sort —
-    * the same spill-safe shape as TeraSort — and the heavy stages are
-    * one range exchange + one hash aggregate.
+    * No task ever buffers more than its partition slice of the
+    * collapsed sort; the heavy stages are one hash aggregate + one
+    * range exchange.
     */
   def rankQuantiles(df: DataFrame, groups: Seq[String], value: String,
       quantiles: Seq[(String, Double)], numParts: Int = 32): DataFrame = {
-    val ranked = Analytics.globalRank(
-      df.select((groups :+ value).map(col): _*), numParts,
-      groups.map(g => col(g).asc) :+ col(value).asc: _*)
-    // each group's rank interval WITHOUT touching the rank layout:
-    // under the (groups, value) total order group blocks are
-    // contiguous, so a block starts at 1 + the running sum of earlier
-    // blocks' counts — a |groups|-row aggregate of the RAW input plus
-    // a window over those |groups| rows. Deriving this from `ranked`
-    // instead (min(global_rank) per group) would execute the whole
-    // rank window a second time just to learn the block boundaries.
-    val stats = df.groupBy(groups.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
+    val keys = groups.map(g => col(g).asc) :+ col(value).asc
+    val parted = df.groupBy((groups :+ value).map(col): _*)
+      .agg(count(lit(1)).as("__w"))
+      .repartitionByRange(numParts, keys: _*)
+      .localCheckpoint()
+      .withColumn("__pid", spark_partition_id())
+    // #partitions rows — the only single-partition window, bounded by
+    // the partition count, never by the data
+    val offsets = parted.groupBy("__pid").agg(sum("__w").as("__pn"))
+      .withColumn("__off", coalesce(
+        sum("__pn").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    // group rank intervals from the checkpoint (|groups| rows): under
+    // the (groups, value) total order group blocks are contiguous, so
+    // a block starts at 1 + the running weight of earlier blocks
+    val stats = parted.groupBy(groups.map(col): _*)
+      .agg(sum("__w").as("__n"))
       .withColumn("__start", lit(1L) + coalesce(
         sum("__n").over(Window.orderBy(groups.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -278,13 +296,24 @@ object Relational {
         (col("__start") + ceil(h)).as("__hi"),
         (h - floor(h)).as("__frac")): _*)
     }.reduce(_.unionByName(_))
+    // global cumulative weight: running sum within the range partition
+    // + the partition's broadcast offset. Row covers ranks
+    // (cum − w, cum]; a bound hits when it lands in that interval.
+    val ranked = parted
+      .withColumn("__cumin", sum("__w").over(
+        Window.partitionBy("__pid").orderBy(keys: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__cum", col("__off") + col("__cumin"))
+    def covers(b: String) =
+      col(b) > col("__cum") - col("__w") && col(b) <= col("__cum")
     val hit = groups.map(g => col(g) === col(s"__g_$g")).reduce(_ && _) &&
-      (col("global_rank") === col("__lo") || col("global_rank") === col("__hi"))
+      (covers("__lo") || covers("__hi"))
     ranked.join(broadcast(bounds), hit)
       .groupBy(groups.map(col) ++ Seq(col("__q"), col("__frac")): _*)
       .agg(
-        max(when(col("global_rank") === col("__lo"), col(value))).as("__vlo"),
-        max(when(col("global_rank") === col("__hi"), col(value))).as("__vhi"))
+        max(when(covers("__lo"), col(value))).as("__vlo"),
+        max(when(covers("__hi"), col(value))).as("__vhi"))
       .select(groups.map(col) ++ Seq(col("__q"),
         (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo"))).as("__v")): _*)
   }
