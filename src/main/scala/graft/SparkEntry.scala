@@ -22,7 +22,8 @@ object SparkEntry {
       GraftSql.queries ++ Skew.queries ++ graft.plans.Native.queries ++
       Tokenizer.queries ++ Decontam.queries ++ Clustering.queries ++
       Graph.queries ++ BloomJoin.queries ++ Incremental.queries ++
-      Sketches.queries ++ Analytics.queries ++ TrainPrep.queries
+      Sketches.queries ++ Analytics.queries ++ TrainPrep.queries ++
+      graft.sources.LakehouseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate / stubbed ops)
@@ -35,5 +36,6 @@ object SparkEntry {
       GraftSql.oracles ++ Skew.oracles ++ graft.plans.Native.oracles ++
       Tokenizer.oracles ++ Decontam.oracles ++ Clustering.oracles ++
       Graph.oracles ++ BloomJoin.oracles ++ Incremental.oracles ++
-      Sketches.oracles ++ Analytics.oracles ++ TrainPrep.oracles
+      Sketches.oracles ++ Analytics.oracles ++ TrainPrep.oracles ++
+      graft.sources.LakehouseQueries.oracles
 }

@@ -1,0 +1,224 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-surface queries for the A18/A20/A22/A23 lakehouse machinery
+  * (snapshot log, OPTIMIZE, OCC merge, change feed, schema evolution on
+  * write). Each stages a small versioned table from `orders` in a fresh
+  * temp dir, drives the table-format operation under test, and returns
+  * a result the DuckDB oracle can reproduce from the raw parquet alone
+  * — so the correctness gate covers the log/merge/feed code paths
+  * end-to-end, not just their ScalaTest specs.
+  *
+  * Scale note: the staged tables are sf-sized here, but every operation
+  * exercised is the manifest-diff / touched-files-only shape — commit
+  * cost tracks changed files, change-feed cost tracks the version diff,
+  * OPTIMIZE reads only sub-target files. Nothing below scans
+  * proportionally to table size except the initial staging write.
+  */
+object LakehouseQueries {
+
+  /** orders reduced to a 3-column merge-friendly shape. */
+  private def base(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  private def stage(df: DataFrame, nFiles: Int): String = {
+    val dir = Files.createTempDirectory("graft_lake").toString
+    df.repartition(nFiles).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** A22 — OPTIMIZE bin-packing preserves the live row multiset: stage
+    * as 8 deliberately-small files, compact to ⌈Σ/target⌉ packed files,
+    * and aggregate the post-OPTIMIZE read. The oracle sees the raw
+    * table — any row lost/duplicated by compaction breaks the hash.
+    */
+  def qLakeOptimize(s: SparkSession, d: String): DataFrame = {
+    val dir = stage(base(s, d), 8)
+    Snapshots.init(s, dir)
+    Snapshots.compact(s, dir)
+    Snapshots.read(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+  }
+
+  val qLakeOptimizeSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** A16/A18 — versioned copy-on-write MERGE through the OCC commit
+    * path: full-row updates (keys ≡ 0 mod 97, re-statused 'U', price
+    * +10000) plus brand-new inserts (negated keys ≡ 0 mod 101,
+    * status 'I') land in ONE keyed merge; the post-merge read must
+    * equal the SQL merge semantics.
+    */
+  def qLakeMerge(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir)
+    val upd = b.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 10000.0).as("o_totalprice"))
+    val ins = b.filter(col("o_orderkey") % 101 === 0)
+      .select((-col("o_orderkey")).as("o_orderkey"),
+        lit("I").as("o_orderstatus"), col("o_totalprice"))
+    Snapshots.mergeVersioned(s, dir, upd.unionByName(ins), "o_orderkey")
+    Snapshots.read(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  val qLakeMergeSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus,
+      |    o_totalprice + 10000.0 AS o_totalprice
+      |  FROM base WHERE o_orderkey % 97 = 0),
+      |ins AS (
+      |  SELECT -o_orderkey AS o_orderkey, 'I' AS o_orderstatus,
+      |    o_totalprice
+      |  FROM base WHERE o_orderkey % 101 = 0),
+      |merged AS (
+      |  SELECT * FROM base WHERE o_orderkey % 97 <> 0
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM merged GROUP BY o_orderstatus""".stripMargin
+
+  /** Shared three-version history for the change-feed queries:
+    * v0 = keys ≡ 0 mod 3 (key 0 excluded: −0 = 0 would make the v2
+    * "insert" resurrect the v1-deleted row with an identical payload —
+    * a net no-op the direct-diff feed rightly drops but a naive oracle
+    * double-counts); v1 = DELETE keys ≡ 0 mod 9; v2 = MERGE(update
+    * keys ≡ 0 mod 15 ∧ ≢ 0 mod 9 at price+5000, insert negated keys
+    * ≡ 0 mod 21). Returns the table dir.
+    */
+  private def stageHistory(s: SparkSession, d: String): String = {
+    val b = base(s, d)
+      .filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") > 0)
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir)
+    Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 0)
+    val upd = b.filter(col("o_orderkey") % 15 === 0 && col("o_orderkey") % 9 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") + 5000.0).as("o_totalprice"))
+    val ins = b.filter(col("o_orderkey") % 21 === 0)
+      .select((-col("o_orderkey")).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    Snapshots.mergeVersioned(s, dir, upd.unionByName(ins), "o_orderkey")
+    dir
+  }
+
+  /** A20 — change feed with post-image payload across the staged
+    * three-version history: exactly the deletes, updates (new payload)
+    * and inserts, nothing for rows merely rewritten verbatim by the
+    * copy-on-write churn.
+    */
+  def qLakeChangefeed(s: SparkSession, d: String): DataFrame = {
+    val dir = stageHistory(s, d)
+    Snapshots.changesWithPayload(s, dir, 0, 2, "o_orderkey")
+  }
+
+  val qLakeChangefeedSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey > 0)
+      |SELECT o_orderkey, 'delete' AS change_type,
+      |  CAST(NULL AS VARCHAR) AS o_orderstatus,
+      |  CAST(NULL AS DOUBLE) AS o_totalprice
+      |FROM base WHERE o_orderkey % 9 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 'update', o_orderstatus, o_totalprice + 5000.0
+      |FROM base WHERE o_orderkey % 15 = 0 AND o_orderkey % 9 <> 0
+      |UNION ALL
+      |SELECT -o_orderkey, 'insert', o_orderstatus, o_totalprice
+      |FROM base WHERE o_orderkey % 21 = 0""".stripMargin
+
+  /** A23 — the change feed consumed INCREMENTALLY: one batch per
+    * committed version through [[graft.streaming.ChangeFeed]] (initial
+    * snapshot-as-inserts, then one manifest-diff batch per version),
+    * tagged with the delivering version. The oracle reconstructs the
+    * full delivery log, so batch boundaries AND contents are checked.
+    */
+  def qLakeFeedStream(s: SparkSession, d: String): DataFrame = {
+    val dir = stageHistory(s, d)
+    val ckpt = Files.createTempDirectory("graft_feed_ckpt").toString
+    val feed = Snapshots.readChangesStream(s, dir, "o_orderkey", ckpt)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    feed.processAllAvailable { (batch, _, toV) =>
+      batches += batch.withColumn("batch", lit(toV))
+    }
+    batches.reduce(_.unionByName(_))
+  }
+
+  val qLakeFeedStreamSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey > 0)
+      |SELECT o_orderkey, 'insert' AS change_type, o_orderstatus,
+      |  o_totalprice, 0 AS batch
+      |FROM base
+      |UNION ALL
+      |SELECT o_orderkey, 'delete', CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS DOUBLE), 1
+      |FROM base WHERE o_orderkey % 9 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 'update', o_orderstatus, o_totalprice + 5000.0, 2
+      |FROM base WHERE o_orderkey % 15 = 0 AND o_orderkey % 9 <> 0
+      |UNION ALL
+      |SELECT -o_orderkey, 'insert', o_orderstatus, o_totalprice, 2
+      |FROM base WHERE o_orderkey % 21 = 0""".stripMargin
+
+  /** A19-on-write — schema evolution through a widening merge: the
+    * update batch carries a NEW `score` column; untouched rows
+    * null-fill it on read under the widened recorded schema.
+    */
+  def qLakeSchemaEvo(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d).filter(col("o_orderkey") % 2 === 0)
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir)
+    val upd = b.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("score", (col("o_orderkey") % 7).cast("double"))
+    Snapshots.mergeVersioned(s, dir, upd, "o_orderkey")
+    Snapshots.read(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "score")
+  }
+
+  val qLakeSchemaEvoSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  CAST(NULL AS DOUBLE) AS score
+      |FROM base WHERE o_orderkey % 10 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  CAST(o_orderkey % 7 AS DOUBLE) AS score
+      |FROM base WHERE o_orderkey % 10 = 0""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lake_optimize" -> (qLakeOptimize(_, _)),
+    "q_lake_merge" -> (qLakeMerge(_, _)),
+    "q_lake_changefeed" -> (qLakeChangefeed(_, _)),
+    "q_lake_feed_stream" -> (qLakeFeedStream(_, _)),
+    "q_lake_schema_evo" -> (qLakeSchemaEvo(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_lake_optimize" -> qLakeOptimizeSql,
+    "q_lake_merge" -> qLakeMergeSql,
+    "q_lake_changefeed" -> qLakeChangefeedSql,
+    "q_lake_feed_stream" -> qLakeFeedStreamSql,
+    "q_lake_schema_evo" -> qLakeSchemaEvoSql)
+}

@@ -37,6 +37,16 @@ class PlanAuditSpec extends GraftSuite {
   // StreamingSpec instead.
   private val skip = Set("q_stream_tumble", "q_stream_join")
 
+  test("audit walks the complete query inventory") {
+    // the r5 regression hid 22 queries from the audit because plan
+    // enumeration threw; pin the inventory size so a silently-shrunk
+    // walk (or a dropped registration) fails loudly
+    assert(SparkEntry.queries.size >= 137,
+      s"query inventory shrank to ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      "oracle entries without a matching query")
+  }
+
   test("no unintended cartesian/nested-loop joins anywhere in the inventory") {
     SparkEntry.queries.keys.filterNot(skip).filterNot(allPairsWhitelist).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
