@@ -37,6 +37,24 @@ object VecOps {
     if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
   }
 
+  /** [[distSq]] against a plain driver-side centroid array — the
+    * columnar batch kernel's form, where the centroid literal is
+    * unpacked once per task instead of once per row. Same
+    * left-to-right accumulation, bit-identical to the ArrayData
+    * overload.
+    */
+  def distSq(a: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(a.numElements(), c.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val t = a.getFloat(i).toDouble - c(i)
+      s += t * t
+      i += 1
+    }
+    s
+  }
+
   /** Squared L2 distance between a float vector and a DOUBLE vector
     * (a centroid), sequential left-to-right accumulation so DuckDB's
     * list_sum(list_transform(...)) replays it bit-for-bit.

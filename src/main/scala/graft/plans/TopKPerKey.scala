@@ -417,7 +417,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopKPerKey)
-    ext.injectColumnar(_ => new VecNormColumnarRule)
+    ext.injectColumnar(_ => new VecKernelColumnarRule)
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -38,11 +38,37 @@ class ColumnarSpec extends GraftSuite {
         .select(col("vec_id"), vec_norm(col("embedding")).as("l2"))
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("VecNormColumnar"), plan.take(1200))
+      assert(plan.contains("VecKernelColumnar"), plan.take(1200))
       // the batch math happens BELOW the single row transition: the
       // columnar exec's child is the scan, not a ColumnarToRow
-      assert(!plan.matches("(?s).*VecNormColumnar.*ColumnarToRow.*FileScan.*"), plan.take(1200))
+      assert(!plan.matches("(?s).*VecKernelColumnar.*ColumnarToRow.*FileScan.*"), plan.take(1200))
       val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == expected)
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("k-means assignment shape (k dist columns vs literal centroids) runs columnar") {
+    // the E4/E6 bulk-assignment projection: passthrough + k
+    // vec_dist_sq columns against broadcast centroid literals — the
+    // second consumer of the batch kernel path
+    import graft.functions.vec_dist_sq
+    val cents: Seq[Seq[Double]] = Tables.embeddings(spark, sf)
+      .orderBy("vec_id").limit(3).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    def q(s: SparkSession) = Tables.embeddings(s, sf).select(
+      col("vec_id") +: cents.zipWithIndex.map { case (c, j) =>
+        vec_dist_sq(col("embedding"), typedLit(c)).as(s"d$j")
+      }: _*)
+    val expected = q(spark).collect()
+      .map(r => r.getLong(0) -> (1 to 3).map(r.getDouble).toSeq).toMap
+    withColumnarSession { s =>
+      val df = q(s)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("VecKernelColumnar"), plan.take(1200))
+      assert(!plan.matches("(?s).*VecKernelColumnar.*ColumnarToRow.*FileScan.*"), plan.take(1200))
+      val got = df.collect()
+        .map(r => r.getLong(0) -> (1 to 3).map(r.getDouble).toSeq).toMap
       assert(got == expected)
       assert(got.nonEmpty)
     }
@@ -56,7 +82,7 @@ class ColumnarSpec extends GraftSuite {
         .select(col("vec_id"), (vec_norm(col("embedding")) * 2.0).as("x"))
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("VecNormColumnar"), plan.take(800))
+      assert(!plan.contains("VecKernelColumnar"), plan.take(800))
       val expected = Tables.embeddings(spark, sf)
         .select(col("vec_id"), (vec_norm(col("embedding")) * 2.0).as("x"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
