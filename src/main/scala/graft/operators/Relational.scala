@@ -271,18 +271,25 @@ object Relational {
       .repartitionByRange(numParts, keys: _*)
       .localCheckpoint()
       .withColumn("__pid", spark_partition_id())
-    // #partitions rows — the only single-partition window, bounded by
-    // the partition count, never by the data
-    val offsets = parted.groupBy("__pid").agg(sum("__w").as("__pn"))
+    // ONE pass over the checkpoint yields all layout metadata:
+    // |partitions|×|groups| weight subtotals, from which both the
+    // per-partition offsets and the per-group rank intervals derive by
+    // windows over that tiny frame (the only single-partition windows,
+    // bounded by partitions × groups, never by the data)
+    val cells = parted
+      .groupBy(col("__pid") +: groups.map(col): _*)
+      .agg(sum("__w").as("__cw"))
+      .localCheckpoint() // tiny; consumed by two derivations
+    val offsets = cells.groupBy("__pid").agg(sum("__cw").as("__pn"))
       .withColumn("__off", coalesce(
         sum("__pn").over(Window.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "__off")
-    // group rank intervals from the checkpoint (|groups| rows): under
-    // the (groups, value) total order group blocks are contiguous, so
-    // a block starts at 1 + the running weight of earlier blocks
-    val stats = parted.groupBy(groups.map(col): _*)
-      .agg(sum("__w").as("__n"))
+    // group rank intervals: under the (groups, value) total order group
+    // blocks are contiguous, so a block starts at 1 + the running
+    // weight of earlier blocks
+    val stats = cells.groupBy(groups.map(col): _*)
+      .agg(sum("__cw").as("__n"))
       .withColumn("__start", lit(1L) + coalesce(
         sum("__n").over(Window.orderBy(groups.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
