@@ -61,6 +61,23 @@ class EventsSpec extends GraftSuite {
     assert(df.count() > 0)
   }
 
+  test("sql surface survives one unreadable table: lineitem SQL still answers") {
+    // fault-isolated registration: stage a warehouse dir where
+    // events.parquet is garbage but lineitem is real — queries that
+    // never touch events must still run (the r5 regression killed the
+    // whole SQL surface through one broken table)
+    val dir = java.nio.file.Files.createTempDirectory("graft_broken_wh")
+    dir.toFile.deleteOnExit()
+    for (t <- Tables.all if t != "events")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(s"$sf/$t.parquet").toAbsolutePath)
+    java.nio.file.Files.write(dir.resolve("events.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    val r = GraftSql.sql(spark, dir.toString, GraftSql.revenueSql).collect()(0)
+    assert(r.getAs[Long]("n_items") > 0)
+  }
+
   test("sql interface runs the same text as the oracle") {
     val r = GraftSql.qSqlInterface(spark, sf).collect()(0)
     assert(r.getAs[Long]("n_items") > 0)
