@@ -272,19 +272,17 @@ object Relational {
       .localCheckpoint()
       .withColumn("__pid", spark_partition_id())
     // ONE pass over the checkpoint yields all layout metadata:
-    // |partitions|×|groups| weight subtotals, from which both the
-    // per-partition offsets and the per-group rank intervals derive by
-    // windows over that tiny frame (the only single-partition windows,
-    // bounded by partitions × groups, never by the data)
-    val cells = parted
+    // |partitions|×|groups| weight subtotals, collected to the driver
+    // (bounded by the layout's knobs, never by the data — the
+    // legitimate-collect class) and re-issued as a LOCAL relation, so
+    // every downstream metadata derivation (offsets, group intervals,
+    // bounds, target partitions) is driver-local trivia instead of a
+    // scheduled cluster job
+    val cellsRemote = parted
       .groupBy(col("__pid") +: groups.map(col): _*)
       .agg(sum("__w").as("__cw"))
-      .localCheckpoint() // tiny; consumed by two derivations
-    val offsets = cells.groupBy("__pid").agg(sum("__cw").as("__pn"))
-      .withColumn("__off", coalesce(
-        sum("__pn").over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
+    val cells = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cellsRemote.collect(): _*), cellsRemote.schema)
     // group rank intervals: under the (groups, value) total order group
     // blocks are contiguous, so a block starts at 1 + the running
     // weight of earlier blocks
@@ -303,10 +301,32 @@ object Relational {
         (col("__start") + ceil(h)).as("__hi"),
         (h - floor(h)).as("__frac")): _*)
     }.reduce(_.unionByName(_))
+    // partition pruning for the selection pass: each layout partition
+    // covers the contiguous global rank interval (__off, __off + __pn],
+    // so the partitions containing a bound rank are computable from the
+    // tiny metadata alone. Both collects are bounded by partitions ×
+    // groups — the layout's knob, never the data — and the final pass
+    // (hash re-exchange for the window + the sort) then touches ONLY
+    // the ≤ |groups|·|quantiles|·2 partitions that can contain a
+    // selected rank. At cluster scale the selection cost tracks the
+    // number of targets, not the corpus.
+    val pidSpans = cells.groupBy("__pid").agg(sum("__cw").as("__pn"))
+      .withColumn("__off", coalesce(
+        sum("__pn").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val spans = pidSpans.select("__pid", "__off", "__pn").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val targetPids = bounds.select("__lo", "__hi").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .flatMap { t =>
+        spans.collect { case (p, off, pn) if t > off && t <= off + pn => p }
+      }.distinct.sorted
+    val offsets = pidSpans.select("__pid", "__off")
     // global cumulative weight: running sum within the range partition
     // + the partition's broadcast offset. Row covers ranks
     // (cum − w, cum]; a bound hits when it lands in that interval.
     val ranked = parted
+      .filter(col("__pid").isin(targetPids: _*))
       .withColumn("__cumin", sum("__w").over(
         Window.partitionBy("__pid").orderBy(keys: _*)
           .rowsBetween(Window.unboundedPreceding, 0)))
