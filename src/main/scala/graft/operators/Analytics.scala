@@ -78,23 +78,37 @@ object Analytics {
       |FROM orders""".stripMargin
 
   /** B31 — exact equi-depth (quantile) binning: bucket b of k holds
-    * ranks (b-1)·N/k .. b·N/k under a total order — computed from the
-    * distributed rank, so no global sort-collect and no interpolated
-    * boundary floats to disagree over (the bucket boundary is an
-    * INTEGER rank comparison, bit-exact in any engine). N ships as a
-    * literal (the model-as-literal pattern, like the unigram LM total).
+    * ranks (b-1)·N/k .. b·N/k under a total order. Everything the
+    * output carries is derivable WITHOUT materializing a rank per row:
+    * bucket populations are pure integer arithmetic over N, and each
+    * bucket's lo/hi is the VALUE at its boundary rank (ties share a
+    * value, so tie-breaking keys can't change it) — 2k weighted-rank
+    * selections through the B12 collapsed layout
+    * ([[Relational.valueAtRanks]]). The old formulation ranked all N
+    * rows (4.1× wall at 100× data, inherent to emitting a rank per
+    * row); this one scales with distinct values + a bounded selection
+    * pass. N ships as a literal (the model-as-literal pattern, like
+    * the unigram LM total).
     */
   def qEquidepth(s: SparkSession, d: String, k: Int = 4): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select("l_extendedprice", "l_orderkey", "l_linenumber")
+    val li = Tables.lineitem(s, d).select("l_extendedprice")
     val n = li.count()
-    globalRank(li, 32,
-      col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-      .withColumn("bucket", expr(s"((global_rank - 1) * $k) div $n") + 1)
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_rows"),
-        round(min("l_extendedprice"), 4).as("lo"),
-        round(max("l_extendedprice"), 4).as("hi"))
+    // bucket b covers ranks rmax(b-1)+1 .. rmax(b), rmax(b) = ⌈bN/k⌉
+    // (from ((rn-1)·k) div N = b-1 ⟺ (b-1)N ≤ (rn-1)k < bN)
+    def rmax(b: Int): Long = (b * n + k - 1) / k
+    val ranks = (1 to k).flatMap(b =>
+      Seq(s"lo_$b" -> (rmax(b - 1) + 1), s"hi_$b" -> rmax(b)))
+    val sel = Relational.valueAtRanks(
+      li.withColumn("__g", lit(1)), Seq("__g"), "l_extendedprice", ranks)
+      .collect() // 2k rows — bounded by the bucket count, never data
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = (1 to k).map { b =>
+      (b.toLong, rmax(b) - rmax(b - 1), r4(sel(s"lo_$b")), r4(sel(s"hi_$b")))
+    }
+    import s.implicits._
+    rows.toDF("bucket", "n_rows", "lo", "hi")
   }
 
   val qEquidepthSql: String =

@@ -264,7 +264,45 @@ object Relational {
     * range exchange.
     */
   def rankQuantiles(df: DataFrame, groups: Seq[String], value: String,
-      quantiles: Seq[(String, Double)], numParts: Int = 32): DataFrame = {
+      quantiles: Seq[(String, Double)], numParts: Int = 32): DataFrame =
+    selectAtBounds(df, groups, value, numParts) { stats =>
+      quantiles.map { case (name, p) =>
+        val h = (col("__n") - 1) * lit(p)
+        stats.select(groups.map(g => col(g).as(s"__g_$g")) ++ Seq(
+          lit(name).as("__q"),
+          (col("__start") + floor(h)).as("__lo"),
+          (col("__start") + ceil(h)).as("__hi"),
+          (h - floor(h)).as("__frac")): _*)
+      }.reduce(_.unionByName(_))
+    }
+
+  /** Exact value-at-integer-rank selection over the same weighted
+    * layout: `ranks` are 1-based WITHIN-GROUP ranks (same set for
+    * every group), chosen with exact integer arithmetic — the
+    * fractional-quantile API cannot express "rank 4517" exactly
+    * because (n−1)·((r−1)/(n−1)) need not round-trip in doubles.
+    * Returns (groups…, __q, __v).
+    */
+  def valueAtRanks(df: DataFrame, groups: Seq[String], value: String,
+      ranks: Seq[(String, Long)], numParts: Int = 32): DataFrame =
+    selectAtBounds(df, groups, value, numParts) { stats =>
+      ranks.map { case (name, r) =>
+        stats.select(groups.map(g => col(g).as(s"__g_$g")) ++ Seq(
+          lit(name).as("__q"),
+          (col("__start") + lit(r - 1L)).as("__lo"),
+          (col("__start") + lit(r - 1L)).as("__hi"),
+          lit(0.0).as("__frac")): _*)
+      }.reduce(_.unionByName(_))
+    }
+
+  /** The shared selection core: build the collapsed weighted layout,
+    * derive all metadata driver-locally, let `mkBounds` turn the
+    * per-group stats (columns: groups…, __n, __start) into the bound
+    * rows (columns: __g_<g>…, __q, __lo, __hi, __frac — global ranks),
+    * then select and interpolate.
+    */
+  private def selectAtBounds(df: DataFrame, groups: Seq[String], value: String,
+      numParts: Int)(mkBounds: DataFrame => DataFrame): DataFrame = {
     val keys = groups.map(g => col(g).asc) :+ col(value).asc
     val parted = df.groupBy((groups :+ value).map(col): _*)
       .agg(count(lit(1)).as("__w"))
@@ -291,16 +329,9 @@ object Relational {
       .withColumn("__start", lit(1L) + coalesce(
         sum("__n").over(Window.orderBy(groups.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // |groups| × |quantiles| rows: integer rank bounds + interpolation
-    // fraction, computed once and broadcast
-    val bounds = quantiles.map { case (name, p) =>
-      val h = (col("__n") - 1) * lit(p)
-      stats.select(groups.map(g => col(g).as(s"__g_$g")) ++ Seq(
-        lit(name).as("__q"),
-        (col("__start") + floor(h)).as("__lo"),
-        (col("__start") + ceil(h)).as("__hi"),
-        (h - floor(h)).as("__frac")): _*)
-    }.reduce(_.unionByName(_))
+    // |groups| × |bounds-per-group| rows: integer rank bounds +
+    // interpolation fraction, computed once (locally) and broadcast
+    val bounds = mkBounds(stats)
     // partition pruning for the selection pass: each layout partition
     // covers the contiguous global rank interval (__off, __off + __pn],
     // so the partitions containing a bound rank are computable from the
