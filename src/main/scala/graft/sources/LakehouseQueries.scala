@@ -208,7 +208,23 @@ object LakehouseQueries {
       |  CAST(o_orderkey % 7 AS DOUBLE) AS score
       |FROM base WHERE o_orderkey % 10 = 0""".stripMargin
 
+  /** A18 — time travel: after the delete (v1) and merge (v2) commits,
+    * reading version 0 must reproduce the ORIGINAL base exactly —
+    * deleted rows visible, updates absent, inserts absent — because
+    * copy-on-write retires files from the manifest, never from disk.
+    */
+  def qLakeTimetravel(s: SparkSession, d: String): DataFrame = {
+    val dir = stageHistory(s, d)
+    Snapshots.read(s, dir, version = 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+  }
+
+  val qLakeTimetravelSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey > 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lake_timetravel" -> (qLakeTimetravel(_, _)),
     "q_lake_optimize" -> (qLakeOptimize(_, _)),
     "q_lake_merge" -> (qLakeMerge(_, _)),
     "q_lake_changefeed" -> (qLakeChangefeed(_, _)),
@@ -216,6 +232,7 @@ object LakehouseQueries {
     "q_lake_schema_evo" -> (qLakeSchemaEvo(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_lake_timetravel" -> qLakeTimetravelSql,
     "q_lake_optimize" -> qLakeOptimizeSql,
     "q_lake_merge" -> qLakeMergeSql,
     "q_lake_changefeed" -> qLakeChangefeedSql,
