@@ -31,6 +31,34 @@ class EventsSpec extends GraftSuite {
     assert(ev.count() > 0)
   }
 
+  test("legacy nanos events files still read through the adaptive path") {
+    // current testdata is TIMESTAMP_MICROS, so the LongType→nanos
+    // branch is otherwise dead code — exactly the condition under
+    // which the r5 regression shipped. Stage an events dir whose ts
+    // is a raw long of nanoseconds and assert both the batch read and
+    // the streaming source land on the same true timestamps.
+    import org.apache.spark.sql.functions._
+    val micros = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .limit(500)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos_events")
+    dir.toFile.deleteOnExit()
+    micros.select(col("event_id"), (col("us") * 1000L).as("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    val batch = Tables.events(spark, dir.toString)
+    assert(batch.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val want = micros.select(sum("us")).head.getLong(0)
+    assert(batch.select(sum(unix_micros(col("ts")))).head.getLong(0) == want)
+    val streamed = graft.streaming.EventsStream
+      .eventsStreamSource(spark, dir.resolve("events.parquet").toString)
+    assert(streamed.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("tumbling agg partitions every event into exactly one window") {
     val n = Events.qEventsTumble(spark, sf).agg(sum("n")).collect()(0).getLong(0)
     assert(n == Tables.events(spark, sf).count())
