@@ -208,6 +208,33 @@ object LakehouseQueries {
       |  CAST(o_orderkey % 7 AS DOUBLE) AS score
       |FROM base WHERE o_orderkey % 10 = 0""".stripMargin
 
+  /** A18 — vacuum + retention: after dropping versions 0-1 (manifests
+    * gone, their exclusively-referenced data files reclaimed, orphans
+    * swept), the LATEST version must still read back the full merged
+    * state — deletes applied, updates in force, inserts present. The
+    * oracle reconstructs that state from the raw table, so a vacuum
+    * that reclaims a still-live file breaks the hash loudly.
+    */
+  def qLakeVacuum(s: SparkSession, d: String): DataFrame = {
+    val dir = stageHistory(s, d)
+    Snapshots.vacuum(dir, keepFrom = 2)
+    Snapshots.read(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+  }
+
+  val qLakeVacuumSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey > 0)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM base WHERE o_orderkey % 9 <> 0 AND o_orderkey % 15 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice + 5000.0
+      |FROM base WHERE o_orderkey % 15 = 0 AND o_orderkey % 9 <> 0
+      |UNION ALL
+      |SELECT -o_orderkey, o_orderstatus, o_totalprice
+      |FROM base WHERE o_orderkey % 21 = 0""".stripMargin
+
   /** A18 — time travel: after the delete (v1) and merge (v2) commits,
     * reading version 0 must reproduce the ORIGINAL base exactly —
     * deleted rows visible, updates absent, inserts absent — because
@@ -225,6 +252,7 @@ object LakehouseQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lake_timetravel" -> (qLakeTimetravel(_, _)),
+    "q_lake_vacuum" -> (qLakeVacuum(_, _)),
     "q_lake_optimize" -> (qLakeOptimize(_, _)),
     "q_lake_merge" -> (qLakeMerge(_, _)),
     "q_lake_changefeed" -> (qLakeChangefeed(_, _)),
@@ -233,6 +261,7 @@ object LakehouseQueries {
 
   def oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> qLakeTimetravelSql,
+    "q_lake_vacuum" -> qLakeVacuumSql,
     "q_lake_optimize" -> qLakeOptimizeSql,
     "q_lake_merge" -> qLakeMergeSql,
     "q_lake_changefeed" -> qLakeChangefeedSql,
