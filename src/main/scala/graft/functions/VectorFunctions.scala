@@ -91,6 +91,32 @@ object VecOps {
     }
     h
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5 over the string's UTF-8 bytes — numerically
+    * IDENTICAL to `conv(substr(md5(x), 1, 15), 16, 10)` (the first 15
+    * hex chars are the first 15 nibbles = the first 8 digest bytes as
+    * an unsigned big-endian long, shifted right 4), but with no hex
+    * string materialized, no substring copy, no base-16 reparse. The
+    * digest instance is thread-local: one allocation per task thread,
+    * not per row.
+    */
+  def md5Prefix60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (d(i) & 0xffL)
+      i += 1
+    }
+    v >>> 4
+  }
 }
 
 /** Native (whole-stage-codegen) dot product over two `array<float>`
@@ -140,6 +166,21 @@ case class FloatVecDistSq(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, c) => s"graft.functions.VecOps.distSq($a, $c)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** 60-bit md5 prefix of a string column (see VecOps.md5Prefix60) —
+  * the dedup/span family's window hash. Oracle parity is exact: the
+  * DuckDB side keeps `('0x' || substr(md5(x), 1, 15))::BIGINT` /
+  * `conv(substr(md5(x), 1, 15), 16, 10)` and this computes the same
+  * 60-bit value from the digest bytes directly.
+  */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    VecOps.md5Prefix60(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.md5Prefix60($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** djb2 of a string column (see VecOps.djb2). */

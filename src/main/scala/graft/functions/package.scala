@@ -26,6 +26,12 @@ package object functions {
   def djb2(c: Column): Column =
     column(Djb2(expression(c)))
 
+  /** 60-bit md5 prefix of a string column — the dedup/span window
+    * hash, equal to `conv(substr(md5(x), 1, 15), 16, 10)`.
+    */
+  def md5_prefix60(c: Column): Column =
+    column(Md5Prefix60(expression(c)))
+
   /** Squared L2 distance of an `array<float>` column from an
     * `array<double>` centroid literal.
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.vec_cosine
+import graft.functions.{md5_prefix60, vec_cosine}
 
 /** Deduplication block (SURVEY.md §2.4) — exact and near-dup detection
   * over the documents/embeddings tables.
@@ -35,9 +35,13 @@ object Dedup {
   val NumHashes = 12
   val NumBands = 4 // 3 rows per band
 
-  /** 60-bit integer from the leading 15 hex chars of md5. */
-  private def h60(e: String): String =
-    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  /** 60-bit window hash: the native [[graft.functions.Md5Prefix60]]
+    * expression, numerically equal to the oracles'
+    * `conv(substr(md5(x), 1, 15), 16, 10)` without materializing the
+    * hex string per window.
+    */
+  private def h60(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5_prefix60(e)
 
   /** One cached shingle index per distinct source plan: every operator
     * in the dedup family (jaccard, minhash, LSH, pipeline, CC) starts
@@ -156,8 +160,8 @@ object Dedup {
       .where(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(arrays_zip(
         (1 to k).map(i => slice(col("w"), lit(i), nW).as(s"g$i")): _*)).as(Seq("i", "z")))
-      .selectExpr("doc_id", "i + 1 AS start",
-        s"${h60("concat_ws(' ', " + (1 to k).map(i => s"z.g$i").mkString(", ") + ")")} AS h")
+      .select(col("doc_id"), (col("i") + 1).as("start"),
+        h60(concat_ws(" ", (1 to k).map(i => col(s"z.g$i")): _*)).as("h"))
   }
 
   /** Distinct 3-word shingles per document, as 60-bit hashes:
@@ -645,8 +649,8 @@ object Dedup {
           (1 to kmax).map(i => slice(col("w"), lit(i), nW).as(s"g$i")): _*))
           .as(Seq("i", "z")))
     val hashCols = ks.map { k =>
-      val cat = "concat_ws(' ', " + (1 to k).map(i => s"z.g$i").mkString(", ") + ")"
-      when(col("i") + lit(k) <= col("n"), expr(h60(cat))).as(s"h_$k")
+      val cat = concat_ws(" ", (1 to k).map(i => col(s"z.g$i")): _*)
+      when(col("i") + lit(k) <= col("n"), h60(cat)).as(s"h_$k")
     }
     val melted = zipped
       .select(col("doc_id") +: hashCols: _*)
@@ -864,7 +868,7 @@ object Dedup {
       .where(col("word") =!= "") // row filter, not an interpreted array lambda
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", expr(h60("word")))
+      .withColumn("h", h60(col("word")))
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .selectExpr("doc_id", s"$fp AS simhash")

@@ -434,7 +434,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.expressions.Expression
-  import graft.functions.{BpeEncode, BpeMergeOnce, Djb2, FloatVecCosine, FloatVecDistSq, FloatVecDot, FloatVecNorm, ZValue}
+  import graft.functions.{BpeEncode, BpeMergeOnce, Djb2, FloatVecCosine, FloatVecDistSq, FloatVecDot, FloatVecNorm, Md5Prefix60, ZValue}
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { args: Seq[Expression] =>
@@ -447,6 +447,8 @@ object GraftFunctions {
       require(args.length == 2, "vec_dist_sq(a, c)"); FloatVecDistSq(args(0), args(1)) },
     "djb2" -> { args: Seq[Expression] =>
       require(args.length == 1, "djb2(s)"); Djb2(args(0)) },
+    "md5_prefix60" -> { args: Seq[Expression] =>
+      require(args.length == 1, "md5_prefix60(s)"); Md5Prefix60(args(0)) },
     "bpe_merge" -> { args: Seq[Expression] =>
       require(args.length == 3, "bpe_merge(syms, l, r)")
       BpeMergeOnce(args(0), args(1), args(2)) },
