@@ -27,8 +27,26 @@ object LakehouseQueries {
   private def base(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
+  /** Temp dir reclaimed at JVM exit — a bench/verify run stages a
+    * handful of versioned tables; without the hook they'd accumulate
+    * across runs (reads are all drained before exit, so recursive
+    * deletion is safe).
+    */
+  private def tempDir(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val walk = Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: Exception => () }
+    }))
+    dir.toString
+  }
+
   private def stage(df: DataFrame, nFiles: Int): String = {
-    val dir = Files.createTempDirectory("graft_lake").toString
+    val dir = tempDir("graft_lake")
     df.repartition(nFiles).write.mode("overwrite").parquet(dir)
     dir
   }
@@ -154,7 +172,7 @@ object LakehouseQueries {
     */
   def qLakeFeedStream(s: SparkSession, d: String): DataFrame = {
     val dir = stageHistory(s, d)
-    val ckpt = Files.createTempDirectory("graft_feed_ckpt").toString
+    val ckpt = tempDir("graft_feed_ckpt")
     val feed = Snapshots.readChangesStream(s, dir, "o_orderkey", ckpt)
     val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     feed.processAllAvailable { (batch, _, toV) =>
