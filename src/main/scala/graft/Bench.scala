@@ -74,6 +74,10 @@ object Bench {
       } catch { case _: Throwable => false }
       // -1 marks a failed query — never report a crash as a fast pass
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // lake-query staging copies are drained by the noop force above;
+      // reclaim them now (no-op for non-staging queries) so a 100x run
+      // never pins tens of GB of /tmp until JVM exit
+      sources.LakehouseQueries.reclaim()
       java.nio.file.Files.writeString(logPath, s"""{"$name":$sec}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
       name -> sec

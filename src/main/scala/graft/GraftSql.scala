@@ -24,7 +24,14 @@ object GraftSql {
           else Tables.load(spark, dir, name)
         df.createOrReplaceTempView(name)
       } catch {
-        case e: Exception =>
+        // ONLY the expected load-failure classes (missing dir, corrupt
+        // footer, schema mismatch — IOException / SparkException /
+        // AnalysisException). A genuine code bug in table wiring must
+        // fail loudly here with its root cause, not degrade to a WARN
+        // plus TABLE_OR_VIEW_NOT_FOUND three queries later.
+        case e @ (_: java.io.IOException
+                | _: org.apache.spark.SparkException
+                | _: org.apache.spark.sql.AnalysisException) =>
           // Leave the table unregistered; only queries referencing it
           // fail (TABLE_OR_VIEW_NOT_FOUND), with the root cause logged.
           org.slf4j.LoggerFactory.getLogger(getClass)

@@ -49,10 +49,16 @@ object Clustering {
     * k×dim per-dim means (the model update — same pattern as the BPE
     * argmax and the LSH hyperplanes).
     */
+  /** Deterministic init: the k lowest vec_ids. orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition bounded top-k heaps merged
+    * on the driver, NEVER a global sort of the corpus (ClusteringSpec
+    * pins the plan so a refactor can't regress it). Exposed so the pin
+    * tests the exact frame kmeans collects. */
+  private[graft] def initFrame(emb: DataFrame, k: Int): DataFrame =
+    emb.orderBy("vec_id").limit(k).select("embedding")
+
   def kmeans(emb: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
-    var cents: Seq[Seq[Double]] = emb
-      .orderBy("vec_id").limit(k)
-      .select("embedding").collect()
+    var cents: Seq[Seq[Double]] = initFrame(emb, k).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     require(cents.size == k, s"kmeans: corpus has fewer than $k vectors")
     val dim = cents.head.size

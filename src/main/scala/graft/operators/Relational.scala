@@ -284,8 +284,24 @@ object Relational {
     * Returns (groups…, __q, __v).
     */
   def valueAtRanks(df: DataFrame, groups: Seq[String], value: String,
-      ranks: Seq[(String, Long)], numParts: Int = 32): DataFrame =
+      ranks: Seq[(String, Long)], numParts: Int = 32): DataFrame = {
+    ranks.foreach { case (name, r) =>
+      require(r >= 1L, s"valueAtRanks: rank '$name' = $r is < 1 (ranks are 1-based)") }
     selectAtBounds(df, groups, value, numParts) { stats =>
+      // stats is a local relation (|groups| rows), so validating here is
+      // driver-side trivia. A rank outside [1, group size] would
+      // otherwise emit NO row silently and the caller's later lookup
+      // would fail far from the cause (an empty input makes every rank
+      // out of range — same failure, same guard).
+      val sizes = stats.select(min("__n")).head()
+      require(!sizes.isNullAt(0),
+        s"valueAtRanks: empty input — no rows to rank over for ranks " +
+          ranks.map(_._1).mkString("[", ", ", "]"))
+      val minN = sizes.getLong(0)
+      val over = ranks.filter(_._2 > minN)
+      require(over.isEmpty,
+        s"valueAtRanks: ranks ${over.map(r => s"'${r._1}'=${r._2}").mkString(", ")} " +
+          s"exceed the smallest group size $minN")
       ranks.map { case (name, r) =>
         stats.select(groups.map(g => col(g).as(s"__g_$g")) ++ Seq(
           lit(name).as("__q"),
@@ -294,6 +310,7 @@ object Relational {
           lit(0.0).as("__frac")): _*)
       }.reduce(_.unionByName(_))
     }
+  }
 
   /** The shared selection core: build the collapsed weighted layout,
     * derive all metadata driver-locally, let `mkBounds` turn the

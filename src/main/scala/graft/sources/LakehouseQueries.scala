@@ -27,22 +27,40 @@ object LakehouseQueries {
   private def base(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
-  /** Temp dir reclaimed at JVM exit — a bench/verify run stages a
-    * handful of versioned tables; without the hook they'd accumulate
-    * across runs (reads are all drained before exit, so recursive
-    * deletion is safe).
+  /** Staged dirs awaiting reclamation. ONE shutdown hook drains the
+    * shared list (a hook thread per dir would accumulate across a
+    * bench+verify+audit session that invokes each query several times),
+    * and [[reclaim]] lets a harness delete eagerly between queries —
+    * at a 100× sweep the staged copies are tens of GB of /tmp
+    * (possibly tmpfs/RAM) that must not pin until JVM exit.
     */
+  private val staged = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+  private lazy val hookOnce: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => reclaim()))
+
   private def tempDir(prefix: String): String = {
+    hookOnce
     val dir = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    staged.synchronized { staged += dir }
+    dir.toString
+  }
+
+  /** Eagerly delete every dir staged so far. Safe once the staging
+    * queries' results are DRAINED (bench's noop force, verify's parquet
+    * dump) — a still-lazy DataFrame over a reclaimed dir would lose its
+    * input. Harnesses call this between queries; the shutdown hook
+    * covers whatever remains.
+    */
+  def reclaim(): Unit = {
+    val dirs = staged.synchronized { val d = staged.toList; staged.clear(); d }
+    dirs.foreach { dir =>
       try {
         val walk = Files.walk(dir)
         try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.deleteIfExists(p))
         finally walk.close()
       } catch { case _: Exception => () }
-    }))
-    dir.toString
+    }
   }
 
   private def stage(df: DataFrame, nFiles: Int): String = {
@@ -226,6 +244,34 @@ object LakehouseQueries {
       |  CAST(o_orderkey % 7 AS DOUBLE) AS score
       |FROM base WHERE o_orderkey % 10 = 0""".stripMargin
 
+  /** A24 — column-mapping schema evolution end-to-end: RENAME
+    * o_totalprice→price (metadata-only commit), DROP o_orderstatus
+    * (metadata-only), then a keyed MERGE under the NEW schema whose
+    * copy-on-write rewrite must read old files through the mapping
+    * (logical `price` ↔ physical `o_totalprice`) and stage new files
+    * under physical names. The final read answers under the new
+    * logical names with values the oracle reproduces from the raw
+    * table; SnapshotsSpec pins that pre-rename versions still read
+    * under their own old names.
+    */
+  def qLakeSchemaMap(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d).filter(col("o_orderkey") % 2 === 1)
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir)
+    Snapshots.renameColumn(s, dir, "o_totalprice", "price")
+    Snapshots.dropColumn(s, dir, "o_orderstatus")
+    val upd = b.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("price"))
+    Snapshots.mergeVersioned(s, dir, upd, "o_orderkey")
+    Snapshots.read(s, dir).select("o_orderkey", "price")
+  }
+
+  val qLakeSchemaMapSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+      |       ELSE o_totalprice END AS price
+      |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin
+
   /** A18 — vacuum + retention: after dropping versions 0-1 (manifests
     * gone, their exclusively-referenced data files reclaimed, orphans
     * swept), the LATEST version must still read back the full merged
@@ -253,6 +299,47 @@ object LakehouseQueries {
       |SELECT -o_orderkey, o_orderstatus, o_totalprice
       |FROM base WHERE o_orderkey % 21 = 0""".stripMargin
 
+  /** A22+A14 — OPTIMIZE ZORDER on the snapshot log: stage 8 files,
+    * re-cluster the live set on the Morton code of (o_orderkey,
+    * o_totalprice), then read three ways the oracle reproduces from the
+    * raw table alone: (v0) time travel PAST the optimize — layout
+    * rewrites retire files from the manifest, never disk, so the
+    * pre-OPTIMIZE version reads bit-exact; (z_key)/(z_price) pruned
+    * range reads on EITHER z-ed dimension through the A15-style
+    * per-file index over the live manifest. Any row lost, duplicated,
+    * or re-valued by the re-clustering breaks a hash; the file-level
+    * pruning factor itself is spec-pinned (SnapshotsSpec).
+    */
+  def qLakeZorder(s: SparkSession, d: String): DataFrame = {
+    val dir = stage(base(s, d), 8)
+    Snapshots.init(s, dir)
+    Snapshots.compactZOrder(s, dir, "o_orderkey", "o_totalprice", 16)
+    def aggAll(df: DataFrame, t: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .select(lit(t).as("snap"), col("n"), col("total"),
+          col("min_key"), col("max_key"))
+    aggAll(Snapshots.read(s, dir, version = 0), "v0")
+      .unionByName(aggAll(
+        Snapshots.readPrunedRange(s, dir, "o_orderkey", 1L, 1000L), "z_key"))
+      .unionByName(aggAll(
+        Snapshots.readPrunedRange(s, dir, "o_totalprice", 100000L, 150000L), "z_price"))
+  }
+
+  val qLakeZorderSql: String =
+    """SELECT 'v0' AS snap, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders
+      |UNION ALL
+      |SELECT 'z_key', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM orders WHERE o_orderkey BETWEEN 1 AND 1000
+      |UNION ALL
+      |SELECT 'z_price', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000""".stripMargin
+
   /** A18 — time travel: after the delete (v1) and merge (v2) commits,
     * reading version 0 must reproduce the ORIGINAL base exactly —
     * deleted rows visible, updates absent, inserts absent — because
@@ -275,7 +362,9 @@ object LakehouseQueries {
     "q_lake_merge" -> (qLakeMerge(_, _)),
     "q_lake_changefeed" -> (qLakeChangefeed(_, _)),
     "q_lake_feed_stream" -> (qLakeFeedStream(_, _)),
-    "q_lake_schema_evo" -> (qLakeSchemaEvo(_, _)))
+    "q_lake_schema_evo" -> (qLakeSchemaEvo(_, _)),
+    "q_lake_schema_map" -> (qLakeSchemaMap(_, _)),
+    "q_lake_zorder" -> (qLakeZorder(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> qLakeTimetravelSql,
@@ -284,5 +373,7 @@ object LakehouseQueries {
     "q_lake_merge" -> qLakeMergeSql,
     "q_lake_changefeed" -> qLakeChangefeedSql,
     "q_lake_feed_stream" -> qLakeFeedStreamSql,
-    "q_lake_schema_evo" -> qLakeSchemaEvoSql)
+    "q_lake_schema_evo" -> qLakeSchemaEvoSql,
+    "q_lake_schema_map" -> qLakeSchemaMapSql,
+    "q_lake_zorder" -> qLakeZorderSql)
 }

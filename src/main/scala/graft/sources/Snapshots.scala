@@ -85,13 +85,54 @@ object Snapshots {
       .map(l => org.apache.spark.sql.types.DataType.fromJson(
         l.stripPrefix(SchemaHeader)).asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  // A24 — column mapping (the Delta column-mapping pattern): a field's
+  // metadata may carry the PHYSICAL name it is stored under in the data
+  // files. RENAME is then a metadata-only commit — same files, new
+  // logical name mapped to the old physical name — and DROP removes the
+  // field from the recorded schema while the bytes stay in place for
+  // older versions to time-travel to. Every version reads under ITS OWN
+  // schema: pre-rename versions show the old name, pre-drop versions
+  // still show the column. Data files are ALWAYS written under physical
+  // names, so a table's files stay mutually consistent across renames.
+  // Limitation (documented, as in Delta without id-mapping): re-adding
+  // a previously DROPPED column's name can resurrect pre-drop bytes
+  // from old files — real formats prevent this with column IDs.
+  private val PhysicalKey = "graft_physical"
+
+  private[graft] def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey) else f.name
+
+  private def toPhysical(s: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(s.fields.map(f => f.copy(name = physicalName(f))))
+
+  private def hasMapping(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(_.metadata.contains(PhysicalKey))
+
+  /** Read raw parquet `files` under a recorded schema: physical column
+    * names against the bytes, aliased back to logical names (metadata
+    * kept — downstream commits need the mapping to survive the frame). */
+  private def readFilesAs(spark: SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      files: Seq[String]): DataFrame = schema match {
+    case Some(s) if hasMapping(s) =>
+      spark.read.schema(toPhysical(s)).parquet(files: _*)
+        .select(s.fields.toIndexedSeq.map(f =>
+          col(physicalName(f)).as(f.name, f.metadata)): _*)
+    case Some(s) => spark.read.schema(s).parquet(files: _*)
+    case None    => spark.read.parquet(files: _*)
+  }
+
+  /** Project a logical-name frame to the PHYSICAL names of `schema`
+    * for staging to disk (identity when no mapping is in force). */
+  private def stagedAsPhysical(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.fields.toIndexedSeq.map(f =>
+      col(f.name).as(physicalName(f))): _*)
+
   /** Read `files` under version `v`'s recorded schema when present. */
   private def readUnder(spark: SparkSession, path: String, v: Int,
       files: Seq[String]): DataFrame =
-    tableSchema(path, v) match {
-      case Some(s) => spark.read.schema(s).parquet(files: _*)
-      case None    => spark.read.parquet(files: _*)
-    }
+    readFilesAs(spark, tableSchema(path, v), files)
 
   /** Earliest version whose manifest is still retained (vacuum drops
     * old manifests), i.e. the furthest back time travel reaches. */
@@ -176,6 +217,48 @@ object Snapshots {
     else readUnder(spark, path, v, files)
   }
 
+  /** A24 — RENAME COLUMN as a metadata-only commit: zero data files
+    * move; the new logical name maps (via field metadata) to the
+    * physical name the bytes are stored under. Time travel to
+    * pre-rename versions reads under the OLD name — each version owns
+    * its schema. Returns the new version.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+      from: String, to: String): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val live = liveFiles(path, v)
+    val schema = tableSchema(path, v).getOrElse(
+      spark.read.parquet(live: _*).schema)
+    require(schema.fieldNames.contains(from), s"renameColumn: no column '$from'")
+    require(!schema.fieldNames.contains(to), s"renameColumn: column '$to' exists")
+    val fields = schema.fields.map { f =>
+      if (f.name == from)
+        org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysicalKey, physicalName(f))
+            .build())
+      else f
+    }
+    commit(path, live, Some(org.apache.spark.sql.types.StructType(fields)))
+  }
+
+  /** A24 — DROP COLUMN as a metadata-only commit: the field leaves the
+    * recorded schema; its bytes stay in the files so every retained
+    * prior version still time-travels to it. Returns the new version.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val live = liveFiles(path, v)
+    val schema = tableSchema(path, v).getOrElse(
+      spark.read.parquet(live: _*).schema)
+    require(schema.fieldNames.contains(name), s"dropColumn: no column '$name'")
+    val fields = schema.fields.filterNot(_.name == name)
+    require(fields.nonEmpty, "dropColumn: cannot drop the last column")
+    commit(path, live, Some(org.apache.spark.sql.types.StructType(fields)))
+  }
+
   /** Versioned upsert: A16's index-pruned copy-on-write, except the
     * superseded files are retired from the MANIFEST instead of deleted
     * from disk. Returns the new version.
@@ -209,7 +292,7 @@ object Snapshots {
       .map(canonical)
     val oldTouched =
       if (touched.isEmpty) target.limit(0)
-      else spark.read.schema(target.schema).parquet(touched.toIndexedSeq: _*)
+      else readUnder(spark, path, v, touched.toIndexedSeq)
     val kept = oldTouched
       .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_anti")
     // Schema evolution on write: a batch with NEW columns widens the
@@ -219,9 +302,18 @@ object Snapshots {
     // upserts whole rows with nulls there (full-row replace
     // semantics, same as the unwidened path).
     val rewritten = kept.unionByName(updates, allowMissingColumns = true)
+    // commit schema = the base version's schema (mapping metadata kept)
+    // extended by the batch's new columns (physical = logical for new)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      tableSchema(path, v).getOrElse(target.schema).fields ++
+        rewritten.schema.fields.filterNot(f =>
+          tableSchema(path, v).getOrElse(target.schema).fieldNames.contains(f.name)))
 
     val stage = Files.createTempDirectory("graft_snap").toString
-    rewritten.write.mode(SaveMode.Overwrite).parquet(stage)
+    // data files always land under PHYSICAL names so the live set stays
+    // uniform across renames (readUnder aliases back to logical)
+    stagedAsPhysical(rewritten, outSchema)
+      .write.mode(SaveMode.Overwrite).parquet(stage)
     val dst = Paths.get(path)
     val staged = listDir(Paths.get(stage))
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -250,11 +342,11 @@ object Snapshots {
     while (true) {
       val newLive = baseLive.filterNot(f => touchedSet.contains(canonical(f))) ++ staged
       val schema =
-        if (base == v) rewritten.schema
+        if (base == v) outSchema
         else tableSchema(path, base) match {
           case Some(w) => org.apache.spark.sql.types.StructType(w.fields ++
-            rewritten.schema.fields.filterNot(f => w.fieldNames.contains(f.name)))
-          case None => rewritten.schema
+            outSchema.fields.filterNot(f => w.fieldNames.contains(f.name)))
+          case None => outSchema
         }
       if (commitAt(path, base + 1, newLive, Some(schema))) return base + 1
       attempt += 1
@@ -307,11 +399,59 @@ object Snapshots {
     // SQL DELETE null semantics: NULL predicate keeps the row, but a
     // bare filter(!pred) drops it (NOT(null) is null) — coalesce so
     // null-predicate rows survive the copy-on-write rewrite.
-    val keptRows = spark.read.schema(target.schema)
-      .parquet(touched.toIndexedSeq: _*)
+    val keptRows = readUnder(spark, path, v, touched.toIndexedSeq)
       .filter(!coalesce(predicate, lit(false)))
     val stage = Files.createTempDirectory("graft_snap_del").toString
-    keptRows.write.mode(SaveMode.Overwrite).parquet(stage)
+    stagedAsPhysical(keptRows, tableSchema(path, v).getOrElse(target.schema))
+      .write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    val staged = listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    val touchedSet = touched.toSet
+    commit(path, live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged,
+      tableSchema(path, v))
+  }
+
+  /** Versioned DELETE BY KEY SET: [[deleteVersioned]] where the doomed
+    * keys arrive as a DATAFRAME instead of a predicate — the form a
+    * change-feed mirror needs. A predicate built from a collected key
+    * list (`isin(k1…kN)`) puts one literal per key into the plan: a
+    * large delete batch bloats analysis/codegen and caps out entirely
+    * well before the batch does. Here the keys stay distributed: file
+    * discovery is the A15-style stats semi-join (per-file key ranges ×
+    * broadcast keys — same pruning as [[mergeVersioned]]), and the
+    * rewrite is one anti join. Plan size is O(1) in the key count.
+    * Returns the new version.
+    */
+  def deleteVersionedKeys(spark: SparkSession, path: String,
+      keys: DataFrame, keyCol: String): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val live = liveFiles(path, v)
+    val target = readUnder(spark, path, v, live)
+    val k = keys.select(col(keyCol)).distinct()
+    // prune to files whose [kmin, kmax] contains a doomed key; only
+    // those can hold a row to delete, only those are rewritten
+    val stats = target
+      .withColumn("file", input_file_name())
+      .groupBy("file")
+      .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+    val touched = stats
+      .join(broadcast(k.withColumnRenamed(keyCol, "__k")),
+        col("__k") >= col("kmin") && col("__k") <= col("kmax"), "left_semi")
+      .select("file").collect().map(r => canonical(r.getString(0)))
+    if (touched.isEmpty) // no-op version, schema carried forward
+      return commit(path, live, tableSchema(path, v))
+    val keptRows = readUnder(spark, path, v, touched.toIndexedSeq)
+      .join(broadcast(k), Seq(keyCol), "left_anti")
+    val stage = Files.createTempDirectory("graft_snap_del").toString
+    stagedAsPhysical(keptRows, tableSchema(path, v).getOrElse(target.schema))
+      .write.mode(SaveMode.Overwrite).parquet(stage)
     val dst = Paths.get(path)
     val staged = listDir(Paths.get(stage))
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -353,9 +493,11 @@ object Snapshots {
     // read under the recorded schema: after a widening commit the
     // small set has MIXED physical schemas; packing must null-fill,
     // not silently drop the widened column from pre-widening files
-    val packed = readUnder(spark, path, v, small).coalesce(bins)
+    val sch = tableSchema(path, v)
+    val packed = readUnder(spark, path, v, small)
     val stage = Files.createTempDirectory("graft_compact").toString
-    packed.write.mode(SaveMode.Overwrite).parquet(stage)
+    sch.fold(packed)(stagedAsPhysical(packed, _)).coalesce(bins)
+      .write.mode(SaveMode.Overwrite).parquet(stage)
     val dst = Paths.get(path)
     val staged = listDir(Paths.get(stage))
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -365,6 +507,71 @@ object Snapshots {
         dst.resolve(name).toString
       }
     commit(path, big ++ staged, tableSchema(path, v))
+  }
+
+  /** A22+A14 — OPTIMIZE ZORDER BY on the snapshot log: re-cluster the
+    * ENTIRE live set on the Morton code of (c1, c2) as a rewrite-only
+    * commit — the Delta `OPTIMIZE … ZORDER BY` shape. The live row
+    * multiset is untouched (the A20 feed across this version is empty,
+    * spec-pinned), every prior version stays time-travelable (old files
+    * are retired from the manifest, not disk), and after the commit the
+    * per-file min/max ranges are narrow on BOTH dimensions, so the
+    * A15-style pruned read ([[readPrunedRange]]) skips most files for a
+    * range predicate on either column.
+    *
+    * Unlike bin-packing [[compact]] this deliberately rewrites the full
+    * live set — re-clustering is a whole-table layout decision. At
+    * 100 TB you run it per partition of a partitioned table; the commit
+    * protocol is the same either way.
+    */
+  def compactZOrder(spark: SparkSession, path: String,
+      c1: String, c2: String, numFiles: Int): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val live = liveFiles(path, v)
+    require(live.nonEmpty, s"$path has no live files at v$v")
+    val clustered = Sources.zClustered(
+      readUnder(spark, path, v, live), c1, c2, numFiles)
+    val stage = Files.createTempDirectory("graft_zorder").toString
+    tableSchema(path, v).fold(clustered)(stagedAsPhysical(clustered, _))
+      .write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    val staged = listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_zorder_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    commit(path, staged, tableSchema(path, v))
+  }
+
+  /** A15 over the LIVE set: range read through a per-file min/max index
+    * built on the manifest's files only (one scan of the version —
+    * at 100 TB the index is maintained incrementally per commit, like
+    * Delta's per-file stats in the log). Files whose [min, max] misses
+    * [lo, hi] are pruned from the FILE LIST before Spark plans the
+    * scan; the row-level predicate re-applies on top. After
+    * [[compactZOrder]] on (c1, c2) this prunes on EITHER dimension.
+    */
+  def readPrunedRange(spark: SparkSession, path: String, column: String,
+      lo: Long, hi: Long, version: Int = -1): DataFrame = {
+    val v = if (version < 0) currentVersion(path) else version
+    require(Files.exists(manifestPath(path, v)), s"no version $v at $path")
+    val files = liveFiles(path, v)
+    val full = readUnder(spark, path, v, files)
+    // NO integral cast anywhere: Spark's double→long truncates where
+    // other engines round, so the predicate compares in the column's
+    // own type (numeric literals promote)
+    val pred = col(column) >= lo && col(column) <= hi
+    val keep = full
+      .withColumn("__file", input_file_name())
+      .groupBy("__file")
+      .agg(min(col(column)).as("__min"), max(col(column)).as("__max"))
+      .filter(!(col("__max") < lo || col("__min") > hi))
+      .select("__file").collect().map(r => canonical(r.getString(0)))
+    if (keep.isEmpty) full.filter(pred).limit(0)
+    else readUnder(spark, path, v, keep.toIndexedSeq).filter(pred)
   }
 
   /** A20 — change feed between two committed versions (the Delta CDF
@@ -411,8 +618,7 @@ object Snapshots {
     val hint = tableSchema(path, toV).orElse(tableSchema(path, fromV))
     def readFiles(fs: Set[String]): Option[DataFrame] =
       if (fs.isEmpty) None
-      else Some(hint.fold(spark.read)(s => spark.read.schema(s))
-        .parquet(fs.toSeq: _*))
+      else Some(readFilesAs(spark, hint, fs.toSeq))
     val preOpt = readFiles(a -- b)
     val postOpt = readFiles(b -- a)
     // schema from the DIFF reads (a full-version read would touch the

@@ -73,9 +73,13 @@ object Sources {
     * skewed columns swaps the linear scale for approx-quantile ranks,
     * same layout otherwise.
     */
-  def writeZOrdered(
-      df: DataFrame, path: String, c1: String, c2: String,
-      numFiles: Int): Unit = {
+  /** The z-clustering transform alone (no sink): rows range-partitioned
+    * and in-partition sorted on the Morton code of (c1, c2), the code
+    * itself dropped. Shared by [[writeZOrdered]] (plain dir) and
+    * [[Snapshots.compactZOrder]] (rewrite-only commit on the log).
+    */
+  private[sources] def zClustered(
+      df: DataFrame, c1: String, c2: String, numFiles: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col, max, min}
     val r = df.agg(
       min(c1).cast("long"), max(c1).cast("long"),
@@ -88,8 +92,13 @@ object Sources {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  def writeZOrdered(
+      df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int): Unit =
+    zClustered(df, c1, c2, numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** A15 — file-level data-skipping index: per-file min/max of the
     * given columns, built in ONE scan (group by input_file_name). This

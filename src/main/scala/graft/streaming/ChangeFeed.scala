@@ -109,12 +109,12 @@ object ChangeFeed {
       }
       val ups = batch.filter(col("change_type") =!= "delete").drop("change_type")
       if (!ups.isEmpty) Snapshots.mergeVersioned(s, dstPath, ups, keyCol)
-      // a batch's delete keys are bounded by its changed-file rows; the
-      // driver-side list is the standard foreachBatch merge pattern
-      val dels = batch.filter(col("change_type") === "delete")
-        .select(keyCol).collect().map(_.get(0))
-      if (dels.nonEmpty)
-        Snapshots.deleteVersioned(s, dstPath, col(keyCol).isin(dels.toIndexedSeq: _*))
+      // delete keys stay a DATAFRAME end to end: the anti-join delete
+      // keeps plan size O(1) in the key count, where a collected
+      // isin(...) list put one literal per key into the plan and a
+      // large delete batch bloated (then broke) analysis/codegen
+      val dels = batch.filter(col("change_type") === "delete").select(keyCol)
+      if (!dels.isEmpty) Snapshots.deleteVersionedKeys(s, dstPath, dels, keyCol)
       ()
     }
   }

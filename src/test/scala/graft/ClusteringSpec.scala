@@ -65,6 +65,18 @@ class ClusteringSpec extends GraftSuite {
     got.groupBy(_._1).foreach { case (_, rs) => assert(rs.length <= Clustering.CoresetM) }
   }
 
+  test("kmeans init plans as distributed top-k, never a global sort") {
+    // the deterministic init (k lowest vec_ids) must stay
+    // TakeOrderedAndProject: per-partition bounded heaps + driver
+    // merge. A refactor that regresses it to Sort+Limit would global-
+    // sort the whole corpus to pick k rows at 100 TB.
+    val init = Clustering.initFrame(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding"), 16)
+    val plan = init.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("GlobalLimit"), plan.take(800))
+  }
+
   test("kmeans assignment quality beats a degenerate single cluster") {
     val out = Clustering.qKmeans(spark, sf).collect()
     val inertia = out.map(_.getDouble(2)).sum

@@ -37,6 +37,26 @@ class PlanAuditSpec extends GraftSuite {
   // StreamingSpec instead.
   private val skip = Set("q_stream_tumble", "q_stream_join")
 
+  // AUDIT-EXEMPT EAGER QUERIES (documented, not skipped): these run
+  // their heavy work at DataFrame-CONSTRUCTION time and return only a
+  // local relation or a final aggregate, so the plan asserts below see
+  // the residue, not the heavy plan. Each one's heavy plan is audited
+  // through another surface: q_equidepth rides the SAME selectAtBounds
+  // selection core as q_percentile (whose returned frame IS the lazy
+  // selection plan, pinned below); the q_lake_* staging/merge/feed
+  // plans are pinned by SnapshotsSpec, MergeSpec and StreamingSpec.
+  // This test keeps the documented set in sync with the inventory.
+  private val eagerAudited = Set("q_equidepth", "q_lake_timetravel",
+    "q_lake_vacuum", "q_lake_optimize", "q_lake_merge", "q_lake_changefeed",
+    "q_lake_feed_stream", "q_lake_schema_evo", "q_lake_schema_map",
+    "q_lake_zorder")
+
+  test("audit-exempt eager query set matches the inventory") {
+    assert(eagerAudited.subsetOf(SparkEntry.queries.keySet),
+      s"documented eager queries missing from inventory: " +
+        (eagerAudited -- SparkEntry.queries.keySet).mkString(", "))
+  }
+
   test("audit walks the complete query inventory") {
     // the r5 regression hid 22 queries from the audit because plan
     // enumeration threw; pin the inventory size so a silently-shrunk
@@ -52,6 +72,7 @@ class PlanAuditSpec extends GraftSuite {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has CartesianProduct")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has BroadcastNestedLoopJoin")
+      sources.LakehouseQueries.reclaim() // free eager lake staging copies
     }
   }
 
@@ -64,6 +85,7 @@ class PlanAuditSpec extends GraftSuite {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.replace(" ", "").contains(fullLineitem.replace(" ", "")),
         s"$name reads all lineitem columns")
+      sources.LakehouseQueries.reclaim() // free eager lake staging copies
     }
   }
 

@@ -278,6 +278,91 @@ class SnapshotsSpec extends GraftSuite {
     assert(postVac == before)
   }
 
+  test("OPTIMIZE ZORDER: layout-only commit, prunes files on BOTH dimensions, time travel intact") {
+    val dir = Files.createTempDirectory("graft_zorder_spec").toString + "/t"
+    // two decorrelated uniform dimensions: a narrow range in EITHER
+    // must prune most z-tiles after re-clustering
+    spark.range(40000)
+      .selectExpr("id AS k", "(id * 7919) % 40000 AS x", "id % 97 AS payload")
+      .repartition(8).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val before = Snapshots.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+
+    val v1 = Snapshots.compactZOrder(spark, dir, "k", "x", numFiles = 16)
+    assert(v1 == 1)
+    // (a) layout-only: the live row multiset is untouched
+    assert(Snapshots.changesBetween(spark, dir, 0, v1, "k").count() == 0)
+    val after = Snapshots.read(spark, dir, v1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(after == before)
+    // (b) time travel to the pre-OPTIMIZE version reads bit-exact
+    val pre = Snapshots.read(spark, dir, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(pre == before)
+    // (c) a 2% range on EITHER z-ed dimension prunes to < half the
+    // live files (16 z-tiles ≈ a 4×4 grid; a thin slab crosses one
+    // row/column of tiles) and reads exactly the right rows
+    for (c <- Seq("k", "x")) {
+      val pruned = Snapshots.readPrunedRange(spark, dir, c, 0L, 799L)
+      val nFiles = pruned.select(input_file_name()).distinct().count()
+      assert(nFiles < 8, s"$c: range read touched $nFiles of 16 files")
+      assert(pruned.count() == 800L, s"$c: pruned read lost rows")
+    }
+    // (d) vacuum past the optimize keeps the latest intact
+    Snapshots.vacuum(dir, keepFrom = v1)
+    assert(Snapshots.read(spark, dir).count() == 40000L)
+  }
+
+  test("column mapping: rename/drop are metadata-only and every version keeps its own schema") {
+    import spark.implicits._
+    val dir = freshTable() // (k, payload, gen) × 100 over 4 files
+    Snapshots.init(spark, dir) // v0
+    def manifest(v: Int) = Files.readAllLines(
+      Paths.get(dir, "_graft_log", f"v$v%06d.manifest")).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+
+    val v1 = Snapshots.renameColumn(spark, dir, "payload", "doc")
+    val v2 = Snapshots.dropColumn(spark, dir, "gen")
+    // metadata-only: zero data files moved by either commit
+    assert(manifest(v1) == manifest(0) && manifest(v2) == manifest(0))
+    // latest reads under the NEW logical names, values intact
+    val cur = Snapshots.read(spark, dir)
+    assert(cur.columns.toSeq == Seq("k", "doc"))
+    assert(cur.filter(col("k") === 5L).head().getString(1) == "v5")
+    // rename is not a change: the feed across both commits is empty
+    assert(Snapshots.changesBetween(spark, dir, 0, v2, "k").count() == 0)
+
+    // a MERGE under the new schema: the copy-on-write rewrite reads
+    // old files through the mapping and stages under physical names
+    val v3 = Snapshots.mergeVersioned(spark, dir,
+      Seq((5L, "UP5"), (200L, "NEW200")).toDF("k", "doc"), "k")
+    val m = Snapshots.read(spark, dir, v3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 101 && m(5L) == "UP5" && m(200L) == "NEW200" && m(7L) == "v7")
+
+    // time travel: v0 still answers under the OLD names and old values
+    val v0df = Snapshots.read(spark, dir, 0)
+    assert(v0df.columns.toSeq == Seq("k", "payload", "gen"))
+    assert(v0df.filter(col("k") === 5L).head().getString(1) == "v5")
+    assert(!v0df.columns.contains("doc"))
+
+    // mapping chains: a SECOND rename of the same column still reads
+    // the original physical bytes; delete under the mapped name works
+    Snapshots.renameColumn(spark, dir, "doc", "text")
+    Snapshots.deleteVersioned(spark, dir, col("text") === "UP5")
+    val fin = Snapshots.read(spark, dir)
+    assert(fin.columns.toSeq == Seq("k", "text"))
+    assert(fin.count() == 100 && fin.filter(col("k") === 5L).count() == 0)
+    assert(fin.filter(col("k") === 9L).head().getString(1) == "v9")
+
+    // refused: rename to an existing name / drop a missing column
+    intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, dir, "text", "k"))
+    intercept[IllegalArgumentException](
+      Snapshots.dropColumn(spark, dir, "payload"))
+  }
+
   test("change-feed stream: bronze→silver chaining equals batch replay, restart-safe") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_feed_spec").toString
@@ -334,6 +419,44 @@ class SnapshotsSpec extends GraftSuite {
     val replay = Snapshots.read(spark, bronze).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(table(silver) == replay)
+  }
+
+  test("mirror applies a 10k-key delete batch as an anti join, no literal key list") {
+    import spark.implicits._
+    // the mirror's delete path must carry the doomed keys as a
+    // DATAFRAME (deleteVersionedKeys' broadcast anti join — plan size
+    // O(1) in key count); the old collect+isin form put 10k literals
+    // into one predicate and bloated analysis/codegen with batch size
+    val base = Files.createTempDirectory("graft_feed_bigdel").toString
+    val bronze = base + "/bronze"; val silver = base + "/silver"
+    val ckpt = base + "/ckpt"
+    spark.range(1L, 30001L)
+      .selectExpr("id AS k", "concat('v', id) AS payload")
+      .repartitionByRange(8, col("k")).write.parquet(bronze)
+    Snapshots.init(spark, bronze)
+    val feed = Snapshots.readChangesStream(spark, bronze, "k", ckpt)
+    assert(feed.mirrorAvailable(silver) == 1)
+    Snapshots.deleteVersioned(spark, bronze, col("k") % 3 === 0) // 10k keys
+    assert(feed.mirrorAvailable(silver) == 1)
+    assert(Snapshots.read(spark, silver).count() == 20000L)
+    assert(Snapshots.read(spark, silver).filter(col("k") % 3 === 0).count() == 0L)
+    // and the DataFrame-keyed delete API itself: physical minimality —
+    // keys confined to one file's range rewrite only that file
+    val dir = freshTable() // (k, payload, gen) × 100 over 4 range files
+    Snapshots.init(spark, dir)
+    val preFiles = Snapshots.read(spark, dir)
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+    val v1 = Snapshots.deleteVersionedKeys(spark, dir,
+      Seq(1L, 2L).toDF("k"), "k")
+    assert(Snapshots.read(spark, dir, v1).count() == 98L)
+    val postFiles = Snapshots.read(spark, dir, v1)
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+    assert(preFiles.intersect(postFiles).length == preFiles.length - 1,
+      "a 2-key delete in one file's range must rewrite exactly one file")
+    // absent keys → no-op version, rows untouched
+    val v2 = Snapshots.deleteVersionedKeys(spark, dir,
+      Seq(999999L).toDF("k"), "k")
+    assert(v2 == v1 + 1 && Snapshots.read(spark, dir, v2).count() == 98L)
   }
 
   test("schema evolution on write: widening merge, typed feed, exact time travel") {
