@@ -103,13 +103,41 @@ object Sketches {
   /** Greenwald-Khanna approximate quantiles (`approxQuantile`) of a
     * fact column — rank error bounded by relativeError·n, single pass,
     * mergeable per-partition summaries.
+    *
+    * The output carries the error ENVELOPE, measured exactly: each row
+    * is (p, estimate, rank_lo, rank_hi, n, rank_err) where [rank_lo,
+    * rank_hi] is the estimate's exact rank interval (ties make it an
+    * interval) from ONE conditional-aggregate pass over the fact table,
+    * and rank_err = the distance from that interval to the target band
+    * p·n ± eps·n, as a fraction of n — 0.0 when the GK guarantee holds.
+    * The driver's rows-only check thereby records the bound NUMERICALLY
+    * in the verified artifact (an estimate drifting out of its envelope
+    * shows up as rank_err > 0) instead of trusting the spec alone; the
+    * spec still asserts the bound against an independently sorted copy.
     */
   def qApproxQuantile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val probs = Array(0.25, 0.5, 0.75, 0.95, 0.99)
-    val qs = Tables.lineitem(s, d).stat
-      .approxQuantile("l_extendedprice", probs, 0.001)
-    probs.zip(qs).toSeq.toDF("p", "value")
+    val eps = 0.001
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val qs = li.stat.approxQuantile("v", probs, eps)
+    // exact rank interval of all 5 estimates in one distributed pass
+    val aggs = probs.indices.flatMap(i => Seq(
+      sum(when(col("v") < qs(i), 1L).otherwise(0L)).as(s"lt_$i"),
+      sum(when(col("v") <= qs(i), 1L).otherwise(0L)).as(s"le_$i")))
+    val row = li.agg(count(lit(1)).as("n"), aggs: _*).head()
+    val n = row.getAs[Long]("n")
+    val out = probs.indices.map { i =>
+      val rankLo = row.getAs[Long](s"lt_$i") + 1L
+      val rankHi = row.getAs[Long](s"le_$i")
+      val bandLo = (probs(i) - eps) * n
+      val bandHi = (probs(i) + eps) * n
+      val err = math.max(0.0,
+        math.max(bandLo - rankHi, rankLo - bandHi)) / n
+      (probs(i), qs(i), rankLo, rankHi, n,
+        BigDecimal(err).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    out.toDF("p", "estimate", "rank_lo", "rank_hi", "n", "rank_err")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -210,8 +210,11 @@ case class AsOfJoinExec(
     }
     // consume() evaluates leftVars/payVars code at its splice point —
     // after the matched flag they reference is set
+    // NO limitNotReachedCond here: it is only for leaf/blocking nodes
+    // (Spark logs a [BUG] warning otherwise); a limit above us stops
+    // consumption via shouldStop(), the same contract SortMergeJoin uses
     s"""
-       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |while ($leftInput.hasNext()) {
        |  InternalRow $leftRow = (InternalRow) $leftInput.next();
        |  ${lkEv.code}
        |  ${ltEv.code}

@@ -194,6 +194,24 @@ object Snapshots {
     v
   }
 
+  /** CAS commit against the BASE VERSION THE OPERATION READ: lands at
+    * base+1 or throws. Every non-rebasing writer (delete, compact,
+    * rename, drop) must publish through this, never through [[commit]]
+    * — commit() recomputes the head at publish time, so a concurrent
+    * winner landing between an operation's read and its publish would
+    * have its changes silently DISCARDED by a live set derived from the
+    * stale base (a lost update the stress spec catches). Losing here is
+    * loud; the caller restages from the new head and retries.
+    */
+  private def commitNext(path: String, base: Int, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): Int = {
+    if (!commitAt(path, base + 1, files, schema))
+      throw new java.nio.file.FileAlreadyExistsException(
+        manifestPath(path, base + 1).toString +
+          " (concurrent commit won this version; re-read and retry)")
+    base + 1
+  }
+
   /** Version 0: snapshot the directory's current parquet files. */
   def init(spark: SparkSession, path: String): Int = {
     require(currentVersion(path) < 0, s"$path already versioned")
@@ -240,7 +258,7 @@ object Snapshots {
             .build())
       else f
     }
-    commit(path, live, Some(org.apache.spark.sql.types.StructType(fields)))
+    commitNext(path, v, live, Some(org.apache.spark.sql.types.StructType(fields)))
   }
 
   /** A24 — DROP COLUMN as a metadata-only commit: the field leaves the
@@ -256,7 +274,7 @@ object Snapshots {
     require(schema.fieldNames.contains(name), s"dropColumn: no column '$name'")
     val fields = schema.fields.filterNot(_.name == name)
     require(fields.nonEmpty, "dropColumn: cannot drop the last column")
-    commit(path, live, Some(org.apache.spark.sql.types.StructType(fields)))
+    commitNext(path, v, live, Some(org.apache.spark.sql.types.StructType(fields)))
   }
 
   /** Versioned upsert: A16's index-pruned copy-on-write, except the
@@ -395,7 +413,7 @@ object Snapshots {
       .withColumn("file", input_file_name())
       .select("file").distinct().collect().map(r => canonical(r.getString(0)))
     if (touched.isEmpty) // no-op version, schema carried forward
-      return commit(path, live, tableSchema(path, v))
+      return commitNext(path, v, live, tableSchema(path, v))
     // SQL DELETE null semantics: NULL predicate keeps the row, but a
     // bare filter(!pred) drops it (NOT(null) is null) — coalesce so
     // null-predicate rows survive the copy-on-write rewrite.
@@ -413,7 +431,7 @@ object Snapshots {
         dst.resolve(name).toString
       }
     val touchedSet = touched.toSet
-    commit(path, live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged,
+    commitNext(path, v, live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged,
       tableSchema(path, v))
   }
 
@@ -446,7 +464,7 @@ object Snapshots {
         col("__k") >= col("kmin") && col("__k") <= col("kmax"), "left_semi")
       .select("file").collect().map(r => canonical(r.getString(0)))
     if (touched.isEmpty) // no-op version, schema carried forward
-      return commit(path, live, tableSchema(path, v))
+      return commitNext(path, v, live, tableSchema(path, v))
     val keptRows = readUnder(spark, path, v, touched.toIndexedSeq)
       .join(broadcast(k), Seq(keyCol), "left_anti")
     val stage = Files.createTempDirectory("graft_snap_del").toString
@@ -461,7 +479,7 @@ object Snapshots {
         dst.resolve(name).toString
       }
     val touchedSet = touched.toSet
-    commit(path, live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged,
+    commitNext(path, v, live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged,
       tableSchema(path, v))
   }
 
@@ -506,7 +524,7 @@ object Snapshots {
         Files.move(p, dst.resolve(name))
         dst.resolve(name).toString
       }
-    commit(path, big ++ staged, tableSchema(path, v))
+    commitNext(path, v, big ++ staged, tableSchema(path, v))
   }
 
   /** A22+A14 — OPTIMIZE ZORDER BY on the snapshot log: re-cluster the
@@ -543,7 +561,7 @@ object Snapshots {
         Files.move(p, dst.resolve(name))
         dst.resolve(name).toString
       }
-    commit(path, staged, tableSchema(path, v))
+    commitNext(path, v, staged, tableSchema(path, v))
   }
 
   /** A15 over the LIVE set: range read through a per-file min/max index

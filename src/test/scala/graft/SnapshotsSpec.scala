@@ -563,6 +563,83 @@ class SnapshotsSpec extends GraftSuite {
     assert(table()(700L) == "F700")
   }
 
+  test("OCC stress: 6 racing writers (merge/delete/compact), linear history, zero lost updates") {
+    import spark.implicits._
+    // every writer owns a disjoint key range; every publish goes
+    // through the read-base CAS (commitNext / the merge rebase loop),
+    // so no schedule may lose a landed update. Before the CAS fix,
+    // delete/compact re-read the head at publish time and could bury a
+    // concurrent winner's commit under a stale live set.
+    val dir = Files.createTempDirectory("graft_occ_stress").toString + "/t"
+    (1L to 400L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+      .repartitionByRange(8, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+
+    // client retry contract for non-rebasing ops: losing the CAS (or a
+    // merge hitting a file another writer re-laid-out) restages from
+    // the NEW head — content-correct because each retry re-reads
+    def retry[T](f: => T): T = {
+      var out: Option[T] = None
+      while (out.isEmpty) {
+        try out = Some(f)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => Thread.sleep(5)
+          case _: java.util.ConcurrentModificationException => Thread.sleep(5)
+        }
+      }
+      out.get
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def writer(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable => errs.add(e) }, name)
+      t.start(); t
+    }
+
+    val writers =
+      (0 until 4).map { t =>
+        writer(s"merge-$t") {
+          for (i <- 1 to 3) {
+            val batch = (1 to 5).map(j => (t * 100L + j, s"T${t}M$i", i.toLong))
+              .toDF("k", "payload", "gen")
+            retry(Snapshots.mergeVersionedOCC(spark, dir, batch, "k",
+              maxRetries = 50, beforeCommit = () => ()))
+          }
+        }
+      } :+
+        writer("delete") {
+          for (i <- 0 until 3) {
+            val lo = 380 + i * 7; val hi = lo + 6
+            retry(Snapshots.deleteVersioned(spark, dir,
+              col("k") >= lo && col("k") <= hi))
+          }
+        } :+
+        writer("compact") {
+          for (_ <- 0 until 2)
+            retry(Snapshots.compact(spark, dir, targetBytes = 1L << 20))
+        }
+    writers.foreach(_.join())
+    assert(errs.isEmpty, s"writer died: ${Option(errs.peek()).map(_.toString)}")
+
+    // linear history: versions 0..head are gap-free and all readable
+    val head = Snapshots.currentVersion(dir)
+    (0 to head).foreach { v =>
+      assert(Files.exists(Paths.get(dir, "_graft_log", f"v$v%06d.manifest")),
+        s"gap at version $v of $head")
+      Snapshots.read(spark, dir, v).count()
+    }
+    // zero lost updates: every writer's LAST write is in force
+    val got = Snapshots.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (t <- 0 until 4; j <- 1 to 5)
+      assert(got(t * 100L + j) == s"T${t}M3", s"lost merge: key ${t * 100 + j} = ${got(t * 100L + j)}")
+    assert((380L to 400L).forall(!got.contains(_)), "lost delete")
+    val untouched = (1L to 400L).toSet --
+      (for (t <- 0 until 4; j <- 1 to 5) yield t * 100L + j) -- (380L to 400L)
+    assert(untouched.forall(k => got(k) == s"v$k"), "bystander row corrupted")
+    assert(got.size == 400 - 21)
+  }
+
   test("log protocol refuses ill-defined operations instead of corrupting state") {
     val dir = freshTable()
     Snapshots.init(spark, dir)
