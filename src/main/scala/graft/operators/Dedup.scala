@@ -904,12 +904,30 @@ object Dedup {
   val EmbedBits = 6
   val EmbedTables = 6
 
+  /** Occupancy-driven hyperplane count (r7): with FIXED bits, expected
+    * bucket occupancy is n/2^bits, so within-bucket candidate pairs —
+    * and the exact-verify cost behind them — grow QUADRATICALLY in the
+    * corpus (measured 6.5× wall at 10× data). Sizing bits to
+    * ceil(log2(n/31.25)) pins occupancy at the base corpus's ~31
+    * vectors/bucket, making candidate volume linear in n — the same
+    * auto-sizing cure as D14's √(n/2) cells. The floor keeps the
+    * driver-scale corpora (n ≤ 2000 → 6 bits) EXACTLY on the static
+    * oracle's literal hyperplanes; more bits at larger n trade
+    * borderline-pair recall along the LSH S-curve for boundedness
+    * (true near-dups at cos ≥ 0.95 stay high-recall across 6 tables).
+    */
+  private[graft] def embedBitsFor(n: Long, floor: Int = EmbedBits): Int =
+    math.max(floor, math.ceil(
+      math.log(math.max(1.0, n.toDouble / 31.25)) / math.log(2.0)).toInt)
+
   def qEmbedDup(s: SparkSession, d: String, tau: Double = 0.4,
-      bits: Int = EmbedBits, tables: Int = EmbedTables): DataFrame = {
+      bits: Int = -1, tables: Int = EmbedTables): DataFrame = {
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
     val dim = Similarity.probeDim(e)
+    // parquet-metadata count: the one model-sizing probe (like probeDim)
+    val b = if (bits > 0) bits else embedBitsFor(e.count())
     val buckets = (0 until tables).map(t =>
-      struct(lit(t).as("tbl"), Similarity.hyperplaneSig("embedding", t, bits, dim).as("bkt")))
+      struct(lit(t).as("tbl"), Similarity.hyperplaneSig("embedding", t, b, dim).as("bkt")))
     val eb = e
       .select(col("vec_id"), col("embedding"), explode(array(buckets: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"),

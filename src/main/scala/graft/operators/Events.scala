@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -412,34 +412,75 @@ object Events {
       |    CAST(floor(epoch(max(ts))) AS BIGINT) AS hi
       |  FROM sess GROUP BY user_id, session_id)""".stripMargin
 
-  /** C18 — interval OVERLAP join (interval × interval, the shape
+  /** C18 — interval OVERLAP concurrency (interval × interval, the shape
     * range-join B21 and as-of C5/C9 don't cover): how many OTHER
-    * users' sessions overlap each session. The distributed layout:
-    * explode each interval to the hour buckets it spans (bounded by
-    * session length — a gap session can't outlive its events),
-    * equi-join on the bucket, then verify true overlap and dedup
-    * pairs that met in several buckets. Cost is Σ per-bucket
-    * concurrency², never sessions² — the Flink/KDB interval-join
-    * bucketing. Zero-overlap sessions surface with 0 via the final
-    * left join.
+    * users' sessions overlap each session.
+    *
+    * r7 rewrite — LINEAR endpoint counting instead of a pair join. The
+    * original hour-bucket equi-join did Σ per-bucket concurrency² work
+    * plus a pair-dedup; ScaleGen replicates users WITHOUT stretching
+    * time, so concurrency itself scales with the factor and the pair
+    * volume scales with its SQUARE (measured 7.9× wall at 10× data —
+    * and a real 100 TB events table is exactly that shape: more users,
+    * same clock). The count never needed the pairs:
+    *
+    *   overlap(s) = #{t : t.lo <= s.hi AND t.hi >= s.lo, t.user != s.user}
+    *              = (A − A_u) − (B − B_u)
+    *   A   = #sessions (any user) with lo <= s.hi   (starts up to s.hi)
+    *   B   = #sessions (any user) with hi <  s.lo   (ended before s.lo)
+    *   A_u/B_u = the same restricted to s's own user (self cancels).
+    *
+    * One endpoint frame — TWO rows per session, each playing an event
+    * role and a query role at once: the lo-row is the start event
+    * (wA=1) AND the B-reader, the hi-row is the end event (wB=1) AND
+    * the A-reader. ONE total order (t, pri) with pri lo=0 < hi=1
+    * satisfies both tie rules: starts at t sort before a hi-row at the
+    * same t (so lo <= hi counts inclusively for A), and ends at t sort
+    * after a lo-row at the same t (so hi < lo stays strict for B).
+    * Global running counts ride the B29 TeraSort layout (range
+    * partition + per-partition sums + broadcast offsets — no
+    * data-sized single-partition window); per-user corrections are a
+    * plain high-cardinality user window. Everything is O(sessions)
+    * per stage, at any concurrency.
     */
   def qOverlapSessions(s: SparkSession, d: String): DataFrame = {
     val iv = sessionIntervals(s, d)
-    val b = iv.withColumn("hb",
-      explode(sequence(floor(col("lo") / 3600), floor(col("hi") / 3600))))
-    val pairs = b.as("a")
-      .join(b.as("b"),
-        col("a.hb") === col("b.hb") &&
-          col("a.user_id") =!= col("b.user_id") &&
-          col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
-      .select(col("a.user_id").as("user_id"), col("a.session_id").as("session_id"),
-        col("b.user_id").as("ou"), col("b.session_id").as("os"))
-      .distinct()
-      .groupBy("user_id", "session_id")
-      .agg(count(lit(1)).as("n"))
-    iv.join(pairs, Seq("user_id", "session_id"), "left")
+    def part(t: Column, pri: Int, wA: Int, wB: Int) = iv.select(
+      t.as("t"), lit(pri).as("pri"),
+      lit(wA.toLong).as("wA"), lit(wB.toLong).as("wB"),
+      col("user_id"), col("session_id"), col("lo"), col("hi"))
+    val frame = part(col("lo"), 0, 1, 0)     // start event + B-reader
+      .unionByName(part(col("hi"), 1, 0, 1)) // end event + A-reader
+    val keys = Seq(col("t"), col("pri"))
+    val parted = frame.repartitionByRange(32, keys: _*).localCheckpoint()
+      .withColumn("__pid", spark_partition_id())
+    val pidW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1) // |partitions| rows only
+    val offsets = parted.groupBy("__pid")
+      .agg(sum("wA").as("__pa"), sum("wB").as("__pb"))
+      .withColumn("__offA", coalesce(sum("__pa").over(pidW), lit(0L)))
+      .withColumn("__offB", coalesce(sum("__pb").over(pidW), lit(0L)))
+      .select("__pid", "__offA", "__offB")
+    val w = Window.partitionBy("__pid").orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wu = Window.partitionBy("user_id").orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cums = parted
+      .withColumn("cA", sum("wA").over(w))
+      .withColumn("cB", sum("wB").over(w))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("uA", sum("wA").over(wu))
+      .withColumn("uB", sum("wB").over(wu))
+    // hi-row answers A − A_u, lo-row answers B − B_u; one aggregate
+    // reunites the two rows of each session (no second join)
+    cums.groupBy("user_id", "session_id")
+      .agg(max("lo").as("lo"), max("hi").as("hi"),
+        max(when(col("pri") === 1,
+          col("__offA") + col("cA") - col("uA"))).as("othA"),
+        max(when(col("pri") === 0,
+          col("__offB") + col("cB") - col("uB"))).as("othB"))
       .select(col("user_id"), col("session_id"), col("lo"), col("hi"),
-        coalesce(col("n"), lit(0L)).as("n_concurrent"))
+        (col("othA") - col("othB")).as("n_concurrent"))
   }
 
   val qOverlapSessionsSql: String =

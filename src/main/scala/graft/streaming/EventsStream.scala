@@ -16,6 +16,34 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
+  /** Stage `$d/events.parquet` into a fresh directory for the file
+    * streaming source (which monitors a directory; testdata is
+    * read-only) — symlinking the LEAF parquet files, because the events
+    * table ships BOTH as a single driver-written file and as a
+    * Spark-written directory of part files (ScaleGen's scaled dirs):
+    * symlinking the directory itself would nest it one level down,
+    * where the reader finds no files and schema inference dies.
+    */
+  private def stageEventsDir(d: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    dir.toFile.deleteOnExit()
+    val src = java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath
+    if (java.nio.file.Files.isDirectory(src)) {
+      val s = java.nio.file.Files.list(src)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.createSymbolicLink(
+              dir.resolve(p.getFileName.toString), p)
+        }
+      } finally s.close()
+    } else
+      java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), src)
+    dir.toString
+  }
+
   /** Streaming file sources require a declared schema, and the events
     * files have shipped as both legacy TIMESTAMP(NANOS) (long under the
     * nanos conf) and TIMESTAMP_MICROS — so infer the real on-disk schema
@@ -81,14 +109,7 @@ object EventsStream {
   def qStreamTumble(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     useRocksDbState(s)
-    // The file streaming source monitors a directory; stage the single
-    // events file into one via symlink (testdata itself is read-only).
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
-    dir.toFile.deleteOnExit()
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
-    val src = eventsStreamSource(s, dir.toString)
+    val src = eventsStreamSource(s, stageEventsDir(d))
     val name = "stream_tumble_out"
     withStreamPartitions(s, 8) {
       val q = tumblingAgg(src).writeStream
@@ -237,13 +258,9 @@ object EventsStream {
   def qStreamJoin(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     useRocksDbState(s)
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_join")
-    dir.toFile.deleteOnExit()
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+    val dir = stageEventsDir(d)
     def side(tpe: String): DataFrame =
-      eventsStreamSource(s, dir.toString)
+      eventsStreamSource(s, dir)
         .filter(col("event_type") === tpe)
         .select("event_id", "ts", "user_id")
     val name = "stream_join_out"
