@@ -539,6 +539,127 @@ object Similarity {
        |FROM ranked WHERE rank <= $topK""".stripMargin
   }
 
+  /** E12 — IVF-PQ (the composition Jégou et al. ship as FAISS
+    * IndexIVFPQ, the standard billion-vector serving index): the E4
+    * coarse quantizer prunes each query's scan to its `nprobe` nearest
+    * cells, and WITHIN the probed cells the corpus is read as E9's
+    * m×3-bit PQ codes through E10's integer ADC tables — corpus floats
+    * are touched only once at index build. The two prunings COMPOUND:
+    * scan fraction ≈ nprobe/cells of the rows × the 32× byte shrink of
+    * codes-vs-floats per row. At 100 TB: cell = partition key (probing
+    * is partition pruning), codes live in hot storage, and the tiny
+    * ranked candidate set is what an optional exact re-rank stage
+    * would re-read floats for. Both quantizers are deterministic
+    * (lowest-vec_id vectors), so the WHOLE pipeline — assignment,
+    * probing, coding, table build, ADC ranking — replays bit-for-bit
+    * in DuckDB: a full oracle for a composed ANN index.
+    */
+  def qKnnIvfPq(s: SparkSession, d: String, nQueries: Int = 20, topK: Int = 5,
+      cells: Int = 16, nprobe: Int = 4, m: Int = 4, k: Int = 8): DataFrame = {
+    import graft.functions.vec_dot
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val dsub = probeDim(e) / m
+    val centroids = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val scored = e.crossJoin(broadcast(centroids))
+      .withColumn("csim", vec_cosine(col("embedding"), col("cvec")))
+    // corpus cell assignment: the E4 argmax-as-aggregation (exchange
+    // carries one row per vector, ties to the lowest cid)
+    val corpusCells = scored.groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"), col("cid"))).as("mx"))
+      .select(col("vec_id"), col("mx.cid").as("cid"))
+    val wq = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    val queryCells = scored.filter(col("vec_id") < nQueries)
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    // the index: codes keyed by their coarse cell — at scale this is
+    // the partitioned layout itself, built once
+    val codes = pqAssign(e, m, k, dsub).select("vec_id", "sp", "code")
+      .join(corpusCells, "vec_id")
+    // per-query m×k integer ADC table (the E10 contract: 1e-4-quantized
+    // entries so summed rankings are order-free exact across engines)
+    val table = subvectors(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("tq"), col("embedding")),
+        "tq", "embedding", "vs", m, dsub)
+      .join(broadcast(pqCentroids(e, m, k, dsub)), "sp")
+      .select(col("tq"), col("sp").as("tsp"), col("j"),
+        round((vec_dot(col("vs"), col("vs"))
+          - lit(2.0) * vec_dot(col("vs"), col("cs"))
+          + vec_dot(col("cs"), col("cs"))) * 10000).cast("long").as("ti"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("di").asc, col("neighbor_id").asc)
+    codes
+      .join(broadcast(queryCells), Seq("cid")) // the probe: scan ONLY probed cells
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(table),
+        col("query_id") === col("tq") && col("sp") === col("tsp") &&
+          col("code") === col("j"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("ti").as("di"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("di") / 10000.0, 4).as("approx_d2"), col("rank"))
+  }
+
+  /** DuckDB replay of [[qKnnIvfPq]]: E4's assignment CTEs composed with
+    * E10's code/table CTEs, joined through the probed cells. */
+  val qKnnIvfPqSql: String = {
+    val (cells, nprobe, m, k, dim, nq, topK) = (16, 4, 4, 8, 64, 20, 5)
+    val dsub = dim / m
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n WHERE vec_id < $cells),
+       |asg AS (
+       |  SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      (list_sum(list_transform(range(1, len(v.embedding) + 1),
+       |        i -> v.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (v.nrm * c.cnrm)) DESC,
+       |      c.cid ASC) AS crn
+       |  FROM n v CROSS JOIN cent c),
+       |ccell AS (SELECT vec_id, cid FROM asg WHERE crn = 1),
+       |qcell AS (SELECT vec_id AS query_id, cid FROM asg
+       |          WHERE crn <= $nprobe AND vec_id < $nq),
+       |sub AS (SELECT unnest(range(0, $m)) AS sp),
+       |cents AS (
+       |  SELECT e.vec_id AS j, sub.sp,
+       |    list_slice(e.embedding, sub.sp * $dsub + 1, (sub.sp + 1) * $dsub) AS cs
+       |  FROM embeddings e CROSS JOIN sub WHERE e.vec_id < $k),
+       |vs AS (
+       |  SELECT e.vec_id, sub.sp,
+       |    list_slice(e.embedding, sub.sp * $dsub + 1, (sub.sp + 1) * $dsub) AS vs
+       |  FROM embeddings e CROSS JOIN sub),
+       |dd AS (
+       |  SELECT v.vec_id, v.sp, c.j,
+       |    list_sum(list_transform(range(1, $dsub + 1), i -> v.vs[i]::DOUBLE * v.vs[i]::DOUBLE))
+       |    - 2 * list_sum(list_transform(range(1, $dsub + 1), i -> v.vs[i]::DOUBLE * c.cs[i]::DOUBLE))
+       |    + list_sum(list_transform(range(1, $dsub + 1), i -> c.cs[i]::DOUBLE * c.cs[i]::DOUBLE)) AS d2
+       |  FROM vs v JOIN cents c ON v.sp = c.sp),
+       |codes AS (
+       |  SELECT vec_id, sp, j AS code FROM (
+       |    SELECT vec_id, sp, j,
+       |      row_number() OVER (PARTITION BY vec_id, sp ORDER BY d2 ASC, j ASC) AS rn
+       |    FROM dd) WHERE rn = 1),
+       |tbl AS (
+       |  SELECT vec_id AS query_id, sp, j, CAST(round(d2 * 10000) AS BIGINT) AS ti
+       |  FROM dd WHERE vec_id < $nq),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(ti) AS BIGINT) AS di
+       |  FROM codes c
+       |    JOIN ccell cc ON c.vec_id = cc.vec_id
+       |    JOIN qcell q ON cc.cid = q.cid AND c.vec_id <> q.query_id
+       |    JOIN tbl t ON t.query_id = q.query_id AND t.sp = c.sp AND t.j = c.code
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, di,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY di ASC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, round(di / 10000.0, 4) AS approx_d2, rank
+       |FROM ranked WHERE rank <= $topK""".stripMargin
+  }
+
   val qPqSql: String = {
     val (m, k, dim) = (4, 8, 64)
     val dsub = dim / m
@@ -569,6 +690,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq" -> ((s, d) => qPq(s, d)),
     "q_knn_pq" -> ((s, d) => qKnnPq(s, d)),
+    "q_knn_ivfpq" -> ((s, d) => qKnnIvfPq(s, d)),
     "q_quantized" -> qQuantized,
     "q_vector_norm" -> qVectorNorm,
     "q_knn_brute" -> qKnnBrute,
@@ -580,6 +702,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "q_pq" -> qPqSql,
     "q_knn_pq" -> qKnnPqSql,
+    "q_knn_ivfpq" -> qKnnIvfPqSql,
     "q_quantized" -> qQuantizedSql,
     "q_vector_norm" -> qVectorNormSql,
     "q_knn_brute" -> qKnnBruteSql,

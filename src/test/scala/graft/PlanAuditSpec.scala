@@ -14,6 +14,9 @@ class PlanAuditSpec extends GraftSuite {
   // broadcast nested-loop IS the intended scale plan there.
   private val allPairsWhitelist =
     Set("q_knn_brute", "q_knn_lsh", "q_knn_ivf", "q_range_join",
+      // q_knn_ivfpq: the same E4 16-row centroid broadcast (coarse
+      // quantizer); the scan join itself is equi on (cell, code)
+      "q_knn_ivfpq",
       // q_resample: hourly-spine x event-type dims cross join (bounded
       // dimension product), broadcast against the hourly counts
       "q_resample",

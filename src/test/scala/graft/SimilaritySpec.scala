@@ -61,6 +61,55 @@ class SimilaritySpec extends GraftSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("IVF-PQ: neighbors only from probed cells, structured ranks, beats chance recall") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.qKnnIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == 20 && byQ.values.forall(_.length == 5))
+    for ((_, rs) <- byQ) {
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head <= p.last))
+      assert(rs.forall(r => r._2 != r._1), "self must be excluded")
+    }
+    // the scan-prune contract: every returned neighbor's coarse cell is
+    // one of its query's nprobe probed cells (replicated driver-side
+    // with the same double-fold cosine and tie rules)
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = (0L until 16L).map(c => c -> vecs(c)).toMap
+    def cellsOf(v: Long, n: Int): Seq[Long] =
+      cents.toSeq.map { case (c, cv) => (c, cos(vecs(v), cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(n).map(_._1)
+    got.foreach { case (q, nb, _, _) =>
+      val probed = cellsOf(q, 4).toSet
+      assert(probed.contains(cellsOf(nb, 1).head),
+        s"neighbor $nb of query $q came from an unprobed cell")
+    }
+    // recall@5 vs exact cosine top-5: double pruning (4/16 cells + the
+    // 8-centroid PQ coding) is coarse but must beat chance widely
+    val n = vecs.size
+    val exact = Similarity.bruteForceKnn(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding"),
+      Tables.embeddings(spark, sf).select("vec_id", "embedding")
+        .filter(col("vec_id") < 20), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hits = got.count { case (q, nb, _, _) => exact(q).contains(nb) }
+    val recall = hits.toDouble / (20 * 5)
+    assert(recall > 25.0 / n, s"recall@5 $recall not above chance ${25.0 / n}")
+  }
+
   test("per-label centroids cover labels x dims with consistent counts") {
     val rows = Similarity.qEmbedCentroid(spark, sf).collect()
     val emb = Tables.embeddings(spark, sf)
