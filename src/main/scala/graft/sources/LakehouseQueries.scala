@@ -340,6 +340,51 @@ object LakehouseQueries {
       |  min(o_orderkey), max(o_orderkey)
       |FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000""".stripMargin
 
+  /** A26 — hive-partitioned versioned table end-to-end: orders routed
+    * into per-status partition logs, a keyed MERGE that updates rows
+    * in place in their partitions AND creates a brand-new partition
+    * value, then a PARTITION-PRUNED read (only 'F' and the new 'X' —
+    * other partitions' logs are never opened, spec-pinned). The oracle
+    * reproduces the merged, pruned state from the raw table.
+    */
+  def qLakePartitioned(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    // a fresh SUBPATH: the partitioned write creates the table root
+    // itself (reclaim still tracks the parent temp dir)
+    val dir = tempDir("graft_lake_part") + "/t"
+    PartitionedSnapshots.init(s, dir, b, "o_orderstatus")
+    val upd = b.filter(col("o_orderkey") % 41 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") + 7777.0).as("o_totalprice"))
+    val ins = b.filter(col("o_orderkey") % 53 === 0)
+      .select((-col("o_orderkey")).as("o_orderkey"),
+        lit("X").as("o_orderstatus"), col("o_totalprice"))
+    PartitionedSnapshots.mergePartitioned(s, dir,
+      upd.unionByName(ins), "o_orderkey", "o_orderstatus")
+    PartitionedSnapshots.read(s, dir, "o_orderstatus",
+        v => v == "F" || v == "X")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
+  val qLakePartitionedSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 41 = 0 THEN o_totalprice + 7777.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM base
+      |  UNION ALL
+      |  SELECT -o_orderkey, 'X', o_totalprice
+      |  FROM base WHERE o_orderkey % 53 = 0)
+      |SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM merged WHERE o_orderstatus IN ('F', 'X')
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** A18 — time travel: after the delete (v1) and merge (v2) commits,
     * reading version 0 must reproduce the ORIGINAL base exactly —
     * deleted rows visible, updates absent, inserts absent — because
@@ -364,6 +409,7 @@ object LakehouseQueries {
     "q_lake_feed_stream" -> (qLakeFeedStream(_, _)),
     "q_lake_schema_evo" -> (qLakeSchemaEvo(_, _)),
     "q_lake_schema_map" -> (qLakeSchemaMap(_, _)),
+    "q_lake_partitioned" -> (qLakePartitioned(_, _)),
     "q_lake_zorder" -> (qLakeZorder(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -375,5 +421,6 @@ object LakehouseQueries {
     "q_lake_feed_stream" -> qLakeFeedStreamSql,
     "q_lake_schema_evo" -> qLakeSchemaEvoSql,
     "q_lake_schema_map" -> qLakeSchemaMapSql,
+    "q_lake_partitioned" -> qLakePartitionedSql,
     "q_lake_zorder" -> qLakeZorderSql)
 }

@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A26 — HIVE-PARTITIONED versioned tables: the partition column routes
+  * data into per-partition SNAPSHOT LOGS — one A18 log per
+  * `part=<value>/` directory — which makes the partition the unit of
+  * every maintenance operation, exactly as in Delta/Iceberg practice at
+  * 100 TB:
+  *
+  *  - a partition-predicate read prunes whole partitions BEFORE any
+  *    manifest (let alone data file) is opened — the coarsest and
+  *    cheapest skipping level, above A15's per-file stats;
+  *  - a keyed MERGE touches only the partitions its batch routes to;
+  *    every other partition's log keeps its version untouched (no
+  *    write amplification across partitions, and writers to DIFFERENT
+  *    partitions never contend on a commit atom);
+  *  - OPTIMIZE / OPTIMIZE ZORDER run per partition ([[Snapshots.compact]]
+  *    / [[Snapshots.compactZOrder]] delegate directly) — re-clustering
+  *    one hot partition does not rewrite the other 10 000;
+  *  - time travel is per partition, which is what a backfill actually
+  *    wants: re-reading yesterday's version of one day-partition, not
+  *    of the whole table.
+  *
+  * The partition column itself is stored in the DIRECTORY NAME (hive
+  * layout), not in the data files; reads restore it as a literal.
+  * Demonstration contract: a STRING partition column of bounded
+  * cardinality (the hive-partitioning assumption), values URL-encoded
+  * into directory names.
+  */
+object PartitionedSnapshots {
+
+  private def enc(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def partDir(path: String, value: String) =
+    Paths.get(path, s"part=${enc(value)}")
+
+  /** Committed partition values, decoded from the directory names —
+    * a directory listing of the table root, never of data files. */
+  def partitions(path: String): Seq[String] = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val s = Files.list(root)
+    try s.iterator.asScala.toList finally s.close()
+  }.map(_.getFileName.toString).filter(_.startsWith("part="))
+    .map(n => dec(n.stripPrefix("part="))).sorted
+
+  /** Initialize: route `df` into per-partition directories (one
+    * distributed partitioned write — the partition column leaves the
+    * data files and becomes the directory name) and open a snapshot
+    * log in each. Returns the partition values created.
+    */
+  def init(spark: SparkSession, path: String, df: DataFrame,
+      partCol: String): Seq[String] = {
+    require(partitions(path).isEmpty, s"$path already initialized")
+    // one distributed write; spark's own hive layout (part=value dirs)
+    df.withColumn(partCol, col(partCol).cast("string"))
+      .withColumnRenamed(partCol, "part")
+      .write.partitionBy("part").parquet(path)
+    val vals = partitions(path)
+    vals.foreach(v => Snapshots.init(spark, partDir(path, v).toString))
+    vals
+  }
+
+  /** Read one partition at its CURRENT version (or `version`), the
+    * partition column restored as a literal. */
+  def readPartition(spark: SparkSession, path: String, partCol: String,
+      value: String, version: Int = -1): DataFrame =
+    Snapshots.read(spark, partDir(path, value).toString, version)
+      .withColumn(partCol, lit(value))
+
+  /** Read the partitions whose VALUE passes `keep` — partition pruning
+    * at the directory level: logs and files of pruned partitions are
+    * never opened. Default: the full table. */
+  def read(spark: SparkSession, path: String, partCol: String,
+      keep: String => Boolean = _ => true): DataFrame = {
+    val vals = partitions(path).filter(keep)
+    require(vals.nonEmpty, s"no partition of $path passes the predicate")
+    vals.map(readPartition(spark, path, partCol, _)).reduce(_.unionByName(_))
+  }
+
+  /** Keyed MERGE routed by partition: the batch is split by its
+    * partition value and each slice merges into ITS partition's log
+    * (A16 index-pruned copy-on-write + A25 CAS per partition).
+    * Partitions the batch does not touch keep their version — and
+    * concurrent merges into DIFFERENT partitions never contend.
+    * The touched-value list is one distinct over the batch, bounded by
+    * partition cardinality (the hive assumption). Rows may MOVE
+    * between partitions only via delete+insert, as in hive-partitioned
+    * Delta: a batch row's partition value decides where it lands.
+    * Returns (value → new version) for the touched partitions.
+    */
+  def mergePartitioned(spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String, partCol: String): Map[String, Int] = {
+    val existing = partitions(path).toSet
+    val touched = updates.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0))
+    touched.sorted.map { v =>
+      val slice = updates.filter(col(partCol).cast("string") === v).drop(partCol)
+      val dir = partDir(path, v).toString
+      if (!existing.contains(v)) {
+        // a brand-new partition value: open its log with the slice
+        Files.createDirectories(partDir(path, v))
+        slice.write.parquet(dir + "/init")
+        // move staged files up into the partition dir
+        val st = Files.list(Paths.get(dir + "/init"))
+        try st.iterator.asScala.filter(_.toString.endsWith(".parquet"))
+          .foreach(p => Files.move(p, Paths.get(dir, p.getFileName.toString)))
+        finally st.close()
+        val walk = Files.walk(Paths.get(dir + "/init"))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+        v -> Snapshots.init(spark, dir)
+      } else
+        v -> Snapshots.mergeVersioned(spark, dir, slice, keyCol)
+    }.toMap
+  }
+
+  /** Per-partition OPTIMIZE (bin-packing) — the unit of maintenance. */
+  def compactPartition(spark: SparkSession, path: String, value: String,
+      targetBytes: Long = 128L << 20): Int =
+    Snapshots.compact(spark, partDir(path, value).toString, targetBytes)
+
+  /** Per-partition OPTIMIZE ZORDER — re-cluster ONE partition. */
+  def zorderPartition(spark: SparkSession, path: String, value: String,
+      c1: String, c2: String, numFiles: Int): Int =
+    Snapshots.compactZOrder(spark, partDir(path, value).toString, c1, c2, numFiles)
+
+  /** Current version per partition (the table's version VECTOR). */
+  def versions(path: String): Map[String, Int] =
+    partitions(path).map(v =>
+      v -> Snapshots.currentVersion(partDir(path, v).toString)).toMap
+}

@@ -52,7 +52,7 @@ class PlanAuditSpec extends GraftSuite {
   private val eagerAudited = Set("q_equidepth", "q_lake_timetravel",
     "q_lake_vacuum", "q_lake_optimize", "q_lake_merge", "q_lake_changefeed",
     "q_lake_feed_stream", "q_lake_schema_evo", "q_lake_schema_map",
-    "q_lake_zorder")
+    "q_lake_zorder", "q_lake_partitioned")
 
   test("audit-exempt eager query set matches the inventory") {
     assert(eagerAudited.subsetOf(SparkEntry.queries.keySet),

@@ -278,6 +278,53 @@ class SnapshotsSpec extends GraftSuite {
     assert(postVac == before)
   }
 
+  test("partitioned table: partition-scoped merges/OPTIMIZE, pruned reads, per-partition time travel") {
+    import spark.implicits._
+    import graft.sources.PartitionedSnapshots
+    val dir = Files.createTempDirectory("graft_part_spec").toString + "/t"
+    val df = (1L to 300L).map(k =>
+      (k, Seq("A", "B", "C")((k % 3).toInt), s"v$k")).toDF("k", "part", "payload")
+    assert(PartitionedSnapshots.init(spark, dir, df, "part") == Seq("A", "B", "C"))
+    assert(PartitionedSnapshots.versions(dir) == Map("A" -> 0, "B" -> 0, "C" -> 0))
+
+    // a merge touching ONLY partition B: A and C keep version 0
+    val vs = PartitionedSnapshots.mergePartitioned(spark, dir,
+      Seq((4L, "B", "UP4"), (301L, "B", "NEW301")).toDF("k", "part", "payload"),
+      "k", "part")
+    assert(vs == Map("B" -> 1))
+    assert(PartitionedSnapshots.versions(dir) == Map("A" -> 0, "B" -> 1, "C" -> 0))
+
+    // pruned read opens ONLY partition B's files (directory-level
+    // pruning — the physical contract)
+    val bOnly = PartitionedSnapshots.read(spark, dir, "part", _ == "B")
+    val files = bOnly.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("part=B") || f.contains("part%3DB")),
+      s"pruned read touched foreign files: ${files.mkString(", ")}")
+    val bMap = bOnly.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bMap(4L) == "UP4" && bMap(301L) == "NEW301" && bMap(7L) == "v7")
+
+    // full read = per-partition union with the column restored
+    assert(PartitionedSnapshots.read(spark, dir, "part").count() == 301L)
+
+    // a merge creating a NEW partition value
+    PartitionedSnapshots.mergePartitioned(spark, dir,
+      Seq((500L, "D", "NEW500")).toDF("k", "part", "payload"), "k", "part")
+    assert(PartitionedSnapshots.partitions(dir) == Seq("A", "B", "C", "D"))
+    assert(PartitionedSnapshots.readPartition(spark, dir, "part", "D").count() == 1L)
+
+    // per-partition OPTIMIZE: only the target partition's version moves
+    PartitionedSnapshots.compactPartition(spark, dir, "A", targetBytes = 1L << 20)
+    val v2 = PartitionedSnapshots.versions(dir)
+    assert(v2("B") == 1 && v2("C") == 0)
+
+    // per-partition time travel: B's v0 still answers pre-merge
+    val b0 = PartitionedSnapshots.readPartition(spark, dir, "part", "B", version = 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b0(4L) == "v4" && !b0.contains(301L))
+  }
+
   test("OPTIMIZE ZORDER: layout-only commit, prunes files on BOTH dimensions, time travel intact") {
     val dir = Files.createTempDirectory("graft_zorder_spec").toString + "/t"
     // two decorrelated uniform dimensions: a narrow range in EITHER
