@@ -134,6 +134,93 @@ object Snapshots {
       files: Seq[String]): DataFrame =
     readFilesAs(spark, tableSchema(path, v), files)
 
+  // A27 — per-FILE column statistics IN THE MANIFEST (the Delta
+  // per-file stats pattern): every commit records min/max of each
+  // numeric top-level column for the files it STAGES (one bounded scan
+  // of the staged files — cost ∝ commit, never table) and carries
+  // retained files' stats forward verbatim. Consumers (merge/keyed-
+  // delete file discovery, readPrunedRange) then prune from the
+  // MANIFEST ALONE — before r7 every merge scanned the whole live set
+  // to rebuild per-file key ranges, making merge cost track table
+  // size. Stats are keyed by PHYSICAL column names, so they survive
+  // renames untouched. Old manifests without stats fall back to the
+  // scan (compat).
+  private val StatsHeader = "#filestats="
+  private val StatsSep = "\t"
+
+  /** Per-file physical-column stats recorded at `v`:
+    * file → col → (typeTag "L"|"D", min, max) as strings. */
+  private def fileStats(path: String, v: Int): Map[String, Map[String, (String, String, String)]] =
+    Files.readAllLines(manifestPath(path, v)).asScala
+      .filter(_.startsWith(StatsHeader))
+      .map(_.stripPrefix(StatsHeader).split(StatsSep, -1))
+      .collect { case Array(f, c, t, mn, mx) => (f, c, t, mn, mx) }
+      .groupBy(_._1)
+      .map { case (f, rows) =>
+        f -> rows.map(r => r._2 -> ((r._3, r._4, r._5))).toMap }
+      .toMap
+
+  private def statsTypeTag(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some("L")
+      case FloatType | DoubleType                        => Some("D")
+      case _                                             => None
+    }
+  }
+
+  /** ONE scan of `files` (the staged commit, never the table): per-file
+    * min/max of every numeric top-level column, as manifest lines. The
+    * collect is |files| × numeric columns — bounded by the commit. */
+  private def statsLines(spark: SparkSession, files: Seq[String]): Seq[String] = {
+    if (files.isEmpty) return Seq.empty
+    val df = spark.read.parquet(files: _*)
+    val numCols = df.schema.fields
+      .flatMap(f => statsTypeTag(f.dataType).map(t => (f.name, t)))
+    if (numCols.isEmpty) return Seq.empty
+    val aggs = numCols.flatMap { case (c, _) =>
+      Seq(min(col(s"`$c`")).as(s"__mn_$c"), max(col(s"`$c`")).as(s"__mx_$c")) }
+    df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .toSeq.flatMap { r =>
+        numCols.zipWithIndex.flatMap { case ((c, t), i) =>
+          val mn = r.get(1 + 2 * i); val mx = r.get(2 + 2 * i)
+          if (mn == null || mx == null) None
+          else Some(StatsHeader + Seq(
+            canonical(r.getString(0)), c, t, mn.toString, mx.toString)
+            .mkString(StatsSep))
+        }
+      }
+  }
+
+  /** Stats lines for the files of `retained` as recorded at version
+    * `v`, carried forward verbatim into the next commit. */
+  private def carriedStats(path: String, v: Int, retained: Seq[String]): Seq[String] = {
+    val prev = fileStats(path, v)
+    retained.map(canonical).flatMap(f =>
+      prev.get(f).toSeq.flatMap(_.toSeq.map { case (c, (t, mn, mx)) =>
+        StatsHeader + Seq(f, c, t, mn, mx).mkString(StatsSep) }))
+  }
+
+  /** The physical name of logical column `name` at version `v`. */
+  private def physicalOf(path: String, v: Int, name: String): String =
+    tableSchema(path, v).flatMap(_.fields.find(_.name == name))
+      .map(physicalName).getOrElse(name)
+
+  /** Manifest-only per-file [min, max] of logical `column` at `v`, as
+    * (file, minStr, maxStr, typeTag) — None unless EVERY live file has
+    * the stat (partial coverage must not silently unprune). */
+  private def manifestRanges(path: String, v: Int, live: Seq[String],
+      column: String): Option[Seq[(String, String, String, String)]] = {
+    val phys = physicalOf(path, v, column)
+    val stats = fileStats(path, v)
+    val rows = live.map(canonical).map { f =>
+      stats.get(f).flatMap(_.get(phys)).map { case (t, mn, mx) => (f, mn, mx, t) }
+    }
+    if (rows.forall(_.isDefined)) Some(rows.flatten) else None
+  }
+
   /** Earliest version whose manifest is still retained (vacuum drops
     * old manifests), i.e. the furthest back time travel reaches. */
   private[graft] def earliestVersion(path: String): Int = {
@@ -171,14 +258,15 @@ object Snapshots {
     * check, so the caller can rebase and retry (OCC) instead of
     * silently publishing a manifest built on a stale base. */
   private[graft] def commitAt(path: String, v: Int, files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): Boolean = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      stats: Seq[String] = Seq.empty): Boolean = {
     Files.createDirectories(logDir(path))
     val target = manifestPath(path, v)
     if (Files.exists(target)) return false
     val tmp = Files.createTempFile(logDir(path), "commit", ".tmp")
     try {
       val lines = schema.map(s => SchemaHeader + s.json).toSeq ++
-        files.map(canonical).sorted
+        stats.sorted ++ files.map(canonical).sorted
       Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
       try { Files.createLink(target, tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -186,9 +274,10 @@ object Snapshots {
   }
 
   private[graft] def commit(path: String, files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      stats: Seq[String] = Seq.empty): Int = {
     val v = currentVersion(path) + 1
-    if (!commitAt(path, v, files, schema))
+    if (!commitAt(path, v, files, schema, stats))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, v).toString)
     v
@@ -204,8 +293,9 @@ object Snapshots {
     * loud; the caller restages from the new head and retries.
     */
   private def commitNext(path: String, base: Int, files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): Int = {
-    if (!commitAt(path, base + 1, files, schema))
+      schema: Option[org.apache.spark.sql.types.StructType],
+      stats: Seq[String] = Seq.empty): Int = {
+    if (!commitAt(path, base + 1, files, schema, stats))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, base + 1).toString +
           " (concurrent commit won this version; re-read and retry)")
@@ -220,7 +310,9 @@ object Snapshots {
     val schema =
       if (files.isEmpty) None
       else Some(spark.read.parquet(files: _*).schema)
-    commit(path, files, schema)
+    // the bootstrap pays one full stats scan; every later commit scans
+    // only its staged files
+    commit(path, files, schema, statsLines(spark, files))
   }
 
   /** Read a specific version (default: latest) from its manifest,
@@ -258,7 +350,8 @@ object Snapshots {
             .build())
       else f
     }
-    commitNext(path, v, live, Some(org.apache.spark.sql.types.StructType(fields)))
+    commitNext(path, v, live, Some(org.apache.spark.sql.types.StructType(fields)),
+      carriedStats(path, v, live))
   }
 
   /** A24 — DROP COLUMN as a metadata-only commit: the field leaves the
@@ -274,7 +367,8 @@ object Snapshots {
     require(schema.fieldNames.contains(name), s"dropColumn: no column '$name'")
     val fields = schema.fields.filterNot(_.name == name)
     require(fields.nonEmpty, "dropColumn: cannot drop the last column")
-    commitNext(path, v, live, Some(org.apache.spark.sql.types.StructType(fields)))
+    commitNext(path, v, live, Some(org.apache.spark.sql.types.StructType(fields)),
+      carriedStats(path, v, live))
   }
 
   /** Versioned upsert: A16's index-pruned copy-on-write, except the
@@ -296,12 +390,26 @@ object Snapshots {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     val live = liveFiles(path, v)
-    val target = readUnder(spark, path, v, live)
-    // A15-style pruning over the LIVE set only: per-file key ranges
-    val stats = target
-      .withColumn("file", input_file_name())
-      .groupBy("file")
-      .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+    // the full-table frame is constructed ONLY when needed: with a
+    // recorded schema and complete A27 manifest stats (the steady
+    // state), a merge never lists — let alone scans — untouched files
+    lazy val target = readUnder(spark, path, v, live)
+    val schemaNow = tableSchema(path, v).getOrElse(target.schema)
+    // file discovery: A27 manifest stats when complete — NO table scan,
+    // merge cost tracks the batch — else the legacy one-column scan
+    val keyType = schemaNow(keyCol).dataType
+    val stats = manifestRanges(path, v, live, keyCol) match {
+      case Some(rows) =>
+        import spark.implicits._
+        rows.map { case (f, mn, mx, _) => (f, mn, mx) }
+          .toDF("file", "__mns", "__mxs")
+          .select(col("file"), col("__mns").cast(keyType).as("kmin"),
+            col("__mxs").cast(keyType).as("kmax"))
+      case None => target
+        .withColumn("file", input_file_name())
+        .groupBy("file")
+        .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+    }
     val keys = updates.select(col(keyCol).as("__k")).distinct()
     val touched = stats
       .join(broadcast(keys),
@@ -309,7 +417,8 @@ object Snapshots {
       .select("file").collect().map(_.getString(0))
       .map(canonical)
     val oldTouched =
-      if (touched.isEmpty) target.limit(0)
+      if (touched.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaNow)
       else readUnder(spark, path, v, touched.toIndexedSeq)
     val kept = oldTouched
       .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_anti")
@@ -323,9 +432,8 @@ object Snapshots {
     // commit schema = the base version's schema (mapping metadata kept)
     // extended by the batch's new columns (physical = logical for new)
     val outSchema = org.apache.spark.sql.types.StructType(
-      tableSchema(path, v).getOrElse(target.schema).fields ++
-        rewritten.schema.fields.filterNot(f =>
-          tableSchema(path, v).getOrElse(target.schema).fieldNames.contains(f.name)))
+      schemaNow.fields ++ rewritten.schema.fields.filterNot(f =>
+        schemaNow.fieldNames.contains(f.name)))
 
     val stage = Files.createTempDirectory("graft_snap").toString
     // data files always land under PHYSICAL names so the live set stays
@@ -354,11 +462,13 @@ object Snapshots {
     // order. Bounded retries; a genuine conflict throws instead of
     // silently losing the winner's update.
     val touchedSet = touched.toSet
+    val stagedStats = statsLines(spark, staged) // one scan of the commit
     var base = v
     var baseLive = live
     var attempt = 0
     while (true) {
-      val newLive = baseLive.filterNot(f => touchedSet.contains(canonical(f))) ++ staged
+      val retained = baseLive.filterNot(f => touchedSet.contains(canonical(f)))
+      val newLive = retained ++ staged
       val schema =
         if (base == v) outSchema
         else tableSchema(path, base) match {
@@ -366,7 +476,8 @@ object Snapshots {
             outSchema.fields.filterNot(f => w.fieldNames.contains(f.name)))
           case None => outSchema
         }
-      if (commitAt(path, base + 1, newLive, Some(schema))) return base + 1
+      if (commitAt(path, base + 1, newLive, Some(schema),
+          carriedStats(path, base, retained) ++ stagedStats)) return base + 1
       attempt += 1
       if (attempt > maxRetries)
         throw new java.util.ConcurrentModificationException(
@@ -413,7 +524,8 @@ object Snapshots {
       .withColumn("file", input_file_name())
       .select("file").distinct().collect().map(r => canonical(r.getString(0)))
     if (touched.isEmpty) // no-op version, schema carried forward
-      return commitNext(path, v, live, tableSchema(path, v))
+      return commitNext(path, v, live, tableSchema(path, v),
+        carriedStats(path, v, live))
     // SQL DELETE null semantics: NULL predicate keeps the row, but a
     // bare filter(!pred) drops it (NOT(null) is null) — coalesce so
     // null-predicate rows survive the copy-on-write rewrite.
@@ -431,8 +543,9 @@ object Snapshots {
         dst.resolve(name).toString
       }
     val touchedSet = touched.toSet
-    commitNext(path, v, live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged,
-      tableSchema(path, v))
+    val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
+    commitNext(path, v, retained ++ staged, tableSchema(path, v),
+      carriedStats(path, v, retained) ++ statsLines(spark, staged))
   }
 
   /** Versioned DELETE BY KEY SET: [[deleteVersioned]] where the doomed
@@ -451,24 +564,36 @@ object Snapshots {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     val live = liveFiles(path, v)
-    val target = readUnder(spark, path, v, live)
+    lazy val target = readUnder(spark, path, v, live) // only pre-A27
+    val schemaNow = tableSchema(path, v).getOrElse(target.schema)
     val k = keys.select(col(keyCol)).distinct()
     // prune to files whose [kmin, kmax] contains a doomed key; only
-    // those can hold a row to delete, only those are rewritten
-    val stats = target
-      .withColumn("file", input_file_name())
-      .groupBy("file")
-      .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+    // those can hold a row to delete, only those are rewritten — from
+    // A27 manifest stats when complete (no table scan), else the scan
+    val keyType = schemaNow(keyCol).dataType
+    val stats = manifestRanges(path, v, live, keyCol) match {
+      case Some(rows) =>
+        import spark.implicits._
+        rows.map { case (f, mn, mx, _) => (f, mn, mx) }
+          .toDF("file", "__mns", "__mxs")
+          .select(col("file"), col("__mns").cast(keyType).as("kmin"),
+            col("__mxs").cast(keyType).as("kmax"))
+      case None => target
+        .withColumn("file", input_file_name())
+        .groupBy("file")
+        .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+    }
     val touched = stats
       .join(broadcast(k.withColumnRenamed(keyCol, "__k")),
         col("__k") >= col("kmin") && col("__k") <= col("kmax"), "left_semi")
       .select("file").collect().map(r => canonical(r.getString(0)))
     if (touched.isEmpty) // no-op version, schema carried forward
-      return commitNext(path, v, live, tableSchema(path, v))
+      return commitNext(path, v, live, tableSchema(path, v),
+        carriedStats(path, v, live))
     val keptRows = readUnder(spark, path, v, touched.toIndexedSeq)
       .join(broadcast(k), Seq(keyCol), "left_anti")
     val stage = Files.createTempDirectory("graft_snap_del").toString
-    stagedAsPhysical(keptRows, tableSchema(path, v).getOrElse(target.schema))
+    stagedAsPhysical(keptRows, schemaNow)
       .write.mode(SaveMode.Overwrite).parquet(stage)
     val dst = Paths.get(path)
     val staged = listDir(Paths.get(stage))
@@ -479,8 +604,9 @@ object Snapshots {
         dst.resolve(name).toString
       }
     val touchedSet = touched.toSet
-    commitNext(path, v, live.filterNot(f => touchedSet.contains(canonical(f))) ++ staged,
-      tableSchema(path, v))
+    val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
+    commitNext(path, v, retained ++ staged, tableSchema(path, v),
+      carriedStats(path, v, retained) ++ statsLines(spark, staged))
   }
 
   /** A22 — OPTIMIZE: a rewrite-only commit that bin-packs small live
@@ -524,7 +650,8 @@ object Snapshots {
         Files.move(p, dst.resolve(name))
         dst.resolve(name).toString
       }
-    commitNext(path, v, big ++ staged, tableSchema(path, v))
+    commitNext(path, v, big ++ staged, tableSchema(path, v),
+      carriedStats(path, v, big) ++ statsLines(spark, staged))
   }
 
   /** A22+A14 — OPTIMIZE ZORDER BY on the snapshot log: re-cluster the
@@ -561,7 +688,8 @@ object Snapshots {
         Files.move(p, dst.resolve(name))
         dst.resolve(name).toString
       }
-    commitNext(path, v, staged, tableSchema(path, v))
+    commitNext(path, v, staged, tableSchema(path, v),
+      statsLines(spark, staged))
   }
 
   /** A15 over the LIVE set: range read through a per-file min/max index
@@ -577,17 +705,28 @@ object Snapshots {
     val v = if (version < 0) currentVersion(path) else version
     require(Files.exists(manifestPath(path, v)), s"no version $v at $path")
     val files = liveFiles(path, v)
-    val full = readUnder(spark, path, v, files)
+    // lazy: under a stats-complete manifest the pruned read never
+    // lists the files it skips
+    lazy val full = readUnder(spark, path, v, files)
     // NO integral cast anywhere: Spark's double→long truncates where
     // other engines round, so the predicate compares in the column's
     // own type (numeric literals promote)
     val pred = col(column) >= lo && col(column) <= hi
-    val keep = full
-      .withColumn("__file", input_file_name())
-      .groupBy("__file")
-      .agg(min(col(column)).as("__min"), max(col(column)).as("__max"))
-      .filter(!(col("__max") < lo || col("__min") > hi))
-      .select("__file").collect().map(r => canonical(r.getString(0)))
+    val keep: Seq[String] = manifestRanges(path, v, files, column) match {
+      case Some(rows) =>
+        // A27: the manifest alone decides the file list — driver-side
+        // interval checks, zero jobs before the pruned scan itself
+        rows.filter { case (_, mn, mx, t) =>
+          if (t == "L") !(mx.toLong < lo || mn.toLong > hi)
+          else !(mx.toDouble < lo || mn.toDouble > hi)
+        }.map(_._1)
+      case None => full // pre-A27 manifest: one stats scan
+        .withColumn("__file", input_file_name())
+        .groupBy("__file")
+        .agg(min(col(column)).as("__min"), max(col(column)).as("__max"))
+        .filter(!(col("__max") < lo || col("__min") > hi))
+        .select("__file").collect().map(r => canonical(r.getString(0))).toSeq
+    }
     if (keep.isEmpty) full.filter(pred).limit(0)
     else readUnder(spark, path, v, keep.toIndexedSeq).filter(pred)
   }

@@ -278,6 +278,53 @@ class SnapshotsSpec extends GraftSuite {
     assert(postVac == before)
   }
 
+  test("manifest file stats: merge and pruned reads never touch (or even list) untouched files") {
+    import spark.implicits._
+    val dir = freshTable() // keys 1-100 over 4 range files, init records stats
+    Snapshots.init(spark, dir)
+    // the sharpest possible no-scan pin: REMOVE an untouched file from
+    // disk. Any code path that lists or scans the full live set now
+    // fails loudly; a manifest-stats path proceeds.
+    val byFile = Snapshots.read(spark, dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("kmin"), max("k").as("kmax")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val victim = byFile.filter(_._2 > 50L).maxBy(_._2) // highest key range
+    val victimPath = Paths.get(new java.net.URI(victim._1))
+    val bak = Paths.get(victimPath.toString + ".bak")
+    Files.move(victimPath, bak)
+    try {
+      // merge into the LOWEST key range: discovery via manifest stats,
+      // rewrite touches only the intersecting file — succeeds although
+      // an untouched live file is missing from disk
+      val v1 = Snapshots.mergeVersioned(spark, dir,
+        Seq((1L, "UP1", 9L)).toDF("k", "payload", "gen"), "k")
+      // keyed delete: same contract
+      val v2 = Snapshots.deleteVersionedKeys(spark, dir, Seq(2L).toDF("k"), "k")
+      // pruned range read over low keys: file list from the manifest
+      // alone, scan touches only the kept files
+      val low = Snapshots.readPrunedRange(spark, dir, "k", 1L, 10L, v2)
+      assert(low.count() == 9L) // keys 1..10 minus deleted 2
+      assert(low.filter(col("k") === 1L).head().getString(1) == "UP1")
+      assert(v1 == 1 && v2 == 2)
+    } finally Files.move(bak, victimPath)
+    // with the file back, the full table reflects the merge + delete
+    val full = Snapshots.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.size == 99 && full(1L) == "UP1" && !full.contains(2L))
+    // stats survive rename commits untouched (physical-name keyed)
+    Snapshots.renameColumn(spark, dir, "payload", "doc")
+    val v3 = Snapshots.currentVersion(dir)
+    Files.move(victimPath, bak)
+    try {
+      Snapshots.mergeVersioned(spark, dir,
+        Seq((3L, "UP3", 9L)).toDF("k", "doc", "gen"), "k")
+      assert(Snapshots.readPrunedRange(spark, dir, "k", 3L, 3L)
+        .head().getString(1) == "UP3")
+    } finally Files.move(bak, victimPath)
+    assert(Snapshots.currentVersion(dir) == v3 + 1)
+  }
+
   test("partitioned table: partition-scoped merges/OPTIMIZE, pruned reads, per-partition time travel") {
     import spark.implicits._
     import graft.sources.PartitionedSnapshots
