@@ -141,4 +141,37 @@ object UpsertSink {
     w.foreachBatch(mergeVersionedBatch(path, keyCol, orderCol, scope) _)
       .start()
   }
+
+  /** C25+A26 — versioned streaming upsert into a HIVE-PARTITIONED
+    * table: each micro-batch routes by the partition column and
+    * commits PER-PARTITION versions
+    * ([[graft.sources.PartitionedSnapshots.mergePartitioned]]).
+    * Partitions a batch does not touch keep their version — per-batch
+    * cost tracks the touched partitions' changed files, writers to
+    * different partitions never contend, and a consumer can pin ONE
+    * partition's version (the backfill/training-set shape) without
+    * freezing ingest into the others. New partition values appearing
+    * mid-stream mint their partition on first contact. Same
+    * checkpoint-scoped replay guard as [[startVersioned]]: the marker
+    * lands after all touched partitions commit, so a crash mid-batch
+    * replays a batch whose per-partition re-merges are
+    * content-idempotent.
+    */
+  def startPartitioned(changes: DataFrame, path: String, keyCol: String,
+      partCol: String, orderCol: String,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val w = changes.writeStream.outputMode("append")
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    val scope = markerScope(checkpoint)
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val latest = latestPerKey(batch, keyCol, orderCol)
+        val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
+        if (!replayed && !latest.isEmpty) {
+          graft.sources.PartitionedSnapshots.mergePartitioned(
+            batch.sparkSession, path, latest, keyCol, partCol)
+          scope.foreach(sc => recordBatch(path, sc, batchId))
+        }
+      }
+      .start()
+  }
 }

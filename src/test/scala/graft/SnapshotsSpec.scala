@@ -71,6 +71,46 @@ class SnapshotsSpec extends GraftSuite {
     assert(m(2)(5L) == "B2LATE" && m(2)(200L) == "B1NEW" && m(2).size == 101)
   }
 
+  test("startPartitioned: per-partition versions, untouched partitions frozen") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.PartitionedSnapshots
+    val dir = Files.createTempDirectory("graft_part_sink").toString + "/t"
+    PartitionedSnapshots.init(spark, dir,
+      (1L to 90L).map(k => (k, Seq("A", "B", "C")((k % 3).toInt), s"v$k", 0L))
+        .toDF("k", "part", "payload", "gen"),
+      "part")
+    assert(PartitionedSnapshots.versions(dir) == Map("A" -> 0, "B" -> 0, "C" -> 0))
+
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = graft.streaming.UpsertSink.startPartitioned(
+      input.toDS().toDF("k", "part", "payload", "gen"), dir, "k", "part", "gen")
+    try {
+      // batch 1 touches ONLY partition B (keys ≡ 1 mod 3)
+      input.addData((4L, "B", "B1", 1L), (91L, "B", "B1NEW", 1L))
+      q.processAllAvailable()
+      assert(PartitionedSnapshots.versions(dir) == Map("A" -> 0, "B" -> 1, "C" -> 0))
+      // batch 2: same key twice (max gen wins) + a brand-new partition
+      input.addData((4L, "B", "B2", 2L), (4L, "B", "B2LATE", 3L),
+        (500L, "D", "NEWD", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val v = PartitionedSnapshots.versions(dir)
+    assert(v("A") == 0 && v("C") == 0 && v("B") == 2 && v("D") == 0)
+    def part(p: String, ver: Int = -1) =
+      PartitionedSnapshots.readPartition(spark, dir, "part", p, ver)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(part("B")(4L) == "B2LATE" && part("B")(91L) == "B1NEW")
+    assert(part("D") == Map(500L -> "NEWD"))
+    // per-partition time travel: B's v1 has batch 1 only
+    assert(part("B", 1)(4L) == "B1")
+    assert(part("B", 0)(4L) == "v4" && !part("B", 0).contains(91L))
+    // bystander partition content untouched
+    assert(part("A").size == 30 && part("A")(3L) == "v3")
+  }
+
   test("mergeVersioned retires superseded files under a relative table path") {
     import spark.implicits._
     // relative path: scan URIs (file:///abs, %-encoded) and manifest
