@@ -385,6 +385,121 @@ object LakehouseQueries {
       |FROM merged WHERE o_orderstatus IN ('F', 'X')
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** A28 — RESTORE: after the delete (v1) and merge (v2) commits, roll
+    * back to v1 as a NEW commit (v3) and read the head. The result must
+    * equal v1's exact content — deletes in force, the v2 updates and
+    * inserts both un-done — while v2 stays time-travelable (spec-pinned
+    * along with the feed across the restore commit reporting exactly
+    * the un-done rows). The oracle reconstructs v1 from the raw table.
+    */
+  def qLakeRestore(s: SparkSession, d: String): DataFrame = {
+    val dir = stageHistory(s, d)
+    Snapshots.restore(dir, toV = 1)
+    Snapshots.read(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+  }
+
+  val qLakeRestoreSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 3 = 0 AND o_orderkey > 0 AND o_orderkey % 9 <> 0""".stripMargin
+
+  /** A29 — shallow CLONE: clone the staged table by reference (zero
+    * data movement — the clone's v0 borrows the source's files by
+    * absolute path), merge new values INTO THE CLONE, and read both
+    * tables. The source must be bit-identical to its pre-clone self
+    * (divergent histories), the clone must show the merge — and the
+    * copy-on-write of borrowed files must land in the CLONE's
+    * directory (containment spec-pinned, with vacuum refusing to
+    * reclaim borrowed files).
+    */
+  def qLakeClone(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d).filter(col("o_orderkey") % 4 === 0)
+    val src = stage(b, 4)
+    Snapshots.init(s, src)
+    val dst = tempDir("graft_lake_clone") + "/t"
+    Snapshots.cloneShallow(src, dst)
+    val upd = b.filter(col("o_orderkey") % 32 === 0)
+      .select(col("o_orderkey"), lit("C").as("o_orderstatus"),
+        (col("o_totalprice") + 111.0).as("o_totalprice"))
+    Snapshots.mergeVersioned(s, dst, upd, "o_orderkey")
+    Snapshots.read(s, src).withColumn("t", lit("src"))
+      .unionByName(Snapshots.read(s, dst).withColumn("t", lit("clone")))
+  }
+
+  val qLakeCloneSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 = 0)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, 'src' AS t FROM base
+      |UNION ALL
+      |SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 32 = 0 THEN 'C' ELSE o_orderstatus END,
+      |  CASE WHEN o_orderkey % 32 = 0 THEN o_totalprice + 111.0
+      |       ELSE o_totalprice END,
+      |  'clone' FROM base""".stripMargin
+
+  /** A30 — deletion vectors end-to-end: two MERGE-ON-READ deletes (no
+    * data file rewritten — the commits write row positions only), then
+    * a reconcile that folds the DVs into plain files. Four snapshots
+    * the oracle reproduces from the raw table: v0 (pre-delete), `mor`
+    * (both DVs in force, applied at read), `feed` (the change feed
+    * sees the merge-on-read deletes though no data file changed), and
+    * `cow` (post-reconcile — same rows as `mor`, now DV-free). Any
+    * dead row leaking into a read, or live row lost by the reconcile,
+    * breaks a hash.
+    */
+  def qLakeDv(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d).filter(col("o_orderkey") % 5 === 0)
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir) // v0
+    Snapshots.deleteVersionedDV(s, dir, col("o_orderkey") % 35 === 0) // v1
+    Snapshots.deleteVersionedDV(s, dir, col("o_orderkey") % 45 === 0) // v2
+    def aggAll(df: DataFrame, t: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .select(lit(t).as("snap"), col("n"), col("total"),
+          col("min_key"), col("max_key"))
+    val feed = Snapshots.changesBetween(s, dir, 0, 2, "o_orderkey")
+      .agg(count(lit(1)).as("n"), lit(null).cast("double").as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .select(lit("feed").as("snap"), col("n"), col("total"),
+        col("min_key"), col("max_key"))
+    val mor = aggAll(Snapshots.read(s, dir), "mor")
+    Snapshots.reconcileDV(s, dir) // v3
+    aggAll(Snapshots.read(s, dir, version = 0), "v0")
+      .unionByName(mor)
+      .unionByName(feed)
+      .unionByName(aggAll(Snapshots.read(s, dir), "cow"))
+  }
+
+  val qLakeDvSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |dead AS (
+      |  SELECT * FROM base
+      |  WHERE o_orderkey % 35 = 0 OR o_orderkey % 45 = 0),
+      |live AS (
+      |  SELECT * FROM base
+      |  WHERE o_orderkey % 35 <> 0 AND o_orderkey % 45 <> 0)
+      |SELECT 'v0' AS snap, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM base
+      |UNION ALL
+      |SELECT 'mor', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM live
+      |UNION ALL
+      |SELECT 'feed', count(*), CAST(NULL AS DOUBLE),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM dead
+      |UNION ALL
+      |SELECT 'cow', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM live""".stripMargin
+
   /** A18 — time travel: after the delete (v1) and merge (v2) commits,
     * reading version 0 must reproduce the ORIGINAL base exactly —
     * deleted rows visible, updates absent, inserts absent — because
@@ -410,7 +525,10 @@ object LakehouseQueries {
     "q_lake_schema_evo" -> (qLakeSchemaEvo(_, _)),
     "q_lake_schema_map" -> (qLakeSchemaMap(_, _)),
     "q_lake_partitioned" -> (qLakePartitioned(_, _)),
-    "q_lake_zorder" -> (qLakeZorder(_, _)))
+    "q_lake_zorder" -> (qLakeZorder(_, _)),
+    "q_lake_restore" -> (qLakeRestore(_, _)),
+    "q_lake_clone" -> (qLakeClone(_, _)),
+    "q_lake_dv" -> (qLakeDv(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> qLakeTimetravelSql,
@@ -422,5 +540,8 @@ object LakehouseQueries {
     "q_lake_schema_evo" -> qLakeSchemaEvoSql,
     "q_lake_schema_map" -> qLakeSchemaMapSql,
     "q_lake_partitioned" -> qLakePartitionedSql,
-    "q_lake_zorder" -> qLakeZorderSql)
+    "q_lake_zorder" -> qLakeZorderSql,
+    "q_lake_restore" -> qLakeRestoreSql,
+    "q_lake_clone" -> qLakeCloneSql,
+    "q_lake_dv" -> qLakeDvSql)
 }

@@ -203,6 +203,75 @@ object Snapshots {
         StatsHeader + Seq(f, c, t, mn, mx).mkString(StatsSep) }))
   }
 
+  // A30 — DELETION VECTORS (the Delta DV / Iceberg position-delete
+  // pattern): a delete may land as a MERGE-ON-READ commit instead of a
+  // copy-on-write rewrite. The manifest carries `#dv=` lines naming DV
+  // parquet files — each a set of (__dv_file, __dv_pos) row positions
+  // that are DEAD at that version — and every read anti-joins them out.
+  // Deleting d rows from a 100 TB table then writes O(d) positions, not
+  // O(touched file bytes); reads pay one (usually broadcast) anti join
+  // until [[reconcileDV]] folds the DVs back into rewritten files.
+  // DV file sets are carried forward whole on every commit; entries
+  // referencing files no longer live are INERT (the anti join cannot
+  // match a file that is not scanned), so carrying them is harmless
+  // garbage that reconcile/OPTIMIZE ZORDER clears. Positions come from
+  // parquet's `_metadata.row_index`, which is stable per file.
+  private val DvHeader = "#dv="
+
+  /** DV parquet files in force at version `v` (accumulated). */
+  private[graft] def dvFiles(path: String, v: Int): Seq[String] =
+    Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+      .filter(_.startsWith(DvHeader)).map(_.stripPrefix(DvHeader))
+
+  /** Read `files` under `schema` WITH the per-row identity the DV
+    * machinery keys on: `__file` = the scan's `_metadata.file_path`
+    * rendering, `__pos` = `_metadata.row_index`. Column mapping applies
+    * exactly as in [[readFilesAs]].
+    */
+  private def readFilesAsWithPos(spark: SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      files: Seq[String]): DataFrame = {
+    val meta = Seq(col("_metadata.file_path").as("__file"),
+      col("_metadata.row_index").as("__pos"))
+    schema match {
+      case Some(s) if hasMapping(s) =>
+        spark.read.schema(toPhysical(s)).parquet(files: _*)
+          .select(s.fields.toIndexedSeq.map(f =>
+            col(physicalName(f)).as(f.name, f.metadata)) ++ meta: _*)
+      case Some(s) =>
+        spark.read.schema(s).parquet(files: _*)
+          .select(s.fields.toIndexedSeq.map(f => col(f.name)) ++ meta: _*)
+      case None =>
+        spark.read.parquet(files: _*).select(col("*") +: meta: _*)
+    }
+  }
+
+  /** Drop from `withPos` (a [[readFilesAsWithPos]] frame) every row a
+    * DV marks dead. Not forced broadcast: a massive accumulated DV must
+    * be allowed to shuffle-anti-join; Spark broadcasts the usual small
+    * case on its own. */
+  private def applyDv(spark: SparkSession, withPos: DataFrame,
+      dvs: Seq[String]): DataFrame = {
+    val dv = spark.read.parquet(dvs: _*)
+    withPos.join(dv,
+        withPos("__file") === dv("__dv_file") && withPos("__pos") === dv("__dv_pos"),
+        "left_anti")
+      .drop("__file", "__pos")
+  }
+
+  /** Read `files` as LIVE at version `v`: under `v`'s recorded schema,
+    * with `v`'s deletion vectors applied. Every consumer that means
+    * "the rows of these files as the table sees them" — read, merge
+    * rewrite, delete rewrite, compaction, re-clustering — must come
+    * through here, or DV-deleted rows resurrect in the rewrite.
+    */
+  private def readLive(spark: SparkSession, path: String, v: Int,
+      files: Seq[String]): DataFrame = {
+    val dvs = dvFiles(path, v)
+    if (dvs.isEmpty) readUnder(spark, path, v, files)
+    else applyDv(spark, readFilesAsWithPos(spark, tableSchema(path, v), files), dvs)
+  }
+
   /** The physical name of logical column `name` at version `v`. */
   private def physicalOf(path: String, v: Int, name: String): String =
     tableSchema(path, v).flatMap(_.fields.find(_.name == name))
@@ -259,13 +328,15 @@ object Snapshots {
     * silently publishing a manifest built on a stale base. */
   private[graft] def commitAt(path: String, v: Int, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      stats: Seq[String] = Seq.empty): Boolean = {
+      stats: Seq[String] = Seq.empty,
+      dv: Seq[String] = Seq.empty): Boolean = {
     Files.createDirectories(logDir(path))
     val target = manifestPath(path, v)
     if (Files.exists(target)) return false
     val tmp = Files.createTempFile(logDir(path), "commit", ".tmp")
     try {
       val lines = schema.map(s => SchemaHeader + s.json).toSeq ++
+        dv.map(f => DvHeader + canonical(f)).sorted ++
         stats.sorted ++ files.map(canonical).sorted
       Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
       try { Files.createLink(target, tmp); true }
@@ -275,9 +346,10 @@ object Snapshots {
 
   private[graft] def commit(path: String, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      stats: Seq[String] = Seq.empty): Int = {
+      stats: Seq[String] = Seq.empty,
+      dv: Seq[String] = Seq.empty): Int = {
     val v = currentVersion(path) + 1
-    if (!commitAt(path, v, files, schema, stats))
+    if (!commitAt(path, v, files, schema, stats, dv))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, v).toString)
     v
@@ -294,8 +366,9 @@ object Snapshots {
     */
   private def commitNext(path: String, base: Int, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      stats: Seq[String] = Seq.empty): Int = {
-    if (!commitAt(path, base + 1, files, schema, stats))
+      stats: Seq[String] = Seq.empty,
+      dv: Seq[String] = Seq.empty): Int = {
+    if (!commitAt(path, base + 1, files, schema, stats, dv))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, base + 1).toString +
           " (concurrent commit won this version; re-read and retry)")
@@ -324,7 +397,7 @@ object Snapshots {
     require(Files.exists(manifestPath(path, v)), s"no version $v at $path")
     val files = liveFiles(path, v)
     if (files.isEmpty) spark.emptyDataFrame
-    else readUnder(spark, path, v, files)
+    else readLive(spark, path, v, files)
   }
 
   /** A24 — RENAME COLUMN as a metadata-only commit: zero data files
@@ -351,7 +424,7 @@ object Snapshots {
       else f
     }
     commitNext(path, v, live, Some(org.apache.spark.sql.types.StructType(fields)),
-      carriedStats(path, v, live))
+      carriedStats(path, v, live), dvFiles(path, v))
   }
 
   /** A24 — DROP COLUMN as a metadata-only commit: the field leaves the
@@ -368,7 +441,54 @@ object Snapshots {
     val fields = schema.fields.filterNot(_.name == name)
     require(fields.nonEmpty, "dropColumn: cannot drop the last column")
     commitNext(path, v, live, Some(org.apache.spark.sql.types.StructType(fields)),
-      carriedStats(path, v, live))
+      carriedStats(path, v, live), dvFiles(path, v))
+  }
+
+  /** A28 — RESTORE TABLE TO VERSION (the Delta RESTORE pattern): roll
+    * the table back to `toV`'s content as a NEW commit. Head+1's live
+    * set, schema, and per-file stats are copied from `toV`'s manifest,
+    * so history stays append-only — the rolled-back versions remain
+    * time-travelable for forensics, and the A20 change feed across the
+    * restore commit reports exactly the rows the rollback un-did
+    * (manifest-diff cost, like every other feed window). Zero data
+    * movement: file references only. Requires `toV`'s manifest to
+    * still be retained (vacuum drops old manifests — restoring past
+    * the retention horizon is impossible, by design).
+    */
+  def restore(path: String, toV: Int): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    require(Files.exists(manifestPath(path, toV)),
+      s"restore: no version $toV at $path (vacuumed or never committed)")
+    val live = liveFiles(path, toV)
+    commitNext(path, v, live, tableSchema(path, toV),
+      carriedStats(path, toV, live), dvFiles(path, toV))
+  }
+
+  /** A29 — shallow CLONE (the Delta SHALLOW CLONE pattern): `dst`
+    * becomes an independent versioned table whose v0 REFERENCES `src`'s
+    * live files at `version` (default: current) in place — zero data
+    * movement, metadata copy only, so cloning a 100 TB table is a
+    * manifest write. From the commit on the histories are independent:
+    * merges/deletes/OPTIMIZE on the clone copy-on-write into the
+    * clone's own directory and `src` never observes them.
+    *
+    * Safety: borrowed files live OUTSIDE the clone's directory, and
+    * [[vacuum]] reclaims only files UNDER the table's own path — so a
+    * clone's vacuum can never delete source data (the containment rule
+    * real formats enforce). The standing hazard shallow clones carry
+    * everywhere: vacuuming the SOURCE can reclaim files the clone
+    * still references — retention policy must outlive clones.
+    */
+  def cloneShallow(src: String, dst: String, version: Int = -1): Int = {
+    val v = if (version < 0) currentVersion(src) else version
+    require(v >= 0, s"$src not initialized (call init)")
+    require(Files.exists(manifestPath(src, v)), s"clone: no version $v at $src")
+    require(currentVersion(dst) < 0, s"clone: $dst already versioned")
+    Files.createDirectories(Paths.get(dst))
+    val live = liveFiles(src, v)
+    commit(dst, live, tableSchema(src, v), carriedStats(src, v, live),
+      dvFiles(src, v))
   }
 
   /** Versioned upsert: A16's index-pruned copy-on-write, except the
@@ -416,10 +536,12 @@ object Snapshots {
         col("__k") >= col("kmin") && col("__k") <= col("kmax"), "left_semi")
       .select("file").collect().map(_.getString(0))
       .map(canonical)
+    // readLive, not readUnder: a DV-deleted row in a touched file must
+    // not resurrect through the copy-on-write rewrite
     val oldTouched =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaNow)
-      else readUnder(spark, path, v, touched.toIndexedSeq)
+      else readLive(spark, path, v, touched.toIndexedSeq)
     val kept = oldTouched
       .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_anti")
     // Schema evolution on write: a batch with NEW columns widens the
@@ -477,7 +599,8 @@ object Snapshots {
           case None => outSchema
         }
       if (commitAt(path, base + 1, newLive, Some(schema),
-          carriedStats(path, base, retained) ++ stagedStats)) return base + 1
+          carriedStats(path, base, retained) ++ stagedStats,
+          dvFiles(path, base))) return base + 1
       attempt += 1
       if (attempt > maxRetries)
         throw new java.util.ConcurrentModificationException(
@@ -499,6 +622,21 @@ object Snapshots {
           throw new java.util.ConcurrentModificationException(
             s"merge on $path conflicts with version $w: a concurrent commit " +
               "wrote keys this merge also writes")
+      }
+      // a concurrent DV delete changes no live files, so the file check
+      // above cannot see it — but if its dead positions fall in a file
+      // THIS merge rewrote (from the pre-DV image), rebasing would
+      // resurrect the freshly deleted rows. Conflict, not commute.
+      val newDvs = dvFiles(path, w).toSet -- dvFiles(path, v).toSet
+      if (newDvs.nonEmpty) {
+        val dvClash = spark.read.parquet(newDvs.toSeq: _*)
+          .select("__dv_file").distinct()
+          .collect().map(r => canonical(r.getString(0)))
+          .exists(touchedSet.contains)
+        if (dvClash)
+          throw new java.util.ConcurrentModificationException(
+            s"merge on $path conflicts with version $w: a concurrent DV " +
+              "delete marked rows dead in a file this merge rewrote")
       }
       base = w
       baseLive = liveW
@@ -525,11 +663,11 @@ object Snapshots {
       .select("file").distinct().collect().map(r => canonical(r.getString(0)))
     if (touched.isEmpty) // no-op version, schema carried forward
       return commitNext(path, v, live, tableSchema(path, v),
-        carriedStats(path, v, live))
+        carriedStats(path, v, live), dvFiles(path, v))
     // SQL DELETE null semantics: NULL predicate keeps the row, but a
     // bare filter(!pred) drops it (NOT(null) is null) — coalesce so
     // null-predicate rows survive the copy-on-write rewrite.
-    val keptRows = readUnder(spark, path, v, touched.toIndexedSeq)
+    val keptRows = readLive(spark, path, v, touched.toIndexedSeq)
       .filter(!coalesce(predicate, lit(false)))
     val stage = Files.createTempDirectory("graft_snap_del").toString
     stagedAsPhysical(keptRows, tableSchema(path, v).getOrElse(target.schema))
@@ -545,7 +683,8 @@ object Snapshots {
     val touchedSet = touched.toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
-      carriedStats(path, v, retained) ++ statsLines(spark, staged))
+      carriedStats(path, v, retained) ++ statsLines(spark, staged),
+      dvFiles(path, v))
   }
 
   /** Versioned DELETE BY KEY SET: [[deleteVersioned]] where the doomed
@@ -589,8 +728,8 @@ object Snapshots {
       .select("file").collect().map(r => canonical(r.getString(0)))
     if (touched.isEmpty) // no-op version, schema carried forward
       return commitNext(path, v, live, tableSchema(path, v),
-        carriedStats(path, v, live))
-    val keptRows = readUnder(spark, path, v, touched.toIndexedSeq)
+        carriedStats(path, v, live), dvFiles(path, v))
+    val keptRows = readLive(spark, path, v, touched.toIndexedSeq)
       .join(broadcast(k), Seq(keyCol), "left_anti")
     val stage = Files.createTempDirectory("graft_snap_del").toString
     stagedAsPhysical(keptRows, schemaNow)
@@ -600,6 +739,151 @@ object Snapshots {
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val name = s"v${v + 1}_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    val touchedSet = touched.toSet
+    val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
+    commitNext(path, v, retained ++ staged, tableSchema(path, v),
+      carriedStats(path, v, retained) ++ statsLines(spark, staged),
+      dvFiles(path, v))
+  }
+
+  /** Stage `doomed` (__dv_file, __dv_pos) as DV parquet under `path`
+    * and commit head+1 with the SAME live set plus the new DV refs —
+    * the merge-on-read commit atom shared by the two DV delete forms.
+    * An empty doomed set commits a no-op version (consistent with the
+    * copy-on-write deletes).
+    */
+  private def commitDv(spark: SparkSession, path: String, v: Int,
+      live: Seq[String], doomed: DataFrame): Int = {
+    if (doomed.isEmpty)
+      return commitNext(path, v, live, tableSchema(path, v),
+        carriedStats(path, v, live), dvFiles(path, v))
+    val stage = Files.createTempDirectory("graft_dv").toString
+    doomed.write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    val staged = listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_dv_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    commitNext(path, v, live, tableSchema(path, v),
+      carriedStats(path, v, live), dvFiles(path, v) ++ staged)
+  }
+
+  /** A30 — MERGE-ON-READ DELETE: rows matching `predicate` are marked
+    * dead in a deletion vector instead of being rewritten out — the
+    * commit writes O(deleted rows) positions and ZERO data files, so
+    * deleting a sliver of a 100 TB table costs the predicate scan (with
+    * pushdown) plus a positions write, never a file rewrite. Reads pay
+    * one anti join until [[reconcileDV]] (or OPTIMIZE ZORDER) folds the
+    * DVs into rewritten files. Every prior version time-travels exactly
+    * as before — a version sees precisely the DV set committed at it.
+    * NULL-predicate rows survive (SQL DELETE semantics). Returns the
+    * new version.
+    */
+  def deleteVersionedDV(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val live = liveFiles(path, v)
+    // positions come from the LIVE image (existing DVs applied), so an
+    // already-dead row can never be re-marked — DV files stay disjoint
+    val doomed = applyDvIfAny(spark, path, v,
+        readFilesAsWithPos(spark, tableSchema(path, v), live))
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("__file").as("__dv_file"), col("__pos").as("__dv_pos"))
+    commitDv(spark, path, v, live, doomed)
+  }
+
+  /** A30 — MERGE-ON-READ DELETE BY KEY SET: the DV analog of
+    * [[deleteVersionedKeys]]. File discovery prunes from the A27
+    * manifest stats (per-file key range × broadcast keys), so only
+    * files that can hold a doomed key are even SCANNED for positions —
+    * delete cost tracks the batch's key locality, and the plan holds no
+    * per-key literals. Returns the new version.
+    */
+  def deleteVersionedKeysDV(spark: SparkSession, path: String,
+      keys: DataFrame, keyCol: String): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val live = liveFiles(path, v)
+    val k = keys.select(col(keyCol)).distinct()
+    lazy val schemaNow = tableSchema(path, v)
+      .getOrElse(readUnder(spark, path, v, live).schema)
+    val candidates = manifestRanges(path, v, live, keyCol) match {
+      case Some(rows) =>
+        val keyType = schemaNow(keyCol).dataType
+        import spark.implicits._
+        rows.map { case (f, mn, mx, _) => (f, mn, mx) }
+          .toDF("file", "__mns", "__mxs")
+          .select(col("file"), col("__mns").cast(keyType).as("kmin"),
+            col("__mxs").cast(keyType).as("kmax"))
+          .join(broadcast(k.withColumnRenamed(keyCol, "__k")),
+            col("__k") >= col("kmin") && col("__k") <= col("kmax"), "left_semi")
+          .select("file").collect().map(r => canonical(r.getString(0))).toSeq
+      case None => live // pre-A27: scan everything for positions
+    }
+    if (candidates.isEmpty) // no file can hold a doomed key: no-op commit
+      return commitNext(path, v, live, tableSchema(path, v),
+        carriedStats(path, v, live), dvFiles(path, v))
+    val doomed = applyDvIfAny(spark, path, v,
+        readFilesAsWithPos(spark, tableSchema(path, v), candidates))
+      .join(broadcast(k), Seq(keyCol), "left_semi")
+      .select(col("__file").as("__dv_file"), col("__pos").as("__dv_pos"))
+    commitDv(spark, path, v, live, doomed)
+  }
+
+  /** [[applyDv]] when version `v` has DVs, identity otherwise — for
+    * callers that need the __file/__pos columns kept. */
+  private def applyDvIfAny(spark: SparkSession, path: String, v: Int,
+      withPos: DataFrame): DataFrame = {
+    val dvs = dvFiles(path, v)
+    if (dvs.isEmpty) withPos
+    else {
+      val dv = spark.read.parquet(dvs: _*)
+      withPos.join(dv,
+        withPos("__file") === dv("__dv_file") && withPos("__pos") === dv("__dv_pos"),
+        "left_anti")
+    }
+  }
+
+  /** A30 — RECONCILE: fold the accumulated deletion vectors back into
+    * plain files (the OPTIMIZE step of merge-on-read). Rewrites ONLY
+    * the live files that actually carry dead positions, drops every DV
+    * ref from the manifest (entries for untouched files cannot exist —
+    * they were either rewritten here or already inert), and commits.
+    * The live row multiset is unchanged, so the A20 feed across this
+    * version is empty and reads simply stop paying the anti join.
+    * Returns the new version (current if there are no DVs).
+    */
+  def reconcileDV(spark: SparkSession, path: String): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val dvs = dvFiles(path, v)
+    if (dvs.isEmpty) return v
+    val live = liveFiles(path, v)
+    val liveSet = live.map(canonical).toSet
+    // files with live dead-positions: bounded collect, ∝ distinct files
+    // ever DV-touched
+    val touched = spark.read.parquet(dvs: _*).select("__dv_file").distinct()
+      .collect().map(r => canonical(r.getString(0)))
+      .filter(liveSet.contains).toIndexedSeq
+    if (touched.isEmpty) // all entries inert: drop the refs, move on
+      return commitNext(path, v, live, tableSchema(path, v),
+        carriedStats(path, v, live))
+    val keptRows = readLive(spark, path, v, touched)
+    val stage = Files.createTempDirectory("graft_dv_rec").toString
+    tableSchema(path, v).fold(keptRows)(stagedAsPhysical(keptRows, _))
+      .write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    val staged = listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_dvrec_${p.getFileName.toString}"
         Files.move(p, dst.resolve(name))
         dst.resolve(name).toString
       }
@@ -638,7 +922,7 @@ object Snapshots {
     // small set has MIXED physical schemas; packing must null-fill,
     // not silently drop the widened column from pre-widening files
     val sch = tableSchema(path, v)
-    val packed = readUnder(spark, path, v, small)
+    val packed = readLive(spark, path, v, small)
     val stage = Files.createTempDirectory("graft_compact").toString
     sch.fold(packed)(stagedAsPhysical(packed, _)).coalesce(bins)
       .write.mode(SaveMode.Overwrite).parquet(stage)
@@ -651,7 +935,8 @@ object Snapshots {
         dst.resolve(name).toString
       }
     commitNext(path, v, big ++ staged, tableSchema(path, v),
-      carriedStats(path, v, big) ++ statsLines(spark, staged))
+      carriedStats(path, v, big) ++ statsLines(spark, staged),
+      dvFiles(path, v))
   }
 
   /** A22+A14 — OPTIMIZE ZORDER BY on the snapshot log: re-cluster the
@@ -675,8 +960,11 @@ object Snapshots {
     require(v >= 0, s"$path not initialized (call init)")
     val live = liveFiles(path, v)
     require(live.nonEmpty, s"$path has no live files at v$v")
+    // readLive + full rewrite: every DV entry becomes inert here, so
+    // the commit drops the DV set entirely — ZORDER doubles as the
+    // merge-on-read → pure-files reconciliation point
     val clustered = Sources.zClustered(
-      readUnder(spark, path, v, live), c1, c2, numFiles)
+      readLive(spark, path, v, live), c1, c2, numFiles)
     val stage = Files.createTempDirectory("graft_zorder").toString
     tableSchema(path, v).fold(clustered)(stagedAsPhysical(clustered, _))
       .write.mode(SaveMode.Overwrite).parquet(stage)
@@ -707,7 +995,7 @@ object Snapshots {
     val files = liveFiles(path, v)
     // lazy: under a stats-complete manifest the pruned read never
     // lists the files it skips
-    lazy val full = readUnder(spark, path, v, files)
+    lazy val full = readLive(spark, path, v, files)
     // NO integral cast anywhere: Spark's double→long truncates where
     // other engines round, so the predicate compares in the column's
     // own type (numeric literals promote)
@@ -720,7 +1008,10 @@ object Snapshots {
           if (t == "L") !(mx.toLong < lo || mn.toLong > hi)
           else !(mx.toDouble < lo || mn.toDouble > hi)
         }.map(_._1)
-      case None => full // pre-A27 manifest: one stats scan
+      case None => readUnder(spark, path, v, files) // pre-A27: one stats
+        // scan — RAW read, not readLive: input_file_name() is unusable
+        // after the DV anti join, and stats over DV-dead rows merely
+        // over-approximate the ranges (sound for pruning)
         .withColumn("__file", input_file_name())
         .groupBy("__file")
         .agg(min(col(column)).as("__min"), max(col(column)).as("__max"))
@@ -728,7 +1019,7 @@ object Snapshots {
         .select("__file").collect().map(r => canonical(r.getString(0))).toSeq
     }
     if (keep.isEmpty) full.filter(pred).limit(0)
-    else readUnder(spark, path, v, keep.toIndexedSeq).filter(pred)
+    else readLive(spark, path, v, keep.toIndexedSeq).filter(pred)
   }
 
   /** A20 — change feed between two committed versions (the Delta CDF
@@ -763,6 +1054,27 @@ object Snapshots {
       payload.map(c => col(s"__post.$c").as(c)): _*)
   }
 
+  /** Rows of the SHARED files whose positions appear in `diffDvs` (the
+    * DV files one feed endpoint has and the other doesn't): the
+    * merge-on-read rows that changed liveness without any file
+    * changing. Reads ONLY the shared files the diff entries actually
+    * hit — cost tracks the DV delta, preserving the feed's
+    * changed-data-only property. */
+  private def dvDiffRows(spark: SparkSession,
+      hint: Option[org.apache.spark.sql.types.StructType],
+      shared: Set[String], diffDvs: Seq[String]): Option[DataFrame] = {
+    if (diffDvs.isEmpty || shared.isEmpty) return None
+    val dv = spark.read.parquet(diffDvs: _*)
+    val hit = dv.select("__dv_file").distinct().collect()
+      .map(r => canonical(r.getString(0))).filter(shared.contains).toIndexedSeq
+    if (hit.isEmpty) return None
+    val rows = readFilesAsWithPos(spark, hint, hit)
+    Some(rows.join(dv,
+        rows("__file") === dv("__dv_file") && rows("__pos") === dv("__dv_pos"),
+        "left_semi")
+      .drop("__file", "__pos"))
+  }
+
   private def changeFrame(spark: SparkSession, path: String, fromV: Int, toV: Int,
       keyCol: String): DataFrame = {
     require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
@@ -773,11 +1085,27 @@ object Snapshots {
     // row whose only change is that column going null→value correctly
     // reads as an update, and the feed's payload stays typed
     val hint = tableSchema(path, toV).orElse(tableSchema(path, fromV))
-    def readFiles(fs: Set[String]): Option[DataFrame] =
+    // each endpoint's diff-side files read under ITS OWN DV set — a row
+    // already dead at an endpoint is not part of that endpoint's state
+    def readFiles(fs: Set[String], dvs: Seq[String]): Option[DataFrame] =
       if (fs.isEmpty) None
-      else Some(readFilesAs(spark, hint, fs.toSeq))
-    val preOpt = readFiles(a -- b)
-    val postOpt = readFiles(b -- a)
+      else if (dvs.isEmpty) Some(readFilesAs(spark, hint, fs.toSeq))
+      else Some(applyDv(spark, readFilesAsWithPos(spark, hint, fs.toSeq), dvs))
+    val dvA = dvFiles(path, fromV)
+    val dvB = dvFiles(path, toV)
+    // merge-on-read changes live in SHARED files the file diff cannot
+    // see: DV entries added in the window are deletes (pre-only rows —
+    // disjoint from dvA by construction, so they were live at fromV);
+    // entries REMOVED (a restore to a pre-DV version) are re-inserts
+    val shared = a.intersect(b)
+    val preExtra = dvDiffRows(spark, hint, shared,
+      (dvB.toSet -- dvA.toSet).toSeq)
+    val postExtra = dvDiffRows(spark, hint, shared,
+      (dvA.toSet -- dvB.toSet).toSeq)
+    val preOpt = (readFiles(a -- b, dvA).toSeq ++ preExtra)
+      .reduceOption(_.unionByName(_))
+    val postOpt = (readFiles(b -- a, dvB).toSeq ++ postExtra)
+      .reduceOption(_.unionByName(_))
     // schema from the DIFF reads (a full-version read would touch the
     // whole live set and break the changed-files-only cost property);
     // both diffs empty = no changes, where ONE footer suffices to type
@@ -821,8 +1149,18 @@ object Snapshots {
   def vacuum(path: String, keepFrom: Int): Int = {
     val cur = currentVersion(path)
     require(keepFrom >= 0 && keepFrom <= cur, s"keepFrom $keepFrom out of range 0..$cur")
-    val retained = (keepFrom to cur).flatMap(liveFiles(path, _)).map(canonical).toSet
-    val dropped = (0 until keepFrom).flatMap(liveFiles(path, _)).map(canonical).toSet -- retained
+    // DV files (A30) are references too: a retained version's deletion
+    // vectors must survive vacuum or its reads resurrect dead rows
+    def referenced(v: Int): Seq[String] = liveFiles(path, v) ++ dvFiles(path, v)
+    val retained = (keepFrom to cur).flatMap(referenced).map(canonical).toSet
+    // containment rule (A29): only files UNDER this table's directory
+    // are this table's to reclaim — a shallow clone's manifest borrows
+    // the source's files by absolute path, and the clone retiring a
+    // borrowed file must never delete the SOURCE's data.
+    val root = Paths.get(path).toAbsolutePath.normalize.toString +
+      java.io.File.separator
+    val dropped = ((0 until keepFrom).flatMap(referenced)
+      .map(canonical).toSet -- retained).filter(_.startsWith(root))
     // orphan sweep: a crash between staging data files and commit
     // leaves *.parquet no manifest references; they'd otherwise never
     // be reclaimed (and a later init would absorb them). Single-writer

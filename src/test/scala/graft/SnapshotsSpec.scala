@@ -821,4 +821,176 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.read(spark, dir).count() == 100)
     intercept[IllegalArgumentException](Snapshots.read(spark, dir, 0))
   }
+
+  test("restore: rollback lands as a new commit, rolled-back versions stay travelable") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir) // v0
+    val up = Seq((5L, "UP5", 1L), (200L, "NEW200", 1L)).toDF("k", "payload", "gen")
+    Snapshots.mergeVersioned(spark, dir, up, "k") // v1
+    Snapshots.deleteVersioned(spark, dir, col("k") % 10 === 0) // v2
+    assert(Snapshots.restore(dir, toV = 1) == 3)
+
+    def snap(v: Int): Map[Long, String] =
+      Snapshots.read(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // head == v1 bit-exact: the delete un-done, the merge back in force
+    assert(snap(3) == snap(1))
+    // the rolled-back version is still there for forensics
+    assert(!snap(2).contains(200L) && snap(2).size == snap(1).size - 11)
+    // the feed across the restore commit is exactly the un-done rows:
+    // the 11 deleted keys (5,15,…,95 and 200 survive: 200 % 10 == 0 —
+    // count them from the data, not by hand)
+    val feed = Snapshots.changesBetween(spark, dir, 2, 3, "k").collect()
+    assert(feed.forall(_.getString(1) == "insert"))
+    assert(feed.map(_.getLong(0)).sorted.toSeq ==
+      snap(1).keySet.filter(_ % 10 == 0).toSeq.sorted)
+    // restoring past the retention horizon refuses loudly
+    Snapshots.vacuum(dir, keepFrom = 2)
+    intercept[IllegalArgumentException](Snapshots.restore(dir, toV = 0))
+  }
+
+  test("shallow clone: zero-copy, divergent histories, vacuum never reclaims borrowed files") {
+    import spark.implicits._
+    val src = freshTable()
+    Snapshots.init(spark, src) // src v0
+    val dst = Files.createTempDirectory("graft_clone_spec").toString + "/t"
+    assert(Snapshots.cloneShallow(src, dst) == 0)
+
+    // zero-copy: the clone's directory holds NO data files, yet reads
+    // the full source content through borrowed absolute references
+    assert(!Files.list(Paths.get(dst)).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")))
+    assert(Snapshots.read(spark, dst).count() == 100)
+
+    // diverge the clone; the source must not observe it
+    val up = Seq((7L, "CLONE7", 1L), (500L, "CLONE500", 1L)).toDF("k", "payload", "gen")
+    Snapshots.mergeVersioned(spark, dst, up, "k") // clone v1
+    assert(Snapshots.currentVersion(src) == 0)
+    val srcMap = Snapshots.read(spark, src).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(srcMap(7L) == "v7" && !srcMap.contains(500L) && srcMap.size == 100)
+    val cloneMap = Snapshots.read(spark, dst).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cloneMap(7L) == "CLONE7" && cloneMap(500L) == "CLONE500" &&
+      cloneMap.size == 101)
+    // the copy-on-write landed in the CLONE's directory
+    assert(Files.list(Paths.get(dst)).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")))
+
+    // the clone retired one borrowed file (the range file covering k=7);
+    // vacuuming the clone's history must NOT delete it from the source
+    val srcFilesBefore = Files.list(Paths.get(src)).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    Snapshots.vacuum(dst, keepFrom = 1)
+    val srcFilesAfter = Files.list(Paths.get(src)).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(srcFilesAfter == srcFilesBefore)
+    assert(Snapshots.read(spark, src).count() == 100) // source intact
+    assert(Snapshots.read(spark, dst).count() == 101) // clone intact
+
+    // a clone of a historical version, and double-clone refusal
+    intercept[IllegalArgumentException](Snapshots.cloneShallow(src, dst))
+  }
+
+  test("deletion vectors: merge-on-read delete, zero data files written, exact feed") {
+    val dir = freshTable()
+    Snapshots.init(spark, dir) // v0
+    def dataFiles() = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.contains("_dv")).toSet
+
+    val before = dataFiles()
+    Snapshots.deleteVersionedDV(spark, dir, col("k") % 10 === 0) // v1
+    // merge-on-read: the delete wrote POSITIONS, not rewritten files
+    assert(dataFiles() == before)
+    assert(Snapshots.read(spark, dir).count() == 90)
+    assert(Snapshots.read(spark, dir, 0).count() == 100) // time travel past the DV
+
+    Snapshots.deleteVersionedDV(spark, dir, col("k") % 7 === 0) // v2, accumulates
+    val live2 = Snapshots.read(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(live2 == (1L to 100L).filterNot(k => k % 10 == 0 || k % 7 == 0).toSet)
+    assert(Snapshots.read(spark, dir, 1).count() == 90) // v1 sees only ITS DV set
+
+    // the feed sees merge-on-read deletes though no file changed
+    val f01 = Snapshots.changesBetween(spark, dir, 0, 1, "k").collect()
+    assert(f01.forall(_.getString(1) == "delete"))
+    assert(f01.map(_.getLong(0)).toSet == (10L to 100L by 10L).toSet)
+    val f12 = Snapshots.changesBetween(spark, dir, 1, 2, "k").collect()
+    assert(f12.map(_.getLong(0)).toSet ==
+      (1L to 100L).filter(k => k % 7 == 0 && k % 10 != 0).toSet)
+
+    // copy-on-write through a DV'd file must NOT resurrect dead rows:
+    // k=5 lives in the same range file as the dead k=7/10/14/20
+    import spark.implicits._
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((5L, "UP5", 9L)).toDF("k", "payload", "gen"), "k") // v3
+    val live3 = Snapshots.read(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(live3 == live2)
+
+    // reconcile folds DVs into plain files: same content, refs gone,
+    // empty feed across the reconcile commit
+    val v4 = Snapshots.reconcileDV(spark, dir)
+    assert(v4 == 4)
+    assert(Snapshots.dvFiles(dir, v4).isEmpty)
+    assert(Snapshots.read(spark, dir).collect().map(_.getLong(0)).toSet == live2)
+    assert(Snapshots.changesBetween(spark, dir, 3, 4, "k").isEmpty)
+
+    // restore to the single-DV version: the feed across the restore
+    // reports the %7 rows coming BACK as inserts (un-deleted via DV diff)
+    val v5 = Snapshots.restore(dir, toV = 1)
+    val back = Snapshots.changesBetween(spark, dir, 4, 5, "k").collect()
+    val backIns = (1L to 100L).filter(k => k % 7 == 0 && k % 10 != 0).toSet
+    assert(back.filter(_.getString(1) == "insert").map(_.getLong(0)).toSet == backIns)
+    // ...and the v3 merge of k=5 is un-done too: one update back to "v5"
+    assert(back.filter(_.getString(1) == "update").map(_.getLong(0)).toSeq == Seq(5L))
+    assert(back.length == backIns.size + 1)
+    assert(Snapshots.read(spark, dir, v5).count() == 90)
+
+    // vacuum keeps the DV files retained versions still reference
+    Snapshots.vacuum(dir, keepFrom = 5)
+    assert(Snapshots.read(spark, dir).count() == 90)
+  }
+
+  test("keyed DV delete: stats-pruned position scan, pruned range reads exclude dead rows") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    val doomed = Seq(3L, 4L, 97L).toDF("k")
+    Snapshots.deleteVersionedKeysDV(spark, dir, doomed, "k")
+    assert(Snapshots.read(spark, dir).count() == 97)
+
+    // the DV entries reference ONLY the two range files that can hold
+    // the doomed keys (k∈1..25 and k∈76..100) — the stats pruning is
+    // visible in the positions themselves
+    val dvFiles = Snapshots.dvFiles(dir, 1)
+    assert(dvFiles.nonEmpty)
+    val dvTouched = spark.read.parquet(dvFiles: _*)
+      .select("__dv_file").distinct().count()
+    assert(dvTouched == 2, s"expected 2 files in the DV, got $dvTouched")
+
+    // pruned range read applies the DV: k in [1,10] without 3 and 4
+    val pruned = Snapshots.readPrunedRange(spark, dir, "k", 1L, 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned == Set(1L, 2L, 5L, 6L, 7L, 8L, 9L, 10L))
+  }
+
+  test("OCC: merge racing a concurrent DV delete on the same file refuses, never resurrects") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    // merge updates k=5 (rewrites the file covering 1..25); mid-flight
+    // a DV delete kills k=7 in that same file. Rebasing would publish
+    // the pre-DV image of the file — refusal is the only sound outcome.
+    val up = Seq((5L, "UP5", 1L)).toDF("k", "payload", "gen")
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.mergeVersionedOCC(spark, dir, up, "k", maxRetries = 5,
+        beforeCommit = () =>
+          Snapshots.deleteVersionedDV(spark, dir, col("k") === 7L))
+    }
+    // the DV delete won; the merge is absent; k=7 stays dead
+    val m = Snapshots.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!m.contains(7L) && m(5L) == "v5" && m.size == 99)
+  }
 }
