@@ -194,17 +194,63 @@ object TrainPrep {
       |SELECT doc_id, source, n_tokens, cum
       |FROM b WHERE cum - n_tokens < budget""".stripMargin
 
+  /** F29 — deterministic epoch shuffle + shard routing: for each
+    * training epoch, every doc gets a fresh pseudo-random position —
+    * `shard` (which of `shards` loader files it lands in) and `pos`
+    * (its rank within that shard) — from a content-addressed hash of
+    * (epoch, doc_id). The shuffle a pretraining loader needs, with the
+    * properties df.sample/rand cannot give: bit-identical across
+    * reruns and re-partitioning (no RNG state to coordinate across
+    * 1000 executors), a DIFFERENT permutation each epoch (the hash is
+    * salted by epoch), and stable per-doc routing while the corpus
+    * grows (appending docs never moves existing ones between shards —
+    * only pos shifts, which a loader re-reads anyway).
+    *
+    * Scale: no global sort anywhere — shard assignment is a stateless
+    * hash, and the position window partitions by (epoch, shard), so
+    * ordering cost is one shuffle into shards + a per-shard sort, the
+    * same movement writing the shard files requires anyway.
+    */
+  def qEpochShuffle(s: SparkSession, d: String, epochs: Int = 2,
+      shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    val es = s.range(epochs).select(col("id").cast("int").as("epoch"))
+    Tables.documents(s, d).select("doc_id")
+      .crossJoin(broadcast(es)) // k-row epoch table, broadcast by design
+      .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT) % $shards"))
+      .select(col("epoch"), col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+  }
+
+  val qEpochShuffleSql: String =
+    """WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+      |t AS (SELECT e.epoch, d.doc_id,
+      |        md5(e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR) AS h
+      |      FROM documents d CROSS JOIN e),
+      |b AS (SELECT epoch, doc_id, h,
+      |        CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 8 AS shard
+      |      FROM t)
+      |SELECT epoch, doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY epoch, shard
+      |    ORDER BY h, doc_id) AS BIGINT) AS pos
+      |FROM b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mixture" -> ((s, d) => qMixture(s, d)),
     "q_pack" -> ((s, d) => qPack(s, d)),
     "q_vocab_growth" -> ((s, d) => qVocabGrowth(s, d)),
     "q_dedup_rate" -> ((s, d) => qDedupRate(s, d)),
-    "q_cluster_rep" -> ((s, d) => qClusterRep(s, d)))
+    "q_cluster_rep" -> ((s, d) => qClusterRep(s, d)),
+    "q_epoch_shuffle" -> ((s, d) => qEpochShuffle(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_mixture" -> qMixtureSql,
     "q_pack" -> qPackSql,
     "q_vocab_growth" -> qVocabGrowthSql,
     "q_dedup_rate" -> qDedupRateSql,
-    "q_cluster_rep" -> qClusterRepSql)
+    "q_cluster_rep" -> qClusterRepSql,
+    "q_epoch_shuffle" -> qEpochShuffleSql)
 }

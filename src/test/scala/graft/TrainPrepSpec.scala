@@ -86,4 +86,25 @@ class TrainPrepSpec extends GraftSuite {
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(1)))).toMap
     assert(got == want)
   }
+
+  test("epoch shuffle: total per-epoch coverage, dense shard positions, fresh permutation per epoch") {
+    val rows = TrainPrep.qEpochShuffle(spark, sf, epochs = 2, shards = 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    // every doc appears exactly once per epoch
+    assert(rows.length == 2 * nDocs)
+    assert(rows.groupBy(_._1).forall(_._2.map(_._2).distinct.length == nDocs))
+    // positions are dense 1..n within each (epoch, shard)
+    for (((_, _), g) <- rows.groupBy(r => (r._1, r._3)))
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq)
+    // the permutation actually changes between epochs: some doc moves
+    // shard, and shard routing is epoch-salted not constant
+    val byEpoch = rows.groupBy(_._1).map { case (e, g) =>
+      e -> g.map(r => r._2 -> r._3).toMap }
+    assert(byEpoch(0).exists { case (doc, sh) => byEpoch(1)(doc) != sh })
+    // determinism: a rerun is bit-identical (no RNG state anywhere)
+    val again = TrainPrep.qEpochShuffle(spark, sf, epochs = 2, shards = 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+  }
 }
