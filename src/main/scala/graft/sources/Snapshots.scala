@@ -223,6 +223,31 @@ object Snapshots {
     Files.readAllLines(manifestPath(path, v)).asScala.toSeq
       .filter(_.startsWith(DvHeader)).map(_.stripPrefix(DvHeader))
 
+  // A31 — STORED CHANGE DATA (the Delta `_change_data` pattern): a
+  // writing commit may also record the change rows it just computed
+  // anyway — (all columns, change_type), post-image for
+  // inserts/updates, pre-image for deletes — as `#cdf=` parquet refs,
+  // with a bare `#cdfok` marker meaning "this commit's change set is
+  // recorded" (possibly empty: layout/metadata commits). A single-step
+  // feed (the incremental consumer's shape) then reads exactly the
+  // CHANGED ROWS — where the manifest-diff path reads the changed
+  // FILES' full pre+post images, a 1-row update to a 1 GB file costs
+  // the feed 2 GB. Multi-version windows and unmarked commits
+  // (restore, legacy manifests) fall back to the diff, which remains
+  // the semantic ground truth the stored path is spec-pinned against.
+  private val CdfOkHeader = "#cdfok"
+  private val CdfHeader = "#cdf="
+
+  /** Did version `v`'s commit record its change set? */
+  private[graft] def cdfRecorded(path: String, v: Int): Boolean =
+    Files.readAllLines(manifestPath(path, v)).asScala
+      .exists(l => l == CdfOkHeader || l.startsWith(CdfHeader))
+
+  /** Stored change-data parquet files of version `v`'s commit. */
+  private[graft] def cdfFilesOf(path: String, v: Int): Seq[String] =
+    Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+      .filter(_.startsWith(CdfHeader)).map(_.stripPrefix(CdfHeader))
+
   /** Read `files` under `schema` WITH the per-row identity the DV
     * machinery keys on: `__file` = the scan's `_metadata.file_path`
     * rendering, `__pos` = `_metadata.row_index`. Column mapping applies
@@ -329,13 +354,16 @@ object Snapshots {
   private[graft] def commitAt(path: String, v: Int, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       stats: Seq[String] = Seq.empty,
-      dv: Seq[String] = Seq.empty): Boolean = {
+      dv: Seq[String] = Seq.empty,
+      cdf: Option[Seq[String]] = None): Boolean = {
     Files.createDirectories(logDir(path))
     val target = manifestPath(path, v)
     if (Files.exists(target)) return false
     val tmp = Files.createTempFile(logDir(path), "commit", ".tmp")
     try {
       val lines = schema.map(s => SchemaHeader + s.json).toSeq ++
+        cdf.map(fs => Seq(CdfOkHeader) ++
+          fs.map(f => CdfHeader + canonical(f)).sorted).getOrElse(Seq.empty) ++
         dv.map(f => DvHeader + canonical(f)).sorted ++
         stats.sorted ++ files.map(canonical).sorted
       Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
@@ -347,9 +375,10 @@ object Snapshots {
   private[graft] def commit(path: String, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       stats: Seq[String] = Seq.empty,
-      dv: Seq[String] = Seq.empty): Int = {
+      dv: Seq[String] = Seq.empty,
+      cdf: Option[Seq[String]] = None): Int = {
     val v = currentVersion(path) + 1
-    if (!commitAt(path, v, files, schema, stats, dv))
+    if (!commitAt(path, v, files, schema, stats, dv, cdf))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, v).toString)
     v
@@ -367,8 +396,9 @@ object Snapshots {
   private def commitNext(path: String, base: Int, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       stats: Seq[String] = Seq.empty,
-      dv: Seq[String] = Seq.empty): Int = {
-    if (!commitAt(path, base + 1, files, schema, stats, dv))
+      dv: Seq[String] = Seq.empty,
+      cdf: Option[Seq[String]] = None): Int = {
+    if (!commitAt(path, base + 1, files, schema, stats, dv, cdf))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, base + 1).toString +
           " (concurrent commit won this version; re-read and retry)")
@@ -424,7 +454,7 @@ object Snapshots {
       else f
     }
     commitNext(path, v, live, Some(org.apache.spark.sql.types.StructType(fields)),
-      carriedStats(path, v, live), dvFiles(path, v))
+      carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
   }
 
   /** A24 — DROP COLUMN as a metadata-only commit: the field leaves the
@@ -441,7 +471,7 @@ object Snapshots {
     val fields = schema.fields.filterNot(_.name == name)
     require(fields.nonEmpty, "dropColumn: cannot drop the last column")
     commitNext(path, v, live, Some(org.apache.spark.sql.types.StructType(fields)),
-      carriedStats(path, v, live), dvFiles(path, v))
+      carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
   }
 
   /** A28 — RESTORE TABLE TO VERSION (the Delta RESTORE pattern): roll
@@ -557,6 +587,31 @@ object Snapshots {
       schemaNow.fields ++ rewritten.schema.fields.filterNot(f =>
         schemaNow.fieldNames.contains(f.name)))
 
+    // A31: this merge's change rows, from frames already in hand
+    // (batch-bounded — post = the batch, pre = the touched files' live
+    // rows): new keys are inserts, changed payloads updates, verbatim
+    // upserts drop out via the null-safe struct compare. Stored so a
+    // single-step feed reads exactly these rows instead of the touched
+    // files' full pre+post images.
+    val cdfPayload = outSchema.fieldNames.filterNot(_ == keyCol).toIndexedSeq
+    def cdfNorm(df: DataFrame): DataFrame =
+      df.select(outSchema.fields.toIndexedSeq.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)): _*)
+    val cdfPost = cdfNorm(updates).select(col(keyCol).as("__k"),
+      struct(cdfPayload.map(col): _*).as("__post"))
+    val cdfPre = cdfNorm(oldTouched).select(col(keyCol).as("__k"),
+      struct(cdfPayload.map(col): _*).as("__pre"))
+    val cdfStaged = stageCdf(path, v,
+      cdfPost.join(cdfPre, Seq("__k"), "left_outer")
+        .withColumn("change_type",
+          when(col("__pre").isNull, lit("insert"))
+            .when(!(col("__pre") <=> col("__post")), lit("update"))
+            .otherwise(lit(null)))
+        .filter(col("change_type").isNotNull)
+        .select(col("__k").as(keyCol) +: col("change_type") +:
+          cdfPayload.map(c => col(s"__post.`$c`").as(c)): _*))
+
     val stage = Files.createTempDirectory("graft_snap").toString
     // data files always land under PHYSICAL names so the live set stays
     // uniform across renames (readUnder aliases back to logical)
@@ -600,7 +655,7 @@ object Snapshots {
         }
       if (commitAt(path, base + 1, newLive, Some(schema),
           carriedStats(path, base, retained) ++ stagedStats,
-          dvFiles(path, base))) return base + 1
+          dvFiles(path, base), cdf = Some(cdfStaged))) return base + 1
       attempt += 1
       if (attempt > maxRetries)
         throw new java.util.ConcurrentModificationException(
@@ -663,12 +718,16 @@ object Snapshots {
       .select("file").distinct().collect().map(r => canonical(r.getString(0)))
     if (touched.isEmpty) // no-op version, schema carried forward
       return commitNext(path, v, live, tableSchema(path, v),
-        carriedStats(path, v, live), dvFiles(path, v))
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
     // SQL DELETE null semantics: NULL predicate keeps the row, but a
     // bare filter(!pred) drops it (NOT(null) is null) — coalesce so
     // null-predicate rows survive the copy-on-write rewrite.
-    val keptRows = readLive(spark, path, v, touched.toIndexedSeq)
-      .filter(!coalesce(predicate, lit(false)))
+    val liveTouched = readLive(spark, path, v, touched.toIndexedSeq)
+    val keptRows = liveTouched.filter(!coalesce(predicate, lit(false)))
+    // A31: the deleted pre-images are this commit's change data
+    val cdfStaged = stageCdf(path, v, liveTouched
+      .filter(coalesce(predicate, lit(false)))
+      .withColumn("change_type", lit("delete")))
     val stage = Files.createTempDirectory("graft_snap_del").toString
     stagedAsPhysical(keptRows, tableSchema(path, v).getOrElse(target.schema))
       .write.mode(SaveMode.Overwrite).parquet(stage)
@@ -684,7 +743,7 @@ object Snapshots {
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
       carriedStats(path, v, retained) ++ statsLines(spark, staged),
-      dvFiles(path, v))
+      dvFiles(path, v), cdf = Some(cdfStaged))
   }
 
   /** Versioned DELETE BY KEY SET: [[deleteVersioned]] where the doomed
@@ -728,9 +787,13 @@ object Snapshots {
       .select("file").collect().map(r => canonical(r.getString(0)))
     if (touched.isEmpty) // no-op version, schema carried forward
       return commitNext(path, v, live, tableSchema(path, v),
-        carriedStats(path, v, live), dvFiles(path, v))
-    val keptRows = readLive(spark, path, v, touched.toIndexedSeq)
-      .join(broadcast(k), Seq(keyCol), "left_anti")
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
+    val liveTouched = readLive(spark, path, v, touched.toIndexedSeq)
+    val keptRows = liveTouched.join(broadcast(k), Seq(keyCol), "left_anti")
+    // A31: the deleted pre-images are this commit's change data
+    val cdfStaged = stageCdf(path, v, liveTouched
+      .join(broadcast(k), Seq(keyCol), "left_semi")
+      .withColumn("change_type", lit("delete")))
     val stage = Files.createTempDirectory("graft_snap_del").toString
     stagedAsPhysical(keptRows, schemaNow)
       .write.mode(SaveMode.Overwrite).parquet(stage)
@@ -746,20 +809,40 @@ object Snapshots {
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
       carriedStats(path, v, retained) ++ statsLines(spark, staged),
-      dvFiles(path, v))
+      dvFiles(path, v), cdf = Some(cdfStaged))
   }
 
-  /** Stage `doomed` (__dv_file, __dv_pos) as DV parquet under `path`
-    * and commit head+1 with the SAME live set plus the new DV refs —
-    * the merge-on-read commit atom shared by the two DV delete forms.
-    * An empty doomed set commits a no-op version (consistent with the
-    * copy-on-write deletes).
+  /** Stage `rows` as a commit's stored change-data files (A31);
+    * returns the refs (empty for an empty change set). */
+  private def stageCdf(path: String, v: Int, rows: DataFrame): Seq[String] = {
+    if (rows.isEmpty) return Seq.empty
+    val stage = Files.createTempDirectory("graft_cdf").toString
+    rows.write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_cdf_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+  }
+
+  /** Stage `doomed` (full pre-image rows + change_type='delete' +
+    * __dv_file/__dv_pos) ONCE and commit head+1 with the same live set
+    * — the merge-on-read commit atom shared by the two DV delete
+    * forms. The single staged file serves as BOTH the deletion vector
+    * (readers join on the two position columns) and the commit's
+    * stored change data (the feed reads the pre-image columns), so a
+    * DV delete costs one scan and one write. An empty doomed set
+    * commits a no-op version (consistent with the copy-on-write
+    * deletes), marked cdf-empty.
     */
   private def commitDv(spark: SparkSession, path: String, v: Int,
       live: Seq[String], doomed: DataFrame): Int = {
     if (doomed.isEmpty)
       return commitNext(path, v, live, tableSchema(path, v),
-        carriedStats(path, v, live), dvFiles(path, v))
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
     val stage = Files.createTempDirectory("graft_dv").toString
     doomed.write.mode(SaveMode.Overwrite).parquet(stage)
     val dst = Paths.get(path)
@@ -771,7 +854,8 @@ object Snapshots {
         dst.resolve(name).toString
       }
     commitNext(path, v, live, tableSchema(path, v),
-      carriedStats(path, v, live), dvFiles(path, v) ++ staged)
+      carriedStats(path, v, live), dvFiles(path, v) ++ staged,
+      cdf = Some(staged))
   }
 
   /** A30 — MERGE-ON-READ DELETE: rows matching `predicate` are marked
@@ -791,11 +875,14 @@ object Snapshots {
     require(v >= 0, s"$path not initialized (call init)")
     val live = liveFiles(path, v)
     // positions come from the LIVE image (existing DVs applied), so an
-    // already-dead row can never be re-marked — DV files stay disjoint
+    // already-dead row can never be re-marked — DV files stay disjoint;
+    // the full pre-image rides along as the commit's change data (A31)
     val doomed = applyDvIfAny(spark, path, v,
         readFilesAsWithPos(spark, tableSchema(path, v), live))
       .filter(coalesce(predicate, lit(false)))
-      .select(col("__file").as("__dv_file"), col("__pos").as("__dv_pos"))
+      .withColumnRenamed("__file", "__dv_file")
+      .withColumnRenamed("__pos", "__dv_pos")
+      .withColumn("change_type", lit("delete"))
     commitDv(spark, path, v, live, doomed)
   }
 
@@ -829,11 +916,13 @@ object Snapshots {
     }
     if (candidates.isEmpty) // no file can hold a doomed key: no-op commit
       return commitNext(path, v, live, tableSchema(path, v),
-        carriedStats(path, v, live), dvFiles(path, v))
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
     val doomed = applyDvIfAny(spark, path, v,
         readFilesAsWithPos(spark, tableSchema(path, v), candidates))
       .join(broadcast(k), Seq(keyCol), "left_semi")
-      .select(col("__file").as("__dv_file"), col("__pos").as("__dv_pos"))
+      .withColumnRenamed("__file", "__dv_file")
+      .withColumnRenamed("__pos", "__dv_pos")
+      .withColumn("change_type", lit("delete"))
     commitDv(spark, path, v, live, doomed)
   }
 
@@ -874,7 +963,7 @@ object Snapshots {
       .filter(liveSet.contains).toIndexedSeq
     if (touched.isEmpty) // all entries inert: drop the refs, move on
       return commitNext(path, v, live, tableSchema(path, v),
-        carriedStats(path, v, live))
+        carriedStats(path, v, live), cdf = Some(Seq.empty))
     val keptRows = readLive(spark, path, v, touched)
     val stage = Files.createTempDirectory("graft_dv_rec").toString
     tableSchema(path, v).fold(keptRows)(stagedAsPhysical(keptRows, _))
@@ -890,7 +979,8 @@ object Snapshots {
     val touchedSet = touched.toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
-      carriedStats(path, v, retained) ++ statsLines(spark, staged))
+      carriedStats(path, v, retained) ++ statsLines(spark, staged),
+      cdf = Some(Seq.empty))
   }
 
   /** A22 — OPTIMIZE: a rewrite-only commit that bin-packs small live
@@ -936,7 +1026,7 @@ object Snapshots {
       }
     commitNext(path, v, big ++ staged, tableSchema(path, v),
       carriedStats(path, v, big) ++ statsLines(spark, staged),
-      dvFiles(path, v))
+      dvFiles(path, v), cdf = Some(Seq.empty))
   }
 
   /** A22+A14 — OPTIMIZE ZORDER BY on the snapshot log: re-cluster the
@@ -977,7 +1067,7 @@ object Snapshots {
         dst.resolve(name).toString
       }
     commitNext(path, v, staged, tableSchema(path, v),
-      statsLines(spark, staged))
+      statsLines(spark, staged), cdf = Some(Seq.empty))
   }
 
   /** A15 over the LIVE set: range read through a per-file min/max index
@@ -1075,9 +1165,47 @@ object Snapshots {
       .drop("__file", "__pos"))
   }
 
+  /** A31 fast path: serve a SINGLE-STEP feed window from the commit's
+    * stored change data — cost ∝ changed rows, not changed files.
+    * Returns None (fall back to the manifest diff) when the commit
+    * didn't record change data, the recorded schema is absent, or the
+    * stored files don't carry the expected columns.
+    */
+  private def cdfFrame(spark: SparkSession, path: String, v: Int,
+      keyCol: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val s = tableSchema(path, v).getOrElse(return None)
+    if (!s.fieldNames.contains(keyCol)) return None
+    val payload = s.fieldNames.filterNot(_ == keyCol).toIndexedSeq
+    val payloadType = StructType(payload.map(c => s(c)))
+    val fs = cdfFilesOf(path, v)
+    if (fs.isEmpty) // recorded as a no-change commit: typed empty
+      return Some(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("__k", s(keyCol).dataType),
+          StructField("change_type", StringType),
+          StructField("__pre", payloadType),
+          StructField("__post", payloadType)))))
+    val rows = spark.read.parquet(fs: _*)
+    if (!rows.columns.contains(keyCol) || !rows.columns.contains("change_type") ||
+        !payload.forall(rows.columns.contains)) return None
+    // deletes store the pre-image; the feed contract nulls their payload
+    Some(rows.select(col(s"`$keyCol`").as("__k"), col("change_type"),
+      lit(null).cast(payloadType).as("__pre"),
+      when(col("change_type") === "delete", lit(null).cast(payloadType))
+        .otherwise(struct(payload.map(c => col(s"`$c`")): _*)).as("__post")))
+  }
+
   private def changeFrame(spark: SparkSession, path: String, fromV: Int, toV: Int,
       keyCol: String): DataFrame = {
     require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
+    // single-step window over a change-recording commit: the stored
+    // rows ARE the answer (the incremental consumer's every batch)
+    if (toV == fromV + 1 && cdfRecorded(path, toV))
+      cdfFrame(spark, path, toV, keyCol) match {
+        case Some(f) => return f
+        case None    => () // fall through to the manifest diff
+      }
     val a = liveFiles(path, fromV).toSet
     val b = liveFiles(path, toV).toSet
     // compare under toV's recorded schema (fallback: fromV's): across
@@ -1149,9 +1277,12 @@ object Snapshots {
   def vacuum(path: String, keepFrom: Int): Int = {
     val cur = currentVersion(path)
     require(keepFrom >= 0 && keepFrom <= cur, s"keepFrom $keepFrom out of range 0..$cur")
-    // DV files (A30) are references too: a retained version's deletion
-    // vectors must survive vacuum or its reads resurrect dead rows
-    def referenced(v: Int): Seq[String] = liveFiles(path, v) ++ dvFiles(path, v)
+    // DV files (A30) and stored change data (A31) are references too:
+    // a retained version's DVs must survive vacuum or its reads
+    // resurrect dead rows, and its change data must survive or a
+    // lagging feed consumer loses its next batch
+    def referenced(v: Int): Seq[String] =
+      liveFiles(path, v) ++ dvFiles(path, v) ++ cdfFilesOf(path, v)
     val retained = (keepFrom to cur).flatMap(referenced).map(canonical).toSet
     // containment rule (A29): only files UNDER this table's directory
     // are this table's to reclaim — a shallow clone's manifest borrows

@@ -993,4 +993,51 @@ class SnapshotsSpec extends GraftSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(!m.contains(7L) && m(5L) == "v5" && m.size == 99)
   }
+
+  test("stored change data: single-step feed reads changed ROWS — data files can be gone") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir) // v0
+    val up = Seq((5L, "UP5", 1L), (5000L, "NEW", 1L), (6L, "v6", 0L))
+      .toDF("k", "payload", "gen") // k=6 is a VERBATIM upsert: must drop out
+    Snapshots.mergeVersioned(spark, dir, up, "k") // v1
+    Snapshots.deleteVersioned(spark, dir, col("k") % 50 === 0) // v2: kills 50,100,5000
+
+    // ground truth from the manifest-diff path BEFORE any tampering:
+    // both paths must agree bit-for-bit on every single-step window
+    def viaDiff(f: Int, t: Int) = {
+      // force the slow path by asking a multi-step window that ends at
+      // the same commit is not possible for one step — instead rebuild
+      // from the endpoint states directly
+      val pre = Snapshots.read(spark, dir, f).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val post = Snapshots.read(spark, dir, t).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val ins = (post.keySet -- pre.keySet).map(k => (k, "insert", Some(post(k))))
+      val del = (pre.keySet -- post.keySet).map(k => (k, "delete", None))
+      val updd = (pre.keySet & post.keySet).filter(k => pre(k) != post(k))
+        .map(k => (k, "update", Some(post(k))))
+      (ins ++ del ++ updd).toSet
+    }
+    def viaFeed(f: Int, t: Int) =
+      Snapshots.changesWithPayload(spark, dir, f, t, "k").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some((r.getString(2), r.getLong(3))))).toSet
+    val want01 = viaDiff(0, 1); val want12 = viaDiff(1, 2)
+    assert(viaFeed(0, 1) == want01 && want01.map(_._1) == Set(5L, 5000L))
+    assert(viaFeed(1, 2) == want12 && want12.map(_._1) == Set(50L, 100L, 5000L))
+
+    // THE PIN: physically delete every data file of v1's merge window
+    // (pre-image AND post-image). The stored change data alone must
+    // still serve the single-step feed exactly — proof the fast path
+    // never opens a data file.
+    val v0Files = Snapshots.read(spark, dir, 0).withColumn("f", input_file_name())
+      .select("f").distinct().collect().map(_.getString(0))
+    val v1Files = Snapshots.read(spark, dir, 1).withColumn("f", input_file_name())
+      .select("f").distinct().collect().map(_.getString(0))
+    (v0Files ++ v1Files).foreach { u =>
+      Files.deleteIfExists(Paths.get(java.net.URI.create(u))) }
+    assert(viaFeed(0, 1) == want01)
+    assert(viaFeed(1, 2) == want12)
+  }
 }
