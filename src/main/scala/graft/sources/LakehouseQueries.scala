@@ -141,11 +141,12 @@ object LakehouseQueries {
     * keys ≡ 0 mod 15 ∧ ≢ 0 mod 9 at price+5000, insert negated keys
     * ≡ 0 mod 21). Returns the table dir.
     */
-  private def stageHistory(s: SparkSession, d: String): String = {
+  private def stageHistory(s: SparkSession, d: String,
+      cdf: Boolean = false): String = {
     val b = base(s, d)
       .filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") > 0)
     val dir = stage(b, 4)
-    Snapshots.init(s, dir)
+    Snapshots.init(s, dir, changeDataFeed = cdf)
     Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 0)
     val upd = b.filter(col("o_orderkey") % 15 === 0 && col("o_orderkey") % 9 =!= 0)
       .select(col("o_orderkey"), col("o_orderstatus"),
@@ -184,12 +185,15 @@ object LakehouseQueries {
 
   /** A23 — the change feed consumed INCREMENTALLY: one batch per
     * committed version through [[graft.streaming.ChangeFeed]] (initial
-    * snapshot-as-inserts, then one manifest-diff batch per version),
-    * tagged with the delivering version. The oracle reconstructs the
-    * full delivery log, so batch boundaries AND contents are checked.
+    * snapshot-as-inserts, then one batch per version), tagged with the
+    * delivering version. The staged table enables the A31 table
+    * property, so every single-step batch here is served from STORED
+    * change rows (the changed-rows fast path) — and the oracle
+    * reconstructs the full delivery log from the raw table, gating
+    * that path's batch boundaries AND contents end-to-end.
     */
   def qLakeFeedStream(s: SparkSession, d: String): DataFrame = {
-    val dir = stageHistory(s, d)
+    val dir = stageHistory(s, d, cdf = true)
     val ckpt = tempDir("graft_feed_ckpt")
     val feed = Snapshots.readChangesStream(s, dir, "o_orderkey", ckpt)
     val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

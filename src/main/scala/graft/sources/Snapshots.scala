@@ -235,8 +235,34 @@ object Snapshots {
   // the feed 2 GB. Multi-version windows and unmarked commits
   // (restore, legacy manifests) fall back to the diff, which remains
   // the semantic ground truth the stored path is spec-pinned against.
+  // Like Delta's enableChangeDataFeed, storing change data is a TABLE
+  // PROPERTY, off by default: it buys the changed-rows feed at the
+  // price of one extra write per commit (∝ the commit's change set) —
+  // a table nobody tails incrementally shouldn't pay it. The flag
+  // rides the manifest (`#cdfenabled`), carried forward by every
+  // commit automatically; disabled tables' feeds serve from the
+  // manifest diff exactly as before.
   private val CdfOkHeader = "#cdfok"
   private val CdfHeader = "#cdf="
+  private val CdfEnabledHeader = "#cdfenabled"
+
+  /** Is change-data recording enabled at version `v`? */
+  private[graft] def cdfEnabled(path: String, v: Int): Boolean =
+    v >= 0 && Files.exists(manifestPath(path, v)) &&
+      Files.readAllLines(manifestPath(path, v)).asScala.contains(CdfEnabledHeader)
+
+  /** Turn change-data recording ON from the next commit: a pure
+    * metadata commit (live set, schema, stats, DVs all carried).
+    * Returns the new version.
+    */
+  def enableChangeDataFeed(path: String): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val live = liveFiles(path, v)
+    commitNext(path, v, live, tableSchema(path, v),
+      carriedStats(path, v, live), dvFiles(path, v),
+      cdf = Some(Seq.empty), cdfFlag = true)
+  }
 
   /** Did version `v`'s commit record its change set? */
   private[graft] def cdfRecorded(path: String, v: Int): Boolean =
@@ -355,13 +381,20 @@ object Snapshots {
       schema: Option[org.apache.spark.sql.types.StructType],
       stats: Seq[String] = Seq.empty,
       dv: Seq[String] = Seq.empty,
-      cdf: Option[Seq[String]] = None): Boolean = {
+      cdf: Option[Seq[String]] = None,
+      cdfFlag: Boolean = false): Boolean = {
     Files.createDirectories(logDir(path))
     val target = manifestPath(path, v)
     if (Files.exists(target)) return false
     val tmp = Files.createTempFile(logDir(path), "commit", ".tmp")
     try {
+      // the enableChangeDataFeed property carries itself forward: any
+      // commit over an enabled base stays enabled
+      val flag =
+        if (cdfFlag || cdfEnabled(path, v - 1)) Seq(CdfEnabledHeader)
+        else Seq.empty
       val lines = schema.map(s => SchemaHeader + s.json).toSeq ++
+        flag ++
         cdf.map(fs => Seq(CdfOkHeader) ++
           fs.map(f => CdfHeader + canonical(f)).sorted).getOrElse(Seq.empty) ++
         dv.map(f => DvHeader + canonical(f)).sorted ++
@@ -376,9 +409,10 @@ object Snapshots {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       stats: Seq[String] = Seq.empty,
       dv: Seq[String] = Seq.empty,
-      cdf: Option[Seq[String]] = None): Int = {
+      cdf: Option[Seq[String]] = None,
+      cdfFlag: Boolean = false): Int = {
     val v = currentVersion(path) + 1
-    if (!commitAt(path, v, files, schema, stats, dv, cdf))
+    if (!commitAt(path, v, files, schema, stats, dv, cdf, cdfFlag))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, v).toString)
     v
@@ -397,16 +431,21 @@ object Snapshots {
       schema: Option[org.apache.spark.sql.types.StructType],
       stats: Seq[String] = Seq.empty,
       dv: Seq[String] = Seq.empty,
-      cdf: Option[Seq[String]] = None): Int = {
-    if (!commitAt(path, base + 1, files, schema, stats, dv, cdf))
+      cdf: Option[Seq[String]] = None,
+      cdfFlag: Boolean = false): Int = {
+    if (!commitAt(path, base + 1, files, schema, stats, dv, cdf, cdfFlag))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, base + 1).toString +
           " (concurrent commit won this version; re-read and retry)")
     base + 1
   }
 
-  /** Version 0: snapshot the directory's current parquet files. */
-  def init(spark: SparkSession, path: String): Int = {
+  /** Version 0: snapshot the directory's current parquet files.
+    * `changeDataFeed` opts the table into A31 change-data recording
+    * (Delta's enableChangeDataFeed property — off by default since
+    * every commit then writes its change rows too). */
+  def init(spark: SparkSession, path: String,
+      changeDataFeed: Boolean = false): Int = {
     require(currentVersion(path) < 0, s"$path already versioned")
     val files = listDir(Paths.get(path))
       .map(_.toString).filter(_.endsWith(".parquet"))
@@ -415,7 +454,8 @@ object Snapshots {
       else Some(spark.read.parquet(files: _*).schema)
     // the bootstrap pays one full stats scan; every later commit scans
     // only its staged files
-    commit(path, files, schema, statsLines(spark, files))
+    commit(path, files, schema, statsLines(spark, files),
+      cdfFlag = changeDataFeed)
   }
 
   /** Read a specific version (default: latest) from its manifest,
@@ -518,7 +558,7 @@ object Snapshots {
     Files.createDirectories(Paths.get(dst))
     val live = liveFiles(src, v)
     commit(dst, live, tableSchema(src, v), carriedStats(src, v, live),
-      dvFiles(src, v))
+      dvFiles(src, v), cdfFlag = cdfEnabled(src, v))
   }
 
   /** Versioned upsert: A16's index-pruned copy-on-write, except the
@@ -587,30 +627,34 @@ object Snapshots {
       schemaNow.fields ++ rewritten.schema.fields.filterNot(f =>
         schemaNow.fieldNames.contains(f.name)))
 
-    // A31: this merge's change rows, from frames already in hand
-    // (batch-bounded — post = the batch, pre = the touched files' live
-    // rows): new keys are inserts, changed payloads updates, verbatim
-    // upserts drop out via the null-safe struct compare. Stored so a
-    // single-step feed reads exactly these rows instead of the touched
-    // files' full pre+post images.
-    val cdfPayload = outSchema.fieldNames.filterNot(_ == keyCol).toIndexedSeq
-    def cdfNorm(df: DataFrame): DataFrame =
-      df.select(outSchema.fields.toIndexedSeq.map(f =>
-        (if (df.columns.contains(f.name)) col(f.name)
-         else lit(null).cast(f.dataType)).as(f.name)): _*)
-    val cdfPost = cdfNorm(updates).select(col(keyCol).as("__k"),
-      struct(cdfPayload.map(col): _*).as("__post"))
-    val cdfPre = cdfNorm(oldTouched).select(col(keyCol).as("__k"),
-      struct(cdfPayload.map(col): _*).as("__pre"))
-    val cdfStaged = stageCdf(path, v,
-      cdfPost.join(cdfPre, Seq("__k"), "left_outer")
-        .withColumn("change_type",
-          when(col("__pre").isNull, lit("insert"))
-            .when(!(col("__pre") <=> col("__post")), lit("update"))
-            .otherwise(lit(null)))
-        .filter(col("change_type").isNotNull)
-        .select(col("__k").as(keyCol) +: col("change_type") +:
-          cdfPayload.map(c => col(s"__post.`$c`").as(c)): _*))
+    // A31 (when the table property is on): this merge's change rows,
+    // from frames already in hand (batch-bounded — post = the batch,
+    // pre = the touched files' live rows): new keys are inserts,
+    // changed payloads updates, verbatim upserts drop out via the
+    // null-safe struct compare. Stored so a single-step feed reads
+    // exactly these rows instead of the touched files' full pre+post
+    // images.
+    val wantCdf = cdfEnabled(path, v)
+    val cdfStaged: Option[Seq[String]] = if (!wantCdf) None else {
+      val cdfPayload = outSchema.fieldNames.filterNot(_ == keyCol).toIndexedSeq
+      def cdfNorm(df: DataFrame): DataFrame =
+        df.select(outSchema.fields.toIndexedSeq.map(f =>
+          (if (df.columns.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
+      val cdfPost = cdfNorm(updates).select(col(keyCol).as("__k"),
+        struct(cdfPayload.map(col): _*).as("__post"))
+      val cdfPre = cdfNorm(oldTouched).select(col(keyCol).as("__k"),
+        struct(cdfPayload.map(col): _*).as("__pre"))
+      Some(stageCdf(path, v,
+        cdfPost.join(cdfPre, Seq("__k"), "left_outer")
+          .withColumn("change_type",
+            when(col("__pre").isNull, lit("insert"))
+              .when(!(col("__pre") <=> col("__post")), lit("update"))
+              .otherwise(lit(null)))
+          .filter(col("change_type").isNotNull)
+          .select(col("__k").as(keyCol) +: col("change_type") +:
+            cdfPayload.map(c => col(s"__post.`$c`").as(c)): _*)))
+    }
 
     val stage = Files.createTempDirectory("graft_snap").toString
     // data files always land under PHYSICAL names so the live set stays
@@ -655,7 +699,7 @@ object Snapshots {
         }
       if (commitAt(path, base + 1, newLive, Some(schema),
           carriedStats(path, base, retained) ++ stagedStats,
-          dvFiles(path, base), cdf = Some(cdfStaged))) return base + 1
+          dvFiles(path, base), cdf = cdfStaged)) return base + 1
       attempt += 1
       if (attempt > maxRetries)
         throw new java.util.ConcurrentModificationException(
@@ -724,10 +768,12 @@ object Snapshots {
     // null-predicate rows survive the copy-on-write rewrite.
     val liveTouched = readLive(spark, path, v, touched.toIndexedSeq)
     val keptRows = liveTouched.filter(!coalesce(predicate, lit(false)))
-    // A31: the deleted pre-images are this commit's change data
-    val cdfStaged = stageCdf(path, v, liveTouched
-      .filter(coalesce(predicate, lit(false)))
-      .withColumn("change_type", lit("delete")))
+    // A31 (table property): the deleted pre-images are the change data
+    val cdfStaged: Option[Seq[String]] =
+      if (!cdfEnabled(path, v)) None
+      else Some(stageCdf(path, v, liveTouched
+        .filter(coalesce(predicate, lit(false)))
+        .withColumn("change_type", lit("delete"))))
     val stage = Files.createTempDirectory("graft_snap_del").toString
     stagedAsPhysical(keptRows, tableSchema(path, v).getOrElse(target.schema))
       .write.mode(SaveMode.Overwrite).parquet(stage)
@@ -743,7 +789,7 @@ object Snapshots {
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
       carriedStats(path, v, retained) ++ statsLines(spark, staged),
-      dvFiles(path, v), cdf = Some(cdfStaged))
+      dvFiles(path, v), cdf = cdfStaged)
   }
 
   /** Versioned DELETE BY KEY SET: [[deleteVersioned]] where the doomed
@@ -790,10 +836,12 @@ object Snapshots {
         carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
     val liveTouched = readLive(spark, path, v, touched.toIndexedSeq)
     val keptRows = liveTouched.join(broadcast(k), Seq(keyCol), "left_anti")
-    // A31: the deleted pre-images are this commit's change data
-    val cdfStaged = stageCdf(path, v, liveTouched
-      .join(broadcast(k), Seq(keyCol), "left_semi")
-      .withColumn("change_type", lit("delete")))
+    // A31 (table property): the deleted pre-images are the change data
+    val cdfStaged: Option[Seq[String]] =
+      if (!cdfEnabled(path, v)) None
+      else Some(stageCdf(path, v, liveTouched
+        .join(broadcast(k), Seq(keyCol), "left_semi")
+        .withColumn("change_type", lit("delete"))))
     val stage = Files.createTempDirectory("graft_snap_del").toString
     stagedAsPhysical(keptRows, schemaNow)
       .write.mode(SaveMode.Overwrite).parquet(stage)
@@ -809,7 +857,7 @@ object Snapshots {
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
       carriedStats(path, v, retained) ++ statsLines(spark, staged),
-      dvFiles(path, v), cdf = Some(cdfStaged))
+      dvFiles(path, v), cdf = cdfStaged)
   }
 
   /** Stage `rows` as a commit's stored change-data files (A31);
@@ -855,7 +903,10 @@ object Snapshots {
       }
     commitNext(path, v, live, tableSchema(path, v),
       carriedStats(path, v, live), dvFiles(path, v) ++ staged,
-      cdf = Some(staged))
+      // the combined file always carries the pre-images (free — it IS
+      // the deletion vector); advertise it as change data only when
+      // the table property is on, like the other writers
+      cdf = if (cdfEnabled(path, v)) Some(staged) else None)
   }
 
   /** A30 — MERGE-ON-READ DELETE: rows matching `predicate` are marked

@@ -997,7 +997,7 @@ class SnapshotsSpec extends GraftSuite {
   test("stored change data: single-step feed reads changed ROWS — data files can be gone") {
     import spark.implicits._
     val dir = freshTable()
-    Snapshots.init(spark, dir) // v0
+    Snapshots.init(spark, dir, changeDataFeed = true) // v0, property ON
     val up = Seq((5L, "UP5", 1L), (5000L, "NEW", 1L), (6L, "v6", 0L))
       .toDF("k", "payload", "gen") // k=6 is a VERBATIM upsert: must drop out
     Snapshots.mergeVersioned(spark, dir, up, "k") // v1
@@ -1023,9 +1023,13 @@ class SnapshotsSpec extends GraftSuite {
       Snapshots.changesWithPayload(spark, dir, f, t, "k").collect()
         .map(r => (r.getLong(0), r.getString(1),
           if (r.isNullAt(2)) None else Some((r.getString(2), r.getLong(3))))).toSet
+    Snapshots.deleteVersionedDV(spark, dir, col("k") % 7 === 0) // v3: DV path
     val want01 = viaDiff(0, 1); val want12 = viaDiff(1, 2)
+    val want23 = viaDiff(2, 3)
     assert(viaFeed(0, 1) == want01 && want01.map(_._1) == Set(5L, 5000L))
     assert(viaFeed(1, 2) == want12 && want12.map(_._1) == Set(50L, 100L, 5000L))
+    // the DV delete's combined dv/cdf file serves its feed window too
+    assert(viaFeed(2, 3) == want23 && want23.forall(_._2 == "delete"))
 
     // THE PIN: physically delete every data file of v1's merge window
     // (pre-image AND post-image). The stored change data alone must
