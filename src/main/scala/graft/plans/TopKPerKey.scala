@@ -418,6 +418,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopKPerKey)
     ext.injectColumnar(_ => new VecKernelColumnarRule)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -68,7 +68,7 @@ object Snapshots {
   // header stay readable (plain parquet inference).
   private val SchemaHeader = "#schema="
 
-  private def liveFiles(path: String, v: Int): Seq[String] =
+  private[graft] def liveFiles(path: String, v: Int): Seq[String] =
     Files.readAllLines(manifestPath(path, v)).asScala.toSeq
       .filter(l => l.nonEmpty && !l.startsWith("#"))
 

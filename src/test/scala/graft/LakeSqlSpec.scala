@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshots
+
+/** The injected-parser SQL surface (plans/LakeParser.scala): `GRAFT …`
+  * maintenance statements plan as runnable commands; everything else
+  * must reach Spark's own parser untouched.
+  */
+class LakeSqlSpec extends GraftSuite {
+
+  /** A session built WITH the extensions (the production wiring —
+    * `spark.sql.extensions=graft.plans.GraftExtensions`) over the
+    * shared test SparkContext. The shared session is restored after,
+    * and the context is never stopped.
+    */
+  private def withExtSession[A](body: SparkSession => A): A = {
+    val base = spark // force the shared session (and context) to exist
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions, not spark.sql.extensions: the conf form is a
+    // STATIC conf, silently ignored when the builder reuses an
+    // existing SparkContext (exactly this shared-test-JVM case)
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.plans.GraftExtensions()(_))
+      .getOrCreate()
+    try body(s)
+    finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("GRAFT statements: restore/optimize/vacuum/clone/cdf/history end to end") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_sql_lake").toString + "/t"
+      (1L to 100L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+        .repartitionByRange(4, col("k")).write.parquet(dir)
+      Snapshots.init(s, dir) // v0
+      Snapshots.mergeVersioned(s, dir,
+        Seq((5L, "UP5", 1L)).toDF("k", "payload", "gen"), "k") // v1
+
+      // RESTORE via SQL: returns the new version, content rolls back
+      val restored = s.sql(s"GRAFT RESTORE '$dir' TO VERSION 0").collect()
+      assert(restored.map(_.getLong(0)).toSeq == Seq(2L))
+      assert(Snapshots.read(s, dir).filter(col("k") === 5L)
+        .select("payload").head().getString(0) == "v5")
+
+      // OPTIMIZE ZORDER via SQL: a layout commit
+      val z = s.sql(s"GRAFT OPTIMIZE '$dir' ZORDER BY (k, gen) INTO 4 FILES")
+        .collect()
+      assert(z.map(_.getLong(0)).toSeq == Seq(3L))
+      assert(Snapshots.read(s, dir).count() == 100)
+
+      // ENABLE CHANGE DATA FEED via SQL, then a merge records change data
+      assert(s.sql(s"GRAFT ENABLE CHANGE DATA FEED '$dir'")
+        .head().getLong(0) == 4L)
+      Snapshots.mergeVersioned(s, dir,
+        Seq((7L, "UP7", 2L)).toDF("k", "payload", "gen"), "k") // v5
+      assert(Snapshots.cdfRecorded(dir, 5))
+
+      // DESCRIBE HISTORY: one row per retained version, manifest-only
+      val hist = s.sql(s"GRAFT DESCRIBE HISTORY '$dir'").collect()
+      assert(hist.map(_.getLong(0)).toSeq == (0L to 5L))
+      assert(hist.last.getString(3) == "recorded")
+
+      // CLONE via SQL: zero-copy, independent
+      val dst = Files.createTempDirectory("graft_sql_clone").toString + "/t"
+      assert(s.sql(s"GRAFT CLONE '$dir' TO '$dst'").head().getLong(0) == 0L)
+      assert(Snapshots.read(s, dst).count() == 100)
+
+      // VACUUM via SQL: reclaims, head still reads
+      val reclaimed = s.sql(s"GRAFT VACUUM '$dir' KEEP 5").head().getLong(0)
+      assert(reclaimed >= 1L)
+      assert(Snapshots.read(s, dir).count() == 100)
+      assert(s.sql(s"GRAFT DESCRIBE HISTORY '$dir'").collect()
+        .map(_.getLong(0)).toSeq == Seq(5L))
+
+      // plain SQL still parses through the delegate, with the injected
+      // native functions also live in the same session
+      assert(s.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+      assert(s.sql("SELECT djb2('abc') AS h").head().getLong(0) ==
+        graft.functions.VecOps.djb2(
+          org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+
+      // a malformed GRAFT statement fails as graft grammar, loudly
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s.sql(s"GRAFT RESTORE $dir")
+      }
+    }
+  }
+}

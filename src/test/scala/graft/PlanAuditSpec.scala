@@ -35,7 +35,11 @@ class PlanAuditSpec extends GraftSuite {
       "q_semdedup",
       // q_hard_negatives: the same E4 kernel (bounded centroid
       // broadcast) with a similarity ceiling before ranking
-      "q_hard_negatives")
+      "q_hard_negatives",
+      // q_epoch_shuffle: the EPOCHS-row (2-row) epoch table broadcast
+      // against the corpus — the model-as-literal cross join; every
+      // downstream op is hash-partitioned on (epoch, shard)
+      "q_epoch_shuffle")
   // building these DataFrames runs a streaming query — audited by
   // StreamingSpec instead.
   private val skip = Set("q_stream_tumble", "q_stream_join")
