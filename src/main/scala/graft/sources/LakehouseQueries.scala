@@ -504,6 +504,42 @@ object LakehouseQueries {
       |  min(o_orderkey), max(o_orderkey)
       |FROM live""".stripMargin
 
+  /** A33 — manifest-only row counts: after a pure-insert merge and a
+    * DV delete, `count(*)` of every retained version comes from the
+    * manifest's recorded per-file counts (minus live DV positions) —
+    * no data file opened. The oracle reproduces all three counts from
+    * the raw table with SQL count(*), so a drifted recorded count, a
+    * missed carry, or an inert-DV over-subtraction breaks the hash.
+    */
+  def qLakeRowcount(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d).filter(col("o_orderkey") % 6 === 0)
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir) // v0
+    // key 0 excluded: −0 = 0 would UPSERT the existing key-0 row
+    // instead of inserting (the stageHistory footnote, same cause)
+    val ins = b.filter(col("o_orderkey") % 54 === 0 && col("o_orderkey") > 0)
+      .select((-col("o_orderkey")).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    Snapshots.mergeVersioned(s, dir, ins, "o_orderkey") // v1: pure inserts
+    Snapshots.deleteVersionedDV(s, dir,
+      col("o_orderkey") % 18 === 0 && col("o_orderkey") > 0) // v2: DV
+    import s.implicits._
+    Seq(("v0", Snapshots.rowCount(s, dir, 0).get),
+      ("v1", Snapshots.rowCount(s, dir, 1).get),
+      ("v2", Snapshots.rowCount(s, dir, 2).get)).toDF("snap", "n")
+  }
+
+  val qLakeRowcountSql: String =
+    """WITH b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 6 = 0)
+      |SELECT 'v0' AS snap, count(*) AS n FROM b
+      |UNION ALL
+      |SELECT 'v1', (SELECT count(*) FROM b)
+      |  + (SELECT count(*) FROM b WHERE o_orderkey % 54 = 0 AND o_orderkey > 0)
+      |UNION ALL
+      |SELECT 'v2', (SELECT count(*) FROM b)
+      |  + (SELECT count(*) FROM b WHERE o_orderkey % 54 = 0 AND o_orderkey > 0)
+      |  - (SELECT count(*) FROM b WHERE o_orderkey % 18 = 0 AND o_orderkey > 0)""".stripMargin
+
   /** A18 — time travel: after the delete (v1) and merge (v2) commits,
     * reading version 0 must reproduce the ORIGINAL base exactly —
     * deleted rows visible, updates absent, inserts absent — because
@@ -532,7 +568,8 @@ object LakehouseQueries {
     "q_lake_zorder" -> (qLakeZorder(_, _)),
     "q_lake_restore" -> (qLakeRestore(_, _)),
     "q_lake_clone" -> (qLakeClone(_, _)),
-    "q_lake_dv" -> (qLakeDv(_, _)))
+    "q_lake_dv" -> (qLakeDv(_, _)),
+    "q_lake_rowcount" -> (qLakeRowcount(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> qLakeTimetravelSql,
@@ -547,5 +584,6 @@ object LakehouseQueries {
     "q_lake_zorder" -> qLakeZorderSql,
     "q_lake_restore" -> qLakeRestoreSql,
     "q_lake_clone" -> qLakeCloneSql,
-    "q_lake_dv" -> qLakeDvSql)
+    "q_lake_dv" -> qLakeDvSql,
+    "q_lake_rowcount" -> qLakeRowcountSql)
 }

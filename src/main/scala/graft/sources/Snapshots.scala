@@ -169,38 +169,91 @@ object Snapshots {
     }
   }
 
+  // A33 — per-file ROW COUNTS in the manifest (Delta's numRecords):
+  // recorded by the same one-scan-per-commit aggregate as the column
+  // stats, carried forward with them, so `count(*)` of any retained
+  // version is a manifest sum — zero data files opened on a 100 TB
+  // table. DV dead positions subtract via a DV-files-only count.
+  private val RowsHeader = "#filerows="
+
+  /** Per-file row counts recorded at `v` (file → rows). */
+  private def fileRows(path: String, v: Int): Map[String, Long] =
+    Files.readAllLines(manifestPath(path, v)).asScala
+      .filter(_.startsWith(RowsHeader))
+      .map(_.stripPrefix(RowsHeader).split(StatsSep, -1))
+      .collect { case Array(f, n) => f -> n.toLong }.toMap
+
   /** ONE scan of `files` (the staged commit, never the table): per-file
-    * min/max of every numeric top-level column, as manifest lines. The
-    * collect is |files| × numeric columns — bounded by the commit. */
+    * row count plus min/max of every numeric top-level column, as
+    * manifest lines. The collect is |files| × columns — bounded by the
+    * commit. */
   private def statsLines(spark: SparkSession, files: Seq[String]): Seq[String] = {
     if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
     val numCols = df.schema.fields
       .flatMap(f => statsTypeTag(f.dataType).map(t => (f.name, t)))
-    if (numCols.isEmpty) return Seq.empty
-    val aggs = numCols.flatMap { case (c, _) =>
+    val aggs = count(lit(1)).as("__nr") +: numCols.toIndexedSeq.flatMap { case (c, _) =>
       Seq(min(col(s"`$c`")).as(s"__mn_$c"), max(col(s"`$c`")).as(s"__mx_$c")) }
-    df.groupBy(input_file_name().as("__f"))
+    val collected = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .toSeq.flatMap { r =>
-        numCols.zipWithIndex.flatMap { case ((c, t), i) =>
-          val mn = r.get(1 + 2 * i); val mx = r.get(2 + 2 * i)
-          if (mn == null || mx == null) None
-          else Some(StatsHeader + Seq(
-            canonical(r.getString(0)), c, t, mn.toString, mx.toString)
-            .mkString(StatsSep))
-        }
+    val lines = collected.toSeq.flatMap { r =>
+      val f = canonical(r.getString(0))
+      val rowsLine = RowsHeader + Seq(f, r.getLong(1).toString).mkString(StatsSep)
+      rowsLine +: numCols.toIndexedSeq.zipWithIndex.flatMap { case ((c, t), i) =>
+        val mn = r.get(2 + 2 * i); val mx = r.get(3 + 2 * i)
+        if (mn == null || mx == null) None
+        else Some(StatsHeader + Seq(f, c, t, mn.toString, mx.toString)
+          .mkString(StatsSep))
       }
+    }
+    // an EMPTY staged part-file yields no aggregate group but is still
+    // a live file — its row count is exactly zero, record it (column
+    // ranges stay absent: an empty file has none, and their absence
+    // correctly disables range pruning, never the count)
+    val seen = collected.map(r => canonical(r.getString(0))).toSet
+    lines ++ files.map(canonical).filterNot(seen).map(f =>
+      RowsHeader + Seq(f, "0").mkString(StatsSep))
   }
 
-  /** Stats lines for the files of `retained` as recorded at version
-    * `v`, carried forward verbatim into the next commit. */
+  /** Per-file stat lines (column ranges AND row counts) of `retained`
+    * files as recorded at version `v`, carried forward verbatim into
+    * the next commit. */
   private def carriedStats(path: String, v: Int, retained: Seq[String]): Seq[String] = {
-    val prev = fileStats(path, v)
-    retained.map(canonical).flatMap(f =>
-      prev.get(f).toSeq.flatMap(_.toSeq.map { case (c, (t, mn, mx)) =>
-        StatsHeader + Seq(f, c, t, mn, mx).mkString(StatsSep) }))
+    val keep = retained.map(canonical).toSet
+    def fileOf(l: String, h: String) = l.stripPrefix(h).split(StatsSep, -1)(0)
+    Files.readAllLines(manifestPath(path, v)).asScala.toSeq.filter { l =>
+      (l.startsWith(StatsHeader) && keep.contains(fileOf(l, StatsHeader))) ||
+        (l.startsWith(RowsHeader) && keep.contains(fileOf(l, RowsHeader)))
+    }
+  }
+
+  /** A33 — `count(*)` of version `version` from the MANIFEST alone:
+    * the live files' recorded row counts summed, minus the version's
+    * DV dead positions (counted from the small DV files, restricted to
+    * entries referencing live files — inert entries must not
+    * over-subtract). None when any live file predates row-count
+    * recording (legacy manifests) — the caller falls back to a scan.
+    * No data file is opened either way.
+    */
+  def rowCount(spark: SparkSession, path: String, version: Int = -1): Option[Long] = {
+    val v = if (version < 0) currentVersion(path) else version
+    require(Files.exists(manifestPath(path, v)), s"no version $v at $path")
+    val live = liveFiles(path, v).map(canonical)
+    val rows = fileRows(path, v)
+    if (!live.forall(rows.contains)) return None
+    val base = live.map(rows).sum
+    val dvs = dvFiles(path, v)
+    val dead =
+      if (dvs.isEmpty) 0L
+      else {
+        val liveSet = live.toSet
+        spark.read.parquet(dvs: _*).groupBy("__dv_file")
+          .agg(count(lit(1)).as("__n")).collect()
+          .filter(r => liveSet.contains(canonical(r.getString(0))))
+          .map(_.getLong(1)).sum
+      }
+    Some(base - dead)
   }
 
   // A30 — DELETION VECTORS (the Delta DV / Iceberg position-delete

@@ -56,7 +56,11 @@ class PlanAuditSpec extends GraftSuite {
   private val eagerAudited = Set("q_equidepth", "q_lake_timetravel",
     "q_lake_vacuum", "q_lake_optimize", "q_lake_merge", "q_lake_changefeed",
     "q_lake_feed_stream", "q_lake_schema_evo", "q_lake_schema_map",
-    "q_lake_zorder", "q_lake_partitioned")
+    "q_lake_zorder", "q_lake_partitioned",
+    // r7 second pass: staging + maintenance chains whose plans are
+    // pinned by SnapshotsSpec; q_lake_rowcount RETURNS a local
+    // relation by design (the manifest-only count IS the point)
+    "q_lake_restore", "q_lake_clone", "q_lake_dv", "q_lake_rowcount")
 
   test("audit-exempt eager query set matches the inventory") {
     assert(eagerAudited.subsetOf(SparkEntry.queries.keySet),

@@ -1044,4 +1044,35 @@ class SnapshotsSpec extends GraftSuite {
     assert(viaFeed(0, 1) == want01)
     assert(viaFeed(1, 2) == want12)
   }
+
+  test("manifest row counts: count(*) without opening a data file, DV-aware") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir) // v0: 100 rows
+    Snapshots.mergeVersioned(spark, dir, // v1: +2 inserts, 1 update
+      Seq((5L, "UP5", 1L), (200L, "N1", 1L), (300L, "N2", 1L))
+        .toDF("k", "payload", "gen"), "k")
+    Snapshots.deleteVersionedDV(spark, dir, col("k") % 10 === 0) // v2: −12 (10..100, 200, 300)
+    Snapshots.deleteVersioned(spark, dir, col("k") === 5L) // v3: −1, copy-on-write
+
+    def rc(v: Int) = Snapshots.rowCount(spark, dir, v)
+    assert(rc(0).contains(100L))
+    assert(rc(1).contains(102L))
+    // every recorded count must equal the scan truth at every version
+    (0 to 3).foreach { v =>
+      assert(rc(v).contains(Snapshots.read(spark, dir, v).count()),
+        s"manifest count diverges from scan at v$v")
+    }
+
+    // THE PIN: remove a LIVE data file from disk; the manifest count
+    // still answers — no data file is opened
+    val aLive = Snapshots.liveFiles(dir, 3).head
+    Files.deleteIfExists(Paths.get(aLive))
+    assert(rc(3).isDefined)
+
+    // a clone inherits the counts through the carried stats
+    val dst = Files.createTempDirectory("graft_rc_clone").toString + "/t"
+    Snapshots.cloneShallow(dir, dst)
+    assert(Snapshots.rowCount(spark, dst).contains(rc(3).get))
+  }
 }
