@@ -29,6 +29,8 @@ import graft.sources.Snapshots
   *   GRAFT RECONCILE '<path>'                      -- fold DVs (A30)
   *   GRAFT CLONE '<src>' TO '<dst>'                -- shallow (A29)
   *   GRAFT ENABLE CHANGE DATA FEED '<path>'        -- A31 property
+  *   GRAFT ADD CONSTRAINT <name> '<path>' CHECK (<expr>)   -- A34
+  *   GRAFT DROP CONSTRAINT <name> '<path>'
   *   GRAFT DESCRIBE HISTORY '<path>'
   * }}}
   */
@@ -53,6 +55,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         _ => Snapshots.cloneShallow(src, dst).toLong)
       case EnableCdf(p) => LakeMaintenanceCommand("version",
         _ => Snapshots.enableChangeDataFeed(p).toLong)
+      case AddCons(n, p, e) => LakeMaintenanceCommand("version",
+        s => Snapshots.addConstraint(s, p, n, e).toLong)
+      case DropCons(n, p) => LakeMaintenanceCommand("version",
+        _ => Snapshots.dropConstraint(p, n).toLong)
       case History(p) => LakeHistoryCommand(p)
       // a GRAFT-prefixed statement that matches no rule must FAIL as
       // graft grammar (the delegate would emit a useless ANSI error)
@@ -100,6 +106,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
   private val EnableCdf =
     """(?is)\s*GRAFT\s+ENABLE\s+CHANGE\s+DATA\s+FEED\s+'([^']+)'\s*;?\s*""".r
+  private val AddCons =
+    """(?is)\s*GRAFT\s+ADD\s+CONSTRAINT\s+(\w+)\s+'([^']+)'\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropCons =
+    """(?is)\s*GRAFT\s+DROP\s+CONSTRAINT\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
   private val History =
     """(?is)\s*GRAFT\s+DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 }

@@ -317,6 +317,90 @@ object Snapshots {
       cdf = Some(Seq.empty), cdfFlag = true)
   }
 
+  // A34 — CHECK CONSTRAINTS (the Delta `ALTER TABLE ADD CONSTRAINT`
+  // pattern): named boolean SQL expressions carried in the manifest
+  // (`#constraint=name\texpr`), enforced at WRITE time — a merge whose
+  // batch has a row evaluating the expression to FALSE refuses before
+  // staging anything (SQL semantics: NULL passes, like ANSI CHECK).
+  // Adding a constraint validates the whole existing live set first
+  // (one scan — the one-time cost Delta charges too); from then on
+  // only batches are checked, because retained rows were admitted
+  // under the constraint. Deletes cannot violate and skip the check.
+  private val ConstraintHeader = "#constraint="
+
+  /** Constraints in force at version `v`: (name, exprText). */
+  private[graft] def constraintsOf(path: String, v: Int): Seq[(String, String)] =
+    if (v < 0 || !Files.exists(manifestPath(path, v))) Seq.empty
+    else Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+      .filter(_.startsWith(ConstraintHeader))
+      .map(_.stripPrefix(ConstraintHeader).split("\t", 2))
+      .collect { case Array(n, e) => (n, e) }
+
+  /** Throw unless every row of `batch` satisfies every constraint of
+    * version `v` (FALSE violates; NULL passes, ANSI CHECK). The probe
+    * is one filtered limit-1 job per constraint over the BATCH. A
+    * batch MISSING a table column is normalized with nulls first —
+    * full-row-replace semantics null-fill those columns, and the
+    * constraint must judge what will actually land. */
+  private def enforceConstraints(path: String, v: Int, batch: DataFrame): Unit = {
+    val cons = constraintsOf(path, v)
+    if (cons.isEmpty) return
+    val frame = tableSchema(path, v) match {
+      case Some(s) => batch.select(
+        (s.fields.toIndexedSeq.map(f =>
+          (if (batch.columns.contains(f.name)) col(s"`${f.name}`")
+           else lit(null).cast(f.dataType)).as(f.name)) ++
+          batch.columns.toIndexedSeq.filterNot(s.fieldNames.contains)
+            .map(c => col(s"`$c`"))): _*)
+      case None => batch
+    }
+    cons.foreach { case (name, e) =>
+      val bad = frame.filter(coalesce(!expr(e), lit(false))).limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$name' ($e) violated by e.g. ${bad.head}")
+    }
+  }
+
+  /** Add a named CHECK constraint; the EXISTING live rows are
+    * validated first (their one full scan), then a metadata commit
+    * records it and every later merge enforces it on its batch.
+    * Returns the new version.
+    */
+  def addConstraint(spark: SparkSession, path: String,
+      name: String, exprText: String): Int = {
+    require(!name.contains('\t') && !name.contains('\n') &&
+      !exprText.contains('\t') && !exprText.contains('\n'),
+      "constraint name/expression must not contain tabs or newlines")
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    require(!constraintsOf(path, v).exists(_._1 == name),
+      s"constraint '$name' already exists")
+    val live = liveFiles(path, v)
+    if (live.nonEmpty) {
+      val bad = readLive(spark, path, v, live)
+        .filter(coalesce(!expr(exprText), lit(false))).limit(1).collect()
+      require(bad.isEmpty,
+        s"cannot add constraint '$name' ($exprText): existing row violates it, e.g. ${bad.headOption.getOrElse("")}")
+    }
+    commitNext(path, v, live, tableSchema(path, v),
+      carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty),
+      constraintsOverride = Some(constraintsOf(path, v) :+ (name -> exprText)))
+  }
+
+  /** Drop a named constraint (metadata commit). Returns the new
+    * version. */
+  def dropConstraint(path: String, name: String): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val cons = constraintsOf(path, v)
+    require(cons.exists(_._1 == name), s"no constraint '$name'")
+    val live = liveFiles(path, v)
+    commitNext(path, v, live, tableSchema(path, v),
+      carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty),
+      constraintsOverride = Some(cons.filterNot(_._1 == name)))
+  }
+
   /** Did version `v`'s commit record its change set? */
   private[graft] def cdfRecorded(path: String, v: Int): Boolean =
     Files.readAllLines(manifestPath(path, v)).asScala
@@ -435,19 +519,23 @@ object Snapshots {
       stats: Seq[String] = Seq.empty,
       dv: Seq[String] = Seq.empty,
       cdf: Option[Seq[String]] = None,
-      cdfFlag: Boolean = false): Boolean = {
+      cdfFlag: Boolean = false,
+      constraintsOverride: Option[Seq[(String, String)]] = None): Boolean = {
     Files.createDirectories(logDir(path))
     val target = manifestPath(path, v)
     if (Files.exists(target)) return false
     val tmp = Files.createTempFile(logDir(path), "commit", ".tmp")
     try {
       // the enableChangeDataFeed property carries itself forward: any
-      // commit over an enabled base stays enabled
+      // commit over an enabled base stays enabled; constraints (A34)
+      // self-carry the same way unless an add/drop overrides them
       val flag =
         if (cdfFlag || cdfEnabled(path, v - 1)) Seq(CdfEnabledHeader)
         else Seq.empty
+      val cons = constraintsOverride.getOrElse(constraintsOf(path, v - 1))
+        .map { case (n, e) => ConstraintHeader + n + "\t" + e }
       val lines = schema.map(s => SchemaHeader + s.json).toSeq ++
-        flag ++
+        flag ++ cons ++
         cdf.map(fs => Seq(CdfOkHeader) ++
           fs.map(f => CdfHeader + canonical(f)).sorted).getOrElse(Seq.empty) ++
         dv.map(f => DvHeader + canonical(f)).sorted ++
@@ -463,9 +551,11 @@ object Snapshots {
       stats: Seq[String] = Seq.empty,
       dv: Seq[String] = Seq.empty,
       cdf: Option[Seq[String]] = None,
-      cdfFlag: Boolean = false): Int = {
+      cdfFlag: Boolean = false,
+      constraintsOverride: Option[Seq[(String, String)]] = None): Int = {
     val v = currentVersion(path) + 1
-    if (!commitAt(path, v, files, schema, stats, dv, cdf, cdfFlag))
+    if (!commitAt(path, v, files, schema, stats, dv, cdf, cdfFlag,
+        constraintsOverride))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, v).toString)
     v
@@ -485,8 +575,10 @@ object Snapshots {
       stats: Seq[String] = Seq.empty,
       dv: Seq[String] = Seq.empty,
       cdf: Option[Seq[String]] = None,
-      cdfFlag: Boolean = false): Int = {
-    if (!commitAt(path, base + 1, files, schema, stats, dv, cdf, cdfFlag))
+      cdfFlag: Boolean = false,
+      constraintsOverride: Option[Seq[(String, String)]] = None): Int = {
+    if (!commitAt(path, base + 1, files, schema, stats, dv, cdf, cdfFlag,
+        constraintsOverride))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, base + 1).toString +
           " (concurrent commit won this version; re-read and retry)")
@@ -611,7 +703,8 @@ object Snapshots {
     Files.createDirectories(Paths.get(dst))
     val live = liveFiles(src, v)
     commit(dst, live, tableSchema(src, v), carriedStats(src, v, live),
-      dvFiles(src, v), cdfFlag = cdfEnabled(src, v))
+      dvFiles(src, v), cdfFlag = cdfEnabled(src, v),
+      constraintsOverride = Some(constraintsOf(src, v)))
   }
 
   /** Versioned upsert: A16's index-pruned copy-on-write, except the
@@ -632,6 +725,9 @@ object Snapshots {
       beforeCommit: () => Unit): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
+    // A34: a batch violating a CHECK constraint refuses HERE — before
+    // any staging, so a rejected merge leaves zero orphan files
+    enforceConstraints(path, v, updates)
     val live = liveFiles(path, v)
     // the full-table frame is constructed ONLY when needed: with a
     // recorded schema and complete A27 manifest stats (the steady

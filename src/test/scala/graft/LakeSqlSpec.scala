@@ -84,6 +84,16 @@ class LakeSqlSpec extends GraftSuite {
       assert(s.sql(s"GRAFT DESCRIBE HISTORY '$dir'").collect()
         .map(_.getLong(0)).toSeq == Seq(5L))
 
+      // ADD/DROP CONSTRAINT via SQL: enforcement + removal round-trip
+      s.sql(s"GRAFT ADD CONSTRAINT k_pos '$dir' CHECK (k > 0)")
+      intercept[IllegalArgumentException] {
+        Snapshots.mergeVersioned(s, dir,
+          Seq((-9L, "BAD", 9L)).toDF("k", "payload", "gen"), "k")
+      }
+      s.sql(s"GRAFT DROP CONSTRAINT k_pos '$dir'")
+      Snapshots.mergeVersioned(s, dir,
+        Seq((-9L, "NOWOK", 9L)).toDF("k", "payload", "gen"), "k")
+
       // plain SQL still parses through the delegate, with the injected
       // native functions also live in the same session
       assert(s.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)

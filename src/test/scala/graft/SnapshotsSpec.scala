@@ -1075,4 +1075,52 @@ class SnapshotsSpec extends GraftSuite {
     Snapshots.cloneShallow(dir, dst)
     assert(Snapshots.rowCount(spark, dst).contains(rc(3).get))
   }
+
+  test("CHECK constraints: write-time enforcement, carried by every commit, droppable") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir) // v0
+
+    // adding a constraint the existing rows violate refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.addConstraint(spark, dir, "k_small", "k < 50")
+    }
+    assert(Snapshots.currentVersion(dir) == 0) // nothing committed
+
+    Snapshots.addConstraint(spark, dir, "k_pos", "k > 0") // v1
+    Snapshots.addConstraint(spark, dir, "payload_ok", "length(payload) >= 2") // v2
+
+    // a violating batch refuses BEFORE staging: version unchanged and
+    // no orphan parquet appears in the table dir
+    val filesBefore = Files.list(Paths.get(dir)).iterator().asScala.size
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeVersioned(spark, dir,
+        Seq((-1L, "BAD", 1L)).toDF("k", "payload", "gen"), "k")
+    }
+    assert(Snapshots.currentVersion(dir) == 2)
+    assert(Files.list(Paths.get(dir)).iterator().asScala.size == filesBefore)
+
+    // a valid batch lands; the constraints survive that commit (carried)
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((200L, "OK", 1L)).toDF("k", "payload", "gen"), "k") // v3
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeVersioned(spark, dir,
+        Seq((201L, "X", 1L)).toDF("k", "payload", "gen"), "k") // len 1 < 2
+    }
+
+    // NULL passes (ANSI CHECK): a batch missing `payload` null-fills it
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((202L, 1L)).toDF("k", "gen"), "k") // v4
+
+    // drop, then the formerly-violating batch is admitted
+    Snapshots.dropConstraint(dir, "payload_ok") // v5
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((201L, "X", 1L)).toDF("k", "payload", "gen"), "k") // v6
+    // k_pos still in force
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeVersioned(spark, dir,
+        Seq((-2L, "BAD", 1L)).toDF("k", "payload", "gen"), "k")
+    }
+    assert(Snapshots.read(spark, dir).count() == 103)
+  }
 }
