@@ -31,6 +31,7 @@ import graft.sources.Snapshots
   *   GRAFT ENABLE CHANGE DATA FEED '<path>'        -- A31 property
   *   GRAFT ADD CONSTRAINT <name> '<path>' CHECK (<expr>)   -- A34
   *   GRAFT DROP CONSTRAINT <name> '<path>'
+  *   GRAFT UPDATE '<path>' SET <c> = <expr> [, …] WHERE <pred>  -- A35
   *   GRAFT DESCRIBE HISTORY '<path>'
   * }}}
   */
@@ -59,6 +60,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s => Snapshots.addConstraint(s, p, n, e).toLong)
       case DropCons(n, p) => LakeMaintenanceCommand("version",
         _ => Snapshots.dropConstraint(p, n).toLong)
+      case Update(p, setClause, pred) =>
+        // assignments parse NOW (a malformed SET fails at parse time,
+        // like any SQL); expression COLUMNS build at run time via the
+        // session in hand
+        val assigns = splitAssignments(setClause).map { a =>
+          a.split("=", 2) match {
+            case Array(n, e) if n.trim.matches("\\w+") && e.trim.nonEmpty =>
+              (n.trim, e.trim)
+            case _ => throw new org.apache.spark.sql.catalyst.parser.ParseException(
+              Option(sqlText), org.apache.spark.sql.catalyst.trees.Origin(),
+              "PARSE_SYNTAX_ERROR",
+              Map("error" -> s"malformed SET assignment '$a'",
+                "hint" -> "expected <column> = <expression>"))
+          }
+        }
+        LakeMaintenanceCommand("version", s =>
+          Snapshots.updateVersioned(s, p,
+            org.apache.spark.sql.functions.expr(pred),
+            assigns.map { case (n, e) =>
+              n -> org.apache.spark.sql.functions.expr(e) }).toLong)
       case History(p) => LakeHistoryCommand(p)
       // a GRAFT-prefixed statement that matches no rule must FAIL as
       // graft grammar (the delegate would emit a useless ANSI error)
@@ -110,8 +131,30 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+ADD\s+CONSTRAINT\s+(\w+)\s+'([^']+)'\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropCons =
     """(?is)\s*GRAFT\s+DROP\s+CONSTRAINT\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
+  private val Update =
+    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val History =
     """(?is)\s*GRAFT\s+DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+
+  /** Split a SET clause on TOP-LEVEL commas only — `f(a, b)` in an
+    * assignment expression must not split (paren depth + string
+    * literals tracked; no regex can do this). */
+  private def splitAssignments(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case c if inStr => cur += c
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 }
 
 /** One-row maintenance result (`version` / `reclaimed`). The closure

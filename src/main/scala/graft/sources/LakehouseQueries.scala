@@ -540,6 +540,31 @@ object LakehouseQueries {
       |  + (SELECT count(*) FROM b WHERE o_orderkey % 54 = 0 AND o_orderkey > 0)
       |  - (SELECT count(*) FROM b WHERE o_orderkey % 18 = 0 AND o_orderkey > 0)""".stripMargin
 
+  /** A35 — versioned UPDATE end-to-end: one copy-on-write UPDATE
+    * (keys ≡ 0 mod 7 re-statused 'Z', price +55.5 — SET expressions
+    * over the pre-image row) against the staged table, then a full
+    * read of the head. The oracle reproduces the updated state from
+    * the raw table with CASE; SnapshotsSpec pins time travel past the
+    * update, the exact change feed, and the no-op-SET empty feed.
+    */
+  def qLakeUpdate(s: SparkSession, d: String): DataFrame = {
+    val dir = stage(base(s, d), 4)
+    Snapshots.init(s, dir)
+    Snapshots.updateVersioned(s, dir, col("o_orderkey") % 7 === 0,
+      Seq("o_orderstatus" -> lit("Z"),
+        "o_totalprice" -> (col("o_totalprice") + 55.5)))
+    Snapshots.read(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+  }
+
+  val qLakeUpdateSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 'Z'
+      |       ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 55.5
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders""".stripMargin
+
   /** A18 — time travel: after the delete (v1) and merge (v2) commits,
     * reading version 0 must reproduce the ORIGINAL base exactly —
     * deleted rows visible, updates absent, inserts absent — because
@@ -569,7 +594,8 @@ object LakehouseQueries {
     "q_lake_restore" -> (qLakeRestore(_, _)),
     "q_lake_clone" -> (qLakeClone(_, _)),
     "q_lake_dv" -> (qLakeDv(_, _)),
-    "q_lake_rowcount" -> (qLakeRowcount(_, _)))
+    "q_lake_rowcount" -> (qLakeRowcount(_, _)),
+    "q_lake_update" -> (qLakeUpdate(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> qLakeTimetravelSql,
@@ -585,5 +611,6 @@ object LakehouseQueries {
     "q_lake_restore" -> qLakeRestoreSql,
     "q_lake_clone" -> qLakeCloneSql,
     "q_lake_dv" -> qLakeDvSql,
-    "q_lake_rowcount" -> qLakeRowcountSql)
+    "q_lake_rowcount" -> qLakeRowcountSql,
+    "q_lake_update" -> qLakeUpdateSql)
 }

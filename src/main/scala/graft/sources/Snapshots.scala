@@ -1009,6 +1009,93 @@ object Snapshots {
       dvFiles(path, v), cdf = cdfStaged)
   }
 
+  /** A35 — versioned UPDATE (the missing DML verb between MERGE and
+    * DELETE): rows matching `predicate` get each `set` column
+    * re-computed (expressions see the PRE-update row, SQL UPDATE
+    * semantics — `SET a = b, b = a` swaps), everything else is
+    * untouched. Copy-on-write through the log: only files containing a
+    * matching row are rewritten (discovery = one predicate scan with
+    * parquet pushdown, the [[deleteVersioned]] shape), every prior
+    * version stays time-travelable, and the A20 feed across the commit
+    * reports exactly the rows whose values actually CHANGED (a SET to
+    * the current value is a no-op the manifest diff rightly drops — the
+    * stored change data matches it). NULL-predicate rows are not
+    * updated (SQL semantics). CHECK constraints are enforced on the
+    * POST-update rows before anything is staged. Returns the new
+    * version.
+    */
+  def updateVersioned(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    require(set.nonEmpty, "updateVersioned: empty SET clause")
+    require(set.map(_._1).distinct.size == set.size,
+      s"updateVersioned: duplicate SET column in ${set.map(_._1)}")
+    val live = liveFiles(path, v)
+    val target = readUnder(spark, path, v, live)
+    val schemaNow = tableSchema(path, v).getOrElse(target.schema)
+    set.foreach { case (c, _) =>
+      require(schemaNow.fieldNames.contains(c),
+        s"updateVersioned: no column '$c' in ${schemaNow.fieldNames.mkString(", ")}") }
+    val hit = coalesce(predicate, lit(false))
+    val touched = target.filter(hit)
+      .withColumn("file", input_file_name())
+      .select("file").distinct().collect().map(r => canonical(r.getString(0)))
+    if (touched.isEmpty) // no-op version, schema carried forward
+      return commitNext(path, v, live, tableSchema(path, v),
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
+    // readLive: a DV-dead row in a touched file must neither be updated
+    // nor resurrected by the rewrite
+    val liveTouched = readLive(spark, path, v, touched.toIndexedSeq)
+    val setMap = set.toMap
+    // the new row, computed FROM THE PRE-IMAGE in one select (so every
+    // SET expression sees the old values, and the predicate is never
+    // re-evaluated against updated columns); cast pins the column's
+    // recorded type — parquet physical schemas must stay uniform
+    val newExprs = schemaNow.fields.toIndexedSeq.map { f =>
+      setMap.get(f.name) match {
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None    => col(s"`${f.name}`").as(f.name)
+      }
+    }
+    val pre = liveTouched.filter(hit)
+    val post = pre.select(newExprs: _*)
+    // A34: refuse BEFORE staging if an updated row violates a CHECK
+    enforceConstraints(path, v, post)
+    val rewritten = liveTouched.filter(!hit).unionByName(post)
+    // A31 (table property): change rows = updated rows whose values
+    // actually changed, post-image, matching the manifest-diff feed
+    val cdfStaged: Option[Seq[String]] =
+      if (!cdfEnabled(path, v)) None
+      else {
+        val allCols = schemaNow.fieldNames.toIndexedSeq
+        val pairs = pre.select(
+          struct(allCols.map(c => col(s"`$c`")): _*).as("__pre"),
+          struct(newExprs: _*).as("__post"))
+        Some(stageCdf(path, v, pairs
+          .filter(!(col("__pre") <=> col("__post")))
+          .select(allCols.map(c => col(s"__post.`$c`").as(c)): _*)
+          .withColumn("change_type", lit("update"))))
+      }
+    val stage = Files.createTempDirectory("graft_snap_upd").toString
+    stagedAsPhysical(rewritten, schemaNow)
+      .write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    val staged = listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    val touchedSet = touched.toSet
+    val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
+    commitNext(path, v, retained ++ staged, tableSchema(path, v),
+      carriedStats(path, v, retained) ++ statsLines(spark, staged),
+      dvFiles(path, v), cdf = cdfStaged)
+  }
+
   /** Stage `rows` as a commit's stored change-data files (A31);
     * returns the refs (empty for an empty change set). */
   private def stageCdf(path: String, v: Int, rows: DataFrame): Seq[String] = {

@@ -107,4 +107,31 @@ class LakeSqlSpec extends GraftSuite {
       }
     }
   }
+
+  test("GRAFT UPDATE: multi-assignment SET with function commas, predicate scoped") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_sql_upd").toString + "/t"
+      (1L to 50L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+        .repartitionByRange(4, col("k")).write.parquet(dir)
+      Snapshots.init(s, dir) // v0
+
+      // concat(payload, '!') holds a comma INSIDE the assignment — the
+      // top-level splitter must not cut there
+      val v = s.sql(
+        s"GRAFT UPDATE '$dir' SET payload = concat(payload, '!'), gen = gen + 1 WHERE k <= 3")
+        .head().getLong(0)
+      assert(v == 1L)
+      val rows = Snapshots.read(s, dir).filter(col("k") <= 3L)
+        .select("k", "payload", "gen").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, "v1!", 1L), (2L, "v2!", 1L), (3L, "v3!", 1L)))
+      assert(Snapshots.read(s, dir).filter(col("gen") =!= 0L).count() == 3)
+
+      // malformed SET fails at PARSE time, as graft grammar
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s.sql(s"GRAFT UPDATE '$dir' SET oops WHERE k = 1")
+      }
+    }
+  }
 }

@@ -1076,6 +1076,88 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.rowCount(spark, dst).contains(rc(3).get))
   }
 
+  test("updateVersioned: copy-on-write SET over the pre-image, exact feed, time travel") {
+    val dir = freshTable()
+    Snapshots.init(spark, dir) // v0
+    // SET expressions see the PRE-update row: payload derives from the
+    // old payload, gen increments
+    val v1 = Snapshots.updateVersioned(spark, dir, col("k") % 10 === 0,
+      Seq("payload" -> concat(lit("u:"), col("payload")),
+        "gen" -> (col("gen") + 1L)))
+    assert(v1 == 1)
+    val head = Snapshots.read(spark, dir)
+    assert(head.count() == 100) // UPDATE never changes cardinality
+    val updated = head.filter(col("k") % 10 === 0)
+      .select("k", "payload", "gen").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(updated == (10L to 100L by 10L).map(k => (k, s"u:v$k", 1L)).toSet)
+    assert(head.filter(col("k") % 10 =!= 0 && col("gen") =!= 0L).isEmpty)
+    // time travel: v0 is bit-exact pre-update
+    assert(Snapshots.read(spark, dir, 0).filter(col("k") === 10L)
+      .select("payload").head().getString(0) == "v10")
+    // the feed across the update is exactly the 10 changed keys
+    val ch = Snapshots.changesBetween(spark, dir, 0, 1, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ch == (10L to 100L by 10L).map(_ -> "update").toMap, s"feed: $ch")
+
+    // copy-on-write is file-scoped: a single-key update rewrites ONE of
+    // the four range files — three of v1's live files survive into v2
+    val liveV1 = Snapshots.liveFiles(dir, 1).toSet
+    Snapshots.updateVersioned(spark, dir, col("k") === 5L,
+      Seq("payload" -> lit("five"))) // v2
+    assert(Snapshots.liveFiles(dir, 2).toSet.intersect(liveV1).size == liveV1.size - 1)
+
+    // a SET to the current value is a no-op the feed drops
+    Snapshots.updateVersioned(spark, dir, col("k") === 5L,
+      Seq("payload" -> lit("five"))) // v3: values unchanged
+    assert(Snapshots.changesBetween(spark, dir, 2, 3, "k").isEmpty)
+
+    // predicate matching nothing: clean no-op commit
+    val v4 = Snapshots.updateVersioned(spark, dir, col("k") > 10000L,
+      Seq("gen" -> lit(99L)))
+    assert(v4 == 4 && Snapshots.changesBetween(spark, dir, 3, 4, "k").isEmpty)
+
+    // unknown SET column refuses loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.updateVersioned(spark, dir, col("k") === 1L,
+        Seq("nope" -> lit(1)))
+    }
+  }
+
+  test("updateVersioned: CHECK constraints on post-image, stored change data, DV rows stay dead") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir, changeDataFeed = true) // v0, A31 ON
+    // DV-delete k=20, then update the surrounding band: the dead row
+    // must neither be updated nor resurrected by the rewrite
+    Snapshots.deleteVersionedDV(spark, dir, col("k") === 20L) // v1
+    Snapshots.updateVersioned(spark, dir,
+      col("k") >= 15L && col("k") <= 25L, Seq("gen" -> lit(7L))) // v2
+    val head = Snapshots.read(spark, dir)
+    assert(head.count() == 99)
+    assert(head.filter(col("k") === 20L).isEmpty)
+    assert(head.filter(col("gen") === 7L).count() == 10) // 15..25 minus 20
+
+    // the update commit recorded its change rows (A31): the
+    // single-step feed serves the changed-ROWS path, and its content
+    // matches the manifest-diff ground truth exactly
+    assert(Snapshots.cdfRecorded(dir, 2))
+    val ch = Snapshots.changesWithPayload(spark, dir, 1, 2, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(ch == ((15L to 25L).toSet - 20L).map(k => (k, "update", 7L)),
+      s"feed: $ch")
+
+    // a post-image violating a CHECK refuses before staging
+    Snapshots.addConstraint(spark, dir, "gen_bound", "gen < 100") // v3
+    val filesBefore = Files.list(Paths.get(dir)).iterator().asScala.size
+    intercept[IllegalArgumentException] {
+      Snapshots.updateVersioned(spark, dir, col("k") === 1L,
+        Seq("gen" -> lit(100L)))
+    }
+    assert(Snapshots.currentVersion(dir) == 3)
+    assert(Files.list(Paths.get(dir)).iterator().asScala.size == filesBefore)
+  }
+
   test("CHECK constraints: write-time enforcement, carried by every commit, droppable") {
     import spark.implicits._
     val dir = freshTable()
