@@ -1,0 +1,343 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** A36 — the snapshot log as a REGISTERED SPARK DATA SOURCE: the
+  * format plug-in surface a table format actually ships (Delta's
+  * `format("delta")`), so the lakehouse composes with everything that
+  * speaks the DataFrame reader/writer/stream API instead of requiring
+  * `Snapshots.*` calls:
+  *
+  * {{{
+  *   spark.read.format("graft").load(dir)                       // head
+  *   spark.read.format("graft").option("versionAsOf", 2).load(dir)
+  *   df.write.format("graft").mode("overwrite").save(dir)       // A-OW
+  *   df.write.format("graft").option("keyCol", "k")
+  *     .mode("append").save(dir)                                // MERGE
+  *   spark.readStream.format("graft").option("keyCol", "k")
+  *     .load(dir)                                               // feed
+  * }}}
+  *
+  * Design, Spark-first: the batch read does NOT reimplement a parquet
+  * reader — it hands Spark a [[HadoopFsRelation]] over the stock
+  * [[ParquetFileFormat]] with a CUSTOM [[FileIndex]] whose file list is
+  * the MANIFEST (never a directory listing) and whose `listFiles`
+  * prunes files against the A27 per-file min/max stats using the
+  * query's own pushed-down data filters — the Delta
+  * `TahoeLogFileIndex` shape. Everything downstream (vectorized
+  * parquet, column pruning, predicate pushdown, whole-stage codegen)
+  * is stock Spark; the connector's entire job is deciding WHICH files
+  * the scan sees. At 100 TB that decision — manifest-only planning +
+  * stats skipping, no object-store LIST — is the difference between a
+  * query planning in milliseconds and minutes.
+  *
+  * The streaming read is a real Structured Streaming [[Source]] whose
+  * OFFSETS ARE VERSIONS: each micro-batch is the A20/A31 change feed
+  * of the versions newly committed since the last trigger (initial
+  * batch = earliest retained snapshot as inserts), so checkpoint
+  * resume, AvailableNow, and downstream stateful operators all come
+  * from the engine — the hand-rolled [[graft.streaming.ChangeFeed]]
+  * poller remains for driver-loop use, but this is the form
+  * `writeStream`/watermarks compose with.
+  *
+  * Refusals (documented, loud): a version carrying deletion vectors
+  * (A30) or column-mapped schema (A24) cannot be expressed as a bare
+  * file scan — reads must go through [[Snapshots.read]] (or
+  * [[Snapshots.reconcileDV]] first). Real formats solve this inside
+  * custom scan nodes; here the honest move is refusing rather than
+  * silently resurrecting dead rows or physical column names.
+  */
+class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft: table path required — spark.read.format(\"graft\").load(<path>)"))
+
+  // ---- batch read -------------------------------------------------
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val head = Snapshots.currentVersion(path)
+    require(head >= 0, s"graft: $path is not a versioned table (no _graft_log)")
+    val v = parameters.get("versionAsOf").map(_.toInt).getOrElse(head)
+    require(Snapshots.hasVersion(path, v),
+      s"graft: no version $v at $path (vacuumed or never committed)")
+    require(Snapshots.dvFiles(path, v).isEmpty,
+      s"graft: version $v of $path carries deletion vectors; " +
+        "GRAFT RECONCILE it (Snapshots.reconcileDV) or read via Snapshots.read")
+    val schema = Snapshots.tableSchema(path, v).getOrElse {
+      val live = Snapshots.liveFiles(path, v)
+      if (live.isEmpty) new StructType() else spark.read.parquet(live: _*).schema
+    }
+    require(!Snapshots.hasMapping(schema),
+      s"graft: version $v of $path uses column mapping (renamed/dropped " +
+        "columns); read via Snapshots.read")
+    HadoopFsRelation(
+      location = new GraftFileIndex(spark, path, v),
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = parameters)(spark)
+  }
+
+  // ---- batch write ------------------------------------------------
+
+  /** `df.write.format("graft")`: Overwrite = [[Snapshots.overwriteVersioned]]
+    * (bootstrap on a fresh dir), Append = keyed [[Snapshots.mergeVersioned]]
+    * (requires `keyCol`), ErrorIfExists/Ignore honour existing logs.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val exists = Snapshots.currentVersion(path) >= 0
+    mode match {
+      case SaveMode.Overwrite => Snapshots.overwriteVersioned(spark, path, data)
+      case SaveMode.Append =>
+        if (!exists) Snapshots.overwriteVersioned(spark, path, data)
+        else {
+          val keyCol = parameters.getOrElse("keyCol",
+            throw new IllegalArgumentException(
+              "graft: append is a keyed merge — set .option(\"keyCol\", <column>)"))
+          Snapshots.mergeVersioned(spark, path, data, keyCol)
+        }
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"graft: $path already versioned (mode ErrorIfExists)")
+        Snapshots.overwriteVersioned(spark, path, data)
+      case SaveMode.Ignore =>
+        if (!exists) Snapshots.overwriteVersioned(spark, path, data)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  // ---- streaming read ---------------------------------------------
+
+  private def streamSchema(spark: SparkSession, path: String,
+      keyCol: String): StructType = {
+    val head = Snapshots.currentVersion(path)
+    require(head >= 0, s"graft: $path is not a versioned table (no _graft_log)")
+    val s = Snapshots.tableSchema(path, head).getOrElse(
+      spark.read.parquet(Snapshots.liveFiles(path, head): _*).schema)
+    require(s.fieldNames.contains(keyCol),
+      s"graft: keyCol '$keyCol' not in ${s.fieldNames.mkString(", ")}")
+    require(!Snapshots.hasMapping(s),
+      s"graft: $path uses column mapping; stream via Snapshots.readChangesStream")
+    // the feed contract's column order: key, change_type, payload —
+    // plus the delivering version (Delta CDF's _commit_version)
+    StructType(
+      s.fields.filter(_.name == keyCol) ++
+        Seq(org.apache.spark.sql.types.StructField("change_type",
+          org.apache.spark.sql.types.StringType, nullable = false)) ++
+        s.fields.filterNot(_.name == keyCol) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val keyCol = parameters.getOrElse("keyCol",
+      throw new IllegalArgumentException(
+        "graft: streaming read needs .option(\"keyCol\", <column>)"))
+    (shortName(),
+      streamSchema(sqlContext.sparkSession, pathOf(parameters), keyCol))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    val keyCol = parameters("keyCol")
+    new GraftChangeSource(sqlContext.sparkSession, path, keyCol,
+      streamSchema(sqlContext.sparkSession, path, keyCol))
+  }
+}
+
+/** The manifest AS a [[FileIndex]]: Spark's parquet machinery plans
+  * over exactly the version's live files, and `listFiles` drops every
+  * file whose A27 min/max range PROVES it cannot satisfy the query's
+  * pushed-down data filters. Supported shapes: =, <=>, <, <=, >, >=,
+  * IN, AND, OR over a bare column vs a literal — anything else keeps
+  * the file (pruning must only ever be an optimization). Stats-less
+  * files (legacy manifests, non-numeric columns) always survive.
+  */
+class GraftFileIndex(spark: SparkSession, path: String, version: Int)
+    extends FileIndex {
+
+  private val live: Seq[String] = Snapshots.liveFiles(path, version)
+  private val stats: Map[String, Map[String, (String, String, String)]] =
+    Snapshots.fileStats(path, version)
+
+  // FileStatus per live file, once: the manifest replaces the LIST —
+  // on a real object store these getFileStatus calls would themselves
+  // come from manifest-carried size/mtime rather than the FS
+  private lazy val statuses: Seq[org.apache.hadoop.fs.FileStatus] = {
+    val conf = spark.sessionState.newHadoopConf()
+    live.map { f =>
+      val p = new Path(Snapshots.canonical(f))
+      p.getFileSystem(conf).getFileStatus(p)
+    }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(path))
+  override def partitionSchema: StructType = new StructType()
+  override def refresh(): Unit = ()
+  override def inputFiles: Array[String] = live.map(Snapshots.canonical).toArray
+  override lazy val sizeInBytes: Long =
+    live.map(f => Files.size(Paths.get(Snapshots.canonical(f)))).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = statuses.filter { st =>
+      val fileStat = stats.getOrElse(
+        Snapshots.canonical(st.getPath.toString), Map.empty)
+      dataFilters.forall(f => GraftFileIndex.survives(fileStat, f))
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+}
+
+object GraftFileIndex {
+
+  /** Exact numeric view of a literal / recorded stat — BigDecimal so a
+    * long beyond 2^53 never rounds into an unsound prune. */
+  private def big(v: Any): Option[BigDecimal] = v match {
+    case i: Int    => Some(BigDecimal(i))
+    case l: Long   => Some(BigDecimal(l))
+    case s: Short  => Some(BigDecimal(s.toInt))
+    case b: Byte   => Some(BigDecimal(b.toInt))
+    case f: Float  => if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
+    case d: Double => if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+    case _         => None
+  }
+
+  private def range(stats: Map[String, (String, String, String)],
+      col: String): Option[(BigDecimal, BigDecimal)] =
+    stats.get(col).flatMap { case (tag, mn, mx) =>
+      try tag match {
+        case "L" => Some((BigDecimal(mn.toLong), BigDecimal(mx.toLong)))
+        case "D" => (big(mn.toDouble), big(mx.toDouble)) match {
+          case (Some(a), Some(b)) => Some((a, b))
+          case _ => None
+        }
+        case _ => None
+      } catch { case _: NumberFormatException => None }
+    }
+
+  /** Can a row of a file with `stats` satisfy `filter`? True = keep
+    * (including "don't know"); false = PROVEN impossible, prune. */
+  private[sources] def survives(stats: Map[String, (String, String, String)],
+      filter: Expression): Boolean = filter match {
+    case And(l, r) => survives(stats, l) && survives(stats, r)
+    case Or(l, r)  => survives(stats, l) || survives(stats, r)
+    case EqualTo(a: Attribute, Literal(v, _))       => contains(stats, a.name, v)
+    case EqualTo(Literal(v, _), a: Attribute)       => contains(stats, a.name, v)
+    case EqualNullSafe(a: Attribute, Literal(v, _)) =>
+      v == null || contains(stats, a.name, v)
+    case EqualNullSafe(Literal(v, _), a: Attribute) =>
+      v == null || contains(stats, a.name, v)
+    case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => contains(stats, a.name, v) }
+    case GreaterThan(a: Attribute, Literal(v, _)) => // a > v: need max > v
+      cmp(stats, a.name, v)((mn, mx, b) => mx > b)
+    case GreaterThan(Literal(v, _), a: Attribute) => // v > a: need min < v
+      cmp(stats, a.name, v)((mn, mx, b) => mn < b)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
+      cmp(stats, a.name, v)((mn, mx, b) => mx >= b)
+    case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
+      cmp(stats, a.name, v)((mn, mx, b) => mn <= b)
+    case LessThan(a: Attribute, Literal(v, _)) =>
+      cmp(stats, a.name, v)((mn, mx, b) => mn < b)
+    case LessThan(Literal(v, _), a: Attribute) =>
+      cmp(stats, a.name, v)((mn, mx, b) => mx > b)
+    case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
+      cmp(stats, a.name, v)((mn, mx, b) => mn <= b)
+    case LessThanOrEqual(Literal(v, _), a: Attribute) =>
+      cmp(stats, a.name, v)((mn, mx, b) => mx >= b)
+    case _ => true
+  }
+
+  private def contains(stats: Map[String, (String, String, String)],
+      col: String, v: Any): Boolean =
+    cmp(stats, col, v)((mn, mx, b) => mn <= b && b <= mx)
+
+  private def cmp(stats: Map[String, (String, String, String)],
+      col: String, v: Any)(
+      p: (BigDecimal, BigDecimal, BigDecimal) => Boolean): Boolean =
+    (range(stats, col), big(v)) match {
+      case (Some((mn, mx)), Some(b)) => p(mn, mx, b)
+      case _ => true // no stats / non-numeric: cannot prune
+    }
+}
+
+/** The change feed as a Structured Streaming [[Source]]. Offsets are
+  * VERSION NUMBERS (LongOffset): `getOffset` reports the head,
+  * `getBatch(a, b)` reconstructs versions (a, b] — the initial batch
+  * (a = None) is the earliest retained snapshot as inserts plus any
+  * versions committed since, each row tagged `_commit_version`.
+  * Reconstruction is pure manifest/stored-change-data reads, so a
+  * restarted query re-derives its checkpointed batch bit-exactly
+  * (replayability — the property Delta's source gets the same way).
+  * Per-version stepping keeps the A31 changed-rows fast path in play
+  * for every step. Vacuum retention must outlive the slowest
+  * consumer's checkpoint, exactly as with [[graft.streaming.ChangeFeed]].
+  */
+class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
+    override val schema: StructType) extends Source {
+
+  private def ordered(df: DataFrame): DataFrame =
+    df.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
+
+  override def getOffset: Option[OffsetV1] = {
+    val v = Snapshots.currentVersion(path)
+    if (v < 0) None else Some(LongOffset(v.toLong))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = end.json.trim.toInt
+    val earliest = Snapshots.earliestVersion(path)
+    val startV = start.map(_.json.trim.toInt)
+    val payload = schema.fieldNames.toIndexedSeq
+      .filterNot(c => c == keyCol || c == "change_type" || c == "_commit_version")
+    def changesAt(v: Int): DataFrame = ordered(
+      Snapshots.changesWithPayload(spark, path, v - 1, v, keyCol)
+        .withColumn("_commit_version", lit(v)))
+    val frames: Seq[DataFrame] = startV match {
+      case None =>
+        // initial batch: full snapshot at the earliest retained
+        // version as inserts, then one feed step per later version
+        val snap = ordered(Snapshots.read(spark, path, earliest)
+          .withColumn("change_type", lit("insert"))
+          .withColumn("_commit_version", lit(earliest)))
+        snap +: ((earliest + 1) to endV).map(changesAt)
+      case Some(s) => ((s + 1) to endV).map(changesAt)
+    }
+    val batch = frames.reduceOption(_.unionByName(_)).getOrElse(
+      ordered(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)))
+    // v1 sources must hand back an isStreaming frame (see StreamingFrame)
+    org.apache.spark.sql.graft.StreamingFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+}

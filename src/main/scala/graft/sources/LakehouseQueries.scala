@@ -565,6 +565,102 @@ object LakehouseQueries {
       |       ELSE o_totalprice END AS o_totalprice
       |FROM orders""".stripMargin
 
+  /** A36 — the registered `format("graft")` BATCH connector
+    * end-to-end: stage a range-clustered versioned table, merge an
+    * update on top, then read three ways through the plug-in surface —
+    * the head, `versionAsOf` 0 (time travel via reader option), and a
+    * key-range filter whose files the connector's FileIndex prunes
+    * from the manifest stats before the parquet scan plans
+    * (ConnectorSpec pins the pruning factor on the scan metric). The
+    * oracle reproduces all three snapshots from the raw table.
+    */
+  def qLakeSource(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dir = tempDir("graft_lake_src")
+    b.repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    Snapshots.init(s, dir) // v0, per-file key ranges in the manifest
+    val upd = b.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), lit("S").as("o_orderstatus"),
+        (col("o_totalprice") + 99.0).as("o_totalprice"))
+    Snapshots.mergeVersioned(s, dir, upd, "o_orderkey") // v1
+    def aggAll(df: DataFrame, t: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .select(lit(t).as("snap"), col("n"), col("total"),
+          col("min_key"), col("max_key"))
+    aggAll(s.read.format("graft").load(dir), "head")
+      .unionByName(aggAll(
+        s.read.format("graft").option("versionAsOf", 0).load(dir), "v0"))
+      .unionByName(aggAll(
+        s.read.format("graft").load(dir)
+          .filter(col("o_orderkey") <= 1000L), "pruned"))
+  }
+
+  val qLakeSourceSql: String =
+    """WITH merged AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN 'S' ELSE o_orderstatus END
+      |      AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 99.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT 'head' AS snap, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM merged
+      |UNION ALL
+      |SELECT 'v0', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'pruned', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM merged WHERE o_orderkey <= 1000""".stripMargin
+
+  /** A36 — the STREAMING connector end-to-end: a real Structured
+    * Streaming query (`readStream.format("graft")` → foreachBatch)
+    * drains the staged three-version history through the
+    * versions-as-offsets source — initial snapshot as inserts, then
+    * one micro-batch per commit, each row tagged `_commit_version`.
+    * The collected delivery log is returned as a DataFrame the oracle
+    * reconstructs from the raw table, gating batch boundaries AND
+    * contents of the engine-driven path (the A23 driver-loop feed is
+    * oracled separately by q_lake_feed_stream).
+    */
+  def qLakeStreamSource(s: SparkSession, d: String): DataFrame = {
+    val dir = stageHistory(s, d, cdf = true)
+    val ckpt = tempDir("graft_src_ckpt")
+    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    @volatile var sch: org.apache.spark.sql.types.StructType = null
+    val q = s.readStream.format("graft").option("keyCol", "o_orderkey").load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        acc.synchronized { sch = b.schema; acc ++= b.collect() }; ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    s.createDataFrame(java.util.Arrays.asList(acc.synchronized(acc.toArray): _*), sch)
+  }
+
+  val qLakeStreamSourceSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey > 0)
+      |SELECT o_orderkey, 'insert' AS change_type, o_orderstatus,
+      |  o_totalprice, 0 AS _commit_version
+      |FROM base
+      |UNION ALL
+      |SELECT o_orderkey, 'delete', CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS DOUBLE), 1
+      |FROM base WHERE o_orderkey % 9 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 'update', o_orderstatus, o_totalprice + 5000.0, 2
+      |FROM base WHERE o_orderkey % 15 = 0 AND o_orderkey % 9 <> 0
+      |UNION ALL
+      |SELECT -o_orderkey, 'insert', o_orderstatus, o_totalprice, 2
+      |FROM base WHERE o_orderkey % 21 = 0""".stripMargin
+
   /** A18 — time travel: after the delete (v1) and merge (v2) commits,
     * reading version 0 must reproduce the ORIGINAL base exactly —
     * deleted rows visible, updates absent, inserts absent — because
@@ -595,7 +691,9 @@ object LakehouseQueries {
     "q_lake_clone" -> (qLakeClone(_, _)),
     "q_lake_dv" -> (qLakeDv(_, _)),
     "q_lake_rowcount" -> (qLakeRowcount(_, _)),
-    "q_lake_update" -> (qLakeUpdate(_, _)))
+    "q_lake_update" -> (qLakeUpdate(_, _)),
+    "q_lake_source" -> (qLakeSource(_, _)),
+    "q_lake_stream_source" -> (qLakeStreamSource(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> qLakeTimetravelSql,
@@ -612,5 +710,7 @@ object LakehouseQueries {
     "q_lake_clone" -> qLakeCloneSql,
     "q_lake_dv" -> qLakeDvSql,
     "q_lake_rowcount" -> qLakeRowcountSql,
-    "q_lake_update" -> qLakeUpdateSql)
+    "q_lake_update" -> qLakeUpdateSql,
+    "q_lake_source" -> qLakeSourceSql,
+    "q_lake_stream_source" -> qLakeStreamSourceSql)
 }

@@ -105,8 +105,12 @@ object Snapshots {
   private def toPhysical(s: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(s.fields.map(f => f.copy(name = physicalName(f))))
 
-  private def hasMapping(s: org.apache.spark.sql.types.StructType): Boolean =
+  private[sources] def hasMapping(s: org.apache.spark.sql.types.StructType): Boolean =
     s.fields.exists(_.metadata.contains(PhysicalKey))
+
+  /** Does version `v`'s manifest exist (committed and not vacuumed)? */
+  private[sources] def hasVersion(path: String, v: Int): Boolean =
+    v >= 0 && Files.exists(manifestPath(path, v))
 
   /** Read raw parquet `files` under a recorded schema: physical column
     * names against the bytes, aliased back to logical names (metadata
@@ -150,7 +154,7 @@ object Snapshots {
 
   /** Per-file physical-column stats recorded at `v`:
     * file → col → (typeTag "L"|"D", min, max) as strings. */
-  private def fileStats(path: String, v: Int): Map[String, Map[String, (String, String, String)]] =
+  private[sources] def fileStats(path: String, v: Int): Map[String, Map[String, (String, String, String)]] =
     Files.readAllLines(manifestPath(path, v)).asScala
       .filter(_.startsWith(StatsHeader))
       .map(_.stripPrefix(StatsHeader).split(StatsSep, -1))
@@ -1094,6 +1098,37 @@ object Snapshots {
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
       carriedStats(path, v, retained) ++ statsLines(spark, staged),
       dvFiles(path, v), cdf = cdfStaged)
+  }
+
+  /** INSERT OVERWRITE as a commit: the new live set is exactly the
+    * staged batch — every previous row is retired (still
+    * time-travelable until vacuum) and the recorded schema becomes the
+    * batch's. On an uninitialized directory this bootstraps the table
+    * (write + [[init]]). CHECK constraints carry across and are
+    * enforced on the batch; old DV refs are dropped (they can only
+    * reference retired files). The feed across the commit is the full
+    * delete+insert diff — overwrite is by nature a table-sized change.
+    * Returns the new version.
+    */
+  def overwriteVersioned(spark: SparkSession, path: String, df: DataFrame): Int = {
+    val v = currentVersion(path)
+    if (v < 0) {
+      Files.createDirectories(Paths.get(path))
+      df.write.mode(SaveMode.Append).parquet(path)
+      return init(spark, path)
+    }
+    enforceConstraints(path, v, df)
+    val stage = Files.createTempDirectory("graft_snap_ow").toString
+    df.write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    val staged = listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    commitNext(path, v, staged, Some(df.schema), statsLines(spark, staged))
   }
 
   /** Stage `rows` as a commit's stored change-data files (A31);

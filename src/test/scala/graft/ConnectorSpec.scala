@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshots
+
+/** A36 — the registered `format("graft")` data source: batch reads
+  * plan over the manifest through a custom FileIndex (stats-pruned),
+  * writes route to overwrite/merge commits, and the streaming read is
+  * a real Structured Streaming Source with versions as offsets.
+  */
+class ConnectorSpec extends GraftSuite {
+
+  private def freshTable(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_conn_spec").toString + "/t"
+    (1L to 100L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    dir
+  }
+
+  test("batch read: head and versionAsOf match Snapshots.read, by short name") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir) // v0
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((5L, "UP5", 1L)).toDF("k", "payload", "gen"), "k") // v1
+
+    val head = spark.read.format("graft").load(dir)
+    assert(head.count() == 100)
+    assert(head.filter(col("k") === 5L).select("payload").head().getString(0) == "UP5")
+
+    val v0 = spark.read.format("graft").option("versionAsOf", 0).load(dir)
+    assert(v0.filter(col("k") === 5L).select("payload").head().getString(0) == "v5")
+
+    // a non-table dir refuses loudly
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .load(Files.createTempDirectory("graft_conn_empty").toString)
+    }
+  }
+
+  test("batch read: manifest stats prune files before the scan plans") {
+    val dir = freshTable()
+    Snapshots.init(spark, dir) // 4 range files with recorded k min/max
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // run, so the scan metric is populated
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+
+    val all = spark.read.format("graft").load(dir)
+    assert(scannedFiles(all) == 4)
+
+    // k <= 10 lives in ONE of the four range files: three pruned from
+    // the FILE LIST (not merely row-skipped) by the manifest stats
+    val narrow = spark.read.format("graft").load(dir).filter(col("k") <= 10L)
+    assert(narrow.count() == 10)
+    assert(scannedFiles(spark.read.format("graft").load(dir)
+      .filter(col("k") <= 10L)) == 1)
+
+    // disjunction prunes to the union of the two sides' files
+    assert(scannedFiles(spark.read.format("graft").load(dir)
+      .filter(col("k") <= 10L || col("k") > 90L)) == 2)
+
+    // a filter on a stats-less (string) column cannot prune
+    assert(scannedFiles(spark.read.format("graft").load(dir)
+      .filter(col("payload") === "v5")) == 4)
+  }
+
+  test("batch read refuses DV and column-mapped versions, loudly") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    Snapshots.deleteVersionedDV(spark, dir, col("k") === 7L) // v1: DVs
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(dir).collect()
+    }
+    assert(e1.getMessage.contains("deletion vectors"))
+    Snapshots.reconcileDV(spark, dir) // v2: plain files again
+    assert(spark.read.format("graft").load(dir).count() == 99)
+
+    Snapshots.renameColumn(spark, dir, "payload", "body") // v3: mapping
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(dir).collect()
+    }
+    assert(e2.getMessage.contains("column mapping"))
+    // pre-mapping versions still read through the connector
+    assert(spark.read.format("graft").option("versionAsOf", 2)
+      .load(dir).count() == 99)
+  }
+
+  test("write path: overwrite bootstraps/replaces, append is a keyed merge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_conn_write").toString + "/t"
+
+    // overwrite on a fresh dir bootstraps v0
+    (1L to 50L).map(k => (k, s"v$k")).toDF("k", "payload")
+      .write.format("graft").mode("overwrite").save(dir)
+    assert(Snapshots.currentVersion(dir) == 0)
+    assert(spark.read.format("graft").load(dir).count() == 50)
+
+    // append without keyCol refuses; with keyCol it merges
+    intercept[Exception] {
+      Seq((5L, "UP")).toDF("k", "payload")
+        .write.format("graft").mode("append").save(dir)
+    }
+    Seq((5L, "UP5"), (51L, "NEW")).toDF("k", "payload")
+      .write.format("graft").option("keyCol", "k").mode("append").save(dir) // v1
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() == 51)
+    assert(after.filter(col("k") === 5L).select("payload").head().getString(0) == "UP5")
+
+    // overwrite on a versioned table commits a new version; the old
+    // content stays time-travelable
+    Seq((999L, "OW")).toDF("k", "payload")
+      .write.format("graft").mode("overwrite").save(dir) // v2
+    assert(spark.read.format("graft").load(dir).count() == 1)
+    assert(spark.read.format("graft").option("versionAsOf", 1)
+      .load(dir).count() == 51)
+
+    // ErrorIfExists refuses on a versioned table
+    intercept[Exception] {
+      Seq((1L, "X")).toDF("k", "payload")
+        .write.format("graft").mode("error").save(dir)
+    }
+  }
+
+  test("streaming source: versions are offsets, initial snapshot, checkpoint resume") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir) // v0
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((5L, "UP5", 1L)).toDF("k", "payload", "gen"), "k") // v1
+    val ckpt = Files.createTempDirectory("graft_conn_ckpt").toString
+
+    // foreachBatch sink: supports checkpoint recovery (a memory sink
+    // refuses it), and hands us the delivered rows per micro-batch
+    def startQuery(buf: scala.collection.mutable.ArrayBuffer[(Long, String, Int)]) =
+      spark.readStream.format("graft").option("keyCol", "k").load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.collect().map(r =>
+              (r.getLong(0), r.getString(1), r.getInt(4)))
+          }; ()
+        }
+        .option("checkpointLocation", ckpt).start()
+
+    val got1 = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]
+    val q1 = startQuery(got1)
+    try {
+      q1.processAllAvailable()
+      // initial batch: 100-row snapshot at v0 (inserts) + v1's update
+      assert(got1.size == 101)
+      assert(got1.count(_._3 == 0) == 100)
+      assert(got1.filter(_._3 == 1).map(t => (t._1, t._2)) == Seq((5L, "update")))
+
+      // a new commit while the query runs becomes the next micro-batch
+      Snapshots.deleteVersioned(spark, dir, col("k") === 9L) // v2
+      q1.processAllAvailable()
+      assert(got1.size == 102)
+      assert(got1.filter(_._3 == 2).map(t => (t._1, t._2)) == Seq((9L, "delete")))
+    } finally q1.stop()
+
+    // restart against the SAME checkpoint: only post-checkpoint
+    // versions are delivered — no snapshot replay, no duplicates
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((200L, "NEW", 1L)).toDF("k", "payload", "gen"), "k") // v3
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]
+    val q2 = startQuery(got2)
+    try {
+      q2.processAllAvailable()
+      assert(got2.toSeq == Seq((200L, "insert", 3)))
+    } finally q2.stop()
+  }
+}
