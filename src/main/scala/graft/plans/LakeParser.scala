@@ -32,6 +32,11 @@ import graft.sources.Snapshots
   *   GRAFT ADD CONSTRAINT <name> '<path>' CHECK (<expr>)   -- A34
   *   GRAFT DROP CONSTRAINT <name> '<path>'
   *   GRAFT UPDATE '<path>' SET <c> = <expr> [, …] WHERE <pred>  -- A35
+  *   GRAFT TAG <name> '<path>' [AT VERSION <n>]            -- A37 refs
+  *   GRAFT DROP TAG <name> '<path>'
+  *   GRAFT BRANCH <name> '<path>'
+  *   GRAFT PUBLISH BRANCH <name> '<path>'
+  *   GRAFT DROP BRANCH <name> '<path>'
   *   GRAFT DESCRIBE HISTORY '<path>'
   * }}}
   */
@@ -80,6 +85,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             org.apache.spark.sql.functions.expr(pred),
             assigns.map { case (n, e) =>
               n -> org.apache.spark.sql.functions.expr(e) }).toLong)
+      case TagAt(n, p, v) => LakeMaintenanceCommand("version",
+        _ => graft.sources.Refs.tag(p, n, v.toInt).toLong)
+      case Tag(n, p) => LakeMaintenanceCommand("version",
+        _ => graft.sources.Refs.tag(p, n).toLong)
+      case DropTag(n, p) => LakeMaintenanceCommand("version",
+        _ => { graft.sources.Refs.dropTag(p, n); 0L })
+      case PublishBranch(n, p) => LakeMaintenanceCommand("version",
+        s => graft.sources.Refs.publish(s, p, n).toLong)
+      case Branch(n, p) => LakeMaintenanceCommand("version",
+        s => { graft.sources.Refs.createBranch(s, p, n); 0L })
+      case DropBranch(n, p) => LakeMaintenanceCommand("version",
+        _ => { graft.sources.Refs.dropBranch(p, n); 0L })
       case History(p) => LakeHistoryCommand(p)
       // a GRAFT-prefixed statement that matches no rule must FAIL as
       // graft grammar (the delegate would emit a useless ANSI error)
@@ -133,6 +150,18 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+DROP\s+CONSTRAINT\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
   private val Update =
     """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val TagAt =
+    """(?is)\s*GRAFT\s+TAG\s+([\w.-]+)\s+'([^']+)'\s+AT\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val Tag =
+    """(?is)\s*GRAFT\s+TAG\s+([\w.-]+)\s+'([^']+)'\s*;?\s*""".r
+  private val DropTag =
+    """(?is)\s*GRAFT\s+DROP\s+TAG\s+([\w.-]+)\s+'([^']+)'\s*;?\s*""".r
+  private val Branch =
+    """(?is)\s*GRAFT\s+BRANCH\s+([\w.-]+)\s+'([^']+)'\s*;?\s*""".r
+  private val PublishBranch =
+    """(?is)\s*GRAFT\s+PUBLISH\s+BRANCH\s+([\w.-]+)\s+'([^']+)'\s*;?\s*""".r
+  private val DropBranch =
+    """(?is)\s*GRAFT\s+DROP\s+BRANCH\s+([\w.-]+)\s+'([^']+)'\s*;?\s*""".r
   private val History =
     """(?is)\s*GRAFT\s+DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 

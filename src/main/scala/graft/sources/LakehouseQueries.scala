@@ -661,6 +661,68 @@ object LakehouseQueries {
       |SELECT -o_orderkey, 'insert', o_orderstatus, o_totalprice, 2
       |FROM base WHERE o_orderkey % 21 = 0""".stripMargin
 
+  /** A37 — tags + write-audit-publish end-to-end: pin v0 under a tag,
+    * cut a branch, stage a merge wave (updates keys ≡ 0 mod 13,
+    * inserts negated keys ≡ 0 mod 19) and a delete (keys ≡ 0 mod 17)
+    * ON THE BRANCH — main stays at v0 throughout the audit — then
+    * publish atomically and drop the branch. The result reads the
+    * published head AND the tagged baseline; the oracle reproduces
+    * both from the raw table, so a publish that loses a staged change,
+    * leaks one early to main, or breaks the tag pin fails the hash.
+    * RefsSpec pins the conflict refusals, vacuum pinning, and the
+    * hard-link survival of published files after dropBranch.
+    */
+  def qLakeWap(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir) // v0
+    Refs.tag(dir, "baseline")
+    val bdir = Refs.createBranch(s, dir, "wap")
+    val upd = b.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit("W").as("o_orderstatus"),
+        (col("o_totalprice") + 321.0).as("o_totalprice"))
+    val ins = b.filter(col("o_orderkey") % 19 === 0 && col("o_orderkey") > 0)
+      .select((-col("o_orderkey")).as("o_orderkey"),
+        lit("I").as("o_orderstatus"), col("o_totalprice"))
+    Snapshots.mergeVersioned(s, bdir, upd.unionByName(ins), "o_orderkey")
+    Snapshots.deleteVersioned(s, bdir,
+      col("o_orderkey") % 17 === 0 && col("o_orderkey") > 0)
+    Refs.publish(s, dir, "wap")
+    Refs.dropBranch(dir, "wap")
+    def aggAll(df: DataFrame, t: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .select(lit(t).as("snap"), col("n"), col("total"),
+          col("min_key"), col("max_key"))
+    aggAll(Snapshots.read(s, dir), "published")
+      .unionByName(aggAll(Refs.readTag(s, dir, "baseline"), "baseline"))
+  }
+
+  val qLakeWapSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN 'W' ELSE o_orderstatus END
+      |      AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 321.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM base),
+      |pub AS (
+      |  SELECT * FROM upd
+      |  WHERE NOT (o_orderkey % 17 = 0 AND o_orderkey > 0)
+      |  UNION ALL
+      |  SELECT -o_orderkey, 'I', o_totalprice
+      |  FROM base WHERE o_orderkey % 19 = 0 AND o_orderkey > 0)
+      |SELECT 'published' AS snap, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM pub
+      |UNION ALL
+      |SELECT 'baseline', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM base""".stripMargin
+
   /** A18 — time travel: after the delete (v1) and merge (v2) commits,
     * reading version 0 must reproduce the ORIGINAL base exactly —
     * deleted rows visible, updates absent, inserts absent — because
@@ -693,7 +755,8 @@ object LakehouseQueries {
     "q_lake_rowcount" -> (qLakeRowcount(_, _)),
     "q_lake_update" -> (qLakeUpdate(_, _)),
     "q_lake_source" -> (qLakeSource(_, _)),
-    "q_lake_stream_source" -> (qLakeStreamSource(_, _)))
+    "q_lake_stream_source" -> (qLakeStreamSource(_, _)),
+    "q_lake_wap" -> (qLakeWap(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> qLakeTimetravelSql,
@@ -712,5 +775,6 @@ object LakehouseQueries {
     "q_lake_rowcount" -> qLakeRowcountSql,
     "q_lake_update" -> qLakeUpdateSql,
     "q_lake_source" -> qLakeSourceSql,
-    "q_lake_stream_source" -> qLakeStreamSourceSql)
+    "q_lake_stream_source" -> qLakeStreamSourceSql,
+    "q_lake_wap" -> qLakeWapSql)
 }

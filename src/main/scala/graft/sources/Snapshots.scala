@@ -109,7 +109,7 @@ object Snapshots {
     s.fields.exists(_.metadata.contains(PhysicalKey))
 
   /** Does version `v`'s manifest exist (committed and not vacuumed)? */
-  private[sources] def hasVersion(path: String, v: Int): Boolean =
+  private[graft] def hasVersion(path: String, v: Int): Boolean =
     v >= 0 && Files.exists(manifestPath(path, v))
 
   /** Read raw parquet `files` under a recorded schema: physical column
@@ -181,7 +181,7 @@ object Snapshots {
   private val RowsHeader = "#filerows="
 
   /** Per-file row counts recorded at `v` (file → rows). */
-  private def fileRows(path: String, v: Int): Map[String, Long] =
+  private[sources] def fileRows(path: String, v: Int): Map[String, Long] =
     Files.readAllLines(manifestPath(path, v)).asScala
       .filter(_.startsWith(RowsHeader))
       .map(_.stripPrefix(RowsHeader).split(StatsSep, -1))
@@ -223,12 +223,33 @@ object Snapshots {
   /** Per-file stat lines (column ranges AND row counts) of `retained`
     * files as recorded at version `v`, carried forward verbatim into
     * the next commit. */
-  private def carriedStats(path: String, v: Int, retained: Seq[String]): Seq[String] = {
+  private[sources] def carriedStats(path: String, v: Int, retained: Seq[String]): Seq[String] = {
     val keep = retained.map(canonical).toSet
     def fileOf(l: String, h: String) = l.stripPrefix(h).split(StatsSep, -1)(0)
     Files.readAllLines(manifestPath(path, v)).asScala.toSeq.filter { l =>
       (l.startsWith(StatsHeader) && keep.contains(fileOf(l, StatsHeader))) ||
         (l.startsWith(RowsHeader) && keep.contains(fileOf(l, RowsHeader)))
+    }
+  }
+
+  /** Stat lines (column ranges + row counts) of `files` as recorded at
+    * `v`, with each embedded file path rewritten through `remap` — the
+    * publish step of a branch ([[Refs.publish]]) hard-links staged
+    * files into the main directory and must carry their stats under
+    * the NEW path without rescanning anything. */
+  private[sources] def remappedStats(path: String, v: Int, files: Seq[String],
+      remap: String => String): Seq[String] = {
+    val keep = files.map(canonical).toSet
+    def rewrite(l: String, h: String): Option[String] = {
+      val parts = l.stripPrefix(h).split(StatsSep, -1)
+      if (keep.contains(parts(0)))
+        Some(h + (canonical(remap(parts(0))) +: parts.tail.toSeq).mkString(StatsSep))
+      else None
+    }
+    Files.readAllLines(manifestPath(path, v)).asScala.toSeq.flatMap { l =>
+      if (l.startsWith(StatsHeader)) rewrite(l, StatsHeader)
+      else if (l.startsWith(RowsHeader)) rewrite(l, RowsHeader)
+      else None
     }
   }
 
@@ -574,7 +595,7 @@ object Snapshots {
     * stale base (a lost update the stress spec catches). Losing here is
     * loud; the caller restages from the new head and retries.
     */
-  private def commitNext(path: String, base: Int, files: Seq[String],
+  private[sources] def commitNext(path: String, base: Int, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       stats: Seq[String] = Seq.empty,
       dv: Seq[String] = Seq.empty,
@@ -1603,9 +1624,20 @@ object Snapshots {
     // a retained version's DVs must survive vacuum or its reads
     // resurrect dead rows, and its change data must survive or a
     // lagging feed consumer loses its next batch
+    // an already-vacuumed version contributes nothing (a SECOND vacuum
+    // iterates over the same 0..keepFrom range, where earlier sweeps —
+    // or tag-released re-sweeps — have left manifest holes; reading a
+    // dropped manifest here used to throw)
     def referenced(v: Int): Seq[String] =
-      liveFiles(path, v) ++ dvFiles(path, v) ++ cdfFilesOf(path, v)
-    val retained = (keepFrom to cur).flatMap(referenced).map(canonical).toSet
+      if (!hasVersion(path, v)) Seq.empty
+      else liveFiles(path, v) ++ dvFiles(path, v) ++ cdfFilesOf(path, v)
+    // A37: TAGGED versions (and branch bases, auto-tagged) are pinned —
+    // their manifests and referenced files survive any keepFrom, so a
+    // named release or an unpublished branch's borrowed files can never
+    // be reclaimed out from under a reader (drop the tag to release)
+    val tagged = Refs.tags(path).values.toSet.filter(v => v >= 0 && v <= cur)
+    val retained = ((keepFrom to cur) ++ tagged.filter(_ < keepFrom))
+      .flatMap(referenced).map(canonical).toSet
     // containment rule (A29): only files UNDER this table's directory
     // are this table's to reclaim — a shallow clone's manifest borrows
     // the source's files by absolute path, and the clone retiring a
@@ -1627,7 +1659,8 @@ object Snapshots {
     // else reclaims (the same crash window the orphan sweep exists for)
     listDir(logDir(path)).filter(_.getFileName.toString.endsWith(".tmp"))
       .foreach(Files.deleteIfExists(_))
-    (0 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(path, v)))
+    (0 until keepFrom).filterNot(tagged.contains)
+      .foreach(v => Files.deleteIfExists(manifestPath(path, v)))
     dropped.size + orphans.size
   }
 }

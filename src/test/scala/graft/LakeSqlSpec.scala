@@ -108,6 +108,31 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("GRAFT TAG / BRANCH / PUBLISH BRANCH: the WAP cycle via SQL") {
+    withExtSession { s =>
+      import graft.sources.Refs
+      val dir = Files.createTempDirectory("graft_sql_wap").toString + "/t"
+      import s.implicits._
+      (1L to 20L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+        .repartitionByRange(2, col("k")).write.parquet(dir)
+      Snapshots.init(s, dir) // v0
+
+      assert(s.sql(s"GRAFT TAG r1 '$dir'").head().getLong(0) == 0L)
+      s.sql(s"GRAFT BRANCH fix '$dir'")
+      // stage via GRAFT UPDATE against the BRANCH path — the whole SQL
+      // surface works on a branch because a branch IS a table
+      s.sql(s"GRAFT UPDATE '${Refs.branchPath(dir, "fix")}' " +
+        "SET gen = 5 WHERE k <= 2")
+      assert(Snapshots.read(s, dir).filter(col("gen") === 5L).isEmpty) // audit gate
+      assert(s.sql(s"GRAFT PUBLISH BRANCH fix '$dir'").head().getLong(0) == 1L)
+      s.sql(s"GRAFT DROP BRANCH fix '$dir'")
+      assert(Snapshots.read(s, dir).filter(col("gen") === 5L).count() == 2)
+      assert(Refs.readTag(s, dir, "r1").filter(col("gen") === 5L).isEmpty)
+      s.sql(s"GRAFT DROP TAG r1 '$dir'")
+      assert(Refs.tags(dir).isEmpty)
+    }
+  }
+
   test("GRAFT UPDATE: multi-assignment SET with function commas, predicate scoped") {
     withExtSession { s =>
       import s.implicits._
