@@ -8,10 +8,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** A36 — the snapshot log as a REGISTERED SPARK DATA SOURCE: the
@@ -61,7 +62,7 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -171,6 +172,57 @@ class GraftDataSource extends RelationProvider
     new GraftChangeSource(sqlContext.sparkSession, path, keyCol,
       streamSchema(sqlContext.sparkSession, path, keyCol))
   }
+
+  // ---- streaming write --------------------------------------------
+
+  /** `changes.writeStream.format("graft")`: every micro-batch lands as
+    * a keyed last-change-wins merge committing a NEW TABLE VERSION —
+    * the C25 versioned upsert behind the standard sink surface, so the
+    * full loop `readStream.format("graft")` → transform →
+    * `writeStream.format("graft")` chains lakehouse tables through
+    * engine-managed streams. Options: `keyCol` (required), `orderCol`
+    * (intra-batch tiebreak; defaults to the key), and the query's own
+    * `checkpointLocation`, which doubles as the replay-guard scope
+    * (the (appId, batchId) txn-marker pattern — a restarted query
+    * cannot commit duplicate versions). `partitionBy(col)` routes
+    * through the A26 per-partition logs. A fresh directory bootstraps
+    * from the first batch.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val path = pathOf(parameters)
+    val keyCol = parameters.getOrElse("keyCol",
+      throw new IllegalArgumentException(
+        "graft: streaming write is a keyed merge — set .option(\"keyCol\", <column>)"))
+    val orderCol = parameters.getOrElse("orderCol", keyCol)
+    require(outputMode != OutputMode.Complete(),
+      "graft: Complete output mode unsupported (the sink is a keyed merge; use append/update)")
+    require(partitionColumns.size <= 1,
+      s"graft: at most one partition column (got $partitionColumns)")
+    val scope = graft.streaming.UpsertSink.markerScope(
+      parameters.get("checkpointLocation"))
+    new GraftSink(path, keyCol, orderCol, partitionColumns.headOption, scope)
+  }
+}
+
+/** The versioned upsert sink behind `writeStream.format("graft")` —
+  * see [[GraftDataSource.createSink]]. */
+class GraftSink(path: String, keyCol: String, orderCol: String,
+    partCol: Option[String], scope: Option[String]) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the incoming frame is streaming-tagged; the merge derives new
+    // plans from it, so re-wrap as a batch frame first (the
+    // ForeachBatchSink move — see StreamingFrame.toBatch)
+    val batch = org.apache.spark.sql.graft.StreamingFrame.toBatch(data)
+    partCol match {
+      case None => graft.streaming.UpsertSink
+        .mergeVersionedBatch(path, keyCol, orderCol, scope)(batch, batchId)
+      case Some(pc) => graft.streaming.UpsertSink
+        .mergePartitionedBatch(path, keyCol, pc, orderCol, scope)(batch, batchId)
+    }
+  }
+  override def toString: String = s"GraftSink[$path]"
 }
 
 /** The manifest AS a [[FileIndex]]: Spark's parquet machinery plans

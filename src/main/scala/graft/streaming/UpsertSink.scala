@@ -79,14 +79,33 @@ object UpsertSink {
   /** One micro-batch of the versioned sink, extracted so the replay
     * guard is testable without restarting a real streaming query:
     * commits a new table version unless `scope` marks the batch as
-    * already merged by this same query lineage.
+    * already merged by this same query lineage. An UNVERSIONED target
+    * bootstraps from the first batch (v0 = the batch's last-per-key
+    * state) — the `format("graft")` streaming sink needs a cold start.
     */
   private[graft] def mergeVersionedBatch(path: String, keyCol: String,
       orderCol: String, scope: Option[String])(batch: DataFrame, batchId: Long): Unit = {
     val latest = latestPerKey(batch, keyCol, orderCol)
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
     if (!replayed && !latest.isEmpty) {
-      graft.sources.Snapshots.mergeVersioned(batch.sparkSession, path, latest, keyCol)
+      if (graft.sources.Snapshots.currentVersion(path) < 0)
+        graft.sources.Snapshots.overwriteVersioned(batch.sparkSession, path, latest)
+      else
+        graft.sources.Snapshots.mergeVersioned(batch.sparkSession, path, latest, keyCol)
+      scope.foreach(sc => recordBatch(path, sc, batchId))
+    }
+  }
+
+  /** The partitioned analog ([[startPartitioned]]'s batch body),
+    * shared with the `format("graft")` streaming sink. */
+  private[graft] def mergePartitionedBatch(path: String, keyCol: String,
+      partCol: String, orderCol: String, scope: Option[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val latest = latestPerKey(batch, keyCol, orderCol)
+    val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
+    if (!replayed && !latest.isEmpty) {
+      graft.sources.PartitionedSnapshots.mergePartitioned(
+        batch.sparkSession, path, latest, keyCol, partCol)
       scope.foreach(sc => recordBatch(path, sc, batchId))
     }
   }
@@ -163,15 +182,7 @@ object UpsertSink {
     val w = changes.writeStream.outputMode("append")
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     val scope = markerScope(checkpoint)
-    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val latest = latestPerKey(batch, keyCol, orderCol)
-        val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
-        if (!replayed && !latest.isEmpty) {
-          graft.sources.PartitionedSnapshots.mergePartitioned(
-            batch.sparkSession, path, latest, keyCol, partCol)
-          scope.foreach(sc => recordBatch(path, sc, batchId))
-        }
-      }
+    w.foreachBatch(mergePartitionedBatch(path, keyCol, partCol, orderCol, scope) _)
       .start()
   }
 }

@@ -22,4 +22,17 @@ object StreamingFrame {
     classic.sparkSession.internalCreateDataFrame(
       classic.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse, for a DSv1 [[org.apache.spark.sql.execution.streaming.Sink]]:
+    * `addBatch`'s frame is streaming-tagged, so any DERIVED plan (a
+    * window, a join in the merge) fails analysis with "must be
+    * executed with writeStream.start()". Re-wrap the micro-batch's
+    * planned RDD as a batch frame — exactly what Spark's own
+    * ForeachBatchSink does before handing the user their frame.
+    */
+  def toBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
