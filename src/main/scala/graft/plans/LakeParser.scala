@@ -207,11 +207,13 @@ case class LakeHistoryCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("live_files", LongType, nullable = false)(),
     AttributeReference("dv_files", LongType, nullable = false)(),
-    AttributeReference("change_data", StringType, nullable = false)())
+    AttributeReference("change_data", StringType, nullable = false)(),
+    AttributeReference("timestamp", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     (Snapshots.earliestVersion(path) to Snapshots.currentVersion(path)).map { v =>
       Row(v.toLong, Snapshots.liveFiles(path, v).size.toLong,
         Snapshots.dvFiles(path, v).size.toLong,
-        if (Snapshots.cdfRecorded(path, v)) "recorded" else "none")
+        if (Snapshots.cdfRecorded(path, v)) "recorded" else "none",
+        Snapshots.commitTime(path, v).getOrElse(-1L))
     }
 }

@@ -72,13 +72,30 @@ class GraftDataSource extends RelationProvider
 
   // ---- batch read -------------------------------------------------
 
+  /** `timestampAsOf` accepts epoch millis, an ISO-8601 instant, or the
+    * JDBC `yyyy-mm-dd hh:mm:ss` form. */
+  private def parseTs(t: String): Long =
+    t.toLongOption.getOrElse {
+      try java.time.Instant.parse(t).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.sql.Timestamp.valueOf(t).getTime }
+    }
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    if (parameters.contains("metadata"))
+      return metadataRelation(sqlContext, path, parameters("metadata"))
     val head = Snapshots.currentVersion(path)
     require(head >= 0, s"graft: $path is not a versioned table (no _graft_log)")
-    val v = parameters.get("versionAsOf").map(_.toInt).getOrElse(head)
+    require(!(parameters.contains("versionAsOf") &&
+        parameters.contains("timestampAsOf")),
+      "graft: versionAsOf and timestampAsOf are mutually exclusive")
+    val v = parameters.get("versionAsOf").map(_.toInt)
+      .orElse(parameters.get("timestampAsOf").map(t =>
+        Snapshots.versionAsOfTime(path, parseTs(t))))
+      .getOrElse(head)
     require(Snapshots.hasVersion(path, v),
       s"graft: no version $v at $path (vacuumed or never committed)")
     require(Snapshots.dvFiles(path, v).isEmpty,
@@ -98,6 +115,47 @@ class GraftDataSource extends RelationProvider
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = parameters)(spark)
+  }
+
+  /** A38 — metadata tables (the Iceberg `table.files` / `table.history`
+    * pattern): `.option("metadata", "history"|"files"|"tags")` reads
+    * the LOG, not the data — per-version commit facts, the head's
+    * per-file manifest stats, or the ref list — all from manifests
+    * alone, zero data files opened. Tiny driver-built relations by
+    * design: a 100 TB table's metadata is manifest-sized.
+    */
+  private def metadataRelation(sqlContext: SQLContext, path: String,
+      kind: String): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    import spark.implicits._
+    require(Snapshots.currentVersion(path) >= 0,
+      s"graft: $path is not a versioned table (no _graft_log)")
+    val df: DataFrame = kind match {
+      case "history" =>
+        (Snapshots.earliestVersion(path) to Snapshots.currentVersion(path))
+          .map { v => (v, Snapshots.commitTime(path, v).getOrElse(-1L),
+            Snapshots.liveFiles(path, v).size,
+            Snapshots.dvFiles(path, v).size,
+            Snapshots.cdfRecorded(path, v)) }
+          .toDF("version", "timestamp", "live_files", "dv_files", "change_data")
+      case "files" =>
+        val v = Snapshots.currentVersion(path)
+        val rows = Snapshots.fileRows(path, v)
+        Snapshots.liveFiles(path, v).map(Snapshots.canonical).map { f =>
+          (f, Files.size(Paths.get(f)), rows.get(f)) }
+          .toDF("file", "bytes", "rows")
+      case "tags" =>
+        Refs.tags(path).toSeq.sorted.toDF("name", "version")
+      case other => throw new IllegalArgumentException(
+        s"graft: unknown metadata table '$other' (history|files|tags)")
+    }
+    val ctx = sqlContext
+    new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = df.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        df.rdd
+    }
   }
 
   // ---- batch write ------------------------------------------------

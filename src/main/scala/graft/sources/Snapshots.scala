@@ -68,6 +68,40 @@ object Snapshots {
   // header stay readable (plain parquet inference).
   private val SchemaHeader = "#schema="
 
+  // A38 — commit timestamps: every manifest records its wall-clock
+  // commit time, enabling TIMESTAMP AS OF time travel (Delta's
+  // timestampAsOf): the version to read for time t is the LATEST
+  // commit at or before t. The recorded instant — not file mtime,
+  // which backup/restore tooling rewrites — is the contract.
+  private val TsHeader = "#ts="
+
+  /** Wall-clock commit time of version `v` (epoch millis), or None for
+    * pre-timestamp manifests (falls back to the manifest file's mtime,
+    * which is the best available evidence for legacy commits). */
+  def commitTime(path: String, v: Int): Option[Long] = {
+    if (!hasVersion(path, v)) return None
+    Files.readAllLines(manifestPath(path, v)).asScala
+      .find(_.startsWith(TsHeader)).map(_.stripPrefix(TsHeader).trim.toLong)
+      .orElse(Some(Files.getLastModifiedTime(manifestPath(path, v)).toMillis))
+  }
+
+  /** The version in force AT `tsMillis`: the latest retained commit at
+    * or before it. Refuses a time before the earliest retained commit
+    * (nothing existed — or vacuum dropped it — there). */
+  def versionAsOfTime(path: String, tsMillis: Long): Int = {
+    val vs = (earliestVersion(path) to currentVersion(path))
+      .flatMap(v => commitTime(path, v).map(v -> _))
+    val atOrBefore = vs.filter(_._2 <= tsMillis)
+    require(atOrBefore.nonEmpty,
+      s"no version of $path existed at $tsMillis (earliest retained commit: " +
+        s"${vs.headOption.map(_._2).getOrElse(-1L)})")
+    atOrBefore.maxBy(v => (v._2, v._1))._1
+  }
+
+  /** TIMESTAMP AS OF read: the table as it stood at `tsMillis`. */
+  def readAsOfTime(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, versionAsOfTime(path, tsMillis))
+
   private[graft] def liveFiles(path: String, v: Int): Seq[String] =
     Files.readAllLines(manifestPath(path, v)).asScala.toSeq
       .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -559,7 +593,8 @@ object Snapshots {
         else Seq.empty
       val cons = constraintsOverride.getOrElse(constraintsOf(path, v - 1))
         .map { case (n, e) => ConstraintHeader + n + "\t" + e }
-      val lines = schema.map(s => SchemaHeader + s.json).toSeq ++
+      val lines = Seq(TsHeader + System.currentTimeMillis()) ++
+        schema.map(s => SchemaHeader + s.json).toSeq ++
         flag ++ cons ++
         cdf.map(fs => Seq(CdfOkHeader) ++
           fs.map(f => CdfHeader + canonical(f)).sorted).getOrElse(Seq.empty) ++

@@ -132,6 +132,42 @@ class ConnectorSpec extends GraftSuite {
     }
   }
 
+  test("timestamp time travel and metadata tables over the log") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir) // v0
+    Thread.sleep(20)
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(20)
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((5L, "UP5", 1L)).toDF("k", "payload", "gen"), "k") // v1
+
+    // TIMESTAMP AS OF: a time between the commits resolves to v0
+    assert(Snapshots.versionAsOfTime(dir, betweenCommits) == 0)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", betweenCommits.toString).load(dir)
+      .filter(col("k") === 5L).select("payload").head().getString(0) == "v5")
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", System.currentTimeMillis().toString).load(dir)
+      .filter(col("k") === 5L).select("payload").head().getString(0) == "UP5")
+    // a time before the table existed refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOfTime(dir, 1L)
+    }
+
+    // metadata tables read the LOG, not the data
+    val hist = spark.read.format("graft").option("metadata", "history")
+      .load(dir).orderBy("version").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert(hist.map(_.getLong(1)).forall(_ > 0))
+    assert(hist(0).getLong(1) <= hist(1).getLong(1))
+    val files = spark.read.format("graft").option("metadata", "files").load(dir)
+    assert(files.agg(sum("rows")).head().getLong(0) == 100)
+    graft.sources.Refs.tag(dir, "m1", 0)
+    val tags = spark.read.format("graft").option("metadata", "tags").load(dir).collect()
+    assert(tags.map(r => r.getString(0) -> r.getInt(1)).toSeq == Seq("m1" -> 0))
+  }
+
   test("streaming sink: writeStream.format(\"graft\") commits a version per micro-batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
