@@ -817,6 +817,111 @@ object Dedup {
 
   val qMinhashLshSql: String = lshCtePrefix + "\n" + lshPairSelect
 
+  /** D17 — INCREMENTAL near-dup probe: dedup a NEW batch (the delta)
+    * against an EXISTING corpus without ever re-processing — let alone
+    * self-joining — the corpus. This is the shape a production
+    * pipeline actually runs daily at 100 TB: the corpus's shingle
+    * index and MinHash signatures are standing capital (here: the
+    * shared registry, built once per corpus for the whole dedup
+    * family), the delta's signatures band-probe the corpus's LSH
+    * buckets (equi-join, corpus-side bucket-size cap — the web-scale
+    * boilerplate guard), and only the surviving candidate pairs pay an
+    * exact Jaccard verification through the shingle index. Cost:
+    * O(delta × bucket occupancy) for the probe + O(candidates) to
+    * verify; the corpus contributes its index once and is never
+    * paired with itself. Delta-internal duplicates are out of scope by
+    * design — they are the NEXT increment's corpus-side problem (or a
+    * D2 pass over the delta alone, which is delta-sized).
+    *
+    * Split: delta = doc_id ≡ 0 (mod 3), corpus = the rest. Signatures
+    * for BOTH sides are filtered from the one full-corpus signature
+    * table — a doc's signature depends only on its own shingles, so
+    * filtering the registry equals building per-side tables, without a
+    * second materialization.
+    */
+  def qDedupProbe(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isDelta = col("doc_id") % 3 === 0
+    val rows = NumHashes / NumBands
+    val sigs = minhash(docs)
+    val bandCols = (0 until NumBands).map { b =>
+      val rs = (0 until rows).map(j => col(f"mh${b * rows + j}%02d").as(s"r$j"))
+      struct((lit(b).as("band") +: rs): _*)
+    }
+    val keyCols = Seq("band") ++ (0 until rows).map(j => s"r$j")
+    def buckets(side: DataFrame): DataFrame = side
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id") +: keyCols.map(c => col(s"bs.$c").as(c)): _*)
+    // corpus buckets carry the size cap (a probe into a boilerplate
+    // bucket of 10^5 corpus docs must not fan out); no minimum-2
+    // filter — a single-doc corpus bucket is still a valid probe hit
+    val corpusB = buckets(sigs.filter(!isDelta))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col("bsz") <= 1000)
+    val deltaB = buckets(sigs.filter(isDelta))
+    val joinCond = keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    val cand = deltaB.as("a").join(corpusB.as("b"), joinCond)
+      .select(col("a.doc_id").as("probe_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    // exact verification through the SHARED shingle index: candidates
+    // are tiny, so this is two candidate-sized semi-join probes into
+    // the index plus one pair-count aggregate — never corpus²
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("probe_id") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("corpus_id") === col("y.doc_id") && col("x.h") === col("y.h"))
+      .groupBy("probe_id", "corpus_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("ca"), col("probe_id") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("corpus_id") === col("cb.doc_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        round(col("inter").cast("double") /
+          (col("ca.n") + col("cb.n") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** DuckDB replay of [[qDedupProbe]]: same split, same corpus-side
+    * bucket cap, same exact verification arithmetic. */
+  val qDedupProbeSql: String = {
+    val rows = NumHashes / NumBands
+    val rCols = (0 until rows).map(j => s"r$j").mkString(", ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val sel = (0 until rows)
+        .map(j => f"mh${b * rows + j}%02d AS r$j").mkString(", ")
+      s"SELECT doc_id, $b AS band, $sel FROM mh"
+    }.mkString("\n  UNION ALL ")
+    val onEq = (Seq("band") ++ (0 until rows).map(j => s"r$j"))
+      .map(c => s"d.$c = c.$c").mkString(" AND ")
+    shinglesCte +
+      s""",
+         |mh AS (\n$minhashSelectSql),
+         |buckets AS (\n  $bandSelects),
+         |csized AS (
+         |  SELECT doc_id, band, $rCols,
+         |    count(*) OVER (PARTITION BY band, $rCols) AS bsz
+         |  FROM buckets WHERE doc_id % 3 <> 0),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS probe_id, c.doc_id AS corpus_id
+         |  FROM buckets d JOIN csized c ON $onEq
+         |  WHERE d.doc_id % 3 = 0 AND c.bsz <= 1000),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT probe_id, corpus_id, count(*) AS inter
+         |  FROM cand
+         |  JOIN sh x ON probe_id = x.doc_id
+         |  JOIN sh y ON corpus_id = y.doc_id AND x.h = y.h
+         |  GROUP BY probe_id, corpus_id)
+         |SELECT probe_id, corpus_id,
+         |  round(inter::DOUBLE / (ca.n + cb.n - inter), 4) + 0.0 AS jaccard
+         |FROM pairs
+         |JOIN sizes ca ON probe_id = ca.doc_id
+         |JOIN sizes cb ON corpus_id = cb.doc_id
+         |WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5""".stripMargin
+  }
+
   /** D11 — signature-based Jaccard ESTIMATION: for each LSH candidate
     * pair, the fraction of agreeing MinHash components is an unbiased
     * estimator of the true Jaccard (P[mh_i(A)=mh_i(B)] = J(A,B), the
@@ -1234,6 +1339,7 @@ object Dedup {
     "q_minhash" -> qMinhash,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_minhash_est" -> qMinhashEst,
+    "q_dedup_probe" -> ((s, d) => qDedupProbe(s, d)),
     "q_simhash" -> qSimhash,
     "q_embed_dup" -> ((s, d) => qEmbedDup(s, d)),
     "q_dup_spans" -> ((s, d) => qDupSpans(s, d)),
@@ -1250,6 +1356,7 @@ object Dedup {
     "q_minhash" -> qMinhashSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_est" -> qMinhashEstSql,
+    "q_dedup_probe" -> qDedupProbeSql,
     "q_simhash" -> qSimhashSql,
     "q_embed_dup" -> qEmbedDupSql,
     "q_dup_spans" -> qDupSpansSql,

@@ -30,6 +30,31 @@ class DedupSpec extends GraftSuite {
     assert((trueDups -- candidates).size <= math.max(1, trueDups.size / 10))
   }
 
+  test("incremental probe: delta-vs-corpus pairs agree with the full join, corpus never self-pairs") {
+    val probe = Dedup.qDedupProbe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    // probe pairs are strictly (delta, corpus): delta ids ≡ 0 mod 3
+    probe.keys.foreach { case (p, c) =>
+      assert(p % 3 == 0 && c % 3 != 0, s"side leak in pair ($p, $c)") }
+    // every probe hit must carry the SAME exact jaccard the full
+    // symmetric join computes for that pair (the probe only changes
+    // candidate generation, never the verification arithmetic)
+    val full = Dedup.qJaccardPairs(spark, sf, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    probe.foreach { case ((p, c), j) =>
+      val key = if (p < c) (p, c) else (c, p)
+      assert(full.get(key).contains(j), s"pair ($p,$c): probe $j vs full ${full.get(key)}")
+    }
+    // recall vs the full join's cross-side HIGH-similarity pairs (the
+    // same S-curve bound as the batch LSH test)
+    val crossHigh = Dedup.qJaccardPairs(spark, sf, tau = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 3 == 0) != (b % 3 == 0) }
+      .map { case (a, b) => if (a % 3 == 0) (a, b) else (b, a) }.toSet
+    assert(crossHigh.nonEmpty)
+    assert((crossHigh -- probe.keySet).size <= math.max(1, crossHigh.size / 10))
+  }
+
   test("simhash of near-duplicate docs differ in few bits") {
     val fp = Dedup.qSimhash(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
