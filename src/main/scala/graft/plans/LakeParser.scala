@@ -45,7 +45,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    if (!looksGraft(sqlText)) delegate.parsePlan(sqlText)
+    if (!looksGraft(sqlText))
+      ResolveGraftPath.rewrite(delegate.parsePlan(sqlText))
     else sqlText match {
       case Zorder(p, c1, c2, n) => LakeMaintenanceCommand("version",
         s => Snapshots.compactZOrder(s, p, c1, c2, n.toInt).toLong)
@@ -183,6 +184,31 @@ object GraftSqlParser {
     }
     out += cur.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+}
+
+/** A36 — SQL-text access to versioned tables by format-qualified path:
+  * `SELECT … FROM graft.`/path/to/table`` (the `delta.`path``
+  * ergonomics). Spark's own ResolveSQLOnFile admits only FILE formats
+  * and THROWS for any other registered source before an injected
+  * resolution rule could act (extended rules append to the same
+  * fixed-point batch, and the exception aborts the pass) — so the
+  * rewrite runs at PARSE time instead, inside the already-injected
+  * [[GraftSqlParser]], where the plan is still ours to shape. Guarded
+  * on the path actually being a versioned table, so a genuine catalog
+  * table named `graft` is never hijacked.
+  */
+object ResolveGraftPath {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  def rewrite(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          graft.sources.Snapshots.currentVersion(u.multipartIdentifier(1)) >= 0 =>
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        new graft.sources.GraftDataSource().createRelation(
+          SparkSession.active.sqlContext, Map("path" -> u.multipartIdentifier(1))),
+        isStreaming = false)
   }
 }
 

@@ -108,6 +108,29 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("SQL reads the table by format-qualified path: FROM graft.`dir`") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_sql_path").toString + "/t"
+      (1L to 100L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+        .repartitionByRange(4, col("k")).write.parquet(dir)
+      Snapshots.init(s, dir)
+      Snapshots.mergeVersioned(s, dir,
+        Seq((5L, "UP5", 1L)).toDF("k", "payload", "gen"), "k")
+      // the injected resolution rule (Spark's ResolveSQLOnFile admits
+      // only file formats): head version, stats pruning and all,
+      // straight from SQL text — the delta.`path` ergonomics
+      assert(s.sql(s"SELECT payload FROM graft.`$dir` WHERE k = 5")
+        .head().getString(0) == "UP5")
+      assert(s.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+        .head().getLong(0) == 100L)
+      // a non-table path is untouched by the rule and fails resolution
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT * FROM graft.`/tmp/definitely_not_a_table`").collect()
+      }
+    }
+  }
+
   test("GRAFT TAG / BRANCH / PUBLISH BRANCH: the WAP cycle via SQL") {
     withExtSession { s =>
       import graft.sources.Refs
