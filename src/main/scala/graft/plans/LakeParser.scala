@@ -26,6 +26,7 @@ import graft.sources.Snapshots
   *   GRAFT RESTORE '<path>' TO VERSION <version>
   *   GRAFT OPTIMIZE '<path>'
   *   GRAFT OPTIMIZE '<path>' ZORDER BY (<c1>, <c2>) INTO <n> FILES
+  *   GRAFT OPTIMIZE '<path>' ZORDER INCREMENTAL      -- A39 tail-only
   *   GRAFT RECONCILE '<path>'                      -- fold DVs (A30)
   *   GRAFT CLONE '<src>' TO '<dst>'                -- shallow (A29)
   *   GRAFT ENABLE CHANGE DATA FEED '<path>'        -- A31 property
@@ -48,6 +49,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (!looksGraft(sqlText))
       ResolveGraftPath.rewrite(delegate.parsePlan(sqlText))
     else sqlText match {
+      case ZorderInc(p) => LakeMaintenanceCommand("version",
+        s => Snapshots.compactZOrderIncremental(s, p).toLong)
       case Zorder(p, c1, c2, n) => LakeMaintenanceCommand("version",
         s => Snapshots.compactZOrder(s, p, c1, c2, n.toInt).toLong)
       case Optimize(p) => LakeMaintenanceCommand("version",
@@ -139,6 +142,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s*;?\s*""".r
   private val Zorder =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s+INTO\s+(\d+)\s+FILES\s*;?\s*""".r
+  private val ZorderInc =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+INCREMENTAL\s*;?\s*""".r
   private val Reconcile =
     """(?is)\s*GRAFT\s+RECONCILE\s+'([^']+)'\s*;?\s*""".r
   private val CloneTo =

@@ -34,7 +34,7 @@ object Snapshots {
     * both old and new rows — so every comparison and every stored
     * manifest line goes through this.
     */
-  private[sources] def canonical(f: String): String = {
+  private[graft] def canonical(f: String): String = {
     val p =
       if (f.startsWith("file:")) Paths.get(java.net.URI.create(f))
       else Paths.get(f)
@@ -460,6 +460,36 @@ object Snapshots {
       constraintsOverride = Some(cons.filterNot(_._1 == name)))
   }
 
+  // A39 — CLUSTERING STATE in the manifest: a full OPTIMIZE ZORDER
+  // records the clustering columns (`#cluster=`) and marks its output
+  // files clustered (`#clusterfile=`); every later commit carries the
+  // columns and the still-live intersection of the clustered set
+  // forward. The INCREMENTAL optimize then knows exactly which live
+  // files are the unclustered tail — merges' copy-on-write outputs,
+  // streaming micro-batch commits — and re-clusters ONLY those. At
+  // 100 TB a wholesale nightly re-cluster is impossible; clustering
+  // the tail while earlier generations stay internally z-clustered is
+  // how production formats keep layout maintenance proportional to
+  // ingest (per-file pruning works per generation, and a periodic
+  // full ZORDER resets the generation count).
+  private val ClusterHeader = "#cluster="
+  private val ClusterFileHeader = "#clusterfile="
+
+  /** Clustering columns in force at `v` (from the last full ZORDER). */
+  private[graft] def clusterOf(path: String, v: Int): Option[(String, String)] =
+    if (!hasVersion(path, v)) None
+    else Files.readAllLines(manifestPath(path, v)).asScala
+      .find(_.startsWith(ClusterHeader))
+      .map(_.stripPrefix(ClusterHeader).split("\t", 2))
+      .collect { case Array(a, b) => (a, b) }
+
+  /** Live files known CLUSTERED at `v` (canonical). */
+  private[graft] def clusterFilesOf(path: String, v: Int): Set[String] =
+    if (!hasVersion(path, v)) Set.empty
+    else Files.readAllLines(manifestPath(path, v)).asScala
+      .filter(_.startsWith(ClusterFileHeader))
+      .map(_.stripPrefix(ClusterFileHeader)).toSet
+
   /** Did version `v`'s commit record its change set? */
   private[graft] def cdfRecorded(path: String, v: Int): Boolean =
     Files.readAllLines(manifestPath(path, v)).asScala
@@ -579,7 +609,8 @@ object Snapshots {
       dv: Seq[String] = Seq.empty,
       cdf: Option[Seq[String]] = None,
       cdfFlag: Boolean = false,
-      constraintsOverride: Option[Seq[(String, String)]] = None): Boolean = {
+      constraintsOverride: Option[Seq[(String, String)]] = None,
+      clusterOverride: Option[((String, String), Seq[String])] = None): Boolean = {
     Files.createDirectories(logDir(path))
     val target = manifestPath(path, v)
     if (Files.exists(target)) return false
@@ -593,9 +624,24 @@ object Snapshots {
         else Seq.empty
       val cons = constraintsOverride.getOrElse(constraintsOf(path, v - 1))
         .map { case (n, e) => ConstraintHeader + n + "\t" + e }
+      // A39: clustering state — a ZORDER commit overrides; everyone
+      // else carries the columns plus the still-live clustered subset
+      val clusterLines = clusterOverride match {
+        case Some(((a, b), fs)) =>
+          Seq(ClusterHeader + a + "\t" + b) ++
+            fs.map(f => ClusterFileHeader + canonical(f)).sorted
+        case None => clusterOf(path, v - 1) match {
+          case Some((a, b)) =>
+            val liveSet = files.map(canonical).toSet
+            Seq(ClusterHeader + a + "\t" + b) ++
+              clusterFilesOf(path, v - 1).intersect(liveSet).toSeq.sorted
+                .map(ClusterFileHeader + _)
+          case None => Seq.empty
+        }
+      }
       val lines = Seq(TsHeader + System.currentTimeMillis()) ++
         schema.map(s => SchemaHeader + s.json).toSeq ++
-        flag ++ cons ++
+        flag ++ cons ++ clusterLines ++
         cdf.map(fs => Seq(CdfOkHeader) ++
           fs.map(f => CdfHeader + canonical(f)).sorted).getOrElse(Seq.empty) ++
         dv.map(f => DvHeader + canonical(f)).sorted ++
@@ -615,7 +661,7 @@ object Snapshots {
       constraintsOverride: Option[Seq[(String, String)]] = None): Int = {
     val v = currentVersion(path) + 1
     if (!commitAt(path, v, files, schema, stats, dv, cdf, cdfFlag,
-        constraintsOverride))
+        constraintsOverride, None))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, v).toString)
     v
@@ -636,9 +682,10 @@ object Snapshots {
       dv: Seq[String] = Seq.empty,
       cdf: Option[Seq[String]] = None,
       cdfFlag: Boolean = false,
-      constraintsOverride: Option[Seq[(String, String)]] = None): Int = {
+      constraintsOverride: Option[Seq[(String, String)]] = None,
+      clusterOverride: Option[((String, String), Seq[String])] = None): Int = {
     if (!commitAt(path, base + 1, files, schema, stats, dv, cdf, cdfFlag,
-        constraintsOverride))
+        constraintsOverride, clusterOverride))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, base + 1).toString +
           " (concurrent commit won this version; re-read and retry)")
@@ -1445,7 +1492,53 @@ object Snapshots {
         dst.resolve(name).toString
       }
     commitNext(path, v, staged, tableSchema(path, v),
-      statsLines(spark, staged), cdf = Some(Seq.empty))
+      statsLines(spark, staged), cdf = Some(Seq.empty),
+      clusterOverride = Some(((c1, c2), staged)))
+  }
+
+  /** A39 — INCREMENTAL OPTIMIZE ZORDER: re-cluster ONLY the live files
+    * not already part of the clustered set the last (full or
+    * incremental) ZORDER left behind — the copy-on-write outputs of
+    * merges, streaming micro-batch commits, appends. Bytes rewritten
+    * track INGEST since the last optimize, never table size; the
+    * untouched clustered generations keep their narrow per-file ranges
+    * (pruning works per file, so pruning power degrades only with the
+    * number of generations, which a periodic full [[compactZOrder]]
+    * resets). Clustering columns come from the carried manifest marker
+    * — refuses if no full ZORDER ever ran. Rewriting the tail through
+    * [[readLive]] also folds any DV positions on tail files. Returns
+    * the new version (the current one if the tail is empty).
+    */
+  def compactZOrderIncremental(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val (c1, c2) = clusterOf(path, v).getOrElse(throw new IllegalArgumentException(
+      s"$path has no clustering columns recorded — run compactZOrder once first"))
+    val live = liveFiles(path, v)
+    val clustered = clusterFilesOf(path, v)
+    val tail = live.filterNot(f => clustered.contains(canonical(f)))
+    if (tail.isEmpty) return v
+    val tailBytes = tail.map(f => Files.size(Paths.get(canonical(f)))).sum
+    val bins = math.max(1L, (tailBytes + targetBytes - 1) / targetBytes).toInt
+    val reclustered = Sources.zClustered(
+      readLive(spark, path, v, tail), c1, c2, bins)
+    val stage = Files.createTempDirectory("graft_zorder_inc").toString
+    tableSchema(path, v).fold(reclustered)(stagedAsPhysical(reclustered, _))
+      .write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    val staged = listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_zinc_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    val retained = live.filter(f => clustered.contains(canonical(f)))
+    commitNext(path, v, retained ++ staged, tableSchema(path, v),
+      carriedStats(path, v, retained) ++ statsLines(spark, staged),
+      dvFiles(path, v), cdf = Some(Seq.empty),
+      clusterOverride = Some(((c1, c2), retained ++ staged)))
   }
 
   /** A15 over the LIVE set: range read through a per-file min/max index

@@ -131,6 +131,25 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("GRAFT OPTIMIZE ZORDER INCREMENTAL: tail-only re-cluster via SQL") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_sql_zinc").toString + "/t"
+      (1L to 1000L).map(k => (k, (k * 7919) % 1000, k % 7)).toDF("k", "x", "p")
+        .repartition(4).write.parquet(dir)
+      Snapshots.init(s, dir) // v0
+      s.sql(s"GRAFT OPTIMIZE '$dir' ZORDER BY (k, x) INTO 4 FILES") // v1
+      Snapshots.mergeVersioned(s, dir,
+        (1001L to 1100L).map(k => (k, (k * 7919) % 1000, k % 7))
+          .toDF("k", "x", "p"), "k") // v2: unclustered tail
+      val v = s.sql(s"GRAFT OPTIMIZE '$dir' ZORDER INCREMENTAL")
+        .head().getLong(0)
+      assert(v == 3L)
+      assert(Snapshots.read(s, dir).count() == 1100L)
+      assert(Snapshots.changesBetween(s, dir, 2, 3, "k").isEmpty)
+    }
+  }
+
   test("GRAFT TAG / BRANCH / PUBLISH BRANCH: the WAP cycle via SQL") {
     withExtSession { s =>
       import graft.sources.Refs

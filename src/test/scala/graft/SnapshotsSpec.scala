@@ -448,6 +448,51 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.read(spark, dir).count() == 40000L)
   }
 
+  test("incremental ZORDER: re-clusters only the unclustered tail, clustered files untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zinc_spec").toString + "/t"
+    spark.range(40000)
+      .selectExpr("id AS k", "(id * 7919) % 40000 AS x", "id % 97 AS payload")
+      .repartition(8).write.parquet(dir)
+    Snapshots.init(spark, dir) // v0
+    Snapshots.compactZOrder(spark, dir, "k", "x", numFiles = 16) // v1: full
+
+    // with no tail, incremental is a clean no-op (no new version)
+    assert(Snapshots.compactZOrderIncremental(spark, dir) == 1)
+
+    // ingest: a merge whose copy-on-write outputs are the new tail
+    val batch = spark.range(40000, 42000)
+      .selectExpr("id AS k", "(id * 7919) % 40000 AS x", "id % 97 AS payload")
+    Snapshots.mergeVersioned(spark, dir, batch.toDF(), "k") // v2
+    val clusteredAtV2 = Snapshots.clusterFilesOf(dir, 2)
+    val liveV2 = Snapshots.liveFiles(dir, 2).map(f => Snapshots.canonical(f): String).toSet
+    assert(clusteredAtV2.nonEmpty && clusteredAtV2.subsetOf(liveV2))
+    val tailSize = (liveV2 -- clusteredAtV2).size
+    assert(tailSize > 0)
+
+    val v3 = Snapshots.compactZOrderIncremental(spark, dir)
+    assert(v3 == 3)
+    // every clustered file of v2 survives UNTOUCHED into v3 (bytes
+    // rewritten track the tail, not the table)
+    val liveV3 = Snapshots.liveFiles(dir, 3).map(f => Snapshots.canonical(f): String).toSet
+    assert(clusteredAtV2.subsetOf(liveV3))
+    // the whole v3 live set is now the clustered set
+    assert(Snapshots.clusterFilesOf(dir, 3) == liveV3)
+    // layout-only: feed empty, row multiset intact
+    assert(Snapshots.changesBetween(spark, dir, 2, 3, "k").isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 42000L)
+    // pruning still answers exactly after the incremental pass
+    val pruned = Snapshots.readPrunedRange(spark, dir, "k", 0L, 799L)
+    assert(pruned.count() == 800L)
+
+    // without a prior full ZORDER the incremental form refuses
+    val fresh = freshTable()
+    Snapshots.init(spark, fresh)
+    intercept[IllegalArgumentException] {
+      Snapshots.compactZOrderIncremental(spark, fresh)
+    }
+  }
+
   test("column mapping: rename/drop are metadata-only and every version keeps its own schema") {
     import spark.implicits._
     val dir = freshTable() // (k, payload, gen) × 100 over 4 files
