@@ -228,7 +228,8 @@ class GraftDataSource extends RelationProvider
     val path = pathOf(parameters)
     val keyCol = parameters("keyCol")
     new GraftChangeSource(sqlContext.sparkSession, path, keyCol,
-      streamSchema(sqlContext.sparkSession, path, keyCol))
+      streamSchema(sqlContext.sparkSession, path, keyCol),
+      parameters.get("startingVersion").map(_.toInt))
   }
 
   // ---- streaming write --------------------------------------------
@@ -412,8 +413,20 @@ object GraftFileIndex {
   * for every step. Vacuum retention must outlive the slowest
   * consumer's checkpoint, exactly as with [[graft.streaming.ChangeFeed]].
   */
+/** `startingVersion`: deliver changes from AFTER that version instead
+  * of opening with the full-snapshot batch — the consumer that
+  * already holds a copy as of v (a clone, a mirrored table) resumes
+  * the feed without replaying the table (Delta CDF's
+  * startingVersion). Must still be retained by vacuum.
+  */
 class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    startingVersion: Option[Int] = None) extends Source {
+
+  startingVersion.foreach { sv =>
+    require(Snapshots.hasVersion(path, sv),
+      s"graft: startingVersion $sv not retained at $path (vacuumed or never committed)")
+  }
 
   private def ordered(df: DataFrame): DataFrame =
     df.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
@@ -433,13 +446,19 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
       Snapshots.changesWithPayload(spark, path, v - 1, v, keyCol)
         .withColumn("_commit_version", lit(v)))
     val frames: Seq[DataFrame] = startV match {
-      case None =>
-        // initial batch: full snapshot at the earliest retained
-        // version as inserts, then one feed step per later version
-        val snap = ordered(Snapshots.read(spark, path, earliest)
-          .withColumn("change_type", lit("insert"))
-          .withColumn("_commit_version", lit(earliest)))
-        snap +: ((earliest + 1) to endV).map(changesAt)
+      case None => startingVersion match {
+        case Some(sv) =>
+          // resume-from-version: no snapshot — one feed step per
+          // commit after sv (the consumer already holds sv's state)
+          ((sv + 1) to endV).map(changesAt)
+        case None =>
+          // initial batch: full snapshot at the earliest retained
+          // version as inserts, then one feed step per later version
+          val snap = ordered(Snapshots.read(spark, path, earliest)
+            .withColumn("change_type", lit("insert"))
+            .withColumn("_commit_version", lit(earliest)))
+          snap +: ((earliest + 1) to endV).map(changesAt)
+      }
       case Some(s) => ((s + 1) to endV).map(changesAt)
     }
     val batch = frames.reduceOption(_.unionByName(_)).getOrElse(

@@ -277,5 +277,25 @@ class ConnectorSpec extends GraftSuite {
       q2.processAllAvailable()
       assert(got2.toSeq == Seq((200L, "insert", 3)))
     } finally q2.stop()
+
+    // startingVersion: a fresh consumer that already holds v1's state
+    // gets NO snapshot — exactly the v2 and v3 changes
+    val got3 = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]
+    val q3 = spark.readStream.format("graft")
+      .option("keyCol", "k").option("startingVersion", 1).load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got3.synchronized {
+          got3 ++= b.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(4)))
+        }; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_conn_sv_ckpt").toString)
+      .start()
+    try {
+      q3.processAllAvailable()
+      assert(got3.sorted.toSeq ==
+        Seq((9L, "delete", 2), (200L, "insert", 3)))
+    } finally q3.stop()
   }
 }
