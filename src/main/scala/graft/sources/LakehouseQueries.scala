@@ -723,6 +723,59 @@ object LakehouseQueries {
       |  min(o_orderkey), max(o_orderkey)
       |FROM base""".stripMargin
 
+  /** A39 — incremental ZORDER end-to-end: full re-cluster on
+    * (o_orderkey, o_totalprice), then a merge wave (keys ≡ 0 mod 23
+    * re-priced) whose copy-on-write outputs form the unclustered tail,
+    * then `compactZOrderIncremental` — which must rewrite ONLY the
+    * tail (spec pins the clustered files surviving byte-untouched).
+    * The result reads the head three ways (full, key-range pruned,
+    * price-range pruned) after the incremental pass; the oracle
+    * reproduces all three from the raw table, so any row lost,
+    * duplicated, or re-valued by the tail-only re-cluster breaks a
+    * hash.
+    */
+  def qLakeZorderInc(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dir = stage(b, 8)
+    Snapshots.init(s, dir) // v0
+    Snapshots.compactZOrder(s, dir, "o_orderkey", "o_totalprice", 16) // v1
+    val upd = b.filter(col("o_orderkey") % 23 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") + 1234.0).as("o_totalprice"))
+    Snapshots.mergeVersioned(s, dir, upd, "o_orderkey") // v2: tail
+    Snapshots.compactZOrderIncremental(s, dir) // v3: tail-only
+    def aggAll(df: DataFrame, t: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .select(lit(t).as("snap"), col("n"), col("total"),
+          col("min_key"), col("max_key"))
+    aggAll(Snapshots.read(s, dir), "head")
+      .unionByName(aggAll(
+        Snapshots.readPrunedRange(s, dir, "o_orderkey", 1L, 1000L), "z_key"))
+      .unionByName(aggAll(
+        Snapshots.readPrunedRange(s, dir, "o_totalprice", 100000L, 150000L),
+        "z_price"))
+  }
+
+  val qLakeZorderIncSql: String =
+    """WITH merged AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 23 = 0 THEN o_totalprice + 1234.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT 'head' AS snap, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM merged
+      |UNION ALL
+      |SELECT 'z_key', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM merged WHERE o_orderkey BETWEEN 1 AND 1000
+      |UNION ALL
+      |SELECT 'z_price', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM merged WHERE o_totalprice BETWEEN 100000 AND 150000""".stripMargin
+
   /** A18 — time travel: after the delete (v1) and merge (v2) commits,
     * reading version 0 must reproduce the ORIGINAL base exactly —
     * deleted rows visible, updates absent, inserts absent — because
@@ -756,7 +809,8 @@ object LakehouseQueries {
     "q_lake_update" -> (qLakeUpdate(_, _)),
     "q_lake_source" -> (qLakeSource(_, _)),
     "q_lake_stream_source" -> (qLakeStreamSource(_, _)),
-    "q_lake_wap" -> (qLakeWap(_, _)))
+    "q_lake_wap" -> (qLakeWap(_, _)),
+    "q_lake_zorder_inc" -> (qLakeZorderInc(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> qLakeTimetravelSql,
@@ -776,5 +830,6 @@ object LakehouseQueries {
     "q_lake_update" -> qLakeUpdateSql,
     "q_lake_source" -> qLakeSourceSql,
     "q_lake_stream_source" -> qLakeStreamSourceSql,
-    "q_lake_wap" -> qLakeWapSql)
+    "q_lake_wap" -> qLakeWapSql,
+    "q_lake_zorder_inc" -> qLakeZorderIncSql)
 }
