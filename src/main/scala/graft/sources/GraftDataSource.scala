@@ -88,6 +88,9 @@ class GraftDataSource extends RelationProvider
     if (parameters.contains("metadata"))
       return metadataRelation(sqlContext, path, parameters("metadata"))
     val head = Snapshots.currentVersion(path)
+    if (head < 0 && PartitionedSnapshots.partitions(path).nonEmpty)
+      return partitionedRelation(sqlContext, path,
+        parameters.getOrElse("partitionCol", "part"), parameters)
     require(head >= 0, s"graft: $path is not a versioned table (no _graft_log)")
     require(!(parameters.contains("versionAsOf") &&
         parameters.contains("timestampAsOf")),
@@ -156,6 +159,50 @@ class GraftDataSource extends RelationProvider
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
         df.rdd
     }
+  }
+
+  /** A26+A36 — a HIVE-PARTITIONED versioned table through the same
+    * relation: `partitionSchema` carries the (string) partition column,
+    * so Spark itself splits query filters into partition vs data
+    * filters, and the [[GraftPartitionedFileIndex]] prunes whole
+    * PARTITIONS (their logs never opened beyond the current-version
+    * lookup) before the A27 per-file stats prune within the survivors.
+    * The logical column name comes from `option("partitionCol", …)`
+    * (the directory prefix is the fixed hive `part=`). Per-partition
+    * time travel stays on the library API — a version OPTION is
+    * ill-posed when every partition has its own log.
+    */
+  private def partitionedRelation(sqlContext: SQLContext, path: String,
+      partCol: String, parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    require(!parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"),
+      "graft: partitioned tables time-travel PER PARTITION — use " +
+        "PartitionedSnapshots.readPartition(…, version)")
+    val vals = PartitionedSnapshots.partitions(path)
+    val dirs = vals.map(v => v -> PartitionedSnapshots.partitionDir(path, v))
+    dirs.foreach { case (value, d) =>
+      val pv = Snapshots.currentVersion(d)
+      require(pv >= 0, s"graft: partition $value of $path has no log")
+      require(Snapshots.dvFiles(d, pv).isEmpty,
+        s"graft: partition $value carries deletion vectors; reconcile first")
+    }
+    val (v0, d0) = dirs.head
+    val dataSchema = Snapshots.tableSchema(d0, Snapshots.currentVersion(d0))
+      .getOrElse(spark.read.parquet(
+        Snapshots.liveFiles(d0, Snapshots.currentVersion(d0)): _*).schema)
+    require(!Snapshots.hasMapping(dataSchema),
+      s"graft: partition $v0 uses column mapping; read via PartitionedSnapshots")
+    require(!dataSchema.fieldNames.contains(partCol),
+      s"graft: partition column '$partCol' collides with a data column")
+    HadoopFsRelation(
+      location = new GraftPartitionedFileIndex(spark, path, partCol, dirs),
+      partitionSchema = new StructType().add(partCol,
+        org.apache.spark.sql.types.StringType),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = parameters)(spark)
   }
 
   // ---- batch write ------------------------------------------------
@@ -399,6 +446,65 @@ object GraftFileIndex {
       case (Some((mn, mx)), Some(b)) => p(mn, mx, b)
       case _ => true // no stats / non-numeric: cannot prune
     }
+}
+
+/** [[GraftFileIndex]] for the A26 partitioned layout: one
+  * PartitionDirectory per partition VALUE, so Spark's
+  * FileSourceStrategy routes partition-column predicates here as
+  * `partitionFilters` — evaluated on the driver against the values
+  * alone (whole partitions prune before any of their files are even
+  * listed into the scan), while `dataFilters` prune per file from each
+  * surviving partition's own manifest stats.
+  */
+class GraftPartitionedFileIndex(spark: SparkSession, path: String,
+    partCol: String, dirs: Seq[(String, String)]) extends FileIndex {
+
+  import org.apache.spark.sql.catalyst.expressions.{Predicate => CatalystPredicate}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // (value, partition dir, its current version's live files + stats)
+  private val parts: Seq[(String, Seq[String], Map[String, Map[String, (String, String, String)]])] =
+    dirs.map { case (value, d) =>
+      val v = Snapshots.currentVersion(d)
+      (value, Snapshots.liveFiles(d, v).map(Snapshots.canonical),
+        Snapshots.fileStats(d, v))
+    }
+
+  private lazy val statusesOf: Map[String, Seq[org.apache.hadoop.fs.FileStatus]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    parts.map { case (value, files, _) =>
+      value -> files.map { f =>
+        val p = new Path(f)
+        p.getFileSystem(conf).getFileStatus(p)
+      }
+    }.toMap
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(path))
+  override def partitionSchema: StructType =
+    new StructType().add(partCol, org.apache.spark.sql.types.StringType)
+  override def refresh(): Unit = ()
+  override def inputFiles: Array[String] = parts.flatMap(_._2).toArray
+  override lazy val sizeInBytes: Long =
+    parts.flatMap(_._2).map(f => Files.size(Paths.get(f))).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // bind each partition filter against its own (single-attribute)
+    // reference list; the value row supplies that attribute
+    val preds = partitionFilters.map(f =>
+      CatalystPredicate.create(f, f.references.toSeq))
+    parts.collect { case (value, _, stats)
+        if preds.forall(_.eval(InternalRow(UTF8String.fromString(value)))) =>
+      val kept = statusesOf(value).filter { st =>
+        val fileStat = stats.getOrElse(
+          Snapshots.canonical(st.getPath.toString), Map.empty)
+        dataFilters.forall(f => GraftFileIndex.survives(fileStat, f))
+      }
+      PartitionDirectory(InternalRow(UTF8String.fromString(value)),
+        kept.toArray)
+    }
+  }
 }
 
 /** The change feed as a Structured Streaming [[Source]]. Offsets are

@@ -776,6 +776,32 @@ object LakehouseQueries {
       |  min(o_orderkey), max(o_orderkey)
       |FROM merged WHERE o_totalprice BETWEEN 100000 AND 150000""".stripMargin
 
+  /** A26+A36 — the PARTITIONED table through the registered connector:
+    * orders routed into per-status partition logs, then one
+    * `format("graft")` read with a partition predicate — Spark routes
+    * it into the file index as a partitionFilter, so the pruned
+    * partitions' files never reach the scan (ConnectorSpec pins the
+    * numFiles factor) — aggregated per status. The oracle reproduces
+    * the state from the raw table.
+    */
+  def qLakePartSource(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dir = tempDir("graft_lake_psrc") + "/t"
+    PartitionedSnapshots.init(s, dir, b, "o_orderstatus")
+    s.read.format("graft").option("partitionCol", "o_orderstatus").load(dir)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
+  val qLakePartSourceSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders WHERE o_orderstatus IN ('F', 'O')
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** A18 — time travel: after the delete (v1) and merge (v2) commits,
     * reading version 0 must reproduce the ORIGINAL base exactly —
     * deleted rows visible, updates absent, inserts absent — because
@@ -810,7 +836,8 @@ object LakehouseQueries {
     "q_lake_source" -> (qLakeSource(_, _)),
     "q_lake_stream_source" -> (qLakeStreamSource(_, _)),
     "q_lake_wap" -> (qLakeWap(_, _)),
-    "q_lake_zorder_inc" -> (qLakeZorderInc(_, _)))
+    "q_lake_zorder_inc" -> (qLakeZorderInc(_, _)),
+    "q_lake_part_source" -> (qLakePartSource(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> qLakeTimetravelSql,
@@ -831,5 +858,6 @@ object LakehouseQueries {
     "q_lake_source" -> qLakeSourceSql,
     "q_lake_stream_source" -> qLakeStreamSourceSql,
     "q_lake_wap" -> qLakeWapSql,
-    "q_lake_zorder_inc" -> qLakeZorderIncSql)
+    "q_lake_zorder_inc" -> qLakeZorderIncSql,
+    "q_lake_part_source" -> qLakePartSourceSql)
 }

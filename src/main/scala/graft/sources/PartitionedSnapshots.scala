@@ -42,6 +42,10 @@ object PartitionedSnapshots {
   private def partDir(path: String, value: String) =
     Paths.get(path, s"part=${enc(value)}")
 
+  /** A partition's table directory (for the connector's file index). */
+  private[sources] def partitionDir(path: String, value: String): String =
+    partDir(path, value).toString
+
   /** Committed partition values, decoded from the directory names —
     * a directory listing of the table root, never of data files. */
   def partitions(path: String): Seq[String] = {

@@ -132,6 +132,46 @@ class ConnectorSpec extends GraftSuite {
     }
   }
 
+  test("partitioned table through the connector: partition pruning, then per-file stats") {
+    import spark.implicits._
+    import graft.sources.PartitionedSnapshots
+    val dir = Files.createTempDirectory("graft_conn_part").toString + "/t"
+    val df = (1L to 1000L).map(k => (k, if (k % 2 == 0) "E" else "O", k % 7))
+      .toDF("k", "st", "gen").repartitionByRange(4, col("k"))
+    PartitionedSnapshots.init(spark, dir, df, "st")
+
+    def scannedFiles(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      d.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+    }
+    val rel = spark.read.format("graft").option("partitionCol", "st").load(dir)
+    assert(rel.count() == 1000)
+    assert(rel.columns.contains("st"))
+    assert(rel.filter(col("st") === "E").count() == 500)
+    val allFiles = scannedFiles(spark.read.format("graft")
+      .option("partitionCol", "st").load(dir))
+
+    // a partition predicate prunes the OTHER partition's files wholesale
+    val oneSide = scannedFiles(spark.read.format("graft")
+      .option("partitionCol", "st").load(dir).filter(col("st") === "E"))
+    assert(oneSide * 2 == allFiles, s"partition pruning: $oneSide of $allFiles")
+
+    // within the surviving partition, per-file manifest stats prune on k
+    val narrow = scannedFiles(spark.read.format("graft")
+      .option("partitionCol", "st").load(dir)
+      .filter(col("st") === "E" && col("k") <= 200L))
+    assert(narrow < oneSide, s"stats pruning: $narrow vs $oneSide")
+    assert(spark.read.format("graft").option("partitionCol", "st").load(dir)
+      .filter(col("st") === "E" && col("k") <= 200L).count() == 100)
+
+    // merges on a partition are visible through the connector read
+    PartitionedSnapshots.mergePartitioned(spark, dir,
+      Seq((2L, "E", 99L)).toDF("k", "st", "gen"), "k", "st")
+    assert(spark.read.format("graft").option("partitionCol", "st").load(dir)
+      .filter(col("k") === 2L).select("gen").head().getLong(0) == 99L)
+  }
+
   test("timestamp time travel and metadata tables over the log") {
     import spark.implicits._
     val dir = freshTable()
