@@ -23,6 +23,8 @@ import graft.sources.Snapshots
   * Grammar (paths single-quoted; case-insensitive):
   * {{{
   *   GRAFT VACUUM '<path>' KEEP <version>
+  *   GRAFT VACUUM '<path>' KEEP <version> DRY RUN      -- A40 plan only
+  *   GRAFT VACUUM '<path>' BEFORE <epochMillis>        -- A40 retention
   *   GRAFT RESTORE '<path>' TO VERSION <version>
   *   GRAFT OPTIMIZE '<path>'
   *   GRAFT OPTIMIZE '<path>' ZORDER BY (<c1>, <c2>) INTO <n> FILES
@@ -55,6 +57,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s => Snapshots.compactZOrder(s, p, c1, c2, n.toInt).toLong)
       case Optimize(p) => LakeMaintenanceCommand("version",
         s => Snapshots.compact(s, p).toLong)
+      case VacuumDry(p, keep) => LakeVacuumDryRunCommand(p, keep.toInt)
+      case VacuumBefore(p, ts) => LakeMaintenanceCommand("reclaimed",
+        _ => Snapshots.vacuumBefore(p, ts.toLong).toLong)
       case Vacuum(p, keep) => LakeMaintenanceCommand("reclaimed",
         _ => Snapshots.vacuum(p, keep.toInt).toLong)
       case Restore(p, v) => LakeMaintenanceCommand("version",
@@ -136,6 +141,10 @@ object GraftSqlParser {
   // whole-string regexes (Scala's Regex.unapplySeq anchors both ends)
   private val Vacuum =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*""".r
+  private val VacuumDry =
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s+DRY\s+RUN\s*;?\s*""".r
+  private val VacuumBefore =
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+BEFORE\s+(\d+)\s*;?\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val Optimize =
@@ -227,6 +236,16 @@ case class LakeMaintenanceCommand(resultName: String,
   override val output: Seq[Attribute] =
     Seq(AttributeReference(resultName, LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = Seq(Row(fn(spark)))
+}
+
+/** `GRAFT VACUUM … DRY RUN`: one row per file the real vacuum would
+  * reclaim — nothing is touched. */
+case class LakeVacuumDryRunCommand(path: String, keepFrom: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("file", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Snapshots.vacuumDryRun(path, keepFrom).map(Row(_))
 }
 
 /** `GRAFT DESCRIBE HISTORY`: one row per retained version — live file

@@ -1745,7 +1745,13 @@ object Snapshots {
     * versions < keepFrom is gone after this — the retention trade
     * every table format exposes.
     */
-  def vacuum(path: String, keepFrom: Int): Int = {
+  /** The reclaim plan for `vacuum(path, keepFrom)`:
+    * (data files to delete, orphan files to sweep, manifests to drop).
+    * Pure computation — [[vacuumDryRun]] surfaces it, [[vacuum]]
+    * executes it.
+    */
+  private def vacuumPlan(path: String,
+      keepFrom: Int): (Set[String], Seq[String], Seq[Int]) = {
     val cur = currentVersion(path)
     require(keepFrom >= 0 && keepFrom <= cur, s"keepFrom $keepFrom out of range 0..$cur")
     // DV files (A30) and stored change data (A31) are references too:
@@ -1781,14 +1787,40 @@ object Snapshots {
     val orphans = listDir(Paths.get(path))
       .map(_.toString).filter(_.endsWith(".parquet")).map(canonical)
       .filterNot(f => retained.contains(f) || dropped.contains(f))
+    (dropped, orphans, (0 until keepFrom).filterNot(tagged.contains))
+  }
+
+  /** What `vacuum(path, keepFrom)` WOULD reclaim, without touching
+    * anything: the data+orphan files to delete (Delta's `VACUUM … DRY
+    * RUN`) — the operator's look-before-you-leap on an irreversible
+    * retention cut. */
+  def vacuumDryRun(path: String, keepFrom: Int): Seq[String] = {
+    val (dropped, orphans, _) = vacuumPlan(path, keepFrom)
+    (dropped.toSeq ++ orphans).sorted
+  }
+
+  def vacuum(path: String, keepFrom: Int): Int = {
+    val (dropped, orphans, manifests) = vacuumPlan(path, keepFrom)
     dropped.foreach(f => Files.deleteIfExists(Paths.get(f)))
     orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))
     // crashed commits/markers leave *.tmp in the log dir that nothing
     // else reclaims (the same crash window the orphan sweep exists for)
     listDir(logDir(path)).filter(_.getFileName.toString.endsWith(".tmp"))
       .foreach(Files.deleteIfExists(_))
-    (0 until keepFrom).filterNot(tagged.contains)
-      .foreach(v => Files.deleteIfExists(manifestPath(path, v)))
+    manifests.foreach(v => Files.deleteIfExists(manifestPath(path, v)))
     dropped.size + orphans.size
+  }
+
+  /** A38+retention — time-based vacuum (Delta's `VACUUM … RETAIN`):
+    * keep every version still readable at `cutoffMillis` — i.e. drop
+    * strictly-older history — computed from the recorded commit
+    * timestamps. A cutoff before the earliest retained commit is a
+    * no-op (keepFrom = earliest). Returns files reclaimed.
+    */
+  def vacuumBefore(path: String, cutoffMillis: Long): Int = {
+    val keepFrom =
+      try versionAsOfTime(path, cutoffMillis)
+      catch { case _: IllegalArgumentException => earliestVersion(path) }
+    vacuum(path, keepFrom)
   }
 }
