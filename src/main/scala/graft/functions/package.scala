@@ -38,6 +38,16 @@ package object functions {
   def vec_dist_sq(a: Column, c: Column): Column =
     column(FloatVecDistSq(expression(a), expression(c)))
 
+  /** A41 build side: the k bloom bit positions of a long key in an
+    * `mBits`-bit per-file filter. */
+  def bloom_positions(key: Column, mBits: Column): Column =
+    column(BloomPositionsExpr(expression(key), expression(mBits)))
+
+  /** A41 probe side: row-wise membership against an `array<long>`
+    * bitset column (one filter per file). */
+  def bloom_row_might_contain(bits: Column, key: Column): Column =
+    column(BloomRowMightContain(expression(bits), expression(key)))
+
   /** 62-bit Morton (Z-order) code of two BIGINT columns. */
   def z_value(x: Column, y: Column): Column =
     column(ZValue(expression(x), expression(y)))

@@ -35,6 +35,8 @@ import graft.sources.Snapshots
   *   GRAFT ADD CONSTRAINT <name> '<path>' CHECK (<expr>)   -- A34
   *   GRAFT DROP CONSTRAINT <name> '<path>'
   *   GRAFT UPDATE '<path>' SET <c> = <expr> [, …] WHERE <pred>  -- A35
+  *   GRAFT ADD BLOOM INDEX <col> '<path>'              -- A41 skipping
+  *   GRAFT REINDEX BLOOM '<path>'
   *   GRAFT TAG <name> '<path>' [AT VERSION <n>]            -- A37 refs
   *   GRAFT DROP TAG <name> '<path>'
   *   GRAFT BRANCH <name> '<path>'
@@ -94,6 +96,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             org.apache.spark.sql.functions.expr(pred),
             assigns.map { case (n, e) =>
               n -> org.apache.spark.sql.functions.expr(e) }).toLong)
+      case AddBloom(c, p) => LakeMaintenanceCommand("version",
+        s => Snapshots.addBloomIndex(s, p, c).toLong)
+      case ReindexBloom(p) => LakeMaintenanceCommand("version",
+        s => Snapshots.reindexBloom(s, p).toLong)
       case TagAt(n, p, v) => LakeMaintenanceCommand("version",
         _ => graft.sources.Refs.tag(p, n, v.toInt).toLong)
       case Tag(n, p) => LakeMaintenanceCommand("version",
@@ -165,6 +171,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+DROP\s+CONSTRAINT\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
   private val Update =
     """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val AddBloom =
+    """(?is)\s*GRAFT\s+ADD\s+BLOOM\s+INDEX\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
+  private val ReindexBloom =
+    """(?is)\s*GRAFT\s+REINDEX\s+BLOOM\s+'([^']+)'\s*;?\s*""".r
   private val TagAt =
     """(?is)\s*GRAFT\s+TAG\s+([\w.-]+)\s+'([^']+)'\s+AT\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val Tag =

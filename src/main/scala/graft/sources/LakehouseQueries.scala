@@ -802,6 +802,40 @@ object LakehouseQueries {
       |FROM orders WHERE o_orderstatus IN ('F', 'O')
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** A41 — file-level bloom index end-to-end: the staged table is
+    * range-clustered on o_orderkey, the bloom goes on o_custkey (the
+    * scattered column the layout cannot prune), a merge wave lands
+    * (its staged files indexed automatically by the property), and the
+    * result is the union of point lookups for three customer keys plus
+    * one key only the merge introduced. Bloom filters have no false
+    * negatives, so the result is EXACT and the oracle reproduces it
+    * from the raw table; the skipping factor itself is spec-pinned.
+    */
+  def qLakeBloom(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = tempDir("graft_lake_bloom")
+    o.repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    Snapshots.init(s, dir) // v0
+    Snapshots.addBloomIndex(s, dir, "o_custkey") // v1
+    val ins = o.filter(col("o_orderkey") % 91 === 0 && col("o_orderkey") > 0)
+      .select((-col("o_orderkey")).as("o_orderkey"),
+        lit(999983L).as("o_custkey"), col("o_totalprice"))
+    Snapshots.mergeVersioned(s, dir, ins, "o_orderkey") // v2: indexed
+    Seq(7L, 370L, 997L, 999983L)
+      .map(v => Snapshots.readPointLookup(s, dir, "o_custkey", v))
+      .reduce(_.unionByName(_))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  val qLakeBloomSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_custkey IN (7, 370, 997)
+      |UNION ALL
+      |SELECT -o_orderkey, 999983, o_totalprice
+      |FROM orders WHERE o_orderkey % 91 = 0 AND o_orderkey > 0""".stripMargin
+
   /** A18 — time travel: after the delete (v1) and merge (v2) commits,
     * reading version 0 must reproduce the ORIGINAL base exactly —
     * deleted rows visible, updates absent, inserts absent — because
@@ -837,7 +871,8 @@ object LakehouseQueries {
     "q_lake_stream_source" -> (qLakeStreamSource(_, _)),
     "q_lake_wap" -> (qLakeWap(_, _)),
     "q_lake_zorder_inc" -> (qLakeZorderInc(_, _)),
-    "q_lake_part_source" -> (qLakePartSource(_, _)))
+    "q_lake_part_source" -> (qLakePartSource(_, _)),
+    "q_lake_bloom" -> (qLakeBloom(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> qLakeTimetravelSql,
@@ -859,5 +894,6 @@ object LakehouseQueries {
     "q_lake_stream_source" -> qLakeStreamSourceSql,
     "q_lake_wap" -> qLakeWapSql,
     "q_lake_zorder_inc" -> qLakeZorderIncSql,
-    "q_lake_part_source" -> qLakePartSourceSql)
+    "q_lake_part_source" -> qLakePartSourceSql,
+    "q_lake_bloom" -> qLakeBloomSql)
 }

@@ -490,6 +490,161 @@ object Snapshots {
       .filter(_.startsWith(ClusterFileHeader))
       .map(_.stripPrefix(ClusterFileHeader)).toSet
 
+  // A41 — FILE-LEVEL BLOOM INDEX (the Delta bloom-filter-index
+  // pattern): point-lookup file skipping on a column the layout does
+  // NOT cluster — z-order buys range pruning on two dimensions, the
+  // bloom buys `col = x` skipping on any other (integral) column.
+  // `#bloomcol=` records the indexed column + bits-per-row (carried by
+  // every commit); `#bloomidx=` lines reference SIDECAR parquet files
+  // of (file, col, bits array<long>) rows — one filter per data file,
+  // sized to ITS row count so the false-positive rate stays flat
+  // across skewed files. Sidecars are built DISTRIBUTEDLY (positions →
+  // per-word bit_or → array assembly, no driver collect of bits) by
+  // the ingest writers (merge/update/overwrite stage them for their
+  // new files alongside the data); rewrite paths (compact/zorder)
+  // leave their outputs unindexed — a file with no bloom entry is
+  // always KEPT by the probe (skipping degrades, never lies) until
+  // [[reindexBloom]] catches the stragglers. The probe itself is a
+  // distributed filter over the index relation; only file VERDICTS
+  // (manifest-scale) reach the driver. No false negatives, ever.
+  private val BloomColHeader = "#bloomcol="
+  private val BloomIdxHeader = "#bloomidx="
+
+  /** The indexed column and bits-per-row in force at `v`. */
+  private[graft] def bloomColOf(path: String, v: Int): Option[(String, Int)] =
+    if (!hasVersion(path, v)) None
+    else Files.readAllLines(manifestPath(path, v)).asScala
+      .find(_.startsWith(BloomColHeader))
+      .map(_.stripPrefix(BloomColHeader).split("\t", 2))
+      .collect { case Array(c, b) => (c, b.toInt) }
+
+  /** Bloom sidecar files referenced at `v` (accumulated; entries for
+    * retired data files are inert). */
+  private[graft] def bloomIdxFiles(path: String, v: Int): Seq[String] =
+    if (!hasVersion(path, v)) Seq.empty
+    else Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+      .filter(_.startsWith(BloomIdxHeader)).map(_.stripPrefix(BloomIdxHeader))
+
+  /** Build one bloom SIDECAR for `files` on `column` and stage it into
+    * the table dir under version-`vNext` naming; returns the refs
+    * (empty when nothing to index). Fully distributed: bit positions
+    * explode per row, per-64-bit-word OR-aggregation, array assembly —
+    * the driver never holds a bitset. */
+  private def stageBloomSidecar(spark: SparkSession, path: String, vNext: Int,
+      files: Seq[String], column: String, bitsPerRow: Int): Seq[String] = {
+    if (files.isEmpty) return Seq.empty
+    val df = spark.read.parquet(files: _*)
+    if (!df.columns.contains(column)) return Seq.empty
+    val rows = df.select(input_file_name().as("file"),
+        col(s"`$column`").cast("long").as("__k"))
+      .filter(col("__k").isNotNull)
+    val sized = rows.groupBy("file").agg(count(lit(1)).as("__n"))
+      .select(col("file"),
+        (ceil(greatest(col("__n") * bitsPerRow, lit(64)) / 64.0) * 64)
+          .cast("int").as("m"))
+    val posCol = graft.functions.bloom_positions(col("__k"), col("m"))
+    val words = rows.join(sized, "file")
+      .select(col("file"), col("m"), explode(posCol).as("p"))
+      .select(col("file"), col("m"), (col("p") / 64).cast("int").as("w"),
+        expr("shiftleft(1L, p % 64)").as("b"))
+      .groupBy("file", "m", "w").agg(bit_or(col("b")).as("word"))
+    val sidecar = words.groupBy("file", "m")
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("wm"))
+      .select(col("file"), lit(column).as("col"),
+        transform(sequence(lit(0), (col("m") / 64 - 1).cast("int")),
+          i => coalesce(element_at(col("wm"), i), lit(0L))).as("bits"))
+    val stage = Files.createTempDirectory("graft_bloom").toString
+    sidecar.write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${vNext}_bloom_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+  }
+
+  /** Sidecar refs for `staged` when the table's bloom property is on
+    * (the ingest writers call this beside their data staging). */
+  private def maybeBloom(spark: SparkSession, path: String, baseV: Int,
+      staged: Seq[String]): Seq[String] =
+    bloomColOf(path, baseV) match {
+      case Some((c, bpr)) => stageBloomSidecar(spark, path, baseV + 1, staged, c, bpr)
+      case None => Seq.empty
+    }
+
+  /** A41 — add a bloom index on `column` (integral-typed): indexes the
+    * EXISTING live files (the one-time scan, like addConstraint) and
+    * records the property so every later merge/update/overwrite
+    * indexes its staged files automatically. Returns the new version.
+    */
+  def addBloomIndex(spark: SparkSession, path: String, column: String,
+      bitsPerRow: Int = 10): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    require(bloomColOf(path, v).isEmpty,
+      s"bloom index already on '${bloomColOf(path, v).get._1}' (one per table)")
+    require(bitsPerRow >= 2 && bitsPerRow <= 64, "bitsPerRow in [2, 64]")
+    val live = liveFiles(path, v)
+    val refs = stageBloomSidecar(spark, path, v + 1, live, column, bitsPerRow)
+    commitNext(path, v, live, tableSchema(path, v),
+      carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty),
+      bloomColOverride = Some((column, bitsPerRow)), bloomExtra = refs)
+  }
+
+  /** Rebuild bloom entries for live files that have NONE (rewrite
+    * outputs of compact/zorder, published branch files): skipping is
+    * restored without touching already-indexed files. Returns the new
+    * version (current if nothing to do). */
+  def reindexBloom(spark: SparkSession, path: String): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val (column, bpr) = bloomColOf(path, v).getOrElse(
+      throw new IllegalArgumentException(s"$path has no bloom index"))
+    val live = liveFiles(path, v).map(canonical)
+    val refs = bloomIdxFiles(path, v)
+    val indexed: Set[String] =
+      if (refs.isEmpty) Set.empty
+      else spark.read.parquet(refs: _*).filter(col("col") === column)
+        .select("file").distinct().collect().map(r => canonical(r.getString(0))).toSet
+    val missing = live.filterNot(indexed.contains)
+    if (missing.isEmpty) return v
+    val extra = stageBloomSidecar(spark, path, v + 1, missing, column, bpr)
+    commitNext(path, v, liveFiles(path, v), tableSchema(path, v),
+      carriedStats(path, v, liveFiles(path, v)), dvFiles(path, v),
+      cdf = Some(Seq.empty), bloomExtra = extra)
+  }
+
+  /** A41 — POINT LOOKUP with bloom file skipping: read exactly the
+    * live rows where `column = value`, scanning only files whose bloom
+    * filter might contain the value (plus any unindexed files — a
+    * missing entry keeps its file, so the answer is always exact).
+    * The probe is a distributed filter over the sidecar relation; the
+    * driver sees per-file VERDICTS only.
+    */
+  def readPointLookup(spark: SparkSession, path: String, column: String,
+      value: Long, version: Int = -1): DataFrame = {
+    val v = if (version < 0) currentVersion(path) else version
+    require(hasVersion(path, v), s"no version $v at $path")
+    val live = liveFiles(path, v)
+    val pred = col(s"`$column`") === value
+    val onCol = bloomColOf(path, v).exists(_._1 == column)
+    val refs = bloomIdxFiles(path, v)
+    if (!onCol || refs.isEmpty || live.isEmpty)
+      return read(spark, path, v).filter(pred)
+    val verdicts = spark.read.parquet(refs: _*)
+      .filter(col("col") === column)
+      .select(col("file"), graft.functions.bloom_row_might_contain(
+        col("bits"), lit(value)).as("hit"))
+      .collect().map(r => canonical(r.getString(0)) -> r.getBoolean(1)).toMap
+    val keep = live.filter { f =>
+      verdicts.getOrElse(canonical(f), true) // unindexed file: keep
+    }
+    if (keep.isEmpty) readLive(spark, path, v, live).filter(pred).limit(0)
+    else readLive(spark, path, v, keep.toIndexedSeq).filter(pred)
+  }
+
   /** Did version `v`'s commit record its change set? */
   private[graft] def cdfRecorded(path: String, v: Int): Boolean =
     Files.readAllLines(manifestPath(path, v)).asScala
@@ -610,7 +765,9 @@ object Snapshots {
       cdf: Option[Seq[String]] = None,
       cdfFlag: Boolean = false,
       constraintsOverride: Option[Seq[(String, String)]] = None,
-      clusterOverride: Option[((String, String), Seq[String])] = None): Boolean = {
+      clusterOverride: Option[((String, String), Seq[String])] = None,
+      bloomColOverride: Option[(String, Int)] = None,
+      bloomExtra: Seq[String] = Seq.empty): Boolean = {
     Files.createDirectories(logDir(path))
     val target = manifestPath(path, v)
     if (Files.exists(target)) return false
@@ -639,9 +796,17 @@ object Snapshots {
           case None => Seq.empty
         }
       }
+      // A41: the bloom property carries itself; sidecar refs accumulate
+      // (inert for retired files) plus this commit's new ones
+      val bloomLines = {
+        val bc = bloomColOverride.orElse(bloomColOf(path, v - 1))
+        bc.map(p => BloomColHeader + p._1 + "\t" + p._2).toSeq ++
+          (bloomIdxFiles(path, v - 1) ++ bloomExtra).map(canonical)
+            .distinct.sorted.map(BloomIdxHeader + _)
+      }
       val lines = Seq(TsHeader + System.currentTimeMillis()) ++
         schema.map(s => SchemaHeader + s.json).toSeq ++
-        flag ++ cons ++ clusterLines ++
+        flag ++ cons ++ clusterLines ++ bloomLines ++
         cdf.map(fs => Seq(CdfOkHeader) ++
           fs.map(f => CdfHeader + canonical(f)).sorted).getOrElse(Seq.empty) ++
         dv.map(f => DvHeader + canonical(f)).sorted ++
@@ -683,9 +848,11 @@ object Snapshots {
       cdf: Option[Seq[String]] = None,
       cdfFlag: Boolean = false,
       constraintsOverride: Option[Seq[(String, String)]] = None,
-      clusterOverride: Option[((String, String), Seq[String])] = None): Int = {
+      clusterOverride: Option[((String, String), Seq[String])] = None,
+      bloomColOverride: Option[(String, Int)] = None,
+      bloomExtra: Seq[String] = Seq.empty): Int = {
     if (!commitAt(path, base + 1, files, schema, stats, dv, cdf, cdfFlag,
-        constraintsOverride, clusterOverride))
+        constraintsOverride, clusterOverride, bloomColOverride, bloomExtra))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, base + 1).toString +
           " (concurrent commit won this version; re-read and retry)")
@@ -926,6 +1093,8 @@ object Snapshots {
         dst.resolve(name).toString
       }
     beforeCommit()
+    // A41: index the staged files when the bloom property is on
+    val bloomStaged = maybeBloom(spark, path, v, staged)
 
     // OCC commit: try to land on the base we read; if a concurrent
     // committer won that version, rebase onto the new head — sound iff
@@ -955,7 +1124,8 @@ object Snapshots {
         }
       if (commitAt(path, base + 1, newLive, Some(schema),
           carriedStats(path, base, retained) ++ stagedStats,
-          dvFiles(path, base), cdf = cdfStaged)) return base + 1
+          dvFiles(path, base), cdf = cdfStaged,
+          bloomExtra = bloomStaged)) return base + 1
       attempt += 1
       if (attempt > maxRetries)
         throw new java.util.ConcurrentModificationException(
@@ -1200,7 +1370,8 @@ object Snapshots {
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
       carriedStats(path, v, retained) ++ statsLines(spark, staged),
-      dvFiles(path, v), cdf = cdfStaged)
+      dvFiles(path, v), cdf = cdfStaged,
+      bloomExtra = maybeBloom(spark, path, v, staged))
   }
 
   /** INSERT OVERWRITE as a commit: the new live set is exactly the
@@ -1231,7 +1402,8 @@ object Snapshots {
         Files.move(p, dst.resolve(name))
         dst.resolve(name).toString
       }
-    commitNext(path, v, staged, Some(df.schema), statsLines(spark, staged))
+    commitNext(path, v, staged, Some(df.schema), statsLines(spark, staged),
+      bloomExtra = maybeBloom(spark, path, v, staged))
   }
 
   /** Stage `rows` as a commit's stored change-data files (A31);
@@ -1764,7 +1936,8 @@ object Snapshots {
     // dropped manifest here used to throw)
     def referenced(v: Int): Seq[String] =
       if (!hasVersion(path, v)) Seq.empty
-      else liveFiles(path, v) ++ dvFiles(path, v) ++ cdfFilesOf(path, v)
+      else liveFiles(path, v) ++ dvFiles(path, v) ++ cdfFilesOf(path, v) ++
+        bloomIdxFiles(path, v)
     // A37: TAGGED versions (and branch bases, auto-tagged) are pinned —
     // their manifests and referenced files survive any keepFrom, so a
     // named release or an unpublished branch's borrowed files can never

@@ -1121,6 +1121,52 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.rowCount(spark, dst).contains(rc(3).get))
   }
 
+  test("bloom index: point lookups skip files, ingest writers index their staged files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bloom_spec").toString + "/t"
+    // k range-clusters the files; u is SCATTERED — exactly the column
+    // z-order cannot help with and the bloom can
+    spark.range(40000)
+      .selectExpr("id AS k", "(id * 2654435761) % 1000003 AS u", "id % 97 AS gen")
+      .repartitionByRange(8, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir) // v0
+    assert(Snapshots.addBloomIndex(spark, dir, "u") == 1)
+
+    def lookupFiles(value: Long): (Long, Long) = {
+      val res = Snapshots.readPointLookup(spark, dir, "u", value)
+      (res.count(), res.select(input_file_name()).distinct().count())
+    }
+    // a present value: found, and (with ~1% fpp at 10 bits/row) almost
+    // every other file is skipped
+    val present = (123L * 2654435761L) % 1000003L
+    val (n1, f1) = lookupFiles(present)
+    assert(n1 >= 1)
+    assert(f1 <= 3, s"bloom skipped nothing: $f1 of 8 files scanned")
+    // an absent value: zero rows (usually zero files even open)
+    assert(lookupFiles(999999937L)._1 == 0)
+
+    // a merge under the property indexes its STAGED files: the new
+    // value is immediately findable, and the index grew
+    val refsBefore = Snapshots.bloomIdxFiles(dir, Snapshots.currentVersion(dir)).size
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((50000L, 424243L, 1L)).toDF("k", "u", "gen"), "k") // v2
+    assert(Snapshots.bloomIdxFiles(dir, 2).size > refsBefore)
+    val hit = Snapshots.readPointLookup(spark, dir, "u", 424243L).collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(50000L))
+
+    // a rewrite path (compact) leaves its outputs unindexed — lookups
+    // stay EXACT (unindexed files are always kept); reindex restores
+    // the skipping and nothing changes logically
+    Snapshots.compact(spark, dir) // v3: packs the small files
+    assert(Snapshots.readPointLookup(spark, dir, "u", present).count() == n1)
+    val v4 = Snapshots.reindexBloom(spark, dir)
+    assert(v4 == 4)
+    assert(Snapshots.readPointLookup(spark, dir, "u", present).count() == n1)
+    assert(Snapshots.readPointLookup(spark, dir, "u", 424243L).count() == 1)
+    // reindex with nothing missing is a no-op
+    assert(Snapshots.reindexBloom(spark, dir) == 4)
+  }
+
   test("vacuum dry run plans without touching; time-based retention uses commit timestamps") {
     import spark.implicits._
     val dir = freshTable()
