@@ -631,16 +631,18 @@ object LakehouseQueries {
   def qLakeStreamSource(s: SparkSession, d: String): DataFrame = {
     val dir = stageHistory(s, d, cdf = true)
     val ckpt = tempDir("graft_src_ckpt")
-    val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-    @volatile var sch: org.apache.spark.sql.types.StructType = null
+    // batches SPOOL to parquet, executor-side — the delivery log is
+    // table-sized (the snapshot batch), so it must never sit on the
+    // driver; the harness then reads the spool back like any table
+    val spool = tempDir("graft_src_spool")
     val q = s.readStream.format("graft").option("keyCol", "o_orderkey").load(dir)
       .writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
-        acc.synchronized { sch = b.schema; acc ++= b.collect() }; ()
+        b.write.mode("append").parquet(spool); ()
       }
       .option("checkpointLocation", ckpt).start()
     try q.processAllAvailable() finally q.stop()
-    s.createDataFrame(java.util.Arrays.asList(acc.synchronized(acc.toArray): _*), sch)
+    s.read.parquet(spool)
   }
 
   val qLakeStreamSourceSql: String =
