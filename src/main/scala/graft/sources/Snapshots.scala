@@ -742,6 +742,27 @@ object Snapshots {
       checkpointDir: String): graft.streaming.ChangeFeed.Feed =
     graft.streaming.ChangeFeed.open(spark, path, keyCol, checkpointDir)
 
+  // Pure line parsers of the self-carrying properties, so commitAt
+  // reads the previous manifest exactly once (the path-based
+  // accessors above remain for external callers that want one field).
+  private def parseConstraints(lines: Seq[String]): Seq[(String, String)] =
+    lines.filter(_.startsWith(ConstraintHeader))
+      .map(_.stripPrefix(ConstraintHeader).split("\t", 2))
+      .collect { case Array(n, e) => (n, e) }
+  private def parseCluster(lines: Seq[String]): Option[(String, String)] =
+    lines.find(_.startsWith(ClusterHeader))
+      .map(_.stripPrefix(ClusterHeader).split("\t", 2))
+      .collect { case Array(a, b) => (a, b) }
+  private def parseClusterFiles(lines: Seq[String]): Set[String] =
+    lines.filter(_.startsWith(ClusterFileHeader))
+      .map(_.stripPrefix(ClusterFileHeader)).toSet
+  private def parseBloomCol(lines: Seq[String]): Option[(String, Int)] =
+    lines.find(_.startsWith(BloomColHeader))
+      .map(_.stripPrefix(BloomColHeader).split("\t", 2))
+      .collect { case Array(c, b) => (c, b.toInt) }
+  private def parseBloomIdx(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(BloomIdxHeader)).map(_.stripPrefix(BloomIdxHeader))
+
   /** Single manifest write = the commit atom. Content lands fully in a
     * temp file first, which is then HARD-LINKED into place:
     * Files.createLink is content-atomic (a crash mid-write can never
@@ -773,13 +794,21 @@ object Snapshots {
     if (Files.exists(target)) return false
     val tmp = Files.createTempFile(logDir(path), "commit", ".tmp")
     try {
+      // the PREVIOUS manifest is read ONCE; every self-carrying
+      // property parses from the same line buffer (six separate
+      // full-file reads per commit measurably taxed the multi-commit
+      // staging queries)
+      val prev: Seq[String] =
+        if (hasVersion(path, v - 1))
+          Files.readAllLines(manifestPath(path, v - 1)).asScala.toSeq
+        else Seq.empty
       // the enableChangeDataFeed property carries itself forward: any
       // commit over an enabled base stays enabled; constraints (A34)
       // self-carry the same way unless an add/drop overrides them
       val flag =
-        if (cdfFlag || cdfEnabled(path, v - 1)) Seq(CdfEnabledHeader)
+        if (cdfFlag || prev.contains(CdfEnabledHeader)) Seq(CdfEnabledHeader)
         else Seq.empty
-      val cons = constraintsOverride.getOrElse(constraintsOf(path, v - 1))
+      val cons = constraintsOverride.getOrElse(parseConstraints(prev))
         .map { case (n, e) => ConstraintHeader + n + "\t" + e }
       // A39: clustering state — a ZORDER commit overrides; everyone
       // else carries the columns plus the still-live clustered subset
@@ -787,11 +816,11 @@ object Snapshots {
         case Some(((a, b), fs)) =>
           Seq(ClusterHeader + a + "\t" + b) ++
             fs.map(f => ClusterFileHeader + canonical(f)).sorted
-        case None => clusterOf(path, v - 1) match {
+        case None => parseCluster(prev) match {
           case Some((a, b)) =>
             val liveSet = files.map(canonical).toSet
             Seq(ClusterHeader + a + "\t" + b) ++
-              clusterFilesOf(path, v - 1).intersect(liveSet).toSeq.sorted
+              parseClusterFiles(prev).intersect(liveSet).toSeq.sorted
                 .map(ClusterFileHeader + _)
           case None => Seq.empty
         }
@@ -799,9 +828,9 @@ object Snapshots {
       // A41: the bloom property carries itself; sidecar refs accumulate
       // (inert for retired files) plus this commit's new ones
       val bloomLines = {
-        val bc = bloomColOverride.orElse(bloomColOf(path, v - 1))
+        val bc = bloomColOverride.orElse(parseBloomCol(prev))
         bc.map(p => BloomColHeader + p._1 + "\t" + p._2).toSeq ++
-          (bloomIdxFiles(path, v - 1) ++ bloomExtra).map(canonical)
+          (parseBloomIdx(prev) ++ bloomExtra).map(canonical)
             .distinct.sorted.map(BloomIdxHeader + _)
       }
       val lines = Seq(TsHeader + System.currentTimeMillis()) ++
