@@ -346,6 +346,62 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
   private val stats: Map[String, Map[String, (String, String, String)]] =
     Snapshots.fileStats(path, version)
 
+  // A41: the bloom index joins the skipping stack — a point predicate
+  // on the indexed column probes the sidecar relation at PLAN time
+  // (one small job per distinct probed value, memoized) and excludes
+  // every indexed file whose filter rules the value out; unindexed
+  // files always survive, so this only ever REMOVES work
+  private val bloomCol: Option[String] =
+    Snapshots.bloomColOf(path, version).map(_._1)
+  private val bloomRefs: Seq[String] = Snapshots.bloomIdxFiles(path, version)
+  private val bloomCache =
+    scala.collection.mutable.Map.empty[Long, Map[String, Boolean]]
+
+  /** canonical file → might-contain verdict for `value` (indexed files
+    * only). */
+  private def bloomVerdicts(value: Long): Map[String, Boolean] = synchronized {
+    bloomCache.getOrElseUpdate(value,
+      spark.read.parquet(bloomRefs: _*)
+        .filter(col("col") === bloomCol.get)
+        .select(col("file"), graft.functions.bloom_row_might_contain(
+          col("bits"), lit(value)).as("hit"))
+        .collect()
+        .map(r => Snapshots.canonical(r.getString(0)) -> r.getBoolean(1)).toMap)
+  }
+
+  private def litLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong); case l: Long => Some(l)
+    case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** The probed values of a conjunct this bloom can judge, if any. */
+  private def bloomValuesOf(f: Expression): Option[Seq[Long]] = f match {
+    case EqualTo(a: Attribute, Literal(v, _)) if bloomCol.contains(a.name) =>
+      litLong(v).map(Seq(_))
+    case EqualTo(Literal(v, _), a: Attribute) if bloomCol.contains(a.name) =>
+      litLong(v).map(Seq(_))
+    case EqualNullSafe(a: Attribute, Literal(v, _))
+        if v != null && bloomCol.contains(a.name) => litLong(v).map(Seq(_))
+    case In(a: Attribute, vs) if bloomCol.contains(a.name) &&
+        vs.forall(_.isInstanceOf[Literal]) =>
+      val ls = vs.map { case Literal(v, _) => litLong(v) }
+      if (ls.forall(_.isDefined)) Some(ls.flatten) else None
+    case _ => None
+  }
+
+  /** Files PROVEN unable to satisfy the conjunction of `dataFilters`
+    * by the bloom index (empty when no bloom or no eligible conjunct). */
+  private def bloomExcluded(dataFilters: Seq[Expression]): Set[String] =
+    if (bloomCol.isEmpty || bloomRefs.isEmpty) Set.empty
+    else dataFilters.flatMap(bloomValuesOf).flatMap { vs =>
+      // the conjunct needs ONE of vs present: exclude files indexed
+      // with a negative verdict for EVERY probed value
+      val perValue = vs.map(bloomVerdicts)
+      perValue.flatMap(_.keys).toSet
+        .filter(f => perValue.forall(m => m.get(f).contains(false)))
+    }.toSet
+
   // FileStatus per live file, once: the manifest replaces the LIST —
   // on a real object store these getFileStatus calls would themselves
   // come from manifest-carried size/mtime rather than the FS
@@ -366,10 +422,12 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val excluded = bloomExcluded(dataFilters)
     val kept = statuses.filter { st =>
-      val fileStat = stats.getOrElse(
-        Snapshots.canonical(st.getPath.toString), Map.empty)
-      dataFilters.forall(f => GraftFileIndex.survives(fileStat, f))
+      val f = Snapshots.canonical(st.getPath.toString)
+      val fileStat = stats.getOrElse(f, Map.empty)
+      !excluded.contains(f) &&
+        dataFilters.forall(e => GraftFileIndex.survives(fileStat, e))
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }

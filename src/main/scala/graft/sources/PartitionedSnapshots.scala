@@ -138,6 +138,14 @@ object PartitionedSnapshots {
       c1: String, c2: String, numFiles: Int): Int =
     Snapshots.compactZOrder(spark, partDir(path, value).toString, c1, c2, numFiles)
 
+  /** A39 per partition: re-cluster only ONE partition's unclustered
+    * tail — the day-partition maintenance loop at 100 TB (each
+    * partition carries its own clustering state in its own log). */
+  def zorderIncrementalPartition(spark: SparkSession, path: String,
+      value: String, targetBytes: Long = 128L << 20): Int =
+    Snapshots.compactZOrderIncremental(spark, partDir(path, value).toString,
+      targetBytes)
+
   /** Current version per partition (the table's version VECTOR). */
   def versions(path: String): Map[String, Int] =
     partitions(path).map(v =>

@@ -74,6 +74,32 @@ class ConnectorSpec extends GraftSuite {
       .filter(col("payload") === "v5")) == 4)
   }
 
+  test("bloom index joins the connector's skipping stack for point queries") {
+    val dir = Files.createTempDirectory("graft_conn_bloom").toString + "/t"
+    spark.range(40000)
+      .selectExpr("id AS k", "(id * 2654435761) % 1000003 AS u", "id % 97 AS gen")
+      .repartitionByRange(8, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.addBloomIndex(spark, dir, "u")
+
+    def scanned(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      d.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+    }
+    val present = (123L * 2654435761L) % 1000003L
+    // u is scattered, so the k-range stats cannot prune it — only the
+    // bloom can, and the connector consults it at plan time
+    assert(spark.read.format("graft").load(dir)
+      .filter(col("u") === present).count() >= 1)
+    val f = scanned(spark.read.format("graft").load(dir)
+      .filter(col("u") === present))
+    assert(f <= 3, s"connector bloom skipped nothing: $f of 8 files")
+    // an absent value usually opens zero files; rows are exactly zero
+    assert(spark.read.format("graft").load(dir)
+      .filter(col("u") === 999999937L).count() == 0)
+  }
+
   test("batch read refuses DV and column-mapped versions, loudly") {
     import spark.implicits._
     val dir = freshTable()
