@@ -1121,6 +1121,46 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.rowCount(spark, dst).contains(rc(3).get))
   }
 
+  test("OCC: UPDATE racing a merge — merge always lands, update wins or loses loudly") {
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val dir = freshTable()
+      Snapshots.init(spark, dir)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val fUpd = Future {
+        start.await()
+        try { Snapshots.updateVersioned(spark, dir,
+          col("k") <= 50L, Seq("gen" -> lit(7L))); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      }
+      val fMerge = Future {
+        start.await()
+        Snapshots.mergeVersioned(spark, dir,
+          Seq((200L + round, "M", 1L)).toDF("k", "payload", "gen"), "k")
+      }
+      start.countDown()
+      val updLanded = Await.result(fUpd, 120.seconds)
+      Await.result(fMerge, 120.seconds) // merge rebases; must not throw
+      pool.shutdown()
+
+      val head = Snapshots.read(spark, dir)
+      // the merge's insert is ALWAYS present
+      assert(head.filter(col("k") === (200L + round)).count() == 1)
+      assert(head.count() == 101)
+      val updatedRows = head.filter(col("k") <= 50L && col("gen") === 7L).count()
+      if (updLanded) assert(updatedRows == 50, s"round $round: update landed but $updatedRows/50 rows show it")
+      else assert(updatedRows == 0, s"round $round: update LOST the race yet $updatedRows rows changed")
+      // gap-free readable history either way
+      (0 to Snapshots.currentVersion(dir)).foreach { v =>
+        Snapshots.read(spark, dir, v).count() }
+    }
+  }
+
   test("bloom index: point lookups skip files, ingest writers index their staged files") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bloom_spec").toString + "/t"
