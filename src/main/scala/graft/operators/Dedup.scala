@@ -883,9 +883,9 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
-  /** DuckDB replay of [[qDedupProbe]]: same split, same corpus-side
-    * bucket cap, same exact verification arithmetic. */
-  val qDedupProbeSql: String = {
+  /** Shared CTE prefix of the probe oracle (through `pairs`+`sizes`),
+    * reused by the D18 ingest-gate oracle. */
+  private val dedupProbeCtes: String = {
     val rows = NumHashes / NumBands
     val rCols = (0 until rows).map(j => s"r$j").mkString(", ")
     val bandSelects = (0 until NumBands).map { b =>
@@ -913,14 +913,57 @@ object Dedup {
          |  FROM cand
          |  JOIN sh x ON probe_id = x.doc_id
          |  JOIN sh y ON corpus_id = y.doc_id AND x.h = y.h
-         |  GROUP BY probe_id, corpus_id)
-         |SELECT probe_id, corpus_id,
-         |  round(inter::DOUBLE / (ca.n + cb.n - inter), 4) + 0.0 AS jaccard
-         |FROM pairs
-         |JOIN sizes ca ON probe_id = ca.doc_id
-         |JOIN sizes cb ON corpus_id = cb.doc_id
-         |WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5""".stripMargin
+         |  GROUP BY probe_id, corpus_id)""".stripMargin
   }
+
+  /** DuckDB replay of [[qDedupProbe]]: same split, same corpus-side
+    * bucket cap, same exact verification arithmetic. */
+  val qDedupProbeSql: String = dedupProbeCtes +
+    """
+      |SELECT probe_id, corpus_id,
+      |  round(inter::DOUBLE / (ca.n + cb.n - inter), 4) + 0.0 AS jaccard
+      |FROM pairs
+      |JOIN sizes ca ON probe_id = ca.doc_id
+      |JOIN sizes cb ON corpus_id = cb.doc_id
+      |WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5""".stripMargin
+
+  /** D18 — the DEDUP-GATED INGEST the probe exists for: the standing
+    * corpus admits the delta MINUS every delta doc the probe verified
+    * as a near-dup of corpus content — one candidate-sized anti join
+    * after the D17 machinery, so the admission decision costs nothing
+    * beyond the probe itself. This is the composition a daily
+    * training-data pipeline actually runs: index once, probe the
+    * increment, admit the clean remainder. Result: the admitted
+    * corpus profiled per source (count + characters), which any
+    * duplicate slipping through (or clean doc wrongly dropped) shifts.
+    */
+  def qDedupIngest(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isDelta = col("doc_id") % 3 === 0
+    val dups = qDedupProbe(s, d, tau)
+      .select(col("probe_id").as("doc_id")).distinct()
+    docs.filter(!isDelta)
+      .unionByName(docs.filter(isDelta).join(dups, Seq("doc_id"), "left_anti"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+  }
+
+  val qDedupIngestSql: String = dedupProbeCtes +
+    """,
+      |dup AS (
+      |  SELECT DISTINCT probe_id
+      |  FROM pairs
+      |  JOIN sizes ca ON probe_id = ca.doc_id
+      |  JOIN sizes cb ON corpus_id = cb.doc_id
+      |  WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5),
+      |admitted AS (
+      |  SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, source, n_chars FROM documents
+      |  WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT probe_id FROM dup))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM admitted GROUP BY source""".stripMargin
 
   /** D11 — signature-based Jaccard ESTIMATION: for each LSH candidate
     * pair, the fraction of agreeing MinHash components is an unbiased
@@ -1340,6 +1383,7 @@ object Dedup {
     "q_minhash_lsh" -> qMinhashLsh,
     "q_minhash_est" -> qMinhashEst,
     "q_dedup_probe" -> ((s, d) => qDedupProbe(s, d)),
+    "q_dedup_ingest" -> ((s, d) => qDedupIngest(s, d)),
     "q_simhash" -> qSimhash,
     "q_embed_dup" -> ((s, d) => qEmbedDup(s, d)),
     "q_dup_spans" -> ((s, d) => qDupSpans(s, d)),
@@ -1357,6 +1401,7 @@ object Dedup {
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_est" -> qMinhashEstSql,
     "q_dedup_probe" -> qDedupProbeSql,
+    "q_dedup_ingest" -> qDedupIngestSql,
     "q_simhash" -> qSimhashSql,
     "q_embed_dup" -> qEmbedDupSql,
     "q_dup_spans" -> qDupSpansSql,
