@@ -883,6 +883,116 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** MinHash signatures of an arbitrary (doc_id, text, …) frame,
+    * WITHOUT the corpus registry — the maintenance path computes
+    * signatures for small changed sets where caching a plan-keyed
+    * index per batch would only leak executor memory. */
+  private def minhashUncached(docs: DataFrame, k: Int = NumHashes): DataFrame = {
+    val aggs = (0 until k).map { i =>
+      val (a, b) = uhParam(i)
+      min(expr(s"($a * (h % $P31) + $b) % $P31")).as(f"mh$i%02d")
+    }
+    windowHashes(docs, 3).select("doc_id", "h").distinct()
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** D19 — the signature index MAINTAINED INCREMENTALLY over a
+    * VERSIONED corpus (A18 + A20 + D3 composed): signatures live in
+    * their own versioned table keyed by doc_id; a refresh consumes the
+    * corpus's change feed since the last indexed version — recomputing
+    * signatures ONLY for inserted/updated docs (one changed-rows-sized
+    * job, merged through the keyed upsert) and deleting removed keys
+    * (the anti-join keyed delete) — so index maintenance cost tracks
+    * CHANGE volume, never corpus size. First call = full build. The
+    * indexed-version marker commits AFTER the index commits, so a
+    * crash between replays one feed window whose keyed apply is
+    * content-idempotent (the A23 at-least-once + idempotent-apply
+    * contract). Returns the corpus version now indexed.
+    */
+  def refreshSignatureIndex(s: SparkSession, corpusDir: String,
+      indexDir: String): Int = {
+    import graft.sources.Snapshots
+    val to = Snapshots.currentVersion(corpusDir)
+    require(to >= 0, s"$corpusDir is not a versioned table")
+    val marker = java.nio.file.Paths.get(indexDir, "_graft_log", "corpus_version")
+    val from =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toInt
+      else -1
+    if (from < 0) {
+      // full build: one pass over the corpus, index table bootstrapped
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
+      minhashUncached(Snapshots.read(s, corpusDir, to))
+        .write.mode("overwrite").parquet(indexDir)
+      Snapshots.init(s, indexDir)
+    } else if (from < to) {
+      val ch = Snapshots.changesWithPayload(s, corpusDir, from, to, "doc_id")
+      val ups = ch.filter(col("change_type") =!= "delete").drop("change_type")
+      if (!ups.isEmpty)
+        Snapshots.mergeVersioned(s, indexDir, minhashUncached(ups), "doc_id")
+      val dels = ch.filter(col("change_type") === "delete").select("doc_id")
+      if (!dels.isEmpty)
+        Snapshots.deleteVersionedKeys(s, indexDir, dels, "doc_id")
+    }
+    if (from != to) {
+      val tmp = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(indexDir, "_graft_log"), "cv", ".tmp")
+      java.nio.file.Files.write(tmp, to.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    to
+  }
+
+  /** Driver query for D19: stage the documents table as a versioned
+    * corpus, full-build the index, mutate the corpus (text updates on
+    * keys ≡ 0 mod 17, fresh inserts as negated keys ≡ 0 mod 29, a
+    * delete of keys ≡ 0 mod 23), refresh INCREMENTALLY, and return the
+    * index table — which the oracle reproduces by recomputing MinHash
+    * over the reconstructed final corpus. A stale signature (missed
+    * update), leaked signature (missed delete), or drifted hash breaks
+    * the row hash.
+    */
+  def qSigIndex(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    // staged via the shared lake tempdir registry so bench/verify
+    // reclaim the corpus-sized copies between queries
+    val corpus = graft.sources.LakehouseQueries.tempDir("graft_sig_corpus")
+    val index = graft.sources.LakehouseQueries.tempDir("graft_sig_index") + "/t"
+    docs.repartition(4).write.mode("overwrite").parquet(corpus)
+    graft.sources.Snapshots.init(s, corpus)
+    refreshSignatureIndex(s, corpus, index) // full build at v0
+    val upd = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" zz zz zz")).as("text"))
+    val ins = docs.filter(col("doc_id") % 29 === 0 && col("doc_id") > 0)
+      .select((-col("doc_id")).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"))
+    graft.sources.Snapshots.mergeVersioned(s, corpus, upd.unionByName(ins), "doc_id")
+    graft.sources.Snapshots.deleteVersioned(s, corpus, col("doc_id") % 23 === 0)
+    refreshSignatureIndex(s, corpus, index) // incremental
+    graft.sources.Snapshots.read(s, index)
+  }
+
+  val qSigIndexSql: String = {
+    s"""WITH docs2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0 THEN text || ' zz zz zz'
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id % 23 <> 0
+       |  UNION ALL
+       |  SELECT -doc_id, 'new ' || text
+       |  FROM documents
+       |  WHERE doc_id % 29 = 0 AND doc_id > 0 AND doc_id % 23 <> 0),
+       |toks AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+       |  FROM docs2),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  CAST(('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 15)) AS BIGINT) AS h
+       |  FROM toks, unnest(range(0, greatest(len(w) - 2, 0))) AS t(i))
+       |$minhashSelectSql""".stripMargin
+  }
+
   /** Shared CTE prefix of the probe oracle (through `pairs`+`sizes`),
     * reused by the D18 ingest-gate oracle. */
   private val dedupProbeCtes: String = {
@@ -1384,6 +1494,7 @@ object Dedup {
     "q_minhash_est" -> qMinhashEst,
     "q_dedup_probe" -> ((s, d) => qDedupProbe(s, d)),
     "q_dedup_ingest" -> ((s, d) => qDedupIngest(s, d)),
+    "q_sig_index" -> qSigIndex,
     "q_simhash" -> qSimhash,
     "q_embed_dup" -> ((s, d) => qEmbedDup(s, d)),
     "q_dup_spans" -> ((s, d) => qDupSpans(s, d)),
@@ -1402,6 +1513,7 @@ object Dedup {
     "q_minhash_est" -> qMinhashEstSql,
     "q_dedup_probe" -> qDedupProbeSql,
     "q_dedup_ingest" -> qDedupIngestSql,
+    "q_sig_index" -> qSigIndexSql,
     "q_simhash" -> qSimhashSql,
     "q_embed_dup" -> qEmbedDupSql,
     "q_dup_spans" -> qDupSpansSql,

@@ -38,7 +38,7 @@ object LakehouseQueries {
   private lazy val hookOnce: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => reclaim()))
 
-  private def tempDir(prefix: String): String = {
+  private[graft] def tempDir(prefix: String): String = {
     hookOnce
     val dir = Files.createTempDirectory(prefix)
     staged.synchronized { staged += dir }

@@ -55,6 +55,49 @@ class DedupSpec extends GraftSuite {
     assert((crossHigh -- probe.keySet).size <= math.max(1, crossHigh.size / 10))
   }
 
+  test("signature index refresh is incremental: change-sized commits, marker tracks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Snapshots
+    val corpus = java.nio.file.Files.createTempDirectory("graft_sigidx_c").toString
+    val index = java.nio.file.Files.createTempDirectory("graft_sigidx_i").toString + "/t"
+    (1L to 200L).map(k => (k, s"alpha beta gamma delta epsilon token$k end"))
+      .toDF("doc_id", "text").repartition(4).write.mode("overwrite").parquet(corpus)
+    Snapshots.init(spark, corpus) // corpus v0
+    assert(Dedup.refreshSignatureIndex(spark, corpus, index) == 0)
+    assert(Snapshots.read(spark, index).count() == 200)
+    val idxV0 = Snapshots.currentVersion(index)
+
+    // a no-change refresh commits NOTHING
+    assert(Dedup.refreshSignatureIndex(spark, corpus, index) == 0)
+    assert(Snapshots.currentVersion(index) == idxV0)
+
+    // mutate: 3 updates, 2 inserts, then a delete of 4 keys
+    Snapshots.mergeVersioned(spark, corpus,
+      Seq((5L, "changed text one two three four five"),
+        (6L, "changed text six seven eight nine ten"),
+        (7L, "changed text a b c d e f"),
+        (500L, "fresh doc alpha beta gamma fresh"),
+        (501L, "fresh doc delta epsilon zeta fresh"))
+        .toDF("doc_id", "text"), "doc_id") // corpus v1
+    Snapshots.deleteVersioned(spark, corpus, col("doc_id") % 50 === 0) // v2
+
+    assert(Dedup.refreshSignatureIndex(spark, corpus, index) == 2)
+    // incremental: exactly TWO index commits (the keyed merge of the
+    // changed docs and the keyed delete), not a rebuild
+    assert(Snapshots.currentVersion(index) == idxV0 + 2)
+
+    // the refreshed index is BIT-IDENTICAL to a full recompute of the
+    // corpus head (500 % 50 == 0: one fresh insert died immediately)
+    val viaRefresh = Snapshots.read(spark, index).collect()
+      .map(_.toSeq).toSet
+    val full = Dedup.minhash(Snapshots.read(spark, corpus)).collect()
+      .map(_.toSeq).toSet
+    assert(viaRefresh == full)
+    assert(Snapshots.read(spark, index)
+      .filter(col("doc_id") === 500L || col("doc_id") % 50 === 0).isEmpty)
+  }
+
   test("simhash of near-duplicate docs differ in few bits") {
     val fp = Dedup.qSimhash(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
