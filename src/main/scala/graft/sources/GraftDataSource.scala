@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
@@ -345,6 +345,10 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
   private val live: Seq[String] = Snapshots.liveFiles(path, version)
   private val stats: Map[String, Map[String, (String, String, String)]] =
     Snapshots.fileStats(path, version)
+  // A42: per-file null counts + row counts feed IS [NOT] NULL skipping
+  private val nulls: Map[String, Map[String, Long]] =
+    Snapshots.fileNulls(path, version)
+  private val rowsOf: Map[String, Long] = Snapshots.fileRows(path, version)
 
   // A41: the bloom index joins the skipping stack — a point predicate
   // on the indexed column probes the sidecar relation at PLAN time
@@ -427,7 +431,8 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
       val f = Snapshots.canonical(st.getPath.toString)
       val fileStat = stats.getOrElse(f, Map.empty)
       !excluded.contains(f) &&
-        dataFilters.forall(e => GraftFileIndex.survives(fileStat, e))
+        dataFilters.forall(e => GraftFileIndex.survives(fileStat,
+          nulls.getOrElse(f, Map.empty), rowsOf.get(f), e))
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
@@ -460,12 +465,21 @@ object GraftFileIndex {
       } catch { case _: NumberFormatException => None }
     }
 
-  /** Can a row of a file with `stats` satisfy `filter`? True = keep
-    * (including "don't know"); false = PROVEN impossible, prune. */
+  /** Can a row of a file with `stats` (+ A42 null counts and row
+    * count) satisfy `filter`? True = keep (including "don't know");
+    * false = PROVEN impossible, prune. */
   private[sources] def survives(stats: Map[String, (String, String, String)],
+      nulls: Map[String, Long], rows: Option[Long],
       filter: Expression): Boolean = filter match {
-    case And(l, r) => survives(stats, l) && survives(stats, r)
-    case Or(l, r)  => survives(stats, l) || survives(stats, r)
+    case And(l, r) => survives(stats, nulls, rows, l) &&
+      survives(stats, nulls, rows, r)
+    case Or(l, r)  => survives(stats, nulls, rows, l) ||
+      survives(stats, nulls, rows, r)
+    // A42: a zero-null file cannot satisfy IS NULL; an all-null file
+    // cannot satisfy IS NOT NULL
+    case IsNull(a: Attribute)    => !nulls.get(a.name).contains(0L)
+    case IsNotNull(a: Attribute) =>
+      !(rows.nonEmpty && nulls.get(a.name) == rows)
     case EqualTo(a: Attribute, Literal(v, _))       => contains(stats, a.name, v)
     case EqualTo(Literal(v, _), a: Attribute)       => contains(stats, a.name, v)
     case EqualNullSafe(a: Attribute, Literal(v, _)) =>
@@ -520,17 +534,21 @@ class GraftPartitionedFileIndex(spark: SparkSession, path: String,
   import org.apache.spark.sql.catalyst.expressions.{Predicate => CatalystPredicate}
   import org.apache.spark.unsafe.types.UTF8String
 
-  // (value, partition dir, its current version's live files + stats)
-  private val parts: Seq[(String, Seq[String], Map[String, Map[String, (String, String, String)]])] =
+  // (value, live files, range stats, null counts, row counts) of each
+  // partition's current version
+  private val parts: Seq[(String, Seq[String],
+      Map[String, Map[String, (String, String, String)]],
+      Map[String, Map[String, Long]], Map[String, Long])] =
     dirs.map { case (value, d) =>
       val v = Snapshots.currentVersion(d)
       (value, Snapshots.liveFiles(d, v).map(Snapshots.canonical),
-        Snapshots.fileStats(d, v))
+        Snapshots.fileStats(d, v), Snapshots.fileNulls(d, v),
+        Snapshots.fileRows(d, v))
     }
 
   private lazy val statusesOf: Map[String, Seq[org.apache.hadoop.fs.FileStatus]] = {
     val conf = spark.sessionState.newHadoopConf()
-    parts.map { case (value, files, _) =>
+    parts.map { case (value, files, _, _, _) =>
       value -> files.map { f =>
         val p = new Path(f)
         p.getFileSystem(conf).getFileStatus(p)
@@ -552,12 +570,13 @@ class GraftPartitionedFileIndex(spark: SparkSession, path: String,
     // reference list; the value row supplies that attribute
     val preds = partitionFilters.map(f =>
       CatalystPredicate.create(f, f.references.toSeq))
-    parts.collect { case (value, _, stats)
+    parts.collect { case (value, _, stats, pNulls, pRows)
         if preds.forall(_.eval(InternalRow(UTF8String.fromString(value)))) =>
       val kept = statusesOf(value).filter { st =>
-        val fileStat = stats.getOrElse(
-          Snapshots.canonical(st.getPath.toString), Map.empty)
-        dataFilters.forall(f => GraftFileIndex.survives(fileStat, f))
+        val f = Snapshots.canonical(st.getPath.toString)
+        val fileStat = stats.getOrElse(f, Map.empty)
+        dataFilters.forall(e => GraftFileIndex.survives(fileStat,
+          pNulls.getOrElse(f, Map.empty), pRows.get(f), e))
       }
       PartitionDirectory(InternalRow(UTF8String.fromString(value)),
         kept.toArray)

@@ -214,6 +214,26 @@ object Snapshots {
   // table. DV dead positions subtract via a DV-files-only count.
   private val RowsHeader = "#filerows="
 
+  // A42 — per-file NULL COUNTS (the third leg of Delta's
+  // min/max/nullCount stats triple), for every atomic top-level
+  // column, from the same one-scan commit aggregate: `IS NULL` prunes
+  // files with zero nulls in the column, `IS NOT NULL` prunes files
+  // that are entirely null there — the skipping min/max cannot
+  // express. Absence of a line = unknown = keep (legacy manifests
+  // stay sound).
+  private val NullsHeader = "#filenulls="
+
+  /** Per-file null counts recorded at `v`: file → col → nulls. */
+  private[sources] def fileNulls(path: String, v: Int): Map[String, Map[String, Long]] =
+    if (!hasVersion(path, v)) Map.empty
+    else Files.readAllLines(manifestPath(path, v)).asScala
+      .filter(_.startsWith(NullsHeader))
+      .map(_.stripPrefix(NullsHeader).split(StatsSep, -1))
+      .collect { case Array(f, c, n) => (f, c, n.toLong) }
+      .groupBy(_._1)
+      .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
+      .toMap
+
   /** Per-file row counts recorded at `v` (file → rows). */
   private[sources] def fileRows(path: String, v: Int): Map[String, Long] =
     Files.readAllLines(manifestPath(path, v)).asScala
@@ -230,20 +250,36 @@ object Snapshots {
     val df = spark.read.parquet(files: _*)
     val numCols = df.schema.fields
       .flatMap(f => statsTypeTag(f.dataType).map(t => (f.name, t)))
-    val aggs = count(lit(1)).as("__nr") +: numCols.toIndexedSeq.flatMap { case (c, _) =>
-      Seq(min(col(s"`$c`")).as(s"__mn_$c"), max(col(s"`$c`")).as(s"__mx_$c")) }
+    // A42: null counts cover every ATOMIC column (strings included),
+    // not just the numeric ones the range stats track
+    val atomicCols = df.schema.fields.toIndexedSeq.collect {
+      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+    }
+    val aggs = count(lit(1)).as("__nr") +:
+      (numCols.toIndexedSeq.flatMap { case (c, _) =>
+        Seq(min(col(s"`$c`")).as(s"__mn_$c"), max(col(s"`$c`")).as(s"__mx_$c")) } ++
+        atomicCols.map(c => count(col(s"`$c`")).as(s"__nn_$c")))
     val collected = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    val nnBase = 2 + 2 * numCols.length
     val lines = collected.toSeq.flatMap { r =>
       val f = canonical(r.getString(0))
-      val rowsLine = RowsHeader + Seq(f, r.getLong(1).toString).mkString(StatsSep)
-      rowsLine +: numCols.toIndexedSeq.zipWithIndex.flatMap { case ((c, t), i) =>
+      val nRows = r.getLong(1)
+      val rowsLine = RowsHeader + Seq(f, nRows.toString).mkString(StatsSep)
+      val rangeLines = numCols.toIndexedSeq.zipWithIndex.flatMap { case ((c, t), i) =>
         val mn = r.get(2 + 2 * i); val mx = r.get(3 + 2 * i)
         if (mn == null || mx == null) None
         else Some(StatsHeader + Seq(f, c, t, mn.toString, mx.toString)
           .mkString(StatsSep))
       }
+      val nullLines = atomicCols.zipWithIndex.map { case (c, i) =>
+        NullsHeader + Seq(f, c, (nRows - r.getLong(nnBase + i)).toString)
+          .mkString(StatsSep)
+      }
+      rowsLine +: (rangeLines ++ nullLines)
     }
     // an EMPTY staged part-file yields no aggregate group but is still
     // a live file — its row count is exactly zero, record it (column
@@ -262,7 +298,8 @@ object Snapshots {
     def fileOf(l: String, h: String) = l.stripPrefix(h).split(StatsSep, -1)(0)
     Files.readAllLines(manifestPath(path, v)).asScala.toSeq.filter { l =>
       (l.startsWith(StatsHeader) && keep.contains(fileOf(l, StatsHeader))) ||
-        (l.startsWith(RowsHeader) && keep.contains(fileOf(l, RowsHeader)))
+        (l.startsWith(RowsHeader) && keep.contains(fileOf(l, RowsHeader))) ||
+        (l.startsWith(NullsHeader) && keep.contains(fileOf(l, NullsHeader)))
     }
   }
 
@@ -283,6 +320,7 @@ object Snapshots {
     Files.readAllLines(manifestPath(path, v)).asScala.toSeq.flatMap { l =>
       if (l.startsWith(StatsHeader)) rewrite(l, StatsHeader)
       else if (l.startsWith(RowsHeader)) rewrite(l, RowsHeader)
+      else if (l.startsWith(NullsHeader)) rewrite(l, NullsHeader)
       else None
     }
   }

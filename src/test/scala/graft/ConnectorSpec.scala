@@ -100,6 +100,35 @@ class ConnectorSpec extends GraftSuite {
       .filter(col("u") === 999999937L).count() == 0)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL at the file level") {
+    val dir = Files.createTempDirectory("graft_conn_nulls").toString + "/t"
+    // two cleanly-aligned files: one with v entirely null, one with
+    // zero nulls — exactly the cases the null counts can decide
+    spark.range(1, 51).selectExpr("id AS k", "CAST(NULL AS BIGINT) AS v")
+      .coalesce(1).write.parquet(dir)
+    spark.range(51, 101).selectExpr("id AS k", "id AS v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Snapshots.init(spark, dir)
+
+    def scanned(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      d.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+    }
+    val isNull = spark.read.format("graft").load(dir).filter(col("v").isNull)
+    assert(isNull.count() == 50)
+    assert(scanned(spark.read.format("graft").load(dir)
+      .filter(col("v").isNull)) == 1)
+    val notNull = spark.read.format("graft").load(dir).filter(col("v").isNotNull)
+    assert(notNull.count() == 50)
+    assert(scanned(spark.read.format("graft").load(dir)
+      .filter(col("v").isNotNull)) == 1)
+    // any predicate on v implies IS NOT NULL: the all-null file is
+    // skipped for it too
+    assert(scanned(spark.read.format("graft").load(dir)
+      .filter(col("v") > 0L)) == 1)
+  }
+
   test("batch read refuses DV and column-mapped versions, loudly") {
     import spark.implicits._
     val dir = freshTable()
