@@ -1344,6 +1344,38 @@ object Dedup {
   val qDedupCcSql: String =
     ccCte + "\nSELECT doc_id, component FROM comp"
 
+  /** F31/D-composition — LEAKAGE-FREE train/holdout split: the split
+    * key is the near-dup COMPONENT representative, not the doc id, so
+    * an entire cluster of near-duplicates lands on ONE side — the ML
+    * hygiene a plain per-doc hash split (F) gets wrong: with per-doc
+    * hashing every cross-side near-dup pair is evaluation
+    * contamination. Singleton docs (no near-dup) are their own
+    * component, so they split exactly as the plain hash split would.
+    * Same 216/256 ≈ 84.4% train fraction and the same md5 bucket
+    * function as q_hash_split, applied to the component label.
+    */
+  def qLeakfreeSplit(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val cc = qDedupCc(s, d, tau) // (doc_id, component) for clustered docs
+    val bucket =
+      "CAST(conv(substr(md5(CAST(component AS STRING)), 1, 2), 16, 10) AS BIGINT)"
+    docs.join(cc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .selectExpr("doc_id", "component",
+        s"CASE WHEN $bucket < 216 THEN 'train' ELSE 'holdout' END AS split")
+  }
+
+  val qLeakfreeSplitSql: String =
+    ccCte +
+      """
+        |SELECT d.doc_id,
+        |  coalesce(comp.component, d.doc_id) AS component,
+        |  CASE WHEN CAST(('0x' || substr(md5(
+        |      coalesce(comp.component, d.doc_id)::VARCHAR), 1, 2)) AS BIGINT) < 216
+        |    THEN 'train' ELSE 'holdout' END AS split
+        |FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id""".stripMargin
+
   /** D14 — semantic dedup, cluster-pruned (SemDeDup, Abbas et al.
     * arXiv'23): embeddings are assigned to coarse-quantizer cells, and
     * ONLY within-cell pairs are cosine-compared; a vector is dropped
@@ -1495,6 +1527,7 @@ object Dedup {
     "q_dedup_probe" -> ((s, d) => qDedupProbe(s, d)),
     "q_dedup_ingest" -> ((s, d) => qDedupIngest(s, d)),
     "q_sig_index" -> qSigIndex,
+    "q_leakfree_split" -> ((s, d) => qLeakfreeSplit(s, d)),
     "q_simhash" -> qSimhash,
     "q_embed_dup" -> ((s, d) => qEmbedDup(s, d)),
     "q_dup_spans" -> ((s, d) => qDupSpans(s, d)),
@@ -1514,6 +1547,7 @@ object Dedup {
     "q_dedup_probe" -> qDedupProbeSql,
     "q_dedup_ingest" -> qDedupIngestSql,
     "q_sig_index" -> qSigIndexSql,
+    "q_leakfree_split" -> qLeakfreeSplitSql,
     "q_simhash" -> qSimhashSql,
     "q_embed_dup" -> qEmbedDupSql,
     "q_dup_spans" -> qDupSpansSql,

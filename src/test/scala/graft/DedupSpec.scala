@@ -98,6 +98,28 @@ class DedupSpec extends GraftSuite {
       .filter(col("doc_id") === 500L || col("doc_id") % 50 === 0).isEmpty)
   }
 
+  test("leakage-free split: no near-dup pair crosses sides, singletons match the plain split") {
+    val split = Dedup.qLeakfreeSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // THE property: every verified near-dup pair lands on one side
+    val pairs = Dedup.qJaccardPairs(spark, sf, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) split across sides") }
+    // both sides are populated (84.4% expected train fraction)
+    val sides = split.values.map(_._2).toSet
+    assert(sides == Set("train", "holdout"))
+    // a singleton (its own component) splits exactly as the per-doc
+    // hash split would — the gate changes nothing for clean docs
+    val plain = graft.operators.TextAnalysis.qHashSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    split.foreach { case (id, (comp, side)) =>
+      if (comp == id && !clustered.contains(id))
+        assert(side == plain(id), s"singleton $id diverged from plain split") }
+  }
+
   test("simhash of near-duplicate docs differ in few bits") {
     val fp = Dedup.qSimhash(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
