@@ -927,10 +927,23 @@ object Dedup {
       Snapshots.init(s, indexDir)
     } else if (from < to) {
       val ch = Snapshots.changesWithPayload(s, corpusDir, from, to, "doc_id")
+        .localCheckpoint()
       val ups = ch.filter(col("change_type") =!= "delete").drop("change_type")
-      if (!ups.isEmpty)
-        Snapshots.mergeVersioned(s, indexDir, minhashUncached(ups), "doc_id")
-      val dels = ch.filter(col("change_type") === "delete").select("doc_id")
+      // an updated doc whose new text has fewer than 3 tokens produces
+      // NO signature row (windowHashes needs one full window), so the
+      // keyed merge alone would leave its STALE pre-update signature in
+      // the index — a from-scratch rebuild has no row for it. Such
+      // upsert keys are deleted alongside the feed's deletes.
+      val newSigs = if (ups.isEmpty) None
+        else {
+          val sigs = minhashUncached(ups).localCheckpoint()
+          if (!sigs.isEmpty) Snapshots.mergeVersioned(s, indexDir, sigs, "doc_id")
+          Some(sigs)
+        }
+      val sigless = newSigs.map(sigs => ups.select("doc_id").distinct()
+          .join(sigs.select("doc_id"), Seq("doc_id"), "left_anti"))
+      val dels0 = ch.filter(col("change_type") === "delete").select("doc_id")
+      val dels = sigless.map(dels0.unionByName(_)).getOrElse(dels0)
       if (!dels.isEmpty)
         Snapshots.deleteVersionedKeys(s, indexDir, dels, "doc_id")
     }

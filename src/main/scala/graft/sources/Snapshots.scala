@@ -248,8 +248,16 @@ object Snapshots {
   private def statsLines(spark: SparkSession, files: Seq[String]): Seq[String] = {
     if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
+    // FloatType stats are aggregated AS DOUBLE: Float.toString("0.7")
+    // re-parsed with toDouble gives 0.7d > (0.7f widened) =
+    // 0.699999988…, so a float-recorded min can exceed the file's true
+    // min and an `=== 0.7f` probe would UNSOUNDLY prune a matching
+    // file. Float→double widening is exact and monotonic, and
+    // Double.toString round-trips, so the double-recorded range is the
+    // exact widened range the probe side compares against.
     val numCols = df.schema.fields
-      .flatMap(f => statsTypeTag(f.dataType).map(t => (f.name, t)))
+      .flatMap(f => statsTypeTag(f.dataType).map(t => (f.name, t,
+        f.dataType == org.apache.spark.sql.types.FloatType)))
     // A42: null counts cover every ATOMIC column (strings included),
     // not just the numeric ones the range stats track
     val atomicCols = df.schema.fields.toIndexedSeq.collect {
@@ -258,8 +266,9 @@ object Snapshots {
         !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
     }
     val aggs = count(lit(1)).as("__nr") +:
-      (numCols.toIndexedSeq.flatMap { case (c, _) =>
-        Seq(min(col(s"`$c`")).as(s"__mn_$c"), max(col(s"`$c`")).as(s"__mx_$c")) } ++
+      (numCols.toIndexedSeq.flatMap { case (c, _, isFloat) =>
+        val cc = if (isFloat) col(s"`$c`").cast("double") else col(s"`$c`")
+        Seq(min(cc).as(s"__mn_$c"), max(cc).as(s"__mx_$c")) } ++
         atomicCols.map(c => count(col(s"`$c`")).as(s"__nn_$c")))
     val collected = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -269,7 +278,7 @@ object Snapshots {
       val f = canonical(r.getString(0))
       val nRows = r.getLong(1)
       val rowsLine = RowsHeader + Seq(f, nRows.toString).mkString(StatsSep)
-      val rangeLines = numCols.toIndexedSeq.zipWithIndex.flatMap { case ((c, t), i) =>
+      val rangeLines = numCols.toIndexedSeq.zipWithIndex.flatMap { case ((c, t, _), i) =>
         val mn = r.get(2 + 2 * i); val mx = r.get(3 + 2 * i)
         if (mn == null || mx == null) None
         else Some(StatsHeader + Seq(f, c, t, mn.toString, mx.toString)
@@ -576,10 +585,27 @@ object Snapshots {
     val rows = df.select(input_file_name().as("file"),
         col(s"`$column`").cast("long").as("__k"))
       .filter(col("__k").isNotNull)
-    val sized = rows.groupBy("file").agg(count(lit(1)).as("__n"))
-      .select(col("file"),
-        (ceil(greatest(col("__n") * bitsPerRow, lit(64)) / 64.0) * 64)
-          .cast("int").as("m"))
+    // filter size per file, computed AS LONG and validated before the
+    // int-positioned kernel sees it: at the default 10 bits/row a file
+    // beyond ~214 M rows would overflow Int and produce a negative (or
+    // silently wrapped, mis-sized) m — fail loudly here instead. The
+    // per-file sizes are collected once (|staged files| rows, bounded
+    // by the commit like the statsLines collect) and re-issued as a
+    // broadcastable local relation for the join.
+    import spark.implicits._
+    val sizedRows: Array[(String, Long)] =
+      rows.groupBy("file").agg(count(lit(1)).as("__n"))
+        .select(col("file"),
+          (ceil(greatest(col("__n") * bitsPerRow, lit(64)) / 64.0) * 64)
+            .cast("long").as("mL"))
+        .as[(String, Long)].collect()
+    sizedRows.find(_._2 > Int.MaxValue).foreach { case (f, m) =>
+      throw new IllegalArgumentException(
+        s"bloom filter for $f needs $m bits (> Int.MaxValue); " +
+          "lower bitsPerRow or split the file before indexing")
+    }
+    val sized = sizedRows.map { case (f, m) => (f, m.toInt) }.toSeq
+      .toDF("file", "m")
     val posCol = graft.functions.bloom_positions(col("__k"), col("m"))
     val words = rows.join(sized, "file")
       .select(col("file"), col("m"), explode(posCol).as("p"))
@@ -641,6 +667,24 @@ object Snapshots {
       s"bloom index already on '${bloomColOf(path, v).get._1}' (one per table)")
     require(bitsPerRow >= 2 && bitsPerRow <= 64, "bitsPerRow in [2, 64]")
     val live = liveFiles(path, v)
+    // the build casts the column to long: on a string/decimal column
+    // that silently nulls non-numeric values, committing a partial (or
+    // empty) index with the property still set — later point lookups
+    // would degrade to full scans with no signal. Require an integral
+    // column in the table's schema up front.
+    tableSchema(path, v).orElse(
+      if (live.isEmpty) None else Some(spark.read.parquet(live: _*).schema))
+      .foreach { schema0 =>
+        val field = schema0.fields.find(_.name == column).getOrElse(
+          throw new IllegalArgumentException(
+            s"bloom column '$column' not in table schema " +
+              schema0.fieldNames.mkString(", ")))
+        import org.apache.spark.sql.types._
+        require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+            .contains(field.dataType),
+          s"bloom index needs an integral column; '$column' is " +
+            field.dataType.simpleString)
+      }
     val refs = stageBloomSidecar(spark, path, v + 1, live, column, bitsPerRow)
     commitNext(path, v, live, tableSchema(path, v),
       carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty),
@@ -887,7 +931,15 @@ object Snapshots {
           (parseBloomIdx(prev) ++ bloomExtra).map(canonical)
             .distinct.sorted.map(BloomIdxHeader + _)
       }
-      val lines = Seq(TsHeader + System.currentTimeMillis()) ++
+      // commit timestamps must be MONOTONIC in version (Delta adjusts
+      // them the same way): with clock skew a later version could
+      // record an earlier instant and TIMESTAMP AS OF would resolve to
+      // an older version than one already committed at that time
+      val prevTs = prev.find(_.startsWith(TsHeader))
+        .flatMap(_.stripPrefix(TsHeader).trim.toLongOption)
+        .getOrElse(Long.MinValue)
+      val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+      val lines = Seq(TsHeader + ts) ++
         schema.map(s => SchemaHeader + s.json).toSeq ++
         flag ++ cons ++ clusterLines ++ bloomLines ++
         cdf.map(fs => Seq(CdfOkHeader) ++

@@ -443,4 +443,43 @@ class ConnectorSpec extends GraftSuite {
         Seq((9L, "delete", 2), (200L, "insert", 3)))
     } finally q3.stop()
   }
+
+  test("float column stats prune soundly: a float point probe keeps its file") {
+    import spark.implicits._
+    // 0.7f widens to 0.699999988…; a Float.toString-recorded min ("0.7")
+    // re-parsed as double is 0.69999999999999996 — ABOVE the true widened
+    // min — so `f === 0.7f` would prove the file cannot match and prune
+    // it, silently losing the row. Stats are now aggregated as double
+    // (exact widening, round-tripping toString), so the probe survives.
+    val dir = Files.createTempDirectory("graft_conn_float").toString + "/t"
+    Seq((1L, 0.7f), (2L, 0.9f)).toDF("k", "f").coalesce(1).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val hit = spark.read.format("graft").load(dir).filter(col("f") === 0.7f)
+    assert(hit.count() == 1)
+    assert(hit.select("k").head().getLong(0) == 1L)
+    // and the range pruning still WORKS on floats: a value outside the
+    // recorded range scans zero files
+    val miss = spark.read.format("graft").load(dir).filter(col("f") === 5.5f)
+    miss.collect()
+    val scanned = miss.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+    assert(scanned == 0, s"expected 0 files scanned, got $scanned")
+  }
+
+  test("commit timestamps are strictly monotonic across rapid commits") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    // commits landing within one wall-clock millisecond must still
+    // record strictly increasing instants, or TIMESTAMP AS OF between
+    // them is ill-defined (the Delta commit-time adjustment)
+    (1 to 5).foreach { i =>
+      Snapshots.mergeVersioned(spark, dir,
+        Seq((i.toLong, s"U$i", 9L)).toDF("k", "payload", "gen"), "k")
+    }
+    val ts = (0 to Snapshots.currentVersion(dir))
+      .map(v => Snapshots.commitTime(dir, v).get)
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"commit times not strictly increasing: $ts")
+  }
 }

@@ -98,6 +98,33 @@ class DedupSpec extends GraftSuite {
       .filter(col("doc_id") === 500L || col("doc_id") % 50 === 0).isEmpty)
   }
 
+  test("signature index refresh: docs shrunk below one window drop from the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Snapshots
+    val corpus = java.nio.file.Files.createTempDirectory("graft_sigidx_s").toString
+    val index = java.nio.file.Files.createTempDirectory("graft_sigidx_si").toString + "/t"
+    (1L to 50L).map(k => (k, s"alpha beta gamma delta token$k"))
+      .toDF("doc_id", "text").repartition(2).write.mode("overwrite").parquet(corpus)
+    Snapshots.init(spark, corpus)
+    Dedup.refreshSignatureIndex(spark, corpus, index)
+    assert(Snapshots.read(spark, index).filter(col("doc_id") === 5L).count() == 1)
+    // shrink doc 5 below one 3-token shingle window (no signature row
+    // from the recompute — the keyed merge alone would leave its STALE
+    // pre-update signature); insert doc 900 sub-window from birth
+    Snapshots.mergeVersioned(spark, corpus,
+      Seq((5L, "tiny"), (900L, "x y")).toDF("doc_id", "text"), "doc_id")
+    Dedup.refreshSignatureIndex(spark, corpus, index)
+    val idx = Snapshots.read(spark, index)
+    assert(idx.filter(col("doc_id") === 5L).isEmpty,
+      "stale signature survived the shrink")
+    assert(idx.filter(col("doc_id") === 900L).isEmpty)
+    // bit-identical to a full rebuild over the corpus head
+    val full = Dedup.minhash(Snapshots.read(spark, corpus)).collect()
+      .map(_.toSeq).toSet
+    assert(idx.collect().map(_.toSeq).toSet == full)
+  }
+
   test("leakage-free split: no near-dup pair crosses sides, singletons match the plain split") {
     val split = Dedup.qLeakfreeSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap

@@ -1207,6 +1207,26 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.reindexBloom(spark, dir) == 4)
   }
 
+  test("bloom index refuses non-integral and missing columns up front") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bloom_badcol").toString + "/t"
+    Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("k", "s", "d")
+      .write.parquet(dir)
+    Snapshots.init(spark, dir)
+    // a string column would cast("long") to all-nulls: the property
+    // would commit with an empty index and every later point lookup
+    // silently degrades to a full scan — refuse instead
+    intercept[IllegalArgumentException] {
+      Snapshots.addBloomIndex(spark, dir, "s") }
+    intercept[IllegalArgumentException] {
+      Snapshots.addBloomIndex(spark, dir, "d") }
+    intercept[IllegalArgumentException] {
+      Snapshots.addBloomIndex(spark, dir, "nope") }
+    // and the refusals committed nothing
+    assert(Snapshots.currentVersion(dir) == 0)
+    assert(Snapshots.bloomColOf(dir, 0).isEmpty)
+  }
+
   test("vacuum dry run plans without touching; time-based retention uses commit timestamps") {
     import spark.implicits._
     val dir = freshTable()
