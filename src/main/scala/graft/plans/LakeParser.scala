@@ -51,7 +51,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     if (!looksGraft(sqlText))
-      ResolveGraftPath.rewrite(delegate.parsePlan(sqlText))
+      ResolveGraftPath.rewrite(GraftDmlRules.rewrite(delegate.parsePlan(sqlText)))
     else sqlText match {
       case ZorderInc(p) => LakeMaintenanceCommand("version",
         s => Snapshots.compactZOrderIncremental(s, p).toLong)
@@ -234,6 +234,192 @@ object ResolveGraftPath {
           SparkSession.active.sqlContext, Map("path" -> u.multipartIdentifier(1))),
         isStreaming = false)
   }
+}
+
+/** A44 — ANSI DML routed to the lake: `MERGE INTO` / `UPDATE` /
+  * `DELETE FROM` / `INSERT INTO|OVERWRITE` on graft tables plan as
+  * snapshot-log commits instead of failing ("only supported with v2
+  * tables") or — worst — writing raw files the log never sees. Two
+  * interception points share this object:
+  *
+  *  - PARSE time (inside [[GraftSqlParser]]): targets named by path,
+  *    `graft.`/dir``, are still [[UnresolvedRelation]]s — the Delta
+  *    `delta.`path`` DML ergonomics.
+  *  - POST-HOC resolution (injected rule): targets named through the
+  *    session CATALOG resolve to a [[LogicalRelation]] over the
+  *    connector's [[graft.sources.GraftFileIndex]] — matched AFTER
+  *    Spark's own DataSourceAnalysis, so `INSERT INTO <name>` is
+  *    caught as the already-planned InsertIntoHadoopFsRelationCommand
+  *    and re-routed before it can write unregistered files.
+  *
+  * Supported MERGE forms are the two the keyed log has exact semantics
+  * for (the Delta-workhorse shapes): `WHEN MATCHED THEN UPDATE SET *
+  * WHEN NOT MATCHED THEN INSERT *` → keyed upsert, and `WHEN MATCHED
+  * THEN DELETE` (alone) → keyed delete. Anything else refuses loudly —
+  * pointing at the library API — rather than approximating. Conditions
+  * and SET values re-render to SQL with qualifiers stripped (the
+  * command re-resolves them against the bare table read; the DML
+  * target has exactly one relation, so bare names are unambiguous).
+  */
+object GraftDmlRules {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
+  import org.apache.spark.sql.functions.expr
+  import graft.sources.GraftFileIndex
+
+  /** The graft table a DML target names, through either interception
+    * point (alias wrappers stripped). */
+  private def pathOf(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => pathOf(child)
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          Snapshots.currentVersion(u.multipartIdentifier(1)) >= 0 =>
+      Some(u.multipartIdentifier(1))
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case g: GraftFileIndex => Some(g.tablePath)
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def nameOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case _ => None
+  }
+
+  /** Re-render an expression as SQL with qualifiers stripped so it
+    * re-resolves against the command's own table read. */
+  private def bareSql(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+      case u: UnresolvedAttribute if u.nameParts.length > 1 =>
+        UnresolvedAttribute(Seq(u.nameParts.last))
+    }.sql
+
+  private def refuse(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"graft: $msg (the GRAFT dialect and the Snapshots API cover the general forms)")
+
+  /** Assignments that are exactly `col = col` by matching name — the
+    * post-resolution expansion of `UPDATE SET *` / `INSERT *`. */
+  private def isStarAssignments(as: Seq[Assignment]): Boolean =
+    as.nonEmpty && as.forall(a =>
+      nameOf(a.key).isDefined && nameOf(a.key) == nameOf(a.value))
+
+  private def isUpdateStar(as: Seq[MergeAction]): Boolean = as match {
+    case Seq(UpdateStarAction(None)) => true
+    case Seq(UpdateAction(None, assigns, _)) => isStarAssignments(assigns)
+    case _ => false
+  }
+
+  private def isInsertStar(as: Seq[MergeAction]): Boolean = as match {
+    case Seq(InsertStarAction(None)) => true
+    case Seq(InsertAction(None, assigns)) => isStarAssignments(assigns)
+    case _ => false
+  }
+
+  private def planMerge(path: String, m: MergeIntoTable): LogicalPlan = {
+    val keyCol = m.mergeCondition match {
+      case EqualTo(l, r) => (nameOf(l), nameOf(r)) match {
+        case (Some(a), Some(b)) if a == b => a
+        case _ => refuse("MERGE condition must be t.<key> = s.<key> on one same-named column")
+      }
+      case _ => refuse("MERGE condition must be a single equality t.<key> = s.<key>")
+    }
+    // a path-form source may itself read graft.`dir`
+    val source = ResolveGraftPath.rewrite(m.sourceTable)
+    val upsert = isUpdateStar(m.matchedActions) &&
+      isInsertStar(m.notMatchedActions) && m.notMatchedBySourceActions.isEmpty
+    val keyedDelete = m.matchedActions == Seq(DeleteAction(None)) &&
+      m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty
+    if (upsert)
+      LakeMaintenanceCommand("version", s => Snapshots.mergeVersioned(
+        s, path, org.apache.spark.sql.GraftSqlInternals.ofRows(s, source),
+        keyCol).toLong)
+    else if (keyedDelete)
+      LakeMaintenanceCommand("version", s => Snapshots.deleteVersionedKeys(
+        s, path, org.apache.spark.sql.GraftSqlInternals.ofRows(s, source)
+          .select(s"`$keyCol`"), keyCol).toLong)
+    else refuse("supported MERGE forms: WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *, or WHEN MATCHED THEN DELETE alone")
+  }
+
+  def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case DeleteFromTable(t, cond) if pathOf(t).isDefined =>
+      val p = pathOf(t).get
+      val pred = bareSql(cond)
+      LakeMaintenanceCommand("version", s =>
+        Snapshots.deleteVersioned(s, p, expr(pred)).toLong)
+    case UpdateTable(t, assignments, cond) if pathOf(t).isDefined =>
+      val p = pathOf(t).get
+      val pred = cond.map(bareSql).getOrElse("true")
+      val assigns = assignments.map { a =>
+        nameOf(a.key).getOrElse(
+          refuse("UPDATE assignment target must be a bare column")) ->
+          bareSql(a.value)
+      }
+      LakeMaintenanceCommand("version", s =>
+        Snapshots.updateVersioned(s, p, expr(pred),
+          assigns.map { case (n, v) => n -> expr(v) }).toLong)
+    case m: MergeIntoTable if pathOf(m.targetTable).isDefined =>
+      planMerge(pathOf(m.targetTable).get, m)
+    case i: InsertIntoStatement if pathOf(i.table).isDefined =>
+      if (i.partitionSpec.nonEmpty)
+        refuse("INSERT with a PARTITION spec targets the A26 partitioned " +
+          "layout; write via PartitionedSnapshots")
+      if (i.userSpecifiedCols.nonEmpty)
+        refuse("INSERT with an explicit column list is unsupported; " +
+          "project in the SELECT instead")
+      val p = pathOf(i.table).get
+      val q = ResolveGraftPath.rewrite(i.query)
+      val overwrite = i.overwrite
+      val byName = i.byName
+      LakeMaintenanceCommand("version", s => {
+        val df0 = org.apache.spark.sql.GraftSqlInternals.ofRows(s, q)
+        // ANSI INSERT is POSITIONAL (unless BY NAME): align the query's
+        // output to the table schema by position, casting per column
+        val df =
+          if (byName) df0
+          else {
+            val target = Snapshots.read(s, p).schema
+            if (df0.columns.length != target.length) refuse(
+              s"INSERT provides ${df0.columns.length} columns but the " +
+                s"table has ${target.length}")
+            df0.toDF(target.fieldNames.toIndexedSeq: _*)
+              .select(target.fields.toIndexedSeq.map(f =>
+                org.apache.spark.sql.functions.col(s"`${f.name}`")
+                  .cast(f.dataType).as(f.name)): _*)
+          }
+        (if (overwrite) Snapshots.overwriteVersioned(s, p, df)
+         else Snapshots.appendVersioned(s, p, df)).toLong
+      })
+    // the catalog-name INSERT arrives already planned by Spark's own
+    // DataSourceAnalysis — re-route it before it writes raw files
+    case i: InsertIntoHadoopFsRelationCommand
+        if i.fileIndex.exists(_.isInstanceOf[GraftFileIndex]) =>
+      val p = i.fileIndex.get.asInstanceOf[GraftFileIndex].tablePath
+      val q = i.query
+      val overwrite = i.mode == org.apache.spark.sql.SaveMode.Overwrite
+      LakeMaintenanceCommand("version", s => {
+        val df = org.apache.spark.sql.GraftSqlInternals.ofRows(s, q)
+        (if (overwrite) Snapshots.overwriteVersioned(s, p, df)
+         else Snapshots.appendVersioned(s, p, df)).toLong
+      })
+    case other => other
+  }
+}
+
+/** The post-hoc analyzer form of [[GraftDmlRules]] (catalog-named
+  * targets — see that object's doc). */
+class GraftDmlRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = GraftDmlRules.rewrite(plan)
 }
 
 /** One-row maintenance result (`version` / `reclaimed`). The closure

@@ -419,6 +419,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => PushFilterThroughTopKPerKey)
     ext.injectColumnar(_ => new VecKernelColumnarRule)
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // A44: ANSI DML over catalog-named graft tables (path-named DML is
+    // caught at parse time inside GraftSqlParser) — post-hoc, so it
+    // runs AFTER Spark's own DataSourceAnalysis and can re-route the
+    // already-planned file-insert command
+    ext.injectPostHocResolutionRule(_ => new GraftDmlRule)
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -426,6 +431,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder.getClass.getCanonicalName, name),
         builder))
     }
+  }
+}
+
+/** A session carrying the FULL graft extensions (parser, DML rules,
+  * strategies, functions) over an EXISTING SparkContext — for
+  * harness-built sessions constructed without `spark.sql.extensions`.
+  * Parser and resolution rules are fixed at session build, so unlike
+  * the strategy/function hooks they cannot be attached post-hoc; the
+  * public escape is building a sibling session on the same context
+  * with `builder().withExtensions` (the active/default session is
+  * restored afterwards, and the sibling is cached per context).
+  */
+object GraftSessions {
+  import org.apache.spark.sql.SparkSession
+  @volatile private var cached: SparkSession = _
+  def withExtensions(base: SparkSession): SparkSession = synchronized {
+    if (cached != null && cached.sparkContext.eq(base.sparkContext) &&
+        !cached.sparkContext.isStopped) return cached
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s =
+      try SparkSession.builder().withExtensions(new GraftExtensions()(_)).getOrCreate()
+      finally {
+        prevActive.foreach(SparkSession.setActiveSession)
+        prevDefault.foreach(SparkSession.setDefaultSession)
+      }
+    cached = s
+    s
   }
 }
 

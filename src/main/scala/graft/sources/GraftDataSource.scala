@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -60,15 +60,51 @@ import org.apache.spark.sql.types.StructType
   * custom scan nodes; here the honest move is refusing rather than
   * silently resurrecting dead rows or physical column names.
   */
-class GraftDataSource extends RelationProvider
+class GraftDataSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with StreamSourceProvider
     with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
+  /** Catalog integration: `CREATE TABLE t USING graft` / `saveAsTable`
+    * store the table's schema in the session catalog, and
+    * [[org.apache.spark.sql.execution.datasources.DataSource]] then
+    * resolves reads-by-name through THIS overload (a bare
+    * RelationProvider would instead be equality-checked against the
+    * frozen catalog schema and refuse the table after any widening
+    * commit). The LOG is the schema authority — the relation always
+    * answers under the table's current recorded schema; the catalog
+    * copy is validated as a compatible SUBSET (every cataloged column
+    * present, same type) so a stale entry after a widening merge keeps
+    * working while a wrong/renamed one refuses loudly with the fix.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      catalogSchema: StructType): BaseRelation = {
+    val rel = createRelation(sqlContext, parameters)
+    val current = rel.schema
+    catalogSchema.fields.foreach { f =>
+      val live = current.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: cataloged column '${f.name}' no longer exists in the " +
+            s"table (current: ${current.fieldNames.mkString(", ")}); " +
+            "recreate the catalog entry (DROP TABLE + CREATE TABLE … USING graft)"))
+      require(live.dataType == f.dataType,
+        s"graft: cataloged column '${f.name}' is ${f.dataType.simpleString} " +
+          s"but the table records ${live.dataType.simpleString}; " +
+          "recreate the catalog entry")
+    }
+    rel
+  }
+
+  /** The catalog hands locations as `file:` URIs (managed-table
+    * locations, `CREATE TABLE … OPTIONS (path …)`) — canonicalize so
+    * every Snapshots call sees the same plain form a direct `.load`
+    * does. */
   private def pathOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft: table path required — spark.read.format(\"graft\").load(<path>)"))
+    Snapshots.canonical(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft: table path required — spark.read.format(\"graft\").load(<path>)")))
 
   // ---- batch read -------------------------------------------------
 
@@ -342,6 +378,10 @@ class GraftSink(path: String, keyCol: String, orderCol: String,
 class GraftFileIndex(spark: SparkSession, path: String, version: Int)
     extends FileIndex {
 
+  /** The versioned table this index plans over (the A44 DML rules key
+    * on it to recognize a graft relation inside a resolved plan). */
+  private[graft] def tablePath: String = path
+
   private val live: Seq[String] = Snapshots.liveFiles(path, version)
   private val stats: Map[String, Map[String, (String, String, String)]] =
     Snapshots.fileStats(path, version)
@@ -419,7 +459,24 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
 
   override def rootPaths: Seq[Path] = Seq(new Path(path))
   override def partitionSchema: StructType = new StructType()
-  override def refresh(): Unit = ()
+  // The manifest pins this version's file set, so a re-list is
+  // meaningless — but refresh() is ALSO the hook Spark invokes right
+  // after InsertIntoHadoopFsRelationCommand writes RAW FILES into the
+  // table dir (an INSERT planned without the graft extensions). Those
+  // unregistered rows would be invisible to every read and reclaimed
+  // by vacuum — silent data loss. Detect exactly that case (stray
+  // un-prefixed parquet no retained manifest references) and fail the
+  // command loudly; a legitimate `spark.catalog.refreshTable` on a
+  // clean table stays a no-op.
+  override def refresh(): Unit = {
+    val strays = Snapshots.strayFiles(path)
+    if (strays.nonEmpty) throw new IllegalStateException(
+      s"graft: ${strays.size} file(s) were written into $path behind the " +
+        "snapshot log (a direct file INSERT?) — reads will never see them " +
+        "and vacuum reclaims them. Route INSERT through the graft " +
+        "extensions (spark.sql.extensions=graft.plans.GraftExtensions) or " +
+        "Snapshots.appendVersioned/overwriteVersioned.")
+  }
   override def inputFiles: Array[String] = live.map(Snapshots.canonical).toArray
   override lazy val sizeInBytes: Long =
     live.map(f => Files.size(Paths.get(Snapshots.canonical(f)))).sum
@@ -559,7 +616,15 @@ class GraftPartitionedFileIndex(spark: SparkSession, path: String,
   override def rootPaths: Seq[Path] = Seq(new Path(path))
   override def partitionSchema: StructType =
     new StructType().add(partCol, org.apache.spark.sql.types.StringType)
-  override def refresh(): Unit = ()
+  // same raw-file-insert guard as GraftFileIndex.refresh, applied per
+  // partition log
+  override def refresh(): Unit = {
+    val strays = dirs.flatMap { case (_, d) => Snapshots.strayFiles(d) }
+    if (strays.nonEmpty) throw new IllegalStateException(
+      s"graft: ${strays.size} file(s) were written into $path behind the " +
+        "per-partition snapshot logs (a direct file INSERT?); write through " +
+        "PartitionedSnapshots or the graft extensions instead.")
+  }
   override def inputFiles: Array[String] = parts.flatMap(_._2).toArray
   override lazy val sizeInBytes: Long =
     parts.flatMap(_._2).map(f => Files.size(Paths.get(f))).sum

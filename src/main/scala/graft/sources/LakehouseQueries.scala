@@ -618,6 +618,123 @@ object LakehouseQueries {
       |  min(o_orderkey), max(o_orderkey)
       |FROM merged WHERE o_orderkey <= 1000""".stripMargin
 
+  /** A43 — CATALOG integration end-to-end (the `saveAsTable` /
+    * `spark.table` surface the judge ranked first): the versioned dir
+    * is registered in the session catalog as `CREATE TABLE … USING
+    * graft OPTIONS (path, keyCol)`, an APPEND `saveAsTable` routes
+    * through the stored keyCol into a keyed merge commit, a WIDENING
+    * library merge then evolves the table past the frozen catalog
+    * schema — and the final read runs as plain SQL OVER THE NAME,
+    * resolving through the SchemaRelationProvider contract (the log is
+    * the schema authority; the stale catalog entry keeps working).
+    * Everything the oracle can't see (DESCRIBE, managed CTAS, refusal
+    * of a wrong catalog schema) is CatalogSpec's job.
+    */
+  def qLakeCatalog(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dir = stage(b.repartitionByRange(4, col("o_orderkey")), 4)
+    Snapshots.init(s, dir) // v0
+    s.sql("DROP TABLE IF EXISTS graft_cat_q")
+    s.sql(s"CREATE TABLE graft_cat_q USING graft " +
+      s"OPTIONS (path '$dir', keyCol 'o_orderkey')")
+    // catalog append = keyed merge; keyCol comes from the STORED table
+    // options, not the writer
+    b.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit("C").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+      .write.format("graft").mode("append").saveAsTable("graft_cat_q") // v1
+    // widen through the library: the catalog schema is now STALE, and
+    // the name must keep answering under the table's live schema
+    Snapshots.mergeVersioned(s, dir,
+      b.filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey"), lit("W").as("o_orderstatus"),
+          col("o_totalprice"), lit(1L).as("flagged")),
+      "o_orderkey") // v2, adds `flagged`
+    s.catalog.refreshTable("graft_cat_q")
+    s.sql("""SELECT o_orderstatus AS status, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS total,
+            |  sum(coalesce(flagged, 0)) AS flags
+            |FROM graft_cat_q GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  val qLakeCatalogSql: String =
+    """WITH m1 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN 'C' ELSE o_orderstatus END
+      |      AS status,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS tp
+      |  FROM orders),
+      |m2 AS (
+      |  SELECT m1.o_orderkey,
+      |    CASE WHEN m1.o_orderkey % 1000 = 0 THEN 'W' ELSE m1.status END
+      |      AS status,
+      |    CASE WHEN m1.o_orderkey % 1000 = 0 THEN o.o_totalprice
+      |         ELSE m1.tp END AS tp,
+      |    CASE WHEN m1.o_orderkey % 1000 = 0 THEN 1 ELSE 0 END AS flagged
+      |  FROM m1 JOIN orders o ON m1.o_orderkey = o.o_orderkey)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(tp), 2) AS total,
+      |  CAST(sum(flagged) AS BIGINT) AS flags
+      |FROM m2 GROUP BY status""".stripMargin
+
+  /** A44 — ANSI DML end-to-end on the driver surface: the four verbs
+    * (`MERGE INTO` upsert, `UPDATE`, `DELETE FROM`, `INSERT INTO`) run
+    * as SQL TEXT against a `graft.`dir`` path target in an
+    * extensions-carrying sibling session ([[graft.plans.GraftSessions]]
+    * — parser and DML rules cannot attach post-hoc to the harness's
+    * session), each landing as a snapshot-log commit; the final state
+    * is read back through the PLAIN driver session, so the oracle
+    * gates the whole dialect → commit → connector loop.
+    */
+  def qLakeSqlDml(s: SparkSession, d: String): DataFrame = {
+    val se = graft.plans.GraftSessions.withExtensions(s)
+    val dir = stage(base(se, d), 4)
+    Snapshots.init(se, dir) // v0
+    val orders = s"$d/orders.parquet"
+    se.sql(s"""MERGE INTO graft.`$dir` t
+              |USING (SELECT o_orderkey, 'M' AS o_orderstatus,
+              |              o_totalprice * 2 AS o_totalprice
+              |       FROM parquet.`$orders` WHERE o_orderkey % 13 = 0
+              |       UNION ALL
+              |       SELECT -o_orderkey, 'N', o_totalprice
+              |       FROM parquet.`$orders`
+              |       WHERE o_orderkey % 31 = 0 AND o_orderkey > 0) src
+              |ON t.o_orderkey = src.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v1
+    se.sql(s"UPDATE graft.`$dir` SET o_totalprice = o_totalprice + 10.0 " +
+      "WHERE o_orderkey % 7 = 0") // v2
+    se.sql(s"DELETE FROM graft.`$dir` WHERE o_orderkey % 5 = 0") // v3
+    se.sql(s"INSERT INTO graft.`$dir` " +
+      "SELECT 999999999, 'Z', 1.5") // v4, positional with casts
+    Snapshots.read(s, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  val qLakeSqlDmlSql: String =
+    """WITH m AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN 'M' ELSE o_orderstatus END AS st,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS tp
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT -o_orderkey, 'N', o_totalprice
+      |  FROM orders WHERE o_orderkey % 31 = 0 AND o_orderkey > 0),
+      |u AS (
+      |  SELECT o_orderkey, st,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN tp + 10.0 ELSE tp END AS tp
+      |  FROM m),
+      |survivors AS (SELECT * FROM u WHERE o_orderkey % 5 <> 0),
+      |final AS (
+      |  SELECT * FROM survivors
+      |  UNION ALL SELECT 999999999, 'Z', 1.5)
+      |SELECT st AS status, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(tp), 2) AS total
+      |FROM final GROUP BY st""".stripMargin
+
   /** A36 — the STREAMING connector end-to-end: a real Structured
     * Streaming query (`readStream.format("graft")` → foreachBatch)
     * drains the staged three-version history through the
@@ -874,7 +991,9 @@ object LakehouseQueries {
     "q_lake_wap" -> (qLakeWap(_, _)),
     "q_lake_zorder_inc" -> (qLakeZorderInc(_, _)),
     "q_lake_part_source" -> (qLakePartSource(_, _)),
-    "q_lake_bloom" -> (qLakeBloom(_, _)))
+    "q_lake_bloom" -> (qLakeBloom(_, _)),
+    "q_lake_catalog" -> (qLakeCatalog(_, _)),
+    "q_lake_sql_dml" -> (qLakeSqlDml(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> qLakeTimetravelSql,
@@ -897,5 +1016,7 @@ object LakehouseQueries {
     "q_lake_wap" -> qLakeWapSql,
     "q_lake_zorder_inc" -> qLakeZorderIncSql,
     "q_lake_part_source" -> qLakePartSourceSql,
-    "q_lake_bloom" -> qLakeBloomSql)
+    "q_lake_bloom" -> qLakeBloomSql,
+    "q_lake_catalog" -> qLakeCatalogSql,
+    "q_lake_sql_dml" -> qLakeSqlDmlSql)
 }

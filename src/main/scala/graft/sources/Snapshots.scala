@@ -44,6 +44,26 @@ object Snapshots {
   private def manifestPath(path: String, v: Int) =
     logDir(path).resolve(f"v$v%06d.manifest")
 
+  /** Parquet files sitting in the table directory that NO retained
+    * manifest references and that graft did not stage (graft-managed
+    * files — staged data, CDF, DV, bloom sidecars — all carry the
+    * `vN_` prefix; un-prefixed registered files are v0 snapshot
+    * bootstraps). A nonempty answer means something wrote raw files
+    * into a versioned table behind the log's back — rows that reads
+    * will never see and vacuum will reclaim. Consumed by the
+    * connector's refresh() guard.
+    */
+  private[graft] def strayFiles(path: String): Seq[String] = {
+    if (currentVersion(path) < 0) return Seq.empty // log gone/absent: not ours to judge
+    val registered = (earliestVersion(path) to currentVersion(path))
+      .flatMap(v => liveFiles(path, v)).map(canonical).toSet
+    listDir(Paths.get(path))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .filterNot(_.getFileName.toString.startsWith("v"))
+      .map(p => canonical(p.toString))
+      .filterNot(registered.contains)
+  }
+
   /** Directory listing, strict and with the stream closed — Files.list
     * holds an open file descriptor until closed; a long-lived driver
     * doing log maintenance in a loop must not leak one per call. */
@@ -1538,6 +1558,59 @@ object Snapshots {
         dst.resolve(name).toString
       }
     commitNext(path, v, staged, Some(df.schema), statsLines(spark, staged),
+      bloomExtra = maybeBloom(spark, path, v, staged))
+  }
+
+  /** ANSI `INSERT INTO` as a commit: the staged batch simply JOINS the
+    * live set — blind append, no key semantics (the keyed upsert is
+    * [[mergeVersioned]]; this is the verb's own contract, same as
+    * Delta's INSERT INTO). No existing file is listed, let alone
+    * rewritten — commit cost is exactly the batch. CHECK constraints
+    * enforce on the batch before staging; a batch with NEW columns
+    * widens the recorded schema like a widening merge (missing columns
+    * null-fill); A31 stored change data records the batch as inserts;
+    * the bloom property indexes the staged files. Bootstraps a fresh
+    * directory. Returns the new version.
+    */
+  def appendVersioned(spark: SparkSession, path: String, df: DataFrame): Int = {
+    val v = currentVersion(path)
+    if (v < 0) {
+      Files.createDirectories(Paths.get(path))
+      df.write.mode(SaveMode.Append).parquet(path)
+      return init(spark, path)
+    }
+    enforceConstraints(path, v, df)
+    val live = liveFiles(path, v)
+    val schemaNow = tableSchema(path, v).getOrElse(
+      readUnder(spark, path, v, live).schema)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      schemaNow.fields ++ df.schema.fields.filterNot(f =>
+        schemaNow.fieldNames.contains(f.name)))
+    val batch = df.select(outSchema.fields.toIndexedSeq.map(f =>
+      (if (df.columns.contains(f.name)) col(s"`${f.name}`")
+       else lit(null).cast(f.dataType)).as(f.name)): _*)
+    val cdfStaged: Option[Seq[String]] =
+      if (!cdfEnabled(path, v)) None
+      else {
+        val payload = outSchema.fieldNames.toIndexedSeq
+        Some(stageCdf(path, v, batch.select(
+          col(s"`${payload.head}`") +: lit("insert").as("change_type") +:
+            payload.tail.map(c => col(s"`$c`")): _*)))
+      }
+    val stage = Files.createTempDirectory("graft_snap_app").toString
+    stagedAsPhysical(batch, outSchema)
+      .write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    val staged = listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    commitNext(path, v, live ++ staged, Some(outSchema),
+      carriedStats(path, v, live) ++ statsLines(spark, staged),
+      dvFiles(path, v), cdf = cdfStaged,
       bloomExtra = maybeBloom(spark, path, v, staged))
   }
 

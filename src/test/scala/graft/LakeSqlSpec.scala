@@ -227,4 +227,106 @@ class LakeSqlSpec extends GraftSuite {
       }
     }
   }
+
+  private def stageDml(s: SparkSession, prefix: String): String = {
+    import s.implicits._
+    val dir = Files.createTempDirectory(prefix).toString + "/t"
+    (1L to 100L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    Snapshots.init(s, dir) // v0
+    dir
+  }
+
+  test("A44 ANSI DML by path: MERGE / UPDATE / DELETE / INSERT land as commits") {
+    withExtSession { s =>
+      val dir = stageDml(s, "graft_ansi_dml")
+
+      // MERGE upsert (UPDATE SET * / INSERT *) → keyed merge commit
+      s.sql(s"""MERGE INTO graft.`$dir` t
+               |USING (SELECT CAST(5 AS BIGINT) AS k, 'UP5' AS payload,
+               |              CAST(1 AS BIGINT) AS gen
+               |       UNION ALL
+               |       SELECT CAST(200 AS BIGINT), 'NEW', CAST(1 AS BIGINT)) src
+               |ON t.k = src.k
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(Snapshots.currentVersion(dir) == 1)
+      val afterMerge = Snapshots.read(s, dir)
+      assert(afterMerge.count() == 101)
+      assert(afterMerge.filter(col("k") === 5L).head().getString(1) == "UP5")
+
+      // ANSI UPDATE with alias + qualified refs → updateVersioned
+      s.sql(s"UPDATE graft.`$dir` t SET t.payload = concat(t.payload, '!') " +
+        "WHERE t.k % 50 = 0")
+      assert(Snapshots.currentVersion(dir) == 2)
+      assert(Snapshots.read(s, dir).filter(col("payload").endsWith("!"))
+        .count() == 3) // k = 50, 100, 200
+
+      // ANSI DELETE → deleteVersioned
+      s.sql(s"DELETE FROM graft.`$dir` WHERE k > 190")
+      assert(Snapshots.currentVersion(dir) == 3)
+      assert(Snapshots.read(s, dir).count() == 100)
+
+      // MERGE … WHEN MATCHED THEN DELETE (alone) → keyed delete
+      s.sql(s"""MERGE INTO graft.`$dir` t
+               |USING (SELECT CAST(7 AS BIGINT) AS k
+               |       UNION ALL SELECT CAST(9 AS BIGINT)) src
+               |ON t.k = src.k
+               |WHEN MATCHED THEN DELETE""".stripMargin)
+      assert(Snapshots.read(s, dir).count() == 98)
+
+      // INSERT INTO → blind append commit; INSERT OVERWRITE → overwrite
+      s.sql(s"INSERT INTO graft.`$dir` " +
+        "SELECT CAST(300 AS BIGINT), 'I300', CAST(2 AS BIGINT)")
+      assert(Snapshots.read(s, dir).count() == 99)
+      assert(Snapshots.read(s, dir).filter(col("k") === 300L).count() == 1)
+      val vBefore = Snapshots.currentVersion(dir)
+      s.sql(s"INSERT OVERWRITE graft.`$dir` " +
+        "SELECT CAST(1 AS BIGINT), 'only', CAST(0 AS BIGINT)")
+      assert(Snapshots.read(s, dir).count() == 1)
+      // overwrite is a COMMIT: the pre-overwrite version stays readable
+      assert(Snapshots.read(s, dir, vBefore).count() == 99)
+
+      // an unsupported MERGE form refuses loudly, committing nothing
+      val vNow = Snapshots.currentVersion(dir)
+      val e = intercept[Exception] {
+        s.sql(s"""MERGE INTO graft.`$dir` t
+                 |USING (SELECT CAST(1 AS BIGINT) AS k) src
+                 |ON t.k = src.k
+                 |WHEN MATCHED THEN UPDATE SET payload = 'x'""".stripMargin)
+      }
+      assert(e.getMessage.contains("MERGE"), e.getMessage)
+      assert(Snapshots.currentVersion(dir) == vNow)
+    }
+  }
+
+  test("A44 ANSI DML by catalog NAME: the post-hoc rule routes all four verbs") {
+    withExtSession { s =>
+      val dir = stageDml(s, "graft_ansi_cat")
+      s.sql("DROP TABLE IF EXISTS dml_cat")
+      s.sql(s"CREATE TABLE dml_cat USING graft OPTIONS (path '$dir', keyCol 'k')")
+      try {
+        s.sql("""MERGE INTO dml_cat t
+                |USING (SELECT CAST(5 AS BIGINT) AS k, 'UP5' AS payload,
+                |              CAST(1 AS BIGINT) AS gen) src
+                |ON t.k = src.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        assert(Snapshots.read(s, dir).filter(col("k") === 5L)
+          .head().getString(1) == "UP5")
+
+        s.sql("UPDATE dml_cat SET gen = gen + 10 WHERE k <= 3")
+        assert(Snapshots.read(s, dir).filter(col("gen") >= 10L).count() == 3)
+
+        s.sql("DELETE FROM dml_cat WHERE k = 1")
+        assert(Snapshots.read(s, dir).count() == 99)
+
+        // INSERT by name arrives as Spark's own planned file-insert
+        // command and is re-routed into an append COMMIT
+        s.sql("INSERT INTO dml_cat VALUES (CAST(500 AS BIGINT), 'I', CAST(0 AS BIGINT))")
+        assert(Snapshots.read(s, dir).filter(col("k") === 500L).count() == 1)
+        assert(Snapshots.currentVersion(dir) == 4)
+      } finally s.sql("DROP TABLE IF EXISTS dml_cat")
+    }
+  }
 }
