@@ -678,6 +678,33 @@ object LakehouseQueries {
       |  CAST(sum(flagged) AS BIGINT) AS flags
       |FROM m2 GROUP BY status""".stripMargin
 
+  /** A36 extension — the connector COMPAT path oracled end-to-end: the
+    * staged table is column-RENAMED (metadata-only mapping commit) and
+    * then DV-deleted (merge-on-read, zero files rewritten), and the
+    * result is read back through `format("graft")` — the read that
+    * refused before round 8. The oracle reproduces rename + delete +
+    * filter from the raw parquet, so a resurrected DV row, a physical
+    * name leaking through, or a mis-pruned file all break the hash.
+    */
+  def qLakeCompat(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dir = stage(b.repartitionByRange(4, col("o_orderkey")), 4)
+    Snapshots.init(s, dir) // v0
+    Snapshots.renameColumn(s, dir, "o_totalprice", "price") // v1: mapping
+    Snapshots.deleteVersionedDV(s, dir, col("o_orderkey") % 9 === 0) // v2: DVs
+    s.read.format("graft").load(dir)
+      .filter(col("o_orderkey") % 2 === 0)
+      .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
+  val qLakeCompatSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE o_orderkey % 9 <> 0 AND o_orderkey % 2 = 0""".stripMargin
+
   /** A44 — ANSI DML end-to-end on the driver surface: the four verbs
     * (`MERGE INTO` upsert, `UPDATE`, `DELETE FROM`, `INSERT INTO`) run
     * as SQL TEXT against a `graft.`dir`` path target in an
@@ -993,7 +1020,8 @@ object LakehouseQueries {
     "q_lake_part_source" -> (qLakePartSource(_, _)),
     "q_lake_bloom" -> (qLakeBloom(_, _)),
     "q_lake_catalog" -> (qLakeCatalog(_, _)),
-    "q_lake_sql_dml" -> (qLakeSqlDml(_, _)))
+    "q_lake_sql_dml" -> (qLakeSqlDml(_, _)),
+    "q_lake_compat" -> (qLakeCompat(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> qLakeTimetravelSql,
@@ -1018,5 +1046,6 @@ object LakehouseQueries {
     "q_lake_part_source" -> qLakePartSourceSql,
     "q_lake_bloom" -> qLakeBloomSql,
     "q_lake_catalog" -> qLakeCatalogSql,
-    "q_lake_sql_dml" -> qLakeSqlDmlSql)
+    "q_lake_sql_dml" -> qLakeSqlDmlSql,
+    "q_lake_compat" -> qLakeCompatSql)
 }

@@ -815,7 +815,7 @@ object Snapshots {
     * rewrite, delete rewrite, compaction, re-clustering — must come
     * through here, or DV-deleted rows resurrect in the rewrite.
     */
-  private def readLive(spark: SparkSession, path: String, v: Int,
+  private[sources] def readLive(spark: SparkSession, path: String, v: Int,
       files: Seq[String]): DataFrame = {
     val dvs = dvFiles(path, v)
     if (dvs.isEmpty) readUnder(spark, path, v, files)
@@ -823,7 +823,7 @@ object Snapshots {
   }
 
   /** The physical name of logical column `name` at version `v`. */
-  private def physicalOf(path: String, v: Int, name: String): String =
+  private[sources] def physicalOf(path: String, v: Int, name: String): String =
     tableSchema(path, v).flatMap(_.fields.find(_.name == name))
       .map(physicalName).getOrElse(name)
 

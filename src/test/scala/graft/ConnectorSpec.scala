@@ -129,26 +129,46 @@ class ConnectorSpec extends GraftSuite {
       .filter(col("v") > 0L)) == 1)
   }
 
-  test("batch read refuses DV and column-mapped versions, loudly") {
-    import spark.implicits._
+  test("batch read serves DV and column-mapped versions via the compat scan") {
     val dir = freshTable()
     Snapshots.init(spark, dir)
     Snapshots.deleteVersionedDV(spark, dir, col("k") === 7L) // v1: DVs
-    val e1 = intercept[IllegalArgumentException] {
-      spark.read.format("graft").load(dir).collect()
-    }
-    assert(e1.getMessage.contains("deletion vectors"))
-    Snapshots.reconcileDV(spark, dir) // v2: plain files again
+
+    // the DV-carrying version reads through the connector: dead rows
+    // stay dead, filters and projections are exact
+    val dv = spark.read.format("graft").load(dir)
+    assert(dv.count() == 99)
+    assert(dv.filter(col("k") === 7L).isEmpty)
+    assert(dv.filter(col("k") <= 10L).count() == 9)
+    assert(dv.select("payload").where(col("k") === 8L).head().getString(0) == "v8")
+    // time travel to the pre-delete version still shows the row
+    assert(spark.read.format("graft").option("versionAsOf", 0)
+      .load(dir).filter(col("k") === 7L).count() == 1)
+
+    Snapshots.reconcileDV(spark, dir) // v2: plain files again (fast path)
     assert(spark.read.format("graft").load(dir).count() == 99)
 
     Snapshots.renameColumn(spark, dir, "payload", "body") // v3: mapping
-    val e2 = intercept[IllegalArgumentException] {
-      spark.read.format("graft").load(dir).collect()
-    }
-    assert(e2.getMessage.contains("column mapping"))
-    // pre-mapping versions still read through the connector
+    val mapped = spark.read.format("graft").load(dir)
+    assert(mapped.schema.fieldNames.contains("body") &&
+      !mapped.schema.fieldNames.contains("payload"),
+      "compat read must answer under LOGICAL names")
+    assert(mapped.filter(col("k") === 8L).select("body").head().getString(0) == "v8")
+    // pre-mapping versions still read under their own schema
     assert(spark.read.format("graft").option("versionAsOf", 2)
-      .load(dir).count() == 99)
+      .load(dir).select("payload").count() == 99)
+
+    // the numFiles pin: manifest stats still SKIP files inside the
+    // compat path — a point predicate on the range-clustered key keeps
+    // 1 of 4 files, through the logical→physical stat mapping
+    import org.apache.spark.sql.sources.{EqualTo => SEq}
+    val kept = graft.sources.GraftCompatRelation.planFiles(dir, 3,
+      Array(SEq("k", 5L)))
+    assert(kept.size == 1, s"compat pruning kept ${kept.size} of 4 files")
+    // and pruning on the RENAMED string column's nulls/unknown keeps all
+    val keptAll = graft.sources.GraftCompatRelation.planFiles(dir, 3,
+      Array(SEq("body", "v5")))
+    assert(keptAll.size == 4)
   }
 
   test("write path: overwrite bootstraps/replaces, append is a keyed merge") {
