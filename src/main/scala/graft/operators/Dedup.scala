@@ -72,6 +72,11 @@ object Dedup {
     cellAssignments.values.foreach(_.unpersist())
     cellAssignments.clear()
     vecCounts.clear()
+    probeResults.values.foreach(_.unpersist())
+    probeResults.clear()
+    vecProfiles.clear()
+    embedBuckets.values.foreach(_.unpersist())
+    embedBuckets.clear()
   }
 
   /** Cached max posting-list length per shingle index — the one-number
@@ -841,6 +846,25 @@ object Dedup {
     */
   def qDedupProbe(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, d)
+    val key = (docs.queryExecution.analyzed.canonicalized, tau)
+    synchronized(probeResults.get(key)).getOrElse {
+      val built = probeVerifiedPairs(docs, tau).cache()
+      synchronized(probeResults.getOrElseUpdate(key, built))
+    }
+  }
+
+  /** Verified cross-side pairs of [[qDedupProbe]], cached per
+    * (corpus, τ) like the other registry members: the probe build
+    * (corpus bucketization + candidate join + shingle-index
+    * verification) is one-time family capital — D18's ingest gate
+    * rides the SAME materialization instead of re-running it, which is
+    * exactly the full-suite anomaly the round-7 bench flagged
+    * (q_dedup_ingest 17.4 s committed vs 6.2 s solo: two full probe
+    * builds for one family). */
+  private val probeResults = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double), DataFrame]
+
+  private def probeVerifiedPairs(docs: DataFrame, tau: Double): DataFrame = {
     val isDelta = col("doc_id") % 3 === 0
     val rows = NumHashes / NumBands
     val sigs = minhash(docs)
@@ -1191,18 +1215,52 @@ object Dedup {
     math.max(floor, math.ceil(
       math.log(math.max(1.0, n.toDouble / 31.25)) / math.log(2.0)).toInt)
 
+  /** Memoized (dim, row count) per embedding corpus: ONE aggregate job
+    * serves both model-sizing scalars — qEmbedDup previously ran a
+    * probeDim aggregate AND a count() per invocation (two
+    * driver-blocking jobs the round-7 verdict flagged). Same
+    * rectangularity assertions as [[Similarity.probeDim]]. */
+  private val vecProfiles = scala.collection.mutable.Map
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, (Int, Long)]
+
+  private def vecProfile(e: DataFrame): (Int, Long) = {
+    val ck = e.queryExecution.analyzed.canonicalized
+    synchronized(vecProfiles.get(ck)).getOrElse {
+      val row = e.agg(min(size(col("embedding"))),
+        max(size(col("embedding"))), count(lit(1))).head()
+      require(!row.isNullAt(0), "vecProfile: empty embedding corpus")
+      require(row.getInt(0) == row.getInt(1),
+        s"vecProfile: ragged embedding arrays (dims ${row.getInt(0)}..${row.getInt(1)})")
+      val p = (row.getInt(0), row.getLong(2))
+      synchronized(vecProfiles.getOrElseUpdate(ck, p))
+    }
+  }
+
+  /** Cached bucketized-embedding frame per (corpus, bits, tables): the
+    * hyperplane signatures compute ONCE and both sides of the
+    * candidate self-join read the materialization (registry
+    * discipline — recomputing signatures per join side was the other
+    * round-7 flag on this operator). */
+  private val embedBuckets = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), DataFrame]
+
   def qEmbedDup(s: SparkSession, d: String, tau: Double = 0.4,
       bits: Int = -1, tables: Int = EmbedTables): DataFrame = {
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val dim = Similarity.probeDim(e)
-    // parquet-metadata count: the one model-sizing probe (like probeDim)
-    val b = if (bits > 0) bits else embedBitsFor(e.count())
-    val buckets = (0 until tables).map(t =>
-      struct(lit(t).as("tbl"), Similarity.hyperplaneSig("embedding", t, b, dim).as("bkt")))
-    val eb = e
-      .select(col("vec_id"), col("embedding"), explode(array(buckets: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val (dim, n) = vecProfile(e)
+    val b = if (bits > 0) bits else embedBitsFor(n)
+    val ck = (e.queryExecution.analyzed.canonicalized, b, tables)
+    val eb = synchronized(embedBuckets.get(ck)).getOrElse {
+      val buckets = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          Similarity.hyperplaneSig("embedding", t, b, dim).as("bkt")))
+      val built = e
+        .select(col("vec_id"), col("embedding"), explode(array(buckets: _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"),
+          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+        .cache()
+      synchronized(embedBuckets.getOrElseUpdate(ck, built))
+    }
     eb.as("a")
       .join(eb.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
