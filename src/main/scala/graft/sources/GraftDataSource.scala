@@ -515,27 +515,29 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
   private val rowsOf: Map[String, Long] = Snapshots.fileRows(path, version)
 
   // A41: the bloom index joins the skipping stack — a point predicate
-  // on the indexed column probes the sidecar relation at PLAN time
-  // (one small job per distinct probed value, memoized) and excludes
-  // every indexed file whose filter rules the value out; unindexed
-  // files always survive, so this only ever REMOVES work
-  private val bloomCol: Option[String] =
-    Snapshots.bloomColOf(path, version).map(_._1)
+  // on ANY indexed column (plural since r8) probes the sidecar
+  // relation at PLAN time (one small job per distinct (column, value),
+  // memoized) and excludes every indexed file whose filter rules the
+  // value out; unindexed files always survive, so this only ever
+  // REMOVES work
+  private val bloomCols: Set[String] =
+    Snapshots.bloomColsOf(path, version).map(_._1).toSet
   private val bloomRefs: Seq[String] = Snapshots.bloomIdxFiles(path, version)
   private val bloomCache =
-    scala.collection.mutable.Map.empty[Long, Map[String, Boolean]]
+    scala.collection.mutable.Map.empty[(String, Long), Map[String, Boolean]]
 
-  /** canonical file → might-contain verdict for `value` (indexed files
-    * only). */
-  private def bloomVerdicts(value: Long): Map[String, Boolean] = synchronized {
-    bloomCache.getOrElseUpdate(value,
-      spark.read.parquet(bloomRefs: _*)
-        .filter(col("col") === bloomCol.get)
-        .select(col("file"), graft.functions.bloom_row_might_contain(
-          col("bits"), lit(value)).as("hit"))
-        .collect()
-        .map(r => Snapshots.canonical(r.getString(0)) -> r.getBoolean(1)).toMap)
-  }
+  /** canonical file → might-contain verdict for `value` on `column`
+    * (indexed files only). */
+  private def bloomVerdicts(column: String, value: Long): Map[String, Boolean] =
+    synchronized {
+      bloomCache.getOrElseUpdate((column, value),
+        spark.read.parquet(bloomRefs: _*)
+          .filter(col("col") === column)
+          .select(col("file"), graft.functions.bloom_row_might_contain(
+            col("bits"), lit(value)).as("hit"))
+          .collect()
+          .map(r => Snapshots.canonical(r.getString(0)) -> r.getBoolean(1)).toMap)
+    }
 
   private def litLong(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong); case l: Long => Some(l)
@@ -543,29 +545,32 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
     case _ => None
   }
 
-  /** The probed values of a conjunct this bloom can judge, if any. */
-  private def bloomValuesOf(f: Expression): Option[Seq[Long]] = f match {
-    case EqualTo(a: Attribute, Literal(v, _)) if bloomCol.contains(a.name) =>
-      litLong(v).map(Seq(_))
-    case EqualTo(Literal(v, _), a: Attribute) if bloomCol.contains(a.name) =>
-      litLong(v).map(Seq(_))
+  /** The (column, probed values) of a conjunct some bloom can judge. */
+  private def bloomValuesOf(f: Expression): Option[(String, Seq[Long])] = f match {
+    case EqualTo(a: Attribute, Literal(v, _)) if bloomCols.contains(a.name) =>
+      litLong(v).map(l => a.name -> Seq(l))
+    case EqualTo(Literal(v, _), a: Attribute) if bloomCols.contains(a.name) =>
+      litLong(v).map(l => a.name -> Seq(l))
     case EqualNullSafe(a: Attribute, Literal(v, _))
-        if v != null && bloomCol.contains(a.name) => litLong(v).map(Seq(_))
-    case In(a: Attribute, vs) if bloomCol.contains(a.name) &&
+        if v != null && bloomCols.contains(a.name) =>
+      litLong(v).map(l => a.name -> Seq(l))
+    case In(a: Attribute, vs) if bloomCols.contains(a.name) &&
         vs.forall(_.isInstanceOf[Literal]) =>
       val ls = vs.map { case Literal(v, _) => litLong(v) }
-      if (ls.forall(_.isDefined)) Some(ls.flatten) else None
+      if (ls.forall(_.isDefined)) Some(a.name -> ls.flatten) else None
     case _ => None
   }
 
   /** Files PROVEN unable to satisfy the conjunction of `dataFilters`
-    * by the bloom index (empty when no bloom or no eligible conjunct). */
+    * by the bloom indexes (empty when no bloom or no eligible
+    * conjunct). Conjuncts on DIFFERENT indexed columns each contribute
+    * exclusions independently. */
   private def bloomExcluded(dataFilters: Seq[Expression]): Set[String] =
-    if (bloomCol.isEmpty || bloomRefs.isEmpty) Set.empty
-    else dataFilters.flatMap(bloomValuesOf).flatMap { vs =>
+    if (bloomCols.isEmpty || bloomRefs.isEmpty) Set.empty
+    else dataFilters.flatMap(bloomValuesOf).flatMap { case (c, vs) =>
       // the conjunct needs ONE of vs present: exclude files indexed
       // with a negative verdict for EVERY probed value
-      val perValue = vs.map(bloomVerdicts)
+      val perValue = vs.map(bloomVerdicts(c, _))
       perValue.flatMap(_.keys).toSet
         .filter(f => perValue.forall(m => m.get(f).contains(false)))
     }.toSet

@@ -965,13 +965,18 @@ object LakehouseQueries {
       .write.mode("overwrite").parquet(dir)
     Snapshots.init(s, dir) // v0
     Snapshots.addBloomIndex(s, dir, "o_custkey") // v1
+    // r8: the property is PLURAL — a second index on the range-
+    // clustered key column routes probes per column independently
+    Snapshots.addBloomIndex(s, dir, "o_orderkey") // v2
     val ins = o.filter(col("o_orderkey") % 91 === 0 && col("o_orderkey") > 0)
       .select((-col("o_orderkey")).as("o_orderkey"),
         lit(999983L).as("o_custkey"), col("o_totalprice"))
-    Snapshots.mergeVersioned(s, dir, ins, "o_orderkey") // v2: indexed
-    Seq(7L, 370L, 997L, 999983L)
+    Snapshots.mergeVersioned(s, dir, ins, "o_orderkey") // v3: BOTH indexed
+    val byCust = Seq(7L, 370L, 997L, 999983L)
       .map(v => Snapshots.readPointLookup(s, dir, "o_custkey", v))
-      .reduce(_.unionByName(_))
+    val byKey = Seq(4L, 32L, -91L)
+      .map(v => Snapshots.readPointLookup(s, dir, "o_orderkey", v))
+    (byCust ++ byKey).reduce(_.unionByName(_))
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
@@ -980,7 +985,13 @@ object LakehouseQueries {
       |FROM orders WHERE o_custkey IN (7, 370, 997)
       |UNION ALL
       |SELECT -o_orderkey, 999983, o_totalprice
-      |FROM orders WHERE o_orderkey % 91 = 0 AND o_orderkey > 0""".stripMargin
+      |FROM orders WHERE o_orderkey % 91 = 0 AND o_orderkey > 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey IN (4, 32)
+      |UNION ALL
+      |SELECT -o_orderkey, 999983, o_totalprice
+      |FROM orders WHERE o_orderkey = 91""".stripMargin
 
   /** A18 — time travel: after the delete (v1) and merge (v2) commits,
     * reading version 0 must reproduce the ORIGINAL base exactly —

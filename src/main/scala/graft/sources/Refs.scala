@@ -158,10 +158,37 @@ object Refs {
       Files.createLink(target, Paths.get(f))
       f -> target.toString
     }.toMap
+    val newLive = borrowed ++ inBranch.map(remap)
+    val newLiveSet = newLive.map(Snapshots.canonical).toSet
+    // r8: skipping state survives the publish — the branch's cluster
+    // markers remap to the hard-linked names (incremental ZORDER on
+    // main keeps seeing the branch's clustered files as clustered),
+    // and branch-homed bloom sidecars are rewritten under main (the
+    // sidecar rows embed file paths, so a relink alone would leave
+    // them inert; the rewrite is sidecar-sized). Main's own sidecars
+    // carry forward via the commit's accumulation as before.
+    val clusterOverride = Snapshots.clusterStateOf(bdir, bv).map {
+      case (cols, fs) =>
+        (cols, fs.map(f => remap.getOrElse(f, f)).filter(newLiveSet.contains))
+    }
+    val mainRefs = Snapshots.bloomIdxFiles(path, headMain)
+      .map(Snapshots.canonical).toSet
+    val branchOnlyRefs = Snapshots.bloomIdxFiles(bdir, bv)
+      .filterNot(r => mainRefs.contains(Snapshots.canonical(r)))
+    val bloomExtra = Snapshots.remappedBloomSidecar(spark, path, headMain + 1,
+      branchOnlyRefs, remap, borrowed.map(Snapshots.canonical).toSet)
     Snapshots.commitNext(path, headMain,
-      borrowed ++ inBranch.map(remap),
+      newLive,
       Snapshots.tableSchema(bdir, bv),
-      Snapshots.remappedStats(bdir, bv, live, f => remap.getOrElse(f, f)))
+      Snapshots.remappedStats(bdir, bv, live, f => remap.getOrElse(f, f)),
+      clusterOverride = clusterOverride,
+      bloomColsOverride = Some {
+        // adopt the branch's property (a fast-forward); a branch cut
+        // before the property carry existed falls back to main's
+        val b = Snapshots.bloomColsOf(bdir, bv)
+        if (b.nonEmpty) b else Snapshots.bloomColsOf(path, headMain)
+      },
+      bloomExtra = bloomExtra)
   }
 
   /** Delete branch `name`'s whole tree and release its base tag.

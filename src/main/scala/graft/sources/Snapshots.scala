@@ -577,13 +577,12 @@ object Snapshots {
   private val BloomColHeader = "#bloomcol="
   private val BloomIdxHeader = "#bloomidx="
 
-  /** The indexed column and bits-per-row in force at `v`. */
-  private[graft] def bloomColOf(path: String, v: Int): Option[(String, Int)] =
-    if (!hasVersion(path, v)) None
-    else Files.readAllLines(manifestPath(path, v)).asScala
-      .find(_.startsWith(BloomColHeader))
-      .map(_.stripPrefix(BloomColHeader).split("\t", 2))
-      .collect { case Array(c, b) => (c, b.toInt) }
+  /** The indexed columns and their bits-per-row in force at `v` (one
+    * `#bloomcol=` line per column — r8 made the property plural; a
+    * table indexed before then simply has one line). */
+  private[graft] def bloomColsOf(path: String, v: Int): Seq[(String, Int)] =
+    if (!hasVersion(path, v)) Seq.empty
+    else parseBloomCols(Files.readAllLines(manifestPath(path, v)).asScala.toSeq)
 
   /** Bloom sidecar files referenced at `v` (accumulated; entries for
     * retired data files are inert). */
@@ -665,13 +664,13 @@ object Snapshots {
       }
   }
 
-  /** Sidecar refs for `staged` when the table's bloom property is on
-    * (the ingest writers call this beside their data staging). */
+  /** Sidecar refs for `staged` when the table's bloom property is on —
+    * one sidecar build per indexed column (the ingest writers call
+    * this beside their data staging). */
   private def maybeBloom(spark: SparkSession, path: String, baseV: Int,
       staged: Seq[String]): Seq[String] =
-    bloomColOf(path, baseV) match {
-      case Some((c, bpr)) => stageBloomSidecar(spark, path, baseV + 1, staged, c, bpr)
-      case None => Seq.empty
+    bloomColsOf(path, baseV).flatMap { case (c, bpr) =>
+      stageBloomSidecar(spark, path, baseV + 1, staged, c, bpr)
     }
 
   /** A41 — add a bloom index on `column` (integral-typed): indexes the
@@ -683,8 +682,8 @@ object Snapshots {
       bitsPerRow: Int = 10): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
-    require(bloomColOf(path, v).isEmpty,
-      s"bloom index already on '${bloomColOf(path, v).get._1}' (one per table)")
+    require(!bloomColsOf(path, v).exists(_._1 == column),
+      s"bloom index already on '$column'")
     require(bitsPerRow >= 2 && bitsPerRow <= 64, "bitsPerRow in [2, 64]")
     val live = liveFiles(path, v)
     // the build casts the column to long: on a string/decimal column
@@ -708,7 +707,8 @@ object Snapshots {
     val refs = stageBloomSidecar(spark, path, v + 1, live, column, bitsPerRow)
     commitNext(path, v, live, tableSchema(path, v),
       carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty),
-      bloomColOverride = Some((column, bitsPerRow)), bloomExtra = refs)
+      bloomColsOverride = Some(bloomColsOf(path, v) :+ (column, bitsPerRow)),
+      bloomExtra = refs)
   }
 
   /** Rebuild bloom entries for live files that have NONE (rewrite
@@ -718,17 +718,22 @@ object Snapshots {
   def reindexBloom(spark: SparkSession, path: String): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
-    val (column, bpr) = bloomColOf(path, v).getOrElse(
-      throw new IllegalArgumentException(s"$path has no bloom index"))
+    val cols = bloomColsOf(path, v)
+    require(cols.nonEmpty, s"$path has no bloom index")
     val live = liveFiles(path, v).map(canonical)
     val refs = bloomIdxFiles(path, v)
-    val indexed: Set[String] =
+    // (col, file) pairs already indexed — one small sidecar read
+    val indexed: Set[(String, String)] =
       if (refs.isEmpty) Set.empty
-      else spark.read.parquet(refs: _*).filter(col("col") === column)
-        .select("file").distinct().collect().map(r => canonical(r.getString(0))).toSet
-    val missing = live.filterNot(indexed.contains)
-    if (missing.isEmpty) return v
-    val extra = stageBloomSidecar(spark, path, v + 1, missing, column, bpr)
+      else spark.read.parquet(refs: _*)
+        .select("col", "file").distinct().collect()
+        .map(r => (r.getString(0), canonical(r.getString(1)))).toSet
+    val extra = cols.flatMap { case (column, bpr) =>
+      val missing = live.filterNot(f => indexed.contains((column, f)))
+      if (missing.isEmpty) Seq.empty
+      else stageBloomSidecar(spark, path, v + 1, missing, column, bpr)
+    }
+    if (extra.isEmpty) return v
     commitNext(path, v, liveFiles(path, v), tableSchema(path, v),
       carriedStats(path, v, liveFiles(path, v)), dvFiles(path, v),
       cdf = Some(Seq.empty), bloomExtra = extra)
@@ -747,7 +752,7 @@ object Snapshots {
     require(hasVersion(path, v), s"no version $v at $path")
     val live = liveFiles(path, v)
     val pred = col(s"`$column`") === value
-    val onCol = bloomColOf(path, v).exists(_._1 == column)
+    val onCol = bloomColsOf(path, v).exists(_._1 == column)
     val refs = bloomIdxFiles(path, v)
     if (!onCol || refs.isEmpty || live.isEmpty)
       return read(spark, path, v).filter(pred)
@@ -867,6 +872,50 @@ object Snapshots {
     lines.filter(_.startsWith(ConstraintHeader))
       .map(_.stripPrefix(ConstraintHeader).split("\t", 2))
       .collect { case Array(n, e) => (n, e) }
+  /** The clustering state recorded at `v`: the ZORDER columns and the
+    * still-live clustered files (A39's incremental-tail bookkeeping). */
+  private[graft] def clusterStateOf(path: String, v: Int): Option[((String, String), Seq[String])] =
+    if (!hasVersion(path, v)) None
+    else {
+      val lines = Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+      parseCluster(lines).map(c => (c, parseClusterFiles(lines).toSeq.sorted))
+    }
+
+  /** Publish support (A37×A41): rows of `branchRefs` sidecars rewritten
+    * for the publish remap — entries for hard-linked branch files move
+    * under their main-path names, entries for still-borrowed files keep
+    * their paths, everything else (already covered by main's own
+    * carried sidecars) drops. Staged as a fresh sidecar under
+    * `mainPath`; returns the refs. Cost: sidecar-sized (the branch's
+    * new files), zero data files opened. */
+  private[sources] def remappedBloomSidecar(spark: SparkSession, mainPath: String,
+      vNext: Int, branchRefs: Seq[String], remap: Map[String, String],
+      keep: Set[String]): Seq[String] = {
+    if (branchRefs.isEmpty) return Seq.empty
+    import spark.implicits._
+    val remapB = spark.sparkContext.broadcast(remap)
+    val keepB = spark.sparkContext.broadcast(keep)
+    val rows = spark.read.parquet(branchRefs: _*)
+      .select("file", "col", "bits").as[(String, String, Array[Long])]
+      .flatMap { case (f, c, bits) =>
+        val cf = canonical(f)
+        remapB.value.get(cf).map(nf => (nf, c, bits))
+          .orElse(if (keepB.value.contains(cf)) Some((cf, c, bits)) else None)
+      }
+      .toDF("file", "col", "bits")
+    if (rows.isEmpty) return Seq.empty
+    val stage = Files.createTempDirectory("graft_bloom_pub").toString
+    rows.write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(mainPath)
+    listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${vNext}_bloom_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+  }
+
   private def parseCluster(lines: Seq[String]): Option[(String, String)] =
     lines.find(_.startsWith(ClusterHeader))
       .map(_.stripPrefix(ClusterHeader).split("\t", 2))
@@ -874,8 +923,8 @@ object Snapshots {
   private def parseClusterFiles(lines: Seq[String]): Set[String] =
     lines.filter(_.startsWith(ClusterFileHeader))
       .map(_.stripPrefix(ClusterFileHeader)).toSet
-  private def parseBloomCol(lines: Seq[String]): Option[(String, Int)] =
-    lines.find(_.startsWith(BloomColHeader))
+  private def parseBloomCols(lines: Seq[String]): Seq[(String, Int)] =
+    lines.filter(_.startsWith(BloomColHeader))
       .map(_.stripPrefix(BloomColHeader).split("\t", 2))
       .collect { case Array(c, b) => (c, b.toInt) }
   private def parseBloomIdx(lines: Seq[String]): Seq[String] =
@@ -905,7 +954,7 @@ object Snapshots {
       cdfFlag: Boolean = false,
       constraintsOverride: Option[Seq[(String, String)]] = None,
       clusterOverride: Option[((String, String), Seq[String])] = None,
-      bloomColOverride: Option[(String, Int)] = None,
+      bloomColsOverride: Option[Seq[(String, Int)]] = None,
       bloomExtra: Seq[String] = Seq.empty): Boolean = {
     Files.createDirectories(logDir(path))
     val target = manifestPath(path, v)
@@ -946,8 +995,8 @@ object Snapshots {
       // A41: the bloom property carries itself; sidecar refs accumulate
       // (inert for retired files) plus this commit's new ones
       val bloomLines = {
-        val bc = bloomColOverride.orElse(parseBloomCol(prev))
-        bc.map(p => BloomColHeader + p._1 + "\t" + p._2).toSeq ++
+        val bc = bloomColsOverride.getOrElse(parseBloomCols(prev))
+        bc.map(p => BloomColHeader + p._1 + "\t" + p._2) ++
           (parseBloomIdx(prev) ++ bloomExtra).map(canonical)
             .distinct.sorted.map(BloomIdxHeader + _)
       }
@@ -978,10 +1027,13 @@ object Snapshots {
       dv: Seq[String] = Seq.empty,
       cdf: Option[Seq[String]] = None,
       cdfFlag: Boolean = false,
-      constraintsOverride: Option[Seq[(String, String)]] = None): Int = {
+      constraintsOverride: Option[Seq[(String, String)]] = None,
+      clusterOverride: Option[((String, String), Seq[String])] = None,
+      bloomColsOverride: Option[Seq[(String, Int)]] = None,
+      bloomExtra: Seq[String] = Seq.empty): Int = {
     val v = currentVersion(path) + 1
     if (!commitAt(path, v, files, schema, stats, dv, cdf, cdfFlag,
-        constraintsOverride, None))
+        constraintsOverride, clusterOverride, bloomColsOverride, bloomExtra))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, v).toString)
     v
@@ -1004,10 +1056,10 @@ object Snapshots {
       cdfFlag: Boolean = false,
       constraintsOverride: Option[Seq[(String, String)]] = None,
       clusterOverride: Option[((String, String), Seq[String])] = None,
-      bloomColOverride: Option[(String, Int)] = None,
+      bloomColsOverride: Option[Seq[(String, Int)]] = None,
       bloomExtra: Seq[String] = Seq.empty): Int = {
     if (!commitAt(path, base + 1, files, schema, stats, dv, cdf, cdfFlag,
-        constraintsOverride, clusterOverride, bloomColOverride, bloomExtra))
+        constraintsOverride, clusterOverride, bloomColsOverride, bloomExtra))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, base + 1).toString +
           " (concurrent commit won this version; re-read and retry)")
@@ -1131,9 +1183,16 @@ object Snapshots {
     require(currentVersion(dst) < 0, s"clone: $dst already versioned")
     Files.createDirectories(Paths.get(dst))
     val live = liveFiles(src, v)
+    // r8: cluster state and the bloom property/sidecars carry into the
+    // clone like constraints do — a BRANCH (the A37 consumer of this)
+    // then auto-indexes its staged files and keeps incremental ZORDER
+    // viable, and publish can remap both back to main
     commit(dst, live, tableSchema(src, v), carriedStats(src, v, live),
       dvFiles(src, v), cdfFlag = cdfEnabled(src, v),
-      constraintsOverride = Some(constraintsOf(src, v)))
+      constraintsOverride = Some(constraintsOf(src, v)),
+      clusterOverride = clusterStateOf(src, v),
+      bloomColsOverride = Some(bloomColsOf(src, v)),
+      bloomExtra = bloomIdxFiles(src, v))
   }
 
   /** Versioned upsert: A16's index-pruned copy-on-write, except the

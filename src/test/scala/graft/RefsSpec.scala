@@ -142,4 +142,63 @@ class RefsSpec extends GraftSuite {
     assert(!Snapshots.hasVersion(dir, 0))
     assert(Snapshots.read(spark, dir).count() == 51)
   }
+
+  test("publish remaps bloom sidecars and cluster markers — skipping survives WAP") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_refs_skip").toString + "/t"
+    // u is scattered vs the k-range layout — the bloom's case
+    spark.range(20000)
+      .selectExpr("id AS k", "(id * 2654435761) % 1000003 AS u", "id % 7 AS gen")
+      .repartitionByRange(8, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir) // v0
+    Snapshots.addBloomIndex(spark, dir, "u") // v1
+    Snapshots.compactZOrder(spark, dir, "k", "gen", 8) // v2: clustered
+    Snapshots.reindexBloom(spark, dir) // v3: zorder outputs re-indexed
+    val clusteredBefore = Snapshots.clusterStateOf(dir, 3).get._2.size
+    assert(clusteredBefore > 0)
+
+    // branch: stage new rows (auto-indexed on the branch — the clone
+    // carries the bloom property), then publish
+    Refs.createBranch(spark, dir, "ingest")
+    val bdir = Refs.branchPath(dir, "ingest")
+    Snapshots.mergeVersioned(spark, bdir,
+      Seq((70000L, 424243L, 1L), (70001L, 525253L, 2L)).toDF("k", "u", "gen"),
+      "k")
+    assert(Snapshots.bloomIdxFiles(bdir, Snapshots.currentVersion(bdir))
+      .exists(r => Snapshots.canonical(r).contains("_graft_branches")),
+      "branch merge did not auto-index its staged files")
+    val vPub = Refs.publish(spark, dir, "ingest")
+    Refs.dropBranch(dir, "ingest")
+
+    // THE pin: post-publish point lookups still SKIP files — including
+    // for a value that lives only in the published (remapped) files
+    def lookupFiles(value: Long): (Long, Long) = {
+      val res = Snapshots.readPointLookup(spark, dir, "u", value)
+      (res.count(), res.select(input_file_name()).distinct().count())
+    }
+    val total = Snapshots.liveFiles(dir, vPub).size
+    val present = (123L * 2654435761L) % 1000003L
+    val (n1, f1) = lookupFiles(present)
+    assert(n1 >= 1 && f1 < total.toLong,
+      s"pre-existing value: $f1 of $total files scanned (no skipping)")
+    val (n2, f2) = lookupFiles(424243L)
+    assert(n2 == 1 && f2 <= 2,
+      s"published value: $f2 files scanned — branch sidecar went inert")
+    assert(lookupFiles(999999937L)._1 == 0)
+
+    // cluster markers survived the remap: the still-live clustered set
+    // is intact, so incremental ZORDER re-clusters ONLY the published
+    // tail instead of the whole table
+    val (cols, clustered) = Snapshots.clusterStateOf(dir, vPub).get
+    assert(cols == ("k", "gen"))
+    assert(clustered.size == clusteredBefore,
+      s"publish lost cluster markers: $clusteredBefore -> ${clustered.size}")
+    val before = Snapshots.liveFiles(dir, vPub).map(Snapshots.canonical).toSet
+    Snapshots.compactZOrderIncremental(spark, dir)
+    val after = Snapshots.liveFiles(dir, Snapshots.currentVersion(dir))
+      .map(Snapshots.canonical).toSet
+    assert(clustered.forall(after.contains),
+      "incremental ZORDER rewrote already-clustered files after publish")
+    assert((before -- after).nonEmpty, "the published tail was not re-clustered")
+  }
 }

@@ -1207,6 +1207,63 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.reindexBloom(spark, dir) == 4)
   }
 
+  test("multi-column bloom: two indexes prune independently, ingest feeds both") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bloom_multi").toString + "/t"
+    // u and w are BOTH scattered relative to the k-range layout — each
+    // needs its own bloom; a probe on one must not consult the other
+    spark.range(20000)
+      .selectExpr("id AS k", "(id * 2654435761) % 1000003 AS u",
+        "(id * 40503) % 99991 AS w")
+      .repartitionByRange(8, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir) // v0
+    assert(Snapshots.addBloomIndex(spark, dir, "u") == 1)
+    assert(Snapshots.addBloomIndex(spark, dir, "w") == 2)
+    // re-adding an already-indexed column refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.addBloomIndex(spark, dir, "u") }
+
+    def lookupFiles(c: String, value: Long): (Long, Long) = {
+      val res = Snapshots.readPointLookup(spark, dir, c, value)
+      (res.count(), res.select(input_file_name()).distinct().count())
+    }
+    val uVal = (123L * 2654435761L) % 1000003L
+    val wVal = (77L * 40503L) % 99991L
+    val (un, uf) = lookupFiles("u", uVal)
+    assert(un >= 1 && uf <= 3, s"u-probe: $un rows from $uf of 8 files")
+    val (wn, wf) = lookupFiles("w", wVal)
+    assert(wn >= 1 && wf <= 3, s"w-probe: $wn rows from $wf of 8 files")
+    // absent on either column: empty
+    assert(lookupFiles("u", 999999937L)._1 == 0)
+    assert(lookupFiles("w", 999999937L)._1 == 0)
+
+    // a merge indexes its staged files for BOTH columns
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((50000L, 424243L, 525253L)).toDF("k", "u", "w"), "k") // v3
+    assert(Snapshots.readPointLookup(spark, dir, "u", 424243L)
+      .collect().map(_.getLong(0)).toSeq == Seq(50000L))
+    assert(Snapshots.readPointLookup(spark, dir, "w", 525253L)
+      .collect().map(_.getLong(0)).toSeq == Seq(50000L))
+
+    // the connector's FileIndex consults the right bloom per conjunct
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numFiles").value }.sum
+    }
+    val byU = spark.read.format("graft").load(dir).filter(col("u") === uVal)
+    assert(scanned(byU) <= 4, "u-probe through the connector skipped nothing")
+    val byW = spark.read.format("graft").load(dir).filter(col("w") === wVal)
+    assert(scanned(byW) <= 4, "w-probe through the connector skipped nothing")
+    // reindex after a compact restores entries for both columns
+    Snapshots.compact(spark, dir) // v4
+    val v5 = Snapshots.reindexBloom(spark, dir)
+    assert(v5 == 5)
+    assert(Snapshots.readPointLookup(spark, dir, "u", uVal).count() == un)
+    assert(Snapshots.readPointLookup(spark, dir, "w", wVal).count() == wn)
+  }
+
   test("bloom index refuses non-integral and missing columns up front") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bloom_badcol").toString + "/t"
@@ -1224,7 +1281,7 @@ class SnapshotsSpec extends GraftSuite {
       Snapshots.addBloomIndex(spark, dir, "nope") }
     // and the refusals committed nothing
     assert(Snapshots.currentVersion(dir) == 0)
-    assert(Snapshots.bloomColOf(dir, 0).isEmpty)
+    assert(Snapshots.bloomColsOf(dir, 0).isEmpty)
   }
 
   test("vacuum dry run plans without touching; time-based retention uses commit timestamps") {
