@@ -313,7 +313,9 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val keyCol = parameters("keyCol")
     new GraftChangeSource(sqlContext.sparkSession, path, keyCol,
       streamSchema(sqlContext.sparkSession, path, keyCol),
-      parameters.get("startingVersion").map(_.toInt))
+      parameters.get("startingVersion").map(_.toInt),
+      parameters.get("snapshotFilesPerTrigger").map(_.toInt),
+      Some(metadataPath))
   }
 
   // ---- streaming write --------------------------------------------
@@ -796,34 +798,120 @@ class GraftPartitionedFileIndex(spark: SparkSession, path: String,
   * the feed without replaying the table (Delta CDF's
   * startingVersion). Must still be retained by vacuum.
   */
+/** `snapshotFilesPerTrigger`: chunk the INITIAL snapshot batch — at a
+  * 100 TB table the versions-as-offsets contract otherwise makes batch
+  * 0 table-sized. With the option set, the snapshot of the earliest
+  * retained version is delivered over ⌈files/chunk⌉ micro-batches
+  * (partial offsets `{"snap":v,"files":n}` count DELIVERED FILES in
+  * canonical order — deterministic, so checkpoint resume mid-snapshot
+  * replays bit-exactly), after which offsets return to plain version
+  * numbers and every later batch is commit-sized as before. Chunking
+  * progress is remembered under the engine-provided source metadata
+  * dir so a restarted query resumes chunking instead of starting over;
+  * the offset RANGES the engine logs remain the ground truth — any
+  * (start, end] pair replays the same rows.
+  */
 class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
     override val schema: StructType,
-    startingVersion: Option[Int] = None) extends Source {
+    startingVersion: Option[Int] = None,
+    snapshotFilesPerTrigger: Option[Int] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   startingVersion.foreach { sv =>
     require(Snapshots.hasVersion(path, sv),
       s"graft: startingVersion $sv not retained at $path (vacuumed or never committed)")
   }
+  snapshotFilesPerTrigger.foreach(c =>
+    require(c >= 1, s"graft: snapshotFilesPerTrigger must be >= 1 (got $c)"))
 
   private def ordered(df: DataFrame): DataFrame =
     df.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
 
+  /** Snapshot files of version `v` in the DETERMINISTIC delivery
+    * order partial offsets index into. */
+  private def snapFiles(v: Int): IndexedSeq[String] =
+    Snapshots.liveFiles(path, v).map(Snapshots.canonical).sorted.toIndexedSeq
+
+  // ---- offset encoding: plain "12" = versions through 12 delivered;
+  // {"snap":E,"files":n} = first n snapshot files of version E ----
+  private val PartialRe = """\{"snap":(\d+),"files":(\d+)\}""".r
+  private def parseOff(j: String): Either[(Int, Int), Int] = {
+    val t = j.trim
+    t.toIntOption.map(Right(_)).getOrElse(t match {
+      case PartialRe(e, n) => Left((e.toInt, n.toInt))
+      case other => throw new IllegalStateException(s"graft: bad offset '$other'")
+    })
+  }
+
+  private case class PartialOffset(snapV: Int, files: Int) extends OffsetV1 {
+    override def json: String = s"""{"snap":$snapV,"files":$files}"""
+  }
+
+  // ---- chunking progress, persisted under the source metadata dir so
+  // a restart resumes instead of re-chunking from zero (the engine's
+  // offset log remains authoritative: getBatch is range-pure) ----
+  private def progressFile = metadataPath.map(m =>
+    Paths.get(m, "graft_snapshot_progress"))
+  @volatile private var lastExposed: Option[Either[(Int, Int), Int]] = {
+    progressFile.filter(Files.exists(_)).map(p =>
+      parseOff(new String(Files.readAllBytes(p), "UTF-8")))
+  }
+  private def remember(off: Either[(Int, Int), Int]): Unit = {
+    lastExposed = Some(off)
+    progressFile.foreach { p =>
+      Files.createDirectories(p.getParent)
+      val tmp = Files.createTempFile(p.getParent, "prog", ".tmp")
+      Files.write(tmp, (off match {
+        case Right(v) => v.toString
+        case Left((e, n)) => PartialOffset(e, n).json
+      }).getBytes("UTF-8"))
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   override def getOffset: Option[OffsetV1] = {
-    val v = Snapshots.currentVersion(path)
-    if (v < 0) None else Some(LongOffset(v.toLong))
+    val head = Snapshots.currentVersion(path)
+    if (head < 0) return None
+    val next: Either[(Int, Int), Int] = snapshotFilesPerTrigger match {
+      case None => Right(head)
+      case Some(chunk) => lastExposed match {
+        case Some(Right(v)) => Right(math.max(v, head)) // snapshot done
+        case Some(Left((e, n))) =>
+          val total = snapFiles(e).size
+          if (n + chunk < total) Left((e, n + chunk)) else Right(head)
+        case None =>
+          if (startingVersion.isDefined) Right(head) // no snapshot phase
+          else {
+            val e = Snapshots.earliestVersion(path)
+            val total = snapFiles(e).size
+            if (total <= chunk) Right(head) else Left((e, chunk))
+          }
+      }
+    }
+    remember(next)
+    Some(next match {
+      case Right(v) => LongOffset(v.toLong)
+      case Left((e, n)) => PartialOffset(e, n)
+    })
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val endV = end.json.trim.toInt
     val earliest = Snapshots.earliestVersion(path)
-    val startV = start.map(_.json.trim.toInt)
-    val payload = schema.fieldNames.toIndexedSeq
-      .filterNot(c => c == keyCol || c == "change_type" || c == "_commit_version")
+    val payloadSchema = schema // captured for the empty frame
     def changesAt(v: Int): DataFrame = ordered(
       Snapshots.changesWithPayload(spark, path, v - 1, v, keyCol)
         .withColumn("_commit_version", lit(v)))
-    val frames: Seq[DataFrame] = startV match {
-      case None => startingVersion match {
+    /** snapshot files [from, until) of version `e` as tagged inserts. */
+    def snapSlice(e: Int, from: Int, until: Int): DataFrame = {
+      val fs = snapFiles(e).slice(from, until)
+      ordered(Snapshots.readLive(spark, path, e, fs)
+        .withColumn("change_type", lit("insert"))
+        .withColumn("_commit_version", lit(e)))
+    }
+    val frames: Seq[DataFrame] = (start.map(o => parseOff(o.json)),
+        parseOff(end.json)) match {
+      case (None, Right(endV)) => startingVersion match {
         case Some(sv) =>
           // resume-from-version: no snapshot — one feed step per
           // commit after sv (the consumer already holds sv's state)
@@ -831,16 +919,21 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
         case None =>
           // initial batch: full snapshot at the earliest retained
           // version as inserts, then one feed step per later version
-          val snap = ordered(Snapshots.read(spark, path, earliest)
-            .withColumn("change_type", lit("insert"))
-            .withColumn("_commit_version", lit(earliest)))
-          snap +: ((earliest + 1) to endV).map(changesAt)
+          snapSlice(earliest, 0, snapFiles(earliest).size) +:
+            ((earliest + 1) to endV).map(changesAt)
       }
-      case Some(s) => ((s + 1) to endV).map(changesAt)
+      case (None, Left((e, n))) => Seq(snapSlice(e, 0, n))
+      case (Some(Left((e, n1))), Left((_, n2))) => Seq(snapSlice(e, n1, n2))
+      case (Some(Left((e, n))), Right(endV)) =>
+        snapSlice(e, n, snapFiles(e).size) +: ((e + 1) to endV).map(changesAt)
+      case (Some(Right(s)), Right(endV)) => ((s + 1) to endV).map(changesAt)
+      case (Some(Right(_)), Left((e, n))) =>
+        throw new IllegalStateException(
+          s"graft: offset regression to partial snapshot {$e,$n}")
     }
     val batch = frames.reduceOption(_.unionByName(_)).getOrElse(
       ordered(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)))
     // v1 sources must hand back an isStreaming frame (see StreamingFrame)
     org.apache.spark.sql.graft.StreamingFrame(batch)
   }

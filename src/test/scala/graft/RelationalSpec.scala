@@ -41,6 +41,17 @@ class RelationalSpec extends GraftSuite {
     assert(semi == withBig)
   }
 
+  test("q_approx_distinct artifact self-certifies its HLL error envelope") {
+    val rows = graft.operators.Relational.qApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"HLL estimate outside the 5×rsd envelope: $r")
+      // exact columns really are exact — the envelope is anchored
+      assert(r.getAs[Long]("exact_parts") > 0 && r.getAs[Long]("exact_orders") > 0)
+    }
+  }
+
   test("q_rollup contains the grand total row") {
     val rows = Relational.qRollup(spark, sf).collect()
     val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
