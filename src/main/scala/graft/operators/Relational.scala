@@ -488,17 +488,24 @@ object Relational {
     * verdict — the rows-only artifact is SELF-CERTIFYING instead of
     * asking the reader to trust an approximation. rsd target is 1%;
     * the bound is 5× that (a generous 5σ envelope — HLL's rsd is a
-    * standard deviation, not a hard cap). All from one aggregate
-    * statement; exact and approx distincts plan through one Expand.
+    * standard deviation, not a hard cap). The HLL pass and the exact
+    * pass aggregate SEPARATELY and join on the group key: folding all
+    * four distinct aggregates into one statement planned a 4-way
+    * Expand that ran the 2^16-register HLLs in distinct mode —
+    * measured 68 s vs ~4 s for the two cheap passes (|groups| join
+    * rows; at 100 TB each pass is one map-side-combining aggregate).
     */
-  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val approx = li.groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+    approx.join(exact, Seq("l_returnflag"))
       .withColumn("rsd_bound", lit(0.05))
       .withColumn("parts_rel_err", round(
         abs(col("approx_parts") - col("exact_parts")).cast("double") /
@@ -509,6 +516,7 @@ object Relational {
       .withColumn("within_bound",
         col("parts_rel_err") <= col("rsd_bound") &&
           col("orders_rel_err") <= col("rsd_bound"))
+  }
 
   // B19 — pivot (wide conditional aggregation). Explicit pivot values
   // keep the plan single-pass: Spark folds the pivot into ONE hash
