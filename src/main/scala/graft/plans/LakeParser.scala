@@ -351,7 +351,28 @@ object GraftDmlRules {
       "WHEN NOT MATCHED THEN INSERT *, or WHEN MATCHED THEN DELETE alone")
   }
 
+  /** A26 partitioned tables resolve to their own FileIndex; ANSI DML
+    * on them is per-partition by design — refuse with the route. */
+  private def partitioned(plan: LogicalPlan): Boolean = plan match {
+    case SubqueryAlias(_, child) => partitioned(child)
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation =>
+        h.location.isInstanceOf[graft.sources.GraftPartitionedFileIndex]
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def refusePartitioned(): Nothing =
+    refuse("ANSI DML on a PARTITIONED graft table is per-partition by " +
+      "design — write through PartitionedSnapshots (merge/compact/zorder " +
+      "take the partition value) or target one partition's own dir")
+
   def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case DeleteFromTable(t, _) if partitioned(t) => refusePartitioned()
+    case UpdateTable(t, _, _) if partitioned(t) => refusePartitioned()
+    case m: MergeIntoTable if partitioned(m.targetTable) => refusePartitioned()
+    case i: InsertIntoStatement if partitioned(i.table) => refusePartitioned()
     case DeleteFromTable(t, cond) if pathOf(t).isDefined =>
       val p = pathOf(t).get
       val pred = bareSql(cond)

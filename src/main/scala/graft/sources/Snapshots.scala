@@ -1667,10 +1667,35 @@ object Snapshots {
         Files.move(p, dst.resolve(name))
         dst.resolve(name).toString
       }
-    commitNext(path, v, live ++ staged, Some(outSchema),
-      carriedStats(path, v, live) ++ statsLines(spark, staged),
-      dvFiles(path, v), cdf = cdfStaged,
-      bloomExtra = maybeBloom(spark, path, v, staged))
+    // OCC: a blind append retires no files and constrains no keys, so
+    // it commutes with ANY concurrent commit — rebase onto the new
+    // head unconditionally (Delta's appends-never-conflict rule),
+    // bounded only as a runaway guard
+    val stagedStats = statsLines(spark, staged)
+    val bloomStaged = maybeBloom(spark, path, v, staged)
+    var base = v
+    var attempts = 0
+    while (true) {
+      val baseLive = liveFiles(path, base)
+      // the winner may have ADDED a constraint this batch violates
+      if (base != v) enforceConstraints(path, base, df)
+      val schema =
+        if (base == v) outSchema
+        else tableSchema(path, base) match {
+          case Some(w) => org.apache.spark.sql.types.StructType(w.fields ++
+            outSchema.fields.filterNot(f => w.fieldNames.contains(f.name)))
+          case None => outSchema
+        }
+      if (commitAt(path, base + 1, baseLive ++ staged, Some(schema),
+          carriedStats(path, base, baseLive) ++ stagedStats,
+          dvFiles(path, base), cdf = cdfStaged, bloomExtra = bloomStaged))
+        return base + 1
+      attempts += 1
+      if (attempts > 20) throw new java.util.ConcurrentModificationException(
+        s"append on $path lost $attempts commit races")
+      base = currentVersion(path)
+    }
+    -1 // unreachable
   }
 
   /** Stage `rows` as a commit's stored change-data files (A31);

@@ -300,6 +300,26 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("A44: ANSI DML on a PARTITIONED graft table refuses with the route") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_ansi_part").toString + "/t"
+      graft.sources.PartitionedSnapshots.init(s, dir,
+        (1L to 40L).map(k => (k, s"v$k", if (k % 2 == 0) "even" else "odd"))
+          .toDF("k", "payload", "part"), "part")
+      s.sql("DROP TABLE IF EXISTS dml_part")
+      s.sql(s"CREATE TABLE dml_part USING graft OPTIONS (path '$dir', partitionCol 'part')")
+      try {
+        val e = intercept[Exception] {
+          s.sql("UPDATE dml_part SET payload = 'x' WHERE k = 1") }
+        assert(e.getMessage.contains("per-partition"), e.getMessage)
+        val e2 = intercept[Exception] {
+          s.sql("DELETE FROM dml_part WHERE k = 1") }
+        assert(e2.getMessage.contains("per-partition"), e2.getMessage)
+      } finally s.sql("DROP TABLE IF EXISTS dml_part")
+    }
+  }
+
   test("A44 ANSI DML by catalog NAME: the post-hoc rule routes all four verbs") {
     withExtSession { s =>
       val dir = stageDml(s, "graft_ansi_cat")

@@ -1207,6 +1207,73 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.reindexBloom(spark, dir) == 4)
   }
 
+  test("appendVersioned: blind INSERT commits, widens, duplicates allowed, OCC-safe") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val dir = Files.createTempDirectory("graft_append_spec").toString + "/t"
+    (1L to 50L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+      .repartitionByRange(2, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir) // v0
+    val before = Snapshots.liveFiles(dir, 0).map(Snapshots.canonical).toSet
+    Snapshots.appendVersioned(spark, dir,
+      Seq((100L, "a100", 1L)).toDF("k", "payload", "gen")) // v1
+    assert(Snapshots.currentVersion(dir) == 1)
+    assert(Snapshots.read(spark, dir).count() == 51)
+    // append retires NOTHING — every v0 file stays live
+    assert(before.subsetOf(
+      Snapshots.liveFiles(dir, 1).map(Snapshots.canonical).toSet))
+    // INSERT semantics: a duplicate key lands as a second row
+    Snapshots.appendVersioned(spark, dir,
+      Seq((100L, "dup", 2L)).toDF("k", "payload", "gen")) // v2
+    assert(Snapshots.read(spark, dir).filter(col("k") === 100L).count() == 2)
+    // widening append null-fills history, like the widening merge
+    Snapshots.appendVersioned(spark, dir,
+      Seq((200L, "w", 0L, 9L)).toDF("k", "payload", "gen", "extra")) // v3
+    val head = Snapshots.read(spark, dir)
+    assert(head.schema.fieldNames.contains("extra"))
+    assert(head.filter(col("extra").isNotNull).count() == 1)
+
+    // OCC: an append racing a keyed merge — appends commute with
+    // everything, so BOTH must land whatever the commit order
+    import java.util.concurrent.{CountDownLatch, Executors}
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        Executors.newFixedThreadPool(2))
+    (1 to 3).foreach { round =>
+      val start = new CountDownLatch(1)
+      val fApp = Future {
+        start.await()
+        Snapshots.appendVersioned(spark, dir,
+          Seq((1000L + round, "app", 5L, 0L))
+            .toDF("k", "payload", "gen", "extra"))
+      }
+      val fMerge = Future {
+        start.await()
+        Snapshots.mergeVersioned(spark, dir,
+          Seq((2000L + round, "mrg", 6L, 0L))
+            .toDF("k", "payload", "gen", "extra"), "k")
+      }
+      start.countDown()
+      Await.result(fApp, 120.seconds)
+      Await.result(fMerge, 120.seconds)
+      val now = Snapshots.read(spark, dir)
+      assert(now.filter(col("k") === (1000L + round)).count() == 1,
+        s"round $round: append lost the race")
+      assert(now.filter(col("k") === (2000L + round)).count() == 1,
+        s"round $round: merge lost the race")
+      (0 to Snapshots.currentVersion(dir)).foreach { v =>
+        Snapshots.read(spark, dir, v).count() } // gap-free history
+    }
+
+    // CHECK constraints gate the batch like every other writer
+    Snapshots.addConstraint(spark, dir, "gen_nonneg", "gen >= 0")
+    intercept[IllegalArgumentException] {
+      Snapshots.appendVersioned(spark, dir,
+        Seq((999L, "bad", -1L, 0L)).toDF("k", "payload", "gen", "extra"))
+    }
+  }
+
   test("multi-column bloom: two indexes prune independently, ingest feeds both") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bloom_multi").toString + "/t"
