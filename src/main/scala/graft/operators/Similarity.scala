@@ -687,7 +687,127 @@ object Similarity {
        |FROM r WHERE rn = 1""".stripMargin
   }
 
+  /** E13 — the IVF cell-assignment index MAINTAINED INCREMENTALLY over
+    * a VERSIONED embedding corpus (A18 + A20 + E4 composed — the
+    * ANN-index twin of D19's signature index, the loop a production
+    * vector store runs as embeddings churn): assignments (vec_id →
+    * cell) live in their own versioned table; a refresh consumes the
+    * corpus's change feed since the last indexed version, re-assigning
+    * ONLY inserted/updated vectors (one changed-rows-sized broadcast
+    * argmax → keyed merge) and deleting removed keys — maintenance
+    * cost tracks CHANGE volume, never corpus size. The quantizer is
+    * PINNED at full build (centroids persisted beside the index, the
+    * train-once contract every real IVF index has): assignments of
+    * untouched vectors stay valid by construction, so incremental
+    * equals full recompute bit-for-bit. The indexed-version marker
+    * commits after the index (at-least-once + content-idempotent apply
+    * = exactly-once index state). At 100 TB: cell = partition key of
+    * the serving layout; a daily refresh is one changed-rows job.
+    */
+  def refreshIvfIndex(s: SparkSession, corpusDir: String, indexDir: String,
+      cells: Int = 16): Int = {
+    import graft.sources.Snapshots
+    import java.nio.file.{Files, Paths}
+    val to = Snapshots.currentVersion(corpusDir)
+    require(to >= 0, s"$corpusDir is not a versioned table")
+    val marker = Paths.get(indexDir, "_graft_log", "corpus_version")
+    val centDir = indexDir + "_centroids"
+    val from =
+      if (Files.exists(marker))
+        new String(Files.readAllBytes(marker), "UTF-8").trim.toInt
+      else -1
+    def assign(df: DataFrame): DataFrame = {
+      val centroids = s.read.parquet(centDir)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("csim", vec_cosine(col("embedding"), col("cvec")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+    }
+    if (from < 0) {
+      val corpus = Snapshots.read(s, corpusDir, to).select("vec_id", "embedding")
+      corpus.filter(col("vec_id") < cells)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        .write.mode("overwrite").parquet(centDir)
+      Files.createDirectories(Paths.get(indexDir))
+      assign(corpus).write.mode("overwrite").parquet(indexDir)
+      Snapshots.init(s, indexDir)
+    } else if (from < to) {
+      val ch = Snapshots.changesWithPayload(s, corpusDir, from, to, "vec_id")
+        .localCheckpoint()
+      val ups = ch.filter(col("change_type") =!= "delete")
+        .select("vec_id", "embedding")
+      if (!ups.isEmpty)
+        Snapshots.mergeVersioned(s, indexDir, assign(ups), "vec_id")
+      val dels = ch.filter(col("change_type") === "delete").select("vec_id")
+      if (!dels.isEmpty)
+        Snapshots.deleteVersionedKeys(s, indexDir, dels, "vec_id")
+    }
+    if (from != to) {
+      val tmp = Files.createTempFile(Paths.get(indexDir, "_graft_log"), "cv", ".tmp")
+      Files.write(tmp, to.toString.getBytes("UTF-8"))
+      Files.move(tmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    to
+  }
+
+  /** Driver query for E13: stage the embeddings as a versioned corpus,
+    * full-build the index (quantizer pinned from the BASE corpus),
+    * mutate (reverse the embeddings of keys ≡ 0 mod 17 — rotation
+    * changes direction, so stale assignments are DETECTABLE; insert
+    * negated copies of keys ≡ 0 mod 29 with negated elements; delete
+    * keys ≡ 0 mod 23), refresh incrementally, and return the index.
+    * The oracle recomputes assignments over the reconstructed final
+    * corpus against the ORIGINAL pinned centroids — a stale, leaked,
+    * or re-trained-quantizer assignment breaks the hash.
+    */
+  def qIvfIndex(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val corpus = graft.sources.LakehouseQueries.tempDir("graft_ivf_corpus")
+    val index = graft.sources.LakehouseQueries.tempDir("graft_ivf_index") + "/t"
+    e.repartition(4).write.mode("overwrite").parquet(corpus)
+    graft.sources.Snapshots.init(s, corpus)
+    refreshIvfIndex(s, corpus, index) // full build at corpus v0
+    val upd = e.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val ins = e.filter(col("vec_id") % 29 === 0 && col("vec_id") > 0)
+      .select((-col("vec_id")).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"))
+    graft.sources.Snapshots.mergeVersioned(s, corpus,
+      upd.unionByName(ins), "vec_id") // v1
+    graft.sources.Snapshots.deleteVersioned(s, corpus,
+      col("vec_id") % 23 === 0) // v2
+    refreshIvfIndex(s, corpus, index) // incremental: change-sized
+    graft.sources.Snapshots.read(s, index)
+  }
+
+  val qIvfIndexSql: String =
+    """WITH n0 AS (SELECT vec_id, embedding FROM embeddings),
+      |cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+      |  FROM n0 WHERE vec_id < 16),
+      |final AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 17 = 0 THEN list_reverse(embedding)
+      |         ELSE embedding END AS embedding
+      |  FROM n0 WHERE vec_id % 23 <> 0
+      |  UNION ALL
+      |  SELECT -vec_id, list_transform(embedding, x -> -x)
+      |  FROM n0 WHERE vec_id % 29 = 0 AND vec_id > 0 AND vec_id % 23 <> 0),
+      |scored AS (
+      |  SELECT f.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY f.vec_id ORDER BY
+      |      (list_sum(list_transform(range(1, len(f.embedding) + 1),
+      |        i -> f.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) /
+      |       (sqrt(list_sum(list_transform(f.embedding, x -> x::DOUBLE * x::DOUBLE))) * c.cnrm)) DESC,
+      |      c.cid ASC) AS crn
+      |  FROM final f CROSS JOIN cent c)
+      |SELECT vec_id, cid FROM scored WHERE crn = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_index" -> ((s, d) => qIvfIndex(s, d)),
     "q_pq" -> ((s, d) => qPq(s, d)),
     "q_knn_pq" -> ((s, d) => qKnnPq(s, d)),
     "q_knn_ivfpq" -> ((s, d) => qKnnIvfPq(s, d)),
@@ -708,6 +828,7 @@ object Similarity {
     "q_knn_brute" -> qKnnBruteSql,
     "q_knn_lsh" -> qKnnLshSql,
     "q_knn_ivf" -> qKnnIvfSql,
+    "q_ivf_index" -> qIvfIndexSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_embed_centroid" -> qEmbedCentroidSql)
 }

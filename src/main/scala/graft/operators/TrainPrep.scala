@@ -238,7 +238,83 @@ object TrainPrep {
       |    ORDER BY h, doc_id) AS BIGINT) AS pos
       |FROM b""".stripMargin
 
+  /** F30 — DSIR-style importance resampling (Xie et al., NeurIPS'23
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every POOL document by how much more likely its tokens are
+    * under a TARGET-domain language model than under the general
+    * corpus model — the published recipe for "give me more data that
+    * looks like my curated set" — and keep the top `keep` by weight.
+    * Here target = sources src0/src1 (the curated slice), models are
+    * add-one-smoothed unigram LMs over the corpus vocabulary (the F10
+    * machinery; DSIR's hashed-ngram features reduce to exactly this at
+    * unigram order), and the per-doc weight is the length-normalized
+    * log importance ratio mean_w[ln p_t(w) − ln p_c(w)], rounded
+    * before ranking so cross-engine float noise can't flip near-ties.
+    *
+    * Plan at 100 TB: both models are ONE vocabulary-keyed aggregate
+    * over the same token stream (target counts = a conditional count —
+    * no second scan), the three scalars (N_t, N_c, V) ship as literals
+    * (model-as-literal), scoring is a token-keyed hash join with
+    * map-side partials, and the selection is TakeOrderedAndProject —
+    * no global sort, no per-row rank; the final rank window runs over
+    * ≤ keep rows.
+    */
+  def qDsirSelect(s: SparkSession, d: String, keep: Int = 100): DataFrame =
+    dsirSelect(Tables.documents(s, d), Seq("src0", "src1"), keep)
+
+  def dsirSelect(docs: DataFrame, targetSources: Seq[String],
+      keep: Int): DataFrame = {
+    val toks = docs
+      .selectExpr("doc_id", "source", s"$wordsExpr AS w")
+      .select(col("doc_id"), col("source"), explode(col("w")).as("tok"))
+    val isTarget = col("source").isin(targetSources: _*)
+    val sums = toks.agg(count(lit(1)).as("nc"),
+      count(when(isTarget, 1)).as("nt")).head()
+    val (nc, nt) = (sums.getLong(0), sums.getLong(1))
+    val v = toks.select("tok").distinct().count()
+    val model = toks
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cc"), count(when(isTarget, 1)).as("ct"))
+      .select(col("tok"),
+        (log((col("ct") + 1).cast("double") / lit((nt + v).toDouble)) -
+          log((col("cc") + 1).cast("double") / lit((nc + v).toDouble))).as("lr"))
+    val scored = toks.filter(!isTarget)
+      .join(model, "tok")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("lr")), 4).as("logweight"))
+    val top = scored
+      .orderBy(col("logweight").desc, col("doc_id").asc).limit(keep)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("logweight").desc, col("doc_id").asc)).cast("long"))
+  }
+
+  val qDsirSelectSql: String =
+    raw"""WITH t AS (SELECT doc_id, source,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |u AS (SELECT doc_id, source, unnest(w) AS tok FROM t),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+      |  CAST(count(*) FILTER (WHERE source IN ('src0','src1')) AS BIGINT) AS nt,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS v FROM u),
+      |model AS (
+      |  SELECT tok,
+      |    ln((count(*) FILTER (WHERE source IN ('src0','src1')) + 1)::DOUBLE
+      |        / (st.nt + st.v))
+      |    - ln((count(*) + 1)::DOUBLE / (st.nc + st.v)) AS lr
+      |  FROM u CROSS JOIN st GROUP BY tok, st.nt, st.nc, st.v),
+      |scored AS (
+      |  SELECT u.doc_id, u.source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    round(avg(lr), 4) AS logweight
+      |  FROM u JOIN model USING (tok)
+      |  WHERE u.source NOT IN ('src0','src1')
+      |  GROUP BY u.doc_id, u.source)
+      |SELECT doc_id, source, n_tokens, logweight,
+      |  CAST(row_number() OVER (ORDER BY logweight DESC, doc_id) AS BIGINT)
+      |    AS rank
+      |FROM scored ORDER BY logweight DESC, doc_id LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_select" -> ((s, d) => qDsirSelect(s, d)),
     "q_mixture" -> ((s, d) => qMixture(s, d)),
     "q_pack" -> ((s, d) => qPack(s, d)),
     "q_vocab_growth" -> ((s, d) => qVocabGrowth(s, d)),
@@ -247,6 +323,7 @@ object TrainPrep {
     "q_epoch_shuffle" -> ((s, d) => qEpochShuffle(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_dsir_select" -> qDsirSelectSql,
     "q_mixture" -> qMixtureSql,
     "q_pack" -> qPackSql,
     "q_vocab_growth" -> qVocabGrowthSql,

@@ -110,6 +110,51 @@ class SimilaritySpec extends GraftSuite {
     assert(recall > 25.0 / n, s"recall@5 $recall not above chance ${25.0 / n}")
   }
 
+  test("IVF index refresh is incremental and equals a full rebuild (pinned quantizer)") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    import graft.operators.Similarity
+    val corpus = java.nio.file.Files.createTempDirectory("graft_ivfidx_c").toString
+    val index = java.nio.file.Files.createTempDirectory("graft_ivfidx_i").toString + "/t"
+    // 200 deterministic 8-dim vectors; ids < 16 seed the pinned quantizer
+    def vec(k: Long): Array[Float] =
+      Array.tabulate(8)(i => math.sin(k * 37.0 + i * 11.0).toFloat)
+    (0L until 200L).map(k => (k, vec(k))).toDF("vec_id", "embedding")
+      .repartition(4).write.mode("overwrite").parquet(corpus)
+    Snapshots.init(spark, corpus) // v0
+    assert(Similarity.refreshIvfIndex(spark, corpus, index) == 0)
+    assert(Snapshots.read(spark, index).count() == 200)
+    val idxV0 = Snapshots.currentVersion(index)
+
+    // a no-change refresh commits NOTHING
+    assert(Similarity.refreshIvfIndex(spark, corpus, index) == 0)
+    assert(Snapshots.currentVersion(index) == idxV0)
+
+    // mutate OUTSIDE the centroid seed range (the quantizer is pinned;
+    // a rebuild-from-final would re-derive identical centroids, making
+    // the bit-identity check below well-posed): reverse 3 vectors,
+    // insert 2, delete 4
+    Snapshots.mergeVersioned(spark, corpus,
+      Seq((20L, vec(20).reverse), (21L, vec(21).reverse), (22L, vec(22).reverse),
+        (500L, vec(500)), (501L, vec(501)))
+        .toDF("vec_id", "embedding"), "vec_id") // v1
+    Snapshots.deleteVersioned(spark, corpus,
+      col("vec_id") >= 100L && col("vec_id") < 104L) // v2
+    assert(Similarity.refreshIvfIndex(spark, corpus, index) == 2)
+    // incremental: exactly the keyed merge + keyed delete, no rebuild
+    assert(Snapshots.currentVersion(index) == idxV0 + 2)
+
+    // BIT-IDENTICAL to a fresh full build over the corpus head
+    val index2 = java.nio.file.Files.createTempDirectory("graft_ivfidx_f").toString + "/t"
+    Similarity.refreshIvfIndex(spark, corpus, index2)
+    val viaRefresh = Snapshots.read(spark, index).collect().map(_.toSeq).toSet
+    val viaRebuild = Snapshots.read(spark, index2).collect().map(_.toSeq).toSet
+    assert(viaRefresh == viaRebuild)
+    assert(Snapshots.read(spark, index)
+      .filter(col("vec_id") >= 100L && col("vec_id") < 104L).isEmpty)
+    assert(Snapshots.read(spark, index).filter(col("vec_id") === 500L).count() == 1)
+  }
+
   test("per-label centroids cover labels x dims with consistent counts") {
     val rows = Similarity.qEmbedCentroid(spark, sf).collect()
     val emb = Tables.embeddings(spark, sf)

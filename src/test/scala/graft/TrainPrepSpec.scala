@@ -6,6 +6,35 @@ import graft.operators.{Dedup, TrainPrep}
 
 class TrainPrepSpec extends GraftSuite {
 
+  test("DSIR selection: target-like pool docs outrank target-unlike ones") {
+    import spark.implicits._
+    // target speaks "alpha beta gamma"; pool doc 10 speaks the target's
+    // language, 11 a different one, 12 a mix — the importance ratio
+    // must order them 10 > 12 > 11
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "t"),
+      (2L, "beta gamma alpha gamma", "t"),
+      (10L, "alpha beta gamma beta alpha", "pool"),
+      (11L, "delta epsilon zeta delta epsilon", "pool"),
+      (12L, "alpha delta beta epsilon", "pool"))
+      .toDF("doc_id", "text", "source")
+    val out = TrainPrep.dsirSelect(docs, Seq("t"), keep = 10).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L), "pool docs only, all kept")
+    assert(out(10L)._2 == 1L && out(11L)._2 == 3L && out(12L)._2 == 2L,
+      s"ranking did not follow target-likeness: $out")
+    assert(out(10L)._1 > out(12L)._1 && out(12L)._1 > out(11L)._1)
+
+    // on the real corpus: exactly `keep` rows, dense ranks, no target
+    // docs, weights non-increasing
+    val real = TrainPrep.qDsirSelect(spark, sf, keep = 50).collect()
+    assert(real.length == 50)
+    assert(real.map(_.getLong(4)).sorted.toSeq == (1L to 50L))
+    assert(real.forall(r => !Set("src0", "src1").contains(r.getString(1))))
+    val byRank = real.sortBy(_.getLong(4)).map(_.getDouble(3))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
   test("packing: offsets chain exactly within each source shard") {
     val rows = TrainPrep.qPack(spark, sf, budget = 512).collect()
       .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
