@@ -219,17 +219,25 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val vals = PartitionedSnapshots.partitions(path)
     val dirs = vals.map(v => v -> PartitionedSnapshots.partitionDir(path, v))
     dirs.foreach { case (value, d) =>
-      val pv = Snapshots.currentVersion(d)
-      require(pv >= 0, s"graft: partition $value of $path has no log")
-      require(Snapshots.dvFiles(d, pv).isEmpty,
-        s"graft: partition $value carries deletion vectors; reconcile first")
+      require(Snapshots.currentVersion(d) >= 0,
+        s"graft: partition $value of $path has no log")
     }
+    // any partition carrying DVs or a column mapping routes the WHOLE
+    // table through the partitioned compat scan (per-partition DV anti
+    // join / rename projection inside the read; partition pruning and
+    // per-file stats pruning still apply) — same trade as the flat
+    // compat relation
+    val needsCompat = dirs.exists { case (_, d) =>
+      val pv = Snapshots.currentVersion(d)
+      Snapshots.dvFiles(d, pv).nonEmpty ||
+        Snapshots.tableSchema(d, pv).exists(Snapshots.hasMapping)
+    }
+    if (needsCompat)
+      return new GraftPartitionedCompatRelation(spark, path, partCol, dirs)
     val (v0, d0) = dirs.head
     val dataSchema = Snapshots.tableSchema(d0, Snapshots.currentVersion(d0))
       .getOrElse(spark.read.parquet(
         Snapshots.liveFiles(d0, Snapshots.currentVersion(d0)): _*).schema)
-    require(!Snapshots.hasMapping(dataSchema),
-      s"graft: partition $v0 uses column mapping; read via PartitionedSnapshots")
     require(!dataSchema.fieldNames.contains(partCol),
       s"graft: partition column '$partCol' collides with a data column")
     HadoopFsRelation(
@@ -490,6 +498,81 @@ object GraftCompatRelation {
       case sf.Or(l, r) => for {a <- toColumn(l); b <- toColumn(r)} yield a || b
       case _ => None
     }
+  }
+}
+
+/** [[GraftCompatRelation]] for the A26 PARTITIONED layout: each
+  * partition reads through Snapshots' own path (DV anti join +
+  * logical-name projection per partition log) with the partition
+  * column attached, partition PRUNING evaluated on the driver against
+  * the values (EqualTo/In/IsNotNull on the partition column — anything
+  * else conservatively keeps), and per-file manifest-stats pruning
+  * within each surviving partition. Spark re-applies every filter
+  * above the relation, so partial pushdown cannot change results.
+  */
+class GraftPartitionedCompatRelation(spark: SparkSession, path: String,
+    partCol: String, dirs: Seq[(String, String)]) extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = {
+    val d0 = dirs.head._2
+    StructType(Snapshots.read(spark, d0).schema.fields :+
+      org.apache.spark.sql.types.StructField(partCol,
+        org.apache.spark.sql.types.StringType, nullable = false))
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.{sources => sf}
+    val kept = GraftPartitionedCompatRelation
+      .survivingParts(dirs, partCol, filters)
+    val dataFilters = filters.filterNot(f =>
+      f.references.contains(partCol)) // partition conjuncts handled above
+    val frames = kept.map { case (value, d) =>
+      val pv = Snapshots.currentVersion(d)
+      val files = GraftCompatRelation.planFiles(d, pv, dataFilters)
+      val base =
+        if (files.isEmpty) None
+        else Some(Snapshots.readLive(spark, d, pv, files)
+          .withColumn(partCol, lit(value)))
+      base
+    }.flatten
+    val unioned = frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val normalized = unioned.select(schema.fieldNames.toIndexedSeq.map(c =>
+      (if (unioned.columns.contains(c)) col(s"`$c`")
+       else lit(null).cast(schema(c).dataType)).as(c)): _*)
+    val filtered = filters.flatMap(GraftCompatRelation.toColumn)
+      .foldLeft(normalized)(_ filter _)
+    val projected =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.toIndexedSeq.map(c => col(s"`$c`")): _*)
+    projected.rdd
+  }
+}
+
+object GraftPartitionedCompatRelation {
+  import org.apache.spark.sql.{sources => sf}
+
+  /** Partition values `filters` cannot exclude (driver-side, values
+    * only — whole partitions prune before any manifest opens). */
+  private[graft] def survivingParts(dirs: Seq[(String, String)],
+      partCol: String, filters: Array[sf.Filter]): Seq[(String, String)] = {
+    def keeps(value: String, f: sf.Filter): Boolean = f match {
+      case sf.EqualTo(c, v) if c == partCol => v != null && v.toString == value
+      case sf.EqualNullSafe(c, v) if c == partCol =>
+        v != null && v.toString == value
+      case sf.In(c, vs) if c == partCol =>
+        vs.exists(v => v != null && v.toString == value)
+      case sf.IsNull(c) if c == partCol => false // values are never null
+      case sf.And(l, r) => keeps(value, l) && keeps(value, r)
+      case sf.Or(l, r) => keeps(value, l) || keeps(value, r)
+      case _ => true // unknown shapes cannot prune
+    }
+    dirs.filter { case (value, _) => filters.forall(keeps(value, _)) }
   }
 }
 

@@ -43,7 +43,7 @@ object PartitionedSnapshots {
     Paths.get(path, s"part=${enc(value)}")
 
   /** A partition's table directory (for the connector's file index). */
-  private[sources] def partitionDir(path: String, value: String): String =
+  private[graft] def partitionDir(path: String, value: String): String =
     partDir(path, value).toString
 
   /** Committed partition values, decoded from the directory names —

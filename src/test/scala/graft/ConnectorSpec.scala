@@ -245,6 +245,25 @@ class ConnectorSpec extends GraftSuite {
       Seq((2L, "E", 99L)).toDF("k", "st", "gen"), "k", "st")
     assert(spark.read.format("graft").option("partitionCol", "st").load(dir)
       .filter(col("k") === 2L).select("gen").head().getLong(0) == 99L)
+
+    // a DV delete in ONE partition routes the table through the
+    // partitioned compat scan: dead rows stay dead, the untouched
+    // partition is bit-identical, partition + stats pruning still hold
+    Snapshots.deleteVersionedDV(spark,
+      PartitionedSnapshots.partitionDir(dir, "E"), col("k") % 10 === 0)
+    val compat = spark.read.format("graft").option("partitionCol", "st").load(dir)
+    assert(compat.count() == 900) // 100 even multiples of 10 are dead
+    assert(compat.filter(col("k") % 10 === 0).isEmpty)
+    assert(compat.filter(col("st") === "O").count() == 500)
+    assert(compat.filter(col("st") === "E" && col("k") <= 200L).count() == 80)
+    // driver-side partition pruning pin for the compat path
+    import org.apache.spark.sql.sources.{EqualTo => SEq}
+    val dirsNow = Seq("E", "O").map(v =>
+      v -> PartitionedSnapshots.partitionDir(dir, v))
+    assert(graft.sources.GraftPartitionedCompatRelation
+      .survivingParts(dirsNow, "st", Array(SEq("st", "E"))).map(_._1) == Seq("E"))
+    assert(graft.sources.GraftPartitionedCompatRelation
+      .survivingParts(dirsNow, "st", Array(SEq("k", 5L))).size == 2)
   }
 
   test("timestamp time travel and metadata tables over the log") {
