@@ -53,12 +53,12 @@ import org.apache.spark.sql.types.StructType
   * poller remains for driver-loop use, but this is the form
   * `writeStream`/watermarks compose with.
   *
-  * Refusals (documented, loud): a version carrying deletion vectors
-  * (A30) or column-mapped schema (A24) cannot be expressed as a bare
-  * file scan — reads must go through [[Snapshots.read]] (or
-  * [[Snapshots.reconcileDV]] first). Real formats solve this inside
-  * custom scan nodes; here the honest move is refusing rather than
-  * silently resurrecting dead rows or physical column names.
+  * A version carrying deletion vectors (A30) or a column-mapped schema
+  * (A24) cannot be expressed as a bare file scan; those route through
+  * [[GraftCompatRelation]] (or [[GraftPartitionedCompatRelation]]) —
+  * Snapshots' own read path behind a PrunedFilteredScan, with manifest
+  * stats still pruning files. Plain versions keep the vectorized
+  * HadoopFsRelation fast path.
   */
 class GraftDataSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with StreamSourceProvider
@@ -323,7 +323,8 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       streamSchema(sqlContext.sparkSession, path, keyCol),
       parameters.get("startingVersion").map(_.toInt),
       parameters.get("snapshotFilesPerTrigger").map(_.toInt),
-      Some(metadataPath))
+      Some(metadataPath),
+      parameters.get("maxVersionsPerTrigger").map(_.toInt))
   }
 
   // ---- streaming write --------------------------------------------
@@ -898,7 +899,8 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
     override val schema: StructType,
     startingVersion: Option[Int] = None,
     snapshotFilesPerTrigger: Option[Int] = None,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
 
   startingVersion.foreach { sv =>
     require(Snapshots.hasVersion(path, sv),
@@ -906,6 +908,20 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
   }
   snapshotFilesPerTrigger.foreach(c =>
     require(c >= 1, s"graft: snapshotFilesPerTrigger must be >= 1 (got $c)"))
+  maxVersionsPerTrigger.foreach(m =>
+    require(m >= 1, s"graft: maxVersionsPerTrigger must be >= 1 (got $m)"))
+
+  /** `maxVersionsPerTrigger`: cap how far past `lo` one micro-batch may
+    * advance — a consumer resuming after downtime catches up over
+    * several commit-sized batches instead of one giant multi-version
+    * batch (Delta's maxFilesPerTrigger intent, at version granularity;
+    * per-version stepping inside getBatch keeps the A31 changed-rows
+    * fast path either way, this bounds the BATCH the sink must absorb
+    * transactionally). */
+  private def capV(lo: Int, head: Int): Int = maxVersionsPerTrigger match {
+    case Some(m) => math.min(head, lo + m)
+    case None => head
+  }
 
   private def ordered(df: DataFrame): DataFrame =
     df.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
@@ -957,18 +973,24 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
     val head = Snapshots.currentVersion(path)
     if (head < 0) return None
     val next: Either[(Int, Int), Int] = snapshotFilesPerTrigger match {
-      case None => Right(head)
+      case None => lastExposed match {
+        case Some(Right(v)) => Right(capV(v, math.max(v, head)))
+        case Some(Left((e, _))) => Right(capV(e, head)) // legacy transition
+        case None => Right(capV(
+          startingVersion.getOrElse(Snapshots.earliestVersion(path)), head))
+      }
       case Some(chunk) => lastExposed match {
-        case Some(Right(v)) => Right(math.max(v, head)) // snapshot done
+        case Some(Right(v)) => Right(capV(v, math.max(v, head)))
         case Some(Left((e, n))) =>
           val total = snapFiles(e).size
-          if (n + chunk < total) Left((e, n + chunk)) else Right(head)
+          if (n + chunk < total) Left((e, n + chunk)) else Right(capV(e, head))
         case None =>
-          if (startingVersion.isDefined) Right(head) // no snapshot phase
+          if (startingVersion.isDefined)
+            Right(capV(startingVersion.get, head)) // no snapshot phase
           else {
             val e = Snapshots.earliestVersion(path)
             val total = snapFiles(e).size
-            if (total <= chunk) Right(head) else Left((e, chunk))
+            if (total <= chunk) Right(capV(e, head)) else Left((e, chunk))
           }
       }
     }

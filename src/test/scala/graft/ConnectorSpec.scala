@@ -527,6 +527,41 @@ class ConnectorSpec extends GraftSuite {
     assert(rows.filter(_._4 == 1).map(r => (r._2, r._3)) == Seq((5L, "update")))
   }
 
+  test("maxVersionsPerTrigger bounds catch-up batches to one commit each") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_conn_maxv").toString + "/t"
+    (1L to 20L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+      .coalesce(1).write.parquet(dir)
+    Snapshots.init(spark, dir) // v0
+    (1 to 4).foreach { i =>
+      Snapshots.mergeVersioned(spark, dir,
+        Seq((100L + i, s"n$i", i.toLong)).toDF("k", "payload", "gen"), "k")
+    } // v1..v4 committed BEFORE the consumer starts — the downtime case
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = spark.readStream.format("graft")
+      .option("keyCol", "k").option("maxVersionsPerTrigger", 1).load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        got.synchronized {
+          got ++= b.collect().map(r => (id, r.getLong(0), r.getInt(4)))
+        }; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_maxv_ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = got.toSeq
+    // complete delivery: the v0 snapshot plus one insert per version
+    assert(rows.count(_._3 == 0) == 20)
+    assert((1 to 4).forall(i => rows.count(_._3 == i) == 1))
+    // and the catch-up arrived over MULTIPLE batches, each advancing at
+    // most one version past the previous (never one giant batch)
+    val perBatch = rows.groupBy(_._1).view.mapValues(_.map(_._3).distinct.sorted)
+    assert(perBatch.size >= 4, s"caught up in only ${perBatch.size} batches")
+    perBatch.values.foreach { vs =>
+      assert(vs.max - vs.min <= 1, s"a batch spanned versions $vs") }
+  }
+
   test("float column stats prune soundly: a float point probe keeps its file") {
     import spark.implicits._
     // 0.7f widens to 0.699999988…; a Float.toString-recorded min ("0.7")
