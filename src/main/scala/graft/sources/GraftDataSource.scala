@@ -949,8 +949,17 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
   // ---- chunking progress, persisted under the source metadata dir so
   // a restart resumes instead of re-chunking from zero (the engine's
   // offset log remains authoritative: getBatch is range-pure) ----
-  private def progressFile = metadataPath.map(m =>
-    Paths.get(m, "graft_snapshot_progress"))
+  // progress persistence uses java.nio — LOCAL paths only. A non-local
+  // checkpoint (hdfs://, s3a://) skips persistence: a restart then
+  // re-derives chunking from scratch, which is SAFE (already-delivered
+  // ranges replay as empty slices and the offsets re-converge past the
+  // committed point) just less incremental.
+  private def progressFile = metadataPath
+    .filter(m => !m.contains("://") || m.startsWith("file:"))
+    .map { m =>
+      val base = if (m.startsWith("file:")) java.net.URI.create(m).getPath else m
+      Paths.get(base, "graft_snapshot_progress")
+    }
   @volatile private var lastExposed: Option[Either[(Int, Int), Int]] = {
     progressFile.filter(Files.exists(_)).map(p =>
       parseOff(new String(Files.readAllBytes(p), "UTF-8")))
