@@ -849,7 +849,12 @@ object Dedup {
     val key = (docs.queryExecution.analyzed.canonicalized, tau)
     synchronized(probeResults.get(key)).getOrElse {
       val built = probeVerifiedPairs(docs, tau).cache()
-      synchronized(probeResults.getOrElseUpdate(key, built))
+      synchronized {
+        probeResults.get(key) match {
+          case Some(winner) => built.unpersist(); winner // lost the race
+          case None => probeResults.put(key, built); built
+        }
+      }
     }
   }
 
@@ -1259,7 +1264,12 @@ object Dedup {
         .select(col("vec_id"), col("embedding"),
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
         .cache()
-      synchronized(embedBuckets.getOrElseUpdate(ck, built))
+      synchronized {
+        embedBuckets.get(ck) match {
+          case Some(winner) => built.unpersist(); winner // lost the race
+          case None => embedBuckets.put(ck, built); built
+        }
+      }
     }
     eb.as("a")
       .join(eb.as("b"),

@@ -493,7 +493,13 @@ object Relational {
     * four distinct aggregates into one statement planned a 4-way
     * Expand that ran the 2^16-register HLLs in distinct mode —
     * measured 68 s vs ~4 s for the two cheap passes (|groups| join
-    * rows; at 100 TB each pass is one map-side-combining aggregate).
+    * rows). Honesty note for the 100 TB reading: the EXACT pass is the
+    * correctness gate's certification cost — it exists so this
+    * rows-only artifact proves its own envelope at gate scale. The
+    * production operator B15 ships is the HLL aggregate alone (one
+    * map-side-combining pass, the whole point of approximating);
+    * certify there by sampling or against a B9 run you were doing
+    * anyway, not by paying exact-distinct on every query.
     */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)

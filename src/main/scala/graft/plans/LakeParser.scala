@@ -288,18 +288,37 @@ object GraftDmlRules {
     case _ => None
   }
 
-  private def nameOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = e match {
+  /** Table/source aliases in scope for a DML target — ONLY these may
+    * qualify a column reference; a multi-part name whose head is NOT a
+    * known alias is a struct-field path and must keep its shape (the
+    * old last-part collapse silently retargeted `addr.city` to a
+    * top-level `city`). */
+  private def aliasesOf(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(id, child) => aliasesOf(child) + id.name
+    case _ => Set.empty
+  }
+
+  private def nameOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      aliases: Set[String]): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
-    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case u: UnresolvedAttribute => u.nameParts match {
+      case Seq(n) => Some(n)
+      case Seq(q, n) if aliases.contains(q) => Some(n)
+      case _ => None // struct path or unknown qualifier
+    }
     case _ => None
   }
 
-  /** Re-render an expression as SQL with qualifiers stripped so it
-    * re-resolves against the command's own table read. */
-  private def bareSql(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+  /** Re-render an expression as SQL with KNOWN-ALIAS qualifiers
+    * stripped so it re-resolves against the command's own table read;
+    * struct-field paths pass through untouched and resolve as struct
+    * access there. */
+  private def bareSql(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      aliases: Set[String]): String =
     e.transform {
       case a: AttributeReference => a.withQualifier(Seq.empty)
-      case u: UnresolvedAttribute if u.nameParts.length > 1 =>
+      case u: UnresolvedAttribute
+          if u.nameParts.length == 2 && aliases.contains(u.nameParts.head) =>
         UnresolvedAttribute(Seq(u.nameParts.last))
     }.sql
 
@@ -307,27 +326,48 @@ object GraftDmlRules {
     throw new IllegalArgumentException(
       s"graft: $msg (the GRAFT dialect and the Snapshots API cover the general forms)")
 
-  /** Assignments that are exactly `col = col` by matching name — the
-    * post-resolution expansion of `UPDATE SET *` / `INSERT *`. */
-  private def isStarAssignments(as: Seq[Assignment]): Boolean =
-    as.nonEmpty && as.forall(a =>
-      nameOf(a.key).isDefined && nameOf(a.key) == nameOf(a.value))
+  /** The resolved target's column names (None pre-resolution). */
+  private def outputCols(plan: LogicalPlan): Option[Seq[String]] = plan match {
+    case SubqueryAlias(_, child) => outputCols(child)
+    case lr: LogicalRelation => Some(lr.output.map(_.name))
+    case _ => None
+  }
 
-  private def isUpdateStar(as: Seq[MergeAction]): Boolean = as match {
+  /** Assignments equivalent to the post-resolution expansion of
+    * `UPDATE SET *` / `INSERT *`: every pair `col = col` by matching
+    * name AND the set covers EVERY target column — a PARTIAL
+    * same-named list (`SET price = src.price`) is the user asking for
+    * a partial update, which the keyed full-row merge cannot honor and
+    * must refuse, not approximate. Pre-resolution (targetCols None)
+    * only the literal star actions qualify. */
+  private def isStarAssignments(as: Seq[Assignment],
+      targetCols: Option[Seq[String]], aliases: Set[String]): Boolean =
+    as.nonEmpty && as.forall(a => nameOf(a.key, aliases).isDefined &&
+      nameOf(a.key, aliases) == nameOf(a.value, aliases)) &&
+      targetCols.exists(tc =>
+        as.flatMap(a => nameOf(a.key, aliases)).toSet == tc.toSet)
+
+  private def isUpdateStar(as: Seq[MergeAction],
+      targetCols: Option[Seq[String]], aliases: Set[String]): Boolean = as match {
     case Seq(UpdateStarAction(None)) => true
-    case Seq(UpdateAction(None, assigns, _)) => isStarAssignments(assigns)
+    case Seq(UpdateAction(None, assigns, _)) =>
+      isStarAssignments(assigns, targetCols, aliases)
     case _ => false
   }
 
-  private def isInsertStar(as: Seq[MergeAction]): Boolean = as match {
+  private def isInsertStar(as: Seq[MergeAction],
+      targetCols: Option[Seq[String]], aliases: Set[String]): Boolean = as match {
     case Seq(InsertStarAction(None)) => true
-    case Seq(InsertAction(None, assigns)) => isStarAssignments(assigns)
+    case Seq(InsertAction(None, assigns)) =>
+      isStarAssignments(assigns, targetCols, aliases)
     case _ => false
   }
 
   private def planMerge(path: String, m: MergeIntoTable): LogicalPlan = {
+    val aliases = aliasesOf(m.targetTable) ++ aliasesOf(m.sourceTable)
+    val targetCols = outputCols(m.targetTable)
     val keyCol = m.mergeCondition match {
-      case EqualTo(l, r) => (nameOf(l), nameOf(r)) match {
+      case EqualTo(l, r) => (nameOf(l, aliases), nameOf(r, aliases)) match {
         case (Some(a), Some(b)) if a == b => a
         case _ => refuse("MERGE condition must be t.<key> = s.<key> on one same-named column")
       }
@@ -335,8 +375,9 @@ object GraftDmlRules {
     }
     // a path-form source may itself read graft.`dir`
     val source = ResolveGraftPath.rewrite(m.sourceTable)
-    val upsert = isUpdateStar(m.matchedActions) &&
-      isInsertStar(m.notMatchedActions) && m.notMatchedBySourceActions.isEmpty
+    val upsert = isUpdateStar(m.matchedActions, targetCols, aliases) &&
+      isInsertStar(m.notMatchedActions, targetCols, aliases) &&
+      m.notMatchedBySourceActions.isEmpty
     val keyedDelete = m.matchedActions == Seq(DeleteAction(None)) &&
       m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty
     if (upsert)
@@ -375,16 +416,17 @@ object GraftDmlRules {
     case i: InsertIntoStatement if partitioned(i.table) => refusePartitioned()
     case DeleteFromTable(t, cond) if pathOf(t).isDefined =>
       val p = pathOf(t).get
-      val pred = bareSql(cond)
+      val pred = bareSql(cond, aliasesOf(t))
       LakeMaintenanceCommand("version", s =>
         Snapshots.deleteVersioned(s, p, expr(pred)).toLong)
     case UpdateTable(t, assignments, cond) if pathOf(t).isDefined =>
       val p = pathOf(t).get
-      val pred = cond.map(bareSql).getOrElse("true")
+      val aliases = aliasesOf(t)
+      val pred = cond.map(bareSql(_, aliases)).getOrElse("true")
       val assigns = assignments.map { a =>
-        nameOf(a.key).getOrElse(
-          refuse("UPDATE assignment target must be a bare column")) ->
-          bareSql(a.value)
+        nameOf(a.key, aliases).getOrElse(
+          refuse("UPDATE assignment target must be a bare (top-level) column")) ->
+          bareSql(a.value, aliases)
       }
       LakeMaintenanceCommand("version", s =>
         Snapshots.updateVersioned(s, p, expr(pred),

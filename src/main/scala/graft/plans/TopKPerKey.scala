@@ -442,6 +442,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * public escape is building a sibling session on the same context
   * with `builder().withExtensions` (the active/default session is
   * restored afterwards, and the sibling is cached per context).
+  *
+  * Concurrency caveat: the clear→build→restore window touches Spark's
+  * PROCESS-GLOBAL session registry — another thread calling
+  * `SparkSession.builder().getOrCreate()` during that window could
+  * mint an extension-less sibling. Call this during query SETUP (the
+  * harness pattern it exists for), not concurrently with other session
+  * construction; the monitor serializes callers of this object only.
   */
 object GraftSessions {
   import org.apache.spark.sql.SparkSession

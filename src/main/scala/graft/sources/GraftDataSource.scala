@@ -910,6 +910,19 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
     require(c >= 1, s"graft: snapshotFilesPerTrigger must be >= 1 (got $c)"))
   maxVersionsPerTrigger.foreach(m =>
     require(m >= 1, s"graft: maxVersionsPerTrigger must be >= 1 (got $m)"))
+  // Both rate limits need the LAST EXPOSED offset to survive a restart
+  // in the committed-and-idle case (the engine re-calls getOffset
+  // before any getBatch there): without the progress file a fresh
+  // source would expose an offset BELOW the committed one — a
+  // permanent crash loop for partial-snapshot offsets, silent
+  // re-delivery of consumed commits for version caps. Persistence is
+  // java.nio (local checkpoints); refuse loudly otherwise instead of
+  // degrading into either failure mode.
+  require(snapshotFilesPerTrigger.isEmpty && maxVersionsPerTrigger.isEmpty ||
+      progressFile.isDefined,
+    "graft: snapshotFilesPerTrigger/maxVersionsPerTrigger require a " +
+      "LOCAL checkpointLocation in this build (rate-limit progress " +
+      "persists via java.nio under the source metadata dir)")
 
   /** `maxVersionsPerTrigger`: cap how far past `lo` one micro-batch may
     * advance — a consumer resuming after downtime catches up over
@@ -948,12 +961,11 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
 
   // ---- chunking progress, persisted under the source metadata dir so
   // a restart resumes instead of re-chunking from zero (the engine's
-  // offset log remains authoritative: getBatch is range-pure) ----
-  // progress persistence uses java.nio — LOCAL paths only. A non-local
-  // checkpoint (hdfs://, s3a://) skips persistence: a restart then
-  // re-derives chunking from scratch, which is SAFE (already-delivered
-  // ranges replay as empty slices and the offsets re-converge past the
-  // committed point) just less incremental.
+  // offset log remains authoritative: getBatch is range-pure).
+  // Persistence is java.nio, hence the LOCAL-checkpoint requirement
+  // above; getBatch additionally re-learns the high-water mark from
+  // the engine's own ranges, so even a deleted progress file recovers
+  // on the first replayed batch. ----
   private def progressFile = metadataPath
     .filter(m => !m.contains("://") || m.startsWith("file:"))
     .map { m =>
@@ -964,12 +976,26 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
     progressFile.filter(Files.exists(_)).map(p =>
       parseOff(new String(Files.readAllBytes(p), "UTF-8")))
   }
+
+  /** Later of two offsets: any Full dominates any Partial (the
+    * snapshot phase strictly precedes version offsets). */
+  private def offMax(a: Either[(Int, Int), Int],
+      b: Either[(Int, Int), Int]): Either[(Int, Int), Int] = (a, b) match {
+    case (Right(x), Right(y)) => Right(math.max(x, y))
+    case (Left(_), r @ Right(_)) => r
+    case (l @ Right(_), Left(_)) => l
+    case (Left((e1, n1)), Left((e2, n2))) =>
+      if (n2 > n1) Left((e2, n2)) else Left((e1, n1))
+  }
+
   private def remember(off: Either[(Int, Int), Int]): Unit = {
-    lastExposed = Some(off)
+    val next = lastExposed.map(offMax(_, off)).getOrElse(off)
+    if (lastExposed.contains(next)) { lastExposed = Some(next); return }
+    lastExposed = Some(next)
     progressFile.foreach { p =>
       Files.createDirectories(p.getParent)
       val tmp = Files.createTempFile(p.getParent, "prog", ".tmp")
-      Files.write(tmp, (off match {
+      Files.write(tmp, (next match {
         case Right(v) => v.toString
         case Left((e, n)) => PartialOffset(e, n).json
       }).getBytes("UTF-8"))
@@ -1023,8 +1049,12 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
         .withColumn("change_type", lit("insert"))
         .withColumn("_commit_version", lit(e)))
     }
-    val frames: Seq[DataFrame] = (start.map(o => parseOff(o.json)),
-        parseOff(end.json)) match {
+    val startOff = start.map(o => parseOff(o.json))
+    val endOff = parseOff(end.json)
+    // re-learn the high-water mark from the engine's own logged range —
+    // a lost progress file recovers before the next getOffset
+    remember(startOff.map(offMax(_, endOff)).getOrElse(endOff))
+    val frames: Seq[DataFrame] = (startOff, endOff) match {
       case (None, Right(endV)) => startingVersion match {
         case Some(sv) =>
           // resume-from-version: no snapshot — one feed step per

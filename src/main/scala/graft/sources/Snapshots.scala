@@ -55,13 +55,17 @@ object Snapshots {
     */
   private[graft] def strayFiles(path: String): Seq[String] = {
     if (currentVersion(path) < 0) return Seq.empty // log gone/absent: not ours to judge
-    val registered = (earliestVersion(path) to currentVersion(path))
-      .flatMap(v => liveFiles(path, v)).map(canonical).toSet
-    listDir(Paths.get(path))
+    // candidates FIRST: when every file carries the graft `vN_` prefix
+    // (any table past its bootstrap rewrites), refresh() costs one
+    // directory listing and never opens a manifest
+    val candidates = listDir(Paths.get(path))
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .filterNot(_.getFileName.toString.startsWith("v"))
       .map(p => canonical(p.toString))
-      .filterNot(registered.contains)
+    if (candidates.isEmpty) return Seq.empty
+    val registered = (earliestVersion(path) to currentVersion(path))
+      .flatMap(v => liveFiles(path, v)).map(canonical).toSet
+    candidates.filterNot(registered.contains)
   }
 
   /** Directory listing, strict and with the stream closed — Files.list
@@ -895,6 +899,8 @@ object Snapshots {
     import spark.implicits._
     val remapB = spark.sparkContext.broadcast(remap)
     val keepB = spark.sparkContext.broadcast(keep)
+    // localCheckpoint so the emptiness probe and the write are ONE
+    // pass over the sidecars, not two
     val rows = spark.read.parquet(branchRefs: _*)
       .select("file", "col", "bits").as[(String, String, Array[Long])]
       .flatMap { case (f, c, bits) =>
@@ -903,6 +909,7 @@ object Snapshots {
           .orElse(if (keepB.value.contains(cf)) Some((cf, c, bits)) else None)
       }
       .toDF("file", "col", "bits")
+      .localCheckpoint()
     if (rows.isEmpty) return Seq.empty
     val stage = Files.createTempDirectory("graft_bloom_pub").toString
     rows.write.mode(SaveMode.Overwrite).parquet(stage)

@@ -320,6 +320,35 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("A44: partial SET and non-top-level targets refuse — never approximated") {
+    withExtSession { s =>
+      val dir = stageDml(s, "graft_ansi_guard")
+      // a PARTIAL same-named assignment list is not SET * — the keyed
+      // full-row merge cannot honor it and must refuse, not silently
+      // replace the unmentioned columns
+      val e = intercept[Exception] {
+        s.sql(s"""MERGE INTO graft.`$dir` t
+                 |USING (SELECT CAST(5 AS BIGINT) AS k, 'x' AS payload) src
+                 |ON t.k = src.k
+                 |WHEN MATCHED THEN UPDATE SET payload = src.payload
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(e.getMessage.contains("MERGE"), e.getMessage)
+      assert(Snapshots.currentVersion(dir) == 0, "refusal must commit nothing")
+      // an UPDATE whose assignment target is not a bare top-level
+      // column refuses (the old last-part collapse would have silently
+      // retargeted a struct path to a like-named column)
+      val e2 = intercept[Exception] {
+        s.sql(s"UPDATE graft.`$dir` SET meta.payload.x = 'v' WHERE k = 1")
+      }
+      assert(e2.getMessage.contains("bare"), e2.getMessage)
+      // alias-qualified references still work end-to-end
+      s.sql(s"UPDATE graft.`$dir` t SET t.gen = t.gen + 1 WHERE t.k = 1")
+      assert(Snapshots.read(s, dir).filter(col("k") === 1L)
+        .head().getLong(2) == 1L)
+    }
+  }
+
   test("A44 ANSI DML by catalog NAME: the post-hoc rule routes all four verbs") {
     withExtSession { s =>
       val dir = stageDml(s, "graft_ansi_cat")
