@@ -44,6 +44,54 @@ object Snapshots {
   private def manifestPath(path: String, v: Int) =
     logDir(path).resolve(f"v$v%06d.manifest")
 
+  // DELTA-ENCODED COMMITS (the Delta-log/checkpoint trade, inverted to
+  // fit a snapshot-manifest log): a full-snapshot manifest costs
+  // O(live files) bytes PER COMMIT — at 100 TB (~1M files) a streaming
+  // upsert landing a commit a minute would write a ~100 MB manifest
+  // for a 3-file change. So a commit whose diff against its parent is
+  // smaller than its snapshot is stored as ops against version v-1
+  // (`#delta-base=v-1`, then `-line` / `+line` over the RESOLVED
+  // parent lines — file lines and `#` metadata lines alike, so stat /
+  // DV / sidecar / ts carry-forward costs diff, not table), and every
+  // CheckpointEvery-th version is forced FULL, bounding any resolution
+  // chain to < CheckpointEvery manifest reads. Readers see resolved
+  // lines through [[manifestLines]] — the single choke point every
+  // parser below goes through — so the encoding is invisible above
+  // this file. Line order: a resolved delta preserves base order and
+  // appends additions; every parser is prefix-keyed and every
+  // order-sensitive consumer (streaming snapshot chunking) sorts, so
+  // order is presentation only. Vacuum MATERIALIZES any retained
+  // delta whose base it is about to drop (see [[vacuum]]) — the
+  // invariant is that every retained version resolves from retained
+  // manifests alone.
+  private[graft] val CheckpointEvery = 10
+  private val DeltaBaseHeader = "#delta-base="
+
+  /** Resolved manifest lines of version `v`: raw content for a full
+    * manifest, base-applied ops for a delta one. Chain depth is
+    * < CheckpointEvery by construction. */
+  private[graft] def manifestLines(path: String, v: Int): Seq[String] = {
+    val raw = Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+    raw.headOption match {
+      case Some(h) if h.startsWith(DeltaBaseHeader) =>
+        val base = h.stripPrefix(DeltaBaseHeader).trim.toInt
+        require(base >= 0 && base < v && Files.exists(manifestPath(path, base)),
+          s"graft: delta manifest v$v of $path references missing base v$base " +
+            "(vacuum materialization invariant violated)")
+        val removed = raw.iterator.filter(_.startsWith("-")).map(_.substring(1)).toSet
+        val added = raw.filter(_.startsWith("+")).map(_.substring(1))
+        manifestLines(path, base).filterNot(removed) ++ added
+      case _ => raw
+    }
+  }
+
+  /** Is `v`'s manifest stored delta-encoded? (Resolution-internal —
+    * exposed for vacuum's materialization pass and the specs.) */
+  private[graft] def isDeltaManifest(path: String, v: Int): Boolean =
+    hasVersion(path, v) &&
+      Files.readAllLines(manifestPath(path, v)).asScala.headOption
+        .exists(_.startsWith(DeltaBaseHeader))
+
   /** Parquet files sitting in the table directory that NO retained
     * manifest references and that graft did not stage (graft-managed
     * files — staged data, CDF, DV, bloom sidecars — all carry the
@@ -104,7 +152,7 @@ object Snapshots {
     * which is the best available evidence for legacy commits). */
   def commitTime(path: String, v: Int): Option[Long] = {
     if (!hasVersion(path, v)) return None
-    Files.readAllLines(manifestPath(path, v)).asScala
+    manifestLines(path, v)
       .find(_.startsWith(TsHeader)).map(_.stripPrefix(TsHeader).trim.toLong)
       .orElse(Some(Files.getLastModifiedTime(manifestPath(path, v)).toMillis))
   }
@@ -127,7 +175,7 @@ object Snapshots {
     read(spark, path, versionAsOfTime(path, tsMillis))
 
   private[graft] def liveFiles(path: String, v: Int): Seq[String] =
-    Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+    manifestLines(path, v)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
 
   /** The table schema RECORDED at version `v` (None for pre-header
@@ -138,7 +186,7 @@ object Snapshots {
     * reads under THAT version's narrower schema — the column simply
     * does not exist there yet. */
   private[graft] def tableSchema(path: String, v: Int): Option[org.apache.spark.sql.types.StructType] =
-    Files.readAllLines(manifestPath(path, v)).asScala
+    manifestLines(path, v)
       .find(_.startsWith(SchemaHeader))
       .map(l => org.apache.spark.sql.types.DataType.fromJson(
         l.stripPrefix(SchemaHeader)).asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -213,7 +261,7 @@ object Snapshots {
   /** Per-file physical-column stats recorded at `v`:
     * file → col → (typeTag "L"|"D", min, max) as strings. */
   private[sources] def fileStats(path: String, v: Int): Map[String, Map[String, (String, String, String)]] =
-    Files.readAllLines(manifestPath(path, v)).asScala
+    manifestLines(path, v)
       .filter(_.startsWith(StatsHeader))
       .map(_.stripPrefix(StatsHeader).split(StatsSep, -1))
       .collect { case Array(f, c, t, mn, mx) => (f, c, t, mn, mx) }
@@ -250,7 +298,7 @@ object Snapshots {
   /** Per-file null counts recorded at `v`: file → col → nulls. */
   private[sources] def fileNulls(path: String, v: Int): Map[String, Map[String, Long]] =
     if (!hasVersion(path, v)) Map.empty
-    else Files.readAllLines(manifestPath(path, v)).asScala
+    else manifestLines(path, v)
       .filter(_.startsWith(NullsHeader))
       .map(_.stripPrefix(NullsHeader).split(StatsSep, -1))
       .collect { case Array(f, c, n) => (f, c, n.toLong) }
@@ -260,7 +308,7 @@ object Snapshots {
 
   /** Per-file row counts recorded at `v` (file → rows). */
   private[sources] def fileRows(path: String, v: Int): Map[String, Long] =
-    Files.readAllLines(manifestPath(path, v)).asScala
+    manifestLines(path, v)
       .filter(_.startsWith(RowsHeader))
       .map(_.stripPrefix(RowsHeader).split(StatsSep, -1))
       .collect { case Array(f, n) => f -> n.toLong }.toMap
@@ -329,7 +377,7 @@ object Snapshots {
   private[sources] def carriedStats(path: String, v: Int, retained: Seq[String]): Seq[String] = {
     val keep = retained.map(canonical).toSet
     def fileOf(l: String, h: String) = l.stripPrefix(h).split(StatsSep, -1)(0)
-    Files.readAllLines(manifestPath(path, v)).asScala.toSeq.filter { l =>
+    manifestLines(path, v).filter { l =>
       (l.startsWith(StatsHeader) && keep.contains(fileOf(l, StatsHeader))) ||
         (l.startsWith(RowsHeader) && keep.contains(fileOf(l, RowsHeader))) ||
         (l.startsWith(NullsHeader) && keep.contains(fileOf(l, NullsHeader)))
@@ -350,7 +398,7 @@ object Snapshots {
         Some(h + (canonical(remap(parts(0))) +: parts.tail.toSeq).mkString(StatsSep))
       else None
     }
-    Files.readAllLines(manifestPath(path, v)).asScala.toSeq.flatMap { l =>
+    manifestLines(path, v).flatMap { l =>
       if (l.startsWith(StatsHeader)) rewrite(l, StatsHeader)
       else if (l.startsWith(RowsHeader)) rewrite(l, RowsHeader)
       else if (l.startsWith(NullsHeader)) rewrite(l, NullsHeader)
@@ -403,7 +451,7 @@ object Snapshots {
 
   /** DV parquet files in force at version `v` (accumulated). */
   private[graft] def dvFiles(path: String, v: Int): Seq[String] =
-    Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+    manifestLines(path, v)
       .filter(_.startsWith(DvHeader)).map(_.stripPrefix(DvHeader))
 
   // A31 — STORED CHANGE DATA (the Delta `_change_data` pattern): a
@@ -432,7 +480,7 @@ object Snapshots {
   /** Is change-data recording enabled at version `v`? */
   private[graft] def cdfEnabled(path: String, v: Int): Boolean =
     v >= 0 && Files.exists(manifestPath(path, v)) &&
-      Files.readAllLines(manifestPath(path, v)).asScala.contains(CdfEnabledHeader)
+      manifestLines(path, v).contains(CdfEnabledHeader)
 
   /** Turn change-data recording ON from the next commit: a pure
     * metadata commit (live set, schema, stats, DVs all carried).
@@ -461,7 +509,7 @@ object Snapshots {
   /** Constraints in force at version `v`: (name, exprText). */
   private[graft] def constraintsOf(path: String, v: Int): Seq[(String, String)] =
     if (v < 0 || !Files.exists(manifestPath(path, v))) Seq.empty
-    else Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+    else manifestLines(path, v)
       .filter(_.startsWith(ConstraintHeader))
       .map(_.stripPrefix(ConstraintHeader).split("\t", 2))
       .collect { case Array(n, e) => (n, e) }
@@ -549,7 +597,7 @@ object Snapshots {
   /** Clustering columns in force at `v` (from the last full ZORDER). */
   private[graft] def clusterOf(path: String, v: Int): Option[(String, String)] =
     if (!hasVersion(path, v)) None
-    else Files.readAllLines(manifestPath(path, v)).asScala
+    else manifestLines(path, v)
       .find(_.startsWith(ClusterHeader))
       .map(_.stripPrefix(ClusterHeader).split("\t", 2))
       .collect { case Array(a, b) => (a, b) }
@@ -557,7 +605,7 @@ object Snapshots {
   /** Live files known CLUSTERED at `v` (canonical). */
   private[graft] def clusterFilesOf(path: String, v: Int): Set[String] =
     if (!hasVersion(path, v)) Set.empty
-    else Files.readAllLines(manifestPath(path, v)).asScala
+    else manifestLines(path, v)
       .filter(_.startsWith(ClusterFileHeader))
       .map(_.stripPrefix(ClusterFileHeader)).toSet
 
@@ -586,13 +634,13 @@ object Snapshots {
     * table indexed before then simply has one line). */
   private[graft] def bloomColsOf(path: String, v: Int): Seq[(String, Int)] =
     if (!hasVersion(path, v)) Seq.empty
-    else parseBloomCols(Files.readAllLines(manifestPath(path, v)).asScala.toSeq)
+    else parseBloomCols(manifestLines(path, v))
 
   /** Bloom sidecar files referenced at `v` (accumulated; entries for
     * retired data files are inert). */
   private[graft] def bloomIdxFiles(path: String, v: Int): Seq[String] =
     if (!hasVersion(path, v)) Seq.empty
-    else Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+    else manifestLines(path, v)
       .filter(_.startsWith(BloomIdxHeader)).map(_.stripPrefix(BloomIdxHeader))
 
   /** Build one bloom SIDECAR for `files` on `column` and stage it into
@@ -774,12 +822,12 @@ object Snapshots {
 
   /** Did version `v`'s commit record its change set? */
   private[graft] def cdfRecorded(path: String, v: Int): Boolean =
-    Files.readAllLines(manifestPath(path, v)).asScala
+    manifestLines(path, v)
       .exists(l => l == CdfOkHeader || l.startsWith(CdfHeader))
 
   /** Stored change-data parquet files of version `v`'s commit. */
   private[graft] def cdfFilesOf(path: String, v: Int): Seq[String] =
-    Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+    manifestLines(path, v)
       .filter(_.startsWith(CdfHeader)).map(_.stripPrefix(CdfHeader))
 
   /** Read `files` under `schema` WITH the per-row identity the DV
@@ -881,7 +929,7 @@ object Snapshots {
   private[graft] def clusterStateOf(path: String, v: Int): Option[((String, String), Seq[String])] =
     if (!hasVersion(path, v)) None
     else {
-      val lines = Files.readAllLines(manifestPath(path, v)).asScala.toSeq
+      val lines = manifestLines(path, v)
       parseCluster(lines).map(c => (c, parseClusterFiles(lines).toSeq.sorted))
     }
 
@@ -974,7 +1022,7 @@ object Snapshots {
       // staging queries)
       val prev: Seq[String] =
         if (hasVersion(path, v - 1))
-          Files.readAllLines(manifestPath(path, v - 1)).asScala.toSeq
+          manifestLines(path, v - 1)
         else Seq.empty
       // the enableChangeDataFeed property carries itself forward: any
       // commit over an enabled base stays enabled; constraints (A34)
@@ -1022,7 +1070,26 @@ object Snapshots {
           fs.map(f => CdfHeader + canonical(f)).sorted).getOrElse(Seq.empty) ++
         dv.map(f => DvHeader + canonical(f)).sorted ++
         stats.sorted ++ files.map(canonical).sorted
-      Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      // delta-encode when the diff beats the snapshot: a small commit
+      // to a huge table writes O(change), not O(live files). Every
+      // CheckpointEvery-th version stays FULL (bounded resolution
+      // chains); a line-multiset collision (never produced by the
+      // composer above) falls back to full rather than risk a lossy
+      // set-diff.
+      val content: Seq[String] =
+        if (v % CheckpointEvery == 0 || prev.isEmpty) lines
+        else {
+          val prevSet = prev.toSet
+          val newSet = lines.toSet
+          if (prevSet.size != prev.size || newSet.size != lines.size) lines
+          else {
+            val ops = Seq(DeltaBaseHeader + (v - 1)) ++
+              prev.filterNot(newSet).map("-" + _) ++
+              lines.filterNot(prevSet).map("+" + _)
+            if (ops.size < lines.size) ops else lines
+          }
+        }
+      Files.write(tmp, content.mkString("\n").getBytes("UTF-8"))
       try { Files.createLink(target, tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
@@ -2271,8 +2338,36 @@ object Snapshots {
     (dropped.toSeq ++ orphans).sorted
   }
 
+  /** Rewrite `v`'s manifest in place as a FULL snapshot (same resolved
+    * content, self-contained). Atomic replace; racing readers see one
+    * form or the other, which resolve identically as long as the base
+    * chain still exists — which vacuum guarantees by materializing
+    * BEFORE it drops anything. */
+  private def materializeManifest(path: String, v: Int): Unit = {
+    val lines = manifestLines(path, v)
+    val tmp = Files.createTempFile(logDir(path), "mat", ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(path, v),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def vacuum(path: String, keepFrom: Int): Int = {
     val (dropped, orphans, manifests) = vacuumPlan(path, keepFrom)
+    // delta-log invariant: every RETAINED version must resolve from
+    // retained manifests alone. Ascending order makes the induction
+    // hold — once v-1 is either full, materialized, or resolvable
+    // within the retained set, a retained delta at v only needs
+    // materializing when its immediate base is about to be dropped.
+    val dropSet = manifests.toSet
+    val cur = currentVersion(path)
+    val tagged = Refs.tags(path).values.toSet.filter(v => v >= 0 && v <= cur)
+    (((keepFrom to cur) ++ tagged.filter(_ < keepFrom)).distinct.sorted)
+      .foreach { v =>
+        if (isDeltaManifest(path, v) &&
+            (dropSet.contains(v - 1) || !hasVersion(path, v - 1)))
+          materializeManifest(path, v)
+      }
     dropped.foreach(f => Files.deleteIfExists(Paths.get(f)))
     orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))
     // crashed commits/markers leave *.tmp in the log dir that nothing

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
-import graft.sources.Snapshots
+import graft.sources.{Refs, Snapshots}
 
 class SnapshotsSpec extends GraftSuite {
 
@@ -286,9 +286,7 @@ class SnapshotsSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
     assert(after == before)
     // (b) file count reduced to the bin-packed minimum
-    val liveAfter = Files.readAllLines(
-      Paths.get(dir, "_graft_log", f"v$v1%06d.manifest")).asScala
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    val liveAfter = Snapshots.liveFiles(dir, v1)
     assert(liveAfter.size == expectBins, s"live=${liveAfter.size} want=$expectBins")
     // (c) a pure-layout commit produces NO logical changes
     assert(Snapshots.changesBetween(spark, dir, v0, v1, "k").count() == 0)
@@ -497,9 +495,7 @@ class SnapshotsSpec extends GraftSuite {
     import spark.implicits._
     val dir = freshTable() // (k, payload, gen) × 100 over 4 files
     Snapshots.init(spark, dir) // v0
-    def manifest(v: Int) = Files.readAllLines(
-      Paths.get(dir, "_graft_log", f"v$v%06d.manifest")).asScala
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    def manifest(v: Int) = Snapshots.liveFiles(dir, v).toSet
 
     val v1 = Snapshots.renameColumn(spark, dir, "payload", "doc")
     val v2 = Snapshots.dropColumn(spark, dir, "gen")
@@ -1525,5 +1521,78 @@ class SnapshotsSpec extends GraftSuite {
         Seq((-2L, "BAD", 1L)).toDF("k", "payload", "gen"), "k")
     }
     assert(Snapshots.read(spark, dir).count() == 103)
+  }
+
+  test("delta-encoded log: long commit chain bit-exact, checkpoints bound chains") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir) // v0: full by construction
+    // 14 single-key merges: v1..v14. Each rewrites ~1 of 4 files, so
+    // the diff beats the snapshot and the commit delta-encodes —
+    // except v10, the forced checkpoint.
+    (1 to 14).foreach { i =>
+      Snapshots.mergeVersioned(spark, dir,
+        Seq((i.toLong, s"GEN$i", i.toLong), (1000L + i, s"NEW$i", i.toLong))
+          .toDF("k", "payload", "gen"), "k")
+    }
+    assert(Snapshots.currentVersion(dir) == 14)
+    // encoding shape: small commits are deltas, the checkpoint is full
+    assert(!Snapshots.isDeltaManifest(dir, 0))
+    assert(!Snapshots.isDeltaManifest(dir, Snapshots.CheckpointEvery))
+    assert((1 to 14).filterNot(_ == Snapshots.CheckpointEvery)
+      .forall(Snapshots.isDeltaManifest(dir, _)),
+      "single-file commits over a multi-file table should delta-encode")
+    // every version reads exactly: key i carries GENi iff i <= v,
+    // 1000+i present iff i <= v
+    Seq(0, 1, 5, 9, 10, 11, 14).foreach { v =>
+      val m = Snapshots.read(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(m.size == 100 + v, s"v$v size")
+      (1 to 14).foreach { i =>
+        assert(m(i.toLong) == (if (i <= v) s"GEN$i" else s"v$i"), s"v$v key $i")
+        assert(m.contains(1000L + i) == (i <= v), s"v$v new-key $i")
+      }
+    }
+    // metadata-only count(*) and the change feed work across the
+    // delta/checkpoint boundary (stats + CDF lines ride the diff)
+    assert(Snapshots.rowCount(spark, dir, 14).contains(114L))
+    val feed = Snapshots.changesBetween(spark, dir, 9, 11, "k")
+    val feedKeys = feed.select("k").collect().map(_.getLong(0)).toSet
+    assert(Set(10L, 1010L, 11L, 1011L).subsetOf(feedKeys))
+    // TIMESTAMP AS OF resolves through resolved ts lines (one per version)
+    val t9 = Snapshots.commitTime(dir, 9).get
+    assert(Snapshots.versionAsOfTime(dir, t9) == 9)
+  }
+
+  test("vacuum materializes retained deltas whose base is dropped") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    (1 to 14).foreach { i =>
+      Snapshots.mergeVersioned(spark, dir,
+        Seq((i.toLong, s"GEN$i", i.toLong)).toDF("k", "payload", "gen"), "k")
+    }
+    // pin a mid-chain DELTA version; drop everything below v12
+    assert(Snapshots.isDeltaManifest(dir, 6))
+    Refs.tag(dir, "rel", 6)
+    Snapshots.vacuum(dir, 12)
+    // the pinned version and the retention floor were delta manifests
+    // whose bases are gone: both must now be self-contained fulls
+    assert(!Snapshots.isDeltaManifest(dir, 6))
+    assert(!Snapshots.isDeltaManifest(dir, 12))
+    // and still read exactly
+    val m6 = Snapshots.read(spark, dir, 6).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m6.size == 100 && m6(3L) == "GEN3" && m6(7L) == "v7")
+    Seq(12, 13, 14).foreach { v =>
+      val m = Snapshots.read(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(m(v.toLong) == s"GEN$v", s"v$v")
+      assert(m.size == 100)
+    }
+    // dropped history is gone; a second vacuum over the holes is clean
+    assert(!Snapshots.hasVersion(dir, 5))
+    Snapshots.vacuum(dir, 12)
+    assert(Snapshots.read(spark, dir, 14).count() == 100)
   }
 }
