@@ -29,6 +29,7 @@ import graft.sources.Snapshots
   *   GRAFT OPTIMIZE '<path>'
   *   GRAFT OPTIMIZE '<path>' ZORDER BY (<c1>, <c2>) INTO <n> FILES
   *   GRAFT OPTIMIZE '<path>' ZORDER INCREMENTAL      -- A39 tail-only
+  *   GRAFT OPTIMIZE '<path>' WHERE <col> BETWEEN <lo> AND <hi>  -- scoped
   *   GRAFT RECONCILE '<path>'                      -- fold DVs (A30)
   *   GRAFT CLONE '<src>' TO '<dst>'                -- shallow (A29)
   *   GRAFT ENABLE CHANGE DATA FEED '<path>'        -- A31 property
@@ -53,6 +54,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (!looksGraft(sqlText))
       ResolveGraftPath.rewrite(GraftDmlRules.rewrite(delegate.parsePlan(sqlText)))
     else sqlText match {
+      case OptimizeWhere(p, c, lo, hi) => LakeMaintenanceCommand("version",
+        s => Snapshots.compactWhere(s, p, c, lo.toLong, hi.toLong).toLong)
       case ZorderInc(p) => LakeMaintenanceCommand("version",
         s => Snapshots.compactZOrderIncremental(s, p).toLong)
       case Zorder(p, c1, c2, n) => LakeMaintenanceCommand("version",
@@ -159,6 +162,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s+INTO\s+(\d+)\s+FILES\s*;?\s*""".r
   private val ZorderInc =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+INCREMENTAL\s*;?\s*""".r
+  private val OptimizeWhere =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s*;?\s*""".r
   private val Reconcile =
     """(?is)\s*GRAFT\s+RECONCILE\s+'([^']+)'\s*;?\s*""".r
   private val CloneTo =
@@ -223,16 +228,70 @@ object GraftSqlParser {
   * table named `graft` is never hijacked.
   */
 object ResolveGraftPath {
-  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+
+  /** The versioned-table path a relation reference names: the
+    * `graft.`/dir`` path form, or a session-catalog table whose
+    * provider is graft (A43) — resolved HERE because SQL time travel
+    * must be intercepted at parse time (Spark's own resolution throws
+    * "time travel unsupported" for v1 relations before any injected
+    * rule could act, the same order problem ResolveSQLOnFile poses). */
+  private def graftPathOf(u: UnresolvedRelation): Option[String] = {
+    val parts = u.multipartIdentifier
+    if (parts.length == 2 && parts.head.equalsIgnoreCase("graft") &&
+        Snapshots.currentVersion(parts(1)) >= 0) Some(parts(1))
+    else if (parts.length <= 2) try {
+      val cat = SparkSession.active.sessionState.catalog
+      val id = TableIdentifier(parts.last,
+        if (parts.length == 2) Some(parts.head) else None)
+      val t = cat.getTableMetadata(id)
+      if (t.provider.exists(_.equalsIgnoreCase("graft")))
+        t.storage.properties.get("path")
+          .orElse(t.storage.locationUri.map(uri =>
+            java.nio.file.Paths.get(uri).toString))
+      else None
+    } catch { case _: Exception => None }
+    else None
+  }
+
+  /** Render a `TIMESTAMP AS OF <expr>` operand to the connector's
+    * `timestampAsOf` option: string literals pass through (ISO/JDBC
+    * forms), TIMESTAMP literals convert micros→millis. Non-foldable
+    * expressions refuse — time travel pins a snapshot; it cannot vary
+    * per row. */
+  private def tsOption(e: Expression): String = {
+    require(e.foldable, "graft: TIMESTAMP AS OF must be a literal")
+    (e.eval(), e.dataType) match {
+      case (u: org.apache.spark.unsafe.types.UTF8String, _) => u.toString
+      case (micros: Long, _: org.apache.spark.sql.types.TimestampType) =>
+        (micros / 1000L).toString
+      case (millis: Long, _) => millis.toString
+      case (other, dt) => throw new IllegalArgumentException(
+        s"graft: cannot interpret TIMESTAMP AS OF value $other of type $dt")
+    }
+  }
+
+  private def relationFor(path: String, opts: Map[String, String]): LogicalPlan =
+    org.apache.spark.sql.execution.datasources.LogicalRelation(
+      new graft.sources.GraftDataSource().createRelation(
+        SparkSession.active.sqlContext, Map("path" -> path) ++ opts),
+      isStreaming = false)
+
   def rewrite(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    // SQL time travel (the Delta `VERSION AS OF` / `TIMESTAMP AS OF`
+    // ergonomics) on either the path form or a catalog-named graft
+    // table — mapped onto the connector's reader options, so SQL and
+    // DataFrame time travel share one resolution path
+    case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+        if graftPathOf(u).isDefined =>
+      val opts = ver.map(v => Map("versionAsOf" -> v))
+        .getOrElse(Map("timestampAsOf" -> tsOption(ts.get)))
+      relationFor(graftPathOf(u).get, opts)
     case u: UnresolvedRelation
         if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
-          graft.sources.Snapshots.currentVersion(u.multipartIdentifier(1)) >= 0 =>
-      org.apache.spark.sql.execution.datasources.LogicalRelation(
-        new graft.sources.GraftDataSource().createRelation(
-          SparkSession.active.sqlContext, Map("path" -> u.multipartIdentifier(1))),
-        isStreaming = false)
+          Snapshots.currentVersion(u.multipartIdentifier(1)) >= 0 =>
+      relationFor(u.multipartIdentifier(1), Map.empty)
   }
 }
 
@@ -254,8 +313,10 @@ object ResolveGraftPath {
   *
   * Supported MERGE forms are the two the keyed log has exact semantics
   * for (the Delta-workhorse shapes): `WHEN MATCHED THEN UPDATE SET *
-  * WHEN NOT MATCHED THEN INSERT *` → keyed upsert, and `WHEN MATCHED
-  * THEN DELETE` (alone) → keyed delete. Anything else refuses loudly —
+  * WHEN NOT MATCHED THEN INSERT *` → keyed upsert, `WHEN MATCHED
+  * THEN DELETE` (alone) → keyed delete, and `WHEN NOT MATCHED BY
+  * SOURCE THEN DELETE` (alone) → anti-keyed delete (the CDC
+  * reconcile). Anything else refuses loudly —
   * pointing at the library API — rather than approximating. Conditions
   * and SET values re-render to SQL with qualifiers stripped (the
   * command re-resolves them against the bare table read; the DML
@@ -380,6 +441,11 @@ object GraftDmlRules {
       m.notMatchedBySourceActions.isEmpty
     val keyedDelete = m.matchedActions == Seq(DeleteAction(None)) &&
       m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty
+    // the CDC reconcile shape: delete target keys ABSENT from the
+    // source — an anti join computes the keys, then the same
+    // stats-pruned keyed delete applies them (one commit, exact CDF)
+    val antiDelete = m.matchedActions.isEmpty && m.notMatchedActions.isEmpty &&
+      m.notMatchedBySourceActions == Seq(DeleteAction(None))
     if (upsert)
       LakeMaintenanceCommand("version", s => Snapshots.mergeVersioned(
         s, path, org.apache.spark.sql.GraftSqlInternals.ofRows(s, source),
@@ -388,8 +454,14 @@ object GraftDmlRules {
       LakeMaintenanceCommand("version", s => Snapshots.deleteVersionedKeys(
         s, path, org.apache.spark.sql.GraftSqlInternals.ofRows(s, source)
           .select(s"`$keyCol`"), keyCol).toLong)
+    else if (antiDelete)
+      LakeMaintenanceCommand("version", s => Snapshots.deleteVersionedKeys(
+        s, path, Snapshots.read(s, path).select(s"`$keyCol`")
+          .except(org.apache.spark.sql.GraftSqlInternals.ofRows(s, source)
+            .select(s"`$keyCol`")), keyCol).toLong)
     else refuse("supported MERGE forms: WHEN MATCHED THEN UPDATE SET * " +
-      "WHEN NOT MATCHED THEN INSERT *, or WHEN MATCHED THEN DELETE alone")
+      "WHEN NOT MATCHED THEN INSERT *, WHEN MATCHED THEN DELETE alone, " +
+      "or WHEN NOT MATCHED BY SOURCE THEN DELETE alone")
   }
 
   /** A26 partitioned tables resolve to their own FileIndex; ANSI DML

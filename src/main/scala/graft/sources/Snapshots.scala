@@ -1992,6 +1992,53 @@ object Snapshots {
       dvFiles(path, v), cdf = Some(Seq.empty))
   }
 
+  /** A22 — predicate-scoped OPTIMIZE (the Delta `OPTIMIZE … WHERE`
+    * shape, generalized from partition predicates to manifest stats):
+    * bin-pack ONLY the sub-target live files whose recorded
+    * `[min,max]` for `column` intersects `[lo,hi]` — on a 100 TB
+    * table you compact the hot ingest range (the tail a streaming
+    * upsert fragments) without touching the cold bulk, so the rewrite
+    * cost tracks the scoped range, never the table. Files without a
+    * recorded stat for the column are conservatively IN scope (they
+    * may hold matching rows; compaction must not skip them forever).
+    * Same pure-layout contract as [[compact]]: live row multiset
+    * untouched, empty change feed, every prior version travelable.
+    */
+  def compactWhere(spark: SparkSession, path: String, column: String,
+      lo: Long, hi: Long, targetBytes: Long = 128L << 20,
+      minFiles: Int = 2): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val live = liveFiles(path, v)
+    val inScope: Set[String] = manifestRanges(path, v, live, column) match {
+      case Some(rows) => rows.collect { case (f, mn, mx, _)
+          if BigDecimal(mx) >= BigDecimal(lo) &&
+             BigDecimal(mn) <= BigDecimal(hi) => f }.toSet
+      case None => live.map(canonical).toSet // no stats: everything in scope
+    }
+    val (small, big) = live.partition(f => inScope.contains(canonical(f)) &&
+      Files.size(Paths.get(canonical(f))) < targetBytes)
+    val totalSmall = small.map(f => Files.size(Paths.get(canonical(f)))).sum
+    val bins = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
+    if (small.size < math.max(minFiles, bins + 1)) return v // nothing to pack
+    val sch = tableSchema(path, v)
+    val packed = readLive(spark, path, v, small)
+    val stage = Files.createTempDirectory("graft_compactw").toString
+    sch.fold(packed)(stagedAsPhysical(packed, _)).coalesce(bins)
+      .write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    val staged = listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_compact_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    commitNext(path, v, big ++ staged, tableSchema(path, v),
+      carriedStats(path, v, big) ++ statsLines(spark, staged),
+      dvFiles(path, v), cdf = Some(Seq.empty))
+  }
+
   /** A22+A14 — OPTIMIZE ZORDER BY on the snapshot log: re-cluster the
     * ENTIRE live set on the Morton code of (c1, c2) as a rewrite-only
     * commit — the Delta `OPTIMIZE … ZORDER BY` shape. The live row

@@ -131,6 +131,91 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF by path and by name") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_sql_tt").toString + "/t"
+      (1L to 100L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+        .repartitionByRange(4, col("k")).write.parquet(dir)
+      Snapshots.init(s, dir)                                          // v0
+      Snapshots.mergeVersioned(s, dir,
+        Seq((5L, "UP5", 1L)).toDF("k", "payload", "gen"), "k")        // v1
+      Snapshots.mergeVersioned(s, dir,
+        Seq((5L, "UP5b", 2L), (200L, "NEW", 2L))
+          .toDF("k", "payload", "gen"), "k")                          // v2
+
+      def payloadAt(sql: String): String = s.sql(sql).head().getString(0)
+      // path form, every version
+      assert(payloadAt(
+        s"SELECT payload FROM graft.`$dir` VERSION AS OF 0 WHERE k = 5") == "v5")
+      assert(payloadAt(
+        s"SELECT payload FROM graft.`$dir` VERSION AS OF 1 WHERE k = 5") == "UP5")
+      assert(payloadAt(
+        s"SELECT payload FROM graft.`$dir` VERSION AS OF 2 WHERE k = 5") == "UP5b")
+      assert(s.sql(s"SELECT count(*) AS n FROM graft.`$dir` VERSION AS OF 1")
+        .head().getLong(0) == 100L)
+      // TIMESTAMP AS OF: v1's recorded instant resolves to v1 (epoch
+      // millis literal and JDBC string form share the connector parse)
+      val t1 = Snapshots.commitTime(dir, 1).get
+      assert(payloadAt(
+        s"SELECT payload FROM graft.`$dir` TIMESTAMP AS OF $t1 WHERE k = 5") == "UP5")
+      val jdbc = new java.sql.Timestamp(t1).toString
+      assert(payloadAt(s"SELECT payload FROM graft.`$dir` " +
+        s"TIMESTAMP AS OF '$jdbc' WHERE k = 5") == "UP5")
+      // catalog-NAME form (A43 + time travel composed)
+      s.sql(s"CREATE TABLE tt_name USING graft OPTIONS (path '$dir', keyCol 'k')")
+      try {
+        assert(payloadAt(
+          "SELECT payload FROM tt_name VERSION AS OF 1 WHERE k = 5") == "UP5")
+        assert(payloadAt(
+          "SELECT payload FROM tt_name VERSION AS OF 2 WHERE k = 5") == "UP5b")
+        // an alias above the travel node does not break the rewrite
+        assert(s.sql("SELECT t.payload FROM tt_name VERSION AS OF 0 t " +
+          "WHERE t.k = 5").head().getString(0) == "v5")
+      } finally s.sql("DROP TABLE tt_name")
+      // a non-literal TIMESTAMP AS OF refuses (a snapshot pin cannot
+      // vary per row)
+      val err = intercept[Exception] {
+        s.sql(s"SELECT payload FROM graft.`$dir` TIMESTAMP AS OF now() " +
+          "WHERE k = 5").collect()
+      }
+      assert(err.getMessage.contains("literal") ||
+        err.getMessage.toLowerCase.contains("time travel"))
+    }
+  }
+
+  test("GRAFT OPTIMIZE WHERE: scoped bin-packing leaves out-of-range files in place") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_sql_optw").toString + "/t"
+      // 8 range-partitioned files: k ranges ≈ [1..25], [26..50], … —
+      // all tiny, so an UNSCOPED compact would pack every one
+      (1L to 200L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+        .repartitionByRange(8, col("k")).write.parquet(dir)
+      Snapshots.init(s, dir)
+      val before = Snapshots.liveFiles(dir, 0).map(Snapshots.canonical)
+      assert(before.size == 8)
+      val expected = Snapshots.read(s, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+      s.sql(s"GRAFT OPTIMIZE '$dir' WHERE k BETWEEN 1 AND 60")
+      assert(Snapshots.currentVersion(dir) == 1)
+      val after = Snapshots.liveFiles(dir, 1).map(Snapshots.canonical)
+      // out-of-scope files survive BY PATH (untouched, not rewritten)
+      val untouched = before.toSet.intersect(after.toSet)
+      assert(untouched.nonEmpty, "files outside the range must stay in place")
+      // in-scope smalls packed: fewer live files than before
+      assert(after.size < before.size, s"live ${after.size} !< ${before.size}")
+      // pure layout: rows bit-exact, change feed across the commit empty
+      assert(Snapshots.read(s, dir, 1).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq == expected)
+      assert(Snapshots.changesBetween(s, dir, 0, 1, "k").count() == 0)
+      // a range covering nothing packs nothing (same version returned)
+      s.sql(s"GRAFT OPTIMIZE '$dir' WHERE k BETWEEN 5000 AND 6000")
+      assert(Snapshots.currentVersion(dir) == 1)
+    }
+  }
+
   test("GRAFT VACUUM DRY RUN and BEFORE: plan-only and time-based retention via SQL") {
     withExtSession { s =>
       import s.implicits._
@@ -286,6 +371,19 @@ class LakeSqlSpec extends GraftSuite {
       assert(Snapshots.read(s, dir).count() == 1)
       // overwrite is a COMMIT: the pre-overwrite version stays readable
       assert(Snapshots.read(s, dir, vBefore).count() == 99)
+
+      // MERGE … WHEN NOT MATCHED BY SOURCE THEN DELETE (alone): the CDC
+      // reconcile — target keys absent from the source are deleted
+      s.sql(s"INSERT INTO graft.`$dir` " +
+        "SELECT CAST(2 AS BIGINT), 'two', CAST(0 AS BIGINT)")
+      assert(Snapshots.read(s, dir).count() == 2) // keys {1, 2}
+      s.sql(s"""MERGE INTO graft.`$dir` t
+               |USING (SELECT CAST(1 AS BIGINT) AS k) src
+               |ON t.k = src.k
+               |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val reconciled = Snapshots.read(s, dir)
+      assert(reconciled.count() == 1 &&
+        reconciled.head().getLong(0) == 1L) // key 2 reconciled away
 
       // an unsupported MERGE form refuses loudly, committing nothing
       val vNow = Snapshots.currentVersion(dir)
