@@ -604,7 +604,92 @@ object TextAnalysis {
       |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rank
       |FROM c QUALIFY rank <= 5""".stripMargin
 
+  // F31 — distributed Naive Bayes classifier (the closed-form cousin
+  // of the fasttext-style quality/domain filter every web-corpus
+  // pipeline runs): FIT per-source add-one-smoothed unigram
+  // likelihoods and log priors over the deterministic md5 TRAIN split
+  // (F6's bucketing — re-runs bit-identically), then classify every
+  // HOLDOUT doc by the max posterior. Closed form = one aggregate
+  // fits the whole model, so unlike iterative LR the train pass is
+  // exactly reproducible and fully oracled. Plan shape at 100 TB:
+  // the model is a (source, token)-keyed aggregate (shuffle by
+  // token); the per-class priors/denominators are a |sources|-row
+  // frame BROADCAST into scoring; scoring is a (class, token)-keyed
+  // hash join with map-side partial aggregation; the argmax window
+  // runs over |sources| rows per doc. No driver-side model state —
+  // the two FIT scalars (vocab size, train doc count) ship as
+  // literals, the model-as-literal pattern. Scores round to 4
+  // decimals BEFORE the argmax with a class-name tiebreak, so float
+  // association order can never flip the prediction between engines.
+  def qNbClassify(s: SparkSession, d: String): DataFrame =
+    nbClassify(Tables.documents(s, d))
+
+  def nbClassify(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .selectExpr("doc_id", "source", s"$wordsExpr AS w",
+        s"CASE WHEN $bucketExpr < 216 THEN 'train' ELSE 'holdout' END AS split")
+    val train = docs.where(col("split") === "train")
+    val toks = train.select(col("source"), explode(col("w")).as("tok"))
+    val counts = toks.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.select("tok").distinct().count() // FIT scalar
+    val nTrain = train.count()                          // FIT scalar
+    val classes = toks.groupBy("source").agg(count(lit(1)).as("toktotal"))
+      .join(train.groupBy("source").agg(count(lit(1)).as("docs")), "source")
+      .select(col("source").as("cls"),
+        log(col("docs").cast("double") / lit(nTrain.toDouble)).as("logprior"),
+        (col("toktotal") + lit(vocab)).cast("double").as("denom"))
+    val hold = docs.where(col("split") === "holdout")
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+    // Σ log((cnt+1)/denom) = Σ log(cnt+1) − n·log(denom): the smoothed
+    // zero-count terms need no vocab×class grid — absent join rows
+    // contribute log(1) = 0 to the first sum
+    val scored = hold.crossJoin(broadcast(classes))
+      .join(counts.withColumnRenamed("source", "cls"),
+        Seq("cls", "tok"), "left_outer")
+      .groupBy("doc_id", "cls")
+      .agg(round(max(col("logprior")) +
+        sum(log(coalesce(col("cnt"), lit(0L)).cast("double") + lit(1.0))) -
+        count(lit(1)).cast("double") * log(max(col("denom"))), 4).as("nb_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("nb_score").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("predicted"), col("nb_score"))
+  }
+
+  val qNbClassifySql: String =
+    raw"""WITH docs AS (SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w,
+      |    CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 2)) AS BIGINT) < 216
+      |      THEN 'train' ELSE 'holdout' END AS split
+      |  FROM documents),
+      |toks AS (SELECT source, unnest(w) AS tok FROM docs WHERE split = 'train'),
+      |counts AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |vocab AS (SELECT count(DISTINCT tok) AS v FROM counts),
+      |ntrain AS (SELECT count(*) AS n FROM docs WHERE split = 'train'),
+      |classes AS (
+      |  SELECT c.source AS cls,
+      |    ln(d.docs::DOUBLE / (SELECT n FROM ntrain)) AS logprior,
+      |    (c.toktotal + (SELECT v FROM vocab))::DOUBLE AS denom
+      |  FROM (SELECT source, CAST(sum(cnt) AS BIGINT) AS toktotal
+      |        FROM counts GROUP BY 1) c
+      |  JOIN (SELECT source, count(*) AS docs FROM docs
+      |        WHERE split = 'train' GROUP BY 1) d USING (source)),
+      |hold AS (SELECT doc_id, unnest(w) AS tok FROM docs WHERE split = 'holdout'),
+      |scored AS (
+      |  SELECT h.doc_id, cl.cls,
+      |    round(max(cl.logprior) + sum(ln(coalesce(c.cnt, 0) + 1))
+      |      - count(*) * ln(max(cl.denom)), 4) AS nb_score
+      |  FROM hold h CROSS JOIN classes cl
+      |  LEFT JOIN counts c ON c.source = cl.cls AND c.tok = h.tok
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, cls AS predicted, nb_score
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY nb_score DESC, cls) AS rn
+      |      FROM scored)
+      |WHERE rn = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nb_classify" -> qNbClassify,
     "q_top_terms" -> ((s, d) => qTopTerms(s, d)),
     "q_drift" -> ((s, d) => qDrift(s, d)),
     "q_chunk" -> ((s, d) => qChunk(s, d)),
@@ -625,6 +710,7 @@ object TextAnalysis {
     "q_bigram_lm" -> qBigramLm)
 
   def oracles: Map[String, String] = Map(
+    "q_nb_classify" -> qNbClassifySql,
     "q_top_terms" -> qTopTermsSql,
     "q_drift" -> qDriftSql,
     "q_chunk" -> qChunkSql,

@@ -161,4 +161,24 @@ class TextAnalysisSpec extends GraftSuite {
       .selectExpr("sum(greatest(n_tokens - 1, 0))").head.getLong(0)
     assert(counts.sum <= totalBigrams)
   }
+
+  test("F31 Naive Bayes: distinctive vocabulary classifies to its source") {
+    import spark.implicits._
+    // two sources with disjoint distinctive vocab; enough docs that the
+    // md5 split leaves both train docs and holdout docs per source
+    val docs = (1L to 120L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma alpha beta", "news")
+      else (i, "delta epsilon zeta delta epsilon", "web")
+    }.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.nbClassify(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty, "md5 split must leave holdout docs")
+    // every holdout doc's text is verbatim its class's training text:
+    // the classifier must recover the true source for all of them
+    out.foreach { case (id, pred) =>
+      assert(pred == (if (id % 2 == 0) "news" else "web"), s"doc $id")
+    }
+    // and both classes appear among predictions (not a degenerate prior)
+    assert(out.values.toSet == Set("news", "web"))
+  }
 }
