@@ -806,7 +806,63 @@ object Similarity {
       |  FROM final f CROSS JOIN cent c)
       |SELECT vec_id, cid FROM scored WHERE crn = 1""".stripMargin
 
+  /** E14 — SEMANTIC DECONTAMINATION (the embedding-space twin of
+    * F15's n-gram decontam, the filter every eval-hygiene pipeline
+    * runs: n-grams catch verbatim leakage, cosine catches the
+    * PARAPHRASED copy n-grams miss): a deterministic md5 slice of the
+    * vectors stands in for the benchmark/eval set; every corpus
+    * vector whose max cosine against ANY benchmark vector clears the
+    * threshold is flagged with its nearest benchmark id. Plan shape
+    * at 100 TB: the benchmark set is eval-sized (10^4-10^5 rows, MBs)
+    * — BROADCAST it; the corpus streams ONCE through a codegen'd
+    * native-dot scoring pass; the per-vector argmax is a map-side-
+    * combinable max(struct) aggregate (cos rounded FIRST, ties broken
+    * toward the smaller benchmark id via the negated field), so the
+    * only shuffle is corpus-row-count sized partial-agg output. No
+    * all-pairs, no index build — for a one-shot decontam sweep the
+    * broadcast scan IS the right plan; the LSH/IVF family (E2/E4) is
+    * the repeated-query path.
+    */
+  def qEmbedDecontam(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 2), 16, 10) AS BIGINT)")
+        .as("b"))
+    val bench = n.where(col("b") >= 240)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bemb"))
+    val scored = n.where(col("b") < 240).crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        (round(vec_cosine(col("embedding"), col("bemb")), 4) + lit(0.0))
+          .as("cos_sim"))
+    scored.groupBy("vec_id")
+      .agg(max(struct(col("cos_sim"), (-col("bench_id")).as("nb"))).as("m"))
+      .select(col("vec_id"), (-col("m.nb")).cast("long").as("contaminated_by"),
+        col("m.cos_sim").as("cos_sim"))
+      .where(col("cos_sim") >= 0.35)
+  }
+
+  val qEmbedDecontamSql: String =
+    """WITH n AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+      |  CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 2)) AS BIGINT) AS b
+      |  FROM embeddings),
+      |bench AS (SELECT vec_id AS bench_id, embedding AS bemb, nrm AS bnrm
+      |          FROM n WHERE b >= 240),
+      |scored AS (
+      |  SELECT c.vec_id, q.bench_id,
+      |    round(list_sum(list_transform(range(1, len(c.embedding) + 1),
+      |      i -> c.embedding[i]::DOUBLE * q.bemb[i]::DOUBLE)) / (c.nrm * q.bnrm), 4)
+      |      + 0.0 AS cos_sim
+      |  FROM n c CROSS JOIN bench q WHERE c.b < 240),
+      |ranked AS (
+      |  SELECT vec_id, bench_id, cos_sim,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos_sim DESC, bench_id ASC) AS rn
+      |  FROM scored)
+      |SELECT vec_id, bench_id AS contaminated_by, cos_sim
+      |FROM ranked WHERE rn = 1 AND cos_sim >= 0.35""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_decontam" -> qEmbedDecontam,
     "q_ivf_index" -> ((s, d) => qIvfIndex(s, d)),
     "q_pq" -> ((s, d) => qPq(s, d)),
     "q_knn_pq" -> ((s, d) => qKnnPq(s, d)),
@@ -820,6 +876,7 @@ object Similarity {
     "q_embed_centroid" -> qEmbedCentroid)
 
   def oracles: Map[String, String] = Map(
+    "q_embed_decontam" -> qEmbedDecontamSql,
     "q_pq" -> qPqSql,
     "q_knn_pq" -> qKnnPqSql,
     "q_knn_ivfpq" -> qKnnIvfPqSql,
