@@ -58,8 +58,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s => Snapshots.compactWhere(s, p, c, lo.toLong, hi.toLong).toLong)
       case ZorderInc(p) => LakeMaintenanceCommand("version",
         s => Snapshots.compactZOrderIncremental(s, p).toLong)
-      case Zorder(p, c1, c2, n) => LakeMaintenanceCommand("version",
-        s => Snapshots.compactZOrder(s, p, c1, c2, n.toInt).toLong)
+      case Zorder(p, colList, n) => LakeMaintenanceCommand("version",
+        s => Snapshots.compactZOrderCols(s, p,
+          colList.split(",").map(_.trim).toSeq, n.toInt).toLong)
       case Optimize(p) => LakeMaintenanceCommand("version",
         s => Snapshots.compact(s, p).toLong)
       case VacuumDry(p, keep) => LakeVacuumDryRunCommand(p, keep.toInt)
@@ -159,7 +160,7 @@ object GraftSqlParser {
   private val Optimize =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s*;?\s*""".r
   private val Zorder =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s+INTO\s+(\d+)\s+FILES\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s+INTO\s+(\d+)\s+FILES\s*;?\s*""".r
   private val ZorderInc =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+INCREMENTAL\s*;?\s*""".r
   private val OptimizeWhere =

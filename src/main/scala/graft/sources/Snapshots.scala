@@ -619,13 +619,15 @@ object Snapshots {
   private val ClusterHeader = "#cluster="
   private val ClusterFileHeader = "#clusterfile="
 
-  /** Clustering columns in force at `v` (from the last full ZORDER). */
-  private[graft] def clusterOf(path: String, v: Int): Option[(String, String)] =
+  /** Clustering columns in force at `v` (from the last full ZORDER).
+    * The manifest line is tab-joined, so the r8 N-column generalization
+    * reads 2-column manifests unchanged. */
+  private[graft] def clusterOf(path: String, v: Int): Option[Seq[String]] =
     if (!hasVersion(path, v)) None
     else manifestLines(path, v)
       .find(_.startsWith(ClusterHeader))
-      .map(_.stripPrefix(ClusterHeader).split("\t", 2))
-      .collect { case Array(a, b) => (a, b) }
+      .map(_.stripPrefix(ClusterHeader).split("\t").toSeq)
+      .filter(_.nonEmpty)
 
   /** Live files known CLUSTERED at `v` (canonical). */
   private[graft] def clusterFilesOf(path: String, v: Int): Set[String] =
@@ -951,7 +953,7 @@ object Snapshots {
       .collect { case Array(n, e) => (n, e) }
   /** The clustering state recorded at `v`: the ZORDER columns and the
     * still-live clustered files (A39's incremental-tail bookkeeping). */
-  private[graft] def clusterStateOf(path: String, v: Int): Option[((String, String), Seq[String])] =
+  private[graft] def clusterStateOf(path: String, v: Int): Option[(Seq[String], Seq[String])] =
     if (!hasVersion(path, v)) None
     else {
       val lines = manifestLines(path, v)
@@ -996,10 +998,10 @@ object Snapshots {
       }
   }
 
-  private def parseCluster(lines: Seq[String]): Option[(String, String)] =
+  private def parseCluster(lines: Seq[String]): Option[Seq[String]] =
     lines.find(_.startsWith(ClusterHeader))
-      .map(_.stripPrefix(ClusterHeader).split("\t", 2))
-      .collect { case Array(a, b) => (a, b) }
+      .map(_.stripPrefix(ClusterHeader).split("\t").toSeq)
+      .filter(_.nonEmpty)
   private def parseClusterFiles(lines: Seq[String]): Set[String] =
     lines.filter(_.startsWith(ClusterFileHeader))
       .map(_.stripPrefix(ClusterFileHeader)).toSet
@@ -1033,7 +1035,7 @@ object Snapshots {
       cdf: Option[Seq[String]] = None,
       cdfFlag: Boolean = false,
       constraintsOverride: Option[Seq[(String, String)]] = None,
-      clusterOverride: Option[((String, String), Seq[String])] = None,
+      clusterOverride: Option[(Seq[String], Seq[String])] = None,
       bloomColsOverride: Option[Seq[(String, Int)]] = None,
       bloomExtra: Seq[String] = Seq.empty): Boolean = {
     Files.createDirectories(logDir(path))
@@ -1060,13 +1062,13 @@ object Snapshots {
       // A39: clustering state — a ZORDER commit overrides; everyone
       // else carries the columns plus the still-live clustered subset
       val clusterLines = clusterOverride match {
-        case Some(((a, b), fs)) =>
-          Seq(ClusterHeader + a + "\t" + b) ++
+        case Some((cols, fs)) =>
+          Seq(ClusterHeader + cols.mkString("\t")) ++
             fs.map(f => ClusterFileHeader + canonical(f)).sorted
         case None => parseCluster(prev) match {
-          case Some((a, b)) =>
+          case Some(cols) =>
             val liveSet = files.map(canonical).toSet
-            Seq(ClusterHeader + a + "\t" + b) ++
+            Seq(ClusterHeader + cols.mkString("\t")) ++
               parseClusterFiles(prev).intersect(liveSet).toSeq.sorted
                 .map(ClusterFileHeader + _)
           case None => Seq.empty
@@ -1127,7 +1129,7 @@ object Snapshots {
       cdf: Option[Seq[String]] = None,
       cdfFlag: Boolean = false,
       constraintsOverride: Option[Seq[(String, String)]] = None,
-      clusterOverride: Option[((String, String), Seq[String])] = None,
+      clusterOverride: Option[(Seq[String], Seq[String])] = None,
       bloomColsOverride: Option[Seq[(String, Int)]] = None,
       bloomExtra: Seq[String] = Seq.empty): Int = {
     val v = currentVersion(path) + 1
@@ -1154,7 +1156,7 @@ object Snapshots {
       cdf: Option[Seq[String]] = None,
       cdfFlag: Boolean = false,
       constraintsOverride: Option[Seq[(String, String)]] = None,
-      clusterOverride: Option[((String, String), Seq[String])] = None,
+      clusterOverride: Option[(Seq[String], Seq[String])] = None,
       bloomColsOverride: Option[Seq[(String, Int)]] = None,
       bloomExtra: Seq[String] = Seq.empty): Int = {
     if (!commitAt(path, base + 1, files, schema, stats, dv, cdf, cdfFlag,
@@ -2080,7 +2082,16 @@ object Snapshots {
     * protocol is the same either way.
     */
   def compactZOrder(spark: SparkSession, path: String,
-      c1: String, c2: String, numFiles: Int): Int = {
+      c1: String, c2: String, numFiles: Int): Int =
+    compactZOrderCols(spark, path, Seq(c1, c2), numFiles)
+
+  /** N-column form (r8 — the Delta `ZORDER BY (a, b, c…)` shape): the
+    * 1024-bucket normalization and bit interleave generalize to any
+    * 2..6 columns (10 bits/dim within the 62-bit positive-long
+    * budget); N=2 keeps the proven native Morton kernel, N>2 runs the
+    * same interleave as codegen'd stock bit arithmetic. */
+  def compactZOrderCols(spark: SparkSession, path: String,
+      cols: Seq[String], numFiles: Int): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     val live = liveFiles(path, v)
@@ -2088,8 +2099,8 @@ object Snapshots {
     // readLive + full rewrite: every DV entry becomes inert here, so
     // the commit drops the DV set entirely — ZORDER doubles as the
     // merge-on-read → pure-files reconciliation point
-    val clustered = Sources.zClustered(
-      readLive(spark, path, v, live), c1, c2, numFiles)
+    val clustered = Sources.zClusteredCols(
+      readLive(spark, path, v, live), cols, numFiles)
     val stage = Files.createTempDirectory("graft_zorder").toString
     tableSchema(path, v).fold(clustered)(stagedAsPhysical(clustered, _))
       .write.mode(SaveMode.Overwrite).parquet(stage)
@@ -2103,7 +2114,7 @@ object Snapshots {
       }
     commitNext(path, v, staged, tableSchema(path, v),
       statsLines(spark, staged), cdf = Some(Seq.empty),
-      clusterOverride = Some(((c1, c2), staged)))
+      clusterOverride = Some((cols, staged)))
   }
 
   /** A39 — INCREMENTAL OPTIMIZE ZORDER: re-cluster ONLY the live files
@@ -2123,7 +2134,7 @@ object Snapshots {
       targetBytes: Long = 128L << 20): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
-    val (c1, c2) = clusterOf(path, v).getOrElse(throw new IllegalArgumentException(
+    val cols = clusterOf(path, v).getOrElse(throw new IllegalArgumentException(
       s"$path has no clustering columns recorded — run compactZOrder once first"))
     val live = liveFiles(path, v)
     val clustered = clusterFilesOf(path, v)
@@ -2131,8 +2142,8 @@ object Snapshots {
     if (tail.isEmpty) return v
     val tailBytes = tail.map(f => Files.size(Paths.get(canonical(f)))).sum
     val bins = math.max(1L, (tailBytes + targetBytes - 1) / targetBytes).toInt
-    val reclustered = Sources.zClustered(
-      readLive(spark, path, v, tail), c1, c2, bins)
+    val reclustered = Sources.zClusteredCols(
+      readLive(spark, path, v, tail), cols, bins)
     val stage = Files.createTempDirectory("graft_zorder_inc").toString
     tableSchema(path, v).fold(reclustered)(stagedAsPhysical(reclustered, _))
       .write.mode(SaveMode.Overwrite).parquet(stage)
@@ -2148,7 +2159,7 @@ object Snapshots {
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
       carriedStats(path, v, retained) ++ statsLines(spark, staged),
       dvFiles(path, v), cdf = Some(Seq.empty),
-      clusterOverride = Some(((c1, c2), retained ++ staged)))
+      clusterOverride = Some((cols, retained ++ staged)))
   }
 
   /** A15 over the LIVE set: range read through a per-file min/max index

@@ -79,16 +79,34 @@ object Sources {
     * [[Snapshots.compactZOrder]] (rewrite-only commit on the log).
     */
   private[sources] def zClustered(
-      df: DataFrame, c1: String, c2: String, numFiles: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    val r = df.agg(
-      min(c1).cast("long"), max(c1).cast("long"),
-      min(c2).cast("long"), max(c2).cast("long")).head()
-    val (lo1, hi1, lo2, hi2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    def bucket(c: String, lo: Long, hi: Long) =
+      df: DataFrame, c1: String, c2: String, numFiles: Int): DataFrame =
+    zClusteredCols(df, Seq(c1, c2), numFiles)
+
+  /** N-column z-clustering (r8): 10 normalization bits per dimension,
+    * bit b of dim i interleaved to position b·N + i — for N=2 exactly
+    * the native Morton kernel's layout (which that path still uses);
+    * for N in 3..6 the same interleave composed from stock codegen'd
+    * bit arithmetic (10·N ≤ 62 bits keeps z a positive BIGINT). */
+  private[graft] def zClusteredCols(
+      df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft, shiftright}
+    require(cols.size >= 2 && cols.size <= 6,
+      s"z-order takes 2..6 columns (got ${cols.size})")
+    val aggs = cols.flatMap(c =>
+      Seq(min(c).cast("long"), max(c).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val bucketed = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (r.getLong(2 * i), r.getLong(2 * i + 1))
       ((col(c).cast("long") - lo) * 1024L / (hi - lo + 1L)).cast("long")
-    df.withColumn("__z", graft.functions.z_value(
-        bucket(c1, lo1, hi1), bucket(c2, lo2, hi2)))
+    }
+    val n = cols.size
+    val z =
+      if (n == 2) graft.functions.z_value(bucketed(0), bucketed(1))
+      else bucketed.zipWithIndex.flatMap { case (b, i) =>
+        (0 until 10).map(bit =>
+          shiftleft(shiftright(b, bit).bitwiseAND(lit(1L)), bit * n + i))
+      }.reduce(_ + _)
+    df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

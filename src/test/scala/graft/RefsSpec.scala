@@ -190,7 +190,7 @@ class RefsSpec extends GraftSuite {
     // is intact, so incremental ZORDER re-clusters ONLY the published
     // tail instead of the whole table
     val (cols, clustered) = Snapshots.clusterStateOf(dir, vPub).get
-    assert(cols == ("k", "gen"))
+    assert(cols == Seq("k", "gen"))
     assert(clustered.size == clusteredBefore,
       s"publish lost cluster markers: $clusteredBefore -> ${clustered.size}")
     val before = Snapshots.liveFiles(dir, vPub).map(Snapshots.canonical).toSet

@@ -446,6 +446,44 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.read(spark, dir).count() == 40000L)
   }
 
+  test("N-column ZORDER: 3 dimensions all prune; state carries through incremental") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zorder3_spec").toString + "/t"
+    // three pairwise-decorrelated uniform dimensions
+    spark.range(60000)
+      .selectExpr("id AS k", "(id * 7919) % 60000 AS x",
+        "(id * 104729) % 60000 AS y", "id % 97 AS payload")
+      .repartition(8).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    val before = Snapshots.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+
+    val v1 = Snapshots.compactZOrderCols(spark, dir, Seq("k", "x", "y"), 64)
+    assert(v1 == 1)
+    // layout-only, bit-exact
+    assert(Snapshots.changesBetween(spark, dir, 0, v1, "k").count() == 0)
+    assert(Snapshots.read(spark, dir, v1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq == before)
+    // a 2% slab on ANY of the three dimensions prunes (64 equal
+    // z-ranges = a 4×4×4 octree grid; a thin slab crosses one plane
+    // of ~16 tiles)
+    for (c <- Seq("k", "x", "y")) {
+      val pruned = Snapshots.readPrunedRange(spark, dir, c, 0L, 1199L)
+      val nFiles = pruned.select(input_file_name()).distinct().count()
+      assert(nFiles < 32, s"$c: range read touched $nFiles of 64 files")
+      assert(pruned.count() == 1200L, s"$c: pruned read lost rows")
+    }
+    // the 3-column cluster state carries: a merge then INCREMENTAL
+    // ZORDER re-clusters only the tail under the SAME three columns
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((70000L, 1L, 2L, 3L)).toDF("k", "x", "y", "payload"), "k")
+    val v3 = Snapshots.compactZOrderIncremental(spark, dir)
+    assert(v3 == 3)
+    assert(Snapshots.read(spark, dir, v3).count() == 60001L)
+  }
+
   test("incremental ZORDER: re-clusters only the unclustered tail, clustered files untouched") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_zinc_spec").toString + "/t"
