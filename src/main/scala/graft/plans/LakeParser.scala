@@ -44,6 +44,7 @@ import graft.sources.Snapshots
   *   GRAFT PUBLISH BRANCH <name> '<path>'
   *   GRAFT DROP BRANCH <name> '<path>'
   *   GRAFT DESCRIBE HISTORY '<path>'
+  *   GRAFT DESCRIBE DETAIL '<path>'
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -116,6 +117,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s => { graft.sources.Refs.createBranch(s, p, n); 0L })
       case DropBranch(n, p) => LakeMaintenanceCommand("version",
         _ => { graft.sources.Refs.dropBranch(p, n); 0L })
+      case Detail(p) => LakeDetailCommand(p)
       case History(p) => LakeHistoryCommand(p)
       // a GRAFT-prefixed statement that matches no rule must FAIL as
       // graft grammar (the delegate would emit a useless ANSI error)
@@ -195,6 +197,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+DROP\s+BRANCH\s+([\w.-]+)\s+'([^']+)'\s*;?\s*""".r
   private val History =
     """(?is)\s*GRAFT\s+DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
 
   /** Split a SET clause on TOP-LEVEL commas only — `f(a, b)` in an
     * assignment expression must not split (paren depth + string
@@ -578,6 +582,38 @@ case class LakeVacuumDryRunCommand(path: String, keepFrom: Int)
     Seq(AttributeReference("file", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Snapshots.vacuumDryRun(path, keepFrom).map(Row(_))
+}
+
+/** `GRAFT DESCRIBE DETAIL` (the Delta DESCRIBE DETAIL shape): ONE row
+  * of head-version table facts — version, live file count, total
+  * bytes, row count when the manifest stats are complete, clustering
+  * columns, bloom-indexed columns, CHECK constraint count, CDF flag —
+  * every field from manifests alone; zero data files opened on a
+  * 100 TB table.
+  */
+case class LakeDetailCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("clustering_cols", StringType, nullable = false)(),
+    AttributeReference("bloom_cols", StringType, nullable = false)(),
+    AttributeReference("num_constraints", LongType, nullable = false)(),
+    AttributeReference("change_data_feed", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = Snapshots.currentVersion(path)
+    require(v >= 0, s"graft: $path is not a versioned table")
+    val live = Snapshots.liveFiles(path, v).map(Snapshots.canonical)
+    val bytes = live.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+    Seq(Row(v.toLong, live.size.toLong, bytes,
+      Snapshots.rowCount(spark, path, v).map(Long.box).orNull,
+      Snapshots.clusterOf(path, v).map(_.mkString(",")).getOrElse(""),
+      Snapshots.bloomColsOf(path, v).map(_._1).mkString(","),
+      Snapshots.constraintsOf(path, v).size.toLong,
+      if (Snapshots.cdfEnabled(path, v)) "enabled" else "disabled"))
+  }
 }
 
 /** `GRAFT DESCRIBE HISTORY`: one row per retained version — live file

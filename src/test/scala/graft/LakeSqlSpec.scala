@@ -213,6 +213,17 @@ class LakeSqlSpec extends GraftSuite {
       // a range covering nothing packs nothing (same version returned)
       s.sql(s"GRAFT OPTIMIZE '$dir' WHERE k BETWEEN 5000 AND 6000")
       assert(Snapshots.currentVersion(dir) == 1)
+
+      // DESCRIBE DETAIL: one manifest-only row of head-version facts
+      s.sql(s"GRAFT ADD BLOOM INDEX k '$dir'")
+      s.sql(s"GRAFT ENABLE CHANGE DATA FEED '$dir'")
+      val det = s.sql(s"GRAFT DESCRIBE DETAIL '$dir'").head()
+      assert(det.getLong(0) == Snapshots.currentVersion(dir)) // version
+      assert(det.getLong(1) == after.size)                    // num_files
+      assert(det.getLong(2) > 0L)                             // size_bytes
+      assert(det.getLong(3) == 200L)                          // num_rows
+      assert(det.getString(5) == "k")                         // bloom_cols
+      assert(det.getString(7) == "enabled")                   // cdf
     }
   }
 
