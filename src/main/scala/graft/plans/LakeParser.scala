@@ -469,28 +469,146 @@ object GraftDmlRules {
       "or WHEN NOT MATCHED BY SOURCE THEN DELETE alone")
   }
 
-  /** A26 partitioned tables resolve to their own FileIndex; ANSI DML
-    * on them is per-partition by design — refuse with the route. */
-  private def partitioned(plan: LogicalPlan): Boolean = plan match {
-    case SubqueryAlias(_, child) => partitioned(child)
-    case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation =>
-        h.location.isInstanceOf[graft.sources.GraftPartitionedFileIndex]
-      case _ => false
+  /** A26 partitioned tables resolve to their own FileIndex: (table
+    * path, partition column, (value, partition dir) list). */
+  private def partInfo(plan: LogicalPlan): Option[(String, String, Seq[(String, String)])] =
+    plan match {
+      case SubqueryAlias(_, child) => partInfo(child)
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case g: graft.sources.GraftPartitionedFileIndex =>
+            Some((g.tablePath, g.partitionCol, g.partitionDirs))
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
     }
-    case _ => false
-  }
 
   private def refusePartitioned(): Nothing =
-    refuse("ANSI DML on a PARTITIONED graft table is per-partition by " +
-      "design — write through PartitionedSnapshots (merge/compact/zorder " +
-      "take the partition value) or target one partition's own dir")
+    refuse("this DML form on a PARTITIONED graft table is per-partition " +
+      "by design — write through PartitionedSnapshots (merge/compact/" +
+      "zorder take the partition value) or target one partition's own dir")
+
+  private def conjunctsOf(e: org.apache.spark.sql.catalyst.expressions.Expression):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  /** The column names a conjunct references, or None if any reference
+    * is not a plain (possibly alias-qualified) column. */
+  private def refsOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      aliases: Set[String]): Option[Set[String]] = {
+    val leaves = e.collect {
+      case a: AttributeReference => nameOf(a, aliases)
+      case u: UnresolvedAttribute => nameOf(u, aliases)
+    }
+    if (leaves.forall(_.isDefined)) Some(leaves.flatten.toSet) else None
+  }
+
+  /** Bind the partition column to `value` inside an expression (the
+    * per-partition form of a predicate over a hive-partitioned table —
+    * partition files do not store the column; its value is the dir). */
+  private def bindPart(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      partCol: String, value: String, aliases: Set[String]) =
+    e.transform {
+      case a: AttributeReference if a.name == partCol =>
+        org.apache.spark.sql.catalyst.expressions.Literal(value)
+      case u: UnresolvedAttribute if nameOf(u, aliases).contains(partCol) =>
+        org.apache.spark.sql.catalyst.expressions.Literal(value)
+    }
+
+  /** Partition values surviving the predicate's partition-column-only
+    * conjuncts (directory-level pruning: a skipped partition gets NO
+    * commit, not a no-op version bump). Conjuncts referencing data
+    * columns cannot prune — every partition may hold matching rows. */
+  private def prunedParts(s: SparkSession,
+      parts: Seq[(String, String)], partCol: String,
+      cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      aliases: Set[String]): Seq[(String, String)] = {
+    val pcOnly = cs.filter(c =>
+      refsOf(c, aliases).exists(r => r.nonEmpty && r == Set(partCol)))
+    if (pcOnly.isEmpty) parts
+    else parts.filter { case (value, _) =>
+      val bound = pcOnly.map(c =>
+        "(" + bareSql(bindPart(c, partCol, value, aliases), aliases) + ")")
+        .mkString(" AND ")
+      import s.implicits._
+      Seq(1).toDF("__x").filter(expr(bound)).count() == 1
+    }
+  }
 
   def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
-    case DeleteFromTable(t, _) if partitioned(t) => refusePartitioned()
-    case UpdateTable(t, _, _) if partitioned(t) => refusePartitioned()
-    case m: MergeIntoTable if partitioned(m.targetTable) => refusePartitioned()
-    case i: InsertIntoStatement if partitioned(i.table) => refusePartitioned()
+    // A26 + A44 (r8): DELETE / UPDATE / MERGE-upsert on a PARTITIONED
+    // graft table route per partition — the predicate's partition
+    // conjuncts prune at the directory level, the partition column is
+    // bound to each surviving partition's value (hive layout: the
+    // column lives in the dir name, not the files), and each partition
+    // commits through its own log. INSERT still refuses (row routing
+    // by value is mergePartitioned's job — use MERGE).
+    case DeleteFromTable(t, cond) if partInfo(t).isDefined =>
+      val (_, partCol, parts) = partInfo(t).get
+      val aliases = aliasesOf(t)
+      val cs = conjunctsOf(cond)
+      LakeMaintenanceCommand("partitions", s => {
+        val keep = prunedParts(s, parts, partCol, cs, aliases)
+        keep.foreach { case (value, dir) =>
+          val predSql = cs.map(c =>
+            "(" + bareSql(bindPart(c, partCol, value, aliases), aliases) + ")")
+            .mkString(" AND ")
+          Snapshots.deleteVersioned(s, dir, expr(predSql))
+        }
+        keep.size.toLong
+      })
+    case UpdateTable(t, assignments, cond) if partInfo(t).isDefined =>
+      val (_, partCol, parts) = partInfo(t).get
+      val aliases = aliasesOf(t)
+      val assigns = assignments.map { a =>
+        val n = nameOf(a.key, aliases).getOrElse(
+          refuse("UPDATE assignment target must be a bare (top-level) column"))
+        if (n == partCol) refuse("UPDATE may not SET the partition column " +
+          "(row movement between partitions) — use MERGE")
+        n -> a.value
+      }
+      val cs = cond.map(conjunctsOf).getOrElse(Seq.empty)
+      LakeMaintenanceCommand("partitions", s => {
+        val keep = prunedParts(s, parts, partCol, cs, aliases)
+        keep.foreach { case (value, dir) =>
+          val predSql =
+            if (cs.isEmpty) "true"
+            else cs.map(c =>
+              "(" + bareSql(bindPart(c, partCol, value, aliases), aliases) + ")")
+              .mkString(" AND ")
+          Snapshots.updateVersioned(s, dir, expr(predSql),
+            assigns.map { case (n, v) =>
+              n -> expr(bareSql(bindPart(v, partCol, value, aliases), aliases)) })
+        }
+        keep.size.toLong
+      })
+    case m: MergeIntoTable if partInfo(m.targetTable).isDefined =>
+      val (path, partCol, _) = partInfo(m.targetTable).get
+      val aliases = aliasesOf(m.targetTable) ++ aliasesOf(m.sourceTable)
+      val targetCols = outputCols(m.targetTable)
+      val keyCol = m.mergeCondition match {
+        case EqualTo(l, r) => (nameOf(l, aliases), nameOf(r, aliases)) match {
+          case (Some(a), Some(b)) if a == b => a
+          case _ => refusePartitioned()
+        }
+        case _ => refusePartitioned()
+      }
+      if (isUpdateStar(m.matchedActions, targetCols, aliases) &&
+          isInsertStar(m.notMatchedActions, targetCols, aliases) &&
+          m.notMatchedBySourceActions.isEmpty) {
+        val source = ResolveGraftPath.rewrite(m.sourceTable)
+        LakeMaintenanceCommand("partitions", s =>
+          graft.sources.PartitionedSnapshots.mergePartitioned(s, path,
+            org.apache.spark.sql.GraftSqlInternals.ofRows(s, source),
+            keyCol, partCol).size.toLong)
+      } else refusePartitioned()
+    case i: InsertIntoStatement if partInfo(i.table).isDefined =>
+      refusePartitioned()
     case DeleteFromTable(t, cond) if pathOf(t).isDefined =>
       val p = pathOf(t).get
       val pred = bareSql(cond, aliasesOf(t))

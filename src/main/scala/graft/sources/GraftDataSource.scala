@@ -803,6 +803,11 @@ object GraftFileIndex {
 class GraftPartitionedFileIndex(spark: SparkSession, path: String,
     partCol: String, dirs: Seq[(String, String)]) extends FileIndex {
 
+  // consumed by the A44 partitioned-DML routing (plans/LakeParser.scala)
+  private[graft] def tablePath: String = path
+  private[graft] def partitionCol: String = partCol
+  private[graft] def partitionDirs: Seq[(String, String)] = dirs
+
   import org.apache.spark.sql.catalyst.expressions.{Predicate => CatalystPredicate}
   import org.apache.spark.unsafe.types.UTF8String
 

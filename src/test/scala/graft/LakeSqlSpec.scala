@@ -409,7 +409,7 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
-  test("A44: ANSI DML on a PARTITIONED graft table refuses with the route") {
+  test("A44 r8: ANSI DML on a PARTITIONED graft table routes per partition") {
     withExtSession { s =>
       import s.implicits._
       val dir = Files.createTempDirectory("graft_ansi_part").toString + "/t"
@@ -418,12 +418,52 @@ class LakeSqlSpec extends GraftSuite {
           .toDF("k", "payload", "part"), "part")
       s.sql("DROP TABLE IF EXISTS dml_part")
       s.sql(s"CREATE TABLE dml_part USING graft OPTIONS (path '$dir', partitionCol 'part')")
+      def readAll = {
+        s.sql("REFRESH TABLE dml_part")
+        s.table("dml_part").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      }
       try {
+        val evenDir = graft.sources.PartitionedSnapshots.partitionDir(dir, "even")
+        val oddDir = graft.sources.PartitionedSnapshots.partitionDir(dir, "odd")
+
+        // DELETE with a partition conjunct: the pruned partition's log
+        // is NOT committed (directory-level pruning), the target
+        // partition loses exactly the matching rows
+        val vOddBefore = Snapshots.currentVersion(oddDir)
+        val n = s.sql("DELETE FROM dml_part WHERE part = 'even' AND k <= 10")
+          .head().getLong(0)
+        assert(n == 1L, s"one partition should be touched (got $n)")
+        assert(Snapshots.currentVersion(oddDir) == vOddBefore,
+          "pruned partition must not version-bump")
+        val after = readAll
+        assert(after.count(_._3 == "even") == 15) // lost k = 2,4,6,8,10
+        assert(after.count(_._3 == "odd") == 20)
+
+        // UPDATE across partitions: both logs commit, predicate bound
+        // per partition; SET of the partition column refuses
+        s.sql("UPDATE dml_part SET payload = concat(payload, '!') WHERE k > 38")
+        val upd = readAll.filter(_._1 > 38)
+        assert(upd.nonEmpty && upd.forall(_._2.endsWith("!")))
         val e = intercept[Exception] {
-          s.sql("UPDATE dml_part SET payload = 'x' WHERE k = 1") }
-        assert(e.getMessage.contains("per-partition"), e.getMessage)
+          s.sql("UPDATE dml_part SET part = 'x' WHERE k = 1") }
+        assert(e.getMessage.contains("partition column"), e.getMessage)
+
+        // MERGE upsert routes by the batch's partition values
+        s.sql(s"""MERGE INTO dml_part t
+                 |USING (SELECT CAST(1 AS BIGINT) AS k, 'UP1' AS payload, 'odd' AS part
+                 |       UNION ALL
+                 |       SELECT CAST(100 AS BIGINT), 'NEW', 'even') src
+                 |ON t.k = src.k
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val merged = readAll
+        assert(merged.find(_._1 == 1L).get._2 == "UP1")
+        assert(merged.find(_._1 == 100L).exists(_._3 == "even"))
+
+        // INSERT still refuses with the route
         val e2 = intercept[Exception] {
-          s.sql("DELETE FROM dml_part WHERE k = 1") }
+          s.sql("INSERT INTO dml_part SELECT CAST(7 AS BIGINT), 'x', 'odd'") }
         assert(e2.getMessage.contains("per-partition"), e2.getMessage)
       } finally s.sql("DROP TABLE IF EXISTS dml_part")
     }
