@@ -356,14 +356,33 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       s"graft: at most one partition column (got $partitionColumns)")
     val scope = graft.streaming.UpsertSink.markerScope(
       parameters.get("checkpointLocation"))
-    new GraftSink(path, keyCol, orderCol, partitionColumns.headOption, scope)
+    val acMin = parameters.get("autoCompactMinFiles").map(_.toInt)
+    acMin.foreach(n => require(n >= 2,
+      s"graft: autoCompactMinFiles must be >= 2 (got $n)"))
+    new GraftSink(path, keyCol, orderCol, partitionColumns.headOption, scope,
+      acMin, parameters.get("autoCompactTargetBytes").map(_.toLong)
+        .getOrElse(128L << 20))
   }
 }
 
 /** The versioned upsert sink behind `writeStream.format("graft")` —
-  * see [[GraftDataSource.createSink]]. */
+  * see [[GraftDataSource.createSink]].
+  *
+  * `autoCompactMinFiles` (r8, the Delta auto-compaction pattern): a
+  * streaming upsert commits a version — and a handful of small files —
+  * per micro-batch; after thousands of batches scan planning degrades
+  * on the fragment pile. With the option set, every batch is followed
+  * by a best-effort [[Snapshots.compact]] gated on that many
+  * sub-target live files — the gate reads manifest + file sizes only,
+  * so the steady-state cost is metadata-scale and the live file count
+  * stays bounded regardless of batch count. Layout-only and
+  * idempotent: a crash or replayed batch can at worst re-run a
+  * compaction that finds nothing to pack (no commit).
+  */
 class GraftSink(path: String, keyCol: String, orderCol: String,
-    partCol: Option[String], scope: Option[String]) extends Sink {
+    partCol: Option[String], scope: Option[String],
+    autoCompactMinFiles: Option[Int] = None,
+    autoCompactTargetBytes: Long = 128L << 20) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame is streaming-tagged; the merge derives new
     // plans from it, so re-wrap as a batch frame first (the
@@ -374,6 +393,20 @@ class GraftSink(path: String, keyCol: String, orderCol: String,
         .mergeVersionedBatch(path, keyCol, orderCol, scope)(batch, batchId)
       case Some(pc) => graft.streaming.UpsertSink
         .mergePartitionedBatch(path, keyCol, pc, orderCol, scope)(batch, batchId)
+    }
+    autoCompactMinFiles.foreach { n =>
+      val s = data.sparkSession
+      partCol match {
+        case None =>
+          if (Snapshots.currentVersion(path) >= 0)
+            Snapshots.compact(s, path, autoCompactTargetBytes, n)
+        case Some(_) =>
+          PartitionedSnapshots.partitions(path).foreach { v =>
+            val d = PartitionedSnapshots.partitionDir(path, v)
+            if (Snapshots.currentVersion(d) >= 0)
+              Snapshots.compact(s, d, autoCompactTargetBytes, n)
+          }
+      }
     }
   }
   override def toString: String = s"GraftSink[$path]"

@@ -336,6 +336,40 @@ class ConnectorSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming sink auto-compaction: live file count stays bounded across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val dst = Files.createTempDirectory("graft_conn_ac").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_conn_ac_ckpt").toString
+    val q = mem.toDF().toDF("k", "payload", "ts")
+      .writeStream.format("graft")
+      .option("keyCol", "k").option("orderCol", "ts")
+      .option("checkpointLocation", ckpt)
+      .option("autoCompactMinFiles", "4")
+      .start(dst)
+    try {
+      // 12 micro-batches of disjoint keys: without auto-compaction the
+      // live set accumulates each batch's staged files forever
+      (0 until 12).foreach { i =>
+        mem.addData((100L * i, s"p$i", i.toLong), (100L * i + 1, s"q$i", i.toLong))
+        q.processAllAvailable()
+      }
+      val head = Snapshots.currentVersion(dst)
+      val live = Snapshots.liveFiles(dst, head)
+      assert(live.size < 8,
+        s"auto-compaction should bound the live set (got ${live.size} files)")
+      // and the data is exactly the 24 upserted keys
+      val rows = Snapshots.read(spark, dst).select("k", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.size == 24)
+      (0 until 12).foreach { i =>
+        assert(rows(100L * i) == s"p$i" && rows(100L * i + 1) == s"q$i")
+      }
+    } finally q.stop()
+  }
+
   test("the full loop: readStream graft -> transform -> writeStream graft") {
     import spark.implicits._
     val src = freshTable()
