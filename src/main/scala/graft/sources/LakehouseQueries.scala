@@ -1008,7 +1008,44 @@ object LakehouseQueries {
     """SELECT o_orderkey, o_orderstatus, o_totalprice
       |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey > 0""".stripMargin
 
+  /** A18 r8 — the DELTA-ENCODED LOG under an oracled read: 12 keyed
+    * merges over a 4-file table (v1..v9, v11, v12 delta manifests; v10
+    * a forced full checkpoint), then three versions read back THROUGH
+    * the chain — v0 (full), v6 (delta chain from v0), v12 (chain from
+    * the v10 checkpoint). Batches touch disjoint key sets
+    * (o_orderkey % 37 = i−1), so the oracle reconstructs any version
+    * from the raw parquet with one CASE — a wrong delta application
+    * (lost retirement, stale stat, dropped line) surfaces as a
+    * row/hash mismatch. Per-row output; no float accumulation.
+    */
+  def qLakeDeltaLog(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d).filter(col("o_orderkey") % 7 === 0)
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir)
+    (1 to 12).foreach { i =>
+      val batch = b.filter(col("o_orderkey") % 37 === (i - 1))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 100000.0 * i).as("o_totalprice"))
+      Snapshots.mergeVersioned(s, dir, batch, "o_orderkey")
+    }
+    Seq(0, 6, 12).map(v =>
+      Snapshots.read(s, dir, v).select(lit(v).as("version"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("price")))
+      .reduce(_.unionByName(_))
+  }
+
+  val qLakeDeltaLogSql: String =
+    """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders
+      |           WHERE o_orderkey % 7 = 0),
+      |v AS (SELECT unnest([0, 6, 12]) AS version)
+      |SELECT v.version, b.o_orderkey,
+      |  round(b.o_totalprice + CASE
+      |    WHEN (b.o_orderkey % 37) + 1 <= v.version
+      |    THEN 100000.0 * ((b.o_orderkey % 37) + 1) ELSE 0 END, 2) AS price
+      |FROM b CROSS JOIN v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
     "q_lake_timetravel" -> (qLakeTimetravel(_, _)),
     "q_lake_vacuum" -> (qLakeVacuum(_, _)),
     "q_lake_optimize" -> (qLakeOptimize(_, _)),
@@ -1035,6 +1072,7 @@ object LakehouseQueries {
     "q_lake_compat" -> (qLakeCompat(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_lake_deltalog" -> qLakeDeltaLogSql,
     "q_lake_timetravel" -> qLakeTimetravelSql,
     "q_lake_vacuum" -> qLakeVacuumSql,
     "q_lake_optimize" -> qLakeOptimizeSql,
