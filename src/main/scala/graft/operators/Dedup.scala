@@ -1596,7 +1596,63 @@ object Dedup {
       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM corpus c LEFT JOIN drops d ON c.vec_id = d.vec_id""".stripMargin
 
+  // D21 — CORPUS-WIDE segment dedup (the CCNet/RefinedWeb line-dedup
+  // step, on this corpus's word-stream texts as fixed 10-word
+  // segments): every segment keeps its FIRST occurrence across the
+  // whole corpus — ordered by (doc_id, position) — and every later
+  // copy is dropped, INCLUDING cross-document boilerplate the
+  // within-doc span family (D13/D15) cannot see. Documents are then
+  // reassembled from their surviving segments. Plan at 100 TB: the
+  // first-occurrence argmin is ONE shuffle keyed by segment hash over
+  // skinny (hash, encoded-position) rows — the canonical position
+  // encodes as doc_id·10^6 + seg_idx so min() IS the lexicographic
+  // argmin in both engines; the keep-filter join is hash-keyed; the
+  // reassembly is one doc_id-keyed aggregate over kept segments.
+  // Segment slicing is array arithmetic (no window, no posexplode of
+  // per-token rows beyond the one segment explode).
+  def qParaDedup(s: SparkSession, d: String): DataFrame = {
+    val segs = Tables.documents(s, d)
+      .selectExpr("doc_id",
+        raw"filter(split(text, '\\s+'), x -> x <> '') AS w")
+      .selectExpr("doc_id",
+        """posexplode(transform(sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1),
+          |  i -> array_join(slice(w, i * 10 + 1, 10), ' '))) AS (seg_idx, seg)"""
+          .stripMargin)
+      .withColumn("code", col("doc_id") * 1000000L + col("seg_idx"))
+      .withColumn("h", md5(col("seg")))
+    val firsts = segs.groupBy("h").agg(min("code").as("keep_code"))
+    val kept = segs.join(firsts, "h").where(col("code") === col("keep_code"))
+    val perDoc = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("__nk"),
+      array_join(transform(array_sort(collect_list(struct(col("seg_idx"),
+        col("seg")))), x => x("seg")), " ").as("cleaned"))
+    perDoc.join(keptAgg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"), col("cleaned"))
+  }
+
+  val qParaDedupSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, i AS seg_idx,
+      |    array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ') AS seg,
+      |    doc_id * 1000000 + i AS code
+      |  FROM t, unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS u(i)),
+      |firsts AS (SELECT md5(seg) AS h, min(code) AS keep_code
+      |           FROM segs GROUP BY 1),
+      |kept AS (SELECT s.* FROM segs s JOIN firsts f
+      |         ON md5(s.seg) = f.h AND s.code = f.keep_code)
+      |SELECT s.doc_id, count(DISTINCT s.seg_idx) AS n_segs,
+      |  (SELECT count(*) FROM kept k WHERE k.doc_id = s.doc_id) AS n_kept,
+      |  (SELECT string_agg(k.seg, ' ' ORDER BY k.seg_idx)
+      |   FROM kept k WHERE k.doc_id = s.doc_id) AS cleaned
+      |FROM segs s GROUP BY s.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_para_dedup" -> qParaDedup,
     "q_dedup_cc" -> ((s, d) => qDedupCc(s, d)),
     "q_dedup_pipeline" -> ((s, d) => qDedupPipeline(s, d)),
     "q_dedup_exact" -> qDedupExact,
@@ -1617,6 +1673,7 @@ object Dedup {
     "q_semdedup" -> ((s, d) => qSemdedup(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_para_dedup" -> qParaDedupSql,
     "q_dedup_cc" -> qDedupCcSql,
     "q_dedup_pipeline" -> qDedupPipelineSql,
     "q_dedup_exact" -> qDedupExactSql,
