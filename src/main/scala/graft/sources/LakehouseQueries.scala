@@ -92,6 +92,33 @@ object LakehouseQueries {
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** A22 r8 — predicate-SCOPED OPTIMIZE (`compactWhere`): 8 key-range
+    * files staged, only those whose manifest [min,max] intersects
+    * o_orderkey ∈ [0, 30000] bin-packed; out-of-range files stay in
+    * place BY PATH (spec-pinned in LakeSqlSpec — SQL cannot observe
+    * file identity). The oracled read proves the scoped rewrite
+    * preserved the live row multiset exactly.
+    */
+  def qLakeOptimizeWhere(s: SparkSession, d: String): DataFrame = {
+    val dir = tempDir("graft_lake")
+    base(s, d).repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    Snapshots.init(s, dir)
+    Snapshots.compactWhere(s, dir, "o_orderkey", 0L, 30000L)
+    Snapshots.read(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+  }
+
+  val qLakeOptimizeWhereSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   /** A16/A18 — versioned copy-on-write MERGE through the OCC commit
     * path: full-row updates (keys ≡ 0 mod 97, re-statused 'U', price
     * +10000) plus brand-new inserts (negated keys ≡ 0 mod 101,
@@ -1046,6 +1073,7 @@ object LakehouseQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
+    "q_lake_optimize_where" -> (qLakeOptimizeWhere(_, _)),
     "q_lake_timetravel" -> (qLakeTimetravel(_, _)),
     "q_lake_vacuum" -> (qLakeVacuum(_, _)),
     "q_lake_optimize" -> (qLakeOptimize(_, _)),
@@ -1073,6 +1101,7 @@ object LakehouseQueries {
 
   def oracles: Map[String, String] = Map(
     "q_lake_deltalog" -> qLakeDeltaLogSql,
+    "q_lake_optimize_where" -> qLakeOptimizeWhereSql,
     "q_lake_timetravel" -> qLakeTimetravelSql,
     "q_lake_vacuum" -> qLakeVacuumSql,
     "q_lake_optimize" -> qLakeOptimizeSql,
