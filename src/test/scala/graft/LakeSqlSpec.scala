@@ -173,6 +173,15 @@ class LakeSqlSpec extends GraftSuite {
         assert(s.sql("SELECT t.payload FROM tt_name VERSION AS OF 0 t " +
           "WHERE t.k = 5").head().getString(0) == "v5")
       } finally s.sql("DROP TABLE tt_name")
+      // time travel composes as a DML SOURCE: merge v0's row for k=5
+      // back into the head — payload reverts to the v0 value
+      s.sql(s"""MERGE INTO graft.`$dir` t
+               |USING (SELECT k, payload, gen FROM graft.`$dir` VERSION AS OF 0
+               |       WHERE k = 5) src
+               |ON t.k = src.k
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(payloadAt(s"SELECT payload FROM graft.`$dir` WHERE k = 5") == "v5")
       // a non-literal TIMESTAMP AS OF refuses (a snapshot pin cannot
       // vary per row)
       val err = intercept[Exception] {
