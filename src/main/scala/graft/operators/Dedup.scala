@@ -1614,6 +1614,11 @@ object Dedup {
     val segs = Tables.documents(s, d)
       .selectExpr("doc_id",
         raw"filter(split(text, '\\s+'), x -> x <> '') AS w")
+      // empty/whitespace-only docs produce ZERO segments in both
+      // engines: without the guard, Spark's sequence(0, -1) DESCENDS
+      // ([0, -1] — step defaults to -1) and would emit two phantom
+      // empty segments where DuckDB's range(0, 0) emits none
+      .where(size(col("w")) > 0)
       .selectExpr("doc_id",
         """posexplode(transform(sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1),
           |  i -> array_join(slice(w, i * 10 + 1, 10), ' '))) AS (seg_idx, seg)"""

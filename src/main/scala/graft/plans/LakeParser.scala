@@ -287,11 +287,14 @@ object ResolveGraftPath {
     // ergonomics) on either the path form or a catalog-named graft
     // table — mapped onto the connector's reader options, so SQL and
     // DataFrame time travel share one resolution path
-    case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
-        if graftPathOf(u).isDefined =>
-      val opts = ver.map(v => Map("versionAsOf" -> v))
-        .getOrElse(Map("timestampAsOf" -> tsOption(ts.get)))
-      relationFor(graftPathOf(u).get, opts)
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+      graftPathOf(u) match { // resolved once: it may hit the catalog
+        case Some(p) =>
+          val opts = ver.map(v => Map("versionAsOf" -> v))
+            .getOrElse(Map("timestampAsOf" -> tsOption(ts.get)))
+          relationFor(p, opts)
+        case None => tt
+      }
     case u: UnresolvedRelation
         if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
@@ -460,10 +463,22 @@ object GraftDmlRules {
         s, path, org.apache.spark.sql.GraftSqlInternals.ofRows(s, source)
           .select(s"`$keyCol`"), keyCol).toLong)
     else if (antiDelete)
-      LakeMaintenanceCommand("version", s => Snapshots.deleteVersionedKeys(
-        s, path, Snapshots.read(s, path).select(s"`$keyCol`")
+      LakeMaintenanceCommand("version", s => {
+        val targetKeys = Snapshots.read(s, path).select(s"`$keyCol`")
+        // ANSI: a NULL-key target row never equi-matches any source row,
+        // so BY SOURCE semantics demand deleting it — which a keyed
+        // equality delete cannot express. Refuse loudly rather than
+        // silently retaining the row (the repo-wide no-approximation
+        // rule); keyed tables have non-null keys by construction.
+        require(targetKeys.filter(expr(s"`$keyCol` IS NULL")).isEmpty,
+          s"graft: MERGE … NOT MATCHED BY SOURCE DELETE needs non-NULL " +
+            s"'$keyCol' keys (a NULL key never equi-matches, so ANSI would " +
+            "delete it; the keyed delete cannot — delete NULL-key rows " +
+            s"first: DELETE FROM … WHERE $keyCol IS NULL)")
+        Snapshots.deleteVersionedKeys(s, path, targetKeys
           .except(org.apache.spark.sql.GraftSqlInternals.ofRows(s, source)
-            .select(s"`$keyCol`")), keyCol).toLong)
+            .select(s"`$keyCol`")), keyCol).toLong
+      })
     else refuse("supported MERGE forms: WHEN MATCHED THEN UPDATE SET * " +
       "WHEN NOT MATCHED THEN INSERT *, WHEN MATCHED THEN DELETE alone, " +
       "or WHEN NOT MATCHED BY SOURCE THEN DELETE alone")
@@ -531,12 +546,16 @@ object GraftDmlRules {
     val pcOnly = cs.filter(c =>
       refsOf(c, aliases).exists(r => r.nonEmpty && r == Set(partCol)))
     if (pcOnly.isEmpty) parts
-    else parts.filter { case (value, _) =>
-      val bound = pcOnly.map(c =>
-        "(" + bareSql(bindPart(c, partCol, value, aliases), aliases) + ")")
-        .mkString(" AND ")
+    else {
+      // the conjuncts reference ONLY the partition column, so they
+      // resolve directly against a |partitions|-row local frame — ONE
+      // tiny job for the whole prune, not a job per partition
       import s.implicits._
-      Seq(1).toDF("__x").filter(expr(bound)).count() == 1
+      val predSql = pcOnly.map(c => "(" + bareSql(c, aliases) + ")")
+        .mkString(" AND ")
+      val kept = parts.map(_._1).toDF(partCol)
+        .filter(expr(predSql)).collect().map(_.getString(0)).toSet
+      parts.filter(p => kept.contains(p._1))
     }
   }
 

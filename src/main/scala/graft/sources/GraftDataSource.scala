@@ -388,9 +388,11 @@ class GraftSink(path: String, keyCol: String, orderCol: String,
     // plans from it, so re-wrap as a batch frame first (the
     // ForeachBatchSink move — see StreamingFrame.toBatch)
     val batch = org.apache.spark.sql.graft.StreamingFrame.toBatch(data)
-    partCol match {
-      case None => graft.streaming.UpsertSink
-        .mergeVersionedBatch(path, keyCol, orderCol, scope)(batch, batchId)
+    val touched: Seq[String] = partCol match {
+      case None =>
+        graft.streaming.UpsertSink
+          .mergeVersionedBatch(path, keyCol, orderCol, scope)(batch, batchId)
+        Seq.empty
       case Some(pc) => graft.streaming.UpsertSink
         .mergePartitionedBatch(path, keyCol, pc, orderCol, scope)(batch, batchId)
     }
@@ -401,7 +403,9 @@ class GraftSink(path: String, keyCol: String, orderCol: String,
           if (Snapshots.currentVersion(path) >= 0)
             Snapshots.compact(s, path, autoCompactTargetBytes, n)
         case Some(_) =>
-          PartitionedSnapshots.partitions(path).foreach { v =>
+          // only the partitions THIS batch wrote — the per-batch gate
+          // cost tracks the batch's footprint, not partition count
+          touched.foreach { v =>
             val d = PartitionedSnapshots.partitionDir(path, v)
             if (Snapshots.currentVersion(d) >= 0)
               Snapshots.compact(s, d, autoCompactTargetBytes, n)

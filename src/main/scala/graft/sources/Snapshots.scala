@@ -110,12 +110,16 @@ object Snapshots {
     }
   }
 
-  /** Is `v`'s manifest stored delta-encoded? (Resolution-internal —
-    * exposed for vacuum's materialization pass and the specs.) */
+  /** Is `v`'s manifest stored delta-encoded? First line only — vacuum
+    * calls this for every retained version, and a full checkpoint
+    * manifest at the 1M-file design point is ~100 MB it must not read
+    * just to learn the answer is no. */
   private[graft] def isDeltaManifest(path: String, v: Int): Boolean =
-    hasVersion(path, v) &&
-      Files.readAllLines(manifestPath(path, v)).asScala.headOption
-        .exists(_.startsWith(DeltaBaseHeader))
+    hasVersion(path, v) && {
+      val r = Files.newBufferedReader(manifestPath(path, v))
+      try Option(r.readLine()).exists(_.startsWith(DeltaBaseHeader))
+      finally r.close()
+    }
 
   /** Parquet files sitting in the table directory that NO retained
     * manifest references and that graft did not stage (graft-managed
@@ -1174,6 +1178,12 @@ object Snapshots {
   def init(spark: SparkSession, path: String,
       changeDataFeed: Boolean = false): Int = {
     require(currentVersion(path) < 0, s"$path already versioned")
+    // a table re-initialized where one was deleted could collide with
+    // cached resolutions if the new manifest matches the old one's
+    // (size, mtime tick) — init is the only legitimate same-path
+    // rebirth, so purge the path's entries here
+    val root = logDir(path).toAbsolutePath.toString + java.io.File.separator
+    manifestCache.keySet.removeIf(_._1.startsWith(root))
     val files = listDir(Paths.get(path))
       .map(_.toString).filter(_.endsWith(".parquet"))
     val schema =
@@ -1992,8 +2002,18 @@ object Snapshots {
       targetBytes: Long = 128L << 20, minFiles: Int = 2): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
-    val live = liveFiles(path, v)
-    val (small, big) = live.partition(f =>
+    packSmall(spark, path, v, liveFiles(path, v), _ => true,
+      targetBytes, minFiles)
+  }
+
+  /** The shared bin-pack body of [[compact]] and [[compactWhere]]:
+    * sub-target live files passing `inScope` (canonical path) coalesce
+    * into ⌈Σsize/target⌉ packed files as a rewrite-only commit; returns
+    * the current version untouched when there is nothing worth packing. */
+  private def packSmall(spark: SparkSession, path: String, v: Int,
+      live: Seq[String], inScope: String => Boolean,
+      targetBytes: Long, minFiles: Int): Int = {
+    val (small, big) = live.partition(f => inScope(canonical(f)) &&
       Files.size(Paths.get(canonical(f))) < targetBytes)
     val totalSmall = small.map(f => Files.size(Paths.get(canonical(f)))).sum
     val bins = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
@@ -2038,32 +2058,17 @@ object Snapshots {
     require(v >= 0, s"$path not initialized (call init)")
     val live = liveFiles(path, v)
     val inScope: Set[String] = manifestRanges(path, v, live, column) match {
-      case Some(rows) => rows.collect { case (f, mn, mx, _)
-          if BigDecimal(mx) >= BigDecimal(lo) &&
-             BigDecimal(mn) <= BigDecimal(hi) => f }.toSet
+      case Some(rows) => rows.collect { case (f, mn, mx, t)
+          // typeTag-aware parse (the readPrunedRange discipline): a
+          // double stat can be "NaN"/"Infinity", where a numeric-cast
+          // comparison must keep the file, never crash — NaN compares
+          // falsy, so the || keeps it conservatively in scope
+          if (t == "L" && mx.toLong >= lo && mn.toLong <= hi) ||
+             (t != "L" && !(mx.toDouble < lo || mn.toDouble > hi)) => f
+        }.toSet
       case None => live.map(canonical).toSet // no stats: everything in scope
     }
-    val (small, big) = live.partition(f => inScope.contains(canonical(f)) &&
-      Files.size(Paths.get(canonical(f))) < targetBytes)
-    val totalSmall = small.map(f => Files.size(Paths.get(canonical(f)))).sum
-    val bins = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
-    if (small.size < math.max(minFiles, bins + 1)) return v // nothing to pack
-    val sch = tableSchema(path, v)
-    val packed = readLive(spark, path, v, small)
-    val stage = Files.createTempDirectory("graft_compactw").toString
-    sch.fold(packed)(stagedAsPhysical(packed, _)).coalesce(bins)
-      .write.mode(SaveMode.Overwrite).parquet(stage)
-    val dst = Paths.get(path)
-    val staged = listDir(Paths.get(stage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"v${v + 1}_compact_${p.getFileName.toString}"
-        Files.move(p, dst.resolve(name))
-        dst.resolve(name).toString
-      }
-    commitNext(path, v, big ++ staged, tableSchema(path, v),
-      carriedStats(path, v, big) ++ statsLines(spark, staged),
-      dvFiles(path, v), cdf = Some(Seq.empty))
+    packSmall(spark, path, v, live, inScope.contains, targetBytes, minFiles)
   }
 
   /** A22+A14 — OPTIMIZE ZORDER BY on the snapshot log: re-cluster the

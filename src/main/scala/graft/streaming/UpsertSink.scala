@@ -98,16 +98,20 @@ object UpsertSink {
 
   /** The partitioned analog ([[startPartitioned]]'s batch body),
     * shared with the `format("graft")` streaming sink. */
+  /** Returns the TOUCHED partition values (empty for a replayed or
+    * empty batch) so the sink's auto-compaction can gate only the
+    * partitions this batch actually wrote. */
   private[graft] def mergePartitionedBatch(path: String, keyCol: String,
       partCol: String, orderCol: String, scope: Option[String])(
-      batch: DataFrame, batchId: Long): Unit = {
+      batch: DataFrame, batchId: Long): Seq[String] = {
     val latest = latestPerKey(batch, keyCol, orderCol)
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
     if (!replayed && !latest.isEmpty) {
-      graft.sources.PartitionedSnapshots.mergePartitioned(
+      val touched = graft.sources.PartitionedSnapshots.mergePartitioned(
         batch.sparkSession, path, latest, keyCol, partCol)
       scope.foreach(sc => recordBatch(path, sc, batchId))
-    }
+      touched.keys.toSeq
+    } else Seq.empty
   }
 
   /** Start the merge sink. `orderCol` breaks ties when one key changes
@@ -182,7 +186,9 @@ object UpsertSink {
     val w = changes.writeStream.outputMode("append")
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     val scope = markerScope(checkpoint)
-    w.foreachBatch(mergePartitionedBatch(path, keyCol, partCol, orderCol, scope) _)
-      .start()
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mergePartitionedBatch(path, keyCol, partCol, orderCol, scope)(
+        batch, batchId): Unit
+    }.start()
   }
 }
