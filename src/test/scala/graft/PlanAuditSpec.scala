@@ -39,7 +39,17 @@ class PlanAuditSpec extends GraftSuite {
       // q_epoch_shuffle: the EPOCHS-row (2-row) epoch table broadcast
       // against the corpus — the model-as-literal cross join; every
       // downstream op is hash-partitioned on (epoch, shard)
-      "q_epoch_shuffle")
+      "q_epoch_shuffle",
+      // q_nb_classify (F31): the |sources|-row priors/denominators
+      // frame broadcast against the holdout token stream — the
+      // model-as-literal join; the likelihood join is equi on
+      // (class, token)
+      "q_nb_classify",
+      // q_embed_decontam (E14): the eval-sized benchmark set broadcast
+      // against the corpus — for a one-shot decontam sweep the
+      // broadcast scan IS the intended scale plan (see the operator
+      // doc; E2/E4 are the repeated-query path)
+      "q_embed_decontam")
   // building these DataFrames runs a streaming query — audited by
   // StreamingSpec instead.
   private val skip = Set("q_stream_tumble", "q_stream_join")
