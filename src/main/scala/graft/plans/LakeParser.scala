@@ -45,6 +45,7 @@ import graft.sources.Snapshots
   *   GRAFT DROP BRANCH <name> '<path>'
   *   GRAFT DESCRIBE HISTORY '<path>'
   *   GRAFT DESCRIBE DETAIL '<path>'
+  *   GRAFT CHECKPOINT '<path>'         -- materialize head as full
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -117,6 +118,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s => { graft.sources.Refs.createBranch(s, p, n); 0L })
       case DropBranch(n, p) => LakeMaintenanceCommand("version",
         _ => { graft.sources.Refs.dropBranch(p, n); 0L })
+      case Checkpoint(p) => LakeMaintenanceCommand("materialized",
+        _ => if (Snapshots.checkpoint(p)) 1L else 0L)
       case Detail(p) => LakeDetailCommand(p)
       case History(p) => LakeHistoryCommand(p)
       // a GRAFT-prefixed statement that matches no rule must FAIL as
@@ -199,6 +202,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
   private val Detail =
     """(?is)\s*GRAFT\s+DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
+  private val Checkpoint =
+    """(?is)\s*GRAFT\s+CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
 
   /** Split a SET clause on TOP-LEVEL commas only — `f(a, b)` in an
     * assignment expression must not split (paren depth + string

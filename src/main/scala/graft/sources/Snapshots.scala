@@ -2440,6 +2440,21 @@ object Snapshots {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Force-materialize version `v` (default: head) as a FULL manifest
+    * — the operator-facing control over the delta-log read chain: a
+    * read of a delta version resolves ≤ CheckpointEvery manifests,
+    * and a latency-sensitive serving table can pin that to ONE
+    * whenever it likes (content-equivalent, in place, no new
+    * version). Returns true if a delta was materialized, false if the
+    * manifest was already full. */
+  def checkpoint(path: String, v: Int = -1): Boolean = {
+    val at = if (v < 0) currentVersion(path) else v
+    require(hasVersion(path, at), s"no version $at at $path")
+    val wasDelta = isDeltaManifest(path, at)
+    if (wasDelta) materializeManifest(path, at)
+    wasDelta
+  }
+
   def vacuum(path: String, keepFrom: Int): Int = {
     val (dropped, orphans, manifests) = vacuumPlan(path, keepFrom)
     // delta-log invariant: every RETAINED version must resolve from

@@ -233,6 +233,12 @@ class LakeSqlSpec extends GraftSuite {
       assert(det.getLong(3) == 200L)                          // num_rows
       assert(det.getString(5) == "k")                         // bloom_cols
       assert(det.getString(7) == "enabled")                   // cdf
+
+      // CHECKPOINT: the head metadata commit is delta-encoded;
+      // materialize it via SQL, idempotently
+      assert(s.sql(s"GRAFT CHECKPOINT '$dir'").head().getLong(0) == 1L)
+      assert(s.sql(s"GRAFT CHECKPOINT '$dir'").head().getLong(0) == 0L)
+      assert(Snapshots.rowCount(s, dir).contains(200L))
     }
   }
 

@@ -1600,6 +1600,16 @@ class SnapshotsSpec extends GraftSuite {
     // TIMESTAMP AS OF resolves through resolved ts lines (one per version)
     val t9 = Snapshots.commitTime(dir, 9).get
     assert(Snapshots.versionAsOfTime(dir, t9) == 9)
+    // explicit CHECKPOINT: the head delta materializes in place —
+    // content identical, chain length one, idempotent
+    val headBefore = Snapshots.read(spark, dir, 14).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(Snapshots.isDeltaManifest(dir, 14))
+    assert(Snapshots.checkpoint(dir))
+    assert(!Snapshots.isDeltaManifest(dir, 14))
+    assert(!Snapshots.checkpoint(dir)) // already full
+    assert(Snapshots.read(spark, dir, 14).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq == headBefore)
   }
 
   test("vacuum materializes retained deltas whose base is dropped") {
