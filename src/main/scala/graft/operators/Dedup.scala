@@ -1656,7 +1656,47 @@ object Dedup {
       |   FROM kept k WHERE k.doc_id = s.doc_id) AS cleaned
       |FROM segs s GROUP BY s.doc_id""".stripMargin
 
+  // D22 — CROSS-SOURCE duplication matrix (dedup OBSERVABILITY — the
+  // "who copies from whom" report a corpus curator reads before
+  // deciding per-source dedup policy): every verified near-dup pair
+  // (the D2 machinery unchanged) joins back to its two docs' sources,
+  // aggregated into an UNDIRECTED source×source matrix
+  // (least/greatest normalization) of pair counts and mean verified
+  // Jaccard. On-diagonal cells = within-source duplication (template
+  // reuse); off-diagonal = cross-source copying (syndication,
+  // scraping) — the two need different cleaning policies, which is
+  // why the split matters. Cost beyond D2: two doc-keyed hash joins
+  // on the pair stream and a |sources|²-bounded aggregate.
+  def qDupMatrix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val src = docs.select(col("doc_id"), col("source"))
+    jaccardPairs(docs, 0.5)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("src_1"),
+        greatest(col("sa"), col("sb")).as("src_2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("jaccard"), 4).as("avg_jaccard"))
+  }
+
+  val qDupMatrixSql: String =
+    shinglesCte + jaccardPairsCte +
+      """
+        |, pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jaccard
+        |  FROM p JOIN c ca ON doc_a = ca.doc_id JOIN c cb ON doc_b = cb.doc_id
+        |  WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.5)
+        |SELECT least(da.source, db.source) AS src_1,
+        |  greatest(da.source, db.source) AS src_2,
+        |  count(*) AS n_pairs, round(avg(jaccard), 4) AS avg_jaccard
+        |FROM pairs
+        |JOIN documents da ON pairs.doc_a = da.doc_id
+        |JOIN documents db ON pairs.doc_b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_matrix" -> ((s, d) => qDupMatrix(s, d)),
     "q_para_dedup" -> qParaDedup,
     "q_dedup_cc" -> ((s, d) => qDedupCc(s, d)),
     "q_dedup_pipeline" -> ((s, d) => qDedupPipeline(s, d)),
@@ -1678,6 +1718,7 @@ object Dedup {
     "q_semdedup" -> ((s, d) => qSemdedup(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_dup_matrix" -> qDupMatrixSql,
     "q_para_dedup" -> qParaDedupSql,
     "q_dedup_cc" -> qDedupCcSql,
     "q_dedup_pipeline" -> qDedupPipelineSql,
