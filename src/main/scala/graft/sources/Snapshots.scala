@@ -1043,6 +1043,14 @@ object Snapshots {
       bloomColsOverride: Option[Seq[(String, Int)]] = None,
       bloomExtra: Seq[String] = Seq.empty): Boolean = {
     Files.createDirectories(logDir(path))
+    // any v0 commit is a table BIRTH (init, clone bootstrap, branch
+    // re-creation after dropBranch): purge the path's cached
+    // resolutions so a rebirth colliding with a deleted table's
+    // (size, mtime tick) can never serve the old table's lines
+    if (v == 0) {
+      val root = logDir(path).toAbsolutePath.toString + java.io.File.separator
+      manifestCache.keySet.removeIf(_._1.startsWith(root))
+    }
     val target = manifestPath(path, v)
     if (Files.exists(target)) return false
     val tmp = Files.createTempFile(logDir(path), "commit", ".tmp")
@@ -1178,12 +1186,8 @@ object Snapshots {
   def init(spark: SparkSession, path: String,
       changeDataFeed: Boolean = false): Int = {
     require(currentVersion(path) < 0, s"$path already versioned")
-    // a table re-initialized where one was deleted could collide with
-    // cached resolutions if the new manifest matches the old one's
-    // (size, mtime tick) — init is the only legitimate same-path
-    // rebirth, so purge the path's entries here
-    val root = logDir(path).toAbsolutePath.toString + java.io.File.separator
-    manifestCache.keySet.removeIf(_._1.startsWith(root))
+    // same-path rebirth cache purge happens in commitAt's v0 path
+    // (covers init, clone bootstrap, AND branch re-creation)
     val files = listDir(Paths.get(path))
       .map(_.toString).filter(_.endsWith(".parquet"))
     val schema =
