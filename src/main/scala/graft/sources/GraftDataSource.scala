@@ -284,7 +284,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
   // ---- streaming read ---------------------------------------------
 
   private def streamSchema(spark: SparkSession, path: String,
-      keyCol: String): StructType = {
+      keyCol: String, cdf: Boolean = false): StructType = {
     val head = Snapshots.currentVersion(path)
     require(head >= 0, s"graft: $path is not a versioned table (no _graft_log)")
     val s = Snapshots.tableSchema(path, head).getOrElse(
@@ -294,10 +294,13 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     require(!Snapshots.hasMapping(s),
       s"graft: $path uses column mapping; stream via Snapshots.readChangesStream")
     // the feed contract's column order: key, change_type, payload —
-    // plus the delivering version (Delta CDF's _commit_version)
+    // plus the delivering version (Delta CDF's _commit_version). In
+    // readChangeFeed mode the tag column is Delta's `_change_type`
+    // (4-way: insert/update_preimage/update_postimage/delete).
     StructType(
       s.fields.filter(_.name == keyCol) ++
-        Seq(org.apache.spark.sql.types.StructField("change_type",
+        Seq(org.apache.spark.sql.types.StructField(
+          if (cdf) "_change_type" else "change_type",
           org.apache.spark.sql.types.StringType, nullable = false)) ++
         s.fields.filterNot(_.name == keyCol) :+
         org.apache.spark.sql.types.StructField("_commit_version",
@@ -311,20 +314,32 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       throw new IllegalArgumentException(
         "graft: streaming read needs .option(\"keyCol\", <column>)"))
     (shortName(),
-      streamSchema(sqlContext.sparkSession, pathOf(parameters), keyCol))
+      streamSchema(sqlContext.sparkSession, pathOf(parameters), keyCol,
+        cdfOpt(parameters)))
   }
+
+  /** `readChangeFeed` (r9, the Delta CDF option): stream typed
+    * `_change_type` rows — insert / update_preimage / update_postimage
+    * / delete, pre-images carrying the OLD payload — instead of the
+    * post-image-only `change_type` feed. Served from A31 stored change
+    * rows per commit, falling back to the manifest diff exactly as
+    * [[Snapshots.changesBetween]]. */
+  private def cdfOpt(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val path = pathOf(parameters)
     val keyCol = parameters("keyCol")
+    val cdf = cdfOpt(parameters)
     new GraftChangeSource(sqlContext.sparkSession, path, keyCol,
-      streamSchema(sqlContext.sparkSession, path, keyCol),
+      streamSchema(sqlContext.sparkSession, path, keyCol, cdf),
       parameters.get("startingVersion").map(_.toInt),
       parameters.get("snapshotFilesPerTrigger").map(_.toInt),
       Some(metadataPath),
-      parameters.get("maxVersionsPerTrigger").map(_.toInt))
+      parameters.get("maxVersionsPerTrigger").map(_.toInt),
+      cdfStyle = cdf)
   }
 
   // ---- streaming write --------------------------------------------
@@ -942,7 +957,8 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
     startingVersion: Option[Int] = None,
     snapshotFilesPerTrigger: Option[Int] = None,
     metadataPath: Option[String] = None,
-    maxVersionsPerTrigger: Option[Int] = None) extends Source {
+    maxVersionsPerTrigger: Option[Int] = None,
+    cdfStyle: Boolean = false) extends Source {
 
   startingVersion.foreach { sv =>
     require(Snapshots.hasVersion(path, sv),
@@ -1082,13 +1098,15 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
     val earliest = Snapshots.earliestVersion(path)
     val payloadSchema = schema // captured for the empty frame
     def changesAt(v: Int): DataFrame = ordered(
-      Snapshots.changesWithPayload(spark, path, v - 1, v, keyCol)
+      (if (cdfStyle) Snapshots.changesCdf(spark, path, v - 1, v, keyCol)
+       else Snapshots.changesWithPayload(spark, path, v - 1, v, keyCol))
         .withColumn("_commit_version", lit(v)))
     /** snapshot files [from, until) of version `e` as tagged inserts. */
     def snapSlice(e: Int, from: Int, until: Int): DataFrame = {
       val fs = snapFiles(e).slice(from, until)
       ordered(Snapshots.readLive(spark, path, e, fs)
-        .withColumn("change_type", lit("insert"))
+        .withColumn(if (cdfStyle) "_change_type" else "change_type",
+          lit("insert"))
         .withColumn("_commit_version", lit(e)))
     }
     val startOff = start.map(o => parseOff(o.json))

@@ -834,6 +834,55 @@ object LakehouseQueries {
       |SELECT -o_orderkey, 'insert', o_orderstatus, o_totalprice, 2
       |FROM base WHERE o_orderkey % 21 = 0""".stripMargin
 
+  /** A23×A31 (r9) — the STREAMING CDF read (Delta's
+    * `readChangeFeed`): the same engine-driven drain as
+    * q_lake_stream_source, but in typed `_change_type` form — updates
+    * deliver BOTH images (update_preimage with the old payload,
+    * update_postimage with the new) and deletes carry their pre-image,
+    * the contract a CDC consumer applies directly. v2's update rows
+    * are served from A31 stored change rows (the staged table records
+    * pre-images from this round on); the oracle reconstructs the full
+    * 4-way delivery log from the raw table, so a wrong pre-image, a
+    * lost companion row, or a batch-boundary slip all break the hash.
+    */
+  def qLakeCdfStream(s: SparkSession, d: String): DataFrame = {
+    val dir = stageHistory(s, d, cdf = true)
+    val ckpt = tempDir("graft_cdf_ckpt")
+    val spool = tempDir("graft_cdf_spool")
+    val q = s.readStream.format("graft")
+      .option("keyCol", "o_orderkey")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(spool); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(spool)
+  }
+
+  val qLakeCdfStreamSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey > 0)
+      |SELECT o_orderkey, 'insert' AS _change_type, o_orderstatus,
+      |  o_totalprice, 0 AS _commit_version
+      |FROM base
+      |UNION ALL
+      |SELECT o_orderkey, 'delete', o_orderstatus, o_totalprice, 1
+      |FROM base WHERE o_orderkey % 9 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 'update_preimage', o_orderstatus,
+      |  o_totalprice, 2
+      |FROM base WHERE o_orderkey % 15 = 0 AND o_orderkey % 9 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, 'update_postimage', o_orderstatus,
+      |  o_totalprice + 5000.0, 2
+      |FROM base WHERE o_orderkey % 15 = 0 AND o_orderkey % 9 <> 0
+      |UNION ALL
+      |SELECT -o_orderkey, 'insert', o_orderstatus, o_totalprice, 2
+      |FROM base WHERE o_orderkey % 21 = 0""".stripMargin
+
   /** A37 — tags + write-audit-publish end-to-end: pin v0 under a tag,
     * cut a branch, stage a merge wave (updates keys ≡ 0 mod 13,
     * inserts negated keys ≡ 0 mod 19) and a delete (keys ≡ 0 mod 17)
@@ -1097,7 +1146,8 @@ object LakehouseQueries {
     "q_lake_bloom" -> (qLakeBloom(_, _)),
     "q_lake_catalog" -> (qLakeCatalog(_, _)),
     "q_lake_sql_dml" -> (qLakeSqlDml(_, _)),
-    "q_lake_compat" -> (qLakeCompat(_, _)))
+    "q_lake_compat" -> (qLakeCompat(_, _)),
+    "q_lake_cdf_stream" -> (qLakeCdfStream(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_deltalog" -> qLakeDeltaLogSql,
@@ -1125,5 +1175,6 @@ object LakehouseQueries {
     "q_lake_bloom" -> qLakeBloomSql,
     "q_lake_catalog" -> qLakeCatalogSql,
     "q_lake_sql_dml" -> qLakeSqlDmlSql,
-    "q_lake_compat" -> qLakeCompatSql)
+    "q_lake_compat" -> qLakeCompatSql,
+    "q_lake_cdf_stream" -> qLakeCdfStreamSql)
 }

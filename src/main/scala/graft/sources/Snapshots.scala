@@ -1397,15 +1397,24 @@ object Snapshots {
         struct(cdfPayload.map(col): _*).as("__post"))
       val cdfPre = cdfNorm(oldTouched).select(col(keyCol).as("__k"),
         struct(cdfPayload.map(col): _*).as("__pre"))
+      val changed = cdfPost.join(cdfPre, Seq("__k"), "left_outer")
+        .withColumn("change_type",
+          when(col("__pre").isNull, lit("insert"))
+            .when(!(col("__pre") <=> col("__post")), lit("update"))
+            .otherwise(lit(null)))
+        .filter(col("change_type").isNotNull)
+      // update PRE-IMAGES ride along as 'update_preimage' companion
+      // rows (the Delta CDF contract needs them, and only THIS point
+      // has them in hand — post-commit the pre rows live in retired
+      // files a feed would have to re-read). Post-image-only readers
+      // filter them out; cost stays ∝ the commit's change set.
       Some(stageCdf(path, v,
-        cdfPost.join(cdfPre, Seq("__k"), "left_outer")
-          .withColumn("change_type",
-            when(col("__pre").isNull, lit("insert"))
-              .when(!(col("__pre") <=> col("__post")), lit("update"))
-              .otherwise(lit(null)))
-          .filter(col("change_type").isNotNull)
-          .select(col("__k").as(keyCol) +: col("change_type") +:
-            cdfPayload.map(c => col(s"__post.`$c`").as(c)): _*)))
+        changed.select(col("__k").as(keyCol) +: col("change_type") +:
+            cdfPayload.map(c => col(s"__post.`$c`").as(c)): _*)
+          .unionByName(changed.filter(col("change_type") === "update")
+            .select(col("__k").as(keyCol) +:
+              lit("update_preimage").as("change_type") +:
+              cdfPayload.map(c => col(s"__pre.`$c`").as(c)): _*))))
     }
 
     val stage = Files.createTempDirectory("graft_snap").toString
@@ -1679,10 +1688,15 @@ object Snapshots {
         val pairs = pre.select(
           struct(allCols.map(c => col(s"`$c`")): _*).as("__pre"),
           struct(newExprs: _*).as("__post"))
-        Some(stageCdf(path, v, pairs
           .filter(!(col("__pre") <=> col("__post")))
+        // post-image 'update' rows + 'update_preimage' companions —
+        // same stored-CDF contract as the merge path (Delta CDF form)
+        Some(stageCdf(path, v, pairs
           .select(allCols.map(c => col(s"__post.`$c`").as(c)): _*)
-          .withColumn("change_type", lit("update"))))
+          .withColumn("change_type", lit("update"))
+          .unionByName(pairs
+            .select(allCols.map(c => col(s"__pre.`$c`").as(c)): _*)
+            .withColumn("change_type", lit("update_preimage")))))
       }
     val stage = Files.createTempDirectory("graft_snap_upd").toString
     stagedAsPhysical(rewritten, schemaNow)
@@ -2245,6 +2259,37 @@ object Snapshots {
       payload.map(c => col(s"__post.$c").as(c)): _*)
   }
 
+  /** A20/A23 (r9) — the change feed in Delta CDF row form: one row per
+    * change tagged `_change_type` ∈ insert / update_preimage /
+    * update_postimage / delete. Deletes and update pre-images carry
+    * the OLD payload; inserts and update post-images the new — the
+    * shape a downstream CDC consumer (audit log, slowly-changing
+    * mirror) applies directly. Single-step windows serve from A31
+    * stored change rows when the commit recorded update pre-images
+    * (r9+ writers); legacy commits and multi-version windows fall back
+    * to the manifest diff, whose full-outer compare has both images by
+    * construction. Cost keeps the changed-data-only bound of
+    * [[changesBetween]] either way.
+    */
+  def changesCdf(spark: SparkSession, path: String, fromV: Int, toV: Int,
+      keyCol: String): DataFrame = {
+    val cf = changeFrame(spark, path, fromV, toV, keyCol, needUpdatePre = true)
+    val payload = cf.schema("__post").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toIndexedSeq
+    def img(src: String, tag: String,
+        pred: org.apache.spark.sql.Column): DataFrame =
+      cf.filter(pred).select(col("__k").as(keyCol) +:
+        lit(tag).as("_change_type") +:
+        payload.map(c => col(s"$src.`$c`").as(c)): _*)
+    img("__post", "insert", col("change_type") === "insert")
+      .unionByName(img("__pre", "delete", col("change_type") === "delete"))
+      .unionByName(
+        img("__pre", "update_preimage", col("change_type") === "update"))
+      .unionByName(
+        img("__post", "update_postimage", col("change_type") === "update"))
+  }
+
   /** Rows of the SHARED files whose positions appear in `diffDvs` (the
     * DV files one feed endpoint has and the other doesn't): the
     * merge-on-read rows that changed liveness without any file
@@ -2273,7 +2318,7 @@ object Snapshots {
     * stored files don't carry the expected columns.
     */
   private def cdfFrame(spark: SparkSession, path: String, v: Int,
-      keyCol: String): Option[DataFrame] = {
+      keyCol: String, needUpdatePre: Boolean = false): Option[DataFrame] = {
     import org.apache.spark.sql.types.{StructType, StructField, StringType}
     val s = tableSchema(path, v).getOrElse(return None)
     if (!s.fieldNames.contains(keyCol)) return None
@@ -2290,20 +2335,40 @@ object Snapshots {
     val rows = spark.read.parquet(fs: _*)
     if (!rows.columns.contains(keyCol) || !rows.columns.contains("change_type") ||
         !payload.forall(rows.columns.contains)) return None
-    // deletes store the pre-image; the feed contract nulls their payload
-    Some(rows.select(col(s"`$keyCol`").as("__k"), col("change_type"),
-      lit(null).cast(payloadType).as("__pre"),
-      when(col("change_type") === "delete", lit(null).cast(payloadType))
-        .otherwise(struct(payload.map(c => col(s"`$c`")): _*)).as("__post")))
+    // stored rows: post-image for inserts/updates, pre-image for
+    // deletes, plus (r9+) 'update_preimage' companion rows. __pre is
+    // reconstructed from the companions (updates) or the stored
+    // payload itself (deletes); the __post contract is unchanged
+    // (nulled for deletes).
+    val pres = rows.filter(col("change_type") === "update_preimage")
+      .select(col(s"`$keyCol`").as("__pk"),
+        struct(payload.map(c => col(s"`$c`")): _*).as("__upre"))
+    if (needUpdatePre) {
+      // legacy commits (pre-r9) stored no update pre-images: a CDF-
+      // style consumer falls back to the manifest diff for them
+      val hasUpd = !rows.filter(col("change_type") === "update").isEmpty
+      if (hasUpd && pres.isEmpty) return None
+    }
+    val baseRows = rows.filter(col("change_type") =!= "update_preimage")
+      .select(col(s"`$keyCol`").as("__k"), col("change_type"),
+        when(col("change_type") === "delete",
+          struct(payload.map(c => col(s"`$c`")): _*)).cast(payloadType)
+          .as("__dpre"),
+        when(col("change_type") === "delete", lit(null).cast(payloadType))
+          .otherwise(struct(payload.map(c => col(s"`$c`")): _*)).as("__post"))
+    Some(baseRows.join(pres, baseRows("__k") === pres("__pk"), "left_outer")
+      .select(col("__k"), col("change_type"),
+        coalesce(col("__upre"), col("__dpre")).cast(payloadType).as("__pre"),
+        col("__post")))
   }
 
   private def changeFrame(spark: SparkSession, path: String, fromV: Int, toV: Int,
-      keyCol: String): DataFrame = {
+      keyCol: String, needUpdatePre: Boolean = false): DataFrame = {
     require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
     // single-step window over a change-recording commit: the stored
     // rows ARE the answer (the incremental consumer's every batch)
     if (toV == fromV + 1 && cdfRecorded(path, toV))
-      cdfFrame(spark, path, toV, keyCol) match {
+      cdfFrame(spark, path, toV, keyCol, needUpdatePre) match {
         case Some(f) => return f
         case None    => () // fall through to the manifest diff
       }

@@ -517,6 +517,90 @@ class ConnectorSpec extends GraftSuite {
     } finally q3.stop()
   }
 
+  test("readChangeFeed streaming: 4-way _change_type, pre-images, checkpoint resume") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir, changeDataFeed = true) // v0
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((5L, "UP5", 1L), (200L, "NEW", 1L)).toDF("k", "payload", "gen"),
+      "k") // v1: one update (with stored pre-image), one insert
+    Snapshots.deleteVersioned(spark, dir, col("k") === 9L) // v2
+
+    val ckpt = Files.createTempDirectory("graft_cdf_ckpt").toString
+    def startQuery(buf: scala.collection.mutable.ArrayBuffer[(Long, String, String, Int)]) =
+      spark.readStream.format("graft").option("keyCol", "k")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.collect().map(r =>
+              (r.getLong(0), r.getString(1), r.getString(2), r.getInt(4)))
+          }; ()
+        }
+        .option("checkpointLocation", ckpt).start()
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Int)]
+    val q = startQuery(got)
+    try {
+      q.processAllAvailable()
+      // snapshot: 100 inserts at v0 under the CDF column name
+      assert(got.count(t => t._4 == 0 && t._2 == "insert") == 100)
+      // v1: BOTH update images (pre carries the old payload, served
+      // from the A31 stored pre-image rows) plus the plain insert
+      assert(got.filter(_._4 == 1).sorted.toSeq == Seq(
+        (5L, "update_postimage", "UP5", 1),
+        (5L, "update_preimage", "v5", 1),
+        (200L, "insert", "NEW", 1)).sorted)
+      // v2: the delete carries its PRE-IMAGE payload (not null)
+      assert(got.filter(_._4 == 2).toSeq == Seq((9L, "delete", "v9", 2)))
+      assert(got.size == 104)
+    } finally q.stop()
+
+    // restart against the SAME checkpoint: only the new commit's rows
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((7L, "UP7", 2L)).toDF("k", "payload", "gen"), "k") // v3
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Int)]
+    val q2 = startQuery(got2)
+    try {
+      q2.processAllAvailable()
+      assert(got2.sorted.toSeq == Seq(
+        (7L, "update_postimage", "UP7", 3),
+        (7L, "update_preimage", "v7", 3)).sorted)
+    } finally q2.stop()
+  }
+
+  test("changesCdf: stored-change fast path matches the manifest-diff path") {
+    import spark.implicits._
+    // two tables, identical history; only `a` records change data —
+    // so a's single-step feed serves from stored rows and b's from the
+    // manifest diff. The CDF row sets must be identical.
+    def build(cdf: Boolean): String = {
+      val dir = freshTable()
+      Snapshots.init(spark, dir, changeDataFeed = cdf)
+      Snapshots.mergeVersioned(spark, dir,
+        Seq((5L, "UP5", 1L), (200L, "NEW", 1L)).toDF("k", "payload", "gen"), "k")
+      Snapshots.deleteVersioned(spark, dir, col("k") % 10 === 0)
+      dir
+    }
+    val a = build(cdf = true)
+    val b = build(cdf = false)
+    for (v <- 1 to 2) {
+      val fast = Snapshots.changesCdf(spark, a, v - 1, v, "k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).sorted.toSeq
+      val diff = Snapshots.changesCdf(spark, b, v - 1, v, "k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).sorted.toSeq
+      assert(fast == diff, s"window ($v-1,$v]")
+      assert(fast.nonEmpty)
+    }
+    // the multi-version window (always manifest diff) nets out the
+    // intermediate images: one update pair per SURVIVING change
+    val whole = Snapshots.changesCdf(spark, a, 0, 2, "k")
+    assert(whole.filter(col("_change_type") === "update_preimage").count() ==
+      whole.filter(col("_change_type") === "update_postimage").count())
+  }
+
   test("snapshotFilesPerTrigger chunks the initial snapshot; mid-snapshot resume exact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_conn_chunk").toString + "/t"
