@@ -1006,6 +1006,46 @@ object LakehouseQueries {
     * numFiles factor) — aggregated per status. The oracle reproduces
     * the state from the raw table.
     */
+  /** A26×A43 (r9) — a catalog-named PARTITIONED table: `CREATE TABLE …
+    * USING graft OPTIONS (partitionCol …)` over a per-partition-log
+    * root, a keyed merge into ONE partition through the library (only
+    * that partition's log commits — CatalogSpec pins the version
+    * stability of the untouched ones), then SQL by NAME with a
+    * partition predicate, which prunes at the DIRECTORY level through
+    * the catalog-resolved relation exactly as the path form does
+    * (numFiles pinned in CatalogSpec). The oracle reconstructs the
+    * merged state from the raw table.
+    */
+  def qLakeCatalogPart(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dir = tempDir("graft_lake_catp") + "/t"
+    PartitionedSnapshots.init(s, dir, b, "o_orderstatus")
+    s.sql("DROP TABLE IF EXISTS graft_cat_part_q")
+    s.sql(s"CREATE TABLE graft_cat_part_q USING graft " +
+      s"OPTIONS (path '$dir', partitionCol 'o_orderstatus', keyCol 'o_orderkey')")
+    // merge into the F partition only: bump its price for keys ≡ 0
+    // mod 11; O and P logs stay at v0
+    PartitionedSnapshots.mergePartitioned(s, dir,
+      b.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 777.0).as("o_totalprice"),
+          col("o_orderstatus")),
+      "o_orderkey", "o_orderstatus")
+    s.catalog.refreshTable("graft_cat_part_q")
+    s.sql("""SELECT o_orderstatus AS status, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS total
+            |FROM graft_cat_part_q WHERE o_orderstatus IN ('F', 'O')
+            |GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  val qLakeCatalogPartSql: String =
+    """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(CASE WHEN o_orderstatus = 'F' AND o_orderkey % 11 = 0
+      |                 THEN o_totalprice + 777.0
+      |                 ELSE o_totalprice END), 2) AS total
+      |FROM orders WHERE o_orderstatus IN ('F', 'O')
+      |GROUP BY o_orderstatus""".stripMargin
+
   def qLakePartSource(s: SparkSession, d: String): DataFrame = {
     val b = base(s, d)
     val dir = tempDir("graft_lake_psrc") + "/t"
@@ -1147,7 +1187,8 @@ object LakehouseQueries {
     "q_lake_catalog" -> (qLakeCatalog(_, _)),
     "q_lake_sql_dml" -> (qLakeSqlDml(_, _)),
     "q_lake_compat" -> (qLakeCompat(_, _)),
-    "q_lake_cdf_stream" -> (qLakeCdfStream(_, _)))
+    "q_lake_cdf_stream" -> (qLakeCdfStream(_, _)),
+    "q_lake_catalog_part" -> (qLakeCatalogPart(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_lake_deltalog" -> qLakeDeltaLogSql,
@@ -1176,5 +1217,6 @@ object LakehouseQueries {
     "q_lake_catalog" -> qLakeCatalogSql,
     "q_lake_sql_dml" -> qLakeSqlDmlSql,
     "q_lake_compat" -> qLakeCompatSql,
-    "q_lake_cdf_stream" -> qLakeCdfStreamSql)
+    "q_lake_cdf_stream" -> qLakeCdfStreamSql,
+    "q_lake_catalog_part" -> qLakeCatalogPartSql)
 }

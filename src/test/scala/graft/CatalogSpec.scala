@@ -125,6 +125,54 @@ class CatalogSpec extends GraftSuite {
     } finally spark.sql("DROP TABLE IF EXISTS cat_bad")
   }
 
+  test("A26×A43: partitioned table by NAME — directory pruning, stats pruning, version stability") {
+    import spark.implicits._
+    import graft.sources.PartitionedSnapshots
+    val dir = Files.createTempDirectory("graft_cat_part").toString + "/t"
+    val df = (1L to 1000L).map(k => (k, if (k % 2 == 0) "E" else "O", k % 7))
+      .toDF("k", "st", "gen").repartitionByRange(4, col("k"))
+    PartitionedSnapshots.init(spark, dir, df, "st")
+    spark.sql("DROP TABLE IF EXISTS cat_part")
+    spark.sql(s"CREATE TABLE cat_part USING graft " +
+      s"OPTIONS (path '$dir', partitionCol 'st', keyCol 'k')")
+    try {
+      def scanned(q: org.apache.spark.sql.DataFrame): Long = {
+        q.collect()
+        q.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value }.sum
+      }
+      assert(spark.table("cat_part").count() == 1000)
+      // NAME-form partition pruning: a partition predicate reads only
+      // that partition's files — the same directory-level prune the
+      // path form gets, through the catalog-resolved relation
+      val allFiles = scanned(spark.table("cat_part"))
+      val oneSide = scanned(spark.table("cat_part").filter(col("st") === "E"))
+      assert(oneSide * 2 == allFiles,
+        s"name-form partition pruning: $oneSide of $allFiles")
+      // …then per-file manifest stats prune within the survivor
+      val narrow = scanned(spark.table("cat_part")
+        .filter(col("st") === "E" && col("k") <= 200L))
+      assert(narrow < oneSide, s"name-form stats pruning: $narrow vs $oneSide")
+      assert(spark.sql(
+        "SELECT count(*) FROM cat_part WHERE st = 'E' AND k <= 200")
+        .head().getLong(0) == 100)
+
+      // a merge into ONE partition: the other partition's log keeps
+      // its version (no cross-partition write amplification), and the
+      // name answers fresh after a refresh
+      val vO = Snapshots.currentVersion(PartitionedSnapshots.partitionDir(dir, "O"))
+      PartitionedSnapshots.mergePartitioned(spark, dir,
+        Seq((2L, "E", 99L)).toDF("k", "st", "gen"), "k", "st")
+      assert(Snapshots.currentVersion(
+        PartitionedSnapshots.partitionDir(dir, "O")) == vO,
+        "untouched partition must not version-bump")
+      spark.catalog.refreshTable("cat_part")
+      assert(spark.sql("SELECT gen FROM cat_part WHERE k = 2")
+        .head().getLong(0) == 99L)
+    } finally spark.sql("DROP TABLE IF EXISTS cat_part")
+  }
+
   test("INSERT INTO without the extensions fails loudly — never silent row loss") {
     val dir = freshDir()
     Snapshots.init(spark, dir)
