@@ -19,6 +19,74 @@ import graft.Tables
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** The pluggable decode seam (r9): G2/G3/G4 run their byte
+    * arithmetic over `decode(payload)` instead of the raw payload, so
+    * a REAL codec drops in without touching the Spark plumbing
+    * (schema, per-partition batching, feature shape all unchanged).
+    * Implementations must be Serializable — one instance ships to
+    * every executor; heavy state (JNI handles, ONNX sessions) belongs
+    * in `@transient lazy val`s, initialized once per executor JVM, not
+    * per row. `decode` returns None for undecodable payloads, which
+    * the operators drop (the corrupt-file row-level skip a 100 TB
+    * media crawl needs — one bad blob must not fail the stage).
+    */
+  trait MediaKernel extends Serializable {
+    /** Tag recorded in the output's `decoder` column. */
+    def name: String
+    /** Payload bytes → decoded sample stream (e.g. row-major 8-bit
+      * luma for images, PCM for audio), or None if undecodable. */
+    def decode(payload: Array[Byte]): Option[Array[Byte]]
+  }
+
+  /** The deterministic CI kernel: decode = identity, so features are
+    * byte arithmetic over the payload itself — exactly replayable by
+    * the DuckDB oracle (the container ships no media libraries). */
+  object IdentityKernel extends MediaKernel {
+    override def name: String = "stub-v1"
+    override def decode(payload: Array[Byte]): Option[Array[Byte]] =
+      Some(payload)
+  }
+
+  /** A REAL decoder behind the same seam: JDK-native `javax.imageio`
+    * (PNG/BMP/GIF/JPEG readers ship with the JRE — no external
+    * dependency). Decodes to row-major 8-bit luma via the integer
+    * ITU-R 601 weights (299/587/114, exact integer division — no
+    * float, so the luma bytes are bit-stable across JVMs). Proves the
+    * seam takes a production codec: ImageIoKernelSpec runs G2/G3
+    * arithmetic over real encoded images through this kernel.
+    */
+  class ImageIoKernel extends MediaKernel {
+    override def name: String = "imageio-v1"
+    // per-executor init demo: disk cache off before the first decode
+    @transient private lazy val ready: Boolean = {
+      javax.imageio.ImageIO.setUseCache(false); true
+    }
+    override def decode(payload: Array[Byte]): Option[Array[Byte]] = {
+      if (!ready || payload.isEmpty) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            out(y * w + x) = lum.toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    }
+  }
   case class MediaFeatures(
       doc_id: Long,
       n_bytes: Long,
@@ -79,14 +147,21 @@ object Multimodal {
 
   // G2 — per-partition batched decode: one "decoder init" per partition,
   // rows streamed through it. Narrow transformation — no shuffle; at
-  // 100 TB this scales with input splits.
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  // 100 TB this scales with input splits. The kernel is the pluggable
+  // seam: features are computed over kernel.decode(payload) (the luma
+  // plane for a real image codec; the payload itself for the CI stub);
+  // n_bytes stays the STORED payload size either way (the column a
+  // storage audit wants). Undecodable rows drop, never fail the stage.
+  def extractFeatures(media: Dataset[MediaRow],
+      kernel: MediaKernel = IdentityKernel): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real pipeline: init decoder/session HERE, once per partition
-      rows.map { r =>
-        val (mean, maxRun, hist) = decodeStub(r.payload)
-        MediaFeatures(r.doc_id, r.payload.length.toLong, mean, maxRun, hist, "stub-v1")
+      rows.flatMap { r =>
+        kernel.decode(r.payload).map { decoded =>
+          val (mean, maxRun, hist) = decodeStub(decoded)
+          MediaFeatures(r.doc_id, r.payload.length.toLong, mean, maxRun,
+            hist, kernel.name)
+        }
       }
     }
   }
@@ -153,16 +228,16 @@ object Multimodal {
     * uppercase hex string). Empty payloads produce no row, mirroring
     * the oracle's empty byte expansion.
     */
-  def resizeMedia(media: Dataset[MediaRow], k: Int = 4): Dataset[ResizedMedia] = {
+  def resizeMedia(media: Dataset[MediaRow], k: Int = 4,
+      kernel: MediaKernel = IdentityKernel): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        if (r.payload.isEmpty) None
-        else {
-          val dec = Array.range(0, r.payload.length, k).map(r.payload)
+        kernel.decode(r.payload).filter(_.nonEmpty).map { sample =>
+          val dec = Array.range(0, sample.length, k).map(sample)
           val mean = dec.map(_ & 0xff).map(_.toLong).sum.toDouble / dec.length
-          Some(ResizedMedia(r.doc_id, dec.length.toLong, mean,
-            md5Hex(hexUpper(dec))))
+          ResizedMedia(r.doc_id, dec.length.toLong, mean,
+            md5Hex(hexUpper(dec)))
         }
       }
     }
@@ -201,19 +276,21 @@ object Multimodal {
     * sample), as in the oracle.
     */
   def sampleFrames(media: Dataset[MediaRow], frameLen: Int = 64,
-      stride: Int = 2): Dataset[SampledFrames] = {
+      stride: Int = 2, kernel: MediaKernel = IdentityKernel): Dataset[SampledFrames] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val nFrames = r.payload.length / frameLen
-        if (nFrames == 0) None
-        else {
-          val keptFrames = (0 until nFrames).filter(_ % stride == 0)
-          val kept = keptFrames.toArray.flatMap(f =>
-            r.payload.slice(f * frameLen, (f + 1) * frameLen))
-          val mean = kept.map(_ & 0xff).map(_.toLong).sum.toDouble / kept.length
-          Some(SampledFrames(r.doc_id, nFrames.toLong, keptFrames.length.toLong,
-            mean, md5Hex(hexUpper(kept))))
+        kernel.decode(r.payload).flatMap { sample =>
+          val nFrames = sample.length / frameLen
+          if (nFrames == 0) None
+          else {
+            val keptFrames = (0 until nFrames).filter(_ % stride == 0)
+            val kept = keptFrames.toArray.flatMap(f =>
+              sample.slice(f * frameLen, (f + 1) * frameLen))
+            val mean = kept.map(_ & 0xff).map(_.toLong).sum.toDouble / kept.length
+            Some(SampledFrames(r.doc_id, nFrames.toLong, keptFrames.length.toLong,
+              mean, md5Hex(hexUpper(kept))))
+          }
         }
       }
     }

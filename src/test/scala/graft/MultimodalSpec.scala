@@ -52,6 +52,65 @@ class MultimodalSpec extends GraftSuite {
     assert(rows.head.mean_byte == 7.0)
   }
 
+  test("ImageIoKernel: G2/G3 over REAL encoded images through the pluggable seam") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // encode real PNG and BMP images via the JDK codec itself
+    def encode(fmt: String, w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val gray128Png = encode("png", 8, 4, (_, _) => 0x808080)    // uniform luma 128
+    val gradientBmp = encode("bmp", 16, 1, (x, _) => {
+      val v = x * 16; (v << 16) | (v << 8) | v                   // luma = x*16
+    })
+    val media = Seq(
+      Multimodal.MediaRow(1L, gray128Png),
+      Multimodal.MediaRow(2L, gradientBmp),
+      Multimodal.MediaRow(3L, Array.fill[Byte](64)(42))          // NOT an image
+    ).toDS()
+
+    val kernel = new Multimodal.ImageIoKernel()
+    val feats = Multimodal.extractFeatures(media, kernel)
+      .collect().map(f => f.doc_id -> f).toMap
+    // the undecodable payload DROPS (row-level skip), never fails
+    assert(feats.keySet == Set(1L, 2L))
+    val uni = feats(1L)
+    // uniform gray: every luma byte is 128 → mean 128, run = w*h
+    assert(uni.mean_byte == 128.0 && uni.max_run == 32L)
+    assert(uni.decoder == "imageio-v1")
+    assert(uni.n_bytes == gray128Png.length.toLong) // stored size, not decoded
+    val grad = feats(2L)
+    // luma = 0,16,…,240 → mean 120; all distinct → max_run 1
+    assert(grad.mean_byte == 120.0 && grad.max_run == 1L)
+
+    // G3 through the same kernel: decimate the LUMA plane, not the
+    // encoded bytes — gradient row keeps x = 0,4,8,12 → 0,64,128,192
+    val rz = Multimodal.resizeMedia(media, k = 4, kernel = kernel)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(rz.keySet == Set(1L, 2L))
+    assert(rz(2L).n_resized == 4L && rz(2L).mean_byte == 96.0)
+
+    // G4: the gray image's 32 luma bytes < one 64-byte frame → no row;
+    // a wider image yields complete frames
+    val widePng = Multimodal.MediaRow(4L, encode("png", 64, 3, (_, _) => 0x404040))
+    val fr = Multimodal.sampleFrames(Seq(widePng).toDS(), kernel = kernel).collect()
+    assert(fr.length == 1 && fr.head.n_frames == 3L && fr.head.n_sampled == 2L)
+    assert(fr.head.mean_byte == 64.0)
+
+    // determinism: the integer luma path is bit-stable across runs
+    val again = Multimodal.extractFeatures(media, kernel).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(again(2L).feat.sameElements(grad.feat))
+
+    // the CI stub is untouched by the seam: identity decode, same tag
+    val stub = Multimodal.extractFeatures(media).collect()
+    assert(stub.length == 3 && stub.forall(_.decoder == "stub-v1"))
+  }
+
   test("phash near-dup: banding complete for hamming<=3, sound up to 12") {
     import spark.implicits._
     // controlled corpus: doc 0 repeated with light/medium/heavy edits
