@@ -17,6 +17,44 @@ object TextAnalysis {
     */
   private[graft] val wordsExpr = raw"filter(split(text, '\\s+'), x -> x <> '')"
 
+  /** F32 (r9) — UNICODE-aware tokens: CJK ideographs segment as single
+    * characters (the standard heuristic absent a trained segmenter —
+    * what a whitespace split gets catastrophically wrong on CJK, where
+    * a whole sentence is one "token"), and every other letter/digit
+    * run is one token with punctuation stripped. Two engine-portable
+    * steps — isolate each Han character with spaces, then split on
+    * non-(letter|digit) — because Java regex and DuckDB's RE2 disagree
+    * on class-intersection syntax but agree on `\p{L}`/`\p{Nd}` and
+    * the Han script class. Whitespace tokenization (F1) stays the
+    * default for reference parity.
+    */
+  private[graft] val unicodeWordsExpr =
+    raw"filter(split(regexp_replace(text, '(\\p{IsHan})', ' $$1 '), " +
+      raw"'[^\\p{L}\\p{Nd}]+'), x -> x <> '')"
+
+  def qTokenStatsUnicode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"$unicodeWordsExpr AS w")
+      .selectExpr(
+        "doc_id",
+        "CAST(size(w) AS BIGINT) AS n_tokens",
+        "CAST(size(filter(w, x -> x rlike '^[A-Za-z]+$')) AS BIGINT) AS n_latin_tokens",
+        raw"CAST(size(filter(w, x -> x rlike '^\\p{IsHan}$$')) AS BIGINT) AS n_cjk_tokens",
+        "CAST(size(array_distinct(w)) AS BIGINT) AS n_distinct_tokens")
+
+  val qTokenStatsUnicodeSql: String =
+    raw"""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(
+      |    regexp_replace(text, '(\p{Han})', ' \1 ', 'g'),
+      |    '[^\p{L}\p{Nd}]+'), x -> x <> '') AS w
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(w) AS n_tokens,
+      |  len(list_filter(w, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_latin_tokens,
+      |  len(list_filter(w, x -> regexp_full_match(x, '\p{Han}'))) AS n_cjk_tokens,
+      |  len(list_distinct(w)) AS n_distinct_tokens
+      |FROM t""".stripMargin
+
   /** The F2 keep/drop rule over a token-array column `w` — ONE
     * definition shared by the batch pipeline and the streaming
     * pipeline so the two ingest paths cannot drift. */
@@ -698,6 +736,7 @@ object TextAnalysis {
     "q_entropy" -> qEntropy,
     "q_tfidf" -> qTfidf,
     "q_token_stats" -> qTokenStats,
+    "q_token_stats_unicode" -> qTokenStatsUnicode,
     "q_quality" -> qQuality,
     "q_langid" -> qLangid,
     "q_fingerprint" -> qFingerprint,
@@ -728,5 +767,6 @@ object TextAnalysis {
     "q_bigrams" -> qBigramsSql,
     "q_repetition" -> qRepetitionSql,
     "q_unigram_lm" -> qUnigramLmSql,
-    "q_bigram_lm" -> qBigramLmSql)
+    "q_bigram_lm" -> qBigramLmSql,
+    "q_token_stats_unicode" -> qTokenStatsUnicodeSql)
 }

@@ -14,6 +14,37 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("unicode tokenizer: CJK segments per character, punctuation strips, whitespace parity on ASCII") {
+    import spark.implicits._
+    def toks(text: String): Seq[String] =
+      Seq(text).toDF("text")
+        .selectExpr(s"${TextAnalysis.unicodeWordsExpr} AS w")
+        .head().getSeq[String](0)
+
+    // CJK: a whitespace split sees ONE degenerate token; the unicode
+    // tokenizer segments every ideograph — mixed scripts interleave
+    assert(toks("Spark引擎速度快") ==
+      Seq("Spark", "引", "擎", "速", "度", "快"))
+    assert(toks("机器学习") == Seq("机", "器", "学", "习"))
+    // punctuation and symbols strip; digits and accented letters keep
+    assert(toks("Hello, world! naïve café v2.0") ==
+      Seq("Hello", "world", "naïve", "café", "v2", "0"))
+    // pure-ASCII prose: same tokens as the whitespace split modulo
+    // attached punctuation
+    assert(toks("the quick brown fox") == Seq("the", "quick", "brown", "fox"))
+    assert(toks("") == Seq.empty)
+
+    // the oracled query shape: CJK docs count as cjk tokens
+    val df = Seq((1L, "深度学习模型 training data 123"),
+      (2L, "plain english only")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("unicode_probe")
+    val stats = df.selectExpr("doc_id", s"${TextAnalysis.unicodeWordsExpr} AS w")
+      .selectExpr("doc_id",
+        "CAST(size(filter(w, x -> x rlike '^\\\\p{IsHan}$')) AS BIGINT) AS n_cjk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats(1L) == 6L && stats(2L) == 0L)
+  }
+
   test("quality ratios live in [0,1] and means are positive") {
     TextAnalysis.qQuality(spark, sf).collect().foreach { r =>
       Seq("punct_ratio", "stopword_ratio", "unique_ratio").foreach { c =>
