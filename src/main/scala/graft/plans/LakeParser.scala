@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
-import graft.sources.Snapshots
+import graft.sources.{PartitionedSnapshots, Snapshots}
 
 /** SQL-text surface for the lakehouse maintenance operations (the
   * Delta-parity DDL a warehouse operator types, not codes): an
@@ -46,6 +46,7 @@ import graft.sources.Snapshots
   *   GRAFT DESCRIBE HISTORY '<path>'
   *   GRAFT DESCRIBE DETAIL '<path>'
   *   GRAFT CHECKPOINT '<path>'         -- materialize head as full
+  *   GRAFT ANALYZE '<path>'       -- r9: versioned NDV for the CBO
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -120,6 +121,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         _ => { graft.sources.Refs.dropBranch(p, n); 0L })
       case Checkpoint(p) => LakeMaintenanceCommand("materialized",
         _ => if (Snapshots.checkpoint(p)) 1L else 0L)
+      // ANALYZE: flat table → the version analyzed; a PARTITIONED root
+      // (no log of its own, part= subdirs each with one) → every
+      // partition analyzed, returns the partition count
+      case Analyze(p) => LakeMaintenanceCommand("analyzed", s => {
+        if (Snapshots.currentVersion(p) >= 0) Snapshots.analyzeTable(s, p).toLong
+        else {
+          val parts = PartitionedSnapshots.partitions(p)
+          require(parts.nonEmpty, s"$p is neither a graft table nor a partitioned root")
+          parts.foreach(v => Snapshots.analyzeTable(s,
+            PartitionedSnapshots.partitionDir(p, v)))
+          parts.size.toLong
+        }
+      })
       case Detail(p) => LakeDetailCommand(p)
       case History(p) => LakeHistoryCommand(p)
       // a GRAFT-prefixed statement that matches no rule must FAIL as
@@ -204,6 +218,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
   private val Checkpoint =
     """(?is)\s*GRAFT\s+CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
+  private val Analyze =
+    """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*;?\s*""".r
 
   /** Split a SET clause on TOP-LEVEL commas only — `f(a, b)` in an
     * assignment expression must not split (paren depth + string

@@ -424,6 +424,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // runs AFTER Spark's own DataSourceAnalysis and can re-route the
     // already-planned file-insert command
     ext.injectPostHocResolutionRule(_ => new GraftDmlRule)
+    // r9: manifest row counts + column ranges → CatalogStatistics on
+    // catalog-named graft relations, so CBO filter/join estimation
+    // fires by name (metadata-only; see sources/GraftStats.scala)
+    ext.injectPostHocResolutionRule(_ => new graft.sources.GraftStatsRule)
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

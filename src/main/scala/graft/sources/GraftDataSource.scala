@@ -643,6 +643,9 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
   /** The versioned table this index plans over (the A44 DML rules key
     * on it to recognize a graft relation inside a resolved plan). */
   private[graft] def tablePath: String = path
+  /** The pinned version (the r9 stats rule derives CBO statistics for
+    * exactly the version this relation will scan). */
+  private[graft] def tableVersion: Int = version
 
   private val live: Seq[String] = Snapshots.liveFiles(path, version)
   private val stats: Map[String, Map[String, (String, String, String)]] =

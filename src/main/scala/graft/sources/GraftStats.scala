@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** A33/A27 → COST-BASED OPTIMIZER (r9, the r8 verdict's item 5): the
+  * manifest already carries per-file row counts, per-column min/max
+  * ranges, and null counts — but a V1 `LogicalRelation` exposes only
+  * `sizeInBytes` unless its catalog entry carries
+  * `CatalogStatistics`. This rule fills that gap for CATALOG-NAMED
+  * graft tables (the by-name path where `catalogTable` exists to hang
+  * stats on): rowCount = Σ manifest file rows, column min/max = fold
+  * of the per-file ranges, nullCount = Σ per-file null counts — ALL
+  * metadata-only, zero data files opened, zero jobs run inside the
+  * rule (the property that keeps resolution cheap on a 100 TB table:
+  * the manifest stats are free because every commit already recorded
+  * them). The fourth statistic — NDV, which FilterEstimation REQUIRES
+  * before it will price even a range predicate, and which parquet
+  * footers don't carry — comes from an explicit `GRAFT ANALYZE` pass
+  * (one distributed scan, Iceberg's ANALYZE contract) stored
+  * VERSIONED in the snapshot log; the rule merges the newest record
+  * analyzed at a version ≤ the scanned one, capped at its row count
+  * ([[Snapshots.analyzeTable]]).
+  *
+  * What it buys: with `spark.sql.cbo.enabled`, FilterEstimation can
+  * shrink a selective predicate's output estimate below the broadcast
+  * threshold — flipping a sort-merge join over a big-but-filtered
+  * graft table into a broadcast join (spec-pinned: SMJ before
+  * ANALYZE, BHJ after, SMJ by path), and join reorder sees real
+  * cardinalities instead of file bytes.
+  *
+  * Soundness: stats describe the EXACT pinned version the relation
+  * scans (`GraftFileIndex.tableVersion`); DV-carrying and
+  * column-mapped versions never reach this rule (they plan through
+  * GraftCompatRelation, not HadoopFsRelation), so the manifest sums
+  * are never stale over merge-on-read state. Legacy manifests missing
+  * row counts attach nothing (estimation falls back to sizeInBytes,
+  * exactly as before).
+  */
+class GraftStatsRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case lr: LogicalRelation if lr.catalogTable.exists(_.stats.isEmpty) =>
+      val cs = lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case g: GraftFileIndex =>
+            GraftStats.catalogStats(g.tablePath, g.tableVersion)
+          case g: GraftPartitionedFileIndex =>
+            GraftStats.partitionedCatalogStats(g.partitionDirs)
+          case _ => None
+        }
+        case _ => None
+      }
+      cs match {
+        case Some(stats) =>
+          lr.copy(catalogTable = lr.catalogTable.map(_.copy(stats = Some(stats))))
+        case None => lr
+      }
+  }
+}
+
+object GraftStats {
+
+  /** Manifest-derived `CatalogStatistics` for one version of a flat
+    * table: None when any live file lacks recorded row counts (legacy
+    * manifests — no guessing). Metadata-only by construction. */
+  private[sources] def catalogStats(path: String, v: Int): Option[CatalogStatistics] = {
+    if (!Snapshots.hasVersion(path, v)) return None
+    val live = Snapshots.liveFiles(path, v).map(Snapshots.canonical)
+    if (live.isEmpty)
+      return Some(CatalogStatistics(BigInt(0), Some(BigInt(0)), Map.empty))
+    val rows = Snapshots.fileRows(path, v)
+    if (!live.forall(rows.contains)) return None
+    val bytes = live.map(f => Files.size(Paths.get(f))).sum
+    val totalRows = live.map(rows).sum
+    // ANALYZE-written NDV (newest record ≤ v), capped at the SCANNED
+    // version's row count — commits after the analyze can only have
+    // changed cardinality, never pushed true NDV above the row count
+    val ndv: Map[String, Long] =
+      Snapshots.ndvRecord(path, v).map(_._2).getOrElse(Map.empty)
+        .map { case (c, n) => c -> math.min(n, totalRows) }
+    Some(CatalogStatistics(BigInt(bytes),
+      Some(BigInt(totalRows)),
+      columnStats(live, Snapshots.fileStats(path, v),
+        Snapshots.fileNulls(path, v), ndv)))
+  }
+
+  /** The partitioned form: sums across every partition's CURRENT
+    * version; column ranges fold across partitions (the partition
+    * column itself has no data-file stats — it lives in directory
+    * names — and is simply absent from colStats). */
+  private[sources] def partitionedCatalogStats(
+      dirs: Seq[(String, String)]): Option[CatalogStatistics] = {
+    val per = dirs.map { case (_, d) =>
+      catalogStats(d, Snapshots.currentVersion(d)) }
+    if (per.exists(_.isEmpty)) return None
+    val all = per.flatten
+    val colStats = all.flatMap(_.colStats.toSeq)
+      .groupBy(_._1).collect {
+        // a column must be present (with min/max) in EVERY partition,
+        // or the fold would understate the true range
+        case (c, entries) if entries.size == dirs.size =>
+          c -> foldColumn(entries.map(_._2))
+      }
+    val totalRows = all.flatMap(_.rowCount).sum
+    Some(CatalogStatistics(
+      all.map(_.sizeInBytes).sum,
+      Some(totalRows),
+      colStats.map { case (c, st) =>
+        c -> st.copy(distinctCount = st.distinctCount.map(_.min(totalRows)))
+      }.toMap))
+  }
+
+  /** Fold per-file manifest stats into per-column catalog stats.
+    * Only columns with recorded ranges in EVERY live file qualify
+    * (a partial range is not a table range); null counts likewise. */
+  private def columnStats(live: Seq[String],
+      stats: Map[String, Map[String, (String, String, String)]],
+      nulls: Map[String, Map[String, Long]],
+      ndv: Map[String, Long]): Map[String, CatalogColumnStat] = {
+    val perFile = live.map(f => stats.getOrElse(f, Map.empty))
+    if (perFile.isEmpty) return Map.empty
+    val cols = perFile.map(_.keySet).reduce(_ intersect _)
+    val ranged = cols.iterator.map { c =>
+      val entries = perFile.map(_(c))
+      val tag = entries.head._1
+      val mins = entries.map(e => BigDecimal(e._2))
+      val maxs = entries.map(e => BigDecimal(e._3))
+      val nullCount: Option[BigInt] = {
+        val per = live.map(f => nulls.getOrElse(f, Map.empty).get(c))
+        if (per.forall(_.isDefined)) Some(BigInt(per.flatten.sum)) else None
+      }
+      // external string form must parse under the column's type:
+      // integral tags render without a decimal point
+      def render(x: BigDecimal): String =
+        if (tag == "L") x.toBigInt.toString else x.toString
+      c -> CatalogColumnStat(
+        distinctCount = ndv.get(c).map(BigInt(_)),
+        min = Some(render(mins.min)),
+        max = Some(render(maxs.max)),
+        nullCount = nullCount,
+        avgLen = None, maxLen = None)
+    }.toMap
+    // columns the ANALYZE covered but the manifest has no range for
+    // (strings: footers record no min/max tag) still carry their NDV —
+    // enough for equality-predicate and join-cardinality estimation
+    ranged ++ (ndv.keySet -- ranged.keySet).iterator.map { c =>
+      c -> CatalogColumnStat(distinctCount = Some(BigInt(ndv(c))),
+        min = None, max = None, nullCount = None, avgLen = None, maxLen = None)
+    }
+  }
+
+  private def foldColumn(entries: Seq[CatalogColumnStat]): CatalogColumnStat = {
+    def decs(vs: Seq[Option[String]]): Seq[BigDecimal] =
+      vs.flatten.map(BigDecimal(_))
+    val mins = decs(entries.map(_.min))
+    val maxs = decs(entries.map(_.max))
+    val integral = entries.forall(_.min.exists(!_.contains('.')))
+    def render(x: BigDecimal): String =
+      if (integral) x.toBigInt.toString else x.toString
+    CatalogColumnStat(
+      // NDVs don't add, but Σ per-partition NDV is the standard
+      // merge upper bound (catalogStats caps it at total rows)
+      distinctCount = {
+        val ds = entries.map(_.distinctCount)
+        if (ds.forall(_.isDefined)) Some(ds.flatten.sum) else None
+      },
+      min = if (mins.nonEmpty) Some(render(mins.min)) else None,
+      max = if (maxs.nonEmpty) Some(render(maxs.max)) else None,
+      nullCount = {
+        val ns = entries.map(_.nullCount)
+        if (ns.forall(_.isDefined)) Some(ns.flatten.sum) else None
+      },
+      avgLen = None, maxLen = None)
+  }
+}

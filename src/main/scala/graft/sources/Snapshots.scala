@@ -342,6 +342,67 @@ object Snapshots {
       .map(_.stripPrefix(RowsHeader).split(StatsSep, -1))
       .collect { case Array(f, n) => f -> n.toLong }.toMap
 
+  // r9 — ANALYZED NDV (the CBO's third input, beside the manifest's
+  // free rowCount and min/max): Catalyst's FilterEstimation refuses to
+  // price even a range predicate without a distinctCount, and NDV is
+  // the one statistic parquet footers do NOT carry — so, exactly like
+  // Iceberg's ANALYZE-written theta sketches, it is computed on demand
+  // by an explicit `GRAFT ANALYZE` pass (ONE distributed scan,
+  // approx_count_distinct over every atomic column in a single
+  // aggregate — the collect is one row) and stored as a tiny sidecar
+  // in the log dir, KEYED TO THE VERSION it was computed at. Readers
+  // of version v use the newest record analyzed at a version ≤ v
+  // (stats drift with later commits until re-analyzed — the standard
+  // ANALYZE contract — but a time-travel read never sees statistics
+  // from its own future). Vacuum never touches the sidecar (it
+  // reclaims only .parquet files) and it costs O(columns) bytes.
+  private def ndvPath(path: String, v: Int) =
+    logDir(path).resolve(f"ndv-v$v%06d.stats")
+
+  /** One distributed NDV pass over the CURRENT version; writes the
+    * versioned sidecar and returns the version analyzed. */
+  def analyzeTable(spark: SparkSession, path: String): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val df = read(spark, path, v)
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == StringType || f.dataType == BooleanType ||
+        f.dataType == DateType || f.dataType == TimestampType => f.name
+    }.toSeq
+    val lines: Seq[String] =
+      if (cols.isEmpty) Seq.empty
+      else {
+        val aggs = cols.map(c => approx_count_distinct(col(s"`$c`")).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row
+        cols.indices.map(i => s"${cols(i)}$StatsSep${row.getLong(i)}")
+      }
+    val tmp = Files.createTempFile(logDir(path), "ndv", ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, ndvPath(path, v),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** The newest NDV record analyzed at a version ≤ `v`:
+    * (analyzedVersion, col → ndv). None until someone ANALYZEs. */
+  private[sources] def ndvRecord(path: String, v: Int): Option[(Int, Map[String, Long])] = {
+    val ld = logDir(path)
+    if (!Files.isDirectory(ld)) return None
+    val best = listDir(ld).map(_.getFileName.toString)
+      .collect { case n if n.startsWith("ndv-v") && n.endsWith(".stats") =>
+        n.stripPrefix("ndv-v").stripSuffix(".stats").toInt }
+      .filter(_ <= v)
+    if (best.isEmpty) return None
+    val av = best.max
+    val m = new String(Files.readAllBytes(ndvPath(path, av)), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+      .map(_.split(StatsSep, -1)).collect { case Array(c, n) => c -> n.toLong }
+      .toMap
+    Some((av, m))
+  }
+
   /** ONE scan of `files` (the staged commit, never the table): per-file
     * row count plus min/max of every numeric top-level column, as
     * manifest lines. The collect is |files| × columns — bounded by the

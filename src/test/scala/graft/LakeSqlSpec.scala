@@ -513,6 +513,75 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("r9: manifest stats feed CBO — a selective filter flips the join to broadcast by name") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_cbo").toString + "/t"
+      // a table big enough that its RAW bytes exceed the broadcast
+      // threshold; only cardinality estimation can shrink it
+      (1L to 60000L).map(k => (k, ("p" + k.toString) * 8, k % 97))
+        .toDF("k", "payload", "grp")
+        .repartitionByRange(4, col("k")).write.parquet(dir)
+      Snapshots.init(s, dir)
+      s.sql("DROP TABLE IF EXISTS cbo_big")
+      s.sql(s"CREATE TABLE cbo_big USING graft OPTIONS (path '$dir', keyCol 'k')")
+      val other = Files.createTempDirectory("graft_cbo_oth").toString + "/o"
+      (1L to 60000L).map(k => (k, ("q" + k.toString) * 8)).toDF("k", "oth")
+        .write.parquet(other)
+      try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+
+        def joinPlan(left: org.apache.spark.sql.DataFrame) = {
+          val q = left.filter(col("k") <= 600L)
+            .join(s.read.parquet(other), "k")
+          q.collect()
+          q.queryExecution.executedPlan
+        }
+        def bhjs(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+        def smjs(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+          case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m }
+
+        // control 1 — BEFORE ANALYZE: rowCount + min/max attach free
+        // from the manifest, but Catalyst's FilterEstimation refuses
+        // to price any comparison without a distinctCount, so the
+        // filtered estimate stays 60k rows → sort-merge
+        val before = joinPlan(s.table("cbo_big"))
+        assert(smjs(before).nonEmpty && bhjs(before).isEmpty,
+          s"expected SMJ before ANALYZE, got:\n$before")
+
+        // ONE distributed NDV pass, stored versioned in the log
+        assert(s.sql(s"GRAFT ANALYZE '$dir'").collect()(0).getLong(0) == 0L)
+
+        // by NAME after ANALYZE: FilterEstimation prices k <= 600 at
+        // ~1% of 60k rows → under the threshold → broadcast join
+        val byName = joinPlan(s.table("cbo_big"))
+        assert(bhjs(byName).nonEmpty && smjs(byName).isEmpty,
+          s"expected broadcast by name, got:\n$byName")
+
+        // estimated cardinality is the manifest+NDV one, not a guess
+        val est = s.table("cbo_big").filter(col("k") <= 600L)
+          .queryExecution.optimizedPlan.stats
+        assert(est.rowCount.exists(rc => rc >= 1 && rc <= 6000),
+          s"row estimate off: ${est.rowCount}")
+
+        // by PATH there is no catalog entry to carry stats: the same
+        // join stays sort-merge (raw bytes above the threshold) — the
+        // control proving the flip is the rule's doing
+        val byPath = joinPlan(s.read.format("graft").load(dir))
+        assert(smjs(byPath).nonEmpty && bhjs(byPath).isEmpty,
+          s"expected SMJ by path, got:\n$byPath")
+      } finally {
+        s.conf.unset("spark.sql.cbo.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.unset("spark.sql.adaptive.enabled")
+        s.sql("DROP TABLE IF EXISTS cbo_big")
+      }
+    }
+  }
+
   test("A44 ANSI DML by catalog NAME: the post-hoc rule routes all four verbs") {
     withExtSession { s =>
       val dir = stageDml(s, "graft_ansi_cat")
