@@ -1643,4 +1643,89 @@ class SnapshotsSpec extends GraftSuite {
     Snapshots.vacuum(dir, 12)
     assert(Snapshots.read(spark, dir, 14).count() == 100)
   }
+
+  test("r9: vacuum vs concurrent readers — every retained version resolves, zero failures") {
+    import spark.implicits._
+    // The writer/writer race is OCC's (A25); this pins the OTHER race
+    // the r8 verdict flagged: a reader resolving a RETAINED version's
+    // delta-manifest chain while vacuum (a) materializes retained
+    // deltas whose base it is about to drop and (b) deletes the bases
+    // and their data files. One MUTATOR thread interleaves merges and
+    // vacuums (vacuum's documented single-writer contract: no merge in
+    // flight DURING a vacuum — but readers are unconstrained); two
+    // reader threads hammer versioned reads the whole time. The
+    // retention contract is coordinated the way a real deployment does
+    // it — vacuum never targets past a version a reader has already
+    // leased — so any read failure for a version >= the vacuum floor
+    // is a genuine resolution bug, not a scheduling artifact.
+    val dir = Files.createTempDirectory("graft_vac_race").toString + "/t"
+    (1L to 200L).map(k => (k, s"v$k")).toDF("k", "payload")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val lock = new Object
+    var floor = 0                           // next vacuum's minimum keepFrom
+    val outstanding = scala.collection.mutable.Map[Int, Int]() // v -> leases
+    @volatile var mutating = true
+
+    def lease(): Int = lock.synchronized {
+      val cur = Snapshots.currentVersion(dir)
+      val v = floor + scala.util.Random.nextInt(cur - floor + 1)
+      outstanding(v) = outstanding.getOrElse(v, 0) + 1
+      v
+    }
+    def release(v: Int): Unit = lock.synchronized {
+      val n = outstanding(v) - 1
+      if (n == 0) outstanding.remove(v) else outstanding(v) = n
+    }
+
+    def thread(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable => errs.add(e) }, name)
+      t.start(); t
+    }
+
+    // mutator: 28 delta commits (through 2+ checkpoint boundaries,
+    // so vacuum has bases to drop AND retained deltas to materialize),
+    // a lease-respecting vacuum every 4th commit
+    val mutator = thread("mutator") {
+      try {
+        for (i <- 1 to 28) {
+          val batch = (1 to 8).map(j => (((i * 7 + j) % 200 + 1).toLong, s"G$i"))
+            .toDF("k", "payload")
+          Snapshots.mergeVersioned(spark, dir, batch, "k")
+          if (i % 4 == 0) {
+            val target = lock.synchronized {
+              val cur = Snapshots.currentVersion(dir)
+              val cap = (outstanding.keys ++ Seq(cur - 1)).min
+              val t = math.max(floor, math.min(cur - 1, cap))
+              floor = t; t
+            }
+            if (target > 0) Snapshots.vacuum(dir, target)
+          }
+        }
+      } finally mutating = false
+    }
+    val readers = (1 to 2).map { r =>
+      thread(s"reader-$r") {
+        while (mutating) {
+          val v = lease()
+          try {
+            val n = Snapshots.read(spark, dir, v).count()
+            assert(n == 200, s"v$v resolved to $n rows")
+          } finally release(v)
+        }
+      }
+    }
+    mutator.join(180000); readers.foreach(_.join(180000))
+    if (!errs.isEmpty) {
+      errs.forEach(_.printStackTrace())
+      fail(s"${errs.size} concurrent failures; first: ${errs.peek}")
+    }
+    assert(floor > 0, "vacuum never ran — the race was not exercised")
+    // post-race: the floor version and the head still resolve exactly
+    assert(Snapshots.read(spark, dir, Snapshots.currentVersion(dir)).count() == 200)
+    assert(Snapshots.read(spark, dir, floor).count() == 200)
+  }
 }
