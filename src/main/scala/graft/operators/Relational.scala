@@ -481,12 +481,12 @@ object Relational {
       |WHERE rn <= 3""".stripMargin
 
   // B15 — HyperLogLog approximate count-distinct: the 100 TB substitute
-  // for B9 (no exact-distinct expand). Approximate → rows-only check.
-  /** B15 — HLL approximate count-distinct WITH its error envelope in
-    * the artifact (the q_approx_quantile treatment): each row carries
-    * estimate, exact, relative error, the bound, and a within_bound
-    * verdict — the rows-only artifact is SELF-CERTIFYING instead of
-    * asking the reader to trust an approximation. rsd target is 1%;
+  // for B9 (no exact-distinct expand).
+  /** B15 — HLL approximate count-distinct WITH its error envelope IN
+    * THE ORACLE GATE (the q_approx_quantile treatment): each row
+    * carries the exact counts and a within_bound verdict the DuckDB
+    * hash covers — the envelope is DRIVER-CERTIFIED instead of asking
+    * the reader to trust an approximation. rsd target is 1%;
     * the bound is 5× that (a generous 5σ envelope — HLL's rsd is a
     * standard deviation, not a hard cap). The HLL pass and the exact
     * pass aggregate SEPARATELY and join on the group key: folding all
@@ -511,18 +511,28 @@ object Relational {
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+    // r9 (the r8 verdict's item 8): the output carries ONLY the
+    // oracle-reproducible columns — the exact counts and the verdict —
+    // so the DuckDB hash COVERS the envelope: the oracle asserts
+    // `TRUE AS within_bound`, and a silent HLL accuracy regression
+    // flips the verdict and fails CORRECTNESS, not just a spec. The
+    // estimate-dependent diagnostics (approx values, rel errs) live in
+    // RelationalSpec, where non-reproducibility doesn't matter.
     approx.join(exact, Seq("l_returnflag"))
-      .withColumn("rsd_bound", lit(0.05))
-      .withColumn("parts_rel_err", round(
-        abs(col("approx_parts") - col("exact_parts")).cast("double") /
-          col("exact_parts"), 6))
-      .withColumn("orders_rel_err", round(
-        abs(col("approx_orders") - col("exact_orders")).cast("double") /
-          col("exact_orders"), 6))
       .withColumn("within_bound",
-        col("parts_rel_err") <= col("rsd_bound") &&
-          col("orders_rel_err") <= col("rsd_bound"))
+        abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= lit(0.05) &&
+        abs(col("approx_orders") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= lit(0.05))
+      .select("l_returnflag", "exact_parts", "exact_orders", "within_bound")
   }
+
+  val qApproxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // B19 — pivot (wide conditional aggregation). Explicit pivot values
   // keep the plan single-pass: Spark folds the pivot into ONE hash
@@ -779,5 +789,6 @@ object Relational {
     "q_histogram" -> qHistogramSql,
     "q_stats_agg" -> qStatsAggSql,
     "q_outer_join" -> qOuterJoinSql,
-    "q_profile" -> qProfileSql)
+    "q_profile" -> qProfileSql,
+    "q_approx_distinct" -> qApproxDistinctSql)
 }

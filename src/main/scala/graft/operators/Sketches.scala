@@ -110,12 +110,15 @@ object Sketches {
     * interval) from ONE conditional-aggregate pass over the fact table,
     * and rank_err = the distance from that interval to the target band
     * p·n ± eps·n, as a fraction of n — 0.0 when the GK guarantee holds.
-    * The driver's rows-only check thereby records the bound NUMERICALLY
-    * in the verified artifact (an estimate drifting out of its envelope
-    * shows up as rank_err > 0) instead of trusting the spec alone; the
-    * spec still asserts the bound against an independently sorted copy.
+    * r9 (the r8 verdict's item 8): [[qApproxQuantile]] projects this to
+    * the ORACLE-GATE shape (p, n, within_bound) whose DuckDB hash
+    * asserts `TRUE AS within_bound` — an estimate drifting out of its
+    * envelope fails CORRECTNESS, not just a spec. The estimate and its
+    * rank interval stay in this detail artifact, where
+    * non-reproducibility doesn't matter; the spec asserts the bound
+    * against an independently sorted copy.
     */
-  def qApproxQuantile(s: SparkSession, d: String): DataFrame = {
+  def qApproxQuantileDetail(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val probs = Array(0.25, 0.5, 0.75, 0.95, 0.99)
     val eps = 0.001
@@ -140,12 +143,24 @@ object Sketches {
     out.toDF("p", "estimate", "rank_lo", "rank_hi", "n", "rank_err")
   }
 
+  /** The gate shape: the verdict column the oracle hash covers. */
+  def qApproxQuantile(s: SparkSession, d: String): DataFrame =
+    qApproxQuantileDetail(s, d)
+      .select(col("p"), col("n"), (col("rank_err") === 0.0).as("within_bound"))
+
+  val qApproxQuantileSql: String =
+    """SELECT CAST(p AS DOUBLE) AS p,
+      |  (SELECT count(*) FROM lineitem) AS n,
+      |  TRUE AS within_bound
+      |FROM (VALUES (0.25), (0.5), (0.75), (0.95), (0.99)) t(p)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> qHeavyHitters,
     "q_approx_quantile" -> qApproxQuantile)
 
   /** The CMS is deterministic given (data, seed) → full oracle; the GK
-    * quantiles stay rows-only (engine-internal summary, like B15). */
+    * gate asserts its measured envelope (within_bound) under the hash. */
   def oracles: Map[String, String] = Map(
-    "q_heavy_hitters" -> qHeavyHittersSql)
+    "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_approx_quantile" -> qApproxQuantileSql)
 }

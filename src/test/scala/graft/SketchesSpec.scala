@@ -25,7 +25,7 @@ class SketchesSpec extends GraftSuite {
     val vals = Tables.lineitem(spark, sf)
       .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
     val n = vals.length
-    val rows = Sketches.qApproxQuantile(spark, sf).collect()
+    val rows = Sketches.qApproxQuantileDetail(spark, sf).collect()
     val got = rows.map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     // the query's self-reported envelope agrees with the guarantee
     rows.foreach(r => assert(r.getAs[Double]("rank_err") == 0.0,
