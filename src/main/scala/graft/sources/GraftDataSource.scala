@@ -307,15 +307,43 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
           org.apache.spark.sql.types.IntegerType, nullable = false))
   }
 
+  /** A26 × A23/A45 (r9): streaming read of a PARTITIONED root — the
+    * composition the streaming WRITE already produces (`partitionBy`
+    * routes through per-partition logs), so the bronze→silver loop
+    * closes over partitioned tables too. The flat stream schema plus
+    * the partition column (value from the directory name, like the
+    * batch relation), in the same feed column order. */
+  private def partitionedStreamSchema(spark: SparkSession, path: String,
+      partCol: String, keyCol: String, cdf: Boolean): StructType = {
+    val dirs = PartitionedSnapshots.partitions(path)
+      .map(v => PartitionedSnapshots.partitionDir(path, v))
+    require(dirs.nonEmpty, s"graft: $path has no partitions")
+    val base = streamSchema(spark, dirs.head, keyCol, cdf)
+    require(!base.fieldNames.contains(partCol),
+      s"graft: partition column '$partCol' collides with a data column")
+    base.add(org.apache.spark.sql.types.StructField(partCol,
+      org.apache.spark.sql.types.StringType, nullable = false))
+  }
+
+  private def isPartitionedRoot(path: String): Boolean =
+    Snapshots.currentVersion(path) < 0 &&
+      PartitionedSnapshots.partitions(path).nonEmpty
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val keyCol = parameters.getOrElse("keyCol",
       throw new IllegalArgumentException(
         "graft: streaming read needs .option(\"keyCol\", <column>)"))
+    val path = pathOf(parameters)
     (shortName(),
-      streamSchema(sqlContext.sparkSession, pathOf(parameters), keyCol,
-        cdfOpt(parameters)))
+      if (isPartitionedRoot(path))
+        partitionedStreamSchema(sqlContext.sparkSession, path,
+          parameters.getOrElse("partitionCol", "part"), keyCol,
+          cdfOpt(parameters))
+      else
+        streamSchema(sqlContext.sparkSession, path, keyCol,
+          cdfOpt(parameters)))
   }
 
   /** `readChangeFeed` (r9, the Delta CDF option): stream typed
@@ -333,6 +361,22 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val path = pathOf(parameters)
     val keyCol = parameters("keyCol")
     val cdf = cdfOpt(parameters)
+    if (isPartitionedRoot(path)) {
+      // per-partition version spaces: a global startingVersion is
+      // ill-posed and the chunk/cap options index into ONE version
+      // sequence — refuse loudly rather than guess
+      Seq("startingVersion", "snapshotFilesPerTrigger",
+        "maxVersionsPerTrigger").foreach(o => require(
+        !parameters.contains(o),
+        s"graft: '$o' is undefined on a partitioned root (every " +
+          "partition has its own version sequence); stream partitions " +
+          "individually for version-addressed consumption"))
+      val partCol = parameters.getOrElse("partitionCol", "part")
+      return new GraftPartitionedChangeSource(sqlContext.sparkSession,
+        path, partCol, keyCol,
+        partitionedStreamSchema(sqlContext.sparkSession, path, partCol,
+          keyCol, cdf), cdfStyle = cdf)
+    }
     new GraftChangeSource(sqlContext.sparkSession, path, keyCol,
       streamSchema(sqlContext.sparkSession, path, keyCol, cdf),
       parameters.get("startingVersion").map(_.toInt),
@@ -1146,4 +1190,109 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
   }
 
   override def stop(): Unit = ()
+}
+
+/** A26 × A23/A45 (r9) — streaming read of a PARTITIONED graft root.
+  *
+  * Every partition owns an independent version sequence, so the offset
+  * is a PER-PARTITION VERSION MAP (`{"2024":3,"2025":1}` = delivered
+  * through v3 of part=2024 and v1 of part=2025; keys are the
+  * URL-encoded directory forms, so the JSON needs no escaping and the
+  * encoding round-trips any partition value). Monotone by
+  * construction: versions only grow and partitions only appear. A
+  * partition NEW to the offset map — at query start or landing
+  * mid-stream — delivers its earliest retained version as a snapshot
+  * of tagged inserts, then one feed step per later commit, exactly the
+  * flat source's bootstrap ([[GraftChangeSource]]) applied per
+  * partition; each row carries the partition column (from the
+  * directory name, like the batch relation) beside `_commit_version`.
+  * `readChangeFeed` composes: each partition's steps serve typed
+  * 4-way `_change_type` rows from its own stored change data.
+  *
+  * At 100 TB the map stays metadata-sized (|partitions| ints); a batch
+  * only opens the logs of partitions whose version advanced — an idle
+  * partition costs one currentVersion lookup per trigger, no data IO.
+  */
+class GraftPartitionedChangeSource(spark: SparkSession, path: String,
+    partCol: String, keyCol: String,
+    override val schema: StructType,
+    cdfStyle: Boolean = false) extends Source {
+
+  import GraftPartitionedChangeSource._
+
+  private def dirOf(value: String): String =
+    PartitionedSnapshots.partitionDir(path, value)
+
+  private def ordered(df: DataFrame): DataFrame =
+    df.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
+
+  override def getOffset: Option[OffsetV1] = {
+    val m = PartitionedSnapshots.partitions(path).flatMap { v =>
+      val cur = Snapshots.currentVersion(dirOf(v))
+      if (cur >= 0) Some(v -> cur) else None
+    }.toMap
+    if (m.isEmpty) None else Some(PartMapOffset(m))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val startM = start.map(o => parseMap(o.json)).getOrElse(Map.empty)
+    val endM = parseMap(end.json)
+    def tagged(value: String, df: DataFrame): DataFrame =
+      ordered(df.withColumn(partCol, lit(value)))
+    def changesAt(value: String, v: Int): DataFrame = tagged(value,
+      (if (cdfStyle) Snapshots.changesCdf(spark, dirOf(value), v - 1, v, keyCol)
+       else Snapshots.changesWithPayload(spark, dirOf(value), v - 1, v, keyCol))
+        .withColumn("_commit_version", lit(v)))
+    // a zero-file bootstrap version has no snapshot rows to deliver
+    // (Snapshots.read would hand back a schemaless empty frame)
+    def snapshot(value: String, e: Int): Option[DataFrame] =
+      if (Snapshots.liveFiles(dirOf(value), e).isEmpty) None
+      else Some(tagged(value,
+        Snapshots.read(spark, dirOf(value), e)
+          .withColumn(if (cdfStyle) "_change_type" else "change_type",
+            lit("insert"))
+          .withColumn("_commit_version", lit(e))))
+    val frames: Seq[DataFrame] =
+      endM.toSeq.sortBy(_._1).flatMap { case (value, endV) =>
+        startM.get(value) match {
+          case Some(lo) => ((lo + 1) to endV).map(changesAt(value, _))
+          case None =>
+            val e = Snapshots.earliestVersion(dirOf(value))
+            snapshot(value, e).toSeq ++
+              ((e + 1) to endV).map(changesAt(value, _))
+        }
+      }
+    val batch = frames.reduceOption(_.unionByName(_)).getOrElse(
+      ordered(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)))
+    org.apache.spark.sql.graft.StreamingFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object GraftPartitionedChangeSource {
+
+  private def enc(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Per-partition delivered-through versions; keys sorted for a
+    * canonical, restart-stable JSON form. */
+  private[sources] case class PartMapOffset(m: Map[String, Int])
+      extends OffsetV1 {
+    override def json: String = m.toSeq.sortBy(_._1)
+      .map { case (p, v) => s""""${enc(p)}":$v""" }
+      .mkString("{", ",", "}")
+  }
+
+  private val EntryRe = """"([^"]*)":(\d+)""".r
+  private[sources] def parseMap(j: String): Map[String, Int] = {
+    val t = j.trim
+    require(t.startsWith("{") && t.endsWith("}"),
+      s"graft: bad partitioned offset '$j'")
+    EntryRe.findAllMatchIn(t)
+      .map(m => dec(m.group(1)) -> m.group(2).toInt).toMap
+  }
 }

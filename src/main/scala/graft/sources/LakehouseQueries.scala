@@ -883,6 +883,64 @@ object LakehouseQueries {
       |SELECT -o_orderkey, 'insert', o_orderstatus, o_totalprice, 2
       |FROM base WHERE o_orderkey % 21 = 0""".stripMargin
 
+  /** A26 × A23/A45 (r9) — STREAMING read of a PARTITIONED root: the
+    * per-partition-version-map offset source delivers (a) every
+    * partition's v0 snapshot as tagged inserts, (b) a merge wave's
+    * updates under EACH TOUCHED partition's own next version (an
+    * untouched partition ships nothing), and (c) a brand-new partition
+    * landing mid-stream as its own v0 snapshot — all tagged with the
+    * partition column. The oracle reconstructs all three phases from
+    * the raw table; a missed partition, a cross-partition version
+    * bleed, or a replayed snapshot breaks the hash. ConnectorSpec pins
+    * checkpoint resume and the CDF composition.
+    */
+  def qLakePartStream(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d).filter(col("o_orderkey") % 4 === 0 &&
+      col("o_orderkey") > 0)
+    val dir = tempDir("graft_part_stream_q") + "/t"
+    PartitionedSnapshots.init(s, dir, b, "o_orderstatus") // per-status v0
+    // one merge wave: every touched status partition commits ITS v1
+    PartitionedSnapshots.mergePartitioned(s, dir,
+      b.filter(col("o_orderkey") % 12 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1000.0, 2)),
+      "o_orderkey", "o_orderstatus")
+    // a brand-new partition value: bootstraps its own log at v0
+    PartitionedSnapshots.mergePartitioned(s, dir,
+      b.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+        .withColumn("o_orderstatus", lit("X")),
+      "o_orderkey", "o_orderstatus")
+    val ckpt = tempDir("graft_part_stream_ckpt")
+    val spool = tempDir("graft_part_stream_spool")
+    val q = s.readStream.format("graft")
+      .option("keyCol", "o_orderkey")
+      .option("partitionCol", "o_orderstatus").load(dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(spool); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(spool)
+      .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+  }
+
+  val qLakePartStreamSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey > 0)
+      |SELECT o_orderkey, 'insert' AS change_type,
+      |  round(o_totalprice, 2) AS o_totalprice,
+      |  0 AS _commit_version, o_orderstatus
+      |FROM base
+      |UNION ALL
+      |SELECT o_orderkey, 'update', round(o_totalprice + 1000.0, 2), 1,
+      |  o_orderstatus
+      |FROM base WHERE o_orderkey % 12 = 0
+      |UNION ALL
+      |SELECT -o_orderkey, 'insert', round(o_totalprice, 2), 0, 'X'
+      |FROM base WHERE o_orderkey % 20 = 0""".stripMargin
+
   /** A37 — tags + write-audit-publish end-to-end: pin v0 under a tag,
     * cut a branch, stage a merge wave (updates keys ≡ 0 mod 13,
     * inserts negated keys ≡ 0 mod 19) and a delete (keys ≡ 0 mod 17)
@@ -1188,6 +1246,7 @@ object LakehouseQueries {
     "q_lake_sql_dml" -> (qLakeSqlDml(_, _)),
     "q_lake_compat" -> (qLakeCompat(_, _)),
     "q_lake_cdf_stream" -> (qLakeCdfStream(_, _)),
+    "q_lake_part_stream" -> (qLakePartStream(_, _)),
     "q_lake_catalog_part" -> (qLakeCatalogPart(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -1218,5 +1277,6 @@ object LakehouseQueries {
     "q_lake_sql_dml" -> qLakeSqlDmlSql,
     "q_lake_compat" -> qLakeCompatSql,
     "q_lake_cdf_stream" -> qLakeCdfStreamSql,
+    "q_lake_part_stream" -> qLakePartStreamSql,
     "q_lake_catalog_part" -> qLakeCatalogPartSql)
 }

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
-import graft.sources.Snapshots
+import graft.sources.{PartitionedSnapshots, Snapshots}
 
 /** A36 — the registered `format("graft")` data source: batch reads
   * plan over the manifest through a custom FileIndex (stats-pruned),
@@ -209,7 +209,7 @@ class ConnectorSpec extends GraftSuite {
 
   test("partitioned table through the connector: partition pruning, then per-file stats") {
     import spark.implicits._
-    import graft.sources.PartitionedSnapshots
+
     val dir = Files.createTempDirectory("graft_conn_part").toString + "/t"
     val df = (1L to 1000L).map(k => (k, if (k % 2 == 0) "E" else "O", k % 7))
       .toDF("k", "st", "gen").repartitionByRange(4, col("k"))
@@ -717,5 +717,115 @@ class ConnectorSpec extends GraftSuite {
       .map(v => Snapshots.commitTime(dir, v).get)
     assert(ts == ts.sorted && ts.distinct == ts,
       s"commit times not strictly increasing: $ts")
+  }
+
+  test("r9: partitioned streaming read — per-partition version-map offsets, new partitions mid-stream, resume") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_part_stream").toString + "/t"
+    // two partitions, 50 keys each
+    PartitionedSnapshots.init(spark, root,
+      (1L to 100L).map(k => (k, s"v$k", if (k <= 50) "a" else "b"))
+        .toDF("k", "payload", "src"), "src")
+    val ckpt = Files.createTempDirectory("graft_part_stream_ckpt").toString
+
+    // (k, tag, version, partition)
+    def startQuery(buf: scala.collection.mutable.ArrayBuffer[(Long, String, Int, String)]) =
+      spark.readStream.format("graft")
+        .option("keyCol", "k").option("partitionCol", "src").load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.collect().map(r =>
+              (r.getLong(0), r.getString(1), r.getInt(3), r.getString(4)))
+          }; ()
+        }
+        .option("checkpointLocation", ckpt).start()
+
+    val got1 = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, String)]
+    val q1 = startQuery(got1)
+    try {
+      q1.processAllAvailable()
+      // initial batch: both partitions' v0 snapshots, rows tagged with
+      // their partition value
+      assert(got1.size == 100)
+      assert(got1.forall(_._2 == "insert") && got1.forall(_._3 == 0))
+      assert(got1.count(_._4 == "a") == 50 && got1.count(_._4 == "b") == 50)
+
+      // a merge touching ONE partition: only its change is delivered,
+      // under ITS OWN next version; the untouched partition is silent
+      PartitionedSnapshots.mergePartitioned(spark, root,
+        Seq((7L, "UP7", "a")).toDF("k", "payload", "src"), "k", "src")
+      q1.processAllAvailable()
+      assert(got1.size == 101)
+      assert(got1.last == ((7L, "update", 1, "a")))
+
+      // a BRAND-NEW partition lands mid-stream: its bootstrap snapshot
+      // is delivered as inserts at its own v0
+      PartitionedSnapshots.mergePartitioned(spark, root,
+        (201L to 203L).map(k => (k, s"c$k", "c")).toDF("k", "payload", "src"),
+        "k", "src")
+      q1.processAllAvailable()
+      assert(got1.size == 104)
+      val cRows = got1.filter(_._4 == "c")
+      assert(cRows.map(_._1).sorted == Seq(201L, 202L, 203L))
+      assert(cRows.forall(r => r._2 == "insert" && r._3 == 0))
+    } finally q1.stop()
+
+    // restart on the SAME checkpoint: only post-checkpoint commits —
+    // no snapshot replay for any of the three partitions
+    PartitionedSnapshots.mergePartitioned(spark, root,
+      Seq((60L, "UP60", "b")).toDF("k", "payload", "src"), "k", "src")
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, String)]
+    val q2 = startQuery(got2)
+    try {
+      q2.processAllAvailable()
+      assert(got2.toSeq == Seq((60L, "update", 1, "b")))
+    } finally q2.stop()
+
+    // version-addressed options are per-partition concepts: refuse
+    val err = intercept[Exception] {
+      spark.readStream.format("graft").option("keyCol", "k")
+        .option("startingVersion", 1).load(root)
+        .writeStream.format("noop").start().processAllAvailable()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("r9: partitioned streaming read composes with readChangeFeed (typed 4-way rows)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_part_cdf").toString + "/t"
+    PartitionedSnapshots.init(spark, root,
+      (1L to 20L).map(k => (k, s"v$k", if (k <= 10) "a" else "b"))
+        .toDF("k", "payload", "src"), "src")
+    // one update in a, one delete in b — each in its own log
+    PartitionedSnapshots.mergePartitioned(spark, root,
+      Seq((3L, "UP3", "a")).toDF("k", "payload", "src"), "k", "src")
+    Snapshots.deleteVersioned(spark,
+      PartitionedSnapshots.partitionDir(root, "b"), col("k") === 15L)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String)]
+    val q = spark.readStream.format("graft")
+      .option("keyCol", "k").option("partitionCol", "src")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2), r.getString(4)))
+        }; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_part_cdf_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // snapshots: 20 inserts; a's update delivers pre+post; b's
+      // delete carries the OLD payload
+      assert(got.count(_._2 == "insert") == 20)
+      assert(got.filter(t => t._1 == 3L && t._4 == "a").map(t => (t._2, t._3)).sorted.toSeq ==
+        Seq(("insert", "v3"), ("update_postimage", "UP3"), ("update_preimage", "v3")))
+      assert(got.filter(t => t._1 == 15L && t._4 == "b").map(t => (t._2, t._3)).sorted.toSeq ==
+        Seq(("delete", "v15"), ("insert", "v15")))
+    } finally q.stop()
   }
 }
