@@ -87,6 +87,68 @@ object Multimodal {
       }
     }
   }
+  /** The AUDIO twin of [[ImageIoKernel]] behind the same seam:
+    * JDK-native `javax.sound.sampled` (the WAV/AIFF/AU readers ship
+    * with the JRE). Decodes PCM to a MONO 8-BIT sample stream —
+    * channels downmixed by integer average, 16-bit samples reduced to
+    * their high byte, unsigned 8-bit recentred to signed — all
+    * integer arithmetic, so the sample bytes are bit-stable across
+    * JVMs. G2 features become audio features (mean level, longest
+    * constant-level run = silence/clipping detection), G4's frame
+    * sampler becomes fixed-window audio frame extraction. Compressed
+    * codecs (MP3/AAC) have no JRE decoder and return None — the
+    * row-level skip, not a stage failure.
+    */
+  class WavKernel extends MediaKernel {
+    override def name: String = "javasound-v1"
+    override def decode(payload: Array[Byte]): Option[Array[Byte]] = {
+      if (payload.isEmpty) return None
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (in == null) return None
+      try {
+        val f = in.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val bits = f.getSampleSizeInBits
+        val ch = f.getChannels
+        if (!(f.getEncoding == PCM_SIGNED || f.getEncoding == PCM_UNSIGNED) ||
+            (bits != 8 && bits != 16) || ch < 1 || f.getFrameSize <= 0)
+          return None
+        val raw = in.readAllBytes()
+        val frames = raw.length / f.getFrameSize
+        val bytesPer = bits / 8
+        val out = new Array[Byte](frames)
+        var i = 0
+        while (i < frames) {
+          var acc = 0
+          var c = 0
+          while (c < ch) {
+            val off = i * f.getFrameSize + c * bytesPer
+            acc += (if (bits == 8) {
+              val b = raw(off).toInt
+              if (f.getEncoding == PCM_UNSIGNED) (b & 0xff) - 128 else b
+            } else {
+              val hi = if (f.isBigEndian) off else off + 1
+              val s = (raw(hi).toInt << 8) | (raw(off + (if (f.isBigEndian) 1 else 0)) & 0xff)
+              (if (f.getEncoding == PCM_UNSIGNED) (s & 0xffff) - 32768
+               else s.toShort.toInt) >> 8
+            })
+            c += 1
+          }
+          out(i) = (acc / ch).toByte
+          i += 1
+        }
+        Some(out)
+      } catch { case _: java.io.IOException => None }
+      finally in.close()
+    }
+  }
+
   case class MediaFeatures(
       doc_id: Long,
       n_bytes: Long,

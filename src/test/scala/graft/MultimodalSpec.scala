@@ -111,6 +111,69 @@ class MultimodalSpec extends GraftSuite {
     assert(stub.length == 3 && stub.forall(_.decoder == "stub-v1"))
   }
 
+  test("WavKernel: G2/G4 over REAL encoded audio through the pluggable seam") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // encode real WAV payloads via the JDK codec itself
+    def wav(fmt: AudioFormat, frames: Array[Byte]): Array[Byte] = {
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(frames), fmt,
+        frames.length / fmt.getFrameSize)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // mono 16-bit LE: sample i = i<<8, so the decoded high byte is i
+    val ramp16 = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      wav(fmt, Array.tabulate[Byte](128 * 2)(j =>
+        if (j % 2 == 0) 0 else (j / 2).toByte))
+    }
+    // stereo 16-bit LE: L = 100<<8, R = 50<<8 → mono average 75
+    val stereo16 = {
+      val fmt = new AudioFormat(8000f, 16, 2, true, false)
+      wav(fmt, Array.tabulate[Byte](200 * 4)(j => (j % 4: @unchecked) match {
+        case 0 => 0; case 1 => 100; case 2 => 0; case 3 => 50
+      }))
+    }
+    // mono UNSIGNED 8-bit (the classic WAV form): constant 192 → 64
+    val u8 = {
+      val fmt = new AudioFormat(8000f, 8, 1, false, false)
+      wav(fmt, Array.fill[Byte](96)(192.toByte))
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, ramp16),
+      Multimodal.MediaRow(2L, stereo16),
+      Multimodal.MediaRow(3L, u8),
+      Multimodal.MediaRow(4L, Array.fill[Byte](64)(42))   // NOT audio
+    ).toDS()
+
+    val kernel = new Multimodal.WavKernel()
+    val feats = Multimodal.extractFeatures(media, kernel)
+      .collect().map(f => f.doc_id -> f).toMap
+    // the undecodable payload DROPS (row-level skip), never fails
+    assert(feats.keySet == Set(1L, 2L, 3L))
+    // ramp 0..127 → mean 63.5, all distinct → run 1
+    assert(feats(1L).mean_byte == 63.5 && feats(1L).max_run == 1L)
+    assert(feats(1L).decoder == "javasound-v1")
+    // stereo downmix: constant 75 level, run = 200 frames
+    assert(feats(2L).mean_byte == 75.0 && feats(2L).max_run == 200L)
+    // unsigned recentre: 192 - 128 = 64 constant
+    assert(feats(3L).mean_byte == 64.0 && feats(3L).max_run == 96L)
+
+    // G4 through the same kernel: fixed 64-sample frames over the
+    // DECODED stream — ramp has 2 complete frames, stride keeps 1
+    val fr = Multimodal.sampleFrames(media, kernel = kernel)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(fr(1L).n_frames == 2L && fr(1L).n_sampled == 1L)
+    assert(fr(2L).n_frames == 3L && fr(2L).n_sampled == 2L)
+
+    // determinism: the integer downmix path is bit-stable across runs
+    val again = Multimodal.extractFeatures(media, kernel).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(again(2L).feat.sameElements(feats(2L).feat))
+  }
+
   test("phash near-dup: banding complete for hamming<=3, sound up to 12") {
     import spark.implicits._
     // controlled corpus: doc 0 repeated with light/medium/heavy edits
