@@ -428,6 +428,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // catalog-named graft relations, so CBO filter/join estimation
     // fires by name (metadata-only; see sources/GraftStats.scala)
     ext.injectPostHocResolutionRule(_ => new graft.sources.GraftStatsRule)
+    // r9: unfiltered global count/min/max over a graft relation
+    // answers from the manifest — the scan disappears from the plan
+    ext.injectOptimizerRule(_ => new graft.sources.GraftMetaAggRule)
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

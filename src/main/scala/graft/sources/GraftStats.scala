@@ -178,3 +178,159 @@ object GraftStats {
       avgLen = None, maxLen = None)
   }
 }
+
+/** A33/A27/A42 → METADATA-ONLY AGGREGATES (r9, Delta's
+  * OptimizeMetadataOnlyDeltaQuery): an unfiltered global
+  * `count(*)` / `count(col)` / `min(col)` / `max(col)` over a graft
+  * relation is ANSWERED FROM THE MANIFEST — the Aggregate rewrites to
+  * a one-row LocalRelation and the 100 TB scan disappears from the
+  * plan entirely (spec pin: the query still answers after a live data
+  * file is deleted from disk). count(*) = Σ file rows; count(col) =
+  * Σ rows − Σ null counts; min/max = fold of the per-file ranges
+  * (integral and floating columns — float ranges were recorded as
+  * exact widened doubles, so the narrow-back is exact). Sound by
+  * construction: DV-carrying and column-mapped versions plan through
+  * the compat relations and never match; any Filter above the
+  * relation breaks the pattern (V1 keeps data filters as Filter
+  * nodes until physical planning); DISTINCT / FILTER-clause /
+  * grouped aggregates don't match; a live file missing a recorded
+  * statistic bails to the scan — unless the null counts prove the
+  * file all-null in that column (min/max ignore nulls). Partitioned
+  * roots sum across every partition's current version.
+  */
+class GraftMetaAggRule extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.expressions.aggregate._
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+  import org.apache.spark.sql.types._
+
+  /** The flat-table versions this unfiltered relation scans (one for
+    * flat, one per partition dir), or None if not a clean graft scan. */
+  private def tablesOf(p: LogicalPlan): Option[Seq[(String, Int)]] = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case g: GraftFileIndex => Some(Seq(g.tablePath -> g.tableVersion))
+        case g: GraftPartitionedFileIndex => Some(g.partitionDirs.map {
+          case (_, d) => d -> Snapshots.currentVersion(d) })
+        case _ => None
+      }
+      case _ => None
+    }
+    case Project(projs, child) if projs.forall(_.isInstanceOf[AttributeReference]) =>
+      tablesOf(child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(Nil, aggExprs, child, _) =>
+      tablesOf(child) match {
+        case Some(tables) if tables.nonEmpty =>
+          val values = aggExprs.map(answer(_, tables))
+          if (values.exists(_.isEmpty)) agg
+          else LocalRelation(agg.output,
+            Seq(org.apache.spark.sql.catalyst.InternalRow
+              .fromSeq(values.map(_.get))))
+        case _ => agg
+      }
+  }
+
+  /** Evaluate one output aggregate from manifest statistics; None =
+    * not answerable (leave the whole Aggregate to the scan). */
+  private def answer(ne: NamedExpression,
+      tables: Seq[(String, Int)]): Option[Any] = ne match {
+    case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+      fn match {
+        case Count(Seq(Literal(_, _))) => totalRows(tables)
+        case Count(Seq(a: AttributeReference)) =>
+          for (r <- totalRows(tables); n <- totalNulls(tables, a.name))
+            yield r - n
+        case Min(a: AttributeReference) => fold(tables, a, isMin = true)
+        case Max(a: AttributeReference) => fold(tables, a, isMin = false)
+        case _ => None
+      }
+    // a constant output column (a tag like lit("v0").as("snap"))
+    // rides along — it needs no data either
+    case Alias(l: Literal, _) => Some(l.value)
+    case _ => None
+  }
+
+  private def totalRows(tables: Seq[(String, Int)]): Option[Long] = {
+    val per = tables.map { case (path, v) =>
+      if (!Snapshots.hasVersion(path, v)) None
+      else {
+        val live = Snapshots.liveFiles(path, v).map(Snapshots.canonical)
+        val rows = Snapshots.fileRows(path, v)
+        if (live.forall(rows.contains)) Some(live.map(rows).sum) else None
+      }
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  private def totalNulls(tables: Seq[(String, Int)],
+      col: String): Option[Long] = {
+    val per = tables.map { case (path, v) =>
+      if (!Snapshots.hasVersion(path, v)) None
+      else {
+        val live = Snapshots.liveFiles(path, v).map(Snapshots.canonical)
+        val nulls = Snapshots.fileNulls(path, v)
+        val rows = Snapshots.fileRows(path, v)
+        // an empty file records no null lines — it contributes 0 nulls
+        val perFile = live.map(f => nulls.getOrElse(f, Map.empty).get(col)
+          .orElse(rows.get(f).filter(_ == 0L)))
+        if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
+      }
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  /** Manifest-range min/max of `a` across every live file of every
+    * table, typed back under the column's own type. A file without a
+    * recorded range is sound to SKIP only when the null counts prove
+    * it all-null in the column; otherwise bail. All-null table (or
+    * empty) → null, matching the aggregate's semantics. */
+  private def fold(tables: Seq[(String, Int)], a: AttributeReference,
+      isMin: Boolean): Option[Any] = {
+    if (!supported(a.dataType)) return None
+    var acc: Option[BigDecimal] = None
+    tables.foreach { case (path, v) =>
+      if (!Snapshots.hasVersion(path, v)) return None
+      val live = Snapshots.liveFiles(path, v).map(Snapshots.canonical)
+      val stats = Snapshots.fileStats(path, v)
+      val nulls = Snapshots.fileNulls(path, v)
+      val rows = Snapshots.fileRows(path, v)
+      live.foreach { f =>
+        stats.getOrElse(f, Map.empty).get(a.name) match {
+          case Some((_, lo, hi)) =>
+            val x = BigDecimal(if (isMin) lo else hi)
+            acc = Some(acc.fold(x)(y =>
+              if (isMin) y.min(x) else y.max(x)))
+          case None =>
+            // sound to skip only if provably valueless in the column:
+            // an empty file, or one the null counts show all-null
+            val skippable = rows.get(f).contains(0L) || (for {
+              n <- nulls.getOrElse(f, Map.empty).get(a.name)
+              r <- rows.get(f)
+            } yield n == r).getOrElse(false)
+            if (!skippable) return None
+        }
+      }
+    }
+    Some(acc.map(typed(_, a.dataType)).orNull)
+  }
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType => true
+    case _ => false
+  }
+
+  private def typed(x: BigDecimal, dt: DataType): Any = dt match {
+    case ByteType => x.toByte
+    case ShortType => x.toShort
+    case IntegerType => x.toInt
+    case LongType => x.toLong
+    case FloatType => x.toFloat
+    case DoubleType => x.toDouble
+  }
+}

@@ -941,6 +941,64 @@ object LakehouseQueries {
       |SELECT -o_orderkey, 'insert', round(o_totalprice, 2), 0, 'X'
       |FROM base WHERE o_orderkey % 20 = 0""".stripMargin
 
+  /** A33/A42 × SQL (r9) — METADATA-ONLY AGGREGATES through the whole
+    * stack: unfiltered count(*) / count(col) / min / max over the
+    * connector rewrite to a one-row LocalRelation from manifest
+    * statistics (GraftMetaAggRule — Delta's
+    * OptimizeMetadataOnlyDeltaQuery). The query STAGES the proof: a
+    * live data file is DELETED FROM DISK before the aggregates run, so
+    * any fallback to a scan crashes the gate instead of silently
+    * passing; the head row covers null-aware count(col) (a null-status
+    * row is merged in) and fold-min/max across delete-rewritten files,
+    * and the v0 row pins version-addressed statistics under time
+    * travel. The oracle reconstructs both snapshots from the raw
+    * table.
+    */
+  def qLakeMetaAgg(s: SparkSession, d: String): DataFrame = {
+    val se = graft.plans.GraftSessions.withExtensions(s)
+    import se.implicits._
+    val b = base(se, d)
+    val dir = stage(b.repartitionByRange(4, col("o_orderkey")), 4)
+    Snapshots.init(se, dir) // v0
+    Snapshots.deleteVersioned(se, dir, col("o_orderkey") % 5 === 0) // v1
+    Snapshots.mergeVersioned(se, dir,
+      Seq((-999999L, null.asInstanceOf[String], 123.45))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice"),
+      "o_orderkey") // v2: one null-status row
+    // the scan-impossible proof: drop a live data file from disk —
+    // every aggregate below must come from the manifest
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(Snapshots.liveFiles(dir, 2).head))
+    def aggOf(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+          count(col("o_orderstatus")).as("n_status"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .select(lit(tag).as("snap"), col("n"), col("n_status"),
+          col("min_key"), col("max_key"), col("min_price"), col("max_price"))
+    aggOf(se.read.format("graft").load(dir), "head")
+      .unionByName(aggOf(
+        se.read.format("graft").option("versionAsOf", 0).load(dir), "v0"))
+  }
+
+  val qLakeMetaAggSql: String =
+    """WITH head AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT CAST(-999999 AS BIGINT), NULL, CAST(123.45 AS DOUBLE))
+      |SELECT 'head' AS snap, count(*) AS n,
+      |  count(o_orderstatus) AS n_status,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM head
+      |UNION ALL
+      |SELECT 'v0', count(*), count(o_orderstatus),
+      |  min(o_orderkey), max(o_orderkey),
+      |  min(o_totalprice), max(o_totalprice)
+      |FROM orders""".stripMargin
+
   /** A37 — tags + write-audit-publish end-to-end: pin v0 under a tag,
     * cut a branch, stage a merge wave (updates keys ≡ 0 mod 13,
     * inserts negated keys ≡ 0 mod 19) and a delete (keys ≡ 0 mod 17)
@@ -1247,6 +1305,7 @@ object LakehouseQueries {
     "q_lake_compat" -> (qLakeCompat(_, _)),
     "q_lake_cdf_stream" -> (qLakeCdfStream(_, _)),
     "q_lake_part_stream" -> (qLakePartStream(_, _)),
+    "q_lake_meta_agg" -> (qLakeMetaAgg(_, _)),
     "q_lake_catalog_part" -> (qLakeCatalogPart(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -1278,5 +1337,6 @@ object LakehouseQueries {
     "q_lake_compat" -> qLakeCompatSql,
     "q_lake_cdf_stream" -> qLakeCdfStreamSql,
     "q_lake_part_stream" -> qLakePartStreamSql,
+    "q_lake_meta_agg" -> qLakeMetaAggSql,
     "q_lake_catalog_part" -> qLakeCatalogPartSql)
 }

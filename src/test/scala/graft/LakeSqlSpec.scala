@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.sources.Snapshots
+import graft.sources.{PartitionedSnapshots, Snapshots}
 
 /** The injected-parser SQL surface (plans/LakeParser.scala): `GRAFT …`
   * maintenance statements plan as runnable commands; everything else
@@ -579,6 +579,75 @@ class LakeSqlSpec extends GraftSuite {
         s.conf.unset("spark.sql.adaptive.enabled")
         s.sql("DROP TABLE IF EXISTS cbo_big")
       }
+    }
+  }
+
+  test("r9: metadata-only aggregates — count/min/max answer from the manifest, scan-free") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_metaagg").toString + "/t"
+      // grp is null for k % 10 == 0 → count(grp) and min/max must
+      // respect nulls; one file is made ALL-NULL in grp to pin the
+      // all-null-file skip path
+      (1L to 1000L).map(k => (k,
+          if (k % 10 == 0 || k <= 250) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(k % 97 + 1)))
+        .toDF("k", "grp")
+        .repartitionByRange(4, col("k")).write.parquet(dir)
+      Snapshots.init(s, dir) // v0
+      Snapshots.deleteVersioned(s, dir, col("k") > 900L) // v1
+
+      // assert on the OPTIMIZED LOGICAL plan (AQE wraps the physical
+      // tree, hiding scans from a naive collect): metadata-only =
+      // zero relation leaves left
+      def scans(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+
+      val agg = s.read.format("graft").load(dir)
+        .agg(count(lit(1)).as("n"), count(col("grp")).as("n_grp"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          min("grp").as("min_g"), max("grp").as("max_g"))
+      assert(scans(agg).isEmpty,
+        s"expected scan-free plan:\n${agg.queryExecution.optimizedPlan}")
+      val r = agg.collect()(0)
+      // 900 live rows; grp non-null for k in 251..900 with k%10!=0 → 585
+      assert(r.getLong(0) == 900L && r.getLong(1) == 585L)
+      assert(r.getLong(2) == 1L && r.getLong(3) == 900L)
+      assert(r.getLong(4) == 1L && r.getLong(5) == 97L)
+
+      // version-pinned: time travel answers from THAT version's manifest
+      val v0 = s.read.format("graft").option("versionAsOf", 0).load(dir)
+        .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+      assert(v0 == 1000L)
+
+      // a FILTER breaks the pattern: the plan scans (and stays exact)
+      val filtered = s.read.format("graft").load(dir)
+        .filter(col("k") <= 100L).agg(count(lit(1)).as("n"))
+      assert(scans(filtered).nonEmpty)
+      assert(filtered.collect()(0).getLong(0) == 100L)
+      // count(DISTINCT) is not a manifest question: scans
+      val dist = s.read.format("graft").load(dir)
+        .agg(countDistinct(col("grp")).as("nd"))
+      assert(scans(dist).nonEmpty)
+
+      // THE pin: delete a live data file from disk — the metadata-only
+      // aggregate still answers (a scan would now be impossible)
+      val victim = Snapshots.liveFiles(dir, 1).head
+      Files.delete(java.nio.file.Paths.get(victim))
+      val after = s.read.format("graft").load(dir)
+        .agg(count(lit(1)).as("n"), max("k").as("max_k")).collect()(0)
+      assert(after.getLong(0) == 900L && after.getLong(1) == 900L)
+
+      // partitioned root: sums across every partition's current version
+      val proot = Files.createTempDirectory("graft_metaagg_p").toString + "/t"
+      PartitionedSnapshots.init(s, proot,
+        (1L to 300L).map(k => (k, s"s${k % 3}")).toDF("k", "part"), "part")
+      val pa = s.read.format("graft").load(proot)
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+      assert(scans(pa).isEmpty)
+      val pr = pa.collect()(0)
+      assert(pr.getLong(0) == 300L && pr.getLong(1) == 1L && pr.getLong(2) == 300L)
     }
   }
 
