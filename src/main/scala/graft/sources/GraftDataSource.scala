@@ -124,6 +124,10 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     if (parameters.contains("metadata"))
       return metadataRelation(sqlContext, path, parameters("metadata"))
     val head = Snapshots.currentVersion(path)
+    HiddenPartitions.specOf(path) match {
+      case Some(t) => return hiddenRelation(sqlContext, path, t, parameters)
+      case None =>
+    }
     if (head < 0 && PartitionedSnapshots.partitions(path).nonEmpty)
       return partitionedRelation(sqlContext, path,
         parameters.getOrElse("partitionCol", "part"), parameters)
@@ -250,6 +254,39 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       options = parameters)(spark)
   }
 
+  /** Hidden (transform) partitioning through the connector: the
+    * partition scheme NEVER surfaces — `partitionSchema` is empty, the
+    * transform source column reads from the data files at full
+    * fidelity, and [[GraftHiddenPartitionedIndex]] maps source-column
+    * predicates through the transform to prune whole directories.
+    */
+  private def hiddenRelation(sqlContext: SQLContext, path: String,
+      transform: GraftTransform,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    require(!parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"),
+      "graft: hidden-partitioned tables time-travel PER PARTITION — " +
+        "use Snapshots.read on the partition dir")
+    val vals = PartitionedSnapshots.partitions(path)
+    val dirs = vals.map(v => v -> PartitionedSnapshots.partitionDir(path, v))
+    dirs.foreach { case (value, d) =>
+      require(Snapshots.currentVersion(d) >= 0,
+        s"graft: partition $value of $path has no log")
+    }
+    val (_, d0) = dirs.head
+    val dataSchema = Snapshots.tableSchema(d0, Snapshots.currentVersion(d0))
+      .getOrElse(spark.read.parquet(
+        Snapshots.liveFiles(d0, Snapshots.currentVersion(d0)): _*).schema)
+    HadoopFsRelation(
+      location = new GraftHiddenPartitionedIndex(spark, path, transform, dirs),
+      partitionSchema = new StructType(),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = parameters)(spark)
+  }
+
   // ---- batch write ------------------------------------------------
 
   /** `df.write.format("graft")`: Overwrite = [[Snapshots.overwriteVersioned]]
@@ -325,9 +362,15 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       org.apache.spark.sql.types.StringType, nullable = false))
   }
 
-  private def isPartitionedRoot(path: String): Boolean =
+  private def isPartitionedRoot(path: String): Boolean = {
+    // hidden-partitioned roots refuse streaming for now: exposing the
+    // derived value as a stream column would leak the hidden layout
+    require(HiddenPartitions.specOf(path).isEmpty,
+      s"graft: streaming a hidden-partitioned table is not supported; " +
+        "stream its partition dirs individually")
     Snapshots.currentVersion(path) < 0 &&
       PartitionedSnapshots.partitions(path).nonEmpty
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,

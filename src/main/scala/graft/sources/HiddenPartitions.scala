@@ -1,0 +1,299 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HIDDEN (transform) PARTITIONING — Iceberg's signature layout idea,
+  * re-expressed over the per-partition snapshot logs (A26): the table
+  * is physically partitioned by a TRANSFORM of a data column —
+  * `day(ts)`, `mod(key, n)`, `truncate(s, w)` — while the column
+  * itself stays IN the data files at full fidelity and the partition
+  * scheme never appears in the schema. Queries filter on the RAW
+  * column; the file index maps those predicates through the transform
+  * to prune whole partition DIRECTORIES on the driver (then per-file
+  * stats prune within survivors). Nobody writes `WHERE part = …` —
+  * the misuse Iceberg calls out in Hive-style layouts, where a user
+  * who forgets the derived column scans everything.
+  *
+  * Layout: the same `part=<value>` dirs as A26, each with its own
+  * snapshot log; the transform spec lives in one root-level
+  * `_graft_part_spec` file, so every reader and writer derives the
+  * same routing. Partition values are pure integer/prefix forms
+  * (epoch DAY number, modulus, prefix) — timezone-free and
+  * URL-encoded by the shared dir naming.
+  *
+  * At 100 TB: directory pruning is O(|partitions|) driver arithmetic
+  * before any file listing; a time-range query over a day-partitioned
+  * events table opens only the matching days' logs. The transform
+  * source column must be non-null (enforced at init/merge — the
+  * null row has no partition home; Iceberg puts them in a null
+  * partition, we refuse loudly instead).
+  */
+sealed trait GraftTransform extends Serializable {
+  protected def column(name: String): Column =
+    org.apache.spark.sql.functions.col(s"`$name`")
+  /** Source data column. */
+  def col: String
+  /** Routing expression: the partition value (as string) of each row. */
+  def valueExpr: Column
+  /** Conservative driver-side test: may partition `value` contain rows
+    * matching `filter`? Unknown shapes must answer true. */
+  def mayContain(value: String, filter: Expression): Boolean = filter match {
+    case And(l, r) => mayContain(value, l) && mayContain(value, r)
+    case Or(l, r)  => mayContain(value, l) || mayContain(value, r)
+    case other     => mayContainLeaf(value, other)
+  }
+  protected def mayContainLeaf(value: String, filter: Expression): Boolean
+  /** Serialized spec-file form. */
+  def encode: String
+}
+
+/** `mod(col, n)` over an integral column: value = col pmod n. The
+  * modulus form of bucketing — deterministic and oracle-reproducible
+  * (a hash bucket spreads skew better but is engine-private; the
+  * pruning contract is identical: equality/IN only). */
+case class ModTransform(col: String, n: Int) extends GraftTransform {
+  require(n >= 2, s"mod transform needs n >= 2 (got $n)")
+  override def valueExpr: Column = pmod(column(col), lit(n.toLong)).cast("string")
+  private def bucketOf(v: Any): Option[String] = v match {
+    case l: Long  => Some(java.lang.Math.floorMod(l, n.toLong).toString)
+    case i: Int   => Some(java.lang.Math.floorMod(i.toLong, n.toLong).toString)
+    case s: Short => bucketOf(s.toLong)
+    case b: Byte  => bucketOf(b.toLong)
+    case _ => None
+  }
+  override protected def mayContainLeaf(value: String,
+      filter: Expression): Boolean = filter match {
+    case EqualTo(a: Attribute, Literal(v, _)) if a.name == col =>
+      bucketOf(v).forall(_ == value)
+    case EqualTo(Literal(v, _), a: Attribute) if a.name == col =>
+      bucketOf(v).forall(_ == value)
+    case EqualNullSafe(a: Attribute, Literal(v, _)) if a.name == col =>
+      v != null && bucketOf(v).forall(_ == value)
+    case In(a: Attribute, vs) if a.name == col &&
+        vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => bucketOf(v).forall(_ == value) }
+    case _ => true
+  }
+  override def encode: String = s"mod\t$col\t$n"
+}
+
+/** `day(col)` over a timestamp column: value = UTC epoch-day number
+  * (pure integer arithmetic on microseconds — no timezone, no
+  * calendar). Range predicates prune: each partition IS a micros
+  * interval, evaluated through the same interval logic as the A27
+  * file stats. */
+case class DayTransform(col: String) extends GraftTransform {
+  private val DayMicros = 86400000000L
+  override def valueExpr: Column =
+    floor(unix_micros(column(col)) / lit(DayMicros)).cast("string")
+  override protected def mayContainLeaf(value: String,
+      filter: Expression): Boolean =
+    value.toLongOption match {
+      case Some(d) =>
+        // the partition's exact micros interval as a synthetic stats
+        // range; timestamp literals are Long micros in catalyst
+        GraftFileIndex.survives(
+          Map(col -> (("L", (d * DayMicros).toString,
+            ((d + 1) * DayMicros - 1).toString))),
+          Map.empty, None, filter)
+      case None => true
+    }
+  override def encode: String = s"day\t$col"
+}
+
+/** `truncate(col, w)` over a string column: value = first `w` chars.
+  * Equality/IN prune by prefix; range predicates prune by prefix
+  * comparison (if the prefixes differ, the full-string order is
+  * decided within the first `w` chars). */
+case class TruncateTransform(col: String, width: Int) extends GraftTransform {
+  require(width >= 1, s"truncate transform needs width >= 1 (got $width)")
+  override def valueExpr: Column = substring(column(col), 1, width)
+  private def pfx(v: Any): Option[String] = v match {
+    case u: UTF8String => Some(u.toString.take(width))
+    case s: String     => Some(s.take(width))
+    case _ => None
+  }
+  override protected def mayContainLeaf(value: String,
+      filter: Expression): Boolean = filter match {
+    case EqualTo(a: Attribute, Literal(v, _)) if a.name == col =>
+      pfx(v).forall(_ == value)
+    case EqualTo(Literal(v, _), a: Attribute) if a.name == col =>
+      pfx(v).forall(_ == value)
+    case In(a: Attribute, vs) if a.name == col &&
+        vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => pfx(v).forall(_ == value) }
+    case GreaterThan(a: Attribute, Literal(v, _)) if a.name == col =>
+      pfx(v).forall(value >= _)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) if a.name == col =>
+      pfx(v).forall(value >= _)
+    case LessThan(a: Attribute, Literal(v, _)) if a.name == col =>
+      pfx(v).forall(value <= _)
+    case LessThanOrEqual(a: Attribute, Literal(v, _)) if a.name == col =>
+      pfx(v).forall(value <= _)
+    case _ => true
+  }
+  override def encode: String = s"truncate\t$col\t$width"
+}
+
+object HiddenPartitions {
+
+  private def column(name: String) = org.apache.spark.sql.functions.col(s"`$name`")
+
+  private def specPath(path: String) = Paths.get(path, "_graft_part_spec")
+
+  /** The root's transform spec, if this is a hidden-partitioned table. */
+  def specOf(path: String): Option[GraftTransform] = {
+    val p = specPath(path)
+    if (!Files.exists(p)) return None
+    val parts = new String(Files.readAllBytes(p), "UTF-8").trim.split("\t")
+    parts match {
+      case Array("mod", c, n)      => Some(ModTransform(c, n.toInt))
+      case Array("day", c)         => Some(DayTransform(c))
+      case Array("truncate", c, w) => Some(TruncateTransform(c, w.toInt))
+      case other => throw new IllegalStateException(
+        s"graft: unreadable partition spec at $p: ${other.mkString("/")}")
+    }
+  }
+
+  private def requireNoNulls(df: DataFrame, c: String): Unit =
+    require(df.filter(column(c).isNull).isEmpty,
+      s"graft: hidden-partition source column '$c' must be non-null " +
+        "(a null row has no partition home)")
+
+  /** Initialize a hidden-partitioned table: route `df` by the
+    * transform, KEEPING the source column in the data files, open a
+    * snapshot log per partition, and record the spec at the root. */
+  def init(spark: SparkSession, path: String, df: DataFrame,
+      transform: GraftTransform): Seq[String] = {
+    require(PartitionedSnapshots.partitions(path).isEmpty &&
+      specOf(path).isEmpty, s"$path already initialized")
+    require(df.columns.contains(transform.col),
+      s"graft: transform column '${transform.col}' not in ${df.columns.mkString(", ")}")
+    require(!df.columns.contains("part"),
+      "graft: a column named 'part' collides with the partition dirs")
+    requireNoNulls(df, transform.col)
+    df.withColumn("part", transform.valueExpr)
+      .write.partitionBy("part").parquet(path)
+    Files.write(specPath(path), transform.encode.getBytes("UTF-8"))
+    val vals = PartitionedSnapshots.partitions(path)
+    vals.foreach(v => Snapshots.init(spark,
+      PartitionedSnapshots.partitionDir(path, v)))
+    vals
+  }
+
+  /** Keyed merge routed by the transform: each batch slice lands in
+    * its partition's own log (new values bootstrap a new dir), same
+    * contract as [[PartitionedSnapshots.mergePartitioned]]. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String): Map[String, Int] = {
+    val t = specOf(path).getOrElse(throw new IllegalArgumentException(
+      s"$path is not a hidden-partitioned table"))
+    requireNoNulls(updates, t.col)
+    val existing = PartitionedSnapshots.partitions(path).toSet
+    val touched = updates.withColumn("__part", t.valueExpr)
+      .select("__part").distinct().collect().map(_.getString(0))
+    touched.sorted.map { v =>
+      val slice = updates.filter(t.valueExpr === v)
+      val dir = PartitionedSnapshots.partitionDir(path, v)
+      if (!existing.contains(v)) {
+        Files.createDirectories(Paths.get(dir))
+        val stage = dir + "/init"
+        slice.write.parquet(stage)
+        val st = Files.list(Paths.get(stage))
+        try st.iterator.asScala.filter(_.toString.endsWith(".parquet"))
+          .foreach(p => Files.move(p,
+            Paths.get(dir, p.getFileName.toString)))
+        finally st.close()
+        val walk = Files.walk(Paths.get(stage))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+        v -> Snapshots.init(spark, dir)
+      } else v -> Snapshots.mergeVersioned(spark, dir, slice, keyCol)
+    }.toMap
+  }
+
+  /** Read the whole table at each partition's current version (the
+    * connector is the pruning path; this is the library convenience). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val vals = PartitionedSnapshots.partitions(path)
+    require(vals.nonEmpty, s"$path has no partitions")
+    vals.map(v => Snapshots.read(spark,
+        PartitionedSnapshots.partitionDir(path, v)))
+      .reduce(_.unionByName(_))
+  }
+}
+
+/** [[GraftPartitionedFileIndex]]'s HIDDEN twin: `partitionSchema` is
+  * EMPTY (the layout never surfaces in the schema), so every predicate
+  * arrives as a data filter; the transform maps source-column
+  * predicates to whole-directory prunes, then the A27 per-file stats
+  * prune within surviving partitions. Driver cost: O(|partitions|)
+  * arithmetic + surviving files' statuses only.
+  */
+class GraftHiddenPartitionedIndex(spark: SparkSession, path: String,
+    transform: GraftTransform, dirs: Seq[(String, String)])
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+
+  import org.apache.hadoop.fs.Path
+  import org.apache.spark.sql.execution.datasources.PartitionDirectory
+
+  private[graft] def tablePath: String = path
+  private[graft] def partitionDirs: Seq[(String, String)] = dirs
+
+  private val parts: Seq[(String, Seq[String],
+      Map[String, Map[String, (String, String, String)]],
+      Map[String, Map[String, Long]], Map[String, Long])] =
+    dirs.map { case (value, d) =>
+      val v = Snapshots.currentVersion(d)
+      (value, Snapshots.liveFiles(d, v).map(Snapshots.canonical),
+        Snapshots.fileStats(d, v), Snapshots.fileNulls(d, v),
+        Snapshots.fileRows(d, v))
+    }
+
+  private lazy val statusesOf: Map[String, Seq[org.apache.hadoop.fs.FileStatus]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    parts.map { case (value, files, _, _, _) =>
+      value -> files.map { f =>
+        val p = new Path(f)
+        p.getFileSystem(conf).getFileStatus(p)
+      }
+    }.toMap
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(path))
+  override def partitionSchema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+  override def refresh(): Unit = {
+    val strays = dirs.flatMap { case (_, d) => Snapshots.strayFiles(d) }
+    if (strays.nonEmpty) throw new IllegalStateException(
+      s"graft: ${strays.size} file(s) were written into $path behind the " +
+        "per-partition snapshot logs (a direct file INSERT?); write through " +
+        "HiddenPartitions or the graft extensions instead.")
+  }
+  override def inputFiles: Array[String] = parts.flatMap(_._2).toArray
+  override lazy val sizeInBytes: Long =
+    parts.flatMap(_._2).map(f => Files.size(Paths.get(f))).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    parts.collect { case (value, _, stats, pNulls, pRows)
+        if dataFilters.forall(transform.mayContain(value, _)) =>
+      val kept = statusesOf(value).filter { st =>
+        val f = Snapshots.canonical(st.getPath.toString)
+        val fileStat = stats.getOrElse(f, Map.empty)
+        dataFilters.forall(e => GraftFileIndex.survives(fileStat,
+          pNulls.getOrElse(f, Map.empty), pRows.get(f), e))
+      }
+      PartitionDirectory(InternalRow.empty, kept.toArray)
+    }
+  }
+}

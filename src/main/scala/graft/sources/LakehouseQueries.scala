@@ -999,6 +999,51 @@ object LakehouseQueries {
       |  min(o_totalprice), max(o_totalprice)
       |FROM orders""".stripMargin
 
+  /** HIDDEN (transform) PARTITIONING end-to-end (r9 — Iceberg's
+    * signature layout over the A26 per-partition logs): orders lands
+    * mod(o_orderkey, 8)-partitioned with the key column kept at full
+    * fidelity in the data files and NO partition column in the schema;
+    * a merge wave routes by the transform into the touched residues'
+    * own logs. The result reads back per-residue aggregates (broad
+    * routing correctness) AND an IN-list probe that goes through the
+    * connector's transform-pruned path — a row misrouted to the wrong
+    * directory vanishes from the probe and breaks the hash.
+    * HiddenPartitionSpec pins the pruning itself (numFiles) plus the
+    * day/truncate transforms.
+    */
+  def qLakeHiddenPart(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val root = tempDir("graft_hidden_q") + "/t"
+    HiddenPartitions.init(s, root, b, ModTransform("o_orderkey", 8))
+    HiddenPartitions.merge(s, root,
+      b.filter(col("o_orderkey") % 16 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)),
+      "o_orderkey")
+    val df = s.read.format("graft").load(root)
+    val agg = df
+      .groupBy(pmod(col("o_orderkey"), lit(8L)).cast("long").as("residue"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(concat(lit("residue_"), col("residue")).as("slice"),
+        col("n"), col("total"))
+    val probe = df.filter(col("o_orderkey").isin((1L to 64L): _*))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(lit("probe").as("slice"), col("n"), col("total"))
+    agg.unionByName(probe)
+  }
+
+  val qLakeHiddenPartSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 16 = 0
+      |      THEN round(o_totalprice * 2, 2) ELSE o_totalprice END AS price
+      |  FROM orders)
+      |SELECT 'residue_' || (o_orderkey % 8) AS slice, count(*) AS n,
+      |  round(sum(price), 2) AS total
+      |FROM t GROUP BY o_orderkey % 8
+      |UNION ALL
+      |SELECT 'probe', count(*), round(sum(price), 2)
+      |FROM t WHERE o_orderkey BETWEEN 1 AND 64""".stripMargin
+
   /** A37 — tags + write-audit-publish end-to-end: pin v0 under a tag,
     * cut a branch, stage a merge wave (updates keys ≡ 0 mod 13,
     * inserts negated keys ≡ 0 mod 19) and a delete (keys ≡ 0 mod 17)
@@ -1306,6 +1351,7 @@ object LakehouseQueries {
     "q_lake_cdf_stream" -> (qLakeCdfStream(_, _)),
     "q_lake_part_stream" -> (qLakePartStream(_, _)),
     "q_lake_meta_agg" -> (qLakeMetaAgg(_, _)),
+    "q_lake_hidden_part" -> (qLakeHiddenPart(_, _)),
     "q_lake_catalog_part" -> (qLakeCatalogPart(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -1338,5 +1384,6 @@ object LakehouseQueries {
     "q_lake_cdf_stream" -> qLakeCdfStreamSql,
     "q_lake_part_stream" -> qLakePartStreamSql,
     "q_lake_meta_agg" -> qLakeMetaAggSql,
+    "q_lake_hidden_part" -> qLakeHiddenPartSql,
     "q_lake_catalog_part" -> qLakeCatalogPartSql)
 }

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DayTransform, HiddenPartitions, ModTransform, Snapshots, TruncateTransform}
+
+/** Hidden (transform) partitioning: queries filter the RAW column;
+  * directories prune through the transform; the layout never appears
+  * in the schema.
+  */
+class HiddenPartitionSpec extends GraftSuite {
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("mod transform: equality on the raw key prunes to one partition") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_mod").toString + "/t"
+    HiddenPartitions.init(spark, root,
+      (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "payload"),
+      ModTransform("k", 8))
+    val df = spark.read.format("graft").load(root)
+    // the layout is HIDDEN: schema is exactly the data columns
+    assert(df.columns.toSeq == Seq("k", "payload"))
+    // full scan sees every partition's file(s)
+    val total = scannedFiles(df)
+    assert(total >= 8)
+    // equality on the raw key: at most one partition's files survive
+    // (per-file stats prune further WITHIN the partition)
+    val one = df.filter(col("k") === 437L)
+    val oneFiles = scannedFiles(one)
+    assert(oneFiles <= total / 8 && oneFiles >= 1)
+    assert(one.select("payload").head().getString(0) == "v437")
+    // IN over two residues: at most two partitions
+    val two = df.filter(col("k").isin(437L, 438L))
+    val twoFiles = scannedFiles(two)
+    assert(twoFiles <= total / 4 && twoFiles >= 1)
+    // a non-prunable predicate still answers exactly
+    assert(df.filter(col("payload") === "v7").count() == 1)
+
+    // merge routes by the transform; untouched partitions keep their
+    // version (maintenance cost tracks the touched residues)
+    val before = graft.sources.PartitionedSnapshots.versions(root)
+    HiddenPartitions.merge(spark, root,
+      Seq((437L, "UPD")).toDF("k", "payload"), "k")
+    val after = graft.sources.PartitionedSnapshots.versions(root)
+    assert(after("5") == before("5") + 1) // 437 % 8 = 5
+    assert(after.filter(_._1 != "5") == before.filter(_._1 != "5"))
+    assert(spark.read.format("graft").load(root)
+      .filter(col("k") === 437L).select("payload").head().getString(0) == "UPD")
+  }
+
+  test("day transform: a time-range filter on the raw timestamp prunes to matching days") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_day").toString + "/t"
+    // three UTC days, 8 events each, with full time-of-day fidelity
+    val rows = for (d <- 0 until 3; h <- 0 until 8) yield
+      (d * 8 + h.toLong,
+        java.sql.Timestamp.from(java.time.Instant.parse(
+          f"2024-03-0${d + 5}T$h%02d:30:15Z")))
+    // one file per day partition → exact file-count arithmetic below
+    HiddenPartitions.init(spark, root, rows.toDF("id", "ts").coalesce(1),
+      DayTransform("ts"))
+    val df = spark.read.format("graft").load(root)
+    assert(df.columns.toSeq == Seq("id", "ts"))
+    val total = scannedFiles(df)
+    // the raw column keeps its time-of-day (nothing truncated)
+    assert(df.filter(col("id") === 1L).select(date_format(col("ts"),
+      "HH:mm:ss")).head().getString(0) == "01:30:15")
+    // one-day range: only that day's partition scans
+    val day2 = df.filter(col("ts") >= lit("2024-03-06 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-03-07 00:00:00").cast("timestamp"))
+    assert(scannedFiles(day2) == total / 3)
+    assert(day2.count() == 8)
+    // a range spanning two days keeps exactly two partitions
+    val span = df.filter(col("ts") >= lit("2024-03-06 04:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-03-08 00:00:00").cast("timestamp"))
+    assert(scannedFiles(span) == 2 * total / 3)
+    assert(span.count() == 4 + 8)
+  }
+
+  test("truncate transform: prefix equality and string ranges prune") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_tr").toString + "/t"
+    val rows = for (p <- Seq("aa", "bb", "cc"); i <- 1 to 5) yield
+      (s"$p-key-$i", p.head.toLong * 100 + i)
+    HiddenPartitions.init(spark, root, rows.toDF("name", "x").coalesce(1),
+      TruncateTransform("name", 2))
+    val df = spark.read.format("graft").load(root)
+    val total = scannedFiles(df)
+    // equality prunes to the matching prefix partition
+    val eq = df.filter(col("name") === "bb-key-3")
+    assert(scannedFiles(eq) == total / 3)
+    assert(eq.select("x").head().getLong(0) == 'b'.toLong * 100 + 3)
+    // string range: name >= "bb" keeps bb and cc, drops aa
+    val ge = df.filter(col("name") >= "bb")
+    assert(scannedFiles(ge) == 2 * total / 3)
+    assert(ge.count() == 10)
+  }
+
+  test("null transform column refuses; streaming a hidden root refuses") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_nul").toString + "/t"
+    intercept[IllegalArgumentException] {
+      HiddenPartitions.init(spark, root,
+        Seq((Some(1L), "a"), (None, "b")).map { case (k, v) =>
+          (k.map(java.lang.Long.valueOf).orNull, v) }.toDF("k", "payload"),
+        ModTransform("k", 4))
+    }
+    val ok = Files.createTempDirectory("graft_hidden_ok").toString + "/t"
+    HiddenPartitions.init(spark, ok,
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "payload"),
+      ModTransform("k", 4))
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft").option("keyCol", "k").load(ok)
+    }
+  }
+}
