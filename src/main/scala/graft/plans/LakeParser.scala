@@ -526,6 +526,29 @@ object GraftDmlRules {
       "by design — write through PartitionedSnapshots (merge/compact/" +
       "zorder take the partition value) or target one partition's own dir")
 
+  /** A49 hidden-partitioned tables: (root, transform, (value, dir)). */
+  private def hiddenInfo(plan: LogicalPlan):
+      Option[(String, graft.sources.GraftTransform, Seq[(String, String)])] =
+    plan match {
+      case SubqueryAlias(_, child) => hiddenInfo(child)
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case g: graft.sources.GraftHiddenPartitionedIndex =>
+            Some((g.tablePath,
+              graft.sources.HiddenPartitions.specOf(g.tablePath).get,
+              g.partitionDirs))
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def refuseHidden(): Nothing =
+    refuse("this DML form on a HIDDEN-partitioned graft table routes " +
+      "through the transform — use HiddenPartitions.merge, or target " +
+      "one partition's own dir")
+
   private def conjunctsOf(e: org.apache.spark.sql.catalyst.expressions.Expression):
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -588,6 +611,74 @@ object GraftDmlRules {
     // column lives in the dir name, not the files), and each partition
     // commits through its own log. INSERT still refuses (row routing
     // by value is mergePartitioned's job — use MERGE).
+    // A49 hidden roots: the transform prunes directories from the
+    // predicate's RESOLVED conjuncts; each surviving partition runs
+    // the predicate UNCHANGED through its own log (the source column
+    // lives in the data files — no value binding needed). SET of the
+    // transform column refuses (row movement); MERGE star-upsert
+    // routes through HiddenPartitions.merge.
+    case DeleteFromTable(t, cond) if hiddenInfo(t).isDefined =>
+      val (_, transform, parts) = hiddenInfo(t).get
+      val aliases = aliasesOf(t)
+      val cs = conjunctsOf(cond)
+      val predSql = bareSql(cond, aliases)
+      LakeMaintenanceCommand("partitions", s => {
+        val keep = parts.filter { case (value, _) =>
+          cs.forall(transform.mayContain(value, _)) }
+        keep.foreach { case (_, dir) =>
+          Snapshots.deleteVersioned(s, dir, expr(predSql)) }
+        keep.size.toLong
+      })
+    case UpdateTable(t, assignments, cond) if hiddenInfo(t).isDefined =>
+      val (_, transform, parts) = hiddenInfo(t).get
+      val aliases = aliasesOf(t)
+      val assigns = assignments.map { a =>
+        val n = nameOf(a.key, aliases).getOrElse(
+          refuse("UPDATE assignment target must be a bare (top-level) column"))
+        if (n == transform.col) refuse("UPDATE may not SET the hidden " +
+          "partition transform's source column (row movement between " +
+          "partitions) — use HiddenPartitions.merge")
+        n -> bareSql(a.value, aliases)
+      }
+      val cs = cond.map(conjunctsOf).getOrElse(Seq.empty)
+      val predSql = cond.map(bareSql(_, aliases)).getOrElse("true")
+      LakeMaintenanceCommand("partitions", s => {
+        val keep = parts.filter { case (value, _) =>
+          cs.forall(transform.mayContain(value, _)) }
+        keep.foreach { case (_, dir) =>
+          Snapshots.updateVersioned(s, dir, expr(predSql),
+            assigns.map { case (n, v) => n -> expr(v) }) }
+        keep.size.toLong
+      })
+    case m: MergeIntoTable if hiddenInfo(m.targetTable).isDefined =>
+      val (path, _, _) = hiddenInfo(m.targetTable).get
+      val aliases = aliasesOf(m.targetTable) ++ aliasesOf(m.sourceTable)
+      val targetCols = outputCols(m.targetTable)
+      val keyCol = m.mergeCondition match {
+        case EqualTo(l, r) => (nameOf(l, aliases), nameOf(r, aliases)) match {
+          case (Some(a), Some(b)) if a == b => a
+          case _ => refuseHidden()
+        }
+        case _ => refuseHidden()
+      }
+      if (isUpdateStar(m.matchedActions, targetCols, aliases) &&
+          isInsertStar(m.notMatchedActions, targetCols, aliases) &&
+          m.notMatchedBySourceActions.isEmpty) {
+        val source = ResolveGraftPath.rewrite(m.sourceTable)
+        LakeMaintenanceCommand("partitions", s =>
+          graft.sources.HiddenPartitions.merge(s, path,
+            org.apache.spark.sql.GraftSqlInternals.ofRows(s, source),
+            keyCol).size.toLong)
+      } else refuseHidden()
+    case i: InsertIntoStatement if hiddenInfo(i.table).isDefined =>
+      refuseHidden()
+    // the catalog-name INSERT on a hidden root arrives PLANNED: with
+    // an empty partitionSchema it would write raw parquet into the
+    // ROOT — invisible to every read. Refuse before it writes.
+    case i: InsertIntoHadoopFsRelationCommand
+        if i.fileIndex.exists(
+          _.isInstanceOf[graft.sources.GraftHiddenPartitionedIndex]) =>
+      refuseHidden()
     case DeleteFromTable(t, cond) if partInfo(t).isDefined =>
       val (_, partCol, parts) = partInfo(t).get
       val aliases = aliasesOf(t)

@@ -36,6 +36,42 @@ import org.apache.spark.unsafe.types.UTF8String
   * null row has no partition home; Iceberg puts them in a null
   * partition, we refuse loudly instead).
   */
+/** A literal, possibly wrapped in foldable casts — the pre-optimizer
+  * shape DML predicates carry (type coercion inserts `CAST(437 AS
+  * BIGINT)`; constant folding hasn't run yet at resolution time). */
+/** The transform's source attribute, possibly under an IDENTITY or
+  * integral-WIDENING cast (UpdateTable resolution wraps the column in
+  * `cast(k as bigint)` even when k already is one). Narrowing casts
+  * are NOT stripped — an overflowed value buckets differently. */
+private[sources] object SrcAttr {
+  private def rank(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4
+      case _ => -1
+    }
+  }
+  def unapply(e: Expression): Option[Attribute] = e match {
+    case a: Attribute => Some(a)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.child.dataType == c.dataType ||
+          (rank(c.child.dataType) > 0 &&
+            rank(c.child.dataType) <= rank(c.dataType)) =>
+      unapply(c.child)
+    case _ => None
+  }
+}
+
+private[sources] object FoldedLit {
+  def unapply(e: Expression): Option[Any] = e match {
+    case Literal(v, _) => Option(v)
+    case _ if e.foldable && e.deterministic =>
+      try Option(e.eval(InternalRow.empty)) catch { case _: Exception => None }
+    case _ => None
+  }
+}
+
 sealed trait GraftTransform extends Serializable {
   protected def column(name: String): Column =
     org.apache.spark.sql.functions.col(s"`$name`")
@@ -71,15 +107,15 @@ case class ModTransform(col: String, n: Int) extends GraftTransform {
   }
   override protected def mayContainLeaf(value: String,
       filter: Expression): Boolean = filter match {
-    case EqualTo(a: Attribute, Literal(v, _)) if a.name == col =>
+    case EqualTo(SrcAttr(a), FoldedLit(v)) if a.name == col =>
       bucketOf(v).forall(_ == value)
-    case EqualTo(Literal(v, _), a: Attribute) if a.name == col =>
+    case EqualTo(FoldedLit(v), SrcAttr(a)) if a.name == col =>
       bucketOf(v).forall(_ == value)
-    case EqualNullSafe(a: Attribute, Literal(v, _)) if a.name == col =>
-      v != null && bucketOf(v).forall(_ == value)
-    case In(a: Attribute, vs) if a.name == col &&
-        vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, _) => bucketOf(v).forall(_ == value) }
+    case EqualNullSafe(SrcAttr(a), FoldedLit(v)) if a.name == col =>
+      bucketOf(v).forall(_ == value)
+    case In(SrcAttr(a), vs) if a.name == col &&
+        vs.forall(FoldedLit.unapply(_).isDefined) =>
+      vs.exists { case FoldedLit(v) => bucketOf(v).forall(_ == value) }
     case _ => true
   }
   override def encode: String = s"mod\t$col\t$n"
@@ -99,11 +135,20 @@ case class DayTransform(col: String) extends GraftTransform {
     value.toLongOption match {
       case Some(d) =>
         // the partition's exact micros interval as a synthetic stats
-        // range; timestamp literals are Long micros in catalyst
+        // range; timestamp literals are Long micros in catalyst.
+        // Identity casts (UpdateTable resolution wraps the column) and
+        // foldable literal wrappers simplify first, or the stats
+        // matcher's Attribute/Literal patterns miss.
+        val simplified = filter.transform {
+          case c: org.apache.spark.sql.catalyst.expressions.Cast
+              if c.child.dataType == c.dataType => c.child
+          case e @ FoldedLit(v) if !e.isInstanceOf[Literal] &&
+              e.children.nonEmpty => Literal.create(v, e.dataType)
+        }
         GraftFileIndex.survives(
           Map(col -> (("L", (d * DayMicros).toString,
             ((d + 1) * DayMicros - 1).toString))),
-          Map.empty, None, filter)
+          Map.empty, None, simplified)
       case None => true
     }
   override def encode: String = s"day\t$col"
@@ -123,20 +168,20 @@ case class TruncateTransform(col: String, width: Int) extends GraftTransform {
   }
   override protected def mayContainLeaf(value: String,
       filter: Expression): Boolean = filter match {
-    case EqualTo(a: Attribute, Literal(v, _)) if a.name == col =>
+    case EqualTo(SrcAttr(a), FoldedLit(v)) if a.name == col =>
       pfx(v).forall(_ == value)
-    case EqualTo(Literal(v, _), a: Attribute) if a.name == col =>
+    case EqualTo(FoldedLit(v), SrcAttr(a)) if a.name == col =>
       pfx(v).forall(_ == value)
-    case In(a: Attribute, vs) if a.name == col &&
-        vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, _) => pfx(v).forall(_ == value) }
-    case GreaterThan(a: Attribute, Literal(v, _)) if a.name == col =>
+    case In(SrcAttr(a), vs) if a.name == col &&
+        vs.forall(FoldedLit.unapply(_).isDefined) =>
+      vs.exists { case FoldedLit(v) => pfx(v).forall(_ == value) }
+    case GreaterThan(SrcAttr(a), FoldedLit(v)) if a.name == col =>
       pfx(v).forall(value >= _)
-    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) if a.name == col =>
+    case GreaterThanOrEqual(SrcAttr(a), FoldedLit(v)) if a.name == col =>
       pfx(v).forall(value >= _)
-    case LessThan(a: Attribute, Literal(v, _)) if a.name == col =>
+    case LessThan(SrcAttr(a), FoldedLit(v)) if a.name == col =>
       pfx(v).forall(value <= _)
-    case LessThanOrEqual(a: Attribute, Literal(v, _)) if a.name == col =>
+    case LessThanOrEqual(SrcAttr(a), FoldedLit(v)) if a.name == col =>
       pfx(v).forall(value <= _)
     case _ => true
   }
@@ -273,7 +318,18 @@ class GraftHiddenPartitionedIndex(spark: SparkSession, path: String,
   override def partitionSchema: org.apache.spark.sql.types.StructType =
     new org.apache.spark.sql.types.StructType()
   override def refresh(): Unit = {
-    val strays = dirs.flatMap { case (_, d) => Snapshots.strayFiles(d) }
+    // with an EMPTY partitionSchema a raw file insert lands parquet in
+    // the ROOT (no partition routing) — check there too, or the rows
+    // silently vanish from every read (defense for sessions without
+    // the extensions, whose DML rule refuses the insert up front)
+    val rootStrays = {
+      val s = Files.list(Paths.get(path))
+      try s.iterator.asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toList
+      finally s.close()
+    }
+    val strays = rootStrays ++
+      dirs.flatMap { case (_, d) => Snapshots.strayFiles(d) }
     if (strays.nonEmpty) throw new IllegalStateException(
       s"graft: ${strays.size} file(s) were written into $path behind the " +
         "per-partition snapshot logs (a direct file INSERT?); write through " +

@@ -651,6 +651,61 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("r9: ANSI DML on a HIDDEN-partitioned table routes through the transform") {
+    withExtSession { s =>
+      import s.implicits._
+      val root = Files.createTempDirectory("graft_hidden_dml").toString + "/t"
+      graft.sources.HiddenPartitions.init(s, root,
+        (1L to 400L).map(k => (k, s"v$k")).toDF("k", "payload"),
+        graft.sources.ModTransform("k", 4))
+      s.sql("DROP TABLE IF EXISTS hp")
+      s.sql(s"CREATE TABLE hp USING graft OPTIONS (path '$root')")
+      def versions = graft.sources.PartitionedSnapshots.versions(root)
+
+      // DELETE with a prunable equality: ONLY residue 1 commits
+      val before = versions
+      assert(s.sql("DELETE FROM hp WHERE k = 437").head().getLong(0) == 1L)
+      assert(versions("1") == before("1") + 1)
+      assert(versions.filter(_._1 != "1") == before.filter(_._1 != "1"))
+      // (key 437 doesn't exist — the commit is the pruned attempt)
+      // the session catalog caches the resolved relation (old file
+      // list) — refresh after every out-of-band commit, like any
+      // external-writer flow
+      s.catalog.refreshTable("hp")
+      assert(s.table("hp").count() == 400)
+
+      // UPDATE with an IN over one residue: one partition commits,
+      // rows change exactly
+      val b2 = versions
+      assert(s.sql("UPDATE hp SET payload = 'X' WHERE k IN (2, 6)")
+        .head().getLong(0) == 1L)
+      assert(versions("2") == b2("2") + 1)
+      s.catalog.refreshTable("hp")
+      assert(s.table("hp").filter(col("payload") === "X").count() == 2)
+
+      // SET of the transform source column refuses (row movement)
+      val eSet = intercept[Exception] {
+        s.sql("UPDATE hp SET k = k + 1 WHERE k = 3")
+      }
+      assert(eSet.getMessage.contains("transform"), eSet.getMessage)
+      // INSERT refuses loudly (no silent raw-root write); rows intact
+      intercept[Exception] { s.sql("INSERT INTO hp VALUES (999, 'Z')") }
+      s.catalog.refreshTable("hp")
+      assert(s.table("hp").count() == 400)
+      // MERGE star-upsert routes through HiddenPartitions.merge
+      (1L to 3L).map(k => (k * 100 + 1, "M")).toDF("k", "payload")
+        .createOrReplaceTempView("hp_src")
+      s.sql("""MERGE INTO hp t USING hp_src s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.catalog.refreshTable("hp")
+      assert(s.table("hp").filter(col("payload") === "M").count() == 3)
+      assert(s.table("hp").filter(col("k") === 101L)
+        .select("payload").head().getString(0) == "M")
+      s.sql("DROP TABLE IF EXISTS hp")
+    }
+  }
+
   test("A44 ANSI DML by catalog NAME: the post-hoc rule routes all four verbs") {
     withExtSession { s =>
       val dir = stageDml(s, "graft_ansi_cat")
