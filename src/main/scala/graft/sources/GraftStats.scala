@@ -51,6 +51,8 @@ class GraftStatsRule extends Rule[LogicalPlan] {
             GraftStats.catalogStats(g.tablePath, g.tableVersion)
           case g: GraftPartitionedFileIndex =>
             GraftStats.partitionedCatalogStats(g.partitionDirs)
+          case g: GraftHiddenPartitionedIndex =>
+            GraftStats.partitionedCatalogStats(g.partitionDirs)
           case _ => None
         }
         case _ => None
@@ -212,6 +214,8 @@ class GraftMetaAggRule extends Rule[LogicalPlan] {
       case h: HadoopFsRelation => h.location match {
         case g: GraftFileIndex => Some(Seq(g.tablePath -> g.tableVersion))
         case g: GraftPartitionedFileIndex => Some(g.partitionDirs.map {
+          case (_, d) => d -> Snapshots.currentVersion(d) })
+        case g: GraftHiddenPartitionedIndex => Some(g.partitionDirs.map {
           case (_, d) => d -> Snapshots.currentVersion(d) })
         case _ => None
       }

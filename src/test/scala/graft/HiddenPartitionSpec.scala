@@ -106,6 +106,24 @@ class HiddenPartitionSpec extends GraftSuite {
     assert(ge.count() == 10)
   }
 
+  test("metadata-only aggregates and manifest stats compose with hidden roots") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_meta").toString + "/t"
+    HiddenPartitions.init(spark, root,
+      (1L to 600L).map(k => (k, k * 2)).toDF("k", "x"),
+      ModTransform("k", 4))
+    // needs the extensions (optimizer rule) — sibling session
+    val s = graft.plans.GraftSessions.withExtensions(spark)
+    val agg = s.read.format("graft").load(root)
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+        max("x").as("max_x"))
+    assert(agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.isEmpty, "expected the hidden-root aggregate to answer from manifests")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 600L && r.getLong(1) == 1L && r.getLong(2) == 1200L)
+  }
+
   test("null transform column refuses; streaming a hidden root refuses") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_hidden_nul").toString + "/t"
