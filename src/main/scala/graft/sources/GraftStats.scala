@@ -245,7 +245,10 @@ class GraftMetaAggRule extends Rule[LogicalPlan] {
       tables: Seq[(String, Int)]): Option[Any] = ne match {
     case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
       fn match {
-        case Count(Seq(Literal(_, _))) => totalRows(tables)
+        // count(*) / count(1); count(NULL) is NOT a row count — it
+        // counts non-null evaluations, i.e. zero
+        case Count(Seq(Literal(v, _))) if v != null => totalRows(tables)
+        case Count(Seq(Literal(null, _))) => Some(0L)
         case Count(Seq(a: AttributeReference)) =>
           for (r <- totalRows(tables); n <- totalNulls(tables, a.name))
             yield r - n

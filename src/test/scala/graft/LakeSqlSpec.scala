@@ -630,6 +630,9 @@ class LakeSqlSpec extends GraftSuite {
       val dist = s.read.format("graft").load(dir)
         .agg(countDistinct(col("grp")).as("nd"))
       assert(scans(dist).nonEmpty)
+      // count(NULL) counts non-null evaluations — zero, not row count
+      assert(s.read.format("graft").load(dir)
+        .agg(count(lit(null)).as("n")).collect()(0).getLong(0) == 0L)
 
       // THE pin: delete a live data file from disk — the metadata-only
       // aggregate still answers (a scan would now be impossible)
