@@ -582,6 +582,63 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("r9: CBO composition — join order follows manifest cardinalities; native ANALYZE TABLE coexists") {
+    withExtSession { s =>
+      import s.implicits._
+      def mkTable(name: String, n: Long, pay: Int): String = {
+        val dir = Files.createTempDirectory(s"graft_cboj_$name").toString + "/t"
+        (1L to n).map(k => (k, "p" * pay)).toDF("k", s"${name}_pay")
+          .repartitionByRange(2, col("k")).write.parquet(dir)
+        Snapshots.init(s, dir)
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        s.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$dir', keyCol 'k')")
+        s.sql(s"GRAFT ANALYZE '$dir'")
+        dir
+      }
+      // fact 80k rows; dim_big 40k; dim_small 200 — a join written in
+      // the WORST order (fact⋈big first)
+      mkTable("cboj_fact", 80000L, 8)
+      mkTable("cboj_big", 40000L, 8)
+      mkTable("cboj_small", 200L, 8)
+      try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val q = s.table("cboj_fact")
+          .join(s.table("cboj_big"), "k")
+          .join(s.table("cboj_small"), "k")
+        // with manifest-fed cardinalities, CBO reorders to join the
+        // 200-row dim against the fact FIRST (smallest intermediate)
+        val joins = q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+        assert(joins.size == 2)
+        val innerTables = joins.last.collectLeaves().flatMap {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.catalogTable.map(_.identifier.table)
+          case _ => None
+        }
+        assert(innerTables.toSet == Set("cboj_fact", "cboj_small"),
+          s"expected the selective dim joined first, got $innerTables")
+        assert(q.count() == 200)
+
+        // Spark's NATIVE ANALYZE TABLE coexists: once the user stores
+        // catalog stats the hard way, the rule defers to them
+        s.sql("ANALYZE TABLE cboj_small COMPUTE STATISTICS FOR ALL COLUMNS")
+        val cat = s.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("cboj_small"))
+        assert(cat.stats.exists(_.rowCount.contains(BigInt(200))))
+        assert(s.table("cboj_small").queryExecution.optimizedPlan
+          .stats.rowCount.contains(BigInt(200)))
+      } finally {
+        s.conf.unset("spark.sql.cbo.enabled")
+        s.conf.unset("spark.sql.cbo.joinReorder.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        Seq("cboj_fact", "cboj_big", "cboj_small").foreach(t =>
+          s.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+    }
+  }
+
   test("r9: metadata-only aggregates — count/min/max answer from the manifest, scan-free") {
     withExtSession { s =>
       import s.implicits._
