@@ -47,6 +47,7 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT DESCRIBE DETAIL '<path>'
   *   GRAFT CHECKPOINT '<path>'         -- materialize head as full
   *   GRAFT ANALYZE '<path>'       -- r9: versioned NDV for the CBO
+  *   GRAFT ANALYZE '<path>' WITH HISTOGRAM  -- + equi-height bins
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -124,6 +125,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // ANALYZE: flat table → the version analyzed; a PARTITIONED root
       // (no log of its own, part= subdirs each with one) → every
       // partition analyzed, returns the partition count
+      case AnalyzeHist(p) => LakeMaintenanceCommand("analyzed", s =>
+        Snapshots.analyzeTable(s, p, histogram = true).toLong)
       case Analyze(p) => LakeMaintenanceCommand("analyzed", s => {
         if (Snapshots.currentVersion(p) >= 0) Snapshots.analyzeTable(s, p).toLong
         else {
@@ -220,6 +223,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*;?\s*""".r
+  private val AnalyzeHist =
+    """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s+WITH\s+HISTOGRAM\s*;?\s*""".r
 
   /** Split a SET clause on TOP-LEVEL commas only — `f(a, b)` in an
     * assignment expression must not split (paren depth + string

@@ -85,10 +85,19 @@ object GraftStats {
     val ndv: Map[String, Long] =
       Snapshots.ndvRecord(path, v).map(_._2).getOrElse(Map.empty)
         .map { case (c, n) => c -> math.min(n, totalRows) }
+    // ANALYZE-written equi-height histograms (same versioned record):
+    // the skew model FilterEstimation prefers over uniform min/max
+    val hist: Map[String, org.apache.spark.sql.catalyst.plans.logical.Histogram] =
+      Snapshots.histRecord(path, v).map { case (c, (height, bins)) =>
+        c -> org.apache.spark.sql.catalyst.plans.logical.Histogram(height,
+          bins.map { case (lo, hi, n) =>
+            org.apache.spark.sql.catalyst.plans.logical.HistogramBin(lo, hi, n)
+          }.toArray)
+      }
     Some(CatalogStatistics(BigInt(bytes),
       Some(BigInt(totalRows)),
       columnStats(live, Snapshots.fileStats(path, v),
-        Snapshots.fileNulls(path, v), ndv)))
+        Snapshots.fileNulls(path, v), ndv, hist)))
   }
 
   /** The partitioned form: sums across every partition's CURRENT
@@ -123,7 +132,9 @@ object GraftStats {
   private def columnStats(live: Seq[String],
       stats: Map[String, Map[String, (String, String, String)]],
       nulls: Map[String, Map[String, Long]],
-      ndv: Map[String, Long]): Map[String, CatalogColumnStat] = {
+      ndv: Map[String, Long],
+      hist: Map[String, org.apache.spark.sql.catalyst.plans.logical.Histogram]
+        = Map.empty): Map[String, CatalogColumnStat] = {
     val perFile = live.map(f => stats.getOrElse(f, Map.empty))
     if (perFile.isEmpty) return Map.empty
     val cols = perFile.map(_.keySet).reduce(_ intersect _)
@@ -145,7 +156,8 @@ object GraftStats {
         min = Some(render(mins.min)),
         max = Some(render(maxs.max)),
         nullCount = nullCount,
-        avgLen = None, maxLen = None)
+        avgLen = None, maxLen = None,
+        histogram = hist.get(c))
     }.toMap
     // columns the ANALYZE covered but the manifest has no range for
     // (strings: footers record no min/max tag) still carry their NDV —

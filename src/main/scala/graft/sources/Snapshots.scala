@@ -359,9 +359,26 @@ object Snapshots {
   private def ndvPath(path: String, v: Int) =
     logDir(path).resolve(f"ndv-v$v%06d.stats")
 
-  /** One distributed NDV pass over the CURRENT version; writes the
-    * versioned sidecar and returns the version analyzed. */
-  def analyzeTable(spark: SparkSession, path: String): Int = {
+  /** One distributed NDV pass over the CURRENT version (+ an opt-in
+    * EQUI-HEIGHT HISTOGRAM pass — see below); writes the versioned
+    * sidecar and returns the version analyzed.
+    *
+    * `histogram = true` adds Spark's own two-pass histogram build
+    * (ANALYZE TABLE … FOR COLUMNS with
+    * spark.sql.statistics.histogram.enabled): pass 1 extends the NDV
+    * aggregate with equi-probable percentile bounds per numeric
+    * column; pass 2 assigns every value its bin (count of interior
+    * bounds ≤ x — a fold over the literal bounds array) and computes
+    * per-bin NDV in ONE scan for ALL columns (array-of-structs
+    * explode → (col, bin) aggregate, ≤ cols×bins groups). The
+    * histogram is what lets FilterEstimation see SKEW: a uniform
+    * min/max model prices `v <= 99` over a 95%-mass-below-100 column
+    * at ~0.05% and would happily broadcast 95k rows
+    * (spec-pinned inversion in LakeSqlSpec). */
+  def analyzeTable(spark: SparkSession, path: String,
+      histogram: Boolean = false, histogramBins: Int = 64): Int = {
+    require(histogramBins >= 2 && histogramBins <= 1000,
+      s"histogramBins in [2, 1000] (got $histogramBins)")
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     val df = read(spark, path, v)
@@ -371,18 +388,93 @@ object Snapshots {
         f.dataType == StringType || f.dataType == BooleanType ||
         f.dataType == DateType || f.dataType == TimestampType => f.name
     }.toSeq
+    val numCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
     val lines: Seq[String] =
       if (cols.isEmpty) Seq.empty
       else {
-        val aggs = cols.map(c => approx_count_distinct(col(s"`$c`")).as(c))
+        val ndvAggs = cols.map(c => approx_count_distinct(col(s"`$c`")).as(c))
+        val pctls = (0 to histogramBins).map(_.toDouble / histogramBins)
+        val histAggs =
+          if (!histogram) Seq.empty
+          else numCols.flatMap(c => Seq(
+            percentile_approx(col(s"`$c`").cast("double"),
+              lit(pctls.toArray), lit(10000)).as(s"__h_$c"),
+            count(col(s"`$c`")).as(s"__n_$c")))
+        val aggs = ndvAggs ++ histAggs
         val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row
-        cols.indices.map(i => s"${cols(i)}$StatsSep${row.getLong(i)}")
+        val ndvLines =
+          cols.indices.map(i => s"${cols(i)}$StatsSep${row.getLong(i)}")
+        val histLines: Seq[String] = if (!histogram) Seq.empty else {
+          val bounds: Map[String, Seq[Double]] = numCols.zipWithIndex.map {
+            case (c, i) =>
+              c -> Option(row.getSeq[Double](cols.size + 2 * i))
+                .getOrElse(Seq.empty)
+          }.toMap
+          val nonNull: Map[String, Long] = numCols.zipWithIndex.map {
+            case (c, i) => c -> row.getLong(cols.size + 2 * i + 1) }.toMap
+          val live = bounds.filter(_._2.size == histogramBins + 1).keys.toSeq
+          if (live.isEmpty) Seq.empty
+          else {
+            // pass 2: per-bin NDV, one scan for all histogram columns
+            def binIdx(c: String): org.apache.spark.sql.Column = {
+              val interior = bounds(c).slice(1, histogramBins)
+              aggregate(
+                lit(interior.toArray),
+                lit(0),
+                (acc, b) => acc + when(col(s"`$c`").cast("double") >= b, 1)
+                  .otherwise(0))
+            }
+            val structs = array(live.map(c => struct(
+              lit(c).as("c"), binIdx(c).as("bin"),
+              col(s"`$c`").cast("double").as("v"))): _*)
+            val perBin = df.select(explode(structs).as("e"))
+              .select(col("e.c").as("c"), col("e.bin").as("bin"),
+                col("e.v").as("v"))
+              .filter(col("v").isNotNull)
+              .groupBy("c", "bin")
+              .agg(approx_count_distinct(col("v")).as("ndv"))
+              .collect() // ≤ cols × bins rows
+              .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+            live.map { c =>
+              val bs = bounds(c)
+              val bins = (0 until histogramBins).map { i =>
+                s"${bs(i)}:${bs(i + 1)}:${perBin.getOrElse((c, i), 0L).max(1L)}"
+              }.mkString("|")
+              val height = nonNull(c).toDouble / histogramBins
+              s"#h$StatsSep$c$StatsSep$height$StatsSep$bins"
+            }
+          }
+        }
+        ndvLines ++ histLines
       }
     val tmp = Files.createTempFile(logDir(path), "ndv", ".tmp")
     Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, ndvPath(path, v),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     v
+  }
+
+  /** Histogram records from the same analyze sidecar [[ndvRecord]]
+    * resolves: col → (height, bins as (lo, hi, ndv)). */
+  private[sources] def histRecord(path: String,
+      v: Int): Map[String, (Double, Seq[(Double, Double, Long)])] = {
+    val ld = logDir(path)
+    if (!Files.isDirectory(ld)) return Map.empty
+    val best = listDir(ld).map(_.getFileName.toString)
+      .collect { case n if n.startsWith("ndv-v") && n.endsWith(".stats") =>
+        n.stripPrefix("ndv-v").stripSuffix(".stats").toInt }
+      .filter(_ <= v)
+    if (best.isEmpty) return Map.empty
+    new String(Files.readAllBytes(ndvPath(path, best.max)), "UTF-8")
+      .split("\n").filter(_.startsWith(s"#h$StatsSep"))
+      .map(_.split(StatsSep, -1))
+      .collect { case Array(_, c, h, bins) =>
+        c -> (h.toDouble, bins.split('|').toSeq.map { b =>
+          val Array(lo, hi, n) = b.split(':')
+          (lo.toDouble, hi.toDouble, n.toLong)
+        })
+      }.toMap
   }
 
   /** The newest NDV record analyzed at a version ≤ `v`:

@@ -639,6 +639,64 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("r9: ANALYZE WITH HISTOGRAM — skew-aware estimates prevent a bad broadcast") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_hist").toString + "/t"
+      // a HEAVILY skewed column: 95% of the mass in v ∈ [0, 99], a
+      // sparse tail up to ~200k. The uniform min/max model prices
+      // `v <= 99` at (99-0)/(200000-0) ≈ 0.05% — three orders of
+      // magnitude under the true 95%.
+      (1L to 100000L).map(k => (k,
+          if (k <= 95000L) k % 100 else 100000L + k))
+        .toDF("k", "v")
+        .repartitionByRange(4, col("k")).write.parquet(dir)
+      Snapshots.init(s, dir)
+      s.sql("DROP TABLE IF EXISTS hist_t")
+      s.sql(s"CREATE TABLE hist_t USING graft OPTIONS (path '$dir', keyCol 'k')")
+      val other = Files.createTempDirectory("graft_hist_oth").toString + "/o"
+      (1L to 100000L).map(k => (k, ("q" + k.toString) * 6)).toDF("k", "oth")
+        .write.parquet(other)
+      try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        def estOf() = s.table("hist_t").filter(col("v") <= 99L)
+          .queryExecution.optimizedPlan.stats.rowCount.get
+        def planOf() = {
+          val q = s.table("hist_t").filter(col("v") <= 99L)
+            .join(s.read.parquet(other), "k")
+          q.queryExecution.executedPlan
+        }
+        def bhjs(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+
+        // plain ANALYZE (NDV, uniform model): the estimate collapses
+        // to ~0.05% and the optimizer *broadcasts 95k rows* — the
+        // misplan histograms exist to prevent
+        s.sql(s"GRAFT ANALYZE '$dir'")
+        assert(estOf() < BigInt(5000), s"uniform estimate: ${estOf()}")
+        assert(bhjs(planOf()).nonEmpty, "uniform model should (mis)broadcast")
+
+        // WITH HISTOGRAM: equi-height bins see the mass below 100 —
+        // the estimate lands near the true 95k and the broadcast of a
+        // 95k-row side is OFF
+        s.sql(s"GRAFT ANALYZE '$dir' WITH HISTOGRAM")
+        assert(estOf() > BigInt(50000) && estOf() <= BigInt(100000),
+          s"histogram estimate off: ${estOf()}")
+        assert(bhjs(planOf()).isEmpty,
+          s"histogram should prevent the 95k-row broadcast:\n${planOf()}")
+        // the data answer is identical either way
+        assert(s.table("hist_t").filter(col("v") <= 99L).count() == 95000L)
+      } finally {
+        s.conf.unset("spark.sql.cbo.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.unset("spark.sql.adaptive.enabled")
+        s.sql("DROP TABLE IF EXISTS hist_t")
+      }
+    }
+  }
+
   test("r9: metadata-only aggregates — count/min/max answer from the manifest, scan-free") {
     withExtSession { s =>
       import s.implicits._
