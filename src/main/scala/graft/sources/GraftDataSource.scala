@@ -152,11 +152,30 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // HadoopFsRelation fast path
     if (Snapshots.dvFiles(path, v).nonEmpty || Snapshots.hasMapping(schema))
       return new GraftCompatRelation(spark, path, v)
+    // A50: declare the bucket layout to the scan ONLY when every live
+    // file at this version carries a valid `_NNNNN` tag — a rewrite
+    // path that staged untagged files merely degrades the read back to
+    // a plain scan (correctness never rides the tag). When declared,
+    // FileSourceScanExec reports HashPartitioning(col, n): co-bucketed
+    // joins and groupBy on the bucket column run with ZERO exchange,
+    // and `col = x` point reads prune to 1/n of the files.
+    val bucketSpec = Snapshots.bucketSpecOf(path, v).flatMap { case (c, n) =>
+      val live = Snapshots.liveFiles(path, v).map(Snapshots.canonical)
+      val allTagged = live.nonEmpty && live.forall { f =>
+        org.apache.spark.sql.GraftSqlBridge
+          .bucketIdOf(Paths.get(f).getFileName.toString)
+          .exists(id => id >= 0 && id < n)
+      }
+      if (allTagged && schema.fieldNames.contains(c))
+        Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+          n, Seq(c), Seq(c)))
+      else None
+    }
     HadoopFsRelation(
       location = new GraftFileIndex(spark, path, v),
       partitionSchema = new StructType(),
       dataSchema = schema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat(),
       options = parameters)(spark)
   }
@@ -298,22 +317,64 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val exists = Snapshots.currentVersion(path) >= 0
+    // A50: `.option("bucketCol", c).option("buckets", n)` creates a
+    // bucketed table; on an existing table the options must match the
+    // stored spec (the layout is fixed at creation, loud otherwise)
+    val bucketOpt: Option[(String, Int)] = parameters.get("bucketCol").map {
+      c => (c, parameters.getOrElse("buckets",
+        throw new IllegalArgumentException(
+          "graft: bucketCol needs .option(\"buckets\", <n>)")).toInt)
+    }
+    if (exists) bucketOpt.foreach { b =>
+      val stored =
+        Snapshots.bucketSpecOf(path, Snapshots.currentVersion(path))
+      require(stored.contains(b), s"graft: $path bucket layout is " +
+        s"${stored.getOrElse("none")} — fixed at creation, got $b")
+    }
+    def bootstrap(): Int = bucketOpt match {
+      case Some((c, n)) =>
+        Snapshots.writeBucketedVersioned(spark, path, data, c, n)
+      case None => Snapshots.overwriteVersioned(spark, path, data)
+    }
+    // A51: `.option("txnAppId", a).option("txnVersion", n)` makes the
+    // append/merge idempotent — a replayed (a, n) no-ops, atomically
+    // with the commit. Append-mode only: an "idempotent overwrite" has
+    // no meaningful lineage semantics, so anything else refuses.
+    val txnOpt: Option[(String, Long)] = parameters.get("txnAppId").map {
+      a => (a, parameters.getOrElse("txnVersion",
+        throw new IllegalArgumentException(
+          "graft: txnAppId needs .option(\"txnVersion\", <n>)")).toLong)
+    }
+    require(txnOpt.isEmpty || mode == SaveMode.Append,
+      "graft: txnAppId/txnVersion are append-mode options")
     mode match {
-      case SaveMode.Overwrite => Snapshots.overwriteVersioned(spark, path, data)
+      case SaveMode.Overwrite =>
+        if (exists) Snapshots.overwriteVersioned(spark, path, data)
+        else bootstrap()
       case SaveMode.Append =>
-        if (!exists) Snapshots.overwriteVersioned(spark, path, data)
-        else {
-          val keyCol = parameters.getOrElse("keyCol",
-            throw new IllegalArgumentException(
-              "graft: append is a keyed merge — set .option(\"keyCol\", <column>)"))
-          Snapshots.mergeVersioned(spark, path, data, keyCol)
+        (exists, txnOpt) match {
+          case (false, None) => bootstrap()
+          case (false, Some((a, n))) =>
+            require(bucketOpt.isEmpty, "graft: a bucketed bootstrap " +
+              "under a txn mark is not supported — create the table " +
+              "first, then append idempotently")
+            Snapshots.appendVersionedIdempotent(spark, path, data, a, n)
+          case (true, txn) =>
+            val keyCol = parameters.getOrElse("keyCol",
+              throw new IllegalArgumentException(
+                "graft: append is a keyed merge — set .option(\"keyCol\", <column>)"))
+            txn match {
+              case Some((a, n)) => Snapshots.mergeVersionedIdempotent(
+                spark, path, data, keyCol, a, n)
+              case None => Snapshots.mergeVersioned(spark, path, data, keyCol)
+            }
         }
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalArgumentException(
           s"graft: $path already versioned (mode ErrorIfExists)")
-        Snapshots.overwriteVersioned(spark, path, data)
+        bootstrap()
       case SaveMode.Ignore =>
-        if (!exists) Snapshots.overwriteVersioned(spark, path, data)
+        if (!exists) bootstrap()
     }
     createRelation(sqlContext, parameters)
   }

@@ -1321,7 +1321,57 @@ object LakehouseQueries {
       |    THEN 100000.0 * ((b.o_orderkey % 37) + 1) ELSE 0 END, 2) AS price
       |FROM b CROSS JOIN v""".stripMargin
 
+  /** A50 — BUCKETED versioned tables end-to-end (the storage-
+    * partitioned-join capability): orders and customer land as graft
+    * tables hash-bucketed 8-ways on their join key, a merge wave and a
+    * keyed delete hit orders (both re-routed through the bucket hash,
+    * so the layout SURVIVES the DML), and the result is the
+    * fact⋈dim join aggregated per (status, mktsegment) slice — plus an
+    * `exchange_free` verdict column read off the executed join plan
+    * that the DuckDB oracle asserts TRUE: the scale property (ZERO
+    * shuffle on a co-bucketed lake join, paid once at write time) is
+    * inside the correctness gate, not just a spec. The join carries a
+    * SHUFFLE_MERGE hint so the plan-shape claim survives replanning
+    * (a broadcast at sf0.01 would bypass bucketing and prove nothing).
+    */
+  def qLakeBucketed(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val dirO = tempDir("graft_bkt_q") + "/orders"
+    val dirC = tempDir("graft_bkt_q") + "/customer"
+    Snapshots.writeBucketedVersioned(s, dirO, orders, "o_custkey", 8)
+    Snapshots.writeBucketedVersioned(s, dirC, cust, "c_custkey", 8)
+    Snapshots.mergeVersioned(s, dirO,
+      orders.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)),
+      "o_orderkey")
+    Snapshots.deleteVersioned(s, dirO, col("o_orderkey") % 37 === 1)
+    val joined = s.read.format("graft").load(dirO)
+      .join(s.read.format("graft").load(dirC).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+    val exchangeFree =
+      !joined.queryExecution.executedPlan.toString.contains("Exchange")
+    joined.groupBy("o_orderstatus", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(col("o_orderstatus"), col("c_mktsegment"), col("n"),
+        col("total"), lit(exchangeFree).as("exchange_free"))
+  }
+
+  val qLakeBucketedSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 20 = 0 THEN round(o_totalprice * 2, 2)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 37 <> 1)
+      |SELECT o.o_orderstatus, c.c_mktsegment, count(*) AS n,
+      |  round(sum(o.o_totalprice), 2) AS total, TRUE AS exchange_free
+      |FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lake_bucketed" -> (qLakeBucketed(_, _)),
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
     "q_lake_optimize_where" -> (qLakeOptimizeWhere(_, _)),
     "q_lake_timetravel" -> (qLakeTimetravel(_, _)),
@@ -1355,6 +1405,7 @@ object LakehouseQueries {
     "q_lake_catalog_part" -> (qLakeCatalogPart(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_lake_bucketed" -> qLakeBucketedSql,
     "q_lake_deltalog" -> qLakeDeltaLogSql,
     "q_lake_optimize_where" -> qLakeOptimizeWhereSql,
     "q_lake_timetravel" -> qLakeTimetravelSql,

@@ -813,6 +813,140 @@ object Snapshots {
   private val BloomColHeader = "#bloomcol="
   private val BloomIdxHeader = "#bloomidx="
 
+  // A50 — HASH-BUCKETED LAYOUT in the manifest (the storage-partitioned
+  // join enabler): `#bucketspec=col\tn` records that every live data
+  // file holds exactly the rows whose pmod(murmur3(col), n) equals the
+  // file's `_NNNNN` name tag — Spark's OWN bucket convention, produced
+  // by routing every rewrite through `repartition(n, col)` (whose
+  // HashPartitioning partition-id expression IS the bucketed-read
+  // expectation) and tagging each writer task's output with its
+  // partition index. The connector then hands `FileSourceScanExec` a
+  // real `BucketSpec`, so the scan reports
+  // HashPartitioning(col, n): two graft tables co-bucketed on their
+  // join key sort-merge join with ZERO exchange — at 100 TB the
+  // fact⋈fact shuffle (the single most expensive stage in a lake
+  // pipeline) is paid ONCE at write time and never again, and `col =
+  // x` point reads prune to 1/n of the files (Spark's bucket pruning).
+  // The property is immutable table metadata, set by the bucketed
+  // bootstrap and carried by every commit; every ingest/DML path
+  // re-routes its staged rows through the bucket hash, so the layout
+  // survives merge/delete/update/append/overwrite AND compaction.
+  // Maintenance that cannot preserve it (ZORDER's global re-sort)
+  // refuses; anything else that stages untagged files merely DEGRADES
+  // the read (the connector only declares the BucketSpec when every
+  // live file carries a valid tag — correctness never rides the tag).
+  private val BucketHeader = "#bucketspec="
+
+  // A51 — IDEMPOTENT WRITES (Delta's SetTransaction action): a commit
+  // may carry `#txn=appId\tversion`, the high-water mark of an
+  // external transaction lineage (a streaming query's (appId, batchId),
+  // a retried ETL job's run number). A write tagged (app, ver) with
+  // ver ≤ the recorded mark is a NO-OP — and because the mark rides
+  // the SAME manifest CAS as the data it covers, the guard is atomic
+  // with the commit: there is no window where the data landed but the
+  // marker didn't (the failure mode any sidecar marker — including the
+  // C25 sink's `_last_batch_*` fast path — leaves open, where a crash
+  // between commit and marker re-commits the batch on replay). Marks
+  // are monotonic per app (commitAt keeps the max), carried forward by
+  // every commit, preserved across RESTORE (replays after a restore
+  // still no-op — the safe direction), and per-app independent.
+  private val TxnHeader = "#txn="
+
+  /** The highest transaction version recorded at `v` for `appId`. */
+  def txnVersionOf(path: String, v: Int, appId: String): Option[Long] =
+    if (!hasVersion(path, v)) None
+    else manifestLines(path, v).collectFirst {
+      case l if l.startsWith(TxnHeader) &&
+          l.stripPrefix(TxnHeader).takeWhile(_ != '\t') == appId =>
+        l.stripPrefix(TxnHeader).split("\t")(1).toLong
+    }
+
+  /** [[txnVersionOf]] at the current head (−1-versioned tables: None). */
+  def txnVersionOf(path: String, appId: String): Option[Long] =
+    txnVersionOf(path, currentVersion(path), appId)
+
+  private def requireTxnApp(appId: String): Unit =
+    require(appId.nonEmpty && !appId.contains("\t") && !appId.contains("\n"),
+      s"graft: txnAppId must be non-empty without tab/newline: '$appId'")
+
+  /** The bucket spec `(column, numBuckets)` recorded at `v`, if the
+    * table was created bucketed. */
+  def bucketSpecOf(path: String, v: Int): Option[(String, Int)] =
+    if (!hasVersion(path, v)) None
+    else manifestLines(path, v).find(_.startsWith(BucketHeader)).map { l =>
+      val p = l.stripPrefix(BucketHeader).split("\t")
+      (p(0), p(1).toInt)
+    }
+
+  private def partFileIndex(name: String): Int = {
+    val m = java.util.regex.Pattern.compile("^part-(\\d+)-").matcher(name)
+    require(m.find(), s"graft: unexpected staged file name '$name' " +
+      "(cannot derive its bucket id from the writer partition index)")
+    m.group(1).toInt
+  }
+
+  /** Stage `df`'s rows as `v{vNext}_…` data files under `path` and
+    * return their paths — the one staging body every write path
+    * shares. When `bucket` is set, rows are hash-routed into exactly
+    * `n` writer partitions with Spark's bucket-id expression
+    * (`repartition(n, col)` plans HashPartitioning, whose
+    * partitionIdExpression is the same pmod(murmur3(col), n) the
+    * bucketed READ assumes), sorted within buckets, and each staged
+    * file is renamed to carry Spark's `_NNNNN` bucket tag (inserted
+    * before the first extension dot, the bucketed-write file-name
+    * convention) derived from its writer task's partition index. */
+  private def stageData(df: DataFrame,
+      outSchema: Option[org.apache.spark.sql.types.StructType],
+      path: String, vNext: Int, bucket: Option[(String, Int)],
+      tmpPrefix: String = "graft_snap", namePart: String = ""): Seq[String] = {
+    val routed = bucket match {
+      case Some((c, n)) =>
+        df.repartition(n, col(s"`$c`")).sortWithinPartitions(col(s"`$c`"))
+      case None => df
+    }
+    val prepared = outSchema.fold(routed)(stagedAsPhysical(routed, _))
+    val stage = Files.createTempDirectory(tmpPrefix).toString
+    prepared.write.mode(SaveMode.Overwrite).parquet(stage)
+    val dst = Paths.get(path)
+    listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val base = p.getFileName.toString
+        val tagged = bucket match {
+          case Some(_) =>
+            val tag = org.apache.spark.sql.GraftSqlBridge
+              .bucketIdToString(partFileIndex(base))
+            val dot = base.indexOf('.')
+            base.substring(0, dot) + tag + base.substring(dot)
+          case None => base
+        }
+        val name = s"v${vNext}_$namePart$tagged"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+  }
+
+  /** A50 — create a BUCKETED versioned table: the bootstrap routes
+    * `df` through the bucket hash once, and every later write path
+    * preserves the layout (see [[stageData]]). The spec is fixed at
+    * creation — re-bucketing is a new table (Spark's own bucketed
+    * tables have the same contract). */
+  def writeBucketedVersioned(spark: SparkSession, path: String,
+      df: DataFrame, bucketCol: String, numBuckets: Int,
+      changeDataFeed: Boolean = false): Int = {
+    require(currentVersion(path) < 0,
+      s"$path already versioned — the bucket layout is fixed at creation")
+    require(df.columns.contains(bucketCol),
+      s"graft: bucket column '$bucketCol' not in ${df.columns.mkString(", ")}")
+    require(numBuckets > 0 && numBuckets <= 100000,
+      s"graft: numBuckets $numBuckets out of range (1..100000)")
+    Files.createDirectories(Paths.get(path))
+    val staged = stageData(df, None, path, 0, Some((bucketCol, numBuckets)))
+    commit(path, staged, Some(df.schema), statsLines(spark, staged),
+      cdfFlag = changeDataFeed,
+      bucketOverride = Some((bucketCol, numBuckets)))
+  }
+
   /** The indexed columns and their bits-per-row in force at `v` (one
     * `#bloomcol=` line per column — r8 made the property plural; a
     * table indexed before then simply has one line). */
@@ -1194,7 +1328,9 @@ object Snapshots {
       constraintsOverride: Option[Seq[(String, String)]] = None,
       clusterOverride: Option[(Seq[String], Seq[String])] = None,
       bloomColsOverride: Option[Seq[(String, Int)]] = None,
-      bloomExtra: Seq[String] = Seq.empty): Boolean = {
+      bloomExtra: Seq[String] = Seq.empty,
+      bucketOverride: Option[(String, Int)] = None,
+      txnSet: Option[(String, Long)] = None): Boolean = {
     Files.createDirectories(logDir(path))
     // any v0 commit is a table BIRTH (init, clone bootstrap, branch
     // re-creation after dropBranch): purge the path's cached
@@ -1247,6 +1383,27 @@ object Snapshots {
           (parseBloomIdx(prev) ++ bloomExtra).map(canonical)
             .distinct.sorted.map(BloomIdxHeader + _)
       }
+      // A50: the bucket spec is immutable table metadata — set once by
+      // the bucketed bootstrap, then self-carried by every commit
+      val bucketLines = bucketOverride match {
+        case Some((c, n)) => Seq(BucketHeader + c + "\t" + n)
+        case None => prev.filter(_.startsWith(BucketHeader))
+      }
+      // A51: per-app txn marks self-carry; a commit tagging (app, ver)
+      // replaces that app's line with max(prev, ver) — monotonic even
+      // if a caller's pre-check raced a concurrent same-app writer
+      val txnLines = txnSet match {
+        case None => prev.filter(_.startsWith(TxnHeader))
+        case Some((app, ver)) =>
+          def appOf(l: String) = l.stripPrefix(TxnHeader).takeWhile(_ != '\t')
+          val prevVer = prev.collectFirst {
+            case l if l.startsWith(TxnHeader) && appOf(l) == app =>
+              l.stripPrefix(TxnHeader).split("\t")(1).toLong
+          }
+          prev.filter(l => l.startsWith(TxnHeader) && appOf(l) != app) ++
+            Seq(TxnHeader + app + "\t" +
+              math.max(ver, prevVer.getOrElse(Long.MinValue)))
+      }
       // commit timestamps must be MONOTONIC in version (Delta adjusts
       // them the same way): with clock skew a later version could
       // record an earlier instant and TIMESTAMP AS OF would resolve to
@@ -1257,7 +1414,8 @@ object Snapshots {
       val ts = math.max(System.currentTimeMillis(), prevTs + 1)
       val lines = Seq(TsHeader + ts) ++
         schema.map(s => SchemaHeader + s.json).toSeq ++
-        flag ++ cons ++ clusterLines ++ bloomLines ++
+        flag ++ cons ++ clusterLines ++ bloomLines ++ bucketLines ++
+        txnLines ++
         cdf.map(fs => Seq(CdfOkHeader) ++
           fs.map(f => CdfHeader + canonical(f)).sorted).getOrElse(Seq.empty) ++
         dv.map(f => DvHeader + canonical(f)).sorted ++
@@ -1296,10 +1454,13 @@ object Snapshots {
       constraintsOverride: Option[Seq[(String, String)]] = None,
       clusterOverride: Option[(Seq[String], Seq[String])] = None,
       bloomColsOverride: Option[Seq[(String, Int)]] = None,
-      bloomExtra: Seq[String] = Seq.empty): Int = {
+      bloomExtra: Seq[String] = Seq.empty,
+      bucketOverride: Option[(String, Int)] = None,
+      txnSet: Option[(String, Long)] = None): Int = {
     val v = currentVersion(path) + 1
     if (!commitAt(path, v, files, schema, stats, dv, cdf, cdfFlag,
-        constraintsOverride, clusterOverride, bloomColsOverride, bloomExtra))
+        constraintsOverride, clusterOverride, bloomColsOverride, bloomExtra,
+        bucketOverride, txnSet))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, v).toString)
     v
@@ -1460,7 +1621,11 @@ object Snapshots {
       constraintsOverride = Some(constraintsOf(src, v)),
       clusterOverride = clusterStateOf(src, v),
       bloomColsOverride = Some(bloomColsOf(src, v)),
-      bloomExtra = bloomIdxFiles(src, v))
+      bloomExtra = bloomIdxFiles(src, v),
+      // A50: the clone shares the source's (already bucket-tagged)
+      // files, so the bucket layout — and every exchange-free join on
+      // it — carries over for free
+      bucketOverride = bucketSpecOf(src, v))
   }
 
   /** Versioned upsert: A16's index-pruned copy-on-write, except the
@@ -1472,15 +1637,37 @@ object Snapshots {
     mergeVersionedOCC(spark, path, updates, keyCol, maxRetries = 5,
       beforeCommit = () => ())
 
+  /** A51 — [[mergeVersioned]] under a transaction mark (Delta's
+    * `txnAppId`/`txnVersion` idempotent-write contract): a replay of
+    * an already-recorded (appId, version) returns the current version
+    * without staging a byte, and the mark rides the same manifest CAS
+    * as the merge itself — exactly-once versions even if the caller
+    * crashes between commit and its own bookkeeping, and even against
+    * a concurrent instance of the same lineage (the OCC retry
+    * re-checks the winner's mark instead of rebasing). */
+  def mergeVersionedIdempotent(spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String, txnAppId: String,
+      txnVersion: Long): Int = {
+    requireTxnApp(txnAppId)
+    mergeVersionedOCC(spark, path, updates, keyCol, maxRetries = 5,
+      beforeCommit = () => (), txn = Some((txnAppId, txnVersion)))
+  }
+
   /** [[mergeVersioned]] with the OCC machinery exposed: `maxRetries`
     * bounds the rebase loop, `beforeCommit` is a test seam that runs
     * after staging and before the first commit attempt (where a
     * concurrent winner lands deterministically in the spec). */
   private[graft] def mergeVersionedOCC(spark: SparkSession, path: String,
       updates: DataFrame, keyCol: String, maxRetries: Int,
-      beforeCommit: () => Unit): Int = {
+      beforeCommit: () => Unit,
+      txn: Option[(String, Long)] = None): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
+    // A51: a replayed transaction no-ops BEFORE constraints, staging,
+    // anything — the whole point is that retries cost nothing
+    txn.foreach { case (app, ver) =>
+      if (txnVersionOf(path, v, app).exists(_ >= ver)) return v
+    }
     // A34: a batch violating a CHECK constraint refuses HERE — before
     // any staging, so a rejected merge leaves zero orphan files
     enforceConstraints(path, v, updates)
@@ -1570,19 +1757,12 @@ object Snapshots {
               cdfPayload.map(c => col(s"__pre.`$c`").as(c)): _*))))
     }
 
-    val stage = Files.createTempDirectory("graft_snap").toString
     // data files always land under PHYSICAL names so the live set stays
-    // uniform across renames (readUnder aliases back to logical)
-    stagedAsPhysical(rewritten, outSchema)
-      .write.mode(SaveMode.Overwrite).parquet(stage)
-    val dst = Paths.get(path)
-    val staged = listDir(Paths.get(stage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"v${v + 1}_${p.getFileName.toString}"
-        Files.move(p, dst.resolve(name))
-        dst.resolve(name).toString
-      }
+    // uniform across renames (readUnder aliases back to logical); on a
+    // bucketed table (A50) kept ∪ updates re-route through the bucket
+    // hash so every staged file stays bucket-tagged
+    val staged = stageData(rewritten, Some(outSchema), path, v + 1,
+      bucketSpecOf(path, v))
     beforeCommit()
     // A41: index the staged files when the bloom property is on
     val bloomStaged = maybeBloom(spark, path, v, staged)
@@ -1616,12 +1796,18 @@ object Snapshots {
       if (commitAt(path, base + 1, newLive, Some(schema),
           carriedStats(path, base, retained) ++ stagedStats,
           dvFiles(path, base), cdf = cdfStaged,
-          bloomExtra = bloomStaged)) return base + 1
+          bloomExtra = bloomStaged, txnSet = txn)) return base + 1
       attempt += 1
       if (attempt > maxRetries)
         throw new java.util.ConcurrentModificationException(
           s"merge on $path lost $attempt commit races")
       val w = currentVersion(path)
+      // A51: if the winner was a concurrent writer of the SAME txn
+      // lineage (two instances of one job racing), the batch is now
+      // applied — rebasing would double-apply it; no-op instead
+      txn.foreach { case (app, ver) =>
+        if (txnVersionOf(path, w, app).exists(_ >= ver)) return w
+      }
       val liveW = liveFiles(path, w)
       val liveWSet = liveW.map(canonical).toSet
       if (!touched.forall(liveWSet.contains))
@@ -1691,17 +1877,9 @@ object Snapshots {
       else Some(stageCdf(path, v, liveTouched
         .filter(coalesce(predicate, lit(false)))
         .withColumn("change_type", lit("delete"))))
-    val stage = Files.createTempDirectory("graft_snap_del").toString
-    stagedAsPhysical(keptRows, tableSchema(path, v).getOrElse(target.schema))
-      .write.mode(SaveMode.Overwrite).parquet(stage)
-    val dst = Paths.get(path)
-    val staged = listDir(Paths.get(stage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"v${v + 1}_${p.getFileName.toString}"
-        Files.move(p, dst.resolve(name))
-        dst.resolve(name).toString
-      }
+    val staged = stageData(keptRows,
+      Some(tableSchema(path, v).getOrElse(target.schema)), path, v + 1,
+      bucketSpecOf(path, v), "graft_snap_del")
     val touchedSet = touched.toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
@@ -1759,17 +1937,8 @@ object Snapshots {
       else Some(stageCdf(path, v, liveTouched
         .join(broadcast(k), Seq(keyCol), "left_semi")
         .withColumn("change_type", lit("delete"))))
-    val stage = Files.createTempDirectory("graft_snap_del").toString
-    stagedAsPhysical(keptRows, schemaNow)
-      .write.mode(SaveMode.Overwrite).parquet(stage)
-    val dst = Paths.get(path)
-    val staged = listDir(Paths.get(stage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"v${v + 1}_${p.getFileName.toString}"
-        Files.move(p, dst.resolve(name))
-        dst.resolve(name).toString
-      }
+    val staged = stageData(keptRows, Some(schemaNow), path, v + 1,
+      bucketSpecOf(path, v), "graft_snap_del")
     val touchedSet = touched.toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
@@ -1851,17 +2020,8 @@ object Snapshots {
             .select(allCols.map(c => col(s"__pre.`$c`").as(c)): _*)
             .withColumn("change_type", lit("update_preimage")))))
       }
-    val stage = Files.createTempDirectory("graft_snap_upd").toString
-    stagedAsPhysical(rewritten, schemaNow)
-      .write.mode(SaveMode.Overwrite).parquet(stage)
-    val dst = Paths.get(path)
-    val staged = listDir(Paths.get(stage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"v${v + 1}_${p.getFileName.toString}"
-        Files.move(p, dst.resolve(name))
-        dst.resolve(name).toString
-      }
+    val staged = stageData(rewritten, Some(schemaNow), path, v + 1,
+      bucketSpecOf(path, v), "graft_snap_upd")
     val touchedSet = touched.toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
@@ -1888,16 +2048,12 @@ object Snapshots {
       return init(spark, path)
     }
     enforceConstraints(path, v, df)
-    val stage = Files.createTempDirectory("graft_snap_ow").toString
-    df.write.mode(SaveMode.Overwrite).parquet(stage)
-    val dst = Paths.get(path)
-    val staged = listDir(Paths.get(stage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"v${v + 1}_${p.getFileName.toString}"
-        Files.move(p, dst.resolve(name))
-        dst.resolve(name).toString
-      }
+    // A50: an overwrite keeps the table's bucket layout — the batch
+    // must carry the bucket column (the spec is immutable metadata)
+    val bspec = bucketSpecOf(path, v)
+    bspec.foreach { case (c, _) => require(df.columns.contains(c),
+      s"graft: $path is bucketed by '$c' — an overwrite batch must carry it") }
+    val staged = stageData(df, None, path, v + 1, bspec, "graft_snap_ow")
     commitNext(path, v, staged, Some(df.schema), statsLines(spark, staged),
       bloomExtra = maybeBloom(spark, path, v, staged))
   }
@@ -1913,12 +2069,40 @@ object Snapshots {
     * the bloom property indexes the staged files. Bootstraps a fresh
     * directory. Returns the new version.
     */
-  def appendVersioned(spark: SparkSession, path: String, df: DataFrame): Int = {
+  def appendVersioned(spark: SparkSession, path: String, df: DataFrame): Int =
+    appendVersionedTxn(spark, path, df, txn = None)
+
+  /** A51 — [[appendVersioned]] under a transaction mark: a replayed
+    * (appId, version) no-ops, and the mark commits atomically with the
+    * batch (one manifest CAS — no sidecar-marker crash window). */
+  def appendVersionedIdempotent(spark: SparkSession, path: String,
+      df: DataFrame, txnAppId: String, txnVersion: Long): Int = {
+    requireTxnApp(txnAppId)
+    appendVersionedTxn(spark, path, df, Some((txnAppId, txnVersion)))
+  }
+
+  private def appendVersionedTxn(spark: SparkSession, path: String,
+      df: DataFrame, txn: Option[(String, Long)]): Int = {
     val v = currentVersion(path)
+    txn.foreach { case (app, ver) =>
+      if (v >= 0 && txnVersionOf(path, v, app).exists(_ >= ver)) return v
+    }
     if (v < 0) {
       Files.createDirectories(Paths.get(path))
       df.write.mode(SaveMode.Append).parquet(path)
-      return init(spark, path)
+      txn match {
+        case None => return init(spark, path)
+        case Some(_) =>
+          // bootstrap WITH the mark: init() would commit v0 without it,
+          // and a crash-replay of batch 0 would then re-append it
+          val files = listDir(Paths.get(path))
+            .map(_.toString).filter(_.endsWith(".parquet"))
+          val schema =
+            if (files.isEmpty) None
+            else Some(spark.read.parquet(files: _*).schema)
+          return commit(path, files, schema, statsLines(spark, files),
+            txnSet = txn)
+      }
     }
     enforceConstraints(path, v, df)
     val live = liveFiles(path, v)
@@ -1938,17 +2122,8 @@ object Snapshots {
           col(s"`${payload.head}`") +: lit("insert").as("change_type") +:
             payload.tail.map(c => col(s"`$c`")): _*)))
       }
-    val stage = Files.createTempDirectory("graft_snap_app").toString
-    stagedAsPhysical(batch, outSchema)
-      .write.mode(SaveMode.Overwrite).parquet(stage)
-    val dst = Paths.get(path)
-    val staged = listDir(Paths.get(stage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"v${v + 1}_${p.getFileName.toString}"
-        Files.move(p, dst.resolve(name))
-        dst.resolve(name).toString
-      }
+    val staged = stageData(batch, Some(outSchema), path, v + 1,
+      bucketSpecOf(path, v), "graft_snap_app")
     // OCC: a blind append retires no files and constrains no keys, so
     // it commutes with ANY concurrent commit — rebase onto the new
     // head unconditionally (Delta's appends-never-conflict rule),
@@ -1970,12 +2145,18 @@ object Snapshots {
         }
       if (commitAt(path, base + 1, baseLive ++ staged, Some(schema),
           carriedStats(path, base, baseLive) ++ stagedStats,
-          dvFiles(path, base), cdf = cdfStaged, bloomExtra = bloomStaged))
+          dvFiles(path, base), cdf = cdfStaged, bloomExtra = bloomStaged,
+          txnSet = txn))
         return base + 1
       attempts += 1
       if (attempts > 20) throw new java.util.ConcurrentModificationException(
         s"append on $path lost $attempts commit races")
       base = currentVersion(path)
+      // A51: a concurrent same-lineage writer applied this batch —
+      // rebasing the append would land it twice
+      txn.foreach { case (app, ver) =>
+        if (txnVersionOf(path, base, app).exists(_ >= ver)) return base
+      }
     }
     -1 // unreachable
   }
@@ -2188,23 +2369,34 @@ object Snapshots {
       Files.size(Paths.get(canonical(f))) < targetBytes)
     val totalSmall = small.map(f => Files.size(Paths.get(canonical(f)))).sum
     val bins = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
-    if (small.size < math.max(minFiles, bins + 1)) return v // already packed
+    // A50: a bucketed table packs into n bucket-tagged files (one
+    // shuffle of only the small bytes, routed through the same bucket
+    // hash) — so compaction only makes progress past n files
+    val bspec = bucketSpecOf(path, v)
+    val minProgress = bspec.map(_._2).getOrElse(bins)
+    if (small.size < math.max(minFiles, minProgress + 1)) return v // packed
     // read under the recorded schema: after a widening commit the
     // small set has MIXED physical schemas; packing must null-fill,
     // not silently drop the widened column from pre-widening files
     val sch = tableSchema(path, v)
     val packed = readLive(spark, path, v, small)
-    val stage = Files.createTempDirectory("graft_compact").toString
-    sch.fold(packed)(stagedAsPhysical(packed, _)).coalesce(bins)
-      .write.mode(SaveMode.Overwrite).parquet(stage)
-    val dst = Paths.get(path)
-    val staged = listDir(Paths.get(stage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"v${v + 1}_compact_${p.getFileName.toString}"
-        Files.move(p, dst.resolve(name))
-        dst.resolve(name).toString
-      }
+    val staged = bspec match {
+      case Some(b) =>
+        stageData(packed, sch, path, v + 1, Some(b), "graft_compact",
+          "compact_")
+      case None =>
+        val stage = Files.createTempDirectory("graft_compact").toString
+        sch.fold(packed)(stagedAsPhysical(packed, _)).coalesce(bins)
+          .write.mode(SaveMode.Overwrite).parquet(stage)
+        val dst = Paths.get(path)
+        listDir(Paths.get(stage))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            val name = s"v${v + 1}_compact_${p.getFileName.toString}"
+            Files.move(p, dst.resolve(name))
+            dst.resolve(name).toString
+          }
+    }
     commitNext(path, v, big ++ staged, tableSchema(path, v),
       carriedStats(path, v, big) ++ statsLines(spark, staged),
       dvFiles(path, v), cdf = Some(Seq.empty))
@@ -2270,6 +2462,13 @@ object Snapshots {
       cols: Seq[String], numFiles: Int): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
+    // A50: Z-order's global Morton sort and the hash-bucket layout are
+    // mutually exclusive whole-table layout decisions — silently
+    // destroying the bucket property (and with it every exchange-free
+    // join downstream) would be far worse than refusing here
+    require(bucketSpecOf(path, v).isEmpty,
+      s"graft: $path is hash-bucketed — ZORDER would destroy the bucket " +
+        "layout; use compact() (bucket-preserving) instead")
     val live = liveFiles(path, v)
     require(live.nonEmpty, s"$path has no live files at v$v")
     // readLive + full rewrite: every DV entry becomes inert here, so

@@ -88,11 +88,30 @@ object UpsertSink {
     val latest = latestPerKey(batch, keyCol, orderCol)
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
     if (!replayed && !latest.isEmpty) {
-      if (graft.sources.Snapshots.currentVersion(path) < 0)
-        graft.sources.Snapshots.overwriteVersioned(batch.sparkSession, path, latest)
-      else
-        graft.sources.Snapshots.mergeVersioned(batch.sparkSession, path, latest, keyCol)
-      scope.foreach(sc => recordBatch(path, sc, batchId))
+      // A51 (r9): with a checkpoint lineage the batch commits under a
+      // manifest-carried txn mark — ATOMIC with the version, closing
+      // the crash window the sidecar marker below leaves open (a crash
+      // between commit and recordBatch used to re-commit an extra
+      // version on replay; now the replayed merge no-ops in the log).
+      // The sidecar stays as the cheap pre-check (no manifest read).
+      scope match {
+        case Some(sc) =>
+          val app = s"stream_$sc"
+          if (graft.sources.Snapshots.currentVersion(path) < 0)
+            graft.sources.Snapshots.appendVersionedIdempotent(
+              batch.sparkSession, path, latest, app, batchId)
+          else
+            graft.sources.Snapshots.mergeVersionedIdempotent(
+              batch.sparkSession, path, latest, keyCol, app, batchId)
+          recordBatch(path, sc, batchId)
+        case None =>
+          if (graft.sources.Snapshots.currentVersion(path) < 0)
+            graft.sources.Snapshots.overwriteVersioned(
+              batch.sparkSession, path, latest)
+          else
+            graft.sources.Snapshots.mergeVersioned(
+              batch.sparkSession, path, latest, keyCol)
+      }
     }
   }
 

@@ -10,4 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** A50 bridges into `private[sql]` `BucketingUtils`: the graft
+    * bucketed layout must tag and parse data-file names with EXACTLY
+    * Spark's own convention — a home-grown rendition that drifted from
+    * `FileSourceScanExec`'s parser would silently mis-group buckets.
+    */
+  def bucketIdToString(id: Int): String =
+    execution.datasources.BucketingUtils.bucketIdToString(id)
+  def bucketIdOf(fileName: String): Option[Int] =
+    execution.datasources.BucketingUtils.getBucketId(fileName)
 }

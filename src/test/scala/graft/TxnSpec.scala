@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshots
+import graft.streaming.UpsertSink
+
+/** A51 — idempotent writes (Delta's SetTransaction contract): a commit
+  * tagged (txnAppId, txnVersion) no-ops when the mark is already
+  * recorded, and the mark rides the SAME manifest CAS as the data. The
+  * load-bearing pins: exact-replay no-op, per-app independence,
+  * monotonic marks, the concurrent same-lineage race resolving to ONE
+  * application, the bootstrap carrying the mark, and the streaming
+  * sink's crash window (commit landed, sidecar marker lost) closing.
+  */
+class TxnSpec extends GraftSuite {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_txnspec").toString
+
+  private def ordersDf = Tables.orders(spark, sf)
+    .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private def wave(m: Int) = ordersDf
+    .filter(col("o_orderkey") % 10 === m % 10)
+    .withColumn("o_totalprice", col("o_totalprice") + m * 1000.0)
+
+  test("replayed merge no-ops; marks are monotonic and per-app") {
+    val p = tmp()
+    Snapshots.overwriteVersioned(spark, p, ordersDf)
+    val v1 = Snapshots.mergeVersionedIdempotent(spark, p, wave(1),
+      "o_orderkey", "jobA", 1L)
+    assert(v1 == 1 && Snapshots.txnVersionOf(p, "jobA").contains(1L))
+    // exact replay: no new version, no content change
+    val before = graftSum(p)
+    assert(Snapshots.mergeVersionedIdempotent(spark, p, wave(1),
+      "o_orderkey", "jobA", 1L) == v1)
+    assert(Snapshots.currentVersion(p) == v1 && graftSum(p) == before)
+    // next batch applies; a LATE lower version also no-ops
+    val v2 = Snapshots.mergeVersionedIdempotent(spark, p, wave(2),
+      "o_orderkey", "jobA", 2L)
+    assert(v2 == 2)
+    assert(Snapshots.mergeVersionedIdempotent(spark, p, wave(1),
+      "o_orderkey", "jobA", 1L) == v2)
+    // a DIFFERENT app with the same numbers is independent
+    val v3 = Snapshots.mergeVersionedIdempotent(spark, p, wave(3),
+      "o_orderkey", "jobB", 1L)
+    assert(v3 == 3 && Snapshots.txnVersionOf(p, "jobA").contains(2L) &&
+      Snapshots.txnVersionOf(p, "jobB").contains(1L))
+    // unrelated untagged commits carry the marks forward
+    Snapshots.deleteVersioned(spark, p, col("o_orderkey") % 97 === 5)
+    assert(Snapshots.txnVersionOf(p, "jobA").contains(2L))
+  }
+
+  private def graftSum(p: String): java.math.BigDecimal =
+    spark.read.format("graft").load(p)
+      .agg(sum(col("o_totalprice").cast("decimal(20,2)")))
+      .head().getDecimal(0)
+
+  test("concurrent same-lineage writers apply the batch exactly once") {
+    val p = tmp()
+    Snapshots.overwriteVersioned(spark, p, ordersDf)
+    val batch = wave(4)
+    // writer A stages, then — before A's commit — writer B lands the
+    // SAME (app, ver): A's CAS loses, and the retry must see B's mark
+    // and no-op instead of rebasing the batch in twice
+    val vA = Snapshots.mergeVersionedOCC(spark, p, batch, "o_orderkey",
+      maxRetries = 5,
+      beforeCommit = () => {
+        Snapshots.mergeVersionedIdempotent(spark, p, batch, "o_orderkey",
+          "racer", 7L); ()
+      },
+      txn = Some(("racer", 7L)))
+    assert(vA == 1, s"A must adopt B's commit, got $vA")
+    assert(Snapshots.currentVersion(p) == 1)
+    assert(Snapshots.txnVersionOf(p, "racer").contains(7L))
+    // the wave landed exactly once
+    val expect = ordersDf
+      .join(batch.select(col("o_orderkey").as("__k"),
+        col("o_totalprice").as("__p")),
+        col("o_orderkey") === col("__k"), "left_outer")
+      .agg(sum(coalesce(col("__p"), col("o_totalprice"))
+        .cast("decimal(20,2)"))).head().getDecimal(0)
+    assert(graftSum(p) == expect)
+  }
+
+  test("idempotent append bootstraps v0 WITH the mark") {
+    val p = tmp()
+    val v0 = Snapshots.appendVersionedIdempotent(spark, p,
+      ordersDf.filter(col("o_orderkey") % 5 === 0), "boot", 0L)
+    assert(v0 == 0 && Snapshots.txnVersionOf(p, "boot").contains(0L))
+    // crash-replay of batch 0 against the now-existing table: no-op
+    assert(Snapshots.appendVersionedIdempotent(spark, p,
+      ordersDf.filter(col("o_orderkey") % 5 === 0), "boot", 0L) == 0)
+    assert(Snapshots.currentVersion(p) == 0)
+    val n0 = spark.read.format("graft").load(p).count()
+    val v1 = Snapshots.appendVersionedIdempotent(spark, p,
+      ordersDf.filter(col("o_orderkey") % 5 === 1), "boot", 1L)
+    assert(v1 == 1)
+    assert(spark.read.format("graft").load(p).count() ==
+      n0 + ordersDf.filter(col("o_orderkey") % 5 === 1).count())
+  }
+
+  test("marks survive RESTORE (replays after a rollback still no-op)") {
+    val p = tmp()
+    Snapshots.overwriteVersioned(spark, p, ordersDf)
+    Snapshots.mergeVersionedIdempotent(spark, p, wave(1), "o_orderkey",
+      "jobR", 1L)
+    Snapshots.mergeVersionedIdempotent(spark, p, wave(2), "o_orderkey",
+      "jobR", 2L)
+    val vr = Snapshots.restore(p, 1)
+    assert(Snapshots.txnVersionOf(p, "jobR").contains(2L),
+      "restore must not roll the txn watermark back")
+    assert(Snapshots.mergeVersionedIdempotent(spark, p, wave(2),
+      "o_orderkey", "jobR", 2L) == vr)
+  }
+
+  test("writer options: a replayed append batch commits once; " +
+      "txn refuses outside append mode") {
+    val p = tmp()
+    Snapshots.overwriteVersioned(spark, p, ordersDf)
+    def write(): Unit = wave(6).write.format("graft").mode("append")
+      .option("keyCol", "o_orderkey")
+      .option("txnAppId", "etl").option("txnVersion", "42").save(p)
+    write(); write()
+    assert(Snapshots.currentVersion(p) == 1, "second write must no-op")
+    val e = intercept[Exception] {
+      wave(6).write.format("graft").mode("overwrite")
+        .option("txnAppId", "etl").option("txnVersion", "43").save(p)
+    }
+    assert(e.getMessage.contains("append-mode"))
+  }
+
+  test("streaming sink: losing the sidecar marker after a commit no " +
+      "longer replays the batch") {
+    val p = tmp()
+    val scope = Some("cafebabe0001")
+    def batch0 = ordersDf.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("__seq", lit(1L))
+    UpsertSink.mergeVersionedBatch(p, "o_orderkey", "__seq", scope)(
+      batch0, 0L)
+    assert(Snapshots.currentVersion(p) == 0)
+    // simulate the crash window: the version committed but the sidecar
+    // marker was never written
+    val marker = Paths.get(p, "_graft_log", "_last_batch_cafebabe0001")
+    assert(Files.exists(marker))
+    Files.delete(marker)
+    UpsertSink.mergeVersionedBatch(p, "o_orderkey", "__seq", scope)(
+      batch0, 0L)
+    assert(Snapshots.currentVersion(p) == 0,
+      "manifest txn mark must catch the replay the lost sidecar missed")
+    // and the lineage continues normally
+    UpsertSink.mergeVersionedBatch(p, "o_orderkey", "__seq", scope)(
+      ordersDf.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("__seq", lit(2L)), 1L)
+    assert(Snapshots.currentVersion(p) == 1)
+  }
+}
