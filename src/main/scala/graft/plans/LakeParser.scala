@@ -470,7 +470,10 @@ object GraftDmlRules {
     }
     // a path-form source may itself read graft.`dir`
     val source = ResolveGraftPath.rewrite(m.sourceTable)
-    val upsert = isUpdateStar(m.matchedActions, targetCols, aliases) &&
+    // A54: WITH SCHEMA EVOLUTION routes through the general clause
+    // path (star actions must expand over SOURCE columns too)
+    val upsert = !m.withSchemaEvolution &&
+      isUpdateStar(m.matchedActions, targetCols, aliases) &&
       isInsertStar(m.notMatchedActions, targetCols, aliases) &&
       m.notMatchedBySourceActions.isEmpty
     val keyedDelete = m.matchedActions == Seq(DeleteAction(None)) &&
@@ -505,9 +508,141 @@ object GraftDmlRules {
           .except(org.apache.spark.sql.GraftSqlInternals.ofRows(s, source)
             .select(s"`$keyCol`")), keyCol).toLong
       })
-    else refuse("supported MERGE forms: WHEN MATCHED THEN UPDATE SET * " +
-      "WHEN NOT MATCHED THEN INSERT *, WHEN MATCHED THEN DELETE alone, " +
-      "or WHEN NOT MATCHED BY SOURCE THEN DELETE alone")
+    else planMergeGeneral(path, m, keyCol, source, aliases, targetCols)
+  }
+
+  /** A52 — the GENERAL conditional MERGE (everything beyond the three
+    * exact fast-path shapes above): every action list translates to
+    * ordered [[graft.sources.MergeWhen]] clauses and runs through
+    * [[Snapshots.mergeVersionedClauses]] — first-match-wins, guarded
+    * updates/deletes/inserts, partial SET, NOT MATCHED BY SOURCE
+    * updates. Column references resolve by SIDE: a target-alias
+    * qualifier (or an unqualified name that is a target column) binds
+    * bare; a source-alias qualifier (or any other unqualified name)
+    * binds to the `__src_`-prefixed source frame; resolved attributes
+    * (the post-hoc catalog route) bind by exprId. BY SOURCE clauses
+    * may reference only target columns (ANSI).
+    */
+  private def planMergeGeneral(path: String, m: MergeIntoTable,
+      keyCol: String, source: LogicalPlan, aliases: Set[String],
+      targetCols: Option[Seq[String]]): LogicalPlan = {
+    import graft.sources.MergeWhen
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val tAliases = aliasesOf(m.targetTable)
+    val sAliases = aliasesOf(m.sourceTable)
+    // .output THROWS on an unresolved plan (a parse-time subquery
+    // source is a Project over UnresolvedAttributes) — exprId binding
+    // only exists on the resolved (post-hoc) route anyway
+    def outputOf(p: LogicalPlan) = if (p.resolved) p.output else Nil
+    val tIds = outputOf(m.targetTable).map(_.exprId).toSet
+    val sIds = outputOf(m.sourceTable).map(_.exprId).toSet
+    val tCols: Seq[String] = targetCols
+      .orElse(Snapshots.tableSchema(path, Snapshots.currentVersion(path))
+        .map(_.fieldNames.toSeq))
+      .getOrElse(refuse("MERGE target schema unavailable"))
+    val tColSet = tCols.toSet
+    // A54: star actions under WITH SCHEMA EVOLUTION cover the source's
+    // extra columns too (Delta's star-evolution contract) — which
+    // needs the source RESOLVED; the path-form parse-time route sees
+    // an unresolved source and refuses star+evolution (explicit
+    // assignment lists evolve on both routes)
+    val evo = m.withSchemaEvolution
+    lazy val evoExtra: Seq[String] = {
+      val sCols = outputOf(m.sourceTable).map(_.name)
+      if (sCols.isEmpty) refuse(
+        "MERGE WITH SCHEMA EVOLUTION star actions need a catalog-" +
+          "resolved source (or list the new columns explicitly)")
+      sCols.filterNot(tColSet)
+    }
+
+    def sideCol(e: Expression, allowSource: Boolean): org.apache.spark.sql.Column = {
+      val rewritten = e.transform {
+        case a: AttributeReference if sIds.contains(a.exprId) =>
+          if (!allowSource) refuse(
+            "NOT MATCHED BY SOURCE clauses may reference only target columns")
+          UnresolvedAttribute(Seq(MergeWhen.srcName(a.name)))
+        case a: AttributeReference if tIds.contains(a.exprId) =>
+          UnresolvedAttribute(Seq(a.name))
+        case u: UnresolvedAttribute => u.nameParts match {
+          case Seq(q, n) if tAliases.contains(q) => UnresolvedAttribute(Seq(n))
+          case Seq(q, n) if sAliases.contains(q) =>
+            if (!allowSource) refuse(
+              "NOT MATCHED BY SOURCE clauses may reference only target columns")
+            UnresolvedAttribute(Seq(MergeWhen.srcName(n)))
+          case Seq(n) if tColSet.contains(n) => UnresolvedAttribute(Seq(n))
+          case Seq(n) =>
+            if (!allowSource) refuse(
+              "NOT MATCHED BY SOURCE clauses may reference only target columns")
+            UnresolvedAttribute(Seq(MergeWhen.srcName(n)))
+          case _ => refuse(
+            "struct-field paths are not supported in MERGE clauses")
+        }
+      }
+      org.apache.spark.sql.GraftSqlBridge.toColumn(rewritten)
+    }
+    def assignName(a: Assignment): String =
+      nameOf(a.key, tAliases ++ aliases).getOrElse(
+        refuse(s"MERGE SET/INSERT target must be a plain target column, " +
+          s"got ${a.key.sql}"))
+    def starSet(allow: Boolean): Seq[(String, org.apache.spark.sql.Column)] =
+      ((if (evo) tCols ++ evoExtra else tCols): Seq[String])
+        .filterNot(_ == keyCol).map(c => c -> MergeWhen.src(c))
+    // the analyzer expands `UPDATE SET *` to explicit assignments that
+    // INCLUDE the key; `key = s.key` is an identity under the ON
+    // equality — drop it instead of refusing (a non-identity key SET
+    // still refuses downstream)
+    def keyIdentity(a: Assignment): Boolean =
+      nameOf(a.key, tAliases ++ aliases).contains(keyCol) &&
+        nameOf(a.value, aliases ++ sAliases).contains(keyCol)
+    // A54: the post-hoc route sees star actions ALREADY expanded over
+    // the target columns (the v1 analyzer never adds source extras) —
+    // an identity name-for-name expansion covering every target column
+    // IS the star form, so under WITH SCHEMA EVOLUTION re-append the
+    // source-only columns the expansion dropped
+    def evoAppend(assigns: Seq[Assignment])
+        : Seq[(String, org.apache.spark.sql.Column)] =
+      if (evo && isStarAssignments(assigns, Some(tCols),
+          tAliases ++ sAliases ++ aliases))
+        evoExtra.map(c => c -> MergeWhen.src(c))
+      else Seq.empty
+    val matched: Seq[MergeWhen] = m.matchedActions.map {
+      case UpdateAction(cond, assigns, _) =>
+        MergeWhen.MatchedUpdate(cond.map(sideCol(_, allowSource = true)),
+          assigns.filterNot(keyIdentity).map(a =>
+            assignName(a) -> sideCol(a.value, allowSource = true)) ++
+            evoAppend(assigns))
+      case UpdateStarAction(cond) =>
+        MergeWhen.MatchedUpdate(
+          cond.map(sideCol(_, allowSource = true)), starSet(true))
+      case DeleteAction(cond) =>
+        MergeWhen.MatchedDelete(cond.map(sideCol(_, allowSource = true)))
+      case other => refuse(s"unsupported MATCHED action $other")
+    }
+    val notMatched: Seq[MergeWhen] = m.notMatchedActions.map {
+      case InsertAction(cond, assigns) =>
+        MergeWhen.NotMatchedInsert(cond.map(sideCol(_, allowSource = true)),
+          assigns.map(a =>
+            assignName(a) -> sideCol(a.value, allowSource = true)) ++
+            evoAppend(assigns))
+      case InsertStarAction(cond) =>
+        MergeWhen.NotMatchedInsert(cond.map(sideCol(_, allowSource = true)),
+          (if (evo) tCols ++ evoExtra else tCols)
+            .map(c => c -> MergeWhen.src(c)))
+      case other => refuse(s"unsupported NOT MATCHED action $other")
+    }
+    val bySource: Seq[MergeWhen] = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, assigns, _) =>
+        MergeWhen.BySourceUpdate(cond.map(sideCol(_, allowSource = false)),
+          assigns.map(a =>
+            assignName(a) -> sideCol(a.value, allowSource = false)))
+      case DeleteAction(cond) =>
+        MergeWhen.BySourceDelete(cond.map(sideCol(_, allowSource = false)))
+      case other => refuse(s"unsupported NOT MATCHED BY SOURCE action $other")
+    }
+    val clauses = matched ++ notMatched ++ bySource
+    LakeMaintenanceCommand("version", s => Snapshots.mergeVersionedClauses(
+      s, path, org.apache.spark.sql.GraftSqlInternals.ofRows(s, source),
+      keyCol, clauses, evolveSchema = evo).toLong)
   }
 
   /** A26 partitioned tables resolve to their own FileIndex: (table
@@ -531,17 +666,16 @@ object GraftDmlRules {
       "by design — write through PartitionedSnapshots (merge/compact/" +
       "zorder take the partition value) or target one partition's own dir")
 
-  /** A49 hidden-partitioned tables: (root, transform, (value, dir)). */
-  private def hiddenInfo(plan: LogicalPlan):
-      Option[(String, graft.sources.GraftTransform, Seq[(String, String)])] =
+  /** A49/A53 hidden-partitioned tables: (root, per-epoch
+    * (transform, (value, dir)) groups). */
+  private def hiddenInfo(plan: LogicalPlan): Option[(String,
+      Seq[(graft.sources.GraftTransform, Seq[(String, String)])])] =
     plan match {
       case SubqueryAlias(_, child) => hiddenInfo(child)
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation => h.location match {
           case g: graft.sources.GraftHiddenPartitionedIndex =>
-            Some((g.tablePath,
-              graft.sources.HiddenPartitions.specOf(g.tablePath).get,
-              g.partitionDirs))
+            Some((g.tablePath, g.partitionGroups))
           case _ => None
         }
         case _ => None
@@ -623,24 +757,27 @@ object GraftDmlRules {
     // transform column refuses (row movement); MERGE star-upsert
     // routes through HiddenPartitions.merge.
     case DeleteFromTable(t, cond) if hiddenInfo(t).isDefined =>
-      val (_, transform, parts) = hiddenInfo(t).get
+      val (_, groups) = hiddenInfo(t).get
       val aliases = aliasesOf(t)
       val cs = conjunctsOf(cond)
       val predSql = bareSql(cond, aliases)
       LakeMaintenanceCommand("partitions", s => {
-        val keep = parts.filter { case (value, _) =>
-          cs.forall(transform.mayContain(value, _)) }
+        // A53: each epoch's directories prune through its own transform
+        val keep = groups.flatMap { case (transform, parts) =>
+          parts.filter { case (value, _) =>
+            cs.forall(transform.mayContain(value, _)) } }
         keep.foreach { case (_, dir) =>
           Snapshots.deleteVersioned(s, dir, expr(predSql)) }
         keep.size.toLong
       })
     case UpdateTable(t, assignments, cond) if hiddenInfo(t).isDefined =>
-      val (_, transform, parts) = hiddenInfo(t).get
+      val (_, groups) = hiddenInfo(t).get
       val aliases = aliasesOf(t)
+      val transformCols = groups.map(_._1.col).toSet
       val assigns = assignments.map { a =>
         val n = nameOf(a.key, aliases).getOrElse(
           refuse("UPDATE assignment target must be a bare (top-level) column"))
-        if (n == transform.col) refuse("UPDATE may not SET the hidden " +
+        if (transformCols.contains(n)) refuse("UPDATE may not SET a hidden " +
           "partition transform's source column (row movement between " +
           "partitions) — use HiddenPartitions.merge")
         n -> bareSql(a.value, aliases)
@@ -648,15 +785,16 @@ object GraftDmlRules {
       val cs = cond.map(conjunctsOf).getOrElse(Seq.empty)
       val predSql = cond.map(bareSql(_, aliases)).getOrElse("true")
       LakeMaintenanceCommand("partitions", s => {
-        val keep = parts.filter { case (value, _) =>
-          cs.forall(transform.mayContain(value, _)) }
+        val keep = groups.flatMap { case (transform, parts) =>
+          parts.filter { case (value, _) =>
+            cs.forall(transform.mayContain(value, _)) } }
         keep.foreach { case (_, dir) =>
           Snapshots.updateVersioned(s, dir, expr(predSql),
             assigns.map { case (n, v) => n -> expr(v) }) }
         keep.size.toLong
       })
     case m: MergeIntoTable if hiddenInfo(m.targetTable).isDefined =>
-      val (path, _, _) = hiddenInfo(m.targetTable).get
+      val (path, _) = hiddenInfo(m.targetTable).get
       val aliases = aliasesOf(m.targetTable) ++ aliasesOf(m.sourceTable)
       val targetCols = outputCols(m.targetTable)
       val keyCol = m.mergeCondition match {

@@ -287,8 +287,10 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         !parameters.contains("timestampAsOf"),
       "graft: hidden-partitioned tables time-travel PER PARTITION — " +
         "use Snapshots.read on the partition dir")
-    val vals = PartitionedSnapshots.partitions(path)
-    val dirs = vals.map(v => v -> PartitionedSnapshots.partitionDir(path, v))
+    // A53: every EPOCH's directories, each pruned by its own transform
+    val groups = HiddenPartitions.epochGroups(path)
+      .map { case (_, t, ds) => (t, ds) }
+    val dirs = groups.flatMap(_._2)
     dirs.foreach { case (value, d) =>
       require(Snapshots.currentVersion(d) >= 0,
         s"graft: partition $value of $path has no log")
@@ -298,7 +300,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       .getOrElse(spark.read.parquet(
         Snapshots.liveFiles(d0, Snapshots.currentVersion(d0)): _*).schema)
     HadoopFsRelation(
-      location = new GraftHiddenPartitionedIndex(spark, path, transform, dirs),
+      location = new GraftHiddenPartitionedIndex(spark, path, groups),
       partitionSchema = new StructType(),
       dataSchema = dataSchema,
       bucketSpec = None,

@@ -194,18 +194,89 @@ object HiddenPartitions {
 
   private def specPath(path: String) = Paths.get(path, "_graft_part_spec")
 
-  /** The root's transform spec, if this is a hidden-partitioned table. */
-  def specOf(path: String): Option[GraftTransform] = {
-    val p = specPath(path)
-    if (!Files.exists(p)) return None
-    val parts = new String(Files.readAllBytes(p), "UTF-8").trim.split("\t")
-    parts match {
-      case Array("mod", c, n)      => Some(ModTransform(c, n.toInt))
-      case Array("day", c)         => Some(DayTransform(c))
-      case Array("truncate", c, w) => Some(TruncateTransform(c, w.toInt))
+  private def decode(line: String): GraftTransform =
+    line.trim.split("\t") match {
+      case Array("mod", c, n)      => ModTransform(c, n.toInt)
+      case Array("day", c)         => DayTransform(c)
+      case Array("truncate", c, w) => TruncateTransform(c, w.toInt)
       case other => throw new IllegalStateException(
-        s"graft: unreadable partition spec at $p: ${other.mkString("/")}")
+        s"graft: unreadable partition spec line: ${other.mkString("/")}")
     }
+
+  /** A53 — ALL transform specs in EPOCH order (the Iceberg
+    * partition-spec-evolution model): line i of `_graft_part_spec` is
+    * epoch i's transform. A pre-evolution table has one line — epoch 0
+    * — so old roots read unchanged. */
+  def specsOf(path: String): Seq[GraftTransform] = {
+    val p = specPath(path)
+    if (!Files.exists(p)) return Seq.empty
+    new String(Files.readAllBytes(p), "UTF-8").trim
+      .split("\n").toIndexedSeq.filter(_.nonEmpty).map(decode)
+  }
+
+  /** The CURRENT (latest-epoch) transform, if hidden-partitioned. */
+  def specOf(path: String): Option[GraftTransform] = specsOf(path).lastOption
+
+  // epoch 0 keeps the original `part=` dirs (old tables read
+  // unchanged); epoch e ≥ 1 lands under `part.e<e>=` — a prefix the
+  // plain A26 listing never matches, and one no URL-encoded VALUE can
+  // collide with (the value is encoded after the '=')
+  private def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+  private def epochPrefix(epoch: Int): String =
+    if (epoch == 0) "part=" else s"part.e$epoch="
+
+  private[graft] def epochDir(path: String, epoch: Int, value: String): String =
+    Paths.get(path, epochPrefix(epoch) + enc(value)).toString
+
+  /** Committed partition values of one epoch (root dir listing). */
+  private[graft] def epochValues(path: String, epoch: Int): Seq[String] = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val s = Files.list(root)
+    val names = try s.iterator.asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    val pfx = epochPrefix(epoch)
+    names.filter(n => n.startsWith(pfx) &&
+        (epoch > 0 || !n.startsWith("part.e")))
+      .map(n => dec(n.stripPrefix(pfx))).sorted
+  }
+
+  /** Every epoch's (transform, (value, dir) list), epoch-ordered —
+    * the unit the connector, the DML router, and the merge walk. */
+  private[graft] def epochGroups(path: String):
+      Seq[(Int, GraftTransform, Seq[(String, String)])] =
+    specsOf(path).zipWithIndex.map { case (t, e) =>
+      (e, t, epochValues(path, e).map(v => v -> epochDir(path, e, v)))
+    }
+
+  /** A53 — EVOLVE the partition spec: all FUTURE writes route by
+    * `next`; every existing partition keeps its layout and its
+    * versions, zero rows move (the Iceberg promise — re-partitioning a
+    * 100 TB table is a one-line metadata append). Reads prune each
+    * epoch's directories with that epoch's own transform; the keyed
+    * merge updates rows IN PLACE wherever their epoch put them and
+    * routes only NEW keys by the current transform, so a key never
+    * duplicates across epochs. Returns the new epoch id. */
+  def evolve(path: String, next: GraftTransform): Int = {
+    val specs = specsOf(path)
+    require(specs.nonEmpty, s"$path is not a hidden-partitioned table")
+    require(specs.last != next,
+      s"graft: the current spec already is ${next.encode}")
+    // the new transform column must exist in the recorded schema
+    epochGroups(path).flatMap(_._3).headOption.foreach { case (_, d) =>
+      Snapshots.tableSchema(d, Snapshots.currentVersion(d)).foreach(sch =>
+        require(sch.fieldNames.contains(next.col),
+          s"graft: evolve column '${next.col}' not in " +
+            sch.fieldNames.mkString(", ")))
+    }
+    val lines = (specs :+ next).map(_.encode).mkString("\n")
+    val tmp = Files.createTempFile(Paths.get(path), "spec", ".tmp")
+    Files.write(tmp, lines.getBytes("UTF-8"))
+    Files.move(tmp, specPath(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    specs.size
   }
 
   private def requireNoNulls(df: DataFrame, c: String): Unit =
@@ -234,46 +305,93 @@ object HiddenPartitions {
     vals
   }
 
-  /** Keyed merge routed by the transform: each batch slice lands in
-    * its partition's own log (new values bootstrap a new dir), same
-    * contract as [[PartitionedSnapshots.mergePartitioned]]. */
+  /** Keyed merge routed by the transform, EPOCH-AWARE (A53): a key
+    * already living in an OLD epoch's partition is updated IN PLACE
+    * there (probed newest-old-epoch first: per-epoch candidate
+    * partition = that epoch's transform of the row, then a
+    * column-pruned key semi-join decides existence — a key can live in
+    * exactly one partition, so the first hit wins and the row never
+    * duplicates); only keys present in NO epoch route as inserts by
+    * the CURRENT transform (new values bootstrap a new dir). On a
+    * single-epoch table this degenerates to the original one-pass
+    * routing — no probes, no extra jobs. Map keys are labeled
+    * `e<epoch>:<value>` for old-epoch in-place updates, bare `<value>`
+    * for the current epoch. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String): Map[String, Int] = {
-    val t = specOf(path).getOrElse(throw new IllegalArgumentException(
-      s"$path is not a hidden-partitioned table"))
-    requireNoNulls(updates, t.col)
-    val existing = PartitionedSnapshots.partitions(path).toSet
-    val touched = updates.withColumn("__part", t.valueExpr)
+    val specs = specsOf(path)
+    require(specs.nonEmpty, s"$path is not a hidden-partitioned table")
+    val current = specs.last
+    val currentEpoch = specs.size - 1
+    requireNoNulls(updates, current.col)
+    val results = scala.collection.mutable.Map.empty[String, Int]
+    var remaining = updates
+    // old epochs, newest first: update in place where the key lives
+    for (epoch <- (0 until currentEpoch).reverse) {
+      val t = specs(epoch)
+      val dirsE = epochValues(path, epoch)
+        .map(v => v -> epochDir(path, epoch, v)).toMap
+      if (dirsE.nonEmpty) {
+        val touched = remaining
+          .withColumn("__part", t.valueExpr).filter(col("__part").isNotNull)
+          .select("__part").distinct().collect().map(_.getString(0))
+          .filter(dirsE.contains).sorted
+        touched.foreach { v =>
+          val dir = dirsE(v)
+          val slice = remaining.filter(t.valueExpr === v)
+          // column-pruned key probe: does this epoch's partition hold
+          // any of the slice's keys already?
+          val existingKeys = Snapshots.read(spark, dir)
+            .select(column(keyCol))
+            .join(broadcast(slice.select(column(keyCol))),
+              Seq(keyCol), "left_semi")
+          if (!existingKeys.isEmpty) {
+            results(s"e$epoch:$v") = Snapshots.mergeVersioned(spark, dir,
+              slice.join(broadcast(existingKeys), Seq(keyCol), "left_semi"),
+              keyCol)
+            remaining = remaining.join(broadcast(existingKeys),
+              Seq(keyCol), "left_anti")
+          }
+        }
+      }
+    }
+    // current epoch: update-or-insert by the current transform
+    val existing = epochValues(path, currentEpoch).toSet
+    val touched = remaining.withColumn("__part", current.valueExpr)
       .select("__part").distinct().collect().map(_.getString(0))
-    touched.sorted.map { v =>
-      val slice = updates.filter(t.valueExpr === v)
-      val dir = PartitionedSnapshots.partitionDir(path, v)
+    touched.sorted.foreach { v =>
+      val slice = remaining.filter(current.valueExpr === v)
+      val dir = epochDir(path, currentEpoch, v)
       if (!existing.contains(v)) {
-        Files.createDirectories(Paths.get(dir))
-        val stage = dir + "/init"
-        slice.write.parquet(stage)
-        val st = Files.list(Paths.get(stage))
-        try st.iterator.asScala.filter(_.toString.endsWith(".parquet"))
-          .foreach(p => Files.move(p,
-            Paths.get(dir, p.getFileName.toString)))
-        finally st.close()
-        val walk = Files.walk(Paths.get(stage))
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
-        v -> Snapshots.init(spark, dir)
-      } else v -> Snapshots.mergeVersioned(spark, dir, slice, keyCol)
-    }.toMap
+        if (slice.isEmpty) () // every key updated in an older epoch
+        else {
+          Files.createDirectories(Paths.get(dir))
+          val stage = dir + "/init"
+          slice.write.parquet(stage)
+          val st = Files.list(Paths.get(stage))
+          try st.iterator.asScala.filter(_.toString.endsWith(".parquet"))
+            .foreach(p => Files.move(p,
+              Paths.get(dir, p.getFileName.toString)))
+          finally st.close()
+          val walk = Files.walk(Paths.get(stage))
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+          results(v) = Snapshots.init(spark, dir)
+        }
+      } else if (!slice.isEmpty)
+        results(v) = Snapshots.mergeVersioned(spark, dir, slice, keyCol)
+    }
+    results.toMap
   }
 
-  /** Read the whole table at each partition's current version (the
-    * connector is the pruning path; this is the library convenience). */
+  /** Read the whole table at each partition's current version, across
+    * every epoch (the connector is the pruning path; this is the
+    * library convenience). */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val vals = PartitionedSnapshots.partitions(path)
-    require(vals.nonEmpty, s"$path has no partitions")
-    vals.map(v => Snapshots.read(spark,
-        PartitionedSnapshots.partitionDir(path, v)))
-      .reduce(_.unionByName(_))
+    val dirs = epochGroups(path).flatMap(_._3).map(_._2)
+    require(dirs.nonEmpty, s"$path has no partitions")
+    dirs.map(Snapshots.read(spark, _)).reduce(_.unionByName(_))
   }
 }
 
@@ -285,29 +403,35 @@ object HiddenPartitions {
   * arithmetic + surviving files' statuses only.
   */
 class GraftHiddenPartitionedIndex(spark: SparkSession, path: String,
-    transform: GraftTransform, dirs: Seq[(String, String)])
+    groups: Seq[(GraftTransform, Seq[(String, String)])])
     extends org.apache.spark.sql.execution.datasources.FileIndex {
 
   import org.apache.hadoop.fs.Path
   import org.apache.spark.sql.execution.datasources.PartitionDirectory
 
   private[graft] def tablePath: String = path
-  private[graft] def partitionDirs: Seq[(String, String)] = dirs
+  private[graft] def partitionDirs: Seq[(String, String)] =
+    groups.flatMap(_._2)
+  private[graft] def partitionGroups: Seq[(GraftTransform, Seq[(String, String)])] =
+    groups
 
-  private val parts: Seq[(String, Seq[String],
+  // A53: one flat entry per (epoch transform, value, dir) — each
+  // epoch's directories prune through ITS OWN transform; the dir key
+  // (not the value, which epochs may share) indexes the statuses
+  private val parts: Seq[(GraftTransform, String, String, Seq[String],
       Map[String, Map[String, (String, String, String)]],
       Map[String, Map[String, Long]], Map[String, Long])] =
-    dirs.map { case (value, d) =>
+    groups.flatMap { case (t, ds) => ds.map { case (value, d) =>
       val v = Snapshots.currentVersion(d)
-      (value, Snapshots.liveFiles(d, v).map(Snapshots.canonical),
+      (t, value, d, Snapshots.liveFiles(d, v).map(Snapshots.canonical),
         Snapshots.fileStats(d, v), Snapshots.fileNulls(d, v),
         Snapshots.fileRows(d, v))
-    }
+    } }
 
   private lazy val statusesOf: Map[String, Seq[org.apache.hadoop.fs.FileStatus]] = {
     val conf = spark.sessionState.newHadoopConf()
-    parts.map { case (value, files, _, _, _) =>
-      value -> files.map { f =>
+    parts.map { case (_, _, d, files, _, _, _) =>
+      d -> files.map { f =>
         val p = new Path(f)
         p.getFileSystem(conf).getFileStatus(p)
       }
@@ -329,21 +453,21 @@ class GraftHiddenPartitionedIndex(spark: SparkSession, path: String,
       finally s.close()
     }
     val strays = rootStrays ++
-      dirs.flatMap { case (_, d) => Snapshots.strayFiles(d) }
+      partitionDirs.flatMap { case (_, d) => Snapshots.strayFiles(d) }
     if (strays.nonEmpty) throw new IllegalStateException(
       s"graft: ${strays.size} file(s) were written into $path behind the " +
         "per-partition snapshot logs (a direct file INSERT?); write through " +
         "HiddenPartitions or the graft extensions instead.")
   }
-  override def inputFiles: Array[String] = parts.flatMap(_._2).toArray
+  override def inputFiles: Array[String] = parts.flatMap(_._4).toArray
   override lazy val sizeInBytes: Long =
-    parts.flatMap(_._2).map(f => Files.size(Paths.get(f))).sum
+    parts.flatMap(_._4).map(f => Files.size(Paths.get(f))).sum
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    parts.collect { case (value, _, stats, pNulls, pRows)
-        if dataFilters.forall(transform.mayContain(value, _)) =>
-      val kept = statusesOf(value).filter { st =>
+    parts.collect { case (t, value, d, _, stats, pNulls, pRows)
+        if dataFilters.forall(t.mayContain(value, _)) =>
+      val kept = statusesOf(d).filter { st =>
         val f = Snapshots.canonical(st.getPath.toString)
         val fileStat = stats.getOrElse(f, Map.empty)
         dataFilters.forall(e => GraftFileIndex.survives(fileStat,

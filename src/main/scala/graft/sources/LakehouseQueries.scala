@@ -1370,7 +1370,157 @@ object LakehouseQueries {
       |FROM o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** A52 — the FULL conditional MERGE end-to-end: one statement's worth
+    * of guarded clauses (conditional update, fallback matched delete,
+    * conditional insert, NOT MATCHED BY SOURCE update AND delete) in
+    * first-match-wins order against a versioned orders table, emitted
+    * per-row so every clause's routing is in the hash — a row sent down
+    * the wrong clause (kept where ANSI deletes, inserted where the
+    * guard fails, post-image where pre belongs) breaks the compare.
+    */
+  def qLakeMergeClauses(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.MergeWhen._
+    val b = base(s, d)
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir)
+    val src = b.filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + when(col("o_orderkey") % 8 === 0, 500.0)
+          .otherwise(-500.0)).as("price2"))
+      .unionByName(b.filter(col("o_orderkey") % 4 === 1)
+        .select((col("o_orderkey") + 90000000L).as("o_orderkey"),
+          col("o_totalprice").as("price2")))
+    Snapshots.mergeVersionedClauses(s, dir, src, "o_orderkey", Seq(
+      MatchedUpdate(Some(MergeWhen.src("price2") > col("o_totalprice")),
+        Seq("o_totalprice" -> MergeWhen.src("price2"))),
+      MatchedDelete(None),
+      NotMatchedInsert(Some(MergeWhen.src("price2") < lit(100000.0)),
+        Seq("o_orderkey" -> MergeWhen.src("o_orderkey"),
+          "o_orderstatus" -> lit("N"),
+          "o_totalprice" -> MergeWhen.src("price2"))),
+      BySourceUpdate(Some(col("o_totalprice") < lit(1000.0)),
+        Seq("o_orderstatus" -> lit("Z"))),
+      BySourceDelete(Some(col("o_totalprice") > lit(500000.0)))))
+    s.read.format("graft").load(dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))
+  }
+
+  val qLakeMergeClausesSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 500.0
+      |         ELSE o_totalprice - 500.0 END AS price2
+      |  FROM orders WHERE o_orderkey % 4 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 90000000, o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 = 1)
+      |SELECT t.o_orderkey, t.o_orderstatus AS o_orderstatus,
+      |  round(s.price2, 2) AS price
+      |FROM orders t JOIN src s ON t.o_orderkey = s.o_orderkey
+      |WHERE s.price2 > t.o_totalprice
+      |UNION ALL
+      |SELECT t.o_orderkey,
+      |  CASE WHEN t.o_totalprice < 1000.0 THEN 'Z'
+      |       ELSE t.o_orderstatus END,
+      |  round(t.o_totalprice, 2)
+      |FROM orders t
+      |WHERE t.o_orderkey % 4 <> 0
+      |  AND NOT (t.o_totalprice >= 1000.0 AND t.o_totalprice > 500000.0)
+      |UNION ALL
+      |SELECT s.o_orderkey, 'N', round(s.price2, 2)
+      |FROM src s LEFT JOIN orders t ON t.o_orderkey = s.o_orderkey
+      |WHERE t.o_orderkey IS NULL AND s.price2 < 100000.0""".stripMargin
+
+  /** A54 — MERGE WITH SCHEMA EVOLUTION end-to-end through the SQL
+    * route: the statement SETs and INSERTs a column the table lacks
+    * (`rebate`), so the schema evolves in the SAME commit — matched
+    * rows carry the computed value, inserted rows their literal, every
+    * untouched row reads NULL through A19 schema-on-read (old files
+    * are never rewritten for the new column). Per-row output: a lost
+    * evolution, a failed null-fill, or a rewrite that dropped the
+    * column breaks the hash.
+    */
+  def qLakeMergeEvolve(s: SparkSession, d: String): DataFrame = {
+    val se = graft.plans.GraftSessions.withExtensions(s)
+    val dir = stage(base(se, d), 4)
+    Snapshots.init(se, dir)
+    val orders = s"$d/orders.parquet"
+    se.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` t
+         |USING (SELECT o_orderkey, o_totalprice AS price2
+         |       FROM parquet.`$orders` WHERE o_orderkey % 4 = 0
+         |       UNION ALL
+         |       SELECT o_orderkey + 90000000, o_totalprice
+         |       FROM parquet.`$orders` WHERE o_orderkey % 4 = 1) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET
+         |  o_totalprice = round(s.price2 * 2, 2),
+         |  rebate = round(s.price2 + 250.0, 2)
+         |WHEN NOT MATCHED THEN INSERT
+         |  (o_orderkey, o_orderstatus, o_totalprice, rebate)
+         |  VALUES (s.o_orderkey, 'E', round(s.price2, 2), 0.0)"""
+        .stripMargin)
+    s.read.format("graft").load(dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"), col("rebate"))
+  }
+
+  val qLakeMergeEvolveSql: String =
+    """SELECT t.o_orderkey, t.o_orderstatus,
+      |  CASE WHEN t.o_orderkey % 4 = 0 THEN round(t.o_totalprice * 2, 2)
+      |       ELSE round(t.o_totalprice, 2) END AS price,
+      |  CASE WHEN t.o_orderkey % 4 = 0 THEN round(t.o_totalprice + 250.0, 2)
+      |       ELSE CAST(NULL AS DOUBLE) END AS rebate
+      |FROM orders t
+      |UNION ALL
+      |SELECT o_orderkey + 90000000, 'E', round(o_totalprice, 2), 0.0
+      |FROM orders WHERE o_orderkey % 4 = 1""".stripMargin
+
+  /** A53 — partition-spec EVOLUTION end-to-end: orders lands
+    * mod(key, 4)-hidden-partitioned, takes an in-epoch merge wave,
+    * EVOLVES to mod(key, 8) (one metadata line, zero rows move), then
+    * takes a second wave that both updates OLD keys (which must be
+    * found and rewritten IN PLACE in their epoch-0 partitions — a
+    * misroute duplicates the key and adds a row the hash catches) and
+    * inserts NEW keys (which must land by the new transform in the
+    * epoch-1 directories). Per-row output: every routing decision is
+    * in the hash.
+    */
+  def qLakePartEvolve(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val root = tempDir("graft_evolve_q") + "/t"
+    HiddenPartitions.init(s, root, b, ModTransform("o_orderkey", 4))
+    HiddenPartitions.merge(s, root,
+      b.filter(col("o_orderkey") % 16 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)),
+      "o_orderkey")
+    HiddenPartitions.evolve(root, ModTransform("o_orderkey", 8))
+    val wave2 = b.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+      .unionByName(b.filter(col("o_orderkey") % 4 === 1)
+        .select((col("o_orderkey") + 90000000L).as("o_orderkey"),
+          lit("E").as("o_orderstatus"), col("o_totalprice")))
+    HiddenPartitions.merge(s, root, wave2, "o_orderkey")
+    s.read.format("graft").load(root)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))
+  }
+
+  val qLakePartEvolveSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice + 1000, 2)
+      |       WHEN o_orderkey % 16 = 0 THEN round(o_totalprice * 2, 2)
+      |       ELSE round(o_totalprice, 2) END AS price
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 90000000, 'E', round(o_totalprice, 2)
+      |FROM orders WHERE o_orderkey % 4 = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lake_part_evolve" -> (qLakePartEvolve(_, _)),
+    "q_lake_merge_clauses" -> (qLakeMergeClauses(_, _)),
+    "q_lake_merge_evolve" -> (qLakeMergeEvolve(_, _)),
     "q_lake_bucketed" -> (qLakeBucketed(_, _)),
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
     "q_lake_optimize_where" -> (qLakeOptimizeWhere(_, _)),
@@ -1405,6 +1555,9 @@ object LakehouseQueries {
     "q_lake_catalog_part" -> (qLakeCatalogPart(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_lake_part_evolve" -> qLakePartEvolveSql,
+    "q_lake_merge_clauses" -> qLakeMergeClausesSql,
+    "q_lake_merge_evolve" -> qLakeMergeEvolveSql,
     "q_lake_bucketed" -> qLakeBucketedSql,
     "q_lake_deltalog" -> qLakeDeltaLogSql,
     "q_lake_optimize_where" -> qLakeOptimizeWhereSql,

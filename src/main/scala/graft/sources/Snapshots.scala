@@ -1653,6 +1653,281 @@ object Snapshots {
       beforeCommit = () => (), txn = Some((txnAppId, txnVersion)))
   }
 
+  /** A52 — the FULL conditional MERGE (see [[MergeWhen]]): ordered
+    * WHEN clauses applied first-match-wins per row, ANSI/Delta
+    * semantics. One copy-on-write commit:
+    *
+    *  - WITHOUT BY-SOURCE clauses, touched files are the A15/A27
+    *    stats-pruned key-range set — cost tracks the source batch, not
+    *    the table (a conditional upsert on 100 TB rewrites the same
+    *    files the plain upsert would).
+    *  - BY-SOURCE clauses can change any target row by definition, so
+    *    every live file is in scope (the same whole-table scan Delta
+    *    pays for NOT MATCHED BY SOURCE) — still ONE pass, one commit.
+    *
+    * Row evaluation is a single full-outer join (target rows bare,
+    * source columns `__src_`-prefixed) followed by one branch-id
+    * cascade — no per-clause jobs. A guarded clause with a NULL
+    * condition does not fire; unfired matched/target rows are kept,
+    * unfired source rows are not inserted; INSERT must assign the key;
+    * SET of the key refuses (row identity); duplicate source keys
+    * refuse (MERGE cardinality violation — a keyed table holds one row
+    * per key). A31 change data records exactly the fired rows
+    * (insert / update+pre-image / delete pre-image). The commit CAS
+    * refuses a concurrent-writer race loudly (no rebase — re-run the
+    * statement against the new head). Bucketed layouts (A50) are
+    * preserved through the shared staging. Returns the new version.
+    *
+    * A54 — SCHEMA EVOLUTION (`evolveSchema = true`, the Delta
+    * `MERGE WITH SCHEMA EVOLUTION` contract): SET/INSERT columns the
+    * target lacks are APPENDED to the table schema (nullable, type
+    * inferred from the assigned expressions' when-cascade — mixed
+    * branch types coerce or refuse loudly at analysis, never silently
+    * truncate). Existing rows and unfired branches read the new column
+    * as NULL; files from BEFORE the evolution are never rewritten for
+    * it — A19 schema-on-read null-fills them, so evolving a 100 TB
+    * table costs one manifest line, zero data movement. Existing
+    * columns never change type (SET casts to the declared type, as
+    * without evolution). Time travel to a pre-evolution version serves
+    * the OLD schema. If no clause can fire, the schema does not evolve
+    * (a no-op merge stays a no-op). With `evolveSchema = false` an
+    * unknown SET/INSERT column refuses — the pre-A54 pin.
+    */
+  def mergeVersionedClauses(spark: SparkSession, path: String,
+      source: DataFrame, keyCol: String, clauses: Seq[MergeWhen],
+      evolveSchema: Boolean = false): Int = {
+    import MergeWhen._
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    require(clauses.nonEmpty, "mergeVersionedClauses: no WHEN clauses")
+    val live = liveFiles(path, v)
+    lazy val target = readUnder(spark, path, v, live)
+    val schemaNow = tableSchema(path, v).getOrElse(target.schema)
+    require(schemaNow.fieldNames.contains(keyCol),
+      s"merge: no key column '$keyCol' in ${schemaNow.fieldNames.mkString(", ")}")
+    require(source.columns.contains(keyCol),
+      s"merge: source lacks the key column '$keyCol'")
+
+    val matchedCs: Seq[MergeWhen] = clauses.filter {
+      case _: MatchedUpdate | _: MatchedDelete => true; case _ => false }
+    val insertCs: Seq[NotMatchedInsert] =
+      clauses.collect { case c: NotMatchedInsert => c }
+    val bySourceCs: Seq[MergeWhen] = clauses.filter {
+      case _: BySourceUpdate | _: BySourceDelete => true; case _ => false }
+
+    clauses.foreach { c =>
+      val as = c match {
+        case MatchedUpdate(_, s) => s.map(_._1)
+        case NotMatchedInsert(_, vs) => vs.map(_._1)
+        case BySourceUpdate(_, s) => s.map(_._1)
+        case _ => Seq.empty
+      }
+      require(as.distinct.size == as.size,
+        s"merge: duplicate SET/INSERT column in $as")
+      as.foreach(n => require(
+        evolveSchema || schemaNow.fieldNames.contains(n),
+        s"merge: no column '$n' in ${schemaNow.fieldNames.mkString(", ")} " +
+          "(pass evolveSchema=true / MERGE WITH SCHEMA EVOLUTION to add it)"))
+    }
+    // A54: columns the clauses introduce, in first-assignment order
+    val newCols: Seq[String] =
+      if (!evolveSchema) Seq.empty
+      else clauses.flatMap {
+        case MatchedUpdate(_, s) => s.map(_._1)
+        case NotMatchedInsert(_, vs) => vs.map(_._1)
+        case BySourceUpdate(_, s) => s.map(_._1)
+        case _ => Seq.empty
+      }.distinct.filterNot(schemaNow.fieldNames.contains)
+    clauses.foreach {
+      case MatchedUpdate(_, s) => require(!s.exists(_._1 == keyCol),
+        s"merge: SET of the merge key '$keyCol' refuses (row identity)")
+      case BySourceUpdate(_, s) => require(!s.exists(_._1 == keyCol),
+        s"merge: SET of the merge key '$keyCol' refuses (row identity)")
+      case NotMatchedInsert(_, vs) => require(vs.exists(_._1 == keyCol),
+        s"merge: INSERT must provide the key column '$keyCol'")
+      case _ =>
+    }
+    require(source.groupBy(col(s"`$keyCol`")).count()
+      .filter(col("count") > 1).isEmpty,
+      s"merge: duplicate '$keyCol' keys in the source violate MERGE " +
+        "cardinality on a keyed table")
+
+    val touched: Seq[String] =
+      if (bySourceCs.nonEmpty) live.map(canonical)
+      else {
+        val keyType = schemaNow(keyCol).dataType
+        val stats = manifestRanges(path, v, live, keyCol) match {
+          case Some(rows) =>
+            import spark.implicits._
+            rows.map { case (f, mn, mx, _) => (f, mn, mx) }
+              .toDF("file", "__mns", "__mxs")
+              .select(col("file"), col("__mns").cast(keyType).as("kmin"),
+                col("__mxs").cast(keyType).as("kmax"))
+          case None => target
+            .withColumn("file", input_file_name())
+            .groupBy("file")
+            .agg(min(col(s"`$keyCol`")).as("kmin"),
+              max(col(s"`$keyCol`")).as("kmax"))
+        }
+        val keys = source.select(col(s"`$keyCol`").as("__k")).distinct()
+        stats.join(broadcast(keys),
+          col("__k") >= col("kmin") && col("__k") <= col("kmax"), "left_semi")
+          .select("file").collect().map(r => canonical(r.getString(0)))
+          .toIndexedSeq
+      }
+    if (touched.isEmpty && insertCs.isEmpty) // nothing can fire
+      return commitNext(path, v, live, tableSchema(path, v),
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
+
+    val oldTouched =
+      if (touched.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaNow)
+      else readLive(spark, path, v, touched.toIndexedSeq)
+    val srcP = source.select(source.columns.toIndexedSeq.map(c =>
+      col(s"`$c`").as(srcName(c))) :+ lit(true).as("__src_present"): _*)
+    val j = oldTouched.withColumn("__t_present", lit(true))
+      .join(srcP, col(s"`$keyCol`") === col(srcName(keyCol)), "full_outer")
+    val tPres = coalesce(col("__t_present"), lit(false))
+    val sPres = coalesce(col("__src_present"), lit(false))
+    def guard(c: Option[org.apache.spark.sql.Column]) = c.getOrElse(lit(true))
+
+    // branch ids: matched clause i → i, insert i → 100+i, by-source
+    // i → 200+i, keep → −1, un-inserted source row → −2; the cascade
+    // encodes first-match-wins in ONE expression
+    val cases: Seq[(org.apache.spark.sql.Column, Int)] =
+      matchedCs.zipWithIndex.map { case (c, i) =>
+        val g = c match {
+          case MatchedUpdate(cd, _) => guard(cd)
+          case MatchedDelete(cd) => guard(cd)
+          case _ => lit(false)
+        }
+        (tPres && sPres && g, i)
+      } ++ insertCs.zipWithIndex.map { case (c, i) =>
+        (sPres && !tPres && guard(c.cond), 100 + i)
+      } ++ bySourceCs.zipWithIndex.map { case (c, i) =>
+        val g = c match {
+          case BySourceUpdate(cd, _) => guard(cd)
+          case BySourceDelete(cd) => guard(cd)
+          case _ => lit(false)
+        }
+        (tPres && !sPres && g, 200 + i)
+      }
+    val fallback = when(sPres && !tPres, lit(-2)).otherwise(lit(-1))
+    val branch = cases match {
+      case Seq() => fallback
+      case (c0, b0) +: rest =>
+        rest.foldLeft(when(c0, lit(b0))) { case (acc, (c, b)) =>
+          acc.when(c, lit(b))
+        }.otherwise(fallback)
+    }
+    val jb = j.withColumn("__branch", branch)
+
+    val deleteBranches: Seq[Int] =
+      matchedCs.zipWithIndex.collect { case (MatchedDelete(_), i) => i } ++
+        bySourceCs.zipWithIndex.collect {
+          case (BySourceDelete(_), i) => 200 + i }
+    def inBranches(bs: Seq[Int]): org.apache.spark.sql.Column =
+      if (bs.isEmpty) lit(false)
+      else col("__branch").isin(bs.map(Integer.valueOf): _*)
+
+    def assignedVals(n: String): Seq[(Int, org.apache.spark.sql.Column)] =
+      matchedCs.zipWithIndex.collect {
+        case (MatchedUpdate(_, set), i) if set.exists(_._1 == n) =>
+          (i, set.find(_._1 == n).get._2)
+      } ++ bySourceCs.zipWithIndex.collect {
+        case (BySourceUpdate(_, set), i) if set.exists(_._1 == n) =>
+          (200 + i, set.find(_._1 == n).get._2)
+      }
+    // A54: infer each NEW column's type from its assignments' own
+    // when-cascade over the joined frame — plan-only (no job); mixed
+    // branch types go through Spark's coercion and refuse loudly if
+    // incompatible. Nullable by construction (unfired rows are NULL).
+    val outSchema: org.apache.spark.sql.types.StructType =
+      if (newCols.isEmpty) schemaNow
+      else org.apache.spark.sql.types.StructType(schemaNow.fields ++
+        newCols.map { n =>
+          val vals = assignedVals(n) ++ insertCs.zipWithIndex.collect {
+            case (c, i) if c.values.exists(_._1 == n) =>
+              (100 + i, c.values.find(_._1 == n).get._2)
+          }
+          val cascade = vals.tail.foldLeft(
+            when(col("__branch") === vals.head._1, vals.head._2)) {
+            case (acc, (b, e)) => acc.when(col("__branch") === b, e)
+          }
+          org.apache.spark.sql.types.StructField(n,
+            jb.select(cascade.as(n)).schema.head.dataType, nullable = true)
+        })
+
+    def outCol(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
+      val branchVals: Seq[(Int, org.apache.spark.sql.Column)] =
+        assignedVals(f.name) ++ insertCs.zipWithIndex.map { case (c, i) =>
+          (100 + i, c.values.find(_._1 == f.name).map(_._2)
+            .getOrElse(lit(null)))
+        }
+      // pre-evolution target rows have no such column: NULL base
+      val base =
+        if (schemaNow.fieldNames.contains(f.name)) col(s"`${f.name}`")
+        else lit(null).cast(f.dataType)
+      branchVals.foldLeft(base) { case (acc, (b, e)) =>
+        when(col("__branch") === b, e.cast(f.dataType)).otherwise(acc)
+      }.as(f.name)
+    }
+    val keep = !inBranches(deleteBranches) && col("__branch") =!= -2
+    val rewritten = jb.filter(keep)
+      .select(outSchema.fields.toIndexedSeq.map(outCol): _*)
+    enforceConstraints(path, v, rewritten)
+
+    val cdfStaged: Option[Seq[String]] =
+      if (!cdfEnabled(path, v)) None
+      else {
+        val allCols = outSchema.fieldNames.toIndexedSeq
+        val payload = allCols.filterNot(_ == keyCol)
+        val insertB = insertCs.indices.map(100 + _)
+        val updateB: Seq[Int] = matchedCs.zipWithIndex.collect {
+          case (MatchedUpdate(_, _), i) => i } ++
+          bySourceCs.zipWithIndex.collect {
+            case (BySourceUpdate(_, _), i) => 200 + i }
+        // A54: a pre-evolution row has no new column — NULL pre-image
+        val tagged = jb
+          .withColumn("__pre", struct(outSchema.fields.toIndexedSeq.map(f =>
+            if (schemaNow.fieldNames.contains(f.name)) col(s"`${f.name}`")
+            else lit(null).cast(f.dataType).as(f.name)): _*))
+          .withColumn("__post",
+            struct(outSchema.fields.toIndexedSeq.map(outCol): _*))
+          .withColumn("__ct",
+            when(inBranches(insertB), "insert")
+              .when(inBranches(deleteBranches), "delete")
+              .when(inBranches(updateB) &&
+                !(col("__pre") <=> col("__post")), "update"))
+          .filter(col("__ct").isNotNull)
+        // insert/update rows carry the POST image; deletes the PRE
+        // image; updates also emit an 'update_preimage' companion —
+        // the same stored-CDF contract as the plain merge path
+        def img(df: DataFrame, side: String,
+            ct: org.apache.spark.sql.Column) =
+          df.select(col(s"$side.`$keyCol`").as(keyCol) +:
+            ct.as("change_type") +:
+            payload.map(c => col(s"$side.`$c`").as(c)): _*)
+        Some(stageCdf(path, v,
+          img(tagged.filter(col("__ct") =!= "delete"), "__post",
+            col("__ct"))
+            .unionByName(img(tagged.filter(col("__ct") === "delete"),
+              "__pre", lit("delete")))
+            .unionByName(img(tagged.filter(col("__ct") === "update"),
+              "__pre", lit("update_preimage")))))
+      }
+
+    val staged = stageData(rewritten, Some(outSchema), path, v + 1,
+      bucketSpecOf(path, v))
+    val touchedSet = touched.map(canonical).toSet
+    val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
+    commitNext(path, v, retained ++ staged,
+      if (newCols.isEmpty) tableSchema(path, v) else Some(outSchema),
+      carriedStats(path, v, retained) ++ statsLines(spark, staged),
+      dvFiles(path, v), cdf = cdfStaged,
+      bloomExtra = maybeBloom(spark, path, v, staged))
+  }
+
   /** [[mergeVersioned]] with the OCC machinery exposed: `maxRetries`
     * bounds the rebase loop, `beforeCommit` is a test seam that runs
     * after staging and before the first commit attempt (where a

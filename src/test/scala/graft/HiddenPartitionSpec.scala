@@ -141,4 +141,119 @@ class HiddenPartitionSpec extends GraftSuite {
       spark.readStream.format("graft").option("keyCol", "k").load(ok)
     }
   }
+
+  // ---- A53: partition-spec EVOLUTION ------------------------------
+
+  test("evolve: old epochs keep their layout, keys never duplicate") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_evolve").toString + "/t"
+    HiddenPartitions.init(spark, root,
+      (1L to 400L).map(k => (k, s"v$k")).toDF("k", "payload"),
+      ModTransform("k", 4))
+    // evolve: future writes route mod 8; zero rows move
+    assert(HiddenPartitions.evolve(root, ModTransform("k", 8)) == 1)
+    assert(HiddenPartitions.specsOf(root).size == 2)
+    val e0Before = graft.sources.PartitionedSnapshots.versions(root)
+
+    // wave: updates to OLD keys (live in epoch 0) + brand-new keys
+    val wave = (1L to 400L by 40).map(k => (k, "UPD"))
+      .++((1001L to 1016L).map(k => (k, s"new$k"))).toDF("k", "payload")
+    val res = HiddenPartitions.merge(spark, root, wave, "k")
+    // old keys updated IN PLACE: labels e0:<residue>, epoch-0 dirs only
+    assert(res.keys.exists(_.startsWith("e0:")), res.keys.toSeq.sorted)
+    // new keys landed by the CURRENT transform in part.e1= dirs
+    val e1Vals = HiddenPartitions.epochValues(root, 1)
+    assert(e1Vals.nonEmpty, "new keys must bootstrap epoch-1 partitions")
+    // epoch-0 partitions NOT holding updated keys keep their version
+    val e0After = graft.sources.PartitionedSnapshots.versions(root)
+    assert(e0After.keySet == e0Before.keySet,
+      "inserts must never land in old-epoch partitions")
+
+    // the table reads whole, exactly, with no key duplicated
+    val df = spark.read.format("graft").load(root)
+    assert(df.columns.toSeq == Seq("k", "payload"))
+    assert(df.count() == 400 + 16)
+    assert(df.select("k").distinct().count() == 416,
+      "a key must live in exactly one partition across epochs")
+    assert(df.filter(col("k") === 41L).select("payload")
+      .head().getString(0) == "UPD")
+    assert(df.filter(col("k") === 1001L).select("payload")
+      .head().getString(0) == "new1001")
+    // library read agrees
+    val lib = HiddenPartitions.read(spark, root)
+    assert(lib.count() == 416)
+
+    // a SECOND wave updating a post-evolution key updates it in place
+    // in epoch 1 (no third copy)
+    HiddenPartitions.merge(spark, root,
+      Seq((1001L, "UPD2")).toDF("k", "payload"), "k")
+    val df2 = spark.read.format("graft").load(root)
+    assert(df2.filter(col("k") === 1001L).count() == 1)
+    assert(df2.filter(col("k") === 1001L).select("payload")
+      .head().getString(0) == "UPD2")
+  }
+
+  test("evolve: each epoch prunes through its OWN transform") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_evolve_prune").toString + "/t"
+    HiddenPartitions.init(spark, root,
+      (1L to 400L).map(k => (k, s"v$k")).toDF("k", "payload"),
+      ModTransform("k", 4))
+    HiddenPartitions.evolve(root, ModTransform("k", 8))
+    HiddenPartitions.merge(spark, root,
+      (1001L to 1400L).map(k => (k, s"v$k")).toDF("k", "payload"), "k")
+    val df = spark.read.format("graft").load(root)
+    val total = scannedFiles(df)
+    // equality on the key: ≤ 1 partition per EPOCH survives (k%4 in
+    // epoch 0, k%8 in epoch 1) — out of 4 + 8 partitions
+    val one = df.filter(col("k") === 437L)
+    assert(scannedFiles(one) <= total / 4,
+      s"expected ≤ ${total / 4} files for a point probe, " +
+        s"got ${scannedFiles(one)} of $total")
+    // the row itself is correct (routes to epoch 0, 437 <= 400 is
+    // absent; probe an existing old key and a new key)
+    assert(df.filter(col("k") === 101L).select("payload")
+      .head().getString(0) == "v101")
+    assert(df.filter(col("k") === 1101L).select("payload")
+      .head().getString(0) == "v1101")
+  }
+
+  test("evolve: cross-column evolution and SET refusal for every epoch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_evolve_col").toString + "/t"
+    HiddenPartitions.init(spark, root,
+      (1L to 100L).map(k => (k, s"s${k % 3}", s"v$k"))
+        .toDF("k", "cat", "payload"),
+      ModTransform("k", 4))
+    HiddenPartitions.evolve(root, TruncateTransform("cat", 2))
+    // new keys route by the string prefix now
+    HiddenPartitions.merge(spark, root,
+      Seq((500L, "zz9", "new")).toDF("k", "cat", "payload"), "k")
+    assert(HiddenPartitions.epochValues(root, 1).contains("zz"))
+    val df = spark.read.format("graft").load(root)
+    assert(df.count() == 101)
+    // old keys still update in place across the column change
+    HiddenPartitions.merge(spark, root,
+      Seq((7L, "s1", "UPD")).toDF("k", "cat", "payload"), "k")
+    assert(spark.read.format("graft").load(root).count() == 101)
+  }
+
+  test("evolve refusals: same spec, unknown column, non-hidden root") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_evolve_ref").toString + "/t"
+    HiddenPartitions.init(spark, root,
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "payload"),
+      ModTransform("k", 4))
+    intercept[IllegalArgumentException] {
+      HiddenPartitions.evolve(root, ModTransform("k", 4))
+    }
+    intercept[IllegalArgumentException] {
+      HiddenPartitions.evolve(root, ModTransform("nope", 8))
+    }
+    intercept[IllegalArgumentException] {
+      HiddenPartitions.evolve(
+        Files.createTempDirectory("graft_not_hidden").toString,
+        ModTransform("k", 8))
+    }
+  }
 }

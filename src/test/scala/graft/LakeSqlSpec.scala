@@ -411,16 +411,28 @@ class LakeSqlSpec extends GraftSuite {
       assert(reconciled.count() == 1 &&
         reconciled.head().getLong(0) == 1L) // key 2 reconciled away
 
-      // an unsupported MERGE form refuses loudly, committing nothing
+      // r9 (A52): a PARTIAL SET — refused before the general clause
+      // merge — now routes through mergeVersionedClauses and commits
       val vNow = Snapshots.currentVersion(dir)
+      s.sql(s"""MERGE INTO graft.`$dir` t
+               |USING (SELECT CAST(1 AS BIGINT) AS k) src
+               |ON t.k = src.k
+               |WHEN MATCHED THEN UPDATE SET payload = 'x'""".stripMargin)
+        .collect()
+      assert(Snapshots.currentVersion(dir) == vNow + 1)
+      assert(Snapshots.read(s, dir).filter(col("k") === 1L)
+        .select("payload").head().getString(0) == "x")
+
+      // a STILL-unsupported form — SET of the merge key — refuses
+      // loudly, committing nothing
       val e = intercept[Exception] {
         s.sql(s"""MERGE INTO graft.`$dir` t
                  |USING (SELECT CAST(1 AS BIGINT) AS k) src
                  |ON t.k = src.k
-                 |WHEN MATCHED THEN UPDATE SET payload = 'x'""".stripMargin)
+                 |WHEN MATCHED THEN UPDATE SET k = CAST(99 AS BIGINT)""".stripMargin)
       }
-      assert(e.getMessage.contains("MERGE"), e.getMessage)
-      assert(Snapshots.currentVersion(dir) == vNow)
+      assert(e.getMessage.contains("merge"), e.getMessage)
+      assert(Snapshots.currentVersion(dir) == vNow + 1)
     }
   }
 
@@ -484,21 +496,34 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
-  test("A44: partial SET and non-top-level targets refuse — never approximated") {
+  test("A44: partial SET applies exactly (A52); non-top-level targets refuse") {
     withExtSession { s =>
       val dir = stageDml(s, "graft_ansi_guard")
-      // a PARTIAL same-named assignment list is not SET * — the keyed
-      // full-row merge cannot honor it and must refuse, not silently
-      // replace the unmentioned columns
+      // r9 (A52): a PARTIAL same-named assignment list — refused before
+      // the general clause merge — now updates EXACTLY the named
+      // column, preserving the unmentioned ones (the semantics the old
+      // full-row merge could not honor and therefore refused)
+      s.sql(s"""MERGE INTO graft.`$dir` t
+               |USING (SELECT CAST(5 AS BIGINT) AS k, 'x' AS payload) src
+               |ON t.k = src.k
+               |WHEN MATCHED THEN UPDATE SET payload = src.payload""".stripMargin)
+        .collect()
+      assert(Snapshots.currentVersion(dir) == 1)
+      val r5 = Snapshots.read(s, dir).filter(col("k") === 5L).head()
+      assert(r5.getString(1) == "x" && r5.getLong(2) == 0L,
+        "named column updated, unmentioned column preserved")
+      assert(Snapshots.read(s, dir).filter(col("k") === 6L)
+        .head().getString(1) == "v6", "unmatched rows untouched")
+      // INSERT * against a source MISSING target columns still fails
+      // (nothing to insert for 'gen'), committing nothing
       val e = intercept[Exception] {
         s.sql(s"""MERGE INTO graft.`$dir` t
-                 |USING (SELECT CAST(5 AS BIGINT) AS k, 'x' AS payload) src
+                 |USING (SELECT CAST(500 AS BIGINT) AS k, 'x' AS payload) src
                  |ON t.k = src.k
-                 |WHEN MATCHED THEN UPDATE SET payload = src.payload
-                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
       }
-      assert(e.getMessage.contains("MERGE"), e.getMessage)
-      assert(Snapshots.currentVersion(dir) == 0, "refusal must commit nothing")
+      assert(e != null)
+      assert(Snapshots.currentVersion(dir) == 1, "refusal must commit nothing")
       // an UPDATE whose assignment target is not a bare top-level
       // column refuses (the old last-part collapse would have silently
       // retargeted a struct path to a like-named column)
@@ -821,6 +846,44 @@ class LakeSqlSpec extends GraftSuite {
       assert(s.table("hp").filter(col("k") === 101L)
         .select("payload").head().getString(0) == "M")
       s.sql("DROP TABLE IF EXISTS hp")
+    }
+  }
+
+  test("r9 (A53): ANSI DML routes across an EVOLVED hidden spec") {
+    withExtSession { s =>
+      import s.implicits._
+      val root = Files.createTempDirectory("graft_hidden_evo_dml").toString + "/t"
+      graft.sources.HiddenPartitions.init(s, root,
+        (1L to 400L).map(k => (k, s"v$k")).toDF("k", "payload"),
+        graft.sources.ModTransform("k", 4))
+      graft.sources.HiddenPartitions.evolve(root,
+        graft.sources.ModTransform("k", 8))
+      graft.sources.HiddenPartitions.merge(s, root,
+        (1001L to 1100L).map(k => (k, s"v$k")).toDF("k", "payload"), "k")
+      s.sql("DROP TABLE IF EXISTS hpe")
+      s.sql(s"CREATE TABLE hpe USING graft OPTIONS (path '$root')")
+      assert(s.table("hpe").count() == 500)
+      // a point DELETE prunes PER EPOCH: epoch 0 keeps k%4, epoch 1
+      // keeps k%8 — exactly two partitions commit
+      assert(s.sql("DELETE FROM hpe WHERE k = 1001").head().getLong(0) == 2L)
+      s.catalog.refreshTable("hpe")
+      assert(s.table("hpe").count() == 499)
+      // UPDATE across both epochs' rows lands in both layouts
+      s.sql("UPDATE hpe SET payload = 'X' WHERE k IN (2, 1002)")
+      s.catalog.refreshTable("hpe")
+      assert(s.table("hpe").filter(col("payload") === "X").count() == 2)
+      // SET of ANY epoch's transform column refuses — including one
+      // added by a later cross-column evolution
+      val e1 = intercept[Exception] { s.sql("UPDATE hpe SET k = k + 1") }
+      assert(e1.getMessage.contains("transform"), e1.getMessage)
+      graft.sources.HiddenPartitions.evolve(root,
+        graft.sources.TruncateTransform("payload", 1))
+      s.catalog.refreshTable("hpe")
+      val e2 = intercept[Exception] {
+        s.sql("UPDATE hpe SET payload = 'Y' WHERE k = 3")
+      }
+      assert(e2.getMessage.contains("transform"), e2.getMessage)
+      s.sql("DROP TABLE IF EXISTS hpe")
     }
   }
 
