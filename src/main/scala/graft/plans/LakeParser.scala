@@ -48,6 +48,9 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT CHECKPOINT '<path>'         -- materialize head as full
   *   GRAFT ANALYZE '<path>'       -- r9: versioned NDV for the CBO
   *   GRAFT ANALYZE '<path>' WITH HISTOGRAM  -- + equi-height bins
+  *   GRAFT CREATE MATERIALIZED VIEW '<mv>' ON '<base>' KEY <k>
+  *     GROUP BY (<c1>[, …]) [SUM (<s1>[, …])]          -- A55
+  *   GRAFT REFRESH MATERIALIZED VIEW '<mv>'   -- incremental, via CDF
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -137,6 +140,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           parts.size.toLong
         }
       })
+      case MvCreate(mv, base, key, groups, sums) =>
+        LakeMaintenanceCommand("version", s =>
+          graft.sources.MaterializedView.create(s, mv, base, key,
+            groups.split(",").map(_.trim).toIndexedSeq,
+            Option(sums).map(_.split(",").map(_.trim).toIndexedSeq)
+              .getOrElse(Seq.empty)).toLong)
+      case MvRefresh(mv) => LakeMaintenanceCommand("version", s =>
+        graft.sources.MaterializedView.refresh(s, mv).toLong)
       case Detail(p) => LakeDetailCommand(p)
       case History(p) => LakeHistoryCommand(p)
       // a GRAFT-prefixed statement that matches no rule must FAIL as
@@ -225,6 +236,12 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*;?\s*""".r
   private val AnalyzeHist =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s+WITH\s+HISTOGRAM\s*;?\s*""".r
+  private val MvCreate =
+    ("""(?is)\s*GRAFT\s+CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+""" +
+      """'([^']+)'\s+KEY\s+(\w+)\s+GROUP\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)""" +
+      """\s*\)(?:\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""").r
+  private val MvRefresh =
+    """(?is)\s*GRAFT\s+REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
 
   /** Split a SET clause on TOP-LEVEL commas only — `f(a, b)` in an
     * assignment expression must not split (paren depth + string

@@ -1477,6 +1477,61 @@ object LakehouseQueries {
       |SELECT o_orderkey + 90000000, 'E', round(o_totalprice, 2), 0.0
       |FROM orders WHERE o_orderkey % 4 = 1""".stripMargin
 
+  /** A55 — INCREMENTAL MATERIALIZED VIEW end-to-end: an MV over a
+    * CDF-enabled orders table (count / sum / avg by status) follows
+    * three DML waves — a merge that MOVES rows between groups and
+    * inserts fresh keys, a delete, a blind append — through ONE
+    * change-feed refresh, never re-scanning the base. The oracle
+    * recomputes the final aggregate from the reconstructed base, so a
+    * drifted counter, a lost group death, or a misapplied delta breaks
+    * the hash. Sum column is a LONG (integer counting algebra —
+    * bit-exact under any interleaving); avg divides two exactly
+    * representable ints, deterministic in both engines.
+    */
+  def qLakeMv(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir, changeDataFeed = true)
+    val mv = tempDir("graft_mv_q") + "/mv"
+    MaterializedView.create(s, mv, dir, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    Snapshots.mergeVersioned(s, dir,
+      b.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .unionByName(b.filter(col("o_orderkey") % 7 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
+          .withColumn("o_orderstatus", lit("Q"))),
+      "o_orderkey")
+    Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 11 === 3)
+    Snapshots.appendVersioned(s, dir,
+      b.filter(col("o_orderkey") % 13 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 80000000L)
+        .withColumn("o_orderstatus", lit("A")))
+    MaterializedView.refresh(s, mv)
+    MaterializedView.read(s, mv)
+      .select(col("o_orderstatus"), col("cnt"),
+        col("sum_o_custkey").as("sum_custkey"),
+        col("avg_o_custkey").as("avg_custkey"))
+  }
+
+  val qLakeMvSql: String =
+    """WITH w1 AS (
+      |  SELECT o_orderkey AS k, o_custkey AS c,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 'M' ELSE o_orderstatus END AS st
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 90000000, o_custkey, 'Q'
+      |  FROM orders WHERE o_orderkey % 7 = 1),
+      |w2 AS (SELECT k, c, st FROM w1 WHERE k % 11 <> 3),
+      |w3 AS (SELECT k, c, st FROM w2
+      |  UNION ALL
+      |  SELECT o_orderkey + 80000000, o_custkey, 'A'
+      |  FROM orders WHERE o_orderkey % 13 = 2)
+      |SELECT st AS o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(c) AS BIGINT) AS sum_custkey, avg(c) AS avg_custkey
+      |FROM w3 GROUP BY 1""".stripMargin
+
   /** A53 — partition-spec EVOLUTION end-to-end: orders lands
     * mod(key, 4)-hidden-partitioned, takes an in-epoch merge wave,
     * EVOLVES to mod(key, 8) (one metadata line, zero rows move), then
@@ -1521,6 +1576,7 @@ object LakehouseQueries {
     "q_lake_part_evolve" -> (qLakePartEvolve(_, _)),
     "q_lake_merge_clauses" -> (qLakeMergeClauses(_, _)),
     "q_lake_merge_evolve" -> (qLakeMergeEvolve(_, _)),
+    "q_lake_mv" -> (qLakeMv(_, _)),
     "q_lake_bucketed" -> (qLakeBucketed(_, _)),
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
     "q_lake_optimize_where" -> (qLakeOptimizeWhere(_, _)),
@@ -1558,6 +1614,7 @@ object LakehouseQueries {
     "q_lake_part_evolve" -> qLakePartEvolveSql,
     "q_lake_merge_clauses" -> qLakeMergeClausesSql,
     "q_lake_merge_evolve" -> qLakeMergeEvolveSql,
+    "q_lake_mv" -> qLakeMvSql,
     "q_lake_bucketed" -> qLakeBucketedSql,
     "q_lake_deltalog" -> qLakeDeltaLogSql,
     "q_lake_optimize_where" -> qLakeOptimizeWhereSql,

@@ -1484,9 +1484,11 @@ object Snapshots {
       constraintsOverride: Option[Seq[(String, String)]] = None,
       clusterOverride: Option[(Seq[String], Seq[String])] = None,
       bloomColsOverride: Option[Seq[(String, Int)]] = None,
-      bloomExtra: Seq[String] = Seq.empty): Int = {
+      bloomExtra: Seq[String] = Seq.empty,
+      txnSet: Option[(String, Long)] = None): Int = {
     if (!commitAt(path, base + 1, files, schema, stats, dv, cdf, cdfFlag,
-        constraintsOverride, clusterOverride, bloomColsOverride, bloomExtra))
+        constraintsOverride, clusterOverride, bloomColsOverride, bloomExtra,
+        txnSet = txnSet))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, base + 1).toString +
           " (concurrent commit won this version; re-read and retry)")
@@ -1695,10 +1697,17 @@ object Snapshots {
     */
   def mergeVersionedClauses(spark: SparkSession, path: String,
       source: DataFrame, keyCol: String, clauses: Seq[MergeWhen],
-      evolveSchema: Boolean = false): Int = {
+      evolveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Int = {
     import MergeWhen._
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
+    // A51: an already-recorded (appId, version) mark makes the whole
+    // statement a replay — return without staging a byte
+    txn.foreach { case (app, ver) =>
+      requireTxnApp(app)
+      if (txnVersionOf(path, v, app).exists(_ >= ver)) return v
+    }
     require(clauses.nonEmpty, "mergeVersionedClauses: no WHEN clauses")
     val live = liveFiles(path, v)
     lazy val target = readUnder(spark, path, v, live)
@@ -1777,7 +1786,8 @@ object Snapshots {
       }
     if (touched.isEmpty && insertCs.isEmpty) // nothing can fire
       return commitNext(path, v, live, tableSchema(path, v),
-        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
+        carriedStats(path, v, live), dvFiles(path, v),
+        cdf = Some(Seq.empty), txnSet = txn)
 
     val oldTouched =
       if (touched.isEmpty) spark.createDataFrame(
@@ -1925,7 +1935,7 @@ object Snapshots {
       if (newCols.isEmpty) tableSchema(path, v) else Some(outSchema),
       carriedStats(path, v, retained) ++ statsLines(spark, staged),
       dvFiles(path, v), cdf = cdfStaged,
-      bloomExtra = maybeBloom(spark, path, v, staged))
+      bloomExtra = maybeBloom(spark, path, v, staged), txnSet = txn)
   }
 
   /** [[mergeVersioned]] with the OCC machinery exposed: `maxRetries`

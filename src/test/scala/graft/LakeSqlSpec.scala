@@ -916,4 +916,26 @@ class LakeSqlSpec extends GraftSuite {
       } finally s.sql("DROP TABLE IF EXISTS dml_cat")
     }
   }
+
+  test("r9 (A55): GRAFT CREATE/REFRESH MATERIALIZED VIEW end-to-end") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mvsql").toString
+    val mv = base + "/mv"
+    Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    withExtSession { s =>
+      s.sql(s"GRAFT CREATE MATERIALIZED VIEW '$mv' ON '$base' " +
+        "KEY o_orderkey GROUP BY (o_orderstatus) SUM (o_custkey)")
+      s.sql(s"DELETE FROM graft.`$base` WHERE o_orderkey % 3 = 0")
+      s.sql(s"GRAFT REFRESH MATERIALIZED VIEW '$mv'")
+    }
+    val got = graft.sources.MaterializedView.read(spark, mv)
+    val want = Snapshots.read(spark, base).groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.sum("o_custkey").as("sum_o_custkey"),
+        org.apache.spark.sql.functions.avg("o_custkey").as("avg_o_custkey"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }

@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{MaterializedView, Snapshots}
+
+/** A55 — incremental materialized-view maintenance: exact parity with
+  * a full recompute after mixed DML waves, exactly-once refresh under
+  * the A51 mark, the no-base-scan property (an untouched base file can
+  * vanish from disk), and the NULL sum algebra (sum of an all-NULL
+  * group is NULL, maintained from deltas alone).
+  */
+class MaterializedViewSpec extends GraftSuite {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_mv").toString
+
+  private def ordersDf = Tables.orders(spark, sf)
+    .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  private def recompute(base: String): DataFrame =
+    Snapshots.read(spark, base).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum("o_custkey").as("sum_o_custkey"),
+        avg("o_custkey").as("avg_o_custkey"))
+
+  private def assertSame(got: DataFrame, want: DataFrame): Unit =
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "mismatch:\n got-extra: " + got.exceptAll(want).take(5).mkString("; ") +
+        "\n want-extra: " + want.exceptAll(got).take(5).mkString("; "))
+
+  test("refresh equals a full recompute after merge/delete/append waves") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    assertSame(MaterializedView.read(spark, mv), recompute(base))
+
+    // wave 1: updates that MOVE rows between groups + fresh inserts
+    Snapshots.mergeVersioned(spark, base,
+      ordersDf.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .unionByName(ordersDf.filter(col("o_orderkey") % 7 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
+          .withColumn("o_orderstatus", lit("Q"))),
+      "o_orderkey")
+    // wave 2: deletes
+    Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 11 === 3)
+    // wave 3: appends
+    Snapshots.appendVersioned(spark, base,
+      ordersDf.filter(col("o_orderkey") % 13 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 80000000L))
+    val v1 = MaterializedView.refresh(spark, mv)
+    assertSame(MaterializedView.read(spark, mv), recompute(base))
+
+    // exactly-once: nothing new consumed → version unchanged, twice
+    assert(MaterializedView.refresh(spark, mv) == v1)
+    assert(MaterializedView.refresh(spark, mv) == v1)
+    assert(MaterializedView.consumedVersion(mv) ==
+      Snapshots.currentVersion(base))
+
+    // a second wave keeps following
+    Snapshots.deleteVersioned(spark, base, col("o_orderstatus") === "M")
+    MaterializedView.refresh(spark, mv)
+    assertSame(MaterializedView.read(spark, mv), recompute(base))
+    // the M group died entirely — no zero-count tombstone survives
+    assert(MaterializedView.read(spark, mv)
+      .filter(col("o_orderstatus") === "M").isEmpty)
+  }
+
+  test("refresh never scans the base: an untouched base file can vanish") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    // range-partitioned layout: the wave below touches only the
+    // lowest key range, so most original files stay live untouched
+    ordersDf.repartitionByRange(6, col("o_orderkey"))
+      .write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    val before = Snapshots.liveFiles(base, Snapshots.currentVersion(base))
+    Snapshots.mergeVersioned(spark, base,
+      ordersDf.orderBy(col("o_orderkey")).limit(50)
+        .withColumn("o_custkey", col("o_custkey") + 1000L), "o_orderkey")
+    val expected = recompute(base).collect().toSeq // while files exist
+    // remove one ORIGINAL file the merge retained: a refresh that
+    // rescanned the base would now throw
+    val untouched = Snapshots
+      .liveFiles(base, Snapshots.currentVersion(base)).filter(before.contains)
+    assert(untouched.nonEmpty)
+    Files.delete(Paths.get(untouched.head))
+    MaterializedView.refresh(spark, mv)
+    val got = MaterializedView.read(spark, mv).collect().toSeq
+    assert(got.toSet == expected.toSet,
+      s"got ${got.size} rows, want ${expected.size}")
+  }
+
+  test("NULL sum algebra: all-NULL group sums to NULL through waves") {
+    import spark.implicits._
+    val base = tmp(); val mv = tmp() + "/mv"
+    Seq((1L, "a", Some(2.0)), (2L, "a", None), (3L, "b", None))
+      .toDF("k", "g", "x").write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "k", Seq("g"), Seq("x"))
+    def row(g: String) = MaterializedView.read(spark, mv)
+      .filter(col("g") === g).collect().head
+    assert(row("b").isNullAt(2) && row("b").isNullAt(3)) // sum_x, avg_x
+    assert(row("a").getDouble(2) == 2.0)
+
+    // b gains a non-null contributor → sum appears
+    Snapshots.appendVersioned(spark, base,
+      Seq((4L, "b", Some(5.5))).toDF("k", "g", "x"))
+    MaterializedView.refresh(spark, mv)
+    assert(row("b").getDouble(2) == 5.5 && row("b").getLong(1) == 2L)
+
+    // ... and loses it again → back to NULL (nn_x hit 0, cnt didn't)
+    Snapshots.deleteVersioned(spark, base, col("k") === 4L)
+    MaterializedView.refresh(spark, mv)
+    assert(row("b").isNullAt(2) && row("b").getLong(1) == 1L)
+
+    // a NULL group value and the string "null" stay distinct groups
+    Snapshots.appendVersioned(spark, base,
+      Seq((5L, null.asInstanceOf[String], Some(1.0)),
+        (6L, "null", Some(2.0))).toDF("k", "g", "x"))
+    MaterializedView.refresh(spark, mv)
+    val mvRows = MaterializedView.read(spark, mv)
+    assert(mvRows.filter(col("g").isNull).count() == 1)
+    assert(mvRows.filter(col("g") === "null").count() == 1)
+  }
+
+  test("refusals: double create, refresh without create, RESTOREd base") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.limit(100).write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"))
+    intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, mv, base, "o_orderkey",
+        Seq("o_orderstatus"))
+    }
+    intercept[Exception] {
+      MaterializedView.refresh(spark, tmp() + "/nomv")
+    }
+  }
+}
