@@ -467,6 +467,79 @@ object TextAnalysis {
       |FROM sc
       |QUALIFY rank <= 3""".stripMargin
 
+  /** F32 — BM25 ranked retrieval (Robertson k1=1.2, b=0.75, the
+    * Lucene idf form): top-5 documents per query over a deterministic
+    * query set drawn from the corpus itself (df ranks 21–40, five
+    * 4-term queries — the mid-frequency band where BM25's saturation
+    * and length normalization actually discriminate). Plan shape at
+    * 100 TB: tf is the SAME (doc, term) aggregate TF-IDF builds, df
+    * and doclen ride its output, the corpus scalars (N, avgdl) ship
+    * as literals, the query set is a BROADCAST of 20 rows — so
+    * scoring is one map-side semi-join of the posting rows that match
+    * a query term (never the full corpus) and one (query, doc)
+    * aggregate. Ranking compares the ROUNDED score then doc_id, the
+    * qTfidf tie-break trick, so sub-ulp float noise between engines
+    * cannot flip near-ties.
+    */
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .selectExpr("doc_id", s"$wordsExpr AS w")
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val doclen = tf.groupBy("doc_id").agg(sum("cnt").as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // FIT scalars as literals (a 1-row join would plan nested-loop)
+    val st = doclen.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl").cast("double")).as("avgdl")).head
+    val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
+    // the query set: df ranks 21–40, round-robined into 5 queries —
+    // 20 rows collected (knob-bounded) and broadcast back
+    val qrows = dft.orderBy(col("df").desc, col("term").asc).limit(40)
+      .collect().drop(20).zipWithIndex
+      .map { case (r, i) => (i.toLong % 5, r.getString(0)) }
+    val qterms = s.createDataFrame(qrows.toIndexedSeq)
+      .toDF("query_id", "term")
+    val contrib =
+      log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("cnt") * lit(2.2)) /
+        (col("cnt") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * col("dl").cast("double") / lit(avgdl)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(doclen, "doc_id").join(dft, "term")
+      .join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(contrib), 4).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+  }
+
+  val qBm25Sql: String =
+    raw"""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(w) AS term FROM t),
+      |tf AS (SELECT doc_id, term, count(*) AS cnt FROM u GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl FROM dl),
+      |qt AS (SELECT (row_number() OVER (ORDER BY df DESC, term) - 1) % 5
+      |    AS query_id, term
+      |  FROM (SELECT term, df FROM df
+      |        ORDER BY df DESC, term LIMIT 20 OFFSET 20)),
+      |sc AS (SELECT qt.query_id, tf.doc_id,
+      |    round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+      |      (tf.cnt * 2.2) /
+      |      (tf.cnt + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4) AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+      |  JOIN qt USING (term) CROSS JOIN st
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank
+      |FROM sc QUALIFY rank <= 5""".stripMargin
+
   /** F16 — character-level Shannon entropy per document, the cheap
     * gibberish/compression-quality signal (binary junk and
     * single-char spam score far from prose's ~4 bits/char). One
@@ -735,6 +808,7 @@ object TextAnalysis {
     "q_extract" -> qExtract,
     "q_entropy" -> qEntropy,
     "q_tfidf" -> qTfidf,
+    "q_bm25" -> qBm25,
     "q_token_stats" -> qTokenStats,
     "q_token_stats_unicode" -> qTokenStatsUnicode,
     "q_quality" -> qQuality,
@@ -757,6 +831,7 @@ object TextAnalysis {
     "q_extract" -> qExtractSql,
     "q_entropy" -> qEntropySql,
     "q_tfidf" -> qTfidfSql,
+    "q_bm25" -> qBm25Sql,
     "q_token_stats" -> qTokenStatsSql,
     "q_quality" -> qQualitySql,
     "q_langid" -> qLangidSql,
