@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** A56 — MULTI-TABLE ATOMIC TRANSACTIONS, the lakehouse capability
+  * neither Delta nor Iceberg ships (both are single-table): commit
+  * related changes to N versioned tables so that EVERY observer — live
+  * writer, crashed-and-recovered reader, replayed coordinator — sees
+  * all of them or none of them.
+  *
+  * The protocol composes three primitives this engine already has:
+  *
+  *  1. PREPARE — [[begin]] cuts a WAP branch (A37) per table; the
+  *     caller stages arbitrary [[Snapshots]] writes on the branch
+  *     paths. Branches are zero-copy and disposable: a transaction
+  *     abandoned here costs nothing and fences nothing beyond a TTL.
+  *  2. DECIDE — [[commit]] acquires a publish FENCE per table (every
+  *     other committer on the table throws, retryably, while it is
+  *     live), verifies under the fence that no table's main moved past
+  *     its branch base (the OCC check — conflicts refuse BEFORE the
+  *     point of no return), HARDENS the fences (no expiry), and then
+  *     writes the coordinator's COMMIT record with an atomic rename.
+  *     That single rename IS the transaction's serialization point.
+  *  3. REDO — each branch publishes onto its main as a fast-forward
+  *     commit CARRYING THE TRANSACTION's A51 mark. The mark makes the
+  *     redo idempotent: [[recover]] re-publishes only tables whose
+  *     mark is absent, so a coordinator crash anywhere between the
+  *     COMMIT record and the last publish completes to the SAME state
+  *     on replay — and the hardened fence guarantees no independent
+  *     commit can invade the half-published window, so the redo's
+  *     fast-forward precondition cannot be lost. A `.done` record,
+  *     fence release, and branch cleanup close the transaction.
+  *
+  * Readers: each table alone is always a consistent snapshot (its own
+  * log). Cross-table, [[readConsistent]] first completes any pending
+  * redo and then resolves all heads inside a double-checked
+  * coordinator fingerprint — if any transaction commits or finalizes
+  * between the two checks it retries, so the returned set of versions
+  * never straddles a transaction. At 100 TB the whole protocol is
+  * metadata: fences and records are single tiny files, publishes are
+  * hard-link fast-forwards, and the staged data bytes were already
+  * written on the branches before DECIDE.
+  */
+object GraftTxn {
+
+  final case class Handle(id: String, coordDir: String,
+      tables: Seq[String], branches: Map[String, String],
+      bases: Map[String, Int]) {
+    /** The path to stage this transaction's writes for `table`. */
+    def branchOf(table: String): String = branches(table)
+  }
+
+  private def appOf(id: String): String = s"graft-txn@$id"
+  private def branchName(id: String): String = s"txn_$id"
+  private def commitRecord(coordDir: String, id: String): Path =
+    Paths.get(coordDir, s"$id.commit")
+  private def doneRecord(coordDir: String, id: String): Path =
+    Paths.get(coordDir, s"$id.done")
+
+  /** Cut a branch per table at its current head. `id` must be unique
+    * per transaction (and a valid branch name: word chars, dots,
+    * dashes). */
+  def begin(spark: SparkSession, coordDir: String, tables: Seq[String],
+      id: String): Handle = {
+    require(tables.nonEmpty, "txn: no tables")
+    require(tables.distinct.size == tables.size, "txn: duplicate table")
+    require(!id.contains("\t") && !id.contains("\n") && id.nonEmpty,
+      s"txn: bad id '$id'")
+    Files.createDirectories(Paths.get(coordDir))
+    require(!Files.exists(commitRecord(coordDir, id)) &&
+      !Files.exists(doneRecord(coordDir, id)), s"txn '$id' already used")
+    val branches = tables.map { t =>
+      t -> Refs.createBranch(spark, t, branchName(id))
+    }.toMap
+    val bases = tables.map(t => t -> Snapshots.currentVersion(t)).toMap
+    Handle(id, coordDir, tables, branches, bases)
+  }
+
+  /** DECIDE + REDO. `fenceTtlMillis` bounds how long a crash BEFORE
+    * the COMMIT record can block other writers; after the record the
+    * fences are hardened and only [[recover]] clears them.
+    * `beforePublish` is a crash-test seam invoked with each table's
+    * index just before its publish. Throws (and releases every fence)
+    * if any table's main advanced past its branch base — the caller
+    * aborts or replays on fresh branches. */
+  def commit(spark: SparkSession, h: Handle,
+      fenceTtlMillis: Long = 60000L,
+      beforePublish: Int => Unit = _ => ()): Unit = {
+    val app = appOf(h.id)
+    // fences in sorted order (no deadlock between concurrent txns)
+    val ordered = h.tables.sorted
+    val acquired = scala.collection.mutable.ListBuffer.empty[String]
+    try {
+      ordered.foreach { t =>
+        Snapshots.acquireFence(t, app, fenceTtlMillis); acquired += t
+      }
+      // OCC under the fence: every main must still be at its base, and
+      // every branch must be publishable (no DVs) — refuse BEFORE the
+      // point of no return
+      h.tables.foreach { t =>
+        val now = Snapshots.currentVersion(t)
+        if (now != h.bases(t)) throw new java.util.ConcurrentModificationException(
+          s"txn '${h.id}': $t advanced v${h.bases(t)} -> v$now since " +
+            "begin; abort and replay on fresh branches")
+        val b = h.branches(t)
+        val bv = Snapshots.currentVersion(b)
+        require(Snapshots.dvFiles(b, bv).isEmpty,
+          s"txn '${h.id}': branch of $t carries deletion vectors; " +
+            "reconcile on the branch first")
+      }
+      ordered.foreach(t => Snapshots.hardenFence(t, app))
+    } catch { case e: Throwable =>
+      acquired.foreach(t => Snapshots.releaseFence(t, app))
+      throw e
+    }
+    // the serialization point: one atomic rename
+    val tmp = Files.createTempFile(Paths.get(h.coordDir), h.id, ".tmp")
+    Files.write(tmp, h.tables.map(t =>
+      s"${Paths.get(t).toAbsolutePath.normalize}\t${branchName(h.id)}\t${h.bases(t)}")
+      .mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, commitRecord(h.coordDir, h.id),
+      StandardCopyOption.ATOMIC_MOVE)
+    redo(spark, h.coordDir, h.id,
+      h.tables.map(t => Paths.get(t).toAbsolutePath.normalize.toString),
+      beforePublish)
+  }
+
+  /** The idempotent redo: publish every table whose head does not yet
+    * carry the transaction's mark, then finalize and clean up. */
+  private def redo(spark: SparkSession, coordDir: String, id: String,
+      tables: Seq[String], beforePublish: Int => Unit): Unit = {
+    val app = appOf(id)
+    tables.zipWithIndex.foreach { case (t, i) =>
+      // a crashed earlier attempt may have lost its fence to the TTL
+      // only BEFORE hardening; post-COMMIT fences are hardened, so
+      // re-acquiring here is a no-op refresh for the same owner
+      Snapshots.acquireFence(t, app, Long.MaxValue / 2)
+      Snapshots.hardenFence(t, app)
+      if (Snapshots.txnVersionOf(t, app).isEmpty) {
+        beforePublish(i)
+        Refs.publish(spark, t, branchName(id), txnSet = Some((app, 1L)))
+      }
+    }
+    val tmp = Files.createTempFile(Paths.get(coordDir), id, ".tmp")
+    Files.write(tmp, "done".getBytes("UTF-8"))
+    try Files.move(tmp, doneRecord(coordDir, id),
+      StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp) } // a racing recover finalized first
+    tables.foreach { t =>
+      Snapshots.releaseFence(t, appOf(id))
+      try Refs.dropBranch(t, branchName(id))
+      catch { case _: Exception => () } // already dropped by a racer
+    }
+  }
+
+  /** Abandon a transaction that has NOT reached its COMMIT record:
+    * drop the branches, release any pre-COMMIT fences. (A transaction
+    * whose COMMIT record exists cannot abort — complete it with
+    * [[recover]]; that is what the record means.) */
+  def abort(spark: SparkSession, h: Handle): Unit = {
+    require(!Files.exists(commitRecord(h.coordDir, h.id)),
+      s"txn '${h.id}' already decided COMMIT — run recover(), not abort")
+    h.tables.foreach { t =>
+      Snapshots.releaseFence(t, appOf(h.id))
+      try Refs.dropBranch(t, branchName(h.id))
+      catch { case _: Exception => () }
+    }
+  }
+
+  /** Transactions with a COMMIT record but no `.done`. */
+  def pending(coordDir: String): Seq[String] = {
+    val d = Paths.get(coordDir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val names = Files.list(d).iterator.asScala.map(_.getFileName.toString)
+      .toIndexedSeq
+    names.filter(_.endsWith(".commit")).map(_.stripSuffix(".commit"))
+      .filterNot(id => names.contains(s"$id.done")).sorted
+  }
+
+  /** Complete every pending transaction's redo (idempotent — safe to
+    * run from any process at any time). Returns how many finished. */
+  def recover(spark: SparkSession, coordDir: String): Int = {
+    val ids = pending(coordDir)
+    ids.foreach { id =>
+      val tables = Files.readAllLines(commitRecord(coordDir, id)).asScala
+        .filter(_.nonEmpty).map(_.split("\t")(0)).toIndexedSeq
+      redo(spark, coordDir, id, tables, _ => ())
+    }
+    ids.size
+  }
+
+  /** Cross-table consistent read: completes pending redos, then pins
+    * one version per table inside a double-checked coordinator
+    * fingerprint, so the pinned set never straddles a transaction. */
+  def readConsistent(spark: SparkSession, coordDir: String,
+      tables: Seq[String]): Map[String, DataFrame] = {
+    def fingerprint(): Set[String] = {
+      val d = Paths.get(coordDir)
+      if (!Files.isDirectory(d)) Set.empty
+      else Files.list(d).iterator.asScala.map(_.getFileName.toString)
+        .filterNot(_.endsWith(".tmp")).toSet
+    }
+    var attempts = 0
+    while (attempts < 20) {
+      recover(spark, coordDir)
+      val before = fingerprint()
+      val vs = tables.map(t => t -> Snapshots.currentVersion(t))
+      if (fingerprint() == before && pending(coordDir).isEmpty)
+        return vs.map { case (t, v) => t -> Snapshots.read(spark, t, v) }
+        .toMap
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"readConsistent: coordinator $coordDir would not quiesce")
+  }
+}

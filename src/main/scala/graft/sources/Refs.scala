@@ -133,7 +133,8 @@ object Refs {
     * the publish commit reports exactly the branch's net changes (the
     * manifest diff; spec-pinned). Returns main's new version.
     */
-  def publish(spark: SparkSession, path: String, name: String): Int = {
+  def publish(spark: SparkSession, path: String, name: String,
+      txnSet: Option[(String, Long)] = None): Int = {
     val bdir = branchPath(path, name)
     require(Snapshots.currentVersion(bdir) >= 0, s"no branch '$name' at $path")
     val base = new String(Files.readAllBytes(baseFile(bdir)), "UTF-8").trim.toInt
@@ -188,7 +189,8 @@ object Refs {
         val b = Snapshots.bloomColsOf(bdir, bv)
         if (b.nonEmpty) b else Snapshots.bloomColsOf(path, headMain)
       },
-      bloomExtra = bloomExtra)
+      bloomExtra = bloomExtra,
+      txnSet = txnSet)
   }
 
   /** Delete branch `name`'s whole tree and release its base tag.

@@ -869,6 +869,71 @@ object Snapshots {
     require(appId.nonEmpty && !appId.contains("\t") && !appId.contains("\n"),
       s"graft: txnAppId must be non-empty without tab/newline: '$appId'")
 
+  // ── A56: multi-table publish fence ─────────────────────────────────
+  // One file under the table's log: "owner\texpiryMillis". A live fence
+  // makes every commitAt on the table throw EXCEPT commits whose txn
+  // mark names the owner (the transaction's own redo publishes).
+  // Pre-COMMIT fences carry a TTL so an abandoned begin() frees the
+  // table; at COMMIT time the owner hardens its fences (expiry = ∞) so
+  // the window between the coordinator record and the last publish can
+  // never be invaded — a crash there leaves the table fenced until
+  // GraftTxn.recover() completes the redo, which is the liveness
+  // contract (Delta-style: someone must finish the log).
+  private def fenceFile(path: String) = logDir(path).resolve("txn_fence")
+
+  private[sources] def fenceOwner(path: String): Option[(String, Long)] = {
+    val f = fenceFile(path)
+    if (!Files.exists(f)) return None
+    try {
+      val Array(app, exp) =
+        new String(Files.readAllBytes(f), "UTF-8").trim.split("\t")
+      Some((app, exp.toLong))
+    } catch { case _: Exception => None } // torn read of a dying fence
+  }
+
+  private[sources] def acquireFence(path: String, app: String,
+      ttlMillis: Long): Unit = {
+    requireTxnApp(app)
+    Files.createDirectories(logDir(path))
+    val f = fenceFile(path)
+    var attempts = 0
+    while (attempts <= 5) {
+      try {
+        Files.write(f,
+          s"$app\t${System.currentTimeMillis() + ttlMillis}"
+            .getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        return
+      } catch { case _: java.nio.file.FileAlreadyExistsException =>
+        fenceOwner(path) match {
+          case Some((o, _)) if o == app => // re-entrant refresh
+            Files.write(f,
+              s"$app\t${System.currentTimeMillis() + ttlMillis}"
+                .getBytes("UTF-8"))
+            return
+          case Some((o, exp)) if exp > System.currentTimeMillis() =>
+            throw new java.util.ConcurrentModificationException(
+              s"$path is already fenced by '$o'")
+          case _ => Files.deleteIfExists(f) // expired or torn: clear
+        }
+      }
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"could not fence $path after $attempts attempts")
+  }
+
+  private[sources] def hardenFence(path: String, app: String): Unit = {
+    require(fenceOwner(path).exists(_._1 == app),
+      s"$path fence not owned by '$app'")
+    Files.write(fenceFile(path),
+      s"$app\t${Long.MaxValue}".getBytes("UTF-8"))
+  }
+
+  private[sources] def releaseFence(path: String, app: String): Unit =
+    if (fenceOwner(path).exists(_._1 == app))
+      Files.deleteIfExists(fenceFile(path))
+
   /** The bucket spec `(column, numBuckets)` recorded at `v`, if the
     * table was created bucketed. */
   def bucketSpecOf(path: String, v: Int): Option[(String, Int)] =
@@ -1339,6 +1404,19 @@ object Snapshots {
     if (v == 0) {
       val root = logDir(path).toAbsolutePath.toString + java.io.File.separator
       manifestCache.keySet.removeIf(_._1.startsWith(root))
+    }
+    // A56: a live multi-table publish fence blocks EVERY commit path
+    // on this table except the owning transaction's own redo publishes
+    // (which carry the owner as their txn mark). Pre-COMMIT fences
+    // expire (an abandoned begin frees the table); post-COMMIT fences
+    // are hardened until the redo completes — GraftTxn.recover().
+    fenceOwner(path).foreach { case (owner, expiry) =>
+      if (expiry > System.currentTimeMillis() &&
+          !txnSet.exists(_._1 == owner))
+        throw new java.util.ConcurrentModificationException(
+          s"$path is fenced by multi-table transaction '$owner' until " +
+            "its publish completes (GraftTxn.recover() finishes a " +
+            "crashed one); retry after the fence clears")
     }
     val target = manifestPath(path, v)
     if (Files.exists(target)) return false

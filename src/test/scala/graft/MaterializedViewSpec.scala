@@ -130,6 +130,40 @@ class MaterializedViewSpec extends GraftSuite {
     assert(mvRows.filter(col("g") === "null").count() == 1)
   }
 
+  test("A55×A45: continuous MV — the CDF stream triggers exactly-once " +
+      "refreshes that stay recompute-exact") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    val ckpt = tmp()
+    val q = spark.readStream.format("graft").option("keyCol", "o_orderkey")
+      .option("readChangeFeed", "true").load(base)
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        // the stream is the TRIGGER; refresh() reads the feed itself
+        // under the A51 mark, so a replayed batch is a no-op — this is
+        // what makes foreachBatch's at-least-once safe here
+        MaterializedView.refresh(spark, mv); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable() // v0 snapshot batch: refresh no-ops
+      val mvV0 = Snapshots.currentVersion(mv)
+      Snapshots.mergeVersioned(spark, base,
+        ordersDf.filter(col("o_orderkey") % 6 === 0)
+          .withColumn("o_orderstatus", lit("S")), "o_orderkey")
+      q.processAllAvailable()
+      assertSame(MaterializedView.read(spark, mv), recompute(base))
+      Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 9 === 4)
+      q.processAllAvailable()
+      assertSame(MaterializedView.read(spark, mv), recompute(base))
+      // exactly one MV commit per consumed base commit, none for v0
+      assert(Snapshots.currentVersion(mv) == mvV0 + 2)
+    } finally q.stop()
+  }
+
   test("refusals: double create, refresh without create, RESTOREd base") {
     val base = tmp(); val mv = tmp() + "/mv"
     ordersDf.limit(100).write.mode("overwrite").parquet(base)
