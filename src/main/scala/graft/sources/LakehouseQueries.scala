@@ -1532,6 +1532,58 @@ object LakehouseQueries {
       |  CAST(sum(c) AS BIGINT) AS sum_custkey, avg(c) AS avg_custkey
       |FROM w3 GROUP BY 1""".stripMargin
 
+  /** A57 — JOIN MV end-to-end: γ(orders ⋈ customer) follows
+    * simultaneous waves on BOTH bases — a join-key move and a delete
+    * on the left, a group move and a fanout-killing delete on the
+    * right — through one Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR refresh. The
+    * oracle recomputes from both reconstructed finals, so a
+    * double-counted ΔL⋈ΔR, a stale-side join, or a missed fanout
+    * death breaks the hash.
+    */
+  def qLakeMvJoin(s: SparkSession, d: String): DataFrame = {
+    val l0 = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+      "o_orderstatus")
+    val r0 = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val (ldir, rdir) = (stage(l0, 4), stage(r0, 2))
+    Snapshots.init(s, ldir, changeDataFeed = true)
+    Snapshots.init(s, rdir, changeDataFeed = true)
+    val mv = tempDir("graft_mvj_q") + "/mv"
+    MaterializedView.createJoin(s, mv, ldir, "o_orderkey", rdir,
+      "o_custkey", "o_custkey", Seq("c_mktsegment"), Seq("o_orderkey"))
+    Snapshots.mergeVersioned(s, ldir,
+      l0.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1L), "o_orderkey")
+    Snapshots.deleteVersioned(s, ldir, col("o_orderkey") % 13 === 1)
+    Snapshots.mergeVersioned(s, rdir,
+      Tables.customer(s, d).filter(col("c_custkey") % 5 === 2)
+        .select(col("c_custkey").as("o_custkey"),
+          lit("MOVED").as("c_mktsegment")), "o_custkey")
+    Snapshots.deleteVersioned(s, rdir, col("o_custkey") % 17 === 3)
+    MaterializedView.refreshJoin(s, mv)
+    MaterializedView.read(s, mv)
+      .select(col("c_mktsegment"), col("cnt"),
+        col("sum_o_orderkey").as("sum_okey"),
+        col("avg_o_orderkey").as("avg_okey"))
+  }
+
+  val qLakeMvJoinSql: String =
+    """WITH lf AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1
+      |         ELSE o_custkey END AS k
+      |  FROM orders WHERE o_orderkey % 13 <> 1),
+      |rf AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 5 = 2 THEN 'MOVED'
+      |         ELSE c_mktsegment END AS seg
+      |  FROM customer WHERE c_custkey % 17 <> 3)
+      |SELECT rf.seg AS c_mktsegment, count(*) AS cnt,
+      |  CAST(sum(lf.o_orderkey) AS BIGINT) AS sum_okey,
+      |  avg(lf.o_orderkey) AS avg_okey
+      |FROM lf JOIN rf ON lf.k = rf.k
+      |GROUP BY 1""".stripMargin
+
   /** A53 — partition-spec EVOLUTION end-to-end: orders lands
     * mod(key, 4)-hidden-partitioned, takes an in-epoch merge wave,
     * EVOLVES to mod(key, 8) (one metadata line, zero rows move), then
@@ -1577,6 +1629,7 @@ object LakehouseQueries {
     "q_lake_merge_clauses" -> (qLakeMergeClauses(_, _)),
     "q_lake_merge_evolve" -> (qLakeMergeEvolve(_, _)),
     "q_lake_mv" -> (qLakeMv(_, _)),
+    "q_lake_mv_join" -> (qLakeMvJoin(_, _)),
     "q_lake_bucketed" -> (qLakeBucketed(_, _)),
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
     "q_lake_optimize_where" -> (qLakeOptimizeWhere(_, _)),
@@ -1615,6 +1668,7 @@ object LakehouseQueries {
     "q_lake_merge_clauses" -> qLakeMergeClausesSql,
     "q_lake_merge_evolve" -> qLakeMergeEvolveSql,
     "q_lake_mv" -> qLakeMvSql,
+    "q_lake_mv_join" -> qLakeMvJoinSql,
     "q_lake_bucketed" -> qLakeBucketedSql,
     "q_lake_deltalog" -> qLakeDeltaLogSql,
     "q_lake_optimize_where" -> qLakeOptimizeWhereSql,

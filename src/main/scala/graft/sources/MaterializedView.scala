@@ -107,18 +107,35 @@ object MaterializedView {
       appId(base), bv.toLong)
   }
 
+  private def specMap(mvRoot: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(Paths.get(mvRoot, SpecFile)).asScala
+      .filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+  }
+
+  private def rawSpec(mvRoot: String): String => String = {
+    val m = specMap(mvRoot)
+    k => m.getOrElse(k, throw new IllegalStateException(
+      s"$mvRoot/$SpecFile: missing '$k'"))
+  }
+
+  private def splitCols(s: String): Seq[String] =
+    if (s.isEmpty) Seq.empty else s.split(",").toIndexedSeq
+
+  private def groupSumOf(mvRoot: String): (Seq[String], Seq[String]) = {
+    val get = rawSpec(mvRoot)
+    (splitCols(get("group")), splitCols(get("sum")))
+  }
+
   def spec(mvRoot: String): MvSpec = {
-    val lines = Files.readAllLines(Paths.get(mvRoot, SpecFile))
-    def get(k: String): String = {
-      val p = s"$k="
-      lines.stream.filter(_.startsWith(p)).findFirst
-        .orElseThrow(() => new IllegalStateException(
-          s"$mvRoot/$SpecFile: missing '$k'"))
-        .stripPrefix(p)
-    }
-    def split(s: String): Seq[String] =
-      if (s.isEmpty) Seq.empty else s.split(",").toIndexedSeq
-    MvSpec(get("base"), get("key"), split(get("group")), split(get("sum")))
+    val m = specMap(mvRoot)
+    require(!m.get("kind").contains("join"),
+      s"$mvRoot is a join MV — use joinSpec/refreshJoin")
+    val get = rawSpec(mvRoot)
+    MvSpec(get("base"), get("key"), splitCols(get("group")),
+      splitCols(get("sum")))
   }
 
   /** The base version the MV currently reflects (the A51 mark). */
@@ -148,23 +165,33 @@ object MaterializedView {
     val sign = when(col("_change_type")
       .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
     val dAggs = aggExprs(cdf, sp.sumCols, sign, "d_cnt", "d")
-    val deltas0 = cdf.groupBy(sp.groupCols.map(c => col(s"`$c`")): _*)
+    val deltas = cdf.groupBy(sp.groupCols.map(c => col(s"`$c`")): _*)
       .agg(dAggs.head, dAggs.tail: _*)
+    applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols,
+      Seq(appId(sp.base) -> to.toLong))
+  }
+
+  /** Apply per-group signed deltas (`d_cnt`, `ds_c`, `dnn_c`) to the
+    * MV in one clause-merge commit carrying `marks` atomically. */
+  private def applyDeltas(spark: SparkSession, mvRoot: String,
+      deltas0: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
+      marks: Seq[(String, Long)]): Int = {
+    import MergeWhen._
     // groups whose net delta is zero everywhere need no rewrite
-    val nonZero = (col("d_cnt") =!= 0L) +: sp.sumCols.flatMap(c => Seq(
+    val nonZero = (col("d_cnt") =!= 0L) +: sumCols.flatMap(c => Seq(
       col(s"`ds_$c`") =!= lit(0), col(s"`dnn_$c`") =!= 0L))
     val deltas = deltas0.filter(nonZero.reduce(_ || _))
-      .withColumn("__mv_key", keyExpr(sp.groupCols))
+      .withColumn("__mv_key", keyExpr(groupCols))
 
     val updateSet: Seq[(String, Column)] =
-      ("cnt" -> (col("cnt") + src("d_cnt"))) +: sp.sumCols.flatMap(c => Seq(
+      ("cnt" -> (col("cnt") + src("d_cnt"))) +: sumCols.flatMap(c => Seq(
         s"s_$c" -> (col(s"`s_$c`") + src(s"ds_$c")),
         s"nn_$c" -> (col(s"`nn_$c`") + src(s"dnn_$c"))))
     val insertVals: Seq[(String, Column)] =
       ("__mv_key" -> src("__mv_key")) +:
         ("cnt" -> src("d_cnt")) +:
-        (sp.groupCols.map(g => g -> src(g)) ++
-          sp.sumCols.flatMap(c => Seq(
+        (groupCols.map(g => g -> src(g)) ++
+          sumCols.flatMap(c => Seq(
             s"s_$c" -> src(s"ds_$c"), s"nn_$c" -> src(s"dnn_$c"))))
     Snapshots.mergeVersionedClauses(spark, mvRoot, deltas, "__mv_key", Seq(
       // a group whose count reaches zero disappears, as a recompute's
@@ -174,21 +201,149 @@ object MaterializedView {
       // only genuinely new groups insert (a pure-delete delta for an
       // unseen group cannot arise from a consistent feed)
       NotMatchedInsert(Some(src("d_cnt") > 0L), insertVals)),
-      txn = Some((appId(sp.base), to.toLong)))
+      txnMulti = marks)
   }
 
   /** The MV's user-facing shape: group columns, `cnt`, and per sum
     * column the ANSI `sum_c` (NULL when no non-null contributor — the
     * stored 0-based running sum is an internal detail) and `avg_c`. */
   def read(spark: SparkSession, mvRoot: String): DataFrame = {
-    val sp = spec(mvRoot)
+    val (groupCols, sumCols) = groupSumOf(mvRoot)
     val mv = Snapshots.read(spark, mvRoot)
-    val cols = sp.groupCols.map(c => col(s"`$c`")) ++
-      Seq(col("cnt")) ++ sp.sumCols.flatMap(c => Seq(
+    val cols = groupCols.map(c => col(s"`$c`")) ++
+      Seq(col("cnt")) ++ sumCols.flatMap(c => Seq(
         when(col(s"`nn_$c`") === 0L, lit(null))
           .otherwise(col(s"`s_$c`")).as(s"sum_$c"),
         when(col(s"`nn_$c`") === 0L, lit(null))
           .otherwise(col(s"`s_$c`") / col(s"`nn_$c`")).as(s"avg_$c")))
     mv.select(cols: _*)
+  }
+
+  // ── A57: MV over a two-table equi-join ─────────────────────────────
+  //
+  // The HARD incremental-view-maintenance case: for MV =
+  // γ(L ⋈_j R), the multiset delta of the join under simultaneous
+  // change on both sides is
+  //
+  //     Δ(L ⋈ R) = ΔL ⋈ R_new  ∪  L_old ⋈ ΔR
+  //
+  // (R_new includes ΔR, so the first term carries ΔL⋈ΔR exactly once;
+  // L_old excludes ΔL, so the second term never double-counts it).
+  // Each joined delta row keeps its side's ±1 sign, and the same
+  // counting algebra as the single-table MV turns the signed rows into
+  // per-group Δcnt/Δsum/Δnn — so the aggregate stays EXACT under
+  // updates that move join keys, deletes that kill fan-outs, and
+  // inserts on either or both sides in one window. The two consumed
+  // base versions ride ONE commit as two A51 marks (txnSetMulti), so
+  // the (leftVersion, rightVersion) watermark pair is atomic with the
+  // data — a crashed refresh can never record one side's progress
+  // without the other's.
+  //
+  // At 100 TB: ΔL ⋈ R_new is change-rows against a stats/partition-
+  // prunable snapshot join on the join key (broadcast when the delta
+  // is small); L_old ⋈ ΔR reads the RETAINED old left version — time
+  // travel is the free multiversioning this engine already pays for.
+  // Nothing ever rescans both full tables.
+
+  final case class JoinMvSpec(left: String, leftKey: String,
+      right: String, rightKey: String, joinCol: String,
+      groupCols: Seq[String], sumCols: Seq[String])
+
+  private def appL(left: String): String = "mvL@" + norm(left)
+  private def appR(right: String): String = "mvR@" + norm(right)
+
+  /** Build the join MV at both bases' current versions. Left and
+    * right schemas must overlap ONLY on `joinCol` (qualified outputs
+    * would poison the stored shape). */
+  def createJoin(spark: SparkSession, mvRoot: String,
+      left: String, leftKey: String, right: String, rightKey: String,
+      joinCol: String, groupCols: Seq[String],
+      sumCols: Seq[String] = Seq.empty): Int = {
+    require(groupCols.nonEmpty, "materialized view: no group columns")
+    val (vL, vR) = (Snapshots.currentVersion(left),
+      Snapshots.currentVersion(right))
+    require(vL >= 0 && vR >= 0, "both bases must be initialized")
+    require(Snapshots.currentVersion(mvRoot) < 0,
+      s"$mvRoot already holds a table")
+    val l = Snapshots.read(spark, left)
+    val r = Snapshots.read(spark, right)
+    val overlap = l.columns.toSet.intersect(r.columns.toSet)
+    require(overlap == Set(joinCol),
+      s"left/right schemas must overlap only on '$joinCol', got $overlap")
+    val joined = l.join(r, Seq(joinCol))
+    val aggs = aggExprs(joined, sumCols, lit(1L), "cnt", "")
+    val full = joined.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__mv_key", keyExpr(groupCols))
+    Files.createDirectories(Paths.get(mvRoot))
+    Files.writeString(Paths.get(mvRoot, SpecFile),
+      s"kind=join\nleft=${norm(left)}\nlkey=$leftKey\n" +
+        s"right=${norm(right)}\nrkey=$rightKey\njoin=$joinCol\n" +
+        s"group=${groupCols.mkString(",")}\nsum=${sumCols.mkString(",")}\n")
+    // bootstrap v0 WITH both marks (the same reason the A51 idempotent
+    // append bootstraps with its mark: batch 0 must not be replayable)
+    full.write.mode("append").parquet(mvRoot)
+    val files = Files.list(Paths.get(mvRoot)).iterator()
+    val parquets = scala.collection.mutable.ListBuffer.empty[String]
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.toString.endsWith(".parquet")) parquets += f.toString
+    }
+    Snapshots.commit(mvRoot, parquets.toSeq,
+      Some(spark.read.parquet(parquets.toSeq: _*).schema),
+      Snapshots.statsLines(spark, parquets.toSeq),
+      txnSetMulti = Seq(appL(left) -> vL.toLong, appR(right) -> vR.toLong))
+  }
+
+  def joinSpec(mvRoot: String): JoinMvSpec = {
+    val get = rawSpec(mvRoot)
+    require(get("kind") == "join", s"$mvRoot is not a join MV")
+    def split(s: String): Seq[String] =
+      if (s.isEmpty) Seq.empty else s.split(",").toIndexedSeq
+    JoinMvSpec(get("left"), get("lkey"), get("right"), get("rkey"),
+      get("join"), split(get("group")), split(get("sum")))
+  }
+
+  /** Advance a join MV to both bases' current versions in one exact,
+    * exactly-once step. Requires the previously consumed LEFT version
+    * to still be resolvable (vacuum must retain it — the L_old term
+    * reads it). */
+  def refreshJoin(spark: SparkSession, mvRoot: String): Int = {
+    import MergeWhen._
+    val sp = joinSpec(mvRoot)
+    val mvV = Snapshots.currentVersion(mvRoot)
+    require(mvV >= 0, s"$mvRoot not initialized (call createJoin)")
+    val fromL = Snapshots.txnVersionOf(mvRoot, appL(sp.left)).getOrElse(
+      throw new IllegalStateException(s"$mvRoot: no left mark")).toInt
+    val fromR = Snapshots.txnVersionOf(mvRoot, appR(sp.right)).getOrElse(
+      throw new IllegalStateException(s"$mvRoot: no right mark")).toInt
+    val toL = Snapshots.currentVersion(sp.left)
+    val toR = Snapshots.currentVersion(sp.right)
+    require(toL >= fromL && toR >= fromR,
+      s"$mvRoot consumed (v$fromL, v$fromR) but bases are at " +
+        s"(v$toL, v$toR) — was a base RESTOREd? Recreate the MV")
+    if (toL == fromL && toR == fromR) return mvV
+
+    val sign = when(col("_change_type")
+      .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+    def deltaOf(base: String, key: String, from: Int, to: Int) =
+      if (to == from) None
+      else Some(Snapshots.changesCdf(spark, base, from, to, key)
+        .withColumn("__sign", sign).drop("_change_type"))
+    val term1 = deltaOf(sp.left, sp.leftKey, fromL, toL).map(
+      _.join(Snapshots.read(spark, sp.right, toR), Seq(sp.joinCol)))
+    val term2 = deltaOf(sp.right, sp.rightKey, fromR, toR).map(
+      _.join(Snapshots.read(spark, sp.left, fromL), Seq(sp.joinCol)))
+    val unioned = (term1, term2) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => return mvV // unreachable (handled above)
+    }
+    val dAggs = aggExprs(unioned, sp.sumCols, col("__sign"), "d_cnt", "d")
+    val deltas = unioned.groupBy(sp.groupCols.map(c => col(s"`$c`")): _*)
+      .agg(dAggs.head, dAggs.tail: _*)
+    applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols,
+      Seq(appL(sp.left) -> toL.toLong, appR(sp.right) -> toR.toLong))
   }
 }

@@ -499,7 +499,7 @@ object Snapshots {
     * row count plus min/max of every numeric top-level column, as
     * manifest lines. The collect is |files| × columns — bounded by the
     * commit. */
-  private def statsLines(spark: SparkSession, files: Seq[String]): Seq[String] = {
+  private[sources] def statsLines(spark: SparkSession, files: Seq[String]): Seq[String] = {
     if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
     // FloatType stats are aggregated AS DOUBLE: Float.toString("0.7")
@@ -1395,7 +1395,8 @@ object Snapshots {
       bloomColsOverride: Option[Seq[(String, Int)]] = None,
       bloomExtra: Seq[String] = Seq.empty,
       bucketOverride: Option[(String, Int)] = None,
-      txnSet: Option[(String, Long)] = None): Boolean = {
+      txnSet: Option[(String, Long)] = None,
+      txnSetMulti: Seq[(String, Long)] = Seq.empty): Boolean = {
     Files.createDirectories(logDir(path))
     // any v0 commit is a table BIRTH (init, clone bootstrap, branch
     // re-creation after dropBranch): purge the path's cached
@@ -1412,7 +1413,7 @@ object Snapshots {
     // are hardened until the redo completes — GraftTxn.recover().
     fenceOwner(path).foreach { case (owner, expiry) =>
       if (expiry > System.currentTimeMillis() &&
-          !txnSet.exists(_._1 == owner))
+          !(txnSet.toSeq ++ txnSetMulti).exists(_._1 == owner))
         throw new java.util.ConcurrentModificationException(
           s"$path is fenced by multi-table transaction '$owner' until " +
             "its publish completes (GraftTxn.recover() finishes a " +
@@ -1470,17 +1471,21 @@ object Snapshots {
       // A51: per-app txn marks self-carry; a commit tagging (app, ver)
       // replaces that app's line with max(prev, ver) — monotonic even
       // if a caller's pre-check raced a concurrent same-app writer
-      val txnLines = txnSet match {
-        case None => prev.filter(_.startsWith(TxnHeader))
-        case Some((app, ver)) =>
+      val txnLines = (txnSet.toSeq ++ txnSetMulti) match {
+        case Seq() => prev.filter(_.startsWith(TxnHeader))
+        case marks => // several apps may mark ONE commit (A57 join MVs
+          // consume two bases atomically); each app keeps its max
           def appOf(l: String) = l.stripPrefix(TxnHeader).takeWhile(_ != '\t')
-          val prevVer = prev.collectFirst {
-            case l if l.startsWith(TxnHeader) && appOf(l) == app =>
-              l.stripPrefix(TxnHeader).split("\t")(1).toLong
-          }
-          prev.filter(l => l.startsWith(TxnHeader) && appOf(l) != app) ++
-            Seq(TxnHeader + app + "\t" +
-              math.max(ver, prevVer.getOrElse(Long.MinValue)))
+          val apps = marks.map(_._1).toSet
+          prev.filter(l => l.startsWith(TxnHeader) && !apps.contains(appOf(l))) ++
+            marks.groupBy(_._1).toSeq.sortBy(_._1).map { case (app, vs) =>
+              val prevVer = prev.collectFirst {
+                case l if l.startsWith(TxnHeader) && appOf(l) == app =>
+                  l.stripPrefix(TxnHeader).split("\t")(1).toLong
+              }
+              TxnHeader + app + "\t" +
+                math.max(vs.map(_._2).max, prevVer.getOrElse(Long.MinValue))
+            }
       }
       // commit timestamps must be MONOTONIC in version (Delta adjusts
       // them the same way): with clock skew a later version could
@@ -1534,11 +1539,12 @@ object Snapshots {
       bloomColsOverride: Option[Seq[(String, Int)]] = None,
       bloomExtra: Seq[String] = Seq.empty,
       bucketOverride: Option[(String, Int)] = None,
-      txnSet: Option[(String, Long)] = None): Int = {
+      txnSet: Option[(String, Long)] = None,
+      txnSetMulti: Seq[(String, Long)] = Seq.empty): Int = {
     val v = currentVersion(path) + 1
     if (!commitAt(path, v, files, schema, stats, dv, cdf, cdfFlag,
         constraintsOverride, clusterOverride, bloomColsOverride, bloomExtra,
-        bucketOverride, txnSet))
+        bucketOverride, txnSet, txnSetMulti))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, v).toString)
     v
@@ -1563,10 +1569,11 @@ object Snapshots {
       clusterOverride: Option[(Seq[String], Seq[String])] = None,
       bloomColsOverride: Option[Seq[(String, Int)]] = None,
       bloomExtra: Seq[String] = Seq.empty,
-      txnSet: Option[(String, Long)] = None): Int = {
+      txnSet: Option[(String, Long)] = None,
+      txnSetMulti: Seq[(String, Long)] = Seq.empty): Int = {
     if (!commitAt(path, base + 1, files, schema, stats, dv, cdf, cdfFlag,
         constraintsOverride, clusterOverride, bloomColsOverride, bloomExtra,
-        txnSet = txnSet))
+        txnSet = txnSet, txnSetMulti = txnSetMulti))
       throw new java.nio.file.FileAlreadyExistsException(
         manifestPath(path, base + 1).toString +
           " (concurrent commit won this version; re-read and retry)")
@@ -1776,15 +1783,20 @@ object Snapshots {
   def mergeVersionedClauses(spark: SparkSession, path: String,
       source: DataFrame, keyCol: String, clauses: Seq[MergeWhen],
       evolveSchema: Boolean = false,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      txnMulti: Seq[(String, Long)] = Seq.empty): Int = {
     import MergeWhen._
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
-    // A51: an already-recorded (appId, version) mark makes the whole
-    // statement a replay — return without staging a byte
-    txn.foreach { case (app, ver) =>
-      requireTxnApp(app)
-      if (txnVersionOf(path, v, app).exists(_ >= ver)) return v
+    // A51: already-recorded marks make the whole statement a replay —
+    // return without staging a byte. Multi-mark commits (A57) record
+    // all marks atomically, so any ONE recorded ⇒ all recorded; the
+    // forall is belt-and-braces against a hand-built mark state.
+    val allMarks = txn.toSeq ++ txnMulti
+    if (allMarks.nonEmpty) {
+      allMarks.foreach(m => requireTxnApp(m._1))
+      if (allMarks.forall { case (app, ver) =>
+        txnVersionOf(path, v, app).exists(_ >= ver) }) return v
     }
     require(clauses.nonEmpty, "mergeVersionedClauses: no WHEN clauses")
     val live = liveFiles(path, v)
@@ -1865,7 +1877,7 @@ object Snapshots {
     if (touched.isEmpty && insertCs.isEmpty) // nothing can fire
       return commitNext(path, v, live, tableSchema(path, v),
         carriedStats(path, v, live), dvFiles(path, v),
-        cdf = Some(Seq.empty), txnSet = txn)
+        cdf = Some(Seq.empty), txnSet = txn, txnSetMulti = txnMulti)
 
     val oldTouched =
       if (touched.isEmpty) spark.createDataFrame(
@@ -2013,7 +2025,8 @@ object Snapshots {
       if (newCols.isEmpty) tableSchema(path, v) else Some(outSchema),
       carriedStats(path, v, retained) ++ statsLines(spark, staged),
       dvFiles(path, v), cdf = cdfStaged,
-      bloomExtra = maybeBloom(spark, path, v, staged), txnSet = txn)
+      bloomExtra = maybeBloom(spark, path, v, staged), txnSet = txn,
+      txnSetMulti = txnMulti)
   }
 
   /** [[mergeVersioned]] with the OCC machinery exposed: `maxRetries`

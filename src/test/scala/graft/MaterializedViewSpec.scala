@@ -164,6 +164,72 @@ class MaterializedViewSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("A57 join MV: refresh equals recompute under simultaneous waves " +
+      "on both sides, incl. join-key moves and matched double-inserts") {
+    val l = tmp(); val r = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(l)
+    Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .write.mode("overwrite").parquet(r)
+    Snapshots.init(spark, l, changeDataFeed = true)
+    Snapshots.init(spark, r, changeDataFeed = true)
+    MaterializedView.createJoin(spark, mv, l, "o_orderkey", r, "o_custkey",
+      "o_custkey", Seq("c_mktsegment"), Seq("o_orderkey"))
+    def recomputeJoin = Snapshots.read(spark, l)
+      .join(Snapshots.read(spark, r), Seq("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum("o_orderkey").as("sum_o_orderkey"),
+        avg("o_orderkey").as("avg_o_orderkey"))
+    assertSame(MaterializedView.read(spark, mv), recomputeJoin)
+
+    // simultaneous waves: left moves JOIN KEYS and inserts a row whose
+    // matching customer arrives in the SAME window (the ΔL⋈ΔR term);
+    // right moves groups and kills a fanout
+    Snapshots.mergeVersioned(spark, l,
+      ordersDf.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1L) // join-key move
+        .unionByName(ordersDf.filter(col("o_orderkey") % 11 === 5)
+          .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
+          .withColumn("o_custkey", lit(77777777L))), // matches new cust
+      "o_orderkey")
+    Snapshots.deleteVersioned(spark, l, col("o_orderkey") % 13 === 1)
+    import spark.implicits._
+    Snapshots.appendVersioned(spark, r,
+      Seq((77777777L, "NEWSEG", 0.0))
+        .toDF("o_custkey", "c_mktsegment", "c_acctbal"))
+    Snapshots.mergeVersioned(spark, r,
+      Tables.customer(spark, sf).filter(col("c_custkey") % 5 === 2)
+        .select(col("c_custkey").as("o_custkey"),
+          lit("MOVED").as("c_mktsegment"), col("c_acctbal")),
+      "o_custkey")
+    Snapshots.deleteVersioned(spark, r, col("o_custkey") % 17 === 3)
+
+    val v1 = MaterializedView.refreshJoin(spark, mv)
+    assertSame(MaterializedView.read(spark, mv), recomputeJoin)
+    // the double-insert window really contributed
+    assert(MaterializedView.read(spark, mv)
+      .filter(col("c_mktsegment") === "NEWSEG").count() == 1)
+    // exactly-once + both marks atomic
+    assert(MaterializedView.refreshJoin(spark, mv) == v1)
+    assert(Snapshots.txnVersionOf(mv, "mvL@" +
+      java.nio.file.Paths.get(l).toAbsolutePath.normalize).contains(
+      Snapshots.currentVersion(l).toLong))
+    assert(Snapshots.txnVersionOf(mv, "mvR@" +
+      java.nio.file.Paths.get(r).toAbsolutePath.normalize).contains(
+      Snapshots.currentVersion(r).toLong))
+
+    // one-sided window: only the left moves (the L_old ⋈ ΔR term absent)
+    Snapshots.deleteVersioned(spark, l, col("o_orderkey") % 19 === 2)
+    MaterializedView.refreshJoin(spark, mv)
+    assertSame(MaterializedView.read(spark, mv), recomputeJoin)
+    // ... and only the right moves
+    Snapshots.deleteVersioned(spark, r, col("o_custkey") % 23 === 4)
+    MaterializedView.refreshJoin(spark, mv)
+    assertSame(MaterializedView.read(spark, mv), recomputeJoin)
+  }
+
   test("refusals: double create, refresh without create, RESTOREd base") {
     val base = tmp(); val mv = tmp() + "/mv"
     ordersDf.limit(100).write.mode("overwrite").parquet(base)
