@@ -50,6 +50,9 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT ANALYZE '<path>' WITH HISTOGRAM  -- + equi-height bins
   *   GRAFT CREATE MATERIALIZED VIEW '<mv>' ON '<base>' KEY <k>
   *     GROUP BY (<c1>[, …]) [SUM (<s1>[, …])]          -- A55
+  *   GRAFT CREATE MATERIALIZED VIEW '<mv>' ON '<left>' KEY <lk>
+  *     JOIN '<right>' KEY <rk> ON <joinCol>
+  *     GROUP BY (<c1>[, …]) [SUM (<s1>[, …])]          -- A57
   *   GRAFT REFRESH MATERIALIZED VIEW '<mv>'   -- incremental, via CDF
   * }}}
   */
@@ -146,8 +149,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             groups.split(",").map(_.trim).toIndexedSeq,
             Option(sums).map(_.split(",").map(_.trim).toIndexedSeq)
               .getOrElse(Seq.empty)).toLong)
+      case MvCreateJoin(mv, left, lk, right, rk, j, groups, sums) =>
+        LakeMaintenanceCommand("version", s =>
+          graft.sources.MaterializedView.createJoin(s, mv, left, lk,
+            right, rk, j, groups.split(",").map(_.trim).toIndexedSeq,
+            Option(sums).map(_.split(",").map(_.trim).toIndexedSeq)
+              .getOrElse(Seq.empty)).toLong)
       case MvRefresh(mv) => LakeMaintenanceCommand("version", s =>
-        graft.sources.MaterializedView.refresh(s, mv).toLong)
+        graft.sources.MaterializedView.refreshAny(s, mv).toLong)
       case Detail(p) => LakeDetailCommand(p)
       case History(p) => LakeHistoryCommand(p)
       // a GRAFT-prefixed statement that matches no rule must FAIL as
@@ -239,6 +248,11 @@ object GraftSqlParser {
   private val MvCreate =
     ("""(?is)\s*GRAFT\s+CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+""" +
       """'([^']+)'\s+KEY\s+(\w+)\s+GROUP\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)""" +
+      """\s*\)(?:\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""").r
+  private val MvCreateJoin =
+    ("""(?is)\s*GRAFT\s+CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+""" +
+      """'([^']+)'\s+KEY\s+(\w+)\s+JOIN\s+'([^']+)'\s+KEY\s+(\w+)\s+ON\s+""" +
+      """(\w+)\s+GROUP\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)""" +
       """\s*\)(?:\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""").r
   private val MvRefresh =
     """(?is)\s*GRAFT\s+REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r

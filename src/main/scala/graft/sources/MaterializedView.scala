@@ -204,6 +204,13 @@ object MaterializedView {
       txnMulti = marks)
   }
 
+  /** Route a refresh by the MV's spec kind (the SQL surface's single
+    * REFRESH verb serves both MV shapes). */
+  def refreshAny(spark: SparkSession, mvRoot: String): Int =
+    if (specMap(mvRoot).get("kind").contains("join"))
+      refreshJoin(spark, mvRoot)
+    else refresh(spark, mvRoot)
+
   /** The MV's user-facing shape: group columns, `cnt`, and per sum
     * column the ANSI `sum_c` (NULL when no non-null contributor — the
     * stored 0-based running sum is an internal detail) and `avg_c`. */

@@ -881,7 +881,7 @@ object Snapshots {
   // contract (Delta-style: someone must finish the log).
   private def fenceFile(path: String) = logDir(path).resolve("txn_fence")
 
-  private[sources] def fenceOwner(path: String): Option[(String, Long)] = {
+  private[graft] def fenceOwner(path: String): Option[(String, Long)] = {
     val f = fenceFile(path)
     if (!Files.exists(f)) return None
     try {
@@ -891,7 +891,7 @@ object Snapshots {
     } catch { case _: Exception => None } // torn read of a dying fence
   }
 
-  private[sources] def acquireFence(path: String, app: String,
+  private[graft] def acquireFence(path: String, app: String,
       ttlMillis: Long): Unit = {
     requireTxnApp(app)
     Files.createDirectories(logDir(path))
@@ -923,14 +923,14 @@ object Snapshots {
       s"could not fence $path after $attempts attempts")
   }
 
-  private[sources] def hardenFence(path: String, app: String): Unit = {
+  private[graft] def hardenFence(path: String, app: String): Unit = {
     require(fenceOwner(path).exists(_._1 == app),
       s"$path fence not owned by '$app'")
     Files.write(fenceFile(path),
       s"$app\t${Long.MaxValue}".getBytes("UTF-8"))
   }
 
-  private[sources] def releaseFence(path: String, app: String): Unit =
+  private[graft] def releaseFence(path: String, app: String): Unit =
     if (fenceOwner(path).exists(_._1 == app))
       Files.deleteIfExists(fenceFile(path))
 

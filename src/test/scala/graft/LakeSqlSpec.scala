@@ -917,6 +917,36 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("r9 (A57): GRAFT CREATE MATERIALIZED VIEW ... JOIN end-to-end") {
+    import org.apache.spark.sql.functions._
+    val l = java.nio.file.Files.createTempDirectory("graft_mvjsql").toString
+    val r = java.nio.file.Files.createTempDirectory("graft_mvjsql").toString
+    val mv = l + "/mv"
+    Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(l)
+    Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(r)
+    Snapshots.init(spark, l, changeDataFeed = true)
+    Snapshots.init(spark, r, changeDataFeed = true)
+    withExtSession { s =>
+      s.sql(s"GRAFT CREATE MATERIALIZED VIEW '$mv' ON '$l' KEY o_orderkey " +
+        s"JOIN '$r' KEY o_custkey ON o_custkey " +
+        "GROUP BY (c_mktsegment) SUM (o_orderkey)")
+      s.sql(s"DELETE FROM graft.`$l` WHERE o_orderkey % 4 = 0")
+      s.sql(s"DELETE FROM graft.`$r` WHERE o_custkey % 6 = 1")
+      s.sql(s"GRAFT REFRESH MATERIALIZED VIEW '$mv'")
+    }
+    val got = graft.sources.MaterializedView.read(spark, mv)
+    val want = Snapshots.read(spark, l)
+      .join(Snapshots.read(spark, r), Seq("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum("o_orderkey").as("sum_o_orderkey"),
+        avg("o_orderkey").as("avg_o_orderkey"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("r9 (A55): GRAFT CREATE/REFRESH MATERIALIZED VIEW end-to-end") {
     val base = java.nio.file.Files.createTempDirectory("graft_mvsql").toString
     val mv = base + "/mv"

@@ -124,6 +124,24 @@ class TxnMultiSpec extends GraftSuite {
     GraftTxn.abort(spark, h)
   }
 
+  test("a pre-DECIDE fence EXPIRES: an abandoned begin frees the table") {
+    import spark.implicits._
+    val t1 = mkTable(10)
+    // simulate an abandoned transaction that fenced but never decided
+    Snapshots.acquireFence(t1, "graft-txn@tx-abandoned", ttlMillis = 60000L)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.appendVersioned(spark, t1,
+        Seq((11L, "blocked", 1L)).toDF("k", "payload", "gen"))
+    }
+    // fast-forward the clock: the owner refreshes its own fence with a
+    // negative TTL, leaving exactly what a lapsed TTL leaves
+    Snapshots.acquireFence(t1, "graft-txn@tx-abandoned", ttlMillis = -1L)
+    // expired: the next writer clears the stale fence and commits
+    Snapshots.appendVersioned(spark, t1,
+      Seq((11L, "free", 1L)).toDF("k", "payload", "gen"))
+    assert(Snapshots.read(spark, t1).filter(col("k") === 11L).count() == 1)
+  }
+
   test("the fence blocks independent writers DURING the redo window") {
     import spark.implicits._
     val (t1, t2) = (mkTable(20), mkTable(20))
