@@ -330,6 +330,13 @@ object MaterializedView {
       s"$mvRoot consumed (v$fromL, v$fromR) but bases are at " +
         s"(v$toL, v$toR) — was a base RESTOREd? Recreate the MV")
     if (toL == fromL && toR == fromR) return mvV
+    // the L_old term time-travels to the consumed left version: vacuum
+    // must have retained it (keepFrom ≤ fromL) — fail loudly up front
+    // rather than mid-join on a reclaimed file
+    require(Snapshots.hasVersion(sp.left, fromL),
+      s"$mvRoot: consumed left version v$fromL of ${sp.left} is gone " +
+        "(vacuumed?) — a join MV needs its consumed version retained; " +
+        "recreate the MV")
 
     val sign = when(col("_change_type")
       .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
