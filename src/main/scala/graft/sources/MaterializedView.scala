@@ -70,9 +70,14 @@ object MaterializedView {
     * feed deltas (sign ±1). */
   private def aggExprs(df: DataFrame, sumCols: Seq[String], sign: Column,
       cntName: String, prefix: String): Seq[Column] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val types = df.schema
     sum(sign).as(cntName) +: sumCols.flatMap { c =>
-      val dt = types(c).dataType
+      // SQL sum widens integrals; a running int sum would overflow
+      val dt = types(c).dataType match {
+        case ByteType | ShortType | IntegerType => LongType
+        case other => other
+      }
       Seq(
         coalesce(sum(sign * col(s"`$c`")), lit(0).cast(dt))
           .cast(dt).as(s"${prefix}s_$c"),

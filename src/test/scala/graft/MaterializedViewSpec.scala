@@ -230,6 +230,26 @@ class MaterializedViewSpec extends GraftSuite {
     assertSame(MaterializedView.read(spark, mv), recomputeJoin)
   }
 
+  test("multi-column group keys keep tuple boundaries: " +
+      "(ab,c) and (a,bc) are different groups") {
+    import spark.implicits._
+    val base = tmp(); val mv = tmp() + "/mv"
+    Seq((1L, "ab", "c", 10L), (2L, "a", "bc", 20L), (3L, "ab", "c", 30L))
+      .toDF("k", "g1", "g2", "x").write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "k", Seq("g1", "g2"), Seq("x"))
+    val rows = MaterializedView.read(spark, mv)
+    assert(rows.count() == 2)
+    assert(rows.filter(col("g1") === "ab" && col("g2") === "c")
+      .collect().head.getLong(2) == 2L)
+    // a delta against one of the twin groups touches ONLY that group
+    Snapshots.deleteVersioned(spark, base, col("k") === 2L)
+    MaterializedView.refresh(spark, mv)
+    val after = MaterializedView.read(spark, mv)
+    assert(after.count() == 1)
+    assert(after.collect().head.getString(0) == "ab")
+  }
+
   test("refusals: double create, refresh without create, RESTOREd base") {
     val base = tmp(); val mv = tmp() + "/mv"
     ordersDf.limit(100).write.mode("overwrite").parquet(base)
