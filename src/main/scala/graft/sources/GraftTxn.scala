@@ -183,13 +183,32 @@ object GraftTxn {
   }
 
   /** Complete every pending transaction's redo (idempotent — safe to
-    * run from any process at any time). Returns how many finished. */
+    * run from any process at any time), and HEAL finalized-but-unclean
+    * ones: a crash between the `.done` rename and the fence-release
+    * loop leaves hardened fences no pending record points at — without
+    * this sweep those tables would be fenced forever (the one wedge
+    * the redo alone cannot clear). Returns how many redos finished. */
   def recover(spark: SparkSession, coordDir: String): Int = {
-    val ids = pending(coordDir)
-    ids.foreach { id =>
-      val tables = Files.readAllLines(commitRecord(coordDir, id)).asScala
+    def tablesOf(id: String): Seq[String] =
+      Files.readAllLines(commitRecord(coordDir, id)).asScala
         .filter(_.nonEmpty).map(_.split("\t")(0)).toIndexedSeq
-      redo(spark, coordDir, id, tables, _ => ())
+    val ids = pending(coordDir)
+    ids.foreach(id => redo(spark, coordDir, id, tablesOf(id), _ => ()))
+    // finalized sweep: release any fence still owned by a done txn,
+    // drop any branch its crash left behind (both idempotent)
+    val d = Paths.get(coordDir)
+    if (Files.isDirectory(d)) {
+      val names = Files.list(d).iterator.asScala
+        .map(_.getFileName.toString).toIndexedSeq
+      names.filter(_.endsWith(".done")).map(_.stripSuffix(".done"))
+        .filter(id => names.contains(s"$id.commit"))
+        .foreach { id =>
+          tablesOf(id).foreach { t =>
+            Snapshots.releaseFence(t, appOf(id))
+            try Refs.dropBranch(t, branchName(id))
+            catch { case _: Exception => () }
+          }
+        }
     }
     ids.size
   }

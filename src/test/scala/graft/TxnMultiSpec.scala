@@ -142,6 +142,29 @@ class TxnMultiSpec extends GraftSuite {
     assert(Snapshots.read(spark, t1).filter(col("k") === 11L).count() == 1)
   }
 
+  test("recover() heals the done-but-unreleased wedge: hardened fence " +
+      "with no pending record") {
+    import spark.implicits._
+    val t1 = mkTable(10)
+    val coord = tmp()
+    // simulate a crash BETWEEN the .done rename and the fence release:
+    // hardened fence + both coordinator records, nothing pending
+    Snapshots.acquireFence(t1, "graft-txn@tx-wedge", ttlMillis = 1000L)
+    Snapshots.hardenFence(t1, "graft-txn@tx-wedge")
+    Files.write(Paths.get(coord, "tx-wedge.commit"),
+      s"$t1\ttxn_tx-wedge\t0".getBytes("UTF-8"))
+    Files.write(Paths.get(coord, "tx-wedge.done"), "done".getBytes("UTF-8"))
+    assert(GraftTxn.pending(coord).isEmpty) // the redo alone won't act
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.appendVersioned(spark, t1,
+        Seq((11L, "blocked", 1L)).toDF("k", "payload", "gen"))
+    }
+    GraftTxn.recover(spark, coord) // the finalized sweep releases it
+    Snapshots.appendVersioned(spark, t1,
+      Seq((11L, "healed", 1L)).toDF("k", "payload", "gen"))
+    assert(Snapshots.read(spark, t1).filter(col("k") === 11L).count() == 1)
+  }
+
   test("the fence blocks independent writers DURING the redo window") {
     import spark.implicits._
     val (t1, t2) = (mkTable(20), mkTable(20))
