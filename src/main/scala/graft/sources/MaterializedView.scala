@@ -58,6 +58,21 @@ object MaterializedView {
 
   private[graft] def appId(base: String): String = "mv@" + norm(base)
 
+  /** The VACUUM LEASE: a tag on the base at the MV's consumed version.
+    * A37 tags pin vacuum (tagged versions' manifests, data, DVs and
+    * stored CDF all survive any keepFrom), so holding one means an
+    * arbitrarily aggressive vacuum on the base can never reclaim what
+    * the next refresh needs — the CDF window's stored change files,
+    * and for join MVs the old-left snapshot the L_old term time-travels
+    * to. The lease MOVES (atomic tag replace) as the MV consumes, so
+    * history behind the watermark becomes reclaimable again; a crash
+    * after the refresh commit but before the move only over-retains
+    * (the safe direction) until the next refresh. */
+  private[graft] def leaseName(mvRoot: String): String =
+    "mv." + java.security.MessageDigest.getInstance("MD5")
+      .digest(norm(mvRoot).getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+
   /** The MV's synthetic row key: the group tuple, NULL-safely encoded
     * (a NULL group value and the string "null" must not collide). */
   private def keyExpr(groupCols: Seq[String]): Column =
@@ -108,8 +123,10 @@ object MaterializedView {
     Files.writeString(Paths.get(mvRoot, SpecFile),
       s"base=${norm(base)}\nkey=$baseKey\ngroup=${groupCols.mkString(",")}\n" +
         s"sum=${sumCols.mkString(",")}\n")
-    Snapshots.appendVersionedIdempotent(spark, mvRoot, full,
+    val v = Snapshots.appendVersionedIdempotent(spark, mvRoot, full,
       appId(base), bv.toLong)
+    Refs.moveTag(base, leaseName(mvRoot), bv)
+    v
   }
 
   private def specMap(mvRoot: String): Map[String, String] = {
@@ -172,8 +189,10 @@ object MaterializedView {
     val dAggs = aggExprs(cdf, sp.sumCols, sign, "d_cnt", "d")
     val deltas = cdf.groupBy(sp.groupCols.map(c => col(s"`$c`")): _*)
       .agg(dAggs.head, dAggs.tail: _*)
-    applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols,
+    val v = applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols,
       Seq(appId(sp.base) -> to.toLong))
+    Refs.moveTag(sp.base, leaseName(mvRoot), to)
+    v
   }
 
   /** Apply per-group signed deltas (`d_cnt`, `ds_c`, `dnn_c`) to the
@@ -301,10 +320,13 @@ object MaterializedView {
       val f = files.next()
       if (f.toString.endsWith(".parquet")) parquets += f.toString
     }
-    Snapshots.commit(mvRoot, parquets.toSeq,
+    val v = Snapshots.commit(mvRoot, parquets.toSeq,
       Some(spark.read.parquet(parquets.toSeq: _*).schema),
       Snapshots.statsLines(spark, parquets.toSeq),
       txnSetMulti = Seq(appL(left) -> vL.toLong, appR(right) -> vR.toLong))
+    Refs.moveTag(left, leaseName(mvRoot), vL)
+    Refs.moveTag(right, leaseName(mvRoot), vR)
+    v
   }
 
   def joinSpec(mvRoot: String): JoinMvSpec = {
@@ -362,7 +384,10 @@ object MaterializedView {
     val dAggs = aggExprs(unioned, sp.sumCols, col("__sign"), "d_cnt", "d")
     val deltas = unioned.groupBy(sp.groupCols.map(c => col(s"`$c`")): _*)
       .agg(dAggs.head, dAggs.tail: _*)
-    applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols,
+    val v = applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols,
       Seq(appL(sp.left) -> toL.toLong, appR(sp.right) -> toR.toLong))
+    Refs.moveTag(sp.left, leaseName(mvRoot), toL)
+    Refs.moveTag(sp.right, leaseName(mvRoot), toR)
+    v
   }
 }

@@ -84,6 +84,26 @@ object Refs {
     Snapshots.read(spark, path, v)
   }
 
+  /** Atomically re-point tag `name` to `version` — the LEASE mover
+    * (A55/A57 materialized views pin their consumed base version so
+    * vacuum cannot reclaim what a refresh still needs, and advance the
+    * pin as they consume). Public tags stay immutable ([[tag]]
+    * refuses); a lease is a tag whose owner moves it, and the atomic
+    * replace leaves no window in which NOTHING pins a needed version.
+    */
+  private[sources] def moveTag(path: String, name: String,
+      version: Int): Unit = {
+    validName(name)
+    require(Snapshots.hasVersion(path, version),
+      s"moveTag: no version $version at $path")
+    Files.createDirectories(refsDir(path))
+    val tmp = Files.createTempFile(refsDir(path), name, ".tmp")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    Files.move(tmp, tagFile(path, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Drop tag `name`; the version it pinned becomes reclaimable by the
     * next vacuum (if outside the retention window). */
   def dropTag(path: String, name: String): Unit = {

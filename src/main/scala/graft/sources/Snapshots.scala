@@ -3173,10 +3173,25 @@ object Snapshots {
     * Pure computation — [[vacuumDryRun]] surfaces it, [[vacuum]]
     * executes it.
     */
-  private def vacuumPlan(path: String,
-      keepFrom: Int): (Set[String], Seq[String], Seq[Int]) = {
+  /** A55/A57 vacuum leases: an "mv."-prefixed tag is a retention
+    * FLOOR — the whole window [leaseV, head] must survive (a
+    * multi-commit refresh needs every intermediate version's stored
+    * change data, and a join MV time-travels to the lease version
+    * itself), not just the tagged version like an ordinary A37 tag.
+    * The effective keepFrom clamps under the lowest lease. */
+  private def vacuumKeep(path: String, keepFrom: Int): Int = {
     val cur = currentVersion(path)
-    require(keepFrom >= 0 && keepFrom <= cur, s"keepFrom $keepFrom out of range 0..$cur")
+    val floors = Refs.tags(path).collect {
+      case (n, v) if n.startsWith("mv.") && v >= 0 && v <= cur => v }
+    (floors.toSeq :+ keepFrom).min
+  }
+
+  private def vacuumPlan(path: String,
+      keepFrom0: Int): (Set[String], Seq[String], Seq[Int]) = {
+    val cur = currentVersion(path)
+    require(keepFrom0 >= 0 && keepFrom0 <= cur,
+      s"keepFrom $keepFrom0 out of range 0..$cur")
+    val keepFrom = vacuumKeep(path, keepFrom0)
     // DV files (A30) and stored change data (A31) are references too:
     // a retained version's DVs must survive vacuum or its reads
     // resurrect dead rows, and its change data must survive or a
@@ -3254,6 +3269,7 @@ object Snapshots {
 
   def vacuum(path: String, keepFrom: Int): Int = {
     val (dropped, orphans, manifests) = vacuumPlan(path, keepFrom)
+    val kf = vacuumKeep(path, keepFrom) // same lease clamp as the plan
     // delta-log invariant: every RETAINED version must resolve from
     // retained manifests alone. Ascending order makes the induction
     // hold — once v-1 is either full, materialized, or resolvable
@@ -3262,7 +3278,7 @@ object Snapshots {
     val dropSet = manifests.toSet
     val cur = currentVersion(path)
     val tagged = Refs.tags(path).values.toSet.filter(v => v >= 0 && v <= cur)
-    (((keepFrom to cur) ++ tagged.filter(_ < keepFrom)).distinct.sorted)
+    (((kf to cur) ++ tagged.filter(_ < kf)).distinct.sorted)
       .foreach { v =>
         if (isDeltaManifest(path, v) &&
             (dropSet.contains(v - 1) || !hasVersion(path, v - 1)))

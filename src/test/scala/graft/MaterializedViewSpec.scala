@@ -250,6 +250,45 @@ class MaterializedViewSpec extends GraftSuite {
     assert(after.collect().head.getString(0) == "ab")
   }
 
+  test("vacuum lease: an aggressive base vacuum cannot reclaim the " +
+      "window the next refresh needs; consuming releases it") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true) // v0
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey")) // lease pins v0
+    Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 3 === 0) // v1
+    Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 5 === 1) // v2
+    // aggressive vacuum: without the lease this drops v0/v1 history
+    // (incl. v1's stored change data) and the refresh would fail or
+    // silently fall back onto missing manifests
+    Snapshots.vacuum(base, keepFrom = 2)
+    MaterializedView.refresh(spark, mv)
+    assertSame(MaterializedView.read(spark, mv), recompute(base))
+    // the lease MOVED to v2: the same vacuum now reclaims the history
+    assert(Snapshots.vacuum(base, keepFrom = 2) > 0)
+    // ... and a join MV's lease protects the old-left time travel too
+    val r = tmp(); val jmv = tmp() + "/jmv"
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("o_custkey", "seg")
+      .write.mode("overwrite").parquet(r)
+    Snapshots.init(spark, r, changeDataFeed = true)
+    val l2 = tmp()
+    ordersDf.filter(col("o_custkey") <= 2L).write.mode("overwrite").parquet(l2)
+    Snapshots.init(spark, l2, changeDataFeed = true) // v0 = join-MV's L_old
+    MaterializedView.createJoin(spark, jmv, l2, "o_orderkey", r,
+      "o_custkey", "o_custkey", Seq("seg"), Seq.empty)
+    Snapshots.mergeVersioned(spark, r,
+      Seq((1L, "x2")).toDF("o_custkey", "seg"), "o_custkey") // ΔR
+    Snapshots.deleteVersioned(spark, l2, col("o_orderkey") % 2 === 0) // ΔL
+    Snapshots.vacuum(l2, keepFrom = 1) // would drop v0 without the lease
+    MaterializedView.refreshJoin(spark, jmv) // L_old = v0 still readable
+    val want = Snapshots.read(spark, l2)
+      .join(Snapshots.read(spark, r), Seq("o_custkey"))
+      .groupBy("seg").agg(count(lit(1)).as("cnt"))
+    assertSame(MaterializedView.read(spark, jmv), want)
+  }
+
   test("refusals: double create, refresh without create, RESTOREd base") {
     val base = tmp(); val mv = tmp() + "/mv"
     ordersDf.limit(100).write.mode("overwrite").parquet(base)
