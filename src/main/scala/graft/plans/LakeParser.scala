@@ -54,6 +54,7 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *     JOIN '<right>' KEY <rk> ON <joinCol>
   *     GROUP BY (<c1>[, …]) [SUM (<s1>[, …])]          -- A57
   *   GRAFT REFRESH MATERIALIZED VIEW '<mv>'   -- incremental, via CDF
+  *   GRAFT DROP MATERIALIZED VIEW '<mv>'  -- releases the vacuum lease
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -157,6 +158,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               .getOrElse(Seq.empty)).toLong)
       case MvRefresh(mv) => LakeMaintenanceCommand("version", s =>
         graft.sources.MaterializedView.refreshAny(s, mv).toLong)
+      case MvDrop(mv) => LakeMaintenanceCommand("version", _ =>
+        { graft.sources.MaterializedView.drop(mv); 0L })
       case Detail(p) => LakeDetailCommand(p)
       case History(p) => LakeHistoryCommand(p)
       // a GRAFT-prefixed statement that matches no rule must FAIL as
@@ -256,6 +259,8 @@ object GraftSqlParser {
       """\s*\)(?:\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""").r
   private val MvRefresh =
     """(?is)\s*GRAFT\s+REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  private val MvDrop =
+    """(?is)\s*GRAFT\s+DROP\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
 
   /** Split a SET clause on TOP-LEVEL commas only — `f(a, b)` in an
     * assignment expression must not split (paren depth + string

@@ -228,6 +228,23 @@ object MaterializedView {
       txnMulti = marks)
   }
 
+  /** Drop the MV: RELEASE its vacuum lease(s) — an abandoned MV must
+    * not pin base history forever — and delete the MV's own tree. */
+  def drop(mvRoot: String): Unit = {
+    val m = specMap(mvRoot)
+    val bases =
+      if (m.get("kind").contains("join")) Seq(m("left"), m("right"))
+      else Seq(m("base"))
+    bases.foreach { b =>
+      try Refs.dropTag(b, leaseName(mvRoot))
+      catch { case _: Exception => () } // never held / already dropped
+    }
+    val walk = Files.walk(Paths.get(mvRoot))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   /** Route a refresh by the MV's spec kind (the SQL surface's single
     * REFRESH verb serves both MV shapes). */
   def refreshAny(spark: SparkSession, mvRoot: String): Int =

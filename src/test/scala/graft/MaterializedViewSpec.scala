@@ -289,6 +289,21 @@ class MaterializedViewSpec extends GraftSuite {
     assertSame(MaterializedView.read(spark, jmv), want)
   }
 
+  test("drop() releases the lease: history the MV pinned becomes " +
+      "reclaimable") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"))
+    Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 2 === 0)
+    Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 3 === 0)
+    assert(Snapshots.vacuum(base, keepFrom = 2) == 0) // lease pins v0..
+    MaterializedView.drop(mv)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(mv)))
+    assert(Snapshots.vacuum(base, keepFrom = 2) > 0) // ..until dropped
+  }
+
   test("refusals: double create, refresh without create, RESTOREd base") {
     val base = tmp(); val mv = tmp() + "/mv"
     ordersDf.limit(100).write.mode("overwrite").parquet(base)
