@@ -1584,6 +1584,60 @@ object LakehouseQueries {
       |FROM lf JOIN rf ON lf.k = rf.k
       |GROUP BY 1""".stripMargin
 
+  /** A56 — MULTI-TABLE TRANSACTIONS end-to-end: transaction 1 commits
+    * a merge on orders AND a delete on customer atomically;
+    * transaction 2 CRASHES between its two publishes and is completed
+    * by the consistent reader's recovery. The output joins both final
+    * tables per-row, so a half-applied transaction — txn 2's left
+    * visible without its right — breaks the hash: the atomicity
+    * guarantee itself is what the oracle checks.
+    */
+  def qLakeTxn(s: SparkSession, d: String): DataFrame = {
+    val l0 = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val r0 = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val (ldir, rdir) = (stage(l0, 4), stage(r0, 2))
+    Snapshots.init(s, ldir); Snapshots.init(s, rdir)
+    val coord = tempDir("graft_txn_q")
+    val h1 = GraftTxn.begin(s, coord, Seq(ldir, rdir), "qtx1")
+    Snapshots.mergeVersioned(s, h1.branchOf(ldir),
+      l0.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_orderstatus", lit("T")), "o_orderkey")
+    Snapshots.deleteVersioned(s, h1.branchOf(rdir),
+      col("o_custkey") % 7 === 2)
+    GraftTxn.commit(s, h1)
+    val h2 = GraftTxn.begin(s, coord, Seq(ldir, rdir), "qtx2")
+    Snapshots.deleteVersioned(s, h2.branchOf(ldir),
+      col("o_orderkey") % 11 === 4)
+    Snapshots.mergeVersioned(s, h2.branchOf(rdir),
+      // exclude txn1's deleted keys: an upsert would re-insert them
+      Tables.customer(s, d).filter(col("c_custkey") % 5 === 3 &&
+          col("c_custkey") % 7 =!= 2)
+        .select(col("c_custkey").as("o_custkey"),
+          lit("TX").as("c_mktsegment")), "o_custkey")
+    try GraftTxn.commit(s, h2, beforePublish = i =>
+      if (i == 1) throw new RuntimeException("injected crash"))
+    catch { case e: RuntimeException if e.getMessage == "injected crash" => }
+    val views = GraftTxn.readConsistent(s, coord, Seq(ldir, rdir))
+    views(ldir).join(views(rdir), Seq("o_custkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("c_mktsegment"))
+  }
+
+  val qLakeTxnSql: String =
+    """WITH lf AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 9 = 0 THEN 'T'
+      |         ELSE o_orderstatus END AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 11 <> 4),
+      |rf AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 5 = 3 THEN 'TX'
+      |         ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 <> 2)
+      |SELECT lf.o_orderkey, lf.o_orderstatus, rf.c_mktsegment
+      |FROM lf JOIN rf ON lf.o_custkey = rf.k""".stripMargin
+
   /** A53 — partition-spec EVOLUTION end-to-end: orders lands
     * mod(key, 4)-hidden-partitioned, takes an in-epoch merge wave,
     * EVOLVES to mod(key, 8) (one metadata line, zero rows move), then
@@ -1630,6 +1684,7 @@ object LakehouseQueries {
     "q_lake_merge_evolve" -> (qLakeMergeEvolve(_, _)),
     "q_lake_mv" -> (qLakeMv(_, _)),
     "q_lake_mv_join" -> (qLakeMvJoin(_, _)),
+    "q_lake_txn" -> (qLakeTxn(_, _)),
     "q_lake_bucketed" -> (qLakeBucketed(_, _)),
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
     "q_lake_optimize_where" -> (qLakeOptimizeWhere(_, _)),
@@ -1669,6 +1724,7 @@ object LakehouseQueries {
     "q_lake_merge_evolve" -> qLakeMergeEvolveSql,
     "q_lake_mv" -> qLakeMvSql,
     "q_lake_mv_join" -> qLakeMvJoinSql,
+    "q_lake_txn" -> qLakeTxnSql,
     "q_lake_bucketed" -> qLakeBucketedSql,
     "q_lake_deltalog" -> qLakeDeltaLogSql,
     "q_lake_optimize_where" -> qLakeOptimizeWhereSql,
