@@ -289,6 +289,47 @@ class MaterializedViewSpec extends GraftSuite {
     assertSame(MaterializedView.read(spark, jmv), want)
   }
 
+  test("medallion composition: base CDF stream drives the MV (silver), " +
+      "the MV's own stream feeds downstream (gold)") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    // silver: CDF-triggered exactly-once refreshes (as in the A55×A45
+    // test); gold: the MV is ITSELF a graft table, so a downstream
+    // consumer just streams it — versions-as-offsets, no extra code
+    val silver = spark.readStream.format("graft")
+      .option("keyCol", "o_orderkey").option("readChangeFeed", "true")
+      .load(base).writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        MaterializedView.refresh(spark, mv); () }
+      .option("checkpointLocation", tmp()).start()
+    val goldRows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val gold = spark.readStream.format("graft")
+      .option("keyCol", "__mv_key").load(mv).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        goldRows.synchronized {
+          goldRows ++= b.select("o_orderstatus", "cnt").collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+        }; ()
+      }
+      .option("checkpointLocation", tmp()).start()
+    try {
+      silver.processAllAvailable(); gold.processAllAvailable()
+      goldRows.synchronized(goldRows.clear()) // drop the initial snapshot
+      Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 4 === 2)
+      silver.processAllAvailable() // bronze → silver
+      gold.processAllAvailable()   // silver → gold
+      val want = Snapshots.read(spark, base).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // the gold stream delivered the refreshed MV's rows
+      assert(goldRows.synchronized(goldRows.toSet) == want,
+        s"gold=${goldRows.toSet} want=$want")
+    } finally { silver.stop(); gold.stop() }
+  }
+
   test("drop() releases the lease: history the MV pinned becomes " +
       "reclaimable") {
     val base = tmp(); val mv = tmp() + "/mv"
