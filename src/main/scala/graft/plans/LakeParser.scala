@@ -55,6 +55,8 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *     GROUP BY (<c1>[, …]) [SUM (<s1>[, …])]          -- A57
   *   GRAFT REFRESH MATERIALIZED VIEW '<mv>'   -- incremental, via CDF
   *   GRAFT DROP MATERIALIZED VIEW '<mv>'  -- releases the vacuum lease
+  *   GRAFT DESCRIBE MATERIALIZED VIEW '<mv>'  -- one row per base:
+  *     consumed vs current version, lag, lease, group/sum columns
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -160,6 +162,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         graft.sources.MaterializedView.refreshAny(s, mv).toLong)
       case MvDrop(mv) => LakeMaintenanceCommand("version", _ =>
         { graft.sources.MaterializedView.drop(mv); 0L })
+      case MvDescribe(mv) => LakeMvDetailCommand(mv)
       case Detail(p) => LakeDetailCommand(p)
       case History(p) => LakeHistoryCommand(p)
       // a GRAFT-prefixed statement that matches no rule must FAIL as
@@ -261,6 +264,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val MvDrop =
     """(?is)\s*GRAFT\s+DROP\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  private val MvDescribe =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
 
   /** Split a SET clause on TOP-LEVEL commas only — `f(a, b)` in an
     * assignment expression must not split (paren depth + string
@@ -1000,6 +1005,25 @@ case class LakeMaintenanceCommand(resultName: String,
   override val output: Seq[Attribute] =
     Seq(AttributeReference(resultName, LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = Seq(Row(fn(spark)))
+}
+
+/** `GRAFT DESCRIBE MATERIALIZED VIEW`: one row per base — the
+  * freshness/lag view (consumed vs current version) an operator
+  * watches, plus the lease and the aggregate shape; manifests only. */
+case class LakeMvDetailCommand(mv: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("base", StringType, nullable = false)(),
+    AttributeReference("role", StringType, nullable = false)(),
+    AttributeReference("consumed_version", LongType, nullable = false)(),
+    AttributeReference("base_version", LongType, nullable = false)(),
+    AttributeReference("lag", LongType, nullable = false)(),
+    AttributeReference("lease", StringType, nullable = false)(),
+    AttributeReference("group_cols", StringType, nullable = false)(),
+    AttributeReference("sum_cols", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.sources.MaterializedView.describe(mv)
+      .map(t => Row(t.productIterator.toSeq: _*))
 }
 
 /** `GRAFT VACUUM … DRY RUN`: one row per file the real vacuum would

@@ -245,6 +245,27 @@ object MaterializedView {
     finally walk.close()
   }
 
+  /** One row per base for `GRAFT DESCRIBE MATERIALIZED VIEW`:
+    * (kind, base, role, consumedVersion, baseVersion, lag, lease,
+    * groupCols, sumCols) — the freshness/lag view an operator
+    * monitors, all from manifests. */
+  def describe(mvRoot: String)
+      : Seq[(String, String, String, Long, Long, Long, String, String, String)] = {
+    val m = specMap(mvRoot)
+    val (g, su) = groupSumOf(mvRoot)
+    val kind = m.getOrElse("kind", "single")
+    def row(base: String, role: String, app: String) = {
+      val consumed = Snapshots.txnVersionOf(mvRoot, app).getOrElse(-1L)
+      val cur = Snapshots.currentVersion(base).toLong
+      (kind, base, role, consumed, cur, cur - consumed,
+        leaseName(mvRoot), g.mkString(","), su.mkString(","))
+    }
+    if (kind == "join")
+      Seq(row(m("left"), "left", appL(m("left"))),
+        row(m("right"), "right", appR(m("right"))))
+    else Seq(row(m("base"), "base", appId(m("base"))))
+  }
+
   /** Route a refresh by the MV's spec kind (the SQL surface's single
     * REFRESH verb serves both MV shapes). */
   def refreshAny(spark: SparkSession, mvRoot: String): Int =

@@ -959,6 +959,8 @@ class LakeSqlSpec extends GraftSuite {
         "KEY o_orderkey GROUP BY (o_orderstatus) SUM (o_custkey)")
       s.sql(s"DELETE FROM graft.`$base` WHERE o_orderkey % 3 = 0")
       s.sql(s"GRAFT REFRESH MATERIALIZED VIEW '$mv'")
+      val d = s.sql(s"GRAFT DESCRIBE MATERIALIZED VIEW '$mv'").collect()
+      assert(d.length == 1 && d.head.getAs[Long]("lag") == 0L)
     }
     val got = graft.sources.MaterializedView.read(spark, mv)
     val want = Snapshots.read(spark, base).groupBy("o_orderstatus")

@@ -330,6 +330,27 @@ class MaterializedViewSpec extends GraftSuite {
     } finally { silver.stop(); gold.stop() }
   }
 
+  test("OPTIMIZE on the MV composes: marks and lease survive compaction, " +
+      "describe() reports freshness") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 4 === 1)
+    MaterializedView.refresh(spark, mv)
+    // the MV is an ordinary graft table: compact it like any other —
+    // the A51 marks (and so the watermark) self-carry through
+    Snapshots.compact(spark, mv)
+    val d0 = MaterializedView.describe(mv)
+    assert(d0.size == 1 && d0.head._6 == 0L, s"lag after refresh: $d0")
+    Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 6 === 2)
+    assert(MaterializedView.describe(mv).head._6 == 1L) // one behind
+    MaterializedView.refresh(spark, mv)
+    assertSame(MaterializedView.read(spark, mv), recompute(base))
+    assert(MaterializedView.describe(mv).head._6 == 0L)
+  }
+
   test("drop() releases the lease: history the MV pinned becomes " +
       "reclaimable") {
     val base = tmp(); val mv = tmp() + "/mv"
