@@ -76,7 +76,12 @@ object GraftTxn {
     val branches = tables.map { t =>
       t -> Refs.createBranch(spark, t, branchName(id))
     }.toMap
-    val bases = tables.map(t => t -> Snapshots.currentVersion(t)).toMap
+    // bases from the branches' OWN recorded cut points — reading
+    // main's head separately would race a commit landing between the
+    // cut and the read, making the OCC check pass while the publish
+    // precondition is already lost (a permanent post-DECIDE wedge)
+    val bases = tables.map(t =>
+      t -> Refs.branchBase(t, branchName(id))).toMap
     Handle(id, coordDir, tables, branches, bases)
   }
 
@@ -156,6 +161,8 @@ object GraftTxn {
       try Refs.dropBranch(t, branchName(id))
       catch { case _: Exception => () } // already dropped by a racer
     }
+    // retire the record (the .done stub stays: audit + id-reuse guard)
+    Files.deleteIfExists(commitRecord(coordDir, id))
   }
 
   /** Abandon a transaction that has NOT reached its COMMIT record:
@@ -172,12 +179,17 @@ object GraftTxn {
     }
   }
 
+  private def listNames(dir: String): IndexedSeq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return IndexedSeq.empty
+    val s = Files.list(d)
+    try s.iterator.asScala.map(_.getFileName.toString).toIndexedSeq
+    finally s.close()
+  }
+
   /** Transactions with a COMMIT record but no `.done`. */
   def pending(coordDir: String): Seq[String] = {
-    val d = Paths.get(coordDir)
-    if (!Files.isDirectory(d)) return Seq.empty
-    val names = Files.list(d).iterator.asScala.map(_.getFileName.toString)
-      .toIndexedSeq
+    val names = listNames(coordDir)
     names.filter(_.endsWith(".commit")).map(_.stripSuffix(".commit"))
       .filterNot(id => names.contains(s"$id.done")).sorted
   }
@@ -195,21 +207,21 @@ object GraftTxn {
     val ids = pending(coordDir)
     ids.foreach(id => redo(spark, coordDir, id, tablesOf(id), _ => ()))
     // finalized sweep: release any fence still owned by a done txn,
-    // drop any branch its crash left behind (both idempotent)
-    val d = Paths.get(coordDir)
-    if (Files.isDirectory(d)) {
-      val names = Files.list(d).iterator.asScala
-        .map(_.getFileName.toString).toIndexedSeq
-      names.filter(_.endsWith(".done")).map(_.stripSuffix(".done"))
-        .filter(id => names.contains(s"$id.commit"))
-        .foreach { id =>
-          tablesOf(id).foreach { t =>
-            Snapshots.releaseFence(t, appOf(id))
-            try Refs.dropBranch(t, branchName(id))
-            catch { case _: Exception => () }
-          }
+    // drop any branch its crash left behind (both idempotent) — then
+    // retire the `.commit` record so the sweep stays O(unswept), not
+    // O(coordinator history); the `.done` stub remains as the audit
+    // trail and keeps begin() refusing id reuse
+    val names = listNames(coordDir)
+    names.filter(_.endsWith(".done")).map(_.stripSuffix(".done"))
+      .filter(id => names.contains(s"$id.commit"))
+      .foreach { id =>
+        tablesOf(id).foreach { t =>
+          Snapshots.releaseFence(t, appOf(id))
+          try Refs.dropBranch(t, branchName(id))
+          catch { case _: Exception => () }
         }
-    }
+        Files.deleteIfExists(commitRecord(coordDir, id))
+      }
     ids.size
   }
 
@@ -218,12 +230,8 @@ object GraftTxn {
     * fingerprint, so the pinned set never straddles a transaction. */
   def readConsistent(spark: SparkSession, coordDir: String,
       tables: Seq[String]): Map[String, DataFrame] = {
-    def fingerprint(): Set[String] = {
-      val d = Paths.get(coordDir)
-      if (!Files.isDirectory(d)) Set.empty
-      else Files.list(d).iterator.asScala.map(_.getFileName.toString)
-        .filterNot(_.endsWith(".tmp")).toSet
-    }
+    def fingerprint(): Set[String] =
+      listNames(coordDir).filterNot(_.endsWith(".tmp")).toSet
     var attempts = 0
     while (attempts < 20) {
       recover(spark, coordDir)

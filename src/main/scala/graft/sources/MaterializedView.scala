@@ -73,11 +73,16 @@ object MaterializedView {
       .digest(norm(mvRoot).getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
 
-  /** The MV's synthetic row key: the group tuple, NULL-safely encoded
-    * (a NULL group value and the string "null" must not collide). */
+  /** The MV's synthetic row key: an INJECTIVE encoding of the group
+    * tuple — each value is length-prefixed (`<len>:<value>`, NULL →
+    * `N`), so no value content (separators, "NULL" literals, empty
+    * strings) can make two distinct tuples collide. */
   private def keyExpr(groupCols: Seq[String]): Column =
-    concat_ws("", groupCols.map(g =>
-      coalesce(col(s"`$g`").cast("string"), lit("NULL"))): _*)
+    concat_ws("|", groupCols.map { g =>
+      val s = col(s"`$g`").cast("string")
+      when(s.isNull, lit("N"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }: _*)
 
   /** `cnt` plus, per sum column, the 0-based running sum `s_c` (its
     * input's own type) and the non-null count `nn_c` — signed, so the
@@ -114,7 +119,10 @@ object MaterializedView {
     require(bv >= 0, s"$base not initialized (call init)")
     require(Snapshots.currentVersion(mvRoot) < 0,
       s"$mvRoot already holds a table")
-    val snap = Snapshots.read(spark, base)
+    // read AT bv, not the head: a commit landing between the capture
+    // and this read would bake v(bv+1) rows into an MV whose mark says
+    // bv — the next refresh would then double-apply that window
+    val snap = Snapshots.read(spark, base, bv)
     val aggs = aggExprs(snap, sumCols, lit(1L), "cnt", "")
     val full = snap.groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -329,13 +337,17 @@ object MaterializedView {
       joinCol: String, groupCols: Seq[String],
       sumCols: Seq[String] = Seq.empty): Int = {
     require(groupCols.nonEmpty, "materialized view: no group columns")
+    require((groupCols ++ sumCols).forall(c => !c.contains(",")),
+      "materialized view: ',' in a column name")
     val (vL, vR) = (Snapshots.currentVersion(left),
       Snapshots.currentVersion(right))
     require(vL >= 0 && vR >= 0, "both bases must be initialized")
     require(Snapshots.currentVersion(mvRoot) < 0,
       s"$mvRoot already holds a table")
-    val l = Snapshots.read(spark, left)
-    val r = Snapshots.read(spark, right)
+    // pinned to the captured versions for the same reason create()
+    // reads at bv: the marks must describe exactly what was aggregated
+    val l = Snapshots.read(spark, left, vL)
+    val r = Snapshots.read(spark, right, vR)
     val overlap = l.columns.toSet.intersect(r.columns.toSet)
     require(overlap == Set(joinCol),
       s"left/right schemas must overlap only on '$joinCol', got $overlap")
@@ -351,13 +363,20 @@ object MaterializedView {
         s"group=${groupCols.mkString(",")}\nsum=${sumCols.mkString(",")}\n")
     // bootstrap v0 WITH both marks (the same reason the A51 idempotent
     // append bootstraps with its mark: batch 0 must not be replayable)
-    full.write.mode("append").parquet(mvRoot)
-    val files = Files.list(Paths.get(mvRoot)).iterator()
-    val parquets = scala.collection.mutable.ListBuffer.empty[String]
-    while (files.hasNext) {
-      val f = files.next()
-      if (f.toString.endsWith(".parquet")) parquets += f.toString
+    def listParquet(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(mvRoot))
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toIndexedSeq
+      finally s.close()
     }
+    // a crashed earlier attempt (write succeeded, commit didn't — the
+    // v0 guard above passed) left part files that would double every
+    // row if listed into this commit: clear them first
+    listParquet().foreach(f => Files.deleteIfExists(Paths.get(f)))
+    full.write.mode("append").parquet(mvRoot)
+    val parquets = scala.collection.mutable.ListBuffer.empty[String]
+    parquets ++= listParquet()
     val v = Snapshots.commit(mvRoot, parquets.toSeq,
       Some(spark.read.parquet(parquets.toSeq: _*).schema),
       Snapshots.statsLines(spark, parquets.toSeq),

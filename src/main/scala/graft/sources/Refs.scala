@@ -123,6 +123,15 @@ object Refs {
   private def baseFile(bdir: String) =
     Paths.get(bdir, "_graft_log", "branch_base")
 
+  /** The main-table version branch `name` was cut at (recorded by
+    * [[createBranch]] — THE authoritative cut point; reading main's
+    * head separately races a concurrent commit). */
+  def branchBase(path: String, name: String): Int = {
+    val f = baseFile(branchPath(path, name))
+    require(Files.exists(f), s"no branch '$name' at $path")
+    new String(Files.readAllBytes(f), "UTF-8").trim.toInt
+  }
+
   /** Cut branch `name` from main's head: a zero-copy clone under
     * `_graft_branches/<name>` whose base version is recorded for the
     * publish conflict check and auto-tagged (`branch.<name>`) so main's

@@ -234,20 +234,24 @@ class MaterializedViewSpec extends GraftSuite {
       "(ab,c) and (a,bc) are different groups") {
     import spark.implicits._
     val base = tmp(); val mv = tmp() + "/mv"
-    Seq((1L, "ab", "c", 10L), (2L, "a", "bc", 20L), (3L, "ab", "c", 30L))
+    Seq((1L, "ab", "c", 10L), (2L, "a", "bc", 20L), (3L, "ab", "c", 30L),
+      (4L, "a|b", "c", 1L), (5L, "a", "b|c", 2L)) // separator-bearing
       .toDF("k", "g1", "g2", "x").write.mode("overwrite").parquet(base)
     Snapshots.init(spark, base, changeDataFeed = true)
     MaterializedView.create(spark, mv, base, "k", Seq("g1", "g2"), Seq("x"))
     val rows = MaterializedView.read(spark, mv)
-    assert(rows.count() == 2)
+    assert(rows.count() == 4)
     assert(rows.filter(col("g1") === "ab" && col("g2") === "c")
       .collect().head.getLong(2) == 2L)
     // a delta against one of the twin groups touches ONLY that group
     Snapshots.deleteVersioned(spark, base, col("k") === 2L)
     MaterializedView.refresh(spark, mv)
     val after = MaterializedView.read(spark, mv)
-    assert(after.count() == 1)
-    assert(after.collect().head.getString(0) == "ab")
+    assert(after.count() == 3)
+    assert(after.filter(col("g1") === "a" && col("g2") === "bc").isEmpty)
+    assert(after.filter(col("g1") === "a|b").count() == 1)
+    assert(after.filter(col("g1") === "a" && col("g2") === "b|c")
+      .count() == 1)
   }
 
   test("vacuum lease: an aggressive base vacuum cannot reclaim the " +
