@@ -540,6 +540,30 @@ object TextAnalysis {
       |    ORDER BY score DESC, doc_id) AS rank
       |FROM sc QUALIFY rank <= 5""".stripMargin
 
+  /** F33 — term frequency-of-frequencies spectrum (the Zipf corpus
+    * health check: how many terms occur exactly k times). Hapax-heavy
+    * spectra flag OCR junk / boilerplate stripping gone wrong; a
+    * truncated tail flags dedup over-aggression. Two exact integer
+    * aggregates — (term → corpus frequency) rides the same token
+    * stream every F-family op shares, then (frequency → #terms) is a
+    * tiny second shuffle (|distinct frequencies| rows). All-integer
+    * output: no float can wobble the hash.
+    */
+  def qTermSpectrum(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr(s"$wordsExpr AS w")
+      .select(explode(col("w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("occurrences"))
+      .groupBy("occurrences").agg(count(lit(1)).as("n_terms"))
+
+  val qTermSpectrumSql: String =
+    raw"""WITH t AS (SELECT
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |tf AS (SELECT unnest(w) AS term FROM t),
+      |f AS (SELECT term, count(*) AS occurrences FROM tf GROUP BY 1)
+      |SELECT occurrences, count(*) AS n_terms FROM f GROUP BY 1""".stripMargin
+
   /** F16 — character-level Shannon entropy per document, the cheap
     * gibberish/compression-quality signal (binary junk and
     * single-char spam score far from prose's ~4 bits/char). One
@@ -809,6 +833,7 @@ object TextAnalysis {
     "q_entropy" -> qEntropy,
     "q_tfidf" -> qTfidf,
     "q_bm25" -> qBm25,
+    "q_term_spectrum" -> qTermSpectrum,
     "q_token_stats" -> qTokenStats,
     "q_token_stats_unicode" -> qTokenStatsUnicode,
     "q_quality" -> qQuality,
@@ -832,6 +857,7 @@ object TextAnalysis {
     "q_entropy" -> qEntropySql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
+    "q_term_spectrum" -> qTermSpectrumSql,
     "q_token_stats" -> qTokenStatsSql,
     "q_quality" -> qQualitySql,
     "q_langid" -> qLangidSql,
