@@ -355,6 +355,56 @@ object Similarity {
       |      FROM embeddings)
       |GROUP BY 1, 2""".stripMargin
 
+  /** E15 — embedding-corpus HEALTH per label: norm distribution
+    * (mean/min/max L2) and mean cosine to the GLOBAL centroid — the
+    * standard drift/anisotropy check before an embedding corpus feeds
+    * training or ANN indexing (collapsed encoders show near-1 centroid
+    * cosines; scale bugs show norm outliers). Plan: the centroid is a
+    * 64-row aggregate broadcast back (model-as-literal, no collect);
+    * per-vector dot/norm are one exploded aggregate keyed by vec_id —
+    * at 100 TB, two shuffles of (rows × dim) products, nothing
+    * quadratic. Values round to 4 before the hash (the E5 pattern;
+    * `+ 0.0` normalizes IEEE −0.0).
+    */
+  def qEmbedHealth(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg(col("v").cast("double")).as("c"))
+    val per = e
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(broadcast(cent), "pos")
+      .groupBy("vec_id", "label")
+      .agg(sum(col("v").cast("double") * col("c")).as("dot"),
+        sum(col("v").cast("double") * col("v").cast("double")).as("n2"),
+        sum(col("c") * col("c")).as("c2"))
+    per.select(col("label"), sqrt(col("n2")).as("nrm"),
+        (col("dot") / (sqrt(col("n2")) * sqrt(col("c2")))).as("cos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (round(avg("nrm"), 4) + lit(0.0)).as("mean_norm"),
+        (round(min("nrm"), 4) + lit(0.0)).as("min_norm"),
+        (round(max("nrm"), 4) + lit(0.0)).as("max_norm"),
+        (round(avg("cos"), 4) + lit(0.0)).as("mean_cos_centroid"))
+  }
+
+  val qEmbedHealthSql: String =
+    """WITH u AS (SELECT vec_id, label, unnest(embedding) AS v,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |cent AS (SELECT i, avg(v::DOUBLE) AS c FROM u GROUP BY 1),
+      |p AS (SELECT u.vec_id, u.label,
+      |    sum(u.v::DOUBLE * cent.c) AS dot,
+      |    sum(u.v::DOUBLE * u.v::DOUBLE) AS n2,
+      |    sum(cent.c * cent.c) AS c2
+      |  FROM u JOIN cent USING (i) GROUP BY 1, 2)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(avg(sqrt(n2)), 4) + 0.0 AS mean_norm,
+      |  round(min(sqrt(n2)), 4) + 0.0 AS min_norm,
+      |  round(max(sqrt(n2)), 4) + 0.0 AS max_norm,
+      |  round(avg(dot / (sqrt(n2) * sqrt(c2))), 4) + 0.0
+      |    AS mean_cos_centroid
+      |FROM p GROUP BY 1""".stripMargin
+
   /** E7 — scalar quantization (the int8 compression path): per-dim
     * global [lo, hi] ranges (one 64-row aggregate), each float mapped
     * to an 8-bit code round((x-lo)/(hi-lo)·254). At 100 TB this is the
@@ -878,7 +928,8 @@ object Similarity {
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_ivf" -> qKnnIvf,
     "q_hard_negatives" -> qHardNegatives,
-    "q_embed_centroid" -> qEmbedCentroid)
+    "q_embed_centroid" -> qEmbedCentroid,
+    "q_embed_health" -> qEmbedHealth)
 
   def oracles: Map[String, String] = Map(
     "q_embed_decontam" -> qEmbedDecontamSql,
@@ -892,5 +943,6 @@ object Similarity {
     "q_knn_ivf" -> qKnnIvfSql,
     "q_ivf_index" -> qIvfIndexSql,
     "q_hard_negatives" -> qHardNegativesSql,
-    "q_embed_centroid" -> qEmbedCentroidSql)
+    "q_embed_centroid" -> qEmbedCentroidSql,
+    "q_embed_health" -> qEmbedHealthSql)
 }
