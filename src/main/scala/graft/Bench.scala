@@ -111,8 +111,15 @@ object Bench {
           s.iterator().asScala.map(_.getFileName.toString)
             .collect { case pat(n) => n.toInt }.maxOption.getOrElse(0)
         } finally s.close()
+      // Scale-sweep legs (SPARK_GRAFT_SWEEP_SUFFIX=sfx10 etc.) write
+      // their OWN suffixed artifact; only a plain 1x run may touch the
+      // round's canonical BENCH_FULL_rNN.json — a back-to-back sweep
+      // used to clobber the 1x record with its last leg.
+      val suffix = sys.env.get("SPARK_GRAFT_SWEEP_SUFFIX")
+        .filter(_.nonEmpty).map("_" + _).getOrElse("")
       java.nio.file.Files.writeString(
-        repo.resolve(f"BENCH_FULL_r${latest + 1}%02d.json"), line + "\n")
+        repo.resolve(f"BENCH_FULL_r${latest + 1}%02d$suffix%s.json"),
+        line + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
   }

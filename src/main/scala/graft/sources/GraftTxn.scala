@@ -60,6 +60,17 @@ object GraftTxn {
     Paths.get(coordDir, s"$id.commit")
   private def doneRecord(coordDir: String, id: String): Path =
     Paths.get(coordDir, s"$id.done")
+  // Intent record written BEFORE the fences are hardened. DECIDE is the
+  // atomic rename prepare→commit, so a coordinator that crashes between
+  // hardening and deciding leaves a .prepare with no .commit —
+  // recover() can then ABORT it (claim the .prepare by renaming it to
+  // .aborted, release the hardened fences, drop the branches). Exactly
+  // one of {coordinator decide, recover abort} wins the rename race on
+  // the same file, so a live coordinator can never be half-aborted.
+  private def prepareRecord(coordDir: String, id: String): Path =
+    Paths.get(coordDir, s"$id.prepare")
+  private def abortedRecord(coordDir: String, id: String): Path =
+    Paths.get(coordDir, s"$id.aborted")
 
   /** Cut a branch per table at its current head. `id` must be unique
     * per transaction (and a valid branch name: word chars, dots,
@@ -117,18 +128,33 @@ object GraftTxn {
           s"txn '${h.id}': branch of $t carries deletion vectors; " +
             "reconcile on the branch first")
       }
+      // intent record BEFORE hardening: without it, a crash between
+      // hardenFence (expiry = ∞) and the COMMIT-record rename would
+      // fence every table forever — recover() had nothing to find
+      val ptmp = Files.createTempFile(Paths.get(h.coordDir), h.id, ".tmp")
+      Files.write(ptmp, h.tables.map(t =>
+        s"${Paths.get(t).toAbsolutePath.normalize}\t${branchName(h.id)}\t${h.bases(t)}")
+        .mkString("\n").getBytes("UTF-8"))
+      Files.move(ptmp, prepareRecord(h.coordDir, h.id),
+        StandardCopyOption.ATOMIC_MOVE)
       ordered.foreach(t => Snapshots.hardenFence(t, app))
     } catch { case e: Throwable =>
       acquired.foreach(t => Snapshots.releaseFence(t, app))
+      Files.deleteIfExists(prepareRecord(h.coordDir, h.id))
       throw e
     }
-    // the serialization point: one atomic rename
-    val tmp = Files.createTempFile(Paths.get(h.coordDir), h.id, ".tmp")
-    Files.write(tmp, h.tables.map(t =>
-      s"${Paths.get(t).toAbsolutePath.normalize}\t${branchName(h.id)}\t${h.bases(t)}")
-      .mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, commitRecord(h.coordDir, h.id),
-      StandardCopyOption.ATOMIC_MOVE)
+    // the serialization point: one atomic rename of the SAME file a
+    // concurrent recover() would claim to abort us — exactly one wins
+    try Files.move(prepareRecord(h.coordDir, h.id),
+      commitRecord(h.coordDir, h.id), StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.NoSuchFileException =>
+      // a recover() judged this coordinator dead and aborted the txn:
+      // fences are (being) released and branches dropped over there —
+      // surface it as the retryable refusal it is
+      throw new java.util.ConcurrentModificationException(
+        s"txn '${h.id}' was aborted by recover() before it decided " +
+          "(prepare record claimed); replay on fresh branches")
+    }
     redo(spark, h.coordDir, h.id,
       h.tables.map(t => Paths.get(t).toAbsolutePath.normalize.toString),
       beforePublish)
@@ -172,6 +198,7 @@ object GraftTxn {
   def abort(spark: SparkSession, h: Handle): Unit = {
     require(!Files.exists(commitRecord(h.coordDir, h.id)),
       s"txn '${h.id}' already decided COMMIT — run recover(), not abort")
+    Files.deleteIfExists(prepareRecord(h.coordDir, h.id))
     h.tables.foreach { t =>
       Snapshots.releaseFence(t, appOf(h.id))
       try Refs.dropBranch(t, branchName(h.id))
@@ -200,10 +227,44 @@ object GraftTxn {
     * loop leaves hardened fences no pending record points at — without
     * this sweep those tables would be fenced forever (the one wedge
     * the redo alone cannot clear). Returns how many redos finished. */
-  def recover(spark: SparkSession, coordDir: String): Int = {
+  def recover(spark: SparkSession, coordDir: String,
+      prepareGraceMillis: Long = 60000L): Int = {
     def tablesOf(id: String): Seq[String] =
       Files.readAllLines(commitRecord(coordDir, id)).asScala
         .filter(_.nonEmpty).map(_.split("\t")(0)).toIndexedSeq
+    // ABORT sweep for prepared-but-undecided transactions: a .prepare
+    // with no .commit means the coordinator died (or is about to
+    // decide) between hardening its fences and the decide rename —
+    // without this sweep those hardened fences never expire and the
+    // tables are wedged forever. The grace period keeps a LIVE
+    // coordinator (prepare→decide is milliseconds) out of reach, and
+    // the claim itself is the same atomic rename the coordinator's
+    // decide uses, so even a mistimed sweep loses the race cleanly.
+    val now = System.currentTimeMillis()
+    listNames(coordDir).filter(_.endsWith(".prepare"))
+      .map(_.stripSuffix(".prepare"))
+      .foreach { id =>
+        val p = prepareRecord(coordDir, id)
+        val stale =
+          try Files.getLastModifiedTime(p).toMillis + prepareGraceMillis < now
+          catch { case _: Exception => false } // decided while listing
+        if (stale) {
+          val tables =
+            try Files.readAllLines(p).asScala.filter(_.nonEmpty)
+              .map(_.split("\t")(0)).toIndexedSeq
+            catch { case _: Exception => IndexedSeq.empty[String] }
+          val claimed =
+            try { Files.move(p, abortedRecord(coordDir, id),
+              StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING); true }
+            catch { case _: Exception => false } // coordinator decided
+          if (claimed) tables.foreach { t =>
+            Snapshots.releaseFence(t, appOf(id))
+            try Refs.dropBranch(t, branchName(id))
+            catch { case _: Exception => () }
+          }
+        }
+      }
     val ids = pending(coordDir)
     ids.foreach(id => redo(spark, coordDir, id, tablesOf(id), _ => ()))
     // finalized sweep: release any fence still owned by a done txn,

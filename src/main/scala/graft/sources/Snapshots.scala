@@ -1523,8 +1523,34 @@ object Snapshots {
           }
         }
       Files.write(tmp, content.mkString("\n").getBytes("UTF-8"))
-      try { Files.createLink(target, tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      val won =
+        try { Files.createLink(target, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      // The fence pre-check above is a separate read from the CAS
+      // (TOCTOU): a writer that read the fence as empty can land its
+      // manifest AFTER a transaction's under-fence OCC verification,
+      // advancing main past the branch base and wedging the redo's
+      // fast-forward forever. Close it by RE-reading the fence after
+      // winning the CAS and backing the commit out if a live fence
+      // owned by someone else appeared: delete the just-linked
+      // manifest (the fence blocks every other commit from stacking on
+      // top, so it is still the head) and throw retryably. The fenced
+      // transaction's OCC check then sees either a base that never
+      // moved or a moved base it refuses on — never a silently lost
+      // fast-forward.
+      if (won) fenceOwner(path).foreach { case (owner, expiry) =>
+        if (expiry > System.currentTimeMillis() &&
+            !(txnSet.toSeq ++ txnSetMulti).exists(_._1 == owner)) {
+          Files.deleteIfExists(target)
+          manifestCache.keySet.removeIf(
+            _._1 == target.toAbsolutePath.toString)
+          throw new java.util.ConcurrentModificationException(
+            s"$path was fenced by multi-table transaction '$owner' " +
+              "while this commit was in flight; backed out — retry " +
+              "after the fence clears")
+        }
+      }
+      won
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -2465,14 +2491,30 @@ object Snapshots {
     }
     if (v < 0) {
       Files.createDirectories(Paths.get(path))
-      df.write.mode(SaveMode.Append).parquet(path)
       txn match {
-        case None => return init(spark, path)
-        case Some(_) =>
-          // bootstrap WITH the mark: init() would commit v0 without it,
-          // and a crash-replay of batch 0 would then re-append it
-          val files = listDir(Paths.get(path))
+        case None =>
+          df.write.mode(SaveMode.Append).parquet(path)
+          return init(spark, path)
+        case Some((app, ver)) =>
+          // Bootstrap WITH the mark (init() would commit v0 without it),
+          // CRASH-IDEMPOTENTLY: a previous attempt of this exact
+          // (appId, version) may have died between its data write and
+          // the v0 commit — currentVersion is still <0 then, so the mark
+          // check above is skipped on replay, and blindly re-appending
+          // would commit BOTH copies (doubling every row). The staged
+          // files carry a deterministic per-mark tag, so a replay deletes
+          // only ITS own orphans; untagged pre-existing parquet is user
+          // data the bootstrap ADOPTS (init semantics), never deletes.
+          val tag = "txnb" + Integer.toHexString((app + "@" + ver).##) + "_"
+          listDir(Paths.get(path)).filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && n.startsWith("v0_" + tag)
+          }.foreach(Files.deleteIfExists(_))
+          val preExisting = listDir(Paths.get(path))
             .map(_.toString).filter(_.endsWith(".parquet"))
+          val staged =
+            stageData(df, None, path, 0, None, "graft_snap_boot", tag)
+          val files = preExisting ++ staged
           val schema =
             if (files.isEmpty) None
             else Some(spark.read.parquet(files: _*).schema)

@@ -165,6 +165,55 @@ class TxnMultiSpec extends GraftSuite {
     assert(Snapshots.read(spark, t1).filter(col("k") === 11L).count() == 1)
   }
 
+  test("crash between hardening and DECIDE: recover() aborts the " +
+      "prepared-but-undecided txn and frees the hardened fences") {
+    import spark.implicits._
+    val (t1, t2) = (mkTable(20), mkTable(20))
+    val coord = tmp()
+    val h = GraftTxn.begin(spark, coord, Seq(t1, t2), "tx-prep")
+    stage(h, t1, t2)
+    // simulate the coordinator dying right after hardening: prepare
+    // record on disk, fences hardened (expiry = ∞), NO commit record —
+    // before the prepare-record fix this state was wedged forever
+    // (recover() only looked at .commit/.done ids)
+    val app = "graft-txn@tx-prep"
+    Seq(t1, t2).foreach(t =>
+      Snapshots.acquireFence(t, app, ttlMillis = 60000L))
+    Files.write(Paths.get(coord, "tx-prep.prepare"),
+      Seq(t1, t2).map(t =>
+        s"${Paths.get(t).toAbsolutePath.normalize}\ttxn_tx-prep\t0")
+        .mkString("\n").getBytes("UTF-8"))
+    Seq(t1, t2).foreach(t => Snapshots.hardenFence(t, app))
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.appendVersioned(spark, t1,
+        Seq((900L, "blocked", 9L)).toDF("k", "payload", "gen"))
+    }
+    assert(GraftTxn.pending(coord).isEmpty) // the redo alone cannot act
+    // inside the grace period the sweep must NOT touch a possibly-live
+    // coordinator about to decide
+    GraftTxn.recover(spark, coord)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.appendVersioned(spark, t1,
+        Seq((900L, "blocked", 9L)).toDF("k", "payload", "gen"))
+    }
+    assert(Files.exists(Paths.get(coord, "tx-prep.prepare")))
+    // past the grace period: the sweep claims the prepare (= the abort
+    // decision), releases the hardened fences, drops the branches
+    GraftTxn.recover(spark, coord, prepareGraceMillis = -10000L)
+    Snapshots.appendVersioned(spark, t1,
+      Seq((900L, "free", 9L)).toDF("k", "payload", "gen"))
+    Snapshots.appendVersioned(spark, t2,
+      Seq((901L, "free", 9L)).toDF("k", "payload", "gen"))
+    // aborted means aborted: the staged changes never became visible
+    assert(!applied(t1, dropped = false) && !applied(t2, dropped = true))
+    assert(Files.exists(Paths.get(coord, "tx-prep.aborted")))
+    assert(!Files.exists(Paths.get(coord, "tx-prep.prepare")))
+    // a late coordinator that wakes up and tries to decide is refused
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTxn.commit(spark, h)
+    }
+  }
+
   test("the fence blocks independent writers DURING the redo window") {
     import spark.implicits._
     val (t1, t2) = (mkTable(20), mkTable(20))

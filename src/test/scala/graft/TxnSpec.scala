@@ -102,6 +102,40 @@ class TxnSpec extends GraftSuite {
       n0 + ordersDf.filter(col("o_orderkey") % 5 === 1).count())
   }
 
+  test("bootstrap crash window: a replayed v0 append deletes its own " +
+      "orphans and adopts pre-existing user parquet") {
+    val p = tmp()
+    val batch = ordersDf.filter(col("o_orderkey") % 7 === 0)
+    val user = ordersDf.filter(col("o_orderkey") % 7 === 1)
+    // pre-existing PLAIN parquet in the dir = user data the bootstrap
+    // ADOPTS (init semantics) — it must survive the orphan cleanup
+    user.write.mode("append").parquet(p)
+    // emulate attempt #1 dying between its data write and the v0
+    // commit: its staged files (tagged with the mark's deterministic
+    // prefix) are on disk, no manifest exists
+    val scratch = tmp()
+    batch.write.mode("overwrite").parquet(scratch)
+    val tag = "txnb" + Integer.toHexString(("boot2" + "@" + 0L).##) + "_"
+    val s = Files.list(Paths.get(scratch))
+    try s.iterator().forEachRemaining { q =>
+      val n = q.getFileName.toString
+      if (n.endsWith(".parquet"))
+        Files.copy(q, Paths.get(p).resolve(s"v0_$tag$n"))
+    } finally s.close()
+    // the replay: currentVersion is still <0, so the mark check cannot
+    // help — the orphan cleanup must prevent the batch landing twice
+    val v0 = Snapshots.appendVersionedIdempotent(spark, p, batch,
+      "boot2", 0L)
+    assert(v0 == 0 && Snapshots.txnVersionOf(p, "boot2").contains(0L))
+    val got = spark.read.format("graft").load(p).count()
+    assert(got == batch.count() + user.count(),
+      s"expected exactly one batch copy plus the adopted user rows, got $got")
+    // post-commit replay: the mark no-ops as before
+    assert(Snapshots.appendVersionedIdempotent(spark, p, batch,
+      "boot2", 0L) == 0)
+    assert(spark.read.format("graft").load(p).count() == got)
+  }
+
   test("marks survive RESTORE (replays after a rollback still no-op)") {
     val p = tmp()
     Snapshots.overwriteVersioned(spark, p, ordersDf)
