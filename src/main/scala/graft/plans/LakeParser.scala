@@ -55,6 +55,16 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *     GROUP BY (<c1>[, …]) [SUM (<s1>[, …])]          -- A57
   *   GRAFT REFRESH MATERIALIZED VIEW '<mv>'   -- incremental, via CDF
   *   GRAFT DROP MATERIALIZED VIEW '<mv>'  -- releases the vacuum lease
+  *   GRAFT WIDEN '<path>' COLUMN <col> TO <type>  -- A59 metadata-only
+  *   GRAFT REGISTER MATERIALIZED VIEW '<mv>'    -- A58 rewrite opt-in
+  *   GRAFT UNREGISTER MATERIALIZED VIEW '<mv>'
+  *   GRAFT BEGIN TRANSACTION '<id>' AT '<coord>' ON ('<t1>', '<t2>')
+  *     -- A56: returns (table, branch) staging rows
+  *   GRAFT COMMIT TRANSACTION '<id>'     -- DECIDE + idempotent redo
+  *   GRAFT ABORT TRANSACTION '<id>'      -- pre-DECIDE only
+  *   GRAFT RECOVER '<coord>'        -- finish/abort crashed txns
+  *   GRAFT PIN CONSISTENT AT '<coord>' ON ('<t1>', '<t2>')
+  *     -- (table, version) pins that never straddle a transaction
   *   GRAFT DESCRIBE MATERIALIZED VIEW '<mv>'  -- one row per base:
   *     consumed vs current version, lag, lease, group/sum columns
   * }}}
@@ -163,6 +173,30 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case MvDrop(mv) => LakeMaintenanceCommand("version", _ =>
         { graft.sources.MaterializedView.drop(mv); 0L })
       case MvDescribe(mv) => LakeMvDetailCommand(mv)
+      case Widen(p, c, t) => LakeMaintenanceCommand("version", s =>
+        Snapshots.widenColumn(s, p, c,
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(t)).toLong)
+      case MvRegister(mv) => LakeMaintenanceCommand("registered", s =>
+        { graft.sources.MvRegistry.register(s, mv); 1L })
+      case MvUnregister(mv) => LakeMaintenanceCommand("unregistered", _ =>
+        { graft.sources.MvRegistry.unregister(mv); 1L })
+      // A56 over SQL: the multi-table transaction protocol end-to-end —
+      // BEGIN returns the per-table staging branches (write to those
+      // with ordinary DML/DataFrame writes), COMMIT/ABORT act on the
+      // session-held handle, RECOVER finishes or aborts crashed ones,
+      // PIN CONSISTENT returns a never-straddles version set to read
+      // with versionAsOf
+      case TxnBegin(id, coord, list) =>
+        LakeTxnBeginCommand(coord, quotedList(list), id)
+      case TxnCommit(id) => LakeMaintenanceCommand("committed", s =>
+        { graft.sources.GraftTxn.commitSql(s, id); 1L })
+      case TxnAbort(id) => LakeMaintenanceCommand("aborted", s =>
+        { graft.sources.GraftTxn.abortSql(s, id); 1L })
+      case TxnRecover(coord) => LakeMaintenanceCommand("recovered", s =>
+        graft.sources.GraftTxn.recover(s, coord).toLong)
+      case PinConsistent(coord, list) =>
+        LakeTxnPinCommand(coord, quotedList(list))
       case Detail(p) => LakeDetailCommand(p)
       case History(p) => LakeHistoryCommand(p)
       // a GRAFT-prefixed statement that matches no rule must FAIL as
@@ -249,6 +283,26 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*;?\s*""".r
+  private val Widen =
+    """(?is)\s*GRAFT\s+WIDEN\s+'([^']+)'\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val MvRegister =
+    """(?is)\s*GRAFT\s+REGISTER\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  private val MvUnregister =
+    """(?is)\s*GRAFT\s+UNREGISTER\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  private val TxnBegin =
+    """(?is)\s*GRAFT\s+BEGIN\s+TRANSACTION\s+'([^']+)'\s+AT\s+'([^']+)'\s+ON\s*\(\s*('[^']+'(?:\s*,\s*'[^']+')*)\s*\)\s*;?\s*""".r
+  private val TxnCommit =
+    """(?is)\s*GRAFT\s+COMMIT\s+TRANSACTION\s+'([^']+)'\s*;?\s*""".r
+  private val TxnAbort =
+    """(?is)\s*GRAFT\s+ABORT\s+TRANSACTION\s+'([^']+)'\s*;?\s*""".r
+  private val TxnRecover =
+    """(?is)\s*GRAFT\s+RECOVER\s+'([^']+)'\s*;?\s*""".r
+  private val PinConsistent =
+    """(?is)\s*GRAFT\s+PIN\s+CONSISTENT\s+AT\s+'([^']+)'\s+ON\s*\(\s*('[^']+'(?:\s*,\s*'[^']+')*)\s*\)\s*;?\s*""".r
+
+  /** `'a', 'b', 'c'` → Seq(a, b, c) (the ON (…) table lists). */
+  private def quotedList(s: String): Seq[String] =
+    "'([^']+)'".r.findAllMatchIn(s).map(_.group(1)).toIndexedSeq
   private val AnalyzeHist =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s+WITH\s+HISTOGRAM\s*;?\s*""".r
   private val MvCreate =
@@ -1024,6 +1078,34 @@ case class LakeMvDetailCommand(mv: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     graft.sources.MaterializedView.describe(mv)
       .map(t => Row(t.productIterator.toSeq: _*))
+}
+
+/** `GRAFT BEGIN TRANSACTION`: cuts the A56 WAP branches and returns
+  * one row per table — (table, branch). The caller stages its writes
+  * on the branch paths with ordinary DML, then `GRAFT COMMIT
+  * TRANSACTION '<id>'`. */
+case class LakeTxnBeginCommand(coordDir: String, tables: Seq[String],
+    id: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("branch", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val h = graft.sources.GraftTxn.beginSql(spark, coordDir, tables, id)
+    h.tables.map(t => Row(t, h.branchOf(t)))
+  }
+}
+
+/** `GRAFT PIN CONSISTENT`: one row per table — (table, version) — such
+  * that the version set never straddles a multi-table transaction;
+  * read each with `versionAsOf` for a cross-table-consistent view. */
+case class LakeTxnPinCommand(coordDir: String, tables: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.sources.GraftTxn.pinConsistent(spark, coordDir, tables)
+      .toSeq.sortBy(_._1).map { case (t, v) => Row(t, v.toLong) }
 }
 
 /** `GRAFT VACUUM … DRY RUN`: one row per file the real vacuum would

@@ -431,6 +431,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // r9: unfiltered global count/min/max over a graft relation
     // answers from the manifest — the scan disappears from the plan
     ext.injectOptimizerRule(_ => new graft.sources.GraftMetaAggRule)
+    // r10: grouped count/sum/avg over a graft base substitutes a
+    // registered, exactly-fresh A55 materialized view (A58) — the base
+    // scan disappears from the plan (sources/MvRewrite.scala)
+    ext.injectOptimizerRule(s => new graft.sources.GraftMvRewriteRule(s))
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

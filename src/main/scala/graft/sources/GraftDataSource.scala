@@ -471,7 +471,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       // per-partition version spaces: a global startingVersion is
       // ill-posed and the chunk/cap options index into ONE version
       // sequence — refuse loudly rather than guess
-      Seq("startingVersion", "snapshotFilesPerTrigger",
+      Seq("startingVersion", "startingTimestamp", "snapshotFilesPerTrigger",
         "maxVersionsPerTrigger").foreach(o => require(
         !parameters.contains(o),
         s"graft: '$o' is undefined on a partitioned root (every " +
@@ -483,9 +483,31 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         partitionedStreamSchema(sqlContext.sparkSession, path, partCol,
           keyCol, cdf), cdfStyle = cdf)
     }
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft: startingVersion and startingTimestamp are mutually exclusive")
+    // `startingTimestamp` (Delta CDF parity): begin the feed at the
+    // first commit AT OR AFTER the instant — i.e. startingVersion =
+    // the latest version committed strictly BEFORE it. An instant at
+    // or before the earliest retained commit refuses with the remedy
+    // (omit the option: the snapshot-phase start already delivers
+    // everything from the earliest retained version).
+    val startV: Option[Int] =
+      parameters.get("startingVersion").map(_.toInt)
+        .orElse(parameters.get("startingTimestamp").map { t =>
+          val ts = parseTs(t)
+          val before = (Snapshots.earliestVersion(path) to
+            Snapshots.currentVersion(path))
+            .filter(v => Snapshots.commitTime(path, v).exists(_ < ts))
+          require(before.nonEmpty,
+            s"graft: no retained commit of $path predates $t — omit " +
+              "startingTimestamp to start from the earliest retained " +
+              "snapshot")
+          before.max
+        })
     new GraftChangeSource(sqlContext.sparkSession, path, keyCol,
       streamSchema(sqlContext.sparkSession, path, keyCol, cdf),
-      parameters.get("startingVersion").map(_.toInt),
+      startV,
       parameters.get("snapshotFilesPerTrigger").map(_.toInt),
       Some(metadataPath),
       parameters.get("maxVersionsPerTrigger").map(_.toInt),

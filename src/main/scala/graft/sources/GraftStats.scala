@@ -79,11 +79,32 @@ object GraftStats {
     if (!live.forall(rows.contains)) return None
     val bytes = live.map(f => Files.size(Paths.get(f))).sum
     val totalRows = live.map(rows).sum
-    // ANALYZE-written NDV (newest record ≤ v), capped at the SCANNED
-    // version's row count — commits after the analyze can only have
-    // changed cardinality, never pushed true NDV above the row count
+    // NDV, two sources merged (capped at the SCANNED version's row
+    // count either way):
+    //  - A61 per-file HLL sketches, register-wise-max-merged over the
+    //    LIVE set — present for every column of every post-r10 commit,
+    //    exact-to-the-version by construction (a delete, compaction, or
+    //    append moves the estimate with the files; nothing to re-run);
+    //  - the A46 ANALYZE sidecar for columns the sketches don't cover
+    //    (legacy manifests) — point-in-time, drifts until re-analyzed.
+    val hll = Snapshots.fileHll(path, v)
+    val sketchNdv: Map[String, Long] = {
+      // empty files record no sketch (they have no aggregate group) and
+      // contribute zero distincts — merge over the non-empty live set
+      val nonEmpty = live.filter(f => rows(f) > 0L)
+      val covered = nonEmpty.headOption
+        .map(f => hll.getOrElse(f, Map.empty).keySet).getOrElse(Set.empty)
+        .filter(c => nonEmpty.forall(f => hll.get(f).exists(m =>
+          m.contains(c) &&
+            m(c).length == hll(nonEmpty.head)(c).length)))
+      covered.iterator.map { c =>
+        c -> graft.functions.Hll.estimate(
+          nonEmpty.map(f => hll(f)(c)).reduce(graft.functions.Hll.merge))
+      }.toMap
+    }
     val ndv: Map[String, Long] =
-      Snapshots.ndvRecord(path, v).map(_._2).getOrElse(Map.empty)
+      (Snapshots.ndvRecord(path, v).map(_._2).getOrElse(Map.empty) ++
+        sketchNdv)
         .map { case (c, n) => c -> math.min(n, totalRows) }
     // ANALYZE-written equi-height histograms (same versioned record):
     // the skew model FilterEstimation prefers over uniform min/max

@@ -286,11 +286,14 @@ object GraftTxn {
     ids.size
   }
 
-  /** Cross-table consistent read: completes pending redos, then pins
-    * one version per table inside a double-checked coordinator
-    * fingerprint, so the pinned set never straddles a transaction. */
-  def readConsistent(spark: SparkSession, coordDir: String,
-      tables: Seq[String]): Map[String, DataFrame] = {
+  /** Pin one version per table such that the pinned set never
+    * straddles a transaction: completes pending redos, then resolves
+    * all heads inside a double-checked coordinator fingerprint. The
+    * SQL surface (`GRAFT PIN CONSISTENT`) returns these pins for the
+    * caller to read with `versionAsOf`; [[readConsistent]] wraps them
+    * as DataFrames directly. */
+  def pinConsistent(spark: SparkSession, coordDir: String,
+      tables: Seq[String]): Map[String, Int] = {
     def fingerprint(): Set[String] =
       listNames(coordDir).filterNot(_.endsWith(".tmp")).toSet
     var attempts = 0
@@ -299,11 +302,58 @@ object GraftTxn {
       val before = fingerprint()
       val vs = tables.map(t => t -> Snapshots.currentVersion(t))
       if (fingerprint() == before && pending(coordDir).isEmpty)
-        return vs.map { case (t, v) => t -> Snapshots.read(spark, t, v) }
-        .toMap
+        return vs.toMap
       attempts += 1
     }
     throw new IllegalStateException(
-      s"readConsistent: coordinator $coordDir would not quiesce")
+      s"pinConsistent: coordinator $coordDir would not quiesce")
   }
+
+  /** Cross-table consistent read: [[pinConsistent]], materialized. */
+  def readConsistent(spark: SparkSession, coordDir: String,
+      tables: Seq[String]): Map[String, DataFrame] =
+    pinConsistent(spark, coordDir, tables).map { case (t, v) =>
+      t -> Snapshots.read(spark, t, v)
+    }
+
+  // ── SQL surface (A32 parser routes here): BEGIN/COMMIT/ABORT need a
+  // live Handle between statements, so the session's JVM keeps them —
+  // the same lifetime as the in-memory Handle the API caller holds. A
+  // txn begun over SQL and lost to a crash is exactly an API txn lost
+  // to a crash: fences TTL out pre-DECIDE, recover() finishes or
+  // aborts the rest.
+  private val sqlHandles =
+    new java.util.concurrent.ConcurrentHashMap[String, Handle]()
+
+  /** `GRAFT BEGIN TRANSACTION '<id>' AT '<coord>' ON (…)`. Returns the
+    * per-table staging branches. */
+  def beginSql(spark: SparkSession, coordDir: String,
+      tables: Seq[String], id: String): Handle = {
+    require(!sqlHandles.containsKey(id),
+      s"txn '$id' is already open in this session")
+    val h = begin(spark, coordDir, tables, id)
+    sqlHandles.put(id, h)
+    h
+  }
+
+  private def takeHandle(id: String): Handle = {
+    val h = sqlHandles.remove(id)
+    require(h != null, s"txn '$id' is not open in this session — a " +
+      "crashed transaction is finished (or aborted) by GRAFT RECOVER " +
+      "on its coordinator, not by COMMIT/ABORT")
+    h
+  }
+
+  def commitSql(spark: SparkSession, id: String): Unit = {
+    val h = takeHandle(id)
+    try commit(spark, h)
+    catch { case e: Throwable => sqlHandles.put(id, h); throw e }
+  }
+
+  def abortSql(spark: SparkSession, id: String): Unit =
+    abort(spark, takeHandle(id))
+
+  /** The open handle (SQL-session registry), if any — `GRAFT DESCRIBE
+    * TRANSACTION` reads it. */
+  def openHandle(id: String): Option[Handle] = Option(sqlHandles.get(id))
 }

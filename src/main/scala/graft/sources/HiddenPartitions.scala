@@ -154,6 +154,141 @@ case class DayTransform(col: String) extends GraftTransform {
   override def encode: String = s"day\t$col"
 }
 
+/** Shared interval-pruning body for the time transforms: partition
+  * `value` IS a micros interval; evaluate the filter against it with
+  * the same machinery as the A27 file stats (identity casts and
+  * foldable wrappers simplified first, so the stats matcher's
+  * Attribute/Literal patterns hit). */
+private[sources] object TimeInterval {
+  def mayContain(col: String, loMicros: Long, hiMicrosExcl: Long,
+      filter: Expression): Boolean = {
+    val simplified = filter.transform {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.child.dataType == c.dataType => c.child
+      case e @ FoldedLit(v) if !e.isInstanceOf[Literal] &&
+          e.children.nonEmpty => Literal.create(v, e.dataType)
+    }
+    GraftFileIndex.survives(
+      Map(col -> (("L", loMicros.toString, (hiMicrosExcl - 1).toString))),
+      Map.empty, None, simplified)
+  }
+}
+
+/** `hour(col)` over a timestamp column: value = UTC epoch-hour number
+  * (pure integer arithmetic on microseconds, like [[DayTransform]]).
+  * Range predicates prune through the hour's exact micros interval. */
+case class HourTransform(col: String) extends GraftTransform {
+  private val HourMicros = 3600000000L
+  override def valueExpr: Column =
+    floor(unix_micros(column(col)) / lit(HourMicros)).cast("string")
+  override protected def mayContainLeaf(value: String,
+      filter: Expression): Boolean =
+    value.toLongOption match {
+      case Some(h) => TimeInterval.mayContain(col,
+        h * HourMicros, (h + 1) * HourMicros, filter)
+      case None => true
+    }
+  override def encode: String = s"hour\t$col"
+}
+
+/** `month(col)` over a timestamp column: value = months since 1970-01
+  * of the timestamp's UTC epoch-day (Iceberg's month transform). The
+  * calendar arithmetic runs on `DateType` — a pure day count — so no
+  * session timezone ever enters; the driver inverts a month index to
+  * its exact micros interval with java.time on the same UTC calendar. */
+case class MonthTransform(col: String) extends GraftTransform {
+  private val DayMicros = 86400000000L
+  override def valueExpr: Column = {
+    val d = date_from_unix_date(
+      floor(unix_micros(column(col)) / lit(DayMicros)).cast("int"))
+    ((year(d) - lit(1970)) * lit(12) + month(d) - lit(1)).cast("string")
+  }
+  override protected def mayContainLeaf(value: String,
+      filter: Expression): Boolean =
+    value.toLongOption match {
+      case Some(m) =>
+        val start = java.time.LocalDate.of(1970, 1, 1).plusMonths(m)
+        val end = start.plusMonths(1)
+        TimeInterval.mayContain(col, start.toEpochDay * DayMicros,
+          end.toEpochDay * DayMicros, filter)
+      case None => true
+    }
+  override def encode: String = s"month\t$col"
+}
+
+/** `year(col)`: value = years since 1970 of the UTC epoch-day — the
+  * same day-count calendar arithmetic as [[MonthTransform]]. */
+case class YearTransform(col: String) extends GraftTransform {
+  private val DayMicros = 86400000000L
+  override def valueExpr: Column = {
+    val d = date_from_unix_date(
+      floor(unix_micros(column(col)) / lit(DayMicros)).cast("int"))
+    (year(d) - lit(1970)).cast("string")
+  }
+  override protected def mayContainLeaf(value: String,
+      filter: Expression): Boolean =
+    value.toLongOption match {
+      case Some(y) =>
+        val start = java.time.LocalDate.of(1970, 1, 1).plusYears(y)
+        val end = start.plusYears(1)
+        TimeInterval.mayContain(col, start.toEpochDay * DayMicros,
+          end.toEpochDay * DayMicros, filter)
+      case None => true
+    }
+  override def encode: String = s"year\t$col"
+}
+
+/** `bucket(col, n)` — A50's hash as a hidden transform: value =
+  * pmod(murmur3(col), n), the exact bucket-id expression Spark's own
+  * bucketed tables and the A50 layout use. Unlike [[ModTransform]] the
+  * hash spreads skewed key spaces evenly; the cost is that only
+  * equality/IN prune (a hash preserves no order). The driver-side
+  * inverse hashes the literal AS THE COLUMN'S OWN TYPE — murmur3 is
+  * type-sensitive, so a widened literal must be converted back before
+  * hashing or the probe would prune the wrong bucket. */
+case class BucketTransform(col: String, n: Int) extends GraftTransform {
+  require(n >= 2, s"bucket transform needs n >= 2 (got $n)")
+  override def valueExpr: Column =
+    pmod(hash(column(col)), lit(n)).cast("string")
+  private def asColType(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (l: Long, LongType) => Some(l)
+      case (l: Long, IntegerType) if l.isValidInt => Some(l.toInt)
+      case (i: Int, IntegerType) => Some(i)
+      case (i: Int, LongType) => Some(i.toLong)
+      case (u: UTF8String, StringType) => Some(u)
+      case (s: String, StringType) => Some(UTF8String.fromString(s))
+      case _ => None
+    }
+  }
+  private def bucketOf(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[String] =
+    asColType(v, dt).flatMap { cv =>
+      try {
+        val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+          Seq(Literal.create(cv, dt)), 42).eval(InternalRow.empty)
+          .asInstanceOf[Int]
+        Some(java.lang.Math.floorMod(h, n).toString)
+      } catch { case _: Exception => None }
+    }
+  override protected def mayContainLeaf(value: String,
+      filter: Expression): Boolean = filter match {
+    case EqualTo(SrcAttr(a), FoldedLit(v)) if a.name == col =>
+      bucketOf(v, a.dataType).forall(_ == value)
+    case EqualTo(FoldedLit(v), SrcAttr(a)) if a.name == col =>
+      bucketOf(v, a.dataType).forall(_ == value)
+    case EqualNullSafe(SrcAttr(a), FoldedLit(v)) if a.name == col =>
+      bucketOf(v, a.dataType).forall(_ == value)
+    case In(SrcAttr(a), vs) if a.name == col &&
+        vs.forall(FoldedLit.unapply(_).isDefined) =>
+      vs.exists { case FoldedLit(v) => bucketOf(v, a.dataType).forall(_ == value) }
+    case _ => true
+  }
+  override def encode: String = s"bucket\t$col\t$n"
+}
+
 /** `truncate(col, w)` over a string column: value = first `w` chars.
   * Equality/IN prune by prefix; range predicates prune by prefix
   * comparison (if the prefixes differ, the full-string order is
@@ -198,6 +333,10 @@ object HiddenPartitions {
     line.trim.split("\t") match {
       case Array("mod", c, n)      => ModTransform(c, n.toInt)
       case Array("day", c)         => DayTransform(c)
+      case Array("hour", c)        => HourTransform(c)
+      case Array("month", c)       => MonthTransform(c)
+      case Array("year", c)        => YearTransform(c)
+      case Array("bucket", c, n)   => BucketTransform(c, n.toInt)
       case Array("truncate", c, w) => TruncateTransform(c, w.toInt)
       case other => throw new IllegalStateException(
         s"graft: unreadable partition spec line: ${other.mkString("/")}")
@@ -284,25 +423,68 @@ object HiddenPartitions {
       s"graft: hidden-partition source column '$c' must be non-null " +
         "(a null row has no partition home)")
 
+  // bucket-under-partition composition (A50 under A49): one root-level
+  // sidecar; every partition's per-dir snapshot table is created with
+  // this bucket spec, and the per-table spec then self-preserves
+  // through every later write (stageData routes by it)
+  private def bucketPath(path: String) = Paths.get(path, "_graft_part_bucket")
+
+  /** The root's bucket-under-partition spec, if composed at init. */
+  def bucketOf(path: String): Option[(String, Int)] = {
+    val p = bucketPath(path)
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), "UTF-8").trim.split("\t") match {
+      case Array(c, n) => Some((c, n.toInt))
+      case _ => None
+    }
+  }
+
   /** Initialize a hidden-partitioned table: route `df` by the
     * transform, KEEPING the source column in the data files, open a
-    * snapshot log per partition, and record the spec at the root. */
+    * snapshot log per partition, and record the spec at the root.
+    * `bucketBy` composes A50 UNDER the partitions: every partition's
+    * own snapshot table is hash-bucketed on the given column, so a
+    * co-bucketed join inside one partition (the day-then-key pattern)
+    * plans exchange-free while the date transform still prunes whole
+    * directories. */
   def init(spark: SparkSession, path: String, df: DataFrame,
-      transform: GraftTransform): Seq[String] = {
+      transform: GraftTransform,
+      bucketBy: Option[(String, Int)] = None): Seq[String] = {
     require(PartitionedSnapshots.partitions(path).isEmpty &&
       specOf(path).isEmpty, s"$path already initialized")
     require(df.columns.contains(transform.col),
       s"graft: transform column '${transform.col}' not in ${df.columns.mkString(", ")}")
     require(!df.columns.contains("part"),
       "graft: a column named 'part' collides with the partition dirs")
+    bucketBy.foreach { case (c, _) => require(df.columns.contains(c),
+      s"graft: bucket column '$c' not in ${df.columns.mkString(", ")}") }
     requireNoNulls(df, transform.col)
-    df.withColumn("part", transform.valueExpr)
-      .write.partitionBy("part").parquet(path)
-    Files.write(specPath(path), transform.encode.getBytes("UTF-8"))
-    val vals = PartitionedSnapshots.partitions(path)
-    vals.foreach(v => Snapshots.init(spark,
-      PartitionedSnapshots.partitionDir(path, v)))
-    vals
+    bucketBy match {
+      case None =>
+        df.withColumn("part", transform.valueExpr)
+          .write.partitionBy("part").parquet(path)
+        Files.write(specPath(path), transform.encode.getBytes("UTF-8"))
+        val vals = PartitionedSnapshots.partitions(path)
+        vals.foreach(v => Snapshots.init(spark,
+          PartitionedSnapshots.partitionDir(path, v)))
+        vals
+      case Some((c, n)) =>
+        // one bucketed bootstrap per partition value: the value list is
+        // bounded by the partition count (the same driver-side bound
+        // the A26 layout already lives with), and each bootstrap routes
+        // its slice through the shared bucketed staging
+        Files.createDirectories(Paths.get(path))
+        val vals = df.select(transform.valueExpr.as("__part"))
+          .distinct().collect().map(_.getString(0)).sorted.toIndexedSeq
+        vals.foreach { v =>
+          Snapshots.writeBucketedVersioned(spark,
+            epochDir(path, 0, v),
+            df.filter(transform.valueExpr === v), c, n)
+        }
+        Files.write(bucketPath(path), s"$c\t$n".getBytes("UTF-8"))
+        Files.write(specPath(path), transform.encode.getBytes("UTF-8"))
+        vals
+    }
   }
 
   /** Keyed merge routed by the transform, EPOCH-AWARE (A53): a key
@@ -325,8 +507,19 @@ object HiddenPartitions {
     val currentEpoch = specs.size - 1
     requireNoNulls(updates, current.col)
     val results = scala.collection.mutable.Map.empty[String, Int]
-    var remaining = updates
-    // old epochs, newest first: update in place where the key lives
+    // Materialize the batch ONCE: every per-partition step below
+    // (probe, merge join, staging stats) re-evaluates its input, and an
+    // arbitrary caller plan re-computed dozens of times turned the
+    // multi-epoch path quadratic (measured 339 s → ~20 s on the r10
+    // gate scenario). localCheckpoint cost is one pass over the batch —
+    // the thing a merge reads anyway; on executor loss the command
+    // fails loudly and is retried, never silently wrong.
+    var remaining = updates.localCheckpoint()
+    // old epochs, newest first: update in place where the key lives.
+    // ONE probe pass per epoch — a union of the touched dirs' key
+    // columns (column-pruned) semi-joined against the batch — instead
+    // of a per-directory probe+anti-join chain whose lineage grows with
+    // every partition.
     for (epoch <- (0 until currentEpoch).reverse) {
       val t = specs(epoch)
       val dirsE = epochValues(path, epoch)
@@ -336,22 +529,30 @@ object HiddenPartitions {
           .withColumn("__part", t.valueExpr).filter(col("__part").isNotNull)
           .select("__part").distinct().collect().map(_.getString(0))
           .filter(dirsE.contains).sorted
-        touched.foreach { v =>
-          val dir = dirsE(v)
-          val slice = remaining.filter(t.valueExpr === v)
-          // column-pruned key probe: does this epoch's partition hold
-          // any of the slice's keys already?
-          val existingKeys = Snapshots.read(spark, dir)
-            .select(column(keyCol))
-            .join(broadcast(slice.select(column(keyCol))),
+        if (touched.nonEmpty) {
+          // (key, partition-value) of every batch key this epoch holds:
+          // bounded by the batch size, so checkpointing it is cheap
+          val epochKeys = touched.map { v =>
+            Snapshots.read(spark, dirsE(v)).select(column(keyCol))
+              .withColumn("__pv", lit(v))
+          }.reduce(_.unionByName(_))
+            .join(broadcast(remaining.select(column(keyCol))),
               Seq(keyCol), "left_semi")
-          if (!existingKeys.isEmpty) {
-            results(s"e$epoch:$v") = Snapshots.mergeVersioned(spark, dir,
-              slice.join(broadcast(existingKeys), Seq(keyCol), "left_semi"),
+            .localCheckpoint()
+          val found = epochKeys.select("__pv").distinct()
+            .collect().map(_.getString(0)).sorted
+          found.foreach { v =>
+            results(s"e$epoch:$v") = Snapshots.mergeVersioned(spark,
+              dirsE(v),
+              remaining.join(
+                broadcast(epochKeys.filter(col("__pv") === v)
+                  .select(column(keyCol))), Seq(keyCol), "left_semi"),
               keyCol)
-            remaining = remaining.join(broadcast(existingKeys),
-              Seq(keyCol), "left_anti")
           }
+          if (found.nonEmpty)
+            remaining = remaining.join(
+              broadcast(epochKeys.select(column(keyCol))),
+              Seq(keyCol), "left_anti").localCheckpoint()
         }
       }
     }
@@ -364,20 +565,26 @@ object HiddenPartitions {
       val dir = epochDir(path, currentEpoch, v)
       if (!existing.contains(v)) {
         if (slice.isEmpty) () // every key updated in an older epoch
-        else {
-          Files.createDirectories(Paths.get(dir))
-          val stage = dir + "/init"
-          slice.write.parquet(stage)
-          val st = Files.list(Paths.get(stage))
-          try st.iterator.asScala.filter(_.toString.endsWith(".parquet"))
-            .foreach(p => Files.move(p,
-              Paths.get(dir, p.getFileName.toString)))
-          finally st.close()
-          val walk = Files.walk(Paths.get(stage))
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-          finally walk.close()
-          results(v) = Snapshots.init(spark, dir)
+        else bucketOf(path) match {
+          // composed layout: a NEW partition bootstraps bucketed too,
+          // so the whole table keeps the exchange-free join property
+          case Some((c, n)) =>
+            results(v) =
+              Snapshots.writeBucketedVersioned(spark, dir, slice, c, n)
+          case None =>
+            Files.createDirectories(Paths.get(dir))
+            val stage = dir + "/init"
+            slice.write.parquet(stage)
+            val st = Files.list(Paths.get(stage))
+            try st.iterator.asScala.filter(_.toString.endsWith(".parquet"))
+              .foreach(p => Files.move(p,
+                Paths.get(dir, p.getFileName.toString)))
+            finally st.close()
+            val walk = Files.walk(Paths.get(stage))
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+            finally walk.close()
+            results(v) = Snapshots.init(spark, dir)
         }
       } else if (!slice.isEmpty)
         results(v) = Snapshots.mergeVersioned(spark, dir, slice, keyCol)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1515,6 +1515,187 @@ object LakehouseQueries {
         col("avg_o_custkey").as("avg_custkey"))
   }
 
+  /** r10 — HIDDEN-PARTITION TRANSFORM COMPLETENESS end-to-end: a table
+    * month-partitioned on a synthetic timestamp (the calendar
+    * transform — day-count arithmetic, timezone-free) takes an
+    * update+insert wave, EVOLVES its spec to bucket(o_orderkey, 8)
+    * (A53: metadata-only, zero rows move), then takes a second wave —
+    * updates land IN PLACE in their month dirs, inserts hash-route
+    * into epoch-1 bucket dirs. The final aggregate groups by the month
+    * index recomputed from the RAW timestamp column, so a row routed
+    * to the wrong partition, duplicated across epochs, or lost in the
+    * evolution breaks the hash. Transform pruning pins live in
+    * HiddenPartitionSpec.
+    */
+  def qLakePartTransforms(s: SparkSession, d: String): DataFrame = {
+    val b0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    def withTs(df: DataFrame) = df.withColumn("ts",
+      timestamp_micros((col("o_orderkey") % 360) * lit(43200000000L)))
+    val b = withTs(b0)
+    val root = tempDir("graft_hidpt_q") + "/t"
+    HiddenPartitions.init(s, root, b, MonthTransform("ts"))
+    HiddenPartitions.merge(s, root,
+      b.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+        .unionByName(withTs(b0.filter(col("o_orderkey") % 11 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
+          .withColumn("o_custkey", col("o_custkey") + 5L))), "o_orderkey")
+    HiddenPartitions.evolve(root, BucketTransform("o_orderkey", 8))
+    HiddenPartitions.merge(s, root,
+      b.filter(col("o_orderkey") % 5 === 1)
+        .withColumn("o_custkey", col("o_custkey") +
+          when(col("o_orderkey") % 7 === 0, 1000000L).otherwise(0L) +
+          2000000L)
+        .unionByName(withTs(b0.filter(col("o_orderkey") % 13 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 95000000L)
+          .withColumn("o_custkey", col("o_custkey") + 7L))), "o_orderkey")
+    val df = s.read.format("graft").load(root)
+    val dd = date_from_unix_date(
+      floor(unix_micros(col("ts")) / lit(86400000000L)).cast("int"))
+    df.groupBy(((year(dd) - lit(1970)) * lit(12) + month(dd) - lit(1))
+        .cast("long").as("month_idx"))
+      .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("sum_custkey"))
+  }
+
+  val qLakePartTransformsSql: String =
+    """WITH fin AS (
+      |  SELECT o_orderkey AS k,
+      |    o_custkey + (CASE WHEN o_orderkey % 7 = 0 THEN 1000000 ELSE 0 END)
+      |              + (CASE WHEN o_orderkey % 5 = 1 THEN 2000000 ELSE 0 END) AS c
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 90000000, o_custkey + 5
+      |  FROM orders WHERE o_orderkey % 11 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 95000000, o_custkey + 7
+      |  FROM orders WHERE o_orderkey % 13 = 2),
+      |m AS (SELECT DATE '1970-01-01'
+      |    + CAST(floor((k % 360) / 2) AS INTEGER) AS dd, c FROM fin)
+      |SELECT CAST((EXTRACT(year FROM dd) - 1970) * 12
+      |    + EXTRACT(month FROM dd) - 1 AS BIGINT) AS month_idx,
+      |  count(*) AS cnt, CAST(sum(c) AS BIGINT) AS sum_custkey
+      |FROM m GROUP BY 1""".stripMargin
+
+  /** A59 — TYPE WIDENING end-to-end: the table starts with an INT
+    * column, takes a pre-widening wave, widens int→long as ONE
+    * metadata commit (the `meta_only` verdict column pins that the
+    * widening commit moved zero data files), then takes a wave whose
+    * values cannot fit an int. The final aggregate reads MIXED physical
+    * files (int-era + long-era) through the widened schema, and
+    * `old_sum_qty` is computed by TIME TRAVEL to the pre-widening
+    * version — served under the OLD type — so the oracle covers the
+    * data path, the metadata transition, and the versioned schema at
+    * once.
+    */
+  def qLakeWiden(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderstatus"),
+      (col("o_custkey") % 1000000L).cast("int").as("qty"))
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir)
+    Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
+    val vPre = Snapshots.currentVersion(dir)
+    val filesPre = Snapshots.liveFiles(dir, vPre).map(Snapshots.canonical)
+    val vWiden = Snapshots.widenColumn(s, dir, "qty",
+      org.apache.spark.sql.types.LongType)
+    val metaOnly = Snapshots.liveFiles(dir, vWiden)
+      .map(Snapshots.canonical) == filesPre
+    Snapshots.appendVersioned(s, dir,
+      b.filter(col("o_orderkey") % 13 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 80000000L)
+        .withColumn("qty",
+          (col("o_orderkey") + lit(8000000000L)).cast("long")))
+    // bounded driver-side scalars: two schema strings and one 1-row agg
+    val typeNow = Snapshots.read(s, dir).schema("qty").dataType.simpleString
+    val typeOld =
+      Snapshots.read(s, dir, vPre).schema("qty").dataType.simpleString
+    val oldSum = Snapshots.read(s, dir, vPre)
+      .agg(sum(col("qty")).as("s")).head().getLong(0)
+    Snapshots.read(s, dir).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), sum("qty").as("sum_qty"))
+      .withColumn("qty_type", lit(typeNow))
+      .withColumn("qty_type_old", lit(typeOld))
+      .withColumn("meta_only", lit(metaOnly))
+      .withColumn("old_sum_qty", lit(oldSum))
+  }
+
+  val qLakeWidenSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_custkey % 1000000 AS INTEGER) AS qty
+      |  FROM orders),
+      |w1 AS (SELECT * FROM base WHERE o_orderkey % 9 <> 4),
+      |post AS (
+      |  SELECT o_orderkey + 80000000 AS o_orderkey, o_orderstatus,
+      |    CAST(o_orderkey + 80000000 + 8000000000 AS BIGINT) AS qty
+      |  FROM base WHERE o_orderkey % 13 = 2),
+      |fin AS (SELECT * FROM w1 UNION ALL SELECT * FROM post),
+      |old AS (SELECT CAST(sum(qty) AS BIGINT) AS old_sum FROM w1)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+      |  'bigint' AS qty_type, 'int' AS qty_type_old,
+      |  true AS meta_only,
+      |  (SELECT old_sum FROM old) AS old_sum_qty
+      |FROM fin GROUP BY 1""".stripMargin
+
+  /** A58 — MV-AWARE QUERY REWRITE end-to-end: the user's aggregate
+    * targets the BASE table; the optimizer substitutes the registered,
+    * exactly-fresh A55 MV. The scan-free property is pinned the A48
+    * way — a live base data file is DELETED from disk before the
+    * query runs, so only a plan that never opens the base survives —
+    * and the `rewritten` verdict column (plan introspection: the base
+    * path absent from the scanned graft relations) is itself oracled.
+    */
+  def qLakeMvRewrite(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir, changeDataFeed = true)
+    val mv = tempDir("graft_mvrw_q") + "/mv"
+    MaterializedView.create(s, mv, dir, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    MvRegistry.register(s, mv)
+    Snapshots.mergeVersioned(s, dir,
+      b.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_orderstatus", lit("R")), "o_orderkey")
+    Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
+    MaterializedView.refresh(s, mv)
+    val q = s.read.format("graft").load(dir).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum("o_custkey").as("sum_custkey"),
+        avg("o_custkey").as("avg_custkey"))
+    // the hard pin: delete a LIVE base data file — a plan that still
+    // scans the base cannot answer anymore
+    val victim = Snapshots.liveFiles(dir,
+      Snapshots.currentVersion(dir)).head
+    Files.delete(Paths.get(victim))
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location match {
+              case g: GraftFileIndex => Seq(g.tablePath)
+              case _ => Seq.empty[String]
+            }
+          case _ => Seq.empty[String]
+        }
+    }.flatten.map(p => Paths.get(p).toAbsolutePath.normalize.toString)
+    val rewritten =
+      !scanned.contains(Paths.get(dir).toAbsolutePath.normalize.toString)
+    q.withColumn("rewritten", lit(rewritten))
+  }
+
+  val qLakeMvRewriteSql: String =
+    """WITH w1 AS (
+      |  SELECT o_orderkey AS k, o_custkey AS c,
+      |    CASE WHEN o_orderkey % 6 = 0 THEN 'R' ELSE o_orderstatus END AS st
+      |  FROM orders),
+      |w2 AS (SELECT k, c, st FROM w1 WHERE k % 9 <> 4)
+      |SELECT st AS o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(c) AS BIGINT) AS sum_custkey, avg(c) AS avg_custkey,
+      |  true AS rewritten
+      |FROM w2 GROUP BY 1""".stripMargin
+
   val qLakeMvSql: String =
     """WITH w1 AS (
       |  SELECT o_orderkey AS k, o_custkey AS c,
@@ -1684,6 +1865,9 @@ object LakehouseQueries {
     "q_lake_merge_evolve" -> (qLakeMergeEvolve(_, _)),
     "q_lake_mv" -> (qLakeMv(_, _)),
     "q_lake_mv_join" -> (qLakeMvJoin(_, _)),
+    "q_lake_mv_rewrite" -> (qLakeMvRewrite(_, _)),
+    "q_lake_widen" -> (qLakeWiden(_, _)),
+    "q_lake_part_transforms" -> (qLakePartTransforms(_, _)),
     "q_lake_txn" -> (qLakeTxn(_, _)),
     "q_lake_bucketed" -> (qLakeBucketed(_, _)),
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
@@ -1724,6 +1908,9 @@ object LakehouseQueries {
     "q_lake_merge_evolve" -> qLakeMergeEvolveSql,
     "q_lake_mv" -> qLakeMvSql,
     "q_lake_mv_join" -> qLakeMvJoinSql,
+    "q_lake_mv_rewrite" -> qLakeMvRewriteSql,
+    "q_lake_widen" -> qLakeWidenSql,
+    "q_lake_part_transforms" -> qLakePartTransformsSql,
     "q_lake_txn" -> qLakeTxnSql,
     "q_lake_bucketed" -> qLakeBucketedSql,
     "q_lake_deltalog" -> qLakeDeltaLogSql,

@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A18 — snapshot versioning with time travel (the Delta/Iceberg log
@@ -323,6 +323,21 @@ object Snapshots {
   // express. Absence of a line = unknown = keep (legacy manifests
   // stay sound).
   private val NullsHeader = "#filenulls="
+  // A61: per-(file, column) HLL NDV registers — "#filehll=<f>\t<c>\t<p>\t<hex>"
+  private val HllHeader = "#filehll="
+
+  /** Per-file NDV sketches at `v`: file → column → registers. Only
+    * same-width sketches merge; the line carries p so a future width
+    * change stays readable (mixed widths simply disable the merge). */
+  private[sources] def fileHll(path: String, v: Int): Map[String, Map[String, Array[Byte]]] =
+    manifestLines(path, v)
+      .filter(_.startsWith(HllHeader))
+      .map(_.stripPrefix(HllHeader).split(StatsSep, -1))
+      .collect { case Array(f, c, _, hex) =>
+        (f, c, graft.functions.Hll.fromHex(hex)) }
+      .groupBy(_._1)
+      .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
+      .toMap
 
   /** Per-file null counts recorded at `v`: file → col → nulls. */
   private[sources] def fileNulls(path: String, v: Int): Map[String, Map[String, Long]] =
@@ -519,15 +534,23 @@ object Snapshots {
         !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
         !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
     }
+    // A61: one HLL register-set per (file, atomic column) rides the
+    // same single staged-files pass — merged register-wise over the
+    // LIVE set, the table's NDV follows every commit exactly (the CBO
+    // input A46's ANALYZE sidecar could only approximate until re-run)
+    val hllAgg = udaf(graft.functions.Hll.RegistersAgg, Encoders.LONG)
     val aggs = count(lit(1)).as("__nr") +:
       (numCols.toIndexedSeq.flatMap { case (c, _, isFloat) =>
         val cc = if (isFloat) col(s"`$c`").cast("double") else col(s"`$c`")
         Seq(min(cc).as(s"__mn_$c"), max(cc).as(s"__mx_$c")) } ++
-        atomicCols.map(c => count(col(s"`$c`")).as(s"__nn_$c")))
+        atomicCols.map(c => count(col(s"`$c`")).as(s"__nn_$c")) ++
+        atomicCols.map(c => hllAgg(when(col(s"`$c`").isNotNull,
+          xxhash64(col(s"`$c`")))).as(s"__hll_$c")))
     val collected = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val nnBase = 2 + 2 * numCols.length
+    val hllBase = nnBase + atomicCols.length
     val lines = collected.toSeq.flatMap { r =>
       val f = canonical(r.getString(0))
       val nRows = r.getLong(1)
@@ -542,7 +565,13 @@ object Snapshots {
         NullsHeader + Seq(f, c, (nRows - r.getLong(nnBase + i)).toString)
           .mkString(StatsSep)
       }
-      rowsLine +: (rangeLines ++ nullLines)
+      val hllLines = atomicCols.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.get(hllBase + i)).map(regs =>
+          HllHeader + Seq(f, c, graft.functions.Hll.P.toString,
+            graft.functions.Hll.toHex(regs.asInstanceOf[Array[Byte]]))
+            .mkString(StatsSep))
+      }
+      rowsLine +: (rangeLines ++ nullLines ++ hllLines)
     }
     // an EMPTY staged part-file yields no aggregate group but is still
     // a live file — its row count is exactly zero, record it (column
@@ -562,7 +591,8 @@ object Snapshots {
     manifestLines(path, v).filter { l =>
       (l.startsWith(StatsHeader) && keep.contains(fileOf(l, StatsHeader))) ||
         (l.startsWith(RowsHeader) && keep.contains(fileOf(l, RowsHeader))) ||
-        (l.startsWith(NullsHeader) && keep.contains(fileOf(l, NullsHeader)))
+        (l.startsWith(NullsHeader) && keep.contains(fileOf(l, NullsHeader))) ||
+        (l.startsWith(HllHeader) && keep.contains(fileOf(l, HllHeader)))
     }
   }
 
@@ -584,6 +614,7 @@ object Snapshots {
       if (l.startsWith(StatsHeader)) rewrite(l, StatsHeader)
       else if (l.startsWith(RowsHeader)) rewrite(l, RowsHeader)
       else if (l.startsWith(NullsHeader)) rewrite(l, NullsHeader)
+      else if (l.startsWith(HllHeader)) rewrite(l, HllHeader)
       else None
     }
   }
@@ -1606,6 +1637,53 @@ object Snapshots {
     base + 1
   }
 
+  // ── A59: TYPE WIDENING (the Delta type-widening pattern) ───────────
+
+  /** `from` can widen to `to` losslessly AND Spark's parquet readers
+    * serve old physical-`from` files under a logical-`to` read schema
+    * natively (int32→int64, float→double — the SPARK-40876 widening
+    * set). Everything else refuses: narrowing loses data, and e.g.
+    * int→decimal would need a file rewrite. */
+  private[graft] def widensTo(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** A59 — widen `column`'s declared type as a METADATA-ONLY commit:
+    * same live files, same stats, same DVs — one manifest line changes
+    * (the schema), zero data movement on a 100 TB table. Files written
+    * before the widening keep their narrow physical type and read
+    * through the wider schema natively (mixed-file reads included);
+    * time travel to a pre-widening version serves the OLD type, because
+    * the schema is recorded per version like any other evolution. */
+  def widenColumn(spark: SparkSession, path: String, column: String,
+      to: org.apache.spark.sql.types.DataType): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val schemaNow = tableSchema(path, v).getOrElse(read(spark, path, v).schema)
+    require(schemaNow.fieldNames.contains(column),
+      s"widen: no column '$column' in ${schemaNow.fieldNames.mkString(", ")}")
+    val from = schemaNow(column).dataType
+    require(widensTo(from, to),
+      s"widen: ${from.simpleString} -> ${to.simpleString} is not a " +
+        "supported widening (byte/short/int up to long, float to double)")
+    // f.copy keeps the field metadata — the A24 physical-name mapping
+    // survives the type change
+    val widened = org.apache.spark.sql.types.StructType(schemaNow.fields.map(
+      f => if (f.name == column) f.copy(dataType = to) else f))
+    val live = liveFiles(path, v)
+    commitNext(path, v, live, Some(widened), carriedStats(path, v, live),
+      dvFiles(path, v),
+      cdf = if (cdfEnabled(path, v)) Some(Seq.empty) else None)
+  }
+
   /** Version 0: snapshot the directory's current parquet files.
     * `changeDataFeed` opts the table into A31 change-data recording
     * (Delta's enableChangeDataFeed property — off by default since
@@ -1800,8 +1878,10 @@ object Snapshots {
     * as NULL; files from BEFORE the evolution are never rewritten for
     * it — A19 schema-on-read null-fills them, so evolving a 100 TB
     * table costs one manifest line, zero data movement. Existing
-    * columns never change type (SET casts to the declared type, as
-    * without evolution). Time travel to a pre-evolution version serves
+    * columns TYPE-WIDEN (A59) when an assignment's inferred type is
+    * strictly wider in the int→long / float→double lattice — also
+    * metadata-only; any other type mismatch SET-casts to the declared
+    * type, as without evolution. Time travel to a pre-evolution version serves
     * the OLD schema. If no clause can fire, the schema does not evolve
     * (a no-op merge stays a no-op). With `evolveSchema = false` an
     * unknown SET/INSERT column refuses — the pre-A54 pin.
@@ -1964,25 +2044,45 @@ object Snapshots {
         case (BySourceUpdate(_, set), i) if set.exists(_._1 == n) =>
           (200 + i, set.find(_._1 == n).get._2)
       }
-    // A54: infer each NEW column's type from its assignments' own
+    // A54: infer a column's assigned type from its assignments' own
     // when-cascade over the joined frame — plan-only (no job); mixed
     // branch types go through Spark's coercion and refuse loudly if
-    // incompatible. Nullable by construction (unfired rows are NULL).
+    // incompatible.
+    def inferredType(n: String): Option[org.apache.spark.sql.types.DataType] = {
+      val vals = assignedVals(n) ++ insertCs.zipWithIndex.collect {
+        case (c, i) if c.values.exists(_._1 == n) =>
+          (100 + i, c.values.find(_._1 == n).get._2)
+      }
+      if (vals.isEmpty) None
+      else {
+        val cascade = vals.tail.foldLeft(
+          when(col("__branch") === vals.head._1, vals.head._2)) {
+          case (acc, (b, e)) => acc.when(col("__branch") === b, e)
+        }
+        Some(jb.select(cascade.as(n)).schema.head.dataType)
+      }
+    }
+    // A59 under A54: an assignment whose inferred type is STRICTLY
+    // wider than the declared type (int→long, float→double) WIDENS the
+    // declaration instead of silently casting the value down — a
+    // metadata change only; untouched files keep their narrow physical
+    // type and read through the wider schema natively. Only with
+    // MERGE WITH SCHEMA EVOLUTION (the Delta type-widening contract);
+    // without it, SET still casts to the declared type.
+    val widenedNow: org.apache.spark.sql.types.StructType =
+      if (!evolveSchema) schemaNow
+      else org.apache.spark.sql.types.StructType(schemaNow.fields.map { f =>
+        inferredType(f.name) match {
+          case Some(t) if widensTo(f.dataType, t) => f.copy(dataType = t)
+          case _ => f
+        }
+      })
+    // new columns are nullable by construction (unfired rows are NULL)
     val outSchema: org.apache.spark.sql.types.StructType =
-      if (newCols.isEmpty) schemaNow
-      else org.apache.spark.sql.types.StructType(schemaNow.fields ++
-        newCols.map { n =>
-          val vals = assignedVals(n) ++ insertCs.zipWithIndex.collect {
-            case (c, i) if c.values.exists(_._1 == n) =>
-              (100 + i, c.values.find(_._1 == n).get._2)
-          }
-          val cascade = vals.tail.foldLeft(
-            when(col("__branch") === vals.head._1, vals.head._2)) {
-            case (acc, (b, e)) => acc.when(col("__branch") === b, e)
-          }
-          org.apache.spark.sql.types.StructField(n,
-            jb.select(cascade.as(n)).schema.head.dataType, nullable = true)
-        })
+      if (newCols.isEmpty) widenedNow
+      else org.apache.spark.sql.types.StructType(widenedNow.fields ++
+        newCols.map(n => org.apache.spark.sql.types.StructField(n,
+          inferredType(n).get, nullable = true)))
 
     def outCol(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
       val branchVals: Seq[(Int, org.apache.spark.sql.Column)] =
@@ -1990,10 +2090,12 @@ object Snapshots {
           (100 + i, c.values.find(_._1 == f.name).map(_._2)
             .getOrElse(lit(null)))
         }
-      // pre-evolution target rows have no such column: NULL base
+      // pre-evolution target rows have no such column: NULL base;
+      // widened columns lift the kept narrow values to the new type
       val base =
-        if (schemaNow.fieldNames.contains(f.name)) col(s"`${f.name}`")
-        else lit(null).cast(f.dataType)
+        if (!schemaNow.fieldNames.contains(f.name)) lit(null).cast(f.dataType)
+        else if (schemaNow(f.name).dataType == f.dataType) col(s"`${f.name}`")
+        else col(s"`${f.name}`").cast(f.dataType)
       branchVals.foldLeft(base) { case (acc, (b, e)) =>
         when(col("__branch") === b, e.cast(f.dataType)).otherwise(acc)
       }.as(f.name)
@@ -2048,7 +2150,8 @@ object Snapshots {
     val touchedSet = touched.map(canonical).toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged,
-      if (newCols.isEmpty) tableSchema(path, v) else Some(outSchema),
+      if (newCols.isEmpty && widenedNow == schemaNow) tableSchema(path, v)
+      else Some(outSchema),
       carriedStats(path, v, retained) ++ statsLines(spark, staged),
       dvFiles(path, v), cdf = cdfStaged,
       bloomExtra = maybeBloom(spark, path, v, staged), txnSet = txn,

@@ -569,6 +569,54 @@ class ConnectorSpec extends GraftSuite {
     } finally q2.stop()
   }
 
+  test("readChangeFeed start controls: startingVersion skips the " +
+      "snapshot; startingTimestamp resolves to the first commit at or " +
+      "after the instant; refusals pin the contract") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir, changeDataFeed = true) // v0
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((5L, "UP5", 1L)).toDF("k", "payload", "gen"), "k") // v1
+    val t1 = Snapshots.commitTime(dir, 1).get
+    Snapshots.deleteVersioned(spark, dir, col("k") === 9L) // v2
+
+    def collectFeed(opts: Map[String, String]): Seq[(Long, String, Int)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]
+      var r = spark.readStream.format("graft").option("keyCol", "k")
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(dir).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.collect().map(x =>
+              (x.getLong(0), x.getString(1), x.getInt(4)))
+          }; ()
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_cdf_start").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      buf.toSeq
+    }
+    // startingVersion 1 on the CDF feed: no snapshot, v2's delete only
+    assert(collectFeed(Map("startingVersion" -> "1")) ==
+      Seq((9L, "delete", 2)))
+    // startingTimestamp at v1's commit instant: v1 is AT the instant,
+    // so its change rows are delivered (start = after v0)
+    val fromT1 = collectFeed(Map("startingTimestamp" -> t1.toString))
+    assert(fromT1.map(_._3).distinct.sorted == Seq(1, 2),
+      s"expected v1+v2 changes, got $fromT1")
+    assert(fromT1.count(_._3 == 1) == 2) // both update images
+    // an instant after every commit: next commits still flow
+    val tLate = Snapshots.commitTime(dir, 2).get + 1
+    assert(collectFeed(Map("startingTimestamp" -> tLate.toString)).isEmpty)
+    // refusals: both options together; an instant predating history
+    intercept[Exception] {
+      collectFeed(Map("startingVersion" -> "1", "startingTimestamp" -> "0"))
+    }
+    intercept[Exception] { collectFeed(Map("startingTimestamp" -> "0")) }
+  }
+
   test("changesCdf: stored-change fast path matches the manifest-diff path") {
     import spark.implicits._
     // two tables, identical history; only `a` records change data —

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
-import graft.sources.{DayTransform, HiddenPartitions, ModTransform, Snapshots, TruncateTransform}
+import graft.sources.{BucketTransform, DayTransform, HiddenPartitions, HourTransform, ModTransform, MonthTransform, Snapshots, TruncateTransform, YearTransform}
 
 /** Hidden (transform) partitioning: queries filter the RAW column;
   * directories prune through the transform; the layout never appears
@@ -255,5 +255,160 @@ class HiddenPartitionSpec extends GraftSuite {
         Files.createTempDirectory("graft_not_hidden").toString,
         ModTransform("k", 8))
     }
+  }
+
+  // ── r10: hour/month/year + bucket transforms, and the A50 compose ──
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  test("hour transform: a time-range filter prunes to matching hours") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_hr").toString + "/t"
+    val rows = for (h <- 0 until 4; m <- Seq(5, 35)) yield
+      (h * 2 + (m / 30).toLong, ts(f"2024-03-05T$h%02d:$m%02d:00Z"))
+    HiddenPartitions.init(spark, root, rows.toDF("id", "tt").coalesce(1),
+      HourTransform("tt"))
+    val df = spark.read.format("graft").load(root)
+    val total = scannedFiles(df)
+    assert(total >= 4)
+    val one = df.filter(
+      col("tt") >= lit("2024-03-05 02:00:00").cast("timestamp") &&
+      col("tt") < lit("2024-03-05 03:00:00").cast("timestamp"))
+    assert(scannedFiles(one) == total / 4)
+    assert(one.count() == 2)
+  }
+
+  test("month and year transforms: calendar ranges prune; month " +
+      "boundaries are exact (Feb/leap handled by the day-count calendar)") {
+    import spark.implicits._
+    val rootM = Files.createTempDirectory("graft_hidden_mo").toString + "/t"
+    val rows = Seq(
+      (1L, ts("2024-01-15T10:00:00Z")), (2L, ts("2024-01-31T23:59:59Z")),
+      (3L, ts("2024-02-01T00:00:00Z")), (4L, ts("2024-02-29T12:00:00Z")),
+      (5L, ts("2024-03-01T00:00:00Z")), (6L, ts("2024-03-20T08:00:00Z")))
+    HiddenPartitions.init(spark, rootM, rows.toDF("id", "tt").coalesce(1),
+      MonthTransform("tt"))
+    val df = spark.read.format("graft").load(rootM)
+    val total = scannedFiles(df)
+    assert(total >= 3) // three month partitions
+    // February only — the leap-day row stays, both neighbors prune
+    val feb = df.filter(
+      col("tt") >= lit("2024-02-01 00:00:00").cast("timestamp") &&
+      col("tt") < lit("2024-03-01 00:00:00").cast("timestamp"))
+    assert(scannedFiles(feb) == total / 3)
+    assert(feb.count() == 2)
+    // year transform over two years
+    val rootY = Files.createTempDirectory("graft_hidden_yr").toString + "/t"
+    val yRows = Seq((1L, ts("2023-06-01T00:00:00Z")),
+      (2L, ts("2023-12-31T23:59:59Z")), (3L, ts("2024-01-01T00:00:00Z")))
+    HiddenPartitions.init(spark, rootY, yRows.toDF("id", "tt").coalesce(1),
+      YearTransform("tt"))
+    val dfy = spark.read.format("graft").load(rootY)
+    val ty = scannedFiles(dfy)
+    val y23 = dfy.filter(col("tt") < lit("2024-01-01 00:00:00").cast("timestamp"))
+    assert(scannedFiles(y23) == ty / 2)
+    assert(y23.count() == 2)
+  }
+
+  test("bucket transform: equality on the raw key prunes to one hash " +
+      "bucket; the hash spreads a skewed key space") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_bk").toString + "/t"
+    // keys all ≡ 0 (mod 8): a mod transform would collapse to ONE
+    // partition; the hash bucket must spread them
+    HiddenPartitions.init(spark, root,
+      (1L to 200L).map(k => (k * 8, s"v${k * 8}")).toDF("k", "payload"),
+      BucketTransform("k", 8))
+    assert(graft.sources.PartitionedSnapshots.partitions(root).size >= 6,
+      "murmur3 bucketing must spread keys that share a modulus")
+    val df = spark.read.format("graft").load(root)
+    val total = scannedFiles(df)
+    val one = df.filter(col("k") === 137L * 8)
+    assert(scannedFiles(one) < total)
+    assert(one.select("payload").head().getString(0) == s"v${137 * 8}")
+    // IN list prunes to at most |list| buckets
+    val two = df.filter(col("k").isin(8L, 16L))
+    assert(scannedFiles(two) < total)
+    assert(two.count() == 2)
+    // merge routes through the hash like init did — no duplicates
+    HiddenPartitions.merge(spark, root,
+      Seq((8L, "UPD"), (99999L, "NEW")).toDF("k", "payload"), "k")
+    val after = spark.read.format("graft").load(root)
+    assert(after.filter(col("k") === 8L).count() == 1)
+    assert(after.filter(col("k") === 8L).select("payload")
+      .head().getString(0) == "UPD")
+    assert(after.filter(col("k") === 99999L).count() == 1)
+  }
+
+  test("bucket-under-partition compose: every day dir is a bucketed " +
+      "table (exchange-free joins inside a partition), merges and new " +
+      "partitions preserve both layouts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_comp").toString + "/t"
+    val rows = for (d <- 0 until 2; i <- 1 to 60) yield
+      (d * 100 + i.toLong, ts(f"2024-03-0${d + 5}T01:00:00Z"), s"p$d-$i")
+    HiddenPartitions.init(spark, root, rows.toDF("k", "tt", "payload"),
+      DayTransform("tt"), bucketBy = Some(("k", 4)))
+    assert(HiddenPartitions.bucketOf(root).contains(("k", 4)))
+    // every partition dir carries the bucket spec
+    val dirs = graft.sources.PartitionedSnapshots.partitions(root)
+      .map(v => graft.sources.PartitionedSnapshots.partitionDir(root, v))
+    assert(dirs.size == 2)
+    dirs.foreach { d =>
+      assert(Snapshots.bucketSpecOf(d, Snapshots.currentVersion(d))
+        .contains(("k", 4)), s"$d lost the bucket spec")
+    }
+    // reads stay exact, day pruning still applies
+    val df = spark.read.format("graft").load(root)
+    assert(df.count() == 120)
+    val total = scannedFiles(df)
+    val day1 = df.filter(
+      col("tt") >= lit("2024-03-05 00:00:00").cast("timestamp") &&
+      col("tt") < lit("2024-03-06 00:00:00").cast("timestamp"))
+    assert(scannedFiles(day1) == total / 2)
+    // a merge that creates a NEW day partition bootstraps it bucketed
+    HiddenPartitions.merge(spark, root,
+      Seq((1L, ts("2024-03-05T01:00:00Z"), "UPD"),
+        (900L, ts("2024-03-09T01:00:00Z"), "NEWDAY"))
+        .toDF("k", "tt", "payload"), "k")
+    val dirs2 = graft.sources.PartitionedSnapshots.partitions(root)
+      .map(v => graft.sources.PartitionedSnapshots.partitionDir(root, v))
+    assert(dirs2.size == 3)
+    dirs2.foreach { d =>
+      assert(Snapshots.bucketSpecOf(d, Snapshots.currentVersion(d))
+        .contains(("k", 4)), s"$d lost the bucket spec after merge")
+    }
+    val after = spark.read.format("graft").load(root)
+    assert(after.count() == 121)
+    assert(after.filter(col("k") === 1L).select("payload")
+      .head().getString(0) == "UPD")
+  }
+
+  test("evolve mod → bucket: the old epoch keeps its layout, keys " +
+      "never duplicate, each epoch prunes through its own transform") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_evb").toString + "/t"
+    HiddenPartitions.init(spark, root,
+      (1L to 400L).map(k => (k, s"v$k")).toDF("k", "payload"),
+      ModTransform("k", 4))
+    val epoch = HiddenPartitions.evolve(root, BucketTransform("k", 8))
+    assert(epoch == 1)
+    // update an OLD key (lives in epoch 0) + insert a NEW one (routes
+    // by the bucket transform into an epoch-1 dir)
+    HiddenPartitions.merge(spark, root,
+      Seq((437L, "nope"), (37L, "UPD"), (5000L, "NEW"))
+        .toDF("k", "payload").filter(col("k") =!= 437L || lit(false)),
+      "k")
+    val df = spark.read.format("graft").load(root)
+    assert(df.count() == 401)
+    assert(df.filter(col("k") === 37L).count() == 1)
+    assert(df.filter(col("k") === 37L).select("payload")
+      .head().getString(0) == "UPD")
+    assert(df.filter(col("k") === 5000L).select("payload")
+      .head().getString(0) == "NEW")
+    // equality still prunes: the probe key hits at most one dir per epoch
+    val total = scannedFiles(df)
+    assert(scannedFiles(df.filter(col("k") === 37L)) < total)
   }
 }

@@ -538,7 +538,9 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
-  test("r9: manifest stats feed CBO — a selective filter flips the join to broadcast by name") {
+  test("r9/r10: manifest stats feed CBO — a selective filter flips the " +
+      "join to broadcast by name WITHOUT any ANALYZE (A61 per-file HLL " +
+      "NDV), and the sketch follows a delete with no re-analyze") {
     withExtSession { s =>
       import s.implicits._
       val dir = Files.createTempDirectory("graft_cbo").toString + "/t"
@@ -569,24 +571,15 @@ class LakeSqlSpec extends GraftSuite {
         def smjs(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
           case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m }
 
-        // control 1 — BEFORE ANALYZE: rowCount + min/max attach free
-        // from the manifest, but Catalyst's FilterEstimation refuses
-        // to price any comparison without a distinctCount, so the
-        // filtered estimate stays 60k rows → sort-merge
-        val before = joinPlan(s.table("cbo_big"))
-        assert(smjs(before).nonEmpty && bhjs(before).isEmpty,
-          s"expected SMJ before ANALYZE, got:\n$before")
-
-        // ONE distributed NDV pass, stored versioned in the log
-        assert(s.sql(s"GRAFT ANALYZE '$dir'").collect()(0).getLong(0) == 0L)
-
-        // by NAME after ANALYZE: FilterEstimation prices k <= 600 at
-        // ~1% of 60k rows → under the threshold → broadcast join
+        // NO ANALYZE anywhere in this test. rowCount + min/max attach
+        // free from the manifest, and the NDV FilterEstimation demands
+        // comes from the A61 per-file HLL sketches every commit already
+        // recorded — k <= 600 prices at ~1% of 60k rows → broadcast
         val byName = joinPlan(s.table("cbo_big"))
         assert(bhjs(byName).nonEmpty && smjs(byName).isEmpty,
-          s"expected broadcast by name, got:\n$byName")
+          s"expected broadcast by name WITHOUT analyze, got:\n$byName")
 
-        // estimated cardinality is the manifest+NDV one, not a guess
+        // estimated cardinality is the manifest+sketch one, not a guess
         val est = s.table("cbo_big").filter(col("k") <= 600L)
           .queryExecution.optimizedPlan.stats
         assert(est.rowCount.exists(rc => rc >= 1 && rc <= 6000),
@@ -598,11 +591,25 @@ class LakeSqlSpec extends GraftSuite {
         val byPath = joinPlan(s.read.format("graft").load(dir))
         assert(smjs(byPath).nonEmpty && bhjs(byPath).isEmpty,
           s"expected SMJ by path, got:\n$byPath")
+
+        // never stale: a delete moves the NDV with the files — the
+        // remaining estimate tracks the shrunk table with NO re-analyze
+        // (the A46 sidecar would still claim 60k here)
+        Snapshots.deleteVersioned(s, dir, col("k") > 6000L)
+        s.sql("DROP TABLE IF EXISTS cbo_big2")
+        s.sql(s"CREATE TABLE cbo_big2 USING graft OPTIONS (path '$dir', keyCol 'k')")
+        val shrunk = s.table("cbo_big2").queryExecution.optimizedPlan.stats
+        assert(shrunk.rowCount.contains(BigInt(6000)))
+        val ndvNow = shrunk.attributeStats.find(_._1.name == "k")
+          .flatMap(_._2.distinctCount)
+        assert(ndvNow.exists(n => n >= BigInt(4500) && n <= BigInt(7500)),
+          s"merged sketch NDV should track the delete, got $ndvNow")
       } finally {
         s.conf.unset("spark.sql.cbo.enabled")
         s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         s.conf.unset("spark.sql.adaptive.enabled")
         s.sql("DROP TABLE IF EXISTS cbo_big")
+        s.sql("DROP TABLE IF EXISTS cbo_big2")
       }
     }
   }
@@ -969,5 +976,98 @@ class LakeSqlSpec extends GraftSuite {
         org.apache.spark.sql.functions.sum("o_custkey").as("sum_o_custkey"),
         org.apache.spark.sql.functions.avg("o_custkey").as("avg_o_custkey"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("r10 (A56): GRAFT BEGIN/COMMIT TRANSACTION, ABORT, RECOVER and " +
+      "PIN CONSISTENT — the multi-table protocol end-to-end over SQL") {
+    withExtSession { s =>
+      import s.implicits._
+      val root = Files.createTempDirectory("graft_txnsql").toString
+      val (t1, t2) = (root + "/t1", root + "/t2")
+      val coord = root + "/coord"
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "payload")
+        .write.parquet(t1)
+      (1L to 40L).map(k => (k, k * 10)).toDF("k", "amt")
+        .write.parquet(t2)
+      Snapshots.init(s, t1); Snapshots.init(s, t2)
+      // BEGIN returns the per-table staging branches
+      val rows = s.sql(
+        s"GRAFT BEGIN TRANSACTION 'sqltx1' AT '$coord' ON ('$t1', '$t2')")
+        .collect()
+      assert(rows.length == 2)
+      val branches = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+      // stage with ORDINARY DML on the branch paths
+      s.sql(s"DELETE FROM graft.`${branches(t1)}` WHERE k <= 5")
+      Snapshots.appendVersioned(s, branches(t2),
+        Seq((100L, 1000L)).toDF("k", "amt"))
+      // undecided: neither main moved
+      assert(Snapshots.read(s, t1).count() == 40)
+      assert(Snapshots.read(s, t2).count() == 40)
+      s.sql("GRAFT COMMIT TRANSACTION 'sqltx1'")
+      assert(Snapshots.read(s, t1).count() == 35)
+      assert(Snapshots.read(s, t2).count() == 41)
+      // a second COMMIT of the same id refuses (the handle is spent)
+      intercept[Exception] { s.sql("GRAFT COMMIT TRANSACTION 'sqltx1'") }
+      // PIN CONSISTENT: one (table, version) row per table
+      val pins = s.sql(
+        s"GRAFT PIN CONSISTENT AT '$coord' ON ('$t1', '$t2')").collect()
+      assert(pins.length == 2 && pins.forall(_.getLong(1) >= 1L))
+      // crash window: commit dies between the two publishes; RECOVER
+      // over SQL completes the decided transaction
+      val h = graft.sources.GraftTxn.begin(s, coord, Seq(t1, t2), "sqltx2")
+      Snapshots.deleteVersioned(s, h.branchOf(t1), col("k") > 30)
+      intercept[RuntimeException] {
+        graft.sources.GraftTxn.commit(s, h, beforePublish = i =>
+          if (i == 1) throw new RuntimeException("crash before publish 2"))
+      }
+      assert(s.sql(s"GRAFT RECOVER '$coord'")
+        .collect().head.getLong(0) == 1L)
+      assert(Snapshots.read(s, t1).count() == 25)
+      // ABORT: branches dropped, handle spent, mains untouched
+      s.sql(s"GRAFT BEGIN TRANSACTION 'sqltx3' AT '$coord' ON ('$t1')")
+      s.sql("GRAFT ABORT TRANSACTION 'sqltx3'")
+      intercept[Exception] { s.sql("GRAFT COMMIT TRANSACTION 'sqltx3'") }
+      assert(Snapshots.read(s, t1).count() == 25)
+    }
+  }
+
+  test("r10 (A58): GRAFT REGISTER MATERIALIZED VIEW enables the MV " +
+      "rewrite for SQL aggregates over the base") {
+    withExtSession { s =>
+      val root = Files.createTempDirectory("graft_mvregsql").toString
+      val base = root + "/base"; val mv = root + "/mv"
+      Tables.orders(s, sf)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .write.parquet(base)
+      Snapshots.init(s, base, changeDataFeed = true)
+      s.sql(s"GRAFT CREATE MATERIALIZED VIEW '$mv' ON '$base' " +
+        "KEY o_orderkey GROUP BY (o_orderstatus) SUM (o_custkey)")
+      s.sql(s"GRAFT REGISTER MATERIALIZED VIEW '$mv'")
+      try {
+        s.sql(s"DELETE FROM graft.`$base` WHERE o_orderkey % 3 = 0")
+        s.sql(s"GRAFT REFRESH MATERIALIZED VIEW '$mv'")
+        val q = s.sql("SELECT o_orderstatus, count(*) AS cnt, " +
+          s"sum(o_custkey) AS sc FROM graft.`$base` GROUP BY 1")
+        val scansBase = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case g: graft.sources.GraftFileIndex => Seq(g.tablePath)
+                  case _ => Seq.empty[String]
+                }
+              case _ => Seq.empty[String]
+            }
+        }.flatten.map(p => Paths.get(p).toAbsolutePath.normalize.toString)
+        assert(!scansBase.contains(
+          Paths.get(base).toAbsolutePath.normalize.toString),
+          "the SQL aggregate must answer from the registered MV")
+        val want = Snapshots.read(s, base).groupBy("o_orderstatus")
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("cnt"),
+            org.apache.spark.sql.functions.sum("o_custkey").as("sc"))
+        assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty)
+      } finally s.sql(s"GRAFT UNREGISTER MATERIALIZED VIEW '$mv'")
+    }
   }
 }
