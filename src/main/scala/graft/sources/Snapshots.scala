@@ -537,14 +537,27 @@ object Snapshots {
     // A61: one HLL register-set per (file, atomic column) rides the
     // same single staged-files pass — merged register-wise over the
     // LIVE set, the table's NDV follows every commit exactly (the CBO
-    // input A46's ANALYZE sidecar could only approximate until re-run)
-    val hllAgg = udaf(graft.functions.Hll.RegistersAgg, Encoders.LONG)
+    // input A46's ANALYZE sidecar could only approximate until re-run).
+    // HllSketchAgg keeps its buffer an object between rows; the udaf()
+    // wrapper would re-encode 128 bytes per row per column.
+    def hllAgg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.GraftSqlBridge.toColumn(
+        graft.functions.HllSketchAgg(
+          org.apache.spark.sql.GraftSqlBridge.toExpression(c))
+          .toAggregateExpression())
+    // production knob: a pure-append firehose table that will never be
+    // CBO-joined can shed the sketch cost; everything degrades to the
+    // A46 ANALYZE path exactly as for legacy manifests
+    val hllCols: Seq[String] =
+      if (spark.conf.get("spark.graft.stats.ndvSketch.enabled",
+          "true") != "true") Seq.empty
+      else atomicCols
     val aggs = count(lit(1)).as("__nr") +:
       (numCols.toIndexedSeq.flatMap { case (c, _, isFloat) =>
         val cc = if (isFloat) col(s"`$c`").cast("double") else col(s"`$c`")
         Seq(min(cc).as(s"__mn_$c"), max(cc).as(s"__mx_$c")) } ++
         atomicCols.map(c => count(col(s"`$c`")).as(s"__nn_$c")) ++
-        atomicCols.map(c => hllAgg(when(col(s"`$c`").isNotNull,
+        hllCols.map(c => hllAgg(when(col(s"`$c`").isNotNull,
           xxhash64(col(s"`$c`")))).as(s"__hll_$c")))
     val collected = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -565,7 +578,7 @@ object Snapshots {
         NullsHeader + Seq(f, c, (nRows - r.getLong(nnBase + i)).toString)
           .mkString(StatsSep)
       }
-      val hllLines = atomicCols.zipWithIndex.flatMap { case (c, i) =>
+      val hllLines = hllCols.zipWithIndex.flatMap { case (c, i) =>
         Option(r.get(hllBase + i)).map(regs =>
           HllHeader + Seq(f, c, graft.functions.Hll.P.toString,
             graft.functions.Hll.toHex(regs.asInstanceOf[Array[Byte]]))
