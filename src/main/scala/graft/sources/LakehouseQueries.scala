@@ -1660,10 +1660,19 @@ object LakehouseQueries {
         .withColumn("o_orderstatus", lit("R")), "o_orderkey")
     Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
     MaterializedView.refresh(s, mv)
-    val q = s.read.format("graft").load(dir).groupBy("o_orderstatus")
+    def aggOf(df: DataFrame) = df.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("cnt"),
         sum("o_custkey").as("sum_custkey"),
         avg("o_custkey").as("avg_custkey"))
+    val full = aggOf(s.read.format("graft").load(dir))
+      .withColumn("slice", lit("all"))
+    // the filtered dashboard shape: the predicate references the GROUP
+    // column alone, so it commutes with the aggregation and applies to
+    // the MV read — this branch must be scan-free too
+    val filtered = aggOf(s.read.format("graft").load(dir)
+        .filter(col("o_orderstatus").isin("F", "R")))
+      .withColumn("slice", lit("fr"))
+    val q = full.unionByName(filtered)
     // the hard pin: delete a LIVE base data file — a plan that still
     // scans the base cannot answer anymore
     val victim = Snapshots.liveFiles(dir,
@@ -1693,8 +1702,12 @@ object LakehouseQueries {
       |w2 AS (SELECT k, c, st FROM w1 WHERE k % 9 <> 4)
       |SELECT st AS o_orderstatus, count(*) AS cnt,
       |  CAST(sum(c) AS BIGINT) AS sum_custkey, avg(c) AS avg_custkey,
-      |  true AS rewritten
-      |FROM w2 GROUP BY 1""".stripMargin
+      |  'all' AS slice, true AS rewritten
+      |FROM w2 GROUP BY 1
+      |UNION ALL
+      |SELECT st, count(*), CAST(sum(c) AS BIGINT), avg(c),
+      |  'fr', true
+      |FROM w2 WHERE st IN ('F', 'R') GROUP BY 1""".stripMargin
 
   val qLakeMvSql: String =
     """WITH w1 AS (

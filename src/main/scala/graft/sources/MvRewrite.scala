@@ -43,11 +43,15 @@ import org.apache.spark.sql.types._
   * SOUNDNESS of the match: grouping expressions must be bare base
   * columns equal (as a set) to — or a subset of — the MV's group
   * columns; aggregates must be undistinct, unfiltered count(*)/
-  * count(lit)/sum(c)/avg(c) with c among the MV's sum columns; the
-  * base relation must be unfiltered (a Filter between the Aggregate
-  * and the scan disqualifies — the MV pre-aggregated ALL rows) and
-  * must not be DV-carrying or column-mapped (those plan through
-  * GraftCompatRelation, which this rule deliberately does not match).
+  * count(lit)/sum(c)/avg(c) with c among the MV's sum columns; a
+  * Filter between the Aggregate and the scan rewrites ONLY when every
+  * conjunct references MV GROUP columns alone (σ over group columns
+  * commutes with γ, so the predicate applies to the MV read — the
+  * `WHERE region = …` dashboard shape); any predicate touching a
+  * non-group column disqualifies (the MV pre-aggregated those rows
+  * away). The relation must not be DV-carrying or column-mapped
+  * (those plan through GraftCompatRelation, which this rule
+  * deliberately does not match).
   * sum/avg rewrite only for integral and double inputs: the MV stores
   * integral running sums widened to LONG (exactly SQL's sum widening)
   * and double sums as double; float/decimal inputs are refused because
@@ -73,26 +77,34 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** The graft base (path, pinned version) this plan scans, if it is a
-    * bare scan (column-pruning Project allowed, nothing else). */
-  private def scanOf(p: LogicalPlan): Option[(String, Int)] = p match {
-    case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
-      scanOf(child)
-    case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation => h.location match {
-        case g: GraftFileIndex => Some((g.tablePath, g.tableVersion))
+  /** The graft base (path, pinned version, filter conjuncts between
+    * the aggregate and the scan) this plan scans — column-pruning
+    * Projects and Filters allowed, nothing else. Whether the filters
+    * permit a rewrite is decided per-MV in [[tryOne]] (a predicate
+    * over GROUP columns commutes with the aggregation, so it can apply
+    * to the MV read instead — the `WHERE region = …` dashboard shape). */
+  private def scanOf(p: LogicalPlan)
+      : Option[(String, Int, Seq[org.apache.spark.sql.catalyst.expressions.Expression])] =
+    p match {
+      case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
+        scanOf(child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        scanOf(f.child).map { case (pth, v, cs) => (pth, v, f.condition +: cs) }
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case g: GraftFileIndex => Some((g.tablePath, g.tableVersion, Nil))
+          case _ => None
+        }
         case _ => None
       }
       case _ => None
     }
-    case _ => None
-  }
 
   private def norm(p: String): String =
     Paths.get(p).toAbsolutePath.normalize.toString
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (path, pinned) = scanOf(agg.child) match {
+    val (path, pinned, filters) = scanOf(agg.child) match {
       case Some(t) => t
       case None => return None
     }
@@ -106,7 +118,7 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val groupNames = groupAttrs.map(_.name).toSet
     if (groupNames.size != groupAttrs.size) return None
     candidates.view.flatMap { mvRoot =>
-      tryOne(mvRoot, agg, groupNames, pinned)
+      tryOne(mvRoot, agg, groupNames, pinned, filters)
     }.headOption
   }
 
@@ -118,10 +130,23 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case object AsAgg extends Kind
 
   private def tryOne(mvRoot: String, agg: Aggregate,
-      groupNames: Set[String], pinned: Int): Option[LogicalPlan] = {
+      groupNames: Set[String], pinned: Int,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[LogicalPlan] = {
     val sp = MaterializedView.spec(mvRoot)
     val mvGroups = sp.groupCols.toSet
     if (!groupNames.subsetOf(mvGroups)) return None
+    // a filter rewrites only when every conjunct is deterministic,
+    // subquery-free, and references MV GROUP columns alone — whole
+    // groups then pass or fail identically over base and MV (σ over
+    // group columns commutes with γ). Anything else disqualifies the
+    // whole rewrite, never a part of it.
+    if (!filters.forall(f => f.deterministic &&
+        f.references.forall(r => mvGroups.contains(r.name)) &&
+        f.find(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+          .isEmpty))
+      return None
     // exact freshness: the MV must reflect precisely the pinned version
     if (MaterializedView.consumedVersion(mvRoot) != pinned) return None
     val exact = groupNames == mvGroups
@@ -168,7 +193,15 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (answers0.exists(_.isEmpty)) return None
     val answers = answers0.flatten
 
-    val mvDf = Snapshots.read(spark, mvRoot)
+    // the commuted filters apply to the MV read, rebound by NAME onto
+    // the MV plan's own attributes (the originals carry the base
+    // scan's exprIds)
+    val mvDf = filters.foldLeft(Snapshots.read(spark, mvRoot)) { (df, cond) =>
+      val byName = df.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+      df.filter(org.apache.spark.sql.GraftSqlBridge.toColumn(cond.transform {
+        case a: AttributeReference => byName(a.name)
+      }))
+    }
     val sub: DataFrame =
       if (exact)
         mvDf.select(answers.zipWithIndex.map { case ((c, _), i) =>

@@ -480,6 +480,51 @@ class MaterializedViewSpec extends GraftSuite {
     } finally MvRegistry.unregister(mv)
   }
 
+  test("A58 filtered rewrite: a predicate over GROUP columns commutes " +
+      "onto the MV; any non-group reference falls back to the scan") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    val df = Tables.orders(spark, sf).select("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_orderpriority")
+    df.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_custkey"))
+    MvRegistry.register(spark, mv)
+    try {
+      def agg(d: DataFrame) = d.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("sc"))
+      // filter on a group column IN the query's grouping
+      val q1 = agg(spark.read.format("graft").load(base)
+        .filter(col("o_orderstatus") === "F"))
+      assert(!scannedGraftPaths(q1).contains(norm(base)))
+      assertSame(q1, agg(Snapshots.read(spark, base)
+        .filter(col("o_orderstatus") === "F")))
+      // filter on a group column NOT in the query's grouping (rollup
+      // over a σ on the other MV group column)
+      val q2 = agg(spark.read.format("graft").load(base)
+        .filter(col("o_orderpriority").startsWith("1")))
+      assert(!scannedGraftPaths(q2).contains(norm(base)))
+      assertSame(q2, agg(Snapshots.read(spark, base)
+        .filter(col("o_orderpriority").startsWith("1"))))
+      // compound group-column predicate
+      val q3 = agg(spark.read.format("graft").load(base)
+        .filter(col("o_orderstatus") =!= "O" &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH")))
+      assert(!scannedGraftPaths(q3).contains(norm(base)))
+      assertSame(q3, agg(Snapshots.read(spark, base)
+        .filter(col("o_orderstatus") =!= "O" &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))))
+      // a NON-group column in the predicate: the MV pre-aggregated
+      // those rows away — must fall back to the base scan
+      val q4 = agg(spark.read.format("graft").load(base)
+        .filter(col("o_custkey") % 2 === 0))
+      assert(scannedGraftPaths(q4).contains(norm(base)),
+        "a non-group predicate must never be served by the MV")
+      assertSame(q4, agg(Snapshots.read(spark, base)
+        .filter(col("o_custkey") % 2 === 0)))
+    } finally MvRegistry.unregister(mv)
+  }
+
   test("A58 rollup rewrite: a SUBSET of the MV's group columns " +
       "re-aggregates from the MV, never the base") {
     val base = tmp(); val mv = tmp() + "/mv"
