@@ -418,6 +418,29 @@ object HiddenPartitions {
     specs.size
   }
 
+  /** Conservative manifest-only pre-filter for the key probe: may
+    * `dir` hold any key in the batch's [bmin, bmax]? Numeric recorded
+    * ranges prune; anything unparseable or unrecorded answers true
+    * (probing too much is slow, skipping too much is WRONG). */
+  private def dirMayHoldKeys(dir: String, keyCol: String,
+      bminS: Option[String], bmaxS: Option[String]): Boolean = {
+    val (bmin, bmax) = (bminS.flatMap(_.toDoubleOption),
+      bmaxS.flatMap(_.toDoubleOption))
+    if (bmin.isEmpty || bmax.isEmpty) return true
+    val v = Snapshots.currentVersion(dir)
+    if (v < 0) return true
+    val phys = Snapshots.physicalOf(dir, v, keyCol)
+    val stats = Snapshots.fileStats(dir, v)
+    val live = Snapshots.liveFiles(dir, v).map(Snapshots.canonical)
+    if (live.isEmpty) return false
+    val ranges = live.map(f => stats.get(f).flatMap(_.get(phys)).flatMap {
+      case (_, mn, mx) =>
+        for (a <- mn.toDoubleOption; b <- mx.toDoubleOption) yield (a, b)
+    })
+    if (ranges.exists(_.isEmpty)) return true
+    ranges.flatten.exists { case (mn, mx) => mx >= bmin.get && mn <= bmax.get }
+  }
+
   private def requireNoNulls(df: DataFrame, c: String): Unit =
     require(df.filter(column(c).isNull).isEmpty,
       s"graft: hidden-partition source column '$c' must be non-null " +
@@ -514,26 +537,66 @@ object HiddenPartitions {
     // gate scenario). localCheckpoint cost is one pass over the batch —
     // the thing a merge reads anyway; on executor loss the command
     // fails loudly and is retried, never silently wrong.
-    var remaining = updates.localCheckpoint()
-    // old epochs, newest first: update in place where the key lives.
-    // ONE probe pass per epoch — a union of the touched dirs' key
-    // columns (column-pruned) semi-joined against the batch — instead
-    // of a per-directory probe+anti-join chain whose lineage grows with
-    // every partition.
-    for (epoch <- (0 until currentEpoch).reverse) {
+    // A transform that is a pure function of the MERGE KEY can never
+    // move a row (see pass 1); a SINGLE-epoch table whose transform is
+    // key-pure needs none of the probe apparatus — not even the batch
+    // materialization — and keeps the zero-overhead route-by-value path
+    def keyPureT(t: GraftTransform): Boolean = t.col == keyCol
+    val needsProbe = specs.zipWithIndex.exists { case (t, e) =>
+      !(e == currentEpoch && keyPureT(t)) }
+    var remaining = if (needsProbe) updates.localCheckpoint() else updates
+    // PASS 1 — every epoch INCLUDING the current one, newest first:
+    // find where each batch key ALREADY LIVES (one column-pruned probe
+    // pass per epoch: a union of the epoch's plausible dirs' key
+    // columns semi-joined against the batch — never a per-directory
+    // probe+anti-join chain). A found row then splits:
+    //  - STAYING (its value under that epoch's transform still maps to
+    //    the dir it lives in) → keyed in-place merge there;
+    //  - MOVING (the update CHANGED the transform column) → the old
+    //    copy is DELETED here and the row re-routes by the CURRENT
+    //    transform in pass 2. Updating in place would silently break
+    //    directory pruning (every row in `part=v` must satisfy
+    //    transform(row) = v); routing the new row without the delete
+    //    would silently DUPLICATE the key — delete+reroute is the only
+    //    sound semantics (Hive/Iceberg's partition-moving UPDATE).
+    // Probing every epoch's dirs would be O(|partitions|) key scans on
+    // a big table; the manifest key ranges bound it — only dirs whose
+    // recorded [min,max] of the key overlaps the batch's range open.
+    // the key-range dir prune only matters for non-key-pure epochs
+    val batchRange =
+      if (!specs.exists(t => !keyPureT(t))) (None, None)
+      else {
+        val r = remaining.agg(min(column(keyCol)), max(column(keyCol))).head()
+        (Option(r.get(0)).map(_.toString), Option(r.get(1)).map(_.toString))
+      }
+    // Key-pure epochs (mod/bucket/truncate ON the key) keep the cheap
+    // route-by-value path: within the epoch a key can only live in ITS
+    // OWN value's dir, so one semi-join probe per matching dir suffices
+    // (and the CURRENT epoch skips pass 1 entirely — pass 2's
+    // update-or-insert merge is already exact for it).
+    def keyPure(t: GraftTransform): Boolean = keyPureT(t)
+    for (epoch <- (0 to currentEpoch).reverse if needsProbe) {
       val t = specs(epoch)
-      val dirsE = epochValues(path, epoch)
-        .map(v => v -> epochDir(path, epoch, v)).toMap
-      if (dirsE.nonEmpty) {
-        val touched = remaining
-          .withColumn("__part", t.valueExpr).filter(col("__part").isNotNull)
-          .select("__part").distinct().collect().map(_.getString(0))
-          .filter(dirsE.contains).sorted
-        if (touched.nonEmpty) {
+      if (!(epoch == currentEpoch && keyPure(t)) && !remaining.isEmpty) {
+        val dirsAll = epochValues(path, epoch)
+          .map(v => v -> epochDir(path, epoch, v))
+        val dirOf = dirsAll.toMap
+        val dirsE =
+          if (keyPure(t)) {
+            // rows can only live under their own value: probe exactly
+            // the dirs the batch's values name
+            val vals = remaining.withColumn("__part", t.valueExpr)
+              .filter(col("__part").isNotNull)
+              .select("__part").distinct().collect().map(_.getString(0))
+              .toSet
+            dirsAll.filter(d => vals.contains(d._1))
+          } else dirsAll.filter { case (_, d) =>
+            dirMayHoldKeys(d, keyCol, batchRange._1, batchRange._2) }
+        if (dirsE.nonEmpty) {
           // (key, partition-value) of every batch key this epoch holds:
           // bounded by the batch size, so checkpointing it is cheap
-          val epochKeys = touched.map { v =>
-            Snapshots.read(spark, dirsE(v)).select(column(keyCol))
+          val epochKeys = dirsE.map { case (v, d) =>
+            Snapshots.read(spark, d).select(column(keyCol))
               .withColumn("__pv", lit(v))
           }.reduce(_.unionByName(_))
             .join(broadcast(remaining.select(column(keyCol))),
@@ -542,21 +605,43 @@ object HiddenPartitions {
           val found = epochKeys.select("__pv").distinct()
             .collect().map(_.getString(0)).sorted
           found.foreach { v =>
-            results(s"e$epoch:$v") = Snapshots.mergeVersioned(spark,
-              dirsE(v),
-              remaining.join(
-                broadcast(epochKeys.filter(col("__pv") === v)
-                  .select(column(keyCol))), Seq(keyCol), "left_semi"),
-              keyCol)
+            val keysV = broadcast(epochKeys.filter(col("__pv") === v)
+              .select(column(keyCol)))
+            val rowsV = remaining.join(keysV, Seq(keyCol), "left_semi")
+            val label = if (epoch == currentEpoch) v else s"e$epoch:$v"
+            if (keyPure(t)) {
+              // no move possible: everything found here updates here
+              results(label) =
+                Snapshots.mergeVersioned(spark, dirOf(v), rowsV, keyCol)
+            } else {
+              val staying = rowsV.filter(t.valueExpr <=> lit(v))
+              val moving = rowsV.filter(!(t.valueExpr <=> lit(v)))
+              if (!staying.isEmpty)
+                results(label) =
+                  Snapshots.mergeVersioned(spark, dirOf(v), staying, keyCol)
+              if (!moving.isEmpty)
+                results(label) = Snapshots.mergeVersionedClauses(spark,
+                  dirOf(v), moving.select(column(keyCol)), keyCol,
+                  Seq(MergeWhen.MatchedDelete(None)))
+            }
           }
-          if (found.nonEmpty)
-            remaining = remaining.join(
-              broadcast(epochKeys.select(column(keyCol))),
-              Seq(keyCol), "left_anti").localCheckpoint()
+          if (found.nonEmpty) {
+            // in-place-updated rows leave the batch; MOVED rows stay
+            // and re-route below like inserts
+            val stayedKeys =
+              if (keyPure(t)) epochKeys.select(column(keyCol))
+              else remaining
+                .join(broadcast(epochKeys), Seq(keyCol), "inner")
+                .filter(t.valueExpr <=> col("__pv"))
+                .select(column(keyCol))
+            remaining = remaining
+              .join(broadcast(stayedKeys), Seq(keyCol), "left_anti")
+              .localCheckpoint()
+          }
         }
       }
     }
-    // current epoch: update-or-insert by the current transform
+    // PASS 2 — genuinely new (or moved) keys: route by the current transform
     val existing = epochValues(path, currentEpoch).toSet
     val touched = remaining.withColumn("__part", current.valueExpr)
       .select("__part").distinct().collect().map(_.getString(0))

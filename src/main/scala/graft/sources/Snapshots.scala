@@ -2128,11 +2128,17 @@ object Snapshots {
           case (MatchedUpdate(_, _), i) => i } ++
           bySourceCs.zipWithIndex.collect {
             case (BySourceUpdate(_, _), i) => 200 + i }
-        // A54: a pre-evolution row has no new column — NULL pre-image
+        // A54: a pre-evolution row has no new column — NULL pre-image.
+        // A59: a WIDENED column's pre-image lifts to the new type, or
+        // the __pre/__post structs would disagree on field types (the
+        // <=> compare and the union below both need one shape)
         val tagged = jb
           .withColumn("__pre", struct(outSchema.fields.toIndexedSeq.map(f =>
-            if (schemaNow.fieldNames.contains(f.name)) col(s"`${f.name}`")
-            else lit(null).cast(f.dataType).as(f.name)): _*))
+            if (!schemaNow.fieldNames.contains(f.name))
+              lit(null).cast(f.dataType).as(f.name)
+            else if (schemaNow(f.name).dataType == f.dataType)
+              col(s"`${f.name}`")
+            else col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*))
           .withColumn("__post",
             struct(outSchema.fields.toIndexedSeq.map(outCol): _*))
           .withColumn("__ct",

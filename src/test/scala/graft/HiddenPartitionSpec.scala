@@ -385,6 +385,61 @@ class HiddenPartitionSpec extends GraftSuite {
       .head().getString(0) == "UPD")
   }
 
+  test("a merge that CHANGES the transform column MOVES the row: old " +
+      "copy deleted, new row re-routed — never duplicated, pruning " +
+      "stays sound") {
+    import spark.implicits._
+    // single-epoch day-partitioned table
+    val root = Files.createTempDirectory("graft_hidden_move").toString + "/t"
+    val rows = for (d <- 0 until 2; i <- 1 to 10) yield
+      (d * 100 + i.toLong, ts(f"2024-03-0${d + 5}T01:00:00Z"), s"p$d-$i")
+    HiddenPartitions.init(spark, root, rows.toDF("k", "tt", "payload")
+      .coalesce(1), DayTransform("tt"))
+    // key 3 moves from day 05 to day 08 (a NEW partition); key 101
+    // moves from day 06 to day 05 (an EXISTING partition); key 5 stays
+    HiddenPartitions.merge(spark, root, Seq(
+      (3L, ts("2024-03-08T09:00:00Z"), "MOVED-NEW"),
+      (101L, ts("2024-03-05T23:00:00Z"), "MOVED-EXISTING"),
+      (5L, ts("2024-03-05T01:00:00Z"), "STAYED"))
+      .toDF("k", "tt", "payload"), "k")
+    val df = spark.read.format("graft").load(root)
+    // no duplicates, no losses
+    assert(df.count() == 20)
+    assert(df.groupBy("k").count().filter(col("count") > 1).isEmpty,
+      "a transform-moving update must never duplicate its key")
+    assert(df.filter(col("k") === 3L).select("payload")
+      .head().getString(0) == "MOVED-NEW")
+    assert(df.filter(col("k") === 101L).select("payload")
+      .head().getString(0) == "MOVED-EXISTING")
+    assert(df.filter(col("k") === 5L).select("payload")
+      .head().getString(0) == "STAYED")
+    // PRUNING SOUNDNESS: the moved rows are found through their NEW
+    // day's partition (an in-place update would have stranded k=3's
+    // new timestamp inside the day-05 dir, and this filter would
+    // silently miss it)
+    val day8 = df.filter(
+      col("tt") >= lit("2024-03-08 00:00:00").cast("timestamp") &&
+      col("tt") < lit("2024-03-09 00:00:00").cast("timestamp"))
+    assert(day8.count() == 1 &&
+      day8.select("k").head().getLong(0) == 3L)
+    val day5 = df.filter(
+      col("tt") >= lit("2024-03-05 00:00:00").cast("timestamp") &&
+      col("tt") < lit("2024-03-06 00:00:00").cast("timestamp"))
+    assert(day5.count() == 10) // 10 - k3 moved out + k101 moved in
+    // multi-epoch: the move composes with spec evolution — a key in an
+    // OLD epoch's dir whose transform value changes re-routes by the
+    // CURRENT transform
+    HiddenPartitions.evolve(root, BucketTransform("k", 4))
+    HiddenPartitions.merge(spark, root, Seq(
+      (7L, ts("2024-03-09T05:00:00Z"), "MOVED-EPOCH"))
+      .toDF("k", "tt", "payload"), "k")
+    val df2 = spark.read.format("graft").load(root)
+    assert(df2.count() == 20)
+    assert(df2.filter(col("k") === 7L).count() == 1)
+    assert(df2.filter(col("k") === 7L).select("payload")
+      .head().getString(0) == "MOVED-EPOCH")
+  }
+
   test("evolve mod → bucket: the old epoch keeps its layout, keys " +
       "never duplicate, each epoch prunes through its own transform") {
     import spark.implicits._

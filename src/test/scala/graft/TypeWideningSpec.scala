@@ -101,6 +101,37 @@ class TypeWideningSpec extends GraftSuite {
     assert(Snapshots.read(spark, p, 1).schema("qty").dataType == IntegerType)
   }
 
+  test("widening merge on a CDF-enabled table: pre-images lift to the " +
+      "widened type and the feed stays exact") {
+    import MergeWhen._
+    import spark.implicits._
+    val p = tmp()
+    (1 to 20).map(k => (k.toLong, k)).toDF("k", "qty")
+      .write.mode("overwrite").parquet(p)
+    Snapshots.init(spark, p, changeDataFeed = true)
+    // the widening merge: pre-image rows carry the OLD int values —
+    // they must lift to long or the __pre/__post struct compare (and
+    // the stored-CDF union) breaks on mismatched field types
+    Snapshots.mergeVersionedClauses(spark, p,
+      Seq((2L, 0L), (999L, 0L)).toDF("k", "ignored"), "k",
+      Seq(
+        MatchedUpdate(None, Seq("qty" -> lit(9000000000L))),
+        NotMatchedInsert(None, Seq("k" -> src("k"),
+          "qty" -> lit(8000000000L)))),
+      evolveSchema = true)
+    val feed = Snapshots.changesCdf(spark, p, 0, 1, "k")
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 1L,
+      "update_postimage" -> 1L, "insert" -> 1L), s"got $byType")
+    // the pre-image carries the OLD value, readable under the new type
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+      .select("qty").head()
+    assert(pre.getLong(0) == 2L)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select("qty").head().getLong(0) == 9000000000L)
+  }
+
   test("stats pruning stays sound across the widening (filters on the " +
       "widened column over mixed files)") {
     import spark.implicits._
