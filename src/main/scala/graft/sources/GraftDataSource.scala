@@ -496,13 +496,24 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       parameters.get("startingVersion").map(_.toInt)
         .orElse(parameters.get("startingTimestamp").map { t =>
           val ts = parseTs(t)
-          val before = (Snapshots.earliestVersion(path) to
-            Snapshots.currentVersion(path))
+          val versions = Snapshots.earliestVersion(path) to
+            Snapshots.currentVersion(path)
+          val before = versions
             .filter(v => Snapshots.commitTime(path, v).exists(_ < ts))
           require(before.nonEmpty,
             s"graft: no retained commit of $path predates $t — omit " +
               "startingTimestamp to start from the earliest retained " +
               "snapshot")
+          // an instant LATER than every commit would silently start an
+          // empty feed (startV = head) — a typo'd far-future timestamp
+          // deserves a loud refusal, same as Delta's CDF (and the
+          // too-early case above)
+          require(versions.exists(v =>
+              Snapshots.commitTime(path, v).exists(_ >= ts)),
+            s"graft: $t is after ${path}'s newest commit — a feed " +
+              "started there would be silently empty; omit " +
+              "startingTimestamp (or use startingVersion) to tail new " +
+              "commits from the head")
           before.max
         })
     new GraftChangeSource(sqlContext.sparkSession, path, keyCol,

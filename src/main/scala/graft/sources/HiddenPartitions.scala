@@ -608,7 +608,13 @@ object HiddenPartitions {
             val keysV = broadcast(epochKeys.filter(col("__pv") === v)
               .select(column(keyCol)))
             val rowsV = remaining.join(keysV, Seq(keyCol), "left_semi")
-            val label = if (epoch == currentEpoch) v else s"e$epoch:$v"
+            // one DISTINCT label per action: pass-1 labels always carry
+            // the epoch prefix (a bare `v` would collide with pass 2's
+            // label for the same dir in the current epoch), and the
+            // moving-delete commit gets its own `:del` suffix (both
+            // clauses can fire on one dir in one wave — the staying
+            // merge's version must not be silently overwritten)
+            val label = s"e$epoch:$v"
             if (keyPure(t)) {
               // no move possible: everything found here updates here
               results(label) =
@@ -620,8 +626,8 @@ object HiddenPartitions {
                 results(label) =
                   Snapshots.mergeVersioned(spark, dirOf(v), staying, keyCol)
               if (!moving.isEmpty)
-                results(label) = Snapshots.mergeVersionedClauses(spark,
-                  dirOf(v), moving.select(column(keyCol)), keyCol,
+                results(s"$label:del") = Snapshots.mergeVersionedClauses(
+                  spark, dirOf(v), moving.select(column(keyCol)), keyCol,
                   Seq(MergeWhen.MatchedDelete(None)))
             }
           }

@@ -607,14 +607,18 @@ class ConnectorSpec extends GraftSuite {
     assert(fromT1.map(_._3).distinct.sorted == Seq(1, 2),
       s"expected v1+v2 changes, got $fromT1")
     assert(fromT1.count(_._3 == 1) == 2) // both update images
-    // an instant after every commit: next commits still flow
-    val tLate = Snapshots.commitTime(dir, 2).get + 1
-    assert(collectFeed(Map("startingTimestamp" -> tLate.toString)).isEmpty)
-    // refusals: both options together; an instant predating history
+    // refusals: both options together; an instant predating history;
+    // an instant AFTER every commit (Delta parity — a typo'd far-future
+    // instant must not become a silently empty feed; from-now tailing
+    // is spelled startingVersion = currentVersion)
     intercept[Exception] {
       collectFeed(Map("startingVersion" -> "1", "startingTimestamp" -> "0"))
     }
     intercept[Exception] { collectFeed(Map("startingTimestamp" -> "0")) }
+    val tLate = Snapshots.commitTime(dir, 2).get + 1
+    intercept[Exception] {
+      collectFeed(Map("startingTimestamp" -> tLate.toString))
+    }
   }
 
   test("changesCdf: stored-change fast path matches the manifest-diff path") {
