@@ -931,8 +931,15 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
         "Snapshots.appendVersioned/overwriteVersioned.")
   }
   override def inputFiles: Array[String] = live.map(Snapshots.canonical).toArray
+  // a PLANNING estimate, consulted by stats-driven rules (join
+  // selection, runtime-filter injection) possibly while the plan still
+  // holds a scan a rewrite is about to remove — a file missing from
+  // disk must not fail estimation (an executed scan still fails loudly)
   override lazy val sizeInBytes: Long =
-    live.map(f => Files.size(Paths.get(Snapshots.canonical(f)))).sum
+    live.map { f =>
+      try Files.size(Paths.get(Snapshots.canonical(f)))
+      catch { case _: java.io.IOException => 0L }
+    }.sum
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

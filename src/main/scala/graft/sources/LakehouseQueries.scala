@@ -1778,6 +1778,155 @@ object LakehouseQueries {
       |FROM lf JOIN rf ON lf.k = rf.k
       |GROUP BY 1""".stripMargin
 
+  /** r11 (A57→A58) — JOIN-MV-AWARE REWRITE end-to-end: the user's
+    * `orders ⋈ customer → groupBy` — the single most common warehouse
+    * dashboard — is served by the registered join MV with BOTH pinned
+    * base versions equal to the MV's two consumed watermarks. The
+    * scan-free property is pinned DOUBLED: one live data file is
+    * deleted from EACH base before the query runs, and the `rewritten`
+    * verdict column (both base paths absent from the scanned graft
+    * relations) is itself oracled. A filtered slice rides along — the
+    * predicate references the MV group column alone, so it commutes
+    * through join AND aggregation onto the MV read.
+    */
+  def qLakeMvJoinRewrite(s: SparkSession, d: String): DataFrame = {
+    val l0 = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+      "o_orderstatus")
+    val r0 = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val (ldir, rdir) = (stage(l0, 4), stage(r0, 2))
+    Snapshots.init(s, ldir, changeDataFeed = true)
+    Snapshots.init(s, rdir, changeDataFeed = true)
+    val mv = tempDir("graft_mvjrw_q") + "/mv"
+    MaterializedView.createJoin(s, mv, ldir, "o_orderkey", rdir,
+      "o_custkey", "o_custkey", Seq("c_mktsegment"), Seq("o_orderkey"))
+    MvRegistry.register(s, mv)
+    Snapshots.mergeVersioned(s, ldir,
+      l0.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1L), "o_orderkey")
+    Snapshots.deleteVersioned(s, ldir, col("o_orderkey") % 13 === 1)
+    Snapshots.mergeVersioned(s, rdir,
+      Tables.customer(s, d).filter(col("c_custkey") % 5 === 2)
+        .select(col("c_custkey").as("o_custkey"),
+          lit("MOVED").as("c_mktsegment")), "o_custkey")
+    Snapshots.deleteVersioned(s, rdir, col("o_custkey") % 17 === 3)
+    MaterializedView.refreshJoin(s, mv)
+    def joined = s.read.format("graft").load(ldir)
+      .join(s.read.format("graft").load(rdir), Seq("o_custkey"))
+    def aggOf(df: DataFrame) = df.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum("o_orderkey").as("sum_okey"),
+        avg("o_orderkey").as("avg_okey"))
+    val q = aggOf(joined).withColumn("slice", lit("all"))
+      .unionByName(aggOf(joined
+          .filter(col("c_mktsegment").isin("BUILDING", "MOVED")))
+        .withColumn("slice", lit("seg")))
+    // the hard pin, DOUBLED: a live data file vanishes from each base
+    Files.delete(Paths.get(Snapshots.liveFiles(ldir,
+      Snapshots.currentVersion(ldir)).head))
+    Files.delete(Paths.get(Snapshots.liveFiles(rdir,
+      Snapshots.currentVersion(rdir)).head))
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location match {
+              case g: GraftFileIndex => Seq(g.tablePath)
+              case _ => Seq.empty[String]
+            }
+          case _ => Seq.empty[String]
+        }
+    }.flatten.map(p => Paths.get(p).toAbsolutePath.normalize.toString)
+    val rewritten =
+      !scanned.contains(Paths.get(ldir).toAbsolutePath.normalize.toString) &&
+      !scanned.contains(Paths.get(rdir).toAbsolutePath.normalize.toString)
+    q.withColumn("rewritten", lit(rewritten))
+  }
+
+  val qLakeMvJoinRewriteSql: String =
+    """WITH lf AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1
+      |         ELSE o_custkey END AS k
+      |  FROM orders WHERE o_orderkey % 13 <> 1),
+      |rf AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 5 = 2 THEN 'MOVED'
+      |         ELSE c_mktsegment END AS seg
+      |  FROM customer WHERE c_custkey % 17 <> 3),
+      |j AS (SELECT rf.seg, lf.o_orderkey
+      |  FROM lf JOIN rf ON lf.k = rf.k)
+      |SELECT seg AS c_mktsegment, count(*) AS cnt,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+      |  avg(o_orderkey) AS avg_okey, 'all' AS slice, true AS rewritten
+      |FROM j GROUP BY 1
+      |UNION ALL
+      |SELECT seg, count(*), CAST(sum(o_orderkey) AS BIGINT),
+      |  avg(o_orderkey), 'seg', true
+      |FROM j WHERE seg IN ('BUILDING', 'MOVED') GROUP BY 1""".stripMargin
+
+  /** r11 (A55+A58) — MIN/MAX IN THE MV ALGEBRA end-to-end: the MV
+    * stores per-group extrema; a wave deletes the TOP of the price
+    * distribution (every group's stored max dies → the group-scoped
+    * recompute path), a merge moves groups, a keyed delete thins rows —
+    * one netted refresh follows all three. The final query asks the
+    * BASE for count/sum/min/max and must be served by the MV: a live
+    * base data file is deleted first, and the `rewritten` plan verdict
+    * is oracled alongside the values.
+    */
+  def qLakeMvMinMax(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir, changeDataFeed = true)
+    val mv = tempDir("graft_mvmm_q") + "/mv"
+    MaterializedView.create(s, mv, dir, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"), Seq("o_totalprice"))
+    MvRegistry.register(s, mv)
+    Snapshots.mergeVersioned(s, dir,
+      b.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_orderstatus", lit("R")), "o_orderkey")
+    // the extremum killer: every group whose max is above the cut
+    // recomputes group-scoped from the base (never a full rescan)
+    Snapshots.deleteVersioned(s, dir, col("o_totalprice") > 400000.0)
+    Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
+    MaterializedView.refresh(s, mv)
+    val q = s.read.format("graft").load(dir).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum("o_custkey").as("sum_custkey"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+    val victim = Snapshots.liveFiles(dir,
+      Snapshots.currentVersion(dir)).head
+    Files.delete(Paths.get(victim))
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location match {
+              case g: GraftFileIndex => Seq(g.tablePath)
+              case _ => Seq.empty[String]
+            }
+          case _ => Seq.empty[String]
+        }
+    }.flatten.map(p => Paths.get(p).toAbsolutePath.normalize.toString)
+    val rewritten =
+      !scanned.contains(Paths.get(dir).toAbsolutePath.normalize.toString)
+    q.withColumn("rewritten", lit(rewritten))
+  }
+
+  val qLakeMvMinMaxSql: String =
+    """WITH w1 AS (
+      |  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p,
+      |    CASE WHEN o_orderkey % 6 = 0 THEN 'R' ELSE o_orderstatus END AS st
+      |  FROM orders),
+      |w2 AS (SELECT * FROM w1 WHERE p <= 400000.0),
+      |w3 AS (SELECT * FROM w2 WHERE k % 9 <> 4)
+      |SELECT st AS o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(c) AS BIGINT) AS sum_custkey,
+      |  min(p) AS min_price, max(p) AS max_price, true AS rewritten
+      |FROM w3 GROUP BY 1""".stripMargin
+
   /** A56 — MULTI-TABLE TRANSACTIONS end-to-end: transaction 1 commits
     * a merge on orders AND a delete on customer atomically;
     * transaction 2 CRASHES between its two publishes and is completed
@@ -1879,6 +2028,8 @@ object LakehouseQueries {
     "q_lake_mv" -> (qLakeMv(_, _)),
     "q_lake_mv_join" -> (qLakeMvJoin(_, _)),
     "q_lake_mv_rewrite" -> (qLakeMvRewrite(_, _)),
+    "q_lake_mv_join_rewrite" -> (qLakeMvJoinRewrite(_, _)),
+    "q_lake_mv_minmax" -> (qLakeMvMinMax(_, _)),
     "q_lake_widen" -> (qLakeWiden(_, _)),
     "q_lake_part_transforms" -> (qLakePartTransforms(_, _)),
     "q_lake_txn" -> (qLakeTxn(_, _)),
@@ -1922,6 +2073,8 @@ object LakehouseQueries {
     "q_lake_mv" -> qLakeMvSql,
     "q_lake_mv_join" -> qLakeMvJoinSql,
     "q_lake_mv_rewrite" -> qLakeMvRewriteSql,
+    "q_lake_mv_join_rewrite" -> qLakeMvJoinRewriteSql,
+    "q_lake_mv_minmax" -> qLakeMvMinMaxSql,
     "q_lake_widen" -> qLakeWidenSql,
     "q_lake_part_transforms" -> qLakePartTransformsSql,
     "q_lake_txn" -> qLakeTxnSql,

@@ -24,9 +24,16 @@ import org.apache.spark.sql.functions._
   * not 0): the MV stores `s_c` (0-based running sum) and `nn_c`
   * alongside, and [[read]] derives `sum_c = nn_c = 0 ? NULL : s_c` and
   * `avg_c = s_c / nn_c` — exact ANSI semantics, maintained from
-  * deltas alone. min/max are deliberately NOT offered: they are not
-  * self-maintainable under deletes (a deleted max forces a rescan),
-  * and this module refuses to approximate.
+  * deltas alone. min/max (r11) get the standard IVM treatment: they
+  * are NOT self-maintainable under deletes (max is not invertible), so
+  * inserts FOLD (`mn' = least(mn, insert-min)`) while a delete that
+  * touches a group's stored extremum — detectable exactly, because a
+  * deleted value always lies inside the stored range, so equality IS
+  * the hit test — triggers a GROUP-SCOPED recompute from the base at
+  * the target version, semi-joined to just the hit groups: cost ∝
+  * touched groups, never the table. Both paths land in the SAME
+  * clause-merge commit, so atomicity and the exactly-once mark are
+  * unchanged.
   *
   * The refresh itself is ONE A52 clause-merge on the MV keyed by the
   * encoded group key: groups whose count reaches zero DELETE, touched
@@ -51,7 +58,8 @@ object MaterializedView {
   private val SpecFile = "_graft_mv_spec"
 
   final case class MvSpec(base: String, baseKey: String,
-      groupCols: Seq[String], sumCols: Seq[String])
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty)
 
   private def norm(p: String): String =
     Paths.get(p).toAbsolutePath.normalize.toString
@@ -106,14 +114,24 @@ object MaterializedView {
     }
   }
 
+  /** Per min/max column, the stored extrema `mn_c`/`mx_c` under the
+    * column's own type (no widening — min/max of a column IS a value
+    * of the column, so the rewrite can serve them bit-exactly). */
+  private def minMaxExprs(minMaxCols: Seq[String],
+      prefix: String): Seq[Column] =
+    minMaxCols.flatMap { c => Seq(
+      min(col(s"`$c`")).as(s"${prefix}mn_$c"),
+      max(col(s"`$c`")).as(s"${prefix}mx_$c")) }
+
   /** Build the MV at the base's CURRENT version: one full aggregate
     * scan (the only full scan the MV ever pays), committed as the MV
     * table's v0 WITH the consumed-version mark. */
   def create(spark: SparkSession, mvRoot: String, base: String,
       baseKey: String, groupCols: Seq[String],
-      sumCols: Seq[String] = Seq.empty): Int = {
+      sumCols: Seq[String] = Seq.empty,
+      minMaxCols: Seq[String] = Seq.empty): Int = {
     require(groupCols.nonEmpty, "materialized view: no group columns")
-    require((groupCols ++ sumCols).forall(c => !c.contains(",")),
+    require((groupCols ++ sumCols ++ minMaxCols).forall(c => !c.contains(",")),
       "materialized view: ',' in a column name")
     val bv = Snapshots.currentVersion(base)
     require(bv >= 0, s"$base not initialized (call init)")
@@ -123,14 +141,16 @@ object MaterializedView {
     // and this read would bake v(bv+1) rows into an MV whose mark says
     // bv — the next refresh would then double-apply that window
     val snap = Snapshots.read(spark, base, bv)
-    val aggs = aggExprs(snap, sumCols, lit(1L), "cnt", "")
+    val aggs = aggExprs(snap, sumCols, lit(1L), "cnt", "") ++
+      minMaxExprs(minMaxCols, "")
     val full = snap.groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("__mv_key", keyExpr(groupCols))
     Files.createDirectories(Paths.get(mvRoot))
     Files.writeString(Paths.get(mvRoot, SpecFile),
       s"base=${norm(base)}\nkey=$baseKey\ngroup=${groupCols.mkString(",")}\n" +
-        s"sum=${sumCols.mkString(",")}\n")
+        s"sum=${sumCols.mkString(",")}\n" +
+        s"minmax=${minMaxCols.mkString(",")}\n")
     val v = Snapshots.appendVersionedIdempotent(spark, mvRoot, full,
       appId(base), bv.toLong)
     Refs.moveTag(base, leaseName(mvRoot), bv)
@@ -165,8 +185,13 @@ object MaterializedView {
       s"$mvRoot is a join MV — use joinSpec/refreshJoin")
     val get = rawSpec(mvRoot)
     MvSpec(get("base"), get("key"), splitCols(get("group")),
-      splitCols(get("sum")))
+      splitCols(get("sum")),
+      splitCols(m.getOrElse("minmax", "")))
   }
+
+  /** The MV's spec kind: "single" or "join". */
+  def kindOf(mvRoot: String): String =
+    specMap(mvRoot).getOrElse("kind", "single")
 
   /** The base version the MV currently reflects (the A51 mark). */
   def consumedVersion(mvRoot: String): Int = {
@@ -174,6 +199,26 @@ object MaterializedView {
     Snapshots.txnVersionOf(mvRoot, appId(sp.base)).getOrElse(
       throw new IllegalStateException(
         s"$mvRoot carries no consumed-version mark — not an MV?")).toInt
+  }
+
+  /** The base version the MV reflected AT ITS OWN version `mvV` — the
+    * race-free form the rewrite rule uses: it pins the MV read to the
+    * same version whose mark it checked, so a refresh landing between
+    * the check and the read can't substitute a different snapshot. */
+  def consumedVersionAt(mvRoot: String, mvV: Int): Option[Int] = {
+    val sp = spec(mvRoot)
+    Snapshots.txnVersionOf(mvRoot, mvV, appId(sp.base)).map(_.toInt)
+  }
+
+  /** The (left, right) base versions a JOIN MV reflected at its own
+    * version `mvV` — both marks ride one commit, so the pair is
+    * atomic. */
+  def consumedJoinVersionsAt(mvRoot: String, mvV: Int): Option[(Int, Int)] = {
+    val sp = joinSpec(mvRoot)
+    for {
+      l <- Snapshots.txnVersionOf(mvRoot, mvV, appL(sp.left))
+      r <- Snapshots.txnVersionOf(mvRoot, mvV, appR(sp.right))
+    } yield (l.toInt, r.toInt)
   }
 
   /** Advance the MV to the base's current version by applying the
@@ -194,13 +239,109 @@ object MaterializedView {
     val cdf = Snapshots.changesCdf(spark, sp.base, from, to, sp.baseKey)
     val sign = when(col("_change_type")
       .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
-    val dAggs = aggExprs(cdf, sp.sumCols, sign, "d_cnt", "d")
+    // per group: the counting-algebra deltas plus, per min/max column,
+    // the window's insert-side extrema (they FOLD into the stored ones)
+    // and delete-side extrema (they DETECT a stored-extremum hit)
+    val dAggs = aggExprs(cdf, sp.sumCols, sign, "d_cnt", "d") ++
+      sp.minMaxCols.flatMap { c => Seq(
+        min(when(sign === 1L, col(s"`$c`"))).as(s"imn_$c"),
+        max(when(sign === 1L, col(s"`$c`"))).as(s"imx_$c"),
+        min(when(sign === -1L, col(s"`$c`"))).as(s"dmn_$c"),
+        max(when(sign === -1L, col(s"`$c`"))).as(s"dmx_$c")) }
     val deltas = cdf.groupBy(sp.groupCols.map(c => col(s"`$c`")): _*)
       .agg(dAggs.head, dAggs.tail: _*)
-    val v = applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols,
-      Seq(appId(sp.base) -> to.toLong))
+    val marks = Seq(appId(sp.base) -> to.toLong)
+    val v =
+      if (sp.minMaxCols.isEmpty)
+        applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols, marks)
+      else applyDeltasMinMax(spark, mvRoot, deltas, sp, to, marks)
     Refs.moveTag(sp.base, leaseName(mvRoot), to)
     v
+  }
+
+  /** The min/max-carrying refresh: fold-only groups take the same
+    * delta merge as [[applyDeltas]] (with `mn' = least(mn, imn)` /
+    * `mx' = greatest(mx, imx)` — Spark's least/greatest skip NULLs,
+    * exactly SQL's min/max-merge); groups whose stored extremum was
+    * DELETED recompute from the base at `to`, semi-joined to just
+    * those group keys. Both land in ONE clause-merge commit carrying
+    * the marks — atomicity and exactly-once are identical to the
+    * fold-only path. Cost: change volume + |hit groups|' base rows. */
+  private def applyDeltasMinMax(spark: SparkSession, mvRoot: String,
+      deltas0: DataFrame, sp: MvSpec, to: Int,
+      marks: Seq[(String, Long)]): Int = {
+    import MergeWhen._
+    val (groupCols, sumCols, mm) = (sp.groupCols, sp.sumCols, sp.minMaxCols)
+    // an update that only moved a min/max column nets d_cnt = 0 and
+    // (with no sum columns) would vanish under applyDeltas' filter —
+    // the extrema columns keep such groups alive here
+    val nonZero = (col("d_cnt") =!= 0L) +:
+      (sumCols.flatMap(c => Seq(
+        col(s"`ds_$c`") =!= lit(0), col(s"`dnn_$c`") =!= 0L)) ++
+       mm.flatMap(c => Seq(
+         col(s"`imn_$c`").isNotNull, col(s"`imx_$c`").isNotNull,
+         col(s"`dmn_$c`").isNotNull, col(s"`dmx_$c`").isNotNull)))
+    val deltas = deltas0.filter(nonZero.reduce(_ || _))
+      .withColumn("__mv_key", keyExpr(groupCols))
+    // hit test against the CURRENT stored extrema: a deleted value
+    // always lies inside the stored range, so equality means the
+    // extremum itself went away; dying groups just DELETE (no rescan)
+    val mvCur = Snapshots.read(spark, mvRoot).select(
+      col("__mv_key").as("__k") +: col("cnt").as("__cnt") +:
+        mm.flatMap(c => Seq(col(s"`mn_$c`").as(s"__mn_$c"),
+          col(s"`mx_$c`").as(s"__mx_$c"))): _*)
+    val hit = mm.map(c =>
+      (col(s"`dmn_$c`").isNotNull && col(s"`dmn_$c`") === col(s"`__mn_$c`")) ||
+      (col(s"`dmx_$c`").isNotNull && col(s"`dmx_$c`") === col(s"`__mx_$c`")))
+      .reduce(_ || _)
+    val marked = deltas
+      .join(mvCur, col("__mv_key") === col("__k"), "left")
+      .withColumn("__recomp", coalesce(
+        col("__k").isNotNull && (col("__cnt") + col("d_cnt") > 0L) && hit,
+        lit(false)))
+      .drop((Seq("__k", "__cnt") ++
+        mm.flatMap(c => Seq(s"__mn_$c", s"__mx_$c"))): _*)
+      .localCheckpoint() // forked three ways below
+    // group-scoped exact recompute from the base AT the target version
+    val baseTo = Snapshots.read(spark, sp.base, to)
+      .withColumn("__mv_key", keyExpr(groupCols))
+      .join(marked.filter(col("__recomp")).select("__mv_key"),
+        Seq("__mv_key"), "left_semi")
+    val rAggs = aggExprs(baseTo, sumCols, lit(1L), "r_cnt", "r_") ++
+      minMaxExprs(mm, "r_")
+    val recomputed = baseTo.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(rAggs.head, rAggs.tail: _*)
+      .withColumn("__mv_key", keyExpr(groupCols))
+      .withColumn("__recomp", lit(true))
+    val source = marked.filter(!col("__recomp"))
+      .unionByName(recomputed, allowMissingColumns = true)
+
+    val foldSet: Seq[(String, Column)] =
+      ("cnt" -> (col("cnt") + src("d_cnt"))) +: (sumCols.flatMap(c => Seq(
+        s"s_$c" -> (col(s"`s_$c`") + src(s"ds_$c")),
+        s"nn_$c" -> (col(s"`nn_$c`") + src(s"dnn_$c")))) ++
+        mm.flatMap(c => Seq(
+          s"mn_$c" -> least(col(s"`mn_$c`"), src(s"imn_$c")),
+          s"mx_$c" -> greatest(col(s"`mx_$c`"), src(s"imx_$c")))))
+    val recompSet: Seq[(String, Column)] =
+      ("cnt" -> src("r_cnt")) +: (sumCols.flatMap(c => Seq(
+        s"s_$c" -> src(s"r_s_$c"), s"nn_$c" -> src(s"r_nn_$c"))) ++
+        mm.flatMap(c => Seq(
+          s"mn_$c" -> src(s"r_mn_$c"), s"mx_$c" -> src(s"r_mx_$c"))))
+    val insertVals: Seq[(String, Column)] =
+      ("__mv_key" -> src("__mv_key")) +: ("cnt" -> src("d_cnt")) +:
+        (groupCols.map(g => g -> src(g)) ++
+          sumCols.flatMap(c => Seq(
+            s"s_$c" -> src(s"ds_$c"), s"nn_$c" -> src(s"dnn_$c"))) ++
+          mm.flatMap(c => Seq(
+            s"mn_$c" -> src(s"imn_$c"), s"mx_$c" -> src(s"imx_$c"))))
+    Snapshots.mergeVersionedClauses(spark, mvRoot, source, "__mv_key", Seq(
+      // recompute rows carry NULL d_cnt, so they can only fire here
+      MatchedUpdate(Some(src("__recomp")), recompSet),
+      MatchedDelete(Some(col("cnt") + src("d_cnt") === 0L)),
+      MatchedUpdate(None, foldSet),
+      NotMatchedInsert(Some(src("d_cnt") > 0L), insertVals)),
+      txnMulti = marks)
   }
 
   /** Apply per-group signed deltas (`d_cnt`, `ds_c`, `dnn_c`) to the
@@ -286,13 +427,16 @@ object MaterializedView {
     * stored 0-based running sum is an internal detail) and `avg_c`. */
   def read(spark: SparkSession, mvRoot: String): DataFrame = {
     val (groupCols, sumCols) = groupSumOf(mvRoot)
+    val mm = splitCols(specMap(mvRoot).getOrElse("minmax", ""))
     val mv = Snapshots.read(spark, mvRoot)
     val cols = groupCols.map(c => col(s"`$c`")) ++
       Seq(col("cnt")) ++ sumCols.flatMap(c => Seq(
         when(col(s"`nn_$c`") === 0L, lit(null))
           .otherwise(col(s"`s_$c`")).as(s"sum_$c"),
         when(col(s"`nn_$c`") === 0L, lit(null))
-          .otherwise(col(s"`s_$c`") / col(s"`nn_$c`")).as(s"avg_$c")))
+          .otherwise(col(s"`s_$c`") / col(s"`nn_$c`")).as(s"avg_$c"))) ++
+      mm.flatMap(c => Seq(
+        col(s"`mn_$c`").as(s"min_$c"), col(s"`mx_$c`").as(s"max_$c")))
     mv.select(cols: _*)
   }
 

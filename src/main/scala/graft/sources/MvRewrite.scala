@@ -64,7 +64,8 @@ import org.apache.spark.sql.types._
   * gate pins this by DELETING a live base data file before running
   * the rewritten query — only a genuinely scan-free plan survives).
   */
-class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MvRegistry.isEmpty ||
@@ -72,8 +73,15 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       return plan
     plan.transformUp {
       case agg: Aggregate =>
+        // never fail a query over a rewrite — but a swallowed bug means
+        // silently paying base scans forever, so make it visible
         try rewrite(agg).getOrElse(agg)
-        catch { case _: Exception => agg } // never fail a query over a rewrite
+        catch {
+          case e: Exception =>
+            logWarning(s"graft MV rewrite skipped (falling back to the " +
+              s"base scan): $e")
+            agg
+        }
     }
   }
 
@@ -89,7 +97,8 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
         scanOf(child)
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        scanOf(f.child).map { case (pth, v, cs) => (pth, v, f.condition +: cs) }
+        scanOf(f.child).map { case (pth, v, cs) =>
+          (pth, v, splitConjunctivePredicates(f.condition) ++ cs) }
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation => h.location match {
           case g: GraftFileIndex => Some((g.tablePath, g.tableVersion, Nil))
@@ -100,16 +109,45 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** A57→A58: the JOIN shape — `base_l ⋈_joinCol base_r` (inner
+    * equi-join on exactly one column, the USING-join plan Spark builds
+    * for `l.join(r, Seq(c))`) under the same Project/Filter skin.
+    * Filters collected from ABOVE and BELOW the join alike: for an
+    * inner join, σ over one side's columns commutes through the join,
+    * and the group-columns-only check in [[substitute]] then makes it
+    * commute with γ too. Returns (leftPath, leftPinned, rightPath,
+    * rightPinned, joinCol, filters). */
+  private def scanJoinOf(p: LogicalPlan)
+      : Option[(String, Int, String, Int, String,
+          Seq[org.apache.spark.sql.catalyst.expressions.Expression])] =
+    p match {
+      case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
+        scanJoinOf(child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        scanJoinOf(f.child).map { case (lp, lv, rp, rv, j, cs) =>
+          (lp, lv, rp, rv, j, splitConjunctivePredicates(f.condition) ++ cs) }
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+        j.condition match {
+          case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+              a: AttributeReference, b: AttributeReference))
+              if a.name == b.name =>
+            for {
+              (lp, lv, lcs) <- scanOf(j.left)
+              (rp, rv, rcs) <- scanOf(j.right)
+              // the equality's two attrs must come one from each side
+              if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) ||
+                (j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
+            } yield (lp, lv, rp, rv, a.name, lcs ++ rcs)
+          case _ => None
+        }
+      case _ => None
+    }
+
   private def norm(p: String): String =
     Paths.get(p).toAbsolutePath.normalize.toString
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (path, pinned, filters) = scanOf(agg.child) match {
-      case Some(t) => t
-      case None => return None
-    }
-    val candidates = MvRegistry.candidates(norm(path))
-    if (candidates.isEmpty) return None
     // grouping must be bare columns
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference => a
@@ -117,9 +155,30 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val groupNames = groupAttrs.map(_.name).toSet
     if (groupNames.size != groupAttrs.size) return None
-    candidates.view.flatMap { mvRoot =>
-      tryOne(mvRoot, agg, groupNames, pinned, filters)
-    }.headOption
+    scanOf(agg.child) match {
+      case Some((path, pinned, filters)) =>
+        MvRegistry.candidates(norm(path)).view.flatMap { mvRoot =>
+          tryOne(mvRoot, agg, groupNames, pinned, filters)
+        }.headOption
+      case None => scanJoinOf(agg.child) match {
+        case Some((lp, lv, rp, rv, joinCol, filters0)) =>
+          // `isnotnull(joinCol)` conjuncts (user-written or inferred by
+          // InferFiltersFromConstraints under every inner equi-join)
+          // are IMPLIED by the join itself — null keys never join — so
+          // they are sound to drop, not commute
+          val filters = filters0.filterNot {
+            case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+              a: AttributeReference) => a.name == joinCol
+            case _ => false
+          }
+          (MvRegistry.candidates(norm(lp)) ++ MvRegistry.candidates(norm(rp)))
+            .distinct.view.flatMap { mvRoot =>
+              tryOneJoin(mvRoot, agg, groupNames, norm(lp), lv, norm(rp), rv,
+                joinCol, filters)
+            }.headOption
+        case None => None
+      }
+    }
   }
 
   // how an original output answers from the MV: a group column riding
@@ -133,8 +192,52 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       groupNames: Set[String], pinned: Int,
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Option[LogicalPlan] = {
+    if (MaterializedView.kindOf(mvRoot) != "single") return None
     val sp = MaterializedView.spec(mvRoot)
-    val mvGroups = sp.groupCols.toSet
+    // exact freshness: the MV must reflect precisely the pinned version.
+    // The MV's own version is captured ONCE and the read below pins to
+    // it — checking the head's mark and then re-resolving the head
+    // would let a refresh landing in between substitute an MV snapshot
+    // newer than the one this equality approved.
+    val mvV = Snapshots.currentVersion(mvRoot)
+    if (MaterializedView.consumedVersionAt(mvRoot, mvV) != Some(pinned))
+      return None
+    substitute(mvRoot, mvV, agg, groupNames, sp.groupCols.toSet,
+      sp.sumCols.toSet, sp.minMaxCols.toSet, filters)
+  }
+
+  /** The join shape's per-MV attempt: the scanned (path, version) pair
+    * must equal the join MV's two bases IN EITHER ORDER (the user may
+    * write `r.join(l, …)`), the join column must be the MV's, and BOTH
+    * pinned versions must equal the MV's two consumed watermarks at one
+    * captured MV version (the two marks ride one commit, so they are
+    * mutually consistent by construction). */
+  private def tryOneJoin(mvRoot: String, agg: Aggregate,
+      groupNames: Set[String], lPath: String, lPinned: Int,
+      rPath: String, rPinned: Int, joinCol: String,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[LogicalPlan] = {
+    if (MaterializedView.kindOf(mvRoot) != "join") return None
+    val sp = MaterializedView.joinSpec(mvRoot)
+    if (sp.joinCol != joinCol) return None
+    val (specL, specR) = (norm(sp.left), norm(sp.right))
+    val pins: Map[String, Int] = Map(lPath -> lPinned, rPath -> rPinned)
+    if (pins.keySet != Set(specL, specR)) return None
+    val mvV = Snapshots.currentVersion(mvRoot)
+    if (MaterializedView.consumedJoinVersionsAt(mvRoot, mvV) !=
+        Some((pins(specL), pins(specR))))
+      return None
+    substitute(mvRoot, mvV, agg, groupNames, sp.groupCols.toSet,
+      sp.sumCols.toSet, Set.empty, filters)
+  }
+
+  /** The shared tail of both shapes: decide answerability and build the
+    * substitute plan over the MV read pinned at `mvV`. */
+  private def substitute(mvRoot: String, mvV: Int, agg: Aggregate,
+      groupNames: Set[String], mvGroups: Set[String],
+      sums: Set[String], mms: Set[String],
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[LogicalPlan] = {
     if (!groupNames.subsetOf(mvGroups)) return None
     // a filter rewrites only when every conjunct is deterministic,
     // subquery-free, and references MV GROUP columns alone — whole
@@ -147,10 +250,7 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
           .isEmpty))
       return None
-    // exact freshness: the MV must reflect precisely the pinned version
-    if (MaterializedView.consumedVersion(mvRoot) != pinned) return None
     val exact = groupNames == mvGroups
-    val sums = sp.sumCols.toSet
 
     // one Column over the MV's raw shape per original output; None =
     // this output is not answerable from the MV
@@ -184,6 +284,18 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Some((when(nn === 0L, lit(null))
               .otherwise(s.cast(DoubleType) / nn.cast(DoubleType))
               .cast(ne.dataType), AsAgg))
+          // min/max serve from the A55 stored extrema (single-table MVs
+          // only — mms is empty for join MVs): exact is a projection,
+          // the rollup re-aggregates (min/max are associative, and the
+          // stored extremum is the column's own type — no widening to
+          // disagree over). An all-NULL group stores NULL, which both
+          // the projection and the NULL-skipping re-aggregate preserve.
+          case Min(a: AttributeReference) if mms.contains(a.name) =>
+            Some(((if (exact) col(s"`mn_${a.name}`")
+              else min(col(s"`mn_${a.name}`"))).cast(ne.dataType), AsAgg))
+          case Max(a: AttributeReference) if mms.contains(a.name) =>
+            Some(((if (exact) col(s"`mx_${a.name}`")
+              else max(col(s"`mx_${a.name}`"))).cast(ne.dataType), AsAgg))
           case _ => None
         }
       case _ => None
@@ -196,7 +308,7 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // the commuted filters apply to the MV read, rebound by NAME onto
     // the MV plan's own attributes (the originals carry the base
     // scan's exprIds)
-    val mvDf = filters.foldLeft(Snapshots.read(spark, mvRoot)) { (df, cond) =>
+    val mvDf = filters.foldLeft(Snapshots.read(spark, mvRoot, mvV)) { (df, cond) =>
       val byName = df.queryExecution.analyzed.output.map(a => a.name -> a).toMap
       df.filter(org.apache.spark.sql.GraftSqlBridge.toColumn(cond.transform {
         case a: AttributeReference => byName(a.name)
@@ -243,10 +355,15 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** The session-shared registry the rewrite rule consults: normalized
-  * base path → MV roots. Registration is EXPLICIT (`register`), the
-  * same contract as Databricks' `CREATE MATERIALIZED VIEW` making the
-  * MV visible to the optimizer — an unregistered MV is just a table.
+/** The registry the rewrite rule consults: normalized base path → MV
+  * roots. Registration is EXPLICIT (`register`), the same contract as
+  * Databricks' `CREATE MATERIALIZED VIEW` making the MV visible to the
+  * optimizer — an unregistered MV is just a table. SCOPE: the registry
+  * is JVM-GLOBAL (like the snapshot log itself — an MV is a durable
+  * on-disk object, not session state): registering an MV in any
+  * session makes the rewrite available to every session in the JVM
+  * whose optimizer carries the rule, and the per-query freshness pin
+  * keeps that sound regardless of which session asks.
   */
 object MvRegistry {
 
@@ -257,12 +374,19 @@ object MvRegistry {
     Paths.get(p).toAbsolutePath.normalize.toString
 
   /** Make `mvRoot` visible to the rewrite rule (and attach the rule to
-    * `spark` if this session never built with GraftExtensions). */
+    * `spark` if this session never built with GraftExtensions). A join
+    * MV registers under BOTH base paths, so a query scanning either
+    * base finds it as a candidate. */
   def register(spark: SparkSession, mvRoot: String): Unit = {
-    val sp = MaterializedView.spec(mvRoot) // refuses join MVs
     val root = norm(mvRoot)
-    reg.compute(norm(sp.base), (_, old) =>
-      root :: Option(old).getOrElse(Nil).filterNot(_ == root))
+    val bases = MaterializedView.kindOf(mvRoot) match {
+      case "join" =>
+        val sp = MaterializedView.joinSpec(mvRoot)
+        Seq(sp.left, sp.right)
+      case _ => Seq(MaterializedView.spec(mvRoot).base)
+    }
+    bases.foreach(b => reg.compute(norm(b), (_, old) =>
+      root :: Option(old).getOrElse(Nil).filterNot(_ == root)))
     ensureRegistered(spark)
   }
 
@@ -280,8 +404,16 @@ object MvRegistry {
     Option(reg.get(base)).getOrElse(Nil)
 
   /** Post-hoc rule attachment for sessions graft did not build (the
-    * same pattern as NativeTopK.ensureRegistered). */
+    * same pattern as NativeTopK.ensureRegistered). A session built with
+    * GraftExtensions already carries the injected rule in its optimizer
+    * — adding an experimental copy there would double the optimizer
+    * work (idempotent, but wasted), so it is skipped. */
   def ensureRegistered(spark: SparkSession): Unit = {
+    val injected =
+      try spark.sessionState.optimizer.extendedOperatorOptimizationRules
+        .exists(_.isInstanceOf[GraftMvRewriteRule])
+      catch { case _: Exception => false }
+    if (injected) return
     val exp = spark
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraOptimizations.exists(_.isInstanceOf[GraftMvRewriteRule]))

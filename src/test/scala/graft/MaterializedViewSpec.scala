@@ -556,4 +556,229 @@ class MaterializedViewSpec extends GraftSuite {
         .agg(sum("o_custkey").as("s"), avg("o_custkey").as("a")))
     } finally MvRegistry.unregister(mv)
   }
+
+  // ── r11: min/max in the MV algebra ─────────────────────────────────
+
+  private def recomputeMm(base: String): DataFrame =
+    Snapshots.read(spark, base).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum("o_custkey").as("sum_o_custkey"),
+        min("o_totalprice").as("min_o_totalprice"),
+        max("o_totalprice").as("max_o_totalprice"))
+
+  test("A55 min/max: extremum-deleting waves recompute group-scoped; " +
+      "folds, same-group value moves, and group death stay exact") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"), Seq("o_totalprice"))
+    assertSame(MaterializedView.read(spark, mv)
+      .select("o_orderstatus", "cnt", "sum_o_custkey",
+        "min_o_totalprice", "max_o_totalprice"), recomputeMm(base))
+
+    // wave 1 — fold-only: inserts (new extrema can only arrive, never
+    // leave) and a delete that provably misses every extremum is not
+    // constructible cheaply, so this wave is insert-only
+    Snapshots.appendVersioned(spark, base,
+      ordersDf.filter(col("o_orderkey") % 13 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 80000000L)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0))
+    MaterializedView.refresh(spark, mv)
+    assertSame(MaterializedView.read(spark, mv)
+      .select("o_orderstatus", "cnt", "sum_o_custkey",
+        "min_o_totalprice", "max_o_totalprice"), recomputeMm(base))
+
+    // wave 2 — delete the TOP of the distribution: every group whose
+    // max lives above the threshold takes the recompute path
+    val thr = Snapshots.read(spark, base)
+      .agg(max("o_totalprice")).head().getDouble(0) * 0.7
+    Snapshots.deleteVersioned(spark, base, col("o_totalprice") > thr)
+    MaterializedView.refresh(spark, mv)
+    assertSame(MaterializedView.read(spark, mv)
+      .select("o_orderstatus", "cnt", "sum_o_custkey",
+        "min_o_totalprice", "max_o_totalprice"), recomputeMm(base))
+
+    // wave 3 — an update that moves ONLY the min/max column (net
+    // d_cnt = 0: the group survives on the extrema columns alone), and
+    // hits the minimum side too
+    Snapshots.mergeVersioned(spark, base,
+      Snapshots.read(spark, base).filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 0.5),
+      "o_orderkey")
+    MaterializedView.refresh(spark, mv)
+    assertSame(MaterializedView.read(spark, mv)
+      .select("o_orderstatus", "cnt", "sum_o_custkey",
+        "min_o_totalprice", "max_o_totalprice"), recomputeMm(base))
+
+    // wave 4 — group death: no tombstone, no recompute attempt
+    val victimGroup = Snapshots.read(spark, base)
+      .select("o_orderstatus").distinct().orderBy("o_orderstatus")
+      .head().getString(0)
+    Snapshots.deleteVersioned(spark, base,
+      col("o_orderstatus") === victimGroup)
+    MaterializedView.refresh(spark, mv)
+    assertSame(MaterializedView.read(spark, mv)
+      .select("o_orderstatus", "cnt", "sum_o_custkey",
+        "min_o_totalprice", "max_o_totalprice"), recomputeMm(base))
+    assert(MaterializedView.read(spark, mv)
+      .filter(col("o_orderstatus") === victimGroup).isEmpty)
+  }
+
+  test("A55 min/max NULL algebra: all-NULL groups store NULL extrema, " +
+      "NULL→value and value→NULL transitions stay exact") {
+    import spark.implicits._
+    val base = tmp(); val mv = tmp() + "/mv"
+    Seq((1L, "a", Some(5.0)), (2L, "a", Some(9.0)),
+      (3L, "n", None: Option[Double]), (4L, "n", None: Option[Double]))
+      .toDF("k", "g", "v").write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "k", Seq("g"),
+      Seq.empty, Seq("v"))
+    def want = Snapshots.read(spark, base).groupBy("g")
+      .agg(count(lit(1)).as("cnt"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    def got = MaterializedView.read(spark, mv)
+    assertSame(got, want)
+    assert(got.filter(col("g") === "n" && col("min_v").isNull)
+      .count() == 1, "all-NULL group must store NULL extrema")
+    // delete a's max → group-scoped recompute lands on 5.0
+    Snapshots.deleteVersioned(spark, base, col("k") === 2L)
+    MaterializedView.refresh(spark, mv)
+    assertSame(got, want)
+    assert(got.filter(col("g") === "a").head().getDouble(2) == 5.0)
+    // NULL → value on a row of the all-NULL group (net d_cnt = 0)
+    Snapshots.mergeVersioned(spark, base,
+      Seq((3L, "n", Some(7.0))).toDF("k", "g", "v"), "k")
+    MaterializedView.refresh(spark, mv)
+    assertSame(got, want)
+    // value → gone again: deleting the only non-NULL value recomputes
+    // the group back to NULL extrema (cnt stays > 0)
+    Snapshots.deleteVersioned(spark, base, col("k") === 3L)
+    MaterializedView.refresh(spark, mv)
+    assertSame(got, want)
+    assert(got.filter(col("g") === "n" && col("min_v").isNull)
+      .count() == 1)
+    // group death
+    Snapshots.deleteVersioned(spark, base, col("g") === "n")
+    MaterializedView.refresh(spark, mv)
+    assertSame(got, want)
+  }
+
+  test("A58 min/max rewrite: exact and rollup min/max serve from the " +
+      "stored extrema — scan-free past a deleted base file") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    val df = Tables.orders(spark, sf).select("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_orderpriority", "o_totalprice")
+    df.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_custkey"),
+      Seq("o_totalprice"))
+    MvRegistry.register(spark, mv)
+    try {
+      // a wave that deletes extrema, so the served values went through
+      // the recompute path at least once
+      val thr = Snapshots.read(spark, base)
+        .agg(max("o_totalprice")).head().getDouble(0) * 0.8
+      Snapshots.deleteVersioned(spark, base, col("o_totalprice") > thr)
+      MaterializedView.refresh(spark, mv)
+      def exact(d: DataFrame) = d.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), min("o_totalprice").as("mn"),
+          max("o_totalprice").as("mx"), sum("o_custkey").as("sc"))
+      def rollup(d: DataFrame) = d.groupBy("o_orderstatus")
+        .agg(max("o_totalprice").as("mx"), min("o_totalprice").as("mn"))
+      val wantE = exact(Snapshots.read(spark, base)).collect().toSet
+      val wantR = rollup(Snapshots.read(spark, base)).collect().toSet
+      val qe = exact(spark.read.format("graft").load(base))
+      val qr = rollup(spark.read.format("graft").load(base))
+      assert(!scannedGraftPaths(qe).contains(norm(base)))
+      assert(!scannedGraftPaths(qr).contains(norm(base)))
+      // the hard pin: only a scan-free plan survives this
+      val victim = Snapshots.liveFiles(base,
+        Snapshots.currentVersion(base)).head
+      Files.delete(Paths.get(victim))
+      assert(exact(spark.read.format("graft").load(base))
+        .collect().toSet == wantE)
+      assert(rollup(spark.read.format("graft").load(base))
+        .collect().toSet == wantR)
+    } finally MvRegistry.unregister(mv)
+  }
+
+  test("A57→A58 join rewrite: the dashboard join+groupBy serves from " +
+      "the join MV in either join order — scan-free past deleted " +
+      "files on BOTH bases; one stale side falls back") {
+    val l = tmp(); val r = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(l)
+    Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(r)
+    Snapshots.init(spark, l, changeDataFeed = true)
+    Snapshots.init(spark, r, changeDataFeed = true)
+    MaterializedView.createJoin(spark, mv, l, "o_orderkey", r,
+      "o_custkey", "o_custkey", Seq("c_mktsegment", "o_orderstatus"),
+      Seq("o_orderkey"))
+    MvRegistry.register(spark, mv)
+    try {
+      // waves on both sides, then an exact refresh
+      Snapshots.mergeVersioned(spark, l,
+        ordersDf.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1L), "o_orderkey")
+      Snapshots.deleteVersioned(spark, r, col("o_custkey") % 17 === 3)
+      MaterializedView.refreshJoin(spark, mv)
+      def gl = spark.read.format("graft").load(l)
+      def gr = spark.read.format("graft").load(r)
+      def exact(d: DataFrame) = d
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("s"),
+          avg("o_orderkey").as("a"))
+      def rollup(d: DataFrame) = d.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("s"))
+      val joined = Snapshots.read(spark, l)
+        .join(Snapshots.read(spark, r), Seq("o_custkey"))
+      val wantE = exact(joined).collect().toSet
+      val wantR = rollup(joined).collect().toSet
+      val wantF = exact(joined.filter(col("c_mktsegment") === "BUILDING"))
+        .collect().toSet
+
+      val qe = exact(gl.join(gr, Seq("o_custkey")))
+      val qRev = exact(gr.join(gl, Seq("o_custkey")))
+      val qr = rollup(gl.join(gr, Seq("o_custkey")))
+      val qf = exact(gl.join(gr, Seq("o_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING"))
+      for (q <- Seq(qe, qRev, qr, qf)) {
+        val scanned = scannedGraftPaths(q)
+        assert(!scanned.contains(norm(l)) && !scanned.contains(norm(r)),
+          s"join rewrite must drop BOTH base scans, scanned $scanned")
+      }
+      assert(wantE.nonEmpty && wantR.nonEmpty && wantF.nonEmpty)
+      assert(qe.collect().toSet == wantE)
+      assert(qRev.collect().toSet == wantE)
+      assert(qr.collect().toSet == wantR)
+      assert(qf.collect().toSet == wantF)
+      // a non-group predicate (the join key) falls back to the scan
+      val qBad = exact(gl.join(gr, Seq("o_custkey"))
+        .filter(col("o_custkey") % 2 === 0))
+      assert(scannedGraftPaths(qBad).contains(norm(l)))
+      // ONE stale side falls back whole-query …
+      Snapshots.deleteVersioned(spark, l, col("o_orderkey") % 19 === 2)
+      val qStale = exact(gl.join(gr, Seq("o_custkey")))
+      assert(scannedGraftPaths(qStale).contains(norm(l)),
+        "a one-side-stale join MV must not serve")
+      assertSame(qStale, exact(Snapshots.read(spark, l)
+        .join(Snapshots.read(spark, r), Seq("o_custkey"))))
+      // … and an exact refresh restores the rewrite
+      MaterializedView.refreshJoin(spark, mv)
+      val wantE2 = exact(Snapshots.read(spark, l)
+        .join(Snapshots.read(spark, r), Seq("o_custkey")))
+        .collect().toSet
+      // the hard pin, doubled: delete a live data file from EACH base
+      Files.delete(Paths.get(Snapshots.liveFiles(l,
+        Snapshots.currentVersion(l)).head))
+      Files.delete(Paths.get(Snapshots.liveFiles(r,
+        Snapshots.currentVersion(r)).head))
+      val qPinned = exact(gl.join(gr, Seq("o_custkey")))
+      assert(qPinned.collect().toSet == wantE2)
+    } finally MvRegistry.unregister(mv)
+  }
 }
