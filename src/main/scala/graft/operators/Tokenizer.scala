@@ -171,6 +171,25 @@ object Tokenizer {
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_tokenize" -> qBpeTokenize)
 
+  /** F12/F13 oracles (r11, closing the last `no_oracle` rows): the
+    * training loop's argmax sequence is not expressible in one SQL
+    * statement, so the oracle SELECTs PRECOMPUTED ground truth — the
+    * committed `oracles/bpe_*_sf001.parquet`, generated by the
+    * independent Python reference implementation in
+    * `tools/gen_bpe_oracle.py` over the sf0.01 documents table (the
+    * same reference-ground-truth move as the A12 parity file; the
+    * fractional `tokens_per_word` is derived IN SQL from the stored
+    * integers, mirroring the Spark-side `round(x, 4)`). The files are
+    * sf0.01-specific — the driver's correctness gate scale. */
   def oracles: Map[String, String] = Map(
-    "q_bpe_pairs" -> qBpePairsSql)
+    "q_bpe_pairs" -> qBpePairsSql,
+    "q_bpe_merges" ->
+      """SELECT rank, "left", "right", merged, cnt
+        |FROM read_parquet('/root/repo/oracles/bpe_merges_sf001.parquet')"""
+        .stripMargin,
+    "q_bpe_tokenize" ->
+      """SELECT doc_id, n_words, n_bpe_tokens,
+        |  round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 4) AS tokens_per_word
+        |FROM read_parquet('/root/repo/oracles/bpe_tokenize_sf001.parquet')"""
+        .stripMargin)
 }
