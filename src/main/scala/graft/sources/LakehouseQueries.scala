@@ -1915,6 +1915,80 @@ object LakehouseQueries {
     q.withColumn("rewritten", lit(rewritten))
   }
 
+  /** r11 (A55×A45×C25) — CONTINUOUS MV MAINTENANCE end-to-end: a C25
+    * STREAMING UPSERT SINK drives the base (two micro-batch waves: a
+    * group-moving update+insert wave, then a key-reviving custkey
+    * move), a batch DELETE lands between them, and the
+    * `continuousRefresh` CDF-trigger stream follows every commit with
+    * exactly-once batch refreshes. The output reads the MV (never the
+    * base) and oracles the full final aggregate plus a `caught_up`
+    * verdict (consumed watermark == base head). A lost trigger, a
+    * double-applied window, or an upsert the feed missed breaks the
+    * hash.
+    */
+  def qLakeMvStream(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir, changeDataFeed = true)
+    val mv = tempDir("graft_mvst_q") + "/mv"
+    MaterializedView.create(s, mv, dir, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    val refreshQs = MaterializedView.continuousRefresh(s, mv,
+      tempDir("graft_mvst_rck"))
+    val spool = tempDir("graft_mvst_spool")
+    val upsert = s.readStream.schema(Snapshots.read(s, dir).schema)
+      .parquet(spool)
+      .writeStream.format("graft")
+      .option("keyCol", "o_orderkey")
+      .option("checkpointLocation", tempDir("graft_mvst_uck"))
+      .start(dir)
+    try {
+      // wave 1 through the SINK: group moves + fresh inserts
+      b.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_orderstatus", lit("S"))
+        .unionByName(b.filter(col("o_orderkey") % 11 === 5)
+          .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
+          .withColumn("o_orderstatus", lit("Z")))
+        .write.mode("append").parquet(spool)
+      upsert.processAllAvailable()
+      // a batch delete between stream batches (deletes aren't upserts)
+      Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
+      // wave 2 through the sink: custkey moves that also REVIVE keys
+      // the delete just killed (upsert = insert-if-absent)
+      b.filter(col("o_orderkey") % 13 === 2)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+        .write.mode("append").parquet(spool)
+      upsert.processAllAvailable()
+      refreshQs.foreach(_.processAllAvailable())
+    } finally { upsert.stop(); refreshQs.foreach(_.stop()) }
+    val caughtUp = MaterializedView.consumedVersion(mv) ==
+      Snapshots.currentVersion(dir)
+    MaterializedView.read(s, mv)
+      .select(col("o_orderstatus"), col("cnt"),
+        col("sum_o_custkey").as("sum_custkey"),
+        col("avg_o_custkey").as("avg_custkey"))
+      .withColumn("caught_up", lit(caughtUp))
+  }
+
+  val qLakeMvStreamSql: String =
+    """WITH fin AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 13 = 2 THEN o_custkey + 1000000
+      |         ELSE o_custkey END AS c,
+      |    CASE WHEN o_orderkey % 13 = 2 THEN o_orderstatus
+      |         WHEN o_orderkey % 6 = 0 THEN 'S'
+      |         ELSE o_orderstatus END AS st
+      |  FROM orders
+      |  WHERE o_orderkey % 13 = 2 OR o_orderkey % 9 <> 4
+      |  UNION ALL
+      |  SELECT o_orderkey + 90000000, o_custkey, 'Z'
+      |  FROM orders WHERE o_orderkey % 11 = 5 AND o_orderkey % 9 <> 4)
+      |SELECT st AS o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(c) AS BIGINT) AS sum_custkey, avg(c) AS avg_custkey,
+      |  true AS caught_up
+      |FROM fin GROUP BY 1""".stripMargin
+
   val qLakeMvMinMaxSql: String =
     """WITH w1 AS (
       |  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p,
@@ -2030,6 +2104,7 @@ object LakehouseQueries {
     "q_lake_mv_rewrite" -> (qLakeMvRewrite(_, _)),
     "q_lake_mv_join_rewrite" -> (qLakeMvJoinRewrite(_, _)),
     "q_lake_mv_minmax" -> (qLakeMvMinMax(_, _)),
+    "q_lake_mv_stream" -> (qLakeMvStream(_, _)),
     "q_lake_widen" -> (qLakeWiden(_, _)),
     "q_lake_part_transforms" -> (qLakePartTransforms(_, _)),
     "q_lake_txn" -> (qLakeTxn(_, _)),
@@ -2075,6 +2150,7 @@ object LakehouseQueries {
     "q_lake_mv_rewrite" -> qLakeMvRewriteSql,
     "q_lake_mv_join_rewrite" -> qLakeMvJoinRewriteSql,
     "q_lake_mv_minmax" -> qLakeMvMinMaxSql,
+    "q_lake_mv_stream" -> qLakeMvStreamSql,
     "q_lake_widen" -> qLakeWidenSql,
     "q_lake_part_transforms" -> qLakePartTransformsSql,
     "q_lake_txn" -> qLakeTxnSql,

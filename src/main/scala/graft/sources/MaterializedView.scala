@@ -422,6 +422,38 @@ object MaterializedView {
       refreshJoin(spark, mvRoot)
     else refresh(spark, mvRoot)
 
+  /** CONTINUOUS maintenance (r11, A55×A45 as a first-class surface):
+    * one A45 CDF stream per base acts as the TRIGGER — each micro-batch
+    * calls the batch refresh, which reads the feed window itself under
+    * the A51 mark, so foreachBatch's at-least-once delivery is
+    * harmless (a replayed or concurrent trigger no-ops on the recorded
+    * watermark) and the vacuum lease advances with every consumed
+    * commit exactly as in the batch path. Join MVs start one trigger
+    * stream per base; either side's commit drives a full (vL, vR)
+    * refresh — one-sided windows are the refresh's normal case.
+    * Returns the running queries; the caller owns their lifecycle
+    * (stop() to detach — the MV stays a consistent batch MV at
+    * whatever watermark it reached). */
+  def continuousRefresh(spark: SparkSession, mvRoot: String,
+      checkpointDir: String)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val m = specMap(mvRoot)
+    val feeds: Seq[(String, String)] =
+      if (m.get("kind").contains("join"))
+        Seq(m("left") -> m("lkey"), m("right") -> m("rkey"))
+      else Seq(m("base") -> m("key"))
+    feeds.zipWithIndex.map { case ((b, k), i) =>
+      spark.readStream.format("graft")
+        .option("keyCol", k).option("readChangeFeed", "true").load(b)
+        .writeStream
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          refreshAny(spark, mvRoot); ()
+        }
+        .option("checkpointLocation", s"$checkpointDir/feed$i")
+        .start()
+    }
+  }
+
   /** The MV's user-facing shape: group columns, `cnt`, and per sum
     * column the ANSI `sum_c` (NULL when no non-null contributor — the
     * stored 0-based running sum is an internal detail) and `avg_c`. */

@@ -557,6 +557,83 @@ class MaterializedViewSpec extends GraftSuite {
     } finally MvRegistry.unregister(mv)
   }
 
+  // ── r11: continuous maintenance as a first-class surface ──────────
+
+  test("continuousRefresh: a C25 streaming upsert sink drives the base " +
+      "while the CDF-trigger stream keeps the MV recompute-exact") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.drop("o_totalprice").write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    val refreshQs = MaterializedView.continuousRefresh(spark, mv, tmp())
+    val spool = tmp()
+    val upsert = spark.readStream
+      .schema(Snapshots.read(spark, base).schema).parquet(spool)
+      .writeStream.format("graft").option("keyCol", "o_orderkey")
+      .option("checkpointLocation", tmp()).start(base)
+    def recomputeNoTp = Snapshots.read(spark, base)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum("o_custkey").as("sum_o_custkey"),
+        avg("o_custkey").as("avg_o_custkey"))
+    try {
+      ordersDf.drop("o_totalprice")
+        .filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_orderstatus", lit("S"))
+        .write.mode("append").parquet(spool)
+      upsert.processAllAvailable()
+      refreshQs.foreach(_.processAllAvailable())
+      assertSame(MaterializedView.read(spark, mv), recomputeNoTp)
+      // a batch delete between sink batches rides the same feed
+      Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 9 === 4)
+      ordersDf.drop("o_totalprice")
+        .filter(col("o_orderkey") % 13 === 2)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+        .write.mode("append").parquet(spool)
+      upsert.processAllAvailable()
+      refreshQs.foreach(_.processAllAvailable())
+      assertSame(MaterializedView.read(spark, mv), recomputeNoTp)
+      assert(MaterializedView.consumedVersion(mv) ==
+        Snapshots.currentVersion(base), "the MV must track the head")
+    } finally { upsert.stop(); refreshQs.foreach(_.stop()) }
+  }
+
+  test("continuousRefresh on a JOIN MV: either base's feed triggers a " +
+      "full two-side refresh; both watermarks track both heads") {
+    val l = tmp(); val r = tmp(); val mv = tmp() + "/mv"
+    ordersDf.drop("o_totalprice").write.mode("overwrite").parquet(l)
+    Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(r)
+    Snapshots.init(spark, l, changeDataFeed = true)
+    Snapshots.init(spark, r, changeDataFeed = true)
+    MaterializedView.createJoin(spark, mv, l, "o_orderkey", r,
+      "o_custkey", "o_custkey", Seq("c_mktsegment"), Seq("o_orderkey"))
+    def recomputeJ = Snapshots.read(spark, l)
+      .join(Snapshots.read(spark, r), Seq("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum("o_orderkey").as("sum_o_orderkey"),
+        avg("o_orderkey").as("avg_o_orderkey"))
+    val refreshQs = MaterializedView.continuousRefresh(spark, mv, tmp())
+    assert(refreshQs.size == 2, "a join MV streams both bases' feeds")
+    try {
+      Snapshots.deleteVersioned(spark, l, col("o_orderkey") % 13 === 1)
+      refreshQs.foreach(_.processAllAvailable())
+      assertSame(MaterializedView.read(spark, mv), recomputeJ)
+      Snapshots.deleteVersioned(spark, r, col("o_custkey") % 17 === 3)
+      refreshQs.foreach(_.processAllAvailable())
+      assertSame(MaterializedView.read(spark, mv), recomputeJ)
+      assert(Snapshots.txnVersionOf(mv, "mvL@" +
+        java.nio.file.Paths.get(l).toAbsolutePath.normalize).contains(
+        Snapshots.currentVersion(l).toLong))
+      assert(Snapshots.txnVersionOf(mv, "mvR@" +
+        java.nio.file.Paths.get(r).toAbsolutePath.normalize).contains(
+        Snapshots.currentVersion(r).toLong))
+    } finally refreshQs.foreach(_.stop())
+  }
+
   // ── r11: min/max in the MV algebra ─────────────────────────────────
 
   private def recomputeMm(base: String): DataFrame =
