@@ -215,67 +215,228 @@ object GraftStats {
 }
 
 /** A33/A27/A42 → METADATA-ONLY AGGREGATES (r9, Delta's
-  * OptimizeMetadataOnlyDeltaQuery): an unfiltered global
-  * `count(*)` / `count(col)` / `min(col)` / `max(col)` over a graft
-  * relation is ANSWERED FROM THE MANIFEST — the Aggregate rewrites to
-  * a one-row LocalRelation and the 100 TB scan disappears from the
-  * plan entirely (spec pin: the query still answers after a live data
-  * file is deleted from disk). count(*) = Σ file rows; count(col) =
-  * Σ rows − Σ null counts; min/max = fold of the per-file ranges
-  * (integral and floating columns — float ranges were recorded as
-  * exact widened doubles, so the narrow-back is exact). Sound by
-  * construction: DV-carrying and column-mapped versions plan through
-  * the compat relations and never match; any Filter above the
-  * relation breaks the pattern (V1 keeps data filters as Filter
-  * nodes until physical planning); DISTINCT / FILTER-clause /
-  * grouped aggregates don't match; a live file missing a recorded
-  * statistic bails to the scan — unless the null counts prove the
-  * file all-null in that column (min/max ignore nulls). Partitioned
-  * roots sum across every partition's current version.
+  * OptimizeMetadataOnlyDeltaQuery): a global `count(*)` / `count(col)`
+  * / `min(col)` / `max(col)` over a graft relation is ANSWERED FROM
+  * THE MANIFEST — the Aggregate rewrites to a one-row LocalRelation
+  * and the 100 TB scan disappears from the plan entirely (spec pin:
+  * the query still answers after a live data file is deleted from
+  * disk). count(*) = Σ file rows; count(col) = Σ rows − Σ null counts;
+  * min/max = fold of the per-file ranges (integral and floating
+  * columns — float ranges were recorded as exact widened doubles, so
+  * the narrow-back is exact).
+  *
+  * FILTERED form (r11, the r10 verdict's item 5): a conjunctive
+  * predicate of simple comparisons rewrites too, when the manifest
+  * PROVES every live file wholly inside or wholly outside it — a file
+  * is ALL-IN for `a ≥ l` when its recorded lo ≥ l AND its null count
+  * is zero (NULL fails every comparison), ALL-OUT when hi < l (nulls
+  * fail along); `IsNull`/`IsNotNull` decide from the null counts
+  * alone; on a partitioned root a predicate on the PARTITION column
+  * decides whole directories (the value is a per-dir constant — this
+  * is partition pruning performed by the rule). The aggregate then
+  * answers from the ALL-IN files only; ANY file the stats can't
+  * classify bails the whole rewrite to the scan. Typical wins at
+  * 100 TB: `WHERE day = …` (pruned to one partition, answered from
+  * its manifest) and range predicates aligned with file layout
+  * (range-partitioned/Z-ordered tables, where file ranges are
+  * disjoint by construction).
+  *
+  * Sound by construction: DV-carrying and column-mapped versions plan
+  * through the compat relations and never match; DISTINCT /
+  * FILTER-clause / grouped aggregates don't match; a live file
+  * missing a needed statistic bails to the scan — unless the null
+  * counts prove the file all-null in that column (min/max ignore
+  * nulls). Partitioned roots sum across every partition's current
+  * version.
   */
-class GraftMetaAggRule extends Rule[LogicalPlan] {
+class GraftMetaAggRule extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.catalyst.expressions.aggregate._
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
   import org.apache.spark.sql.types._
 
-  /** The flat-table versions this unfiltered relation scans (one for
-    * flat, one per partition dir), or None if not a clean graft scan. */
-  private def tablesOf(p: LogicalPlan): Option[Seq[(String, Int)]] = p match {
+  /** One graft table slice the relation scans: a flat table, or one
+    * partition dir with its constant partition value. */
+  private case class Slice(path: String, v: Int, partValue: Option[String])
+
+  private case class ScanInfo(slices: Seq[Slice], partCol: Option[String],
+      filters: Seq[Expression])
+
+  /** The graft slices + filter conjuncts this plan scans, or None if
+    * not a clean (Project/Filter)*-over-graft-relation shape. */
+  private def scanInfo(p: LogicalPlan): Option[ScanInfo] = p match {
     case lr: LogicalRelation => lr.relation match {
       case h: HadoopFsRelation => h.location match {
-        case g: GraftFileIndex => Some(Seq(g.tablePath -> g.tableVersion))
-        case g: GraftPartitionedFileIndex => Some(g.partitionDirs.map {
-          case (_, d) => d -> Snapshots.currentVersion(d) })
-        case g: GraftHiddenPartitionedIndex => Some(g.partitionDirs.map {
-          case (_, d) => d -> Snapshots.currentVersion(d) })
+        case g: GraftFileIndex =>
+          Some(ScanInfo(Seq(Slice(g.tablePath, g.tableVersion, None)),
+            None, Nil))
+        case g: GraftPartitionedFileIndex =>
+          Some(ScanInfo(g.partitionDirs.map { case (value, d) =>
+            Slice(d, Snapshots.currentVersion(d), Some(value)) },
+            Some(g.partitionCol), Nil))
+        case g: GraftHiddenPartitionedIndex =>
+          Some(ScanInfo(g.partitionDirs.map { case (_, d) =>
+            Slice(d, Snapshots.currentVersion(d), None) }, None, Nil))
         case _ => None
       }
       case _ => None
     }
     case Project(projs, child) if projs.forall(_.isInstanceOf[AttributeReference]) =>
-      tablesOf(child)
+      scanInfo(child)
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      scanInfo(f.child).map(i =>
+        i.copy(filters = splitConjunctivePredicates(f.condition) ++ i.filters))
     case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(Nil, aggExprs, child, _) =>
-      tablesOf(child) match {
-        case Some(tables) if tables.nonEmpty =>
-          val values = aggExprs.map(answer(_, tables))
-          if (values.exists(_.isEmpty)) agg
-          else LocalRelation(agg.output,
-            Seq(org.apache.spark.sql.catalyst.InternalRow
-              .fromSeq(values.map(_.get))))
+      scanInfo(child) match {
+        case Some(info) if info.slices.nonEmpty =>
+          survivorsOf(info) match {
+            case Some(survivors) =>
+              val values = aggExprs.map(answer(_, survivors))
+              if (values.exists(_.isEmpty)) agg
+              else LocalRelation(agg.output,
+                Seq(org.apache.spark.sql.catalyst.InternalRow
+                  .fromSeq(values.map(_.get))))
+            case None => agg
+          }
         case _ => agg
       }
   }
 
-  /** Evaluate one output aggregate from manifest statistics; None =
-    * not answerable (leave the whole Aggregate to the scan). */
+  /** The ALL-IN live files per slice, or None when any conjunct is
+    * unsupported or any file is unclassifiable. With no filters every
+    * live file survives (the r9 unfiltered behavior, no stats needed
+    * beyond what each aggregate itself reads). */
+  private def survivorsOf(info: ScanInfo)
+      : Option[Seq[(String, Int, Seq[String])]] = {
+    val out = info.slices.map { s =>
+      if (!Snapshots.hasVersion(s.path, s.v)) return None
+      val live = Snapshots.liveFiles(s.path, s.v).map(Snapshots.canonical)
+      if (info.filters.isEmpty) (s.path, s.v, live)
+      else {
+        // partition-column conjuncts decide the whole dir
+        val (partConjs, dataConjs) = info.filters.partition(c =>
+          info.partCol.exists(pc => c.references.nonEmpty &&
+            c.references.forall(_.name == pc)))
+        val dirIn = partConjs.map(classifyPart(_, s.partValue, info.partCol))
+        if (dirIn.contains(None)) return None
+        if (dirIn.flatten.contains(false)) (s.path, s.v, Seq.empty[String])
+        else {
+          val stats = Snapshots.fileStats(s.path, s.v)
+          val nulls = Snapshots.fileNulls(s.path, s.v)
+          val rows = Snapshots.fileRows(s.path, s.v)
+          val kept = scala.collection.mutable.ListBuffer.empty[String]
+          live.foreach { f =>
+            if (!rows.get(f).contains(0L)) { // empty files are ALL-OUT
+              val verdicts = dataConjs.map(classifyFile(_,
+                stats.getOrElse(f, Map.empty),
+                nulls.getOrElse(f, Map.empty), rows.get(f)))
+              if (verdicts.forall(_ == Some(true))) kept += f
+              else if (!verdicts.exists(_ == Some(false))) return None
+              // some conjunct is ALL-OUT → the file contributes nothing
+            }
+          }
+          (s.path, s.v, kept.toSeq)
+        }
+      }
+    }
+    Some(out)
+  }
+
+  /** Whole-dir verdict of a partition-column conjunct: Some(true) =
+    * every row in, Some(false) = every row out, None = unsupported. */
+  private def classifyPart(c: Expression, value: Option[String],
+      partCol: Option[String]): Option[Boolean] = (c, value) match {
+    case (EqualTo(a: AttributeReference, Literal(l, StringType)), Some(v))
+        if partCol.contains(a.name) && l != null =>
+      Some(l.toString == v)
+    case (EqualTo(Literal(l, StringType), a: AttributeReference), Some(v))
+        if partCol.contains(a.name) && l != null =>
+      Some(l.toString == v)
+    case (In(a: AttributeReference, vs), Some(v))
+        if partCol.contains(a.name) &&
+          vs.forall(e => e.isInstanceOf[Literal] &&
+            e.asInstanceOf[Literal].value != null) =>
+      Some(vs.exists(_.asInstanceOf[Literal].value.toString == v))
+    case (IsNotNull(a: AttributeReference), Some(_))
+        if partCol.contains(a.name) => Some(true)
+    case _ => None
+  }
+
+  /** Per-file verdict of a data-column conjunct against the file's
+    * recorded (lo, hi) range and null count. ALL-IN demands zero nulls
+    * (NULL fails every comparison); ALL-OUT is free of that demand
+    * (nulls fail alongside the out-of-range values). */
+  private def classifyFile(c: Expression,
+      stats: Map[String, (String, String, String)],
+      nulls: Map[String, Long], rowsOf: Option[Long]): Option[Boolean] = {
+    def range(a: AttributeReference): Option[(BigDecimal, BigDecimal)] =
+      if (!supported(a.dataType)) None
+      else stats.get(a.name).map { case (_, lo, hi) =>
+        (BigDecimal(lo), BigDecimal(hi)) }
+    def nullsOf(a: AttributeReference): Option[Long] =
+      nulls.get(a.name).orElse(rowsOf.filter(_ == 0L))
+    def lit(e: Expression): Option[BigDecimal] = e match {
+      case Literal(v, dt) if v != null && supported(dt) =>
+        Some(BigDecimal(v.toString))
+      case _ => None
+    }
+    def cmp(a: AttributeReference, l: BigDecimal,
+        in: (BigDecimal, BigDecimal) => Boolean,
+        out: (BigDecimal, BigDecimal) => Boolean): Option[Boolean] =
+      for {
+        (lo, hi) <- range(a); n <- nullsOf(a)
+        r <- if (in(lo, hi) && n == 0L) Some(true)
+             else if (out(lo, hi)) Some(false)
+             else None
+      } yield r
+    c match {
+      case GreaterThanOrEqual(a: AttributeReference, e) => lit(e).flatMap(l =>
+        cmp(a, l, (lo, _) => lo >= l, (_, hi) => hi < l))
+      case GreaterThan(a: AttributeReference, e) => lit(e).flatMap(l =>
+        cmp(a, l, (lo, _) => lo > l, (_, hi) => hi <= l))
+      case LessThanOrEqual(a: AttributeReference, e) => lit(e).flatMap(l =>
+        cmp(a, l, (_, hi) => hi <= l, (lo, _) => lo > l))
+      case LessThan(a: AttributeReference, e) => lit(e).flatMap(l =>
+        cmp(a, l, (_, hi) => hi < l, (lo, _) => lo >= l))
+      case EqualTo(a: AttributeReference, e) => lit(e).flatMap(l =>
+        cmp(a, l, (lo, hi) => lo == l && hi == l,
+          (lo, hi) => l < lo || l > hi))
+      // literal-on-the-left mirrors
+      case GreaterThanOrEqual(e, a: AttributeReference) =>
+        classifyFile(LessThanOrEqual(a, e), stats, nulls, rowsOf)
+      case GreaterThan(e, a: AttributeReference) =>
+        classifyFile(LessThan(a, e), stats, nulls, rowsOf)
+      case LessThanOrEqual(e, a: AttributeReference) =>
+        classifyFile(GreaterThanOrEqual(a, e), stats, nulls, rowsOf)
+      case LessThan(e, a: AttributeReference) =>
+        classifyFile(GreaterThan(a, e), stats, nulls, rowsOf)
+      case EqualTo(e, a: AttributeReference) =>
+        classifyFile(EqualTo(a, e), stats, nulls, rowsOf)
+      case IsNotNull(a: AttributeReference) => (nullsOf(a), rowsOf) match {
+        case (Some(n), Some(r)) =>
+          if (n == 0L) Some(true) else if (n == r) Some(false) else None
+        case _ => None
+      }
+      case IsNull(a: AttributeReference) => (nullsOf(a), rowsOf) match {
+        case (Some(n), Some(r)) =>
+          if (n == r) Some(true) else if (n == 0L) Some(false) else None
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Evaluate one output aggregate over the surviving files of every
+    * slice; None = not answerable (leave the whole Aggregate to the
+    * scan). */
   private def answer(ne: NamedExpression,
-      tables: Seq[(String, Int)]): Option[Any] = ne match {
+      tables: Seq[(String, Int, Seq[String])]): Option[Any] = ne match {
     case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
       fn match {
         // count(*) / count(1); count(NULL) is NOT a row count — it
@@ -295,51 +456,42 @@ class GraftMetaAggRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def totalRows(tables: Seq[(String, Int)]): Option[Long] = {
-    val per = tables.map { case (path, v) =>
-      if (!Snapshots.hasVersion(path, v)) None
-      else {
-        val live = Snapshots.liveFiles(path, v).map(Snapshots.canonical)
-        val rows = Snapshots.fileRows(path, v)
-        if (live.forall(rows.contains)) Some(live.map(rows).sum) else None
-      }
+  private def totalRows(
+      tables: Seq[(String, Int, Seq[String])]): Option[Long] = {
+    val per = tables.map { case (path, v, files) =>
+      val rows = Snapshots.fileRows(path, v)
+      if (files.forall(rows.contains)) Some(files.map(rows).sum) else None
     }
     if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
   }
 
-  private def totalNulls(tables: Seq[(String, Int)],
+  private def totalNulls(tables: Seq[(String, Int, Seq[String])],
       col: String): Option[Long] = {
-    val per = tables.map { case (path, v) =>
-      if (!Snapshots.hasVersion(path, v)) None
-      else {
-        val live = Snapshots.liveFiles(path, v).map(Snapshots.canonical)
-        val nulls = Snapshots.fileNulls(path, v)
-        val rows = Snapshots.fileRows(path, v)
-        // an empty file records no null lines — it contributes 0 nulls
-        val perFile = live.map(f => nulls.getOrElse(f, Map.empty).get(col)
-          .orElse(rows.get(f).filter(_ == 0L)))
-        if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
-      }
+    val per = tables.map { case (path, v, files) =>
+      val nulls = Snapshots.fileNulls(path, v)
+      val rows = Snapshots.fileRows(path, v)
+      // an empty file records no null lines — it contributes 0 nulls
+      val perFile = files.map(f => nulls.getOrElse(f, Map.empty).get(col)
+        .orElse(rows.get(f).filter(_ == 0L)))
+      if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
     }
     if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
   }
 
-  /** Manifest-range min/max of `a` across every live file of every
-    * table, typed back under the column's own type. A file without a
-    * recorded range is sound to SKIP only when the null counts prove
-    * it all-null in the column; otherwise bail. All-null table (or
-    * empty) → null, matching the aggregate's semantics. */
-  private def fold(tables: Seq[(String, Int)], a: AttributeReference,
-      isMin: Boolean): Option[Any] = {
+  /** Manifest-range min/max of `a` across every surviving file of
+    * every slice, typed back under the column's own type. A file
+    * without a recorded range is sound to SKIP only when the null
+    * counts prove it all-null in the column; otherwise bail. All-null
+    * (or empty) → null, matching the aggregate's semantics. */
+  private def fold(tables: Seq[(String, Int, Seq[String])],
+      a: AttributeReference, isMin: Boolean): Option[Any] = {
     if (!supported(a.dataType)) return None
     var acc: Option[BigDecimal] = None
-    tables.foreach { case (path, v) =>
-      if (!Snapshots.hasVersion(path, v)) return None
-      val live = Snapshots.liveFiles(path, v).map(Snapshots.canonical)
+    tables.foreach { case (path, v, files) =>
       val stats = Snapshots.fileStats(path, v)
       val nulls = Snapshots.fileNulls(path, v)
       val rows = Snapshots.fileRows(path, v)
-      live.foreach { f =>
+      files.foreach { f =>
         stats.getOrElse(f, Map.empty).get(a.name) match {
           case Some((_, lo, hi)) =>
             val x = BigDecimal(if (isMin) lo else hi)

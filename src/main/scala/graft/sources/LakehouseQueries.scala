@@ -999,6 +999,89 @@ object LakehouseQueries {
       |  min(o_totalprice), max(o_totalprice)
       |FROM orders""".stripMargin
 
+  /** r11 (A48 extended, the r10 verdict's item 5) — FILTERED
+    * METADATA-ONLY AGGREGATES: count/min/max under a predicate still
+    * answer from the manifest when the stats PROVE every live file
+    * wholly inside or outside it. Three oracled slices: `hi`/`lo` — a
+    * key-range cut over a table built from disjoint-slice appends (a
+    * stats-scoped delete wave rewrites only low-slice files, so ranges
+    * stay decidable), with a live LOW-slice file DELETED FROM DISK
+    * (the pruned-away pin: the hi query must open nothing, and the lo
+    * query answers for the vanished file from its manifest line); and
+    * `pf` — a partition-column predicate on an A26 root pruning whole
+    * directories, with a live file deleted from a pruned-OUT
+    * partition.
+    */
+  def qLakeMetaAggFiltered(s: SparkSession, d: String): DataFrame = {
+    val se = graft.plans.GraftSessions.withExtensions(s)
+    val b = base(se, d)
+    // FLAT branch: three disjoint key slices appended separately —
+    // every live file's key range lies wholly on one side of the cut
+    val dir = stage(b.filter(col("o_orderkey") < 10000).repartition(2), 2)
+    Snapshots.init(se, dir)
+    Snapshots.appendVersioned(se, dir,
+      b.filter(col("o_orderkey") >= 10000 && col("o_orderkey") < 30000))
+    Snapshots.appendVersioned(se, dir, b.filter(col("o_orderkey") >= 30000))
+    Snapshots.deleteVersioned(se, dir,
+      col("o_orderkey") % 7 === 3 && col("o_orderkey") < 5000)
+    val vNow = Snapshots.currentVersion(dir)
+    val keyStats = Snapshots.fileStats(dir, vNow)
+    val lowFile = Snapshots.liveFiles(dir, vNow).map(Snapshots.canonical)
+      .find(f => keyStats.get(f).flatMap(_.get("o_orderkey"))
+        .exists(r => BigDecimal(r._3) < 10000))
+      .getOrElse(throw new IllegalStateException("no low-slice file"))
+    Files.delete(Paths.get(lowFile))
+    def aggOf(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+          count(col("o_orderstatus")).as("n_status"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .select(lit(tag).as("slice"), col("n"), col("n_status"),
+          col("min_key"), col("max_key"), col("min_price"),
+          col("max_price"))
+    val hi = aggOf(se.read.format("graft").load(dir)
+      .filter(col("o_orderkey") >= 10000), "hi")
+    val lo = aggOf(se.read.format("graft").load(dir)
+      .filter(col("o_orderkey") < 10000), "lo")
+    // PARTITIONED branch: the partition-column predicate prunes whole
+    // dirs; a live file from a pruned-OUT partition vanishes first
+    val pdir = tempDir("graft_metafp_q") + "/t"
+    PartitionedSnapshots.init(se, pdir, b, "o_orderstatus")
+    val oDir = pdir + "/part=O"
+    Files.delete(Paths.get(Snapshots.liveFiles(oDir,
+      Snapshots.currentVersion(oDir)).head))
+    val pf = se.read.format("graft")
+      .option("partitionCol", "o_orderstatus").load(pdir)
+      .filter(col("o_orderstatus") === "F")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .select(lit("pf").as("slice"), col("n"),
+        lit(null).cast("long").as("n_status"),
+        col("min_key"), col("max_key"), col("min_price"), col("max_price"))
+    hi.unionByName(lo).unionByName(pf)
+  }
+
+  val qLakeMetaAggFilteredSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+      |  FROM orders
+      |  WHERE NOT (o_orderkey % 7 = 3 AND o_orderkey < 5000))
+      |SELECT 'hi' AS slice, count(*) AS n, count(st) AS n_status,
+      |  min(k) AS min_key, max(k) AS max_key,
+      |  min(p) AS min_price, max(p) AS max_price
+      |FROM t WHERE k >= 10000
+      |UNION ALL
+      |SELECT 'lo', count(*), count(st), min(k), max(k), min(p), max(p)
+      |FROM t WHERE k < 10000
+      |UNION ALL
+      |SELECT 'pf', count(*), NULL,
+      |  min(o_orderkey), max(o_orderkey),
+      |  min(o_totalprice), max(o_totalprice)
+      |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
   /** HIDDEN (transform) PARTITIONING end-to-end (r9 — Iceberg's
     * signature layout over the A26 per-partition logs): orders lands
     * mod(o_orderkey, 8)-partitioned with the key column kept at full
@@ -2138,6 +2221,7 @@ object LakehouseQueries {
     "q_lake_cdf_stream" -> (qLakeCdfStream(_, _)),
     "q_lake_part_stream" -> (qLakePartStream(_, _)),
     "q_lake_meta_agg" -> (qLakeMetaAgg(_, _)),
+    "q_lake_meta_agg_filtered" -> (qLakeMetaAggFiltered(_, _)),
     "q_lake_hidden_part" -> (qLakeHiddenPart(_, _)),
     "q_lake_catalog_part" -> (qLakeCatalogPart(_, _)))
 
@@ -2184,6 +2268,7 @@ object LakehouseQueries {
     "q_lake_cdf_stream" -> qLakeCdfStreamSql,
     "q_lake_part_stream" -> qLakePartStreamSql,
     "q_lake_meta_agg" -> qLakeMetaAggSql,
+    "q_lake_meta_agg_filtered" -> qLakeMetaAggFilteredSql,
     "q_lake_hidden_part" -> qLakeHiddenPartSql,
     "q_lake_catalog_part" -> qLakeCatalogPartSql)
 }

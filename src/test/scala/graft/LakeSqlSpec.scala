@@ -801,6 +801,92 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("r11: FILTERED metadata-only aggregates — stats-decidable " +
+      "predicates answer from the manifest; undecidable ones fall back") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_metaf").toString + "/t"
+      // range-partitioned files: [1,250] [251,500] [501,750] [751,1000];
+      // grp null for k % 10 == 0 and the whole first file
+      (1L to 1000L).map(k => (k,
+          if (k % 10 == 0 || k <= 250) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(k % 97 + 1)))
+        .toDF("k", "grp")
+        .repartitionByRange(4, col("k")).write.parquet(dir)
+      Snapshots.init(s, dir) // v0
+      Snapshots.deleteVersioned(s, dir, col("k") > 900L) // v1
+
+      def scans(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+
+      // an ALIGNED cut: every file wholly in or out → metadata-only
+      val q = s.read.format("graft").load(dir).filter(col("k") >= 501L)
+        .agg(count(lit(1)).as("n"), count(col("grp")).as("n_grp"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          min("grp").as("min_g"), max("grp").as("max_g"))
+      assert(scans(q).isEmpty,
+        s"expected scan-free plan:\n${q.queryExecution.optimizedPlan}")
+      val r = q.collect()(0)
+      assert(r.getLong(0) == 400L && r.getLong(1) == 360L)
+      assert(r.getLong(2) == 501L && r.getLong(3) == 900L)
+      assert(r.getLong(4) == 1L && r.getLong(5) == 97L)
+
+      // a compound aligned range: [251, 750] picks the middle files
+      val q2 = s.read.format("graft").load(dir)
+        .filter(col("k") >= 251L && col("k") <= 750L)
+        .agg(count(lit(1)).as("n"))
+      assert(scans(q2).isEmpty)
+      assert(q2.collect()(0).getLong(0) == 500L)
+
+      // IsNotNull on a null-free column is decidable everywhere
+      val q3 = s.read.format("graft").load(dir)
+        .filter(col("k").isNotNull).agg(count(lit(1)).as("n"))
+      assert(scans(q3).isEmpty)
+      assert(q3.collect()(0).getLong(0) == 900L)
+
+      // a STRADDLING cut: file [251,500] is neither in nor out → the
+      // scan stays (and stays exact)
+      val q4 = s.read.format("graft").load(dir).filter(col("k") >= 400L)
+        .agg(count(lit(1)).as("n"))
+      assert(scans(q4).nonEmpty)
+      assert(q4.collect()(0).getLong(0) == 501L)
+
+      // mixed-null files make IsNull undecidable → scan
+      val q5 = s.read.format("graft").load(dir).filter(col("grp").isNull)
+        .agg(count(lit(1)).as("n"))
+      assert(scans(q5).nonEmpty)
+      assert(q5.collect()(0).getLong(0) == 315L) // 250 + 65 (k%10, 251..900)
+
+      // THE pin: a live file on the pruned-away side vanishes from
+      // disk — the decided query still answers from the manifest
+      val vNow = Snapshots.currentVersion(dir)
+      val lowFile = Snapshots.liveFiles(dir, vNow)
+        .find(f => s.read.parquet(f).agg(max("k"))
+          .head().getLong(0) <= 500L).get
+      Files.delete(java.nio.file.Paths.get(lowFile))
+      val after = s.read.format("graft").load(dir).filter(col("k") >= 501L)
+        .agg(count(lit(1)).as("n")).collect()(0)
+      assert(after.getLong(0) == 400L)
+
+      // partitioned root: the partition-column predicate prunes whole
+      // dirs — a pruned-OUT partition's file can vanish too
+      val proot = Files.createTempDirectory("graft_metaf_p").toString + "/t"
+      PartitionedSnapshots.init(s, proot,
+        (1L to 300L).map(k => (k, s"s${k % 3}")).toDF("k", "part"), "part")
+      val s0 = proot + "/part=s0"
+      Files.delete(java.nio.file.Paths.get(
+        Snapshots.liveFiles(s0, Snapshots.currentVersion(s0)).head))
+      val pq = s.read.format("graft").load(proot)
+        .filter(col("part") === "s1")
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"))
+      assert(scans(pq).isEmpty,
+        s"expected scan-free plan:\n${pq.queryExecution.optimizedPlan}")
+      val prow = pq.collect()(0)
+      assert(prow.getLong(0) == 100L && prow.getLong(1) == 1L)
+    }
+  }
+
   test("r9: ANSI DML on a HIDDEN-partitioned table routes through the transform") {
     withExtSession { s =>
       import s.implicits._
