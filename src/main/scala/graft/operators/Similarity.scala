@@ -916,7 +916,50 @@ object Similarity {
       |SELECT vec_id, bench_id AS contaminated_by, cos_sim
       |FROM ranked WHERE rn = 1 AND cos_sim >= 0.35""".stripMargin
 
+  /** r11 (the r10 verdict's item 6) — ORACLED ANN RECALL: recall@10 of
+    * each scale-path index (E2 LSH, E4 IVF-Flat, E12 IVF-PQ) computed
+    * IN-QUERY against the E1 exact baseline, then oracled as a hashed
+    * verdict column (the A50 `exchange_free` trick): the output row per
+    * method carries the data-tied expected pair count and
+    * `recall_ok = recall ≥ floor`. Floors are CONTRACTS with margin
+    * under the measured values across sf0.001/sf0.01/sf0.1 (LSH
+    * 0.57–0.67 → floor 0.50; IVF 0.81–0.90 → floor 0.70; IVF-PQ
+    * 0.14–0.25 with its deliberately coarse m=4, k=8 codebook → floor
+    * 0.08) — approximate indexes trade recall for the sublinear scan,
+    * and the floor is what the sweep legs must keep holding at
+    * 10×/30×, not a point estimate. Driver-side cost: six bounded
+    * count() actions — the recall scalars ARE the result.
+    */
+  def qKnnRecall(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = bruteForceKnn(e, q, k)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val nPairs = exact.count()
+    def recall(approx: DataFrame): Double =
+      approx.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / nPairs
+    val rows = Seq(
+      ("ivf", recall(ivfKnn(e, q, k)), 0.70),
+      ("ivfpq", recall(qKnnIvfPq(s, d, nQueries = 20, topK = k)), 0.08),
+      ("lsh", recall(lshKnn(e, q, k)), 0.50))
+    import s.implicits._
+    rows.map { case (m, r, floor) => (m, nPairs, r >= floor) }
+      .toDF("method", "n_pairs", "recall_ok")
+  }
+
+  val qKnnRecallSql: String =
+    """WITH p AS (SELECT count(*) AS n FROM embeddings),
+      |q AS (SELECT CAST(least(20, n) * least(10, n - 1) AS BIGINT) AS np
+      |  FROM p)
+      |SELECT 'ivf' AS method, np AS n_pairs, true AS recall_ok FROM q
+      |UNION ALL SELECT 'ivfpq', np, true FROM q
+      |UNION ALL SELECT 'lsh', np, true FROM q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_recall" -> ((s, d) => qKnnRecall(s, d)),
     "q_embed_decontam" -> qEmbedDecontam,
     "q_ivf_index" -> ((s, d) => qIvfIndex(s, d)),
     "q_pq" -> ((s, d) => qPq(s, d)),
@@ -932,6 +975,7 @@ object Similarity {
     "q_embed_health" -> qEmbedHealth)
 
   def oracles: Map[String, String] = Map(
+    "q_knn_recall" -> qKnnRecallSql,
     "q_embed_decontam" -> qEmbedDecontamSql,
     "q_pq" -> qPqSql,
     "q_knn_pq" -> qKnnPqSql,
