@@ -48,7 +48,8 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT CHECKPOINT '<path>'         -- materialize head as full
   *   GRAFT ANALYZE '<path>'       -- r9: versioned NDV for the CBO
   *   GRAFT ANALYZE '<path>' WITH HISTOGRAM  -- + equi-height bins
-  *   GRAFT CREATE MATERIALIZED VIEW '<mv>' ON '<base>' KEY <k>
+  *   GRAFT CREATE MATERIALIZED VIEW '<mv>' ON '<base>' KEY <k>  -- r11:
+  *     … [MINMAX (<m1>[, …])] adds A63 stored per-group extrema
   *     GROUP BY (<c1>[, …]) [SUM (<s1>[, …])]          -- A55
   *   GRAFT CREATE MATERIALIZED VIEW '<mv>' ON '<left>' KEY <lk>
   *     JOIN '<right>' KEY <rk> ON <joinCol>
@@ -156,17 +157,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           parts.size.toLong
         }
       })
-      case MvCreate(mv, base, key, groups, sums) =>
+      case MvCreate(mv, base, key, groups, sums, minmax) =>
         LakeMaintenanceCommand("version", s =>
           graft.sources.MaterializedView.create(s, mv, base, key,
             groups.split(",").map(_.trim).toIndexedSeq,
             Option(sums).map(_.split(",").map(_.trim).toIndexedSeq)
+              .getOrElse(Seq.empty),
+            Option(minmax).map(_.split(",").map(_.trim).toIndexedSeq)
               .getOrElse(Seq.empty)).toLong)
-      case MvCreateJoin(mv, left, lk, right, rk, j, groups, sums) =>
+      case MvCreateJoin(mv, left, lk, right, rk, j, groups, sums, minmax) =>
         LakeMaintenanceCommand("version", s =>
           graft.sources.MaterializedView.createJoin(s, mv, left, lk,
             right, rk, j, groups.split(",").map(_.trim).toIndexedSeq,
             Option(sums).map(_.split(",").map(_.trim).toIndexedSeq)
+              .getOrElse(Seq.empty),
+            Option(minmax).map(_.split(",").map(_.trim).toIndexedSeq)
               .getOrElse(Seq.empty)).toLong)
       case MvRefresh(mv) => LakeMaintenanceCommand("version", s =>
         graft.sources.MaterializedView.refreshAny(s, mv).toLong)
@@ -308,12 +313,14 @@ object GraftSqlParser {
   private val MvCreate =
     ("""(?is)\s*GRAFT\s+CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+""" +
       """'([^']+)'\s+KEY\s+(\w+)\s+GROUP\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)""" +
-      """\s*\)(?:\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""").r
+      """\s*\)(?:\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
+      """(?:\s+MINMAX\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""").r
   private val MvCreateJoin =
     ("""(?is)\s*GRAFT\s+CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+""" +
       """'([^']+)'\s+KEY\s+(\w+)\s+JOIN\s+'([^']+)'\s+KEY\s+(\w+)\s+ON\s+""" +
       """(\w+)\s+GROUP\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)""" +
-      """\s*\)(?:\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""").r
+      """\s*\)(?:\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
+      """(?:\s+MINMAX\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""").r
   private val MvRefresh =
     """(?is)\s*GRAFT\s+REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val MvDrop =

@@ -243,35 +243,46 @@ object MaterializedView {
     // the window's insert-side extrema (they FOLD into the stored ones)
     // and delete-side extrema (they DETECT a stored-extremum hit)
     val dAggs = aggExprs(cdf, sp.sumCols, sign, "d_cnt", "d") ++
-      sp.minMaxCols.flatMap { c => Seq(
-        min(when(sign === 1L, col(s"`$c`"))).as(s"imn_$c"),
-        max(when(sign === 1L, col(s"`$c`"))).as(s"imx_$c"),
-        min(when(sign === -1L, col(s"`$c`"))).as(s"dmn_$c"),
-        max(when(sign === -1L, col(s"`$c`"))).as(s"dmx_$c")) }
+      mmDeltaExprs(sp.minMaxCols, sign)
     val deltas = cdf.groupBy(sp.groupCols.map(c => col(s"`$c`")): _*)
       .agg(dAggs.head, dAggs.tail: _*)
     val marks = Seq(appId(sp.base) -> to.toLong)
     val v =
       if (sp.minMaxCols.isEmpty)
         applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols, marks)
-      else applyDeltasMinMax(spark, mvRoot, deltas, sp, to, marks)
+      else applyDeltasMinMax(spark, mvRoot, deltas, sp.groupCols,
+        sp.sumCols, sp.minMaxCols, Snapshots.read(spark, sp.base, to),
+        marks)
     Refs.moveTag(sp.base, leaseName(mvRoot), to)
     v
   }
+
+  /** Per min/max column, the change window's signed extrema: the
+    * insert-side min/max fold into the stored values; the delete-side
+    * min/max detect a stored-extremum hit. */
+  private def mmDeltaExprs(minMaxCols: Seq[String],
+      sign: Column): Seq[Column] =
+    minMaxCols.flatMap { c => Seq(
+      min(when(sign === 1L, col(s"`$c`"))).as(s"imn_$c"),
+      max(when(sign === 1L, col(s"`$c`"))).as(s"imx_$c"),
+      min(when(sign === -1L, col(s"`$c`"))).as(s"dmn_$c"),
+      max(when(sign === -1L, col(s"`$c`"))).as(s"dmx_$c")) }
 
   /** The min/max-carrying refresh: fold-only groups take the same
     * delta merge as [[applyDeltas]] (with `mn' = least(mn, imn)` /
     * `mx' = greatest(mx, imx)` — Spark's least/greatest skip NULLs,
     * exactly SQL's min/max-merge); groups whose stored extremum was
-    * DELETED recompute from the base at `to`, semi-joined to just
-    * those group keys. Both land in ONE clause-merge commit carrying
-    * the marks — atomicity and exactly-once are identical to the
-    * fold-only path. Cost: change volume + |hit groups|' base rows. */
+    * DELETED recompute from `currentState` — the base pinned at the
+    * target version (single-table MVs) or the two bases' target-version
+    * join (join MVs) — semi-joined to just those group keys. Both land
+    * in ONE clause-merge commit carrying the marks — atomicity and
+    * exactly-once are identical to the fold-only path. Cost: change
+    * volume + |hit groups|' rows of the current state. */
   private def applyDeltasMinMax(spark: SparkSession, mvRoot: String,
-      deltas0: DataFrame, sp: MvSpec, to: Int,
+      deltas0: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
+      mm: Seq[String], currentState: DataFrame,
       marks: Seq[(String, Long)]): Int = {
     import MergeWhen._
-    val (groupCols, sumCols, mm) = (sp.groupCols, sp.sumCols, sp.minMaxCols)
     // an update that only moved a min/max column nets d_cnt = 0 and
     // (with no sum columns) would vanish under applyDeltas' filter —
     // the extrema columns keep such groups alive here
@@ -302,8 +313,8 @@ object MaterializedView {
       .drop((Seq("__k", "__cnt") ++
         mm.flatMap(c => Seq(s"__mn_$c", s"__mx_$c"))): _*)
       .localCheckpoint() // forked three ways below
-    // group-scoped exact recompute from the base AT the target version
-    val baseTo = Snapshots.read(spark, sp.base, to)
+    // group-scoped exact recompute from the target-version state
+    val baseTo = currentState
       .withColumn("__mv_key", keyExpr(groupCols))
       .join(marked.filter(col("__recomp")).select("__mv_key"),
         Seq("__mv_key"), "left_semi")
@@ -500,7 +511,8 @@ object MaterializedView {
 
   final case class JoinMvSpec(left: String, leftKey: String,
       right: String, rightKey: String, joinCol: String,
-      groupCols: Seq[String], sumCols: Seq[String])
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty)
 
   private def appL(left: String): String = "mvL@" + norm(left)
   private def appR(right: String): String = "mvR@" + norm(right)
@@ -511,9 +523,10 @@ object MaterializedView {
   def createJoin(spark: SparkSession, mvRoot: String,
       left: String, leftKey: String, right: String, rightKey: String,
       joinCol: String, groupCols: Seq[String],
-      sumCols: Seq[String] = Seq.empty): Int = {
+      sumCols: Seq[String] = Seq.empty,
+      minMaxCols: Seq[String] = Seq.empty): Int = {
     require(groupCols.nonEmpty, "materialized view: no group columns")
-    require((groupCols ++ sumCols).forall(c => !c.contains(",")),
+    require((groupCols ++ sumCols ++ minMaxCols).forall(c => !c.contains(",")),
       "materialized view: ',' in a column name")
     val (vL, vR) = (Snapshots.currentVersion(left),
       Snapshots.currentVersion(right))
@@ -528,7 +541,8 @@ object MaterializedView {
     require(overlap == Set(joinCol),
       s"left/right schemas must overlap only on '$joinCol', got $overlap")
     val joined = l.join(r, Seq(joinCol))
-    val aggs = aggExprs(joined, sumCols, lit(1L), "cnt", "")
+    val aggs = aggExprs(joined, sumCols, lit(1L), "cnt", "") ++
+      minMaxExprs(minMaxCols, "")
     val full = joined.groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("__mv_key", keyExpr(groupCols))
@@ -536,7 +550,8 @@ object MaterializedView {
     Files.writeString(Paths.get(mvRoot, SpecFile),
       s"kind=join\nleft=${norm(left)}\nlkey=$leftKey\n" +
         s"right=${norm(right)}\nrkey=$rightKey\njoin=$joinCol\n" +
-        s"group=${groupCols.mkString(",")}\nsum=${sumCols.mkString(",")}\n")
+        s"group=${groupCols.mkString(",")}\nsum=${sumCols.mkString(",")}\n" +
+        s"minmax=${minMaxCols.mkString(",")}\n")
     // bootstrap v0 WITH both marks (the same reason the A51 idempotent
     // append bootstraps with its mark: batch 0 must not be replayable)
     def listParquet(): Seq[String] = {
@@ -563,12 +578,12 @@ object MaterializedView {
   }
 
   def joinSpec(mvRoot: String): JoinMvSpec = {
+    val m = specMap(mvRoot)
     val get = rawSpec(mvRoot)
     require(get("kind") == "join", s"$mvRoot is not a join MV")
-    def split(s: String): Seq[String] =
-      if (s.isEmpty) Seq.empty else s.split(",").toIndexedSeq
     JoinMvSpec(get("left"), get("lkey"), get("right"), get("rkey"),
-      get("join"), split(get("group")), split(get("sum")))
+      get("join"), splitCols(get("group")), splitCols(get("sum")),
+      splitCols(m.getOrElse("minmax", "")))
   }
 
   /** Advance a join MV to both bases' current versions in one exact,
@@ -614,11 +629,23 @@ object MaterializedView {
       case (None, Some(b)) => b
       case (None, None) => return mvV // unreachable (handled above)
     }
-    val dAggs = aggExprs(unioned, sp.sumCols, col("__sign"), "d_cnt", "d")
+    val dAggs = aggExprs(unioned, sp.sumCols, col("__sign"), "d_cnt", "d") ++
+      mmDeltaExprs(sp.minMaxCols, col("__sign"))
     val deltas = unioned.groupBy(sp.groupCols.map(c => col(s"`$c`")): _*)
       .agg(dAggs.head, dAggs.tail: _*)
-    val v = applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols,
-      Seq(appL(sp.left) -> toL.toLong, appR(sp.right) -> toR.toLong))
+    val marks = Seq(appL(sp.left) -> toL.toLong, appR(sp.right) -> toR.toLong)
+    val v =
+      if (sp.minMaxCols.isEmpty)
+        applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols, marks)
+      else
+        // the recompute state for a join MV is the two bases' TARGET-
+        // version join — group-scoped via the same semi-join, so cost
+        // is |hit groups|' join rows, never a two-table rescan
+        applyDeltasMinMax(spark, mvRoot, deltas, sp.groupCols, sp.sumCols,
+          sp.minMaxCols,
+          Snapshots.read(spark, sp.left, toL)
+            .join(Snapshots.read(spark, sp.right, toR), Seq(sp.joinCol)),
+          marks)
     Refs.moveTag(sp.left, leaseName(mvRoot), toL)
     Refs.moveTag(sp.right, leaseName(mvRoot), toR)
     v

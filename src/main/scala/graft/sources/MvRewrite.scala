@@ -228,7 +228,7 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         Some((pins(specL), pins(specR))))
       return None
     substitute(mvRoot, mvV, agg, groupNames, sp.groupCols.toSet,
-      sp.sumCols.toSet, Set.empty, filters)
+      sp.sumCols.toSet, sp.minMaxCols.toSet, filters)
   }
 
   /** The shared tail of both shapes: decide answerability and build the
@@ -284,10 +284,10 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
             Some((when(nn === 0L, lit(null))
               .otherwise(s.cast(DoubleType) / nn.cast(DoubleType))
               .cast(ne.dataType), AsAgg))
-          // min/max serve from the A55 stored extrema (single-table MVs
-          // only — mms is empty for join MVs): exact is a projection,
-          // the rollup re-aggregates (min/max are associative, and the
-          // stored extremum is the column's own type — no widening to
+          // min/max serve from the A63 stored extrema (single-table and
+          // join MVs alike): exact is a projection, the rollup
+          // re-aggregates (min/max are associative, and the stored
+          // extremum is the column's own type — no widening to
           // disagree over). An all-NULL group stores NULL, which both
           // the projection and the NULL-skipping re-aggregate preserve.
           case Min(a: AttributeReference) if mms.contains(a.name) =>

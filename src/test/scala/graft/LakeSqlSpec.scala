@@ -1064,6 +1064,35 @@ class LakeSqlSpec extends GraftSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("r11 (A63): GRAFT CREATE MATERIALIZED VIEW ... MINMAX over SQL — " +
+      "extremum-killing DML, the refresh stays recompute-exact") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_mvmmsql").toString
+    val mv = base + "/mv"
+    Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    withExtSession { s =>
+      s.sql(s"GRAFT CREATE MATERIALIZED VIEW '$mv' ON '$base' " +
+        "KEY o_orderkey GROUP BY (o_orderstatus) SUM (o_custkey) " +
+        "MINMAX (o_totalprice)")
+      // kill the top of the distribution: stored maxima die → the
+      // group-scoped recompute path, all through SQL
+      s.sql(s"DELETE FROM graft.`$base` WHERE o_totalprice > 300000.0")
+      s.sql(s"GRAFT REFRESH MATERIALIZED VIEW '$mv'")
+    }
+    val got = graft.sources.MaterializedView.read(spark, mv)
+      .select("o_orderstatus", "cnt", "sum_o_custkey",
+        "min_o_totalprice", "max_o_totalprice")
+    val want = Snapshots.read(spark, base).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum("o_custkey").as("sum_o_custkey"),
+        min("o_totalprice").as("min_o_totalprice"),
+        max("o_totalprice").as("max_o_totalprice"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("r10 (A56): GRAFT BEGIN/COMMIT TRANSACTION, ABORT, RECOVER and " +
       "PIN CONSISTENT — the multi-table protocol end-to-end over SQL") {
     withExtSession { s =>

@@ -782,6 +782,65 @@ class MaterializedViewSpec extends GraftSuite {
     } finally MvRegistry.unregister(mv)
   }
 
+  test("A57×A63 join-MV min/max: extremum-killing deletes on either " +
+      "side recompute group-scoped from the target-version join; the " +
+      "rewrite serves min/max from the stored extrema") {
+    val l = tmp(); val r = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(l)
+    Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(r)
+    Snapshots.init(spark, l, changeDataFeed = true)
+    Snapshots.init(spark, r, changeDataFeed = true)
+    MaterializedView.createJoin(spark, mv, l, "o_orderkey", r,
+      "o_custkey", "o_custkey", Seq("c_mktsegment"), Seq("o_orderkey"),
+      Seq("o_totalprice"))
+    def recomputeJ = Snapshots.read(spark, l)
+      .join(Snapshots.read(spark, r), Seq("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum("o_orderkey").as("sum_o_orderkey"),
+        min("o_totalprice").as("min_o_totalprice"),
+        max("o_totalprice").as("max_o_totalprice"))
+    def got = MaterializedView.read(spark, mv)
+      .select("c_mktsegment", "cnt", "sum_o_orderkey",
+        "min_o_totalprice", "max_o_totalprice")
+    assertSame(got, recomputeJ)
+    // LEFT-side extremum kill: every group's max above the cut dies
+    val thr = Snapshots.read(spark, l)
+      .agg(max("o_totalprice")).head().getDouble(0) * 0.7
+    Snapshots.deleteVersioned(spark, l, col("o_totalprice") > thr)
+    MaterializedView.refreshJoin(spark, mv)
+    assertSame(got, recomputeJ)
+    // RIGHT-side delete that kills fanouts (removes whole join groups'
+    // contributions, extrema included) + a left value-move in one window
+    Snapshots.deleteVersioned(spark, r, col("o_custkey") % 11 === 2)
+    Snapshots.mergeVersioned(spark, l,
+      Snapshots.read(spark, l).filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 0.25),
+      "o_orderkey")
+    MaterializedView.refreshJoin(spark, mv)
+    assertSame(got, recomputeJ)
+    // the A58 rewrite serves join-MV min/max scan-free
+    MvRegistry.register(spark, mv)
+    try {
+      val q = spark.read.format("graft").load(l)
+        .join(spark.read.format("graft").load(r), Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"),
+          count(lit(1)).as("cnt"))
+      assert(!scannedGraftPaths(q).contains(norm(l)) &&
+        !scannedGraftPaths(q).contains(norm(r)),
+        "join-MV min/max rewrite must drop both base scans")
+      val want = Snapshots.read(spark, l)
+        .join(Snapshots.read(spark, r), Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"),
+          count(lit(1)).as("cnt"))
+      assertSame(q, want)
+    } finally MvRegistry.unregister(mv)
+  }
+
   test("A57→A58 join rewrite: the dashboard join+groupBy serves from " +
       "the join MV in either join order — scan-free past deleted " +
       "files on BOTH bases; one stale side falls back") {
