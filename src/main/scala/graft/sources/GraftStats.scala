@@ -257,9 +257,11 @@ class GraftMetaAggRule extends Rule[LogicalPlan]
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
   import org.apache.spark.sql.types._
 
-  /** One graft table slice the relation scans: a flat table, or one
-    * partition dir with its constant partition value. */
-  private case class Slice(path: String, v: Int, partValue: Option[String])
+  /** One graft table slice the relation scans: a flat table, a
+    * partition dir with its constant partition value, or a HIDDEN
+    * partition dir with its epoch's transform + routed value. */
+  private case class Slice(path: String, v: Int, partValue: Option[String],
+      transform: Option[(GraftTransform, String)] = None)
 
   private case class ScanInfo(slices: Seq[Slice], partCol: Option[String],
       filters: Seq[Expression])
@@ -277,8 +279,10 @@ class GraftMetaAggRule extends Rule[LogicalPlan]
             Slice(d, Snapshots.currentVersion(d), Some(value)) },
             Some(g.partitionCol), Nil))
         case g: GraftHiddenPartitionedIndex =>
-          Some(ScanInfo(g.partitionDirs.map { case (_, d) =>
-            Slice(d, Snapshots.currentVersion(d), None) }, None, Nil))
+          Some(ScanInfo(g.partitionGroups.flatMap { case (t, ds) =>
+            ds.map { case (value, d) =>
+              Slice(d, Snapshots.currentVersion(d), None,
+                Some((t, value))) } }, None, Nil))
         case _ => None
       }
       case _ => None
@@ -320,12 +324,30 @@ class GraftMetaAggRule extends Rule[LogicalPlan]
       if (info.filters.isEmpty) (s.path, s.v, live)
       else {
         // partition-column conjuncts decide the whole dir
-        val (partConjs, dataConjs) = info.filters.partition(c =>
+        val (partConjs, rest) = info.filters.partition(c =>
           info.partCol.exists(pc => c.references.nonEmpty &&
             c.references.forall(_.name == pc)))
+        // HIDDEN-partition conjuncts on the transform's source column
+        // decide the dir through the transform: mayContain = false is
+        // a proven ALL-OUT; all-in is ¬mayContain(¬conjunct) — no row
+        // of the dir can fail it (time transforms carry exact micros
+        // intervals, so `WHERE ts ≥ …` decides whole months). A dir
+        // the transform can't decide falls through to the per-file
+        // stats below, never straight to a bail.
+        var transformOut = false
+        val dataConjs = rest.filter { c =>
+          s.transform match {
+            case Some((t, v)) if c.references.nonEmpty &&
+                c.references.forall(_.name == t.col) =>
+              if (!t.mayContain(v, c)) { transformOut = true; false }
+              else !negateCmp(c).exists(n => !t.mayContain(v, n))
+            case _ => true
+          }
+        }
         val dirIn = partConjs.map(classifyPart(_, s.partValue, info.partCol))
         if (dirIn.contains(None)) return None
-        if (dirIn.flatten.contains(false)) (s.path, s.v, Seq.empty[String])
+        if (transformOut || dirIn.flatten.contains(false))
+          (s.path, s.v, Seq.empty[String])
         else {
           val stats = Snapshots.fileStats(s.path, s.v)
           val nulls = Snapshots.fileNulls(s.path, s.v)
@@ -346,6 +368,18 @@ class GraftMetaAggRule extends Rule[LogicalPlan]
       }
     }
     Some(out)
+  }
+
+  /** The stats-prunable negation of a comparison (NULL-free in both
+    * directions: rows of a valued hidden partition always carry a
+    * non-NULL transform source). Equality's negation isn't a prunable
+    * shape — equality decides per-file instead. */
+  private def negateCmp(e: Expression): Option[Expression] = e match {
+    case GreaterThan(a, b) => Some(LessThanOrEqual(a, b))
+    case GreaterThanOrEqual(a, b) => Some(LessThan(a, b))
+    case LessThan(a, b) => Some(GreaterThanOrEqual(a, b))
+    case LessThanOrEqual(a, b) => Some(GreaterThan(a, b))
+    case _ => None
   }
 
   /** Whole-dir verdict of a partition-column conjunct: Some(true) =

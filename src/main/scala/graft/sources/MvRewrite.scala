@@ -268,6 +268,11 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
             // sum-of-nothing = NULL, but count(*) of an empty base is 0
             Some((if (exact) col("cnt")
               else coalesce(sum(col("cnt")), lit(0L)), AsAgg))
+          // count(c) IS the stored non-null count the NULL-correct sum
+          // already needs — served for every sum column, exactly
+          case Count(Seq(a: AttributeReference)) if sums.contains(a.name) =>
+            Some((if (exact) col(s"`nn_${a.name}`")
+              else coalesce(sum(col(s"`nn_${a.name}`")), lit(0L)), AsAgg))
           case Sum(a: AttributeReference, _)
               if sums.contains(a.name) && sumRewritable(a.dataType) =>
             val (s, nn) =

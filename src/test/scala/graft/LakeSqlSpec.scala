@@ -884,6 +884,35 @@ class LakeSqlSpec extends GraftSuite {
         s"expected scan-free plan:\n${pq.queryExecution.optimizedPlan}")
       val prow = pq.collect()(0)
       assert(prow.getLong(0) == 100L && prow.getLong(1) == 1L)
+
+      // HIDDEN month-partitioned root: a month-aligned timestamp range
+      // decides whole dirs through the transform's exact micros
+      // interval — no file range for a timestamp column needed
+      val hroot = Files.createTempDirectory("graft_metaf_h").toString + "/t"
+      // k 1..600 → day k ⇒ months 0..~19; month m starts at a known day
+      graft.sources.HiddenPartitions.init(s, hroot,
+        (1L to 600L).map(k => (k, k * 86400000000L)).toDF("k", "us")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"),
+        graft.sources.MonthTransform("ts"))
+      // cut at 1970-07-01: months 0..5 wholly out, 6+ wholly in
+      val cut = java.time.LocalDate.of(1970, 7, 1).toEpochDay * 86400000000L
+      val hq = s.read.format("graft").load(hroot)
+        .filter(col("ts") >= timestamp_micros(lit(cut)))
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+          max("k").as("max_k"))
+      assert(scans(hq).isEmpty,
+        s"expected scan-free plan:\n${hq.queryExecution.optimizedPlan}")
+      val hrow = hq.collect()(0)
+      // days ≥ 1970-07-01 = epoch day 181 → k in 181..600
+      assert(hrow.getLong(0) == 420L && hrow.getLong(1) == 181L &&
+        hrow.getLong(2) == 600L, hrow.toString)
+      // a MID-month cut: the boundary month is undecidable → scan, exact
+      val midCut = cut + 10L * 86400000000L
+      val hq2 = s.read.format("graft").load(hroot)
+        .filter(col("ts") >= timestamp_micros(lit(midCut)))
+        .agg(count(lit(1)).as("n"))
+      assert(scans(hq2).nonEmpty)
+      assert(hq2.collect()(0).getLong(0) == 410L)
     }
   }
 

@@ -554,6 +554,12 @@ class MaterializedViewSpec extends GraftSuite {
       assert(!scannedGraftPaths(tot).contains(norm(base)))
       assertSame(tot, Snapshots.read(spark, base)
         .agg(sum("o_custkey").as("s"), avg("o_custkey").as("a")))
+      // count(col) serves from the stored non-null count (r11)
+      val cc = spark.read.format("graft").load(base)
+        .groupBy("o_orderstatus").agg(count(col("o_custkey")).as("nc"))
+      assert(!scannedGraftPaths(cc).contains(norm(base)))
+      assertSame(cc, Snapshots.read(spark, base).groupBy("o_orderstatus")
+        .agg(count(col("o_custkey")).as("nc")))
     } finally MvRegistry.unregister(mv)
   }
 
