@@ -221,6 +221,56 @@ object MaterializedView {
     } yield (l.toInt, r.toInt)
   }
 
+  /** The RETAINED MV version that consumed exactly base version
+    * `pinned`, or None (r11, the time-travel rewrite): the MV is
+    * itself versioned and every refresh's mark is atomic with its
+    * data, so MV history doubles as an exact snapshot store of the
+    * aggregate — a query pinned at an OLD base version is served by
+    * the old MV version that consumed it. The consumed mark is
+    * non-decreasing in the MV version, so the newest-first walk stops
+    * at the first mark below the pin; manifest reads only, bounded by
+    * the retained history. */
+  def versionThatConsumed(mvRoot: String, pinned: Int): Option[Int] = {
+    val sp = spec(mvRoot)
+    val app = appId(sp.base)
+    var v = Snapshots.currentVersion(mvRoot)
+    val lo = Snapshots.earliestVersion(mvRoot)
+    while (v >= lo) {
+      Snapshots.txnVersionOf(mvRoot, v, app) match {
+        case Some(m) if m == pinned.toLong => return Some(v)
+        case Some(m) if m < pinned.toLong => return None
+        case _ => ()
+      }
+      v -= 1
+    }
+    None
+  }
+
+  /** The join-MV twin of [[versionThatConsumed]]: the retained MV
+    * version whose atomic (left, right) mark pair equals the pinned
+    * pair. Both marks advance together monotonically, so the walk
+    * stops once either falls below its pin. */
+  def versionThatConsumedJoin(mvRoot: String,
+      pinnedL: Int, pinnedR: Int): Option[Int] = {
+    val sp = joinSpec(mvRoot)
+    var v = Snapshots.currentVersion(mvRoot)
+    val lo = Snapshots.earliestVersion(mvRoot)
+    while (v >= lo) {
+      val l = Snapshots.txnVersionOf(mvRoot, v, appL(sp.left))
+      val r = Snapshots.txnVersionOf(mvRoot, v, appR(sp.right))
+      (l, r) match {
+        case (Some(lm), Some(rm))
+            if lm == pinnedL.toLong && rm == pinnedR.toLong =>
+          return Some(v)
+        case (Some(lm), Some(rm))
+            if lm < pinnedL.toLong || rm < pinnedR.toLong => return None
+        case _ => ()
+      }
+      v -= 1
+    }
+    None
+  }
+
   /** Advance the MV to the base's current version by applying the
     * change feed's net per-group deltas — one clause-merge commit,
     * exactly-once under the A51 mark. Returns the MV version (which

@@ -198,10 +198,20 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // The MV's own version is captured ONCE and the read below pins to
     // it — checking the head's mark and then re-resolving the head
     // would let a refresh landing in between substitute an MV snapshot
-    // newer than the one this equality approved.
-    val mvV = Snapshots.currentVersion(mvRoot)
-    if (MaterializedView.consumedVersionAt(mvRoot, mvV) != Some(pinned))
-      return None
+    // newer than the one this equality approved. A pin the head does
+    // NOT match may still be served by an OLDER retained MV version
+    // whose mark equals it (r11): the MV's own history is an exact
+    // snapshot store of the aggregate, so time travel on the base
+    // time-travels the rewrite — only a pin no refresh ever consumed
+    // (or one vacuumed away) falls back to the scan.
+    val head = Snapshots.currentVersion(mvRoot)
+    val mvV: Int =
+      (if (MaterializedView.consumedVersionAt(mvRoot, head) == Some(pinned))
+        Some(head)
+      else MaterializedView.versionThatConsumed(mvRoot, pinned)) match {
+        case Some(v) => v
+        case None => return None
+      }
     substitute(mvRoot, mvV, agg, groupNames, sp.groupCols.toSet,
       sp.sumCols.toSet, sp.minMaxCols.toSet, filters)
   }
@@ -223,10 +233,15 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val (specL, specR) = (norm(sp.left), norm(sp.right))
     val pins: Map[String, Int] = Map(lPath -> lPinned, rPath -> rPinned)
     if (pins.keySet != Set(specL, specR)) return None
-    val mvV = Snapshots.currentVersion(mvRoot)
-    if (MaterializedView.consumedJoinVersionsAt(mvRoot, mvV) !=
-        Some((pins(specL), pins(specR))))
-      return None
+    val head = Snapshots.currentVersion(mvRoot)
+    val mvV: Int =
+      (if (MaterializedView.consumedJoinVersionsAt(mvRoot, head) ==
+          Some((pins(specL), pins(specR)))) Some(head)
+      else MaterializedView.versionThatConsumedJoin(mvRoot,
+        pins(specL), pins(specR))) match {
+        case Some(v) => v
+        case None => return None
+      }
     substitute(mvRoot, mvV, agg, groupNames, sp.groupCols.toSet,
       sp.sumCols.toSet, sp.minMaxCols.toSet, filters)
   }

@@ -462,13 +462,30 @@ class MaterializedViewSpec extends GraftSuite {
       MaterializedView.refresh(spark, mv)
       // fresh again → rewrite returns
       assert(!scannedGraftPaths(baseQuery(base)).contains(norm(base)))
-      // OVER-fresh: a time-travel read pinned BEFORE the consumed
-      // version must not be answered by the (newer) MV
+      // OVER-fresh pin served FROM MV HISTORY (r11): a time-travel
+      // read pinned at a base version SOME refresh consumed serves
+      // from that retained MV version — time travel on the base
+      // time-travels the rewrite
       val old = spark.read.format("graft").option("versionAsOf", 0)
         .load(base).groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"))
-      assert(scannedGraftPaths(old).contains(norm(base)),
-        "an over-fresh MV must not serve a pinned older read")
+      assert(!scannedGraftPaths(old).contains(norm(base)),
+        "a consumed pin must serve from MV history")
+      assertSame(old, Snapshots.read(spark, base, 0)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt")))
+      // …but a pin NO refresh ever consumed falls back: two waves,
+      // one refresh — the consumed mark jumps over the middle version
+      Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 17 === 5)
+      Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 23 === 6)
+      MaterializedView.refresh(spark, mv)
+      val midV = Snapshots.currentVersion(base) - 1
+      val mid = spark.read.format("graft").option("versionAsOf", midV)
+        .load(base).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+      assert(scannedGraftPaths(mid).contains(norm(base)),
+        "a never-consumed pin must fall back to the scan")
+      assertSame(mid, Snapshots.read(spark, base, midV)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt")))
       // unsupported aggregate (min) falls back whole-query
       val m = spark.read.format("graft").load(base)
         .groupBy("o_orderstatus").agg(min("o_custkey").as("mn"))
@@ -898,6 +915,21 @@ class MaterializedViewSpec extends GraftSuite {
       assert(qRev.collect().toSet == wantE)
       assert(qr.collect().toSet == wantR)
       assert(qf.collect().toSet == wantF)
+      // time travel: BOTH bases pinned at their create-time versions
+      // serve from MV v0 — the atomic mark pair indexes MV history
+      val qtt = exact(spark.read.format("graft")
+        .option("versionAsOf", 0).load(l)
+        .join(spark.read.format("graft").option("versionAsOf", 0).load(r),
+          Seq("o_custkey")))
+      assert(!scannedGraftPaths(qtt).contains(norm(l)) &&
+        !scannedGraftPaths(qtt).contains(norm(r)),
+        "a consumed (vL, vR) pin must serve from join-MV history")
+      assertSame(qtt, exact(Snapshots.read(spark, l, 0)
+        .join(Snapshots.read(spark, r, 0), Seq("o_custkey"))))
+      // a MIXED pin no refresh ever consumed falls back
+      val qmix = exact(spark.read.format("graft")
+        .option("versionAsOf", 0).load(l).join(gr, Seq("o_custkey")))
+      assert(scannedGraftPaths(qmix).contains(norm(l)))
       // a non-group predicate (the join key) falls back to the scan
       val qBad = exact(gl.join(gr, Seq("o_custkey"))
         .filter(col("o_custkey") % 2 === 0))
