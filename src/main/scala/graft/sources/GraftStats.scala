@@ -420,10 +420,16 @@ class GraftMetaAggRule extends Rule[LogicalPlan]
         Some(BigDecimal(v.toString))
       case _ => None
     }
+    // a file provably ALL-NULL in the column (incl. a schema-evolution
+    // era file that predates the column): every comparison fails — a
+    // sound ALL-OUT even with no recorded range
+    def allNull(a: AttributeReference): Boolean =
+      (for (n <- nullsOf(a); r <- rowsOf) yield n == r).getOrElse(false)
     def cmp(a: AttributeReference, l: BigDecimal,
         in: (BigDecimal, BigDecimal) => Boolean,
         out: (BigDecimal, BigDecimal) => Boolean): Option[Boolean] =
-      for {
+      if (allNull(a)) Some(false)
+      else for {
         (lo, hi) <- range(a); n <- nullsOf(a)
         r <- if (in(lo, hi) && n == 0L) Some(true)
              else if (out(lo, hi)) Some(false)
