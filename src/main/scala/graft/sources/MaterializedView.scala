@@ -508,7 +508,25 @@ object MaterializedView {
         .option("keyCol", k).option("readChangeFeed", "true").load(b)
         .writeStream
         .foreachBatch { (_: DataFrame, _: Long) =>
-          refreshAny(spark, mvRoot); ()
+          // a join MV runs TWO trigger streams — simultaneous commits
+          // on both bases can race two refreshes into the same MV
+          // version. The commit CAS refuses the loser retryably;
+          // rerunning re-reads the marks and no-ops over whatever the
+          // winner consumed, so a bounded retry is exact (a persistent
+          // refusal — e.g. a multi-table publish fence — still
+          // surfaces after the retries).
+          var attempts = 0
+          var done = false
+          while (!done) {
+            try { refreshAny(spark, mvRoot); done = true }
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException
+                  if attempts < 5 => attempts += 1
+              case _: java.util.ConcurrentModificationException
+                  if attempts < 5 => attempts += 1
+            }
+          }
+          ()
         }
         .option("checkpointLocation", s"$checkpointDir/feed$i")
         .start()
