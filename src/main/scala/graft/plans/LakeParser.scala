@@ -32,6 +32,7 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT OPTIMIZE '<path>' WHERE <col> BETWEEN <lo> AND <hi>  -- scoped
   *   GRAFT RECONCILE '<path>'                      -- fold DVs (A30)
   *   GRAFT CLONE '<src>' TO '<dst>'                -- shallow (A29)
+  *   GRAFT DEEP CLONE '<src>' TO '<dst>'  -- share-nothing copy (r11)
   *   GRAFT ENABLE CHANGE DATA FEED '<path>'        -- A31 property
   *   GRAFT ADD CONSTRAINT <name> '<path>' CHECK (<expr>)   -- A34
   *   GRAFT DROP CONSTRAINT <name> '<path>'
@@ -96,6 +97,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         _ => Snapshots.restore(p, v.toInt).toLong)
       case Reconcile(p) => LakeMaintenanceCommand("version",
         s => Snapshots.reconcileDV(s, p).toLong)
+      case DeepCloneTo(src, dst) => LakeMaintenanceCommand("version",
+        _ => Snapshots.cloneDeep(src, dst).toLong)
       case CloneTo(src, dst) => LakeMaintenanceCommand("version",
         _ => Snapshots.cloneShallow(src, dst).toLong)
       case EnableCdf(p) => LakeMaintenanceCommand("version",
@@ -256,6 +259,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+RECONCILE\s+'([^']+)'\s*;?\s*""".r
   private val CloneTo =
     """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
+  private val DeepCloneTo =
+    """(?is)\s*GRAFT\s+DEEP\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""".r
   private val EnableCdf =
     """(?is)\s*GRAFT\s+ENABLE\s+CHANGE\s+DATA\s+FEED\s+'([^']+)'\s*;?\s*""".r
   private val AddCons =

@@ -454,8 +454,19 @@ object LakehouseQueries {
       .select(col("o_orderkey"), lit("C").as("o_orderstatus"),
         (col("o_totalprice") + 111.0).as("o_totalprice"))
     Snapshots.mergeVersioned(s, dst, upd, "o_orderkey")
+    // r11 DEEP-clone branch: share-nothing is pinned by DELETING the
+    // source's EVERY live data file from disk after cloning — a
+    // path-sharing (shallow) copy could not answer anymore
+    val b2 = base(s, d).filter(col("o_orderkey") % 4 === 2)
+    val src2 = stage(b2, 3)
+    Snapshots.init(s, src2)
+    val deep = tempDir("graft_lake_dclone") + "/t"
+    Snapshots.cloneDeep(src2, deep)
+    Snapshots.liveFiles(src2, Snapshots.currentVersion(src2))
+      .foreach(f => Files.delete(Paths.get(f)))
     Snapshots.read(s, src).withColumn("t", lit("src"))
       .unionByName(Snapshots.read(s, dst).withColumn("t", lit("clone")))
+      .unionByName(Snapshots.read(s, deep).withColumn("t", lit("deep")))
   }
 
   val qLakeCloneSql: String =
@@ -468,7 +479,10 @@ object LakehouseQueries {
       |  CASE WHEN o_orderkey % 32 = 0 THEN 'C' ELSE o_orderstatus END,
       |  CASE WHEN o_orderkey % 32 = 0 THEN o_totalprice + 111.0
       |       ELSE o_totalprice END,
-      |  'clone' FROM base""".stripMargin
+      |  'clone' FROM base
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, 'deep'
+      |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin
 
   /** A30 — deletion vectors end-to-end: two MERGE-ON-READ deletes (no
     * data file rewritten — the commits write row positions only), then

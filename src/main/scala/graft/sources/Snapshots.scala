@@ -1832,6 +1832,57 @@ object Snapshots {
       bucketOverride = bucketSpecOf(src, v))
   }
 
+  /** A29′ (r11) — DEEP CLONE: an independent physical copy of one
+    * version. Every live data file is HARD-LINKED when the filesystem
+    * allows (same-volume deep clones are O(metadata) — Delta's
+    * deep-clone optimization; links are safe because graft data files
+    * are immutable once committed) and byte-copied otherwise; the
+    * manifest rewrites every file reference AND every per-file
+    * stats/null/NDV line through the rename, so the clone keeps full
+    * pruning/CBO/metadata-aggregate fidelity while sharing NOTHING
+    * with the source: a vacuum (or deletion) of the source can never
+    * reach under it — the shallow clone's documented hazard, closed.
+    * Cluster state remaps; the bucket spec carries (bucket tags live
+    * in the copied file names); bloom SIDECARS are dropped (the
+    * property carries, so future commits re-index — sidecars are a
+    * rebuildable cache, not state). DV-carrying versions refuse:
+    * compact first (merge-on-read state is the one thing a clone
+    * cannot share-nothing without materializing). */
+  def cloneDeep(src: String, dst: String, version: Int = -1): Int = {
+    val v = if (version < 0) currentVersion(src) else version
+    require(v >= 0, s"$src not initialized (call init)")
+    require(Files.exists(manifestPath(src, v)), s"clone: no version $v at $src")
+    require(currentVersion(dst) < 0, s"clone: $dst already versioned")
+    require(dvFiles(src, v).isEmpty,
+      s"cloneDeep: $src@v$v carries deletion vectors — run compact " +
+        "(materializes the deletes) before deep-cloning")
+    Files.createDirectories(Paths.get(dst))
+    val live = liveFiles(src, v).map(canonical)
+    val taken = scala.collection.mutable.Set.empty[String]
+    def copyIn(f: String): String = {
+      val srcP = Paths.get(f)
+      var name = srcP.getFileName.toString
+      var i = 0
+      while (!taken.add(name)) { i += 1; name = s"c${i}_" +
+        srcP.getFileName.toString }
+      val dstP = Paths.get(dst, name)
+      try Files.createLink(dstP, srcP)
+      catch { case _: Exception =>
+        Files.copy(srcP, dstP,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+      dstP.toString
+    }
+    val renames: Map[String, String] = live.map(f => f -> copyIn(f)).toMap
+    commit(dst, live.map(renames), tableSchema(src, v),
+      remappedStats(src, v, live, renames),
+      cdfFlag = cdfEnabled(src, v),
+      constraintsOverride = Some(constraintsOf(src, v)),
+      clusterOverride = clusterStateOf(src, v).map { case (cols, fs) =>
+        (cols, fs.map(f => renames.getOrElse(canonical(f), f))) },
+      bloomColsOverride = Some(bloomColsOf(src, v)),
+      bucketOverride = bucketSpecOf(src, v))
+  }
+
   /** Versioned upsert: A16's index-pruned copy-on-write, except the
     * superseded files are retired from the MANIFEST instead of deleted
     * from disk. Returns the new version.

@@ -76,6 +76,15 @@ class LakeSqlSpec extends GraftSuite {
       val dst = Files.createTempDirectory("graft_sql_clone").toString + "/t"
       assert(s.sql(s"GRAFT CLONE '$dir' TO '$dst'").head().getLong(0) == 0L)
       assert(Snapshots.read(s, dst).count() == 100)
+      // DEEP CLONE via SQL (r11): share-nothing — the clone's dir
+      // holds its own data files
+      val ddst = Files.createTempDirectory("graft_sql_dclone").toString + "/t"
+      assert(s.sql(s"GRAFT DEEP CLONE '$dir' TO '$ddst'")
+        .head().getLong(0) == 0L)
+      assert(Snapshots.read(s, ddst).count() == 100)
+      import scala.jdk.CollectionConverters._
+      assert(Files.list(java.nio.file.Paths.get(ddst)).iterator().asScala
+        .exists(_.toString.endsWith(".parquet")))
 
       // VACUUM via SQL: reclaims, head still reads
       val reclaimed = s.sql(s"GRAFT VACUUM '$dir' KEEP 5").head().getLong(0)

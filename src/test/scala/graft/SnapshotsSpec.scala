@@ -972,6 +972,49 @@ class SnapshotsSpec extends GraftSuite {
     intercept[IllegalArgumentException](Snapshots.cloneShallow(src, dst))
   }
 
+  test("deep clone: share-nothing copy — survives source deletion, " +
+      "keeps stats fidelity, refuses DV-carrying versions") {
+    import spark.implicits._
+    val src = freshTable()
+    Snapshots.init(spark, src) // v0
+    Snapshots.deleteVersioned(spark, src, col("k") % 9 === 4) // v1
+    val want = Snapshots.read(spark, src).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dst = Files.createTempDirectory("graft_dclone_spec").toString + "/t"
+    assert(Snapshots.cloneDeep(src, dst) == 0)
+    // the clone's directory holds its OWN data files
+    assert(Files.list(Paths.get(dst)).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")))
+    // THE pin: delete every live source file from disk — only a
+    // physically independent copy still answers
+    Snapshots.liveFiles(src, 1).foreach(f =>
+      Files.delete(Paths.get(Snapshots.canonical(f))))
+    val got = Snapshots.read(spark, dst).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+    // stats fidelity: the remapped manifest lines still serve the
+    // metadata-only aggregate — scan-free, even over the clone
+    val se = graft.plans.GraftSessions.withExtensions(spark)
+    val agg = se.read.format("graft").load(dst)
+      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    val scans = agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+    assert(scans.isEmpty, "deep clone must carry per-file stats")
+    val r0 = agg.collect()(0)
+    assert(r0.getLong(0) == want.size.toLong)
+    // the clone evolves independently of the (now gone) source
+    Snapshots.mergeVersioned(spark, dst,
+      Seq((7L, "DEEP7", 1L)).toDF("k", "payload", "gen"), "k")
+    assert(Snapshots.read(spark, dst).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap.apply(7L) == "DEEP7")
+    // DV-carrying versions refuse (compact first)
+    val src2 = freshTable()
+    Snapshots.init(spark, src2)
+    Snapshots.deleteVersionedDV(spark, src2, col("k") === 3L)
+    val dst2 = Files.createTempDirectory("graft_dclone_spec2").toString + "/t"
+    intercept[IllegalArgumentException](Snapshots.cloneDeep(src2, dst2))
+  }
+
   test("deletion vectors: merge-on-read delete, zero data files written, exact feed") {
     val dir = freshTable()
     Snapshots.init(spark, dir) // v0
