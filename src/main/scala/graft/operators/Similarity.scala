@@ -605,7 +605,17 @@ object Similarity {
     * in DuckDB: a full oracle for a composed ANN index.
     */
   def qKnnIvfPq(s: SparkSession, d: String, nQueries: Int = 20, topK: Int = 5,
-      cells: Int = 16, nprobe: Int = 4, m: Int = 4, k: Int = 8): DataFrame = {
+      cells: Int = 16, nprobe: Int = 4, m: Int = 4, k: Int = 8): DataFrame =
+    ivfPqAdcRanked(s, d, nQueries, topK, cells, nprobe, m, k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("di") / 10000.0, 4).as("approx_d2"), col("rank"))
+
+  /** The shared E12 core: ADC-ranked candidates per query, cut at
+    * `depth` — consumed at depth=topK by [[qKnnIvfPq]] (the pure ADC
+    * answer) and at depth=rerank by [[qKnnIvfPqRefine]] (the candidate
+    * pool an exact re-rank re-reads floats for). */
+  private def ivfPqAdcRanked(s: SparkSession, d: String, nQueries: Int,
+      depth: Int, cells: Int, nprobe: Int, m: Int, k: Int): DataFrame = {
     import graft.functions.vec_dot
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
     val dsub = probeDim(e) / m
@@ -648,9 +658,110 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum("ti").as("di"))
       .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= depth)
+  }
+
+  /** E12′ (r12, the r11 verdict's item 2) — IVF-PQ with EXACT RE-RANK,
+    * the FAISS `IndexIVFPQ + IndexRefineFlat` serving shape: the ADC
+    * ranking keeps a top-`rerank` candidate pool per query (R ≈ 5–10×
+    * k), the pool joins back to the float corpus for EXACT cosine, and
+    * the final top-k is ranked on the exact distances. The refine read
+    * is |queries|×R rows — broadcast into one corpus scan — so the
+    * floats are touched for ~R/|corpus| of the table regardless of
+    * scale, while recall recovers from the coarse codebook's 0.14–0.25
+    * to IVF-Flat territory (the probe, not the codes, becomes the
+    * recall ceiling). Fully deterministic (rounded sims, id
+    * tie-breaks), so DuckDB replays it bit-for-bit.
+    */
+  def qKnnIvfPqRefine(s: SparkSession, d: String, nQueries: Int = 20,
+      topK: Int = 5, cells: Int = 16, nprobe: Int = 4, m: Int = 4,
+      k: Int = 8, rerank: Int = 50): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val cand = ivfPqAdcRanked(s, d, nQueries, rerank, cells, nprobe, m, k)
+      .select("query_id", "neighbor_id")
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    // corpus streams once; the candidate pool and the query vectors are
+    // both broadcast (nQueries×R rows and nQueries rows)
+    e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos_sim", round(vec_cosine(col("embedding"), col("qvec")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("di") / 10000.0, 4).as("approx_d2"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** DuckDB replay of [[qKnnIvfPqRefine]]: the E12 CTE chain cut at
+    * rank ≤ R, joined back to the float corpus for exact cosine. */
+  val qKnnIvfPqRefineSql: String = {
+    val (cells, nprobe, m, k, nq, topK, rerank) = (16, 4, 4, 8, 20, 5, 50)
+    val dsub = 64 / m
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n WHERE vec_id < $cells),
+       |asg AS (
+       |  SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      (list_sum(list_transform(range(1, len(v.embedding) + 1),
+       |        i -> v.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (v.nrm * c.cnrm)) DESC,
+       |      c.cid ASC) AS crn
+       |  FROM n v CROSS JOIN cent c),
+       |ccell AS (SELECT vec_id, cid FROM asg WHERE crn = 1),
+       |qcell AS (SELECT vec_id AS query_id, cid FROM asg
+       |          WHERE crn <= $nprobe AND vec_id < $nq),
+       |sub AS (SELECT unnest(range(0, $m)) AS sp),
+       |cents AS (
+       |  SELECT e.vec_id AS j, sub.sp,
+       |    list_slice(e.embedding, sub.sp * $dsub + 1, (sub.sp + 1) * $dsub) AS cs
+       |  FROM embeddings e CROSS JOIN sub WHERE e.vec_id < $k),
+       |vs AS (
+       |  SELECT e.vec_id, sub.sp,
+       |    list_slice(e.embedding, sub.sp * $dsub + 1, (sub.sp + 1) * $dsub) AS vs
+       |  FROM embeddings e CROSS JOIN sub),
+       |dd AS (
+       |  SELECT v.vec_id, v.sp, c.j,
+       |    list_sum(list_transform(range(1, $dsub + 1), i -> v.vs[i]::DOUBLE * v.vs[i]::DOUBLE))
+       |    - 2 * list_sum(list_transform(range(1, $dsub + 1), i -> v.vs[i]::DOUBLE * c.cs[i]::DOUBLE))
+       |    + list_sum(list_transform(range(1, $dsub + 1), i -> c.cs[i]::DOUBLE * c.cs[i]::DOUBLE)) AS d2
+       |  FROM vs v JOIN cents c ON v.sp = c.sp),
+       |codes AS (
+       |  SELECT vec_id, sp, j AS code FROM (
+       |    SELECT vec_id, sp, j,
+       |      row_number() OVER (PARTITION BY vec_id, sp ORDER BY d2 ASC, j ASC) AS rn
+       |    FROM dd) WHERE rn = 1),
+       |tbl AS (
+       |  SELECT vec_id AS query_id, sp, j, CAST(round(d2 * 10000) AS BIGINT) AS ti
+       |  FROM dd WHERE vec_id < $nq),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(ti) AS BIGINT) AS di
+       |  FROM codes c
+       |    JOIN ccell cc ON c.vec_id = cc.vec_id
+       |    JOIN qcell q ON cc.cid = q.cid AND c.vec_id <> q.query_id
+       |    JOIN tbl t ON t.query_id = q.query_id AND t.sp = c.sp AND t.j = c.code
+       |  GROUP BY 1, 2),
+       |pool AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY di ASC, neighbor_id ASC) AS rank
+       |    FROM scored) WHERE rank <= $rerank),
+       |exact AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+       |      i -> v.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) / (v.nrm * q.nrm), 4)
+       |      + 0.0 AS cos_sim
+       |  FROM pool p
+       |    JOIN n v ON v.vec_id = p.neighbor_id
+       |    JOIN n q ON q.vec_id = p.query_id),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM exact)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM rr WHERE rank <= $topK""".stripMargin
   }
 
   /** DuckDB replay of [[qKnnIvfPq]]: E4's assignment CTEs composed with
@@ -929,6 +1040,12 @@ object Similarity {
     * and the floor is what the sweep legs must keep holding at
     * 10×/30×, not a point estimate. Driver-side cost: six bounded
     * count() actions — the recall scalars ARE the result.
+    *
+    * r12 (the r11 verdict's item 2): the `ivfpq` row now measures the
+    * REFINED index ([[qKnnIvfPqRefine]], exact re-rank over the top-50
+    * ADC pool) with its floor raised 0.08 → 0.50 — a quality bar, not
+    * a determinism stamp; the raw ADC ranking keeps its own row
+    * (`ivfpq_adc`, floor 0.08) so a codebook regression still shows.
     */
   def qKnnRecall(s: SparkSession, d: String): DataFrame = {
     val k = 10
@@ -943,7 +1060,8 @@ object Similarity {
         .count().toDouble / nPairs
     val rows = Seq(
       ("ivf", recall(ivfKnn(e, q, k)), 0.70),
-      ("ivfpq", recall(qKnnIvfPq(s, d, nQueries = 20, topK = k)), 0.08),
+      ("ivfpq", recall(qKnnIvfPqRefine(s, d, nQueries = 20, topK = k)), 0.50),
+      ("ivfpq_adc", recall(qKnnIvfPq(s, d, nQueries = 20, topK = k)), 0.08),
       ("lsh", recall(lshKnn(e, q, k)), 0.50))
     import s.implicits._
     rows.map { case (m, r, floor) => (m, nPairs, r >= floor) }
@@ -956,6 +1074,7 @@ object Similarity {
       |  FROM p)
       |SELECT 'ivf' AS method, np AS n_pairs, true AS recall_ok FROM q
       |UNION ALL SELECT 'ivfpq', np, true FROM q
+      |UNION ALL SELECT 'ivfpq_adc', np, true FROM q
       |UNION ALL SELECT 'lsh', np, true FROM q""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -965,6 +1084,7 @@ object Similarity {
     "q_pq" -> ((s, d) => qPq(s, d)),
     "q_knn_pq" -> ((s, d) => qKnnPq(s, d)),
     "q_knn_ivfpq" -> ((s, d) => qKnnIvfPq(s, d)),
+    "q_knn_ivfpq_refine" -> ((s, d) => qKnnIvfPqRefine(s, d)),
     "q_quantized" -> qQuantized,
     "q_vector_norm" -> qVectorNorm,
     "q_knn_brute" -> qKnnBrute,
@@ -980,6 +1100,7 @@ object Similarity {
     "q_pq" -> qPqSql,
     "q_knn_pq" -> qKnnPqSql,
     "q_knn_ivfpq" -> qKnnIvfPqSql,
+    "q_knn_ivfpq_refine" -> qKnnIvfPqRefineSql,
     "q_quantized" -> qQuantizedSql,
     "q_vector_norm" -> qVectorNormSql,
     "q_knn_brute" -> qKnnBruteSql,

@@ -181,15 +181,27 @@ object Tokenizer {
     * fractional `tokens_per_word` is derived IN SQL from the stored
     * integers, mirroring the Spark-side `round(x, 4)`). The files are
     * sf0.01-specific — the driver's correctness gate scale. */
+  /** Repo-relative oracle parquet path (r12, advice fix): resolved at
+    * ORACLE-CONSTRUCTION time from `graft.repo.root` (set it when the
+    * harness runs DuckDB from another cwd) falling back to the working
+    * directory — the committed `oracles/` dir travels with the
+    * checkout, so baking an absolute `/root/repo` would break any
+    * other clone location. */
+  private def oracleParquet(name: String): String =
+    java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.repo.root", sys.env.getOrElse(
+        "GRAFT_REPO_ROOT", ".")), "oracles", name)
+      .toAbsolutePath.normalize.toString.replace("'", "''")
+
   def oracles: Map[String, String] = Map(
     "q_bpe_pairs" -> qBpePairsSql,
     "q_bpe_merges" ->
-      """SELECT rank, "left", "right", merged, cnt
-        |FROM read_parquet('/root/repo/oracles/bpe_merges_sf001.parquet')"""
+      s"""SELECT rank, "left", "right", merged, cnt
+        |FROM read_parquet('${oracleParquet("bpe_merges_sf001.parquet")}')"""
         .stripMargin,
     "q_bpe_tokenize" ->
-      """SELECT doc_id, n_words, n_bpe_tokens,
+      s"""SELECT doc_id, n_words, n_bpe_tokens,
         |  round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 4) AS tokens_per_word
-        |FROM read_parquet('/root/repo/oracles/bpe_tokenize_sf001.parquet')"""
+        |FROM read_parquet('${oracleParquet("bpe_tokenize_sf001.parquet")}')"""
         .stripMargin)
 }

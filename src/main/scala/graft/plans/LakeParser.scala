@@ -58,6 +58,8 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT REFRESH MATERIALIZED VIEW '<mv>'   -- incremental, via CDF
   *   GRAFT DROP MATERIALIZED VIEW '<mv>'  -- releases the vacuum lease
   *   GRAFT WIDEN '<path>' COLUMN <col> TO <type>  -- A59 metadata-only
+  *   GRAFT ADD COLUMN <col> <type> '<path>'  -- r12 metadata-only;
+  *     existing rows read NULL (A19), time travel serves the old schema
   *   GRAFT REGISTER MATERIALIZED VIEW '<mv>'    -- A58 rewrite opt-in
   *   GRAFT UNREGISTER MATERIALIZED VIEW '<mv>'
   *   GRAFT BEGIN TRANSACTION '<id>' AT '<coord>' ON ('<t1>', '<t2>')
@@ -185,6 +187,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Snapshots.widenColumn(s, p, c,
           org.apache.spark.sql.catalyst.parser.CatalystSqlParser
             .parseDataType(t)).toLong)
+      case AddColumn(c, t, p) => LakeMaintenanceCommand("version", s =>
+        Snapshots.addColumn(s, p, c,
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(t.trim)).toLong)
       case MvRegister(mv) => LakeMaintenanceCommand("registered", s =>
         { graft.sources.MvRegistry.register(s, mv); 1L })
       case MvUnregister(mv) => LakeMaintenanceCommand("unregistered", _ =>
@@ -295,6 +301,10 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*;?\s*""".r
   private val Widen =
     """(?is)\s*GRAFT\s+WIDEN\s+'([^']+)'\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  // r12: type may carry parameters — DECIMAL(10,2) — so the capture is
+  // broader than \w+ and hands the text to CatalystSqlParser
+  private val AddColumn =
+    """(?is)\s*GRAFT\s+ADD\s+COLUMN\s+(\w+)\s+([\w()\s,]+?)\s+'([^']+)'\s*;?\s*""".r
   private val MvRegister =
     """(?is)\s*GRAFT\s+REGISTER\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val MvUnregister =

@@ -866,6 +866,13 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
   private def litLong(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong); case l: Long => Some(l)
     case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+    // r12: string indexes store xxhash64(value) — hash the literal
+    // with the SAME catalyst function the build side codegen'd (seed
+    // 42), evaluated driver-side on the internal UTF8String
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      Some(org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(Literal(u, org.apache.spark.sql.types.StringType)), 42L)
+        .eval(null).asInstanceOf[Long])
     case _ => None
   }
 
@@ -899,16 +906,21 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
         .filter(f => perValue.forall(m => m.get(f).contains(false)))
     }.toSet
 
-  // FileStatus per live file, once: the manifest replaces the LIST —
-  // on a real object store these getFileStatus calls would themselves
-  // come from manifest-carried size/mtime rather than the FS
-  private lazy val statuses: Seq[org.apache.hadoop.fs.FileStatus] = {
-    val conf = spark.sessionState.newHadoopConf()
-    live.map { f =>
-      val p = new Path(Snapshots.canonical(f))
-      p.getFileSystem(conf).getFileStatus(p)
+  // FileStatus per SURVIVING file, memoized: the manifest replaces the
+  // LIST, and (r12) pruning now happens on manifest names BEFORE any
+  // getFileStatus — a stats-pruned file is never touched at all, which
+  // is both the object-store-rational plan cost (no stat per skipped
+  // file on a 100 TB table) and what lets a filtered read answer after
+  // a pruned-away file physically vanished (the deleted-file gate pin)
+  private val statusCache =
+    scala.collection.mutable.Map.empty[String, org.apache.hadoop.fs.FileStatus]
+  private def statusOf(canonical: String): org.apache.hadoop.fs.FileStatus =
+    synchronized {
+      statusCache.getOrElseUpdate(canonical, {
+        val p = new Path(canonical)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+      })
     }
-  }
 
   override def rootPaths: Seq[Path] = Seq(new Path(path))
   override def partitionSchema: StructType = new StructType()
@@ -944,21 +956,22 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val excluded = bloomExcluded(dataFilters)
-    val kept = statuses.filter { st =>
-      val f = Snapshots.canonical(st.getPath.toString)
+    val kept = live.map(Snapshots.canonical).filter { f =>
       val fileStat = stats.getOrElse(f, Map.empty)
       !excluded.contains(f) &&
         dataFilters.forall(e => GraftFileIndex.survives(fileStat,
           nulls.getOrElse(f, Map.empty), rowsOf.get(f), e))
     }
-    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))
   }
 }
 
 object GraftFileIndex {
 
   /** Exact numeric view of a literal / recorded stat — BigDecimal so a
-    * long beyond 2^53 never rounds into an unsound prune. */
+    * long beyond 2^53 never rounds into an unsound prune. Timestamp and
+    * date literals arrive here already INTERNAL (micros Long / days
+    * Int), matching the T/A tags' stored representation exactly. */
   private def big(v: Any): Option[BigDecimal] = v match {
     case i: Int    => Some(BigDecimal(i))
     case l: Long   => Some(BigDecimal(l))
@@ -966,20 +979,71 @@ object GraftFileIndex {
     case b: Byte   => Some(BigDecimal(b.toInt))
     case f: Float  => if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
     case d: Double => if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
     case _         => None
   }
 
-  private def range(stats: Map[String, (String, String, String)],
-      col: String): Option[(BigDecimal, BigDecimal)] =
+  /** The literal's UTF-8 bytes, for string-tagged ('S') stats. */
+  private def litBytes(v: Any): Option[Array[Byte]] = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+    case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case _ => None
+  }
+
+  /** Unsigned lexicographic byte compare — Spark's UTF8String binary
+    * order, the order the string stats were min/maxed under. */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = (a(i) & 0xff) - (b(i) & 0xff)
+      if (x != 0) return Integer.signum(x)
+      i += 1
+    }
+    Integer.signum(a.length - b.length)
+  }
+
+  /** Signs of (recorded min cmp v, recorded max cmp v) under the stat's
+    * own tag, or None when the file/value pair cannot be judged (no
+    * stats, foreign tag, NaN bounds). String bounds may be TRUNCATED —
+    * widened outward (min-prefix ≤ true min, incremented max ≥ true
+    * max, '*' = +∞), so every sign here is computed against a range
+    * CONTAINING the true one: pruning decisions stay sound, they just
+    * keep a few more files near the 64-byte horizon. */
+  private[sources] def bounds(stats: Map[String, (String, String, String)],
+      col: String, v: Any): Option[(Int, Int)] =
     stats.get(col).flatMap { case (tag, mn, mx) =>
       try tag match {
-        case "L" => Some((BigDecimal(mn.toLong), BigDecimal(mx.toLong)))
-        case "D" => (big(mn.toDouble), big(mx.toDouble)) match {
-          case (Some(a), Some(b)) => Some((a, b))
-          case _ => None
-        }
+        case "L" | "T" | "A" => big(v).map(b =>
+          ((BigDecimal(mn.toLong) - b).signum, (BigDecimal(mx.toLong) - b).signum))
+        case "D" => for {
+          b <- big(v); a <- big(mn.toDouble); z <- big(mx.toDouble)
+        } yield ((a - b).signum, (z - b).signum)
+        case "C" => big(v).map(b =>
+          ((BigDecimal(mn) - b).signum, (BigDecimal(mx) - b).signum))
+        case "S" => for {
+          vb <- litBytes(v)
+          (mnB, _) <- Snapshots.decodeStringStat(mn)
+        } yield (cmpBytes(mnB, vb),
+          Snapshots.decodeStringStat(mx).map(m => cmpBytes(m._1, vb))
+            .getOrElse(1))
         case _ => None
-      } catch { case _: NumberFormatException => None }
+      } catch {
+        case _: NumberFormatException => None
+        case _: IllegalArgumentException => None // malformed base64
+      }
+    }
+
+  /** Is the 'S'-tagged range of `col` EXACT on both ends (untruncated,
+    * finite)? Exact bounds decode to the true min/max strings. */
+  private[sources] def stringRangeExact(
+      stats: Map[String, (String, String, String)], col: String): Boolean =
+    stats.get(col).exists { case (tag, mn, mx) =>
+      tag == "S" && (try {
+        Snapshots.decodeStringStat(mn).exists(_._2) &&
+          Snapshots.decodeStringStat(mx).exists(_._2)
+      } catch { case _: IllegalArgumentException => false })
     }
 
   /** Can a row of a file with `stats` (+ A42 null counts and row
@@ -1006,34 +1070,35 @@ object GraftFileIndex {
     case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists { case Literal(v, _) => contains(stats, a.name, v) }
     case GreaterThan(a: Attribute, Literal(v, _)) => // a > v: need max > v
-      cmp(stats, a.name, v)((mn, mx, b) => mx > b)
+      cmp(stats, a.name, v)((_, sMx) => sMx > 0)
     case GreaterThan(Literal(v, _), a: Attribute) => // v > a: need min < v
-      cmp(stats, a.name, v)((mn, mx, b) => mn < b)
+      cmp(stats, a.name, v)((sMn, _) => sMn < 0)
     case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
-      cmp(stats, a.name, v)((mn, mx, b) => mx >= b)
+      cmp(stats, a.name, v)((_, sMx) => sMx >= 0)
     case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
-      cmp(stats, a.name, v)((mn, mx, b) => mn <= b)
+      cmp(stats, a.name, v)((sMn, _) => sMn <= 0)
     case LessThan(a: Attribute, Literal(v, _)) =>
-      cmp(stats, a.name, v)((mn, mx, b) => mn < b)
+      cmp(stats, a.name, v)((sMn, _) => sMn < 0)
     case LessThan(Literal(v, _), a: Attribute) =>
-      cmp(stats, a.name, v)((mn, mx, b) => mx > b)
+      cmp(stats, a.name, v)((_, sMx) => sMx > 0)
     case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
-      cmp(stats, a.name, v)((mn, mx, b) => mn <= b)
+      cmp(stats, a.name, v)((sMn, _) => sMn <= 0)
     case LessThanOrEqual(Literal(v, _), a: Attribute) =>
-      cmp(stats, a.name, v)((mn, mx, b) => mx >= b)
+      cmp(stats, a.name, v)((_, sMx) => sMx >= 0)
     case _ => true
   }
 
   private def contains(stats: Map[String, (String, String, String)],
       col: String, v: Any): Boolean =
-    cmp(stats, col, v)((mn, mx, b) => mn <= b && b <= mx)
+    cmp(stats, col, v)((sMn, sMx) => sMn <= 0 && sMx >= 0)
 
+  /** Judge a predicate from the signs of (min cmp v, max cmp v); no
+    * judgeable bounds = keep (pruning is only ever an optimization). */
   private def cmp(stats: Map[String, (String, String, String)],
-      col: String, v: Any)(
-      p: (BigDecimal, BigDecimal, BigDecimal) => Boolean): Boolean =
-    (range(stats, col), big(v)) match {
-      case (Some((mn, mx)), Some(b)) => p(mn, mx, b)
-      case _ => true // no stats / non-numeric: cannot prune
+      col: String, v: Any)(p: (Int, Int) => Boolean): Boolean =
+    bounds(stats, col, v) match {
+      case Some((sMn, sMx)) => p(sMn, sMx)
+      case _ => true // no stats / unjudgeable: cannot prune
     }
 }
 
@@ -1068,15 +1133,19 @@ class GraftPartitionedFileIndex(spark: SparkSession, path: String,
         Snapshots.fileRows(d, v))
     }
 
-  private lazy val statusesOf: Map[String, Seq[org.apache.hadoop.fs.FileStatus]] = {
-    val conf = spark.sessionState.newHadoopConf()
-    parts.map { case (value, files, _, _, _) =>
-      value -> files.map { f =>
-        val p = new Path(f)
-        p.getFileSystem(conf).getFileStatus(p)
-      }
-    }.toMap
-  }
+  // r12: per-file statuses memoized and taken ONLY for files that
+  // survive both partition AND stats pruning — a pruned file is never
+  // stat'ed (no per-skipped-file round trip on an object store, and a
+  // vanished pruned-away file cannot fail the plan)
+  private val statusCache =
+    scala.collection.mutable.Map.empty[String, org.apache.hadoop.fs.FileStatus]
+  private def statusOf(canonical: String): org.apache.hadoop.fs.FileStatus =
+    synchronized {
+      statusCache.getOrElseUpdate(canonical, {
+        val p = new Path(canonical)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+      })
+    }
 
   override def rootPaths: Seq[Path] = Seq(new Path(path))
   override def partitionSchema: StructType =
@@ -1100,16 +1169,15 @@ class GraftPartitionedFileIndex(spark: SparkSession, path: String,
     // reference list; the value row supplies that attribute
     val preds = partitionFilters.map(f =>
       CatalystPredicate.create(f, f.references.toSeq))
-    parts.collect { case (value, _, stats, pNulls, pRows)
+    parts.collect { case (value, files, stats, pNulls, pRows)
         if preds.forall(_.eval(InternalRow(UTF8String.fromString(value)))) =>
-      val kept = statusesOf(value).filter { st =>
-        val f = Snapshots.canonical(st.getPath.toString)
+      val kept = files.filter { f =>
         val fileStat = stats.getOrElse(f, Map.empty)
         dataFilters.forall(e => GraftFileIndex.survives(fileStat,
           pNulls.getOrElse(f, Map.empty), pRows.get(f), e))
       }
       PartitionDirectory(InternalRow(UTF8String.fromString(value)),
-        kept.toArray)
+        kept.map(statusOf).toArray)
     }
   }
 }

@@ -70,7 +70,7 @@ object GraftStats {
   /** Manifest-derived `CatalogStatistics` for one version of a flat
     * table: None when any live file lacks recorded row counts (legacy
     * manifests — no guessing). Metadata-only by construction. */
-  private[sources] def catalogStats(path: String, v: Int): Option[CatalogStatistics] = {
+  private[graft] def catalogStats(path: String, v: Int): Option[CatalogStatistics] = {
     if (!Snapshots.hasVersion(path, v)) return None
     val live = Snapshots.liveFiles(path, v).map(Snapshots.canonical)
     if (live.isEmpty)
@@ -159,26 +159,44 @@ object GraftStats {
     val perFile = live.map(f => stats.getOrElse(f, Map.empty))
     if (perFile.isEmpty) return Map.empty
     val cols = perFile.map(_.keySet).reduce(_ intersect _)
-    val ranged = cols.iterator.map { c =>
+    val ranged = cols.iterator.flatMap { c =>
       val entries = perFile.map(_(c))
       val tag = entries.head._1
-      val mins = entries.map(e => BigDecimal(e._2))
-      val maxs = entries.map(e => BigDecimal(e._3))
       val nullCount: Option[BigInt] = {
         val per = live.map(f => nulls.getOrElse(f, Map.empty).get(c))
         if (per.forall(_.isDefined)) Some(BigInt(per.flatten.sum)) else None
       }
-      // external string form must parse under the column's type:
-      // integral tags render without a decimal point
-      def render(x: BigDecimal): String =
-        if (tag == "L") x.toBigInt.toString else x.toString
-      c -> CatalogColumnStat(
-        distinctCount = ndv.get(c).map(BigInt(_)),
-        min = Some(render(mins.min)),
-        max = Some(render(maxs.max)),
-        nullCount = nullCount,
-        avgLen = None, maxLen = None,
-        histogram = hist.get(c))
+      // r12: string-tagged ranges are base64 prefixes — Spark's own
+      // ANALYZE records no min/max for strings either (FilterEstimation
+      // prices string predicates from NDV + nullCount alone), so carry
+      // exactly those; a NaN double bound likewise yields no range
+      val numeric = tag != "S" &&
+        entries.forall(e => scala.util.Try(BigDecimal(e._2)).isSuccess &&
+          scala.util.Try(BigDecimal(e._3)).isSuccess)
+      if (!numeric) {
+        if (nullCount.isEmpty && ndv.get(c).isEmpty) None
+        else Some(c -> CatalogColumnStat(
+          distinctCount = ndv.get(c).map(BigInt(_)),
+          min = None, max = None, nullCount = nullCount,
+          avgLen = None, maxLen = None))
+      } else {
+        val mins = entries.map(e => BigDecimal(e._2))
+        val maxs = entries.map(e => BigDecimal(e._3))
+        // external string form must parse under the column's type:
+        // integral tags (plain longs, micros, days) render without a
+        // decimal point — CatalogColumnStat v2 stores timestamps as
+        // micros and dates as days, exactly the T/A representation
+        def render(x: BigDecimal): String =
+          if (tag == "L" || tag == "T" || tag == "A") x.toBigInt.toString
+          else x.toString
+        Some(c -> CatalogColumnStat(
+          distinctCount = ndv.get(c).map(BigInt(_)),
+          min = Some(render(mins.min)),
+          max = Some(render(maxs.max)),
+          nullCount = nullCount,
+          avgLen = None, maxLen = None,
+          histogram = hist.get(c)))
+      }
     }.toMap
     // columns the ANALYZE covered but the manifest has no range for
     // (strings: footers record no min/max tag) still carry their NDV —
@@ -409,15 +427,10 @@ class GraftMetaAggRule extends Rule[LogicalPlan]
   private def classifyFile(c: Expression,
       stats: Map[String, (String, String, String)],
       nulls: Map[String, Long], rowsOf: Option[Long]): Option[Boolean] = {
-    def range(a: AttributeReference): Option[(BigDecimal, BigDecimal)] =
-      if (!supported(a.dataType)) None
-      else stats.get(a.name).map { case (_, lo, hi) =>
-        (BigDecimal(lo), BigDecimal(hi)) }
     def nullsOf(a: AttributeReference): Option[Long] =
       nulls.get(a.name).orElse(rowsOf.filter(_ == 0L))
-    def lit(e: Expression): Option[BigDecimal] = e match {
-      case Literal(v, dt) if v != null && supported(dt) =>
-        Some(BigDecimal(v.toString))
+    def lit(e: Expression): Option[Any] = e match {
+      case Literal(v, dt) if v != null && supported(dt) => Some(v)
       case _ => None
     }
     // a file provably ALL-NULL in the column (incl. a schema-evolution
@@ -425,28 +438,35 @@ class GraftMetaAggRule extends Rule[LogicalPlan]
     // sound ALL-OUT even with no recorded range
     def allNull(a: AttributeReference): Boolean =
       (for (n <- nullsOf(a); r <- rowsOf) yield n == r).getOrElse(false)
-    def cmp(a: AttributeReference, l: BigDecimal,
-        in: (BigDecimal, BigDecimal) => Boolean,
-        out: (BigDecimal, BigDecimal) => Boolean): Option[Boolean] =
+    // r12: judged in SIGN space via the shared tag-aware comparator
+    // (GraftFileIndex.bounds): sLo/sHi are the signs of (recorded lo
+    // cmp l, recorded hi cmp l). The recorded range always CONTAINS the
+    // true one (string bounds may be widened by truncation), so ALL-IN
+    // per recorded range ⊆ all-in per true range and likewise ALL-OUT —
+    // both verdicts stay sound; the only cost is more "don't know".
+    def cmp(a: AttributeReference, l: Any,
+        in: (Int, Int) => Boolean,
+        out: (Int, Int) => Boolean): Option[Boolean] =
       if (allNull(a)) Some(false)
       else for {
-        (lo, hi) <- range(a); n <- nullsOf(a)
-        r <- if (in(lo, hi) && n == 0L) Some(true)
-             else if (out(lo, hi)) Some(false)
+        (sLo, sHi) <- GraftFileIndex.bounds(stats, a.name, l)
+        n <- nullsOf(a)
+        r <- if (in(sLo, sHi) && n == 0L) Some(true)
+             else if (out(sLo, sHi)) Some(false)
              else None
       } yield r
     c match {
       case GreaterThanOrEqual(a: AttributeReference, e) => lit(e).flatMap(l =>
-        cmp(a, l, (lo, _) => lo >= l, (_, hi) => hi < l))
+        cmp(a, l, (sLo, _) => sLo >= 0, (_, sHi) => sHi < 0))
       case GreaterThan(a: AttributeReference, e) => lit(e).flatMap(l =>
-        cmp(a, l, (lo, _) => lo > l, (_, hi) => hi <= l))
+        cmp(a, l, (sLo, _) => sLo > 0, (_, sHi) => sHi <= 0))
       case LessThanOrEqual(a: AttributeReference, e) => lit(e).flatMap(l =>
-        cmp(a, l, (_, hi) => hi <= l, (lo, _) => lo > l))
+        cmp(a, l, (_, sHi) => sHi <= 0, (sLo, _) => sLo > 0))
       case LessThan(a: AttributeReference, e) => lit(e).flatMap(l =>
-        cmp(a, l, (_, hi) => hi < l, (lo, _) => lo >= l))
+        cmp(a, l, (_, sHi) => sHi < 0, (sLo, _) => sLo >= 0))
       case EqualTo(a: AttributeReference, e) => lit(e).flatMap(l =>
-        cmp(a, l, (lo, hi) => lo == l && hi == l,
-          (lo, hi) => l < lo || l > hi))
+        cmp(a, l, (sLo, sHi) => sLo == 0 && sHi == 0,
+          (sLo, sHi) => sLo > 0 || sHi < 0))
       // literal-on-the-left mirrors
       case GreaterThanOrEqual(e, a: AttributeReference) =>
         classifyFile(LessThanOrEqual(a, e), stats, nulls, rowsOf)
@@ -526,17 +546,44 @@ class GraftMetaAggRule extends Rule[LogicalPlan]
   private def fold(tables: Seq[(String, Int, Seq[String])],
       a: AttributeReference, isMin: Boolean): Option[Any] = {
     if (!supported(a.dataType)) return None
+    val isString = a.dataType == StringType
     var acc: Option[BigDecimal] = None
+    var accS: Option[Array[Byte]] = None
+    def cmpB(x: Array[Byte], y: Array[Byte]): Int = {
+      val n = math.min(x.length, y.length); var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return Integer.signum(d)
+        i += 1
+      }
+      Integer.signum(x.length - y.length)
+    }
     tables.foreach { case (path, v, files) =>
       val stats = Snapshots.fileStats(path, v)
       val nulls = Snapshots.fileNulls(path, v)
       val rows = Snapshots.fileRows(path, v)
       files.foreach { f =>
         stats.getOrElse(f, Map.empty).get(a.name) match {
-          case Some((_, lo, hi)) =>
-            val x = BigDecimal(if (isMin) lo else hi)
-            acc = Some(acc.fold(x)(y =>
-              if (isMin) y.min(x) else y.max(x)))
+          case Some((tag, lo, hi)) =>
+            // r12: the ANSWERED value must be the true bound — a
+            // truncated string stat is only a widened enclosure, so a
+            // non-exact bound bails the whole rewrite to the scan
+            if (isString) {
+              if (tag != "S") return None
+              Snapshots.decodeStringStat(if (isMin) lo else hi) match {
+                case Some((bytes, exact)) if exact =>
+                  accS = Some(accS.fold(bytes)(y =>
+                    if (if (isMin) cmpB(bytes, y) < 0 else cmpB(bytes, y) > 0)
+                      bytes else y))
+                case _ => return None
+              }
+            } else {
+              if (tag == "S") return None
+              val x = try BigDecimal(if (isMin) lo else hi)
+                      catch { case _: NumberFormatException => return None }
+              acc = Some(acc.fold(x)(y =>
+                if (isMin) y.min(x) else y.max(x)))
+            }
           case None =>
             // sound to skip only if provably valueless in the column:
             // an empty file, or one the null counts show all-null
@@ -548,12 +595,17 @@ class GraftMetaAggRule extends Rule[LogicalPlan]
         }
       }
     }
-    Some(acc.map(typed(_, a.dataType)).orNull)
+    if (isString)
+      Some(accS.map(b => org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(b)).orNull)
+    else Some(acc.map(typed(_, a.dataType)).orNull)
   }
 
   private def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType => true
+         FloatType | DoubleType |
+         TimestampType | TimestampNTZType | DateType | StringType => true
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -564,5 +616,13 @@ class GraftMetaAggRule extends Rule[LogicalPlan]
     case LongType => x.toLong
     case FloatType => x.toFloat
     case DoubleType => x.toDouble
+    // internal forms: timestamps are micros (instant for TZ,
+    // wall-clock for NTZ — each matching what its tag recorded),
+    // dates are days
+    case TimestampType | TimestampNTZType => x.toLong
+    case DateType => x.toInt
+    case d: DecimalType =>
+      Decimal(x.setScale(d.scale, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .underlying, d.precision, d.scale)
   }
 }

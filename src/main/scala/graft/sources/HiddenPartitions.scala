@@ -726,15 +726,19 @@ class GraftHiddenPartitionedIndex(spark: SparkSession, path: String,
         Snapshots.fileRows(d, v))
     } }
 
-  private lazy val statusesOf: Map[String, Seq[org.apache.hadoop.fs.FileStatus]] = {
-    val conf = spark.sessionState.newHadoopConf()
-    parts.map { case (_, _, d, files, _, _, _) =>
-      d -> files.map { f =>
-        val p = new Path(f)
-        p.getFileSystem(conf).getFileStatus(p)
-      }
-    }.toMap
-  }
+  // r12: statuses memoized per surviving file — transform- and
+  // stats-pruned files are never stat'ed (same contract as
+  // GraftFileIndex: no per-skipped-file round trip, and a vanished
+  // pruned-away file cannot fail the plan)
+  private val statusCache =
+    scala.collection.mutable.Map.empty[String, org.apache.hadoop.fs.FileStatus]
+  private def statusOf(canonical: String): org.apache.hadoop.fs.FileStatus =
+    synchronized {
+      statusCache.getOrElseUpdate(canonical, {
+        val p = new Path(canonical)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+      })
+    }
 
   override def rootPaths: Seq[Path] = Seq(new Path(path))
   override def partitionSchema: org.apache.spark.sql.types.StructType =
@@ -763,15 +767,14 @@ class GraftHiddenPartitionedIndex(spark: SparkSession, path: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    parts.collect { case (t, value, d, _, stats, pNulls, pRows)
+    parts.collect { case (t, value, d, files, stats, pNulls, pRows)
         if dataFilters.forall(t.mayContain(value, _)) =>
-      val kept = statusesOf(d).filter { st =>
-        val f = Snapshots.canonical(st.getPath.toString)
+      val kept = files.filter { f =>
         val fileStat = stats.getOrElse(f, Map.empty)
         dataFilters.forall(e => GraftFileIndex.survives(fileStat,
           pNulls.getOrElse(f, Map.empty), pRows.get(f), e))
       }
-      PartitionDirectory(InternalRow.empty, kept.toArray)
+      PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray)
     }
   }
 }

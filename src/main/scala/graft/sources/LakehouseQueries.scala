@@ -371,6 +371,56 @@ object LakehouseQueries {
       |  min(o_orderkey), max(o_orderkey)
       |FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000""".stripMargin
 
+  /** r12 (the r11 verdict's item 5) — ZORDER BY (string, numeric), the
+    * commonest real clustering pair (country, ts): the z-kernel ranks
+    * the STRING dimension by its 8-byte prefix key and the manifest
+    * records its per-file truncated-prefix ranges ('S' tag), so an
+    * equality predicate on the string column prunes files from the
+    * manifest alone. Pinned the hard way: a live z-ordered file whose
+    * recorded range EXCLUDES '1-URGENT' is deleted from disk, and the
+    * equality read must answer without ever planning it; the v0 leg
+    * proves the rewrite preserved the row multiset (v0's own files are
+    * untouched by the v1 deletion). ZorderSpec adds the slab pin (the
+    * string dimension prunes ≥ the 2% bar).
+    */
+  def qLakeZorderStr(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val dir = stage(o, 8)
+    Snapshots.init(s, dir)
+    Snapshots.compactZOrder(s, dir, "o_orderpriority", "o_orderkey", 16)
+    val vNow = Snapshots.currentVersion(dir)
+    val stats = Snapshots.fileStats(dir, vNow)
+    val doomed = Snapshots.liveFiles(dir, vNow).map(Snapshots.canonical)
+      .find(f => stats.get(f).flatMap(_.get("o_orderpriority")).exists {
+        case (t, mn, _) => t == "S" &&
+          Snapshots.decodeStringStat(mn).exists(b =>
+            b._1.nonEmpty && b._1(0) > '1'.toByte)
+      })
+      .getOrElse(throw new IllegalStateException("no URGENT-free file"))
+    Files.delete(Paths.get(doomed))
+    def aggAll(df: DataFrame, t: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .select(lit(t).as("snap"), col("n"), col("total"),
+          col("min_key"), col("max_key"))
+    aggAll(Snapshots.read(s, dir, version = 0), "v0")
+      .unionByName(aggAll(
+        graft.plans.GraftSessions.withExtensions(s).read.format("graft")
+          .load(dir).filter(col("o_orderpriority") === "1-URGENT"),
+        "urgent"))
+  }
+
+  val qLakeZorderStrSql: String =
+    """SELECT 'v0' AS snap, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders
+      |UNION ALL
+      |SELECT 'urgent', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
   /** A26 — hive-partitioned versioned table end-to-end: orders routed
     * into per-status partition logs, a keyed MERGE that updates rows
     * in place in their partitions AND creates a brand-new partition
@@ -1096,6 +1146,79 @@ object LakehouseQueries {
       |  min(o_totalprice), max(o_totalprice)
       |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
 
+  /** r12 (the r11 verdict's item 1) — TYPED per-file stats, timestamp
+    * leg: o_orderdate ranges are recorded in the manifest as EXACT
+    * MICROS ('T' tag) and drive the single most common lake predicate.
+    * Three disjoint time slices are appended separately, then a LIVE
+    * low-slice file is DELETED FROM DISK and three reads must all
+    * answer: `hi` — a GROUPED aggregate under `o_orderdate >= cut`
+    * (grouped never matches the metadata rule, so this pins the SCAN
+    * path: the planner must prune the vanished file from the manifest
+    * micros alone); `meta` — the global min/max/count of the timestamp
+    * column, answered METADATA-ONLY (the scan would crash on the
+    * missing file); `fmeta` — the A65 FILTERED metadata-only form over
+    * the same cut, classifying every file wholly in/out through its
+    * 'T' range. The oracle replays all three over the raw table — a
+    * mis-recorded micros bound either opens the vanished file (job
+    * failure) or mis-prunes a live one (row/hash mismatch).
+    */
+  def qLakeTsStats(s: SparkSession, d: String): DataFrame = {
+    val se = graft.plans.GraftSessions.withExtensions(s)
+    val o = Tables.orders(se, d)
+      .select("o_orderkey", "o_orderstatus", "o_orderdate")
+    // the synthetic orders span 1995-01-01 .. 2001-08-01; o_orderdate
+    // reads back as TIMESTAMP_NTZ (arrow-written naive micros), so the
+    // cut literals are NTZ too — a TZ literal would coerce a CAST onto
+    // the column and defeat both pushdown and stats skipping
+    val cut = lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    val mid0 = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    val dir = stage(o.filter(col("o_orderdate") < mid0).repartition(2), 2)
+    Snapshots.init(se, dir)
+    Snapshots.appendVersioned(se, dir,
+      o.filter(col("o_orderdate") >= mid0 && col("o_orderdate") < cut))
+    Snapshots.appendVersioned(se, dir, o.filter(col("o_orderdate") >= cut))
+    val vNow = Snapshots.currentVersion(dir)
+    val stats = Snapshots.fileStats(dir, vNow)
+    val cutMicros = java.time.Instant.parse("1999-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val loFile = Snapshots.liveFiles(dir, vNow).map(Snapshots.canonical)
+      .find(f => stats.get(f).flatMap(_.get("o_orderdate")).exists {
+        case (t, _, mx) => t == "T" && mx.toLong < cutMicros })
+      .getOrElse(throw new IllegalStateException("no low-slice file"))
+    Files.delete(Paths.get(loFile))
+    val g = se.read.format("graft").load(dir)
+    val hi = g.filter(col("o_orderdate") >= cut)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), min("o_orderdate").as("min_ts"),
+        max("o_orderdate").as("max_ts"))
+      .select(lit("hi").as("slice"), col("o_orderstatus"), col("n"),
+        col("min_ts"), col("max_ts"))
+    val meta = g.agg(count(lit(1)).as("n"),
+        min("o_orderdate").as("min_ts"), max("o_orderdate").as("max_ts"))
+      .select(lit("meta").as("slice"),
+        lit(null).cast("string").as("o_orderstatus"),
+        col("n"), col("min_ts"), col("max_ts"))
+    val fmeta = g.filter(col("o_orderdate") >= cut)
+      .agg(count(lit(1)).as("n"),
+        min("o_orderdate").as("min_ts"), max("o_orderdate").as("max_ts"))
+      .select(lit("fmeta").as("slice"),
+        lit(null).cast("string").as("o_orderstatus"),
+        col("n"), col("min_ts"), col("max_ts"))
+    hi.unionByName(meta).unionByName(fmeta)
+  }
+
+  val qLakeTsStatsSql: String =
+    """SELECT 'hi' AS slice, o_orderstatus, count(*) AS n,
+      |  min(o_orderdate) AS min_ts, max(o_orderdate) AS max_ts
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      |GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'meta', NULL, count(*), min(o_orderdate), max(o_orderdate)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'fmeta', NULL, count(*), min(o_orderdate), max(o_orderdate)
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'""".stripMargin
+
   /** HIDDEN (transform) PARTITIONING end-to-end (r9 — Iceberg's
     * signature layout over the A26 per-partition logs): orders lands
     * mod(o_orderkey, 8)-partitioned with the key column kept at full
@@ -1333,7 +1456,11 @@ object LakehouseQueries {
     */
   def qLakeBloom(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        // r12: a HIGH-CARDINALITY STRING id clustered with the range
+        // layout — the classic bloom use case (uuid/email point
+        // lookups); its index stores xxhash64(value)
+        concat(lit("ord-"), col("o_orderkey").cast("string")).as("o_label"))
     val dir = tempDir("graft_lake_bloom")
     o.repartitionByRange(8, col("o_orderkey"))
       .write.mode("overwrite").parquet(dir)
@@ -1342,15 +1469,19 @@ object LakehouseQueries {
     // r8: the property is PLURAL — a second index on the range-
     // clustered key column routes probes per column independently
     Snapshots.addBloomIndex(s, dir, "o_orderkey") // v2
+    Snapshots.addBloomIndex(s, dir, "o_label") // v3: STRING index (r12)
     val ins = o.filter(col("o_orderkey") % 91 === 0 && col("o_orderkey") > 0)
       .select((-col("o_orderkey")).as("o_orderkey"),
-        lit(999983L).as("o_custkey"), col("o_totalprice"))
-    Snapshots.mergeVersioned(s, dir, ins, "o_orderkey") // v3: BOTH indexed
+        lit(999983L).as("o_custkey"), col("o_totalprice"),
+        concat(lit("ord-"), (-col("o_orderkey")).cast("string")).as("o_label"))
+    Snapshots.mergeVersioned(s, dir, ins, "o_orderkey") // v4: ALL indexed
     val byCust = Seq(7L, 370L, 997L, 999983L)
       .map(v => Snapshots.readPointLookup(s, dir, "o_custkey", v))
     val byKey = Seq(4L, 32L, -91L)
       .map(v => Snapshots.readPointLookup(s, dir, "o_orderkey", v))
-    (byCust ++ byKey).reduce(_.unionByName(_))
+    val byLabel = Seq("ord-4", "ord-32", "ord--91", "ord-none")
+      .map(v => Snapshots.readPointLookup(s, dir, "o_label", v))
+    (byCust ++ byKey ++ byLabel).reduce(_.unionByName(_))
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
@@ -1360,6 +1491,12 @@ object LakehouseQueries {
       |UNION ALL
       |SELECT -o_orderkey, 999983, o_totalprice
       |FROM orders WHERE o_orderkey % 91 = 0 AND o_orderkey > 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey IN (4, 32)
+      |UNION ALL
+      |SELECT -o_orderkey, 999983, o_totalprice
+      |FROM orders WHERE o_orderkey = 91
       |UNION ALL
       |SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders WHERE o_orderkey IN (4, 32)
@@ -1791,6 +1928,84 @@ object LakehouseQueries {
     q.withColumn("rewritten", lit(rewritten))
   }
 
+  /** r12 (the r11 verdict's item 6) — FILTERED MV + PREDICATE
+    * SUBSUMPTION REWRITE: the MV stores `WHERE o_orderstatus = 'F'`
+    * (a NON-group predicate — the rows were pre-filtered away, which
+    * no group-column commuting can recover), maintained incrementally
+    * through a merge wave that moves rows ACROSS the predicate
+    * boundary (status flips) and a delete wave. Two query shapes must
+    * serve scan-free (base file deleted before execution): `eq` — the
+    * query's WHERE equals the stored predicate (v1 subsumption); `sub`
+    * — the query adds a group-column conjunct on top (v2: the MV's
+    * conjunct is consumed, the residual commutes onto the MV read).
+    * MvRewriteSpec pins the fallback: a query whose WHERE does NOT
+    * subsume the predicate keeps the base scan.
+    */
+  def qLakeMvFiltered(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir, changeDataFeed = true)
+    val mv = tempDir("graft_mvf_q") + "/mv"
+    MaterializedView.create(s, mv, dir, "o_orderkey",
+      Seq("o_orderpriority"), Seq("o_custkey"),
+      filter = Some("o_orderstatus = 'F'"))
+    MvRegistry.register(s, mv)
+    // rows flip INTO and OUT OF the predicate: % 6 flips to 'F',
+    // % 10 = 1 flips everything (incl. former 'F') to 'P'
+    Snapshots.mergeVersioned(s, dir,
+      b.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_orderstatus", lit("F")), "o_orderkey")
+    Snapshots.mergeVersioned(s, dir,
+      b.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderstatus", lit("P")), "o_orderkey")
+    Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
+    MaterializedView.refresh(s, mv)
+    def aggOf(df: DataFrame) = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("sum_custkey"))
+    val eq = aggOf(s.read.format("graft").load(dir)
+        .filter(col("o_orderstatus") === "F"))
+      .withColumn("slice", lit("eq"))
+    val sub = aggOf(s.read.format("graft").load(dir)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW")))
+      .withColumn("slice", lit("sub"))
+    val q = eq.unionByName(sub)
+    val victim = Snapshots.liveFiles(dir,
+      Snapshots.currentVersion(dir)).head
+    Files.delete(Paths.get(victim))
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location match {
+              case g: GraftFileIndex => Seq(g.tablePath)
+              case _ => Seq.empty[String]
+            }
+          case _ => Seq.empty[String]
+        }
+    }.flatten.map(p => Paths.get(p).toAbsolutePath.normalize.toString)
+    val rewritten =
+      !scanned.contains(Paths.get(dir).toAbsolutePath.normalize.toString)
+    q.withColumn("rewritten", lit(rewritten))
+  }
+
+  val qLakeMvFilteredSql: String =
+    """WITH w1 AS (
+      |  SELECT o_orderkey AS k, o_custkey AS c, o_orderpriority AS pr,
+      |    CASE WHEN o_orderkey % 10 = 1 THEN 'P'
+      |         WHEN o_orderkey % 6 = 0 THEN 'F'
+      |         ELSE o_orderstatus END AS st
+      |  FROM orders),
+      |w2 AS (SELECT k, c, pr, st FROM w1 WHERE k % 9 <> 4)
+      |SELECT pr AS o_orderpriority, count(*) AS cnt,
+      |  CAST(sum(c) AS BIGINT) AS sum_custkey,
+      |  'eq' AS slice, true AS rewritten
+      |FROM w2 WHERE st = 'F' GROUP BY 1
+      |UNION ALL
+      |SELECT pr, count(*), CAST(sum(c) AS BIGINT), 'sub', true
+      |FROM w2 WHERE st = 'F' AND pr IN ('1-URGENT', '5-LOW') GROUP BY 1""".stripMargin
+
   val qLakeMvRewriteSql: String =
     """WITH w1 AS (
       |  SELECT o_orderkey AS k, o_custkey AS c,
@@ -2199,6 +2414,7 @@ object LakehouseQueries {
     "q_lake_mv" -> (qLakeMv(_, _)),
     "q_lake_mv_join" -> (qLakeMvJoin(_, _)),
     "q_lake_mv_rewrite" -> (qLakeMvRewrite(_, _)),
+    "q_lake_mv_filtered" -> (qLakeMvFiltered(_, _)),
     "q_lake_mv_join_rewrite" -> (qLakeMvJoinRewrite(_, _)),
     "q_lake_mv_minmax" -> (qLakeMvMinMax(_, _)),
     "q_lake_mv_stream" -> (qLakeMvStream(_, _)),
@@ -2218,6 +2434,7 @@ object LakehouseQueries {
     "q_lake_schema_map" -> (qLakeSchemaMap(_, _)),
     "q_lake_partitioned" -> (qLakePartitioned(_, _)),
     "q_lake_zorder" -> (qLakeZorder(_, _)),
+    "q_lake_zorder_str" -> (qLakeZorderStr(_, _)),
     "q_lake_restore" -> (qLakeRestore(_, _)),
     "q_lake_clone" -> (qLakeClone(_, _)),
     "q_lake_dv" -> (qLakeDv(_, _)),
@@ -2236,6 +2453,7 @@ object LakehouseQueries {
     "q_lake_part_stream" -> (qLakePartStream(_, _)),
     "q_lake_meta_agg" -> (qLakeMetaAgg(_, _)),
     "q_lake_meta_agg_filtered" -> (qLakeMetaAggFiltered(_, _)),
+    "q_lake_ts_stats" -> (qLakeTsStats(_, _)),
     "q_lake_hidden_part" -> (qLakeHiddenPart(_, _)),
     "q_lake_catalog_part" -> (qLakeCatalogPart(_, _)))
 
@@ -2246,6 +2464,7 @@ object LakehouseQueries {
     "q_lake_mv" -> qLakeMvSql,
     "q_lake_mv_join" -> qLakeMvJoinSql,
     "q_lake_mv_rewrite" -> qLakeMvRewriteSql,
+    "q_lake_mv_filtered" -> qLakeMvFilteredSql,
     "q_lake_mv_join_rewrite" -> qLakeMvJoinRewriteSql,
     "q_lake_mv_minmax" -> qLakeMvMinMaxSql,
     "q_lake_mv_stream" -> qLakeMvStreamSql,
@@ -2265,6 +2484,7 @@ object LakehouseQueries {
     "q_lake_schema_map" -> qLakeSchemaMapSql,
     "q_lake_partitioned" -> qLakePartitionedSql,
     "q_lake_zorder" -> qLakeZorderSql,
+    "q_lake_zorder_str" -> qLakeZorderStrSql,
     "q_lake_restore" -> qLakeRestoreSql,
     "q_lake_clone" -> qLakeCloneSql,
     "q_lake_dv" -> qLakeDvSql,
@@ -2283,6 +2503,7 @@ object LakehouseQueries {
     "q_lake_part_stream" -> qLakePartStreamSql,
     "q_lake_meta_agg" -> qLakeMetaAggSql,
     "q_lake_meta_agg_filtered" -> qLakeMetaAggFilteredSql,
+    "q_lake_ts_stats" -> qLakeTsStatsSql,
     "q_lake_hidden_part" -> qLakeHiddenPartSql,
     "q_lake_catalog_part" -> qLakeCatalogPartSql)
 }

@@ -59,7 +59,8 @@ object MaterializedView {
 
   final case class MvSpec(base: String, baseKey: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Seq.empty)
+      minMaxCols: Seq[String] = Seq.empty,
+      filter: Option[String] = None)
 
   private def norm(p: String): String =
     Paths.get(p).toAbsolutePath.normalize.toString
@@ -129,10 +130,22 @@ object MaterializedView {
   def create(spark: SparkSession, mvRoot: String, base: String,
       baseKey: String, groupCols: Seq[String],
       sumCols: Seq[String] = Seq.empty,
-      minMaxCols: Seq[String] = Seq.empty): Int = {
+      minMaxCols: Seq[String] = Seq.empty,
+      filter: Option[String] = None): Int = {
     require(groupCols.nonEmpty, "materialized view: no group columns")
     require((groupCols ++ sumCols ++ minMaxCols).forall(c => !c.contains(",")),
       "materialized view: ',' in a column name")
+    // r12 — FILTERED MV: a stored row-level predicate (SQL text, the
+    // `CREATE MATERIALIZED VIEW … WHERE` shape). Build, every refresh
+    // window, and the group-scoped min/max recompute all apply it
+    // identically, so the MV is exactly the aggregate of the
+    // predicate's rows at the consumed version; the rewrite serves a
+    // query whose WHERE subsumes it (MvRewrite). Deterministic and
+    // single-line by construction of the spec file.
+    filter.foreach { f =>
+      require(!f.contains("\n"), "materialized view: multi-line filter")
+      require(f.trim.nonEmpty, "materialized view: empty filter")
+    }
     val bv = Snapshots.currentVersion(base)
     require(bv >= 0, s"$base not initialized (call init)")
     require(Snapshots.currentVersion(mvRoot) < 0,
@@ -140,7 +153,8 @@ object MaterializedView {
     // read AT bv, not the head: a commit landing between the capture
     // and this read would bake v(bv+1) rows into an MV whose mark says
     // bv — the next refresh would then double-apply that window
-    val snap = Snapshots.read(spark, base, bv)
+    val snap0 = Snapshots.read(spark, base, bv)
+    val snap = filter.fold(snap0)(f => snap0.filter(expr(f)))
     val aggs = aggExprs(snap, sumCols, lit(1L), "cnt", "") ++
       minMaxExprs(minMaxCols, "")
     val full = snap.groupBy(groupCols.map(c => col(s"`$c`")): _*)
@@ -150,7 +164,8 @@ object MaterializedView {
     Files.writeString(Paths.get(mvRoot, SpecFile),
       s"base=${norm(base)}\nkey=$baseKey\ngroup=${groupCols.mkString(",")}\n" +
         s"sum=${sumCols.mkString(",")}\n" +
-        s"minmax=${minMaxCols.mkString(",")}\n")
+        s"minmax=${minMaxCols.mkString(",")}\n" +
+        filter.fold("")(f => s"filter=$f\n"))
     val v = Snapshots.appendVersionedIdempotent(spark, mvRoot, full,
       appId(base), bv.toLong)
     Refs.moveTag(base, leaseName(mvRoot), bv)
@@ -186,7 +201,8 @@ object MaterializedView {
     val get = rawSpec(mvRoot)
     MvSpec(get("base"), get("key"), splitCols(get("group")),
       splitCols(get("sum")),
-      splitCols(m.getOrElse("minmax", "")))
+      splitCols(m.getOrElse("minmax", "")),
+      m.get("filter").filter(_.trim.nonEmpty))
   }
 
   /** The MV's spec kind: "single" or "join". */
@@ -286,7 +302,14 @@ object MaterializedView {
       s"v$to — was the base RESTOREd? Recreate the MV")
     if (to == from) return mvV
 
-    val cdf = Snapshots.changesCdf(spark, sp.base, from, to, sp.baseKey)
+    // r12 — a FILTERED MV's change window keeps only rows the stored
+    // predicate admits: a row outside the predicate never contributed
+    // to the MV, so its insert/delete feed images are no-ops; a row
+    // UPDATED across the predicate boundary nets exactly +1/−1 through
+    // its pre/post images (the predicate is row-local and
+    // deterministic, so image-wise filtering is the correct algebra)
+    val cdf0 = Snapshots.changesCdf(spark, sp.base, from, to, sp.baseKey)
+    val cdf = sp.filter.fold(cdf0)(f => cdf0.filter(expr(f)))
     val sign = when(col("_change_type")
       .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
     // per group: the counting-algebra deltas plus, per min/max column,
@@ -301,7 +324,9 @@ object MaterializedView {
       if (sp.minMaxCols.isEmpty)
         applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols, marks)
       else applyDeltasMinMax(spark, mvRoot, deltas, sp.groupCols,
-        sp.sumCols, sp.minMaxCols, Snapshots.read(spark, sp.base, to),
+        sp.sumCols, sp.minMaxCols,
+        sp.filter.fold(Snapshots.read(spark, sp.base, to))(f =>
+          Snapshots.read(spark, sp.base, to).filter(expr(f))),
         marks)
     Refs.moveTag(sp.base, leaseName(mvRoot), to)
     v
@@ -514,16 +539,26 @@ object MaterializedView {
           // rerunning re-reads the marks and no-ops over whatever the
           // winner consumed, so a bounded retry is exact (a persistent
           // refusal — e.g. a multi-table publish fence — still
-          // surfaces after the retries).
+          // surfaces after the retries). r12: retries BACK OFF
+          // (linear, 50ms·attempt) and log — a tight 5-spin loop lost
+          // to a sixth transient conflict (two trigger streams plus
+          // batch writers) would propagate and silently terminate the
+          // maintenance StreamingQuery, leaving the MV permanently
+          // stale unless the caller polls query.exception.
+          val maxAttempts = 20
           var attempts = 0
           var done = false
           while (!done) {
             try { refreshAny(spark, mvRoot); done = true }
             catch {
-              case _: java.nio.file.FileAlreadyExistsException
-                  if attempts < 5 => attempts += 1
-              case _: java.util.ConcurrentModificationException
-                  if attempts < 5 => attempts += 1
+              case e @ (_: java.nio.file.FileAlreadyExistsException |
+                        _: java.util.ConcurrentModificationException)
+                  if attempts < maxAttempts =>
+                attempts += 1
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"graft MV maintenance: commit conflict on $mvRoot " +
+                    s"(attempt $attempts/$maxAttempts), retrying: $e")
+                Thread.sleep(50L * attempts)
             }
           }
           ()

@@ -212,8 +212,77 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         case Some(v) => v
         case None => return None
       }
+    // r12 — PREDICATE SUBSUMPTION for FILTERED MVs: the MV stores rows
+    // of `WHERE p`; a query rewrites iff its own conjuncts CONTAIN p
+    // (v1: equality; v2: p's conjuncts are a subset of the query's).
+    // Matched conjuncts are consumed (the MV already applied them);
+    // the residual must then pass [[substitute]]'s group-columns-only
+    // test and is re-applied above the MV read. Conjuncts are compared
+    // name-normalized (attribute exprIds differ between the query's
+    // resolution and the spec predicate's own), with the spec predicate
+    // ANALYZED against the same pinned base so literals take identical
+    // internal form.
+    val residual: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      sp.filter match {
+        case None => filters
+        case Some(f) =>
+          val mvConjs = {
+            // resolve the spec predicate against the MANIFEST schema
+            // only (an empty LocalRelation) — reading the base here
+            // would list its files and die on exactly the vanished
+            // file the scan-free rewrite exists to tolerate
+            val schema = Snapshots.tableSchema(sp.base, pinned)
+              .getOrElse(return None)
+            val analyzed = spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              schema).filter(expr(f)).queryExecution.analyzed
+            analyzed.collectFirst {
+              case flt: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                splitConjunctivePredicates(flt.condition)
+            }.getOrElse(return None)
+          }
+          val qNorm = filters.map(nameOnly)
+          val matched = mvConjs.map(mc => qNorm.indexOf(nameOnly(mc)))
+          // (nameOnly folds constants first: the spec predicate comes
+          // from ANALYSIS, where `price > 150000` still carries
+          // cast(150000 as double), while the query conjunct arrives
+          // optimizer-folded to the bare double literal)
+          if (matched.contains(-1)) return None
+          val matchedCols = mvConjs.flatMap(_.references.map(_.name)).toSet
+          filters.zipWithIndex.collect {
+            case (c, i) if !matched.contains(i) &&
+              // an inferred `isnotnull(c)` is IMPLIED by a consumed
+              // null-rejecting comparison on c — drop, don't commute
+              !(c.isInstanceOf[
+                  org.apache.spark.sql.catalyst.expressions.IsNotNull] &&
+                c.references.forall(r => matchedCols.contains(r.name)) &&
+                mvConjs.exists(mc =>
+                  mc.isInstanceOf[org.apache.spark.sql.catalyst
+                    .expressions.BinaryComparison] &&
+                  mc.references.map(_.name).toSet
+                    .intersect(c.references.map(_.name).toSet).nonEmpty)) =>
+              c
+          }
+      }
     substitute(mvRoot, mvV, agg, groupNames, sp.groupCols.toSet,
-      sp.sumCols.toSet, sp.minMaxCols.toSet, filters)
+      sp.sumCols.toSet, sp.minMaxCols.toSet, residual)
+  }
+
+  /** Attribute-exprId-free view of a predicate for cross-resolution
+    * conjunct equality: every resolved attribute collapses to its bare
+    * name (the MV spec predicate and the user's query resolve the same
+    * base columns under different exprIds). */
+  private def nameOnly(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val folded = e.transformUp {
+      case f if f.foldable && !f.isInstanceOf[Literal] =>
+        Literal.create(f.eval(null), f.dataType)
+    }
+    folded.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+    }
   }
 
   /** The join shape's per-MV attempt: the scanned (path, version) pair
@@ -231,6 +300,12 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val sp = MaterializedView.joinSpec(mvRoot)
     if (sp.joinCol != joinCol) return None
     val (specL, specR) = (norm(sp.left), norm(sp.right))
+    // a self-join (both scan sides the same path) would silently drop
+    // lPinned in the map below and could pass the freshness check with
+    // the two sides pinned at DIFFERENT versions — refuse outright
+    // (createJoin's schema-overlap require makes this near-unreachable,
+    // but the guard keeps the soundness local)
+    if (lPath == rPath) return None
     val pins: Map[String, Int] = Map(lPath -> lPinned, rPath -> rPinned)
     if (pins.keySet != Set(specL, specR)) return None
     val head = Snapshots.currentVersion(mvRoot)

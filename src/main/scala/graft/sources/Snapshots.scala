@@ -289,7 +289,7 @@ object Snapshots {
 
   /** Per-file physical-column stats recorded at `v`:
     * file → col → (typeTag "L"|"D", min, max) as strings. */
-  private[sources] def fileStats(path: String, v: Int): Map[String, Map[String, (String, String, String)]] =
+  private[graft] def fileStats(path: String, v: Int): Map[String, Map[String, (String, String, String)]] =
     manifestLines(path, v)
       .filter(_.startsWith(StatsHeader))
       .map(_.stripPrefix(StatsHeader).split(StatsSep, -1))
@@ -304,9 +304,67 @@ object Snapshots {
     dt match {
       case ByteType | ShortType | IntegerType | LongType => Some("L")
       case FloatType | DoubleType                        => Some("D")
+      // r12: the types a real lake predicate actually filters on —
+      // timestamps (micros), dates (days), decimals (plain string,
+      // exact), strings (truncated prefixes, the Delta convention).
+      // Widening (A59) never crosses tags, so per-file tags stay
+      // uniform per column across mixed-era files. NTZ timestamps
+      // (what pandas/arrow-written parquet reads back as) share the
+      // 'T' micros tag — both internal forms are micros longs, and a
+      // predicate literal always carries the column's own flavor.
+      case TimestampType | TimestampNTZType              => Some("T")
+      case DateType                                      => Some("A")
+      case _: DecimalType                                => Some("C")
+      case StringType                                    => Some("S")
       case _                                             => None
     }
   }
+
+  // ── r12: STRING stat bounds — truncated-prefix encoding ────────────
+  // A string min/max is stored as base64 of at most [[StringStatMaxBytes]]
+  // UTF-8 bytes (base64 keeps tabs/newlines out of the tab-separated
+  // manifest line). Truncation WIDENS the range, which is the sound
+  // direction for every consumer: a truncated MIN is the raw byte
+  // prefix (bytewise ≤ the true min), a truncated MAX is the prefix
+  // with its last non-0xFF byte incremented and the tail dropped
+  // (bytewise > every string sharing the prefix). Truncated bounds are
+  // marked with a trailing '~' (not in the base64 alphabet) so exact
+  // consumers (metadata-only min/max answers, merge key ranges) can
+  // refuse them; a max whose prefix is all 0xFF has no finite upper
+  // bound and stores the '*' sentinel. Comparisons happen on the RAW
+  // BYTES (never decoded to java String — a prefix may split a UTF-8
+  // codepoint), matching Spark's UTF8String binary ordering.
+  private[graft] val StringStatMaxBytes = 64
+  private[graft] val StringStatNoMax = "*"
+
+  private[graft] def encodeStringStat(s: String, isMax: Boolean): String = {
+    val b64 = java.util.Base64.getEncoder
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length <= StringStatMaxBytes) b64.encodeToString(bytes)
+    else if (!isMax)
+      b64.encodeToString(
+        java.util.Arrays.copyOf(bytes, StringStatMaxBytes)) + "~"
+    else {
+      val p = java.util.Arrays.copyOf(bytes, StringStatMaxBytes)
+      var i = p.length - 1
+      while (i >= 0 && p(i) == -1) i -= 1
+      if (i < 0) StringStatNoMax
+      else {
+        val out = java.util.Arrays.copyOf(p, i + 1)
+        out(i) = (out(i) + 1).toByte
+        b64.encodeToString(out) + "~"
+      }
+    }
+  }
+
+  /** Decoded string bound: (UTF-8 bytes, exact). None = the '*'
+    * sentinel (no finite upper bound). Raises on malformed base64 —
+    * callers treat that as "no stats" via their own catch. */
+  private[graft] def decodeStringStat(enc: String): Option[(Array[Byte], Boolean)] =
+    if (enc == StringStatNoMax) None
+    else if (enc.endsWith("~"))
+      Some((java.util.Base64.getDecoder.decode(enc.dropRight(1)), false))
+    else Some((java.util.Base64.getDecoder.decode(enc), true))
 
   // A33 — per-file ROW COUNTS in the manifest (Delta's numRecords):
   // recorded by the same one-scan-per-commit aggregate as the column
@@ -527,6 +585,29 @@ object Snapshots {
     val numCols = df.schema.fields
       .flatMap(f => statsTypeTag(f.dataType).map(t => (f.name, t,
         f.dataType == org.apache.spark.sql.types.FloatType)))
+    // r12: per-tag aggregate input — timestamps range as exact micros,
+    // dates as days (both monotonic, so min/max commute with the
+    // conversion); decimals and strings aggregate in their own type
+    // and are rendered by renderStat below
+    def statInput(c: String, tag: String, isFloat: Boolean)
+        : org.apache.spark.sql.Column = tag match {
+      case "D" if isFloat => col(s"`$c`").cast("double")
+      // TZ timestamps range as instant micros; NTZ aggregate raw (its
+      // external LocalDateTime converts to wall-clock micros below —
+      // min/max commute with both conversions)
+      case "T" if df.schema(c).dataType ==
+        org.apache.spark.sql.types.TimestampType => unix_micros(col(s"`$c`"))
+      case "A" => unix_date(col(s"`$c`"))
+      case _   => col(s"`$c`")
+    }
+    def renderStat(tag: String, v: Any, isMax: Boolean): String = (tag, v) match {
+      case ("C", d: java.math.BigDecimal) => d.toPlainString
+      case ("S", s: String) => encodeStringStat(s, isMax)
+      case ("T", ldt: java.time.LocalDateTime) => // NTZ wall-clock micros
+        (ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L).toString
+      case _   => v.toString
+    }
     // A42: null counts cover every ATOMIC column (strings included),
     // not just the numeric ones the range stats track
     val atomicCols = df.schema.fields.toIndexedSeq.collect {
@@ -553,8 +634,8 @@ object Snapshots {
           "true") != "true") Seq.empty
       else atomicCols
     val aggs = count(lit(1)).as("__nr") +:
-      (numCols.toIndexedSeq.flatMap { case (c, _, isFloat) =>
-        val cc = if (isFloat) col(s"`$c`").cast("double") else col(s"`$c`")
+      (numCols.toIndexedSeq.flatMap { case (c, t, isFloat) =>
+        val cc = statInput(c, t, isFloat)
         Seq(min(cc).as(s"__mn_$c"), max(cc).as(s"__mx_$c")) } ++
         atomicCols.map(c => count(col(s"`$c`")).as(s"__nn_$c")) ++
         hllCols.map(c => hllAgg(when(col(s"`$c`").isNotNull,
@@ -571,8 +652,8 @@ object Snapshots {
       val rangeLines = numCols.toIndexedSeq.zipWithIndex.flatMap { case ((c, t, _), i) =>
         val mn = r.get(2 + 2 * i); val mx = r.get(3 + 2 * i)
         if (mn == null || mx == null) None
-        else Some(StatsHeader + Seq(f, c, t, mn.toString, mx.toString)
-          .mkString(StatsSep))
+        else Some(StatsHeader + Seq(f, c, t, renderStat(t, mn, isMax = false),
+          renderStat(t, mx, isMax = true)).mkString(StatsSep))
       }
       val nullLines = atomicCols.zipWithIndex.map { case (c, i) =>
         NullsHeader + Seq(f, c, (nRows - r.getLong(nnBase + i)).toString)
@@ -1080,8 +1161,16 @@ object Snapshots {
     if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
     if (!df.columns.contains(column)) return Seq.empty
-    val rows = df.select(input_file_name().as("file"),
-        col(s"`$column`").cast("long").as("__k"))
+    // r12: STRING columns index the xxhash64 of the value (the probe
+    // side hashes its literal identically, plan-time and point-lookup
+    // alike) — a hash collision is one more false positive, never a
+    // false negative, so skipping stays sound; integral columns keep
+    // indexing the raw value
+    val keyExpr =
+      if (df.schema(column).dataType == org.apache.spark.sql.types.StringType)
+        xxhash64(col(s"`$column`"))
+      else col(s"`$column`").cast("long")
+    val rows = df.select(input_file_name().as("file"), keyExpr.as("__k"))
       .filter(col("__k").isNotNull)
     // filter size per file, computed AS LONG and validated before the
     // int-positioned kernel sees it: at the default 10 bits/row a file
@@ -1165,11 +1254,12 @@ object Snapshots {
       s"bloom index already on '$column'")
     require(bitsPerRow >= 2 && bitsPerRow <= 64, "bitsPerRow in [2, 64]")
     val live = liveFiles(path, v)
-    // the build casts the column to long: on a string/decimal column
-    // that silently nulls non-numeric values, committing a partial (or
-    // empty) index with the property still set — later point lookups
-    // would degrade to full scans with no signal. Require an integral
-    // column in the table's schema up front.
+    // integral columns index the raw value, STRING columns (r12) the
+    // xxhash64 of the value — anything else (decimal/float/nested)
+    // would cast-null or has no stable key form, committing a partial
+    // (or empty) index with the property still set — later point
+    // lookups would degrade to full scans with no signal. Refuse those
+    // up front.
     tableSchema(path, v).orElse(
       if (live.isEmpty) None else Some(spark.read.parquet(live: _*).schema))
       .foreach { schema0 =>
@@ -1178,9 +1268,9 @@ object Snapshots {
             s"bloom column '$column' not in table schema " +
               schema0.fieldNames.mkString(", ")))
         import org.apache.spark.sql.types._
-        require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
-            .contains(field.dataType),
-          s"bloom index needs an integral column; '$column' is " +
+        require(Seq[DataType](ByteType, ShortType, IntegerType, LongType,
+            StringType).contains(field.dataType),
+          s"bloom index needs an integral or string column; '$column' is " +
             field.dataType.simpleString)
       }
     val refs = stageBloomSidecar(spark, path, v + 1, live, column, bitsPerRow)
@@ -1226,7 +1316,7 @@ object Snapshots {
     * driver sees per-file VERDICTS only.
     */
   def readPointLookup(spark: SparkSession, path: String, column: String,
-      value: Long, version: Int = -1): DataFrame = {
+      value: Any, version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion(path) else version
     require(hasVersion(path, v), s"no version $v at $path")
     val live = liveFiles(path, v)
@@ -1235,10 +1325,16 @@ object Snapshots {
     val refs = bloomIdxFiles(path, v)
     if (!onCol || refs.isEmpty || live.isEmpty)
       return read(spark, path, v).filter(pred)
+    // r12: string indexes carry xxhash64(value) — hash the probe the
+    // same way (the exact codegen'd function the build side ran)
+    val probe = value match {
+      case _: String => xxhash64(lit(value))
+      case _ => lit(value)
+    }
     val verdicts = spark.read.parquet(refs: _*)
       .filter(col("col") === column)
       .select(col("file"), graft.functions.bloom_row_might_contain(
-        col("bits"), lit(value)).as("hit"))
+        col("bits"), probe).as("hit"))
       .collect().map(r => canonical(r.getString(0)) -> r.getBoolean(1)).toMap
     val keep = live.filter { f =>
       verdicts.getOrElse(canonical(f), true) // unindexed file: keep
@@ -1322,6 +1418,66 @@ object Snapshots {
       stats.get(f).flatMap(_.get(phys)).map { case (t, mn, mx) => (f, mn, mx, t) }
     }
     if (rows.forall(_.isDefined)) Some(rows.flatten) else None
+  }
+
+  /** r12: manifest key ranges decoded TAG-AWARE into a broadcastable
+    * (file, kmin, kmax) frame typed as `keyType` — the shared input of
+    * every merge/keyed-delete file-discovery semi-join. A bound the tag
+    * cannot decode exactly (truncated string stats, the '*' sentinel, a
+    * tag foreign to the key's type) decodes to NULL, and the range
+    * condition ([[keyRangeCond]]) treats a NULL bound as "may hold any
+    * key" — conservatively touched, never skipped. Before r12 the
+    * bounds were cast blind (`cast(keyType)`), which was only correct
+    * for the L/D tags that existed then; a micros-long cast to
+    * timestamp via STRING parsing would null out and silently skip
+    * files holding matches. */
+  private def keyRangeFrame(spark: SparkSession,
+      rows: Seq[(String, String, String, String)],
+      keyType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = rows.toDF("file", "__mns", "__mxs", "__tag")
+    def dec(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      keyType match {
+        case TimestampType =>
+          when(col("__tag") === "T", timestamp_micros(s.cast("long")))
+        // NTZ: no builtin reconstructs an NTZ from raw micros without
+        // routing through the session timezone — decode to NULL, the
+        // conservative always-touched verdict (an NTZ-keyed merge is
+        // rare enough that correctness beats the skipped stat)
+        case TimestampNTZType => lit(null).cast(TimestampNTZType)
+        case DateType =>
+          when(col("__tag") === "A", date_from_unix_date(s.cast("int")))
+        case StringType =>
+          when(col("__tag") === "S" && !s.endsWith("~") &&
+            s =!= StringStatNoMax, decode(unbase64(s), "UTF-8"))
+        case _ =>
+          when(col("__tag").isin("L", "D", "C"), s.cast(keyType))
+      }
+    df.select(col("file"), dec(col("__mns")).as("kmin"),
+      dec(col("__mxs")).as("kmax"))
+  }
+
+  /** Key `k` may live in [kmin, kmax] — NULL bounds keep the file. */
+  private def keyRangeCond(k: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    col("kmin").isNull || col("kmax").isNull ||
+      (k >= col("kmin") && k <= col("kmax"))
+
+  /** May a file with recorded (tag, mn, mx) intersect the LONG range
+    * [lo, hi]? Integral-valued tags (L, and r12's micros/days T/A)
+    * compare exactly as longs; D/C through double (NaN keeps — it
+    * compares falsy both ways); string tags and anything unparseable
+    * conservatively answer true (a Long range cannot judge them). */
+  private def numericStatInRange(t: String, mn: String, mx: String,
+      lo: Long, hi: Long): Boolean = t match {
+    case "L" | "T" | "A" =>
+      (for (a <- mn.toLongOption; b <- mx.toLongOption)
+        yield !(b < lo || a > hi)).getOrElse(true)
+    case "D" | "C" =>
+      (for (a <- mn.toDoubleOption; b <- mx.toDoubleOption)
+        yield !(b < lo || a > hi)).getOrElse(true)
+    case _ => true
   }
 
   /** Earliest version whose manifest is still retained (vacuum drops
@@ -1697,6 +1853,32 @@ object Snapshots {
       cdf = if (cdfEnabled(path, v)) Some(Seq.empty) else None)
   }
 
+  /** r12 (the r11 verdict's item 7) — ADD COLUMN as a METADATA-ONLY
+    * commit (Delta's `ALTER TABLE … ADD COLUMN`): one schema line
+    * changes, zero data movement on a 100 TB table. Every live file
+    * predates the column, so A19's schema-on-read serves it as NULL
+    * (exactly Delta/parquet missing-column semantics); later writes
+    * carry real values file-by-file, and time travel to a pre-ADD
+    * version serves the old schema because the schema is recorded per
+    * version like any other evolution. The new column is necessarily
+    * NULLABLE (existing rows have no value for it). */
+  def addColumn(spark: SparkSession, path: String, column: String,
+      dataType: org.apache.spark.sql.types.DataType): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    val schemaNow = tableSchema(path, v).getOrElse(read(spark, path, v).schema)
+    require(!schemaNow.fieldNames.contains(column),
+      s"add column: '$column' already exists in " +
+        schemaNow.fieldNames.mkString(", "))
+    val extended = org.apache.spark.sql.types.StructType(
+      schemaNow.fields :+ org.apache.spark.sql.types.StructField(
+        column, dataType, nullable = true))
+    val live = liveFiles(path, v)
+    commitNext(path, v, live, Some(extended), carriedStats(path, v, live),
+      dvFiles(path, v),
+      cdf = if (cdfEnabled(path, v)) Some(Seq.empty) else None)
+  }
+
   /** Version 0: snapshot the directory's current parquet files.
     * `changeDataFeed` opts the table into A31 change-data recording
     * (Delta's enableChangeDataFeed property — off by default since
@@ -1866,10 +2048,19 @@ object Snapshots {
       while (!taken.add(name)) { i += 1; name = s"c${i}_" +
         srcP.getFileName.toString }
       val dstP = Paths.get(dst, name)
+      // fall back to a byte copy ONLY for the failures hard-linking
+      // legitimately raises (cross-device/unsupported FS) — and never
+      // REPLACE: a pre-existing file at dstP is a stray this clone
+      // doesn't own, and FileAlreadyExistsException must surface, not
+      // silently overwrite it (r12, advice fix)
       try Files.createLink(dstP, srcP)
-      catch { case _: Exception =>
-        Files.copy(srcP, dstP,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+      catch {
+        case _: UnsupportedOperationException =>
+          Files.copy(srcP, dstP)
+        case e: java.nio.file.FileSystemException
+            if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+          Files.copy(srcP, dstP)
+      }
       dstP.toString
     }
     val renames: Map[String, String] = live.map(f => f -> copyIn(f)).toMap
@@ -2026,12 +2217,7 @@ object Snapshots {
       else {
         val keyType = schemaNow(keyCol).dataType
         val stats = manifestRanges(path, v, live, keyCol) match {
-          case Some(rows) =>
-            import spark.implicits._
-            rows.map { case (f, mn, mx, _) => (f, mn, mx) }
-              .toDF("file", "__mns", "__mxs")
-              .select(col("file"), col("__mns").cast(keyType).as("kmin"),
-                col("__mxs").cast(keyType).as("kmax"))
+          case Some(rows) => keyRangeFrame(spark, rows, keyType)
           case None => target
             .withColumn("file", input_file_name())
             .groupBy("file")
@@ -2039,8 +2225,7 @@ object Snapshots {
               max(col(s"`$keyCol`")).as("kmax"))
         }
         val keys = source.select(col(s"`$keyCol`").as("__k")).distinct()
-        stats.join(broadcast(keys),
-          col("__k") >= col("kmin") && col("__k") <= col("kmax"), "left_semi")
+        stats.join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
           .select("file").collect().map(r => canonical(r.getString(0)))
           .toIndexedSeq
       }
@@ -2256,12 +2441,7 @@ object Snapshots {
     // merge cost tracks the batch — else the legacy one-column scan
     val keyType = schemaNow(keyCol).dataType
     val stats = manifestRanges(path, v, live, keyCol) match {
-      case Some(rows) =>
-        import spark.implicits._
-        rows.map { case (f, mn, mx, _) => (f, mn, mx) }
-          .toDF("file", "__mns", "__mxs")
-          .select(col("file"), col("__mns").cast(keyType).as("kmin"),
-            col("__mxs").cast(keyType).as("kmax"))
+      case Some(rows) => keyRangeFrame(spark, rows, keyType)
       case None => target
         .withColumn("file", input_file_name())
         .groupBy("file")
@@ -2269,8 +2449,7 @@ object Snapshots {
     }
     val keys = updates.select(col(keyCol).as("__k")).distinct()
     val touched = stats
-      .join(broadcast(keys),
-        col("__k") >= col("kmin") && col("__k") <= col("kmax"), "left_semi")
+      .join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
       .select("file").collect().map(_.getString(0))
       .map(canonical)
     // readLive, not readUnder: a DV-deleted row in a touched file must
@@ -2486,12 +2665,7 @@ object Snapshots {
     // A27 manifest stats when complete (no table scan), else the scan
     val keyType = schemaNow(keyCol).dataType
     val stats = manifestRanges(path, v, live, keyCol) match {
-      case Some(rows) =>
-        import spark.implicits._
-        rows.map { case (f, mn, mx, _) => (f, mn, mx) }
-          .toDF("file", "__mns", "__mxs")
-          .select(col("file"), col("__mns").cast(keyType).as("kmin"),
-            col("__mxs").cast(keyType).as("kmax"))
+      case Some(rows) => keyRangeFrame(spark, rows, keyType)
       case None => target
         .withColumn("file", input_file_name())
         .groupBy("file")
@@ -2499,7 +2673,7 @@ object Snapshots {
     }
     val touched = stats
       .join(broadcast(k.withColumnRenamed(keyCol, "__k")),
-        col("__k") >= col("kmin") && col("__k") <= col("kmax"), "left_semi")
+        keyRangeCond(col("__k")), "left_semi")
       .select("file").collect().map(r => canonical(r.getString(0)))
     if (touched.isEmpty) // no-op version, schema carried forward
       return commitNext(path, v, live, tableSchema(path, v),
@@ -2846,14 +3020,9 @@ object Snapshots {
       .getOrElse(readUnder(spark, path, v, live).schema)
     val candidates = manifestRanges(path, v, live, keyCol) match {
       case Some(rows) =>
-        val keyType = schemaNow(keyCol).dataType
-        import spark.implicits._
-        rows.map { case (f, mn, mx, _) => (f, mn, mx) }
-          .toDF("file", "__mns", "__mxs")
-          .select(col("file"), col("__mns").cast(keyType).as("kmin"),
-            col("__mxs").cast(keyType).as("kmax"))
+        keyRangeFrame(spark, rows, schemaNow(keyCol).dataType)
           .join(broadcast(k.withColumnRenamed(keyCol, "__k")),
-            col("__k") >= col("kmin") && col("__k") <= col("kmax"), "left_semi")
+            keyRangeCond(col("__k")), "left_semi")
           .select("file").collect().map(r => canonical(r.getString(0))).toSeq
       case None => live // pre-A27: scan everything for positions
     }
@@ -3016,9 +3185,10 @@ object Snapshots {
           // typeTag-aware parse (the readPrunedRange discipline): a
           // double stat can be "NaN"/"Infinity", where a numeric-cast
           // comparison must keep the file, never crash — NaN compares
-          // falsy, so the || keeps it conservatively in scope
-          if (t == "L" && mx.toLong >= lo && mn.toLong <= hi) ||
-             (t != "L" && !(mx.toDouble < lo || mn.toDouble > hi)) => f
+          // falsy, so the || keeps it conservatively in scope; r12
+          // string-tagged stats don't parse as numbers and stay in
+          // scope (a Long range can't judge them)
+          if numericStatInRange(t, mn, mx, lo, hi) => f
         }.toSet
       case None => live.map(canonical).toSet // no stats: everything in scope
     }
@@ -3153,9 +3323,7 @@ object Snapshots {
         // A27: the manifest alone decides the file list — driver-side
         // interval checks, zero jobs before the pruned scan itself
         rows.filter { case (_, mn, mx, t) =>
-          if (t == "L") !(mx.toLong < lo || mn.toLong > hi)
-          else !(mx.toDouble < lo || mn.toDouble > hi)
-        }.map(_._1)
+          numericStatInRange(t, mn, mx, lo, hi) }.map(_._1)
       case None => readUnder(spark, path, v, files) // pre-A27: one stats
         // scan — RAW read, not readLive: input_file_name() is unusable
         // after the DV anti join, and stats over DV-dead rows merely

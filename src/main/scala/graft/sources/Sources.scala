@@ -89,15 +89,37 @@ object Sources {
     * bit arithmetic (10·N ≤ 62 bits keeps z a positive BIGINT). */
   private[graft] def zClusteredCols(
       df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft, shiftright}
+    import org.apache.spark.sql.functions.{col, conv, encode, hex, lit, max, min, rpad, shiftleft, shiftright, substring}
+    import org.apache.spark.sql.types.{DecimalType, StringType}
     require(cols.size >= 2 && cols.size <= 6,
       s"z-order takes 2..6 columns (got ${cols.size})")
-    val aggs = cols.flatMap(c =>
-      Seq(min(c).cast("long"), max(c).cast("long")))
+    // r12: STRING dimensions cluster on a PREFIX-ORDER key — the first
+    // 8 UTF-8 bytes as an unsigned big-endian integer (hex → conv),
+    // held in DECIMAL(20,0) because the unsigned range exceeds a
+    // signed long. Byte-prefix order equals Spark's UTF8String binary
+    // order, so min/max-ranging and the 1024-bucket normalization
+    // carry over unchanged; bucket math runs in decimal (exact, no
+    // long overflow on the 2^64-wide key space) and casts back to the
+    // long the Morton kernel interleaves. Numeric dimensions keep the
+    // proven long path bit-for-bit.
+    def isStr(c: String) = df.schema(c).dataType == StringType
+    def key(c: String): org.apache.spark.sql.Column =
+      if (isStr(c))
+        conv(rpad(hex(substring(encode(col(c), "UTF-8"), 1, 8)), 16, "0"),
+          16, 10).cast(DecimalType(20, 0))
+      else col(c).cast("long")
+    val aggs = cols.flatMap(c => Seq(min(key(c)), max(key(c))))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val bucketed = cols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (r.getLong(2 * i), r.getLong(2 * i + 1))
-      ((col(c).cast("long") - lo) * 1024L / (hi - lo + 1L)).cast("long")
+      if (isStr(c)) {
+        val lo = BigDecimal(r.getDecimal(2 * i))
+        val hi = BigDecimal(r.getDecimal(2 * i + 1))
+        ((key(c) - lit(lo.underlying)) * lit(1024L) /
+          lit((hi - lo + 1).underlying)).cast("long")
+      } else {
+        val (lo, hi) = (r.getLong(2 * i), r.getLong(2 * i + 1))
+        ((col(c).cast("long") - lo) * 1024L / (hi - lo + 1L)).cast("long")
+      }
     }
     val n = cols.size
     val z =

@@ -69,9 +69,15 @@ class ConnectorSpec extends GraftSuite {
     assert(scannedFiles(spark.read.format("graft").load(dir)
       .filter(col("k") <= 10L || col("k") > 90L)) == 2)
 
-    // a filter on a stats-less (string) column cannot prune
+    // r12: STRING columns carry truncated-prefix stats too — "v5" is
+    // provably outside exactly one of the four files' [min, max] byte
+    // ranges ("v51".."v75"; the others straddle it because "v5" sorts
+    // between "v1x" and "v9x" prefixes), so the equality prunes 1 file
     assert(scannedFiles(spark.read.format("graft").load(dir)
-      .filter(col("payload") === "v5")) == 4)
+      .filter(col("payload") === "v5")) == 3)
+    // a filter on a genuinely stats-less column type cannot prune
+    assert(scannedFiles(spark.read.format("graft").load(dir)
+      .filter(col("payload").startsWith("v5"))) == 4)
   }
 
   test("bloom index joins the connector's skipping stack for point queries") {
@@ -165,10 +171,12 @@ class ConnectorSpec extends GraftSuite {
     val kept = graft.sources.GraftCompatRelation.planFiles(dir, 3,
       Array(SEq("k", 5L)))
     assert(kept.size == 1, s"compat pruning kept ${kept.size} of 4 files")
-    // and pruning on the RENAMED string column's nulls/unknown keeps all
-    val keptAll = graft.sources.GraftCompatRelation.planFiles(dir, 3,
+    // r12: the RENAMED STRING column prunes through the same
+    // logical→physical mapping — its 'S' prefix stats exclude the one
+    // file whose byte range provably misses "v5"
+    val keptStr = graft.sources.GraftCompatRelation.planFiles(dir, 3,
       Array(SEq("body", "v5")))
-    assert(keptAll.size == 4)
+    assert(keptStr.size == 3, s"string stats kept ${keptStr.size} of 4 files")
   }
 
   test("write path: overwrite bootstraps/replaces, append is a keyed merge") {

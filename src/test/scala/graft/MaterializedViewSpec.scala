@@ -955,4 +955,72 @@ class MaterializedViewSpec extends GraftSuite {
       assert(qPinned.collect().toSet == wantE2)
     } finally MvRegistry.unregister(mv)
   }
+
+  test("r12 filtered MV: refresh equals a filtered recompute across " +
+      "predicate-boundary-crossing waves") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"),
+      filter = Some("o_totalprice > 150000"))
+    // rows cross the predicate in BOTH directions: some gain price
+    // (enter), some lose it (leave), some update inside, some delete
+    Snapshots.mergeVersioned(spark, base,
+      ordersDf.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 200000.0),
+      "o_orderkey")
+    Snapshots.mergeVersioned(spark, base,
+      ordersDf.filter(col("o_orderkey") % 7 === 1)
+        .withColumn("o_totalprice", lit(1.0)), "o_orderkey")
+    Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 9 === 2)
+    MaterializedView.refresh(spark, mv)
+    val want = Snapshots.read(spark, base)
+      .filter(col("o_totalprice") > 150000)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("sum_o_custkey"),
+        avg("o_custkey").as("avg_o_custkey"))
+    assertSame(MaterializedView.read(spark, mv)
+      .select("o_orderstatus", "cnt", "sum_o_custkey", "avg_o_custkey"),
+      want)
+  }
+
+  test("r12 subsumption rewrite: non-subsumed queries keep the base scan") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"),
+      filter = Some("o_totalprice > 150000"))
+    MvRegistry.register(spark, mv)
+    try {
+      def agg(df: DataFrame) = df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("s"))
+      val g = spark.read.format("graft").load(base)
+      // subsumed: equal predicate → MV serves
+      assert(!scannedGraftPaths(agg(g.filter(col("o_totalprice") > 150000)))
+        .contains(norm(base)), "equal predicate must rewrite")
+      // subsumed + residual group-col conjunct → MV serves
+      assert(!scannedGraftPaths(agg(g.filter(col("o_totalprice") > 150000 &&
+        col("o_orderstatus") === "F"))).contains(norm(base)),
+        "subsuming predicate with group-col residual must rewrite")
+      // NOT subsumed: unfiltered query — the MV is missing rows
+      assert(scannedGraftPaths(agg(g)).contains(norm(base)),
+        "unfiltered query over a filtered MV must scan the base")
+      // NOT subsumed: different literal
+      assert(scannedGraftPaths(agg(g.filter(col("o_totalprice") > 100000)))
+        .contains(norm(base)),
+        "a weaker predicate must scan the base")
+      // NOT subsumed: residual on a NON-group column
+      assert(scannedGraftPaths(agg(g.filter(col("o_totalprice") > 150000 &&
+        col("o_custkey") > 10))).contains(norm(base)),
+        "a non-group residual must scan the base")
+      // the subsumed answers match a recompute
+      val want = Snapshots.read(spark, base)
+        .filter(col("o_totalprice") > 150000)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("s"))
+      assertSame(agg(g.filter(col("o_totalprice") > 150000)), want)
+    } finally MvRegistry.unregister(mv)
+  }
 }

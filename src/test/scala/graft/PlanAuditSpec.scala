@@ -17,6 +17,10 @@ class PlanAuditSpec extends GraftSuite {
       // q_knn_ivfpq: the same E4 16-row centroid broadcast (coarse
       // quantizer); the scan join itself is equi on (cell, code)
       "q_knn_ivfpq",
+      // q_knn_ivfpq_refine (r12): shares q_knn_ivfpq's ADC core (same
+      // 16-row centroid broadcast); the refine legs are equi-joins on
+      // neighbor_id/query_id against broadcast candidate pools
+      "q_knn_ivfpq_refine",
       // q_resample: hourly-spine x event-type dims cross join (bounded
       // dimension product), broadcast against the hourly counts
       "q_resample",

@@ -152,6 +152,48 @@ class TypeWideningSpec extends GraftSuite {
     assert(df.count() == 1001)
   }
 
+  test("r12 ADD COLUMN: metadata-only, null-fill on read, time travel " +
+      "serves the old schema, duplicate refuses") {
+    import spark.implicits._
+    val p = tmp()
+    (1 to 10).map(k => (k.toLong, s"v$k")).toDF("k", "payload")
+      .write.mode("overwrite").parquet(p)
+    Snapshots.init(spark, p) // v0
+    val before = Snapshots.liveFiles(p, 0)
+    Snapshots.addColumn(spark, p, "score", DoubleType) // v1, zero movement
+    assert(Snapshots.liveFiles(p, 1) == before, "ADD COLUMN moved data")
+    val df = Snapshots.read(spark, p)
+    assert(df.schema("score").dataType == DoubleType &&
+      df.schema("score").nullable)
+    assert(df.filter(col("score").isNull).count() == 10) // null-fill (A19)
+    // post-ADD writes carry real values; old rows stay NULL
+    Snapshots.mergeVersioned(spark, p,
+      Seq((100L, "new", 0.9)).toDF("k", "payload", "score"), "k")
+    val now = Snapshots.read(spark, p)
+    assert(now.filter(col("score").isNotNull).count() == 1)
+    assert(now.count() == 11)
+    // time travel to v0 serves the OLD schema
+    assert(!Snapshots.read(spark, p, version = 0)
+      .schema.fieldNames.contains("score"))
+    intercept[IllegalArgumentException] {
+      Snapshots.addColumn(spark, p, "payload", DoubleType)
+    }
+  }
+
+  test("r12 GRAFT ADD COLUMN over SQL, parameterized type") {
+    import spark.implicits._
+    val p = tmp()
+    (1 to 5).map(k => (k.toLong, k)).toDF("k", "qty")
+      .write.mode("overwrite").parquet(p)
+    Snapshots.init(spark, p)
+    val parsed = new graft.plans.GraftSqlParser(
+      spark.sessionState.sqlParser)
+      .parsePlan(s"GRAFT ADD COLUMN price DECIMAL(10, 2) '$p'")
+    org.apache.spark.sql.GraftSqlInternals.ofRows(spark, parsed).collect()
+    assert(Snapshots.read(spark, p).schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+  }
+
   test("GRAFT WIDEN over SQL") {
     import spark.implicits._
     val p = tmp()
