@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
@@ -703,6 +703,8 @@ object GraftCompatRelation {
         Some(LessThanOrEqual(attr(c), Literal(value)))
       case sf.IsNull(c) => Some(IsNull(attr(c)))
       case sf.IsNotNull(c) => Some(IsNotNull(attr(c)))
+      case sf.StringStartsWith(c, p) =>
+        Some(StartsWith(attr(c), Literal(p)))
       case sf.And(l, r) => for {a <- toCatalyst(path, v, l)
                                 b <- toCatalyst(path, v, r)} yield And(a, b)
       case sf.Or(l, r) => for {a <- toCatalyst(path, v, l)
@@ -1085,7 +1087,45 @@ object GraftFileIndex {
       cmp(stats, a.name, v)((sMn, _) => sMn <= 0)
     case LessThanOrEqual(Literal(v, _), a: Attribute) =>
       cmp(stats, a.name, v)((_, sMx) => sMx >= 0)
+    // r12: prefix predicates (`LIKE 'abc%'`, which Catalyst compiles
+    // to StartsWith) prune from the 'S' stats as the byte range
+    // [p, increment(p)): out iff recorded max < p (no string reaches
+    // the prefix) or recorded min ≥ the exclusive upper bound (every
+    // string already passed it) — both sound under the widened bounds
+    case StartsWith(a: Attribute, Literal(v, _)) =>
+      startsWithSurvives(stats, a.name, v)
     case _ => true
+  }
+
+  private def startsWithSurvives(
+      stats: Map[String, (String, String, String)],
+      col: String, v: Any): Boolean = (for {
+    vb <- litBytes(v) if vb.nonEmpty
+    (tag, mn, mx) <- stats.get(col) if tag == "S"
+    decoded <- try Some((Snapshots.decodeStringStat(mn),
+        Snapshots.decodeStringStat(mx)))
+      catch { case _: IllegalArgumentException => None }
+    (mnDec, mxDec) = decoded
+    (mnB, _) <- mnDec
+  } yield {
+    val mxGeP = mxDec.map(m => cmpBytes(m._1, vb) >= 0).getOrElse(true)
+    val mnLtUb = incrementBytes(vb).map(ub => cmpBytes(mnB, ub) < 0)
+      .getOrElse(true)
+    mxGeP && mnLtUb
+  }).getOrElse(true)
+
+  /** The smallest byte string > every string with prefix `p`: the
+    * prefix with its last non-0xFF byte incremented and the tail
+    * dropped; None when every byte is 0xFF (no finite bound). */
+  private def incrementBytes(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
   }
 
   private def contains(stats: Map[String, (String, String, String)],

@@ -69,6 +69,25 @@ object LakehouseQueries {
     dir
   }
 
+  // r12 (the r11 verdict's item 8) — BENCH STAGING SPLIT: the heavy
+  // lake gates spend most of their wall fabricating HISTORY (staged
+  // tables, DML waves, MV full builds) before the operator under test
+  // even runs; at sf0.1 that staging is manifest/commit latency, not
+  // plan cost, and it drowned the per-query tail (19 s gates whose
+  // measured read is |MV|-rows). Gates wrap that setup in `staged{}`;
+  // Bench drains the accumulator after forcing each query and reports
+  // it as a separate `_stage_<name>` entry, so `<name>` itself is the
+  // operator's own cost, totals still sum to wall, and the ORACLE is
+  // untouched (Verify never drains — the results are bit-identical).
+  @volatile private var stagingNanos = 0L
+  private[graft] def drainStagingSeconds(): Double = {
+    val s = stagingNanos / 1e9; stagingNanos = 0L; s
+  }
+  private def staged[A](body: => A): A = {
+    val t0 = System.nanoTime()
+    try body finally { stagingNanos += System.nanoTime() - t0 }
+  }
+
   /** A22 — OPTIMIZE bin-packing preserves the live row multiset: stage
     * as 8 deliberately-small files, compact to ⌈Σ/target⌉ packed files,
     * and aggregate the post-OPTIMIZE read. The oracle sees the raw
@@ -1531,14 +1550,18 @@ object LakehouseQueries {
     */
   def qLakeDeltaLog(s: SparkSession, d: String): DataFrame = {
     val b = base(s, d).filter(col("o_orderkey") % 7 === 0)
-    val dir = stage(b, 4)
-    Snapshots.init(s, dir)
-    (1 to 12).foreach { i =>
-      val batch = b.filter(col("o_orderkey") % 37 === (i - 1))
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          (col("o_totalprice") + 100000.0 * i).as("o_totalprice"))
-      Snapshots.mergeVersioned(s, dir, batch, "o_orderkey")
+    val dir = staged {
+      val dir = stage(b, 4)
+      Snapshots.init(s, dir)
+      (1 to 12).foreach { i =>
+        val batch = b.filter(col("o_orderkey") % 37 === (i - 1))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 100000.0 * i).as("o_totalprice"))
+        Snapshots.mergeVersioned(s, dir, batch, "o_orderkey")
+      }
+      dir
     }
+    // measured: three versions read back THROUGH the delta chain
     Seq(0, 6, 12).map(v =>
       Snapshots.read(s, dir, v).select(lit(v).as("version"),
         col("o_orderkey"), round(col("o_totalprice"), 2).as("price")))
@@ -1725,23 +1748,28 @@ object LakehouseQueries {
   def qLakeMv(s: SparkSession, d: String): DataFrame = {
     val b = Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    val dir = stage(b, 4)
-    Snapshots.init(s, dir, changeDataFeed = true)
-    val mv = tempDir("graft_mv_q") + "/mv"
-    MaterializedView.create(s, mv, dir, "o_orderkey",
-      Seq("o_orderstatus"), Seq("o_custkey"))
-    Snapshots.mergeVersioned(s, dir,
-      b.filter(col("o_orderkey") % 5 === 0)
-        .withColumn("o_orderstatus", lit("M"))
-        .unionByName(b.filter(col("o_orderkey") % 7 === 1)
-          .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
-          .withColumn("o_orderstatus", lit("Q"))),
-      "o_orderkey")
-    Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 11 === 3)
-    Snapshots.appendVersioned(s, dir,
-      b.filter(col("o_orderkey") % 13 === 2)
-        .withColumn("o_orderkey", col("o_orderkey") + 80000000L)
-        .withColumn("o_orderstatus", lit("A")))
+    val mv = staged {
+      val dir = stage(b, 4)
+      Snapshots.init(s, dir, changeDataFeed = true)
+      val mv0 = tempDir("graft_mv_q") + "/mv"
+      MaterializedView.create(s, mv0, dir, "o_orderkey",
+        Seq("o_orderstatus"), Seq("o_custkey"))
+      Snapshots.mergeVersioned(s, dir,
+        b.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderstatus", lit("M"))
+          .unionByName(b.filter(col("o_orderkey") % 7 === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
+            .withColumn("o_orderstatus", lit("Q"))),
+        "o_orderkey")
+      Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 11 === 3)
+      Snapshots.appendVersioned(s, dir,
+        b.filter(col("o_orderkey") % 13 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 80000000L)
+          .withColumn("o_orderstatus", lit("A")))
+      mv0
+    }
+    // measured: the incremental refresh (the operator under test) +
+    // the |MV|-rows read
     MaterializedView.refresh(s, mv)
     MaterializedView.read(s, mv)
       .select(col("o_orderstatus"), col("cnt"),
@@ -1767,22 +1795,24 @@ object LakehouseQueries {
       timestamp_micros((col("o_orderkey") % 360) * lit(43200000000L)))
     val b = withTs(b0)
     val root = tempDir("graft_hidpt_q") + "/t"
-    HiddenPartitions.init(s, root, b, MonthTransform("ts"))
-    HiddenPartitions.merge(s, root,
-      b.filter(col("o_orderkey") % 7 === 0)
-        .withColumn("o_custkey", col("o_custkey") + 1000000L)
-        .unionByName(withTs(b0.filter(col("o_orderkey") % 11 === 3)
-          .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
-          .withColumn("o_custkey", col("o_custkey") + 5L))), "o_orderkey")
-    HiddenPartitions.evolve(root, BucketTransform("o_orderkey", 8))
-    HiddenPartitions.merge(s, root,
-      b.filter(col("o_orderkey") % 5 === 1)
-        .withColumn("o_custkey", col("o_custkey") +
-          when(col("o_orderkey") % 7 === 0, 1000000L).otherwise(0L) +
-          2000000L)
-        .unionByName(withTs(b0.filter(col("o_orderkey") % 13 === 2)
-          .withColumn("o_orderkey", col("o_orderkey") + 95000000L)
-          .withColumn("o_custkey", col("o_custkey") + 7L))), "o_orderkey")
+    staged {
+      HiddenPartitions.init(s, root, b, MonthTransform("ts"))
+      HiddenPartitions.merge(s, root,
+        b.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L)
+          .unionByName(withTs(b0.filter(col("o_orderkey") % 11 === 3)
+            .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
+            .withColumn("o_custkey", col("o_custkey") + 5L))), "o_orderkey")
+      HiddenPartitions.evolve(root, BucketTransform("o_orderkey", 8))
+      HiddenPartitions.merge(s, root,
+        b.filter(col("o_orderkey") % 5 === 1)
+          .withColumn("o_custkey", col("o_custkey") +
+            when(col("o_orderkey") % 7 === 0, 1000000L).otherwise(0L) +
+            2000000L)
+          .unionByName(withTs(b0.filter(col("o_orderkey") % 13 === 2)
+            .withColumn("o_orderkey", col("o_orderkey") + 95000000L)
+            .withColumn("o_custkey", col("o_custkey") + 7L))), "o_orderkey")
+    }
     val df = s.read.format("graft").load(root)
     val dd = date_from_unix_date(
       floor(unix_micros(col("ts")) / lit(86400000000L)).cast("int"))
@@ -1883,17 +1913,21 @@ object LakehouseQueries {
   def qLakeMvRewrite(s: SparkSession, d: String): DataFrame = {
     val b = Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    val dir = stage(b, 4)
-    Snapshots.init(s, dir, changeDataFeed = true)
-    val mv = tempDir("graft_mvrw_q") + "/mv"
-    MaterializedView.create(s, mv, dir, "o_orderkey",
-      Seq("o_orderstatus"), Seq("o_custkey"))
-    MvRegistry.register(s, mv)
-    Snapshots.mergeVersioned(s, dir,
-      b.filter(col("o_orderkey") % 6 === 0)
-        .withColumn("o_orderstatus", lit("R")), "o_orderkey")
-    Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
-    MaterializedView.refresh(s, mv)
+    val dir = staged {
+      val dir = stage(b, 4)
+      Snapshots.init(s, dir, changeDataFeed = true)
+      val mv = tempDir("graft_mvrw_q") + "/mv"
+      MaterializedView.create(s, mv, dir, "o_orderkey",
+        Seq("o_orderstatus"), Seq("o_custkey"))
+      MvRegistry.register(s, mv)
+      Snapshots.mergeVersioned(s, dir,
+        b.filter(col("o_orderkey") % 6 === 0)
+          .withColumn("o_orderstatus", lit("R")), "o_orderkey")
+      Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
+      MaterializedView.refresh(s, mv)
+      dir
+    }
+    // measured: the REWRITTEN reads (|MV|-rows regardless of scale)
     def aggOf(df: DataFrame) = df.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("cnt"),
         sum("o_custkey").as("sum_custkey"),
@@ -1944,23 +1978,27 @@ object LakehouseQueries {
   def qLakeMvFiltered(s: SparkSession, d: String): DataFrame = {
     val b = Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-    val dir = stage(b, 4)
-    Snapshots.init(s, dir, changeDataFeed = true)
-    val mv = tempDir("graft_mvf_q") + "/mv"
-    MaterializedView.create(s, mv, dir, "o_orderkey",
-      Seq("o_orderpriority"), Seq("o_custkey"),
-      filter = Some("o_orderstatus = 'F'"))
-    MvRegistry.register(s, mv)
-    // rows flip INTO and OUT OF the predicate: % 6 flips to 'F',
-    // % 10 = 1 flips everything (incl. former 'F') to 'P'
-    Snapshots.mergeVersioned(s, dir,
-      b.filter(col("o_orderkey") % 6 === 0)
-        .withColumn("o_orderstatus", lit("F")), "o_orderkey")
-    Snapshots.mergeVersioned(s, dir,
-      b.filter(col("o_orderkey") % 10 === 1)
-        .withColumn("o_orderstatus", lit("P")), "o_orderkey")
-    Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
-    MaterializedView.refresh(s, mv)
+    val dir = staged {
+      val dir = stage(b, 4)
+      Snapshots.init(s, dir, changeDataFeed = true)
+      val mv = tempDir("graft_mvf_q") + "/mv"
+      MaterializedView.create(s, mv, dir, "o_orderkey",
+        Seq("o_orderpriority"), Seq("o_custkey"),
+        filter = Some("o_orderstatus = 'F'"))
+      MvRegistry.register(s, mv)
+      // rows flip INTO and OUT OF the predicate: % 6 flips to 'F',
+      // % 10 = 1 flips everything (incl. former 'F') to 'P'
+      Snapshots.mergeVersioned(s, dir,
+        b.filter(col("o_orderkey") % 6 === 0)
+          .withColumn("o_orderstatus", lit("F")), "o_orderkey")
+      Snapshots.mergeVersioned(s, dir,
+        b.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_orderstatus", lit("P")), "o_orderkey")
+      Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
+      MaterializedView.refresh(s, mv)
+      dir
+    }
+    // measured: the SUBSUMPTION-REWRITTEN reads
     def aggOf(df: DataFrame) = df.groupBy("o_orderpriority")
       .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("sum_custkey"))
     val eq = aggOf(s.read.format("graft").load(dir)
@@ -2051,21 +2089,25 @@ object LakehouseQueries {
       "o_orderstatus")
     val r0 = Tables.customer(s, d)
       .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-    val (ldir, rdir) = (stage(l0, 4), stage(r0, 2))
-    Snapshots.init(s, ldir, changeDataFeed = true)
-    Snapshots.init(s, rdir, changeDataFeed = true)
-    val mv = tempDir("graft_mvj_q") + "/mv"
-    MaterializedView.createJoin(s, mv, ldir, "o_orderkey", rdir,
-      "o_custkey", "o_custkey", Seq("c_mktsegment"), Seq("o_orderkey"))
-    Snapshots.mergeVersioned(s, ldir,
-      l0.filter(col("o_orderkey") % 7 === 0)
-        .withColumn("o_custkey", col("o_custkey") + 1L), "o_orderkey")
-    Snapshots.deleteVersioned(s, ldir, col("o_orderkey") % 13 === 1)
-    Snapshots.mergeVersioned(s, rdir,
-      Tables.customer(s, d).filter(col("c_custkey") % 5 === 2)
-        .select(col("c_custkey").as("o_custkey"),
-          lit("MOVED").as("c_mktsegment")), "o_custkey")
-    Snapshots.deleteVersioned(s, rdir, col("o_custkey") % 17 === 3)
+    val mv = staged {
+      val (ldir, rdir) = (stage(l0, 4), stage(r0, 2))
+      Snapshots.init(s, ldir, changeDataFeed = true)
+      Snapshots.init(s, rdir, changeDataFeed = true)
+      val mv0 = tempDir("graft_mvj_q") + "/mv"
+      MaterializedView.createJoin(s, mv0, ldir, "o_orderkey", rdir,
+        "o_custkey", "o_custkey", Seq("c_mktsegment"), Seq("o_orderkey"))
+      Snapshots.mergeVersioned(s, ldir,
+        l0.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1L), "o_orderkey")
+      Snapshots.deleteVersioned(s, ldir, col("o_orderkey") % 13 === 1)
+      Snapshots.mergeVersioned(s, rdir,
+        Tables.customer(s, d).filter(col("c_custkey") % 5 === 2)
+          .select(col("c_custkey").as("o_custkey"),
+            lit("MOVED").as("c_mktsegment")), "o_custkey")
+      Snapshots.deleteVersioned(s, rdir, col("o_custkey") % 17 === 3)
+      mv0
+    }
+    // measured: the incremental JOIN refresh + the |MV|-rows read
     MaterializedView.refreshJoin(s, mv)
     MaterializedView.read(s, mv)
       .select(col("c_mktsegment"), col("cnt"),
@@ -2106,23 +2148,27 @@ object LakehouseQueries {
       "o_orderstatus")
     val r0 = Tables.customer(s, d)
       .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-    val (ldir, rdir) = (stage(l0, 4), stage(r0, 2))
-    Snapshots.init(s, ldir, changeDataFeed = true)
-    Snapshots.init(s, rdir, changeDataFeed = true)
-    val mv = tempDir("graft_mvjrw_q") + "/mv"
-    MaterializedView.createJoin(s, mv, ldir, "o_orderkey", rdir,
-      "o_custkey", "o_custkey", Seq("c_mktsegment"), Seq("o_orderkey"))
-    MvRegistry.register(s, mv)
-    Snapshots.mergeVersioned(s, ldir,
-      l0.filter(col("o_orderkey") % 7 === 0)
-        .withColumn("o_custkey", col("o_custkey") + 1L), "o_orderkey")
-    Snapshots.deleteVersioned(s, ldir, col("o_orderkey") % 13 === 1)
-    Snapshots.mergeVersioned(s, rdir,
-      Tables.customer(s, d).filter(col("c_custkey") % 5 === 2)
-        .select(col("c_custkey").as("o_custkey"),
-          lit("MOVED").as("c_mktsegment")), "o_custkey")
-    Snapshots.deleteVersioned(s, rdir, col("o_custkey") % 17 === 3)
-    MaterializedView.refreshJoin(s, mv)
+    val (ldir, rdir) = staged {
+      val (ldir, rdir) = (stage(l0, 4), stage(r0, 2))
+      Snapshots.init(s, ldir, changeDataFeed = true)
+      Snapshots.init(s, rdir, changeDataFeed = true)
+      val mv = tempDir("graft_mvjrw_q") + "/mv"
+      MaterializedView.createJoin(s, mv, ldir, "o_orderkey", rdir,
+        "o_custkey", "o_custkey", Seq("c_mktsegment"), Seq("o_orderkey"))
+      MvRegistry.register(s, mv)
+      Snapshots.mergeVersioned(s, ldir,
+        l0.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1L), "o_orderkey")
+      Snapshots.deleteVersioned(s, ldir, col("o_orderkey") % 13 === 1)
+      Snapshots.mergeVersioned(s, rdir,
+        Tables.customer(s, d).filter(col("c_custkey") % 5 === 2)
+          .select(col("c_custkey").as("o_custkey"),
+            lit("MOVED").as("c_mktsegment")), "o_custkey")
+      Snapshots.deleteVersioned(s, rdir, col("o_custkey") % 17 === 3)
+      MaterializedView.refreshJoin(s, mv)
+      (ldir, rdir)
+    }
+    // measured: the REWRITTEN reads (|MV|-rows regardless of scale)
     def joined = s.read.format("graft").load(ldir)
       .join(s.read.format("graft").load(rdir), Seq("o_custkey"))
     def aggOf(df: DataFrame) = df.groupBy("c_mktsegment")
@@ -2189,20 +2235,24 @@ object LakehouseQueries {
   def qLakeMvMinMax(s: SparkSession, d: String): DataFrame = {
     val b = Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    val dir = stage(b, 4)
-    Snapshots.init(s, dir, changeDataFeed = true)
-    val mv = tempDir("graft_mvmm_q") + "/mv"
-    MaterializedView.create(s, mv, dir, "o_orderkey",
-      Seq("o_orderstatus"), Seq("o_custkey"), Seq("o_totalprice"))
-    MvRegistry.register(s, mv)
-    Snapshots.mergeVersioned(s, dir,
-      b.filter(col("o_orderkey") % 6 === 0)
-        .withColumn("o_orderstatus", lit("R")), "o_orderkey")
-    // the extremum killer: every group whose max is above the cut
-    // recomputes group-scoped from the base (never a full rescan)
-    Snapshots.deleteVersioned(s, dir, col("o_totalprice") > 400000.0)
-    Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
-    MaterializedView.refresh(s, mv)
+    val dir = staged {
+      val dir = stage(b, 4)
+      Snapshots.init(s, dir, changeDataFeed = true)
+      val mv = tempDir("graft_mvmm_q") + "/mv"
+      MaterializedView.create(s, mv, dir, "o_orderkey",
+        Seq("o_orderstatus"), Seq("o_custkey"), Seq("o_totalprice"))
+      MvRegistry.register(s, mv)
+      Snapshots.mergeVersioned(s, dir,
+        b.filter(col("o_orderkey") % 6 === 0)
+          .withColumn("o_orderstatus", lit("R")), "o_orderkey")
+      // the extremum killer: every group whose max is above the cut
+      // recomputes group-scoped from the base (never a full rescan)
+      Snapshots.deleteVersioned(s, dir, col("o_totalprice") > 400000.0)
+      Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
+      MaterializedView.refresh(s, mv)
+      dir
+    }
+    // measured: the min/max-serving rewritten read
     val q = s.read.format("graft").load(dir).groupBy("o_orderstatus")
       .agg(count(lit(1)).as("cnt"),
         sum("o_custkey").as("sum_custkey"),
@@ -2241,39 +2291,43 @@ object LakehouseQueries {
   def qLakeMvStream(s: SparkSession, d: String): DataFrame = {
     val b = Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_orderstatus")
-    val dir = stage(b, 4)
-    Snapshots.init(s, dir, changeDataFeed = true)
-    val mv = tempDir("graft_mvst_q") + "/mv"
-    MaterializedView.create(s, mv, dir, "o_orderkey",
-      Seq("o_orderstatus"), Seq("o_custkey"))
-    val refreshQs = MaterializedView.continuousRefresh(s, mv,
-      tempDir("graft_mvst_rck"))
-    val spool = tempDir("graft_mvst_spool")
-    val upsert = s.readStream.schema(Snapshots.read(s, dir).schema)
-      .parquet(spool)
-      .writeStream.format("graft")
-      .option("keyCol", "o_orderkey")
-      .option("checkpointLocation", tempDir("graft_mvst_uck"))
-      .start(dir)
-    try {
-      // wave 1 through the SINK: group moves + fresh inserts
-      b.filter(col("o_orderkey") % 6 === 0)
-        .withColumn("o_orderstatus", lit("S"))
-        .unionByName(b.filter(col("o_orderkey") % 11 === 5)
-          .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
-          .withColumn("o_orderstatus", lit("Z")))
-        .write.mode("append").parquet(spool)
-      upsert.processAllAvailable()
-      // a batch delete between stream batches (deletes aren't upserts)
-      Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
-      // wave 2 through the sink: custkey moves that also REVIVE keys
-      // the delete just killed (upsert = insert-if-absent)
-      b.filter(col("o_orderkey") % 13 === 2)
-        .withColumn("o_custkey", col("o_custkey") + 1000000L)
-        .write.mode("append").parquet(spool)
-      upsert.processAllAvailable()
-      refreshQs.foreach(_.processAllAvailable())
-    } finally { upsert.stop(); refreshQs.foreach(_.stop()) }
+    val (dir, mv) = staged {
+      val dir = stage(b, 4)
+      Snapshots.init(s, dir, changeDataFeed = true)
+      val mv = tempDir("graft_mvst_q") + "/mv"
+      MaterializedView.create(s, mv, dir, "o_orderkey",
+        Seq("o_orderstatus"), Seq("o_custkey"))
+      val refreshQs = MaterializedView.continuousRefresh(s, mv,
+        tempDir("graft_mvst_rck"))
+      val spool = tempDir("graft_mvst_spool")
+      val upsert = s.readStream.schema(Snapshots.read(s, dir).schema)
+        .parquet(spool)
+        .writeStream.format("graft")
+        .option("keyCol", "o_orderkey")
+        .option("checkpointLocation", tempDir("graft_mvst_uck"))
+        .start(dir)
+      try {
+        // wave 1 through the SINK: group moves + fresh inserts
+        b.filter(col("o_orderkey") % 6 === 0)
+          .withColumn("o_orderstatus", lit("S"))
+          .unionByName(b.filter(col("o_orderkey") % 11 === 5)
+            .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
+            .withColumn("o_orderstatus", lit("Z")))
+          .write.mode("append").parquet(spool)
+        upsert.processAllAvailable()
+        // a batch delete between stream batches (deletes aren't upserts)
+        Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 9 === 4)
+        // wave 2 through the sink: custkey moves that also REVIVE keys
+        // the delete just killed (upsert = insert-if-absent)
+        b.filter(col("o_orderkey") % 13 === 2)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L)
+          .write.mode("append").parquet(spool)
+        upsert.processAllAvailable()
+        refreshQs.foreach(_.processAllAvailable())
+      } finally { upsert.stop(); refreshQs.foreach(_.stop()) }
+      (dir, mv)
+    }
+    // measured: the final |MV|-rows read + the caught-up verdict
     val caughtUp = MaterializedView.consumedVersion(mv) ==
       Snapshots.currentVersion(dir)
     MaterializedView.read(s, mv)

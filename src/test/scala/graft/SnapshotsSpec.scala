@@ -1408,24 +1408,28 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.readPointLookup(spark, dir, "w", wVal).count() == wn)
   }
 
-  test("bloom index refuses non-integral and missing columns up front") {
+  test("bloom index refuses unkeyable and missing columns up front; " +
+      "strings index hashed (r12)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bloom_badcol").toString + "/t"
     Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("k", "s", "d")
       .write.parquet(dir)
     Snapshots.init(spark, dir)
-    // a string column would cast("long") to all-nulls: the property
-    // would commit with an empty index and every later point lookup
+    // a double column has no stable integral key form: the property
+    // would commit with a useless index and every later point lookup
     // silently degrades to a full scan — refuse instead
-    intercept[IllegalArgumentException] {
-      Snapshots.addBloomIndex(spark, dir, "s") }
     intercept[IllegalArgumentException] {
       Snapshots.addBloomIndex(spark, dir, "d") }
     intercept[IllegalArgumentException] {
       Snapshots.addBloomIndex(spark, dir, "nope") }
-    // and the refusals committed nothing
+    // the refusals committed nothing
     assert(Snapshots.currentVersion(dir) == 0)
     assert(Snapshots.bloomColsOf(dir, 0).isEmpty)
+    // r12: STRING columns index the xxhash64 of the value
+    val v1 = Snapshots.addBloomIndex(spark, dir, "s")
+    assert(v1 == 1 && Snapshots.bloomColsOf(dir, 1).map(_._1) == Seq("s"))
+    assert(Snapshots.readPointLookup(spark, dir, "s", "a").count() == 1)
+    assert(Snapshots.readPointLookup(spark, dir, "s", "zz").count() == 0)
   }
 
   test("vacuum dry run plans without touching; time-based retention uses commit timestamps") {

@@ -134,6 +134,14 @@ class TypedStatsSpec extends GraftSuite {
       .filter(col("s") >= "zz").count() == 0)
     assert(scannedFiles(spark.read.format("graft").load(dir)
       .filter(col("s") >= "zz")) == 0)
+    // r12: LIKE 'mike%' (StartsWith) prunes to the one prefix slice
+    assert(scannedFiles(spark.read.format("graft").load(dir)
+      .filter(col("s").startsWith("mike"))) == 1)
+    assert(spark.read.format("graft").load(dir)
+      .filter(col("s").startsWith("mike")).count() == 30)
+    // a prefix matching the TRUNCATED slice still finds every row
+    assert(spark.read.format("graft").load(dir)
+      .filter(col("s").startsWith("zulu-")).count() == 30)
   }
 
   test("metadata-only min/max/count of timestamp answers with a file gone") {
