@@ -475,11 +475,154 @@ object Multimodal {
       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 12""".stripMargin
 
+  case class MediaSegments(
+      doc_id: Long, n_windows: Long, n_active: Long,
+      n_segments: Long, longest_seg: Long)
+
+  /** G6 — ENERGY-WINDOW SEGMENTATION (the VAD / scene-cut shape): the
+    * decoded sample stream is cut into fixed windows (16 samples, the
+    * trailing partial window scored over its own length), each window
+    * scores mean amplitude |s − 128| (distance from the unsigned-PCM /
+    * mid-gray center), and a window is ACTIVE when its mean clears
+    * τ = 40. Segments are maximal runs of active windows — audio VAD,
+    * silence trimming, video scene detection, and blank-media triage
+    * are all this operator with a different kernel behind the seam.
+    * Batched per partition like G2: narrow, zero shuffle, one row out
+    * per doc — at 100 TB cost is exactly one pass over the media
+    * bytes. Undecodable/empty payloads drop (the row-level skip).
+    */
+  def segmentMedia(media: Dataset[MediaRow], window: Int = 16,
+      tau: Double = 40.0,
+      kernel: MediaKernel = IdentityKernel): Dataset[MediaSegments] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        kernel.decode(r.payload).filter(_.nonEmpty).map { sample =>
+          val nW = (sample.length + window - 1) / window
+          var w = 0
+          var nActive = 0L; var nSeg = 0L; var longest = 0L; var run = 0L
+          while (w < nW) {
+            val from = w * window
+            val to = math.min(from + window, sample.length)
+            var sum = 0L
+            var i = from
+            while (i < to) { sum += math.abs((sample(i) & 0xff) - 128); i += 1 }
+            if (sum.toDouble / (to - from) >= tau) {
+              nActive += 1
+              run += 1
+              if (run == 1) nSeg += 1
+              if (run > longest) longest = run
+            } else run = 0
+            w += 1
+          }
+          MediaSegments(r.doc_id, nW.toLong, nActive, nSeg, longest)
+        }
+      }
+    }
+  }
+
+  def qMediaSegments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    segmentMedia(withPayload(Tables.documents(s, d))
+      .select(col("doc_id"), col("payload")).as[MediaRow]).toDF()
+  }
+
+  /** Full oracle: byte expansion via hex, per-window mean amplitude,
+    * gaps-and-islands over the active windows. */
+  val qMediaSegmentsSql: String =
+    """WITH bytes AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n, i,
+      |    CAST(('0x' || substr(hx, CAST(2*i - 1 AS BIGINT), 2)) AS INT) AS byte
+      |  FROM bytes, unnest(range(1, n + 1)) AS t(i)),
+      |w AS (
+      |  SELECT doc_id, CAST((i - 1) // 16 AS BIGINT) AS wnd,
+      |    CASE WHEN sum(abs(byte - 128))::DOUBLE / count(*) >= 40
+      |         THEN 1 ELSE 0 END AS active
+      |  FROM b GROUP BY doc_id, (i - 1) // 16),
+      |isl AS (
+      |  SELECT doc_id, wnd, active,
+      |    wnd - row_number() OVER (PARTITION BY doc_id, active ORDER BY wnd) AS grp
+      |  FROM w),
+      |seg AS (
+      |  SELECT doc_id, count(*) AS seg_len
+      |  FROM isl WHERE active = 1 GROUP BY doc_id, grp),
+      |base AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |    CAST(sum(active) AS BIGINT) AS n_active
+      |  FROM w GROUP BY doc_id),
+      |segs AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+      |    CAST(max(seg_len) AS BIGINT) AS longest_seg
+      |  FROM seg GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_windows, b.n_active,
+      |  coalesce(s.n_segments, 0) AS n_segments,
+      |  coalesce(s.longest_seg, 0) AS longest_seg
+      |FROM base b LEFT JOIN segs s USING (doc_id)""".stripMargin
+
+  /** G7 — CROSS-MODAL RETRIEVAL (the CLIP-serving shape: query with
+    * one modality, filter and return through the other): vectors live
+    * in `embeddings`, document metadata in `documents`, joined by id.
+    * For each query vector the exact top-3 cosine neighbors among
+    * vectors whose DOCUMENT is English, each hit carrying the
+    * neighbor's metadata (lang, source). The filter is a JOIN, not a
+    * vector-table column — the realistic 100 TB layout (vectors and
+    * metadata evolve independently): filter the metadata side,
+    * BROADCAST it into the vector scan (a semi-join that prunes the
+    * corpus before any distance math), then one E1 broadcast-query
+    * pass — no shuffle proportional to corpus size anywhere.
+    */
+  def qCrossmodal(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.vec_cosine
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val filtered = emb.join(broadcast(docs.filter(col("lang") === "en")),
+        emb("vec_id") === docs("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("lang"), col("source"))
+    val queries = emb.filter(col("vec_id") < 12)
+    val scored = filtered.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        (round(vec_cosine(col("q.embedding"), col("c.embedding")), 4) + lit(0.0))
+          .as("cos_sim"),
+        col("c.lang").as("lang"), col("c.source").as("source"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  val qCrossmodalSql: String =
+    """WITH n AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |en AS (
+      |  SELECT n.vec_id, n.embedding, n.nrm, d.lang, d.source
+      |  FROM n JOIN documents d ON n.vec_id = d.doc_id
+      |  WHERE d.lang = 'en'),
+      |q AS (SELECT vec_id, embedding, nrm FROM n WHERE vec_id < 12),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) + 0.0 AS cos_sim,
+      |    c.lang, c.source
+      |  FROM q JOIN en c ON q.vec_id <> c.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos_sim, lang, source,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, lang, source, rank
+      |FROM r WHERE rank <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_feat" -> qMultimodalFeat,
     "q_media_resize" -> qMediaResize,
     "q_frame_sample" -> qFrameSample,
+    "q_media_segments" -> qMediaSegments,
+    "q_crossmodal" -> qCrossmodal,
     "q_phash_dup" -> ((s, d) => qPhashDup(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -487,5 +630,7 @@ object Multimodal {
     "q_multimodal_feat" -> qMultimodalFeatSql,
     "q_media_resize" -> qMediaResizeSql,
     "q_frame_sample" -> qFrameSampleSql,
+    "q_media_segments" -> qMediaSegmentsSql,
+    "q_crossmodal" -> qCrossmodalSql,
     "q_phash_dup" -> qPhashDupSql)
 }

@@ -216,8 +216,12 @@ object Similarity {
     * maxSim are excluded BEFORE ranking (default 1.1 = no cap). This
     * is the hard-negative-mining knob — see [[qHardNegatives]]. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, nprobe: Int = 4, maxSim: Double = 1.1): DataFrame = {
-    val centroids = corpus.filter(col("vec_id") < cells)
+      cells: Int = 16, nprobe: Int = 4, maxSim: Double = 1.1,
+      centroidsFrom: Option[DataFrame] = None): DataFrame = {
+    // E18 passes a FILTERED corpus with the quantizer still trained on
+    // the full one (an index is built once, filtered per query)
+    val centroids = centroidsFrom.getOrElse(corpus)
+      .filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val scoredCells = (df: DataFrame) => df
       .crossJoin(broadcast(centroids))
@@ -282,6 +286,90 @@ object Similarity {
       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
       |  FROM scored)
       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** E18 — FILTERED ANN (metadata-predicate vector search — the
+    * production serving shape: "nearest docs WHERE tenant/lang/label =
+    * …"): top-k among CORPUS rows satisfying a row predicate, queries
+    * unrestricted. Two strategies, tagged in the output:
+    *
+    *  - `pre`: filter-then-exact — the predicate pushes into the
+    *    corpus scan (file/partition pruning applies), survivors stream
+    *    ONCE against the broadcast query set. Right when the predicate
+    *    is selective: cost ∝ survivors, recall exact by construction.
+    *  - `ivf`: the E4 IVF index probed with the predicate applied to
+    *    the POSTING LISTS and nprobe WIDENED (8 vs E4's 4) — the
+    *    filtered-search rule of thumb (FAISS `IndexIVF` + selector):
+    *    filtering thins every cell, so equal recall needs more cells
+    *    probed. The quantizer stays the FULL-corpus one — an index is
+    *    built once and filtered per query, never re-trained per
+    *    predicate. Right when survivors are still corpus-sized.
+    *
+    * At 100 TB neither path materializes an unfiltered candidate set:
+    * `pre` is a pruned scan + broadcast pass; `ivf` keeps E4's
+    * cell-routed join with the filter folded BEFORE cell assignment
+    * (per-row argmax is independent, so filtering first loses
+    * nothing and costs ∝ survivors).
+    */
+  def qKnnFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    val queries = e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+    val survivors = e.filter(col("label") === 1).select("vec_id", "embedding")
+    val pre = bruteForceKnn(survivors, queries, 5)
+      .withColumn("strategy", lit("pre"))
+    val ivf = ivfKnn(survivors, queries, 5, nprobe = 8,
+        centroidsFrom = Some(e.select("vec_id", "embedding")))
+      .withColumn("strategy", lit("ivf"))
+    pre.unionByName(ivf)
+  }
+
+  /** DuckDB replay of [[qKnnFiltered]]: same filtered corpus, same
+    * full-corpus quantizer, same widened probe, same exact ranks. */
+  val qKnnFilteredSql: String =
+    """WITH n AS (SELECT vec_id, embedding, label,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, embedding, nrm FROM n WHERE vec_id < 20),
+      |surv AS (SELECT vec_id, embedding, nrm FROM n WHERE label = 1),
+      |pre AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) + 0.0 AS cos_sim
+      |  FROM q JOIN surv c ON q.vec_id <> c.vec_id),
+      |pre_r AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM pre),
+      |cent AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      (list_sum(list_transform(range(1, len(v.embedding) + 1),
+      |        i -> v.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (v.nrm * c.cnrm)) DESC,
+      |      c.cid ASC) AS crn
+      |  FROM surv v CROSS JOIN cent c),
+      |corpus AS (SELECT vec_id, embedding, nrm, cid FROM asg WHERE crn = 1),
+      |qasg AS (
+      |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      (list_sum(list_transform(range(1, len(v.embedding) + 1),
+      |        i -> v.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)) / (v.nrm * c.cnrm)) DESC,
+      |      c.cid ASC) AS crn
+      |  FROM q v CROSS JOIN cent c),
+      |probes AS (SELECT vec_id, embedding, nrm, cid FROM qasg WHERE crn <= 8),
+      |scored AS (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(1, len(p.embedding) + 1),
+      |      i -> p.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (p.nrm * c.nrm), 4) + 0.0 AS cos_sim
+      |  FROM probes p JOIN corpus c ON p.cid = c.cid AND p.vec_id <> c.vec_id),
+      |ivf_r AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rank, 'pre' AS strategy
+      |FROM pre_r WHERE rank <= 5
+      |UNION ALL
+      |SELECT query_id, neighbor_id, cos_sim, rank, 'ivf'
+      |FROM ivf_r WHERE rank <= 5""".stripMargin
 
   /** E11 — hard-negative mining (contrastive-training data prep): for
     * each query vector, the top-k NEAREST neighbors whose similarity
@@ -1090,6 +1178,7 @@ object Similarity {
     "q_knn_brute" -> qKnnBrute,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_ivf" -> qKnnIvf,
+    "q_knn_filtered" -> qKnnFiltered,
     "q_hard_negatives" -> qHardNegatives,
     "q_embed_centroid" -> qEmbedCentroid,
     "q_embed_health" -> qEmbedHealth)
@@ -1106,6 +1195,7 @@ object Similarity {
     "q_knn_brute" -> qKnnBruteSql,
     "q_knn_lsh" -> qKnnLshSql,
     "q_knn_ivf" -> qKnnIvfSql,
+    "q_knn_filtered" -> qKnnFilteredSql,
     "q_ivf_index" -> qIvfIndexSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_embed_centroid" -> qEmbedCentroidSql,

@@ -313,7 +313,121 @@ object TrainPrep {
       |    AS rank
       |FROM scored ORDER BY logweight DESC, doc_id LIMIT 100""".stripMargin
 
+  /** F36 — END-TO-END CURATION FUNNEL (the F-family capstone): raw
+    * corpus → training-ready set in one pipeline, composed entirely
+    * from the family's own oracled gates — the F6 content-addressed
+    * split (train buckets), the F2 quality gate, the F3 langid gate
+    * (English), F4-fingerprint EXACT DEDUP (min doc_id survives), and
+    * F15 8-gram decontamination against the holdout split. The
+    * artifact is the funnel report every dataset card publishes:
+    * per-stage surviving doc/token counts plus the final stage per
+    * source.
+    *
+    * Scale shape: every per-doc gate (split/quality/lang) is a flag in
+    * ONE projection over one scan; dedup adds the pipeline's only
+    * shuffle (argmin per fingerprint, map-side combinable); decontam
+    * is a broadcast semi-join against the eval-sized holdout gram set.
+    * Nothing rescans the corpus per stage — the funnel counts are
+    * conditional aggregates over the same narrow plan.
+    */
+  def qCuration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val flagged = docs
+      .selectExpr("doc_id", "source", "text", s"$wordsExpr AS w",
+        s"${TextAnalysis.bucketExpr} AS bucket")
+      .selectExpr("doc_id", "source", "text",
+        "CAST(size(w) AS BIGINT) AS n_tokens",
+        "bucket < 216 AS in_train",
+        s"(${TextAnalysis.qualityOkExpr("w")}) AS q_ok",
+        "CAST(size(filter(w, x -> x IN ('the','a','is','and','of'))) AS BIGINT) AS en_hits",
+        "CAST(size(filter(w, x -> x IN ('el','la','los','es','y'))) AS BIGINT) AS es_hits",
+        "CAST(size(filter(w, x -> x IN ('le','la','les','est','et'))) AS BIGINT) AS fr_hits",
+        "CAST(size(filter(w, x -> x IN ('der','die','das','ist','und'))) AS BIGINT) AS de_hits")
+      .selectExpr("doc_id", "source", "text", "n_tokens", "in_train", "q_ok",
+        "(NOT (en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0) " +
+          "AND en_hits >= es_hits AND en_hits >= fr_hits " +
+          "AND en_hits >= de_hits) AS is_en")
+    val s1 = flagged.filter(col("in_train"))
+    val s2 = s1.filter(col("q_ok"))
+    val s3 = s2.filter(col("is_en"))
+      .withColumn("fp",
+        expr("md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')))"))
+    val reps = s3.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val s4 = s3.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
+    val holdout = docs
+      .selectExpr("doc_id", "text", s"${TextAnalysis.bucketExpr} AS bucket")
+      .filter(col("bucket") >= 216).select("doc_id", "text")
+    val bad = Decontam.contaminatedIds(s4.select("doc_id", "text"), holdout)
+    val s5 = s4.join(bad, Seq("doc_id"), "left_anti")
+    def funnel(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), lit("all").as("src"),
+          col("n_docs"), col("n_tokens"))
+    funnel(s1, "split")
+      .unionByName(funnel(s2, "quality"))
+      .unionByName(funnel(s3, "lang"))
+      .unionByName(funnel(s4, "dedup"))
+      .unionByName(funnel(s5, "clean"))
+      .unionByName(s5.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .select(lit("clean_src").as("stage"), col("source").as("src"),
+          col("n_docs"), col("n_tokens")))
+  }
+
+  /** Full funnel replay: the same gates CTE by CTE. */
+  val qCurationSql: String = {
+    val gram = (1 to 8).map(i => s"w[i+$i]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, source, text,
+       |  CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 2)) AS BIGINT) AS bucket,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |f AS (SELECT doc_id, source, text, w,
+       |  CAST(len(w) AS BIGINT) AS n_tokens, bucket,
+       |  bucket < 216 AS in_train,
+       |  (len(w) >= 5 AND len(w) <= 10000 AND
+       |   len(list_filter(w, x -> list_contains(['a','the','of','and','in','to','is'], x)))::DOUBLE
+       |     / nullif(len(w), 0) > 0.01) AS q_ok,
+       |  len(list_filter(w, x -> list_contains(['the','a','is','and','of'], x))) AS en_hits,
+       |  len(list_filter(w, x -> list_contains(['el','la','los','es','y'], x))) AS es_hits,
+       |  len(list_filter(w, x -> list_contains(['le','la','les','est','et'], x))) AS fr_hits,
+       |  len(list_filter(w, x -> list_contains(['der','die','das','ist','und'], x))) AS de_hits
+       |  FROM t),
+       |l AS (SELECT *, (NOT (en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0)
+       |  AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits) AS is_en
+       |  FROM f),
+       |s1 AS (SELECT * FROM l WHERE in_train),
+       |s2 AS (SELECT * FROM s1 WHERE q_ok),
+       |s3 AS (SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+       |  FROM s2 WHERE is_en),
+       |s4 AS (SELECT * FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS rep FROM s3)
+       |  WHERE doc_id = rep),
+       |g AS (SELECT DISTINCT doc_id,
+       |  CAST(('0x' || substr(md5($gram), 1, 15)) AS BIGINT) AS h
+       |  FROM s4, unnest(range(0, greatest(len(w) - 7, 0))) AS tt(i)),
+       |hg AS (SELECT DISTINCT
+       |  CAST(('0x' || substr(md5($gram), 1, 15)) AS BIGINT) AS h
+       |  FROM t, unnest(range(0, greatest(len(w) - 7, 0))) AS tt(i)
+       |  WHERE bucket >= 216),
+       |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN hg USING (h)),
+       |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+       |SELECT 'split' AS stage, 'all' AS src, count(*) AS n_docs,
+       |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM s1
+       |UNION ALL SELECT 'quality', 'all', count(*),
+       |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s2
+       |UNION ALL SELECT 'lang', 'all', count(*),
+       |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s3
+       |UNION ALL SELECT 'dedup', 'all', count(*),
+       |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s4
+       |UNION ALL SELECT 'clean', 'all', count(*),
+       |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s5
+       |UNION ALL SELECT 'clean_src', source, count(*),
+       |  CAST(sum(n_tokens) AS BIGINT) FROM s5 GROUP BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation" -> ((s, d) => qCuration(s, d)),
     "q_dsir_select" -> ((s, d) => qDsirSelect(s, d)),
     "q_mixture" -> ((s, d) => qMixture(s, d)),
     "q_pack" -> ((s, d) => qPack(s, d)),
@@ -323,6 +437,7 @@ object TrainPrep {
     "q_epoch_shuffle" -> ((s, d) => qEpochShuffle(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_curation" -> qCurationSql,
     "q_dsir_select" -> qDsirSelectSql,
     "q_mixture" -> qMixtureSql,
     "q_pack" -> qPackSql,

@@ -37,6 +37,8 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT ADD CONSTRAINT <name> '<path>' CHECK (<expr>)   -- A34
   *   GRAFT DROP CONSTRAINT <name> '<path>'
   *   GRAFT UPDATE '<path>' SET <c> = <expr> [, …] WHERE <pred>  -- A35
+  *   GRAFT UPDATE MOR '<path>' SET … WHERE …  -- A71 merge-on-read:
+  *     DV-mark + append, zero file rewrites
   *   GRAFT ADD BLOOM INDEX <col> '<path>'              -- A41 skipping
   *   GRAFT REINDEX BLOOM '<path>'
   *   GRAFT TAG <name> '<path>' [AT VERSION <n>]            -- A37 refs
@@ -60,6 +62,10 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT WIDEN '<path>' COLUMN <col> TO <type>  -- A59 metadata-only
   *   GRAFT ADD COLUMN <col> <type> '<path>'  -- r12 metadata-only;
   *     existing rows read NULL (A19), time travel serves the old schema
+  *   GRAFT RENAME COLUMN <from> TO <to> '<path>'  -- r12 metadata-only
+  *     via the A24 physical-name mapping; zero files move
+  *   GRAFT DROP COLUMN <col> '<path>'  -- r12 metadata-only; bytes stay
+  *     for time travel, the head schema loses the field
   *   GRAFT REGISTER MATERIALIZED VIEW '<mv>'    -- A58 rewrite opt-in
   *   GRAFT UNREGISTER MATERIALIZED VIEW '<mv>'
   *   GRAFT BEGIN TRANSACTION '<id>' AT '<coord>' ON ('<t1>', '<t2>')
@@ -109,6 +115,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s => Snapshots.addConstraint(s, p, n, e).toLong)
       case DropCons(n, p) => LakeMaintenanceCommand("version",
         _ => Snapshots.dropConstraint(p, n).toLong)
+      case UpdateMor(p, setClause, pred) =>
+        val assigns = splitAssignments(setClause).map { a =>
+          a.split("=", 2) match {
+            case Array(n, e) if n.trim.matches("\\w+") && e.trim.nonEmpty =>
+              (n.trim, e.trim)
+            case _ => throw new org.apache.spark.sql.catalyst.parser.ParseException(
+              Option(sqlText), org.apache.spark.sql.catalyst.trees.Origin(),
+              "PARSE_SYNTAX_ERROR",
+              Map("error" -> s"malformed SET assignment '$a'",
+                "hint" -> "expected <column> = <expression>"))
+          }
+        }
+        LakeMaintenanceCommand("version", s =>
+          Snapshots.updateVersionedDV(s, p,
+            org.apache.spark.sql.functions.expr(pred),
+            assigns.map { case (n, e) =>
+              n -> org.apache.spark.sql.functions.expr(e) }).toLong)
       case Update(p, setClause, pred) =>
         // assignments parse NOW (a malformed SET fails at parse time,
         // like any SQL); expression COLUMNS build at run time via the
@@ -191,6 +214,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Snapshots.addColumn(s, p, c,
           org.apache.spark.sql.catalyst.parser.CatalystSqlParser
             .parseDataType(t.trim)).toLong)
+      case RenameColumn(from, to, p) => LakeMaintenanceCommand("version",
+        s => Snapshots.renameColumn(s, p, from, to).toLong)
+      case DropColumn(c, p) => LakeMaintenanceCommand("version",
+        s => Snapshots.dropColumn(s, p, c).toLong)
       case MvRegister(mv) => LakeMaintenanceCommand("registered", s =>
         { graft.sources.MvRegistry.register(s, mv); 1L })
       case MvUnregister(mv) => LakeMaintenanceCommand("unregistered", _ =>
@@ -275,6 +302,9 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+DROP\s+CONSTRAINT\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
   private val Update =
     """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  // r12 (A71): merge-on-read UPDATE — DV-mark + append, no file rewrite
+  private val UpdateMor =
+    """(?is)\s*GRAFT\s+UPDATE\s+MOR\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val AddBloom =
     """(?is)\s*GRAFT\s+ADD\s+BLOOM\s+INDEX\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
   private val ReindexBloom =
@@ -305,6 +335,11 @@ object GraftSqlParser {
   // broader than \w+ and hands the text to CatalystSqlParser
   private val AddColumn =
     """(?is)\s*GRAFT\s+ADD\s+COLUMN\s+(\w+)\s+([\w()\s,]+?)\s+'([^']+)'\s*;?\s*""".r
+  // r12: the other two metadata-only evolution verbs (A24 machinery)
+  private val RenameColumn =
+    """(?is)\s*GRAFT\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
+  private val DropColumn =
+    """(?is)\s*GRAFT\s+DROP\s+COLUMN\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
   private val MvRegister =
     """(?is)\s*GRAFT\s+REGISTER\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val MvUnregister =

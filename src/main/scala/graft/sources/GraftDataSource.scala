@@ -1253,13 +1253,23 @@ class GraftPartitionedFileIndex(spark: SparkSession, path: String,
   * the offset RANGES the engine logs remain the ground truth — any
   * (start, end] pair replays the same rows.
   */
+/** `Trigger.AvailableNow` (batch backfill over this source) is
+  * supported NATIVELY: the source implements
+  * `SupportsTriggerAvailableNow`, so the engine captures the head at
+  * query start, drains rate-limited batches up to it
+  * (`maxVersionsPerTrigger` still bounds each), and self-terminates —
+  * the scheduled-backfill verb (pinned in ConnectorSpec). Without
+  * this a V1 source gets Spark's legacy single-batch fallback, which
+  * under a rate limit stops BEFORE the head.
+  */
 class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
     override val schema: StructType,
     startingVersion: Option[Int] = None,
     snapshotFilesPerTrigger: Option[Int] = None,
     metadataPath: Option[String] = None,
     maxVersionsPerTrigger: Option[Int] = None,
-    cdfStyle: Boolean = false) extends Source {
+    cdfStyle: Boolean = false) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   startingVersion.foreach { sv =>
     require(Snapshots.hasVersion(path, sv),
@@ -1363,9 +1373,56 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
     }
   }
 
+  // ---- native Trigger.AvailableNow (r12): with these implemented the
+  // engine routes EVERY trigger's offset discovery through
+  // latestOffset (same body as getOffset), and under AvailableNow it
+  // first captures the head via prepareForTriggerAvailableNow, keeps
+  // firing rate-limited batches while progress < that cap, then
+  // self-terminates — the batch-backfill verb. A V1 source without
+  // this gets Spark's legacy SINGLE-batch fallback, which under
+  // maxVersionsPerTrigger stops before the head (or the opt-in
+  // wrapper flag, which bypasses the source's own rate-limit
+  // bookkeeping). The cap composes with snapshot chunking: the
+  // snapshot phase always completes (its version ≤ the cap), then
+  // version offsets stop at the cap. ----
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(math.max(Snapshots.currentVersion(path), 0))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def initialOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset = LongOffset(-1L)
+
+  override def deserializeOffset(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    parseOff(json) match {
+      case Right(v) => LongOffset(v.toLong)
+      case Left((e, n)) => PartialOffset(e, n)
+    }
+
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+
+  /** The engine's admission-control entry: `startOffset` is ignored —
+    * progress rides [[lastExposed]] (restart-safe via the progress
+    * file), exactly as in the V1 [[getOffset]] contract this wraps. */
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
   override def getOffset: Option[OffsetV1] = {
-    val head = Snapshots.currentVersion(path)
-    if (head < 0) return None
+    val rawHead = Snapshots.currentVersion(path)
+    if (rawHead < 0) return None
+    // under AvailableNow, never expose past the captured head — the
+    // engine stops when committed progress reaches the plateau
+    val head = availableNowCap.fold(rawHead)(math.min(rawHead, _))
     val next: Either[(Int, Int), Int] = snapshotFilesPerTrigger match {
       case None => lastExposed match {
         case Some(Right(v)) => Right(capV(v, math.max(v, head)))

@@ -69,6 +69,22 @@ object LakehouseQueries {
     dir
   }
 
+  /** Plan-introspection verdict shared by the MV-rewrite gates: the
+    * graft table roots `q`'s OPTIMIZED plan still scans — empty/
+    * MV-only when the rewrite replaced every base read. */
+  private def scannedGraftRoots(q: DataFrame): Set[String] =
+    q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location match {
+              case g: GraftFileIndex => Seq(g.tablePath)
+              case _ => Seq.empty[String]
+            }
+          case _ => Seq.empty[String]
+        }
+    }.flatten.map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet
+
   // r12 (the r11 verdict's item 8) — BENCH STAGING SPLIT: the heavy
   // lake gates spend most of their wall fabricating HISTORY (staged
   // tables, DML waves, MV full builds) before the operator under test
@@ -674,6 +690,81 @@ object LakehouseQueries {
       |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 55.5
       |       ELSE o_totalprice END AS o_totalprice
       |FROM orders""".stripMargin
+
+  /** A71 — MERGE-ON-READ UPDATE end-to-end: one DV update (keys ≡ 0
+    * mod 21 re-statused 'M', price +77.25 — SET over the pre-image)
+    * against a CDF-enabled staged table. Five oracled slices: `v0`
+    * (time travel past the update), `mor` (the updated image read
+    * THROUGH the deletion vector + appended post-image files), `feed`
+    * (the stored A31 'update' rows — count, postimage total, key
+    * span), `pin` (the merge-on-read verdict: ZERO v0 files retired by
+    * the commit and the changed-row DV mark count — a silent fallback
+    * to copy-on-write fails the first, an unchanged-row over-mark the
+    * second), and `cow` (post-reconcile read — same rows as `mor`, now
+    * DV-free). Any dead pre-image leaking into a read, lost
+    * post-image, or drifted change feed breaks a hash.
+    */
+  def qLakeUpdateMor(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dir = staged {
+      val dd = stage(b, 4)
+      Snapshots.init(s, dd, changeDataFeed = true) // v0
+      dd
+    }
+    val v0files = Snapshots.liveFiles(dir, 0).toSet
+    Snapshots.updateVersionedDV(s, dir, col("o_orderkey") % 21 === 0,
+      Seq("o_orderstatus" -> lit("M"),
+        "o_totalprice" -> (col("o_totalprice") + 77.25))) // v1
+    val retired = (v0files -- Snapshots.liveFiles(dir, 1).toSet).size
+    def aggAll(df: DataFrame, t: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .select(lit(t).as("snap"), col("n"), col("total"),
+          col("min_key"), col("max_key"))
+    val cdf = Snapshots.changesCdf(s, dir, 0, 1, "o_orderkey")
+    val feed = cdf.filter(col("_change_type") === "update_postimage")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .select(lit("feed").as("snap"), col("n"), col("total"),
+        col("min_key"), col("max_key"))
+    val marks = cdf.filter(col("_change_type") === "update_preimage").count()
+    val pin = s.range(1).select(lit("pin").as("snap"),
+      lit(retired.toLong).as("n"), lit(null).cast("double").as("total"),
+      lit(math.min(Snapshots.dvFiles(dir, 1).size, 1).toLong).as("min_key"),
+      lit(marks).as("max_key"))
+    val mor = aggAll(Snapshots.read(s, dir), "mor")
+    Snapshots.reconcileDV(s, dir) // v2
+    aggAll(Snapshots.read(s, dir, version = 0), "v0")
+      .unionByName(mor)
+      .unionByName(feed)
+      .unionByName(pin)
+      .unionByName(aggAll(Snapshots.read(s, dir), "cow"))
+  }
+
+  val qLakeUpdateMorSql: String =
+    """WITH upd AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 21 = 0 THEN 'M'
+      |         ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 21 = 0 THEN o_totalprice + 77.25
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders),
+      |hit AS (SELECT * FROM upd WHERE o_orderkey % 21 = 0)
+      |SELECT 'v0' AS snap, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders
+      |UNION ALL
+      |SELECT 'mor', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey) FROM upd
+      |UNION ALL
+      |SELECT 'feed', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey) FROM hit
+      |UNION ALL
+      |SELECT 'pin', 0, CAST(NULL AS DOUBLE), 1, (SELECT count(*) FROM hit)
+      |UNION ALL
+      |SELECT 'cow', count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey), max(o_orderkey) FROM upd""".stripMargin
 
   /** A36 — the registered `format("graft")` BATCH connector
     * end-to-end: stage a range-clustered versioned table, merge an
@@ -1946,17 +2037,7 @@ object LakehouseQueries {
     val victim = Snapshots.liveFiles(dir,
       Snapshots.currentVersion(dir)).head
     Files.delete(Paths.get(victim))
-    val scanned = q.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location match {
-              case g: GraftFileIndex => Seq(g.tablePath)
-              case _ => Seq.empty[String]
-            }
-          case _ => Seq.empty[String]
-        }
-    }.flatten.map(p => Paths.get(p).toAbsolutePath.normalize.toString)
+    val scanned = scannedGraftRoots(q)
     val rewritten =
       !scanned.contains(Paths.get(dir).toAbsolutePath.normalize.toString)
     q.withColumn("rewritten", lit(rewritten))
@@ -2012,17 +2093,7 @@ object LakehouseQueries {
     val victim = Snapshots.liveFiles(dir,
       Snapshots.currentVersion(dir)).head
     Files.delete(Paths.get(victim))
-    val scanned = q.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location match {
-              case g: GraftFileIndex => Seq(g.tablePath)
-              case _ => Seq.empty[String]
-            }
-          case _ => Seq.empty[String]
-        }
-    }.flatten.map(p => Paths.get(p).toAbsolutePath.normalize.toString)
+    val scanned = scannedGraftRoots(q)
     val rewritten =
       !scanned.contains(Paths.get(dir).toAbsolutePath.normalize.toString)
     q.withColumn("rewritten", lit(rewritten))
@@ -2043,6 +2114,80 @@ object LakehouseQueries {
       |UNION ALL
       |SELECT pr, count(*), CAST(sum(c) AS BIGINT), 'sub', true
       |FROM w2 WHERE st = 'F' AND pr IN ('1-URGENT', '5-LOW') GROUP BY 1""".stripMargin
+
+  /** r12 — RANGE-IMPLICATION SUBSUMPTION (v3 of the filtered-MV
+    * rewrite): the MV stores `WHERE o_custkey >= 300` on a GROUP
+    * column, maintained through two merge waves that move rows across
+    * the cut in both directions (a +1000 custkey raise, a to-50 drop)
+    * and a delete wave. Two query shapes with a STRICTLY TIGHTER
+    * range must serve scan-free (live base file deleted before
+    * execution): `rng` — exact group match, residual `o_custkey >=
+    * 800` re-applied over the MV read; `roll` — the same cut under a
+    * group-subset rollup. Neither predicate appears in the MV spec —
+    * the rewrite proves `x >= 800 ⇒ x >= 300` on the literals alone.
+    * MaterializedViewSpec pins the fallback: `x >= 50` (not implied)
+    * keeps the base scan.
+    */
+  def qLakeMvRange(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val dir = staged {
+      val dir = stage(b, 4)
+      Snapshots.init(s, dir, changeDataFeed = true)
+      val mv = tempDir("graft_mvr_q") + "/mv"
+      MaterializedView.create(s, mv, dir, "o_orderkey",
+        Seq("o_orderstatus", "o_custkey"), Seq("o_orderkey"),
+        filter = Some("o_custkey >= 300"))
+      MvRegistry.register(s, mv)
+      // rows cross the cut in both directions
+      Snapshots.mergeVersioned(s, dir,
+        b.filter(col("o_orderkey") % 8 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1000), "o_orderkey")
+      Snapshots.mergeVersioned(s, dir,
+        b.filter(col("o_orderkey") % 11 === 3)
+          .withColumn("o_custkey", lit(50L)), "o_orderkey")
+      Snapshots.deleteVersioned(s, dir, col("o_orderkey") % 13 === 5)
+      MaterializedView.refresh(s, mv)
+      dir
+    }
+    val g = s.read.format("graft").load(dir)
+    val rng = g.filter(col("o_custkey") >= 800)
+      .groupBy("o_orderstatus", "o_custkey")
+      .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("sum_key"))
+      .withColumn("slice", lit("rng"))
+    val roll = g.filter(col("o_custkey") >= 800)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("sum_key"))
+      .withColumn("o_custkey", lit(null).cast("long"))
+      .select("o_orderstatus", "o_custkey", "cnt", "sum_key")
+      .withColumn("slice", lit("roll"))
+    val q = rng.select("o_orderstatus", "o_custkey", "cnt", "sum_key", "slice")
+      .unionByName(roll)
+    val victim = Snapshots.liveFiles(dir,
+      Snapshots.currentVersion(dir)).head
+    Files.delete(Paths.get(victim))
+    val scanned = scannedGraftRoots(q)
+    val rewritten =
+      !scanned.contains(Paths.get(dir).toAbsolutePath.normalize.toString)
+    q.withColumn("rewritten", lit(rewritten))
+  }
+
+  val qLakeMvRangeSql: String =
+    """WITH w1 AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CASE WHEN o_orderkey % 11 = 3 THEN 50
+      |         WHEN o_orderkey % 8 = 0 THEN o_custkey + 1000
+      |         ELSE o_custkey END AS c
+      |  FROM orders),
+      |w2 AS (SELECT k, st, c FROM w1 WHERE k % 13 <> 5)
+      |SELECT st AS o_orderstatus, c AS o_custkey, count(*) AS cnt,
+      |  CAST(sum(k) AS BIGINT) AS sum_key, 'rng' AS slice,
+      |  true AS rewritten
+      |FROM w2 WHERE c >= 800 GROUP BY 1, 2
+      |UNION ALL
+      |SELECT st, CAST(NULL AS BIGINT), count(*), CAST(sum(k) AS BIGINT),
+      |  'roll', true
+      |FROM w2 WHERE c >= 800 GROUP BY 1""".stripMargin
 
   val qLakeMvRewriteSql: String =
     """WITH w1 AS (
@@ -2184,17 +2329,7 @@ object LakehouseQueries {
       Snapshots.currentVersion(ldir)).head))
     Files.delete(Paths.get(Snapshots.liveFiles(rdir,
       Snapshots.currentVersion(rdir)).head))
-    val scanned = q.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location match {
-              case g: GraftFileIndex => Seq(g.tablePath)
-              case _ => Seq.empty[String]
-            }
-          case _ => Seq.empty[String]
-        }
-    }.flatten.map(p => Paths.get(p).toAbsolutePath.normalize.toString)
+    val scanned = scannedGraftRoots(q)
     val rewritten =
       !scanned.contains(Paths.get(ldir).toAbsolutePath.normalize.toString) &&
       !scanned.contains(Paths.get(rdir).toAbsolutePath.normalize.toString)
@@ -2261,17 +2396,7 @@ object LakehouseQueries {
     val victim = Snapshots.liveFiles(dir,
       Snapshots.currentVersion(dir)).head
     Files.delete(Paths.get(victim))
-    val scanned = q.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location match {
-              case g: GraftFileIndex => Seq(g.tablePath)
-              case _ => Seq.empty[String]
-            }
-          case _ => Seq.empty[String]
-        }
-    }.flatten.map(p => Paths.get(p).toAbsolutePath.normalize.toString)
+    val scanned = scannedGraftRoots(q)
     val rewritten =
       !scanned.contains(Paths.get(dir).toAbsolutePath.normalize.toString)
     q.withColumn("rewritten", lit(rewritten))
@@ -2469,6 +2594,7 @@ object LakehouseQueries {
     "q_lake_mv_join" -> (qLakeMvJoin(_, _)),
     "q_lake_mv_rewrite" -> (qLakeMvRewrite(_, _)),
     "q_lake_mv_filtered" -> (qLakeMvFiltered(_, _)),
+    "q_lake_mv_range" -> (qLakeMvRange(_, _)),
     "q_lake_mv_join_rewrite" -> (qLakeMvJoinRewrite(_, _)),
     "q_lake_mv_minmax" -> (qLakeMvMinMax(_, _)),
     "q_lake_mv_stream" -> (qLakeMvStream(_, _)),
@@ -2494,6 +2620,7 @@ object LakehouseQueries {
     "q_lake_dv" -> (qLakeDv(_, _)),
     "q_lake_rowcount" -> (qLakeRowcount(_, _)),
     "q_lake_update" -> (qLakeUpdate(_, _)),
+    "q_lake_update_mor" -> (qLakeUpdateMor(_, _)),
     "q_lake_source" -> (qLakeSource(_, _)),
     "q_lake_stream_source" -> (qLakeStreamSource(_, _)),
     "q_lake_wap" -> (qLakeWap(_, _)),
@@ -2519,6 +2646,7 @@ object LakehouseQueries {
     "q_lake_mv_join" -> qLakeMvJoinSql,
     "q_lake_mv_rewrite" -> qLakeMvRewriteSql,
     "q_lake_mv_filtered" -> qLakeMvFilteredSql,
+    "q_lake_mv_range" -> qLakeMvRangeSql,
     "q_lake_mv_join_rewrite" -> qLakeMvJoinRewriteSql,
     "q_lake_mv_minmax" -> qLakeMvMinMaxSql,
     "q_lake_mv_stream" -> qLakeMvStreamSql,
@@ -2544,6 +2672,7 @@ object LakehouseQueries {
     "q_lake_dv" -> qLakeDvSql,
     "q_lake_rowcount" -> qLakeRowcountSql,
     "q_lake_update" -> qLakeUpdateSql,
+    "q_lake_update_mor" -> qLakeUpdateMorSql,
     "q_lake_source" -> qLakeSourceSql,
     "q_lake_stream_source" -> qLakeStreamSourceSql,
     "q_lake_wap" -> qLakeWapSql,

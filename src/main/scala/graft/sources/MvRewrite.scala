@@ -242,12 +242,23 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
             }.getOrElse(return None)
           }
           val qNorm = filters.map(nameOnly)
-          val matched = mvConjs.map(mc => qNorm.indexOf(nameOnly(mc)))
+          val mvNorm = mvConjs.map(nameOnly)
+          val matched = mvNorm.map(qNorm.indexOf)
           // (nameOnly folds constants first: the spec predicate comes
           // from ANALYSIS, where `price > 150000` still carries
           // cast(150000 as double), while the query conjunct arrives
           // optimizer-folded to the bare double literal)
-          if (matched.contains(-1)) return None
+          // r12 v3 — RANGE IMPLICATION: an MV conjunct with no exact
+          // twin may instead be IMPLIED by a query conjunct on the
+          // same column (`x > 10` over an MV stored `WHERE x > 5`):
+          // every row the query wants is in the MV. The implying
+          // conjunct is NOT consumed — it stays in the residual, so it
+          // must commute onto the MV read like any leftover filter
+          // (group columns only; on a non-group column the rewrite
+          // correctly refuses — the MV has no such column to filter).
+          if (matched.zip(mvNorm).exists { case (i, mn) =>
+                i < 0 && !qNorm.exists(qn => impliesRange(qn, mn)) })
+            return None
           val matchedCols = mvConjs.flatMap(_.references.map(_.name)).toSet
           filters.zipWithIndex.collect {
             case (c, i) if !matched.contains(i) &&
@@ -282,6 +293,61 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     folded.transform {
       case a: AttributeReference =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+    }
+  }
+
+  /** A [[nameOnly]]-normalized conjunct viewed as `column ⊙ literal`
+    * with the attribute on the left (literal-first comparisons flip);
+    * None for anything that isn't a single-column/literal comparison. */
+  private def cmpBounds(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(String, String, Literal)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) => Some((a.name, "gt", l))
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) => Some((a.name, "lt", l))
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, "ge", l))
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, "le", l))
+      case LessThan(a: UnresolvedAttribute, l: Literal) => Some((a.name, "lt", l))
+      case LessThan(l: Literal, a: UnresolvedAttribute) => Some((a.name, "gt", l))
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, "le", l))
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, "ge", l))
+      case EqualTo(a: UnresolvedAttribute, l: Literal) => Some((a.name, "eq", l))
+      case EqualTo(l: Literal, a: UnresolvedAttribute) => Some((a.name, "eq", l))
+      case _ => None
+    }
+  }
+
+  /** Does query conjunct `q` IMPLY MV conjunct `m`? Both must be
+    * single-column comparisons against a non-NULL literal of the SAME
+    * type on the SAME column; then `x > 10` implies `x > 5`,
+    * `x = 7` implies `x >= 7`, etc. Literal order is decided by the
+    * type's own Catalyst comparison (evaluated once, on two literals —
+    * no data touched). Conservative: any unmatched shape is `false`
+    * (fall back to the scan), never a guess. */
+  private def impliesRange(
+      q: org.apache.spark.sql.catalyst.expressions.Expression,
+      m: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    (cmpBounds(q), cmpBounds(m)) match {
+      case (Some((qa, qop, ql)), Some((ma, mop, ml)))
+          if qa == ma && ql.dataType == ml.dataType &&
+            ql.value != null && ml.value != null =>
+        def cmp(c: BinaryComparison): Boolean =
+          try c.eval(null) == true catch { case _: Exception => false }
+        (mop, qop) match {
+          // lower bounds: q's cut must sit at or above m's
+          case ("ge", "ge") | ("ge", "gt") | ("ge", "eq") | ("gt", "gt") =>
+            cmp(GreaterThanOrEqual(ql, ml))
+          case ("gt", "ge") | ("gt", "eq") => cmp(GreaterThan(ql, ml))
+          // upper bounds: mirror
+          case ("le", "le") | ("le", "lt") | ("le", "eq") | ("lt", "lt") =>
+            cmp(LessThanOrEqual(ql, ml))
+          case ("lt", "le") | ("lt", "eq") => cmp(LessThan(ql, ml))
+          case _ => false // eq target needs the exact-match path
+        }
+      case _ => false
     }
   }
 

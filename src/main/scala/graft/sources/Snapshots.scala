@@ -3038,6 +3038,90 @@ object Snapshots {
     commitDv(spark, path, v, live, doomed)
   }
 
+  /** A71 — MERGE-ON-READ UPDATE: the DV twin of [[updateVersioned]].
+    * Matched rows whose SET actually changes the image are marked dead
+    * in a deletion vector and their post-images appended as NEW files,
+    * all in one commit — updating a sliver of a 100 TB table costs the
+    * predicate scan (with pushdown) plus O(changed rows) written,
+    * never a touched-file rewrite (the copy-on-write form rewrites
+    * every file holding a match, however small the match). Rows the
+    * SET leaves bit-identical are neither marked nor re-appended, so
+    * the live multiset AND the change feed match the CoW result
+    * exactly. Reads pay the existing DV anti join until
+    * [[reconcileDV]] / OPTIMIZE ZORDER folds; every prior version
+    * time-travels unchanged. A31 stored change data (when the table
+    * property is on): 'update' post-images + 'update_preimage'
+    * companions — the same consumer contract as the CoW update; with
+    * the property off, the manifest-diff feed pairs the DV'd pre-image
+    * with the appended post-image by key as usual. Every SET
+    * expression sees the PRE-image row; NULL-predicate rows don't
+    * match (SQL UPDATE semantics). Returns the new version.
+    */
+  def updateVersionedDV(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    require(set.nonEmpty, "updateVersionedDV: empty SET clause")
+    require(set.map(_._1).distinct.size == set.size,
+      s"updateVersionedDV: duplicate SET column in ${set.map(_._1)}")
+    val live = liveFiles(path, v)
+    val schemaNow = tableSchema(path, v)
+      .getOrElse(readUnder(spark, path, v, live).schema)
+    set.foreach { case (c, _) =>
+      require(schemaNow.fieldNames.contains(c),
+        s"updateVersionedDV: no column '$c' in ${schemaNow.fieldNames.mkString(", ")}") }
+    val hit = coalesce(predicate, lit(false))
+    val setMap = set.toMap
+    val newExprs = schemaNow.fields.toIndexedSeq.map { f =>
+      setMap.get(f.name) match {
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None    => col(s"`${f.name}`").as(f.name)
+      }
+    }
+    val allCols = schemaNow.fieldNames.toIndexedSeq
+    // positions come from the LIVE image (existing DVs applied) so an
+    // already-dead row can never be re-marked — DV files stay disjoint
+    val pairs = applyDvIfAny(spark, path, v,
+        readFilesAsWithPos(spark, tableSchema(path, v), live))
+      .filter(hit)
+      .select(col("__file"), col("__pos"),
+        struct(allCols.map(c => col(s"`$c`")): _*).as("__pre"),
+        struct(newExprs: _*).as("__post"))
+      .filter(!(col("__pre") <=> col("__post")))
+    if (pairs.isEmpty) // nothing actually changes: no-op version
+      return commitNext(path, v, live, tableSchema(path, v),
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
+    val post = pairs.select(allCols.map(c => col(s"__post.`$c`").as(c)): _*)
+    // A34: refuse BEFORE staging anything if an updated row violates
+    enforceConstraints(path, v, post)
+    val staged = stageData(post, Some(schemaNow), path, v + 1,
+      bucketSpecOf(path, v), "graft_snap_updmor")
+    val doomed = pairs.select(
+      col("__file").as("__dv_file") +: col("__pos").as("__dv_pos") +:
+        allCols.map(c => col(s"__pre.`$c`").as(c)): _*)
+    val dvStage = Files.createTempDirectory("graft_dv_upd").toString
+    doomed.write.mode(SaveMode.Overwrite).parquet(dvStage)
+    val dst = Paths.get(path)
+    val dvStaged = listDir(Paths.get(dvStage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_dv_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    val cdfStaged: Option[Seq[String]] =
+      if (!cdfEnabled(path, v)) None
+      else Some(stageCdf(path, v,
+        post.withColumn("change_type", lit("update")).unionByName(
+          pairs.select(allCols.map(c => col(s"__pre.`$c`").as(c)): _*)
+            .withColumn("change_type", lit("update_preimage")))))
+    commitNext(path, v, live ++ staged, tableSchema(path, v),
+      carriedStats(path, v, live) ++ statsLines(spark, staged),
+      dvFiles(path, v) ++ dvStaged, cdf = cdfStaged,
+      bloomExtra = maybeBloom(spark, path, v, staged))
+  }
+
   /** [[applyDv]] when version `v` has DVs, identity otherwise — for
     * callers that need the __file/__pos columns kept. */
   private def applyDvIfAny(spark: SparkSession, path: String, v: Int,

@@ -740,6 +740,52 @@ class ConnectorSpec extends GraftSuite {
       assert(vs.max - vs.min <= 1, s"a batch spanned versions $vs") }
   }
 
+  test("Trigger.AvailableNow: backfill drains every committed version, " +
+      "self-terminates, resumes incrementally") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_conn_an").toString + "/t"
+    (1L to 20L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+      .coalesce(1).write.parquet(dir)
+    Snapshots.init(spark, dir) // v0
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((101L, "n1", 1L)).toDF("k", "payload", "gen"), "k") // v1
+    Snapshots.deleteVersioned(spark, dir, col("k") === 9L)    // v2
+    val ckpt = Files.createTempDirectory("graft_conn_an_ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    // the modern backfill verb: process everything committed so far,
+    // then STOP — batch jobs over a streaming source. The source
+    // implements SupportsTriggerAvailableNow natively, so the engine
+    // captures the head at start, keeps firing rate-limited batches
+    // (maxVersionsPerTrigger still bounds each) until it is reached,
+    // then self-terminates — no wrapper flag, no single-batch fallback
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("keyCol", "k").option("maxVersionsPerTrigger", 1).load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= b.collect().map(r => (r.getLong(0), r.getInt(4)))
+          }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow query did not self-terminate")
+    }
+    drain()
+    assert(got.count(_._2 == 0) == 20) // full v0 snapshot
+    assert(got.count(_._2 == 1) == 1 && got.count(_._2 == 2) == 1)
+    assert(got.size == 22)
+    // commits while the consumer is STOPPED; the next drain delivers
+    // exactly those and stops again — the scheduled-backfill loop
+    Snapshots.mergeVersioned(spark, dir,
+      Seq((202L, "n2", 2L)).toDF("k", "payload", "gen"), "k") // v3
+    got.clear()
+    drain()
+    assert(got.toSeq == Seq((202L, 3)))
+  }
+
   test("float column stats prune soundly: a float point probe keeps its file") {
     import spark.implicits._
     // 0.7f widens to 0.699999988…; a Float.toString-recorded min ("0.7")

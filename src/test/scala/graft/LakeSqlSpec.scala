@@ -348,6 +348,34 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("GRAFT UPDATE MOR: DV-mark + append through SQL, zero rewrites") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_sql_updmor").toString + "/t"
+      (1L to 50L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+        .repartitionByRange(4, col("k")).write.parquet(dir)
+      Snapshots.init(s, dir) // v0
+      val before = Snapshots.liveFiles(dir, 0).toSet
+
+      val v = s.sql(
+        s"GRAFT UPDATE MOR '$dir' SET payload = concat(payload, '*'), gen = gen + 1 WHERE k % 10 = 0")
+        .head().getLong(0)
+      assert(v == 1L)
+      // merge-on-read: every v0 file still live, post-images appended
+      val after = Snapshots.liveFiles(dir, 1).toSet
+      assert(before.subsetOf(after) && after.size > before.size)
+      assert(Snapshots.dvFiles(dir, 1).nonEmpty)
+      val rows = Snapshots.read(s, dir)
+        .select("k", "payload", "gen").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.length == 50)
+      assert(rows.filter(_._3 == 1L).map(_._1).toSet ==
+        Set(10L, 20L, 30L, 40L, 50L))
+      assert(rows.find(_._1 == 10L).get._2 == "v10*")
+      assert(rows.find(_._1 == 7L).get._2 == "v7")
+    }
+  }
+
   private def stageDml(s: SparkSession, prefix: String): String = {
     import s.implicits._
     val dir = Files.createTempDirectory(prefix).toString + "/t"

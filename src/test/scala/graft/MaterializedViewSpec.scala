@@ -1023,4 +1023,46 @@ class MaterializedViewSpec extends GraftSuite {
       assertSame(agg(g.filter(col("o_totalprice") > 150000)), want)
     } finally MvRegistry.unregister(mv)
   }
+
+  test("r12 range-implication rewrite: a STRICTER range on a group " +
+      "column serves from the filtered MV, residual re-applied") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus", "o_custkey"), Seq("o_totalprice"),
+      filter = Some("o_custkey >= 100"))
+    MvRegistry.register(spark, mv)
+    try {
+      def agg(df: DataFrame) = df.groupBy("o_orderstatus", "o_custkey")
+        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("s"))
+      val g = spark.read.format("graft").load(base)
+      // x >= 500 implies x >= 100: MV serves, residual re-applied
+      assert(!scannedGraftPaths(agg(g.filter(col("o_custkey") >= 500)))
+        .contains(norm(base)), "stricter >= must rewrite")
+      // x > 100 implies x >= 100 too
+      assert(!scannedGraftPaths(agg(g.filter(col("o_custkey") > 100)))
+        .contains(norm(base)), "strict > at the same cut must rewrite")
+      // x = 700 implies x >= 100 (point query served from the MV)
+      assert(!scannedGraftPaths(agg(g.filter(col("o_custkey") === 700)))
+        .contains(norm(base)), "an equality above the cut must rewrite")
+      // x >= 50 does NOT imply x >= 100: rows are missing from the MV
+      assert(scannedGraftPaths(agg(g.filter(col("o_custkey") >= 50)))
+        .contains(norm(base)), "a looser range must scan the base")
+      // ROLLUP under the implied range: group-subset + residual
+      val roll = g.filter(col("o_custkey") >= 500).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("s"))
+      assert(!scannedGraftPaths(roll).contains(norm(base)),
+        "rollup under an implied range must rewrite")
+      // answers match a recompute, both shapes
+      def want(cut: Long) = Snapshots.read(spark, base)
+        .filter(col("o_custkey") >= cut)
+        .groupBy("o_orderstatus", "o_custkey")
+        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("s"))
+      assertSame(agg(g.filter(col("o_custkey") >= 500)), want(500))
+      assertSame(roll, Snapshots.read(spark, base)
+        .filter(col("o_custkey") >= 500).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("s")))
+    } finally MvRegistry.unregister(mv)
+  }
 }

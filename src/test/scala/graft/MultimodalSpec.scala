@@ -174,6 +174,55 @@ class MultimodalSpec extends GraftSuite {
     assert(again(2L).feat.sameElements(feats(2L).feat))
   }
 
+  test("G6 segmentation: hand-computed windows, islands, partial tail") {
+    import spark.implicits._
+    // 16-byte windows of |b-128|: 'a'..'z' sit at 6..31 (quiet),
+    // spaces at 96 (loud) — craft a payload whose window activity is
+    // known: 16 spaces (active), 16 'a's (quiet), 16 spaces (active),
+    // then an 8-byte partial tail of spaces (active on ITS OWN length)
+    val payload = (" " * 16) + ("a" * 16) + (" " * 16) + (" " * 8)
+    val media = Seq(Multimodal.MediaRow(1L, payload.getBytes("UTF-8"))).toDS()
+    val out = Multimodal.segmentMedia(media).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.n_windows == 4)
+    assert(r.n_active == 3)
+    assert(r.n_segments == 2) // [active] [quiet] [active, active-tail]
+    assert(r.longest_seg == 2)
+    // empty payload drops, never a zero row
+    val empty = Seq(Multimodal.MediaRow(2L, Array.emptyByteArray)).toDS()
+    assert(Multimodal.segmentMedia(empty).isEmpty)
+    // the corpus query emits one row per doc with consistent bounds
+    val all = Multimodal.qMediaSegments(spark, sf).collect()
+    assert(all.nonEmpty)
+    all.foreach { row =>
+      val (nw, na, ns, ls) = (row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4))
+      assert(na <= nw && ns <= na && ls <= na && (ns == 0) == (na == 0))
+    }
+  }
+
+  test("G7 cross-modal retrieval: English-only neighbors with metadata") {
+    val out = graft.operators.Multimodal.qCrossmodal(spark, sf).collect()
+    assert(out.nonEmpty)
+    val langOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[String]("lang") == "en")
+      assert(langOf(r.getAs[Long]("neighbor_id")) == "en",
+        "metadata join drifted from the documents table")
+      assert(r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 3)
+    }
+    // ranks dense per query, sims descending
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).sameElements(1L to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("phash near-dup: banding complete for hamming<=3, sound up to 12") {
     import spark.implicits._
     // controlled corpus: doc 0 repeated with light/medium/heavy edits

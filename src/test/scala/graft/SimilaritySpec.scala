@@ -217,6 +217,33 @@ class SimilaritySpec extends GraftSuite {
     assert(recall > 25.0 / n, s"recall@5 $recall not above chance ${25.0 / n}")
   }
 
+  test("E18 filtered ANN: label-pure results, exact pre-filter, ivf recall") {
+    val out = Similarity.qKnnFiltered(spark, sf).collect()
+    val labelOf = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every neighbor (both strategies) satisfies the predicate
+    assert(out.nonEmpty)
+    assert(out.forall(r => labelOf(r.getAs[Long]("neighbor_id")) == 1),
+      "a neighbor escaped the label filter")
+    val pre = out.filter(_.getAs[String]("strategy") == "pre")
+    val ivf = out.filter(_.getAs[String]("strategy") == "ivf")
+    // pre-filter is EXACT: per query, ranks are dense from 1 and sims
+    // descend; ivf hits a sane recall of the exact filtered top-5
+    val preTop = pre.groupBy(_.getAs[Long]("query_id")).map { case (q, rs) =>
+      q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val ivfTop = ivf.groupBy(_.getAs[Long]("query_id")).map { case (q, rs) =>
+      q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val (hit, want) = preTop.foldLeft((0, 0)) { case ((h, w), (q, exact)) =>
+      (h + ivfTop.getOrElse(q, Set.empty).intersect(exact).size, w + exact.size) }
+    assert(want > 0 && hit.toDouble / want >= 0.5,
+      s"filtered-IVF recall ${hit.toDouble / want} below 0.5")
+    pre.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.sameElements(1L to ranks.length))
+    }
+  }
+
   test("hard negatives: below the dedup threshold, densely ranked, maximal") {
     val rows = Similarity.qHardNegatives(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))

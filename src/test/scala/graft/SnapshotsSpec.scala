@@ -1015,6 +1015,75 @@ class SnapshotsSpec extends GraftSuite {
     intercept[IllegalArgumentException](Snapshots.cloneDeep(src2, dst2))
   }
 
+  test("A71 merge-on-read update: DV mark + append, zero rewrites, exact feed") {
+    val dir = freshTable()
+    Snapshots.init(spark, dir, changeDataFeed = true) // v0
+    def dataFiles() = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.contains("_dv") &&
+        !n.contains("_cdf")).toSet
+
+    val before = dataFiles()
+    val v1 = Snapshots.updateVersionedDV(spark, dir, col("k") % 10 === 0,
+      Seq("payload" -> concat(lit("up-"), col("k"))))
+    assert(v1 == 1)
+    // merge-on-read: every pre-update data file is STILL LIVE (nothing
+    // rewritten); the post-images arrived as appended files + one DV
+    val after = dataFiles()
+    assert(before.subsetOf(after) && after.size > before.size)
+    assert(Snapshots.dvFiles(dir, v1).nonEmpty)
+
+    val rows = Snapshots.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 100)
+    assert((10L to 100L by 10L).forall(k => rows(k) == s"up-$k"))
+    assert(rows(7L) == "v7")
+    // time travel past the update
+    assert(Snapshots.read(spark, dir, 0).collect()
+      .map(_.getString(1)).forall(!_.startsWith("up-")))
+
+    // stored CDF: one update_preimage + one update_postimage per
+    // changed key, nothing else
+    val cdf = Snapshots.changesCdf(spark, dir, 0, 1, "k").collect()
+    val byType = cdf.groupBy(_.getString(1))
+    assert(byType.keySet == Set("update_preimage", "update_postimage"))
+    assert(byType("update_preimage").map(_.getLong(0)).toSet ==
+      (10L to 100L by 10L).toSet)
+    assert(byType("update_postimage")
+      .map(r => r.getLong(0) -> r.getString(2)).toSet ==
+      (10L to 100L by 10L).map(k => k -> s"up-$k").toSet)
+
+    // a SET that changes nothing marks nothing: no-op version, empty
+    // feed, no new DV entries
+    val dvBytes = Snapshots.dvFiles(dir, v1).size
+    val v2 = Snapshots.updateVersionedDV(spark, dir, col("k") === 3L,
+      Seq("payload" -> col("payload")))
+    assert(v2 == 2)
+    assert(Snapshots.changesBetween(spark, dir, 1, 2, "k").isEmpty)
+    assert(Snapshots.dvFiles(dir, v2).size == dvBytes)
+
+    // a DV-dead row cannot be re-matched by a later MoR update
+    Snapshots.deleteVersionedDV(spark, dir, col("k") === 20L) // v3
+    Snapshots.updateVersionedDV(spark, dir, col("k") % 20 === 0,
+      Seq("payload" -> lit("XX"))) // v4
+    val live4 = Snapshots.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!live4.contains(20L))
+    assert(live4(40L) == "XX" && live4(100L) == "XX")
+    assert(live4(10L) == "up-10") // untouched by the %20 wave
+
+    // reconcile folds DVs; content identical, refs gone
+    val v5 = Snapshots.reconcileDV(spark, dir)
+    assert(Snapshots.dvFiles(dir, v5).isEmpty)
+    val live5 = Snapshots.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live5 == live4)
+
+    // A33: manifest-only row counts stay exact through MoR updates
+    assert(Snapshots.rowCount(spark, dir, v1) == Some(100L))
+    assert(Snapshots.rowCount(spark, dir, 4) == Some(99L))
+  }
+
   test("deletion vectors: merge-on-read delete, zero data files written, exact feed") {
     val dir = freshTable()
     Snapshots.init(spark, dir) // v0

@@ -194,6 +194,27 @@ class TypeWideningSpec extends GraftSuite {
       org.apache.spark.sql.types.DecimalType(10, 2))
   }
 
+  test("r12 GRAFT RENAME COLUMN / DROP COLUMN over SQL, metadata-only") {
+    import spark.implicits._
+    val p = tmp()
+    (1 to 5).map(k => (k.toLong, s"v$k", k)).toDF("k", "payload", "qty")
+      .write.mode("overwrite").parquet(p)
+    Snapshots.init(spark, p) // v0
+    val before = Snapshots.liveFiles(p, 0)
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    def run(sql: String) = org.apache.spark.sql.GraftSqlInternals
+      .ofRows(spark, parser.parsePlan(sql)).collect()
+    run(s"GRAFT RENAME COLUMN payload TO body '$p'") // v1
+    run(s"GRAFT DROP COLUMN qty '$p'")               // v2
+    assert(Snapshots.liveFiles(p, 2) == before, "metadata verb moved data")
+    val now = Snapshots.read(spark, p)
+    assert(now.schema.fieldNames.toSeq == Seq("k", "body"))
+    assert(now.filter(col("body") === "v3").count() == 1) // bytes served
+    // time travel: v0 still shows the original names
+    assert(Snapshots.read(spark, p, version = 0)
+      .schema.fieldNames.toSeq == Seq("k", "payload", "qty"))
+  }
+
   test("GRAFT WIDEN over SQL") {
     import spark.implicits._
     val p = tmp()
