@@ -766,6 +766,92 @@ object LakehouseQueries {
       |SELECT 'cow', count(*), round(sum(o_totalprice), 2),
       |  min(o_orderkey), max(o_orderkey) FROM upd""".stripMargin
 
+  /** A75 — MERGE-ON-READ UPSERT end-to-end: one DV merge against a
+    * CDF-enabled staged table — real updates (keys ≡ 0 mod 15
+    * re-statused 'M', price +11.5), verbatim re-upserts (keys ≡ 7 mod
+    * 15 sent back unchanged — must mark and append NOTHING), and
+    * inserts (negated keys ≡ 0 mod 54). Six oracled slices: v0 time
+    * travel, the upserted image read through DV + appended files, the
+    * stored feed's update and insert rows separately, the MoR pin
+    * (ZERO v0 files retired + the changed-only DV mark count — a
+    * CoW fallback or a verbatim over-mark fails it), and the
+    * post-reconcile read.
+    */
+  def qLakeMergeMor(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dir = staged {
+      val dd = stage(b, 4)
+      Snapshots.init(s, dd, changeDataFeed = true) // v0
+      dd
+    }
+    val v0files = Snapshots.liveFiles(dir, 0).toSet
+    val batch = b.filter(col("o_orderkey") % 15 === 0)
+      .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+        (col("o_totalprice") + 11.5).as("o_totalprice"))
+      .unionByName(b.filter(col("o_orderkey") % 15 === 7)) // verbatim
+      .unionByName(
+        b.filter(col("o_orderkey") % 54 === 0 && col("o_orderkey") > 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+    Snapshots.mergeVersionedDV(s, dir, batch, "o_orderkey") // v1
+    val retired = (v0files -- Snapshots.liveFiles(dir, 1).toSet).size
+    def aggAll(df: DataFrame, t: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .select(lit(t).as("snap"), col("n"), col("total"),
+          col("min_key"), col("max_key"))
+    val cdf = Snapshots.changesCdf(s, dir, 0, 1, "o_orderkey")
+    def feed(tag: String, t: String): DataFrame =
+      cdf.filter(col("_change_type") === tag)
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .select(lit(t).as("snap"), col("n"), col("total"),
+          col("min_key"), col("max_key"))
+    val marks = cdf.filter(col("_change_type") === "update_preimage").count()
+    val pin = s.range(1).select(lit("pin").as("snap"),
+      lit(retired.toLong).as("n"), lit(null).cast("double").as("total"),
+      lit(math.min(Snapshots.dvFiles(dir, 1).size, 1).toLong).as("min_key"),
+      lit(marks).as("max_key"))
+    val mor = aggAll(Snapshots.read(s, dir), "mor")
+    Snapshots.reconcileDV(s, dir) // v2
+    aggAll(Snapshots.read(s, dir, version = 0), "v0")
+      .unionByName(mor)
+      .unionByName(feed("update_postimage", "feed_upd"))
+      .unionByName(feed("insert", "feed_ins"))
+      .unionByName(pin)
+      .unionByName(aggAll(Snapshots.read(s, dir), "cow"))
+  }
+
+  val qLakeMergeMorSql: String =
+    """WITH ups AS (
+      |  SELECT o_orderkey, o_totalprice + 11.5 AS tp
+      |  FROM orders WHERE o_orderkey % 15 = 0),
+      |ins AS (
+      |  SELECT -o_orderkey AS k, o_totalprice AS tp
+      |  FROM orders WHERE o_orderkey % 54 = 0 AND o_orderkey > 0),
+      |img AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 15 = 0 THEN o_totalprice + 11.5
+      |         ELSE o_totalprice END AS tp
+      |  FROM orders
+      |  UNION ALL SELECT k, tp FROM ins)
+      |SELECT 'v0' AS snap, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders
+      |UNION ALL
+      |SELECT 'mor', count(*), round(sum(tp), 2), min(k), max(k) FROM img
+      |UNION ALL
+      |SELECT 'feed_upd', count(*), round(sum(tp), 2),
+      |  min(o_orderkey), max(o_orderkey) FROM ups
+      |UNION ALL
+      |SELECT 'feed_ins', count(*), round(sum(tp), 2), min(k), max(k) FROM ins
+      |UNION ALL
+      |SELECT 'pin', 0, CAST(NULL AS DOUBLE), 1,
+      |  (SELECT count(*) FROM ups)
+      |UNION ALL
+      |SELECT 'cow', count(*), round(sum(tp), 2), min(k), max(k) FROM img""".stripMargin
+
   /** A36 — the registered `format("graft")` BATCH connector
     * end-to-end: stage a range-clustered versioned table, merge an
     * update on top, then read three ways through the plug-in surface —
@@ -2621,6 +2707,7 @@ object LakehouseQueries {
     "q_lake_rowcount" -> (qLakeRowcount(_, _)),
     "q_lake_update" -> (qLakeUpdate(_, _)),
     "q_lake_update_mor" -> (qLakeUpdateMor(_, _)),
+    "q_lake_merge_mor" -> (qLakeMergeMor(_, _)),
     "q_lake_source" -> (qLakeSource(_, _)),
     "q_lake_stream_source" -> (qLakeStreamSource(_, _)),
     "q_lake_wap" -> (qLakeWap(_, _)),
@@ -2673,6 +2760,7 @@ object LakehouseQueries {
     "q_lake_rowcount" -> qLakeRowcountSql,
     "q_lake_update" -> qLakeUpdateSql,
     "q_lake_update_mor" -> qLakeUpdateMorSql,
+    "q_lake_merge_mor" -> qLakeMergeMorSql,
     "q_lake_source" -> qLakeSourceSql,
     "q_lake_stream_source" -> qLakeStreamSourceSql,
     "q_lake_wap" -> qLakeWapSql,

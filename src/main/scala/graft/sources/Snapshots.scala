@@ -3122,6 +3122,125 @@ object Snapshots {
       bloomExtra = maybeBloom(spark, path, v, staged))
   }
 
+  /** A75 — MERGE-ON-READ UPSERT: the DV twin of [[mergeVersioned]].
+    * Matched keys' old rows are marked dead in a deletion vector and
+    * the batch lands as APPENDED files, all in one commit — zero file
+    * rewrites, so upserting a batch into a 100 TB table costs the
+    * candidate-file position scan (A27 manifest-stats-pruned, so it
+    * tracks the batch's key locality) plus the batch write. A
+    * verbatim re-upsert (post image identical to the live row) marks
+    * nothing and appends nothing for that key — live multiset and
+    * change feed match the copy-on-write merge exactly. Schema
+    * evolution as in the CoW merge: a batch with NEW columns widens
+    * the recorded schema (old files and the DV pre-images null-fill);
+    * a batch MISSING table columns upserts whole rows with nulls
+    * (full-row replace semantics). Stored change data (A31) keeps the
+    * insert / update / update_preimage contract. Reads pay the DV
+    * anti join until [[reconcileDV]] / OPTIMIZE folds. Assumes the
+    * keyed-table invariant every merge maintains (one live row per
+    * key); duplicate live rows under one key are all retired when the
+    * key's image changes. Returns the new version.
+    */
+  def mergeVersionedDV(spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String): Int = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val v = currentVersion(path)
+    require(v >= 0, s"$path not initialized (call init)")
+    enforceConstraints(path, v, updates)
+    val live = liveFiles(path, v)
+    lazy val target = readUnder(spark, path, v, live)
+    val schemaNow = tableSchema(path, v).getOrElse(target.schema)
+    require(schemaNow.fieldNames.contains(keyCol),
+      s"mergeVersionedDV: no key column '$keyCol' in " +
+        schemaNow.fieldNames.mkString(", "))
+    val keyType = schemaNow(keyCol).dataType
+    val stats = manifestRanges(path, v, live, keyCol) match {
+      case Some(rows) => keyRangeFrame(spark, rows, keyType)
+      case None => target
+        .withColumn("file", input_file_name())
+        .groupBy("file")
+        .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+    }
+    val keys = updates.select(col(keyCol).as("__k")).distinct()
+    val touched = stats
+      .join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
+      .select("file").collect().map(_.getString(0))
+      .map(canonical).toIndexedSeq
+    val outSchema = StructType(
+      schemaNow.fields ++ updates.schema.fields.filterNot(f =>
+        schemaNow.fieldNames.contains(f.name)))
+    val payload = outSchema.fieldNames.filterNot(_ == keyCol).toIndexedSeq
+    val payloadType = StructType(payload.map(c => outSchema(c)))
+    def norm(df: DataFrame): DataFrame =
+      df.select(outSchema.fields.toIndexedSeq.map(f =>
+        (if (df.columns.contains(f.name)) col(s"`${f.name}`")
+         else lit(null).cast(f.dataType)).as(f.name)): _*)
+    // live pre-image rows + positions of every file that can hold a
+    // batch key (DVs applied: a dead row never blocks an insert or
+    // re-marks)
+    val pre =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("__k", keyType),
+            StructField("__pre", payloadType),
+            StructField("__file", StringType),
+            StructField("__pos", LongType))))
+      else {
+        val withPos = applyDvIfAny(spark, path, v,
+          readFilesAsWithPos(spark, tableSchema(path, v), touched))
+        withPos.select(
+          outSchema.fields.toIndexedSeq.map(f =>
+            (if (withPos.columns.contains(f.name)) col(s"`${f.name}`")
+             else lit(null).cast(f.dataType)).as(f.name)) ++
+            Seq(col("__file"), col("__pos")): _*)
+          .select(col(s"`$keyCol`").as("__k"),
+            struct(payload.map(c => col(s"`$c`")): _*).as("__pre"),
+            col("__file"), col("__pos"))
+      }
+    val post = norm(updates).select(col(s"`$keyCol`").as("__k"),
+      struct(payload.map(c => col(s"`$c`")): _*).as("__post"))
+    val joined = post.join(pre, Seq("__k"), "left_outer")
+    val inserts = joined.filter(col("__file").isNull)
+    val changed = joined.filter(col("__file").isNotNull &&
+      !(col("__pre") <=> col("__post")))
+    def asRows(df: DataFrame, src: String): DataFrame =
+      df.select(col("__k").as(keyCol) +:
+        payload.map(c => col(s"$src.`$c`").as(c)): _*)
+    val appended = asRows(inserts, "__post")
+      .unionByName(asRows(changed, "__post").distinct())
+    if (appended.isEmpty) // pure verbatim batch: no-op version
+      return commitNext(path, v, live, tableSchema(path, v),
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
+    val staged = stageData(norm(appended), Some(outSchema), path, v + 1,
+      bucketSpecOf(path, v), "graft_snap_mergemor")
+    val doomed = changed.select(
+      col("__file").as("__dv_file") +: col("__pos").as("__dv_pos") +:
+        col("__k").as(keyCol) +: payload.map(c => col(s"__pre.`$c`").as(c)): _*)
+    val dvStage = Files.createTempDirectory("graft_dv_merge").toString
+    doomed.write.mode(SaveMode.Overwrite).parquet(dvStage)
+    val dst = Paths.get(path)
+    val dvStaged = listDir(Paths.get(dvStage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"v${v + 1}_dv_${p.getFileName.toString}"
+        Files.move(p, dst.resolve(name))
+        dst.resolve(name).toString
+      }
+    val cdfStaged: Option[Seq[String]] =
+      if (!cdfEnabled(path, v)) None
+      else Some(stageCdf(path, v,
+        asRows(inserts, "__post").withColumn("change_type", lit("insert"))
+          .unionByName(asRows(changed, "__post").distinct()
+            .withColumn("change_type", lit("update")))
+          .unionByName(asRows(changed, "__pre")
+            .withColumn("change_type", lit("update_preimage")))))
+    commitNext(path, v, live ++ staged, Some(outSchema),
+      carriedStats(path, v, live) ++ statsLines(spark, staged),
+      dvFiles(path, v) ++ dvStaged, cdf = cdfStaged,
+      bloomExtra = maybeBloom(spark, path, v, staged))
+  }
+
   /** [[applyDv]] when version `v` has DVs, identity otherwise — for
     * callers that need the __file/__pos columns kept. */
   private def applyDvIfAny(spark: SparkSession, path: String, v: Int,

@@ -21,6 +21,13 @@ class PlanAuditSpec extends GraftSuite {
       // 16-row centroid broadcast); the refine legs are equi-joins on
       // neighbor_id/query_id against broadcast candidate pools
       "q_knn_ivfpq_refine",
+      // q_knn_filtered (r12/E18): the E1/E4 kernels over the
+      // label-filtered corpus — same bounded query-set broadcast
+      "q_knn_filtered",
+      // q_crossmodal (r12/G7): the E1 kernel with the corpus pre-pruned
+      // by the broadcast metadata semi-join; the 12-row query set is
+      // the broadcast side of the intended nested-loop
+      "q_crossmodal",
       // q_resample: hourly-spine x event-type dims cross join (bounded
       // dimension product), broadcast against the hourly counts
       "q_resample",

@@ -1084,6 +1084,60 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.rowCount(spark, dir, 4) == Some(99L))
   }
 
+  test("A75 merge-on-read upsert: DV-mark + append, inserts, verbatim no-ops") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir, changeDataFeed = true) // v0
+    val before = Snapshots.liveFiles(dir, 0).toSet
+    // batch: 2 real updates, 1 verbatim re-upsert, 2 inserts
+    val batch = Seq(
+      (10L, "UP10", 9L), (20L, "UP20", 9L), // updates
+      (30L, "v30", 0L),                     // verbatim — must no-op
+      (200L, "NEW200", 1L), (300L, "NEW300", 1L)).toDF("k", "payload", "gen")
+    val v1 = Snapshots.mergeVersionedDV(spark, dir, batch, "k")
+    assert(v1 == 1)
+    // zero rewrites: every v0 file still live; batch appended; one DV
+    val after = Snapshots.liveFiles(dir, 1).toSet
+    assert(before.subsetOf(after) && after.size > before.size)
+    assert(Snapshots.dvFiles(dir, 1).nonEmpty)
+    val rows = Snapshots.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 102)
+    assert(rows(10L) == "UP10" && rows(20L) == "UP20")
+    assert(rows(30L) == "v30" && rows(11L) == "v11")
+    assert(rows(200L) == "NEW200" && rows(300L) == "NEW300")
+    // stored CDF: exact contract, verbatim key absent
+    val cdf = Snapshots.changesCdf(spark, dir, 0, 1, "k").collect()
+    val byType = cdf.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(byType("insert") == Set(200L, 300L))
+    assert(byType("update_preimage") == Set(10L, 20L))
+    assert(byType("update_postimage") == Set(10L, 20L))
+    assert(!cdf.exists(_.getLong(0) == 30L))
+    // manifest-only count stays exact: 100 + 2 inserts
+    assert(Snapshots.rowCount(spark, dir, 1) == Some(102L))
+    // schema evolution: a batch with a NEW column widens; old rows
+    // null-fill; the DV machinery still applies
+    val v2 = Snapshots.mergeVersionedDV(spark, dir,
+      Seq((10L, "UP10b", 9L, 0.5)).toDF("k", "payload", "gen", "score"), "k")
+    val now = Snapshots.read(spark, dir)
+    assert(now.schema.fieldNames.contains("score"))
+    assert(now.filter(col("score").isNotNull).count() == 1)
+    assert(now.filter(col("k") === 10L).head().getString(1) == "UP10b")
+    assert(now.count() == 102)
+    // a pure-verbatim batch commits a no-op version with an empty feed
+    val v3 = Snapshots.mergeVersionedDV(spark, dir,
+      Seq((30L, "v30", 0L)).toDF("k", "payload", "gen"), "k")
+    assert(v3 == 3)
+    assert(Snapshots.changesBetween(spark, dir, 2, 3, "k").isEmpty)
+    // reconcile folds everything; content identical
+    val liveBefore = now.collect().map(r => r.getLong(0)).toSet
+    val v4 = Snapshots.reconcileDV(spark, dir)
+    assert(Snapshots.dvFiles(dir, v4).isEmpty)
+    assert(Snapshots.read(spark, dir).collect()
+      .map(_.getLong(0)).toSet == liveBefore)
+  }
+
   test("deletion vectors: merge-on-read delete, zero data files written, exact feed") {
     val dir = freshTable()
     Snapshots.init(spark, dir) // v0
