@@ -557,9 +557,16 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val acMin = parameters.get("autoCompactMinFiles").map(_.toInt)
     acMin.foreach(n => require(n >= 2,
       s"graft: autoCompactMinFiles must be >= 2 (got $n)"))
+    // r12: merge-on-read micro-batches (A75) — DV-mark + append, zero
+    // file rewrites per commit; pair with autoCompactMinFiles and a
+    // periodic GRAFT RECONCILE for the compaction rhythm
+    val mor = parameters.get("morWrites").exists(_.toBoolean)
+    require(!(mor && partitionColumns.nonEmpty),
+      "graft: morWrites does not compose with a partition column yet " +
+        "(partitioned batches route per-partition CoW merges)")
     new GraftSink(path, keyCol, orderCol, partitionColumns.headOption, scope,
       acMin, parameters.get("autoCompactTargetBytes").map(_.toLong)
-        .getOrElse(128L << 20))
+        .getOrElse(128L << 20), mor)
   }
 }
 
@@ -580,7 +587,8 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
 class GraftSink(path: String, keyCol: String, orderCol: String,
     partCol: Option[String], scope: Option[String],
     autoCompactMinFiles: Option[Int] = None,
-    autoCompactTargetBytes: Long = 128L << 20) extends Sink {
+    autoCompactTargetBytes: Long = 128L << 20,
+    mor: Boolean = false) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame is streaming-tagged; the merge derives new
     // plans from it, so re-wrap as a batch frame first (the
@@ -589,7 +597,8 @@ class GraftSink(path: String, keyCol: String, orderCol: String,
     val touched: Seq[String] = partCol match {
       case None =>
         graft.streaming.UpsertSink
-          .mergeVersionedBatch(path, keyCol, orderCol, scope)(batch, batchId)
+          .mergeVersionedBatch(path, keyCol, orderCol, scope, mor)(
+            batch, batchId)
         Seq.empty
       case Some(pc) => graft.streaming.UpsertSink
         .mergePartitionedBatch(path, keyCol, pc, orderCol, scope)(batch, batchId)

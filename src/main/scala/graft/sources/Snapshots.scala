@@ -3142,10 +3142,15 @@ object Snapshots {
     * key's image changes. Returns the new version.
     */
   def mergeVersionedDV(spark: SparkSession, path: String,
-      updates: DataFrame, keyCol: String): Int = {
+      updates: DataFrame, keyCol: String,
+      txn: Option[(String, Long)] = None): Int = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
+    // A51: a replayed transaction no-ops before staging anything
+    txn.foreach { case (app, ver) =>
+      if (txnVersionOf(path, v, app).exists(_ >= ver)) return v
+    }
     enforceConstraints(path, v, updates)
     val live = liveFiles(path, v)
     lazy val target = readUnder(spark, path, v, live)
@@ -3211,7 +3216,8 @@ object Snapshots {
       .unionByName(asRows(changed, "__post").distinct())
     if (appended.isEmpty) // pure verbatim batch: no-op version
       return commitNext(path, v, live, tableSchema(path, v),
-        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty),
+        txnSet = txn)
     val staged = stageData(norm(appended), Some(outSchema), path, v + 1,
       bucketSpecOf(path, v), "graft_snap_mergemor")
     val doomed = changed.select(
@@ -3238,7 +3244,20 @@ object Snapshots {
     commitNext(path, v, live ++ staged, Some(outSchema),
       carriedStats(path, v, live) ++ statsLines(spark, staged),
       dvFiles(path, v) ++ dvStaged, cdf = cdfStaged,
-      bloomExtra = maybeBloom(spark, path, v, staged))
+      bloomExtra = maybeBloom(spark, path, v, staged),
+      txnSet = txn)
+  }
+
+  /** A51 — [[mergeVersionedDV]] under a transaction mark: a replayed
+    * (appId, version) no-ops without staging a byte, and the mark
+    * commits atomically with the DV + appended files — the
+    * exactly-once contract the merge-on-read streaming sink rides. */
+  def mergeVersionedDVIdempotent(spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String, txnAppId: String,
+      txnVersion: Long): Int = {
+    requireTxnApp(txnAppId)
+    mergeVersionedDV(spark, path, updates, keyCol,
+      Some((txnAppId, txnVersion)))
   }
 
   /** [[applyDv]] when version `v` has DVs, identity otherwise — for

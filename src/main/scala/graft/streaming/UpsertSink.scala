@@ -84,7 +84,8 @@ object UpsertSink {
     * state) — the `format("graft")` streaming sink needs a cold start.
     */
   private[graft] def mergeVersionedBatch(path: String, keyCol: String,
-      orderCol: String, scope: Option[String])(batch: DataFrame, batchId: Long): Unit = {
+      orderCol: String, scope: Option[String], mor: Boolean = false)(
+      batch: DataFrame, batchId: Long): Unit = {
     val latest = latestPerKey(batch, keyCol, orderCol)
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
     if (!replayed && !latest.isEmpty) {
@@ -100,6 +101,9 @@ object UpsertSink {
           if (graft.sources.Snapshots.currentVersion(path) < 0)
             graft.sources.Snapshots.appendVersionedIdempotent(
               batch.sparkSession, path, latest, app, batchId)
+          else if (mor)
+            graft.sources.Snapshots.mergeVersionedDVIdempotent(
+              batch.sparkSession, path, latest, keyCol, app, batchId)
           else
             graft.sources.Snapshots.mergeVersionedIdempotent(
               batch.sparkSession, path, latest, keyCol, app, batchId)
@@ -108,6 +112,9 @@ object UpsertSink {
           if (graft.sources.Snapshots.currentVersion(path) < 0)
             graft.sources.Snapshots.overwriteVersioned(
               batch.sparkSession, path, latest)
+          else if (mor)
+            graft.sources.Snapshots.mergeVersionedDV(
+              batch.sparkSession, path, latest, keyCol)
           else
             graft.sources.Snapshots.mergeVersioned(
               batch.sparkSession, path, latest, keyCol)
@@ -175,12 +182,22 @@ object UpsertSink {
     * lineage at all, so no guard applies and every run's batches
     * commit.
     */
+  /** `mor = true` (r12): each micro-batch commits through the A75
+    * MERGE-ON-READ upsert — matched keys DV-marked, the batch
+    * appended, ZERO file rewrites — so minute-cadence ingest into a
+    * huge key-clustered table costs O(batch) per commit instead of a
+    * touched-file rewrite per batch; reads pay one DV anti join until
+    * `reconcileDV` / OPTIMIZE folds (schedule one per N batches, the
+    * Iceberg minor/major-compaction rhythm). Same exactly-once marks,
+    * same change feed, same time-travel contract either way.
+    */
   def startVersioned(changes: DataFrame, path: String, keyCol: String,
-      orderCol: String, checkpoint: Option[String] = None): StreamingQuery = {
+      orderCol: String, checkpoint: Option[String] = None,
+      mor: Boolean = false): StreamingQuery = {
     val w = changes.writeStream.outputMode("append")
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     val scope = markerScope(checkpoint)
-    w.foreachBatch(mergeVersionedBatch(path, keyCol, orderCol, scope) _)
+    w.foreachBatch(mergeVersionedBatch(path, keyCol, orderCol, scope, mor) _)
       .start()
   }
 

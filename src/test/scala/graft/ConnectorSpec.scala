@@ -344,6 +344,44 @@ class ConnectorSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("morWrites streaming sink: micro-batches append + DV-mark, zero rewrites") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val dst = Files.createTempDirectory("graft_conn_morsink").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_conn_morsink_ckpt").toString
+    val q = mem.toDF().toDF("k", "payload", "ts")
+      .writeStream.format("graft")
+      .option("keyCol", "k").option("orderCol", "ts")
+      .option("morWrites", "true")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      mem.addData((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      q.processAllAvailable() // v0 bootstrap (append — nothing to mark)
+      val v0files = Snapshots.liveFiles(dst, 0).toSet
+      mem.addData((2L, "b2", 2L), (4L, "d", 2L))
+      q.processAllAvailable() // v1: MoR — update k=2, insert k=4
+      val v1files = Snapshots.liveFiles(dst, 1).toSet
+      // merge-on-read: the bootstrap files are ALL still live; the
+      // batch arrived as appended files plus one deletion vector
+      assert(v0files.subsetOf(v1files) && v1files.size > v0files.size)
+      assert(Snapshots.dvFiles(dst, 1).nonEmpty)
+      val now = Snapshots.read(spark, dst).select("k", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(now == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
+      // time travel to the bootstrap is unaffected
+      assert(Snapshots.read(spark, dst, 0).filter(col("k") === 2L)
+        .select("payload").head().getString(0) == "b")
+      // reconcile folds the stream's DVs like any other
+      Snapshots.reconcileDV(spark, dst)
+      val folded = Snapshots.read(spark, dst).select("k", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(folded == now)
+    } finally q.stop()
+  }
+
   test("streaming sink auto-compaction: live file count stays bounded across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
