@@ -2608,12 +2608,79 @@ object Snapshots {
     * whose [[changesBetween]] feed reports exactly the removed keys.
     * Returns the new version.
     */
+  private object PredSplit
+      extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      splitConjunctivePredicates(e)
+  }
+
+  /** r12 — MANIFEST-PRUNED DML CANDIDATES: the live files of `v` that
+    * MAY hold a row satisfying `predicate`, judged by the same
+    * A27/A42/A66 per-file skipping stack the scan path uses. Before
+    * this, every predicate-form DELETE/UPDATE opened ALL live files
+    * to discover matches — at 1M files that is a million parquet
+    * footers for a one-range touch-up. The predicate resolves against
+    * the MANIFEST schema on an empty frame (the table is never
+    * listed), optimizes (so literals fold to the comparison shapes
+    * `survives` judges), splits into conjuncts with attributes
+    * renamed LOGICAL → PHYSICAL (stats outlive renames under physical
+    * names), and every live file must survive every conjunct.
+    * Conservative by construction: an untranslatable predicate, a
+    * missing schema, or an analysis error prunes NOTHING — the
+    * fallback is the old full candidate set, never a skipped match.
+    */
+  private[graft] def candidateFiles(spark: SparkSession, path: String,
+      v: Int, predicate: org.apache.spark.sql.Column): Seq[String] = {
+    val live = liveFiles(path, v)
+    val schema = tableSchema(path, v).getOrElse(return live)
+    val conjuncts = try {
+      // ANALYZED, not optimized: the optimizer would propagate the
+      // empty relation away and take the Filter node with it. Fold
+      // the analysis casts on literals down to the bare Literal
+      // shapes `survives` judges (a cast AROUND an attribute is not
+      // foldable and correctly prunes nothing).
+      val analyzed = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        .filter(predicate).queryExecution.analyzed
+      analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          PredSplit.split(f.condition)
+      }.getOrElse(Seq.empty).map(_.transformUp {
+        case e if e.foldable &&
+            !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            e.eval(null), e.dataType)
+      }.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if schema.fieldNames.contains(a.name) =>
+          a.withName(physicalName(schema(a.name)))
+      })
+    } catch { case _: Exception => return live }
+    if (conjuncts.isEmpty) return live
+    val stats = fileStats(path, v)
+    val nulls = fileNulls(path, v)
+    val rows = fileRows(path, v)
+    live.filter { f0 =>
+      val f = canonical(f0)
+      conjuncts.forall(e => GraftFileIndex.survives(
+        stats.getOrElse(f, Map.empty), nulls.getOrElse(f, Map.empty),
+        rows.get(f), e))
+    }
+  }
+
   def deleteVersioned(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     val live = liveFiles(path, v)
-    val target = readUnder(spark, path, v, live)
+    // discovery reads only the manifest-pruned candidates — cost
+    // tracks the predicate's stats footprint, not table size
+    val cands = candidateFiles(spark, path, v, predicate)
+    if (cands.isEmpty)
+      return commitNext(path, v, live, tableSchema(path, v),
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
+    val target = readUnder(spark, path, v, cands)
     val touched = target.filter(predicate)
       .withColumn("file", input_file_name())
       .select("file").distinct().collect().map(r => canonical(r.getString(0)))
@@ -2719,15 +2786,19 @@ object Snapshots {
     require(set.map(_._1).distinct.size == set.size,
       s"updateVersioned: duplicate SET column in ${set.map(_._1)}")
     val live = liveFiles(path, v)
-    val target = readUnder(spark, path, v, live)
+    lazy val target = readUnder(spark, path, v, live)
     val schemaNow = tableSchema(path, v).getOrElse(target.schema)
     set.foreach { case (c, _) =>
       require(schemaNow.fieldNames.contains(c),
         s"updateVersioned: no column '$c' in ${schemaNow.fieldNames.mkString(", ")}") }
     val hit = coalesce(predicate, lit(false))
-    val touched = target.filter(hit)
-      .withColumn("file", input_file_name())
-      .select("file").distinct().collect().map(r => canonical(r.getString(0)))
+    // r12: discovery over the manifest-pruned candidates only
+    val cands = candidateFiles(spark, path, v, predicate)
+    val touched =
+      if (cands.isEmpty) Array.empty[String]
+      else readUnder(spark, path, v, cands).filter(hit)
+        .withColumn("file", input_file_name())
+        .select("file").distinct().collect().map(r => canonical(r.getString(0)))
     if (touched.isEmpty) // no-op version, schema carried forward
       return commitNext(path, v, live, tableSchema(path, v),
         carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
@@ -2991,11 +3062,16 @@ object Snapshots {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     val live = liveFiles(path, v)
+    // r12: position discovery reads only the manifest-pruned candidates
+    val cands = candidateFiles(spark, path, v, predicate)
+    if (cands.isEmpty)
+      return commitNext(path, v, live, tableSchema(path, v),
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
     // positions come from the LIVE image (existing DVs applied), so an
     // already-dead row can never be re-marked — DV files stay disjoint;
     // the full pre-image rides along as the commit's change data (A31)
     val doomed = applyDvIfAny(spark, path, v,
-        readFilesAsWithPos(spark, tableSchema(path, v), live))
+        readFilesAsWithPos(spark, tableSchema(path, v), cands))
       .filter(coalesce(predicate, lit(false)))
       .withColumnRenamed("__file", "__dv_file")
       .withColumnRenamed("__pos", "__dv_pos")
@@ -3080,10 +3156,15 @@ object Snapshots {
       }
     }
     val allCols = schemaNow.fieldNames.toIndexedSeq
+    // r12: position discovery reads only the manifest-pruned candidates
+    val cands = candidateFiles(spark, path, v, predicate)
+    if (cands.isEmpty) // stats prove no file holds a match: no-op
+      return commitNext(path, v, live, tableSchema(path, v),
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
     // positions come from the LIVE image (existing DVs applied) so an
     // already-dead row can never be re-marked — DV files stay disjoint
     val pairs = applyDvIfAny(spark, path, v,
-        readFilesAsWithPos(spark, tableSchema(path, v), live))
+        readFilesAsWithPos(spark, tableSchema(path, v), cands))
       .filter(hit)
       .select(col("__file"), col("__pos"),
         struct(allCols.map(c => col(s"`$c`")): _*).as("__pre"),

@@ -1015,6 +1015,45 @@ class SnapshotsSpec extends GraftSuite {
     intercept[IllegalArgumentException](Snapshots.cloneDeep(src2, dst2))
   }
 
+  test("r12 predicate DML prunes candidate files from manifest stats") {
+    val dir = freshTable() // 4 range files over k = 1..100
+    Snapshots.init(spark, dir)
+    val all = Snapshots.liveFiles(dir, 0)
+    val cands = Snapshots.candidateFiles(spark, dir, 0, col("k") >= 80L)
+    assert(cands.nonEmpty && cands.size < all.size,
+      s"k >= 80 should prune (got ${cands.size} of ${all.size})")
+    // the file holding k=1 can never hold a k >= 80 match
+    val lowFile = Snapshots.candidateFiles(spark, dir, 0, col("k") === 1L)
+    assert(lowFile.size == 1 && !cands.contains(lowFile.head))
+
+    // STRONG pin: stash the low file OFF DISK — only discovery that
+    // never opens it can run; restore the identical bytes afterwards
+    // so content checks still read the full table
+    val victim = Paths.get(lowFile.head)
+    val stash = Files.createTempFile("graft_stash", ".parquet")
+    Files.move(victim, stash, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Snapshots.updateVersioned(spark, dir, col("k") >= 80L,
+        Seq("payload" -> concat(lit("u"), col("k")))) // v1 (CoW, pruned)
+      Snapshots.deleteVersionedDV(spark, dir, col("k") === 95L) // v2
+      Snapshots.updateVersionedDV(spark, dir, col("k") === 90L,
+        Seq("gen" -> lit(7L))) // v3
+      // a stats-provably-empty predicate commits a no-op version
+      // without opening a single data file
+      val v4 = Snapshots.deleteVersioned(spark, dir, col("k") > 1000L)
+      assert(v4 == 4)
+      assert(Snapshots.changesBetween(spark, dir, 3, 4, "k").isEmpty)
+    } finally Files.move(stash, victim)
+    val rows = Snapshots.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    val byK = rows.map(r => r._1 -> r).toMap
+    assert(!byK.contains(95L)) // DV delete landed
+    assert(byK(90L) == ((90L, "u90", 7L))) // both updates landed
+    assert(byK(85L)._2 == "u85" && byK(79L)._2 == "v79")
+    assert(byK(1L) == ((1L, "v1", 0L))) // untouched low file intact
+    assert(rows.size == 99)
+  }
+
   test("A71 merge-on-read update: DV mark + append, zero rewrites, exact feed") {
     val dir = freshTable()
     Snapshots.init(spark, dir, changeDataFeed = true) // v0
