@@ -39,6 +39,8 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT UPDATE '<path>' SET <c> = <expr> [, …] WHERE <pred>  -- A35
   *   GRAFT UPDATE MOR '<path>' SET … WHERE …  -- A71 merge-on-read:
   *     DV-mark + append, zero file rewrites
+  *   GRAFT DELETE MOR '<path>' WHERE …  -- A30 merge-on-read delete:
+  *     positions only, zero data files written
   *   GRAFT ADD BLOOM INDEX <col> '<path>'              -- A41 skipping
   *   GRAFT REINDEX BLOOM '<path>'
   *   GRAFT TAG <name> '<path>' [AT VERSION <n>]            -- A37 refs
@@ -115,6 +117,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s => Snapshots.addConstraint(s, p, n, e).toLong)
       case DropCons(n, p) => LakeMaintenanceCommand("version",
         _ => Snapshots.dropConstraint(p, n).toLong)
+      case DeleteMor(p, pred) => LakeMaintenanceCommand("version", s =>
+        Snapshots.deleteVersionedDV(s, p,
+          org.apache.spark.sql.functions.expr(pred)).toLong)
       case UpdateMor(p, setClause, pred) =>
         val assigns = splitAssignments(setClause).map { a =>
           a.split("=", 2) match {
@@ -305,6 +310,9 @@ object GraftSqlParser {
   // r12 (A71): merge-on-read UPDATE — DV-mark + append, no file rewrite
   private val UpdateMor =
     """(?is)\s*GRAFT\s+UPDATE\s+MOR\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  // r12 (A30): merge-on-read DELETE — positions only, no file rewrite
+  private val DeleteMor =
+    """(?is)\s*GRAFT\s+DELETE\s+MOR\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val AddBloom =
     """(?is)\s*GRAFT\s+ADD\s+BLOOM\s+INDEX\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
   private val ReindexBloom =

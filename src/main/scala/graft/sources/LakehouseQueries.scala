@@ -852,6 +852,76 @@ object LakehouseQueries {
       |UNION ALL
       |SELECT 'cow', count(*), round(sum(tp), 2), min(k), max(k) FROM img""".stripMargin
 
+  /** A76 — MANIFEST-PRUNED PREDICATE-DML DISCOVERY end-to-end: a
+    * range-clustered staged table has its LOWEST file moved OFF DISK
+    * while three predicate-DML verbs run against the HIGH key range —
+    * a CoW update, a MoR delete, and a MoR update, all via SQL. Only
+    * discovery pruned by the manifest stats can run at all (any full
+    * scan would die on the missing file — the strong pin); the file's
+    * identical bytes are then restored and the full table read +
+    * pruning verdict are oracled. A stats-provably-empty delete also
+    * lands as a no-op version with zero files opened.
+    */
+  def qLakeDmlPruned(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dir = staged {
+      val dd = tempDir("graft_dml_pruned")
+      b.repartitionByRange(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(dd)
+      Snapshots.init(s, dd) // v0, per-file key ranges in the manifest
+      dd
+    }
+    val keys = b.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (kMin, kMax) = (keys.getLong(0), keys.getLong(1))
+    val cut = kMin + (kMax - kMin) * 3 / 4
+    val lowFile = Snapshots.candidateFiles(s, dir, 0,
+      col("o_orderkey") === kMin)
+    val pruned = Snapshots.candidateFiles(s, dir, 0,
+      col("o_orderkey") >= cut)
+    val victim = Paths.get(lowFile.head)
+    val stash = Files.createTempFile("graft_dml_stash", ".parquet")
+    Files.move(victim, stash,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      val se = graft.plans.GraftSessions.withExtensions(s)
+      se.sql(s"GRAFT UPDATE '$dir' SET o_orderstatus = 'H' " +
+        s"WHERE o_orderkey >= $cut") // v1 CoW, pruned discovery
+      se.sql(s"GRAFT DELETE MOR '$dir' WHERE o_orderkey >= $cut " +
+        s"AND o_orderkey % 7 = 0") // v2
+      se.sql(s"GRAFT UPDATE MOR '$dir' SET o_totalprice = o_totalprice + 5.25 " +
+        s"WHERE o_orderkey >= $cut AND o_orderkey % 3 = 0") // v3
+      se.sql(s"GRAFT DELETE MOR '$dir' WHERE o_orderkey > ${kMax + 1000000}")
+      // ^ v4: provably empty — no-op without opening a file
+    } finally Files.move(stash, victim,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val verdict = s.range(1).select(lit("pin").as("snap"),
+      lit(if (lowFile.size == 1 && pruned.nonEmpty &&
+        pruned.size < Snapshots.liveFiles(dir, 0).size &&
+        !pruned.contains(lowFile.head) &&
+        Snapshots.currentVersion(dir) == 4) 1L else 0L).as("n"),
+      lit(null).cast("double").as("total"))
+    Snapshots.read(s, dir)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(lit("final").as("snap"), col("n"), col("total"))
+      .unionByName(verdict)
+  }
+
+  val qLakeDmlPrunedSql: String =
+    """WITH bounds AS (
+      |  SELECT min(o_orderkey) AS kmin, max(o_orderkey) AS kmax FROM orders),
+      |cut AS (SELECT kmin + (kmax - kmin) * 3 // 4 AS c FROM bounds),
+      |img AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey >= (SELECT c FROM cut)
+      |      AND o_orderkey % 3 = 0
+      |      THEN o_totalprice + 5.25 ELSE o_totalprice END AS tp
+      |  FROM orders
+      |  WHERE NOT (o_orderkey >= (SELECT c FROM cut) AND o_orderkey % 7 = 0))
+      |SELECT 'final' AS snap, count(*) AS n,
+      |  round(sum(tp), 2) AS total FROM img
+      |UNION ALL
+      |SELECT 'pin', 1, CAST(NULL AS DOUBLE)""".stripMargin
+
   /** A36 — the registered `format("graft")` BATCH connector
     * end-to-end: stage a range-clustered versioned table, merge an
     * update on top, then read three ways through the plug-in surface —
@@ -2708,6 +2778,7 @@ object LakehouseQueries {
     "q_lake_update" -> (qLakeUpdate(_, _)),
     "q_lake_update_mor" -> (qLakeUpdateMor(_, _)),
     "q_lake_merge_mor" -> (qLakeMergeMor(_, _)),
+    "q_lake_dml_pruned" -> (qLakeDmlPruned(_, _)),
     "q_lake_source" -> (qLakeSource(_, _)),
     "q_lake_stream_source" -> (qLakeStreamSource(_, _)),
     "q_lake_wap" -> (qLakeWap(_, _)),
@@ -2761,6 +2832,7 @@ object LakehouseQueries {
     "q_lake_update" -> qLakeUpdateSql,
     "q_lake_update_mor" -> qLakeUpdateMorSql,
     "q_lake_merge_mor" -> qLakeMergeMorSql,
+    "q_lake_dml_pruned" -> qLakeDmlPrunedSql,
     "q_lake_source" -> qLakeSourceSql,
     "q_lake_stream_source" -> qLakeStreamSourceSql,
     "q_lake_wap" -> qLakeWapSql,

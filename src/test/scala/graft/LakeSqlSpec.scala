@@ -348,6 +348,24 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("GRAFT DELETE MOR: positions only through SQL, zero data files written") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_sql_delmor").toString + "/t"
+      (1L to 50L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "gen")
+        .repartitionByRange(4, col("k")).write.parquet(dir)
+      Snapshots.init(s, dir) // v0
+      val before = Snapshots.liveFiles(dir, 0).toSet
+      val v = s.sql(s"GRAFT DELETE MOR '$dir' WHERE k % 10 = 0")
+        .head().getLong(0)
+      assert(v == 1L)
+      assert(Snapshots.liveFiles(dir, 1).toSet == before) // zero rewrites
+      assert(Snapshots.dvFiles(dir, 1).nonEmpty)
+      assert(Snapshots.read(s, dir).count() == 45)
+      assert(Snapshots.read(s, dir, 0).count() == 50)
+    }
+  }
+
   test("GRAFT UPDATE MOR: DV-mark + append through SQL, zero rewrites") {
     withExtSession { s =>
       import s.implicits._
