@@ -558,12 +558,11 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     acMin.foreach(n => require(n >= 2,
       s"graft: autoCompactMinFiles must be >= 2 (got $n)"))
     // r12: merge-on-read micro-batches (A75) — DV-mark + append, zero
-    // file rewrites per commit; pair with autoCompactMinFiles and a
-    // periodic GRAFT RECONCILE for the compaction rhythm
+    // file rewrites per commit; on a partitioned table each touched
+    // partition DV-merges in its own log. Pair with
+    // autoCompactMinFiles and periodic GRAFT RECONCILE (per partition)
+    // for the compaction rhythm
     val mor = parameters.get("morWrites").exists(_.toBoolean)
-    require(!(mor && partitionColumns.nonEmpty),
-      "graft: morWrites does not compose with a partition column yet " +
-        "(partitioned batches route per-partition CoW merges)")
     new GraftSink(path, keyCol, orderCol, partitionColumns.headOption, scope,
       acMin, parameters.get("autoCompactTargetBytes").map(_.toLong)
         .getOrElse(128L << 20), mor)
@@ -601,7 +600,8 @@ class GraftSink(path: String, keyCol: String, orderCol: String,
             batch, batchId)
         Seq.empty
       case Some(pc) => graft.streaming.UpsertSink
-        .mergePartitionedBatch(path, keyCol, pc, orderCol, scope)(batch, batchId)
+        .mergePartitionedBatch(path, keyCol, pc, orderCol, scope, mor)(
+          batch, batchId)
     }
     autoCompactMinFiles.foreach { n =>
       val s = data.sparkSession

@@ -102,7 +102,20 @@ object PartitionedSnapshots {
     * Returns (value → new version) for the touched partitions.
     */
   def mergePartitioned(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String, partCol: String): Map[String, Int] = {
+      keyCol: String, partCol: String): Map[String, Int] =
+    mergePartitioned(spark, path, updates, keyCol, partCol, mor = false)
+
+  /** `mor = true` (r12): each touched partition commits through the
+    * A75 merge-on-read upsert — DV-mark + append inside the
+    * partition's own log, zero file rewrites — so partitioned
+    * streaming ingest costs O(batch slice) per partition commit. New
+    * partition values still bootstrap identically (nothing to mark).
+    * Replay-safe WITHOUT the sidecar marker: a replayed MoR merge
+    * finds every key verbatim and commits a no-op version. Fold with
+    * [[reconcilePartition]] / [[compactPartition]] per partition.
+    */
+  def mergePartitioned(spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String, partCol: String, mor: Boolean): Map[String, Int] = {
     val existing = partitions(path).toSet
     val touched = updates.select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0))
@@ -123,10 +136,18 @@ object PartitionedSnapshots {
           .forEach(p => Files.deleteIfExists(p))
         finally walk.close()
         v -> Snapshots.init(spark, dir)
-      } else
+      } else if (mor)
+        v -> Snapshots.mergeVersionedDV(spark, dir, slice, keyCol)
+      else
         v -> Snapshots.mergeVersioned(spark, dir, slice, keyCol)
     }.toMap
   }
+
+  /** A30 per partition: fold ONE partition's deletion vectors — the
+    * maintenance unit of merge-on-read partitioned ingest. */
+  def reconcilePartition(spark: SparkSession, path: String,
+      value: String): Int =
+    Snapshots.reconcileDV(spark, partDir(path, value).toString)
 
   /** Per-partition OPTIMIZE (bin-packing) — the unit of maintenance. */
   def compactPartition(spark: SparkSession, path: String, value: String,

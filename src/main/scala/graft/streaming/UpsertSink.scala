@@ -128,13 +128,14 @@ object UpsertSink {
     * empty batch) so the sink's auto-compaction can gate only the
     * partitions this batch actually wrote. */
   private[graft] def mergePartitionedBatch(path: String, keyCol: String,
-      partCol: String, orderCol: String, scope: Option[String])(
+      partCol: String, orderCol: String, scope: Option[String],
+      mor: Boolean = false)(
       batch: DataFrame, batchId: Long): Seq[String] = {
     val latest = latestPerKey(batch, keyCol, orderCol)
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
     if (!replayed && !latest.isEmpty) {
       val touched = graft.sources.PartitionedSnapshots.mergePartitioned(
-        batch.sparkSession, path, latest, keyCol, partCol)
+        batch.sparkSession, path, latest, keyCol, partCol, mor)
       scope.foreach(sc => recordBatch(path, sc, batchId))
       touched.keys.toSeq
     } else Seq.empty
@@ -218,12 +219,13 @@ object UpsertSink {
     */
   def startPartitioned(changes: DataFrame, path: String, keyCol: String,
       partCol: String, orderCol: String,
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      mor: Boolean = false): StreamingQuery = {
     val w = changes.writeStream.outputMode("append")
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     val scope = markerScope(checkpoint)
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      mergePartitionedBatch(path, keyCol, partCol, orderCol, scope)(
+      mergePartitionedBatch(path, keyCol, partCol, orderCol, scope, mor)(
         batch, batchId): Unit
     }.start()
   }

@@ -363,6 +363,44 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.currentVersion(dir) == v3 + 1)
   }
 
+  test("r12 partitioned merge-on-read: per-partition DV merge, zero rewrites, reconcile unit") {
+    import spark.implicits._
+    import graft.sources.PartitionedSnapshots
+    val dir = Files.createTempDirectory("graft_part_mor").toString + "/t"
+    val df = (1L to 300L).map(k =>
+      (k, Seq("A", "B", "C")((k % 3).toInt), s"v$k")).toDF("k", "part", "payload")
+    PartitionedSnapshots.init(spark, dir, df, "part")
+    val bDir = PartitionedSnapshots.partitionDir(dir, "B").toString
+    val bFiles0 = Snapshots.liveFiles(bDir, 0).toSet
+    // MoR merge: B updated + a NEW partition D bootstrapped
+    val vs = PartitionedSnapshots.mergePartitioned(spark, dir,
+      Seq((4L, "B", "UP4"), (301L, "B", "N301"), (500L, "D", "N500"))
+        .toDF("k", "part", "payload"), "k", "part", mor = true)
+    assert(vs == Map("B" -> 1, "D" -> 0))
+    // B's bootstrap files are ALL still live; batch appended + one DV
+    val bFiles1 = Snapshots.liveFiles(bDir, 1).toSet
+    assert(bFiles0.subsetOf(bFiles1) && bFiles1.size > bFiles0.size)
+    assert(Snapshots.dvFiles(bDir, 1).nonEmpty)
+    // untouched partitions frozen; content exact
+    assert(PartitionedSnapshots.versions(dir) ==
+      Map("A" -> 0, "B" -> 1, "C" -> 0, "D" -> 0))
+    val bMap = PartitionedSnapshots.readPartition(spark, dir, "part", "B")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bMap(4L) == "UP4" && bMap(301L) == "N301" && bMap(7L) == "v7")
+    // replay of the same batch no-ops content-wise (verbatim keys)
+    PartitionedSnapshots.mergePartitioned(spark, dir,
+      Seq((4L, "B", "UP4")).toDF("k", "part", "payload"), "k", "part",
+      mor = true)
+    assert(Snapshots.changesBetween(spark, bDir, 1, 2, "k").isEmpty)
+    // per-partition reconcile folds only B's DVs
+    PartitionedSnapshots.reconcilePartition(spark, dir, "B")
+    assert(Snapshots.dvFiles(bDir,
+      Snapshots.currentVersion(bDir)).isEmpty)
+    val bAfter = PartitionedSnapshots.readPartition(spark, dir, "part", "B")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bAfter == bMap)
+  }
+
   test("partitioned table: partition-scoped merges/OPTIMIZE, pruned reads, per-partition time travel") {
     import spark.implicits._
     import graft.sources.PartitionedSnapshots
