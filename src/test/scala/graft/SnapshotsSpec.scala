@@ -1053,6 +1053,62 @@ class SnapshotsSpec extends GraftSuite {
     intercept[IllegalArgumentException](Snapshots.cloneDeep(src2, dst2))
   }
 
+  test("r12 MoR DML corners: CHECK refusal stages nothing, stat-less " +
+      "columns prune nothing, bucketed MoR keeps the layout") {
+    import spark.implicits._
+    // A34 × A71: a violating MoR update refuses BEFORE staging — no
+    // orphan DV/data files, version unchanged
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    val vCons = Snapshots.addConstraint(spark, dir, "gen_pos", "gen >= 0")
+    val filesBefore = Files.list(Paths.get(dir)).iterator().asScala.size
+    intercept[IllegalArgumentException] {
+      Snapshots.updateVersionedDV(spark, dir, col("k") === 5L,
+        Seq("gen" -> lit(-1L)))
+    }
+    assert(Snapshots.currentVersion(dir) == vCons)
+    assert(Files.list(Paths.get(dir)).iterator().asScala.size == filesBefore,
+      "a refused MoR update left staged files behind")
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeVersionedDV(spark, dir,
+        Seq((5L, "x", -2L)).toDF("k", "payload", "gen"), "k")
+    }
+    assert(Snapshots.currentVersion(dir) == vCons)
+
+    // A76 conservativeness: a column added AFTER the data files have
+    // stats (all-NULL on old files) must not mis-prune — the update
+    // still lands on rows whose OTHER conjunct matches
+    val vAdd = Snapshots.addColumn(spark, dir, "score",
+      org.apache.spark.sql.types.DoubleType) // metadata-only
+    val cands = Snapshots.candidateFiles(spark, dir, vAdd,
+      col("score").isNull && col("k") === 7L)
+    assert(cands.nonEmpty, "stat-less/null-only column over-pruned")
+    Snapshots.updateVersionedDV(spark, dir,
+      col("score").isNull && col("k") === 7L,
+      Seq("score" -> lit(0.5)))
+    val scored = Snapshots.read(spark, dir)
+      .filter(col("score").isNotNull).collect()
+    assert(scored.length == 1 && scored.head.getLong(0) == 7L)
+
+    // A50 × A75: a bucketed table's MoR-appended files stay
+    // bucket-tagged, and the bucket layout survives reconcile
+    val bdir = Files.createTempDirectory("graft_mor_bucket").toString + "/t"
+    Snapshots.writeBucketedVersioned(spark, bdir,
+      (1L to 80L).map(k => (k, s"v$k")).toDF("k", "payload"), "k", 4)
+    Snapshots.mergeVersionedDV(spark, bdir,
+      Seq((3L, "U3"), (200L, "N200")).toDF("k", "payload"), "k")
+    val staged = Snapshots.liveFiles(bdir, 1)
+      .filterNot(Snapshots.liveFiles(bdir, 0).toSet)
+    assert(staged.nonEmpty && staged.forall(f =>
+      org.apache.spark.sql.GraftSqlBridge
+        .bucketIdOf(Paths.get(f).getFileName.toString).isDefined),
+      s"MoR-appended files lost the bucket tag: $staged")
+    Snapshots.reconcileDV(spark, bdir)
+    val rows = Snapshots.read(spark, bdir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(3L) == "U3" && rows(200L) == "N200" && rows.size == 81)
+  }
+
   test("r12 predicate DML prunes candidate files from manifest stats") {
     val dir = freshTable() // 4 range files over k = 1..100
     Snapshots.init(spark, dir)
