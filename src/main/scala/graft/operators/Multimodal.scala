@@ -578,8 +578,11 @@ object Multimodal {
     import graft.functions.vec_cosine
     val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val filtered = emb.join(broadcast(docs.filter(col("lang") === "en")),
-        emb("vec_id") === docs("doc_id"))
+    // join condition built from the FILTERED frame itself (r13 advice
+    // fix): referencing the pre-filter `docs` columns resolved only via
+    // attribute-id preservation — brittle self-join style
+    val en = docs.filter(col("lang") === "en")
+    val filtered = emb.join(broadcast(en), emb("vec_id") === en("doc_id"))
       .select(col("vec_id"), col("embedding"), col("lang"), col("source"))
     val queries = emb.filter(col("vec_id") < 12)
     val scored = filtered.as("c")

@@ -435,6 +435,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered, exactly-fresh A55 materialized view (A58) — the base
     // scan disappears from the plan (sources/MvRewrite.scala)
     ext.injectOptimizerRule(s => new graft.sources.GraftMvRewriteRule(s))
+    // r13: DV-carrying / column-mapped versions read through the
+    // VECTORIZED parquet path (row-index anti join) instead of the
+    // row-based compat relation — resolution-time substitution so the
+    // whole optimizer (pushdown, pruning, codegen) runs over it
+    ext.injectPostHocResolutionRule(s => new graft.sources.GraftDvScanRule(s))
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+/** The commit atoms of the snapshot log, extracted behind a seam (r13,
+  * the r12 verdict's item 2 — "the S3 story").
+  *
+  * Everything transactional in the engine reduces to TWO primitives on
+  * the log directory:
+  *
+  *  - [[putIfAbsent]] — publish content at a path iff nothing is there
+  *    (the version CAS: whoever lands `vN.manifest` owns version N;
+  *    also the A56 fence acquire). This is Delta's LogStore
+  *    `write(..., overwrite = false)` contract.
+  *  - [[replace]] — atomically swap a path's content so readers see
+  *    the old bytes xor the new, never a torn file (manifest
+  *    checkpoint materialization, fence refresh).
+  *
+  * The default [[LocalCommitStore]] implements them with POSIX
+  * hard-link CAS and ATOMIC_MOVE. An object store without atomic
+  * rename-if-absent (S3 before conditional writes, GCS with
+  * generation-match, a DynamoDB-coordinated log à la Delta's
+  * S3DynamoDBLogStore) plugs in here — every OCC property the engine's
+  * specs pin is derived ONLY from these two contracts, which
+  * [[graft.CommitStoreSpec]] demonstrates by running the whole DML
+  * surface over a deliberately primitive (lock + exists + write)
+  * store and a race-losing one.
+  */
+trait CommitStore {
+
+  /** Publish `content` at `target` iff `target` is ABSENT. Returns
+    * true iff this call created it (won the CAS). Implementations must
+    * guarantee that of any number of concurrent callers exactly one
+    * wins, and that a loser's content is never visible — even torn. */
+  def putIfAbsent(target: Path, content: Array[Byte]): Boolean
+
+  /** Atomically replace `target`'s content: a concurrent reader sees
+    * the complete old bytes or the complete new bytes, never a
+    * mixture or a missing file. */
+  def replace(target: Path, content: Array[Byte]): Unit
+}
+
+/** POSIX implementation: write-to-temp + hard-link for the CAS
+  * (`Files.createLink` is content-atomic — a crash mid-write can
+  * never publish a torn manifest, and link-into-place fails loudly if
+  * the target exists) and ATOMIC_MOVE with REPLACE_EXISTING for the
+  * swap. Temp files live in the target's own directory so the link /
+  * move never crosses a filesystem boundary. */
+object LocalCommitStore extends CommitStore {
+
+  override def putIfAbsent(target: Path, content: Array[Byte]): Boolean = {
+    val tmp = Files.createTempFile(target.getParent, "commit", ".tmp")
+    try {
+      Files.write(tmp, content)
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def replace(target: Path, content: Array[Byte]): Unit = {
+    val tmp = Files.createTempFile(target.getParent, "rep", ".tmp")
+    Files.write(tmp, content)
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** The injection point. Global (not per-table) because the store is a
+  * deployment property — ONE object-store backend per cluster, as with
+  * Delta's `spark.delta.logStore.class`. Test-scoped swaps go through
+  * [[withStore]], which restores the previous store even on throw. */
+object CommitStores {
+
+  @volatile private[graft] var current: CommitStore = LocalCommitStore
+
+  def get: CommitStore = current
+
+  /** Run `body` with `store` installed, restoring the previous store
+    * afterwards — the spec seam. NOT safe to nest concurrently with a
+    * different store (the store is global by design). */
+  def withStore[A](store: CommitStore)(body: => A): A = {
+    val prev = current
+    current = store
+    try body finally current = prev
+  }
+}

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** r13 (the r12 verdict's item 3) — VECTORIZED reads of DV-carrying and
+  * column-mapped versions (Delta's DV scan shape). The connector's
+  * [[GraftCompatRelation]] is row-based by design: a V1
+  * `PrunedFilteredScan` can only hand Spark an `RDD[Row]`, so every
+  * read between a merge-on-read commit and its reconcile paid the
+  * row-transition boundary — and with the r12 `morWrites` streaming
+  * sink, DV state is the STEADY state of an ingest table, not a corner.
+  *
+  * This resolution rule (graft extensions sessions) replaces the
+  * compat leaf with a NATIVE plan equivalent to Snapshots' own read
+  * path, built from stock operators so Catalyst/Tungsten treat it like
+  * any parquet query:
+  *
+  *   Project(logical names restored, original exprIds preserved)
+  *     └─ [LeftAnti join on (_metadata.file_path, _metadata.row_index)
+  *         against the DV parquet — only when the version carries DVs]
+  *         └─ HadoopFsRelation(GraftFileIndex, ParquetFileFormat)
+  *              — physical schema, ColumnarBatch vectorized scan
+  *
+  * Because the substitution happens at RESOLUTION time, the whole
+  * optimizer runs over it afterwards: predicates on data columns push
+  * through the rename projection and the anti join's left side into
+  * the parquet scan (`PushedFilters`), the A27 manifest stats prune
+  * files inside [[GraftFileIndex]], column pruning reaches the scan
+  * schema, and the scan itself is whole-stage-codegen'd ColumnarBatch
+  * — none of which the row-based compat scan could surface. The DV
+  * side is a small parquet relation; Spark's size-based planning
+  * broadcasts it in the common case and is free to shuffle a massive
+  * accumulated DV (same trade as Snapshots.applyDv).
+  *
+  * Sessions WITHOUT the extensions keep the row-based compat scan —
+  * same results, slower boundary — so the rule is a pure acceleration,
+  * never a correctness dependency. Pinned by DvScanSpec (plan shape +
+  * content) and exercised end-to-end by q_lake_compat through the
+  * extensions session.
+  */
+class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case lr: LogicalRelation if lr.relation.isInstanceOf[GraftCompatRelation] =>
+      val compat = lr.relation.asInstanceOf[GraftCompatRelation]
+      val out = native(compat.tablePath, compat.tableVersion)
+      val analyzed = out.queryExecution.analyzed
+      // the A46/A33 CBO flip, DV-adjusted (the row-based compat leaf
+      // could never carry CatalogStatistics): a catalog-named table's
+      // stats land on the substituted scan, rowCount corrected for
+      // dead positions
+      val newPlan = lr.catalogTable match {
+        case Some(ct) if ct.stats.isEmpty =>
+          GraftStats.dvAdjustedStats(spark, compat.tablePath,
+              compat.tableVersion) match {
+            case Some(cs) => analyzed.transform {
+              case l: LogicalRelation
+                  if l.relation.isInstanceOf[HadoopFsRelation] &&
+                    l.relation.asInstanceOf[HadoopFsRelation]
+                      .location.isInstanceOf[GraftFileIndex] =>
+                l.copy(catalogTable = Some(ct.copy(stats = Some(cs))))
+            }
+            case None => analyzed
+          }
+        case _ => analyzed
+      }
+      // hand the substituted subtree back under the ORIGINAL output
+      // attribute ids, so everything referencing the old relation's
+      // columns still resolves
+      Project(lr.output.zip(newPlan.output).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }, newPlan)
+  }
+
+  /** The vectorized equivalent of `Snapshots.read(path, v)`: physical
+    * parquet scan over the version's live files (stats-pruning file
+    * index), DV anti join when the version carries DVs, logical-name
+    * projection when it carries a column mapping. */
+  private def native(path: String, v: Int): DataFrame = {
+    val schemaNow: StructType = Snapshots.tableSchema(path, v).getOrElse(
+      spark.read.parquet(Snapshots.liveFiles(path, v): _*).schema)
+    val physical = StructType(schemaNow.fields.map(f =>
+      f.copy(name = Snapshots.physicalName(f))))
+    val hfs = HadoopFsRelation(
+      location = new GraftFileIndex(spark, path, v),
+      partitionSchema = new StructType(),
+      dataSchema = physical,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+    val base = spark.baseRelationToDataFrame(hfs)
+    val logical = schemaNow.fields.toIndexedSeq.map(f =>
+      col(s"`${Snapshots.physicalName(f)}`").as(f.name, f.metadata))
+    val dvs = Snapshots.dvFiles(path, v)
+    if (dvs.isEmpty) base.select(logical: _*)
+    else {
+      val withPos = base.select(logical :+
+        col("_metadata.file_path").as("__file") :+
+        col("_metadata.row_index").as("__pos"): _*)
+      val dv = spark.read.parquet(dvs: _*)
+        .select(col("__dv_file"), col("__dv_pos"))
+      withPos.join(dv,
+          withPos("__file") === dv("__dv_file") &&
+            withPos("__pos") === dv("__dv_pos"),
+          "left_anti")
+        .select(schemaNow.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
+    }
+  }
+}

@@ -295,6 +295,19 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       require(Snapshots.currentVersion(d) >= 0,
         s"graft: partition $value of $path has no log")
     }
+    // r13: a dir carrying deletion vectors (a MoR merge landed and has
+    // not reconciled yet) or a column mapping cannot be a bare file
+    // scan — route the WHOLE table through the hidden compat scan
+    // (per-dir DV anti join inside the read; BOTH pruning levels —
+    // transform directories, then A27 file stats — still apply)
+    val needsCompat = dirs.exists { case (_, d) =>
+      val pv = Snapshots.currentVersion(d)
+      Snapshots.dvFiles(d, pv).nonEmpty ||
+        Snapshots.tableSchema(d, pv).exists(Snapshots.hasMapping)
+    }
+    if (needsCompat)
+      return new GraftHiddenCompatRelation(spark, path,
+        HiddenPartitions.epochGroups(path))
     val (_, d0) = dirs.head
     val dataSchema = Snapshots.tableSchema(d0, Snapshots.currentVersion(d0))
       .getOrElse(spark.read.parquet(
@@ -425,14 +438,21 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       org.apache.spark.sql.types.StringType, nullable = false))
   }
 
-  private def isPartitionedRoot(path: String): Boolean = {
-    // hidden-partitioned roots refuse streaming for now: exposing the
-    // derived value as a stream column would leak the hidden layout
-    require(HiddenPartitions.specOf(path).isEmpty,
-      s"graft: streaming a hidden-partitioned table is not supported; " +
-        "stream its partition dirs individually")
-    Snapshots.currentVersion(path) < 0 &&
+  private def isHiddenRoot(path: String): Boolean =
+    HiddenPartitions.specOf(path).nonEmpty
+
+  private def isPartitionedRoot(path: String): Boolean =
+    !isHiddenRoot(path) && Snapshots.currentVersion(path) < 0 &&
       PartitionedSnapshots.partitions(path).nonEmpty
+
+  /** r13: the flat stream schema served from the hidden root's first
+    * dir — NO partition column (the hidden layout never surfaces; the
+    * transform's source column streams at full fidelity). */
+  private def hiddenStreamSchema(spark: SparkSession, path: String,
+      keyCol: String, cdf: Boolean): StructType = {
+    val dirs = HiddenPartitions.epochGroups(path).flatMap(_._3).map(_._2)
+    require(dirs.nonEmpty, s"graft: $path has no partitions")
+    streamSchema(spark, dirs.head, keyCol, cdf)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -443,7 +463,10 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         "graft: streaming read needs .option(\"keyCol\", <column>)"))
     val path = pathOf(parameters)
     (shortName(),
-      if (isPartitionedRoot(path))
+      if (isHiddenRoot(path))
+        hiddenStreamSchema(sqlContext.sparkSession, path, keyCol,
+          cdfOpt(parameters))
+      else if (isPartitionedRoot(path))
         partitionedStreamSchema(sqlContext.sparkSession, path,
           parameters.getOrElse("partitionCol", "part"), keyCol,
           cdfOpt(parameters))
@@ -467,6 +490,20 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val path = pathOf(parameters)
     val keyCol = parameters("keyCol")
     val cdf = cdfOpt(parameters)
+    if (isHiddenRoot(path)) {
+      // per-dir version spaces, same as the A26 partitioned root: a
+      // global startingVersion / chunk cap indexes ONE sequence
+      Seq("startingVersion", "startingTimestamp", "snapshotFilesPerTrigger",
+        "maxVersionsPerTrigger").foreach(o => require(
+        !parameters.contains(o),
+        s"graft: '$o' is undefined on a hidden-partitioned root (every " +
+          "directory has its own version sequence); stream dirs " +
+          "individually for version-addressed consumption"))
+      return new GraftHiddenChangeSource(sqlContext.sparkSession, path,
+        keyCol,
+        hiddenStreamSchema(sqlContext.sparkSession, path, keyCol, cdf),
+        cdfStyle = cdf)
+    }
     if (isPartitionedRoot(path)) {
       // per-partition version spaces: a global startingVersion is
       // ill-posed and the chunk/cap options index into ONE version
@@ -646,6 +683,11 @@ class GraftCompatRelation(spark: SparkSession, path: String, version: Int)
     extends BaseRelation
     with org.apache.spark.sql.sources.PrunedFilteredScan {
 
+  /** r13: the DV-scan rule keys on these to substitute the vectorized
+    * native plan in extensions sessions. */
+  private[graft] def tablePath: String = path
+  private[graft] def tableVersion: Int = version
+
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = Snapshots.read(spark, path, version).schema
   override lazy val sizeInBytes: Long =
@@ -820,6 +862,70 @@ object GraftPartitionedCompatRelation {
       case _ => true // unknown shapes cannot prune
     }
     dirs.filter { case (value, _) => filters.forall(keeps(value, _)) }
+  }
+}
+
+/** DV-carrying HIDDEN-transform reads (r13): between a merge-on-read
+  * wave and its [[HiddenPartitions.reconcile]], some hidden dirs carry
+  * deletion vectors — a bare file scan would resurrect dead rows. This
+  * compat scan keeps BOTH pruning levels: directory pruning through
+  * each epoch's OWN transform (the pushed filters are re-analyzed
+  * against the data schema, so the transform sees the same resolved
+  * expression shapes [[GraftHiddenPartitionedIndex.listFiles]] gets
+  * from the optimizer) and A27 per-file stats inside surviving dirs —
+  * then applies the per-dir DV anti join via readLive. Plain versions
+  * never route here; reconcile restores the vectorized scan.
+  */
+class GraftHiddenCompatRelation(spark: SparkSession, path: String,
+    groups: Seq[(Int, GraftTransform, Seq[(String, String)])])
+    extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = {
+    val d0 = groups.flatMap(_._3).head._2
+    Snapshots.read(spark, d0).schema
+  }
+  private def emptyFrame = spark.createDataFrame(
+    java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    // resolve the pushed filters into typed catalyst predicates so the
+    // transforms' mayContain logic prunes dirs exactly as on the
+    // FileIndex path (attribute types and literal casts identical)
+    val exprFilters: Seq[Expression] = filters.toIndexedSeq
+      .flatMap(GraftCompatRelation.toColumn)
+      .flatMap { c =>
+        emptyFrame.filter(c).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+      }
+    val frames = groups.flatMap { case (_, t, ds) =>
+      ds.filter { case (value, _) =>
+          exprFilters.forall(t.mayContain(value, _)) }
+        .flatMap { case (_, d) =>
+          val pv = Snapshots.currentVersion(d)
+          val files = GraftCompatRelation.planFiles(d, pv, filters)
+          if (files.isEmpty) None
+          else Some(Snapshots.readLive(spark, d, pv, files))
+        }
+    }
+    val unioned = frames
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(emptyFrame)
+    val normalized = unioned.select(schema.fieldNames.toIndexedSeq.map(c =>
+      (if (unioned.columns.contains(c)) col(s"`$c`")
+       else lit(null).cast(schema(c).dataType)).as(c)): _*)
+    val filtered = filters.flatMap(GraftCompatRelation.toColumn)
+      .foldLeft(normalized)(_ filter _)
+    val projected =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(
+        requiredColumns.toIndexedSeq.map(c => col(s"`$c`")): _*)
+    projected.rdd
   }
 }
 
@@ -1397,7 +1503,12 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
   @volatile private var availableNowCap: Option[Int] = None
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowCap = Some(math.max(Snapshots.currentVersion(path), 0))
+    // store the RAW head — including -1 for an uninitialized table
+    // (r13 advice fix): clamping to 0 here let a v0 committed mid-run
+    // slip into the drain, breaking the 'only data available at query
+    // start' contract; getOffset instead yields nothing while the
+    // captured cap is negative.
+    availableNowCap = Some(Snapshots.currentVersion(path))
   }
 
   override def getDefaultReadLimit
@@ -1427,6 +1538,9 @@ class GraftChangeSource(spark: SparkSession, path: String, keyCol: String,
     getOffset.orNull
 
   override def getOffset: Option[OffsetV1] = {
+    // an AvailableNow drain of a table that was UNINITIALIZED at query
+    // start delivers nothing, even if v0 commits mid-run
+    if (availableNowCap.exists(_ < 0)) return None
     val rawHead = Snapshots.currentVersion(path)
     if (rawHead < 0) return None
     // under AvailableNow, never expose past the captured head — the
@@ -1540,16 +1654,28 @@ class GraftPartitionedChangeSource(spark: SparkSession, path: String,
 
   import GraftPartitionedChangeSource._
 
-  private def dirOf(value: String): String =
-    PartitionedSnapshots.partitionDir(path, value)
+  /** Label → directory for every committed unit (r13 seam: the
+    * hidden-root source shares the whole version-vector offset
+    * protocol, differing only here and in [[tagged]]). Labels are the
+    * offset-map keys — restart-stable, so they must not change meaning
+    * across epochs or sessions. */
+  protected def currentDirs(): Seq[(String, String)] =
+    PartitionedSnapshots.partitions(path)
+      .map(v => v -> PartitionedSnapshots.partitionDir(path, v))
 
-  private def ordered(df: DataFrame): DataFrame =
+  /** Decorate one unit's rows for delivery: the A26 source restores
+    * the partition VALUE as a column; the hidden source must NOT (the
+    * layout never surfaces). */
+  protected def tagged(label: String, df: DataFrame): DataFrame =
+    ordered(df.withColumn(partCol, lit(label)))
+
+  protected final def ordered(df: DataFrame): DataFrame =
     df.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
 
   override def getOffset: Option[OffsetV1] = {
-    val m = PartitionedSnapshots.partitions(path).flatMap { v =>
-      val cur = Snapshots.currentVersion(dirOf(v))
-      if (cur >= 0) Some(v -> cur) else None
+    val m = currentDirs().flatMap { case (label, d) =>
+      val cur = Snapshots.currentVersion(d)
+      if (cur >= 0) Some(label -> cur) else None
     }.toMap
     if (m.isEmpty) None else Some(PartMapOffset(m))
   }
@@ -1557,29 +1683,28 @@ class GraftPartitionedChangeSource(spark: SparkSession, path: String,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val startM = start.map(o => parseMap(o.json)).getOrElse(Map.empty)
     val endM = parseMap(end.json)
-    def tagged(value: String, df: DataFrame): DataFrame =
-      ordered(df.withColumn(partCol, lit(value)))
-    def changesAt(value: String, v: Int): DataFrame = tagged(value,
-      (if (cdfStyle) Snapshots.changesCdf(spark, dirOf(value), v - 1, v, keyCol)
-       else Snapshots.changesWithPayload(spark, dirOf(value), v - 1, v, keyCol))
+    val dirOf = currentDirs().toMap
+    def changesAt(label: String, v: Int): DataFrame = tagged(label,
+      (if (cdfStyle) Snapshots.changesCdf(spark, dirOf(label), v - 1, v, keyCol)
+       else Snapshots.changesWithPayload(spark, dirOf(label), v - 1, v, keyCol))
         .withColumn("_commit_version", lit(v)))
     // a zero-file bootstrap version has no snapshot rows to deliver
     // (Snapshots.read would hand back a schemaless empty frame)
-    def snapshot(value: String, e: Int): Option[DataFrame] =
-      if (Snapshots.liveFiles(dirOf(value), e).isEmpty) None
-      else Some(tagged(value,
-        Snapshots.read(spark, dirOf(value), e)
+    def snapshot(label: String, e: Int): Option[DataFrame] =
+      if (Snapshots.liveFiles(dirOf(label), e).isEmpty) None
+      else Some(tagged(label,
+        Snapshots.read(spark, dirOf(label), e)
           .withColumn(if (cdfStyle) "_change_type" else "change_type",
             lit("insert"))
           .withColumn("_commit_version", lit(e))))
     val frames: Seq[DataFrame] =
-      endM.toSeq.sortBy(_._1).flatMap { case (value, endV) =>
-        startM.get(value) match {
-          case Some(lo) => ((lo + 1) to endV).map(changesAt(value, _))
+      endM.toSeq.sortBy(_._1).flatMap { case (label, endV) =>
+        startM.get(label) match {
+          case Some(lo) => ((lo + 1) to endV).map(changesAt(label, _))
           case None =>
-            val e = Snapshots.earliestVersion(dirOf(value))
-            snapshot(value, e).toSeq ++
-              ((e + 1) to endV).map(changesAt(value, _))
+            val e = Snapshots.earliestVersion(dirOf(label))
+            snapshot(label, e).toSeq ++
+              ((e + 1) to endV).map(changesAt(label, _))
         }
       }
     val batch = frames.reduceOption(_.unionByName(_)).getOrElse(
@@ -1589,6 +1714,33 @@ class GraftPartitionedChangeSource(spark: SparkSession, path: String,
   }
 
   override def stop(): Unit = ()
+}
+
+/** Streaming read of a HIDDEN-TRANSFORM root (r13 — lifts the r12
+  * refusal): the same per-directory version-vector offset protocol as
+  * the A26 partitioned source, with offset labels `e<epoch>:<value>`
+  * through the transform index — but the derived partition value is
+  * NEVER added as a column (the hidden layout must not leak into the
+  * stream schema; a consumer that wants it can re-derive it from the
+  * source column, which streams at full fidelity). MoR commits stream
+  * exactly like CoW ones: the per-dir change feed is manifest-diffed
+  * with DVs applied. New dirs (new transform values, or a new epoch
+  * after [[HiddenPartitions.evolve]]) enter the offset map on their
+  * first commit and deliver their bootstrap as a snapshot-phase batch.
+  */
+class GraftHiddenChangeSource(spark: SparkSession, path: String,
+    keyCol: String, override val schema: StructType,
+    cdfStyle: Boolean = false)
+    extends GraftPartitionedChangeSource(spark, path,
+      partCol = "", keyCol = keyCol, schema = schema, cdfStyle = cdfStyle) {
+
+  override protected def currentDirs(): Seq[(String, String)] =
+    HiddenPartitions.epochGroups(path).flatMap { case (e, _, ds) =>
+      ds.map { case (value, d) => s"e$e:$value" -> d }
+    }
+
+  override protected def tagged(label: String, df: DataFrame): DataFrame =
+    ordered(df)
 }
 
 object GraftPartitionedChangeSource {

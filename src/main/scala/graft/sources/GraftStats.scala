@@ -67,6 +67,32 @@ class GraftStatsRule extends Rule[LogicalPlan] {
 
 object GraftStats {
 
+  /** r13 — DV-adjusted rowCount, memoized per (path, version): the DV
+    * set of a committed version is immutable, so the one small job
+    * over the DV sidecars (O(changed rows) bytes) runs at most once
+    * per version per driver, and every later resolution answers from
+    * the cache. The manifest carries everything else. */
+  private val dvRowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[BigInt]]
+
+  /** Catalog statistics for a DV-carrying (or column-mapped) version —
+    * what [[GraftDvScanRule]] hangs on the substituted vectorized
+    * scan: manifest column ranges/null counts/NDV as on the plain
+    * path, with rowCount corrected for the dead positions
+    * ([[Snapshots.rowCount]] — exact, not an estimate). Column min/max
+    * stay the manifest bounds, which under DVs are sound-as-bounds but
+    * possibly wide (a dead row may have held the extremum) — the
+    * standard estimator trade; A48's EXACT metadata answers stay off
+    * DV versions for precisely this reason. */
+  private[graft] def dvAdjustedStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, v: Int): Option[CatalogStatistics] =
+    catalogStats(path, v).map { base =>
+      val key = (Snapshots.canonical(path), v)
+      val adjusted = dvRowCountCache.computeIfAbsent(key,
+        _ => Snapshots.rowCount(spark, path, v).map(BigInt(_)))
+      base.copy(rowCount = adjusted.orElse(base.rowCount))
+    }
+
   /** Manifest-derived `CatalogStatistics` for one version of a flat
     * table: None when any live file lacks recorded row counts (legacy
     * manifests — no guessing). Metadata-only by construction. */

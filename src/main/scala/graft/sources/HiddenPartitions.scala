@@ -523,7 +523,32 @@ object HiddenPartitions {
     * `e<epoch>:<value>` for old-epoch in-place updates, bare `<value>`
     * for the current epoch. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String): Map[String, Int] = {
+      keyCol: String): Map[String, Int] =
+    merge(spark, path, updates, keyCol, mor = false)
+
+  /** `mor = true` (r13, the r12 verdict's top item): every touched
+    * directory commits through the A75 merge-on-read upsert — DV-mark
+    * + append inside that dir's own log, ZERO file rewrites — so a
+    * continuous keyed ingest into a hidden-transform table costs
+    * O(batch slice) per touched dir, exactly as the A26 partitioned
+    * MoR route. Epoch-aware semantics are IDENTICAL to the CoW path
+    * (in-place update where the key lives, delete+reroute when the
+    * update moves the transform value — the moving delete is a keyed
+    * DV delete, still zero rewrites); new partition values bootstrap
+    * as plain files (nothing to mark). Fold the accumulated DVs with
+    * [[reconcile]] / [[reconcileDir]]. Safe against immediate
+    * re-delivery of the last batch (a verbatim replay no-ops
+    * per dir); out-of-order replays need the caller's own guard, as
+    * with [[PartitionedSnapshots.mergePartitioned]]. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String, mor: Boolean): Map[String, Int] = {
+    def upsert(dir: String, rows: DataFrame): Int =
+      if (mor) Snapshots.mergeVersionedDV(spark, dir, rows, keyCol)
+      else Snapshots.mergeVersioned(spark, dir, rows, keyCol)
+    def removeKeys(dir: String, keys: DataFrame): Int =
+      if (mor) Snapshots.deleteVersionedKeysDV(spark, dir, keys, keyCol)
+      else Snapshots.mergeVersionedClauses(spark, dir, keys, keyCol,
+        Seq(MergeWhen.MatchedDelete(None)))
     val specs = specsOf(path)
     require(specs.nonEmpty, s"$path is not a hidden-partitioned table")
     val current = specs.last
@@ -617,18 +642,15 @@ object HiddenPartitions {
             val label = s"e$epoch:$v"
             if (keyPure(t)) {
               // no move possible: everything found here updates here
-              results(label) =
-                Snapshots.mergeVersioned(spark, dirOf(v), rowsV, keyCol)
+              results(label) = upsert(dirOf(v), rowsV)
             } else {
               val staying = rowsV.filter(t.valueExpr <=> lit(v))
               val moving = rowsV.filter(!(t.valueExpr <=> lit(v)))
               if (!staying.isEmpty)
-                results(label) =
-                  Snapshots.mergeVersioned(spark, dirOf(v), staying, keyCol)
+                results(label) = upsert(dirOf(v), staying)
               if (!moving.isEmpty)
-                results(s"$label:del") = Snapshots.mergeVersionedClauses(
-                  spark, dirOf(v), moving.select(column(keyCol)), keyCol,
-                  Seq(MergeWhen.MatchedDelete(None)))
+                results(s"$label:del") =
+                  removeKeys(dirOf(v), moving.select(column(keyCol)))
             }
           }
           if (found.nonEmpty) {
@@ -678,10 +700,29 @@ object HiddenPartitions {
             results(v) = Snapshots.init(spark, dir)
         }
       } else if (!slice.isEmpty)
-        results(v) = Snapshots.mergeVersioned(spark, dir, slice, keyCol)
+        results(v) = upsert(dir, slice)
     }
     results.toMap
   }
+
+  /** A30 per hidden dir (r13): fold ONE directory's deletion vectors —
+    * the maintenance unit of merge-on-read hidden-transform ingest.
+    * Address the dir by epoch + transform value. */
+  def reconcileDir(spark: SparkSession, path: String, epoch: Int,
+      value: String): Int =
+    Snapshots.reconcileDV(spark, epochDir(path, epoch, value))
+
+  /** Fold the DVs of EVERY directory that carries any — the whole-table
+    * maintenance sweep. Returns `e<epoch>:<value>` → new version for
+    * the dirs actually reconciled (a DV-free dir is skipped: its
+    * version must not advance for a no-op). */
+  def reconcile(spark: SparkSession, path: String): Map[String, Int] =
+    epochGroups(path).flatMap { case (e, _, dirs) =>
+      dirs.collect { case (value, d)
+          if Snapshots.dvFiles(d, Snapshots.currentVersion(d)).nonEmpty =>
+        s"e$e:$value" -> Snapshots.reconcileDV(spark, d)
+      }
+    }.toMap
 
   /** Read the whole table at each partition's current version, across
     * every epoch (the connector is the pruning path; this is the

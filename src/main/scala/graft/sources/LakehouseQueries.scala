@@ -167,7 +167,9 @@ object LakehouseQueries {
     val upd = b.filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
         (col("o_totalprice") + 10000.0).as("o_totalprice"))
-    val ins = b.filter(col("o_orderkey") % 101 === 0)
+    // key 0 excluded (r13): −0 = 0 collides with upd's key 0 — a
+    // duplicate-keyed source, which the merge now refuses up front
+    val ins = b.filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") > 0)
       .select((-col("o_orderkey")).as("o_orderkey"),
         lit("I").as("o_orderstatus"), col("o_totalprice"))
     Snapshots.mergeVersioned(s, dir, upd.unionByName(ins), "o_orderkey")
@@ -186,7 +188,7 @@ object LakehouseQueries {
       |ins AS (
       |  SELECT -o_orderkey AS o_orderkey, 'I' AS o_orderstatus,
       |    o_totalprice
-      |  FROM base WHERE o_orderkey % 101 = 0),
+      |  FROM base WHERE o_orderkey % 101 = 0 AND o_orderkey > 0),
       |merged AS (
       |  SELECT * FROM base WHERE o_orderkey % 97 <> 0
       |  UNION ALL SELECT * FROM upd
@@ -549,9 +551,27 @@ object LakehouseQueries {
     Snapshots.cloneDeep(src2, deep)
     Snapshots.liveFiles(src2, Snapshots.currentVersion(src2))
       .foreach(f => Files.delete(Paths.get(f)))
+    // r13 DV-carrying deep clone: a MoR delete + MoR update leave the
+    // source mid-merge-on-read; the deep clone MATERIALIZES the
+    // touched files (its v0 carries no DV refs), and the same
+    // delete-the-source pin proves nothing is shared — a clone that
+    // leaked a DV ref or resurrected a dead row breaks the hash
+    val b3 = base(s, d).filter(col("o_orderkey") % 4 === 1)
+    val src3 = stage(b3, 3)
+    Snapshots.init(s, src3)
+    Snapshots.deleteVersionedDV(s, src3, col("o_orderkey") % 11 === 0)
+    Snapshots.updateVersionedDV(s, src3, col("o_orderkey") % 13 === 0,
+      Seq("o_totalprice" -> (col("o_totalprice") + 55.0)))
+    val deepDv = tempDir("graft_lake_dvclone") + "/t"
+    Snapshots.cloneDeep(src3, deepDv)
+    require(Snapshots.dvFiles(deepDv, 0).isEmpty,
+      "a deep clone must not carry DV refs")
+    Snapshots.liveFiles(src3, Snapshots.currentVersion(src3))
+      .foreach(f => Files.delete(Paths.get(f)))
     Snapshots.read(s, src).withColumn("t", lit("src"))
       .unionByName(Snapshots.read(s, dst).withColumn("t", lit("clone")))
       .unionByName(Snapshots.read(s, deep).withColumn("t", lit("deep")))
+      .unionByName(Snapshots.read(s, deepDv).withColumn("t", lit("deepdv")))
   }
 
   val qLakeCloneSql: String =
@@ -567,7 +587,13 @@ object LakehouseQueries {
       |  'clone' FROM base
       |UNION ALL
       |SELECT o_orderkey, o_orderstatus, o_totalprice, 'deep'
-      |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin
+      |FROM orders WHERE o_orderkey % 4 = 2
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 55.0
+      |       ELSE o_totalprice END, 'deepdv'
+      |FROM orders
+      |WHERE o_orderkey % 4 = 1 AND o_orderkey % 11 <> 0""".stripMargin
 
   /** A30 — deletion vectors end-to-end: two MERGE-ON-READ deletes (no
     * data file rewritten — the commits write row positions only), then
@@ -1529,6 +1555,76 @@ object LakehouseQueries {
       |UNION ALL
       |SELECT 'probe', count(*), round(sum(price), 2)
       |FROM t WHERE o_orderkey BETWEEN 1 AND 64""".stripMargin
+
+  /** r13 — MERGE-ON-READ on a hidden-transform root (the r12
+    * verdict's top item): orders lands mod(o_orderkey, 8)-partitioned
+    * exactly as q_lake_hidden_part, then ONE MoR wave (updates keys
+    * ≡ 0 mod 6 at price×2, inserts negated keys ≡ 0 mod 7) DV-marks +
+    * appends inside each touched residue's own log. The ZERO-REWRITE
+    * contract is part of the RESULT: the `mor_pin` slice carries the
+    * number of pre-merge live files the wave retired (must be 0 —
+    * the oracle pins the literal) and the number of dirs carrying
+    * deletion vectors (= the distinct residues of the update keys,
+    * which the oracle derives from the raw table). The read goes
+    * through the connector's DV-aware hidden compat scan — residue
+    * aggregates + a transform-pruned IN probe make a resurrected
+    * dead row, a lost append, or a misrouted insert break the hash.
+    */
+  def qLakeHiddenMor(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val root = tempDir("graft_hidden_mor_q") + "/t"
+    HiddenPartitions.init(s, root, b, ModTransform("o_orderkey", 8))
+    val dirs0 = HiddenPartitions.epochGroups(root).flatMap(_._3)
+    val liveBefore = dirs0.map { case (v, dir) =>
+      v -> Snapshots.liveFiles(dir, Snapshots.currentVersion(dir)).toSet
+    }.toMap
+    val upd = b.filter(col("o_orderkey") % 6 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+    val ins = b.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") > 0)
+      .select((-col("o_orderkey")).as("o_orderkey"),
+        lit("M").as("o_orderstatus"), col("o_totalprice"))
+    HiddenPartitions.merge(s, root, upd.unionByName(ins), "o_orderkey",
+      mor = true)
+    val retired = dirs0.map { case (v, dir) =>
+      (liveBefore(v) --
+        Snapshots.liveFiles(dir, Snapshots.currentVersion(dir)).map(
+          Snapshots.canonical).toSet).size
+    }.sum
+    val dvDirs = dirs0.count { case (_, dir) =>
+      Snapshots.dvFiles(dir, Snapshots.currentVersion(dir)).nonEmpty }
+    val df = s.read.format("graft").load(root)
+    val agg = df
+      .groupBy(pmod(col("o_orderkey"), lit(8L)).cast("long").as("residue"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(concat(lit("residue_"), col("residue")).as("slice"),
+        col("n"), col("total"))
+    val probe = df.filter(col("o_orderkey").isin((1L to 64L): _*))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(lit("probe").as("slice"), col("n"), col("total"))
+    val pin = s.range(1).select(lit("mor_pin").as("slice"),
+      lit(retired.toLong).as("n"), lit(dvDirs.toDouble).as("total"))
+    agg.unionByName(probe).unionByName(pin)
+  }
+
+  val qLakeHiddenMorSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 6 = 0
+      |      THEN round(o_totalprice * 2, 2) ELSE o_totalprice END AS price
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT -o_orderkey, 'M', o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey > 0)
+      |SELECT 'residue_' || (((o_orderkey % 8) + 8) % 8) AS slice,
+      |  count(*) AS n, round(sum(price), 2) AS total
+      |FROM t GROUP BY ((o_orderkey % 8) + 8) % 8
+      |UNION ALL
+      |SELECT 'probe', count(*), round(sum(price), 2)
+      |FROM t WHERE o_orderkey BETWEEN 1 AND 64
+      |UNION ALL
+      |SELECT 'mor_pin', 0,
+      |  CAST((SELECT count(DISTINCT o_orderkey % 8) FROM orders
+      |        WHERE o_orderkey % 6 = 0) AS DOUBLE)""".stripMargin
 
   /** A37 — tags + write-audit-publish end-to-end: pin v0 under a tag,
     * cut a branch, stage a merge wave (updates keys ≡ 0 mod 13,
@@ -2794,6 +2890,7 @@ object LakehouseQueries {
     "q_lake_meta_agg_filtered" -> (qLakeMetaAggFiltered(_, _)),
     "q_lake_ts_stats" -> (qLakeTsStats(_, _)),
     "q_lake_hidden_part" -> (qLakeHiddenPart(_, _)),
+    "q_lake_hidden_mor" -> (qLakeHiddenMor(_, _)),
     "q_lake_catalog_part" -> (qLakeCatalogPart(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -2848,5 +2945,6 @@ object LakehouseQueries {
     "q_lake_meta_agg_filtered" -> qLakeMetaAggFilteredSql,
     "q_lake_ts_stats" -> qLakeTsStatsSql,
     "q_lake_hidden_part" -> qLakeHiddenPartSql,
+    "q_lake_hidden_mor" -> qLakeHiddenMorSql,
     "q_lake_catalog_part" -> qLakeCatalogPartSql)
 }

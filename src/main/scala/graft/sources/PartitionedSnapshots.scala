@@ -110,9 +110,15 @@ object PartitionedSnapshots {
     * partition's own log, zero file rewrites — so partitioned
     * streaming ingest costs O(batch slice) per partition commit. New
     * partition values still bootstrap identically (nothing to mark).
-    * Replay-safe WITHOUT the sidecar marker: a replayed MoR merge
-    * finds every key verbatim and commits a no-op version. Fold with
-    * [[reconcilePartition]] / [[compactPartition]] per partition.
+    * Safe against IMMEDIATE re-delivery of the LAST committed batch
+    * even without a sidecar marker: that replay finds every key
+    * verbatim and commits a no-op version. An OUT-OF-ORDER replay of
+    * an OLDER batch would regress keys updated since — the streaming
+    * sink's lastCommittedBatch guard forbids that; bare-API callers
+    * who need general replay safety should route through the
+    * checkpoint-scoped marker ([[graft.streaming.UpsertSink]]) or
+    * [[Snapshots.mergeVersionedDVIdempotent]] per partition. Fold
+    * with [[reconcilePartition]] / [[compactPartition]] per partition.
     */
   def mergePartitioned(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, partCol: String, mor: Boolean): Map[String, Int] = {

@@ -1023,24 +1023,22 @@ object Snapshots {
     val f = fenceFile(path)
     var attempts = 0
     while (attempts <= 5) {
-      try {
-        Files.write(f,
+      // r13: fence acquire is the OTHER putIfAbsent client of the
+      // pluggable CommitStore (a fence is a CAS on its own marker)
+      if (CommitStores.get.putIfAbsent(f,
           s"$app\t${System.currentTimeMillis() + ttlMillis}"
-            .getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
+            .getBytes("UTF-8")))
         return
-      } catch { case _: java.nio.file.FileAlreadyExistsException =>
-        fenceOwner(path) match {
-          case Some((o, _)) if o == app => // re-entrant refresh
-            Files.write(f,
-              s"$app\t${System.currentTimeMillis() + ttlMillis}"
-                .getBytes("UTF-8"))
-            return
-          case Some((o, exp)) if exp > System.currentTimeMillis() =>
-            throw new java.util.ConcurrentModificationException(
-              s"$path is already fenced by '$o'")
-          case _ => Files.deleteIfExists(f) // expired or torn: clear
-        }
+      fenceOwner(path) match {
+        case Some((o, _)) if o == app => // re-entrant refresh
+          CommitStores.get.replace(f,
+            s"$app\t${System.currentTimeMillis() + ttlMillis}"
+              .getBytes("UTF-8"))
+          return
+        case Some((o, exp)) if exp > System.currentTimeMillis() =>
+          throw new java.util.ConcurrentModificationException(
+            s"$path is already fenced by '$o'")
+        case _ => Files.deleteIfExists(f) // expired or torn: clear
       }
       attempts += 1
     }
@@ -1621,8 +1619,7 @@ object Snapshots {
     }
     val target = manifestPath(path, v)
     if (Files.exists(target)) return false
-    val tmp = Files.createTempFile(logDir(path), "commit", ".tmp")
-    try {
+    locally {
       // the PREVIOUS manifest is read ONCE; every self-carrying
       // property parses from the same line buffer (six separate
       // full-file reads per commit measurably taxed the multi-commit
@@ -1722,10 +1719,10 @@ object Snapshots {
             if (ops.size < lines.size) ops else lines
           }
         }
-      Files.write(tmp, content.mkString("\n").getBytes("UTF-8"))
-      val won =
-        try { Files.createLink(target, tmp); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      // r13: the version CAS goes through the pluggable CommitStore —
+      // the ONLY way a manifest is ever published (the S3 seam)
+      val won = CommitStores.get.putIfAbsent(target,
+        content.mkString("\n").getBytes("UTF-8"))
       // The fence pre-check above is a separate read from the CAS
       // (TOCTOU): a writer that read the fence as empty can land its
       // manifest AFTER a transaction's under-fence OCC verification,
@@ -1751,7 +1748,7 @@ object Snapshots {
         }
       }
       won
-    } finally Files.deleteIfExists(tmp)
+    }
   }
 
   private[graft] def commit(path: String, files: Seq[String],
@@ -2027,19 +2024,34 @@ object Snapshots {
     * Cluster state remaps; the bucket spec carries (bucket tags live
     * in the copied file names); bloom SIDECARS are dropped (the
     * property carries, so future commits re-index — sidecars are a
-    * rebuildable cache, not state). DV-carrying versions refuse:
-    * compact first (merge-on-read state is the one thing a clone
-    * cannot share-nothing without materializing). */
+    * rebuildable cache, not state). DV-carrying versions MATERIALIZE
+    * during the copy (r13, the r12 verdict's item 5): files with dead
+    * positions fold their deletion vectors into freshly-written clone
+    * files — one distributed pass over exactly the touched files, like
+    * [[reconcileDV]] but landing in the clone — while untouched files
+    * still hard-link; the clone's v0 never carries a DV ref. The SOURCE
+    * keeps its DVs and its versions untouched. Materialized files get
+    * freshly computed stats lines (the source's described pre-fold
+    * content); linked files keep their remapped originals. */
   def cloneDeep(src: String, dst: String, version: Int = -1): Int = {
     val v = if (version < 0) currentVersion(src) else version
     require(v >= 0, s"$src not initialized (call init)")
     require(Files.exists(manifestPath(src, v)), s"clone: no version $v at $src")
     require(currentVersion(dst) < 0, s"clone: $dst already versioned")
-    require(dvFiles(src, v).isEmpty,
-      s"cloneDeep: $src@v$v carries deletion vectors — run compact " +
-        "(materializes the deletes) before deep-cloning")
     Files.createDirectories(Paths.get(dst))
     val live = liveFiles(src, v).map(canonical)
+    val dvs = dvFiles(src, v)
+    // files carrying live dead-positions — these cannot share bytes
+    // with the source; everything else links as before
+    val touched: Set[String] =
+      if (dvs.isEmpty) Set.empty
+      else {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val liveSet = live.toSet
+        spark.read.parquet(dvs: _*).select("__dv_file").distinct()
+          .collect().map(r => canonical(r.getString(0)))
+          .filter(liveSet.contains).toSet
+      }
     val taken = scala.collection.mutable.Set.empty[String]
     def copyIn(f: String): String = {
       val srcP = Paths.get(f)
@@ -2063,13 +2075,41 @@ object Snapshots {
       }
       dstP.toString
     }
-    val renames: Map[String, String] = live.map(f => f -> copyIn(f)).toMap
-    commit(dst, live.map(renames), tableSchema(src, v),
-      remappedStats(src, v, live, renames),
+    val linked = live.filterNot(touched.contains)
+    val renames: Map[String, String] = linked.map(f => f -> copyIn(f)).toMap
+    // materialize the DV-touched files: ONE distributed read of their
+    // live rows (existing DVs applied), staged then moved into the
+    // clone with collision-safe names
+    val (matFiles, matStats): (Seq[String], Seq[String]) =
+      if (touched.isEmpty) (Seq.empty, Seq.empty)
+      else {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val keptRows = readLive(spark, src, v, touched.toIndexedSeq)
+        val stage = Files.createTempDirectory("graft_clone_mat").toString
+        tableSchema(src, v).fold(keptRows)(stagedAsPhysical(keptRows, _))
+          .write.mode(SaveMode.Overwrite).parquet(stage)
+        val moved = listDir(Paths.get(stage))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            var name = s"mat_${p.getFileName.toString}"
+            var i = 0
+            while (!taken.add(name)) { i += 1
+              name = s"mat${i}_${p.getFileName.toString}" }
+            val dstP = Paths.get(dst, name)
+            Files.move(p, dstP)
+            dstP.toString
+          }
+        (moved, statsLines(spark, moved))
+      }
+    commit(dst, linked.map(renames) ++ matFiles, tableSchema(src, v),
+      remappedStats(src, v, linked, renames) ++ matStats,
       cdfFlag = cdfEnabled(src, v),
       constraintsOverride = Some(constraintsOf(src, v)),
+      // materialized files fall out of the clustered set (their row
+      // layout was rewritten); linked members remap
       clusterOverride = clusterStateOf(src, v).map { case (cols, fs) =>
-        (cols, fs.map(f => renames.getOrElse(canonical(f), f))) },
+        (cols, fs.map(canonical).filterNot(touched.contains)
+          .map(f => renames.getOrElse(f, f))) },
       bloomColsOverride = Some(bloomColsOf(src, v)),
       bucketOverride = bucketSpecOf(src, v))
   }
@@ -2447,6 +2487,14 @@ object Snapshots {
         .groupBy("file")
         .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
     }
+    // r13 (the r12 verdict's dup-key asymmetry): refuse a
+    // duplicate-keyed source exactly as mergeVersionedClauses does —
+    // the union below would otherwise land BOTH rows and silently
+    // break the one-live-row-per-key invariant every merge maintains.
+    require(updates.groupBy(col(s"`$keyCol`")).count()
+      .filter(col("count") > 1).isEmpty,
+      s"merge: duplicate '$keyCol' keys in the source violate MERGE " +
+        "cardinality on a keyed table")
     val keys = updates.select(col(keyCol).as("__k")).distinct()
     val touched = stats
       .join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
@@ -3163,6 +3211,12 @@ object Snapshots {
         carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
     // positions come from the LIVE image (existing DVs applied) so an
     // already-dead row can never be re-marked — DV files stay disjoint
+    // Materialized ONCE (r13 advice fix): the emptiness probe, the
+    // appended post-image write, the DV write, and the CDF staging all
+    // read this frame — checkpointing makes the candidate-file
+    // position scan run a single time AND pins one evaluation of a
+    // possibly-non-deterministic SET expression across the commit's
+    // coupled artifacts.
     val pairs = applyDvIfAny(spark, path, v,
         readFilesAsWithPos(spark, tableSchema(path, v), cands))
       .filter(hit)
@@ -3170,6 +3224,7 @@ object Snapshots {
         struct(allCols.map(c => col(s"`$c`")): _*).as("__pre"),
         struct(newExprs: _*).as("__post"))
       .filter(!(col("__pre") <=> col("__post")))
+      .localCheckpoint()
     if (pairs.isEmpty) // nothing actually changes: no-op version
       return commitNext(path, v, live, tableSchema(path, v),
         carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
@@ -3232,13 +3287,29 @@ object Snapshots {
     txn.foreach { case (app, ver) =>
       if (txnVersionOf(path, v, app).exists(_ >= ver)) return v
     }
-    enforceConstraints(path, v, updates)
+    // Materialize the batch ONCE (r13 advice fix): touched-file
+    // discovery, the appended data, the DV marks, and the change rows
+    // must all derive from ONE evaluation of the source. A
+    // non-deterministic updates frame (rand(), sample, a re-executed
+    // shuffle after executor loss) re-evaluated per artifact could
+    // commit mutually inconsistent pieces — worse here than in the CoW
+    // merge because a MoR commit couples TWO artifacts (DV + appends).
+    val ups = updates.localCheckpoint()
+    enforceConstraints(path, v, ups)
     val live = liveFiles(path, v)
     lazy val target = readUnder(spark, path, v, live)
     val schemaNow = tableSchema(path, v).getOrElse(target.schema)
     require(schemaNow.fieldNames.contains(keyCol),
       s"mergeVersionedDV: no key column '$keyCol' in " +
         schemaNow.fieldNames.mkString(", "))
+    // r13 (the r12 verdict's dup-key asymmetry): a duplicate-keyed
+    // source violates MERGE cardinality on a keyed table, exactly as
+    // mergeVersionedClauses already refuses — both post-image rows
+    // would otherwise append and the keyed invariant silently breaks.
+    require(ups.groupBy(col(s"`$keyCol`")).count()
+      .filter(col("count") > 1).isEmpty,
+      s"merge: duplicate '$keyCol' keys in the source violate MERGE " +
+        "cardinality on a keyed table")
     val keyType = schemaNow(keyCol).dataType
     val stats = manifestRanges(path, v, live, keyCol) match {
       case Some(rows) => keyRangeFrame(spark, rows, keyType)
@@ -3247,13 +3318,13 @@ object Snapshots {
         .groupBy("file")
         .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
     }
-    val keys = updates.select(col(keyCol).as("__k")).distinct()
+    val keys = ups.select(col(keyCol).as("__k")).distinct()
     val touched = stats
       .join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
       .select("file").collect().map(_.getString(0))
       .map(canonical).toIndexedSeq
     val outSchema = StructType(
-      schemaNow.fields ++ updates.schema.fields.filterNot(f =>
+      schemaNow.fields ++ ups.schema.fields.filterNot(f =>
         schemaNow.fieldNames.contains(f.name)))
     val payload = outSchema.fieldNames.filterNot(_ == keyCol).toIndexedSeq
     val payloadType = StructType(payload.map(c => outSchema(c)))
@@ -3284,9 +3355,12 @@ object Snapshots {
             struct(payload.map(c => col(s"`$c`")): _*).as("__pre"),
             col("__file"), col("__pos"))
       }
-    val post = norm(updates).select(col(s"`$keyCol`").as("__k"),
+    val post = norm(ups).select(col(s"`$keyCol`").as("__k"),
       struct(payload.map(c => col(s"`$c`")): _*).as("__post"))
-    val joined = post.join(pre, Seq("__k"), "left_outer")
+    // one evaluation of the batch ⋈ touched-pre join feeds the empty
+    // probe, the append write, the DV write, and the CDF rows — the
+    // candidate-file position scan runs ONCE, not once per artifact
+    val joined = post.join(pre, Seq("__k"), "left_outer").localCheckpoint()
     val inserts = joined.filter(col("__file").isNull)
     val changed = joined.filter(col("__file").isNotNull &&
       !(col("__pre") <=> col("__post")))
@@ -3301,19 +3375,25 @@ object Snapshots {
         txnSet = txn)
     val staged = stageData(norm(appended), Some(outSchema), path, v + 1,
       bucketSpecOf(path, v), "graft_snap_mergemor")
-    val doomed = changed.select(
-      col("__file").as("__dv_file") +: col("__pos").as("__dv_pos") +:
-        col("__k").as(keyCol) +: payload.map(c => col(s"__pre.`$c`").as(c)): _*)
-    val dvStage = Files.createTempDirectory("graft_dv_merge").toString
-    doomed.write.mode(SaveMode.Overwrite).parquet(dvStage)
-    val dst = Paths.get(path)
-    val dvStaged = listDir(Paths.get(dvStage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"v${v + 1}_dv_${p.getFileName.toString}"
-        Files.move(p, dst.resolve(name))
-        dst.resolve(name).toString
-      }
+    // r13: a pure-insert batch marks nothing — staging its EMPTY DV
+    // parquet anyway would tag the version as DV-carrying, forcing the
+    // row-based compat read path (and an empty anti join) for no
+    // reason on every ingest-only commit
+    val dvStaged: Seq[String] = if (changed.isEmpty) Seq.empty else {
+      val doomed = changed.select(
+        col("__file").as("__dv_file") +: col("__pos").as("__dv_pos") +:
+          col("__k").as(keyCol) +: payload.map(c => col(s"__pre.`$c`").as(c)): _*)
+      val dvStage = Files.createTempDirectory("graft_dv_merge").toString
+      doomed.write.mode(SaveMode.Overwrite).parquet(dvStage)
+      val dst = Paths.get(path)
+      listDir(Paths.get(dvStage))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val name = s"v${v + 1}_dv_${p.getFileName.toString}"
+          Files.move(p, dst.resolve(name))
+          dst.resolve(name).toString
+        }
+    }
     val cdfStaged: Option[Seq[String]] =
       if (!cdfEnabled(path, v)) None
       else Some(stageCdf(path, v,
@@ -3931,11 +4011,8 @@ object Snapshots {
     * BEFORE it drops anything. */
   private def materializeManifest(path: String, v: Int): Unit = {
     val lines = manifestLines(path, v)
-    val tmp = Files.createTempFile(logDir(path), "mat", ".tmp")
-    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, manifestPath(path, v),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    CommitStores.get.replace(manifestPath(path, v),
+      lines.mkString("\n").getBytes("UTF-8"))
   }
 
   /** Force-materialize version `v` (default: head) as a FULL manifest

@@ -972,4 +972,31 @@ class ConnectorSpec extends GraftSuite {
         Seq(("delete", "v15"), ("insert", "v15")))
     } finally q.stop()
   }
+
+  test("r13 AvailableNow contract: a table uninitialized at query start " +
+      "yields nothing even if v0 commits mid-run") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_conn_an13").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.IntegerType)))
+    val src = new graft.sources.GraftChangeSource(spark, dir, "k", schema)
+    // AvailableNow captures the head BEFORE the table exists: the
+    // drain's contract is 'data available at query start' — nothing
+    src.prepareForTriggerAvailableNow()
+    Seq((1L, "a")).toDF("k", "payload").write.parquet(dir)
+    Snapshots.init(spark, dir) // v0 commits mid-run
+    assert(src.getOffset.isEmpty,
+      "an AvailableNow drain leaked a version committed after query start")
+    // a source WITHOUT the captured cap (normal micro-batch tailing)
+    // sees the new head immediately
+    val tailSrc = new graft.sources.GraftChangeSource(spark, dir, "k", schema)
+    assert(tailSrc.getOffset.nonEmpty)
+  }
 }

@@ -137,9 +137,27 @@ class HiddenPartitionSpec extends GraftSuite {
     HiddenPartitions.init(spark, ok,
       (1L to 20L).map(k => (k, s"v$k")).toDF("k", "payload"),
       ModTransform("k", 4))
-    intercept[IllegalArgumentException] {
-      spark.readStream.format("graft").option("keyCol", "k").load(ok)
+    // r13: streaming a hidden root WORKS — but the stream schema must
+    // not leak the hidden layout (no partition column; the transform's
+    // source column streams at full fidelity)
+    val streamed = spark.readStream.format("graft")
+      .option("keyCol", "k").load(ok)
+    assert(streamed.schema.fieldNames.toSet ==
+      Set("k", "change_type", "payload", "_commit_version"))
+    // version-addressed options are per-dir concepts on a hidden root
+    // (the V1 source is created on the stream thread, so the refusal
+    // surfaces at termination, not at start)
+    val ckptR = Files.createTempDirectory("graft_hidden_refuse").toString
+    val q = spark.readStream.format("graft").option("keyCol", "k")
+      .option("startingVersion", 0).load(ok)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckptR)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
     }
+    assert(err.getMessage.contains("undefined on a hidden-partitioned root"))
   }
 
   // ---- A53: partition-spec EVOLUTION ------------------------------
@@ -465,5 +483,138 @@ class HiddenPartitionSpec extends GraftSuite {
     // equality still prunes: the probe key hits at most one dir per epoch
     val total = scannedFiles(df)
     assert(scannedFiles(df.filter(col("k") === 37L)) < total)
+  }
+
+  test("r13 MoR merge on a hidden root: zero files retired, DV-aware " +
+      "connector read, transform pruning intact, reconcile folds") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_mor").toString + "/t"
+    HiddenPartitions.init(spark, root,
+      (1L to 200L).map(k => (k, s"v$k")).toDF("k", "payload")
+        .repartition(4), ModTransform("k", 4))
+    val dirs0 = HiddenPartitions.epochGroups(root).flatMap(_._3)
+    val liveBefore = dirs0.map { case (v, d) =>
+      v -> Snapshots.liveFiles(d, Snapshots.currentVersion(d)).toSet }.toMap
+    // MoR wave: updates on every residue + brand-new keys
+    val res = HiddenPartitions.merge(spark, root,
+      ((1L to 20L).map(k => (k, "UPD")) ++
+        Seq((501L, "NEW1"), (502L, "NEW2"))).toDF("k", "payload"),
+      "k", mor = true)
+    assert(res.nonEmpty)
+    // ZERO files retired: every pre-merge live file is still live in
+    // its dir, and the touched dirs carry DVs
+    var dvDirs = 0
+    dirs0.foreach { case (v, d) =>
+      val cur = Snapshots.currentVersion(d)
+      val liveNow = Snapshots.liveFiles(d, cur).toSet
+      assert(liveBefore(v).subsetOf(liveNow),
+        s"dir $v retired a file under mor=true")
+      if (Snapshots.dvFiles(d, cur).nonEmpty) dvDirs += 1
+    }
+    assert(dvDirs == 4, s"expected DVs in all 4 residues, got $dvDirs")
+    // connector read routes through the DV-aware compat scan: dead
+    // rows must not resurrect, new keys appear
+    val df = spark.read.format("graft").load(root)
+    assert(df.count() == 202)
+    assert(df.filter(col("k") === 7L).select("payload")
+      .head().getString(0) == "UPD")
+    assert(df.filter(col("k") === 501L).count() == 1)
+    assert(df.groupBy("k").count().filter(col("count") > 1).isEmpty)
+    // transform pruning still prunes on the compat path: an equality
+    // probe reads only its own residue's rows
+    assert(df.filter(col("k") === 37L).count() == 1)
+    // reconcile folds every DV-carrying dir and restores the
+    // vectorized scan; content identical
+    val rec = HiddenPartitions.reconcile(spark, root)
+    assert(rec.size == dvDirs)
+    HiddenPartitions.epochGroups(root).flatMap(_._3).foreach { case (_, d) =>
+      assert(Snapshots.dvFiles(d, Snapshots.currentVersion(d)).isEmpty)
+    }
+    val after = spark.read.format("graft").load(root)
+    assert(after.count() == 202)
+    assert(after.filter(col("k") === 7L).select("payload")
+      .head().getString(0) == "UPD")
+    assert(after.queryExecution.executedPlan.exists(
+      _.isInstanceOf[FileSourceScanExec]),
+      "reconcile must restore the file-scan fast path")
+  }
+
+  test("r13 MoR merge that MOVES a row: keyed DV delete in the old " +
+      "dir (zero rewrites), re-route to the new dir, never duplicated") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_morm").toString + "/t"
+    val rows = for (d <- 0 until 2; i <- 1 to 10) yield
+      (d * 100 + i.toLong, ts(f"2024-03-0${d + 5}T01:00:00Z"), s"p$d-$i")
+    HiddenPartitions.init(spark, root, rows.toDF("k", "tt", "payload")
+      .coalesce(1), DayTransform("tt"))
+    // DayTransform values are epoch-day numbers, not date strings
+    val day5 = java.time.LocalDate.parse("2024-03-05").toEpochDay.toString
+    val day5dir = HiddenPartitions.epochGroups(root).flatMap(_._3)
+      .find(_._1 == day5).get._2
+    val day5LiveBefore =
+      Snapshots.liveFiles(day5dir, Snapshots.currentVersion(day5dir)).toSet
+    // k=3 moves day 05 → day 08 (new dir); k=5 stays in day 05
+    HiddenPartitions.merge(spark, root, Seq(
+      (3L, ts("2024-03-08T09:00:00Z"), "MOVED"),
+      (5L, ts("2024-03-05T01:00:00Z"), "STAYED"))
+      .toDF("k", "tt", "payload"), "k", mor = true)
+    // the old dir retired NOTHING: the moving delete and the staying
+    // update are both DV commits
+    val day5cur = Snapshots.currentVersion(day5dir)
+    assert(day5LiveBefore.subsetOf(
+      Snapshots.liveFiles(day5dir, day5cur).toSet),
+      "the moving delete rewrote a file under mor=true")
+    assert(Snapshots.dvFiles(day5dir, day5cur).nonEmpty)
+    val df = spark.read.format("graft").load(root)
+    assert(df.count() == 20)
+    assert(df.groupBy("k").count().filter(col("count") > 1).isEmpty)
+    assert(df.filter(col("k") === 3L).select("payload")
+      .head().getString(0) == "MOVED")
+    // found through its NEW day — pruning soundness on the DV path
+    val day8rows = df.filter(
+      col("tt") >= lit("2024-03-08 00:00:00").cast("timestamp") &&
+      col("tt") < lit("2024-03-09 00:00:00").cast("timestamp"))
+    assert(day8rows.count() == 1 &&
+      day8rows.select("k").head().getLong(0) == 3L)
+  }
+
+  test("r13 streaming a hidden root: snapshot + per-dir tailing, MoR " +
+      "commits stream exactly, no layout leak") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_str").toString + "/t"
+    HiddenPartitions.init(spark, root,
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "payload")
+        .coalesce(1), ModTransform("k", 4))
+    val ckpt = Files.createTempDirectory("graft_hidden_str_ck").toString
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").option("keyCol", "k")
+        .load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= b.collect().map(r =>
+              (r.getLong(0), r.getString(1), r.getString(2)))
+          }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "drain did not terminate")
+    }
+    drain()
+    assert(got.size == 40 && got.forall(_._2 == "insert"))
+    // a MoR wave while the consumer is stopped; next drain delivers
+    // exactly the net changes (updates + the insert), nothing else
+    HiddenPartitions.merge(spark, root,
+      Seq((1L, "U1"), (2L, "U2"), (777L, "NEW")).toDF("k", "payload"),
+      "k", mor = true)
+    got.clear()
+    drain()
+    val byKey = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 3, s"expected 3 net changes, got ${got.size}")
+    assert(byKey(1L) == ("update", "U1") && byKey(2L) == ("update", "U2"))
+    assert(byKey(777L) == ("insert", "NEW"))
   }
 }

@@ -1011,7 +1011,7 @@ class SnapshotsSpec extends GraftSuite {
   }
 
   test("deep clone: share-nothing copy — survives source deletion, " +
-      "keeps stats fidelity, refuses DV-carrying versions") {
+      "keeps stats fidelity, materializes DV-carrying versions") {
     import spark.implicits._
     val src = freshTable()
     Snapshots.init(spark, src) // v0
@@ -1045,12 +1045,35 @@ class SnapshotsSpec extends GraftSuite {
       Seq((7L, "DEEP7", 1L)).toDF("k", "payload", "gen"), "k")
     assert(Snapshots.read(spark, dst).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap.apply(7L) == "DEEP7")
-    // DV-carrying versions refuse (compact first)
+    // r13: a DV-carrying version deep-clones by MATERIALIZING the
+    // touched files — the clone's v0 has no DV refs, shares no bytes
+    // with the source, and the SOURCE keeps its DVs untouched
     val src2 = freshTable()
     Snapshots.init(spark, src2)
-    Snapshots.deleteVersionedDV(spark, src2, col("k") === 3L)
+    Snapshots.deleteVersionedDV(spark, src2, col("k") % 7 === 3L) // v1
+    Snapshots.mergeVersionedDV(spark, src2,
+      Seq((5L, "DV5", 9L)).toDF("k", "payload", "gen"), "k") // v2
+    val want2 = Snapshots.read(spark, src2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     val dst2 = Files.createTempDirectory("graft_dclone_spec2").toString + "/t"
-    intercept[IllegalArgumentException](Snapshots.cloneDeep(src2, dst2))
+    assert(Snapshots.cloneDeep(src2, dst2) == 0)
+    assert(Snapshots.dvFiles(dst2, 0).isEmpty,
+      "a deep clone must not carry DV refs")
+    // the source still has its DVs and serves unchanged
+    assert(Snapshots.dvFiles(src2, 2).nonEmpty)
+    assert(Snapshots.read(spark, src2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == want2)
+    // share-nothing: delete every live source file — clone answers,
+    // dead rows stay dead, the DV'd update is in force
+    Snapshots.liveFiles(src2, 2).foreach(f =>
+      Files.delete(Paths.get(Snapshots.canonical(f))))
+    val got2 = Snapshots.read(spark, dst2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == want2)
+    assert(!got2.contains(3L) && got2(5L) == "DV5")
+    // manifest-only count is exact on the clone (fresh stats for the
+    // materialized files)
+    assert(Snapshots.rowCount(spark, dst2, 0) == Some(want2.size.toLong))
   }
 
   test("r12 MoR DML corners: CHECK refusal stages nothing, stat-less " +
@@ -2030,5 +2053,60 @@ class SnapshotsSpec extends GraftSuite {
     // post-race: the floor version and the head still resolve exactly
     assert(Snapshots.read(spark, dir, Snapshots.currentVersion(dir)).count() == 200)
     assert(Snapshots.read(spark, dir, floor).count() == 200)
+  }
+
+  test("r13 dup-key refusal: mergeVersioned and mergeVersionedDV refuse " +
+      "duplicate source keys (MERGE cardinality, both paths symmetric)") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir)
+    val dup = Seq((10L, "a", 1L), (10L, "b", 1L), (11L, "c", 1L))
+      .toDF("k", "payload", "gen")
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.mergeVersioned(spark, dir, dup, "k")
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.mergeVersionedDV(spark, dir, dup, "k")
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    // neither attempt committed a version or leaked staged files
+    assert(Snapshots.currentVersion(dir) == 0)
+    assert(Snapshots.strayFiles(dir).isEmpty)
+    // a clean batch still merges on both paths afterwards
+    assert(Snapshots.mergeVersioned(spark, dir,
+      Seq((10L, "x", 1L)).toDF("k", "payload", "gen"), "k") == 1)
+    assert(Snapshots.mergeVersionedDV(spark, dir,
+      Seq((11L, "y", 1L)).toDF("k", "payload", "gen"), "k") == 2)
+    assert(Snapshots.read(spark, dir).filter(col("k") === 10L)
+      .head().getString(1) == "x")
+  }
+
+  test("r13 MoR batch materialized once: a non-deterministic source " +
+      "commits mutually consistent appends, DV marks, and change rows") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.init(spark, dir, changeDataFeed = true) // v0
+    // payload is random per evaluation: without the one-evaluation pin
+    // the appended file, the DV pre-images, and the CDF rows could each
+    // see a DIFFERENT payload for the same key
+    val batch = (1L to 20L).toDF("k")
+      .withColumn("payload", concat(lit("r"), rand().cast("string")))
+      .withColumn("gen", lit(9L))
+    val v1 = Snapshots.mergeVersionedDV(spark, dir, batch, "k")
+    val live = Snapshots.read(spark, dir, v1)
+      .filter(col("k") <= 20L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live.size == 20 && live.values.forall(_.startsWith("r")))
+    // the CDF post-image must be EXACTLY the payload that landed live
+    val cdf = Snapshots.changesCdf(spark, dir, 0, v1, "k")
+      .filter(col("_change_type") === "update_postimage").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(cdf == live,
+      "change-feed post-images diverged from the live rows — the batch was re-evaluated")
+    // and the DV marks retired exactly the 20 pre-image rows: total
+    // row count is unchanged (20 updates, 0 inserts)
+    assert(Snapshots.rowCount(spark, dir, v1) == Some(100L))
+    assert(Snapshots.read(spark, dir, v1).count() == 100L)
   }
 }
