@@ -33,15 +33,21 @@ object Clustering {
       vec_dist_sq(col("embedding"), typedLit(c)).as(s"d$j")
     }
     val withD = emb.select(col("vec_id") +: col("embedding") +: dists: _*)
-    // argmin via a strict-< when-chain: lowest cluster index wins ties,
+    // argmin in LINEAR expression size (r13): the old strict-< fold
+    // nested the running-min expression twice per step — 2^k tree
+    // nodes, which at the trained-quantizer's k=16 turned one Lloyd
+    // pass into ~30 s of analysis/codegen. least() + a first-equal
+    // when-chain is linear and picks the SAME lowest cluster on ties
+    // (dmin IS one of the dj bit-for-bit — no arithmetic between),
     // matching the oracle's row_number() ORDER BY d, cl.
-    val best = (1 until cents.size).foldLeft(
-      (lit(0L).as("cl"), col("d0"))) { case ((cl, d), j) =>
-      (when(col(s"d$j") < d, lit(j.toLong)).otherwise(cl),
-        when(col(s"d$j") < d, col(s"d$j")).otherwise(d))
+    val dmin = least((0 until cents.size).map(j => col(s"d$j")): _*)
+    val cluster = (1 until cents.size).foldLeft(
+      when(col("d0") === col("dmin"), lit(0L))) { case (acc, j) =>
+      acc.when(col(s"d$j") === col("dmin"), lit(j.toLong))
     }
-    withD.select(col("vec_id"), col("embedding"),
-      best._1.as("cluster"), best._2.as("dist_sq"))
+    withD.withColumn("dmin", dmin)
+      .select(col("vec_id"), col("embedding"),
+        cluster.as("cluster"), col("dmin").as("dist_sq"))
   }
 
   /** Lloyd iterations over any (vec_id, embedding) relation; returns
@@ -58,6 +64,18 @@ object Clustering {
     emb.orderBy("vec_id").limit(k).select("embedding")
 
   def kmeans(emb: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
+    val cents = lloydCentroids(emb, k, iters)
+    assign(emb, cents)
+      .select(col("vec_id"), col("cluster"), round(col("dist_sq"), 4).as("dist_sq"))
+  }
+
+  /** r13 — the Lloyd loop alone, returning the FINAL centroids: the
+    * trained coarse quantizer for the E4/E13 IVF layouts (train once,
+    * pin the artifact, assign forever). Deterministic end to end —
+    * deterministic init (k lowest vec_ids) + 6-decimal-quantized means
+    * — so two trainings over one corpus version agree bit-for-bit. */
+  private[graft] def lloydCentroids(emb: DataFrame, k: Int = K,
+      iters: Int = Iters): Seq[Seq[Double]] = {
     var cents: Seq[Seq[Double]] = initFrame(emb, k).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     require(cents.size == k, s"kmeans: corpus has fewer than $k vectors")
@@ -81,8 +99,7 @@ object Clustering {
         }
       }
     }
-    assign(emb, cents)
-      .select(col("vec_id"), col("cluster"), round(col("dist_sq"), 4).as("dist_sq"))
+    cents
   }
 
   def qKmeans(s: SparkSession, d: String): DataFrame =

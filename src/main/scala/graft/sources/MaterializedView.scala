@@ -60,6 +60,7 @@ object MaterializedView {
   final case class MvSpec(base: String, baseKey: String,
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Seq.empty,
+      distinctCols: Seq[String] = Seq.empty,
       filter: Option[String] = None)
 
   private def norm(p: String): String =
@@ -124,6 +125,22 @@ object MaterializedView {
       min(col(s"`$c`")).as(s"${prefix}mn_$c"),
       max(col(s"`$c`")).as(s"${prefix}mx_$c")) }
 
+  /** r13 — the DataSketches HLL lgConfigK every MV sketch is built
+    * with. FIXED so the rewrite can check the query's own
+    * `hll_sketch_agg` uses the same parameter: HLL register state is a
+    * deterministic function of the value SET at a given lgK, and
+    * register-wise union is lossless, so `estimate(union(per-group
+    * sketches)) == estimate(sketch(all rows))` BIT-EXACTLY — but only
+    * at matching lgK. */
+  private[sources] val SketchLgK = 12
+
+  /** Per approx-distinct column, the stored group sketch `sk_c` (HLL
+    * binary; all-NULL groups store NULL, matching hll_sketch_agg). */
+  private def sketchExprs(distinctCols: Seq[String],
+      prefix: String): Seq[Column] =
+    distinctCols.map(c =>
+      hll_sketch_agg(col(s"`$c`"), SketchLgK).as(s"${prefix}sk_$c"))
+
   /** Build the MV at the base's CURRENT version: one full aggregate
     * scan (the only full scan the MV ever pays), committed as the MV
     * table's v0 WITH the consumed-version mark. */
@@ -131,9 +148,11 @@ object MaterializedView {
       baseKey: String, groupCols: Seq[String],
       sumCols: Seq[String] = Seq.empty,
       minMaxCols: Seq[String] = Seq.empty,
+      distinctCols: Seq[String] = Seq.empty,
       filter: Option[String] = None): Int = {
     require(groupCols.nonEmpty, "materialized view: no group columns")
-    require((groupCols ++ sumCols ++ minMaxCols).forall(c => !c.contains(",")),
+    require((groupCols ++ sumCols ++ minMaxCols ++ distinctCols)
+      .forall(c => !c.contains(",")),
       "materialized view: ',' in a column name")
     // r12 — FILTERED MV: a stored row-level predicate (SQL text, the
     // `CREATE MATERIALIZED VIEW … WHERE` shape). Build, every refresh
@@ -156,7 +175,7 @@ object MaterializedView {
     val snap0 = Snapshots.read(spark, base, bv)
     val snap = filter.fold(snap0)(f => snap0.filter(expr(f)))
     val aggs = aggExprs(snap, sumCols, lit(1L), "cnt", "") ++
-      minMaxExprs(minMaxCols, "")
+      minMaxExprs(minMaxCols, "") ++ sketchExprs(distinctCols, "")
     val full = snap.groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("__mv_key", keyExpr(groupCols))
@@ -165,6 +184,7 @@ object MaterializedView {
       s"base=${norm(base)}\nkey=$baseKey\ngroup=${groupCols.mkString(",")}\n" +
         s"sum=${sumCols.mkString(",")}\n" +
         s"minmax=${minMaxCols.mkString(",")}\n" +
+        s"distinct=${distinctCols.mkString(",")}\n" +
         filter.fold("")(f => s"filter=$f\n"))
     val v = Snapshots.appendVersionedIdempotent(spark, mvRoot, full,
       appId(base), bv.toLong)
@@ -202,6 +222,7 @@ object MaterializedView {
     MvSpec(get("base"), get("key"), splitCols(get("group")),
       splitCols(get("sum")),
       splitCols(m.getOrElse("minmax", "")),
+      splitCols(m.getOrElse("distinct", "")),
       m.get("filter").filter(_.trim.nonEmpty))
   }
 
@@ -316,15 +337,16 @@ object MaterializedView {
     // the window's insert-side extrema (they FOLD into the stored ones)
     // and delete-side extrema (they DETECT a stored-extremum hit)
     val dAggs = aggExprs(cdf, sp.sumCols, sign, "d_cnt", "d") ++
-      mmDeltaExprs(sp.minMaxCols, sign)
+      mmDeltaExprs(sp.minMaxCols, sign) ++
+      distDeltaExprs(sp.distinctCols, sign)
     val deltas = cdf.groupBy(sp.groupCols.map(c => col(s"`$c`")): _*)
       .agg(dAggs.head, dAggs.tail: _*)
     val marks = Seq(appId(sp.base) -> to.toLong)
     val v =
-      if (sp.minMaxCols.isEmpty)
+      if (sp.minMaxCols.isEmpty && sp.distinctCols.isEmpty)
         applyDeltas(spark, mvRoot, deltas, sp.groupCols, sp.sumCols, marks)
       else applyDeltasMinMax(spark, mvRoot, deltas, sp.groupCols,
-        sp.sumCols, sp.minMaxCols,
+        sp.sumCols, sp.minMaxCols, sp.distinctCols,
         sp.filter.fold(Snapshots.read(spark, sp.base, to))(f =>
           Snapshots.read(spark, sp.base, to).filter(expr(f))),
         marks)
@@ -343,6 +365,20 @@ object MaterializedView {
       min(when(sign === -1L, col(s"`$c`"))).as(s"dmn_$c"),
       max(when(sign === -1L, col(s"`$c`"))).as(s"dmx_$c")) }
 
+  /** r13 — per approx-distinct column, the window's INSERT-side sketch
+    * (folds losslessly into the stored one via register-wise union)
+    * plus one shared negative-image counter: a sketch cannot subtract,
+    * so any group that LOST rows in the window recomputes from the
+    * target-version state — the same group-scoped recompute the
+    * min/max extremum hit already pays. */
+  private def distDeltaExprs(distinctCols: Seq[String],
+      sign: Column): Seq[Column] =
+    if (distinctCols.isEmpty) Seq.empty
+    else distinctCols.map(c =>
+      hll_sketch_agg(when(sign === 1L, col(s"`$c`")), SketchLgK)
+        .as(s"dsk_$c")) :+
+      sum(when(sign === -1L, lit(1L)).otherwise(lit(0L))).as("__negs")
+
   /** The min/max-carrying refresh: fold-only groups take the same
     * delta merge as [[applyDeltas]] (with `mn' = least(mn, imn)` /
     * `mx' = greatest(mx, imx)` — Spark's least/greatest skip NULLs,
@@ -355,7 +391,7 @@ object MaterializedView {
     * volume + |hit groups|' rows of the current state. */
   private def applyDeltasMinMax(spark: SparkSession, mvRoot: String,
       deltas0: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
-      mm: Seq[String], currentState: DataFrame,
+      mm: Seq[String], dist: Seq[String], currentState: DataFrame,
       marks: Seq[(String, Long)]): Int = {
     import MergeWhen._
     // an update that only moved a min/max column nets d_cnt = 0 and
@@ -366,7 +402,9 @@ object MaterializedView {
         col(s"`ds_$c`") =!= lit(0), col(s"`dnn_$c`") =!= 0L)) ++
        mm.flatMap(c => Seq(
          col(s"`imn_$c`").isNotNull, col(s"`imx_$c`").isNotNull,
-         col(s"`dmn_$c`").isNotNull, col(s"`dmx_$c`").isNotNull)))
+         col(s"`dmn_$c`").isNotNull, col(s"`dmx_$c`").isNotNull)) ++
+       dist.map(c => col(s"`dsk_$c`").isNotNull) ++
+       (if (dist.isEmpty) Seq.empty else Seq(col("__negs") > 0L)))
     val deltas = deltas0.filter(nonZero.reduce(_ || _))
       .withColumn("__mv_key", keyExpr(groupCols))
     // hit test against the CURRENT stored extrema: a deleted value
@@ -376,9 +414,12 @@ object MaterializedView {
       col("__mv_key").as("__k") +: col("cnt").as("__cnt") +:
         mm.flatMap(c => Seq(col(s"`mn_$c`").as(s"__mn_$c"),
           col(s"`mx_$c`").as(s"__mx_$c"))): _*)
-    val hit = mm.map(c =>
+    // min/max recompute only on an extremum hit; a sketch recomputes
+    // whenever the group LOST any row (no subtraction exists)
+    val hit = (mm.map(c =>
       (col(s"`dmn_$c`").isNotNull && col(s"`dmn_$c`") === col(s"`__mn_$c`")) ||
-      (col(s"`dmx_$c`").isNotNull && col(s"`dmx_$c`") === col(s"`__mx_$c`")))
+      (col(s"`dmx_$c`").isNotNull && col(s"`dmx_$c`") === col(s"`__mx_$c`"))) ++
+      (if (dist.isEmpty) Seq.empty else Seq(col("__negs") > 0L)))
       .reduce(_ || _)
     val marked = deltas
       .join(mvCur, col("__mv_key") === col("__k"), "left")
@@ -394,7 +435,7 @@ object MaterializedView {
       .join(marked.filter(col("__recomp")).select("__mv_key"),
         Seq("__mv_key"), "left_semi")
     val rAggs = aggExprs(baseTo, sumCols, lit(1L), "r_cnt", "r_") ++
-      minMaxExprs(mm, "r_")
+      minMaxExprs(mm, "r_") ++ sketchExprs(dist, "r_")
     val recomputed = baseTo.groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(rAggs.head, rAggs.tail: _*)
       .withColumn("__mv_key", keyExpr(groupCols))
@@ -408,19 +449,30 @@ object MaterializedView {
         s"nn_$c" -> (col(s"`nn_$c`") + src(s"dnn_$c")))) ++
         mm.flatMap(c => Seq(
           s"mn_$c" -> least(col(s"`mn_$c`"), src(s"imn_$c")),
-          s"mx_$c" -> greatest(col(s"`mx_$c`"), src(s"imx_$c")))))
+          s"mx_$c" -> greatest(col(s"`mx_$c`"), src(s"imx_$c")))) ++
+        dist.map(c =>
+          // insert-only fold: union the window's sketch in; NULL on
+          // either side passes the other through (hll_union of a NULL
+          // is NULL, not identity)
+          s"sk_$c" -> when(src(s"dsk_$c").isNull, col(s"`sk_$c`"))
+            .when(col(s"`sk_$c`").isNull, src(s"dsk_$c"))
+            .otherwise(hll_union(col(s"`sk_$c`"), src(s"dsk_$c")))))
     val recompSet: Seq[(String, Column)] =
       ("cnt" -> src("r_cnt")) +: (sumCols.flatMap(c => Seq(
         s"s_$c" -> src(s"r_s_$c"), s"nn_$c" -> src(s"r_nn_$c"))) ++
         mm.flatMap(c => Seq(
-          s"mn_$c" -> src(s"r_mn_$c"), s"mx_$c" -> src(s"r_mx_$c"))))
+          s"mn_$c" -> src(s"r_mn_$c"), s"mx_$c" -> src(s"r_mx_$c"))) ++
+        dist.map(c => s"sk_$c" -> src(s"r_sk_$c")))
     val insertVals: Seq[(String, Column)] =
       ("__mv_key" -> src("__mv_key")) +: ("cnt" -> src("d_cnt")) +:
         (groupCols.map(g => g -> src(g)) ++
           sumCols.flatMap(c => Seq(
             s"s_$c" -> src(s"ds_$c"), s"nn_$c" -> src(s"dnn_$c"))) ++
           mm.flatMap(c => Seq(
-            s"mn_$c" -> src(s"imn_$c"), s"mx_$c" -> src(s"imx_$c"))))
+            s"mn_$c" -> src(s"imn_$c"), s"mx_$c" -> src(s"imx_$c"))) ++
+          // a brand-new group's window IS its whole content, so the
+          // insert-side sketch is exact
+          dist.map(c => s"sk_$c" -> src(s"dsk_$c")))
     Snapshots.mergeVersionedClauses(spark, mvRoot, source, "__mv_key", Seq(
       // recompute rows carry NULL d_cnt, so they can only fire here
       MatchedUpdate(Some(src("__recomp")), recompSet),
@@ -745,7 +797,7 @@ object MaterializedView {
         // version join — group-scoped via the same semi-join, so cost
         // is |hit groups|' join rows, never a two-table rescan
         applyDeltasMinMax(spark, mvRoot, deltas, sp.groupCols, sp.sumCols,
-          sp.minMaxCols,
+          sp.minMaxCols, Seq.empty, // join MVs carry no sketch columns
           Snapshots.read(spark, sp.left, toL)
             .join(Snapshots.read(spark, sp.right, toR), Seq(sp.joinCol)),
           marks)

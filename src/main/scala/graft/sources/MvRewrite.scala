@@ -276,7 +276,8 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           }
       }
     substitute(mvRoot, mvV, agg, groupNames, sp.groupCols.toSet,
-      sp.sumCols.toSet, sp.minMaxCols.toSet, residual)
+      sp.sumCols.toSet, sp.minMaxCols.toSet, sp.distinctCols.toSet,
+      residual)
   }
 
   /** Attribute-exprId-free view of a predicate for cross-resolution
@@ -384,14 +385,16 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         case None => return None
       }
     substitute(mvRoot, mvV, agg, groupNames, sp.groupCols.toSet,
-      sp.sumCols.toSet, sp.minMaxCols.toSet, filters)
+      sp.sumCols.toSet, sp.minMaxCols.toSet,
+      Set.empty, // join MVs carry no sketch columns
+      filters)
   }
 
   /** The shared tail of both shapes: decide answerability and build the
     * substitute plan over the MV read pinned at `mvV`. */
   private def substitute(mvRoot: String, mvV: Int, agg: Aggregate,
       groupNames: Set[String], mvGroups: Set[String],
-      sums: Set[String], mms: Set[String],
+      sums: Set[String], mms: Set[String], dist: Set[String],
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Option[LogicalPlan] = {
     if (!groupNames.subsetOf(mvGroups)) return None
@@ -459,6 +462,29 @@ class GraftMvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
               else max(col(s"`mx_${a.name}`"))).cast(ne.dataType), AsAgg))
           case _ => None
         }
+      // r13 — the APPROX-DISTINCT dashboard shape:
+      // `hll_sketch_estimate(hll_sketch_agg(c))` over the base serves
+      // from the MV's stored per-group sketch. Sound and BIT-EXACT
+      // (not merely approximately equal): at a fixed lgConfigK the HLL
+      // register state is a deterministic function of the value SET,
+      // and register-wise union is lossless — so estimate(union(group
+      // sketches)) equals estimate(sketch(all rows)). The query's own
+      // lgConfigK must equal the MV's stored parameter or the rewrite
+      // refuses; plain approx_count_distinct deliberately does NOT
+      // rewrite (different algorithm — a substitution would change
+      // the estimate).
+      case Alias(org.apache.spark.sql.catalyst.expressions
+          .HllSketchEstimate(AggregateExpression(
+            hs: HllSketchAgg, Complete, false, None, _)), _)
+          if hs.lgConfigK == MaterializedView.SketchLgK &&
+            (hs.children.headOption.exists {
+              case a: AttributeReference => dist.contains(a.name)
+              case _ => false
+            }) =>
+        val name = hs.children.head.asInstanceOf[AttributeReference].name
+        Some(((if (exact) hll_sketch_estimate(col(s"`sk_$name`"))
+          else hll_sketch_estimate(hll_union_agg(col(s"`sk_$name`"))))
+          .cast(ne.dataType), AsAgg))
       case _ => None
     }
 
@@ -549,6 +575,33 @@ object MvRegistry {
     bases.foreach(b => reg.compute(norm(b), (_, old) =>
       root :: Option(old).getOrElse(Nil).filterNot(_ == root)))
     ensureRegistered(spark)
+  }
+
+  /** r13 — A43 composition: register against a CATALOG TABLE NAME.
+    * The rewrite rule keys on the RESOLVED path inside the relation
+    * (`spark.table("t")` and `load(path)` produce the same
+    * GraftFileIndex), so this resolves the table's storage location,
+    * checks it IS one of the MV's bases, and registers as usual —
+    * after which by-name dashboards rewrite exactly like path ones. */
+  def registerByName(spark: SparkSession, table: String,
+      mvRoot: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val ct = spark.sessionState.catalog.getTableMetadata(ident)
+    val loc = ct.storage.properties.get("path")
+      .orElse(ct.storage.locationUri.map(u => Paths.get(u).toString))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: table $table has no storage path"))
+    val path = norm(Snapshots.canonical(loc))
+    val bases = (MaterializedView.kindOf(mvRoot) match {
+      case "join" =>
+        val sp = MaterializedView.joinSpec(mvRoot)
+        Seq(sp.left, sp.right)
+      case _ => Seq(MaterializedView.spec(mvRoot).base)
+    }).map(b => norm(Snapshots.canonical(b)))
+    require(bases.contains(path),
+      s"graft: $table resolves to $path, which is not a base of $mvRoot " +
+        s"(bases: ${bases.mkString(", ")})")
+    register(spark, mvRoot)
   }
 
   def unregister(mvRoot: String): Unit = {

@@ -2491,11 +2491,15 @@ object Snapshots {
     // duplicate-keyed source exactly as mergeVersionedClauses does —
     // the union below would otherwise land BOTH rows and silently
     // break the one-live-row-per-key invariant every merge maintains.
-    require(updates.groupBy(col(s"`$keyCol`")).count()
-      .filter(col("count") > 1).isEmpty,
+    // ONE pass over the batch serves both the refusal and the
+    // key-distinct discovery (the checkpointed counts frame is
+    // |distinct keys|-sized), so the check costs no extra batch scan.
+    val keyCounts = updates.groupBy(col(s"`$keyCol`")).count()
+      .localCheckpoint()
+    require(keyCounts.filter(col("count") > 1).isEmpty,
       s"merge: duplicate '$keyCol' keys in the source violate MERGE " +
         "cardinality on a keyed table")
-    val keys = updates.select(col(keyCol).as("__k")).distinct()
+    val keys = keyCounts.select(col(s"`$keyCol`").as("__k"))
     val touched = stats
       .join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
       .select("file").collect().map(_.getString(0))

@@ -1065,4 +1065,114 @@ class MaterializedViewSpec extends GraftSuite {
         .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("s")))
     } finally MvRegistry.unregister(mv)
   }
+
+  test("r13 approx-distinct sketches: the hll dashboard serves from the " +
+      "MV bit-exactly through waves; rollup unions; mismatched lgK and " +
+      "approx_count_distinct keep the base scan") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    val df = ordersDf.withColumn("o_bucket", col("o_custkey") % 50)
+    df.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"), distinctCols = Seq("o_bucket"))
+    MvRegistry.register(spark, mv)
+    try {
+      def dash(): DataFrame = spark.read.format("graft").load(base)
+        .groupBy("o_orderstatus")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_bucket))").as("nd"))
+      def global(): DataFrame = spark.read.format("graft").load(base)
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_bucket))").as("nd"))
+      // ground truth via the library read (plain parquet plan — the
+      // rewrite only matches graft relations)
+      def truth(): Set[(String, Long)] = Snapshots.read(spark, base)
+        .groupBy("o_orderstatus")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_bucket))").as("nd"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(!scannedGraftPaths(dash()).contains(norm(base)),
+        "the sketch dashboard must rewrite to the MV")
+      assert(!scannedGraftPaths(global()).contains(norm(base)),
+        "the global rollup must rewrite to the MV (sketch union)")
+      assert(dash().collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet == truth())
+      // waves: updates move bucket values across groups, deletes
+      // force the group-scoped sketch recompute (no subtraction)
+      Snapshots.mergeVersioned(spark, base,
+        ordersDf.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("Z"))
+          .withColumn("o_bucket", col("o_custkey") % 3), "o_orderkey")
+      Snapshots.deleteVersioned(spark, base, col("o_orderkey") % 11 === 5)
+      MaterializedView.refresh(spark, mv)
+      val want = truth()
+      assert(dash().collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet == want)
+      val gWant = global().collect().map(_.getLong(0)).toSet
+      // refusals keep the scan: a different lgConfigK would estimate
+      // from different register state, and approx_count_distinct is a
+      // different algorithm entirely
+      val badK = spark.read.format("graft").load(base)
+        .groupBy("o_orderstatus")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_bucket, 13))").as("nd"))
+      assert(scannedGraftPaths(badK).contains(norm(base)))
+      val acd = spark.read.format("graft").load(base)
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct("o_bucket").as("nd"))
+      assert(scannedGraftPaths(acd).contains(norm(base)))
+      // the hard pin: delete a live base file — the rewritten
+      // dashboards still answer, bit-identically
+      val victim = Snapshots.liveFiles(base,
+        Snapshots.currentVersion(base)).head
+      Files.delete(Paths.get(victim))
+      assert(dash().collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet == want)
+      assert(global().collect().map(_.getLong(0)).toSet == gWant)
+    } finally MvRegistry.unregister(mv)
+  }
+
+  test("r13 by-name registration: spark.table dashboards rewrite " +
+      "scan-free; a table that is not the MV's base refuses") {
+    val base = tmp(); val mv = tmp() + "/mv"
+    ordersDf.write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    MaterializedView.create(spark, mv, base, "o_orderkey",
+      Seq("o_orderstatus"), Seq("o_custkey"), Seq("o_totalprice"))
+    spark.sql("DROP TABLE IF EXISTS mv_byname")
+    spark.sql(s"CREATE TABLE mv_byname USING graft " +
+      s"OPTIONS (path '$base', keyCol 'o_orderkey')")
+    try {
+      MvRegistry.registerByName(spark, "mv_byname", mv)
+      // the named dashboard: count/sum + the A63 min/max shapes
+      def dash(): DataFrame = spark.table("mv_byname")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      val want = Snapshots.read(spark, base).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("s"),
+          min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        .collect().toSet
+      assert(!scannedGraftPaths(dash()).contains(norm(base)),
+        "the by-name dashboard must rewrite to the MV")
+      assert(dash().collect().toSet == want)
+      // scan-free pin through the NAME
+      val victim = Snapshots.liveFiles(base,
+        Snapshots.currentVersion(base)).head
+      Files.delete(Paths.get(victim))
+      assert(dash().collect().toSet == want)
+      // a table pointing elsewhere is not this MV's base
+      val other = tmp()
+      ordersDf.limit(5).write.mode("overwrite").parquet(other)
+      Snapshots.init(spark, other)
+      spark.sql("DROP TABLE IF EXISTS mv_byname_other")
+      spark.sql(s"CREATE TABLE mv_byname_other USING graft " +
+        s"OPTIONS (path '$other', keyCol 'o_orderkey')")
+      try {
+        val e = intercept[IllegalArgumentException] {
+          MvRegistry.registerByName(spark, "mv_byname_other", mv)
+        }
+        assert(e.getMessage.contains("not a base"))
+      } finally spark.sql("DROP TABLE IF EXISTS mv_byname_other")
+    } finally {
+      MvRegistry.unregister(mv)
+      spark.sql("DROP TABLE IF EXISTS mv_byname")
+    }
+  }
 }

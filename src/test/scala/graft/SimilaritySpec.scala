@@ -155,6 +155,63 @@ class SimilaritySpec extends GraftSuite {
     assert(Snapshots.read(spark, index).filter(col("vec_id") === 500L).count() == 1)
   }
 
+  test("r13 TRAINED quantizer: full build trains and pins the codebook, " +
+      "refreshes reuse the artifact untouched, incremental == rebuild") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    import graft.operators.Similarity
+    val corpus = java.nio.file.Files.createTempDirectory("graft_ivft_c").toString
+    val index = java.nio.file.Files.createTempDirectory("graft_ivft_i").toString + "/t"
+    def vec(k: Long): Array[Float] =
+      Array.tabulate(8)(i => math.cos(k * 29.0 + i * 13.0).toFloat)
+    (0L until 200L).map(k => (k, vec(k))).toDF("vec_id", "embedding")
+      .repartition(4).write.mode("overwrite").parquet(corpus)
+    Snapshots.init(spark, corpus) // v0
+    assert(Similarity.refreshIvfIndex(spark, corpus, index, 16,
+      trained = true) == 0)
+    // the pinned artifact: Lloyd's centroids, NOT the lowest-id vectors
+    val centDir = index + "_centroids"
+    val cents0 = spark.read.parquet(centDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(cents0.size == 16)
+    val rawById = (0L until 16L).map(k => k -> vec(k).toSeq).toMap
+    assert(cents0.exists { case (cid, v) => rawById(cid) != v },
+      "trained centroids must differ from the deterministic seed picks")
+    // churn the corpus; the refresh must NOT re-train (train-once):
+    // the codebook bytes are identical afterwards
+    Snapshots.mergeVersioned(spark, corpus,
+      Seq((30L, vec(30).reverse), (700L, vec(700)))
+        .toDF("vec_id", "embedding"), "vec_id") // v1
+    Snapshots.deleteVersioned(spark, corpus,
+      col("vec_id") >= 150L && col("vec_id") < 155L) // v2
+    assert(Similarity.refreshIvfIndex(spark, corpus, index, 16,
+      trained = true) == 2)
+    val cents1 = spark.read.parquet(centDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(cents1 == cents0, "a refresh must never move the pinned codebook")
+    // incremental equals a FULL REBUILD **against the same pinned
+    // codebook** (a fresh trained build over the mutated corpus would
+    // train different centroids — copy the artifact, then assign)
+    val index2 = java.nio.file.Files.createTempDirectory("graft_ivft_f").toString + "/t"
+    val centDir2 = index2 + "_centroids"
+    spark.read.parquet(centDir).write.parquet(centDir2)
+    // un-trained refresh on index2 would OVERWRITE the codebook with
+    // seed picks; assign manually through the public ivfKnn quantizer
+    // path instead: cell of v = argmax cosine over the pinned codebook
+    val cf = spark.read.parquet(centDir2)
+    val full = Snapshots.read(spark, corpus).select("vec_id", "embedding")
+      .crossJoin(broadcast(cf))
+      .withColumn("csim", graft.functions.vec_cosine(col("embedding"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRefresh = Snapshots.read(spark, index).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRefresh == full,
+      "incremental assignments diverged from a recompute over the pinned codebook")
+  }
+
   test("per-label centroids cover labels x dims with consistent counts") {
     val rows = Similarity.qEmbedCentroid(spark, sf).collect()
     val emb = Tables.embeddings(spark, sf)
