@@ -30,7 +30,8 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT OPTIMIZE '<path>' ZORDER BY (<c1>, <c2>) INTO <n> FILES
   *   GRAFT OPTIMIZE '<path>' ZORDER INCREMENTAL      -- A39 tail-only
   *   GRAFT OPTIMIZE '<path>' WHERE <col> BETWEEN <lo> AND <hi>  -- scoped
-  *   GRAFT RECONCILE '<path>'                      -- fold DVs (A30)
+  *   GRAFT RECONCILE '<path>'                      -- fold DVs (A30);
+  *     r13: on a hidden/partitioned ROOT folds every DV-carrying dir
   *   GRAFT CLONE '<src>' TO '<dst>'                -- shallow (A29)
   *   GRAFT DEEP CLONE '<src>' TO '<dst>'  -- share-nothing copy (r11)
   *   GRAFT ENABLE CHANGE DATA FEED '<path>'        -- A31 property
@@ -54,7 +55,8 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT ANALYZE '<path>'       -- r9: versioned NDV for the CBO
   *   GRAFT ANALYZE '<path>' WITH HISTOGRAM  -- + equi-height bins
   *   GRAFT CREATE MATERIALIZED VIEW '<mv>' ON '<base>' KEY <k>  -- r11:
-  *     … [MINMAX (<m1>[, …])] adds A63 stored per-group extrema
+  *     … [MINMAX (<m1>[, …])] adds A63 stored per-group extrema;
+  *     … [DISTINCT (<c1>[, …])] adds A82 per-group HLL sketches (r13)
   *     GROUP BY (<c1>[, …]) [SUM (<s1>[, …])]          -- A55
   *   GRAFT CREATE MATERIALIZED VIEW '<mv>' ON '<left>' KEY <lk>
   *     JOIN '<right>' KEY <rk> ON <joinCol>
@@ -69,6 +71,8 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT DROP COLUMN <col> '<path>'  -- r12 metadata-only; bytes stay
   *     for time travel, the head schema loses the field
   *   GRAFT REGISTER MATERIALIZED VIEW '<mv>'    -- A58 rewrite opt-in
+  *   GRAFT REGISTER MATERIALIZED VIEW '<mv>' ON TABLE <name>  -- r13:
+  *     validates the catalog table's path IS the MV's base (A43)
   *   GRAFT UNREGISTER MATERIALIZED VIEW '<mv>'
   *   GRAFT BEGIN TRANSACTION '<id>' AT '<coord>' ON ('<t1>', '<t2>')
   *     -- A56: returns (table, branch) staging rows
@@ -106,7 +110,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Restore(p, v) => LakeMaintenanceCommand("version",
         _ => Snapshots.restore(p, v.toInt).toLong)
       case Reconcile(p) => LakeMaintenanceCommand("version",
-        s => Snapshots.reconcileDV(s, p).toLong)
+        s =>
+          // r13: on a hidden-transform or partitioned ROOT, fold every
+          // directory that carries DVs (the whole-table maintenance
+          // sweep the A77/A26 MoR routes accumulate toward); the
+          // result is the number of directories reconciled. A flat
+          // table keeps the single-log behavior (new head version).
+          if (graft.sources.HiddenPartitions.specOf(p).nonEmpty)
+            graft.sources.HiddenPartitions.reconcile(s, p).size.toLong
+          else if (Snapshots.currentVersion(p) < 0 &&
+              graft.sources.PartitionedSnapshots.partitions(p).nonEmpty)
+            graft.sources.PartitionedSnapshots.partitions(p).count { v =>
+              val d = graft.sources.PartitionedSnapshots.partitionDir(p, v)
+              val cur = Snapshots.currentVersion(d)
+              Snapshots.dvFiles(d, cur).nonEmpty &&
+                Snapshots.reconcileDV(s, d) > cur
+            }.toLong
+          else Snapshots.reconcileDV(s, p).toLong)
       case DeepCloneTo(src, dst) => LakeMaintenanceCommand("version",
         _ => Snapshots.cloneDeep(src, dst).toLong)
       case CloneTo(src, dst) => LakeMaintenanceCommand("version",
@@ -190,13 +210,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           parts.size.toLong
         }
       })
-      case MvCreate(mv, base, key, groups, sums, minmax) =>
+      case MvCreate(mv, base, key, groups, sums, minmax, dist) =>
+        // r13: … [DISTINCT (<c1>[, …])] adds A82 per-group HLL sketches
         LakeMaintenanceCommand("version", s =>
           graft.sources.MaterializedView.create(s, mv, base, key,
             groups.split(",").map(_.trim).toIndexedSeq,
             Option(sums).map(_.split(",").map(_.trim).toIndexedSeq)
               .getOrElse(Seq.empty),
             Option(minmax).map(_.split(",").map(_.trim).toIndexedSeq)
+              .getOrElse(Seq.empty),
+            Option(dist).map(_.split(",").map(_.trim).toIndexedSeq)
               .getOrElse(Seq.empty)).toLong)
       case MvCreateJoin(mv, left, lk, right, rk, j, groups, sums, minmax) =>
         LakeMaintenanceCommand("version", s =>
@@ -223,6 +246,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s => Snapshots.renameColumn(s, p, from, to).toLong)
       case DropColumn(c, p) => LakeMaintenanceCommand("version",
         s => Snapshots.dropColumn(s, p, c).toLong)
+      case MvRegisterByName(mv, table) =>
+        LakeMaintenanceCommand("registered", s =>
+          { graft.sources.MvRegistry.registerByName(s, table, mv); 1L })
       case MvRegister(mv) => LakeMaintenanceCommand("registered", s =>
         { graft.sources.MvRegistry.register(s, mv); 1L })
       case MvUnregister(mv) => LakeMaintenanceCommand("unregistered", _ =>
@@ -350,6 +376,9 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+DROP\s+COLUMN\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
   private val MvRegister =
     """(?is)\s*GRAFT\s+REGISTER\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  // r13 — A43 composition: register against a catalog TABLE NAME
+  private val MvRegisterByName =
+    """(?is)\s*GRAFT\s+REGISTER\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+TABLE\s+([\w.]+)\s*;?\s*""".r
   private val MvUnregister =
     """(?is)\s*GRAFT\s+UNREGISTER\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val TxnBegin =
@@ -372,7 +401,8 @@ object GraftSqlParser {
     ("""(?is)\s*GRAFT\s+CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+""" +
       """'([^']+)'\s+KEY\s+(\w+)\s+GROUP\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)""" +
       """\s*\)(?:\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
-      """(?:\s+MINMAX\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""").r
+      """(?:\s+MINMAX\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
+      """(?:\s+DISTINCT\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""").r
   private val MvCreateJoin =
     ("""(?is)\s*GRAFT\s+CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+""" +
       """'([^']+)'\s+KEY\s+(\w+)\s+JOIN\s+'([^']+)'\s+KEY\s+(\w+)\s+ON\s+""" +

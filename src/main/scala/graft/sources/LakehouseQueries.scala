@@ -1654,7 +1654,9 @@ object LakehouseQueries {
   def qLakeHiddenMor(s: SparkSession, d: String): DataFrame = {
     val b = base(s, d)
     val root = tempDir("graft_hidden_mor_q") + "/t"
-    HiddenPartitions.init(s, root, b, ModTransform("o_orderkey", 8))
+    // the MEASURED operator is the MoR wave + DV-aware read; the
+    // 8-log bootstrap is fabrication, declared as _stage_
+    staged { HiddenPartitions.init(s, root, b, ModTransform("o_orderkey", 8)) }
     val dirs0 = HiddenPartitions.epochGroups(root).flatMap(_._3)
     val liveBefore = dirs0.map { case (v, dir) =>
       v -> Snapshots.liveFiles(dir, Snapshots.currentVersion(dir)).toSet

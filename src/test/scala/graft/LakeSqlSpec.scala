@@ -1177,6 +1177,96 @@ class LakeSqlSpec extends GraftSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("r13 (A82/A43): GRAFT CREATE ... DISTINCT over SQL and " +
+      "REGISTER ... ON TABLE — sketch dashboard + by-name rewrite") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_mvdsql").toString
+    val mv = base + "/mv"
+    Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .withColumn("o_bucket", col("o_custkey") % 20)
+      .write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    withExtSession { s =>
+      s.sql(s"GRAFT CREATE MATERIALIZED VIEW '$mv' ON '$base' " +
+        "KEY o_orderkey GROUP BY (o_orderstatus) SUM (o_custkey) " +
+        "DISTINCT (o_bucket)")
+      s.sql(s"DELETE FROM graft.`$base` WHERE o_orderkey % 9 = 2")
+      s.sql(s"GRAFT REFRESH MATERIALIZED VIEW '$mv'")
+      s.sql("DROP TABLE IF EXISTS mvd_byname")
+      s.sql(s"CREATE TABLE mvd_byname USING graft " +
+        s"OPTIONS (path '$base', keyCol 'o_orderkey')")
+      try {
+        s.sql(s"GRAFT REGISTER MATERIALIZED VIEW '$mv' ON TABLE mvd_byname")
+        val q = s.sql("SELECT o_orderstatus, count(*) AS cnt, " +
+          "hll_sketch_estimate(hll_sketch_agg(o_bucket)) AS nd " +
+          "FROM mvd_byname GROUP BY o_orderstatus")
+        // scan-free through the NAME: no graft base relation remains
+        val scansBase = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case g: graft.sources.GraftFileIndex => Seq(g.tablePath)
+                  case _ => Seq.empty[String]
+                }
+              case _ => Seq.empty[String]
+            }
+        }.flatten.map(pp => java.nio.file.Paths.get(pp)
+          .toAbsolutePath.normalize.toString)
+        assert(!scansBase.contains(java.nio.file.Paths.get(base)
+          .toAbsolutePath.normalize.toString),
+          "the by-name sketch dashboard must rewrite to the MV")
+        val want = Snapshots.read(s, base).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            expr("hll_sketch_estimate(hll_sketch_agg(o_bucket))").as("nd"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(q.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet == want)
+        // the ON TABLE form validates the path: a foreign table refuses
+        val other = java.nio.file.Files.createTempDirectory("graft_mvdsql_o").toString
+        Tables.orders(s, sf).select("o_orderkey", "o_custkey").limit(3)
+          .write.mode("overwrite").parquet(other)
+        Snapshots.init(s, other)
+        s.sql("DROP TABLE IF EXISTS mvd_other")
+        s.sql(s"CREATE TABLE mvd_other USING graft " +
+          s"OPTIONS (path '$other', keyCol 'o_orderkey')")
+        try intercept[IllegalArgumentException] {
+          s.sql(s"GRAFT REGISTER MATERIALIZED VIEW '$mv' ON TABLE mvd_other")
+        } finally s.sql("DROP TABLE IF EXISTS mvd_other")
+      } finally {
+        graft.sources.MvRegistry.unregister(mv)
+        s.sql("DROP TABLE IF EXISTS mvd_byname")
+      }
+    }
+  }
+
+  test("r13 (A77): GRAFT RECONCILE on a hidden root folds every " +
+      "DV-carrying directory in one sweep") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_recroot")
+      .toString + "/t"
+    graft.sources.HiddenPartitions.init(spark, root,
+      (1L to 80L).map(k => (k, s"v$k")).toDF("k", "payload"),
+      graft.sources.ModTransform("k", 4))
+    graft.sources.HiddenPartitions.merge(spark, root,
+      (1L to 12L).map(k => (k, "U")).toDF("k", "payload"), "k", mor = true)
+    val dirs = graft.sources.HiddenPartitions.epochGroups(root)
+      .flatMap(_._3).map(_._2)
+    assert(dirs.count(d => Snapshots.dvFiles(d,
+      Snapshots.currentVersion(d)).nonEmpty) == 4)
+    withExtSession { s =>
+      val n = s.sql(s"GRAFT RECONCILE '$root'").collect().head.getLong(0)
+      assert(n == 4L, s"expected 4 reconciled dirs, got $n")
+    }
+    dirs.foreach(d => assert(Snapshots.dvFiles(d,
+      Snapshots.currentVersion(d)).isEmpty))
+    assert(spark.read.format("graft").load(root).count() == 80)
+    assert(spark.read.format("graft").load(root)
+      .filter(col("k") === 5L).head().getString(1) == "U")
+  }
+
   test("r10 (A56): GRAFT BEGIN/COMMIT TRANSACTION, ABORT, RECOVER and " +
       "PIN CONSISTENT — the multi-table protocol end-to-end over SQL") {
     withExtSession { s =>
