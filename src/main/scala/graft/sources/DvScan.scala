@@ -48,6 +48,30 @@ import org.apache.spark.sql.types.StructType
 class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // r13 second pass: the PARTITIONED and HIDDEN compat relations
+    // vectorize the same way — a union of per-directory native plans
+    // (each its own GraftFileIndex scan ± DV anti join), the A26
+    // partition value restored as a per-branch literal so partition
+    // predicates CONSTANT-FOLD whole branches away at optimize time,
+    // the hidden layout restored as nothing at all. Directory pruning
+    // via the transforms is subsumed by the per-leaf A27 file stats
+    // (the source column's min/max per file bound the same intervals).
+    // Unions grow with |dirs| — bounded by the hive-cardinality
+    // assumption the A26 layout already lives with.
+    case lr: LogicalRelation
+        if lr.relation.isInstanceOf[GraftPartitionedCompatRelation] =>
+      val rel = lr.relation.asInstanceOf[GraftPartitionedCompatRelation]
+      rebind(lr, nativeUnion(
+        rel.partitionDirs.map { case (value, d) =>
+          (d, Some(rel.partitionCol -> value)) },
+        lr.schema))
+    case lr: LogicalRelation
+        if lr.relation.isInstanceOf[GraftHiddenCompatRelation] =>
+      val rel = lr.relation.asInstanceOf[GraftHiddenCompatRelation]
+      rebind(lr, nativeUnion(
+        rel.partitionGroups.flatMap(_._3).map { case (_, d) =>
+          (d, None) },
+        lr.schema))
     case lr: LogicalRelation if lr.relation.isInstanceOf[GraftCompatRelation] =>
       val compat = lr.relation.asInstanceOf[GraftCompatRelation]
       val out = native(compat.tablePath, compat.tableVersion)
@@ -78,6 +102,30 @@ class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
       }, newPlan)
   }
+
+  /** Union of per-directory native reads, each optionally tagged with
+    * its constant partition value, normalized to `schema`'s columns
+    * (per-dir logs may have evolved independently — missing columns
+    * null-fill, exactly like the compat scan). */
+  private def nativeUnion(dirs: Seq[(String, Option[(String, String)])],
+      schema: StructType): LogicalPlan = {
+    val frames = dirs.map { case (d, tag) =>
+      val v = Snapshots.currentVersion(d)
+      val base = tag.foldLeft(native(d, v)) { case (df, (c, value)) =>
+        df.withColumn(c, lit(value))
+      }
+      base.select(schema.fieldNames.toIndexedSeq.map(c =>
+        (if (base.columns.contains(c)) col(s"`$c`")
+         else lit(null).cast(schema(c).dataType)).as(c)): _*)
+    }
+    frames.reduce(_.unionByName(_)).queryExecution.analyzed
+  }
+
+  private def rebind(lr: LogicalRelation, newPlan: LogicalPlan)
+      : LogicalPlan =
+    Project(lr.output.zip(newPlan.output).map { case (o, n) =>
+      Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }, newPlan)
 
   /** The vectorized equivalent of `Snapshots.read(path, v)`: physical
     * parquet scan over the version's live files (stats-pruning file

@@ -600,9 +600,17 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // autoCompactMinFiles and periodic GRAFT RECONCILE (per partition)
     // for the compaction rhythm
     val mor = parameters.get("morWrites").exists(_.toBoolean)
+    // r13 (A83): a HIDDEN-TRANSFORM root takes the stream through
+    // HiddenPartitions.merge — the table's own transform (not a
+    // partitionBy, which would leak the layout) routes every batch;
+    // with morWrites each touched dir commits DV-mark + append
+    val hidden = HiddenPartitions.specOf(path).nonEmpty
+    if (hidden) require(partitionColumns.isEmpty,
+      "graft: a hidden-transform table routes by its OWN transform — " +
+        "partitionBy is not applicable (and would leak the layout)")
     new GraftSink(path, keyCol, orderCol, partitionColumns.headOption, scope,
       acMin, parameters.get("autoCompactTargetBytes").map(_.toLong)
-        .getOrElse(128L << 20), mor)
+        .getOrElse(128L << 20), mor, hidden)
   }
 }
 
@@ -624,25 +632,38 @@ class GraftSink(path: String, keyCol: String, orderCol: String,
     partCol: Option[String], scope: Option[String],
     autoCompactMinFiles: Option[Int] = None,
     autoCompactTargetBytes: Long = 128L << 20,
-    mor: Boolean = false) extends Sink {
+    mor: Boolean = false,
+    hidden: Boolean = false) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame is streaming-tagged; the merge derives new
     // plans from it, so re-wrap as a batch frame first (the
     // ForeachBatchSink move — see StreamingFrame.toBatch)
     val batch = org.apache.spark.sql.graft.StreamingFrame.toBatch(data)
-    val touched: Seq[String] = partCol match {
-      case None =>
+    // touched DIRECTORIES (hidden route) or partition VALUES (A26)
+    val touched: Seq[String] =
+      if (hidden)
         graft.streaming.UpsertSink
-          .mergeVersionedBatch(path, keyCol, orderCol, scope, mor)(
+          .mergeHiddenBatch(path, keyCol, orderCol, scope, mor)(
             batch, batchId)
-        Seq.empty
-      case Some(pc) => graft.streaming.UpsertSink
-        .mergePartitionedBatch(path, keyCol, pc, orderCol, scope, mor)(
-          batch, batchId)
-    }
+      else partCol match {
+        case None =>
+          graft.streaming.UpsertSink
+            .mergeVersionedBatch(path, keyCol, orderCol, scope, mor)(
+              batch, batchId)
+          Seq.empty
+        case Some(pc) => graft.streaming.UpsertSink
+          .mergePartitionedBatch(path, keyCol, pc, orderCol, scope, mor)(
+            batch, batchId)
+      }
     autoCompactMinFiles.foreach { n =>
       val s = data.sparkSession
-      partCol match {
+      if (hidden)
+        // only the dirs THIS batch wrote, same contract as A26
+        touched.foreach { d =>
+          if (Snapshots.currentVersion(d) >= 0)
+            Snapshots.compact(s, d, autoCompactTargetBytes, n)
+        }
+      else partCol match {
         case None =>
           if (Snapshots.currentVersion(path) >= 0)
             Snapshots.compact(s, path, autoCompactTargetBytes, n)
@@ -803,6 +824,11 @@ class GraftPartitionedCompatRelation(spark: SparkSession, path: String,
     partCol: String, dirs: Seq[(String, String)]) extends BaseRelation
     with org.apache.spark.sql.sources.PrunedFilteredScan {
 
+  /** r13: the DV-scan rule keys on these to substitute the vectorized
+    * per-partition union in extensions sessions. */
+  private[graft] def partitionCol: String = partCol
+  private[graft] def partitionDirs: Seq[(String, String)] = dirs
+
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = {
     val d0 = dirs.head._2
@@ -880,6 +906,11 @@ class GraftHiddenCompatRelation(spark: SparkSession, path: String,
     groups: Seq[(Int, GraftTransform, Seq[(String, String)])])
     extends BaseRelation
     with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  /** r13: the DV-scan rule keys on this to substitute the vectorized
+    * per-directory union in extensions sessions. */
+  private[graft] def partitionGroups
+      : Seq[(Int, GraftTransform, Seq[(String, String)])] = groups
 
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = {

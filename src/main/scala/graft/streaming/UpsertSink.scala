@@ -141,6 +141,43 @@ object UpsertSink {
     } else Seq.empty
   }
 
+  /** r13 (A83) — the HIDDEN-TRANSFORM analog of
+    * [[mergePartitionedBatch]]: each micro-batch routes through
+    * [[graft.sources.HiddenPartitions.merge]] (epoch-aware, the
+    * transform decides the directory, `mor` commits DV-mark + append
+    * per touched dir — zero rewrites per batch). The sink REQUIRES an
+    * initialized hidden root: the transform is table metadata laid
+    * down by `HiddenPartitions.init`/`evolve`, never by the stream
+    * (there is no partitionBy — the layout is hidden by definition).
+    * Replay guard: the checkpoint-scoped sidecar marker, exactly the
+    * A26 partitioned contract (immediate re-delivery of the last batch
+    * is also verbatim-safe under mor). Returns the touched DIRECTORIES
+    * so auto-compaction gates only what this batch wrote. */
+  private[graft] def mergeHiddenBatch(path: String, keyCol: String,
+      orderCol: String, scope: Option[String], mor: Boolean)(
+      batch: DataFrame, batchId: Long): Seq[String] = {
+    val latest = latestPerKey(batch, keyCol, orderCol)
+    val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
+    if (!replayed && !latest.isEmpty) {
+      val touched = graft.sources.HiddenPartitions.merge(
+        batch.sparkSession, path, latest, keyCol, mor)
+      scope.foreach(sc => recordBatch(path, sc, batchId))
+      // labels are `v` (current epoch) or `e<k>:<v>[:del]` — resolve
+      // each to its directory for the compaction gate
+      val specs = graft.sources.HiddenPartitions.specsOf(path)
+      val cur = specs.size - 1
+      touched.keys.toSeq.map { label =>
+        val core = label.stripSuffix(":del")
+        val (e, v) =
+          if (core.startsWith("e") && core.contains(":")) {
+            val i = core.indexOf(':')
+            (core.substring(1, i).toInt, core.substring(i + 1))
+          } else (cur, core)
+        graft.sources.HiddenPartitions.epochDir(path, e, v)
+      }.distinct
+    } else Seq.empty
+  }
+
   /** Start the merge sink. `orderCol` breaks ties when one key changes
     * several times inside a micro-batch (highest wins = latest change).
     * Pass `checkpoint` to make restarts resume instead of replay.

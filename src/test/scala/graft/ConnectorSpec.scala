@@ -999,4 +999,112 @@ class ConnectorSpec extends GraftSuite {
     val tailSrc = new graft.sources.GraftChangeSource(spark, dir, "k", schema)
     assert(tailSrc.getOffset.nonEmpty)
   }
+
+  test("r13 hidden-root streaming sink: the table's own transform " +
+      "routes each micro-batch; morWrites = zero rewrites per dir; " +
+      "partitionBy refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dst = Files.createTempDirectory("graft_conn_hidsink").toString + "/t"
+    graft.sources.HiddenPartitions.init(spark, dst,
+      (1L to 40L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "ts")
+        .coalesce(1), graft.sources.ModTransform("k", 4))
+    val dirsOf = () => graft.sources.HiddenPartitions.epochGroups(dst)
+      .flatMap(_._3)
+    val liveBefore = dirsOf().map { case (v, d) =>
+      v -> Snapshots.liveFiles(d, Snapshots.currentVersion(d)).toSet }.toMap
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = Files.createTempDirectory("graft_conn_hidsink_ck").toString
+    val q = mem.toDF().toDF("k", "payload", "ts")
+      .writeStream.format("graft")
+      .option("keyCol", "k").option("orderCol", "ts")
+      .option("morWrites", "true")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      // updates land in residues 1 and 2; an insert opens nothing new
+      // (residue 3 exists); two changes to k=5 resolve last-wins
+      mem.addData((5L, "old5", 1L), (5L, "U5", 2L), (6L, "U6", 2L),
+        (101L, "NEW", 2L))
+      q.processAllAvailable()
+      val df = spark.read.format("graft").load(dst)
+      assert(df.count() == 41)
+      val byK = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(byK(5L) == "U5" && byK(6L) == "U6" && byK(101L) == "NEW")
+      assert(byK(7L) == "v7")
+      // zero rewrites: every bootstrap file still live in its dir, the
+      // touched residues carry DVs
+      var dvDirs = 0
+      dirsOf().foreach { case (v, d) =>
+        val cur = Snapshots.currentVersion(d)
+        assert(liveBefore(v).subsetOf(
+          Snapshots.liveFiles(d, cur).toSet),
+          s"dir $v retired a file under the hidden MoR sink")
+        if (Snapshots.dvFiles(d, cur).nonEmpty) dvDirs += 1
+      }
+      assert(dvDirs == 2, s"expected DVs in residues 1 and 2, got $dvDirs")
+      // second batch keeps streaming; replay guard holds versions exact
+      mem.addData((8L, "U8", 3L))
+      q.processAllAvailable()
+      assert(spark.read.format("graft").load(dst)
+        .filter(col("k") === 8L).head().getString(1) == "U8")
+    } finally q.stop()
+    // partitionBy on a hidden root refuses at start (the layout is
+    // the table's own transform)
+    val mem2 = MemoryStream[(Long, String, Long)]
+    val ckpt2 = Files.createTempDirectory("graft_conn_hidsink_ck2").toString
+    val err = intercept[IllegalArgumentException] {
+      mem2.toDF().toDF("k", "payload", "ts")
+        .writeStream.format("graft")
+        .option("keyCol", "k").option("checkpointLocation", ckpt2)
+        .partitionBy("payload")
+        .start(dst)
+    }
+    assert(err.getMessage.contains("hidden-transform"))
+  }
+
+  test("r13 hidden medallion chain: hidden bronze streams through a " +
+      "transform into a hidden silver with a DIFFERENT layout") {
+    import spark.implicits._
+    val bronze = Files.createTempDirectory("graft_conn_hmed_b").toString + "/t"
+    val silver = Files.createTempDirectory("graft_conn_hmed_s").toString + "/t"
+    graft.sources.HiddenPartitions.init(spark, bronze,
+      (1L to 60L).map(k => (k, k * 10)).toDF("k", "amt").coalesce(1),
+      graft.sources.ModTransform("k", 4))
+    graft.sources.HiddenPartitions.init(spark, silver,
+      Seq((0L, 0L, "seed")).toDF("k", "amt2", "change_note").limit(0)
+        .unionByName(Seq((0L, 0L, "seed")).toDF("k", "amt2", "change_note")),
+      graft.sources.BucketTransform("k", 8))
+    val ckpt = Files.createTempDirectory("graft_conn_hmed_ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").option("keyCol", "k")
+        .load(bronze)
+        .filter(col("change_type") =!= "delete")
+        .select(col("k"), (col("amt") * 2).as("amt2"),
+          concat(lit("b"), col("_commit_version")).as("change_note"))
+        .writeStream.format("graft")
+        .option("keyCol", "k").option("morWrites", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(silver)
+      assert(q.awaitTermination(120000), "chain drain did not terminate")
+    }
+    drain()
+    val s1 = spark.read.format("graft").load(silver)
+    assert(s1.count() == 61) // 60 snapshot rows + the seed
+    assert(s1.filter(col("k") === 7L).head().getLong(1) == 140L)
+    // a MoR wave on bronze flows through on the next drain
+    graft.sources.HiddenPartitions.merge(spark, bronze,
+      Seq((7L, 777L), (200L, 2000L)).toDF("k", "amt"), "k", mor = true)
+    drain()
+    val s2 = spark.read.format("graft").load(silver)
+    assert(s2.count() == 62)
+    val byK = s2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK(7L) == 1554L && byK(200L) == 4000L)
+    // the silver's own hidden layout is intact: 8 bucket dirs, hidden
+    assert(s2.columns.toSeq == Seq("k", "amt2", "change_note"))
+    assert(graft.sources.HiddenPartitions.epochGroups(silver)
+      .flatMap(_._3).size <= 8)
+  }
 }

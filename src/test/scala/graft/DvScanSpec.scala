@@ -145,4 +145,60 @@ class DvScanSpec extends GraftSuite {
       }
     } finally se.sql("DROP TABLE IF EXISTS dv_cbo")
   }
+
+  test("r13 second pass: PARTITIONED DV state vectorizes as a union of " +
+      "per-dir scans; a partition predicate constant-folds branches away") {
+    val root = Files.createTempDirectory("graft_dvscan_p").toString + "/t"
+    val df0 = (1L to 300L).map(k =>
+        (k, s"v$k", if (k % 3 == 0) "A" else if (k % 3 == 1) "B" else "C"))
+      .toDF("k", "payload", "grp")
+    graft.sources.PartitionedSnapshots.init(spark, root, df0, "grp")
+    // MoR wave into two of the three partitions → DVs there
+    graft.sources.PartitionedSnapshots.mergePartitioned(spark, root,
+      Seq((3L, "UA", "A"), (4L, "UB", "B")).toDF("k", "payload", "grp"),
+      "k", "grp", mor = true)
+    val se = graft.plans.GraftSessions.withExtensions(spark)
+    val df = se.read.format("graft").load(root)
+    val (file, row) = scans(df)
+    assert(file.nonEmpty && row.isEmpty,
+      "partitioned DV reads must vectorize under the extensions session")
+    val expect = spark.read.format("graft").load(root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet == expect)
+    assert(expect.contains((3L, "UA", "A")) && expect.size == 300)
+    // one-partition predicate: the other branches' literals fold to
+    // false and their scans VANISH from the plan
+    val one = se.read.format("graft").load(root).filter(col("part") === "A")
+    val (fOne, _) = scans(one)
+    // count DATA scans (GraftFileIndex-located); the surviving
+    // partition's DV sidecar scan rides along by design
+    val dataScans = fOne.filter(_.relation.location
+      .isInstanceOf[graft.sources.GraftFileIndex])
+    assert(dataScans.size == 1,
+      s"expected exactly one surviving data scan, got ${dataScans.size}")
+    assert(one.count() == 100)
+  }
+
+  test("r13 second pass: HIDDEN-transform DV state vectorizes — no " +
+      "layout column, content exact, columnar scans") {
+    val root = Files.createTempDirectory("graft_dvscan_h").toString + "/t"
+    graft.sources.HiddenPartitions.init(spark, root,
+      (1L to 200L).map(k => (k, s"v$k")).toDF("k", "payload")
+        .repartition(2), graft.sources.ModTransform("k", 4))
+    graft.sources.HiddenPartitions.merge(spark, root,
+      (1L to 10L).map(k => (k, "U")).toDF("k", "payload"), "k", mor = true)
+    val se = graft.plans.GraftSessions.withExtensions(spark)
+    val df = se.read.format("graft").load(root)
+    assert(df.columns.toSeq == Seq("k", "payload"), "layout must not leak")
+    val (file, row) = scans(df)
+    assert(file.nonEmpty && row.isEmpty,
+      "hidden DV reads must vectorize under the extensions session")
+    val byK = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byK.size == 200 && byK(5L) == "U" && byK(11L) == "v11")
+    // reconcile restores the fast FileIndex path on the plain session
+    graft.sources.HiddenPartitions.reconcile(spark, root)
+    val (pf, pr) = scans(spark.read.format("graft").load(root))
+    assert(pf.nonEmpty && pr.isEmpty)
+  }
 }
