@@ -30,6 +30,7 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT OPTIMIZE '<path>' ZORDER BY (<c1>, <c2>) INTO <n> FILES
   *   GRAFT OPTIMIZE '<path>' ZORDER INCREMENTAL      -- A39 tail-only
   *   GRAFT OPTIMIZE '<path>' WHERE <col> BETWEEN <lo> AND <hi>  -- scoped
+  *     r13: a plain OPTIMIZE on a hidden/partitioned ROOT sweeps every dir
   *   GRAFT RECONCILE '<path>'                      -- fold DVs (A30);
   *     r13: on a hidden/partitioned ROOT folds every DV-carrying dir
   *   GRAFT CLONE '<src>' TO '<dst>'                -- shallow (A29)
@@ -56,7 +57,8 @@ import graft.sources.{PartitionedSnapshots, Snapshots}
   *   GRAFT ANALYZE '<path>' WITH HISTOGRAM  -- + equi-height bins
   *   GRAFT CREATE MATERIALIZED VIEW '<mv>' ON '<base>' KEY <k>  -- r11:
   *     … [MINMAX (<m1>[, …])] adds A63 stored per-group extrema;
-  *     … [DISTINCT (<c1>[, …])] adds A82 per-group HLL sketches (r13)
+  *     … [DISTINCT (<c1>[, …])] adds A82 per-group HLL sketches (r13);
+  *     … [WHERE <pred>] stores the A69 filtered-MV predicate (r13)
   *     GROUP BY (<c1>[, …]) [SUM (<s1>[, …])]          -- A55
   *   GRAFT CREATE MATERIALIZED VIEW '<mv>' ON '<left>' KEY <lk>
   *     JOIN '<right>' KEY <rk> ON <joinCol>
@@ -101,7 +103,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s => Snapshots.compactZOrderCols(s, p,
           colList.split(",").map(_.trim).toSeq, n.toInt).toLong)
       case Optimize(p) => LakeMaintenanceCommand("version",
-        s => Snapshots.compact(s, p).toLong)
+        s =>
+          // r13: like RECONCILE, a hidden/partitioned ROOT compacts
+          // every directory in one sweep (returns dirs compacted); a
+          // flat table keeps the single-log behavior (new version)
+          if (graft.sources.HiddenPartitions.specOf(p).nonEmpty)
+            graft.sources.HiddenPartitions.epochGroups(p).flatMap(_._3)
+              .count { case (_, d) =>
+                val cur = Snapshots.currentVersion(d)
+                cur >= 0 && Snapshots.compact(s, d) > cur
+              }.toLong
+          else if (Snapshots.currentVersion(p) < 0 &&
+              graft.sources.PartitionedSnapshots.partitions(p).nonEmpty)
+            graft.sources.PartitionedSnapshots.partitions(p).count { v =>
+              val d = graft.sources.PartitionedSnapshots.partitionDir(p, v)
+              val cur = Snapshots.currentVersion(d)
+              cur >= 0 && Snapshots.compact(s, d) > cur
+            }.toLong
+          else Snapshots.compact(s, p).toLong)
       case VacuumDry(p, keep) => LakeVacuumDryRunCommand(p, keep.toInt)
       case VacuumBefore(p, ts) => LakeMaintenanceCommand("reclaimed",
         _ => Snapshots.vacuumBefore(p, ts.toLong).toLong)
@@ -210,8 +229,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           parts.size.toLong
         }
       })
-      case MvCreate(mv, base, key, groups, sums, minmax, dist) =>
-        // r13: … [DISTINCT (<c1>[, …])] adds A82 per-group HLL sketches
+      case MvCreate(mv, base, key, groups, sums, minmax, dist, where) =>
+        // r13: … [DISTINCT (<c1>[, …])] adds A82 per-group HLL
+        // sketches; … [WHERE <pred>] stores the A69 filtered-MV
+        // predicate (subsumption rewrite serves queries implying it)
         LakeMaintenanceCommand("version", s =>
           graft.sources.MaterializedView.create(s, mv, base, key,
             groups.split(",").map(_.trim).toIndexedSeq,
@@ -220,7 +241,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             Option(minmax).map(_.split(",").map(_.trim).toIndexedSeq)
               .getOrElse(Seq.empty),
             Option(dist).map(_.split(",").map(_.trim).toIndexedSeq)
-              .getOrElse(Seq.empty)).toLong)
+              .getOrElse(Seq.empty),
+            Option(where).map(_.trim).filter(_.nonEmpty)).toLong)
       case MvCreateJoin(mv, left, lk, right, rk, j, groups, sums, minmax) =>
         LakeMaintenanceCommand("version", s =>
           graft.sources.MaterializedView.createJoin(s, mv, left, lk,
@@ -402,7 +424,8 @@ object GraftSqlParser {
       """'([^']+)'\s+KEY\s+(\w+)\s+GROUP\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)""" +
       """\s*\)(?:\s+SUM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
       """(?:\s+MINMAX\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
-      """(?:\s+DISTINCT\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""").r
+      """(?:\s+DISTINCT\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
   private val MvCreateJoin =
     ("""(?is)\s*GRAFT\s+CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+""" +
       """'([^']+)'\s+KEY\s+(\w+)\s+JOIN\s+'([^']+)'\s+KEY\s+(\w+)\s+ON\s+""" +

@@ -1267,6 +1267,53 @@ class LakeSqlSpec extends GraftSuite {
       .filter(col("k") === 5L).head().getString(1) == "U")
   }
 
+  test("r13: CREATE MATERIALIZED VIEW ... WHERE over SQL stores the " +
+      "filtered predicate; OPTIMIZE on a hidden root sweeps every dir") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // filtered MV over SQL: predicate stored, refresh filtered-exact
+    val base = java.nio.file.Files.createTempDirectory("graft_mvwsql").toString
+    val mv = base + "/mv"
+    Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(base)
+    Snapshots.init(spark, base, changeDataFeed = true)
+    withExtSession { s =>
+      s.sql(s"GRAFT CREATE MATERIALIZED VIEW '$mv' ON '$base' " +
+        "KEY o_orderkey GROUP BY (o_orderstatus) SUM (o_custkey) " +
+        "WHERE o_orderkey % 2 = 0")
+      assert(graft.sources.MaterializedView.spec(mv).filter
+        .contains("o_orderkey % 2 = 0"))
+      s.sql(s"DELETE FROM graft.`$base` WHERE o_orderkey % 7 = 3")
+      s.sql(s"GRAFT REFRESH MATERIALIZED VIEW '$mv'")
+    }
+    val got = graft.sources.MaterializedView.read(spark, mv)
+      .select("o_orderstatus", "cnt", "sum_o_custkey")
+    val want = Snapshots.read(spark, base)
+      .filter(col("o_orderkey") % 2 === 0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("sum_o_custkey"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // root OPTIMIZE: a fragmented hidden table packs per dir
+    val root = java.nio.file.Files.createTempDirectory("graft_optroot")
+      .toString + "/t"
+    graft.sources.HiddenPartitions.init(spark, root,
+      (1L to 80L).map(k => (k, s"v$k")).toDF("k", "payload")
+        .repartition(6), graft.sources.ModTransform("k", 4))
+    val dirs = graft.sources.HiddenPartitions.epochGroups(root)
+      .flatMap(_._3).map(_._2)
+    val before = dirs.map(d =>
+      Snapshots.liveFiles(d, Snapshots.currentVersion(d)).size).sum
+    withExtSession { s =>
+      val n = s.sql(s"GRAFT OPTIMIZE '$root'").collect().head.getLong(0)
+      assert(n == 4L, s"expected all 4 dirs compacted, got $n")
+    }
+    val after = dirs.map(d =>
+      Snapshots.liveFiles(d, Snapshots.currentVersion(d)).size).sum
+    assert(after < before, s"expected fewer files: $before -> $after")
+    assert(spark.read.format("graft").load(root).count() == 80)
+  }
+
   test("r10 (A56): GRAFT BEGIN/COMMIT TRANSACTION, ABORT, RECOVER and " +
       "PIN CONSISTENT — the multi-table protocol end-to-end over SQL") {
     withExtSession { s =>
