@@ -94,7 +94,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     if (!looksGraft(sqlText))
       ResolveGraftPath.rewrite(GraftDmlRules.rewrite(delegate.parsePlan(sqlText)))
-    else sqlText match {
+    else resolveNameForm(sqlText) match {
       case OptimizeWhere(p, c, lo, hi) => LakeMaintenanceCommand("version",
         s => Snapshots.compactWhere(s, p, c, lo.toLong, hi.toLong).toLong)
       case ZorderInc(p) => LakeMaintenanceCommand("version",
@@ -323,6 +323,52 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   private def looksGraft(s: String): Boolean =
     s.trim.regionMatches(true, 0, "GRAFT", 0, 5)
+
+  // ── r14 (the r13 verdict's item 2): NAME-form maintenance verbs ──
+  // `GRAFT OPTIMIZE orders_t` / `VACUUM t KEEP 3` / `ANALYZE t` /
+  // `RECONCILE t` / `CHECKPOINT t` / `REINDEX BLOOM t` /
+  // `ADD BLOOM INDEX c t` — Delta's `OPTIMIZE <table>` parity. ONE
+  // resolution step: the identifier resolves through the session
+  // catalog (A43's stored `path` option) and the statement re-enters
+  // the path-form grammar verbatim, so every verb variant (ZORDER BY,
+  // DRY RUN, WITH HISTOGRAM, …) gets the name form for free and the
+  // command wiring stays single-sourced.
+  private val NameForm =
+    ("""(?is)^(\s*GRAFT\s+(?:OPTIMIZE|VACUUM|ANALYZE|RECONCILE|""" +
+      """CHECKPOINT|REINDEX\s+BLOOM|ADD\s+BLOOM\s+INDEX\s+\w+)\s+)""" +
+      """([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)(\s.*|;?\s*)$""").r
+
+  /** The stored path of a catalog-registered graft table (A43's
+    * `OPTIONS (path …)` or the location URI). Loud on a missing table
+    * or a non-graft provider — a maintenance verb must never fall
+    * through to a path that happens to share the name. */
+  private[plans] def catalogPathOf(name: String): String = {
+    val parts = name.split("\\.").toSeq
+    val t =
+      try SparkSession.active.sessionState.catalog.getTableMetadata(
+        TableIdentifier(parts.last,
+          if (parts.length == 2) Some(parts.head) else None))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"graft: no catalog table '$name' to resolve for the " +
+              s"maintenance verb (${e.getMessage})")
+      }
+    require(t.provider.exists(_.equalsIgnoreCase("graft")),
+      s"graft: catalog table '$name' is not a graft table " +
+        s"(provider ${t.provider.getOrElse("none")})")
+    t.storage.properties.get("path")
+      .orElse(t.storage.locationUri.map(uri =>
+        java.nio.file.Paths.get(uri).toString))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: catalog table '$name' records no storage path"))
+  }
+
+  private def resolveNameForm(sql: String): String = sql match {
+    case NameForm(head, name, tail) =>
+      head + "'" + catalogPathOf(name) + "'" + tail
+    case _ => sql
+  }
 
   // whole-string regexes (Scala's Regex.unapplySeq anchors both ends)
   private val Vacuum =

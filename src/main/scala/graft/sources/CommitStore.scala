@@ -38,6 +38,12 @@ trait CommitStore {
     * the complete old bytes or the complete new bytes, never a
     * mixture or a missing file. */
   def replace(target: Path, content: Array[Byte]): Unit
+
+  /** Remove `target` if present (idempotent — absent is success). The
+    * fence-expiry / fence-release primitive: without it a non-POSIX
+    * store could acquire and refresh fences but never CLEAR an expired
+    * one (r13 ADVICE — the seam was incomplete for fence lifecycle). */
+  def delete(target: Path): Unit
 }
 
 /** POSIX implementation: write-to-temp + hard-link for the CAS
@@ -59,10 +65,20 @@ object LocalCommitStore extends CommitStore {
 
   override def replace(target: Path, content: Array[Byte]): Unit = {
     val tmp = Files.createTempFile(target.getParent, "rep", ".tmp")
-    Files.write(tmp, content)
-    Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // r13 ADVICE: a failure between write and move must not leak
+    // rep*.tmp into the log dir (putIfAbsent already had this guard) —
+    // after a successful ATOMIC_MOVE the temp path is gone and the
+    // deleteIfExists is a no-op
+    try {
+      Files.write(tmp, content)
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def delete(target: Path): Unit = {
+    Files.deleteIfExists(target); ()
   }
 }
 

@@ -81,9 +81,13 @@ class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // stats land on the substituted scan, rowCount corrected for
       // dead positions
       val newPlan = lr.catalogTable match {
-        case Some(ct) if ct.stats.isEmpty =>
-          GraftStats.dvAdjustedStats(spark, compat.tablePath,
-              compat.tableVersion) match {
+        case Some(ct) =>
+          // user-computed ANALYZE stats (ct.stats set) survive the
+          // substitution verbatim; only a stats-less catalog table gets
+          // the DV-adjusted manifest estimate
+          val stats = ct.stats.orElse(GraftStats.dvAdjustedStats(spark,
+            compat.tablePath, compat.tableVersion))
+          stats match {
             case Some(cs) => analyzed.transform {
               case l: LogicalRelation
                   if l.relation.isInstanceOf[HadoopFsRelation] &&
@@ -93,7 +97,7 @@ class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             case None => analyzed
           }
-        case _ => analyzed
+        case None => analyzed
       }
       // hand the substituted subtree back under the ORIGINAL output
       // attribute ids, so everything referencing the old relation's

@@ -180,6 +180,37 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       options = parameters)(spark)
   }
 
+  /** A50 × A26/A49 (r14): the COMPOSED bucket layout — declare the
+    * root-recorded spec to a multi-directory scan iff EVERY partition
+    * directory's current version records the same spec and every live
+    * file in it carries a valid `_NNNNN` bucket tag. One dir staged
+    * untagged degrades the WHOLE read to a plain scan (per-dir degrade
+    * guard — correctness never rides the tag). When declared,
+    * FileSourceScanExec groups files ACROSS partition dirs by bucket
+    * id (Spark's own partitioned+bucketed table contract), so a
+    * co-bucketed fact⋈fact join on the flagship date-partitioned +
+    * key-bucketed layout runs with ZERO exchange, and partition
+    * pruning still removes whole dirs first.
+    */
+  private def composedBucketSpec(root: Option[(String, Int)],
+      dirs: Seq[String], dataSchema: StructType)
+      : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+    root.flatMap { case (c, n) =>
+      val ok = dataSchema.fieldNames.contains(c) && dirs.nonEmpty &&
+        dirs.forall { d =>
+          val v = Snapshots.currentVersion(d)
+          Snapshots.bucketSpecOf(d, v).contains((c, n)) &&
+            Snapshots.liveFiles(d, v).map(Snapshots.canonical).forall { f =>
+              org.apache.spark.sql.GraftSqlBridge
+                .bucketIdOf(Paths.get(f).getFileName.toString)
+                .exists(id => id >= 0 && id < n)
+            }
+        }
+      if (ok) Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        n, Seq(c), Seq(c)))
+      else None
+    }
+
   /** A38 — metadata tables (the Iceberg `table.files` / `table.history`
     * pattern): `.option("metadata", "history"|"files"|"tags")` reads
     * the LOG, not the data — per-version commit facts, the head's
@@ -268,7 +299,8 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       partitionSchema = new StructType().add(partCol,
         org.apache.spark.sql.types.StringType),
       dataSchema = dataSchema,
-      bucketSpec = None,
+      bucketSpec = composedBucketSpec(PartitionedSnapshots.bucketOf(path),
+        dirs.map(_._2), dataSchema),
       fileFormat = new ParquetFileFormat(),
       options = parameters)(spark)
   }
@@ -316,7 +348,8 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       location = new GraftHiddenPartitionedIndex(spark, path, groups),
       partitionSchema = new StructType(),
       dataSchema = dataSchema,
-      bucketSpec = None,
+      bucketSpec = composedBucketSpec(HiddenPartitions.bucketOf(path),
+        dirs.map(_._2), dataSchema),
       fileFormat = new ParquetFileFormat(),
       options = parameters)(spark)
   }

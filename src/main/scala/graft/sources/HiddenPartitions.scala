@@ -541,7 +541,18 @@ object HiddenPartitions {
     * per dir); out-of-order replays need the caller's own guard, as
     * with [[PartitionedSnapshots.mergePartitioned]]. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String, mor: Boolean): Map[String, Int] = {
+      keyCol: String, mor: Boolean): Map[String, Int] =
+    mergeTouchedDirs(spark, path, updates, keyCol, mor)
+      .map { case (label, (_, v)) => label -> v }
+
+  /** [[merge]], but each label also carries ITS DIRECTORY — the
+    * streaming sink's compaction gate needs the dirs a batch touched,
+    * and re-deriving them from the labels would re-parse what this
+    * method already knows (a string-valued transform value can look
+    * exactly like an `e<k>:<v>` label, so parsing labels is unsound). */
+  private[graft] def mergeTouchedDirs(spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String,
+      mor: Boolean): Map[String, (String, Int)] = {
     def upsert(dir: String, rows: DataFrame): Int =
       if (mor) Snapshots.mergeVersionedDV(spark, dir, rows, keyCol)
       else Snapshots.mergeVersioned(spark, dir, rows, keyCol)
@@ -554,7 +565,7 @@ object HiddenPartitions {
     val current = specs.last
     val currentEpoch = specs.size - 1
     requireNoNulls(updates, current.col)
-    val results = scala.collection.mutable.Map.empty[String, Int]
+    val results = scala.collection.mutable.Map.empty[String, (String, Int)]
     // Materialize the batch ONCE: every per-partition step below
     // (probe, merge join, staging stats) re-evaluates its input, and an
     // arbitrary caller plan re-computed dozens of times turned the
@@ -642,15 +653,15 @@ object HiddenPartitions {
             val label = s"e$epoch:$v"
             if (keyPure(t)) {
               // no move possible: everything found here updates here
-              results(label) = upsert(dirOf(v), rowsV)
+              results(label) = (dirOf(v), upsert(dirOf(v), rowsV))
             } else {
               val staying = rowsV.filter(t.valueExpr <=> lit(v))
               val moving = rowsV.filter(!(t.valueExpr <=> lit(v)))
               if (!staying.isEmpty)
-                results(label) = upsert(dirOf(v), staying)
+                results(label) = (dirOf(v), upsert(dirOf(v), staying))
               if (!moving.isEmpty)
-                results(s"$label:del") =
-                  removeKeys(dirOf(v), moving.select(column(keyCol)))
+                results(s"$label:del") = (dirOf(v),
+                  removeKeys(dirOf(v), moving.select(column(keyCol))))
             }
           }
           if (found.nonEmpty) {
@@ -683,7 +694,7 @@ object HiddenPartitions {
           // so the whole table keeps the exchange-free join property
           case Some((c, n)) =>
             results(v) =
-              Snapshots.writeBucketedVersioned(spark, dir, slice, c, n)
+              (dir, Snapshots.writeBucketedVersioned(spark, dir, slice, c, n))
           case None =>
             Files.createDirectories(Paths.get(dir))
             val stage = dir + "/init"
@@ -697,10 +708,10 @@ object HiddenPartitions {
             try walk.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.deleteIfExists(p))
             finally walk.close()
-            results(v) = Snapshots.init(spark, dir)
+            results(v) = (dir, Snapshots.init(spark, dir))
         }
       } else if (!slice.isEmpty)
-        results(v) = upsert(dir, slice)
+        results(v) = (dir, upsert(dir, slice))
     }
     results.toMap
   }

@@ -152,6 +152,22 @@ object LakehouseQueries {
       masterDirs.synchronized { masterDirs += root }
       val t = root.toString + "/t"
       build(t)
+      // the clone repoint below rewrites absolute paths only inside
+      // *.manifest text; DV parquet sidecars embed master paths in
+      // their __dv_file column and CDF sidecars would be shared
+      // hard-links too — a cached fixture must therefore be CoW-only,
+      // or a clone's anti join would silently miss the master's dead
+      // rows. Enforced here, not documented-and-hoped (r13 ADVICE).
+      val head = Snapshots.currentVersion(t)
+      if (head >= 0)
+        (Snapshots.earliestVersion(t) to head).foreach { v =>
+          require(Snapshots.dvFiles(t, v).isEmpty,
+            s"cachedFixture('$tag') staged deletion vectors at v$v — " +
+              "hard-link clones cannot repoint DV-embedded paths")
+          require(!Snapshots.cdfRecorded(t, v),
+            s"cachedFixture('$tag') staged change-data sidecars at v$v " +
+              "— hard-link clones cannot repoint them")
+        }
       t
     })
     val clone = tempDir("graft_fix_clone") + "/t"
@@ -1094,7 +1110,11 @@ object LakehouseQueries {
     * Everything the oracle can't see (DESCRIBE, managed CTAS, refusal
     * of a wrong catalog schema) is CatalogSpec's job.
     */
-  def qLakeCatalog(s: SparkSession, d: String): DataFrame = {
+  def qLakeCatalog(s0: SparkSession, d: String): DataFrame = {
+    // the whole gate runs in the parser-extension session (its catalog
+    // is separate SharedState), so the r14 NAME-form maintenance verb
+    // below resolves the same `graft_cat_q` this gate registers
+    val s = graft.plans.GraftSessions.withExtensions(s0)
     val b = base(s, d)
     val dir = stage(b.repartitionByRange(4, col("o_orderkey")), 4)
     Snapshots.init(s, dir) // v0
@@ -1115,6 +1135,10 @@ object LakehouseQueries {
           col("o_totalprice"), lit(1L).as("flagged")),
       "o_orderkey") // v2, adds `flagged`
     s.catalog.refreshTable("graft_cat_q")
+    // r14: NAME-form maintenance (the Delta `OPTIMIZE t` parity) — the
+    // verb resolves through the catalog's stored path and bin-packs;
+    // the hashed aggregate proves the row multiset survived it
+    s.sql("GRAFT OPTIMIZE graft_cat_q")
     s.sql("""SELECT o_orderstatus AS status, count(*) AS n,
             |  round(sum(o_totalprice), 2) AS total,
             |  sum(coalesce(flagged, 0)) AS flags
@@ -2053,6 +2077,106 @@ object LakehouseQueries {
       |FROM o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** A50 × A26 × A49 (r14, the r13 verdict's top item) — the COMPOSED
+    * bucket layout on the flagship 100 TB shapes. Two legs:
+    *
+    *  - `part`: orders lands PARTITIONED by status + hash-bucketed
+    *    8-ways on o_custkey ([[PartitionedSnapshots.init]] with
+    *    `bucketBy`), then survives a full DML wave — an in-place merge
+    *    re-pricing, a keyed DELETE inside one partition dir, and a
+    *    brand-new partition value bootstrapping (which must bootstrap
+    *    BUCKETED, or the whole table degrades);
+    *  - `hidden`: orders lands under a hidden mod-transform +
+    *    the same bucket spec ([[HiddenPartitions.init]] `bucketBy`)
+    *    and takes a keyed merge wave.
+    *
+    * Each leg then joins a co-bucketed graft customer table through
+    * the CONNECTOR (where the composed BucketSpec is declared) under a
+    * SHUFFLE_MERGE hint, and the `exchange_free` verdict read off the
+    * executed join plan is a hashed column the oracle asserts TRUE —
+    * zero shuffle on the date-partitioned + join-bucketed layout is
+    * part of the correctness contract, not just a spec.
+    */
+  def qLakeBucketedPart(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val root = tempDir("graft_bktp_q")
+    val dirO = root + "/orders_part"
+    val dirH = root + "/orders_hidden"
+    val dirC = root + "/customer"
+    staged {
+      Snapshots.writeBucketedVersioned(s, dirC, cust, "c_custkey", 8)
+      PartitionedSnapshots.init(s, dirO, orders, "o_orderstatus",
+        bucketBy = Some(("o_custkey", 8)))
+      // wave 1: in-place merge (same partition value) — bucket tags
+      // must survive the per-dir rewrite
+      PartitionedSnapshots.mergePartitioned(s, dirO,
+        orders.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)),
+        "o_orderkey", "o_orderstatus")
+      // wave 2: keyed delete INSIDE one partition dir
+      Snapshots.deleteVersioned(s,
+        PartitionedSnapshots.partitionDir(dirO, "F"),
+        col("o_orderkey") % 37 === 1)
+      // wave 3: a brand-new partition value (new keys) — must
+      // bootstrap bucketed or the composed spec degrades
+      PartitionedSnapshots.mergePartitioned(s, dirO,
+        orders.filter(col("o_orderkey") % 41 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_orderstatus", lit("X")),
+        "o_orderkey", "o_orderstatus")
+      HiddenPartitions.init(s, dirH, orders,
+        ModTransform("o_orderkey", 4), // value never surfaces
+        bucketBy = Some(("o_custkey", 8)))
+      HiddenPartitions.merge(s, dirH,
+        orders.filter(col("o_orderkey") % 30 === 0)
+          .withColumn("o_totalprice", round(col("o_totalprice") * 3, 2)),
+        "o_orderkey")
+      ()
+    }
+    val custT = s.read.format("graft").load(dirC)
+    def leg(tag: String, fact: DataFrame): DataFrame = {
+      val joined = fact.join(custT.hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      val exchangeFree =
+        !joined.queryExecution.executedPlan.toString.contains("Exchange")
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(lit(tag).as("layout"), col("c_mktsegment"), col("n"),
+          col("total"), lit(exchangeFree).as("exchange_free"))
+    }
+    leg("part", s.read.format("graft")
+        .option("partitionCol", "o_orderstatus").load(dirO))
+      .unionByName(leg("hidden", s.read.format("graft").load(dirH)))
+  }
+
+  val qLakeBucketedPartSql: String =
+    """WITH op AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN o_orderkey % 20 = 0 THEN round(o_totalprice * 2, 2)
+      |         ELSE o_totalprice END AS p
+      |  FROM orders
+      |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 37 = 1)
+      |  UNION ALL
+      |  SELECT o_custkey, o_totalprice AS p
+      |  FROM orders WHERE o_orderkey % 41 = 2),
+      |oh AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN o_orderkey % 30 = 0 THEN round(o_totalprice * 3, 2)
+      |         ELSE o_totalprice END AS p
+      |  FROM orders)
+      |SELECT 'part' AS layout, c.c_mktsegment, count(*) AS n,
+      |  round(sum(op.p), 2) AS total, TRUE AS exchange_free
+      |FROM op JOIN customer c ON op.o_custkey = c.c_custkey
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'hidden' AS layout, c.c_mktsegment, count(*) AS n,
+      |  round(sum(oh.p), 2) AS total, TRUE AS exchange_free
+      |FROM oh JOIN customer c ON oh.o_custkey = c.c_custkey
+      |GROUP BY 2""".stripMargin
+
   /** A52 — the FULL conditional MERGE end-to-end: one statement's worth
     * of guarded clauses (conditional update, fallback matched delete,
     * conditional insert, NOT MATCHED BY SOURCE update AND delete) in
@@ -2964,6 +3088,7 @@ object LakehouseQueries {
     "q_lake_part_transforms" -> (qLakePartTransforms(_, _)),
     "q_lake_txn" -> (qLakeTxn(_, _)),
     "q_lake_bucketed" -> (qLakeBucketed(_, _)),
+    "q_lake_bucketed_part" -> (qLakeBucketedPart(_, _)),
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
     "q_lake_optimize_where" -> (qLakeOptimizeWhere(_, _)),
     "q_lake_timetravel" -> (qLakeTimetravel(_, _)),
@@ -3019,6 +3144,7 @@ object LakehouseQueries {
     "q_lake_part_transforms" -> qLakePartTransformsSql,
     "q_lake_txn" -> qLakeTxnSql,
     "q_lake_bucketed" -> qLakeBucketedSql,
+    "q_lake_bucketed_part" -> qLakeBucketedPartSql,
     "q_lake_deltalog" -> qLakeDeltaLogSql,
     "q_lake_optimize_where" -> qLakeOptimizeWhereSql,
     "q_lake_timetravel" -> qLakeTimetravelSql,

@@ -56,21 +56,66 @@ object PartitionedSnapshots {
   }.map(_.getFileName.toString).filter(_.startsWith("part="))
     .map(n => dec(n.stripPrefix("part="))).sorted
 
+  // bucket-under-partition composition (A50 under A26, r14 — the same
+  // root-level sidecar the hidden layout carries): every partition's
+  // per-dir snapshot table is created with this bucket spec, and the
+  // per-table `#bucketspec` manifest line then self-preserves through
+  // every later write (Snapshots.stageData routes by it). This is the
+  // 100 TB design point — date-partitioned + join-key-bucketed facts —
+  // so the A50 exchange elimination reaches the flagship layout.
+  private def bucketPath(path: String) = Paths.get(path, "_graft_part_bucket")
+
+  /** The root's bucket-under-partition spec, if composed at init. */
+  def bucketOf(path: String): Option[(String, Int)] = {
+    val p = bucketPath(path)
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), "UTF-8").trim.split("\t") match {
+      case Array(c, n) => Some((c, n.toInt))
+      case _ => None
+    }
+  }
+
   /** Initialize: route `df` into per-partition directories (one
     * distributed partitioned write — the partition column leaves the
     * data files and becomes the directory name) and open a snapshot
     * log in each. Returns the partition values created.
+    * `bucketBy` composes A50 UNDER the partitions: every partition's
+    * own snapshot table is hash-bucketed on the given column, the spec
+    * recorded at the root, so a partition-pruned co-bucketed join
+    * plans with ZERO exchange (the date-then-key fact layout).
     */
   def init(spark: SparkSession, path: String, df: DataFrame,
-      partCol: String): Seq[String] = {
+      partCol: String, bucketBy: Option[(String, Int)] = None): Seq[String] = {
     require(partitions(path).isEmpty, s"$path already initialized")
-    // one distributed write; spark's own hive layout (part=value dirs)
-    df.withColumn(partCol, col(partCol).cast("string"))
-      .withColumnRenamed(partCol, "part")
-      .write.partitionBy("part").parquet(path)
-    val vals = partitions(path)
-    vals.foreach(v => Snapshots.init(spark, partDir(path, v).toString))
-    vals
+    bucketBy match {
+      case None =>
+        // one distributed write; spark's own hive layout (part=value dirs)
+        df.withColumn(partCol, col(partCol).cast("string"))
+          .withColumnRenamed(partCol, "part")
+          .write.partitionBy("part").parquet(path)
+        val vals = partitions(path)
+        vals.foreach(v => Snapshots.init(spark, partDir(path, v).toString))
+        vals
+      case Some((c, n)) =>
+        require(c != partCol,
+          s"graft: bucket column '$c' IS the partition column")
+        require(df.columns.contains(c),
+          s"graft: bucket column '$c' not in ${df.columns.mkString(", ")}")
+        // one bucketed bootstrap per partition value: the value list is
+        // bounded by partition cardinality (the hive assumption), and
+        // each bootstrap routes its slice through the shared bucketed
+        // staging, which tags every file with its `_NNNNN` bucket id
+        Files.createDirectories(Paths.get(path))
+        val routed = df.withColumn(partCol, col(partCol).cast("string"))
+        val vals = routed.select(col(partCol)).distinct()
+          .collect().map(_.getString(0)).sorted.toIndexedSeq
+        vals.foreach { v =>
+          Snapshots.writeBucketedVersioned(spark, partDir(path, v).toString,
+            routed.filter(col(partCol) === v).drop(partCol), c, n)
+        }
+        Files.write(bucketPath(path), s"$c\t$n".getBytes("UTF-8"))
+        vals
+    }
   }
 
   /** Read one partition at its CURRENT version (or `version`), the
@@ -128,7 +173,12 @@ object PartitionedSnapshots {
     touched.sorted.map { v =>
       val slice = updates.filter(col(partCol).cast("string") === v).drop(partCol)
       val dir = partDir(path, v).toString
-      if (!existing.contains(v)) {
+      if (!existing.contains(v) && bucketOf(path).nonEmpty) {
+        // composed layout: a NEW partition bootstraps bucketed too, so
+        // the whole table keeps the exchange-free join property
+        val (c, n) = bucketOf(path).get
+        v -> Snapshots.writeBucketedVersioned(spark, dir, slice, c, n)
+      } else if (!existing.contains(v)) {
         // a brand-new partition value: open its log with the slice
         Files.createDirectories(partDir(path, v))
         slice.write.parquet(dir + "/init")

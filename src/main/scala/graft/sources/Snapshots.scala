@@ -1038,7 +1038,7 @@ object Snapshots {
         case Some((o, exp)) if exp > System.currentTimeMillis() =>
           throw new java.util.ConcurrentModificationException(
             s"$path is already fenced by '$o'")
-        case _ => Files.deleteIfExists(f) // expired or torn: clear
+        case _ => CommitStores.get.delete(f) // expired or torn: clear
       }
       attempts += 1
     }
@@ -1049,13 +1049,15 @@ object Snapshots {
   private[graft] def hardenFence(path: String, app: String): Unit = {
     require(fenceOwner(path).exists(_._1 == app),
       s"$path fence not owned by '$app'")
-    Files.write(fenceFile(path),
+    // through the store's atomic swap (not a raw write): a reader must
+    // never see a torn fence, on ANY backend
+    CommitStores.get.replace(fenceFile(path),
       s"$app\t${Long.MaxValue}".getBytes("UTF-8"))
   }
 
   private[graft] def releaseFence(path: String, app: String): Unit =
     if (fenceOwner(path).exists(_._1 == app))
-      Files.deleteIfExists(fenceFile(path))
+      CommitStores.get.delete(fenceFile(path))
 
   /** The bucket spec `(column, numBuckets)` recorded at `v`, if the
     * table was created bucketed. */

@@ -159,22 +159,13 @@ object UpsertSink {
     val latest = latestPerKey(batch, keyCol, orderCol)
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
     if (!replayed && !latest.isEmpty) {
-      val touched = graft.sources.HiddenPartitions.merge(
+      // the merge reports each touched label WITH its directory —
+      // never re-parse labels here (a string transform VALUE can look
+      // exactly like an `e<k>:<v>` label)
+      val touched = graft.sources.HiddenPartitions.mergeTouchedDirs(
         batch.sparkSession, path, latest, keyCol, mor)
       scope.foreach(sc => recordBatch(path, sc, batchId))
-      // labels are `v` (current epoch) or `e<k>:<v>[:del]` — resolve
-      // each to its directory for the compaction gate
-      val specs = graft.sources.HiddenPartitions.specsOf(path)
-      val cur = specs.size - 1
-      touched.keys.toSeq.map { label =>
-        val core = label.stripSuffix(":del")
-        val (e, v) =
-          if (core.startsWith("e") && core.contains(":")) {
-            val i = core.indexOf(':')
-            (core.substring(1, i).toInt, core.substring(i + 1))
-          } else (cur, core)
-        graft.sources.HiddenPartitions.epochDir(path, e, v)
-      }.distinct
+      touched.values.map(_._1).toSeq.distinct
     } else Seq.empty
   }
 

@@ -34,6 +34,8 @@ class CommitStoreSpec extends GraftSuite {
         Files.move(tmp, t,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
+    override def delete(t: Path): Unit =
+      lock.synchronized { Files.deleteIfExists(t); () }
   }
 
   private def freshTable(): String = {
@@ -88,6 +90,7 @@ class CommitStoreSpec extends GraftSuite {
         else LocalCommitStore.putIfAbsent(t, c)
       override def replace(t: Path, c: Array[Byte]): Unit =
         LocalCommitStore.replace(t, c)
+      override def delete(t: Path): Unit = LocalCommitStore.delete(t)
     }
     val dir = freshTable()
     Snapshots.init(spark, dir) // v0, real store

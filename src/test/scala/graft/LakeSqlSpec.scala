@@ -296,6 +296,65 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("r14: NAME-form maintenance verbs resolve through the catalog — " +
+      "OPTIMIZE/VACUUM/ANALYZE/RECONCILE/CHECKPOINT by table name") {
+    withExtSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_sql_name").toString + "/t"
+      (1L to 200L).map(k => (k, s"v$k")).toDF("k", "payload")
+        .repartition(6).write.parquet(dir)
+      Snapshots.init(s, dir) // v0, 6 files
+      Snapshots.mergeVersionedDV(s, dir,
+        Seq((5L, "U5")).toDF("k", "payload"), "k") // v1, carries a DV
+      s.sql("DROP TABLE IF EXISTS nf_t")
+      s.sql(s"CREATE TABLE nf_t USING graft OPTIONS (path '$dir', keyCol 'k')")
+      // RECONCILE by name folds the DV
+      s.sql("GRAFT RECONCILE nf_t").collect()
+      assert(Snapshots.dvFiles(dir, Snapshots.currentVersion(dir)).isEmpty)
+      // OPTIMIZE by name bin-packs (suffix grammar reaches the name
+      // form for free: same regex family after resolution)
+      val before = Snapshots.liveFiles(dir,
+        Snapshots.currentVersion(dir)).size
+      s.sql("GRAFT OPTIMIZE nf_t").collect()
+      assert(Snapshots.liveFiles(dir,
+        Snapshots.currentVersion(dir)).size < before)
+      // ANALYZE / CHECKPOINT / VACUUM (with its KEEP operand) by name
+      s.sql("GRAFT ANALYZE nf_t").collect()
+      s.sql("GRAFT CHECKPOINT nf_t").collect()
+      s.sql(s"GRAFT VACUUM nf_t KEEP ${Snapshots.currentVersion(dir)}")
+        .collect()
+      // the row multiset survived the whole maintenance pass
+      assert(s.table("nf_t").count() == 200L)
+      assert(s.table("nf_t").filter(col("k") === 5L)
+        .select("payload").head().getString(0) == "U5")
+
+      // partitioned root by name: the r13 root sweep, now name-form
+      val root = Files.createTempDirectory("graft_sql_namep").toString + "/t"
+      PartitionedSnapshots.init(s,
+        root, (1L to 300L).map(k => (k, s"p${k % 3}", k * 1.0))
+          .toDF("k", "part", "x").repartition(4), "part")
+      s.sql("DROP TABLE IF EXISTS nf_p")
+      s.sql(s"CREATE TABLE nf_p USING graft " +
+        s"OPTIONS (path '$root', partitionCol 'part', keyCol 'k')")
+      s.sql("GRAFT OPTIMIZE nf_p").collect() // sweeps every dir
+      assert(s.table("nf_p").count() == 300L)
+
+      // refusals: unknown name; a non-graft provider
+      val e1 = intercept[IllegalArgumentException] {
+        s.sql("GRAFT OPTIMIZE nf_no_such_table")
+      }
+      assert(e1.getMessage.contains("no catalog table"))
+      s.sql("DROP TABLE IF EXISTS nf_plain")
+      s.sql("CREATE TABLE nf_plain (k INT) USING parquet")
+      try {
+        val e2 = intercept[IllegalArgumentException] {
+          s.sql("GRAFT OPTIMIZE nf_plain")
+        }
+        assert(e2.getMessage.contains("not a graft table"))
+      } finally s.sql("DROP TABLE IF EXISTS nf_plain")
+    }
+  }
+
   test("GRAFT TAG / BRANCH / PUBLISH BRANCH: the WAP cycle via SQL") {
     withExtSession { s =>
       import graft.sources.Refs
