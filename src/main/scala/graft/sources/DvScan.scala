@@ -48,29 +48,52 @@ import org.apache.spark.sql.types.StructType
 class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    // r13 second pass: the PARTITIONED and HIDDEN compat relations
-    // vectorize the same way — a union of per-directory native plans
-    // (each its own GraftFileIndex scan ± DV anti join), the A26
-    // partition value restored as a per-branch literal so partition
-    // predicates CONSTANT-FOLD whole branches away at optimize time,
-    // the hidden layout restored as nothing at all. Directory pruning
-    // via the transforms is subsumed by the per-leaf A27 file stats
-    // (the source column's min/max per file bound the same intervals).
-    // Unions grow with |dirs| — bounded by the hive-cardinality
-    // assumption the A26 layout already lives with.
+    // r14 (the r13 verdict's item 4): the PARTITIONED and HIDDEN
+    // compat relations substitute ONE vectorized scan spanning every
+    // directory — the multi-dir stats-pruning FileIndex the plain read
+    // path already uses, now version-PINNED to the compat relation's
+    // resolved heads (so "pure acceleration, never a dependency" holds
+    // exactly even when a commit lands mid-resolution). Directory
+    // pruning happens INSIDE listFiles (partition filters for A26, the
+    // transform mapping for A49), so a 10k-dir table plans one scan
+    // node instead of 10k analyzed union branches; the DV anti join
+    // runs once against the union of every dir's sidecars (DV keys are
+    // file-scoped — cross-dir matches are impossible). Per-dir COLUMN
+    // MAPPINGS that disagree cannot share one physical schema: that
+    // case falls back to the r13 per-dir union (correctness first).
     case lr: LogicalRelation
         if lr.relation.isInstanceOf[GraftPartitionedCompatRelation] =>
       val rel = lr.relation.asInstanceOf[GraftPartitionedCompatRelation]
-      rebind(lr, nativeUnion(
+      val dirsV = rel.partitionDirs.map { case (_, d) =>
+        (d, rel.dirVersions(d)) }
+      if (mappingsAgree(dirsV)) {
+        val partSchema = new StructType().add(rel.partitionCol,
+          org.apache.spark.sql.types.StringType)
+        val index = new GraftPartitionedFileIndex(spark, rel.tablePath,
+          rel.partitionCol, rel.partitionDirs, rel.dirVersions)
+        rebind(lr, nativeMulti(index, partSchema,
+          dataFieldsOf(lr.schema, dirsV.head, Some(rel.partitionCol)),
+          dvsOf(dirsV), lr.schema.fieldNames.toIndexedSeq))
+      } else rebind(lr, nativeUnion(
         rel.partitionDirs.map { case (value, d) =>
-          (d, Some(rel.partitionCol -> value)) },
+          (d, rel.dirVersions(d), Some(rel.partitionCol -> value)) },
         lr.schema))
     case lr: LogicalRelation
         if lr.relation.isInstanceOf[GraftHiddenCompatRelation] =>
       val rel = lr.relation.asInstanceOf[GraftHiddenCompatRelation]
-      rebind(lr, nativeUnion(
+      val dirsV = rel.partitionGroups.flatMap(_._3).map { case (_, d) =>
+        (d, rel.dirVersions(d)) }
+      if (mappingsAgree(dirsV)) {
+        val index = new graft.sources.GraftHiddenPartitionedIndex(spark,
+          rel.tablePath,
+          rel.partitionGroups.map { case (_, t, ds) => (t, ds) },
+          rel.dirVersions)
+        rebind(lr, nativeMulti(index, new StructType(),
+          dataFieldsOf(lr.schema, dirsV.head, None),
+          dvsOf(dirsV), lr.schema.fieldNames.toIndexedSeq))
+      } else rebind(lr, nativeUnion(
         rel.partitionGroups.flatMap(_._3).map { case (_, d) =>
-          (d, None) },
+          (d, rel.dirVersions(d), None) },
         lr.schema))
     case lr: LogicalRelation if lr.relation.isInstanceOf[GraftCompatRelation] =>
       val compat = lr.relation.asInstanceOf[GraftCompatRelation]
@@ -107,14 +130,86 @@ class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }, newPlan)
   }
 
+  /** True iff every directory's stored column mapping agrees (same
+    * logical→physical assignment, no physical name serving two logical
+    * names) — only then can ONE physical schema read all dirs' files.
+    * Legacy dirs without a stored schema carry no mapping and always
+    * agree. */
+  private def mappingsAgree(dirs: Seq[(String, Int)]): Boolean = {
+    val fwd = scala.collection.mutable.Map.empty[String, String]
+    val back = scala.collection.mutable.Map.empty[String, String]
+    dirs.forall { case (d, v) =>
+      Snapshots.tableSchema(d, v).forall(_.fields.forall { f =>
+        val p = Snapshots.physicalName(f)
+        fwd.getOrElseUpdate(f.name, p) == p &&
+          back.getOrElseUpdate(p, f.name) == f.name
+      })
+    }
+  }
+
+  /** The DATA fields to scan (partition column stripped), carrying the
+    * head dir's stored mapping metadata so physical names resolve. */
+  private def dataFieldsOf(schema: StructType, d0: (String, Int),
+      partCol: Option[String])
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    val data = schema.fields.filterNot(f => partCol.contains(f.name))
+    val stored = Snapshots.tableSchema(d0._1, d0._2)
+      .map(s => s.fields.map(f => f.name -> f).toMap)
+      .getOrElse(Map.empty)
+    data.toIndexedSeq.map(f => stored.getOrElse(f.name, f))
+  }
+
+  /** Every dir's DV sidecars at its pinned version. */
+  private def dvsOf(dirs: Seq[(String, Int)]): Seq[String] =
+    dirs.flatMap { case (d, v) => Snapshots.dvFiles(d, v) }
+
+  /** One vectorized scan spanning every directory: multi-dir
+    * stats-pruning index, logical names restored, one global DV anti
+    * join, columns ordered to the relation's schema. */
+  private def nativeMulti(
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      partSchema: StructType,
+      dataFields: Seq[org.apache.spark.sql.types.StructField],
+      dvs: Seq[String], outCols: Seq[String]): LogicalPlan = {
+    val physical = StructType(dataFields.map(f =>
+      f.copy(name = Snapshots.physicalName(f))).toArray)
+    val hfs = HadoopFsRelation(
+      location = index,
+      partitionSchema = partSchema,
+      dataSchema = physical,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+    val base = spark.baseRelationToDataFrame(hfs)
+    val logical = dataFields.toIndexedSeq.map(f =>
+      col(s"`${Snapshots.physicalName(f)}`").as(f.name, f.metadata)) ++
+      partSchema.fieldNames.toIndexedSeq.map(c => col(s"`$c`"))
+    val body =
+      if (dvs.isEmpty) base.select(logical: _*)
+      else {
+        val withPos = base.select(logical :+
+          col("_metadata.file_path").as("__file") :+
+          col("_metadata.row_index").as("__pos"): _*)
+        val dv = spark.read.parquet(dvs: _*)
+          .select(col("__dv_file"), col("__dv_pos"))
+        withPos.join(dv,
+            withPos("__file") === dv("__dv_file") &&
+              withPos("__pos") === dv("__dv_pos"),
+            "left_anti")
+      }
+    body.select(outCols.toIndexedSeq.map(c => col(s"`$c`")): _*)
+      .queryExecution.analyzed
+  }
+
   /** Union of per-directory native reads, each optionally tagged with
     * its constant partition value, normalized to `schema`'s columns
     * (per-dir logs may have evolved independently — missing columns
-    * null-fill, exactly like the compat scan). */
-  private def nativeUnion(dirs: Seq[(String, Option[(String, String)])],
+    * null-fill, exactly like the compat scan). The FALLBACK for
+    * disagreeing per-dir column mappings; versions are the relation's
+    * pinned heads. */
+  private def nativeUnion(dirs: Seq[(String, Int, Option[(String, String)])],
       schema: StructType): LogicalPlan = {
-    val frames = dirs.map { case (d, tag) =>
-      val v = Snapshots.currentVersion(d)
+    val frames = dirs.map { case (d, v, tag) =>
       val base = tag.foldLeft(native(d, v)) { case (df, (c, value)) =>
         df.withColumn(c, lit(value))
       }

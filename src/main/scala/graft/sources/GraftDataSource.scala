@@ -627,6 +627,12 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val acMin = parameters.get("autoCompactMinFiles").map(_.toInt)
     acMin.foreach(n => require(n >= 2,
       s"graft: autoCompactMinFiles must be >= 2 (got $n)"))
+    // r14 (the r13 verdict's item 3): bound MoR DV accumulation — with
+    // the option set, a touched dir whose head carries that many DV
+    // sidecars is reconciled right after the batch commit
+    val arMax = parameters.get("autoReconcileMaxDvFiles").map(_.toInt)
+    arMax.foreach(n => require(n >= 1,
+      s"graft: autoReconcileMaxDvFiles must be >= 1 (got $n)"))
     // r12: merge-on-read micro-batches (A75) — DV-mark + append, zero
     // file rewrites per commit; on a partitioned table each touched
     // partition DV-merges in its own log. Pair with
@@ -643,7 +649,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         "partitionBy is not applicable (and would leak the layout)")
     new GraftSink(path, keyCol, orderCol, partitionColumns.headOption, scope,
       acMin, parameters.get("autoCompactTargetBytes").map(_.toLong)
-        .getOrElse(128L << 20), mor, hidden)
+        .getOrElse(128L << 20), mor, hidden, arMax)
   }
 }
 
@@ -660,13 +666,27 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
   * stays bounded regardless of batch count. Layout-only and
   * idempotent: a crash or replayed batch can at worst re-run a
   * compaction that finds nothing to pack (no commit).
+  *
+  * `autoReconcileMaxDvFiles` (r14, the r13 verdict's item 3 — the DV
+  * analog of Delta auto-compaction): under steady-state `morWrites`
+  * ingest every micro-batch adds DV sidecars, and every read between
+  * manual RECONCILEs pays a growing anti-join build side. With the
+  * option set, each touched dir whose head carries ≥ that many DV
+  * files is folded ([[Snapshots.reconcileDV]]) right after the batch
+  * commit — the GATE reads the manifest's `#dv=` lines only (no data
+  * opened when under threshold), the fold is a layout-only commit
+  * (A20 feed stays empty across it), and a replayed batch at worst
+  * re-runs a reconcile that finds no DVs (no commit). Runs BEFORE the
+  * compaction gate so a fold's rewritten files can pack in the same
+  * batch.
   */
 class GraftSink(path: String, keyCol: String, orderCol: String,
     partCol: Option[String], scope: Option[String],
     autoCompactMinFiles: Option[Int] = None,
     autoCompactTargetBytes: Long = 128L << 20,
     mor: Boolean = false,
-    hidden: Boolean = false) extends Sink {
+    hidden: Boolean = false,
+    autoReconcileMaxDvFiles: Option[Int] = None) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame is streaming-tagged; the merge derives new
     // plans from it, so re-wrap as a batch frame first (the
@@ -688,26 +708,27 @@ class GraftSink(path: String, keyCol: String, orderCol: String,
           .mergePartitionedBatch(path, keyCol, pc, orderCol, scope, mor)(
             batch, batchId)
       }
-    autoCompactMinFiles.foreach { n =>
-      val s = data.sparkSession
-      if (hidden)
-        // only the dirs THIS batch wrote, same contract as A26
-        touched.foreach { d =>
-          if (Snapshots.currentVersion(d) >= 0)
-            Snapshots.compact(s, d, autoCompactTargetBytes, n)
-        }
+    // only the dirs THIS batch wrote — the per-batch maintenance cost
+    // tracks the batch's footprint, never partition count
+    val touchedDirs: Seq[String] =
+      if (hidden) touched
       else partCol match {
-        case None =>
-          if (Snapshots.currentVersion(path) >= 0)
-            Snapshots.compact(s, path, autoCompactTargetBytes, n)
+        case None => Seq(path)
         case Some(_) =>
-          // only the partitions THIS batch wrote — the per-batch gate
-          // cost tracks the batch's footprint, not partition count
-          touched.foreach { v =>
-            val d = PartitionedSnapshots.partitionDir(path, v)
-            if (Snapshots.currentVersion(d) >= 0)
-              Snapshots.compact(s, d, autoCompactTargetBytes, n)
-          }
+          touched.map(PartitionedSnapshots.partitionDir(path, _))
+      }
+    val s = data.sparkSession
+    autoReconcileMaxDvFiles.foreach { n =>
+      touchedDirs.foreach { d =>
+        val v = Snapshots.currentVersion(d)
+        if (v >= 0 && Snapshots.dvFiles(d, v).size >= n)
+          Snapshots.reconcileDV(s, d)
+      }
+    }
+    autoCompactMinFiles.foreach { n =>
+      touchedDirs.foreach { d =>
+        if (Snapshots.currentVersion(d) >= 0)
+          Snapshots.compact(s, d, autoCompactTargetBytes, n)
       }
     }
   }
@@ -859,8 +880,16 @@ class GraftPartitionedCompatRelation(spark: SparkSession, path: String,
 
   /** r13: the DV-scan rule keys on these to substitute the vectorized
     * per-partition union in extensions sessions. */
+  private[graft] def tablePath: String = path
   private[graft] def partitionCol: String = partCol
   private[graft] def partitionDirs: Seq[(String, String)] = dirs
+
+  /** Per-dir heads resolved ONCE at relation construction (r14): the
+    * row-based scan and the DV-scan substitution both read exactly
+    * these versions, so a commit landing between resolution and scan
+    * can never skew one path against the other. */
+  private[graft] val dirVersions: Map[String, Int] =
+    dirs.map { case (_, d) => d -> Snapshots.currentVersion(d) }.toMap
 
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = {
@@ -879,7 +908,7 @@ class GraftPartitionedCompatRelation(spark: SparkSession, path: String,
     val dataFilters = filters.filterNot(f =>
       f.references.contains(partCol)) // partition conjuncts handled above
     val frames = kept.map { case (value, d) =>
-      val pv = Snapshots.currentVersion(d)
+      val pv = dirVersions(d)
       val files = GraftCompatRelation.planFiles(d, pv, dataFilters)
       val base =
         if (files.isEmpty) None
@@ -942,8 +971,15 @@ class GraftHiddenCompatRelation(spark: SparkSession, path: String,
 
   /** r13: the DV-scan rule keys on this to substitute the vectorized
     * per-directory union in extensions sessions. */
+  private[graft] def tablePath: String = path
   private[graft] def partitionGroups
       : Seq[(Int, GraftTransform, Seq[(String, String)])] = groups
+
+  /** Per-dir heads resolved ONCE at relation construction (r14) —
+    * shared by the row-based scan and the DV-scan substitution. */
+  private[graft] val dirVersions: Map[String, Int] =
+    groups.flatMap(_._3).map { case (_, d) =>
+      d -> Snapshots.currentVersion(d) }.toMap
 
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = {
@@ -971,7 +1007,7 @@ class GraftHiddenCompatRelation(spark: SparkSession, path: String,
       ds.filter { case (value, _) =>
           exprFilters.forall(t.mayContain(value, _)) }
         .flatMap { case (_, d) =>
-          val pv = Snapshots.currentVersion(d)
+          val pv = dirVersions(d)
           val files = GraftCompatRelation.planFiles(d, pv, filters)
           if (files.isEmpty) None
           else Some(Snapshots.readLive(spark, d, pv, files))
@@ -1330,7 +1366,8 @@ object GraftFileIndex {
   * surviving partition's own manifest stats.
   */
 class GraftPartitionedFileIndex(spark: SparkSession, path: String,
-    partCol: String, dirs: Seq[(String, String)]) extends FileIndex {
+    partCol: String, dirs: Seq[(String, String)],
+    versions: Map[String, Int] = Map.empty) extends FileIndex {
 
   // consumed by the A44 partitioned-DML routing (plans/LakeParser.scala)
   private[graft] def tablePath: String = path
@@ -1341,12 +1378,15 @@ class GraftPartitionedFileIndex(spark: SparkSession, path: String,
   import org.apache.spark.unsafe.types.UTF8String
 
   // (value, live files, range stats, null counts, row counts) of each
-  // partition's current version
+  // partition's current version — or the caller's PINNED version (r14:
+  // the DV-scan substitution hands over the compat relation's resolved
+  // heads verbatim, so a commit landing mid-resolution cannot skew one
+  // dir between the two paths)
   private val parts: Seq[(String, Seq[String],
       Map[String, Map[String, (String, String, String)]],
       Map[String, Map[String, Long]], Map[String, Long])] =
     dirs.map { case (value, d) =>
-      val v = Snapshots.currentVersion(d)
+      val v = versions.getOrElse(d, Snapshots.currentVersion(d))
       (value, Snapshots.liveFiles(d, v).map(Snapshots.canonical),
         Snapshots.fileStats(d, v), Snapshots.fileNulls(d, v),
         Snapshots.fileRows(d, v))

@@ -753,7 +753,8 @@ object HiddenPartitions {
   * arithmetic + surviving files' statuses only.
   */
 class GraftHiddenPartitionedIndex(spark: SparkSession, path: String,
-    groups: Seq[(GraftTransform, Seq[(String, String)])])
+    groups: Seq[(GraftTransform, Seq[(String, String)])],
+    versions: Map[String, Int] = Map.empty)
     extends org.apache.spark.sql.execution.datasources.FileIndex {
 
   import org.apache.hadoop.fs.Path
@@ -772,7 +773,8 @@ class GraftHiddenPartitionedIndex(spark: SparkSession, path: String,
       Map[String, Map[String, (String, String, String)]],
       Map[String, Map[String, Long]], Map[String, Long])] =
     groups.flatMap { case (t, ds) => ds.map { case (value, d) =>
-      val v = Snapshots.currentVersion(d)
+      // caller-pinned version (the r14 DV-scan substitution) or head
+      val v = versions.getOrElse(d, Snapshots.currentVersion(d))
       (t, value, d, Snapshots.liveFiles(d, v).map(Snapshots.canonical),
         Snapshots.fileStats(d, v), Snapshots.fileNulls(d, v),
         Snapshots.fileRows(d, v))

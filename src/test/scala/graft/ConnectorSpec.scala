@@ -416,6 +416,91 @@ class ConnectorSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("r14 autoReconcileMaxDvFiles: steady-state MoR ingest keeps DV " +
+      "sidecars bounded; the fold is layout-only (empty feed), data exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val dst = Files.createTempDirectory("graft_conn_ar").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_conn_ar_ckpt").toString
+    val q = mem.toDF().toDF("k", "payload", "ts")
+      .writeStream.format("graft")
+      .option("keyCol", "k").option("orderCol", "ts")
+      .option("morWrites", "true")
+      .option("autoReconcileMaxDvFiles", "3")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      mem.addData((1L to 8L).map(k => (k, s"v$k", 0L)): _*)
+      q.processAllAvailable() // bootstrap, no DVs
+      // 10 update waves on the same keys: every batch DV-marks, so
+      // without the gate the head would carry 10 sidecars
+      (1 to 10).foreach { i =>
+        mem.addData((1L, s"a$i", i.toLong), (2L, s"b$i", i.toLong))
+        q.processAllAvailable()
+        val head = Snapshots.currentVersion(dst)
+        assert(Snapshots.dvFiles(dst, head).size <= 3,
+          s"DV count must stay bounded (v$head carries " +
+            s"${Snapshots.dvFiles(dst, head).size})")
+      }
+      val head = Snapshots.currentVersion(dst)
+      // at least one auto-fold happened, and every fold was a
+      // LAYOUT-ONLY commit: the A20 feed across it is empty
+      val folds = (1 to head).filter { v =>
+        Snapshots.dvFiles(dst, v).isEmpty &&
+          Snapshots.dvFiles(dst, v - 1).nonEmpty
+      }
+      assert(folds.nonEmpty, "expected at least one auto-reconcile commit")
+      folds.foreach { v =>
+        assert(Snapshots.changesBetween(spark, dst, v - 1, v, "k").isEmpty,
+          s"reconcile commit v$v must be invisible to the change feed")
+      }
+      // data exact after the whole run
+      val rows = Snapshots.read(spark, dst).select("k", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == (3L to 8L).map(k => k -> s"v$k").toMap +
+        (1L -> "a10") + (2L -> "b10"))
+    } finally q.stop()
+  }
+
+  test("r14 autoReconcile on a hidden root: per-dir DV sidecars stay " +
+      "bounded under morWrites ingest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dst = Files.createTempDirectory("graft_conn_arh").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_conn_arh_ckpt").toString
+    graft.sources.HiddenPartitions.init(spark, dst,
+      (1L to 8L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "ts"),
+      graft.sources.ModTransform("k", 2))
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("k", "payload", "ts")
+      .writeStream.format("graft")
+      .option("keyCol", "k").option("orderCol", "ts")
+      .option("morWrites", "true")
+      .option("autoReconcileMaxDvFiles", "2")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      (1 to 8).foreach { i =>
+        // touch both residues every batch
+        mem.addData((1L, s"a$i", i.toLong), (2L, s"b$i", i.toLong))
+        q.processAllAvailable()
+        graft.sources.HiddenPartitions.epochGroups(dst)
+          .flatMap(_._3).map(_._2).foreach { d =>
+            val v = Snapshots.currentVersion(d)
+            assert(Snapshots.dvFiles(d, v).size <= 2,
+              s"dir $d head carries ${Snapshots.dvFiles(d, v).size} DVs")
+          }
+      }
+      val rows = graft.sources.HiddenPartitions.read(spark, dst)
+        .select("k", "payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows(1L) == "a8" && rows(2L) == "b8" && rows.size == 8)
+    } finally q.stop()
+  }
+
   test("the full loop: readStream graft -> transform -> writeStream graft") {
     import spark.implicits._
     val src = freshTable()

@@ -146,8 +146,8 @@ class DvScanSpec extends GraftSuite {
     } finally se.sql("DROP TABLE IF EXISTS dv_cbo")
   }
 
-  test("r13 second pass: PARTITIONED DV state vectorizes as a union of " +
-      "per-dir scans; a partition predicate constant-folds branches away") {
+  test("PARTITIONED DV state vectorizes as ONE spanning scan (r14); a " +
+      "partition predicate prunes dirs inside the index") {
     val root = Files.createTempDirectory("graft_dvscan_p").toString + "/t"
     val df0 = (1L to 300L).map(k =>
         (k, s"v$k", if (k % 3 == 0) "A" else if (k % 3 == 1) "B" else "C"))
@@ -167,17 +167,58 @@ class DvScanSpec extends GraftSuite {
     assert(df.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet == expect)
     assert(expect.contains((3L, "UA", "A")) && expect.size == 300)
-    // one-partition predicate: the other branches' literals fold to
-    // false and their scans VANISH from the plan
+    // r14: ONE data scan spans every partition dir (the multi-dir
+    // stats-pruning index replaced the per-dir union), and a partition
+    // predicate prunes whole dirs INSIDE listFiles — the scan's file
+    // count drops to the surviving partition's files
+    val dataScansAll = file.filter(_.relation.location
+      .isInstanceOf[graft.sources.GraftPartitionedFileIndex])
+    assert(dataScansAll.size == 1,
+      s"expected ONE spanning data scan, got ${dataScansAll.size}")
+    val (fAll, _) = scans(se.read.format("graft").load(root))
+    val allFiles = fAll.filter(_.relation.location
+      .isInstanceOf[graft.sources.GraftPartitionedFileIndex])
+      .head.metrics("numFiles").value
     val one = se.read.format("graft").load(root).filter(col("part") === "A")
     val (fOne, _) = scans(one)
-    // count DATA scans (GraftFileIndex-located); the surviving
-    // partition's DV sidecar scan rides along by design
     val dataScans = fOne.filter(_.relation.location
-      .isInstanceOf[graft.sources.GraftFileIndex])
+      .isInstanceOf[graft.sources.GraftPartitionedFileIndex])
     assert(dataScans.size == 1,
-      s"expected exactly one surviving data scan, got ${dataScans.size}")
+      s"expected exactly one data scan, got ${dataScans.size}")
+    assert(dataScans.head.metrics("numFiles").value < allFiles,
+      "the partition predicate must prune dirs inside the index")
     assert(one.count() == 100)
+  }
+
+  test("r14: the substitution plans ONE scan node regardless of dir " +
+      "count (64-partition table), partition pruning intact") {
+    val root = Files.createTempDirectory("graft_dvscan_many").toString + "/t"
+    val df0 = (1L to 1280L).map(k => (k, s"v$k", s"g${k % 64}"))
+      .toDF("k", "payload", "grp")
+    graft.sources.PartitionedSnapshots.init(spark, root, df0, "grp")
+    // a MoR wave into every partition → DVs everywhere
+    graft.sources.PartitionedSnapshots.mergePartitioned(spark, root,
+      (0L until 64L).map(i => (i + 1L, "U", s"g${(i + 1) % 64}"))
+        .toDF("k", "payload", "grp"),
+      "k", "grp", mor = true)
+    val se = graft.plans.GraftSessions.withExtensions(spark)
+    val df = se.read.format("graft").load(root)
+    val (file, row) = scans(df)
+    assert(row.isEmpty, "must vectorize")
+    val dataScans = file.filter(_.relation.location
+      .isInstanceOf[graft.sources.GraftPartitionedFileIndex])
+    assert(dataScans.size == 1,
+      s"64 dirs must plan ONE scan node, got ${dataScans.size} " +
+        s"(plus ${file.size - dataScans.size} non-data scans)")
+    assert(df.count() == 1280)
+    val one = se.read.format("graft").load(root)
+      .filter(col("part") === "g7")
+    assert(one.count() == 20)
+    val (fOne, _) = scans(one)
+    val oneScan = fOne.filter(_.relation.location
+      .isInstanceOf[graft.sources.GraftPartitionedFileIndex]).head
+    assert(oneScan.metrics("numFiles").value <
+      dataScans.head.metrics("numFiles").value)
   }
 
   test("r13 second pass: HIDDEN-transform DV state vectorizes — no " +
