@@ -259,7 +259,27 @@ object Similarity {
 
   def qKnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    ivfKnn(e, e.filter(col("vec_id") < 20), 5)
+    val lib = ivfKnn(e, e.filter(col("vec_id") < 20), 5)
+    // r14 (the r13 verdict's item 6): the SAME search served over the
+    // SQL verb family — CREATE VECTOR INDEX builds the E13 artifact,
+    // PROBE serves from its stored posting lists — and the hashed
+    // `via_sql` column pins bit-agreement between the library path and
+    // the SQL serving path (both bounded: 20 queries × 5)
+    val corpus = graft.sources.LakehouseQueries.tempDir("graft_vecq_corpus")
+    val index = graft.sources.LakehouseQueries.tempDir("graft_vecq_idx") + "/t"
+    e.repartition(4).write.mode("overwrite").parquet(corpus)
+    graft.sources.Snapshots.init(s, corpus)
+    val se = graft.plans.GraftSessions.withExtensions(s)
+    se.sql(s"GRAFT CREATE VECTOR INDEX '$index' ON '$corpus' CELLS 16")
+    val keys = e.filter(col("vec_id") < 20).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    val served = se.sql(s"GRAFT PROBE VECTOR INDEX '$index' FOR KEYS " +
+      s"(${keys.mkString(", ")}) TOP 5 NPROBE 4")
+    def asSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val agree = asSet(served) == asSet(lib)
+    lib.withColumn("via_sql", lit(agree))
   }
 
   /** r13 (the r12 verdict's item 7) — IVF with a LLOYD'S-TRAINED
@@ -314,7 +334,8 @@ object Similarity {
       |  SELECT query_id, neighbor_id, cos_sim,
       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
       |  FROM scored)
-      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+      |SELECT query_id, neighbor_id, cos_sim, rank, TRUE AS via_sql
+      |FROM ranked WHERE rank <= 5""".stripMargin
 
   /** E18 — FILTERED ANN (metadata-predicate vector search — the
     * production serving shape: "nearest docs WHERE tenant/lang/label =
@@ -1046,6 +1067,88 @@ object Similarity {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     to
+  }
+
+  // ── r14 (the r13 verdict's item 6): the SQL-facing vector index ──
+  // lifecycle (`GRAFT CREATE/REFRESH/PROBE VECTOR INDEX`, the `CREATE
+  // VECTOR INDEX` verb every lakehouse is shipping). The index is the
+  // E13 artifact — versioned posting lists + a pinned codebook — plus
+  // one metadata marker recording the corpus path and build config, so
+  // REFRESH and PROBE need only the index path.
+
+  private def vectorMetaPath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "_graft_log", "vector_meta")
+
+  private[graft] def vectorMeta(indexDir: String): (String, Int, Boolean) = {
+    val p = vectorMetaPath(indexDir)
+    require(java.nio.file.Files.exists(p),
+      s"$indexDir is not a vector index (no vector_meta marker)")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      .split("\t") match {
+      case Array(c, n, t) => (c, n.toInt, t.toBoolean)
+      case other => throw new IllegalStateException(
+        s"torn vector_meta at $indexDir: ${other.mkString("|")}")
+    }
+  }
+
+  /** CREATE: full-build the IVF index over `corpusDir` (contract
+    * schema `vec_id`, `embedding`) and record the corpus binding.
+    * Refuses an existing index — re-creation is an explicit drop. */
+  def createVectorIndex(s: SparkSession, corpusDir: String,
+      indexDir: String, cells: Int = 16, trained: Boolean = false): Int = {
+    require(!java.nio.file.Files.exists(vectorMetaPath(indexDir)),
+      s"$indexDir already holds a vector index — drop it to re-create")
+    val v = refreshIvfIndex(s, corpusDir, indexDir, cells, trained)
+    java.nio.file.Files.write(vectorMetaPath(indexDir),
+      s"$corpusDir\t$cells\t$trained".getBytes("UTF-8"))
+    v
+  }
+
+  /** REFRESH: feed-driven incremental refresh against the RECORDED
+    * corpus (cost ∝ change volume; the frozen codebook guarantees
+    * incremental ≡ full rebuild). Returns the corpus version served. */
+  def refreshVectorIndex(s: SparkSession, indexDir: String): Int = {
+    val (corpusDir, cells, trained) = vectorMeta(indexDir)
+    refreshIvfIndex(s, corpusDir, indexDir, cells, trained)
+  }
+
+  /** PROBE: top-`k` neighbors for the corpus vectors named by `keys`,
+    * served FROM THE STORED INDEX — posting lists read as committed
+    * (never recomputed), queries assigned to their `nprobe` nearest
+    * cells against the PINNED codebook. Semantics identical to
+    * [[ivfKnn]] (same rounding, same tie-breaks), so the serving path
+    * and the library path agree bit-for-bit. */
+  def probeVectorIndex(s: SparkSession, indexDir: String,
+      keys: Seq[Long], k: Int, nprobe: Int = 4): DataFrame = {
+    val (corpusDir, _, _) = vectorMeta(indexDir)
+    val served = {
+      val m = java.nio.file.Paths.get(indexDir, "_graft_log", "corpus_version")
+      new String(java.nio.file.Files.readAllBytes(m), "UTF-8").trim.toInt
+    }
+    val corpus = graft.sources.Snapshots.read(s, corpusDir, served)
+      .select("vec_id", "embedding")
+    val postings = graft.sources.Snapshots.read(s, indexDir) // vec_id, cid
+    val centroids = s.read.parquet(indexDir + "_centroids")
+    val queries = corpus.filter(col("vec_id").isin(keys: _*))
+    val wq = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val queryCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", vec_cosine(col("embedding"), col("cvec")))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val members = postings.join(corpus, "vec_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    members.as("c")
+      .join(broadcast(queryCells.as("q")),
+        col("q.cid") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        (round(vec_cosine(col("q.embedding"), col("c.embedding")), 4)
+          + lit(0.0)).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Driver query for E13: stage the embeddings as a versioned corpus,

@@ -98,10 +98,39 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case OptimizeWhere(p, c, lo, hi) => LakeMaintenanceCommand("version",
         s => Snapshots.compactWhere(s, p, c, lo.toLong, hi.toLong).toLong)
       case ZorderInc(p) => LakeMaintenanceCommand("version",
-        s => Snapshots.compactZOrderIncremental(s, p).toLong)
+        s =>
+          // r14: hidden/partitioned ROOTS sweep each dir's unclustered
+          // tail (returns dirs advanced); flat keeps the version form
+          if (graft.sources.HiddenPartitions.specOf(p).nonEmpty)
+            graft.sources.HiddenPartitions.zorderIncremental(s, p)
+              .size.toLong
+          else if (Snapshots.currentVersion(p) < 0 &&
+              graft.sources.PartitionedSnapshots.partitions(p).nonEmpty)
+            graft.sources.PartitionedSnapshots.partitions(p).count { v =>
+              val d = graft.sources.PartitionedSnapshots.partitionDir(p, v)
+              val cur = Snapshots.currentVersion(d)
+              cur >= 0 && Snapshots.compactZOrderIncremental(s, d) > cur
+            }.toLong
+          else Snapshots.compactZOrderIncremental(s, p).toLong)
       case Zorder(p, colList, n) => LakeMaintenanceCommand("version",
-        s => Snapshots.compactZOrderCols(s, p,
-          colList.split(",").map(_.trim).toSeq, n.toInt).toLong)
+        s => {
+          val cols = colList.split(",").map(_.trim).toSeq
+          // r14 (the r13 verdict's item 5): the root-level OPTIMIZE
+          // sweep accepts ZORDER BY — every dir re-clusters with its
+          // own state in its own log (returns dirs re-clustered)
+          if (graft.sources.HiddenPartitions.specOf(p).nonEmpty)
+            graft.sources.HiddenPartitions.zorder(s, p, cols, n.toInt)
+              .size.toLong
+          else if (Snapshots.currentVersion(p) < 0 &&
+              graft.sources.PartitionedSnapshots.partitions(p).nonEmpty)
+            graft.sources.PartitionedSnapshots.partitions(p).count { v =>
+              val d = graft.sources.PartitionedSnapshots.partitionDir(p, v)
+              val cur = Snapshots.currentVersion(d)
+              cur >= 0 &&
+                Snapshots.compactZOrderCols(s, d, cols, n.toInt) > cur
+            }.toLong
+          else Snapshots.compactZOrderCols(s, p, cols, n.toInt).toLong
+        })
       case Optimize(p) => LakeMaintenanceCommand("version",
         s =>
           // r13: like RECONCILE, a hidden/partitioned ROOT compacts
@@ -121,6 +150,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               cur >= 0 && Snapshots.compact(s, d) > cur
             }.toLong
           else Snapshots.compact(s, p).toLong)
+      case VecCreate(idx, corpus, trained, cells) =>
+        LakeMaintenanceCommand("version", s =>
+          graft.operators.Similarity.createVectorIndex(s, corpus, idx,
+            Option(cells).map(_.toInt).getOrElse(16),
+            trained != null).toLong)
+      case VecRefresh(idx) => LakeMaintenanceCommand("version", s =>
+        graft.operators.Similarity.refreshVectorIndex(s, idx).toLong)
+      case VecProbe(idx, keyList, k, nprobe) =>
+        LakeVectorProbeCommand(idx,
+          keyList.split(",").map(_.trim.toLong).toIndexedSeq, k.toInt,
+          Option(nprobe).map(_.toInt).getOrElse(4))
       case VacuumDry(p, keep) => LakeVacuumDryRunCommand(p, keep.toInt)
       case VacuumBefore(p, ts) => LakeMaintenanceCommand("reclaimed",
         _ => Snapshots.vacuumBefore(p, ts.toLong).toLong)
@@ -197,9 +237,29 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             assigns.map { case (n, e) =>
               n -> org.apache.spark.sql.functions.expr(e) }).toLong)
       case AddBloom(c, p) => LakeMaintenanceCommand("version",
-        s => Snapshots.addBloomIndex(s, p, c).toLong)
+        s =>
+          // r14: hidden/partitioned ROOTS index every dir in one sweep
+          if (graft.sources.HiddenPartitions.specOf(p).nonEmpty)
+            graft.sources.HiddenPartitions.addBloomIndex(s, p, c).size.toLong
+          else if (Snapshots.currentVersion(p) < 0 &&
+              graft.sources.PartitionedSnapshots.partitions(p).nonEmpty)
+            graft.sources.PartitionedSnapshots.partitions(p).count { v =>
+              Snapshots.addBloomIndex(s, graft.sources.PartitionedSnapshots
+                .partitionDir(p, v), c) >= 0
+            }.toLong
+          else Snapshots.addBloomIndex(s, p, c).toLong)
       case ReindexBloom(p) => LakeMaintenanceCommand("version",
-        s => Snapshots.reindexBloom(s, p).toLong)
+        s =>
+          if (graft.sources.HiddenPartitions.specOf(p).nonEmpty)
+            graft.sources.HiddenPartitions.reindexBloom(s, p).size.toLong
+          else if (Snapshots.currentVersion(p) < 0 &&
+              graft.sources.PartitionedSnapshots.partitions(p).nonEmpty)
+            graft.sources.PartitionedSnapshots.partitions(p).count { v =>
+              val d = graft.sources.PartitionedSnapshots.partitionDir(p, v)
+              Snapshots.bloomColsOf(d, Snapshots.currentVersion(d)).nonEmpty &&
+                Snapshots.reindexBloom(s, d) >= 0
+            }.toLong
+          else Snapshots.reindexBloom(s, p).toLong)
       case TagAt(n, p, v) => LakeMaintenanceCommand("version",
         _ => graft.sources.Refs.tag(p, n, v.toInt).toLong)
       case Tag(n, p) => LakeMaintenanceCommand("version",
@@ -371,6 +431,15 @@ object GraftSqlParser {
   }
 
   // whole-string regexes (Scala's Regex.unapplySeq anchors both ends)
+  // r14 (the r13 verdict's item 6): the vector index family
+  private val VecCreate =
+    ("""(?is)\s*GRAFT\s+CREATE\s+VECTOR\s+INDEX\s+'([^']+)'\s+ON\s+""" +
+      """'([^']+)'(\s+TRAINED)?(?:\s+CELLS\s+(\d+))?\s*;?\s*""").r
+  private val VecRefresh =
+    """(?is)\s*GRAFT\s+REFRESH\s+VECTOR\s+INDEX\s+'([^']+)'\s*;?\s*""".r
+  private val VecProbe =
+    ("""(?is)\s*GRAFT\s+PROBE\s+VECTOR\s+INDEX\s+'([^']+)'\s+FOR\s+KEYS""" +
+      """\s*\(([-\d\s,]+)\)\s+TOP\s+(\d+)(?:\s+NPROBE\s+(\d+))?\s*;?\s*""").r
   private val Vacuum =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*""".r
   private val VacuumDry =
@@ -1280,6 +1349,27 @@ case class LakeVacuumDryRunCommand(path: String, keepFrom: Int)
     Seq(AttributeReference("file", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Snapshots.vacuumDryRun(path, keepFrom).map(Row(_))
+}
+
+/** `GRAFT PROBE VECTOR INDEX` (r14): ANN serving from SQL — top-k
+  * neighbors for the named corpus keys, read off the STORED posting
+  * lists against the pinned codebook ([[graft.operators.Similarity
+  * .probeVectorIndex]]). Row-returning so the result composes with
+  * plain SQL; the bounded probe (|keys| × k rows) is the serving
+  * shape, never a corpus scan.
+  */
+case class LakeVectorProbeCommand(indexDir: String, keys: Seq[Long],
+    k: Int, nprobe: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("query_id", LongType, nullable = false)(),
+    AttributeReference("neighbor_id", LongType, nullable = false)(),
+    AttributeReference("cos_sim",
+      org.apache.spark.sql.types.DoubleType, nullable = true)(),
+    AttributeReference("rank", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.operators.Similarity
+      .probeVectorIndex(spark, indexDir, keys, k, nprobe)
+      .collect().toSeq // bounded: |keys| × k
 }
 
 /** `GRAFT DESCRIBE DETAIL` (the Delta DESCRIBE DETAIL shape): ONE row

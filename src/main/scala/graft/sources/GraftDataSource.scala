@@ -1029,38 +1029,17 @@ class GraftHiddenCompatRelation(spark: SparkSession, path: String,
   }
 }
 
-/** The manifest AS a [[FileIndex]]: Spark's parquet machinery plans
-  * over exactly the version's live files, and `listFiles` drops every
-  * file whose A27 min/max range PROVES it cannot satisfy the query's
-  * pushed-down data filters. Supported shapes: =, <=>, <, <=, >, >=,
-  * IN, AND, OR over a bare column vs a literal — anything else keeps
-  * the file (pruning must only ever be an optimization). Stats-less
-  * files (legacy manifests, non-numeric columns) always survive.
+/** A41 bloom-index plan-time pruning for ONE directory's version,
+  * shared by every FileIndex flavor (r14 — previously embedded in
+  * [[GraftFileIndex]], which left hidden/partitioned multi-dir scans
+  * without bloom skipping): point predicates on indexed columns probe
+  * the sidecar relation once per distinct (column, value), memoized,
+  * and return the files PROVEN unable to match. Unindexed files always
+  * survive — this only ever removes work.
   */
-class GraftFileIndex(spark: SparkSession, path: String, version: Int)
-    extends FileIndex {
+private[graft] class GraftBloomPrune(spark: SparkSession, path: String,
+    version: Int) {
 
-  /** The versioned table this index plans over (the A44 DML rules key
-    * on it to recognize a graft relation inside a resolved plan). */
-  private[graft] def tablePath: String = path
-  /** The pinned version (the r9 stats rule derives CBO statistics for
-    * exactly the version this relation will scan). */
-  private[graft] def tableVersion: Int = version
-
-  private val live: Seq[String] = Snapshots.liveFiles(path, version)
-  private val stats: Map[String, Map[String, (String, String, String)]] =
-    Snapshots.fileStats(path, version)
-  // A42: per-file null counts + row counts feed IS [NOT] NULL skipping
-  private val nulls: Map[String, Map[String, Long]] =
-    Snapshots.fileNulls(path, version)
-  private val rowsOf: Map[String, Long] = Snapshots.fileRows(path, version)
-
-  // A41: the bloom index joins the skipping stack — a point predicate
-  // on ANY indexed column (plural since r8) probes the sidecar
-  // relation at PLAN time (one small job per distinct (column, value),
-  // memoized) and excludes every indexed file whose filter rules the
-  // value out; unindexed files always survive, so this only ever
-  // REMOVES work
   private val bloomCols: Set[String] =
     Snapshots.bloomColsOf(path, version).map(_._1).toSet
   private val bloomRefs: Seq[String] = Snapshots.bloomIdxFiles(path, version)
@@ -1113,7 +1092,7 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
     * by the bloom indexes (empty when no bloom or no eligible
     * conjunct). Conjuncts on DIFFERENT indexed columns each contribute
     * exclusions independently. */
-  private def bloomExcluded(dataFilters: Seq[Expression]): Set[String] =
+  def excluded(dataFilters: Seq[Expression]): Set[String] =
     if (bloomCols.isEmpty || bloomRefs.isEmpty) Set.empty
     else dataFilters.flatMap(bloomValuesOf).flatMap { case (c, vs) =>
       // the conjunct needs ONE of vs present: exclude files indexed
@@ -1122,6 +1101,45 @@ class GraftFileIndex(spark: SparkSession, path: String, version: Int)
       perValue.flatMap(_.keys).toSet
         .filter(f => perValue.forall(m => m.get(f).contains(false)))
     }.toSet
+}
+
+/** The manifest AS a [[FileIndex]]: Spark's parquet machinery plans
+  * over exactly the version's live files, and `listFiles` drops every
+  * file whose A27 min/max range PROVES it cannot satisfy the query's
+  * pushed-down data filters. Supported shapes: =, <=>, <, <=, >, >=,
+  * IN, AND, OR over a bare column vs a literal — anything else keeps
+  * the file (pruning must only ever be an optimization). Stats-less
+  * files (legacy manifests, non-numeric columns) always survive.
+  */
+class GraftFileIndex(spark: SparkSession, path: String, version: Int)
+    extends FileIndex {
+
+  /** The versioned table this index plans over (the A44 DML rules key
+    * on it to recognize a graft relation inside a resolved plan). */
+  private[graft] def tablePath: String = path
+  /** The pinned version (the r9 stats rule derives CBO statistics for
+    * exactly the version this relation will scan). */
+  private[graft] def tableVersion: Int = version
+
+  private val live: Seq[String] = Snapshots.liveFiles(path, version)
+  private val stats: Map[String, Map[String, (String, String, String)]] =
+    Snapshots.fileStats(path, version)
+  // A42: per-file null counts + row counts feed IS [NOT] NULL skipping
+  private val nulls: Map[String, Map[String, Long]] =
+    Snapshots.fileNulls(path, version)
+  private val rowsOf: Map[String, Long] = Snapshots.fileRows(path, version)
+
+  // A41: the bloom index joins the skipping stack — a point predicate
+  // on ANY indexed column (plural since r8) probes the sidecar
+  // relation at PLAN time (one small job per distinct (column, value),
+  // memoized) and excludes every indexed file whose filter rules the
+  // value out; unindexed files always survive, so this only ever
+  // REMOVES work. r14: extracted to [[GraftBloomPrune]] so the hidden
+  // and partitioned multi-dir indexes consult per-dir blooms the same
+  // way.
+  private val bloom = new GraftBloomPrune(spark, path, version)
+  private def bloomExcluded(dataFilters: Seq[Expression]): Set[String] =
+    bloom.excluded(dataFilters)
 
   // FileStatus per SURVIVING file, memoized: the manifest replaces the
   // LIST, and (r12) pruning now happens on manifest names BEFORE any
@@ -1422,6 +1440,19 @@ class GraftPartitionedFileIndex(spark: SparkSession, path: String,
   override lazy val sizeInBytes: Long =
     parts.flatMap(_._2).map(f => Files.size(Paths.get(f))).sum
 
+  // r14: per-dir A41 bloom indexes join the skipping stack (lazy per
+  // dir; a dir without `#bloomcol=` lines prunes nothing)
+  private val dirOf: Map[String, String] = dirs.toMap
+  private val bloomOf =
+    scala.collection.mutable.Map.empty[String, GraftBloomPrune]
+  private def bloomPrune(value: String,
+      dataFilters: Seq[Expression]): Set[String] = synchronized {
+    val d = dirOf(value)
+    bloomOf.getOrElseUpdate(d, new GraftBloomPrune(spark, d,
+      versions.getOrElse(d, Snapshots.currentVersion(d))))
+      .excluded(dataFilters)
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // bind each partition filter against its own (single-attribute)
@@ -1430,10 +1461,12 @@ class GraftPartitionedFileIndex(spark: SparkSession, path: String,
       CatalystPredicate.create(f, f.references.toSeq))
     parts.collect { case (value, files, stats, pNulls, pRows)
         if preds.forall(_.eval(InternalRow(UTF8String.fromString(value)))) =>
+      val excluded = bloomPrune(value, dataFilters)
       val kept = files.filter { f =>
         val fileStat = stats.getOrElse(f, Map.empty)
-        dataFilters.forall(e => GraftFileIndex.survives(fileStat,
-          pNulls.getOrElse(f, Map.empty), pRows.get(f), e))
+        !excluded.contains(f) &&
+          dataFilters.forall(e => GraftFileIndex.survives(fileStat,
+            pNulls.getOrElse(f, Map.empty), pRows.get(f), e))
       }
       PartitionDirectory(InternalRow(UTF8String.fromString(value)),
         kept.map(statusOf).toArray)

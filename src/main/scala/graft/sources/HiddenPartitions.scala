@@ -735,6 +735,60 @@ object HiddenPartitions {
       }
     }.toMap
 
+  // ── r14 (the r13 verdict's item 5): LAYOUT MAINTENANCE PARITY ────
+  // Hidden roots get the same per-dir ZORDER / bloom verbs flat tables
+  // (A22/A39/A41/A68) and partitioned roots (zorderPartition) have —
+  // each dir carries its own clustering / bloom state in its own log,
+  // so re-clustering one hot partition never rewrites the others.
+
+  /** OPTIMIZE ZORDER one directory (epoch + value addressed). */
+  def zorderDir(spark: SparkSession, path: String, epoch: Int,
+      value: String, cols: Seq[String], numFiles: Int): Int =
+    Snapshots.compactZOrderCols(spark, epochDir(path, epoch, value),
+      cols, numFiles)
+
+  /** Whole-root ZORDER sweep: re-cluster EVERY directory, `numFiles`
+    * per dir. Returns `e<epoch>:<value>` → new version. */
+  def zorder(spark: SparkSession, path: String, cols: Seq[String],
+      numFiles: Int): Map[String, Int] =
+    epochGroups(path).flatMap { case (e, _, dirs) =>
+      dirs.map { case (value, d) =>
+        s"e$e:$value" -> Snapshots.compactZOrderCols(spark, d, cols, numFiles)
+      }
+    }.toMap
+
+  /** A39 sweep: re-cluster only each dir's UNCLUSTERED TAIL (skips
+    * dirs with no tail — their version must not advance). */
+  def zorderIncremental(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Map[String, Int] =
+    epochGroups(path).flatMap { case (e, _, dirs) =>
+      dirs.flatMap { case (value, d) =>
+        val cur = Snapshots.currentVersion(d)
+        val v = Snapshots.compactZOrderIncremental(spark, d, targetBytes)
+        if (v > cur) Some(s"e$e:$value" -> v) else None
+      }
+    }.toMap
+
+  /** A41 sweep: build a bloom index on `column` in every directory. */
+  def addBloomIndex(spark: SparkSession, path: String, column: String,
+      bitsPerRow: Int = 10): Map[String, Int] =
+    epochGroups(path).flatMap { case (e, _, dirs) =>
+      dirs.map { case (value, d) =>
+        s"e$e:$value" -> Snapshots.addBloomIndex(spark, d, column, bitsPerRow)
+      }
+    }.toMap
+
+  /** Re-index every directory's bloom columns over its current live
+    * set (post-compaction refresh). Dirs without an index are skipped. */
+  def reindexBloom(spark: SparkSession, path: String): Map[String, Int] =
+    epochGroups(path).flatMap { case (e, _, dirs) =>
+      dirs.flatMap { case (value, d) =>
+        val cur = Snapshots.currentVersion(d)
+        if (Snapshots.bloomColsOf(d, cur).isEmpty) None
+        else Some(s"e$e:$value" -> Snapshots.reindexBloom(spark, d))
+      }
+    }.toMap
+
   /** Read the whole table at each partition's current version, across
     * every epoch (the connector is the pruning path; this is the
     * library convenience). */
@@ -819,14 +873,28 @@ class GraftHiddenPartitionedIndex(spark: SparkSession, path: String,
   override lazy val sizeInBytes: Long =
     parts.flatMap(_._4).map(f => Files.size(Paths.get(f))).sum
 
+  // r14: per-dir A41 bloom indexes join the skipping stack here too
+  // (built lazily per dir — a dir without `#bloomcol=` lines costs one
+  // manifest re-read and prunes nothing)
+  private val bloomOf =
+    scala.collection.mutable.Map.empty[String, GraftBloomPrune]
+  private def bloomPrune(d: String,
+      dataFilters: Seq[Expression]): Set[String] = synchronized {
+    bloomOf.getOrElseUpdate(d, new GraftBloomPrune(spark, d,
+      versions.getOrElse(d, Snapshots.currentVersion(d))))
+      .excluded(dataFilters)
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     parts.collect { case (t, value, d, files, stats, pNulls, pRows)
         if dataFilters.forall(t.mayContain(value, _)) =>
+      val excluded = bloomPrune(d, dataFilters)
       val kept = files.filter { f =>
         val fileStat = stats.getOrElse(f, Map.empty)
-        dataFilters.forall(e => GraftFileIndex.survives(fileStat,
-          pNulls.getOrElse(f, Map.empty), pRows.get(f), e))
+        !excluded.contains(f) &&
+          dataFilters.forall(e => GraftFileIndex.survives(fileStat,
+            pNulls.getOrElse(f, Map.empty), pRows.get(f), e))
       }
       PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray)
     }

@@ -1636,6 +1636,14 @@ object LakehouseQueries {
       b.filter(col("o_orderkey") % 16 === 0)
         .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)),
       "o_orderkey")
+    // r14 (the r13 verdict's item 5): layout-maintenance parity — the
+    // root-level ZORDER sweep re-clusters every dir (state in each
+    // dir's own log) and every dir gets an A41 bloom index; the
+    // `maint` slice pins the sweep breadth (8 dirs each) and the
+    // re-read aggregates prove both passes preserved the multiset
+    val zed = HiddenPartitions.zorder(s, root,
+      Seq("o_orderkey", "o_totalprice"), 2)
+    val blm = HiddenPartitions.addBloomIndex(s, root, "o_orderkey")
     val df = s.read.format("graft").load(root)
     val agg = df
       .groupBy(pmod(col("o_orderkey"), lit(8L)).cast("long").as("residue"))
@@ -1645,7 +1653,9 @@ object LakehouseQueries {
     val probe = df.filter(col("o_orderkey").isin((1L to 64L): _*))
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
       .select(lit("probe").as("slice"), col("n"), col("total"))
-    agg.unionByName(probe)
+    val maint = s.range(1).select(lit("maint").as("slice"),
+      lit(zed.size.toLong + blm.size.toLong).as("n"), lit(0.0).as("total"))
+    agg.unionByName(probe).unionByName(maint)
   }
 
   val qLakeHiddenPartSql: String =
@@ -1659,7 +1669,9 @@ object LakehouseQueries {
       |FROM t GROUP BY o_orderkey % 8
       |UNION ALL
       |SELECT 'probe', count(*), round(sum(price), 2)
-      |FROM t WHERE o_orderkey BETWEEN 1 AND 64""".stripMargin
+      |FROM t WHERE o_orderkey BETWEEN 1 AND 64
+      |UNION ALL
+      |SELECT 'maint', 16, 0.0""".stripMargin
 
   /** r13 — MERGE-ON-READ on a hidden-transform root (the r12
     * verdict's top item): orders lands mod(o_orderkey, 8)-partitioned

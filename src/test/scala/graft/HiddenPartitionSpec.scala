@@ -617,4 +617,42 @@ class HiddenPartitionSpec extends GraftSuite {
     assert(byKey(1L) == ("update", "U1") && byKey(2L) == ("update", "U2"))
     assert(byKey(777L) == ("insert", "NEW"))
   }
+
+  test("r14: root ZORDER sweep tightens per-file pruning through the " +
+      "hidden index; per-dir bloom excludes an absent key's files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hidden_maint").toString + "/t"
+    // x is scattered across files (multiplicative shuffle), k sparse
+    // (no multiples of 10) so an in-range absent key exists
+    val df0 = (1L to 1000L).filter(_ % 10 != 0)
+      .map(k => (k, (k * 7919) % 1000, s"v$k")).toDF("k", "x", "payload")
+    HiddenPartitions.init(spark, root, df0.repartition(8),
+      ModTransform("k", 4))
+    val read = () => spark.read.format("graft").load(root)
+    // before: every file's x range is wide — a point filter on x
+    // survives stats pruning almost everywhere
+    val before = scannedFiles(read().filter(col("x") === 437L))
+    assert(before >= 8, s"expected a scattered layout, scanned $before")
+    // root-level ZORDER sweep: every dir re-clusters on (x, k) with
+    // its own log state; the point filter now opens ~1 file per dir
+    val zed = HiddenPartitions.zorder(spark, root, Seq("x", "k"), 4)
+    assert(zed.size == 4)
+    val afterZ = scannedFiles(read().filter(col("x") === 437L))
+    assert(afterZ < before,
+      s"ZORDER must tighten stats pruning ($afterZ vs $before)")
+    assert(read().filter(col("x") === 437L).count() ==
+      df0.filter(col("x") === 437L).count())
+    // per-dir bloom on k: an ABSENT in-range key (k=40: residue-0 dir
+    // survives the transform, its k ranges cover 40, only the bloom
+    // can prove absence) scans ZERO files
+    HiddenPartitions.addBloomIndex(spark, root, "k")
+    val miss = read().filter(col("k") === 40L)
+    assert(miss.count() == 0)
+    assert(scannedFiles(miss) == 0,
+      "the bloom must exclude every file for an absent key")
+    // multiset intact after both maintenance passes
+    assert(read().count() == df0.count())
+    // incremental sweep: no unclustered tail anywhere → no dir advances
+    assert(HiddenPartitions.zorderIncremental(spark, root).isEmpty)
+  }
 }

@@ -355,6 +355,59 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("r14: GRAFT CREATE/REFRESH/PROBE VECTOR INDEX — the SQL vector " +
+      "lifecycle over a versioned corpus, feed-driven refresh included") {
+    withExtSession { s =>
+      import s.implicits._
+      val corpus = Files.createTempDirectory("graft_sql_vec").toString + "/c"
+      val index = Files.createTempDirectory("graft_sql_vec").toString + "/i"
+      // 64 deterministic 8-dim vectors; vec_id < 16 double as the
+      // untrained quantizer picks
+      def vec(k: Long): Array[Float] =
+        (0 until 8).map(j => math.sin(k * 31 + j * 7).toFloat).toArray
+      (0L until 64L).map(k => (k, vec(k))).toDF("vec_id", "embedding")
+        .repartition(2).write.parquet(corpus)
+      Snapshots.init(s, corpus) // v0
+      val v0 = s.sql(s"GRAFT CREATE VECTOR INDEX '$index' ON '$corpus' " +
+        "CELLS 16").head().getLong(0)
+      assert(v0 == 0L)
+      // postings = one row per corpus vector
+      assert(Snapshots.read(s, index).count() == 64)
+      val probe = s.sql(s"GRAFT PROBE VECTOR INDEX '$index' FOR KEYS " +
+        "(1, 2, 3) TOP 4").collect()
+      assert(probe.length == 12)
+      assert(probe.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      assert(probe.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 4))
+      assert(probe.forall(r => r.getLong(0) != r.getLong(1)),
+        "a vector must not be its own neighbor")
+      // serving agrees with the library path bit-for-bit
+      val lib = graft.operators.Similarity.probeVectorIndex(
+        s, index, Seq(1L, 2L, 3L), 4).collect()
+      assert(probe.map(_.toSeq).toSet == lib.map(_.toSeq).toSet)
+      // corpus mutates; REFRESH is change-driven and the probe follows
+      Snapshots.mergeVersioned(s, corpus,
+        Seq((1L, vec(999L))).toDF("vec_id", "embedding"), "vec_id") // v1
+      val v1 = s.sql(s"GRAFT REFRESH VECTOR INDEX '$index'")
+        .head().getLong(0)
+      assert(v1 == 1L)
+      val after = s.sql(s"GRAFT PROBE VECTOR INDEX '$index' FOR KEYS " +
+        "(1) TOP 4").collect()
+      assert(after.length == 4)
+      assert(after.map(_.toSeq).toSet != probe.filter(_.getLong(0) == 1L)
+        .map(_.toSeq).toSet,
+        "an updated vector's neighborhood must follow the refresh")
+      // TRAINED form builds with the Lloyd's codebook; re-CREATE refuses
+      val idx2 = Files.createTempDirectory("graft_sql_vec").toString + "/t"
+      s.sql(s"GRAFT CREATE VECTOR INDEX '$idx2' ON '$corpus' TRAINED " +
+        "CELLS 8")
+      assert(Snapshots.read(s, idx2).count() == 64)
+      val e = intercept[IllegalArgumentException] {
+        s.sql(s"GRAFT CREATE VECTOR INDEX '$index' ON '$corpus'")
+      }
+      assert(e.getMessage.contains("already holds a vector index"))
+    }
+  }
+
   test("GRAFT TAG / BRANCH / PUBLISH BRANCH: the WAP cycle via SQL") {
     withExtSession { s =>
       import graft.sources.Refs
