@@ -166,7 +166,30 @@ object PartitionedSnapshots {
     * with [[reconcilePartition]] / [[compactPartition]] per partition.
     */
   def mergePartitioned(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String, partCol: String, mor: Boolean): Map[String, Int] = {
+      keyCol: String, partCol: String, mor: Boolean): Map[String, Int] =
+    mergePartitionedTxn(spark, path, updates, keyCol, partCol, mor, None)
+
+  /** r14 (the r13 verdict's item 7) — the A51 idempotent form: each
+    * touched partition's commit carries the `(txnAppId, txnVersion)`
+    * mark ATOMICALLY with its data (the mark rides the same manifest
+    * CAS), so a replayed batch no-ops PER PARTITION — a crash that
+    * committed some partitions and not others resumes exactly the
+    * missing ones. Bare-API callers get exactly-once without the
+    * streaming sink's checkpoint-scoped batch guard. New partition
+    * values bootstrap WITH the mark (crash-idempotent, the
+    * appendVersionedIdempotent shape); a bucketed root refuses a
+    * txn-marked bootstrap of a NEW value (pre-create it), matching the
+    * connector's refusal. */
+  def mergePartitionedIdempotent(spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String, partCol: String,
+      txnAppId: String, txnVersion: Long,
+      mor: Boolean = false): Map[String, Int] =
+    mergePartitionedTxn(spark, path, updates, keyCol, partCol, mor,
+      Some((txnAppId, txnVersion)))
+
+  private def mergePartitionedTxn(spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String, partCol: String, mor: Boolean,
+      txn: Option[(String, Long)]): Map[String, Int] = {
     val existing = partitions(path).toSet
     val touched = updates.select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0))
@@ -174,28 +197,41 @@ object PartitionedSnapshots {
       val slice = updates.filter(col(partCol).cast("string") === v).drop(partCol)
       val dir = partDir(path, v).toString
       if (!existing.contains(v) && bucketOf(path).nonEmpty) {
+        require(txn.isEmpty, s"graft: a txn-marked merge cannot " +
+          s"bootstrap NEW bucketed partition '$v' — create it first " +
+          "(init/mergePartitioned), then merge idempotently")
         // composed layout: a NEW partition bootstraps bucketed too, so
         // the whole table keeps the exchange-free join property
         val (c, n) = bucketOf(path).get
         v -> Snapshots.writeBucketedVersioned(spark, dir, slice, c, n)
-      } else if (!existing.contains(v)) {
-        // a brand-new partition value: open its log with the slice
-        Files.createDirectories(partDir(path, v))
-        slice.write.parquet(dir + "/init")
-        // move staged files up into the partition dir
-        val st = Files.list(Paths.get(dir + "/init"))
-        try st.iterator.asScala.filter(_.toString.endsWith(".parquet"))
-          .foreach(p => Files.move(p, Paths.get(dir, p.getFileName.toString)))
-        finally st.close()
-        val walk = Files.walk(Paths.get(dir + "/init"))
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
-        v -> Snapshots.init(spark, dir)
+      } else if (!existing.contains(v)) txn match {
+        case Some((app, ver)) =>
+          // bootstrap WITH the mark — crash-idempotent (a replay of a
+          // half-bootstrapped attempt adopts or replaces its own
+          // staged files, never doubles them)
+          v -> Snapshots.appendVersionedIdempotent(spark, dir, slice,
+            app, ver)
+        case None =>
+          // a brand-new partition value: open its log with the slice
+          Files.createDirectories(partDir(path, v))
+          slice.write.parquet(dir + "/init")
+          // move staged files up into the partition dir
+          val st = Files.list(Paths.get(dir + "/init"))
+          try st.iterator.asScala.filter(_.toString.endsWith(".parquet"))
+            .foreach(p => Files.move(p, Paths.get(dir, p.getFileName.toString)))
+          finally st.close()
+          val walk = Files.walk(Paths.get(dir + "/init"))
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+          v -> Snapshots.init(spark, dir)
       } else if (mor)
-        v -> Snapshots.mergeVersionedDV(spark, dir, slice, keyCol)
-      else
-        v -> Snapshots.mergeVersioned(spark, dir, slice, keyCol)
+        v -> Snapshots.mergeVersionedDV(spark, dir, slice, keyCol, txn)
+      else txn match {
+        case Some((app, ver)) => v -> Snapshots.mergeVersionedIdempotent(
+          spark, dir, slice, keyCol, app, ver)
+        case None => v -> Snapshots.mergeVersioned(spark, dir, slice, keyCol)
+      }
     }.toMap
   }
 

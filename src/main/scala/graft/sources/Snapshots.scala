@@ -3078,10 +3078,12 @@ object Snapshots {
     * deletes), marked cdf-empty.
     */
   private def commitDv(spark: SparkSession, path: String, v: Int,
-      live: Seq[String], doomed: DataFrame): Int = {
+      live: Seq[String], doomed: DataFrame,
+      txn: Option[(String, Long)] = None): Int = {
     if (doomed.isEmpty)
       return commitNext(path, v, live, tableSchema(path, v),
-        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty),
+        txnSet = txn)
     val stage = Files.createTempDirectory("graft_dv").toString
     doomed.write.mode(SaveMode.Overwrite).parquet(stage)
     val dst = Paths.get(path)
@@ -3097,7 +3099,8 @@ object Snapshots {
       // the combined file always carries the pre-images (free — it IS
       // the deletion vector); advertise it as change data only when
       // the table property is on, like the other writers
-      cdf = if (cdfEnabled(path, v)) Some(staged) else None)
+      cdf = if (cdfEnabled(path, v)) Some(staged) else None,
+      txnSet = txn)
   }
 
   /** A30 — MERGE-ON-READ DELETE: rows matching `predicate` are marked
@@ -3141,9 +3144,15 @@ object Snapshots {
     * per-key literals. Returns the new version.
     */
   def deleteVersionedKeysDV(spark: SparkSession, path: String,
-      keys: DataFrame, keyCol: String): Int = {
+      keys: DataFrame, keyCol: String,
+      txn: Option[(String, Long)] = None): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
+    // A51: a replayed (app, ver ≤ mark) delete no-ops, atomically with
+    // the commit that recorded the mark
+    txn.foreach { case (app, ver) =>
+      if (txnVersionOf(path, v, app).exists(_ >= ver)) return v
+    }
     val live = liveFiles(path, v)
     val k = keys.select(col(keyCol)).distinct()
     lazy val schemaNow = tableSchema(path, v)
@@ -3158,14 +3167,15 @@ object Snapshots {
     }
     if (candidates.isEmpty) // no file can hold a doomed key: no-op commit
       return commitNext(path, v, live, tableSchema(path, v),
-        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
+        carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty),
+        txnSet = txn)
     val doomed = applyDvIfAny(spark, path, v,
         readFilesAsWithPos(spark, tableSchema(path, v), candidates))
       .join(broadcast(k), Seq(keyCol), "left_semi")
       .withColumnRenamed("__file", "__dv_file")
       .withColumnRenamed("__pos", "__dv_pos")
       .withColumn("change_type", lit("delete"))
-    commitDv(spark, path, v, live, doomed)
+    commitDv(spark, path, v, live, doomed, txn)
   }
 
   /** A71 — MERGE-ON-READ UPDATE: the DV twin of [[updateVersioned]].

@@ -136,6 +136,128 @@ class TxnSpec extends GraftSuite {
     assert(spark.read.format("graft").load(p).count() == got)
   }
 
+  test("r14 hidden root: mergeIdempotent — replays no-op per dir, a " +
+      "moving row's delete+reroute lands exactly once, mor form too") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    graft.sources.HiddenPartitions.init(spark, root,
+      (1L to 200L).map(k => (k, k % 4, s"v$k")).toDF("k", "g", "payload"),
+      graft.sources.ModTransform("g", 4))
+    def dirVersions(): Map[String, Int] =
+      graft.sources.HiddenPartitions.epochGroups(root).flatMap(_._3)
+        .map { case (v, d) => v -> Snapshots.currentVersion(d) }.toMap
+    // k=1 MOVES (g 1→3: delete in its old dir + reroute), k=10 stays
+    val w1 = Seq((1L, 3L, "M1"), (10L, 2L, "U10")).toDF("k", "g", "payload")
+    graft.sources.HiddenPartitions.mergeIdempotent(spark, root, w1, "k",
+      "hidapp", 1L)
+    val after1 = dirVersions()
+    graft.sources.HiddenPartitions.mergeIdempotent(spark, root, w1, "k",
+      "hidapp", 1L)
+    assert(dirVersions() == after1, "a verbatim replay must no-op per dir")
+    val rows = graft.sources.HiddenPartitions.read(spark, root)
+      .select("k", "g", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 200, "the moved key must not duplicate")
+    assert(rows.filter(_._1 == 1L).toSeq == Seq((1L, 3L, "M1")))
+    assert(rows.find(_._1 == 10L).contains((10L, 2L, "U10")))
+    // an OLDER replay after a newer wave still no-ops (monotonic marks)
+    val w2 = Seq((10L, 2L, "U10b")).toDF("k", "g", "payload")
+    graft.sources.HiddenPartitions.mergeIdempotent(spark, root, w2, "k",
+      "hidapp", 2L)
+    val after2 = dirVersions()
+    graft.sources.HiddenPartitions.mergeIdempotent(spark, root, w1, "k",
+      "hidapp", 1L)
+    assert(dirVersions() == after2, "an older (app, ver) must no-op")
+    assert(graft.sources.HiddenPartitions.read(spark, root)
+      .filter(col("k") === 10L).select("payload").head()
+      .getString(0) == "U10b")
+    // MoR form: DV-marked commit, replay no-ops, data exact
+    val w3 = Seq((20L, 0L, "U20")).toDF("k", "g", "payload")
+    graft.sources.HiddenPartitions.mergeIdempotent(spark, root, w3, "k",
+      "hidapp", 3L, mor = true)
+    val after3 = dirVersions()
+    graft.sources.HiddenPartitions.mergeIdempotent(spark, root, w3, "k",
+      "hidapp", 3L, mor = true)
+    assert(dirVersions() == after3, "a replayed MoR wave must no-op")
+    val now = graft.sources.HiddenPartitions.read(spark, root)
+    assert(now.count() == 200)
+    assert(now.filter(col("k") === 20L).select("payload").head()
+      .getString(0) == "U20")
+  }
+
+  test("r14 partitioned root: mergePartitionedIdempotent — per-dir " +
+      "replay no-op, the NEW partition bootstraps WITH the mark, mor") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    graft.sources.PartitionedSnapshots.init(spark, root,
+      (1L to 300L).map(k => (k, s"p${k % 3}", k * 1.0))
+        .toDF("k", "part", "x"), "part")
+    val w1 = Seq((1L, "p1", 111.0), (2L, "p2", 222.0), (500L, "pNEW", 5.0))
+      .toDF("k", "part", "x")
+    val r1 = graft.sources.PartitionedSnapshots.mergePartitionedIdempotent(
+      spark, root, w1, "k", "part", "papp", 1L)
+    assert(r1.keySet == Set("p1", "p2", "pNEW"))
+    val vers = graft.sources.PartitionedSnapshots.versions(root)
+    graft.sources.PartitionedSnapshots.mergePartitionedIdempotent(
+      spark, root, w1, "k", "part", "papp", 1L)
+    assert(graft.sources.PartitionedSnapshots.versions(root) == vers,
+      "a verbatim replay must no-op per partition")
+    // the bootstrap carried the mark on the NEW partition's v0
+    val newDir = graft.sources.PartitionedSnapshots
+      .partitionDir(root, "pNEW")
+    assert(Snapshots.txnVersionOf(newDir, "papp").contains(1L))
+    assert(Snapshots.read(spark, newDir).count() == 1)
+    val p1 = graft.sources.PartitionedSnapshots
+      .readPartition(spark, root, "part", "p1")
+    assert(p1.filter(col("k") === 1L).select("x").head()
+      .getDouble(0) == 111.0)
+    // MoR form: DV commit with the mark, replay no-ops
+    val w2 = Seq((1L, "p1", 999.0)).toDF("k", "part", "x")
+    graft.sources.PartitionedSnapshots.mergePartitionedIdempotent(
+      spark, root, w2, "k", "part", "papp", 2L, mor = true)
+    val d1 = graft.sources.PartitionedSnapshots.partitionDir(root, "p1")
+    assert(Snapshots.dvFiles(d1, Snapshots.currentVersion(d1)).nonEmpty)
+    val vers2 = graft.sources.PartitionedSnapshots.versions(root)
+    graft.sources.PartitionedSnapshots.mergePartitionedIdempotent(
+      spark, root, w2, "k", "part", "papp", 2L, mor = true)
+    assert(graft.sources.PartitionedSnapshots.versions(root) == vers2)
+    assert(graft.sources.PartitionedSnapshots
+      .readPartition(spark, root, "part", "p1")
+      .filter(col("k") === 1L).select("x").head().getDouble(0) == 999.0)
+  }
+
+  test("r14: concurrent same-lineage hidden merges apply exactly once") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    graft.sources.HiddenPartitions.init(spark, root,
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "payload"),
+      graft.sources.ModTransform("k", 2))
+    val before = graft.sources.HiddenPartitions.epochGroups(root)
+      .flatMap(_._3).map { case (v, d) =>
+        v -> Snapshots.currentVersion(d) }.toMap
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => try {
+        val batch = Seq((2L, "X2"), (3L, "X3")).toDF("k", "payload")
+        graft.sources.HiddenPartitions.mergeIdempotent(spark, root,
+          batch, "k", "race", 5L)
+        ()
+      } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing merges must not fail: ${errs.peek()}")
+    val after = graft.sources.HiddenPartitions.epochGroups(root)
+      .flatMap(_._3).map { case (v, d) =>
+        v -> Snapshots.currentVersion(d) }.toMap
+    assert(after("0") == before("0") + 1 && after("1") == before("1") + 1,
+      s"each touched dir must advance exactly once ($before -> $after)")
+    val rows = graft.sources.HiddenPartitions.read(spark, root)
+      .filter(col("k").isin(2L, 3L)).select("k", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(2L -> "X2", 3L -> "X3"))
+    assert(graft.sources.HiddenPartitions.read(spark, root).count() == 100)
+  }
+
   test("marks survive RESTORE (replays after a rollback still no-op)") {
     val p = tmp()
     Snapshots.overwriteVersioned(spark, p, ordersDf)
