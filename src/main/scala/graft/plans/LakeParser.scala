@@ -395,7 +395,8 @@ object GraftSqlParser {
   // command wiring stays single-sourced.
   private val NameForm =
     ("""(?is)^(\s*GRAFT\s+(?:OPTIMIZE|VACUUM|ANALYZE|RECONCILE|""" +
-      """CHECKPOINT|REINDEX\s+BLOOM|ADD\s+BLOOM\s+INDEX\s+\w+)\s+)""" +
+      """CHECKPOINT|REINDEX\s+BLOOM|ADD\s+BLOOM\s+INDEX\s+\w+|""" +
+      """DESCRIBE\s+DETAIL)\s+)""" +
       """([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)(\s.*|;?\s*)$""").r
 
   /** The stored path of a catalog-registered graft table (A43's

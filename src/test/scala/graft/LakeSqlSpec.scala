@@ -323,6 +323,9 @@ class LakeSqlSpec extends GraftSuite {
       s.sql("GRAFT CHECKPOINT nf_t").collect()
       s.sql(s"GRAFT VACUUM nf_t KEEP ${Snapshots.currentVersion(dir)}")
         .collect()
+      // DESCRIBE DETAIL by name too
+      val det = s.sql("GRAFT DESCRIBE DETAIL nf_t").collect()
+      assert(det.length == 1 && det.head.getLong(3) == 200L)
       // the row multiset survived the whole maintenance pass
       assert(s.table("nf_t").count() == 200L)
       assert(s.table("nf_t").filter(col("k") === 5L)
