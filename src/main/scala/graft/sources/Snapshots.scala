@@ -3476,17 +3476,12 @@ object Snapshots {
       return commitNext(path, v, live, tableSchema(path, v),
         carriedStats(path, v, live), cdf = Some(Seq.empty))
     val keptRows = readLive(spark, path, v, touched)
-    val stage = Files.createTempDirectory("graft_dv_rec").toString
-    tableSchema(path, v).fold(keptRows)(stagedAsPhysical(keptRows, _))
-      .write.mode(SaveMode.Overwrite).parquet(stage)
-    val dst = Paths.get(path)
-    val staged = listDir(Paths.get(stage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"v${v + 1}_dvrec_${p.getFileName.toString}"
-        Files.move(p, dst.resolve(name))
-        dst.resolve(name).toString
-      }
+    // through the shared bucket-aware staging (r14): a reconcile on a
+    // bucketed dir must re-tag the folded files, or the steady-state
+    // MoR + auto-reconcile loop on a composed-bucketed root would
+    // silently degrade the exchange-free layout it exists to serve
+    val staged = stageData(keptRows, tableSchema(path, v), path, v + 1,
+      bucketSpecOf(path, v), "graft_dv_rec", "dvrec_")
     val touchedSet = touched.toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),

@@ -187,6 +187,30 @@ class BucketedComposedSpec extends GraftSuite {
     assert(partRead(po).count() == ordersDf.count() + extraN)
   }
 
+  test("MoR + reconcile on a bucketed dir re-tags the folded files: " +
+      "the exchange-free layout survives the steady-state loop") {
+    val po = tmp()
+    Snapshots.writeBucketedVersioned(spark, po,
+      ordersDf.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_custkey", 4)
+    // MoR wave: DV-mark + append (appended files bucket-tagged)
+    Snapshots.mergeVersionedDV(spark, po,
+      ordersDf.select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 7.0),
+      "o_orderkey")
+    assert(Snapshots.dvFiles(po, 1).nonEmpty)
+    val v2 = Snapshots.reconcileDV(spark, po)
+    assert(Snapshots.dvFiles(po, v2).isEmpty)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val g = spark.read.format("graft").load(po)
+        .groupBy("o_custkey").agg(count("*").as("n"))
+      assert(!plan(g).contains("Exchange"),
+        "the folded files must carry bucket tags\n" + plan(g).take(1200))
+    }
+    assert(spark.read.format("graft").load(po).count() == ordersDf.count())
+  }
+
   test("refusals: bucket column = partition column; mismatched per-dir " +
       "spec degrades rather than lies") {
     val po = tmp() + "/t"
