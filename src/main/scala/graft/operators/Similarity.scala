@@ -267,8 +267,13 @@ object Similarity {
     // the SQL serving path (both bounded: 20 queries × 5)
     val corpus = graft.sources.LakehouseQueries.tempDir("graft_vecq_corpus")
     val index = graft.sources.LakehouseQueries.tempDir("graft_vecq_idx") + "/t"
-    e.repartition(4).write.mode("overwrite").parquet(corpus)
-    graft.sources.Snapshots.init(s, corpus)
+    // corpus fabrication is staging; CREATE + PROBE are the measured
+    // A89 operator
+    graft.sources.LakehouseQueries.stagedFor {
+      e.repartition(4).write.mode("overwrite").parquet(corpus)
+      graft.sources.Snapshots.init(s, corpus)
+      ()
+    }
     val se = graft.plans.GraftSessions.withExtensions(s)
     se.sql(s"GRAFT CREATE VECTOR INDEX '$index' ON '$corpus' CELLS 16")
     val keys = e.filter(col("vec_id") < 20).select("vec_id")

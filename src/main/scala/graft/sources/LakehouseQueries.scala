@@ -99,6 +99,11 @@ object LakehouseQueries {
   private[graft] def drainStagingSeconds(): Double = {
     val s = stagingNanos / 1e9; stagingNanos = 0L; s
   }
+  /** Cross-module staging declaration (r14): operator files outside
+    * this object (e.g. Similarity's SQL-index corpus fabrication)
+    * declare their bench staging through the same reentrant counter. */
+  private[graft] def stagedFor[A](body: => A): A = staged(body)
+
   // reentrant (r13): stageHistory declares its own staging, and some
   // callers wrap their whole fabrication too — only the OUTERMOST
   // block may add to the counter or nesting double-counts
@@ -1651,11 +1656,16 @@ object LakehouseQueries {
   def qLakeHiddenPart(s: SparkSession, d: String): DataFrame = {
     val b = base(s, d)
     val root = tempDir("graft_hidden_q") + "/t"
-    HiddenPartitions.init(s, root, b, ModTransform("o_orderkey", 8))
-    HiddenPartitions.merge(s, root,
-      b.filter(col("o_orderkey") % 16 === 0)
-        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)),
-      "o_orderkey")
+    // fabrication (8-log bootstrap + a keyed wave) declared as staging;
+    // the MEASURED operator is the r14 maintenance sweep + pruned reads
+    staged {
+      HiddenPartitions.init(s, root, b, ModTransform("o_orderkey", 8))
+      HiddenPartitions.merge(s, root,
+        b.filter(col("o_orderkey") % 16 === 0)
+          .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)),
+        "o_orderkey")
+      ()
+    }
     // r14 (the r13 verdict's item 5): layout-maintenance parity — the
     // root-level ZORDER sweep re-clusters every dir (state in each
     // dir's own log) and every dir gets an A41 bloom index; the
