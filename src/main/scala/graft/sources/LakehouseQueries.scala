@@ -1675,16 +1675,21 @@ object LakehouseQueries {
       Seq("o_orderkey", "o_totalprice"), 2)
     val blm = HiddenPartitions.addBloomIndex(s, root, "o_orderkey")
     val df = s.read.format("graft").load(root)
+    // DECIMAL sums: exact at any sweep scale (double addition order
+    // flips the 2-dp rounding boundary on 30×+ residue groups)
+    val dsum = sum(col("o_totalprice").cast("decimal(20,2)"))
+      .cast("decimal(20,2)").as("total")
     val agg = df
       .groupBy(pmod(col("o_orderkey"), lit(8L)).cast("long").as("residue"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"), dsum)
       .select(concat(lit("residue_"), col("residue")).as("slice"),
         col("n"), col("total"))
     val probe = df.filter(col("o_orderkey").isin((1L to 64L): _*))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"), dsum)
       .select(lit("probe").as("slice"), col("n"), col("total"))
     val maint = s.range(1).select(lit("maint").as("slice"),
-      lit(zed.size.toLong + blm.size.toLong).as("n"), lit(0.0).as("total"))
+      lit(zed.size.toLong + blm.size.toLong).as("n"),
+      lit("0.00").cast("decimal(20,2)").as("total"))
     agg.unionByName(probe).unionByName(maint)
   }
 
@@ -1695,13 +1700,14 @@ object LakehouseQueries {
       |      THEN round(o_totalprice * 2, 2) ELSE o_totalprice END AS price
       |  FROM orders)
       |SELECT 'residue_' || (o_orderkey % 8) AS slice, count(*) AS n,
-      |  round(sum(price), 2) AS total
+      |  CAST(sum(CAST(price AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS total
       |FROM t GROUP BY o_orderkey % 8
       |UNION ALL
-      |SELECT 'probe', count(*), round(sum(price), 2)
+      |SELECT 'probe', count(*),
+      |  CAST(sum(CAST(price AS DECIMAL(20,2))) AS DECIMAL(20,2))
       |FROM t WHERE o_orderkey BETWEEN 1 AND 64
       |UNION ALL
-      |SELECT 'maint', 16, 0.0""".stripMargin
+      |SELECT 'maint', 16, CAST(0.00 AS DECIMAL(20,2))""".stripMargin
 
   /** r13 — MERGE-ON-READ on a hidden-transform root (the r12
     * verdict's top item): orders lands mod(o_orderkey, 8)-partitioned
@@ -2183,9 +2189,12 @@ object LakehouseQueries {
         col("o_custkey") === col("c_custkey"))
       val exchangeFree =
         !joined.queryExecution.executedPlan.toString.contains("Exchange")
+      // DECIMAL sums: exact at any sweep scale (a double sum's
+      // addition order flips the 2-dp rounding boundary at 30×+)
       joined.groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("total"))
+          sum(col("o_totalprice").cast("decimal(20,2)"))
+            .cast("decimal(20,2)").as("total"))
         .select(lit(tag).as("layout"), col("c_mktsegment"), col("n"),
           col("total"), lit(exchangeFree).as("exchange_free"))
     }
@@ -2210,12 +2219,14 @@ object LakehouseQueries {
       |         ELSE o_totalprice END AS p
       |  FROM orders)
       |SELECT 'part' AS layout, c.c_mktsegment, count(*) AS n,
-      |  round(sum(op.p), 2) AS total, TRUE AS exchange_free
+      |  CAST(sum(CAST(op.p AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS total,
+      |  TRUE AS exchange_free
       |FROM op JOIN customer c ON op.o_custkey = c.c_custkey
       |GROUP BY 2
       |UNION ALL
       |SELECT 'hidden' AS layout, c.c_mktsegment, count(*) AS n,
-      |  round(sum(oh.p), 2) AS total, TRUE AS exchange_free
+      |  CAST(sum(CAST(oh.p AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS total,
+      |  TRUE AS exchange_free
       |FROM oh JOIN customer c ON oh.o_custkey = c.c_custkey
       |GROUP BY 2""".stripMargin
 
