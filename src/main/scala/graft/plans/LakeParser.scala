@@ -163,9 +163,34 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(nprobe).map(_.toInt).getOrElse(4))
       case VacuumDry(p, keep) => LakeVacuumDryRunCommand(p, keep.toInt)
       case VacuumBefore(p, ts) => LakeMaintenanceCommand("reclaimed",
-        _ => Snapshots.vacuumBefore(p, ts.toLong).toLong)
+        _ =>
+          // r14: a TIME cutoff is well-posed per dir (unlike KEEP's
+          // version number against a version VECTOR) — hidden and
+          // partitioned ROOTS sweep every dir, summing reclaimed files
+          if (graft.sources.HiddenPartitions.specOf(p).nonEmpty)
+            graft.sources.HiddenPartitions.epochGroups(p).flatMap(_._3)
+              .map { case (_, d) =>
+                Snapshots.vacuumBefore(d, ts.toLong).toLong }.sum
+          else if (Snapshots.currentVersion(p) < 0 &&
+              graft.sources.PartitionedSnapshots.partitions(p).nonEmpty)
+            graft.sources.PartitionedSnapshots.partitions(p).map { v =>
+              Snapshots.vacuumBefore(graft.sources.PartitionedSnapshots
+                .partitionDir(p, v), ts.toLong).toLong
+            }.sum
+          else Snapshots.vacuumBefore(p, ts.toLong).toLong)
       case Vacuum(p, keep) => LakeMaintenanceCommand("reclaimed",
-        _ => Snapshots.vacuum(p, keep.toInt).toLong)
+        _ => {
+          // a KEEP version number names ONE log's history — it cannot
+          // address a root whose partitions each hold their own
+          // version vector; point the operator at the sound form
+          require(graft.sources.HiddenPartitions.specOf(p).isEmpty &&
+            !(Snapshots.currentVersion(p) < 0 &&
+              graft.sources.PartitionedSnapshots.partitions(p).nonEmpty),
+            s"graft: VACUUM KEEP <version> is ill-posed on the " +
+              s"multi-dir root $p (each dir has its own versions) — " +
+              "use GRAFT VACUUM '<path>' BEFORE <epochMillis>")
+          Snapshots.vacuum(p, keep.toInt).toLong
+        })
       case Restore(p, v) => LakeMaintenanceCommand("version",
         _ => Snapshots.restore(p, v.toInt).toLong)
       case Reconcile(p) => LakeMaintenanceCommand("version",
@@ -273,14 +298,33 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case DropBranch(n, p) => LakeMaintenanceCommand("version",
         _ => { graft.sources.Refs.dropBranch(p, n); 0L })
       case Checkpoint(p) => LakeMaintenanceCommand("materialized",
-        _ => if (Snapshots.checkpoint(p)) 1L else 0L)
-      // ANALYZE: flat table → the version analyzed; a PARTITIONED root
-      // (no log of its own, part= subdirs each with one) → every
-      // partition analyzed, returns the partition count
+        _ =>
+          // r14: roots sweep every dir (count materialized)
+          if (graft.sources.HiddenPartitions.specOf(p).nonEmpty)
+            graft.sources.HiddenPartitions.epochGroups(p).flatMap(_._3)
+              .count { case (_, d) => Snapshots.checkpoint(d) }.toLong
+          else if (Snapshots.currentVersion(p) < 0 &&
+              graft.sources.PartitionedSnapshots.partitions(p).nonEmpty)
+            graft.sources.PartitionedSnapshots.partitions(p).count { v =>
+              Snapshots.checkpoint(graft.sources.PartitionedSnapshots
+                .partitionDir(p, v))
+            }.toLong
+          else if (Snapshots.checkpoint(p)) 1L else 0L)
+      // ANALYZE: flat table → the version analyzed; a PARTITIONED or
+      // HIDDEN root (no log of its own) → every dir analyzed, returns
+      // the dir count. r14: the hidden branch must come first — a
+      // hidden root's epoch-0 dirs LOOK like `part=` dirs, and the
+      // partitioned branch alone would silently skip later epochs.
       case AnalyzeHist(p) => LakeMaintenanceCommand("analyzed", s =>
         Snapshots.analyzeTable(s, p, histogram = true).toLong)
       case Analyze(p) => LakeMaintenanceCommand("analyzed", s => {
-        if (Snapshots.currentVersion(p) >= 0) Snapshots.analyzeTable(s, p).toLong
+        if (graft.sources.HiddenPartitions.specOf(p).nonEmpty) {
+          val dirs = graft.sources.HiddenPartitions.epochGroups(p)
+            .flatMap(_._3).map(_._2)
+          dirs.foreach(d => Snapshots.analyzeTable(s, d))
+          dirs.size.toLong
+        } else if (Snapshots.currentVersion(p) >= 0)
+          Snapshots.analyzeTable(s, p).toLong
         else {
           val parts = PartitionedSnapshots.partitions(p)
           require(parts.nonEmpty, s"$p is neither a graft table nor a partitioned root")

@@ -411,6 +411,47 @@ class LakeSqlSpec extends GraftSuite {
     }
   }
 
+  test("r14: VACUUM BEFORE / CHECKPOINT / ANALYZE sweep hidden roots " +
+      "(every epoch); VACUUM KEEP refuses on multi-dir roots") {
+    withExtSession { s =>
+      import s.implicits._
+      val root = Files.createTempDirectory("graft_sql_rootmaint")
+        .toString + "/t"
+      graft.sources.HiddenPartitions.init(s, root,
+        (1L to 120L).map(k => (k, k % 4, s"v$k")).toDF("k", "g", "payload"),
+        graft.sources.ModTransform("g", 4))
+      // evolve to a second epoch and land rows there, so the sweep has
+      // dirs a `part=`-only scan would MISS
+      graft.sources.HiddenPartitions.evolve(root,
+        graft.sources.ModTransform("k", 2))
+      graft.sources.HiddenPartitions.merge(s, root,
+        (201L to 220L).map(k => (k, k % 4, s"n$k")).toDF("k", "g", "payload"),
+        "k")
+      val dirs = graft.sources.HiddenPartitions.epochGroups(root)
+        .flatMap(_._3).map(_._2)
+      assert(dirs.size > 4, "expected epoch-1 dirs beyond the part= four")
+      // ANALYZE sweeps EVERY dir (epoch 1 included)
+      assert(s.sql(s"GRAFT ANALYZE '$root'").head().getLong(0) ==
+        dirs.size.toLong)
+      // a wave creates per-dir delta history; the CHECKPOINT sweep
+      // materializes exactly the dirs whose heads are deltas
+      graft.sources.HiddenPartitions.merge(s, root,
+        Seq((1L, 1L, "U1"), (2L, 2L, "U2")).toDF("k", "g", "payload"), "k")
+      assert(s.sql(s"GRAFT CHECKPOINT '$root'").head().getLong(0) >= 1L)
+      val reclaimed = s.sql(
+        s"GRAFT VACUUM '$root' BEFORE ${System.currentTimeMillis()}")
+        .head().getLong(0)
+      assert(reclaimed >= 0L) // sweep ran across dirs without refusing
+      // table intact after the sweep
+      assert(graft.sources.HiddenPartitions.read(s, root).count() == 140)
+      // KEEP form is ill-posed on a version VECTOR: loud refusal
+      val e = intercept[IllegalArgumentException] {
+        s.sql(s"GRAFT VACUUM '$root' KEEP 1")
+      }
+      assert(e.getMessage.contains("BEFORE"))
+    }
+  }
+
   test("GRAFT TAG / BRANCH / PUBLISH BRANCH: the WAP cycle via SQL") {
     withExtSession { s =>
       import graft.sources.Refs
