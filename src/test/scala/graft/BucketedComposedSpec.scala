@@ -211,6 +211,63 @@ class BucketedComposedSpec extends GraftSuite {
     assert(spark.read.format("graft").load(po).count() == ordersDf.count())
   }
 
+  test("the steady-state 100 TB loop: MoR streaming ingest + " +
+      "auto-reconcile into a partitioned+bucketed root keeps the " +
+      "exchange-free layout, data exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp() + "/t"
+    // pre-created composed layout: partitioned by p, bucketed on k
+    PartitionedSnapshots.init(spark,
+      root, (1L to 400L).map(k => (k, s"p${k % 2}", k * 1.0))
+        .toDF("k", "part", "x"), "part", bucketBy = Some(("k", 4)))
+    val mem = MemoryStream[(Long, String, Double)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_bktcomp_ckpt").toString
+    val q = mem.toDF().toDF("k", "part", "x")
+      .writeStream.format("graft")
+      .option("keyCol", "k")
+      .option("morWrites", "true")
+      .option("autoReconcileMaxDvFiles", "2")
+      .option("checkpointLocation", ckpt)
+      .partitionBy("part")
+      .start(root)
+    try {
+      // 6 update waves: every batch DV-marks in both partitions, the
+      // auto-reconcile fold re-tags (the r14 reconcileDV fix) — so the
+      // layout must survive continuous ingest + folds
+      (1 to 6).foreach { i =>
+        mem.addData((1L, "p1", i * 10.0), (2L, "p0", i * 20.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    Seq("p0", "p1").foreach { v =>
+      val d = PartitionedSnapshots.partitionDir(root, v)
+      assert(Snapshots.dvFiles(d, Snapshots.currentVersion(d)).size <= 2,
+        s"$v DV sidecars must stay bounded")
+    }
+    // fold any remaining DVs so the fast path (and its BucketSpec
+    // claim) serves the read, then pin the exchange-free property
+    Seq("p0", "p1").foreach(v =>
+      PartitionedSnapshots.reconcilePartition(spark, root, v))
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val g = spark.read.format("graft")
+        .option("partitionCol", "part").load(root)
+        .groupBy("k").agg(count("*").as("n"))
+      assert(!plan(g).contains("Exchange"),
+        "the composed layout must survive the whole ingest loop\n" +
+          plan(g).take(1200))
+    }
+    val rows = spark.read.format("graft")
+      .option("partitionCol", "part").load(root)
+      .filter(col("k").isin(1L, 2L)).select("k", "x").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(1L -> 60.0, 2L -> 120.0))
+    assert(spark.read.format("graft")
+      .option("partitionCol", "part").load(root).count() == 400)
+  }
+
   test("refusals: bucket column = partition column; mismatched per-dir " +
       "spec degrades rather than lies") {
     val po = tmp() + "/t"
