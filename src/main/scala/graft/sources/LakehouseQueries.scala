@@ -1675,21 +1675,25 @@ object LakehouseQueries {
       Seq("o_orderkey", "o_totalprice"), 2)
     val blm = HiddenPartitions.addBloomIndex(s, root, "o_orderkey")
     val df = s.read.format("graft").load(root)
-    // DECIMAL sums: exact at any sweep scale (double addition order
-    // flips the 2-dp rounding boundary on 30×+ residue groups)
-    val dsum = sum(col("o_totalprice").cast("decimal(20,2)"))
-      .cast("decimal(20,2)").as("total")
+    // DECIMAL sums internally (exact at any sweep scale — double
+    // addition order flips the 2-dp rounding boundary on 30×+ residue
+    // groups), but the OUTPUT is integer cents as BIGINT: a 2-dp
+    // decimal times 100 is integral, so the cast is exact, and no
+    // engine-specific decimal string form can enter the driver's hash
+    // (r14's q_lake_hidden_part driver-only mismatch).
+    val dsum = (sum(col("o_totalprice").cast("decimal(20,2)"))
+      .cast("decimal(20,2)") * lit(100)).cast("long").as("total_cents")
     val agg = df
       .groupBy(pmod(col("o_orderkey"), lit(8L)).cast("long").as("residue"))
       .agg(count(lit(1)).as("n"), dsum)
       .select(concat(lit("residue_"), col("residue")).as("slice"),
-        col("n"), col("total"))
+        col("n"), col("total_cents"))
     val probe = df.filter(col("o_orderkey").isin((1L to 64L): _*))
       .agg(count(lit(1)).as("n"), dsum)
-      .select(lit("probe").as("slice"), col("n"), col("total"))
+      .select(lit("probe").as("slice"), col("n"), col("total_cents"))
     val maint = s.range(1).select(lit("maint").as("slice"),
       lit(zed.size.toLong + blm.size.toLong).as("n"),
-      lit("0.00").cast("decimal(20,2)").as("total"))
+      lit(0L).as("total_cents"))
     agg.unionByName(probe).unionByName(maint)
   }
 
@@ -1700,14 +1704,15 @@ object LakehouseQueries {
       |      THEN round(o_totalprice * 2, 2) ELSE o_totalprice END AS price
       |  FROM orders)
       |SELECT 'residue_' || (o_orderkey % 8) AS slice, count(*) AS n,
-      |  CAST(sum(CAST(price AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS total
+      |  CAST(sum(CAST(price AS DECIMAL(20,2))) * 100 AS BIGINT)
+      |    AS total_cents
       |FROM t GROUP BY o_orderkey % 8
       |UNION ALL
       |SELECT 'probe', count(*),
-      |  CAST(sum(CAST(price AS DECIMAL(20,2))) AS DECIMAL(20,2))
+      |  CAST(sum(CAST(price AS DECIMAL(20,2))) * 100 AS BIGINT)
       |FROM t WHERE o_orderkey BETWEEN 1 AND 64
       |UNION ALL
-      |SELECT 'maint', 16, CAST(0.00 AS DECIMAL(20,2))""".stripMargin
+      |SELECT 'maint', 16, CAST(0 AS BIGINT)""".stripMargin
 
   /** r13 — MERGE-ON-READ on a hidden-transform root (the r12
     * verdict's top item): orders lands mod(o_orderkey, 8)-partitioned
@@ -2189,14 +2194,17 @@ object LakehouseQueries {
         col("o_custkey") === col("c_custkey"))
       val exchangeFree =
         !joined.queryExecution.executedPlan.toString.contains("Exchange")
-      // DECIMAL sums: exact at any sweep scale (a double sum's
-      // addition order flips the 2-dp rounding boundary at 30×+)
+      // DECIMAL sums internally (exact at any sweep scale — a double
+      // sum's addition order flips the 2-dp rounding boundary at 30×+);
+      // OUTPUT integer cents as BIGINT so no decimal string form can
+      // enter the driver's hash (see q_lake_hidden_part r14).
       joined.groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(20,2)"))
-            .cast("decimal(20,2)").as("total"))
+          (sum(col("o_totalprice").cast("decimal(20,2)"))
+            .cast("decimal(20,2)") * lit(100)).cast("long")
+            .as("total_cents"))
         .select(lit(tag).as("layout"), col("c_mktsegment"), col("n"),
-          col("total"), lit(exchangeFree).as("exchange_free"))
+          col("total_cents"), lit(exchangeFree).as("exchange_free"))
     }
     leg("part", s.read.format("graft")
         .option("partitionCol", "o_orderstatus").load(dirO))
@@ -2219,16 +2227,168 @@ object LakehouseQueries {
       |         ELSE o_totalprice END AS p
       |  FROM orders)
       |SELECT 'part' AS layout, c.c_mktsegment, count(*) AS n,
-      |  CAST(sum(CAST(op.p AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS total,
+      |  CAST(sum(CAST(op.p AS DECIMAL(20,2))) * 100 AS BIGINT)
+      |    AS total_cents,
       |  TRUE AS exchange_free
       |FROM op JOIN customer c ON op.o_custkey = c.c_custkey
       |GROUP BY 2
       |UNION ALL
       |SELECT 'hidden' AS layout, c.c_mktsegment, count(*) AS n,
-      |  CAST(sum(CAST(oh.p AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS total,
+      |  CAST(sum(CAST(oh.p AS DECIMAL(20,2))) * 100 AS BIGINT)
+      |    AS total_cents,
       |  TRUE AS exchange_free
       |FROM oh JOIN customer c ON oh.o_custkey = c.c_custkey
       |GROUP BY 2""".stripMargin
+
+  /** A84 × A86 × C29 (r15, the r14 verdict's item 2) — the STEADY-STATE
+    * composition gate: the 100 TB operating loop the
+    * BucketedComposedSpec capstone spec'd, promoted to a DATA-SCALE
+    * CONTRACT under the DuckDB oracle. A partitioned + hash-bucketed
+    * root (status dirs × 8 o_custkey buckets) absorbs SIX streaming
+    * micro-batches through the `format("graft")` MoR upsert sink —
+    * every wave DV-marks each touched status dir,
+    * `autoReconcileMaxDvFiles=2` folds sidecars as they accumulate
+    * (A86), and one wave's inserts bootstrap a brand-new partition
+    * value which must come up BUCKETED or the table degrades. The
+    * waves arrive through the graft CHANGE-FEED STREAM of a versioned
+    * source table committed one wave per version MID-QUERY
+    * (`maxVersionsPerTrigger=1` → one version per micro-batch, the
+    * A23 incremental-consumption contract), so the loop is
+    * graft-to-graft: versioned CDF out, MoR sink in.
+    *
+    * Pins, all inside the hashed result: (a) `exchange_free` — after
+    * the loop and a final fold, a co-bucketed fact⋈dim join through
+    * the connector plans with ZERO Exchange, i.e. continuous ingest
+    * never degraded the composed layout; (b) bounded maintenance
+    * state — no dir ends the loop over the DV bound
+    * (`pin_dv_bound`), live-file counts stay under a
+    * scale-independent cap (appends are ≤8 bucket files a wave, folds
+    * rewrite in place — `pin_files_bound`), and the final reconcile
+    * drains sidecars to exactly zero (`pin_dv_drained`); (c) multiset
+    * exactness — per-status and per-mktsegment aggregates of the
+    * final head vs DuckDB's reconstruction of base ∪ six update waves
+    * ∪ the insert wave. Integer-cents BIGINT totals (decimal
+    * arithmetic stays internal).
+    */
+  def qLakeSteady(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val root = tempDir("graft_steady_q") + "/t"
+    val srcDir = tempDir("graft_steady_src") + "/t"
+    val dirC = tempDir("graft_steady_c")
+    val ckpt = tempDir("graft_steady_ckpt")
+    // wave i re-prices every key of residue i%3 to base + 10·i — each
+    // key is hit TWICE across the six waves (steady churn; the last
+    // wave must win); wave 3 additionally inserts brand-new keys into
+    // a brand-new partition value 'X'
+    def wave(i: Int): DataFrame = {
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(3)) === i % 3)
+        .withColumn("o_totalprice", col("o_totalprice") + i * 10.0)
+      if (i == 3) upd.unionByName(
+        orders.filter(col("o_orderkey") % 41 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+          .withColumn("o_orderstatus", lit("X")))
+      else upd
+    }
+    staged {
+      PartitionedSnapshots.init(s, root, orders, "o_orderstatus",
+        bucketBy = Some(("o_custkey", 8)))
+      Snapshots.writeBucketedVersioned(s, dirC, cust, "c_custkey", 8)
+      // the source table starts at v0 = wave 1; waves 2..6 commit
+      // mid-stream below — the loop itself is the measured operator
+      Snapshots.overwriteVersioned(s, srcDir, wave(1))
+      ()
+    }
+    val q = s.readStream.format("graft")
+      .option("keyCol", "o_orderkey")
+      .option("maxVersionsPerTrigger", "1").load(srcDir)
+      .filter(col("change_type") =!= "delete")
+      .drop("change_type", "_commit_version")
+      .writeStream.format("graft")
+      .option("keyCol", "o_orderkey")
+      .option("morWrites", "true")
+      .option("autoReconcileMaxDvFiles", "2")
+      .option("checkpointLocation", ckpt)
+      .partitionBy("o_orderstatus")
+      .start(root)
+    try {
+      q.processAllAvailable() // wave 1: the v0 snapshot batch
+      (2 to 6).foreach { i =>
+        Snapshots.mergeVersioned(s, srcDir, wave(i), "o_orderkey")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val parts = PartitionedSnapshots.partitions(root)
+    def dvCount(v: String): Int = {
+      val dir = PartitionedSnapshots.partitionDir(root, v)
+      Snapshots.dvFiles(dir, Snapshots.currentVersion(dir)).size
+    }
+    def fileCount(v: String): Int = {
+      val dir = PartitionedSnapshots.partitionDir(root, v)
+      Snapshots.liveFiles(dir, Snapshots.currentVersion(dir)).size
+    }
+    // (b) bounded maintenance state at loop end, then the final fold
+    val dirsOverDv = parts.count(dvCount(_) > 2).toLong
+    val dirsOverFiles = parts.count(fileCount(_) > 80).toLong
+    parts.foreach(PartitionedSnapshots.reconcilePartition(s, root, _))
+    val dvAfter = parts.map(dvCount).sum.toLong
+    // (a) the exchange-free verdict on the final head
+    val fact = s.read.format("graft")
+      .option("partitionCol", "o_orderstatus").load(root)
+    val custT = s.read.format("graft").load(dirC)
+    val joined = fact.join(custT.hint("merge"),
+      col("o_custkey") === col("c_custkey"))
+    val exchangeFree =
+      !joined.queryExecution.executedPlan.toString.contains("Exchange")
+    def cents = (sum(col("o_totalprice").cast("decimal(20,2)"))
+      .cast("decimal(20,2)") * lit(100)).cast("long").as("total_cents")
+    val byStatus = fact.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), cents)
+      .select(concat(lit("status_"), col("o_orderstatus")).as("slice"),
+        col("n"), col("total_cents"))
+    val bySeg = joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), cents)
+      .select(concat(lit("seg_"), col("c_mktsegment")).as("slice"),
+        col("n"), col("total_cents"))
+    val pins = s.range(1).select(
+      explode(array(
+        struct(lit("pin_dv_bound").as("slice"),
+          lit(dirsOverDv).as("n"), lit(0L).as("total_cents")),
+        struct(lit("pin_files_bound").as("slice"),
+          lit(dirsOverFiles).as("n"), lit(0L).as("total_cents")),
+        struct(lit("pin_dv_drained").as("slice"),
+          lit(dvAfter).as("n"), lit(0L).as("total_cents")))).as("p"))
+      .select(col("p.slice"), col("p.n"), col("p.total_cents"))
+    byStatus.unionByName(bySeg).unionByName(pins)
+      .withColumn("exchange_free", lit(exchangeFree))
+  }
+
+  val qLakeSteadySql: String =
+    """WITH fin AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice + CASE o_orderkey % 3
+      |      WHEN 0 THEN 60.0 WHEN 1 THEN 40.0 ELSE 50.0 END AS p
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, o_custkey, 'X', o_totalprice
+      |  FROM orders WHERE o_orderkey % 41 = 2)
+      |SELECT 'status_' || o_orderstatus AS slice, count(*) AS n,
+      |  CAST(sum(CAST(p AS DECIMAL(20,2))) * 100 AS BIGINT) AS total_cents,
+      |  TRUE AS exchange_free
+      |FROM fin GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'seg_' || c.c_mktsegment, count(*),
+      |  CAST(sum(CAST(p AS DECIMAL(20,2))) * 100 AS BIGINT), TRUE
+      |FROM fin JOIN customer c ON fin.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |UNION ALL
+      |SELECT 'pin_dv_bound', CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE
+      |UNION ALL
+      |SELECT 'pin_files_bound', CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE
+      |UNION ALL
+      |SELECT 'pin_dv_drained', CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE"""
+      .stripMargin
 
   /** A52 — the FULL conditional MERGE end-to-end: one statement's worth
     * of guarded clauses (conditional update, fallback matched delete,
@@ -3136,6 +3296,7 @@ object LakehouseQueries {
     "q_lake_txn" -> (qLakeTxn(_, _)),
     "q_lake_bucketed" -> (qLakeBucketed(_, _)),
     "q_lake_bucketed_part" -> (qLakeBucketedPart(_, _)),
+    "q_lake_steady" -> (qLakeSteady(_, _)),
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
     "q_lake_optimize_where" -> (qLakeOptimizeWhere(_, _)),
     "q_lake_timetravel" -> (qLakeTimetravel(_, _)),
@@ -3192,6 +3353,7 @@ object LakehouseQueries {
     "q_lake_txn" -> qLakeTxnSql,
     "q_lake_bucketed" -> qLakeBucketedSql,
     "q_lake_bucketed_part" -> qLakeBucketedPartSql,
+    "q_lake_steady" -> qLakeSteadySql,
     "q_lake_deltalog" -> qLakeDeltaLogSql,
     "q_lake_optimize_where" -> qLakeOptimizeWhereSql,
     "q_lake_timetravel" -> qLakeTimetravelSql,
