@@ -731,7 +731,7 @@ object ResolveGraftPath {
   */
 object GraftDmlRules {
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo}
   import org.apache.spark.sql.catalyst.plans.logical._
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
   import org.apache.spark.sql.functions.expr
@@ -831,16 +831,35 @@ object GraftDmlRules {
     case _ => false
   }
 
+  /** The MERGE ON condition: one same-named equality, or an AND of
+    * several — the COMPOSITE-key shape `ON t.a = s.a AND t.b = s.b`
+    * (r15, the r14 verdict's item 3). Returns the key columns in
+    * written order (the leading one drives file pruning). */
+  private def mergeKeyCols(cond: Expression,
+      aliases: Set[String]): Seq[String] = {
+    def eqKey(e: Expression): String = e match {
+      case EqualTo(l, r) => (nameOf(l, aliases), nameOf(r, aliases)) match {
+        case (Some(a), Some(b)) if a == b => a
+        case _ => refuse("MERGE condition must be t.<key> = s.<key> " +
+          "equalities on same-named columns")
+      }
+      case _ => refuse("MERGE condition must be an equality " +
+        "t.<key> = s.<key>, or an AND of several (composite key)")
+    }
+    def split(e: Expression): Seq[String] = e match {
+      case And(a, b) => split(a) ++ split(b)
+      case other => Seq(eqKey(other))
+    }
+    val ks = split(cond)
+    if (ks.distinct.size != ks.size)
+      refuse(s"MERGE condition repeats key columns: ${ks.mkString(", ")}")
+    ks
+  }
+
   private def planMerge(path: String, m: MergeIntoTable): LogicalPlan = {
     val aliases = aliasesOf(m.targetTable) ++ aliasesOf(m.sourceTable)
     val targetCols = outputCols(m.targetTable)
-    val keyCol = m.mergeCondition match {
-      case EqualTo(l, r) => (nameOf(l, aliases), nameOf(r, aliases)) match {
-        case (Some(a), Some(b)) if a == b => a
-        case _ => refuse("MERGE condition must be t.<key> = s.<key> on one same-named column")
-      }
-      case _ => refuse("MERGE condition must be a single equality t.<key> = s.<key>")
-    }
+    val keyCols = mergeKeyCols(m.mergeCondition, aliases)
     // a path-form source may itself read graft.`dir`
     val source = ResolveGraftPath.rewrite(m.sourceTable)
     // A54: WITH SCHEMA EVOLUTION routes through the general clause
@@ -859,29 +878,34 @@ object GraftDmlRules {
     if (upsert)
       LakeMaintenanceCommand("version", s => Snapshots.mergeVersioned(
         s, path, org.apache.spark.sql.GraftSqlInternals.ofRows(s, source),
-        keyCol).toLong)
+        keyCols).toLong)
     else if (keyedDelete)
       LakeMaintenanceCommand("version", s => Snapshots.deleteVersionedKeys(
         s, path, org.apache.spark.sql.GraftSqlInternals.ofRows(s, source)
-          .select(s"`$keyCol`"), keyCol).toLong)
+          .select(keyCols.map(k => s"`$k`").head,
+            keyCols.map(k => s"`$k`").tail: _*), keyCols).toLong)
     else if (antiDelete)
       LakeMaintenanceCommand("version", s => {
-        val targetKeys = Snapshots.read(s, path).select(s"`$keyCol`")
+        val kSel = keyCols.map(k => s"`$k`")
+        val targetKeys = Snapshots.read(s, path)
+          .select(kSel.head, kSel.tail: _*)
         // ANSI: a NULL-key target row never equi-matches any source row,
         // so BY SOURCE semantics demand deleting it — which a keyed
         // equality delete cannot express. Refuse loudly rather than
         // silently retaining the row (the repo-wide no-approximation
         // rule); keyed tables have non-null keys by construction.
-        require(targetKeys.filter(expr(s"`$keyCol` IS NULL")).isEmpty,
+        val nullPred = keyCols.map(k => s"`$k` IS NULL").mkString(" OR ")
+        require(targetKeys.filter(expr(nullPred)).isEmpty,
           s"graft: MERGE … NOT MATCHED BY SOURCE DELETE needs non-NULL " +
-            s"'$keyCol' keys (a NULL key never equi-matches, so ANSI would " +
-            "delete it; the keyed delete cannot — delete NULL-key rows " +
-            s"first: DELETE FROM … WHERE $keyCol IS NULL)")
+            s"'${keyCols.mkString(", ")}' keys (a NULL key never " +
+            "equi-matches, so ANSI would delete it; the keyed delete " +
+            "cannot — delete NULL-key rows first: DELETE FROM … WHERE " +
+            s"$nullPred)")
         Snapshots.deleteVersionedKeys(s, path, targetKeys
           .except(org.apache.spark.sql.GraftSqlInternals.ofRows(s, source)
-            .select(s"`$keyCol`")), keyCol).toLong
+            .select(kSel.head, kSel.tail: _*)), keyCols).toLong
       })
-    else planMergeGeneral(path, m, keyCol, source, aliases, targetCols)
+    else planMergeGeneral(path, m, keyCols, source, aliases, targetCols)
   }
 
   /** A52 — the GENERAL conditional MERGE (everything beyond the three
@@ -897,7 +921,7 @@ object GraftDmlRules {
     * may reference only target columns (ANSI).
     */
   private def planMergeGeneral(path: String, m: MergeIntoTable,
-      keyCol: String, source: LogicalPlan, aliases: Set[String],
+      keyCols: Seq[String], source: LogicalPlan, aliases: Set[String],
       targetCols: Option[Seq[String]]): LogicalPlan = {
     import graft.sources.MergeWhen
     import org.apache.spark.sql.catalyst.expressions.Expression
@@ -959,14 +983,14 @@ object GraftDmlRules {
           s"got ${a.key.sql}"))
     def starSet(allow: Boolean): Seq[(String, org.apache.spark.sql.Column)] =
       ((if (evo) tCols ++ evoExtra else tCols): Seq[String])
-        .filterNot(_ == keyCol).map(c => c -> MergeWhen.src(c))
+        .filterNot(keyCols.contains).map(c => c -> MergeWhen.src(c))
     // the analyzer expands `UPDATE SET *` to explicit assignments that
     // INCLUDE the key; `key = s.key` is an identity under the ON
     // equality — drop it instead of refusing (a non-identity key SET
     // still refuses downstream)
-    def keyIdentity(a: Assignment): Boolean =
-      nameOf(a.key, tAliases ++ aliases).contains(keyCol) &&
-        nameOf(a.value, aliases ++ sAliases).contains(keyCol)
+    def keyIdentity(a: Assignment): Boolean = keyCols.exists(k =>
+      nameOf(a.key, tAliases ++ aliases).contains(k) &&
+        nameOf(a.value, aliases ++ sAliases).contains(k))
     // A54: the post-hoc route sees star actions ALREADY expanded over
     // the target columns (the v1 analyzer never adds source extras) —
     // an identity name-for-name expansion covering every target column
@@ -1015,7 +1039,8 @@ object GraftDmlRules {
     val clauses = matched ++ notMatched ++ bySource
     LakeMaintenanceCommand("version", s => Snapshots.mergeVersionedClauses(
       s, path, org.apache.spark.sql.GraftSqlInternals.ofRows(s, source),
-      keyCol, clauses, evolveSchema = evo).toLong)
+      keyCols, clauses, evolveSchema = evo, txn = None,
+      txnMulti = Seq.empty).toLong)
   }
 
   /** A26 partitioned tables resolve to their own FileIndex: (table
@@ -1170,13 +1195,9 @@ object GraftDmlRules {
       val (path, _) = hiddenInfo(m.targetTable).get
       val aliases = aliasesOf(m.targetTable) ++ aliasesOf(m.sourceTable)
       val targetCols = outputCols(m.targetTable)
-      val keyCol = m.mergeCondition match {
-        case EqualTo(l, r) => (nameOf(l, aliases), nameOf(r, aliases)) match {
-          case (Some(a), Some(b)) if a == b => a
-          case _ => refuseHidden()
-        }
-        case _ => refuseHidden()
-      }
+      val keyCols =
+        try mergeKeyCols(m.mergeCondition, aliases)
+        catch { case _: Exception => refuseHidden() }
       if (isUpdateStar(m.matchedActions, targetCols, aliases) &&
           isInsertStar(m.notMatchedActions, targetCols, aliases) &&
           m.notMatchedBySourceActions.isEmpty) {
@@ -1184,7 +1205,7 @@ object GraftDmlRules {
         LakeMaintenanceCommand("partitions", s =>
           graft.sources.HiddenPartitions.merge(s, path,
             org.apache.spark.sql.GraftSqlInternals.ofRows(s, source),
-            keyCol).size.toLong)
+            keyCols).size.toLong)
       } else refuseHidden()
     case i: InsertIntoStatement if hiddenInfo(i.table).isDefined =>
       refuseHidden()
@@ -1238,13 +1259,9 @@ object GraftDmlRules {
       val (path, partCol, _) = partInfo(m.targetTable).get
       val aliases = aliasesOf(m.targetTable) ++ aliasesOf(m.sourceTable)
       val targetCols = outputCols(m.targetTable)
-      val keyCol = m.mergeCondition match {
-        case EqualTo(l, r) => (nameOf(l, aliases), nameOf(r, aliases)) match {
-          case (Some(a), Some(b)) if a == b => a
-          case _ => refusePartitioned()
-        }
-        case _ => refusePartitioned()
-      }
+      val keyCols =
+        try mergeKeyCols(m.mergeCondition, aliases)
+        catch { case _: Exception => refusePartitioned() }
       if (isUpdateStar(m.matchedActions, targetCols, aliases) &&
           isInsertStar(m.notMatchedActions, targetCols, aliases) &&
           m.notMatchedBySourceActions.isEmpty) {
@@ -1252,7 +1269,7 @@ object GraftDmlRules {
         LakeMaintenanceCommand("partitions", s =>
           graft.sources.PartitionedSnapshots.mergePartitioned(s, path,
             org.apache.spark.sql.GraftSqlInternals.ofRows(s, source),
-            keyCol, partCol).size.toLong)
+            keyCols, partCol).size.toLong)
       } else refusePartitioned()
     case i: InsertIntoStatement if partInfo(i.table).isDefined =>
       refusePartitioned()

@@ -602,8 +602,9 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     * the C25 versioned upsert behind the standard sink surface, so the
     * full loop `readStream.format("graft")` → transform →
     * `writeStream.format("graft")` chains lakehouse tables through
-    * engine-managed streams. Options: `keyCol` (required), `orderCol`
-    * (intra-batch tiebreak; defaults to the key), and the query's own
+    * engine-managed streams. Options: `keyCol` (required; a
+    * comma-separated list declares a COMPOSITE key — r15), `orderCol`
+    * (intra-batch tiebreak; defaults to the leading key), and the query's own
     * `checkpointLocation`, which doubles as the replay-guard scope
     * (the (appId, batchId) txn-marker pattern — a restarted query
     * cannot commit duplicate versions). `partitionBy(col)` routes
@@ -614,10 +615,13 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
     val path = pathOf(parameters)
-    val keyCol = parameters.getOrElse("keyCol",
+    val keyCols = parameters.getOrElse("keyCol",
       throw new IllegalArgumentException(
         "graft: streaming write is a keyed merge — set .option(\"keyCol\", <column>)"))
-    val orderCol = parameters.getOrElse("orderCol", keyCol)
+      .split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+    require(keyCols.nonEmpty,
+      "graft: keyCol names no columns (empty after splitting on ',')")
+    val orderCol = parameters.getOrElse("orderCol", keyCols.head)
     require(outputMode != OutputMode.Complete(),
       "graft: Complete output mode unsupported (the sink is a keyed merge; use append/update)")
     require(partitionColumns.size <= 1,
@@ -647,7 +651,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     if (hidden) require(partitionColumns.isEmpty,
       "graft: a hidden-transform table routes by its OWN transform — " +
         "partitionBy is not applicable (and would leak the layout)")
-    new GraftSink(path, keyCol, orderCol, partitionColumns.headOption, scope,
+    new GraftSink(path, keyCols, orderCol, partitionColumns.headOption, scope,
       acMin, parameters.get("autoCompactTargetBytes").map(_.toLong)
         .getOrElse(128L << 20), mor, hidden, arMax)
   }
@@ -680,7 +684,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
   * compaction gate so a fold's rewritten files can pack in the same
   * batch.
   */
-class GraftSink(path: String, keyCol: String, orderCol: String,
+class GraftSink(path: String, keyCols: Seq[String], orderCol: String,
     partCol: Option[String], scope: Option[String],
     autoCompactMinFiles: Option[Int] = None,
     autoCompactTargetBytes: Long = 128L << 20,
@@ -696,16 +700,16 @@ class GraftSink(path: String, keyCol: String, orderCol: String,
     val touched: Seq[String] =
       if (hidden)
         graft.streaming.UpsertSink
-          .mergeHiddenBatch(path, keyCol, orderCol, scope, mor)(
+          .mergeHiddenBatch(path, keyCols, orderCol, scope, mor)(
             batch, batchId)
       else partCol match {
         case None =>
           graft.streaming.UpsertSink
-            .mergeVersionedBatch(path, keyCol, orderCol, scope, mor)(
+            .mergeVersionedBatch(path, keyCols, orderCol, scope, mor)(
               batch, batchId)
           Seq.empty
         case Some(pc) => graft.streaming.UpsertSink
-          .mergePartitionedBatch(path, keyCol, pc, orderCol, scope, mor)(
+          .mergePartitionedBatch(path, keyCols, pc, orderCol, scope, mor)(
             batch, batchId)
       }
     // only the dirs THIS batch wrote — the per-batch maintenance cost

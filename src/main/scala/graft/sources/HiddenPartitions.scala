@@ -526,6 +526,20 @@ object HiddenPartitions {
       keyCol: String): Map[String, Int] =
     merge(spark, path, updates, keyCol, mor = false)
 
+  /** Composite-key form (r15): row identity is the TUPLE of `keyCols`;
+    * epoch probes and the moving-delete run on the full tuple, and a
+    * transform column that is PART of the tuple keeps the cheap
+    * key-pure route (its value cannot change for a given key). */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String]): Map[String, Int] =
+    merge(spark, path, updates, keyCols, mor = false)
+
+  /** Composite-key MoR form (r15). */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], mor: Boolean): Map[String, Int] =
+    mergeTouchedDirs(spark, path, updates, keyCols, mor)
+      .map { case (label, (_, v)) => label -> v }
+
   /** `mor = true` (r13, the r12 verdict's top item): every touched
     * directory commits through the A75 merge-on-read upsert — DV-mark
     * + append inside that dir's own log, ZERO file rewrites — so a
@@ -542,7 +556,7 @@ object HiddenPartitions {
     * with [[PartitionedSnapshots.mergePartitioned]]. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, mor: Boolean): Map[String, Int] =
-    mergeTouchedDirs(spark, path, updates, keyCol, mor)
+    mergeTouchedDirs(spark, path, updates, Seq(keyCol), mor)
       .map { case (label, (_, v)) => label -> v }
 
   /** r14 (the r13 verdict's item 7) — the A51 idempotent form: every
@@ -558,7 +572,15 @@ object HiddenPartitions {
   def mergeIdempotent(spark: SparkSession, path: String,
       updates: DataFrame, keyCol: String, txnAppId: String,
       txnVersion: Long, mor: Boolean = false): Map[String, Int] =
-    mergeTouchedDirs(spark, path, updates, keyCol, mor,
+    mergeTouchedDirs(spark, path, updates, Seq(keyCol), mor,
+      Some((txnAppId, txnVersion)))
+      .map { case (label, (_, v)) => label -> v }
+
+  /** Composite-key form of [[mergeIdempotent]] (r15). */
+  def mergeIdempotent(spark: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String], txnAppId: String,
+      txnVersion: Long, mor: Boolean): Map[String, Int] =
+    mergeTouchedDirs(spark, path, updates, keyCols, mor,
       Some((txnAppId, txnVersion)))
       .map { case (label, (_, v)) => label -> v }
 
@@ -568,21 +590,23 @@ object HiddenPartitions {
     * method already knows (a string-valued transform value can look
     * exactly like an `e<k>:<v>` label, so parsing labels is unsound). */
   private[graft] def mergeTouchedDirs(spark: SparkSession, path: String,
-      updates: DataFrame, keyCol: String, mor: Boolean,
+      updates: DataFrame, keyCols: Seq[String], mor: Boolean,
       txn: Option[(String, Long)] = None): Map[String, (String, Int)] = {
+    require(keyCols.nonEmpty, "merge: empty key column list")
     val txnDel = txn.map { case (app, ver) => (app + "#del", ver) }
     def upsert(dir: String, rows: DataFrame): Int =
-      if (mor) Snapshots.mergeVersionedDV(spark, dir, rows, keyCol, txn)
+      if (mor) Snapshots.mergeVersionedDV(spark, dir, rows, keyCols, txn)
       else txn match {
         case Some((app, ver)) => Snapshots.mergeVersionedIdempotent(
-          spark, dir, rows, keyCol, app, ver)
-        case None => Snapshots.mergeVersioned(spark, dir, rows, keyCol)
+          spark, dir, rows, keyCols, app, ver)
+        case None => Snapshots.mergeVersioned(spark, dir, rows, keyCols)
       }
     def removeKeys(dir: String, keys: DataFrame): Int =
-      if (mor) Snapshots.deleteVersionedKeysDV(spark, dir, keys, keyCol,
+      if (mor) Snapshots.deleteVersionedKeysDV(spark, dir, keys, keyCols,
         txnDel)
-      else Snapshots.mergeVersionedClauses(spark, dir, keys, keyCol,
-        Seq(MergeWhen.MatchedDelete(None)), txn = txnDel)
+      else Snapshots.mergeVersionedClauses(spark, dir, keys, keyCols,
+        Seq(MergeWhen.MatchedDelete(None)), evolveSchema = false,
+        txn = txnDel, txnMulti = Seq.empty)
     val specs = specsOf(path)
     require(specs.nonEmpty, s"$path is not a hidden-partitioned table")
     val current = specs.last
@@ -599,8 +623,10 @@ object HiddenPartitions {
     // A transform that is a pure function of the MERGE KEY can never
     // move a row (see pass 1); a SINGLE-epoch table whose transform is
     // key-pure needs none of the probe apparatus — not even the batch
-    // materialization — and keeps the zero-overhead route-by-value path
-    def keyPureT(t: GraftTransform): Boolean = t.col == keyCol
+    // materialization — and keeps the zero-overhead route-by-value path.
+    // Composite keys: the transform column being ANY tuple member makes
+    // it key-pure (the tuple pins the column, so the value can't move).
+    def keyPureT(t: GraftTransform): Boolean = keyCols.contains(t.col)
     val needsProbe = specs.zipWithIndex.exists { case (t, e) =>
       !(e == currentEpoch && keyPureT(t)) }
     var remaining = if (needsProbe) updates.localCheckpoint() else updates
@@ -622,10 +648,11 @@ object HiddenPartitions {
     // a big table; the manifest key ranges bound it — only dirs whose
     // recorded [min,max] of the key overlaps the batch's range open.
     // the key-range dir prune only matters for non-key-pure epochs
+    val leadKey = keyCols.head
     val batchRange =
       if (!specs.exists(t => !keyPureT(t))) (None, None)
       else {
-        val r = remaining.agg(min(column(keyCol)), max(column(keyCol))).head()
+        val r = remaining.agg(min(column(leadKey)), max(column(leadKey))).head()
         (Option(r.get(0)).map(_.toString), Option(r.get(1)).map(_.toString))
       }
     // Key-pure epochs (mod/bucket/truncate ON the key) keep the cheap
@@ -650,23 +677,23 @@ object HiddenPartitions {
               .toSet
             dirsAll.filter(d => vals.contains(d._1))
           } else dirsAll.filter { case (_, d) =>
-            dirMayHoldKeys(d, keyCol, batchRange._1, batchRange._2) }
+            dirMayHoldKeys(d, leadKey, batchRange._1, batchRange._2) }
         if (dirsE.nonEmpty) {
           // (key, partition-value) of every batch key this epoch holds:
           // bounded by the batch size, so checkpointing it is cheap
           val epochKeys = dirsE.map { case (v, d) =>
-            Snapshots.read(spark, d).select(column(keyCol))
+            Snapshots.read(spark, d).select(keyCols.map(column): _*)
               .withColumn("__pv", lit(v))
           }.reduce(_.unionByName(_))
-            .join(broadcast(remaining.select(column(keyCol))),
-              Seq(keyCol), "left_semi")
+            .join(broadcast(remaining.select(keyCols.map(column): _*)),
+              keyCols, "left_semi")
             .localCheckpoint()
           val found = epochKeys.select("__pv").distinct()
             .collect().map(_.getString(0)).sorted
           found.foreach { v =>
             val keysV = broadcast(epochKeys.filter(col("__pv") === v)
-              .select(column(keyCol)))
-            val rowsV = remaining.join(keysV, Seq(keyCol), "left_semi")
+              .select(keyCols.map(column): _*))
+            val rowsV = remaining.join(keysV, keyCols, "left_semi")
             // one DISTINCT label per action: pass-1 labels always carry
             // the epoch prefix (a bare `v` would collide with pass 2's
             // label for the same dir in the current epoch), and the
@@ -684,20 +711,20 @@ object HiddenPartitions {
                 results(label) = (dirOf(v), upsert(dirOf(v), staying))
               if (!moving.isEmpty)
                 results(s"$label:del") = (dirOf(v),
-                  removeKeys(dirOf(v), moving.select(column(keyCol))))
+                  removeKeys(dirOf(v), moving.select(keyCols.map(column): _*)))
             }
           }
           if (found.nonEmpty) {
             // in-place-updated rows leave the batch; MOVED rows stay
             // and re-route below like inserts
             val stayedKeys =
-              if (keyPure(t)) epochKeys.select(column(keyCol))
+              if (keyPure(t)) epochKeys.select(keyCols.map(column): _*)
               else remaining
-                .join(broadcast(epochKeys), Seq(keyCol), "inner")
+                .join(broadcast(epochKeys), keyCols, "inner")
                 .filter(t.valueExpr <=> col("__pv"))
-                .select(column(keyCol))
+                .select(keyCols.map(column): _*)
             remaining = remaining
-              .join(broadcast(stayedKeys), Seq(keyCol), "left_anti")
+              .join(broadcast(stayedKeys), keyCols, "left_anti")
               .localCheckpoint()
           }
         }

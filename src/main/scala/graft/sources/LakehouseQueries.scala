@@ -2240,6 +2240,104 @@ object LakehouseQueries {
       |FROM oh JOIN customer c ON oh.o_custkey = c.c_custkey
       |GROUP BY 2""".stripMargin
 
+  /** r15 (the r14 verdict's item 3) — COMPOSITE MERGE KEYS end-to-end:
+    * orders re-keyed on the TUPLE (k1, k2) = (o_orderkey div 100,
+    * o_orderkey mod 100) — neither column alone is unique, the
+    * real-CDC multi-column-PK shape — then one wave of every keyed
+    * DML verb on DISJOINT key sets (residues of o_orderkey % 23):
+    *
+    *  - r3: copy-on-write composite MERGE (price ×2);
+    *  - r5: merge-on-read composite MERGE (DV-mark + append, +1000);
+    *  - r1: copy-on-write composite keyed DELETE;
+    *  - r2: merge-on-read composite keyed DELETE (DV);
+    *  - r6: IDEMPOTENT composite merge applied TWICE under one
+    *    (app, txnVersion) — the replay must no-op (version pinned);
+    *  - r4/r7: ANSI `MERGE INTO … ON t.k1 = s.k1 AND t.k2 = s.k2`
+    *    through the LakeParser route — updates r4 (+5), inserts r7
+    *    under shifted k1 (brand-new composite keys).
+    *
+    * The result is the PER-ROW final table (a misrouted update, a
+    * resurrected deleted key, a double-applied replay, or a
+    * wrong-tuple match each breaks the hash) plus a `pin` row carrying
+    * the final version — proving the replay added no version. File
+    * discovery prunes on the LEADING key column's manifest ranges
+    * (CompositeKeySpec pins numFiles); integer-cents output.
+    */
+  def qLakeCompositeKey(s: SparkSession, d: String): DataFrame = {
+    val se = graft.plans.GraftSessions.withExtensions(s)
+    val o = Tables.orders(se, d).select(
+      col("o_orderkey").as("k"),
+      expr("o_orderkey div 100").as("k1"),
+      (col("o_orderkey") % 100).as("k2"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"))
+    def wave(r: Int, price: org.apache.spark.sql.Column): DataFrame =
+      o.filter(col("k") % 23 === r).withColumn("price", price).drop("k")
+    val dir = tempDir("graft_ck_q")
+    staged {
+      // leading-key-clustered layout: k1 ranges per file are tight, so
+      // composite-key DML discovery prunes on them
+      o.drop("k").repartitionByRange(4, col("k1"))
+        .sortWithinPartitions("k1", "k2")
+        .write.mode("overwrite").parquet(dir)
+      Snapshots.init(se, dir) // v0
+      ()
+    }
+    val keys = Seq("k1", "k2")
+    Snapshots.mergeVersioned(se, dir,
+      wave(3, col("price") * 2), keys) // v1
+    Snapshots.mergeVersionedDV(se, dir,
+      wave(5, col("price") + 1000.0), keys, None) // v2
+    Snapshots.deleteVersionedKeys(se, dir,
+      o.filter(col("k") % 23 === 1).select("k1", "k2"), keys) // v3
+    Snapshots.deleteVersionedKeysDV(se, dir,
+      o.filter(col("k") % 23 === 2).select("k1", "k2"), keys, None) // v4
+    val idem = wave(6, col("price") + 7.0)
+    val v5 = Snapshots.mergeVersionedIdempotent(se, dir, idem,
+      keys, "ck_app", 1L) // v5
+    val vReplay = Snapshots.mergeVersionedIdempotent(se, dir, idem,
+      keys, "ck_app", 1L) // replay: MUST no-op at v5
+    val orders = s"$d/orders.parquet"
+    se.sql(s"""MERGE INTO graft.`$dir` t
+              |USING (SELECT o_orderkey div 100 AS k1,
+              |              o_orderkey % 100 AS k2,
+              |              o_orderstatus AS status,
+              |              o_totalprice + 5.0 AS price
+              |       FROM parquet.`$orders` WHERE o_orderkey % 23 = 4
+              |       UNION ALL
+              |       SELECT o_orderkey div 100 + 100000, o_orderkey % 100,
+              |              'X', o_totalprice
+              |       FROM parquet.`$orders` WHERE o_orderkey % 23 = 7) s
+              |ON t.k1 = s.k1 AND t.k2 = s.k2
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v6
+    val vFinal = Snapshots.currentVersion(dir)
+    Snapshots.read(s, dir)
+      .select(col("k1"), col("k2"), col("status"),
+        round(col("price") * 100).cast("long").as("cents"))
+      .unionByName(s.range(1).select(lit(-1L).as("k1"),
+        lit(vFinal.toLong * 1000 + vReplay.toLong).as("k2"),
+        lit("pin").as("status"), lit(0L).as("cents")))
+  }
+
+  val qLakeCompositeKeySql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderkey // 100 AS k1,
+      |    o_orderkey % 100 AS k2, o_orderstatus AS status,
+      |    o_totalprice AS p
+      |  FROM orders),
+      |fin AS (
+      |  SELECT k1, k2, status,
+      |    CASE k % 23 WHEN 3 THEN p * 2 WHEN 5 THEN p + 1000.0
+      |      WHEN 6 THEN p + 7.0 WHEN 4 THEN p + 5.0 ELSE p END AS p
+      |  FROM base WHERE k % 23 NOT IN (1, 2)
+      |  UNION ALL
+      |  SELECT k1 + 100000, k2, 'X', p FROM base WHERE k % 23 = 7)
+      |SELECT k1, k2, status, CAST(round(p * 100) AS BIGINT) AS cents
+      |FROM fin
+      |UNION ALL
+      |SELECT -1, 6005, 'pin', CAST(0 AS BIGINT)""".stripMargin
+
   /** A84 × A86 × C29 (r15, the r14 verdict's item 2) — the STEADY-STATE
     * composition gate: the 100 TB operating loop the
     * BucketedComposedSpec capstone spec'd, promoted to a DATA-SCALE
@@ -3297,6 +3395,7 @@ object LakehouseQueries {
     "q_lake_bucketed" -> (qLakeBucketed(_, _)),
     "q_lake_bucketed_part" -> (qLakeBucketedPart(_, _)),
     "q_lake_steady" -> (qLakeSteady(_, _)),
+    "q_lake_composite_key" -> (qLakeCompositeKey(_, _)),
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
     "q_lake_optimize_where" -> (qLakeOptimizeWhere(_, _)),
     "q_lake_timetravel" -> (qLakeTimetravel(_, _)),
@@ -3354,6 +3453,7 @@ object LakehouseQueries {
     "q_lake_bucketed" -> qLakeBucketedSql,
     "q_lake_bucketed_part" -> qLakeBucketedPartSql,
     "q_lake_steady" -> qLakeSteadySql,
+    "q_lake_composite_key" -> qLakeCompositeKeySql,
     "q_lake_deltalog" -> qLakeDeltaLogSql,
     "q_lake_optimize_where" -> qLakeOptimizeWhereSql,
     "q_lake_timetravel" -> qLakeTimetravelSql,

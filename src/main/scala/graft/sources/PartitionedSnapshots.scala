@@ -150,6 +150,18 @@ object PartitionedSnapshots {
       keyCol: String, partCol: String): Map[String, Int] =
     mergePartitioned(spark, path, updates, keyCol, partCol, mor = false)
 
+  /** Composite-key form (r15): row identity within each partition is
+    * the TUPLE of `keyCols` — see [[Snapshots.mergeVersioned]]. */
+  def mergePartitioned(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], partCol: String): Map[String, Int] =
+    mergePartitionedTxn(spark, path, updates, keyCols, partCol,
+      mor = false, None)
+
+  /** Composite-key MoR form (r15). */
+  def mergePartitioned(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], partCol: String, mor: Boolean): Map[String, Int] =
+    mergePartitionedTxn(spark, path, updates, keyCols, partCol, mor, None)
+
   /** `mor = true` (r12): each touched partition commits through the
     * A75 merge-on-read upsert — DV-mark + append inside the
     * partition's own log, zero file rewrites — so partitioned
@@ -167,7 +179,7 @@ object PartitionedSnapshots {
     */
   def mergePartitioned(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, partCol: String, mor: Boolean): Map[String, Int] =
-    mergePartitionedTxn(spark, path, updates, keyCol, partCol, mor, None)
+    mergePartitionedTxn(spark, path, updates, Seq(keyCol), partCol, mor, None)
 
   /** r14 (the r13 verdict's item 7) — the A51 idempotent form: each
     * touched partition's commit carries the `(txnAppId, txnVersion)`
@@ -184,12 +196,22 @@ object PartitionedSnapshots {
       updates: DataFrame, keyCol: String, partCol: String,
       txnAppId: String, txnVersion: Long,
       mor: Boolean = false): Map[String, Int] =
-    mergePartitionedTxn(spark, path, updates, keyCol, partCol, mor,
+    mergePartitionedTxn(spark, path, updates, Seq(keyCol), partCol, mor,
+      Some((txnAppId, txnVersion)))
+
+  /** Composite-key form of [[mergePartitionedIdempotent]] (r15). */
+  def mergePartitionedIdempotent(spark: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String], partCol: String,
+      txnAppId: String, txnVersion: Long,
+      mor: Boolean): Map[String, Int] =
+    mergePartitionedTxn(spark, path, updates, keyCols, partCol, mor,
       Some((txnAppId, txnVersion)))
 
   private def mergePartitionedTxn(spark: SparkSession, path: String,
-      updates: DataFrame, keyCol: String, partCol: String, mor: Boolean,
+      updates: DataFrame, keyCols: Seq[String], partCol: String, mor: Boolean,
       txn: Option[(String, Long)]): Map[String, Int] = {
+    require(!keyCols.contains(partCol),
+      s"graft: the partition column '$partCol' cannot be a merge key")
     val existing = partitions(path).toSet
     val touched = updates.select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0))
@@ -226,11 +248,11 @@ object PartitionedSnapshots {
           finally walk.close()
           v -> Snapshots.init(spark, dir)
       } else if (mor)
-        v -> Snapshots.mergeVersionedDV(spark, dir, slice, keyCol, txn)
+        v -> Snapshots.mergeVersionedDV(spark, dir, slice, keyCols, txn)
       else txn match {
         case Some((app, ver)) => v -> Snapshots.mergeVersionedIdempotent(
-          spark, dir, slice, keyCol, app, ver)
-        case None => v -> Snapshots.mergeVersioned(spark, dir, slice, keyCol)
+          spark, dir, slice, keyCols, app, ver)
+        case None => v -> Snapshots.mergeVersioned(spark, dir, slice, keyCols)
       }
     }.toMap
   }

@@ -2122,7 +2122,19 @@ object Snapshots {
     */
   def mergeVersioned(spark: SparkSession, path: String,
       updates: DataFrame, keyCol: String): Int =
-    mergeVersionedOCC(spark, path, updates, keyCol, maxRetries = 5,
+    mergeVersioned(spark, path, updates, Seq(keyCol))
+
+  /** r15 (the r14 verdict's item 3) — COMPOSITE MERGE KEYS: row
+    * identity is the TUPLE of `keyCols` (the real-CDC shape — most
+    * source-of-truth tables carry multi-column PKs). Same copy-on-write
+    * commit, same OCC, same A31 change feed; file discovery prunes on
+    * the LEADING key column's per-file [min,max] ranges (A27), so a
+    * batch clustered on the first key still touches only its own
+    * files — users no longer pre-concat a synthetic key and lose
+    * pruning on the real columns. */
+  def mergeVersioned(spark: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String]): Int =
+    mergeVersionedOCC(spark, path, updates, keyCols, maxRetries = 5,
       beforeCommit = () => ())
 
   /** A51 — [[mergeVersioned]] under a transaction mark (Delta's
@@ -2135,9 +2147,16 @@ object Snapshots {
     * re-checks the winner's mark instead of rebasing). */
   def mergeVersionedIdempotent(spark: SparkSession, path: String,
       updates: DataFrame, keyCol: String, txnAppId: String,
+      txnVersion: Long): Int =
+    mergeVersionedIdempotent(spark, path, updates, Seq(keyCol), txnAppId,
+      txnVersion)
+
+  /** Composite-key form of [[mergeVersionedIdempotent]] (r15). */
+  def mergeVersionedIdempotent(spark: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String], txnAppId: String,
       txnVersion: Long): Int = {
     requireTxnApp(txnAppId)
-    mergeVersionedOCC(spark, path, updates, keyCol, maxRetries = 5,
+    mergeVersionedOCC(spark, path, updates, keyCols, maxRetries = 5,
       beforeCommit = () => (), txn = Some((txnAppId, txnVersion)))
   }
 
@@ -2187,8 +2206,23 @@ object Snapshots {
       source: DataFrame, keyCol: String, clauses: Seq[MergeWhen],
       evolveSchema: Boolean = false,
       txn: Option[(String, Long)] = None,
-      txnMulti: Seq[(String, Long)] = Seq.empty): Int = {
+      txnMulti: Seq[(String, Long)] = Seq.empty): Int =
+    mergeVersionedClauses(spark, path, source, Seq(keyCol), clauses,
+      evolveSchema, txn, txnMulti)
+
+  /** Composite-key form of [[mergeVersionedClauses]] (r15): the ON
+    * condition is equality over the TUPLE of `keyCols` (the ANSI
+    * `MERGE ... ON a.x=b.x AND a.y=b.y` shape); file discovery prunes
+    * on the leading key column's ranges. */
+  def mergeVersionedClauses(spark: SparkSession, path: String,
+      source: DataFrame, keyCols: Seq[String], clauses: Seq[MergeWhen],
+      evolveSchema: Boolean,
+      txn: Option[(String, Long)],
+      txnMulti: Seq[(String, Long)]): Int = {
     import MergeWhen._
+    require(keyCols.nonEmpty, "merge: empty key column list")
+    require(keyCols.distinct.size == keyCols.size,
+      s"merge: duplicate key column in ${keyCols.mkString(", ")}")
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     // A51: already-recorded marks make the whole statement a replay —
@@ -2205,10 +2239,12 @@ object Snapshots {
     val live = liveFiles(path, v)
     lazy val target = readUnder(spark, path, v, live)
     val schemaNow = tableSchema(path, v).getOrElse(target.schema)
-    require(schemaNow.fieldNames.contains(keyCol),
-      s"merge: no key column '$keyCol' in ${schemaNow.fieldNames.mkString(", ")}")
-    require(source.columns.contains(keyCol),
-      s"merge: source lacks the key column '$keyCol'")
+    keyCols.foreach { k =>
+      require(schemaNow.fieldNames.contains(k),
+        s"merge: no key column '$k' in ${schemaNow.fieldNames.mkString(", ")}")
+      require(source.columns.contains(k),
+        s"merge: source lacks the key column '$k'")
+    }
 
     val matchedCs: Seq[MergeWhen] = clauses.filter {
       case _: MatchedUpdate | _: MatchedDelete => true; case _ => false }
@@ -2241,32 +2277,36 @@ object Snapshots {
         case _ => Seq.empty
       }.distinct.filterNot(schemaNow.fieldNames.contains)
     clauses.foreach {
-      case MatchedUpdate(_, s) => require(!s.exists(_._1 == keyCol),
-        s"merge: SET of the merge key '$keyCol' refuses (row identity)")
-      case BySourceUpdate(_, s) => require(!s.exists(_._1 == keyCol),
-        s"merge: SET of the merge key '$keyCol' refuses (row identity)")
-      case NotMatchedInsert(_, vs) => require(vs.exists(_._1 == keyCol),
-        s"merge: INSERT must provide the key column '$keyCol'")
+      case MatchedUpdate(_, s) =>
+        s.map(_._1).find(keyCols.contains).foreach(k => require(false,
+          s"merge: SET of the merge key '$k' refuses (row identity)"))
+      case BySourceUpdate(_, s) =>
+        s.map(_._1).find(keyCols.contains).foreach(k => require(false,
+          s"merge: SET of the merge key '$k' refuses (row identity)"))
+      case NotMatchedInsert(_, vs) =>
+        keyCols.foreach(k => require(vs.exists(_._1 == k),
+          s"merge: INSERT must provide the key column '$k'"))
       case _ =>
     }
-    require(source.groupBy(col(s"`$keyCol`")).count()
+    require(source.groupBy(keyCols.map(c => col(s"`$c`")): _*).count()
       .filter(col("count") > 1).isEmpty,
-      s"merge: duplicate '$keyCol' keys in the source violate MERGE " +
-        "cardinality on a keyed table")
+      s"merge: duplicate '${keyCols.mkString(", ")}' keys in the source " +
+        "violate MERGE cardinality on a keyed table")
 
     val touched: Seq[String] =
       if (bySourceCs.nonEmpty) live.map(canonical)
       else {
-        val keyType = schemaNow(keyCol).dataType
-        val stats = manifestRanges(path, v, live, keyCol) match {
+        val leadKey = keyCols.head
+        val keyType = schemaNow(leadKey).dataType
+        val stats = manifestRanges(path, v, live, leadKey) match {
           case Some(rows) => keyRangeFrame(spark, rows, keyType)
           case None => target
             .withColumn("file", input_file_name())
             .groupBy("file")
-            .agg(min(col(s"`$keyCol`")).as("kmin"),
-              max(col(s"`$keyCol`")).as("kmax"))
+            .agg(min(col(s"`$leadKey`")).as("kmin"),
+              max(col(s"`$leadKey`")).as("kmax"))
         }
-        val keys = source.select(col(s"`$keyCol`").as("__k")).distinct()
+        val keys = source.select(col(s"`$leadKey`").as("__k")).distinct()
         stats.join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
           .select("file").collect().map(r => canonical(r.getString(0)))
           .toIndexedSeq
@@ -2283,7 +2323,8 @@ object Snapshots {
     val srcP = source.select(source.columns.toIndexedSeq.map(c =>
       col(s"`$c`").as(srcName(c))) :+ lit(true).as("__src_present"): _*)
     val j = oldTouched.withColumn("__t_present", lit(true))
-      .join(srcP, col(s"`$keyCol`") === col(srcName(keyCol)), "full_outer")
+      .join(srcP, keyCols.map(k =>
+        col(s"`$k`") === col(srcName(k))).reduce(_ && _), "full_outer")
     val tPres = coalesce(col("__t_present"), lit(false))
     val sPres = coalesce(col("__src_present"), lit(false))
     def guard(c: Option[org.apache.spark.sql.Column]) = c.getOrElse(lit(true))
@@ -2400,7 +2441,7 @@ object Snapshots {
       if (!cdfEnabled(path, v)) None
       else {
         val allCols = outSchema.fieldNames.toIndexedSeq
-        val payload = allCols.filterNot(_ == keyCol)
+        val payload = allCols.filterNot(keyCols.contains)
         val insertB = insertCs.indices.map(100 + _)
         val updateB: Seq[Int] = matchedCs.zipWithIndex.collect {
           case (MatchedUpdate(_, _), i) => i } ++
@@ -2430,9 +2471,9 @@ object Snapshots {
         // the same stored-CDF contract as the plain merge path
         def img(df: DataFrame, side: String,
             ct: org.apache.spark.sql.Column) =
-          df.select(col(s"$side.`$keyCol`").as(keyCol) +:
-            ct.as("change_type") +:
-            payload.map(c => col(s"$side.`$c`").as(c)): _*)
+          df.select(keyCols.map(k => col(s"$side.`$k`").as(k)) ++
+            (ct.as("change_type") +:
+              payload.map(c => col(s"$side.`$c`").as(c))): _*)
         Some(stageCdf(path, v,
           img(tagged.filter(col("__ct") =!= "delete"), "__post",
             col("__ct"))
@@ -2460,9 +2501,12 @@ object Snapshots {
     * after staging and before the first commit attempt (where a
     * concurrent winner lands deterministically in the spec). */
   private[graft] def mergeVersionedOCC(spark: SparkSession, path: String,
-      updates: DataFrame, keyCol: String, maxRetries: Int,
+      updates: DataFrame, keyCols: Seq[String], maxRetries: Int,
       beforeCommit: () => Unit,
       txn: Option[(String, Long)] = None): Int = {
+    require(keyCols.nonEmpty, "merge: empty key column list")
+    require(keyCols.distinct.size == keyCols.size,
+      s"merge: duplicate key column in ${keyCols.mkString(", ")}")
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     // A51: a replayed transaction no-ops BEFORE constraints, staging,
@@ -2479,15 +2523,23 @@ object Snapshots {
     // state), a merge never lists — let alone scans — untouched files
     lazy val target = readUnder(spark, path, v, live)
     val schemaNow = tableSchema(path, v).getOrElse(target.schema)
+    keyCols.foreach(k => require(schemaNow.fieldNames.contains(k),
+      s"merge: no key column '$k' in ${schemaNow.fieldNames.mkString(", ")}"))
     // file discovery: A27 manifest stats when complete — NO table scan,
-    // merge cost tracks the batch — else the legacy one-column scan
-    val keyType = schemaNow(keyCol).dataType
-    val stats = manifestRanges(path, v, live, keyCol) match {
+    // merge cost tracks the batch — else the legacy one-column scan.
+    // Composite keys prune on the LEADING key column's ranges: on a
+    // leading-key-clustered layout that is the same file set the
+    // single-key path touches; trailing columns only refine membership,
+    // never file discovery (conservative, never skips a match).
+    val leadKey = keyCols.head
+    val keyType = schemaNow(leadKey).dataType
+    val stats = manifestRanges(path, v, live, leadKey) match {
       case Some(rows) => keyRangeFrame(spark, rows, keyType)
       case None => target
         .withColumn("file", input_file_name())
         .groupBy("file")
-        .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+        .agg(min(col(s"`$leadKey`")).as("kmin"),
+          max(col(s"`$leadKey`")).as("kmax"))
     }
     // r13 (the r12 verdict's dup-key asymmetry): refuse a
     // duplicate-keyed source exactly as mergeVersionedClauses does —
@@ -2496,12 +2548,13 @@ object Snapshots {
     // ONE pass over the batch serves both the refusal and the
     // key-distinct discovery (the checkpointed counts frame is
     // |distinct keys|-sized), so the check costs no extra batch scan.
-    val keyCounts = updates.groupBy(col(s"`$keyCol`")).count()
+    val keyCounts = updates
+      .groupBy(keyCols.map(c => col(s"`$c`")): _*).count()
       .localCheckpoint()
     require(keyCounts.filter(col("count") > 1).isEmpty,
-      s"merge: duplicate '$keyCol' keys in the source violate MERGE " +
-        "cardinality on a keyed table")
-    val keys = keyCounts.select(col(s"`$keyCol`").as("__k"))
+      s"merge: duplicate '${keyCols.mkString(", ")}' keys in the source " +
+        "violate MERGE cardinality on a keyed table")
+    val keys = keyCounts.select(col(s"`$leadKey`").as("__k")).distinct()
     val touched = stats
       .join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
       .select("file").collect().map(_.getString(0))
@@ -2513,7 +2566,8 @@ object Snapshots {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaNow)
       else readLive(spark, path, v, touched.toIndexedSeq)
     val kept = oldTouched
-      .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_anti")
+      .join(broadcast(updates.select(keyCols.map(c => col(s"`$c`")): _*)),
+        keyCols, "left_anti")
     // Schema evolution on write: a batch with NEW columns widens the
     // table — kept rows null-fill the new columns, and the widened
     // schema is recorded in the commit header so untouched old files
@@ -2536,14 +2590,19 @@ object Snapshots {
     // images.
     val wantCdf = cdfEnabled(path, v)
     val cdfStaged: Option[Seq[String]] = if (!wantCdf) None else {
-      val cdfPayload = outSchema.fieldNames.filterNot(_ == keyCol).toIndexedSeq
+      val cdfPayload =
+        outSchema.fieldNames.filterNot(keyCols.contains).toIndexedSeq
       def cdfNorm(df: DataFrame): DataFrame =
         df.select(outSchema.fields.toIndexedSeq.map(f =>
           (if (df.columns.contains(f.name)) col(f.name)
            else lit(null).cast(f.dataType)).as(f.name)): _*)
-      val cdfPost = cdfNorm(updates).select(col(keyCol).as("__k"),
+      // composite keys ride as ONE struct join key (non-null by the
+      // keyed-table contract), then unpack back to columns
+      val cdfPost = cdfNorm(updates).select(
+        struct(keyCols.map(c => col(s"`$c`")): _*).as("__k"),
         struct(cdfPayload.map(col): _*).as("__post"))
-      val cdfPre = cdfNorm(oldTouched).select(col(keyCol).as("__k"),
+      val cdfPre = cdfNorm(oldTouched).select(
+        struct(keyCols.map(c => col(s"`$c`")): _*).as("__k"),
         struct(cdfPayload.map(col): _*).as("__pre"))
       val changed = cdfPost.join(cdfPre, Seq("__k"), "left_outer")
         .withColumn("change_type",
@@ -2557,12 +2616,13 @@ object Snapshots {
       // files a feed would have to re-read). Post-image-only readers
       // filter them out; cost stays ∝ the commit's change set.
       Some(stageCdf(path, v,
-        changed.select(col("__k").as(keyCol) +: col("change_type") +:
-            cdfPayload.map(c => col(s"__post.`$c`").as(c)): _*)
+        changed.select(keyCols.map(c => col(s"__k.`$c`").as(c)) ++
+            (col("change_type") +:
+              cdfPayload.map(c => col(s"__post.`$c`").as(c))): _*)
           .unionByName(changed.filter(col("change_type") === "update")
-            .select(col("__k").as(keyCol) +:
-              lit("update_preimage").as("change_type") +:
-              cdfPayload.map(c => col(s"__pre.`$c`").as(c)): _*))))
+            .select(keyCols.map(c => col(s"__k.`$c`").as(c)) ++
+              (lit("update_preimage").as("change_type") +:
+                cdfPayload.map(c => col(s"__pre.`$c`").as(c))): _*))))
     }
 
     // data files always land under PHYSICAL names so the live set stays
@@ -2625,8 +2685,10 @@ object Snapshots {
       val winnerNew = liveW.filterNot(f => liveFiles(path, base).map(canonical)
         .toSet.contains(canonical(f)))
       if (winnerNew.nonEmpty) {
-        val clash = !spark.read.parquet(winnerNew: _*).select(col(keyCol))
-          .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_semi")
+        val clash = !spark.read.parquet(winnerNew: _*)
+          .select(keyCols.map(c => col(s"`$c`")): _*)
+          .join(broadcast(updates.select(keyCols.map(c =>
+            col(s"`$c`")): _*)), keyCols, "left_semi")
           .isEmpty
         if (clash)
           throw new java.util.ConcurrentModificationException(
@@ -2774,38 +2836,50 @@ object Snapshots {
     * Returns the new version.
     */
   def deleteVersionedKeys(spark: SparkSession, path: String,
-      keys: DataFrame, keyCol: String): Int = {
+      keys: DataFrame, keyCol: String): Int =
+    deleteVersionedKeys(spark, path, keys, Seq(keyCol))
+
+  /** Composite-key form of [[deleteVersionedKeys]] (r15): the doomed
+    * identity is the TUPLE of `keyCols`; file discovery prunes on the
+    * leading key column's ranges (see [[mergeVersioned]]). */
+  def deleteVersionedKeys(spark: SparkSession, path: String,
+      keys: DataFrame, keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "delete: empty key column list")
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     val live = liveFiles(path, v)
     lazy val target = readUnder(spark, path, v, live) // only pre-A27
     val schemaNow = tableSchema(path, v).getOrElse(target.schema)
-    val k = keys.select(col(keyCol)).distinct()
+    keyCols.foreach(c => require(schemaNow.fieldNames.contains(c),
+      s"delete: no key column '$c' in ${schemaNow.fieldNames.mkString(", ")}"))
+    val k = keys.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
     // prune to files whose [kmin, kmax] contains a doomed key; only
     // those can hold a row to delete, only those are rewritten — from
     // A27 manifest stats when complete (no table scan), else the scan
-    val keyType = schemaNow(keyCol).dataType
-    val stats = manifestRanges(path, v, live, keyCol) match {
+    val leadKey = keyCols.head
+    val keyType = schemaNow(leadKey).dataType
+    val stats = manifestRanges(path, v, live, leadKey) match {
       case Some(rows) => keyRangeFrame(spark, rows, keyType)
       case None => target
         .withColumn("file", input_file_name())
         .groupBy("file")
-        .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+        .agg(min(col(s"`$leadKey`")).as("kmin"),
+          max(col(s"`$leadKey`")).as("kmax"))
     }
     val touched = stats
-      .join(broadcast(k.withColumnRenamed(keyCol, "__k")),
+      .join(broadcast(k.select(col(s"`$leadKey`").as("__k")).distinct()),
         keyRangeCond(col("__k")), "left_semi")
       .select("file").collect().map(r => canonical(r.getString(0)))
     if (touched.isEmpty) // no-op version, schema carried forward
       return commitNext(path, v, live, tableSchema(path, v),
         carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty))
     val liveTouched = readLive(spark, path, v, touched.toIndexedSeq)
-    val keptRows = liveTouched.join(broadcast(k), Seq(keyCol), "left_anti")
+    val keptRows = liveTouched.join(broadcast(k), keyCols, "left_anti")
     // A31 (table property): the deleted pre-images are the change data
     val cdfStaged: Option[Seq[String]] =
       if (!cdfEnabled(path, v)) None
       else Some(stageCdf(path, v, liveTouched
-        .join(broadcast(k), Seq(keyCol), "left_semi")
+        .join(broadcast(k), keyCols, "left_semi")
         .withColumn("change_type", lit("delete"))))
     val staged = stageData(keptRows, Some(schemaNow), path, v + 1,
       bucketSpecOf(path, v), "graft_snap_del")
@@ -3145,7 +3219,14 @@ object Snapshots {
     */
   def deleteVersionedKeysDV(spark: SparkSession, path: String,
       keys: DataFrame, keyCol: String,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None): Int =
+    deleteVersionedKeysDV(spark, path, keys, Seq(keyCol), txn)
+
+  /** Composite-key form of [[deleteVersionedKeysDV]] (r15). */
+  def deleteVersionedKeysDV(spark: SparkSession, path: String,
+      keys: DataFrame, keyCols: Seq[String],
+      txn: Option[(String, Long)]): Int = {
+    require(keyCols.nonEmpty, "delete: empty key column list")
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     // A51: a replayed (app, ver ≤ mark) delete no-ops, atomically with
@@ -3154,13 +3235,14 @@ object Snapshots {
       if (txnVersionOf(path, v, app).exists(_ >= ver)) return v
     }
     val live = liveFiles(path, v)
-    val k = keys.select(col(keyCol)).distinct()
+    val k = keys.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
     lazy val schemaNow = tableSchema(path, v)
       .getOrElse(readUnder(spark, path, v, live).schema)
-    val candidates = manifestRanges(path, v, live, keyCol) match {
+    val leadKey = keyCols.head
+    val candidates = manifestRanges(path, v, live, leadKey) match {
       case Some(rows) =>
-        keyRangeFrame(spark, rows, schemaNow(keyCol).dataType)
-          .join(broadcast(k.withColumnRenamed(keyCol, "__k")),
+        keyRangeFrame(spark, rows, schemaNow(leadKey).dataType)
+          .join(broadcast(k.select(col(s"`$leadKey`").as("__k")).distinct()),
             keyRangeCond(col("__k")), "left_semi")
           .select("file").collect().map(r => canonical(r.getString(0))).toSeq
       case None => live // pre-A27: scan everything for positions
@@ -3171,7 +3253,7 @@ object Snapshots {
         txnSet = txn)
     val doomed = applyDvIfAny(spark, path, v,
         readFilesAsWithPos(spark, tableSchema(path, v), candidates))
-      .join(broadcast(k), Seq(keyCol), "left_semi")
+      .join(broadcast(k), keyCols, "left_semi")
       .withColumnRenamed("__file", "__dv_file")
       .withColumnRenamed("__pos", "__dv_pos")
       .withColumn("change_type", lit("delete"))
@@ -3295,8 +3377,19 @@ object Snapshots {
     */
   def mergeVersionedDV(spark: SparkSession, path: String,
       updates: DataFrame, keyCol: String,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None): Int =
+    mergeVersionedDV(spark, path, updates, Seq(keyCol), txn)
+
+  /** Composite-key form of [[mergeVersionedDV]] (r15): row identity is
+    * the TUPLE of `keyCols`; candidate-file discovery prunes on the
+    * leading key column's ranges (see [[mergeVersioned]]). */
+  def mergeVersionedDV(spark: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String],
+      txn: Option[(String, Long)]): Int = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    require(keyCols.nonEmpty, "merge: empty key column list")
+    require(keyCols.distinct.size == keyCols.size,
+      s"merge: duplicate key column in ${keyCols.mkString(", ")}")
     val v = currentVersion(path)
     require(v >= 0, s"$path not initialized (call init)")
     // A51: a replayed transaction no-ops before staging anything
@@ -3315,26 +3408,28 @@ object Snapshots {
     val live = liveFiles(path, v)
     lazy val target = readUnder(spark, path, v, live)
     val schemaNow = tableSchema(path, v).getOrElse(target.schema)
-    require(schemaNow.fieldNames.contains(keyCol),
-      s"mergeVersionedDV: no key column '$keyCol' in " +
-        schemaNow.fieldNames.mkString(", "))
+    keyCols.foreach(k => require(schemaNow.fieldNames.contains(k),
+      s"mergeVersionedDV: no key column '$k' in " +
+        schemaNow.fieldNames.mkString(", ")))
     // r13 (the r12 verdict's dup-key asymmetry): a duplicate-keyed
     // source violates MERGE cardinality on a keyed table, exactly as
     // mergeVersionedClauses already refuses — both post-image rows
     // would otherwise append and the keyed invariant silently breaks.
-    require(ups.groupBy(col(s"`$keyCol`")).count()
+    require(ups.groupBy(keyCols.map(c => col(s"`$c`")): _*).count()
       .filter(col("count") > 1).isEmpty,
-      s"merge: duplicate '$keyCol' keys in the source violate MERGE " +
-        "cardinality on a keyed table")
-    val keyType = schemaNow(keyCol).dataType
-    val stats = manifestRanges(path, v, live, keyCol) match {
+      s"merge: duplicate '${keyCols.mkString(", ")}' keys in the source " +
+        "violate MERGE cardinality on a keyed table")
+    val leadKey = keyCols.head
+    val keyType = schemaNow(leadKey).dataType
+    val stats = manifestRanges(path, v, live, leadKey) match {
       case Some(rows) => keyRangeFrame(spark, rows, keyType)
       case None => target
         .withColumn("file", input_file_name())
         .groupBy("file")
-        .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+        .agg(min(col(s"`$leadKey`")).as("kmin"),
+          max(col(s"`$leadKey`")).as("kmax"))
     }
-    val keys = ups.select(col(keyCol).as("__k")).distinct()
+    val keys = ups.select(col(s"`$leadKey`").as("__k")).distinct()
     val touched = stats
       .join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
       .select("file").collect().map(_.getString(0))
@@ -3342,8 +3437,12 @@ object Snapshots {
     val outSchema = StructType(
       schemaNow.fields ++ ups.schema.fields.filterNot(f =>
         schemaNow.fieldNames.contains(f.name)))
-    val payload = outSchema.fieldNames.filterNot(_ == keyCol).toIndexedSeq
+    val payload = outSchema.fieldNames.filterNot(keyCols.contains).toIndexedSeq
     val payloadType = StructType(payload.map(c => outSchema(c)))
+    // composite keys ride as ONE "__k" struct (non-null per the keyed
+    // contract), keeping the join/probe shape of the single-key path
+    val keyStructType = StructType(keyCols.map(c => outSchema(c)))
+    def keyStruct = struct(keyCols.map(c => col(s"`$c`")): _*)
     def norm(df: DataFrame): DataFrame =
       df.select(outSchema.fields.toIndexedSeq.map(f =>
         (if (df.columns.contains(f.name)) col(s"`${f.name}`")
@@ -3355,7 +3454,7 @@ object Snapshots {
       if (touched.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("__k", keyType),
+          StructType(Seq(StructField("__k", keyStructType),
             StructField("__pre", payloadType),
             StructField("__file", StringType),
             StructField("__pos", LongType))))
@@ -3367,11 +3466,11 @@ object Snapshots {
             (if (withPos.columns.contains(f.name)) col(s"`${f.name}`")
              else lit(null).cast(f.dataType)).as(f.name)) ++
             Seq(col("__file"), col("__pos")): _*)
-          .select(col(s"`$keyCol`").as("__k"),
+          .select(keyStruct.as("__k"),
             struct(payload.map(c => col(s"`$c`")): _*).as("__pre"),
             col("__file"), col("__pos"))
       }
-    val post = norm(ups).select(col(s"`$keyCol`").as("__k"),
+    val post = norm(ups).select(keyStruct.as("__k"),
       struct(payload.map(c => col(s"`$c`")): _*).as("__post"))
     // one evaluation of the batch ⋈ touched-pre join feeds the empty
     // probe, the append write, the DV write, and the CDF rows — the
@@ -3381,7 +3480,7 @@ object Snapshots {
     val changed = joined.filter(col("__file").isNotNull &&
       !(col("__pre") <=> col("__post")))
     def asRows(df: DataFrame, src: String): DataFrame =
-      df.select(col("__k").as(keyCol) +:
+      df.select(keyCols.map(c => col(s"__k.`$c`").as(c)) ++
         payload.map(c => col(s"$src.`$c`").as(c)): _*)
     val appended = asRows(inserts, "__post")
       .unionByName(asRows(changed, "__post").distinct())
@@ -3397,8 +3496,9 @@ object Snapshots {
     // reason on every ingest-only commit
     val dvStaged: Seq[String] = if (changed.isEmpty) Seq.empty else {
       val doomed = changed.select(
-        col("__file").as("__dv_file") +: col("__pos").as("__dv_pos") +:
-          col("__k").as(keyCol) +: payload.map(c => col(s"__pre.`$c`").as(c)): _*)
+        Seq(col("__file").as("__dv_file"), col("__pos").as("__dv_pos")) ++
+          keyCols.map(c => col(s"__k.`$c`").as(c)) ++
+          payload.map(c => col(s"__pre.`$c`").as(c)): _*)
       val dvStage = Files.createTempDirectory("graft_dv_merge").toString
       doomed.write.mode(SaveMode.Overwrite).parquet(dvStage)
       val dst = Paths.get(path)
@@ -3431,9 +3531,16 @@ object Snapshots {
     * exactly-once contract the merge-on-read streaming sink rides. */
   def mergeVersionedDVIdempotent(spark: SparkSession, path: String,
       updates: DataFrame, keyCol: String, txnAppId: String,
+      txnVersion: Long): Int =
+    mergeVersionedDVIdempotent(spark, path, updates, Seq(keyCol), txnAppId,
+      txnVersion)
+
+  /** Composite-key form of [[mergeVersionedDVIdempotent]] (r15). */
+  def mergeVersionedDVIdempotent(spark: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String], txnAppId: String,
       txnVersion: Long): Int = {
     requireTxnApp(txnAppId)
-    mergeVersionedDV(spark, path, updates, keyCol,
+    mergeVersionedDV(spark, path, updates, keyCols,
       Some((txnAppId, txnVersion)))
   }
 

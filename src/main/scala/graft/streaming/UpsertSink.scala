@@ -30,12 +30,13 @@ object UpsertSink {
     * deterministic winner — without the tiebreak the landed table
     * state would vary run to run.
     */
-  private def latestPerKey(batch: DataFrame, keyCol: String, orderCol: String): DataFrame = {
+  private def latestPerKey(batch: DataFrame, keyCols: Seq[String],
+      orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     batch
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(keyCol)
+        Window.partitionBy(keyCols.map(c => col(s"`$c`")): _*)
           .orderBy(col(orderCol).desc,
             xxhash64(batch.columns.toIndexedSeq.map(col): _*).asc)))
       .filter(col("__rn") === 1).drop("__rn")
@@ -85,8 +86,14 @@ object UpsertSink {
     */
   private[graft] def mergeVersionedBatch(path: String, keyCol: String,
       orderCol: String, scope: Option[String], mor: Boolean = false)(
+      batch: DataFrame, batchId: Long): Unit =
+    mergeVersionedBatch(path, Seq(keyCol), orderCol, scope, mor)(
+      batch, batchId)
+
+  private[graft] def mergeVersionedBatch(path: String, keyCols: Seq[String],
+      orderCol: String, scope: Option[String], mor: Boolean)(
       batch: DataFrame, batchId: Long): Unit = {
-    val latest = latestPerKey(batch, keyCol, orderCol)
+    val latest = latestPerKey(batch, keyCols, orderCol)
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
     if (!replayed && !latest.isEmpty) {
       // A51 (r9): with a checkpoint lineage the batch commits under a
@@ -103,10 +110,10 @@ object UpsertSink {
               batch.sparkSession, path, latest, app, batchId)
           else if (mor)
             graft.sources.Snapshots.mergeVersionedDVIdempotent(
-              batch.sparkSession, path, latest, keyCol, app, batchId)
+              batch.sparkSession, path, latest, keyCols, app, batchId)
           else
             graft.sources.Snapshots.mergeVersionedIdempotent(
-              batch.sparkSession, path, latest, keyCol, app, batchId)
+              batch.sparkSession, path, latest, keyCols, app, batchId)
           recordBatch(path, sc, batchId)
         case None =>
           if (graft.sources.Snapshots.currentVersion(path) < 0)
@@ -114,10 +121,10 @@ object UpsertSink {
               batch.sparkSession, path, latest)
           else if (mor)
             graft.sources.Snapshots.mergeVersionedDV(
-              batch.sparkSession, path, latest, keyCol)
+              batch.sparkSession, path, latest, keyCols, None)
           else
             graft.sources.Snapshots.mergeVersioned(
-              batch.sparkSession, path, latest, keyCol)
+              batch.sparkSession, path, latest, keyCols)
       }
     }
   }
@@ -130,12 +137,19 @@ object UpsertSink {
   private[graft] def mergePartitionedBatch(path: String, keyCol: String,
       partCol: String, orderCol: String, scope: Option[String],
       mor: Boolean = false)(
+      batch: DataFrame, batchId: Long): Seq[String] =
+    mergePartitionedBatch(path, Seq(keyCol), partCol, orderCol, scope, mor)(
+      batch, batchId)
+
+  private[graft] def mergePartitionedBatch(path: String,
+      keyCols: Seq[String], partCol: String, orderCol: String,
+      scope: Option[String], mor: Boolean)(
       batch: DataFrame, batchId: Long): Seq[String] = {
-    val latest = latestPerKey(batch, keyCol, orderCol)
+    val latest = latestPerKey(batch, keyCols, orderCol)
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
     if (!replayed && !latest.isEmpty) {
       val touched = graft.sources.PartitionedSnapshots.mergePartitioned(
-        batch.sparkSession, path, latest, keyCol, partCol, mor)
+        batch.sparkSession, path, latest, keyCols, partCol, mor)
       scope.foreach(sc => recordBatch(path, sc, batchId))
       touched.keys.toSeq
     } else Seq.empty
@@ -153,17 +167,17 @@ object UpsertSink {
     * A26 partitioned contract (immediate re-delivery of the last batch
     * is also verbatim-safe under mor). Returns the touched DIRECTORIES
     * so auto-compaction gates only what this batch wrote. */
-  private[graft] def mergeHiddenBatch(path: String, keyCol: String,
+  private[graft] def mergeHiddenBatch(path: String, keyCols: Seq[String],
       orderCol: String, scope: Option[String], mor: Boolean)(
       batch: DataFrame, batchId: Long): Seq[String] = {
-    val latest = latestPerKey(batch, keyCol, orderCol)
+    val latest = latestPerKey(batch, keyCols, orderCol)
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
     if (!replayed && !latest.isEmpty) {
       // the merge reports each touched label WITH its directory —
       // never re-parse labels here (a string transform VALUE can look
       // exactly like an `e<k>:<v>` label)
       val touched = graft.sources.HiddenPartitions.mergeTouchedDirs(
-        batch.sparkSession, path, latest, keyCol, mor)
+        batch.sparkSession, path, latest, keyCols, mor)
       scope.foreach(sc => recordBatch(path, sc, batchId))
       touched.values.map(_._1).toSeq.distinct
     } else Seq.empty
@@ -178,7 +192,7 @@ object UpsertSink {
     val w = changes.writeStream.outputMode("append")
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, _: Long) =>
-        val latest = latestPerKey(batch, keyCol, orderCol)
+        val latest = latestPerKey(batch, Seq(keyCol), orderCol)
         if (!latest.isEmpty) {
           Merge.mergeInto(batch.sparkSession, path, latest, keyCol)
           ()

@@ -123,7 +123,7 @@ class CommitStoreSpec extends GraftSuite {
       val threads = (0 until 4).map { i =>
         new Thread(() => {
           try Snapshots.mergeVersionedOCC(spark, dir,
-            Seq((1000L + i, s"W$i", 9L)).toDF("k", "payload", "gen"), "k",
+            Seq((1000L + i, s"W$i", 9L)).toDF("k", "payload", "gen"), Seq("k"),
             maxRetries = 20, beforeCommit = () => ())
           catch { case t: Throwable => errs.add(t) }
         })

@@ -776,7 +776,7 @@ class SnapshotsSpec extends GraftSuite {
     val a = Seq((5L, "A5", 1L), (500L, "A500", 1L)).toDF("k", "payload", "gen")
     val b = Seq((80L, "B80", 1L), (600L, "B600", 1L)).toDF("k", "payload", "gen")
     var bV = -1
-    val aV = Snapshots.mergeVersionedOCC(spark, dir, a, "k", maxRetries = 5,
+    val aV = Snapshots.mergeVersionedOCC(spark, dir, a, Seq("k"), maxRetries = 5,
       beforeCommit = () => { bV = Snapshots.mergeVersioned(spark, dir, b, "k") })
     assert(bV == 1 && aV == 2, s"bV=$bV aV=$aV")
 
@@ -798,7 +798,7 @@ class SnapshotsSpec extends GraftSuite {
     val c = Seq((5L, "C5", 2L)).toDF("k", "payload", "gen")
     val d = Seq((5L, "D5", 2L)).toDF("k", "payload", "gen")
     intercept[java.util.ConcurrentModificationException] {
-      Snapshots.mergeVersionedOCC(spark, dir, c, "k", maxRetries = 5,
+      Snapshots.mergeVersionedOCC(spark, dir, c, Seq("k"), maxRetries = 5,
         beforeCommit = () => { Snapshots.mergeVersioned(spark, dir, d, "k") })
     }
     assert(table()(5L) == "D5") // the winner's commit is intact
@@ -808,7 +808,7 @@ class SnapshotsSpec extends GraftSuite {
     val e = Seq((700L, "E700", 3L)).toDF("k", "payload", "gen")
     val f = Seq((700L, "F700", 3L)).toDF("k", "payload", "gen")
     intercept[java.util.ConcurrentModificationException] {
-      Snapshots.mergeVersionedOCC(spark, dir, e, "k", maxRetries = 5,
+      Snapshots.mergeVersionedOCC(spark, dir, e, Seq("k"), maxRetries = 5,
         beforeCommit = () => { Snapshots.mergeVersioned(spark, dir, f, "k") })
     }
     assert(table()(700L) == "F700")
@@ -853,7 +853,7 @@ class SnapshotsSpec extends GraftSuite {
           for (i <- 1 to 3) {
             val batch = (1 to 5).map(j => (t * 100L + j, s"T${t}M$i", i.toLong))
               .toDF("k", "payload", "gen")
-            retry(Snapshots.mergeVersionedOCC(spark, dir, batch, "k",
+            retry(Snapshots.mergeVersionedOCC(spark, dir, batch, Seq("k"),
               maxRetries = 50, beforeCommit = () => ()))
           }
         }
@@ -1385,7 +1385,7 @@ class SnapshotsSpec extends GraftSuite {
     // the pre-DV image of the file — refusal is the only sound outcome.
     val up = Seq((5L, "UP5", 1L)).toDF("k", "payload", "gen")
     intercept[java.util.ConcurrentModificationException] {
-      Snapshots.mergeVersionedOCC(spark, dir, up, "k", maxRetries = 5,
+      Snapshots.mergeVersionedOCC(spark, dir, up, Seq("k"), maxRetries = 5,
         beforeCommit = () =>
           Snapshots.deleteVersionedDV(spark, dir, col("k") === 7L))
     }

@@ -65,7 +65,7 @@ class TxnSpec extends GraftSuite {
     // writer A stages, then — before A's commit — writer B lands the
     // SAME (app, ver): A's CAS loses, and the retry must see B's mark
     // and no-op instead of rebasing the batch in twice
-    val vA = Snapshots.mergeVersionedOCC(spark, p, batch, "o_orderkey",
+    val vA = Snapshots.mergeVersionedOCC(spark, p, batch, Seq("o_orderkey"),
       maxRetries = 5,
       beforeCommit = () => {
         Snapshots.mergeVersionedIdempotent(spark, p, batch, "o_orderkey",
