@@ -808,10 +808,19 @@ object GraftDmlRules {
     * a partial update, which the keyed full-row merge cannot honor and
     * must refuse, not approximate. Pre-resolution (targetCols None)
     * only the literal star actions qualify. */
+  /** The analyzer wraps a star expansion's values in AssertNotNull
+    * when the target column is non-nullable — semantics-neutral for
+    * name matching (r15: the DDL-created tables surfaced this). */
+  private def unwrapAssign(e: Expression): Expression = e match {
+    case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull =>
+      unwrapAssign(a.child)
+    case other => other
+  }
+
   private def isStarAssignments(as: Seq[Assignment],
       targetCols: Option[Seq[String]], aliases: Set[String]): Boolean =
     as.nonEmpty && as.forall(a => nameOf(a.key, aliases).isDefined &&
-      nameOf(a.key, aliases) == nameOf(a.value, aliases)) &&
+      nameOf(a.key, aliases) == nameOf(unwrapAssign(a.value), aliases)) &&
       targetCols.exists(tc =>
         as.flatMap(a => nameOf(a.key, aliases)).toSet == tc.toSet)
 
@@ -1334,7 +1343,150 @@ object GraftDmlRules {
         (if (overwrite) Snapshots.overwriteVersioned(s, p, df)
          else Snapshots.appendVersioned(s, p, df)).toLong
       })
+    // r15 (the r14 verdict's item 4) — SQL DDL FOR LAYOUTS:
+    // `CREATE TABLE t (…) USING graft PARTITIONED BY (<transforms>)`
+    // maps Spark's parsed transform list onto graft's own layout
+    // metadata instead of failing ("transforms require a v2 catalog"):
+    // day/hour/month/year(col), mod(n, col), truncate(w, col) become
+    // the HIDDEN transform (_graft_part_spec, A49); a bare column
+    // (identity) becomes the hive layout (recorded as the catalog
+    // entry's partitionCol option, A26); bucket(n, col) becomes the
+    // A50 bucket spec — alone a flat bucketed table, under a
+    // transform/identity the COMPOSED layout. The table starts EMPTY;
+    // the first merge/stream bootstraps its directories.
+    case ct: CreateTable if isGraftLayoutDdl(ct) => planCreateLayout(ct)
     case other => other
+  }
+
+  private def isGraftLayoutDdl(ct: CreateTable): Boolean =
+    ct.partitioning.nonEmpty && (ct.tableSpec match {
+      case u: UnresolvedTableSpec =>
+        u.provider.exists(_.equalsIgnoreCase("graft"))
+      case _ => false
+    })
+
+  private def planCreateLayout(ct: CreateTable): LogicalPlan = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Literal => VLit}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val name = ct.name match {
+      case ui: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        ui.nameParts
+      case other => refuse(s"graft DDL: unsupported table identifier $other")
+    }
+    require(name.length <= 2,
+      s"graft DDL: at most db.table names (got ${name.mkString(".")})")
+    val spec = ct.tableSpec match {
+      case u: UnresolvedTableSpec => u
+      case other => refuse(s"graft DDL: unsupported table spec $other")
+    }
+    val optMap: Map[String, String] = spec.optionExpression.options.collect {
+      case (k, l: org.apache.spark.sql.catalyst.expressions.Literal) =>
+        k -> String.valueOf(l.value)
+    }.toMap
+    val path = Snapshots.canonical(optMap.get("path")
+      .orElse(spec.location).getOrElse(refuse(
+        "graft DDL with PARTITIONED BY needs LOCATION '<dir>' or " +
+          "OPTIONS (path '<dir>') — graft tables are path-addressed")))
+    val schema = StructType(ct.columns.map(c =>
+      StructField(c.name, c.dataType, c.nullable)))
+    def refOf(t: Transform): String = t.arguments.collectFirst {
+      case r: NamedReference => r.fieldNames.mkString(".") }.getOrElse(
+      refuse(s"graft DDL: transform ${t.name} needs a column argument"))
+    def litOf(t: Transform): Int = t.arguments.collectFirst {
+      case l: VLit[_] => l.value.toString.toInt }.getOrElse(
+      refuse(s"graft DDL: transform ${t.name} needs a numeric argument"))
+    var identityCol: Option[String] = None
+    var hidden: Option[graft.sources.GraftTransform] = None
+    var bucket: Option[(String, Int)] = None
+    def setHidden(g: graft.sources.GraftTransform): Unit = {
+      if (hidden.nonEmpty) refuse("graft DDL: at most ONE transform " +
+        "partition (evolve later with PARTITION-SPEC EVOLUTION)")
+      hidden = Some(g)
+    }
+    ct.partitioning.foreach { t =>
+      t.name.toLowerCase(java.util.Locale.ROOT) match {
+        case "identity" =>
+          if (identityCol.nonEmpty)
+            refuse("graft DDL: at most one identity partition column")
+          identityCol = Some(refOf(t))
+        case "day" | "days" =>
+          setHidden(graft.sources.DayTransform(refOf(t)))
+        case "hour" | "hours" =>
+          setHidden(graft.sources.HourTransform(refOf(t)))
+        case "month" | "months" =>
+          setHidden(graft.sources.MonthTransform(refOf(t)))
+        case "year" | "years" =>
+          setHidden(graft.sources.YearTransform(refOf(t)))
+        case "mod" => setHidden(graft.sources.ModTransform(refOf(t), litOf(t)))
+        case "truncate" =>
+          setHidden(graft.sources.TruncateTransform(refOf(t), litOf(t)))
+        case "bucket" =>
+          if (bucket.nonEmpty) refuse("graft DDL: at most one bucket spec")
+          bucket = Some((refOf(t), litOf(t)))
+        case other => refuse(s"graft DDL: unsupported partition " +
+          s"transform '$other' (identity column, day, hour, month, " +
+          "year, mod, truncate, bucket)")
+      }
+    }
+    if (identityCol.nonEmpty && hidden.nonEmpty)
+      refuse("graft DDL: identity (hive) and hidden-transform " +
+        "partitioning cannot compose — pick one; bucket(n, col) " +
+        "composes with either")
+    (identityCol.toSeq ++ hidden.map(_.col) ++ bucket.map(_._1)).foreach(c =>
+      if (!schema.fieldNames.contains(c))
+        refuse(s"graft DDL: partition column '$c' not in the table schema"))
+    val ignoreIfExists = ct.ignoreIfExists
+    LakeMaintenanceCommand("created", s => {
+      val cat = s.sessionState.catalog
+      val ident = TableIdentifier(name.last,
+        if (name.length == 2) Some(name.head) else None)
+      if (cat.tableExists(ident)) {
+        require(ignoreIfExists,
+          s"graft DDL: table ${name.mkString(".")} already exists")
+        0L
+      } else {
+        hidden match {
+          case Some(h) =>
+            graft.sources.HiddenPartitions.initEmpty(path, h, bucket,
+              Some(schema))
+          case None if identityCol.nonEmpty =>
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(path))
+            bucket.foreach { case (c, n) =>
+              require(identityCol.get != c, "graft DDL: the bucket " +
+                "column IS the partition column")
+              graft.sources.PartitionedSnapshots.recordBucketSpec(path, c, n)
+            }
+          case None =>
+            // flat bucketed table: a ZERO-FILE v0 commit carrying the
+            // schema + `#bucketspec` — the manifest line self-preserves
+            // (stageData routes every later write through the bucket
+            // hash), so the first merge lands tagged
+            val (c, n) = bucket.get
+            require(Snapshots.currentVersion(path) < 0,
+              s"graft DDL: $path is already a versioned table")
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(path))
+            Snapshots.commit(path, Seq.empty, Some(schema),
+              bucketOverride = Some((c, n)))
+            ()
+        }
+        val storageProps = Map("path" -> path) ++
+          identityCol.map("partitionCol" -> _)
+        cat.createTable(org.apache.spark.sql.catalyst.catalog.CatalogTable(
+          identifier = ident,
+          tableType =
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+          storage = org.apache.spark.sql.catalyst.catalog
+            .CatalogStorageFormat.empty.copy(
+              locationUri =
+                Some(java.nio.file.Paths.get(path).toAbsolutePath.toUri),
+              properties = storageProps),
+          schema = schema,
+          provider = Some("graft")), ignoreIfExists = false)
+        1L
+      }
+    })
   }
 }
 

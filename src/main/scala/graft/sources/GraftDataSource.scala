@@ -340,10 +340,19 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     if (needsCompat)
       return new GraftHiddenCompatRelation(spark, path,
         HiddenPartitions.epochGroups(path))
-    val (_, d0) = dirs.head
-    val dataSchema = Snapshots.tableSchema(d0, Snapshots.currentVersion(d0))
-      .getOrElse(spark.read.parquet(
-        Snapshots.liveFiles(d0, Snapshots.currentVersion(d0)): _*).schema)
+    // r15: a DDL-created table may be read (e.g. as a MERGE target)
+    // BEFORE any directory exists — serve its declared schema empty
+    val dataSchema =
+      if (dirs.isEmpty)
+        HiddenPartitions.emptySchemaOf(path).getOrElse(throw
+          new IllegalArgumentException(s"graft: hidden table $path has " +
+            "no partitions yet and no declared schema — write first"))
+      else {
+        val (_, d0) = dirs.head
+        Snapshots.tableSchema(d0, Snapshots.currentVersion(d0))
+          .getOrElse(spark.read.parquet(
+            Snapshots.liveFiles(d0, Snapshots.currentVersion(d0)): _*).schema)
+      }
     HadoopFsRelation(
       location = new GraftHiddenPartitionedIndex(spark, path, groups),
       partitionSchema = new StructType(),

@@ -510,6 +510,43 @@ object HiddenPartitions {
     }
   }
 
+  /** r15 (the r14 verdict's item 4) — lay down the hidden layout
+    * WITHOUT data: the `CREATE TABLE … PARTITIONED BY (day(ts), …)`
+    * SQL DDL path. Records the transform spec (and the composed A50
+    * bucket spec) at the root; the table starts EMPTY and the first
+    * merge/stream bootstraps its directories — exactly the path a
+    * mid-stream new partition value already takes. */
+  def initEmpty(path: String, transform: GraftTransform,
+      bucketBy: Option[(String, Int)] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    require(PartitionedSnapshots.partitions(path).isEmpty &&
+      specOf(path).isEmpty, s"$path already initialized")
+    bucketBy.foreach { case (c, _) => require(c != transform.col,
+      s"graft: bucket column '$c' IS the transform column") }
+    Files.createDirectories(Paths.get(path))
+    bucketBy.foreach { case (c, n) =>
+      Files.write(bucketPath(path), s"$c\t$n".getBytes("UTF-8")) }
+    // the declared schema lets a read (incl. a MERGE target resolution)
+    // answer BEFORE any directory exists; inert once dirs bootstrap
+    schema.foreach(sc =>
+      Files.write(emptySchemaPath(path), sc.json.getBytes("UTF-8")))
+    Files.write(specPath(path), transform.encode.getBytes("UTF-8"))
+    ()
+  }
+
+  private def emptySchemaPath(path: String) =
+    Paths.get(path, "_graft_empty_schema")
+
+  /** The DDL-declared schema of a not-yet-written hidden table. */
+  private[graft] def emptySchemaOf(
+      path: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = emptySchemaPath(path)
+    if (!Files.exists(p)) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
   /** Keyed merge routed by the transform, EPOCH-AWARE (A53): a key
     * already living in an OLD epoch's partition is updated IN PLACE
     * there (probed newest-old-epoch first: per-epoch candidate

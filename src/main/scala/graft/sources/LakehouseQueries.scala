@@ -2338,6 +2338,103 @@ object LakehouseQueries {
       |UNION ALL
       |SELECT -1, 6005, 'pin', CAST(0 AS BIGINT)""".stripMargin
 
+  /** r15 (the r14 verdict's item 4) — SQL DDL FOR LAYOUTS end-to-end:
+    * the flagship composed layout (hidden mod-transform + 8-way
+    * o_custkey buckets) and its co-bucketed dim stood up from PURE SQL
+    * — `CREATE TABLE … USING graft PARTITIONED BY (mod(4, o_orderkey),
+    * bucket(8, o_custkey))` maps the parsed transform list onto
+    * `_graft_part_spec` + the A50 bucket spec, the initial load AND an
+    * update wave land through ANSI `MERGE INTO <name>`, and the final
+    * read goes through the catalog name. Pins: per-residue aggregates
+    * (transform routing), a co-bucketed fact⋈dim join planned with
+    * ZERO Exchange (`exchange_free` hashed TRUE — the DDL-declared
+    * bucket spec reached the scan), and integer-cents totals vs the
+    * DuckDB reconstruction.
+    */
+  def qLakeDdlLayout(s: SparkSession, d: String): DataFrame = {
+    val se = graft.plans.GraftSessions.withExtensions(s)
+    val dir = tempDir("graft_ddl_q") + "/t"
+    val dirC = tempDir("graft_ddl_qc") + "/t"
+    val orders = s"$d/orders.parquet"
+    val customer = s"$d/customer.parquet"
+    se.sql("DROP TABLE IF EXISTS g_ddl_orders")
+    se.sql("DROP TABLE IF EXISTS g_ddl_cust")
+    try {
+      se.sql(s"""CREATE TABLE g_ddl_orders (o_orderkey BIGINT,
+                |  o_custkey BIGINT, o_totalprice DOUBLE)
+                |USING graft
+                |PARTITIONED BY (mod(4, o_orderkey), bucket(8, o_custkey))
+                |LOCATION '$dir'""".stripMargin)
+      se.sql(s"""CREATE TABLE g_ddl_cust (c_custkey BIGINT,
+                |  c_mktsegment STRING)
+                |USING graft
+                |PARTITIONED BY (bucket(8, c_custkey))
+                |LOCATION '$dirC'""".stripMargin)
+      // initial load + an update wave, both through ANSI MERGE by name
+      se.sql(s"""MERGE INTO g_ddl_orders t
+                |USING (SELECT o_orderkey, o_custkey, o_totalprice
+                |       FROM parquet.`$orders`) s
+                |ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      se.sql(s"""MERGE INTO g_ddl_cust t
+                |USING (SELECT c_custkey, c_mktsegment
+                |       FROM parquet.`$customer`) s
+                |ON t.c_custkey = s.c_custkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      se.catalog.refreshTable("g_ddl_orders")
+      se.catalog.refreshTable("g_ddl_cust")
+      se.sql(s"""MERGE INTO g_ddl_orders t
+                |USING (SELECT o_orderkey, o_custkey,
+                |         o_totalprice * 2 AS o_totalprice
+                |       FROM parquet.`$orders` WHERE o_orderkey % 16 = 0) s
+                |ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      se.catalog.refreshTable("g_ddl_orders")
+      val fact = se.table("g_ddl_orders")
+      val joined = fact.join(se.table("g_ddl_cust").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      val exchangeFree =
+        !joined.queryExecution.executedPlan.toString.contains("Exchange")
+      def cents = (sum(col("o_totalprice").cast("decimal(20,2)"))
+        .cast("decimal(20,2)") * lit(100)).cast("long").as("total_cents")
+      val byRes = fact
+        .groupBy(pmod(col("o_orderkey"), lit(4L)).cast("long").as("r"))
+        .agg(count(lit(1)).as("n"), cents)
+        .select(concat(lit("residue_"), col("r")).as("slice"),
+          col("n"), col("total_cents"))
+      val bySeg = joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), cents)
+        .select(concat(lit("seg_"), col("c_mktsegment")).as("slice"),
+          col("n"), col("total_cents"))
+      byRes.unionByName(bySeg)
+        .withColumn("exchange_free", lit(exchangeFree))
+        .localCheckpoint()
+    } finally {
+      se.sql("DROP TABLE IF EXISTS g_ddl_orders")
+      se.sql("DROP TABLE IF EXISTS g_ddl_cust")
+      ()
+    }
+  }
+
+  val qLakeDdlLayoutSql: String =
+    """WITH fin AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 16 = 0 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS p
+      |  FROM orders)
+      |SELECT 'residue_' || (o_orderkey % 4) AS slice, count(*) AS n,
+      |  CAST(sum(CAST(p AS DECIMAL(20,2))) * 100 AS BIGINT) AS total_cents,
+      |  TRUE AS exchange_free
+      |FROM fin GROUP BY o_orderkey % 4
+      |UNION ALL
+      |SELECT 'seg_' || c.c_mktsegment, count(*),
+      |  CAST(sum(CAST(p AS DECIMAL(20,2))) * 100 AS BIGINT), TRUE
+      |FROM fin JOIN customer c ON fin.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment""".stripMargin
+
   /** A84 × A86 × C29 (r15, the r14 verdict's item 2) — the STEADY-STATE
     * composition gate: the 100 TB operating loop the
     * BucketedComposedSpec capstone spec'd, promoted to a DATA-SCALE
@@ -3396,6 +3493,7 @@ object LakehouseQueries {
     "q_lake_bucketed_part" -> (qLakeBucketedPart(_, _)),
     "q_lake_steady" -> (qLakeSteady(_, _)),
     "q_lake_composite_key" -> (qLakeCompositeKey(_, _)),
+    "q_lake_ddl_layout" -> (qLakeDdlLayout(_, _)),
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
     "q_lake_optimize_where" -> (qLakeOptimizeWhere(_, _)),
     "q_lake_timetravel" -> (qLakeTimetravel(_, _)),
@@ -3454,6 +3552,7 @@ object LakehouseQueries {
     "q_lake_bucketed_part" -> qLakeBucketedPartSql,
     "q_lake_steady" -> qLakeSteadySql,
     "q_lake_composite_key" -> qLakeCompositeKeySql,
+    "q_lake_ddl_layout" -> qLakeDdlLayoutSql,
     "q_lake_deltalog" -> qLakeDeltaLogSql,
     "q_lake_optimize_where" -> qLakeOptimizeWhereSql,
     "q_lake_timetravel" -> qLakeTimetravelSql,

@@ -107,6 +107,13 @@ object PartitionedSnapshots {
         // staging, which tags every file with its `_NNNNN` bucket id
         Files.createDirectories(Paths.get(path))
         val routed = df.withColumn(partCol, col(partCol).cast("string"))
+        // r15 (advice): the per-value equality slices below silently
+        // DROP null-partition rows (and a null NPEs the sort) — refuse
+        // loudly, exactly like HiddenPartitions.requireNoNulls; the
+        // non-bucketed branch keeps Spark's __HIVE_DEFAULT_PARTITION__
+        require(routed.filter(col(partCol).isNull).isEmpty,
+          s"graft: NULL '$partCol' values cannot route to a bucketed " +
+            "partition dir — filter them out or use a default value")
         val vals = routed.select(col(partCol)).distinct()
           .collect().map(_.getString(0)).sorted.toIndexedSeq
         vals.foreach { v =>
@@ -116,6 +123,19 @@ object PartitionedSnapshots {
         Files.write(bucketPath(path), s"$c\t$n".getBytes("UTF-8"))
         vals
     }
+  }
+
+  /** r15 (the r14 verdict's item 4) — record the composed bucket spec
+    * WITHOUT data: the `CREATE TABLE … PARTITIONED BY (col,
+    * bucket(n, k))` SQL DDL path. Every partition value's FIRST
+    * contact (mergePartitioned / the streaming sink) then bootstraps
+    * bucketed, keeping the exchange-free whole-table claim. */
+  def recordBucketSpec(path: String, c: String, n: Int): Unit = {
+    require(partitions(path).isEmpty && bucketOf(path).isEmpty,
+      s"$path already initialized")
+    Files.createDirectories(Paths.get(path))
+    Files.write(bucketPath(path), s"$c\t$n".getBytes("UTF-8"))
+    ()
   }
 
   /** Read one partition at its CURRENT version (or `version`), the
