@@ -1294,9 +1294,25 @@ object GraftFileIndex {
       } catch { case _: IllegalArgumentException => false })
     }
 
+  /** The dotted stats path of a column reference — a bare attribute,
+    * or a chain of struct-field extractions over one (r15, the r14
+    * verdict's item 5: nested per-file stats are keyed `meta.width`).
+    * Non-reference shapes answer None and the filter keeps the file. */
+  private[sources] object StatPath {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        unapply(g.child).map(p => s"$p.${g.extractFieldName}")
+      case _ => None
+    }
+  }
+
   /** Can a row of a file with `stats` (+ A42 null counts and row
     * count) satisfy `filter`? True = keep (including "don't know");
-    * false = PROVEN impossible, prune. */
+    * false = PROVEN impossible, prune. Column references may be bare
+    * attributes OR struct-leaf extractions (dotted stats paths) —
+    * a leaf's recorded null count includes null PARENTS, exactly what
+    * the extraction evaluates to. */
   private[sources] def survives(stats: Map[String, (String, String, String)],
       nulls: Map[String, Long], rows: Option[Long],
       filter: Expression): Boolean = filter match {
@@ -1306,40 +1322,40 @@ object GraftFileIndex {
       survives(stats, nulls, rows, r)
     // A42: a zero-null file cannot satisfy IS NULL; an all-null file
     // cannot satisfy IS NOT NULL
-    case IsNull(a: Attribute)    => !nulls.get(a.name).contains(0L)
-    case IsNotNull(a: Attribute) =>
-      !(rows.nonEmpty && nulls.get(a.name) == rows)
-    case EqualTo(a: Attribute, Literal(v, _))       => contains(stats, a.name, v)
-    case EqualTo(Literal(v, _), a: Attribute)       => contains(stats, a.name, v)
-    case EqualNullSafe(a: Attribute, Literal(v, _)) =>
-      v == null || contains(stats, a.name, v)
-    case EqualNullSafe(Literal(v, _), a: Attribute) =>
-      v == null || contains(stats, a.name, v)
-    case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, _) => contains(stats, a.name, v) }
-    case GreaterThan(a: Attribute, Literal(v, _)) => // a > v: need max > v
-      cmp(stats, a.name, v)((_, sMx) => sMx > 0)
-    case GreaterThan(Literal(v, _), a: Attribute) => // v > a: need min < v
-      cmp(stats, a.name, v)((sMn, _) => sMn < 0)
-    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
-      cmp(stats, a.name, v)((_, sMx) => sMx >= 0)
-    case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
-      cmp(stats, a.name, v)((sMn, _) => sMn <= 0)
-    case LessThan(a: Attribute, Literal(v, _)) =>
-      cmp(stats, a.name, v)((sMn, _) => sMn < 0)
-    case LessThan(Literal(v, _), a: Attribute) =>
-      cmp(stats, a.name, v)((_, sMx) => sMx > 0)
-    case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
-      cmp(stats, a.name, v)((sMn, _) => sMn <= 0)
-    case LessThanOrEqual(Literal(v, _), a: Attribute) =>
-      cmp(stats, a.name, v)((_, sMx) => sMx >= 0)
+    case IsNull(StatPath(c))    => !nulls.get(c).contains(0L)
+    case IsNotNull(StatPath(c)) =>
+      !(rows.nonEmpty && nulls.get(c) == rows)
+    case EqualTo(StatPath(c), Literal(v, _))       => contains(stats, c, v)
+    case EqualTo(Literal(v, _), StatPath(c))       => contains(stats, c, v)
+    case EqualNullSafe(StatPath(c), Literal(v, _)) =>
+      v == null || contains(stats, c, v)
+    case EqualNullSafe(Literal(v, _), StatPath(c)) =>
+      v == null || contains(stats, c, v)
+    case In(StatPath(c), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => contains(stats, c, v) }
+    case GreaterThan(StatPath(c), Literal(v, _)) => // a > v: need max > v
+      cmp(stats, c, v)((_, sMx) => sMx > 0)
+    case GreaterThan(Literal(v, _), StatPath(c)) => // v > a: need min < v
+      cmp(stats, c, v)((sMn, _) => sMn < 0)
+    case GreaterThanOrEqual(StatPath(c), Literal(v, _)) =>
+      cmp(stats, c, v)((_, sMx) => sMx >= 0)
+    case GreaterThanOrEqual(Literal(v, _), StatPath(c)) =>
+      cmp(stats, c, v)((sMn, _) => sMn <= 0)
+    case LessThan(StatPath(c), Literal(v, _)) =>
+      cmp(stats, c, v)((sMn, _) => sMn < 0)
+    case LessThan(Literal(v, _), StatPath(c)) =>
+      cmp(stats, c, v)((_, sMx) => sMx > 0)
+    case LessThanOrEqual(StatPath(c), Literal(v, _)) =>
+      cmp(stats, c, v)((sMn, _) => sMn <= 0)
+    case LessThanOrEqual(Literal(v, _), StatPath(c)) =>
+      cmp(stats, c, v)((_, sMx) => sMx >= 0)
     // r12: prefix predicates (`LIKE 'abc%'`, which Catalyst compiles
     // to StartsWith) prune from the 'S' stats as the byte range
     // [p, increment(p)): out iff recorded max < p (no string reaches
     // the prefix) or recorded min ≥ the exclusive upper bound (every
     // string already passed it) — both sound under the widened bounds
-    case StartsWith(a: Attribute, Literal(v, _)) =>
-      startsWithSurvives(stats, a.name, v)
+    case StartsWith(StatPath(c), Literal(v, _)) =>
+      startsWithSurvives(stats, c, v)
     case _ => true
   }
 

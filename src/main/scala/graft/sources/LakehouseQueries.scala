@@ -2338,6 +2338,65 @@ object LakehouseQueries {
       |UNION ALL
       |SELECT -1, 6005, 'pin', CAST(0 AS BIGINT)""".stripMargin
 
+  /** r15 (the r14 verdict's item 5) — NESTED-COLUMN PER-FILE STATS:
+    * the G1 multimodal shape (typed metadata STRUCT beside an opaque
+    * payload) with the lake's data-skipping reaching INTO the struct.
+    * Documents land as (doc_id, meta: {width, kind}, source) clustered
+    * by `meta.width` into range files; the manifest records per-file
+    * [min,max] + null counts for every struct LEAF under its dotted
+    * path, and `GraftFileIndex.survives` prunes on a pushed
+    * `meta.width >= t` exactly as on a top-level column. The pruning
+    * is pinned the hard way: a live file whose recorded `meta.width`
+    * range lies wholly BELOW the threshold is DELETED FROM DISK before
+    * the filtered read — an engine that fails to prune on the nested
+    * range crashes the gate instead of silently passing. The surviving
+    * rows' per-kind aggregates hash against DuckDB's reconstruction
+    * (threshold derived with the same integer arithmetic both sides).
+    */
+  def qLakeNestedStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = tempDir("graft_nested_q") + "/t"
+    val base = docs.select(col("doc_id"),
+      struct(col("n_chars").as("width"), col("lang").as("kind")).as("meta"),
+      col("source"))
+    staged {
+      base.repartitionByRange(8, col("meta.width"))
+        .sortWithinPartitions(col("meta.width"))
+        .write.mode("overwrite").parquet(dir)
+      Snapshots.init(s, dir)
+      ()
+    }
+    val r0 = base.agg(min(col("meta.width")), max(col("meta.width"))).head()
+    val (mn, mx) = (r0.getLong(0), r0.getLong(1))
+    val thr = mn + (mx - mn) * 9 / 10
+    // pruning proof: a low-range file vanishes from disk — only a scan
+    // that prunes on the NESTED manifest range can still answer
+    val v = Snapshots.currentVersion(dir)
+    val stats = Snapshots.fileStats(dir, v)
+    val lo = Snapshots.liveFiles(dir, v).map(Snapshots.canonical)
+      .find(f => stats.get(f).flatMap(_.get("meta.width")).exists {
+        case (t, _, hi) => t == "L" && hi.toLong < thr })
+      .getOrElse(throw new IllegalStateException(
+        "no low nested-range file — struct-leaf stats missing"))
+    Files.delete(Paths.get(lo))
+    s.read.format("graft").load(dir)
+      .filter(col("meta.width") >= thr)
+      .groupBy(col("meta.kind").as("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("meta.width")).as("w"),
+        sum(col("doc_id")).as("ids"))
+  }
+
+  val qLakeNestedStatsSql: String =
+    """WITH t AS (
+      |  SELECT MIN(n_chars) + (MAX(n_chars) - MIN(n_chars)) * 9 // 10
+      |    AS thr
+      |  FROM documents)
+      |SELECT lang AS kind, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS w,
+      |  CAST(sum(doc_id) AS BIGINT) AS ids
+      |FROM documents, t WHERE n_chars >= t.thr
+      |GROUP BY lang""".stripMargin
+
   /** r15 (the r14 verdict's item 4) — SQL DDL FOR LAYOUTS end-to-end:
     * the flagship composed layout (hidden mod-transform + 8-way
     * o_custkey buckets) and its co-bucketed dim stood up from PURE SQL
@@ -3494,6 +3553,7 @@ object LakehouseQueries {
     "q_lake_steady" -> (qLakeSteady(_, _)),
     "q_lake_composite_key" -> (qLakeCompositeKey(_, _)),
     "q_lake_ddl_layout" -> (qLakeDdlLayout(_, _)),
+    "q_lake_nested_stats" -> (qLakeNestedStats(_, _)),
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
     "q_lake_optimize_where" -> (qLakeOptimizeWhere(_, _)),
     "q_lake_timetravel" -> (qLakeTimetravel(_, _)),
@@ -3553,6 +3613,7 @@ object LakehouseQueries {
     "q_lake_steady" -> qLakeSteadySql,
     "q_lake_composite_key" -> qLakeCompositeKeySql,
     "q_lake_ddl_layout" -> qLakeDdlLayoutSql,
+    "q_lake_nested_stats" -> qLakeNestedStatsSql,
     "q_lake_deltalog" -> qLakeDeltaLogSql,
     "q_lake_optimize_where" -> qLakeOptimizeWhereSql,
     "q_lake_timetravel" -> qLakeTimetravelSql,
