@@ -2338,6 +2338,151 @@ object LakehouseQueries {
       |UNION ALL
       |SELECT -1, 6005, 'pin', CAST(0 AS BIGINT)""".stripMargin
 
+  /** A34 (r15, the r14 verdict's item 6) — CHECK CONSTRAINTS promoted
+    * from spec-only to an oracled gate: a constraint lands as a
+    * manifest property, a VALID merge commits, a VIOLATING merge and a
+    * violating UPDATE both refuse BEFORE staging a byte (the `pin` row
+    * carries the refusal count AND the final version — a silently
+    * committed violation or an orphan version breaks the hash), and
+    * the surviving rows hash against DuckDB's reconstruction.
+    */
+  def qLakeCheck(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir) // v0
+    Snapshots.addConstraint(s, dir, "pos_price", "o_totalprice > 0") // v1
+    Snapshots.mergeVersioned(s, dir,
+      b.filter(col("o_orderkey") % 11 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0),
+      "o_orderkey") // v2: valid
+    def refusal(body: => Unit): Long =
+      try { body; 0L } catch { case _: Exception => 1L }
+    val r1 = refusal(Snapshots.mergeVersioned(s, dir,
+      b.filter(col("o_orderkey") % 13 === 2)
+        .withColumn("o_totalprice", lit(-1.0)), "o_orderkey"))
+    val r2 = refusal(Snapshots.updateVersioned(s, dir,
+      col("o_orderkey") % 7 === 0, Seq("o_totalprice" -> lit(-5.0))))
+    val vFinal = Snapshots.currentVersion(dir).toLong
+    s.read.format("graft").load(dir)
+      .groupBy(col("o_orderstatus").as("slice"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("o_totalprice").cast("decimal(20,2)"))
+          .cast("decimal(20,2)") * lit(100)).cast("long").as("total_cents"))
+      .unionByName(s.range(1).select(lit("pin").as("slice"),
+        lit(r1 + r2).as("n"), lit(vFinal).as("total_cents")))
+  }
+
+  val qLakeCheckSql: String =
+    """WITH fin AS (
+      |  SELECT o_orderstatus,
+      |    CASE WHEN o_orderkey % 11 = 3 THEN o_totalprice + 100.0
+      |         ELSE o_totalprice END AS p
+      |  FROM orders)
+      |SELECT o_orderstatus AS slice, count(*) AS n,
+      |  CAST(sum(CAST(p AS DECIMAL(20,2))) * 100 AS BIGINT) AS total_cents
+      |FROM fin GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'pin', CAST(2 AS BIGINT), CAST(2 AS BIGINT)""".stripMargin
+
+  /** A45′ (r15, the r14 verdict's item 6) — CDF STREAM START CONTROLS
+    * promoted to an oracled gate: over the shared 3-version history
+    * (v0 snapshot, v1 delete wave, v2 update+insert merge), a CDF
+    * stream with `startingVersion = 1` must deliver EXACTLY v2's
+    * change rows — no snapshot, no v1 deletes (a replayed snapshot or
+    * a leaked earlier version breaks the hash) — while
+    * `maxVersionsPerTrigger = 1` bounds every micro-batch to one
+    * commit (the `one_version_per_batch` column, computed per batch in
+    * the sink, hashes against the oracle's literal TRUE).
+    */
+  def qLakeCdfOpts(s: SparkSession, d: String): DataFrame = {
+    val dir = stageHistory(s, d, cdf = true)
+    val ckpt = tempDir("graft_cdfopt_ckpt")
+    val spool = tempDir("graft_cdfopt_spool")
+    val q = s.readStream.format("graft")
+      .option("keyCol", "o_orderkey")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.withColumn("__nv",
+            lit(b.select("_commit_version").distinct().count()))
+          .write.mode("append").parquet(spool); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(spool)
+      .withColumn("one_version_per_batch", col("__nv") === 1)
+      .drop("__nv")
+  }
+
+  val qLakeCdfOptsSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey > 0)
+      |SELECT o_orderkey, 'update_preimage' AS _change_type,
+      |  o_orderstatus, o_totalprice, 2 AS _commit_version,
+      |  TRUE AS one_version_per_batch
+      |FROM base WHERE o_orderkey % 15 = 0 AND o_orderkey % 9 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, 'update_postimage', o_orderstatus,
+      |  o_totalprice + 5000.0, 2, TRUE
+      |FROM base WHERE o_orderkey % 15 = 0 AND o_orderkey % 9 <> 0
+      |UNION ALL
+      |SELECT -o_orderkey, 'insert', o_orderstatus, o_totalprice, 2, TRUE
+      |FROM base WHERE o_orderkey % 21 = 0""".stripMargin
+
+  /** A31 (r15, the r14 verdict's item 6) — STORED CHANGE DATA promoted
+    * to an oracled gate, pinned the hard way: a CDF table takes an
+    * update+insert merge (v1) and a keyed delete (v2), then EVERY data
+    * file of EVERY version is DELETED FROM DISK — the two single-step
+    * feed windows can only answer from the commits' stored change
+    * rows (a fallback to the manifest diff, which re-reads pre/post
+    * files, crashes the gate). Output = both windows' Delta-CDF rows.
+    */
+  def qLakeStoredCdf(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d).filter(col("o_orderkey") % 4 === 1)
+    val dir = stage(b, 4)
+    Snapshots.init(s, dir, changeDataFeed = true) // v0
+    val upd = b.filter(col("o_orderkey") % 5 === 2)
+      .withColumn("o_totalprice", col("o_totalprice") + 777.0)
+    val ins = b.filter(col("o_orderkey") % 25 === 3)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    Snapshots.mergeVersioned(s, dir, upd.unionByName(ins), "o_orderkey") // v1
+    Snapshots.deleteVersionedKeys(s, dir,
+      b.filter(col("o_orderkey") % 10 === 9).select("o_orderkey"),
+      "o_orderkey") // v2
+    // the proof: no data file remains on disk — only stored change
+    // rows (the vN_cdf_* sidecars) can serve the feed
+    (0 to 2).flatMap(v => Snapshots.liveFiles(dir, v))
+      .map(Snapshots.canonical).distinct
+      .foreach(f => Files.deleteIfExists(Paths.get(f)))
+    Snapshots.changesCdf(s, dir, 0, 1, "o_orderkey")
+      .withColumn("win", lit("v1"))
+      .unionByName(Snapshots.changesCdf(s, dir, 1, 2, "o_orderkey")
+        .withColumn("win", lit("v2")))
+  }
+
+  val qLakeStoredCdfSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 = 1)
+      |SELECT o_orderkey, 'update_preimage' AS _change_type,
+      |  o_orderstatus, o_totalprice, 'v1' AS win
+      |FROM base WHERE o_orderkey % 5 = 2
+      |UNION ALL
+      |SELECT o_orderkey, 'update_postimage', o_orderstatus,
+      |  o_totalprice + 777.0, 'v1'
+      |FROM base WHERE o_orderkey % 5 = 2
+      |UNION ALL
+      |SELECT -o_orderkey, 'insert', o_orderstatus, o_totalprice, 'v1'
+      |FROM base WHERE o_orderkey % 25 = 3
+      |UNION ALL
+      |SELECT o_orderkey, 'delete', o_orderstatus,
+      |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice + 777.0
+      |       ELSE o_totalprice END, 'v2'
+      |FROM base WHERE o_orderkey % 10 = 9""".stripMargin
+
   /** r15 (the r14 verdict's item 5) — NESTED-COLUMN PER-FILE STATS:
     * the G1 multimodal shape (typed metadata STRUCT beside an opaque
     * payload) with the lake's data-skipping reaching INTO the struct.
@@ -3554,6 +3699,9 @@ object LakehouseQueries {
     "q_lake_composite_key" -> (qLakeCompositeKey(_, _)),
     "q_lake_ddl_layout" -> (qLakeDdlLayout(_, _)),
     "q_lake_nested_stats" -> (qLakeNestedStats(_, _)),
+    "q_lake_check" -> (qLakeCheck(_, _)),
+    "q_lake_cdf_opts" -> (qLakeCdfOpts(_, _)),
+    "q_lake_stored_cdf" -> (qLakeStoredCdf(_, _)),
     "q_lake_deltalog" -> (qLakeDeltaLog(_, _)),
     "q_lake_optimize_where" -> (qLakeOptimizeWhere(_, _)),
     "q_lake_timetravel" -> (qLakeTimetravel(_, _)),
@@ -3614,6 +3762,9 @@ object LakehouseQueries {
     "q_lake_composite_key" -> qLakeCompositeKeySql,
     "q_lake_ddl_layout" -> qLakeDdlLayoutSql,
     "q_lake_nested_stats" -> qLakeNestedStatsSql,
+    "q_lake_check" -> qLakeCheckSql,
+    "q_lake_cdf_opts" -> qLakeCdfOptsSql,
+    "q_lake_stored_cdf" -> qLakeStoredCdfSql,
     "q_lake_deltalog" -> qLakeDeltaLogSql,
     "q_lake_optimize_where" -> qLakeOptimizeWhereSql,
     "q_lake_timetravel" -> qLakeTimetravelSql,
