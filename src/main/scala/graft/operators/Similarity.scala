@@ -1027,9 +1027,13 @@ object Similarity {
     require(to >= 0, s"$corpusDir is not a versioned table")
     val marker = Paths.get(indexDir, "_graft_log", "corpus_version")
     val centDir = indexDir + "_centroids"
+    // marker = "corpusV\tindexHeadV" (r15 advice fix: the pair lets a
+    // PROBE pin postings to the exact index version the marker names);
+    // legacy single-field markers parse as corpusV alone
     val from =
       if (Files.exists(marker))
-        new String(Files.readAllBytes(marker), "UTF-8").trim.toInt
+        new String(Files.readAllBytes(marker), "UTF-8").trim
+          .split("\t")(0).toInt
       else -1
     def assign(df: DataFrame): DataFrame = {
       val centroids = s.read.parquet(centDir)
@@ -1067,7 +1071,8 @@ object Similarity {
     }
     if (from != to) {
       val tmp = Files.createTempFile(Paths.get(indexDir, "_graft_log"), "cv", ".tmp")
-      Files.write(tmp, to.toString.getBytes("UTF-8"))
+      Files.write(tmp,
+        s"$to\t${Snapshots.currentVersion(indexDir)}".getBytes("UTF-8"))
       Files.move(tmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
@@ -1121,18 +1126,34 @@ object Similarity {
     * served FROM THE STORED INDEX — posting lists read as committed
     * (never recomputed), queries assigned to their `nprobe` nearest
     * cells against the PINNED codebook. Semantics identical to
-    * [[ivfKnn]] (same rounding, same tie-breaks), so the serving path
-    * and the library path agree bit-for-bit. */
+    * [[ivfKnn]] AT ITS DEFAULTS (same rounding, same tie-breaks; the
+    * library path's optional `maxSim` band cap has no serving-side
+    * mirror), so the serving path and the library path agree
+    * bit-for-bit on the default configuration.
+    *
+    * r15 (advice fix): the marker is ONE atomic file carrying the
+    * (corpus version, index version) PAIR a refresh committed
+    * together, and the probe pins BOTH reads to it — a concurrent
+    * REFRESH can no longer pair new posting lists with the previous
+    * corpus snapshot. A legacy single-field marker falls back to the
+    * index head (the pre-r15 behavior). */
   def probeVectorIndex(s: SparkSession, indexDir: String,
       keys: Seq[Long], k: Int, nprobe: Int = 4): DataFrame = {
     val (corpusDir, _, _) = vectorMeta(indexDir)
-    val served = {
+    val (served, idxV) = {
       val m = java.nio.file.Paths.get(indexDir, "_graft_log", "corpus_version")
-      new String(java.nio.file.Files.readAllBytes(m), "UTF-8").trim.toInt
+      new String(java.nio.file.Files.readAllBytes(m), "UTF-8").trim
+        .split("\t") match {
+        case Array(c, i) => (c.toInt, i.toInt)
+        case Array(c) => (c.toInt, -1)
+        case other => throw new IllegalStateException(
+          s"torn corpus_version marker at $indexDir: ${other.mkString("|")}")
+      }
     }
     val corpus = graft.sources.Snapshots.read(s, corpusDir, served)
       .select("vec_id", "embedding")
-    val postings = graft.sources.Snapshots.read(s, indexDir) // vec_id, cid
+    val postings = // vec_id, cid — pinned to the marker's index version
+      graft.sources.Snapshots.read(s, indexDir, idxV)
     val centroids = s.read.parquet(indexDir + "_centroids")
     val queries = corpus.filter(col("vec_id").isin(keys: _*))
     val wq = Window.partitionBy("vec_id")

@@ -95,10 +95,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (!looksGraft(sqlText))
       ResolveGraftPath.rewrite(GraftDmlRules.rewrite(delegate.parsePlan(sqlText)))
     else resolveNameForm(sqlText) match {
-      case OptimizeWhere(p, c, lo, hi) => LakeMaintenanceCommand("version",
-        s => Snapshots.compactWhere(s, p, c, lo.toLong, hi.toLong).toLong)
-      case ZorderInc(p) => LakeMaintenanceCommand("version",
-        s =>
+      case OptimizeWhere(p0, c, lo, hi) => LakeMaintenanceCommand("version",
+        s => Snapshots.compactWhere(s, runPath(p0), c,
+          lo.toLong, hi.toLong).toLong)
+      case ZorderInc(p0) => LakeMaintenanceCommand("version",
+        s => {
+          val p = runPath(p0)
           // r14: hidden/partitioned ROOTS sweep each dir's unclustered
           // tail (returns dirs advanced); flat keeps the version form
           if (graft.sources.HiddenPartitions.specOf(p).nonEmpty)
@@ -111,9 +113,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               val cur = Snapshots.currentVersion(d)
               cur >= 0 && Snapshots.compactZOrderIncremental(s, d) > cur
             }.toLong
-          else Snapshots.compactZOrderIncremental(s, p).toLong)
-      case Zorder(p, colList, n) => LakeMaintenanceCommand("version",
+          else Snapshots.compactZOrderIncremental(s, p).toLong
+        })
+      case Zorder(p0, colList, n) => LakeMaintenanceCommand("version",
         s => {
+          val p = runPath(p0)
           val cols = colList.split(",").map(_.trim).toSeq
           // r14 (the r13 verdict's item 5): the root-level OPTIMIZE
           // sweep accepts ZORDER BY — every dir re-clusters with its
@@ -131,8 +135,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             }.toLong
           else Snapshots.compactZOrderCols(s, p, cols, n.toInt).toLong
         })
-      case Optimize(p) => LakeMaintenanceCommand("version",
-        s =>
+      case Optimize(p0) => LakeMaintenanceCommand("version",
+        s => {
+          val p = runPath(p0)
           // r13: like RECONCILE, a hidden/partitioned ROOT compacts
           // every directory in one sweep (returns dirs compacted); a
           // flat table keeps the single-log behavior (new version)
@@ -149,7 +154,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               val cur = Snapshots.currentVersion(d)
               cur >= 0 && Snapshots.compact(s, d) > cur
             }.toLong
-          else Snapshots.compact(s, p).toLong)
+          else Snapshots.compact(s, p).toLong
+        })
       case VecCreate(idx, corpus, trained, cells) =>
         LakeMaintenanceCommand("version", s =>
           graft.operators.Similarity.createVectorIndex(s, corpus, idx,
@@ -162,8 +168,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           keyList.split(",").map(_.trim.toLong).toIndexedSeq, k.toInt,
           Option(nprobe).map(_.toInt).getOrElse(4))
       case VacuumDry(p, keep) => LakeVacuumDryRunCommand(p, keep.toInt)
-      case VacuumBefore(p, ts) => LakeMaintenanceCommand("reclaimed",
-        _ =>
+      case VacuumBefore(p0, ts) => LakeMaintenanceCommand("reclaimed",
+        _ => {
+          val p = runPath(p0)
           // r14: a TIME cutoff is well-posed per dir (unlike KEEP's
           // version number against a version VECTOR) — hidden and
           // partitioned ROOTS sweep every dir, summing reclaimed files
@@ -177,9 +184,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               Snapshots.vacuumBefore(graft.sources.PartitionedSnapshots
                 .partitionDir(p, v), ts.toLong).toLong
             }.sum
-          else Snapshots.vacuumBefore(p, ts.toLong).toLong)
-      case Vacuum(p, keep) => LakeMaintenanceCommand("reclaimed",
+          else Snapshots.vacuumBefore(p, ts.toLong).toLong
+        })
+      case Vacuum(p0, keep) => LakeMaintenanceCommand("reclaimed",
         _ => {
+          val p = runPath(p0)
           // a KEEP version number names ONE log's history — it cannot
           // address a root whose partitions each hold their own
           // version vector; point the operator at the sound form
@@ -193,8 +202,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         })
       case Restore(p, v) => LakeMaintenanceCommand("version",
         _ => Snapshots.restore(p, v.toInt).toLong)
-      case Reconcile(p) => LakeMaintenanceCommand("version",
-        s =>
+      case Reconcile(p0) => LakeMaintenanceCommand("version",
+        s => {
+          val p = runPath(p0)
           // r13: on a hidden-transform or partitioned ROOT, fold every
           // directory that carries DVs (the whole-table maintenance
           // sweep the A77/A26 MoR routes accumulate toward); the
@@ -210,7 +220,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               Snapshots.dvFiles(d, cur).nonEmpty &&
                 Snapshots.reconcileDV(s, d) > cur
             }.toLong
-          else Snapshots.reconcileDV(s, p).toLong)
+          else Snapshots.reconcileDV(s, p).toLong
+        })
       case DeepCloneTo(src, dst) => LakeMaintenanceCommand("version",
         _ => Snapshots.cloneDeep(src, dst).toLong)
       case CloneTo(src, dst) => LakeMaintenanceCommand("version",
@@ -261,8 +272,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             org.apache.spark.sql.functions.expr(pred),
             assigns.map { case (n, e) =>
               n -> org.apache.spark.sql.functions.expr(e) }).toLong)
-      case AddBloom(c, p) => LakeMaintenanceCommand("version",
-        s =>
+      case AddBloom(c, p0) => LakeMaintenanceCommand("version",
+        s => {
+          val p = runPath(p0)
           // r14: hidden/partitioned ROOTS index every dir in one sweep
           if (graft.sources.HiddenPartitions.specOf(p).nonEmpty)
             graft.sources.HiddenPartitions.addBloomIndex(s, p, c).size.toLong
@@ -272,9 +284,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               Snapshots.addBloomIndex(s, graft.sources.PartitionedSnapshots
                 .partitionDir(p, v), c) >= 0
             }.toLong
-          else Snapshots.addBloomIndex(s, p, c).toLong)
-      case ReindexBloom(p) => LakeMaintenanceCommand("version",
-        s =>
+          else Snapshots.addBloomIndex(s, p, c).toLong
+        })
+      case ReindexBloom(p0) => LakeMaintenanceCommand("version",
+        s => {
+          val p = runPath(p0)
           if (graft.sources.HiddenPartitions.specOf(p).nonEmpty)
             graft.sources.HiddenPartitions.reindexBloom(s, p).size.toLong
           else if (Snapshots.currentVersion(p) < 0 &&
@@ -284,7 +298,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               Snapshots.bloomColsOf(d, Snapshots.currentVersion(d)).nonEmpty &&
                 Snapshots.reindexBloom(s, d) >= 0
             }.toLong
-          else Snapshots.reindexBloom(s, p).toLong)
+          else Snapshots.reindexBloom(s, p).toLong
+        })
       case TagAt(n, p, v) => LakeMaintenanceCommand("version",
         _ => graft.sources.Refs.tag(p, n, v.toInt).toLong)
       case Tag(n, p) => LakeMaintenanceCommand("version",
@@ -297,8 +312,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s => { graft.sources.Refs.createBranch(s, p, n); 0L })
       case DropBranch(n, p) => LakeMaintenanceCommand("version",
         _ => { graft.sources.Refs.dropBranch(p, n); 0L })
-      case Checkpoint(p) => LakeMaintenanceCommand("materialized",
-        _ =>
+      case Checkpoint(p0) => LakeMaintenanceCommand("materialized",
+        _ => {
+          val p = runPath(p0)
           // r14: roots sweep every dir (count materialized)
           if (graft.sources.HiddenPartitions.specOf(p).nonEmpty)
             graft.sources.HiddenPartitions.epochGroups(p).flatMap(_._3)
@@ -309,7 +325,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               Snapshots.checkpoint(graft.sources.PartitionedSnapshots
                 .partitionDir(p, v))
             }.toLong
-          else if (Snapshots.checkpoint(p)) 1L else 0L)
+          else if (Snapshots.checkpoint(p)) 1L else 0L
+        })
       // ANALYZE: flat table → the version analyzed; a PARTITIONED or
       // HIDDEN root (no log of its own) → every dir analyzed, returns
       // the dir count. r14: the hidden branch must come first — a
@@ -317,7 +334,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // partitioned branch alone would silently skip later epochs.
       case AnalyzeHist(p) => LakeMaintenanceCommand("analyzed", s =>
         Snapshots.analyzeTable(s, p, histogram = true).toLong)
-      case Analyze(p) => LakeMaintenanceCommand("analyzed", s => {
+      case Analyze(p0) => LakeMaintenanceCommand("analyzed", s => {
+        val p = runPath(p0)
         if (graft.sources.HiddenPartitions.specOf(p).nonEmpty) {
           val dirs = graft.sources.HiddenPartitions.epochGroups(p)
             .flatMap(_._3).map(_._2)
@@ -469,11 +487,22 @@ object GraftSqlParser {
         s"graft: catalog table '$name' records no storage path"))
   }
 
+  /** r15 (advice fix): name-form statements are rewritten with an
+    * `@name:<tbl>` MARKER in the path slot instead of the resolved
+    * path — [[runPath]] resolves it inside each command's run(spark),
+    * with the EXECUTING session, so parsing needs no session catalog
+    * and a cached/re-executed plan follows the catalog entry's
+    * CURRENT storage path instead of a parse-time snapshot. */
   private def resolveNameForm(sql: String): String = sql match {
     case NameForm(head, name, tail) =>
-      head + "'" + catalogPathOf(name) + "'" + tail
+      head + "'@name:" + name + "'" + tail
     case _ => sql
   }
+
+  /** Resolve a possibly name-marked path at EXECUTION time. */
+  private[plans] def runPath(p: String): String =
+    if (p.startsWith("@name:")) catalogPathOf(p.stripPrefix("@name:"))
+    else p
 
   // whole-string regexes (Scala's Regex.unapplySeq anchors both ends)
   // r14 (the r13 verdict's item 6): the vector index family
@@ -1562,7 +1591,7 @@ case class LakeVacuumDryRunCommand(path: String, keepFrom: Int)
   override val output: Seq[Attribute] =
     Seq(AttributeReference("file", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Snapshots.vacuumDryRun(path, keepFrom).map(Row(_))
+    Snapshots.vacuumDryRun(GraftSqlParser.runPath(path), keepFrom).map(Row(_))
 }
 
 /** `GRAFT PROBE VECTOR INDEX` (r14): ANN serving from SQL — top-k
@@ -1604,6 +1633,7 @@ case class LakeDetailCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("num_constraints", LongType, nullable = false)(),
     AttributeReference("change_data_feed", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.runPath(this.path)
     val v = Snapshots.currentVersion(path)
     require(v >= 0, s"graft: $path is not a versioned table")
     val live = Snapshots.liveFiles(path, v).map(Snapshots.canonical)

@@ -130,20 +130,24 @@ class GraftDvScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }, newPlan)
   }
 
-  /** True iff every directory's stored column mapping agrees (same
-    * logical→physical assignment, no physical name serving two logical
-    * names) — only then can ONE physical schema read all dirs' files.
-    * Legacy dirs without a stored schema carry no mapping and always
-    * agree. */
+  /** True iff ONE physical schema (the head dir's) can soundly read
+    * every directory's files: each dir must carry a STORED schema
+    * IDENTICAL to the head's in (logical name, physical name,
+    * dataType). r15 (advice fix): the previous gate compared
+    * logical→physical NAME assignments only — a dir whose log evolved
+    * independently (a per-dir WIDEN, or a legacy schema-less dir mixed
+    * with mapped ones) passed, and the single spanning scan then read
+    * it under the head dir's physical schema, misreading or silently
+    * null-filling. A mismatch now falls back to the per-dir union
+    * read, which normalizes each dir under its own schema. */
   private def mappingsAgree(dirs: Seq[(String, Int)]): Boolean = {
-    val fwd = scala.collection.mutable.Map.empty[String, String]
-    val back = scala.collection.mutable.Map.empty[String, String]
-    dirs.forall { case (d, v) =>
-      Snapshots.tableSchema(d, v).forall(_.fields.forall { f =>
-        val p = Snapshots.physicalName(f)
-        fwd.getOrElseUpdate(f.name, p) == p &&
-          back.getOrElseUpdate(p, f.name) == f.name
-      })
+    val sigs = dirs.map { case (d, v) =>
+      Snapshots.tableSchema(d, v).map(_.fields.toIndexedSeq.map(f =>
+        (f.name, Snapshots.physicalName(f), f.dataType)))
+    }
+    sigs.headOption match {
+      case None => true // zero dirs: one (empty) schema vacuously
+      case Some(h) => h.isDefined && sigs.forall(_ == h)
     }
   }
 

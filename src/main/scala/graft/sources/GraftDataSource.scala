@@ -193,19 +193,12 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     * pruning still removes whole dirs first.
     */
   private def composedBucketSpec(root: Option[(String, Int)],
-      dirs: Seq[String], dataSchema: StructType)
+      dirVersions: Seq[(String, Int)], dataSchema: StructType)
       : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
     root.flatMap { case (c, n) =>
-      val ok = dataSchema.fieldNames.contains(c) && dirs.nonEmpty &&
-        dirs.forall { d =>
-          val v = Snapshots.currentVersion(d)
-          Snapshots.bucketSpecOf(d, v).contains((c, n)) &&
-            Snapshots.liveFiles(d, v).map(Snapshots.canonical).forall { f =>
-              org.apache.spark.sql.GraftSqlBridge
-                .bucketIdOf(Paths.get(f).getFileName.toString)
-                .exists(id => id >= 0 && id < n)
-            }
-        }
+      val ok = dataSchema.fieldNames.contains(c) && dirVersions.nonEmpty &&
+        dirVersions.forall { case (d, v) =>
+          GraftDataSource.bucketTagsOk(d, v, c, n) }
       if (ok) Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
         n, Seq(c), Seq(c)))
       else None
@@ -272,8 +265,15 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         "PartitionedSnapshots.readPartition(…, version)")
     val vals = PartitionedSnapshots.partitions(path)
     val dirs = vals.map(v => v -> PartitionedSnapshots.partitionDir(path, v))
+    // r15 (advice fix): resolve each dir's head ONCE and hand the SAME
+    // version map to the bucket-spec check and the file index — a
+    // commit landing between two independent resolutions could
+    // validate the all-tagged invariant at version N while the scan
+    // lists N+1's files
+    val dirVers: Map[String, Int] =
+      dirs.map { case (_, d) => d -> Snapshots.currentVersion(d) }.toMap
     dirs.foreach { case (value, d) =>
-      require(Snapshots.currentVersion(d) >= 0,
+      require(dirVers(d) >= 0,
         s"graft: partition $value of $path has no log")
     }
     // any partition carrying DVs or a column mapping routes the WHOLE
@@ -282,25 +282,26 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // per-file stats pruning still apply) — same trade as the flat
     // compat relation
     val needsCompat = dirs.exists { case (_, d) =>
-      val pv = Snapshots.currentVersion(d)
+      val pv = dirVers(d)
       Snapshots.dvFiles(d, pv).nonEmpty ||
         Snapshots.tableSchema(d, pv).exists(Snapshots.hasMapping)
     }
     if (needsCompat)
       return new GraftPartitionedCompatRelation(spark, path, partCol, dirs)
     val (v0, d0) = dirs.head
-    val dataSchema = Snapshots.tableSchema(d0, Snapshots.currentVersion(d0))
+    val dataSchema = Snapshots.tableSchema(d0, dirVers(d0))
       .getOrElse(spark.read.parquet(
-        Snapshots.liveFiles(d0, Snapshots.currentVersion(d0)): _*).schema)
+        Snapshots.liveFiles(d0, dirVers(d0)): _*).schema)
     require(!dataSchema.fieldNames.contains(partCol),
       s"graft: partition column '$partCol' collides with a data column")
     HadoopFsRelation(
-      location = new GraftPartitionedFileIndex(spark, path, partCol, dirs),
+      location =
+        new GraftPartitionedFileIndex(spark, path, partCol, dirs, dirVers),
       partitionSchema = new StructType().add(partCol,
         org.apache.spark.sql.types.StringType),
       dataSchema = dataSchema,
       bucketSpec = composedBucketSpec(PartitionedSnapshots.bucketOf(path),
-        dirs.map(_._2), dataSchema),
+        dirs.map { case (_, d) => (d, dirVers(d)) }, dataSchema),
       fileFormat = new ParquetFileFormat(),
       options = parameters)(spark)
   }
@@ -323,8 +324,12 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val groups = HiddenPartitions.epochGroups(path)
       .map { case (_, t, ds) => (t, ds) }
     val dirs = groups.flatMap(_._2)
+    // r15 (advice fix): one head resolution per dir, shared by the
+    // bucket-spec check and the file index (see partitionedRelation)
+    val dirVers: Map[String, Int] =
+      dirs.map { case (_, d) => d -> Snapshots.currentVersion(d) }.toMap
     dirs.foreach { case (value, d) =>
-      require(Snapshots.currentVersion(d) >= 0,
+      require(dirVers(d) >= 0,
         s"graft: partition $value of $path has no log")
     }
     // r13: a dir carrying deletion vectors (a MoR merge landed and has
@@ -333,7 +338,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // (per-dir DV anti join inside the read; BOTH pruning levels —
     // transform directories, then A27 file stats — still apply)
     val needsCompat = dirs.exists { case (_, d) =>
-      val pv = Snapshots.currentVersion(d)
+      val pv = dirVers(d)
       Snapshots.dvFiles(d, pv).nonEmpty ||
         Snapshots.tableSchema(d, pv).exists(Snapshots.hasMapping)
     }
@@ -349,16 +354,16 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
             "no partitions yet and no declared schema — write first"))
       else {
         val (_, d0) = dirs.head
-        Snapshots.tableSchema(d0, Snapshots.currentVersion(d0))
+        Snapshots.tableSchema(d0, dirVers(d0))
           .getOrElse(spark.read.parquet(
-            Snapshots.liveFiles(d0, Snapshots.currentVersion(d0)): _*).schema)
+            Snapshots.liveFiles(d0, dirVers(d0)): _*).schema)
       }
     HadoopFsRelation(
-      location = new GraftHiddenPartitionedIndex(spark, path, groups),
+      location = new GraftHiddenPartitionedIndex(spark, path, groups, dirVers),
       partitionSchema = new StructType(),
       dataSchema = dataSchema,
       bucketSpec = composedBucketSpec(HiddenPartitions.bucketOf(path),
-        dirs.map(_._2), dataSchema),
+        dirs.map { case (_, d) => (d, dirVers(d)) }, dataSchema),
       fileFormat = new ParquetFileFormat(),
       options = parameters)(spark)
   }
@@ -664,6 +669,26 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       acMin, parameters.get("autoCompactTargetBytes").map(_.toLong)
         .getOrElse(128L << 20), mor, hidden, arMax)
   }
+}
+
+object GraftDataSource {
+  /** Memoized all-files-bucket-tagged verdict per (dir, version, col,
+    * buckets): a committed version's live set is immutable, so the
+    * walk runs ONCE per version per driver — r15 (advice fix): it
+    * previously re-walked every live file of every dir on each
+    * relation construction, an O(total files) driver cost per read. */
+  private val bucketTagCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, String, Int), java.lang.Boolean]
+
+  private[sources] def bucketTagsOk(dir: String, v: Int, c: String,
+      n: Int): Boolean =
+    bucketTagCache.computeIfAbsent((Snapshots.canonical(dir), v, c, n), _ =>
+      v >= 0 && Snapshots.bucketSpecOf(dir, v).contains((c, n)) &&
+        Snapshots.liveFiles(dir, v).map(Snapshots.canonical).forall { f =>
+          org.apache.spark.sql.GraftSqlBridge
+            .bucketIdOf(Paths.get(f).getFileName.toString)
+            .exists(id => id >= 0 && id < n)
+        })
 }
 
 /** The versioned upsert sink behind `writeStream.format("graft")` —
