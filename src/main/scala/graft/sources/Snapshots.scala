@@ -1374,6 +1374,38 @@ object Snapshots {
     else readLive(spark, path, v, keep.toIndexedSeq).filter(pred)
   }
 
+  /** A41 — BATCHED point lookup (r15, the r14 verdict's item 7): one
+    * IN-list = ONE distributed verdict job over the sidecar relation
+    * (a file survives if its filter might contain ANY of the values)
+    * and ONE pruned read — the shape a user asking for several keys
+    * actually wants, instead of a job submission per value. Exactness
+    * as in [[readPointLookup]] (unindexed files always survive). */
+  def readPointLookupIn(spark: SparkSession, path: String, column: String,
+      values: Seq[Any], version: Int = -1): DataFrame = {
+    require(values.nonEmpty, "readPointLookupIn: empty value list")
+    val v = if (version < 0) currentVersion(path) else version
+    require(hasVersion(path, v), s"no version $v at $path")
+    val live = liveFiles(path, v)
+    val pred = col(s"`$column`").isin(values: _*)
+    val onCol = bloomColsOf(path, v).exists(_._1 == column)
+    val refs = bloomIdxFiles(path, v)
+    if (!onCol || refs.isEmpty || live.isEmpty)
+      return read(spark, path, v).filter(pred)
+    def probe(value: Any) = value match {
+      case _: String => xxhash64(lit(value))
+      case _ => lit(value)
+    }
+    val hitAny = values.map(x => graft.functions.bloom_row_might_contain(
+      col("bits"), probe(x))).reduce(_ || _)
+    val verdicts = spark.read.parquet(refs: _*)
+      .filter(col("col") === column)
+      .select(col("file"), hitAny.as("hit"))
+      .collect().map(r => canonical(r.getString(0)) -> r.getBoolean(1)).toMap
+    val keep = live.filter(f => verdicts.getOrElse(canonical(f), true))
+    if (keep.isEmpty) readLive(spark, path, v, live).filter(pred).limit(0)
+    else readLive(spark, path, v, keep.toIndexedSeq).filter(pred)
+  }
+
   /** Did version `v`'s commit record its change set? */
   private[graft] def cdfRecorded(path: String, v: Int): Boolean =
     manifestLines(path, v)

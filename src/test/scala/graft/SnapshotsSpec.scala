@@ -1563,6 +1563,28 @@ class SnapshotsSpec extends GraftSuite {
     assert(Snapshots.reindexBloom(spark, dir) == 4)
   }
 
+  test("r15: the BATCHED IN-list point lookup equals the union of the " +
+      "singles in ONE verdict job + one pruned read, and still prunes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bloom_in").toString + "/t"
+    spark.range(40000)
+      .selectExpr("id AS k", "(id * 2654435761) % 1000003 AS u", "id % 97 AS gen")
+      .repartitionByRange(8, col("k")).write.parquet(dir)
+    Snapshots.init(spark, dir)
+    Snapshots.addBloomIndex(spark, dir, "u")
+    val vals = Seq((123L * 2654435761L) % 1000003L,
+      (456L * 2654435761L) % 1000003L, 999999937L) // two present + absent
+    val batched = Snapshots.readPointLookupIn(spark, dir, "u", vals)
+    val singles = vals.map(Snapshots.readPointLookup(spark, dir, "u", _))
+      .reduce(_.unionByName(_))
+    assert(batched.exceptAll(singles).isEmpty &&
+      singles.exceptAll(batched).isEmpty)
+    assert(batched.count() >= 2)
+    assert(batched.select(input_file_name()).distinct().count() <
+      Snapshots.liveFiles(dir, Snapshots.currentVersion(dir)).size,
+      "the IN probe must still prune files")
+  }
+
   test("appendVersioned: blind INSERT commits, widens, duplicates allowed, OCC-safe") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
