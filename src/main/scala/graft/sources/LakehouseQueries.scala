@@ -2256,7 +2256,9 @@ object LakehouseQueries {
     *    (app, txnVersion) — the replay must no-op (version pinned);
     *  - r4/r7: ANSI `MERGE INTO … ON t.k1 = s.k1 AND t.k2 = s.k2`
     *    through the LakeParser route — updates r4 (+5), inserts r7
-    *    under shifted k1 (brand-new composite keys).
+    *    under NEGATED k1 (-(k1+1): brand-new composite keys at ANY
+    *    sweep scale — a positive shift collided with real tuples once
+    *    the 100× key range passed it).
     *
     * The result is the PER-ROW final table (a misrouted update, a
     * resurrected deleted key, a double-applied replay, or a
@@ -2307,7 +2309,7 @@ object LakehouseQueries {
               |              o_totalprice + 5.0 AS price
               |       FROM parquet.`$orders` WHERE o_orderkey % 23 = 4
               |       UNION ALL
-              |       SELECT o_orderkey div 100 + 100000, o_orderkey % 100,
+              |       SELECT -(o_orderkey div 100) - 1, o_orderkey % 100,
               |              'X', o_totalprice
               |       FROM parquet.`$orders` WHERE o_orderkey % 23 = 7) s
               |ON t.k1 = s.k1 AND t.k2 = s.k2
@@ -2334,7 +2336,7 @@ object LakehouseQueries {
       |      WHEN 6 THEN p + 7.0 WHEN 4 THEN p + 5.0 ELSE p END AS p
       |  FROM base WHERE k % 23 NOT IN (1, 2)
       |  UNION ALL
-      |  SELECT k1 + 100000, k2, 'X', p FROM base WHERE k % 23 = 7)
+      |  SELECT -k1 - 1, k2, 'X', p FROM base WHERE k % 23 = 7)
       |SELECT k1, k2, status, CAST(round(p * 100) AS BIGINT) AS cents
       |FROM fin
       |UNION ALL
