@@ -756,17 +756,23 @@ class GraftSink(path: String, keyCols: Seq[String], orderCol: String,
           touched.map(PartitionedSnapshots.partitionDir(path, _))
       }
     val s = data.sparkSession
+    // per-dir maintenance is independent across the touched dirs —
+    // overlap the folds/compactions (Par)
     autoReconcileMaxDvFiles.foreach { n =>
-      touchedDirs.foreach { d =>
+      Par.foreach(s, touchedDirs) { d =>
         val v = Snapshots.currentVersion(d)
-        if (v >= 0 && Snapshots.dvFiles(d, v).size >= n)
+        if (v >= 0 && Snapshots.dvFiles(d, v).size >= n) {
           Snapshots.reconcileDV(s, d)
+          ()
+        }
       }
     }
     autoCompactMinFiles.foreach { n =>
-      touchedDirs.foreach { d =>
-        if (Snapshots.currentVersion(d) >= 0)
+      Par.foreach(s, touchedDirs) { d =>
+        if (Snapshots.currentVersion(d) >= 0) {
           Snapshots.compact(s, d, autoCompactTargetBytes, n)
+          ()
+        }
       }
     }
   }

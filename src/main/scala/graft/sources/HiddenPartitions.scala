@@ -488,7 +488,8 @@ object HiddenPartitions {
           .write.partitionBy("part").parquet(path)
         Files.write(specPath(path), transform.encode.getBytes("UTF-8"))
         val vals = PartitionedSnapshots.partitions(path)
-        vals.foreach(v => Snapshots.init(spark,
+        // per-dir log bootstraps are independent — overlap them (Par)
+        Par.foreach(spark, vals)(v => Snapshots.init(spark,
           PartitionedSnapshots.partitionDir(path, v)))
         vals
       case Some((c, n)) =>
@@ -499,10 +500,12 @@ object HiddenPartitions {
         Files.createDirectories(Paths.get(path))
         val vals = df.select(transform.valueExpr.as("__part"))
           .distinct().collect().map(_.getString(0)).sorted.toIndexedSeq
-        vals.foreach { v =>
+        // per-value bucketed bootstraps write DISJOINT dirs — overlap
+        Par.foreach(spark, vals) { v =>
           Snapshots.writeBucketedVersioned(spark,
             epochDir(path, 0, v),
             df.filter(transform.valueExpr === v), c, n)
+          ()
         }
         Files.write(bucketPath(path), s"$c\t$n".getBytes("UTF-8"))
         Files.write(specPath(path), transform.encode.getBytes("UTF-8"))
@@ -727,7 +730,10 @@ object HiddenPartitions {
             .localCheckpoint()
           val found = epochKeys.select("__pv").distinct()
             .collect().map(_.getString(0)).sorted
-          found.foreach { v =>
+          // each found value commits into ITS OWN dir — overlap the
+          // per-dir merges (Par); the results map is the only shared
+          // driver state, synchronized below
+          Par.foreach(spark, found.toIndexedSeq) { v =>
             val keysV = broadcast(epochKeys.filter(col("__pv") === v)
               .select(keyCols.map(column): _*))
             val rowsV = remaining.join(keysV, keyCols, "left_semi")
@@ -740,15 +746,20 @@ object HiddenPartitions {
             val label = s"e$epoch:$v"
             if (keyPure(t)) {
               // no move possible: everything found here updates here
-              results(label) = (dirOf(v), upsert(dirOf(v), rowsV))
+              val r = (dirOf(v), upsert(dirOf(v), rowsV))
+              results.synchronized { results(label) = r }
             } else {
               val staying = rowsV.filter(t.valueExpr <=> lit(v))
               val moving = rowsV.filter(!(t.valueExpr <=> lit(v)))
-              if (!staying.isEmpty)
-                results(label) = (dirOf(v), upsert(dirOf(v), staying))
-              if (!moving.isEmpty)
-                results(s"$label:del") = (dirOf(v),
+              if (!staying.isEmpty) {
+                val r = (dirOf(v), upsert(dirOf(v), staying))
+                results.synchronized { results(label) = r }
+              }
+              if (!moving.isEmpty) {
+                val r = (dirOf(v),
                   removeKeys(dirOf(v), moving.select(keyCols.map(column): _*)))
+                results.synchronized { results(s"$label:del") = r }
+              }
             }
           }
           if (found.nonEmpty) {
@@ -771,7 +782,8 @@ object HiddenPartitions {
     val existing = epochValues(path, currentEpoch).toSet
     val touched = remaining.withColumn("__part", current.valueExpr)
       .select("__part").distinct().collect().map(_.getString(0))
-    touched.sorted.foreach { v =>
+    // per-value slices bootstrap/merge into DISJOINT dirs — overlap
+    Par.foreach(spark, touched.sorted.toIndexedSeq) { v =>
       val slice = remaining.filter(current.valueExpr === v)
       val dir = epochDir(path, currentEpoch, v)
       if (!existing.contains(v)) {
@@ -783,15 +795,16 @@ object HiddenPartitions {
             require(txn.isEmpty, s"graft: a txn-marked merge cannot " +
               s"bootstrap NEW bucketed partition '$v' — create it " +
               "first (merge without the mark), then merge idempotently")
-            results(v) =
-              (dir, Snapshots.writeBucketedVersioned(spark, dir, slice, c, n))
+            val r = (dir, Snapshots.writeBucketedVersioned(spark, dir, slice, c, n))
+            results.synchronized { results(v) = r }
           case None if txn.nonEmpty =>
             // bootstrap WITH the mark — crash-idempotent (a replay of
             // a half-bootstrapped attempt adopts or replaces its own
             // staged files, never doubles them)
             val (app, ver) = txn.get
-            results(v) = (dir, Snapshots.appendVersionedIdempotent(
+            val r = (dir, Snapshots.appendVersionedIdempotent(
               spark, dir, slice, app, ver))
+            results.synchronized { results(v) = r }
           case None =>
             Files.createDirectories(Paths.get(dir))
             val stage = dir + "/init"
@@ -805,10 +818,13 @@ object HiddenPartitions {
             try walk.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.deleteIfExists(p))
             finally walk.close()
-            results(v) = (dir, Snapshots.init(spark, dir))
+            val r = (dir, Snapshots.init(spark, dir))
+            results.synchronized { results(v) = r }
         }
-      } else if (!slice.isEmpty)
-        results(v) = (dir, upsert(dir, slice))
+      } else if (!slice.isEmpty) {
+        val r = (dir, upsert(dir, slice))
+        results.synchronized { results(v) = r }
+      }
     }
     results.toMap
   }
@@ -824,13 +840,18 @@ object HiddenPartitions {
     * maintenance sweep. Returns `e<epoch>:<value>` → new version for
     * the dirs actually reconciled (a DV-free dir is skipped: its
     * version must not advance for a no-op). */
-  def reconcile(spark: SparkSession, path: String): Map[String, Int] =
-    epochGroups(path).flatMap { case (e, _, dirs) =>
+  def reconcile(spark: SparkSession, path: String): Map[String, Int] = {
+    val carriers = epochGroups(path).flatMap { case (e, _, dirs) =>
       dirs.collect { case (value, d)
           if Snapshots.dvFiles(d, Snapshots.currentVersion(d)).nonEmpty =>
-        s"e$e:$value" -> Snapshots.reconcileDV(spark, d)
+        (s"e$e:$value", d)
       }
+    }
+    // per-dir folds are independent — overlap them (Par)
+    Par.map(spark, carriers) { case (label, d) =>
+      label -> Snapshots.reconcileDV(spark, d)
     }.toMap
+  }
 
   // ── r14 (the r13 verdict's item 5): LAYOUT MAINTENANCE PARITY ────
   // Hidden roots get the same per-dir ZORDER / bloom verbs flat tables
@@ -847,44 +868,51 @@ object HiddenPartitions {
   /** Whole-root ZORDER sweep: re-cluster EVERY directory, `numFiles`
     * per dir. Returns `e<epoch>:<value>` → new version. */
   def zorder(spark: SparkSession, path: String, cols: Seq[String],
-      numFiles: Int): Map[String, Int] =
-    epochGroups(path).flatMap { case (e, _, dirs) =>
-      dirs.map { case (value, d) =>
-        s"e$e:$value" -> Snapshots.compactZOrderCols(spark, d, cols, numFiles)
-      }
+      numFiles: Int): Map[String, Int] = {
+    val all = epochGroups(path).flatMap { case (e, _, dirs) =>
+      dirs.map { case (value, d) => (s"e$e:$value", d) } }
+    // per-dir re-clusters are independent — overlap them (Par)
+    Par.map(spark, all) { case (label, d) =>
+      label -> Snapshots.compactZOrderCols(spark, d, cols, numFiles)
     }.toMap
+  }
 
   /** A39 sweep: re-cluster only each dir's UNCLUSTERED TAIL (skips
     * dirs with no tail — their version must not advance). */
   def zorderIncremental(spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20): Map[String, Int] =
-    epochGroups(path).flatMap { case (e, _, dirs) =>
-      dirs.flatMap { case (value, d) =>
-        val cur = Snapshots.currentVersion(d)
-        val v = Snapshots.compactZOrderIncremental(spark, d, targetBytes)
-        if (v > cur) Some(s"e$e:$value" -> v) else None
-      }
-    }.toMap
+      targetBytes: Long = 128L << 20): Map[String, Int] = {
+    val all = epochGroups(path).flatMap { case (e, _, dirs) =>
+      dirs.map { case (value, d) => (s"e$e:$value", d) } }
+    Par.map(spark, all) { case (label, d) =>
+      val cur = Snapshots.currentVersion(d)
+      val v = Snapshots.compactZOrderIncremental(spark, d, targetBytes)
+      if (v > cur) Some(label -> v) else None
+    }.flatten.toMap
+  }
 
   /** A41 sweep: build a bloom index on `column` in every directory. */
   def addBloomIndex(spark: SparkSession, path: String, column: String,
-      bitsPerRow: Int = 10): Map[String, Int] =
-    epochGroups(path).flatMap { case (e, _, dirs) =>
-      dirs.map { case (value, d) =>
-        s"e$e:$value" -> Snapshots.addBloomIndex(spark, d, column, bitsPerRow)
-      }
+      bitsPerRow: Int = 10): Map[String, Int] = {
+    val all = epochGroups(path).flatMap { case (e, _, dirs) =>
+      dirs.map { case (value, d) => (s"e$e:$value", d) } }
+    Par.map(spark, all) { case (label, d) =>
+      label -> Snapshots.addBloomIndex(spark, d, column, bitsPerRow)
     }.toMap
+  }
 
   /** Re-index every directory's bloom columns over its current live
     * set (post-compaction refresh). Dirs without an index are skipped. */
-  def reindexBloom(spark: SparkSession, path: String): Map[String, Int] =
-    epochGroups(path).flatMap { case (e, _, dirs) =>
-      dirs.flatMap { case (value, d) =>
-        val cur = Snapshots.currentVersion(d)
-        if (Snapshots.bloomColsOf(d, cur).isEmpty) None
-        else Some(s"e$e:$value" -> Snapshots.reindexBloom(spark, d))
+  def reindexBloom(spark: SparkSession, path: String): Map[String, Int] = {
+    val carriers = epochGroups(path).flatMap { case (e, _, dirs) =>
+      dirs.collect { case (value, d)
+          if Snapshots.bloomColsOf(d, Snapshots.currentVersion(d)).nonEmpty =>
+        (s"e$e:$value", d)
       }
+    }
+    Par.map(spark, carriers) { case (label, d) =>
+      label -> Snapshots.reindexBloom(spark, d)
     }.toMap
+  }
 
   /** Read the whole table at each partition's current version, across
     * every epoch (the connector is the pruning path; this is the

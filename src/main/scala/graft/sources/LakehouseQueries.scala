@@ -2734,7 +2734,10 @@ object LakehouseQueries {
     // (b) bounded maintenance state at loop end, then the final fold
     val dirsOverDv = parts.count(dvCount(_) > 2).toLong
     val dirsOverFiles = parts.count(fileCount(_) > 80).toLong
-    parts.foreach(PartitionedSnapshots.reconcilePartition(s, root, _))
+    // independent per-dir folds — overlap them (Par)
+    Par.foreach(s, parts)(v => {
+      PartitionedSnapshots.reconcilePartition(s, root, v); ()
+    })
     val dvAfter = parts.map(dvCount).sum.toLong
     // (a) the exchange-free verdict on the final head
     val fact = s.read.format("graft")

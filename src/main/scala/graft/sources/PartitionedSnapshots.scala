@@ -94,7 +94,9 @@ object PartitionedSnapshots {
           .withColumnRenamed(partCol, "part")
           .write.partitionBy("part").parquet(path)
         val vals = partitions(path)
-        vals.foreach(v => Snapshots.init(spark, partDir(path, v).toString))
+        // per-dir log bootstraps are independent — overlap them (Par)
+        Par.foreach(spark, vals)(v =>
+          Snapshots.init(spark, partDir(path, v).toString))
         vals
       case Some((c, n)) =>
         require(c != partCol,
@@ -116,9 +118,11 @@ object PartitionedSnapshots {
             "partition dir — filter them out or use a default value")
         val vals = routed.select(col(partCol)).distinct()
           .collect().map(_.getString(0)).sorted.toIndexedSeq
-        vals.foreach { v =>
+        // per-value bucketed bootstraps write DISJOINT dirs — overlap
+        Par.foreach(spark, vals) { v =>
           Snapshots.writeBucketedVersioned(spark, partDir(path, v).toString,
             routed.filter(col(partCol) === v).drop(partCol), c, n)
+          ()
         }
         Files.write(bucketPath(path), s"$c\t$n".getBytes("UTF-8"))
         vals
@@ -235,7 +239,12 @@ object PartitionedSnapshots {
     val existing = partitions(path).toSet
     val touched = updates.select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0))
-    touched.sorted.map { v =>
+    // each value's slice commits into ITS OWN partition log — the
+    // per-dir merges are independent, so overlap them (guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially); a batch's wall tracks the largest slice, not the
+    // touched-partition count
+    Par.map(spark, touched.sorted.toIndexedSeq) { v =>
       val slice = updates.filter(col(partCol).cast("string") === v).drop(partCol)
       val dir = partDir(path, v).toString
       if (!existing.contains(v) && bucketOf(path).nonEmpty) {

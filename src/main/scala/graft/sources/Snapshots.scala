@@ -3540,14 +3540,22 @@ object Snapshots {
     // candidate-file position scan runs ONCE, not once per artifact
     val joined = post.join(pre, Seq("__k"), "left_outer").localCheckpoint()
     val inserts = joined.filter(col("__file").isNull)
-    val changed = joined.filter(col("__file").isNotNull &&
-      !(col("__pre") <=> col("__post")))
+    val changedCond = col("__file").isNotNull && !(col("__pre") <=> col("__post"))
+    val changed = joined.filter(changedCond)
     def asRows(df: DataFrame, src: String): DataFrame =
       df.select(keyCols.map(c => col(s"__k.`$c`").as(c)) ++
         payload.map(c => col(s"$src.`$c`").as(c)): _*)
     val appended = asRows(inserts, "__post")
       .unionByName(asRows(changed, "__post").distinct())
-    if (appended.isEmpty) // pure verbatim batch: no-op version
+    // ONE aggregate answers both emptiness probes (insert count +
+    // changed count) — per-commit fixed job latency dominates a
+    // streaming micro-batch's wall at small batch sizes, and the two
+    // .isEmpty probes this replaces were a job each on every commit
+    val nRow = joined.agg(
+      count(when(col("__file").isNull, 1)).as("ni"),
+      count(when(changedCond, 1)).as("nc")).head()
+    val (nIns, nChg) = (nRow.getLong(0), nRow.getLong(1))
+    if (nIns == 0 && nChg == 0) // pure verbatim batch: no-op version
       return commitNext(path, v, live, tableSchema(path, v),
         carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty),
         txnSet = txn)
@@ -3557,7 +3565,7 @@ object Snapshots {
     // parquet anyway would tag the version as DV-carrying, forcing the
     // row-based compat read path (and an empty anti join) for no
     // reason on every ingest-only commit
-    val dvStaged: Seq[String] = if (changed.isEmpty) Seq.empty else {
+    val dvStaged: Seq[String] = if (nChg == 0) Seq.empty else {
       val doomed = changed.select(
         Seq(col("__file").as("__dv_file"), col("__pos").as("__dv_pos")) ++
           keyCols.map(c => col(s"__k.`$c`").as(c)) ++

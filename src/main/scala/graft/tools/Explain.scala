@@ -1,23 +1,23 @@
-// Scratch runner: prints formatted plans for named queries.
-// Usage: sbt "runMain graft.tools.Explain q5_multijoin q_semi"
 package graft.tools
-
 import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
-
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
     args.foreach { name =>
-      println(s"\n========== $name ==========")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(name)(spark, d)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"/root/repo/plans/r15/${name}_$out.txt"), plan)
+      graft.sources.LakehouseQueries.reclaim()
+      println(s"[explain] wrote $name $out")
     }
     spark.stop()
   }

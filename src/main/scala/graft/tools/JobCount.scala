@@ -26,9 +26,28 @@ object JobCount {
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
+    // per-callsite job attribution (SPARK_GRAFT_JOBSITES=1): which code
+    // paths submit the jobs — the fix target is the call site with the
+    // most submissions, not the slowest single job
+    val sites = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]
+    val siteDetail = sys.env.get("SPARK_GRAFT_JOBSITES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (siteDetail) {
+          // SQL-execution jobs carry no callSite.short; the first graft
+          // frame in the root stage's call-stack details attributes the
+          // submitting code path instead
+          val cs = j.stageInfos.headOption.map(_.details)
+            .flatMap(_.split("\n").find(l =>
+              l.contains("graft.") && !l.contains("graft.tools.")))
+            .map(_.trim)
+            .orElse(Option(j.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("?")
+          sites.computeIfAbsent(cs, _ => new AtomicInteger(0)).incrementAndGet()
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
@@ -45,7 +64,7 @@ object JobCount {
     } catch { case _: Throwable => () }
     args.foreach { name =>
       Thread.sleep(300) // drain listener bus from the previous query
-      jobs.set(0); stages.set(0); tasks.set(0)
+      jobs.set(0); stages.set(0); tasks.set(0); sites.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, d)
         .write.format("noop").mode("overwrite").save()
@@ -55,6 +74,12 @@ object JobCount {
       Thread.sleep(500) // listener events are async
       println(f"[jobcount] $name%-28s wall=$dt%7.2f s  stage=$stage%6.2f s" +
         f"  jobs=${jobs.get}%4d stages=${stages.get}%5d tasks=${tasks.get}%6d")
+      if (siteDetail) {
+        import scala.jdk.CollectionConverters._
+        sites.asScala.toSeq.sortBy(-_._2.get).take(30).foreach {
+          case (cs, n) => println(f"[jobsite]   ${n.get}%5d  $cs")
+        }
+      }
     }
     spark.stop()
   }
