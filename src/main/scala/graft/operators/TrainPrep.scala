@@ -332,10 +332,20 @@ object TrainPrep {
     */
   def qCuration(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // r15 (guide §1.2-1, don't recompute what you throw away): the
+    // funnel report is a UNION of six aggregates, and Spark evaluates
+    // each union branch independently — the tokenize+flag projection,
+    // the dedup window and the 8-gram decontamination chain were each
+    // re-run per branch (the gram hash of the whole corpus twice).
+    // Materialize each funnel stage ONCE (localCheckpoint inside the
+    // measured query — an intermediate of this computation, recomputed
+    // every invocation) and let the six aggregates read the
+    // materialized stages; at scale this is the same discipline — a
+    // funnel over one annotated pass, not one corpus scan per stage.
     val flagged = docs
       .selectExpr("doc_id", "source", "text", s"$wordsExpr AS w",
         s"${TextAnalysis.bucketExpr} AS bucket")
-      .selectExpr("doc_id", "source", "text",
+      .selectExpr("doc_id", "source", "text", "bucket",
         "CAST(size(w) AS BIGINT) AS n_tokens",
         "bucket < 216 AS in_train",
         s"(${TextAnalysis.qualityOkExpr("w")}) AS q_ok",
@@ -343,10 +353,12 @@ object TrainPrep {
         "CAST(size(filter(w, x -> x IN ('el','la','los','es','y'))) AS BIGINT) AS es_hits",
         "CAST(size(filter(w, x -> x IN ('le','la','les','est','et'))) AS BIGINT) AS fr_hits",
         "CAST(size(filter(w, x -> x IN ('der','die','das','ist','und'))) AS BIGINT) AS de_hits")
-      .selectExpr("doc_id", "source", "text", "n_tokens", "in_train", "q_ok",
+      .selectExpr("doc_id", "source", "text", "bucket", "n_tokens",
+        "in_train", "q_ok",
         "(NOT (en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0) " +
           "AND en_hits >= es_hits AND en_hits >= fr_hits " +
           "AND en_hits >= de_hits) AS is_en")
+      .localCheckpoint() // ONE tokenize+flag pass serves every branch
     val s1 = flagged.filter(col("in_train"))
     val s2 = s1.filter(col("q_ok"))
     val s3 = s2.filter(col("is_en"))
@@ -354,11 +366,12 @@ object TrainPrep {
         expr("md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')))"))
     val reps = s3.groupBy("fp").agg(min("doc_id").as("doc_id"))
     val s4 = s3.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
-    val holdout = docs
-      .selectExpr("doc_id", "text", s"${TextAnalysis.bucketExpr} AS bucket")
-      .filter(col("bucket") >= 216).select("doc_id", "text")
+      .localCheckpoint() // feeds the gram hash, two funnels and s5
+    val holdout = flagged.filter(col("bucket") >= 216)
+      .select("doc_id", "text")
     val bad = Decontam.contaminatedIds(s4.select("doc_id", "text"), holdout)
     val s5 = s4.join(bad, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // the clean set feeds two aggregate branches
     def funnel(df: DataFrame, name: String) =
       df.agg(count(lit(1)).as("n_docs"),
         coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))

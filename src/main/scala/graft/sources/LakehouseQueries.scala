@@ -2699,8 +2699,14 @@ object LakehouseQueries {
         bucketBy = Some(("o_custkey", 8)))
       Snapshots.writeBucketedVersioned(s, dirC, cust, "c_custkey", 8)
       // the source table starts at v0 = wave 1; waves 2..6 commit
-      // mid-stream below — the loop itself is the measured operator
-      Snapshots.overwriteVersioned(s, srcDir, wave(1))
+      // mid-stream below — the loop itself is the measured operator.
+      // A31 stored change data ON (r15): each single-step micro-batch
+      // window then serves from the commit's stored change rows (the
+      // changed-rows fast path) instead of re-deriving a manifest-diff
+      // full-outer join per batch — identical feed contents (the A31
+      // contract q_lake_stored_cdf gates), one cheap read per trigger
+      wave(1).write.parquet(srcDir)
+      Snapshots.init(s, srcDir, changeDataFeed = true)
       ()
     }
     val q = s.readStream.format("graft")

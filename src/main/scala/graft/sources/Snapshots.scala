@@ -153,6 +153,27 @@ object Snapshots {
     try s.iterator.asScala.toList finally s.close()
   }
 
+  /** True when `df` is deterministic over ALREADY-PINNED data — every
+    * leaf a materialized checkpoint (LogicalRDD) or a local relation,
+    * every expression deterministic. Such a frame re-evaluates
+    * bit-identically per action, so the merge paths' consistency
+    * checkpoint (one evaluation feeding data + DV + change artifacts)
+    * is already satisfied and the re-checkpoint job can be skipped —
+    * the streaming sink's per-partition slices hit this on every
+    * micro-batch commit. */
+  private def isPinned(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LocalRelation, LogicalPlan}
+    import org.apache.spark.sql.execution.LogicalRDD
+    def det(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRDD => true
+      case _: LocalRelation => true
+      case _: LeafNode => false // a storage scan can change between actions
+      case other =>
+        other.expressions.forall(_.deterministic) && other.children.forall(det)
+    }
+    det(df.queryExecution.analyzed)
+  }
+
   /** Latest committed version, or -1 for an uninitialized dir. */
   def currentVersion(path: String): Int = {
     val dir = logDir(path)
@@ -2564,7 +2585,7 @@ object Snapshots {
     * after staging and before the first commit attempt (where a
     * concurrent winner lands deterministically in the spec). */
   private[graft] def mergeVersionedOCC(spark: SparkSession, path: String,
-      updates: DataFrame, keyCols: Seq[String], maxRetries: Int,
+      updatesIn: DataFrame, keyCols: Seq[String], maxRetries: Int,
       beforeCommit: () => Unit,
       txn: Option[(String, Long)] = None): Int = {
     require(keyCols.nonEmpty, "merge: empty key column list")
@@ -2577,6 +2598,16 @@ object Snapshots {
     txn.foreach { case (app, ver) =>
       if (txnVersionOf(path, v, app).exists(_ >= ver)) return v
     }
+    // Materialize the batch ONCE (r15 — the mergeVersionedDV discipline
+    // applied to the CoW path): the key-count check, the rewrite write
+    // and the stored-change write each re-evaluated the caller's plan
+    // per action; one evaluation also closes the same consistency hole
+    // the DV merge's checkpoint closes (a non-deterministic source
+    // re-evaluated per artifact could commit mutually inconsistent
+    // data vs change rows). Already-pinned batches skip the redundant
+    // re-checkpoint.
+    val updates =
+      if (isPinned(updatesIn)) updatesIn else updatesIn.localCheckpoint()
     // A34: a batch violating a CHECK constraint refuses HERE — before
     // any staging, so a rejected merge leaves zero orphan files
     enforceConstraints(path, v, updates)
@@ -3466,7 +3497,10 @@ object Snapshots {
     // shuffle after executor loss) re-evaluated per artifact could
     // commit mutually inconsistent pieces — worse here than in the CoW
     // merge because a MoR commit couples TWO artifacts (DV + appends).
-    val ups = updates.localCheckpoint()
+    // r15: a batch that is ALREADY pinned data (the streaming sink's
+    // checkpointed dedup, or a per-partition slice of it) skips the
+    // redundant re-checkpoint — a job per commit on every micro-batch.
+    val ups = if (isPinned(updates)) updates else updates.localCheckpoint()
     enforceConstraints(path, v, ups)
     val live = liveFiles(path, v)
     lazy val target = readUnder(spark, path, v, live)
@@ -3475,13 +3509,8 @@ object Snapshots {
       s"mergeVersionedDV: no key column '$k' in " +
         schemaNow.fieldNames.mkString(", ")))
     // r13 (the r12 verdict's dup-key asymmetry): a duplicate-keyed
-    // source violates MERGE cardinality on a keyed table, exactly as
-    // mergeVersionedClauses already refuses — both post-image rows
-    // would otherwise append and the keyed invariant silently breaks.
-    require(ups.groupBy(keyCols.map(c => col(s"`$c`")): _*).count()
-      .filter(col("count") > 1).isEmpty,
-      s"merge: duplicate '${keyCols.mkString(", ")}' keys in the source " +
-        "violate MERGE cardinality on a keyed table")
+    // source refuses — the check itself rides the shared counts
+    // aggregate below (r15), not a job of its own.
     val leadKey = keyCols.head
     val keyType = schemaNow(leadKey).dataType
     val stats = manifestRanges(path, v, live, leadKey) match {
@@ -3548,12 +3577,20 @@ object Snapshots {
     val appended = asRows(inserts, "__post")
       .unionByName(asRows(changed, "__post").distinct())
     // ONE aggregate answers both emptiness probes (insert count +
-    // changed count) — per-commit fixed job latency dominates a
-    // streaming micro-batch's wall at small batch sizes, and the two
-    // .isEmpty probes this replaces were a job each on every commit
+    // changed count) AND the duplicate-key refusal — per-commit fixed
+    // job latency dominates a streaming micro-batch's wall at small
+    // batch sizes, and the probes this replaces were a job each on
+    // every commit. joined has exactly one row per batch row (the
+    // target holds one live row per key), so |joined| > |distinct __k|
+    // ⟺ the batch carries duplicate key tuples.
     val nRow = joined.agg(
       count(when(col("__file").isNull, 1)).as("ni"),
-      count(when(changedCond, 1)).as("nc")).head()
+      count(when(changedCond, 1)).as("nc"),
+      count(lit(1)).as("nr"),
+      countDistinct(col("__k")).as("nk")).head()
+    require(nRow.getLong(2) == nRow.getLong(3),
+      s"merge: duplicate '${keyCols.mkString(", ")}' keys in the source " +
+        "violate MERGE cardinality on a keyed table")
     val (nIns, nChg) = (nRow.getLong(0), nRow.getLong(1))
     if (nIns == 0 && nChg == 0) // pure verbatim batch: no-op version
       return commitNext(path, v, live, tableSchema(path, v),

@@ -93,9 +93,13 @@ object UpsertSink {
   private[graft] def mergeVersionedBatch(path: String, keyCols: Seq[String],
       orderCol: String, scope: Option[String], mor: Boolean)(
       batch: DataFrame, batchId: Long): Unit = {
-    val latest = latestPerKey(batch, keyCols, orderCol)
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
-    if (!replayed && !latest.isEmpty) {
+    if (replayed) return
+    // materialize the deduped batch ONCE: the emptiness probe and the
+    // merge each re-evaluated the batch plan — which for a change-feed
+    // source is the whole per-version diff — per action
+    val latest = latestPerKey(batch, keyCols, orderCol).localCheckpoint()
+    if (!latest.isEmpty) {
       // A51 (r9): with a checkpoint lineage the batch commits under a
       // manifest-carried txn mark — ATOMIC with the version, closing
       // the crash window the sidecar marker below leaves open (a crash
@@ -145,9 +149,14 @@ object UpsertSink {
       keyCols: Seq[String], partCol: String, orderCol: String,
       scope: Option[String], mor: Boolean)(
       batch: DataFrame, batchId: Long): Seq[String] = {
-    val latest = latestPerKey(batch, keyCols, orderCol)
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
-    if (!replayed && !latest.isEmpty) {
+    if (replayed) return Seq.empty
+    // ONE evaluation of the deduped batch feeds the emptiness probe,
+    // the touched-value collect and every per-partition slice — the
+    // change-feed diff a graft-to-graft loop streams would otherwise
+    // recompute per consumer
+    val latest = latestPerKey(batch, keyCols, orderCol).localCheckpoint()
+    if (!latest.isEmpty) {
       val touched = graft.sources.PartitionedSnapshots.mergePartitioned(
         batch.sparkSession, path, latest, keyCols, partCol, mor)
       scope.foreach(sc => recordBatch(path, sc, batchId))
@@ -170,9 +179,11 @@ object UpsertSink {
   private[graft] def mergeHiddenBatch(path: String, keyCols: Seq[String],
       orderCol: String, scope: Option[String], mor: Boolean)(
       batch: DataFrame, batchId: Long): Seq[String] = {
-    val latest = latestPerKey(batch, keyCols, orderCol)
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
-    if (!replayed && !latest.isEmpty) {
+    if (replayed) return Seq.empty
+    // one evaluation of the deduped batch (see mergePartitionedBatch)
+    val latest = latestPerKey(batch, keyCols, orderCol).localCheckpoint()
+    if (!latest.isEmpty) {
       // the merge reports each touched label WITH its directory —
       // never re-parse labels here (a string transform VALUE can look
       // exactly like an `e<k>:<v>` label)
