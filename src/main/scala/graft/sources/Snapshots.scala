@@ -2299,7 +2299,7 @@ object Snapshots {
     * `MERGE ... ON a.x=b.x AND a.y=b.y` shape); file discovery prunes
     * on the leading key column's ranges. */
   def mergeVersionedClauses(spark: SparkSession, path: String,
-      source: DataFrame, keyCols: Seq[String], clauses: Seq[MergeWhen],
+      sourceIn: DataFrame, keyCols: Seq[String], clauses: Seq[MergeWhen],
       evolveSchema: Boolean,
       txn: Option[(String, Long)],
       txnMulti: Seq[(String, Long)]): Int = {
@@ -2320,6 +2320,12 @@ object Snapshots {
         txnVersionOf(path, v, app).exists(_ >= ver) }) return v
     }
     require(clauses.nonEmpty, "mergeVersionedClauses: no WHEN clauses")
+    // one evaluation of the source feeds the cardinality check, the
+    // touched-file discovery, the clause cascade and the change rows
+    // (r15 — the shared merge discipline); an MV refresh's source is a
+    // whole change-feed delta aggregate, re-computed per action before
+    val source =
+      if (isPinned(sourceIn)) sourceIn else sourceIn.localCheckpoint()
     val live = liveFiles(path, v)
     lazy val target = readUnder(spark, path, v, live)
     val schemaNow = tableSchema(path, v).getOrElse(target.schema)
