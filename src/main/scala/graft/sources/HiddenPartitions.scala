@@ -728,12 +728,21 @@ object HiddenPartitions {
             .join(broadcast(remaining.select(keyCols.map(column): _*)),
               keyCols, "left_semi")
             .localCheckpoint()
-          val found = epochKeys.select("__pv").distinct()
-            .collect().map(_.getString(0)).sorted
+          // ONE aggregate yields the found values AND their per-dir
+          // staying/moving row counts (r15): the per-dir `.isEmpty`
+          // probes this replaces were two actions per found dir, pure
+          // fixed job latency at batch scale
+          val pvStats = remaining.join(broadcast(epochKeys), keyCols, "inner")
+            .groupBy("__pv")
+            .agg(count(when(t.valueExpr <=> col("__pv"), 1)).as("__nstay"),
+              count(when(!(t.valueExpr <=> col("__pv")), 1)).as("__nmove"))
+            .collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+          val found = pvStats.keys.toIndexedSeq.sorted
           // each found value commits into ITS OWN dir — overlap the
           // per-dir merges (Par); the results map is the only shared
           // driver state, synchronized below
-          Par.foreach(spark, found.toIndexedSeq) { v =>
+          Par.foreach(spark, found) { v =>
             val keysV = broadcast(epochKeys.filter(col("__pv") === v)
               .select(keyCols.map(column): _*))
             val rowsV = remaining.join(keysV, keyCols, "left_semi")
@@ -749,13 +758,14 @@ object HiddenPartitions {
               val r = (dirOf(v), upsert(dirOf(v), rowsV))
               results.synchronized { results(label) = r }
             } else {
+              val (nStay, nMove) = pvStats(v)
               val staying = rowsV.filter(t.valueExpr <=> lit(v))
               val moving = rowsV.filter(!(t.valueExpr <=> lit(v)))
-              if (!staying.isEmpty) {
+              if (nStay > 0) {
                 val r = (dirOf(v), upsert(dirOf(v), staying))
                 results.synchronized { results(label) = r }
               }
-              if (!moving.isEmpty) {
+              if (nMove > 0) {
                 val r = (dirOf(v),
                   removeKeys(dirOf(v), moving.select(keyCols.map(column): _*)))
                 results.synchronized { results(s"$label:del") = r }
@@ -780,14 +790,18 @@ object HiddenPartitions {
     }
     // PASS 2 — genuinely new (or moved) keys: route by the current transform
     val existing = epochValues(path, currentEpoch).toSet
-    val touched = remaining.withColumn("__part", current.valueExpr)
-      .select("__part").distinct().collect().map(_.getString(0))
+    // one aggregate yields the touched values WITH their row counts —
+    // the per-new-value `slice.isEmpty` probe was an action per dir
+    val touchedCounts = remaining.withColumn("__part", current.valueExpr)
+      .groupBy("__part").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val touched = touchedCounts.keys.toArray
     // per-value slices bootstrap/merge into DISJOINT dirs — overlap
     Par.foreach(spark, touched.sorted.toIndexedSeq) { v =>
       val slice = remaining.filter(current.valueExpr === v)
       val dir = epochDir(path, currentEpoch, v)
       if (!existing.contains(v)) {
-        if (slice.isEmpty) () // every key updated in an older epoch
+        if (touchedCounts(v) == 0L) () // every key updated in an older epoch
         else bucketOf(path) match {
           // composed layout: a NEW partition bootstraps bucketed too,
           // so the whole table keeps the exchange-free join property
@@ -821,7 +835,7 @@ object HiddenPartitions {
             val r = (dir, Snapshots.init(spark, dir))
             results.synchronized { results(v) = r }
         }
-      } else if (!slice.isEmpty) {
+      } else if (touchedCounts(v) > 0L) {
         val r = (dir, upsert(dir, slice))
         results.synchronized { results(v) = r }
       }
