@@ -2645,12 +2645,11 @@ object Snapshots {
     // duplicate-keyed source exactly as mergeVersionedClauses does —
     // the union below would otherwise land BOTH rows and silently
     // break the one-live-row-per-key invariant every merge maintains.
-    // ONE pass over the batch serves both the refusal and the
-    // key-distinct discovery (the checkpointed counts frame is
-    // |distinct keys|-sized), so the check costs no extra batch scan.
+    // No own checkpoint (r15): `updates` is pinned above, so the
+    // counts frame re-derives deterministically per consumer — the
+    // ckpt here was a whole extra action per commit.
     val keyCounts = updates
       .groupBy(keyCols.map(c => col(s"`$c`")): _*).count()
-      .localCheckpoint()
     require(keyCounts.filter(col("count") > 1).isEmpty,
       s"merge: duplicate '${keyCols.mkString(", ")}' keys in the source " +
         "violate MERGE cardinality on a keyed table")
