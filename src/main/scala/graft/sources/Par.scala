@@ -31,14 +31,29 @@ private[graft] object Par {
 
   private val widthCap = 8
 
-  private def width(spark: SparkSession, n: Int): Int =
-    math.min(math.min(n, widthCap),
-      math.max(1, spark.sparkContext.defaultParallelism / 4))
+  /** r16 (the r15 verdict's item 7): the maintenance-overlap width is a
+    * conf (`spark.graft.maintenance.parallelism`) defaulting to the
+    * r15 formula — defaultParallelism/4, cap 8, floor 1. On a real
+    * cluster the bound is driver RPC capacity, not a constant; a
+    * 100 TB maintenance sweep over thousands of partition dirs can
+    * raise it without a rebuild. */
+  private def width(spark: SparkSession, n: Int): Int = {
+    val conf = spark.conf
+      .get("spark.graft.maintenance.parallelism", "")
+    val w = conf.toIntOption.filter(_ >= 1).getOrElse(
+      math.min(widthCap,
+        math.max(1, spark.sparkContext.defaultParallelism / 4)))
+    math.min(n, w)
+  }
 
   /** `items.map(f)` with up to [[width]] bodies in flight. Exceptions
     * from `f` propagate unwrapped (refusal messages are pinned by
-    * callers/specs); remaining bodies still complete or are abandoned
-    * best-effort before the first failure is rethrown. */
+    * callers/specs). On failure, every not-yet-started body is
+    * cancelled and the pool is DRAINED before the first failure (in
+    * item order) is rethrown — no body is still mutating a table when
+    * the exception escapes (r15 advice: a streaming-engine batch retry
+    * must never race leftover in-flight commits against the same
+    * dirs). */
   def map[A, B](spark: SparkSession, items: Seq[A])(f: A => B): Seq[B] = {
     val w = width(spark, items.size)
     if (items.size <= 1 || w <= 1) items.map(f)
@@ -56,14 +71,33 @@ private[graft] object Par {
             }
           })
         }
-        futs.map { fut =>
-          try fut.get()
+        // await every future before rethrowing: a queued body that has
+        // not started is cancelled; a running one completes (its result
+        // or failure is then irrelevant — the FIRST failure in item
+        // order wins, matching the sequential loop's error surface)
+        var firstFailure: Throwable = null
+        val results = futs.map { fut =>
+          if (firstFailure != null) fut.cancel(false)
+          try Some(fut.get())
           catch {
+            case _: java.util.concurrent.CancellationException => None
             case e: ExecutionException if e.getCause != null =>
-              throw e.getCause
+              if (firstFailure == null) firstFailure = e.getCause
+              None
+            case e: Throwable =>
+              if (firstFailure == null) firstFailure = e
+              None
           }
         }
-      } finally pool.shutdown()
+        if (firstFailure != null) throw firstFailure
+        results.map(_.get)
+      } finally {
+        pool.shutdown()
+        // bodies either returned via fut.get or were cancelled before
+        // starting; this wait is belt-and-braces against a same-tick
+        // cancel/start race inside the executor
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      }
     }
   }
 

@@ -169,9 +169,57 @@ object Snapshots {
       case _: LocalRelation => true
       case _: LeafNode => false // a storage scan can change between actions
       case other =>
-        other.expressions.forall(_.deterministic) && other.children.forall(det)
+        // r16 (r15 advice): a subquery expression hides a whole plan —
+        // possibly a mutable storage scan — behind deterministic=true;
+        // treat any PlanExpression as not pinned
+        other.expressions.forall(e => e.deterministic && !e.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])) &&
+          other.children.forall(det)
     }
     det(df.queryExecution.analyzed)
+  }
+
+  /** r16 — deterministic over an IMMUTABLE SNAPSHOT and cheap to
+    * re-evaluate: every leaf is materialized data, a local relation,
+    * or a file scan whose file LISTING was resolved when the plan was
+    * built (parquet data files are immutable and `InMemoryFileIndex` /
+    * the graft indexes never re-list, so the scanned byte set cannot
+    * change between actions), every expression deterministic with no
+    * subquery, and only per-row operators above the leaves (project /
+    * filter / union) — re-evaluating such a plan costs one cheap
+    * pass, which each consuming action pays INSIDE its own job anyway.
+    * For these sources the r15 unconditional `localCheckpoint` bought
+    * no consistency (same multiset per evaluation, loudly or not at
+    * all on executor loss either way) and cost a whole extra
+    * materialization job per commit — the r15 driver bench's
+    * merge-verb regression. Joins/aggregates/windows/shuffles and
+    * anything non-whitelisted still pin. */
+  private def isStableSnapshot(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def detExprs(p: LogicalPlan): Boolean =
+      p.expressions.forall(e => e.deterministic && !e.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    def ok(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRDD => true
+      case _: LocalRelation => true
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case _: org.apache.spark.sql.execution.datasources.InMemoryFileIndex => true
+          case _: GraftFileIndex => true // pinned to one immutable version
+          // the partitioned graft indexes resolve each dir's CURRENT
+          // version — a concurrent commit between actions could move
+          // them; not stable
+          case _ => false // an unknown index may re-list per action
+        }
+        case _ => false
+      }
+      case _: Project | _: Filter | _: Union | _: SubqueryAlias =>
+        detExprs(p) && p.children.forall(ok)
+      case _ => false
+    }
+    ok(df.queryExecution.analyzed)
   }
 
   /** Latest committed version, or -1 for an uninitialized dir. */
@@ -1548,6 +1596,118 @@ object Snapshots {
     col("kmin").isNull || col("kmax").isNull ||
       (k >= col("kmin") && k <= col("kmax"))
 
+  // ── r16: ONE action per merge batch answers the duplicate-key
+  // refusal, the batch row count AND candidate-file discovery ─────────
+  // The r15 merge paths spent two actions here per commit (a
+  // groupBy-count dup probe + a stats semi-join collect); at bench
+  // scale each action is ~60–200 ms of fixed driver latency, and at
+  // 100 TB each is a full scheduling round-trip. The summary collects
+  // the distinct LEADING key values — the same driver-memory bound the
+  // broadcast semi-join it replaces already imposed (Spark builds
+  // broadcast relations on the driver) — and file discovery becomes a
+  // driver-side walk of the manifest ranges it already had in hand.
+
+  private case class BatchKeySummary(
+      nRows: Long, hasDupTuples: Boolean,
+      leadKeys: Array[Any], leadJudgeable: Boolean)
+
+  /** One aggregate over the batch: per full key TUPLE counts (max > 1
+    * ⟺ duplicate tuples), re-grouped by the leading key projected to
+    * its INTERNAL stats form (micros/days for T/A — the form
+    * [[GraftFileIndex.bounds]] compares). `leadJudgeable=false` (NTZ
+    * and exotic key types the stats tags cannot judge) matches
+    * [[keyRangeFrame]]'s NULL-decode: every file stays touched. */
+  private def batchKeySummary(ups: DataFrame, keyCols: Seq[String],
+      keyType: org.apache.spark.sql.types.DataType): BatchKeySummary = {
+    import org.apache.spark.sql.types._
+    val leadKey = keyCols.head
+    val (leadInternal, judgeable) = keyType match {
+      case TimestampType => (unix_micros(col(s"`$leadKey`")), true)
+      case DateType => (unix_date(col(s"`$leadKey`")), true)
+      case TimestampNTZType => (lit(null), false)
+      case _: NumericType | StringType | BooleanType =>
+        (col(s"`$leadKey`"), true)
+      case _ => (lit(null), false)
+    }
+    val rows = ups.groupBy(keyCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(leadInternal.as("__k"))
+      .agg(max(col("__cnt")).as("__mx"), sum(col("__cnt")).as("__n"))
+      .collect()
+    BatchKeySummary(
+      rows.iterator.map(_.getLong(2)).sum,
+      rows.exists(_.getLong(1) > 1L),
+      if (judgeable) rows.map(_.get(0)) else Array.empty,
+      judgeable)
+  }
+
+  /** Stat tags a key of `keyType` can be judged against — exactly the
+    * tags [[keyRangeFrame]] decodes for that type (foreign tags keep
+    * the file there via NULL bounds, here via "not judgeable"). */
+  private def judgeableTags(keyType: org.apache.spark.sql.types.DataType)
+      : Set[String] = {
+    import org.apache.spark.sql.types._
+    keyType match {
+      case TimestampType => Set("T")
+      case DateType => Set("A")
+      case StringType => Set("S")
+      case _: NumericType => Set("L", "D", "C")
+      case _ => Set.empty
+    }
+  }
+
+  /** Driver-side candidate-file discovery: keep every file whose
+    * recorded [lo, hi] may contain SOME batch key (tag-aware compare,
+    * [[GraftFileIndex.bounds]]); an unjudgeable bound or key keeps the
+    * file — [[keyRangeCond]]'s NULL semantics. None when the walk
+    * would be too expensive single-threaded (falls back to the
+    * distributed semi-join) or the key type is unjudgeable with a
+    * NON-empty key set unavailable. */
+  private def touchedByRanges(ranges: Seq[(String, String, String, String)],
+      keyType: org.apache.spark.sql.types.DataType,
+      summary: BatchKeySummary,
+      maxCompares: Long): Option[IndexedSeq[String]] = {
+    if (!summary.leadJudgeable)
+      return Some(ranges.map(r => canonical(r._1)).toIndexedSeq)
+    if (ranges.length.toLong * math.max(summary.leadKeys.length, 1) >
+        maxCompares) return None
+    val tags = judgeableTags(keyType)
+    Some(ranges.iterator.collect {
+      case (f, mn, mx, t)
+          if !tags.contains(t) || // foreign tag: may hold any key
+            summary.leadKeys.exists { k =>
+              GraftFileIndex.bounds(Map("__k" -> ((t, mn, mx))), "__k", k)
+                .forall { case (sLo, sHi) => sLo <= 0 && sHi >= 0 }
+            } =>
+        canonical(f)
+    }.toIndexedSeq)
+  }
+
+  /** The per-commit compare budget for driver-side file discovery;
+    * beyond it the distributed stats semi-join takes over (a huge
+    * batch × a huge live set is executor work, not driver work). */
+  private def plannerTouchedMaxCompares(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.merge.plannerTouched.maxCompares",
+      "8000000").toLong
+
+  /** Counts observed on a materializing action (r16: CollectMetrics
+    * accumulators ride the merge checkpoint job via `observe()`, so
+    * the emptiness/cardinality probes stop being a job of their own).
+    * The listener publishing them is ASYNC: poll briefly after the
+    * action, then fall back to `recompute` — one plain aggregate over
+    * the already-materialized frame; never wrong, at worst one extra
+    * cheap job on a listener hiccup. */
+  private def observedCounts(obs: org.apache.spark.sql.Observation,
+      names: Seq[String], recompute: () => Seq[Long]): Seq[Long] = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var m = org.apache.spark.sql.GraftSqlBridge.observedOrEmpty(obs)
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(2)
+      m = org.apache.spark.sql.GraftSqlBridge.observedOrEmpty(obs)
+    }
+    if (m.nonEmpty) names.map(n => m(n).asInstanceOf[Long]) else recompute()
+  }
+
   /** May a file with recorded (tag, mn, mx) intersect the LONG range
     * [lo, hi]? Integral-valued tags (L, and r12's micros/days T/A)
     * compare exactly as longs; D/C through double (NaN keeps — it
@@ -2323,9 +2483,14 @@ object Snapshots {
     // one evaluation of the source feeds the cardinality check, the
     // touched-file discovery, the clause cascade and the change rows
     // (r15 — the shared merge discipline); an MV refresh's source is a
-    // whole change-feed delta aggregate, re-computed per action before
+    // whole change-feed delta aggregate, re-computed per action before.
+    // r16: a stable-snapshot source (deterministic project/filter over
+    // immutable files) skips the pin — re-evaluation is one cheap pass
+    // each consumer pays inside its own job, and the unconditional pin
+    // was the r15 merge-verb regression.
     val source =
-      if (isPinned(sourceIn)) sourceIn else sourceIn.localCheckpoint()
+      if (isPinned(sourceIn) || isStableSnapshot(sourceIn)) sourceIn
+      else sourceIn.localCheckpoint()
     val live = liveFiles(path, v)
     lazy val target = readUnder(spark, path, v, live)
     val schemaNow = tableSchema(path, v).getOrElse(target.schema)
@@ -2378,29 +2543,35 @@ object Snapshots {
           s"merge: INSERT must provide the key column '$k'"))
       case _ =>
     }
-    require(source.groupBy(keyCols.map(c => col(s"`$c`")): _*).count()
-      .filter(col("count") > 1).isEmpty,
+    // r16: one action answers the cardinality refusal and (when the
+    // manifest ranges are complete) candidate-file discovery runs
+    // driver-side from the collected lead keys — two actions before
+    val leadKey = keyCols.head
+    val keyType = schemaNow(leadKey).dataType
+    val summary = batchKeySummary(source, keyCols, keyType)
+    require(!summary.hasDupTuples,
       s"merge: duplicate '${keyCols.mkString(", ")}' keys in the source " +
         "violate MERGE cardinality on a keyed table")
 
     val touched: Seq[String] =
       if (bySourceCs.nonEmpty) live.map(canonical)
-      else {
-        val leadKey = keyCols.head
-        val keyType = schemaNow(leadKey).dataType
-        val stats = manifestRanges(path, v, live, leadKey) match {
-          case Some(rows) => keyRangeFrame(spark, rows, keyType)
-          case None => target
-            .withColumn("file", input_file_name())
-            .groupBy("file")
-            .agg(min(col(s"`$leadKey`")).as("kmin"),
-              max(col(s"`$leadKey`")).as("kmax"))
+      else manifestRanges(path, v, live, leadKey)
+        .flatMap(touchedByRanges(_, keyType, summary,
+          plannerTouchedMaxCompares(spark)))
+        .getOrElse {
+          val stats = manifestRanges(path, v, live, leadKey) match {
+            case Some(rows) => keyRangeFrame(spark, rows, keyType)
+            case None => target
+              .withColumn("file", input_file_name())
+              .groupBy("file")
+              .agg(min(col(s"`$leadKey`")).as("kmin"),
+                max(col(s"`$leadKey`")).as("kmax"))
+          }
+          val keys = source.select(col(s"`$leadKey`").as("__k")).distinct()
+          stats.join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
+            .select("file").collect().map(r => canonical(r.getString(0)))
+            .toIndexedSeq
         }
-        val keys = source.select(col(s"`$leadKey`").as("__k")).distinct()
-        stats.join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
-          .select("file").collect().map(r => canonical(r.getString(0)))
-          .toIndexedSeq
-      }
     if (touched.isEmpty && insertCs.isEmpty) // nothing can fire
       return commitNext(path, v, live, tableSchema(path, v),
         carriedStats(path, v, live), dvFiles(path, v),
@@ -2527,7 +2698,7 @@ object Snapshots {
       .select(outSchema.fields.toIndexedSeq.map(outCol): _*)
     enforceConstraints(path, v, rewritten)
 
-    val cdfStaged: Option[Seq[String]] =
+    val cdfRows: Option[DataFrame] =
       if (!cdfEnabled(path, v)) None
       else {
         val allCols = outSchema.fieldNames.toIndexedSeq
@@ -2564,17 +2735,28 @@ object Snapshots {
           df.select(keyCols.map(k => col(s"$side.`$k`").as(k)) ++
             (ct.as("change_type") +:
               payload.map(c => col(s"$side.`$c`").as(c))): _*)
-        Some(stageCdf(path, v,
+        Some(
           img(tagged.filter(col("__ct") =!= "delete"), "__post",
             col("__ct"))
             .unionByName(img(tagged.filter(col("__ct") === "delete"),
               "__pre", lit("delete")))
             .unionByName(img(tagged.filter(col("__ct") === "update"),
-              "__pre", lit("update_preimage")))))
+              "__pre", lit("update_preimage"))))
       }
 
-    val staged = stageData(rewritten, Some(outSchema), path, v + 1,
-      bucketSpecOf(path, v))
+    // r16: the rewrite write and the stored-change write are
+    // independent — overlap them (guide §2.6)
+    val (staged, cdfStaged) = cdfRows match {
+      case None =>
+        (stageData(rewritten, Some(outSchema), path, v + 1,
+          bucketSpecOf(path, v)), None)
+      case Some(rows) =>
+        val r = Par.map(spark, Seq[() => Seq[String]](
+          () => stageData(rewritten, Some(outSchema), path, v + 1,
+            bucketSpecOf(path, v)),
+          () => stageCdf(path, v, rows)))(_())
+        (r(0), Some(r(1)))
+    }
     val touchedSet = touched.map(canonical).toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged,
@@ -2611,9 +2793,14 @@ object Snapshots {
     // the DV merge's checkpoint closes (a non-deterministic source
     // re-evaluated per artifact could commit mutually inconsistent
     // data vs change rows). Already-pinned batches skip the redundant
-    // re-checkpoint.
+    // re-checkpoint; r16: so do STABLE-SNAPSHOT batches (deterministic
+    // projections/filters over immutable file snapshots — same
+    // multiset per evaluation, so the pin bought no consistency and
+    // cost a materialization job per commit: the r15 driver bench's
+    // merge-verb regression).
     val updates =
-      if (isPinned(updatesIn)) updatesIn else updatesIn.localCheckpoint()
+      if (isPinned(updatesIn) || isStableSnapshot(updatesIn)) updatesIn
+      else updatesIn.localCheckpoint()
     // A34: a batch violating a CHECK constraint refuses HERE — before
     // any staging, so a rejected merge leaves zero orphan files
     enforceConstraints(path, v, updates)
@@ -2633,31 +2820,36 @@ object Snapshots {
     // never file discovery (conservative, never skips a match).
     val leadKey = keyCols.head
     val keyType = schemaNow(leadKey).dataType
-    val stats = manifestRanges(path, v, live, leadKey) match {
-      case Some(rows) => keyRangeFrame(spark, rows, keyType)
-      case None => target
-        .withColumn("file", input_file_name())
-        .groupBy("file")
-        .agg(min(col(s"`$leadKey`")).as("kmin"),
-          max(col(s"`$leadKey`")).as("kmax"))
-    }
-    // r13 (the r12 verdict's dup-key asymmetry): refuse a
-    // duplicate-keyed source exactly as mergeVersionedClauses does —
-    // the union below would otherwise land BOTH rows and silently
-    // break the one-live-row-per-key invariant every merge maintains.
-    // No own checkpoint (r15): `updates` is pinned above, so the
-    // counts frame re-derives deterministically per consumer — the
-    // ckpt here was a whole extra action per commit.
-    val keyCounts = updates
-      .groupBy(keyCols.map(c => col(s"`$c`")): _*).count()
-    require(keyCounts.filter(col("count") > 1).isEmpty,
+    // r16: ONE action — the key summary answers the r13 duplicate-key
+    // refusal (the union below would otherwise land both rows and
+    // break the one-live-row-per-key invariant) AND hands the distinct
+    // lead keys to driver-side file discovery over the manifest ranges
+    // (which were already in driver hands); the r15 shape spent two
+    // actions here (groupBy-count probe + stats semi-join collect).
+    val summary = batchKeySummary(updates, keyCols, keyType)
+    require(!summary.hasDupTuples,
       s"merge: duplicate '${keyCols.mkString(", ")}' keys in the source " +
         "violate MERGE cardinality on a keyed table")
-    val keys = keyCounts.select(col(s"`$leadKey`").as("__k")).distinct()
-    val touched = stats
-      .join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
-      .select("file").collect().map(_.getString(0))
-      .map(canonical)
+    val touched: Seq[String] = manifestRanges(path, v, live, leadKey)
+      .flatMap(touchedByRanges(_, keyType, summary,
+        plannerTouchedMaxCompares(spark)))
+      .getOrElse {
+        // legacy manifests without complete ranges (scan rebuild), or a
+        // batch×live product past the driver budget: the distributed
+        // semi-join, exactly the pre-r16 shape
+        val stats = manifestRanges(path, v, live, leadKey) match {
+          case Some(rows) => keyRangeFrame(spark, rows, keyType)
+          case None => target
+            .withColumn("file", input_file_name())
+            .groupBy("file")
+            .agg(min(col(s"`$leadKey`")).as("kmin"),
+              max(col(s"`$leadKey`")).as("kmax"))
+        }
+        val keys = updates.select(col(s"`$leadKey`").as("__k")).distinct()
+        stats.join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
+          .select("file").collect().map(_.getString(0))
+          .map(canonical).toIndexedSeq
+      }
     // readLive, not readUnder: a DV-deleted row in a touched file must
     // not resurrect through the copy-on-write rewrite
     val oldTouched =
@@ -2688,7 +2880,7 @@ object Snapshots {
     // exactly these rows instead of the touched files' full pre+post
     // images.
     val wantCdf = cdfEnabled(path, v)
-    val cdfStaged: Option[Seq[String]] = if (!wantCdf) None else {
+    val cdfRows: Option[DataFrame] = if (!wantCdf) None else {
       val cdfPayload =
         outSchema.fieldNames.filterNot(keyCols.contains).toIndexedSeq
       def cdfNorm(df: DataFrame): DataFrame =
@@ -2714,22 +2906,35 @@ object Snapshots {
       // has them in hand — post-commit the pre rows live in retired
       // files a feed would have to re-read). Post-image-only readers
       // filter them out; cost stays ∝ the commit's change set.
-      Some(stageCdf(path, v,
+      Some(
         changed.select(keyCols.map(c => col(s"__k.`$c`").as(c)) ++
             (col("change_type") +:
               cdfPayload.map(c => col(s"__post.`$c`").as(c))): _*)
           .unionByName(changed.filter(col("change_type") === "update")
             .select(keyCols.map(c => col(s"__k.`$c`").as(c)) ++
               (lit("update_preimage").as("change_type") +:
-                cdfPayload.map(c => col(s"__pre.`$c`").as(c))): _*))))
+                cdfPayload.map(c => col(s"__pre.`$c`").as(c))): _*)))
     }
 
     // data files always land under PHYSICAL names so the live set stays
     // uniform across renames (readUnder aliases back to logical); on a
     // bucketed table (A50) kept ∪ updates re-route through the bucket
-    // hash so every staged file stays bucket-tagged
-    val staged = stageData(rewritten, Some(outSchema), path, v + 1,
-      bucketSpecOf(path, v))
+    // hash so every staged file stays bucket-tagged.
+    // r16: the data write and the stored-change write are independent
+    // (both deterministic over the pinned/stable batch + the touched
+    // files' immutable pre-image) — overlap them (guide §2.6) instead
+    // of paying two sequential job latencies per commit.
+    val (staged, cdfStaged) = cdfRows match {
+      case None =>
+        (stageData(rewritten, Some(outSchema), path, v + 1,
+          bucketSpecOf(path, v)), None)
+      case Some(rows) =>
+        val r = Par.map(spark, Seq[() => Seq[String]](
+          () => stageData(rewritten, Some(outSchema), path, v + 1,
+            bucketSpecOf(path, v)),
+          () => stageCdf(path, v, rows)))(_())
+        (r(0), Some(r(1)))
+    }
     beforeCommit()
     // A41: index the staged files when the bloom property is on
     val bloomStaged = maybeBloom(spark, path, v, staged)
@@ -3505,7 +3710,10 @@ object Snapshots {
     // r15: a batch that is ALREADY pinned data (the streaming sink's
     // checkpointed dedup, or a per-partition slice of it) skips the
     // redundant re-checkpoint — a job per commit on every micro-batch.
-    val ups = if (isPinned(updates)) updates else updates.localCheckpoint()
+    // r16: stable-snapshot batches skip it too (see mergeVersionedOCC).
+    val ups =
+      if (isPinned(updates) || isStableSnapshot(updates)) updates
+      else updates.localCheckpoint()
     enforceConstraints(path, v, ups)
     val live = liveFiles(path, v)
     lazy val target = readUnder(spark, path, v, live)
@@ -3514,23 +3722,34 @@ object Snapshots {
       s"mergeVersionedDV: no key column '$k' in " +
         schemaNow.fieldNames.mkString(", ")))
     // r13 (the r12 verdict's dup-key asymmetry): a duplicate-keyed
-    // source refuses — the check itself rides the shared counts
-    // aggregate below (r15), not a job of its own.
+    // source refuses. r16: the refusal rides the batch key summary —
+    // the same single action that feeds driver-side candidate-file
+    // discovery — and is now EXACT about blame (a violated
+    // one-live-row-per-key invariant in the TARGET refuses separately
+    // below, instead of a message wrongly naming the source).
     val leadKey = keyCols.head
     val keyType = schemaNow(leadKey).dataType
-    val stats = manifestRanges(path, v, live, leadKey) match {
-      case Some(rows) => keyRangeFrame(spark, rows, keyType)
-      case None => target
-        .withColumn("file", input_file_name())
-        .groupBy("file")
-        .agg(min(col(s"`$leadKey`")).as("kmin"),
-          max(col(s"`$leadKey`")).as("kmax"))
-    }
-    val keys = ups.select(col(s"`$leadKey`").as("__k")).distinct()
-    val touched = stats
-      .join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
-      .select("file").collect().map(_.getString(0))
-      .map(canonical).toIndexedSeq
+    val summary = batchKeySummary(ups, keyCols, keyType)
+    require(!summary.hasDupTuples,
+      s"merge: duplicate '${keyCols.mkString(", ")}' keys in the source " +
+        "violate MERGE cardinality on a keyed table")
+    val touched: IndexedSeq[String] = manifestRanges(path, v, live, leadKey)
+      .flatMap(touchedByRanges(_, keyType, summary,
+        plannerTouchedMaxCompares(spark)))
+      .getOrElse {
+        val stats = manifestRanges(path, v, live, leadKey) match {
+          case Some(rows) => keyRangeFrame(spark, rows, keyType)
+          case None => target
+            .withColumn("file", input_file_name())
+            .groupBy("file")
+            .agg(min(col(s"`$leadKey`")).as("kmin"),
+              max(col(s"`$leadKey`")).as("kmax"))
+        }
+        val keys = ups.select(col(s"`$leadKey`").as("__k")).distinct()
+        stats.join(broadcast(keys), keyRangeCond(col("__k")), "left_semi")
+          .select("file").collect().map(_.getString(0))
+          .map(canonical).toIndexedSeq
+      }
     val outSchema = StructType(
       schemaNow.fields ++ ups.schema.fields.filterNot(f =>
         schemaNow.fieldNames.contains(f.name)))
@@ -3571,69 +3790,91 @@ object Snapshots {
       struct(payload.map(c => col(s"`$c`")): _*).as("__post"))
     // one evaluation of the batch ⋈ touched-pre join feeds the empty
     // probe, the append write, the DV write, and the CDF rows — the
-    // candidate-file position scan runs ONCE, not once per artifact
-    val joined = post.join(pre, Seq("__k"), "left_outer").localCheckpoint()
-    val inserts = joined.filter(col("__file").isNull)
+    // candidate-file position scan runs ONCE, not once per artifact.
+    // r16: the emptiness/changed counts RIDE the checkpoint job itself
+    // (CollectMetrics accumulators — observe()), so the separate
+    // counts aggregate the r15 shape still paid per commit is gone.
     val changedCond = col("__file").isNotNull && !(col("__pre") <=> col("__post"))
+    val obs = org.apache.spark.sql.Observation()
+    val joined = post.join(pre, Seq("__k"), "left_outer")
+      .observe(obs,
+        count(when(col("__file").isNull, lit(1))).as("__ni"),
+        count(when(changedCond, lit(1))).as("__nc"),
+        count(lit(1)).as("__nr"))
+      .localCheckpoint()
+    val counts = observedCounts(obs, Seq("__ni", "__nc", "__nr"),
+      () => {
+        val r = joined.agg(count(when(col("__file").isNull, lit(1))),
+          count(when(changedCond, lit(1))), count(lit(1))).head()
+        Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+      })
+    val (nIns, nChg, nJoined) = (counts(0), counts(1), counts(2))
+    // the target side of the r13 cardinality contract (r15 advice: the
+    // fused |joined|-vs-distinct probe blamed the SOURCE for this):
+    // source keys are unique (refused above), so extra joined rows can
+    // only mean a batch key matched >1 live pre row — the target's
+    // one-live-row-per-key invariant was violated upstream (e.g. via
+    // appendVersioned on a keyed table)
+    require(nJoined == summary.nRows,
+      s"merge: target $path holds multiple live rows for a merge key " +
+        "(one-live-row-per-key invariant violated; source keys are unique)")
+    val inserts = joined.filter(col("__file").isNull)
     val changed = joined.filter(changedCond)
     def asRows(df: DataFrame, src: String): DataFrame =
       df.select(keyCols.map(c => col(s"__k.`$c`").as(c)) ++
         payload.map(c => col(s"$src.`$c`").as(c)): _*)
     val appended = asRows(inserts, "__post")
       .unionByName(asRows(changed, "__post").distinct())
-    // ONE aggregate answers both emptiness probes (insert count +
-    // changed count) AND the duplicate-key refusal — per-commit fixed
-    // job latency dominates a streaming micro-batch's wall at small
-    // batch sizes, and the probes this replaces were a job each on
-    // every commit. joined has exactly one row per batch row (the
-    // target holds one live row per key), so |joined| > |distinct __k|
-    // ⟺ the batch carries duplicate key tuples.
-    val nRow = joined.agg(
-      count(when(col("__file").isNull, 1)).as("ni"),
-      count(when(changedCond, 1)).as("nc"),
-      count(lit(1)).as("nr"),
-      countDistinct(col("__k")).as("nk")).head()
-    require(nRow.getLong(2) == nRow.getLong(3),
-      s"merge: duplicate '${keyCols.mkString(", ")}' keys in the source " +
-        "violate MERGE cardinality on a keyed table")
-    val (nIns, nChg) = (nRow.getLong(0), nRow.getLong(1))
     if (nIns == 0 && nChg == 0) // pure verbatim batch: no-op version
       return commitNext(path, v, live, tableSchema(path, v),
         carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty),
         txnSet = txn)
-    val staged = stageData(norm(appended), Some(outSchema), path, v + 1,
-      bucketSpecOf(path, v), "graft_snap_mergemor")
-    // r13: a pure-insert batch marks nothing — staging its EMPTY DV
-    // parquet anyway would tag the version as DV-carrying, forcing the
-    // row-based compat read path (and an empty anti join) for no
-    // reason on every ingest-only commit
-    val dvStaged: Seq[String] = if (nChg == 0) Seq.empty else {
-      val doomed = changed.select(
-        Seq(col("__file").as("__dv_file"), col("__pos").as("__dv_pos")) ++
-          keyCols.map(c => col(s"__k.`$c`").as(c)) ++
-          payload.map(c => col(s"__pre.`$c`").as(c)): _*)
-      val dvStage = Files.createTempDirectory("graft_dv_merge").toString
-      doomed.write.mode(SaveMode.Overwrite).parquet(dvStage)
-      val dst = Paths.get(path)
-      listDir(Paths.get(dvStage))
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map { p =>
-          val name = s"v${v + 1}_dv_${p.getFileName.toString}"
-          Files.move(p, dst.resolve(name))
-          dst.resolve(name).toString
-        }
-    }
-    val cdfStaged: Option[Seq[String]] =
+    // r16: the three commit artifacts — appended data, DV marks, CDF
+    // rows — all read the one checkpointed join; their writes are
+    // independent, so they run OVERLAPPED (guide §2.6) instead of
+    // paying three sequential job latencies per commit.
+    // r13 note kept: a pure-insert batch marks nothing — staging its
+    // EMPTY DV parquet anyway would tag the version as DV-carrying,
+    // forcing the row-based compat read path for no reason.
+    val dataThunk: () => Seq[String] =
+      () => stageData(norm(appended), Some(outSchema), path, v + 1,
+        bucketSpecOf(path, v), "graft_snap_mergemor")
+    val dvThunk: Option[() => Seq[String]] =
+      if (nChg == 0) None
+      else Some(() => {
+        val doomed = changed.select(
+          Seq(col("__file").as("__dv_file"), col("__pos").as("__dv_pos")) ++
+            keyCols.map(c => col(s"__k.`$c`").as(c)) ++
+            payload.map(c => col(s"__pre.`$c`").as(c)): _*)
+        val dvStage = Files.createTempDirectory("graft_dv_merge").toString
+        doomed.write.mode(SaveMode.Overwrite).parquet(dvStage)
+        val dst = Paths.get(path)
+        listDir(Paths.get(dvStage))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            val name = s"v${v + 1}_dv_${p.getFileName.toString}"
+            Files.move(p, dst.resolve(name))
+            dst.resolve(name).toString
+          }
+      })
+    val cdfThunk: Option[() => Seq[String]] =
       if (!cdfEnabled(path, v)) None
-      else Some(stageCdf(path, v,
+      else Some(() => stageCdf(path, v,
         asRows(inserts, "__post").withColumn("change_type", lit("insert"))
           .unionByName(asRows(changed, "__post").distinct()
             .withColumn("change_type", lit("update")))
           .unionByName(asRows(changed, "__pre")
             .withColumn("change_type", lit("update_preimage")))))
+    val labelled: Seq[(String, () => Seq[String])] =
+      Seq("data" -> dataThunk) ++ dvThunk.map("dv" -> _) ++
+        cdfThunk.map("cdf" -> _)
+    val arts: Map[String, Seq[String]] =
+      Par.map(spark, labelled)(j => j._1 -> j._2()).toMap
+    val staged = arts("data")
     commitNext(path, v, live ++ staged, Some(outSchema),
       carriedStats(path, v, live) ++ statsLines(spark, staged),
-      dvFiles(path, v) ++ dvStaged, cdf = cdfStaged,
+      dvFiles(path, v) ++ arts.getOrElse("dv", Seq.empty),
+      cdf = cdfThunk.map(_ => arts("cdf")),
       bloomExtra = maybeBloom(spark, path, v, staged),
       txnSet = txn)
   }

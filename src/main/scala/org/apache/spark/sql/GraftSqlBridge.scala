@@ -20,4 +20,13 @@ object GraftSqlBridge {
     execution.datasources.BucketingUtils.bucketIdToString(id)
   def bucketIdOf(fileName: String): Option[Int] =
     execution.datasources.BucketingUtils.getBucketId(fileName)
+
+  /** r16 — non-blocking read of an [[Observation]]'s metrics
+    * (`getOrEmpty` is `private[spark]`): the merge paths ride their
+    * emptiness/cardinality counts on the batch checkpoint job via
+    * `observe()`, and the publishing listener is async — the caller
+    * polls this briefly and falls back to a plain aggregate rather
+    * than blocking forever on `get`. */
+  def observedOrEmpty(obs: Observation): Map[String, Any] =
+    obs.getOrEmpty
 }
