@@ -801,8 +801,10 @@ object HiddenPartitions {
       val slice = remaining.filter(current.valueExpr === v)
       val dir = epochDir(path, currentEpoch, v)
       if (!existing.contains(v)) {
-        if (touchedCounts(v) == 0L) () // every key updated in an older epoch
-        else bucketOf(path) match {
+        // r16 (r15 advice): groupBy-count groups are always ≥ 1 — a
+        // value with no remaining rows never enters touchedCounts, so
+        // no zero-count guard is needed here
+        bucketOf(path) match {
           // composed layout: a NEW partition bootstraps bucketed too,
           // so the whole table keeps the exchange-free join property
           case Some((c, n)) =>

@@ -3112,20 +3112,39 @@ object Snapshots {
     // null-predicate rows survive the copy-on-write rewrite.
     val liveTouched = readLive(spark, path, v, touched.toIndexedSeq)
     val keptRows = liveTouched.filter(!coalesce(predicate, lit(false)))
-    // A31 (table property): the deleted pre-images are the change data
-    val cdfStaged: Option[Seq[String]] =
+    // A31 (table property): the deleted pre-images are the change data.
+    // r16: the rewrite write and the change-data write are independent
+    // (both deterministic over the touched files' immutable pre-image)
+    // — overlapped (guide §2.6)
+    val (staged, cdfStaged) = stageDataAndCdf(spark,
+      keptRows, Some(tableSchema(path, v).getOrElse(target.schema)),
+      path, v, bucketSpecOf(path, v), "graft_snap_del",
       if (!cdfEnabled(path, v)) None
-      else Some(stageCdf(path, v, liveTouched
+      else Some(liveTouched
         .filter(coalesce(predicate, lit(false)))
         .withColumn("change_type", lit("delete"))))
-    val staged = stageData(keptRows,
-      Some(tableSchema(path, v).getOrElse(target.schema)), path, v + 1,
-      bucketSpecOf(path, v), "graft_snap_del")
     val touchedSet = touched.toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
       carriedStats(path, v, retained) ++ statsLines(spark, staged),
       dvFiles(path, v), cdf = cdfStaged)
+  }
+
+  /** r16 — the shared "stage the rewrite and the change rows
+    * OVERLAPPED" shape of every CoW DML verb: two independent writes,
+    * two sequential job latencies before, ~one after. */
+  private def stageDataAndCdf(spark: SparkSession, data: DataFrame,
+      outSchema: Option[org.apache.spark.sql.types.StructType],
+      path: String, v: Int, bucket: Option[(String, Int)],
+      tmpPrefix: String, cdfRows: Option[DataFrame])
+      : (Seq[String], Option[Seq[String]]) = cdfRows match {
+    case None =>
+      (stageData(data, outSchema, path, v + 1, bucket, tmpPrefix), None)
+    case Some(rows) =>
+      val r = Par.map(spark, Seq[() => Seq[String]](
+        () => stageData(data, outSchema, path, v + 1, bucket, tmpPrefix),
+        () => stageCdf(path, v, rows)))(_())
+      (r(0), Some(r(1)))
   }
 
   /** Versioned DELETE BY KEY SET: [[deleteVersioned]] where the doomed
@@ -3180,13 +3199,13 @@ object Snapshots {
     val liveTouched = readLive(spark, path, v, touched.toIndexedSeq)
     val keptRows = liveTouched.join(broadcast(k), keyCols, "left_anti")
     // A31 (table property): the deleted pre-images are the change data
-    val cdfStaged: Option[Seq[String]] =
+    val (staged, cdfStaged) = stageDataAndCdf(spark,
+      keptRows, Some(schemaNow), path, v, bucketSpecOf(path, v),
+      "graft_snap_del",
       if (!cdfEnabled(path, v)) None
-      else Some(stageCdf(path, v, liveTouched
+      else Some(liveTouched
         .join(broadcast(k), keyCols, "left_semi")
         .withColumn("change_type", lit("delete"))))
-    val staged = stageData(keptRows, Some(schemaNow), path, v + 1,
-      bucketSpecOf(path, v), "graft_snap_del")
     val touchedSet = touched.toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
@@ -3255,7 +3274,7 @@ object Snapshots {
     val rewritten = liveTouched.filter(!hit).unionByName(post)
     // A31 (table property): change rows = updated rows whose values
     // actually changed, post-image, matching the manifest-diff feed
-    val cdfStaged: Option[Seq[String]] =
+    val cdfRows: Option[DataFrame] =
       if (!cdfEnabled(path, v)) None
       else {
         val allCols = schemaNow.fieldNames.toIndexedSeq
@@ -3265,15 +3284,16 @@ object Snapshots {
           .filter(!(col("__pre") <=> col("__post")))
         // post-image 'update' rows + 'update_preimage' companions —
         // same stored-CDF contract as the merge path (Delta CDF form)
-        Some(stageCdf(path, v, pairs
+        Some(pairs
           .select(allCols.map(c => col(s"__post.`$c`").as(c)): _*)
           .withColumn("change_type", lit("update"))
           .unionByName(pairs
             .select(allCols.map(c => col(s"__pre.`$c`").as(c)): _*)
-            .withColumn("change_type", lit("update_preimage")))))
+            .withColumn("change_type", lit("update_preimage"))))
       }
-    val staged = stageData(rewritten, Some(schemaNow), path, v + 1,
-      bucketSpecOf(path, v), "graft_snap_upd")
+    val (staged, cdfStaged) = stageDataAndCdf(spark, rewritten,
+      Some(schemaNow), path, v, bucketSpecOf(path, v), "graft_snap_upd",
+      cdfRows)
     val touchedSet = touched.toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
@@ -3382,16 +3402,17 @@ object Snapshots {
     val batch = df.select(outSchema.fields.toIndexedSeq.map(f =>
       (if (df.columns.contains(f.name)) col(s"`${f.name}`")
        else lit(null).cast(f.dataType)).as(f.name)): _*)
-    val cdfStaged: Option[Seq[String]] =
+    // r16: append write and change-data write overlap (both read the
+    // same deterministic batch; an append's change rows ARE the batch)
+    val (staged, cdfStaged) = stageDataAndCdf(spark, batch,
+      Some(outSchema), path, v, bucketSpecOf(path, v), "graft_snap_app",
       if (!cdfEnabled(path, v)) None
       else {
         val payload = outSchema.fieldNames.toIndexedSeq
-        Some(stageCdf(path, v, batch.select(
+        Some(batch.select(
           col(s"`${payload.head}`") +: lit("insert").as("change_type") +:
-            payload.tail.map(c => col(s"`$c`")): _*)))
-      }
-    val staged = stageData(batch, Some(outSchema), path, v + 1,
-      bucketSpecOf(path, v), "graft_snap_app")
+            payload.tail.map(c => col(s"`$c`")): _*))
+      })
     // OCC: a blind append retires no files and constrains no keys, so
     // it commutes with ANY concurrent commit — rebase onto the new
     // head unconditionally (Delta's appends-never-conflict rule),
@@ -3429,20 +3450,38 @@ object Snapshots {
     -1 // unreachable
   }
 
+  /** Total row count of a local parquet file from its FOOTER — pure
+    * driver-side metadata I/O, no Spark job. */
+  private[sources] def parquetRowCount(file: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   /** Stage `rows` as a commit's stored change-data files (A31);
-    * returns the refs (empty for an empty change set). */
+    * returns the refs (empty for an empty change set). r16: the
+    * emptiness probe no longer runs as its own Spark action — the
+    * write evaluates the plan anyway, and the "was it empty" answer is
+    * read back from the written parquet footers driver-side (an
+    * all-empty write returns Seq.empty exactly as the old
+    * probe-then-skip did). */
   private def stageCdf(path: String, v: Int, rows: DataFrame): Seq[String] = {
-    if (rows.isEmpty) return Seq.empty
     val stage = Files.createTempDirectory("graft_cdf").toString
     rows.write.mode(SaveMode.Overwrite).parquet(stage)
-    val dst = Paths.get(path)
-    listDir(Paths.get(stage))
+    val parts = listDir(Paths.get(stage))
       .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"v${v + 1}_cdf_${p.getFileName.toString}"
-        Files.move(p, dst.resolve(name))
-        dst.resolve(name).toString
-      }
+    if (parts.forall(p => parquetRowCount(p.toString) == 0L)) {
+      parts.foreach(Files.deleteIfExists(_))
+      return Seq.empty
+    }
+    val dst = Paths.get(path)
+    parts.map { p =>
+      val name = s"v${v + 1}_cdf_${p.getFileName.toString}"
+      Files.move(p, dst.resolve(name))
+      dst.resolve(name).toString
+    }
   }
 
   /** Stage `doomed` (full pre-image rows + change_type='delete' +
@@ -3458,15 +3497,21 @@ object Snapshots {
   private def commitDv(spark: SparkSession, path: String, v: Int,
       live: Seq[String], doomed: DataFrame,
       txn: Option[(String, Long)] = None): Int = {
-    if (doomed.isEmpty)
+    // r16: the emptiness probe rode as its own action AND re-ran the
+    // candidate-position scan the write then repeated — write first,
+    // answer emptiness from the written footers (driver-side, no job)
+    val stage = Files.createTempDirectory("graft_dv").toString
+    doomed.write.mode(SaveMode.Overwrite).parquet(stage)
+    val parts = listDir(Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    if (parts.forall(p => parquetRowCount(p.toString) == 0L)) {
+      parts.foreach(Files.deleteIfExists(_))
       return commitNext(path, v, live, tableSchema(path, v),
         carriedStats(path, v, live), dvFiles(path, v), cdf = Some(Seq.empty),
         txnSet = txn)
-    val stage = Files.createTempDirectory("graft_dv").toString
-    doomed.write.mode(SaveMode.Overwrite).parquet(stage)
+    }
     val dst = Paths.get(path)
-    val staged = listDir(Paths.get(stage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val staged = parts
       .map { p =>
         val name = s"v${v + 1}_dv_${p.getFileName.toString}"
         Files.move(p, dst.resolve(name))
@@ -3633,30 +3678,41 @@ object Snapshots {
     val post = pairs.select(allCols.map(c => col(s"__post.`$c`").as(c)): _*)
     // A34: refuse BEFORE staging anything if an updated row violates
     enforceConstraints(path, v, post)
-    val staged = stageData(post, Some(schemaNow), path, v + 1,
-      bucketSpecOf(path, v), "graft_snap_updmor")
-    val doomed = pairs.select(
-      col("__file").as("__dv_file") +: col("__pos").as("__dv_pos") +:
-        allCols.map(c => col(s"__pre.`$c`").as(c)): _*)
-    val dvStage = Files.createTempDirectory("graft_dv_upd").toString
-    doomed.write.mode(SaveMode.Overwrite).parquet(dvStage)
-    val dst = Paths.get(path)
-    val dvStaged = listDir(Paths.get(dvStage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"v${v + 1}_dv_${p.getFileName.toString}"
-        Files.move(p, dst.resolve(name))
-        dst.resolve(name).toString
-      }
-    val cdfStaged: Option[Seq[String]] =
+    // r16: the three commit artifacts all read the one checkpointed
+    // pairs frame — write them OVERLAPPED (guide §2.6)
+    val dataThunk: () => Seq[String] =
+      () => stageData(post, Some(schemaNow), path, v + 1,
+        bucketSpecOf(path, v), "graft_snap_updmor")
+    val dvThunk: () => Seq[String] = () => {
+      val doomed = pairs.select(
+        col("__file").as("__dv_file") +: col("__pos").as("__dv_pos") +:
+          allCols.map(c => col(s"__pre.`$c`").as(c)): _*)
+      val dvStage = Files.createTempDirectory("graft_dv_upd").toString
+      doomed.write.mode(SaveMode.Overwrite).parquet(dvStage)
+      val dst = Paths.get(path)
+      listDir(Paths.get(dvStage))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val name = s"v${v + 1}_dv_${p.getFileName.toString}"
+          Files.move(p, dst.resolve(name))
+          dst.resolve(name).toString
+        }
+    }
+    val cdfThunk: Option[() => Seq[String]] =
       if (!cdfEnabled(path, v)) None
-      else Some(stageCdf(path, v,
+      else Some(() => stageCdf(path, v,
         post.withColumn("change_type", lit("update")).unionByName(
           pairs.select(allCols.map(c => col(s"__pre.`$c`").as(c)): _*)
             .withColumn("change_type", lit("update_preimage")))))
+    val labelled: Seq[(String, () => Seq[String])] =
+      Seq("data" -> dataThunk, "dv" -> dvThunk) ++ cdfThunk.map("cdf" -> _)
+    val arts: Map[String, Seq[String]] =
+      Par.map(spark, labelled)(j => j._1 -> j._2()).toMap
+    val staged = arts("data")
     commitNext(path, v, live ++ staged, tableSchema(path, v),
       carriedStats(path, v, live) ++ statsLines(spark, staged),
-      dvFiles(path, v) ++ dvStaged, cdf = cdfStaged,
+      dvFiles(path, v) ++ arts("dv"),
+      cdf = cdfThunk.map(_ => arts("cdf")),
       bloomExtra = maybeBloom(spark, path, v, staged))
   }
 

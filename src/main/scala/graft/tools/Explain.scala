@@ -10,12 +10,18 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
+    // r16 (r15 advice): the plans/<round> dir comes from the
+    // environment like the suffix already did, instead of a hardcoded
+    // round that silently overwrites a stale directory
+    val dir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "/root/repo/plans/r16"))
+    java.nio.file.Files.createDirectories(dir)
     args.foreach { name =>
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(
-        s"/root/repo/plans/r15/${name}_$out.txt"), plan)
+      java.nio.file.Files.writeString(
+        dir.resolve(s"${name}_$out.txt"), plan)
       graft.sources.LakehouseQueries.reclaim()
       println(s"[explain] wrote $name $out")
     }
