@@ -237,14 +237,20 @@ object PartitionedSnapshots {
     require(!keyCols.contains(partCol),
       s"graft: the partition column '$partCol' cannot be a merge key")
     val existing = partitions(path).toSet
-    val touched = updates.select(col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0))
+    // r16: ONE aggregate over the batch yields the touched values AND
+    // every slice's key summary (dup verdict + distinct lead keys for
+    // driver-side file discovery) — the old shape paid a distinct
+    // collect here plus a dup probe and a stats semi-join per dir
+    val keyType = updates.schema(keyCols.head).dataType
+    val summaries =
+      Snapshots.partitionedKeySummaries(updates, partCol, keyCols, keyType)
+    val touched = summaries.keySet
     // each value's slice commits into ITS OWN partition log — the
     // per-dir merges are independent, so overlap them (guide §2.6:
     // actions are only sequential because the driver calls them
     // sequentially); a batch's wall tracks the largest slice, not the
     // touched-partition count
-    Par.map(spark, touched.sorted.toIndexedSeq) { v =>
+    Par.map(spark, touched.toSeq.sorted.toIndexedSeq) { v =>
       val slice = updates.filter(col(partCol).cast("string") === v).drop(partCol)
       val dir = partDir(path, v).toString
       if (!existing.contains(v) && bucketOf(path).nonEmpty) {
@@ -277,12 +283,11 @@ object PartitionedSnapshots {
           finally walk.close()
           v -> Snapshots.init(spark, dir)
       } else if (mor)
-        v -> Snapshots.mergeVersionedDV(spark, dir, slice, keyCols, txn)
-      else txn match {
-        case Some((app, ver)) => v -> Snapshots.mergeVersionedIdempotent(
-          spark, dir, slice, keyCols, app, ver)
-        case None => v -> Snapshots.mergeVersioned(spark, dir, slice, keyCols)
-      }
+        v -> Snapshots.mergeVersionedDVPre(spark, dir, slice, keyCols, txn,
+          summaries.get(v))
+      else
+        v -> Snapshots.mergeVersionedPre(spark, dir, slice, keyCols, txn,
+          summaries.get(v))
     }.toMap
   }
 

@@ -1607,21 +1607,20 @@ object Snapshots {
   // broadcast relations on the driver) — and file discovery becomes a
   // driver-side walk of the manifest ranges it already had in hand.
 
-  private case class BatchKeySummary(
+  private[graft] case class BatchKeySummary(
       nRows: Long, hasDupTuples: Boolean,
       leadKeys: Array[Any], leadJudgeable: Boolean)
 
-  /** One aggregate over the batch: per full key TUPLE counts (max > 1
-    * ⟺ duplicate tuples), re-grouped by the leading key projected to
-    * its INTERNAL stats form (micros/days for T/A — the form
-    * [[GraftFileIndex.bounds]] compares). `leadJudgeable=false` (NTZ
-    * and exotic key types the stats tags cannot judge) matches
-    * [[keyRangeFrame]]'s NULL-decode: every file stays touched. */
-  private def batchKeySummary(ups: DataFrame, keyCols: Seq[String],
-      keyType: org.apache.spark.sql.types.DataType): BatchKeySummary = {
+  /** The leading key projected to its INTERNAL stats form (micros/days
+    * for T/A — the form [[GraftFileIndex.bounds]] compares), plus
+    * whether that form can be judged against manifest ranges at all.
+    * Not judgeable (NTZ, exotic types) matches [[keyRangeFrame]]'s
+    * NULL-decode: every file stays touched. */
+  private def leadInternalOf(leadKey: String,
+      keyType: org.apache.spark.sql.types.DataType)
+      : (org.apache.spark.sql.Column, Boolean) = {
     import org.apache.spark.sql.types._
-    val leadKey = keyCols.head
-    val (leadInternal, judgeable) = keyType match {
+    keyType match {
       case TimestampType => (unix_micros(col(s"`$leadKey`")), true)
       case DateType => (unix_date(col(s"`$leadKey`")), true)
       case TimestampNTZType => (lit(null), false)
@@ -1629,16 +1628,73 @@ object Snapshots {
         (col(s"`$leadKey`"), true)
       case _ => (lit(null), false)
     }
-    val rows = ups.groupBy(keyCols.map(c => col(s"`$c`")): _*)
-      .agg(count(lit(1)).as("__cnt"))
-      .groupBy(leadInternal.as("__k"))
-      .agg(max(col("__cnt")).as("__mx"), sum(col("__cnt")).as("__n"))
-      .collect()
-    BatchKeySummary(
-      rows.iterator.map(_.getLong(2)).sum,
-      rows.exists(_.getLong(1) > 1L),
-      if (judgeable) rows.map(_.get(0)) else Array.empty,
-      judgeable)
+  }
+
+  /** One aggregate over the batch: per full key TUPLE counts (max > 1
+    * ⟺ duplicate tuples), re-grouped by the leading key's internal
+    * form. Single-key tables take one groupBy (the internal projection
+    * is injective, so per-group counts ARE the tuple counts). */
+  private def batchKeySummary(ups: DataFrame, keyCols: Seq[String],
+      keyType: org.apache.spark.sql.types.DataType): BatchKeySummary = {
+    val leadKey = keyCols.head
+    val (leadInternal, judgeable) = leadInternalOf(leadKey, keyType)
+    if (keyCols.size == 1) {
+      val g = if (judgeable) leadInternal else col(s"`$leadKey`")
+      val rows = ups.groupBy(g.as("__k"))
+        .agg(count(lit(1)).as("__n")).collect()
+      BatchKeySummary(
+        rows.iterator.map(_.getLong(1)).sum,
+        rows.exists(_.getLong(1) > 1L),
+        if (judgeable) rows.map(_.get(0)) else Array.empty,
+        judgeable)
+    } else {
+      val rows = ups.groupBy(keyCols.map(c => col(s"`$c`")): _*)
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(leadInternal.as("__k"))
+        .agg(max(col("__cnt")).as("__mx"), sum(col("__cnt")).as("__n"))
+        .collect()
+      BatchKeySummary(
+        rows.iterator.map(_.getLong(2)).sum,
+        rows.exists(_.getLong(1) > 1L),
+        if (judgeable) rows.map(_.get(0)) else Array.empty,
+        judgeable)
+    }
+  }
+
+  /** r16 — the partitioned router's ONE action: per routed partition
+    * value, the batch key summary (dup verdict + lead keys) — so the
+    * touched-value discovery AND every per-dir merge's own summary ride
+    * a single aggregate over the batch instead of 1 + 2·|dirs| actions.
+    * Collected size = Σ per-partition distinct lead keys, exactly the
+    * rows the per-dir collects would have fetched anyway. */
+  private[sources] def partitionedKeySummaries(updates: DataFrame,
+      partCol: String, keyCols: Seq[String],
+      keyType: org.apache.spark.sql.types.DataType)
+      : Map[String, BatchKeySummary] = {
+    val leadKey = keyCols.head
+    val (leadInternal, judgeable) = leadInternalOf(leadKey, keyType)
+    val part = col(s"`$partCol`").cast("string").as("__p")
+    val rows =
+      if (keyCols.size == 1) {
+        val g = if (judgeable) leadInternal else col(s"`$leadKey`")
+        updates.groupBy(part, g.as("__k"))
+          .agg(count(lit(1)).as("__n"))
+          .select(col("__p"), col("__k"), col("__n").as("__mx"),
+            col("__n")).collect()
+      } else {
+        updates.groupBy((part +: keyCols.map(c => col(s"`$c`"))): _*)
+          .agg(count(lit(1)).as("__cnt"))
+          .groupBy(col("__p"), leadInternal.as("__k"))
+          .agg(max(col("__cnt")).as("__mx"), sum(col("__cnt")).as("__n"))
+          .collect()
+      }
+    rows.groupBy(_.getString(0)).map { case (p, rs) =>
+      p -> BatchKeySummary(
+        rs.iterator.map(_.getLong(3)).sum,
+        rs.exists(_.getLong(2) > 1L),
+        if (judgeable) rs.map(_.get(1)) else Array.empty,
+        judgeable)
+    }
   }
 
   /** Stat tags a key of `keyType` can be judged against — exactly the
@@ -1697,7 +1753,7 @@ object Snapshots {
     * action, then fall back to `recompute` — one plain aggregate over
     * the already-materialized frame; never wrong, at worst one extra
     * cheap job on a listener hiccup. */
-  private def observedCounts(obs: org.apache.spark.sql.Observation,
+  private[graft] def observedCounts(obs: org.apache.spark.sql.Observation,
       names: Seq[String], recompute: () => Seq[Long]): Seq[Long] = {
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
     var m = org.apache.spark.sql.GraftSqlBridge.observedOrEmpty(obs)
@@ -2404,6 +2460,17 @@ object Snapshots {
       beforeCommit = () => (), txn = Some((txnAppId, txnVersion)))
   }
 
+  /** r16 — [[mergeVersioned]]/[[mergeVersionedIdempotent]] with a
+    * router-precomputed key summary (see [[partitionedKeySummaries]]). */
+  private[sources] def mergeVersionedPre(spark: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String],
+      txn: Option[(String, Long)],
+      preSummary: Option[BatchKeySummary]): Int = {
+    txn.foreach(m => requireTxnApp(m._1))
+    mergeVersionedOCC(spark, path, updates, keyCols, maxRetries = 5,
+      beforeCommit = () => (), txn = txn, preSummary = preSummary)
+  }
+
   /** A52 — the FULL conditional MERGE (see [[MergeWhen]]): ordered
     * WHEN clauses applied first-match-wins per row, ANSI/Delta
     * semantics. One copy-on-write commit:
@@ -2744,25 +2811,17 @@ object Snapshots {
               "__pre", lit("update_preimage"))))
       }
 
-    // r16: the rewrite write and the stored-change write are
-    // independent — overlap them (guide §2.6)
-    val (staged, cdfStaged) = cdfRows match {
-      case None =>
-        (stageData(rewritten, Some(outSchema), path, v + 1,
-          bucketSpecOf(path, v)), None)
-      case Some(rows) =>
-        val r = Par.map(spark, Seq[() => Seq[String]](
-          () => stageData(rewritten, Some(outSchema), path, v + 1,
-            bucketSpecOf(path, v)),
-          () => stageCdf(path, v, rows)))(_())
-        (r(0), Some(r(1)))
-    }
+    // r16: the rewrite write, its stats scan, and the stored-change
+    // write are independent — overlapped (guide §2.6)
+    val (staged, stagedStats, cdfStaged) = stageDataAndCdf(spark,
+      rewritten, Some(outSchema), path, v, bucketSpecOf(path, v),
+      "graft_snap", cdfRows)
     val touchedSet = touched.map(canonical).toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged,
       if (newCols.isEmpty && widenedNow == schemaNow) tableSchema(path, v)
       else Some(outSchema),
-      carriedStats(path, v, retained) ++ statsLines(spark, staged),
+      carriedStats(path, v, retained) ++ stagedStats,
       dvFiles(path, v), cdf = cdfStaged,
       bloomExtra = maybeBloom(spark, path, v, staged), txnSet = txn,
       txnSetMulti = txnMulti)
@@ -2775,7 +2834,8 @@ object Snapshots {
   private[graft] def mergeVersionedOCC(spark: SparkSession, path: String,
       updatesIn: DataFrame, keyCols: Seq[String], maxRetries: Int,
       beforeCommit: () => Unit,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      preSummary: Option[BatchKeySummary] = None): Int = {
     require(keyCols.nonEmpty, "merge: empty key column list")
     require(keyCols.distinct.size == keyCols.size,
       s"merge: duplicate key column in ${keyCols.mkString(", ")}")
@@ -2826,7 +2886,9 @@ object Snapshots {
     // lead keys to driver-side file discovery over the manifest ranges
     // (which were already in driver hands); the r15 shape spent two
     // actions here (groupBy-count probe + stats semi-join collect).
-    val summary = batchKeySummary(updates, keyCols, keyType)
+    // A partitioned router hands in its slice's summary (ZERO actions
+    // here — the router computed all slices' summaries in one).
+    val summary = preSummary.getOrElse(batchKeySummary(updates, keyCols, keyType))
     require(!summary.hasDupTuples,
       s"merge: duplicate '${keyCols.mkString(", ")}' keys in the source " +
         "violate MERGE cardinality on a keyed table")
@@ -2920,21 +2982,13 @@ object Snapshots {
     // uniform across renames (readUnder aliases back to logical); on a
     // bucketed table (A50) kept ∪ updates re-route through the bucket
     // hash so every staged file stays bucket-tagged.
-    // r16: the data write and the stored-change write are independent
-    // (both deterministic over the pinned/stable batch + the touched
-    // files' immutable pre-image) — overlap them (guide §2.6) instead
-    // of paying two sequential job latencies per commit.
-    val (staged, cdfStaged) = cdfRows match {
-      case None =>
-        (stageData(rewritten, Some(outSchema), path, v + 1,
-          bucketSpecOf(path, v)), None)
-      case Some(rows) =>
-        val r = Par.map(spark, Seq[() => Seq[String]](
-          () => stageData(rewritten, Some(outSchema), path, v + 1,
-            bucketSpecOf(path, v)),
-          () => stageCdf(path, v, rows)))(_())
-        (r(0), Some(r(1)))
-    }
+    // r16: the data write, its stats scan, and the stored-change write
+    // are independent (all deterministic over the pinned/stable batch +
+    // the touched files' immutable pre-image) — overlapped (guide §2.6)
+    // instead of paying three sequential job latencies per commit.
+    val (staged, stagedStats, cdfStaged) = stageDataAndCdf(spark,
+      rewritten, Some(outSchema), path, v, bucketSpecOf(path, v),
+      "graft_snap", cdfRows)
     beforeCommit()
     // A41: index the staged files when the bloom property is on
     val bloomStaged = maybeBloom(spark, path, v, staged)
@@ -2951,7 +3005,6 @@ object Snapshots {
     // order. Bounded retries; a genuine conflict throws instead of
     // silently losing the winner's update.
     val touchedSet = touched.toSet
-    val stagedStats = statsLines(spark, staged) // one scan of the commit
     var base = v
     var baseLive = live
     var attempt = 0
@@ -3116,7 +3169,7 @@ object Snapshots {
     // r16: the rewrite write and the change-data write are independent
     // (both deterministic over the touched files' immutable pre-image)
     // — overlapped (guide §2.6)
-    val (staged, cdfStaged) = stageDataAndCdf(spark,
+    val (staged, stagedStats, cdfStaged) = stageDataAndCdf(spark,
       keptRows, Some(tableSchema(path, v).getOrElse(target.schema)),
       path, v, bucketSpecOf(path, v), "graft_snap_del",
       if (!cdfEnabled(path, v)) None
@@ -3126,25 +3179,33 @@ object Snapshots {
     val touchedSet = touched.toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
-      carriedStats(path, v, retained) ++ statsLines(spark, staged),
+      carriedStats(path, v, retained) ++ stagedStats,
       dvFiles(path, v), cdf = cdfStaged)
   }
 
   /** r16 — the shared "stage the rewrite and the change rows
-    * OVERLAPPED" shape of every CoW DML verb: two independent writes,
-    * two sequential job latencies before, ~one after. */
+    * OVERLAPPED" shape of every CoW DML verb: two independent writes
+    * (plus the staged-files stats scan, which rides the data thunk so
+    * it too overlaps the change-data write), two-to-three sequential
+    * job latencies before, ~one after. Returns
+    * (staged data files, their stat lines, cdf refs). */
   private def stageDataAndCdf(spark: SparkSession, data: DataFrame,
       outSchema: Option[org.apache.spark.sql.types.StructType],
       path: String, v: Int, bucket: Option[(String, Int)],
       tmpPrefix: String, cdfRows: Option[DataFrame])
-      : (Seq[String], Option[Seq[String]]) = cdfRows match {
+      : (Seq[String], Seq[String], Option[Seq[String]]) = cdfRows match {
     case None =>
-      (stageData(data, outSchema, path, v + 1, bucket, tmpPrefix), None)
+      val staged = stageData(data, outSchema, path, v + 1, bucket, tmpPrefix)
+      (staged, statsLines(spark, staged), None)
     case Some(rows) =>
-      val r = Par.map(spark, Seq[() => Seq[String]](
-        () => stageData(data, outSchema, path, v + 1, bucket, tmpPrefix),
-        () => stageCdf(path, v, rows)))(_())
-      (r(0), Some(r(1)))
+      val r = Par.map(spark, Seq[() => (Seq[String], Seq[String])](
+        () => {
+          val staged =
+            stageData(data, outSchema, path, v + 1, bucket, tmpPrefix)
+          (staged, statsLines(spark, staged))
+        },
+        () => (stageCdf(path, v, rows), Seq.empty)))(_())
+      (r(0)._1, r(0)._2, Some(r(1)._1))
   }
 
   /** Versioned DELETE BY KEY SET: [[deleteVersioned]] where the doomed
@@ -3199,7 +3260,7 @@ object Snapshots {
     val liveTouched = readLive(spark, path, v, touched.toIndexedSeq)
     val keptRows = liveTouched.join(broadcast(k), keyCols, "left_anti")
     // A31 (table property): the deleted pre-images are the change data
-    val (staged, cdfStaged) = stageDataAndCdf(spark,
+    val (staged, stagedStats, cdfStaged) = stageDataAndCdf(spark,
       keptRows, Some(schemaNow), path, v, bucketSpecOf(path, v),
       "graft_snap_del",
       if (!cdfEnabled(path, v)) None
@@ -3209,7 +3270,7 @@ object Snapshots {
     val touchedSet = touched.toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
-      carriedStats(path, v, retained) ++ statsLines(spark, staged),
+      carriedStats(path, v, retained) ++ stagedStats,
       dvFiles(path, v), cdf = cdfStaged)
   }
 
@@ -3291,13 +3352,13 @@ object Snapshots {
             .select(allCols.map(c => col(s"__pre.`$c`").as(c)): _*)
             .withColumn("change_type", lit("update_preimage"))))
       }
-    val (staged, cdfStaged) = stageDataAndCdf(spark, rewritten,
+    val (staged, stagedStats, cdfStaged) = stageDataAndCdf(spark, rewritten,
       Some(schemaNow), path, v, bucketSpecOf(path, v), "graft_snap_upd",
       cdfRows)
     val touchedSet = touched.toSet
     val retained = live.filterNot(f => touchedSet.contains(canonical(f)))
     commitNext(path, v, retained ++ staged, tableSchema(path, v),
-      carriedStats(path, v, retained) ++ statsLines(spark, staged),
+      carriedStats(path, v, retained) ++ stagedStats,
       dvFiles(path, v), cdf = cdfStaged,
       bloomExtra = maybeBloom(spark, path, v, staged))
   }
@@ -3404,7 +3465,7 @@ object Snapshots {
        else lit(null).cast(f.dataType)).as(f.name)): _*)
     // r16: append write and change-data write overlap (both read the
     // same deterministic batch; an append's change rows ARE the batch)
-    val (staged, cdfStaged) = stageDataAndCdf(spark, batch,
+    val (staged, stagedStats, cdfStaged) = stageDataAndCdf(spark, batch,
       Some(outSchema), path, v, bucketSpecOf(path, v), "graft_snap_app",
       if (!cdfEnabled(path, v)) None
       else {
@@ -3417,7 +3478,6 @@ object Snapshots {
     // it commutes with ANY concurrent commit — rebase onto the new
     // head unconditionally (Delta's appends-never-conflict rule),
     // bounded only as a runaway guard
-    val stagedStats = statsLines(spark, staged)
     val bloomStaged = maybeBloom(spark, path, v, staged)
     var base = v
     var attempts = 0
@@ -3448,6 +3508,36 @@ object Snapshots {
       }
     }
     -1 // unreachable
+  }
+
+  // r16 — which data files does a DV sidecar mark? The set is
+  // immutable once the sidecar is written; the writers learn it FREE
+  // (collect_set(__dv_file) observed on the DV write job itself) and
+  // memoize it here, so the auto-reconcile that typically follows in
+  // the same driver skips its touched-file discovery job. A sidecar
+  // not in the memo (another process wrote it, or the observation was
+  // lost) falls back to the one small read — the memo is a
+  // per-immutable-artifact shortcut (the dvRowCountCache pattern),
+  // never a result cache.
+  private val dvMarkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]
+
+  /** Observe the distinct `__dv_file` values on `doomed`'s write and
+    * memoize them for each staged sidecar in `staged`. Best-effort:
+    * a missing observation just skips the memo. */
+  private def recordDvMarks(obs: org.apache.spark.sql.Observation,
+      staged: Seq[String]): Unit = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var m = org.apache.spark.sql.GraftSqlBridge.observedOrEmpty(obs)
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(2)
+      m = org.apache.spark.sql.GraftSqlBridge.observedOrEmpty(obs)
+    }
+    m.get("__dvf").foreach { v =>
+      val files = v.asInstanceOf[scala.collection.Seq[String]]
+        .map(canonical).toSet
+      staged.foreach(f => dvMarkCache.put(canonical(f), files))
+    }
   }
 
   /** Total row count of a local parquet file from its FOOTER — pure
@@ -3501,7 +3591,9 @@ object Snapshots {
     // candidate-position scan the write then repeated — write first,
     // answer emptiness from the written footers (driver-side, no job)
     val stage = Files.createTempDirectory("graft_dv").toString
-    doomed.write.mode(SaveMode.Overwrite).parquet(stage)
+    val dvObs = org.apache.spark.sql.Observation()
+    doomed.observe(dvObs, collect_set(col("__dv_file")).as("__dvf"))
+      .write.mode(SaveMode.Overwrite).parquet(stage)
     val parts = listDir(Paths.get(stage))
       .filter(_.getFileName.toString.endsWith(".parquet"))
     if (parts.forall(p => parquetRowCount(p.toString) == 0L)) {
@@ -3517,6 +3609,7 @@ object Snapshots {
         Files.move(p, dst.resolve(name))
         dst.resolve(name).toString
       }
+    recordDvMarks(dvObs, staged)
     commitNext(path, v, live, tableSchema(path, v),
       carriedStats(path, v, live), dvFiles(path, v) ++ staged,
       // the combined file always carries the pre-images (free — it IS
@@ -3680,23 +3773,30 @@ object Snapshots {
     enforceConstraints(path, v, post)
     // r16: the three commit artifacts all read the one checkpointed
     // pairs frame — write them OVERLAPPED (guide §2.6)
-    val dataThunk: () => Seq[String] =
-      () => stageData(post, Some(schemaNow), path, v + 1,
-        bucketSpecOf(path, v), "graft_snap_updmor")
+    val dataThunk: () => (Seq[String], Seq[String]) =
+      () => {
+        val st = stageData(post, Some(schemaNow), path, v + 1,
+          bucketSpecOf(path, v), "graft_snap_updmor")
+        (st, statsLines(spark, st)) // stats scan rides the data thunk
+      }
     val dvThunk: () => Seq[String] = () => {
       val doomed = pairs.select(
         col("__file").as("__dv_file") +: col("__pos").as("__dv_pos") +:
           allCols.map(c => col(s"__pre.`$c`").as(c)): _*)
+      val dvObs = org.apache.spark.sql.Observation()
       val dvStage = Files.createTempDirectory("graft_dv_upd").toString
-      doomed.write.mode(SaveMode.Overwrite).parquet(dvStage)
+      doomed.observe(dvObs, collect_set(col("__dv_file")).as("__dvf"))
+        .write.mode(SaveMode.Overwrite).parquet(dvStage)
       val dst = Paths.get(path)
-      listDir(Paths.get(dvStage))
+      val staged = listDir(Paths.get(dvStage))
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map { p =>
           val name = s"v${v + 1}_dv_${p.getFileName.toString}"
           Files.move(p, dst.resolve(name))
           dst.resolve(name).toString
         }
+      recordDvMarks(dvObs, staged)
+      staged
     }
     val cdfThunk: Option[() => Seq[String]] =
       if (!cdfEnabled(path, v)) None
@@ -3704,15 +3804,17 @@ object Snapshots {
         post.withColumn("change_type", lit("update")).unionByName(
           pairs.select(allCols.map(c => col(s"__pre.`$c`").as(c)): _*)
             .withColumn("change_type", lit("update_preimage")))))
-    val labelled: Seq[(String, () => Seq[String])] =
-      Seq("data" -> dataThunk, "dv" -> dvThunk) ++ cdfThunk.map("cdf" -> _)
-    val arts: Map[String, Seq[String]] =
+    val labelled: Seq[(String, () => (Seq[String], Seq[String]))] =
+      Seq("data" -> dataThunk,
+        "dv" -> (() => (dvThunk(), Seq.empty[String]))) ++
+        cdfThunk.map(t => "cdf" -> (() => (t(), Seq.empty[String])))
+    val arts: Map[String, (Seq[String], Seq[String])] =
       Par.map(spark, labelled)(j => j._1 -> j._2()).toMap
-    val staged = arts("data")
+    val (staged, stagedStats) = arts("data")
     commitNext(path, v, live ++ staged, tableSchema(path, v),
-      carriedStats(path, v, live) ++ statsLines(spark, staged),
-      dvFiles(path, v) ++ arts("dv"),
-      cdf = cdfThunk.map(_ => arts("cdf")),
+      carriedStats(path, v, live) ++ stagedStats,
+      dvFiles(path, v) ++ arts("dv")._1,
+      cdf = cdfThunk.map(_ => arts("cdf")._1),
       bloomExtra = maybeBloom(spark, path, v, staged))
   }
 
@@ -3745,7 +3847,16 @@ object Snapshots {
     * leading key column's ranges (see [[mergeVersioned]]). */
   def mergeVersionedDV(spark: SparkSession, path: String,
       updates: DataFrame, keyCols: Seq[String],
-      txn: Option[(String, Long)]): Int = {
+      txn: Option[(String, Long)]): Int =
+    mergeVersionedDVPre(spark, path, updates, keyCols, txn, None)
+
+  /** r16 — [[mergeVersionedDV]] with a router-precomputed key summary
+    * (see [[partitionedKeySummaries]]): the per-dir merge then runs no
+    * summary action of its own. */
+  private[sources] def mergeVersionedDVPre(spark: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String],
+      txn: Option[(String, Long)],
+      preSummary: Option[BatchKeySummary]): Int = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     require(keyCols.nonEmpty, "merge: empty key column list")
     require(keyCols.distinct.size == keyCols.size,
@@ -3785,7 +3896,8 @@ object Snapshots {
     // below, instead of a message wrongly naming the source).
     val leadKey = keyCols.head
     val keyType = schemaNow(leadKey).dataType
-    val summary = batchKeySummary(ups, keyCols, keyType)
+    val summary =
+      preSummary.getOrElse(batchKeySummary(ups, keyCols, keyType))
     require(!summary.hasDupTuples,
       s"merge: duplicate '${keyCols.mkString(", ")}' keys in the source " +
         "violate MERGE cardinality on a keyed table")
@@ -3892,9 +4004,12 @@ object Snapshots {
     // r13 note kept: a pure-insert batch marks nothing — staging its
     // EMPTY DV parquet anyway would tag the version as DV-carrying,
     // forcing the row-based compat read path for no reason.
-    val dataThunk: () => Seq[String] =
-      () => stageData(norm(appended), Some(outSchema), path, v + 1,
-        bucketSpecOf(path, v), "graft_snap_mergemor")
+    val dataThunk: () => (Seq[String], Seq[String]) =
+      () => {
+        val st = stageData(norm(appended), Some(outSchema), path, v + 1,
+          bucketSpecOf(path, v), "graft_snap_mergemor")
+        (st, statsLines(spark, st)) // stats scan rides the data thunk
+      }
     val dvThunk: Option[() => Seq[String]] =
       if (nChg == 0) None
       else Some(() => {
@@ -3902,16 +4017,20 @@ object Snapshots {
           Seq(col("__file").as("__dv_file"), col("__pos").as("__dv_pos")) ++
             keyCols.map(c => col(s"__k.`$c`").as(c)) ++
             payload.map(c => col(s"__pre.`$c`").as(c)): _*)
+        val dvObs = org.apache.spark.sql.Observation()
         val dvStage = Files.createTempDirectory("graft_dv_merge").toString
-        doomed.write.mode(SaveMode.Overwrite).parquet(dvStage)
+        doomed.observe(dvObs, collect_set(col("__dv_file")).as("__dvf"))
+          .write.mode(SaveMode.Overwrite).parquet(dvStage)
         val dst = Paths.get(path)
-        listDir(Paths.get(dvStage))
+        val staged = listDir(Paths.get(dvStage))
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map { p =>
             val name = s"v${v + 1}_dv_${p.getFileName.toString}"
             Files.move(p, dst.resolve(name))
             dst.resolve(name).toString
           }
+        recordDvMarks(dvObs, staged)
+        staged
       })
     val cdfThunk: Option[() => Seq[String]] =
       if (!cdfEnabled(path, v)) None
@@ -3921,16 +4040,17 @@ object Snapshots {
             .withColumn("change_type", lit("update")))
           .unionByName(asRows(changed, "__pre")
             .withColumn("change_type", lit("update_preimage")))))
-    val labelled: Seq[(String, () => Seq[String])] =
-      Seq("data" -> dataThunk) ++ dvThunk.map("dv" -> _) ++
-        cdfThunk.map("cdf" -> _)
-    val arts: Map[String, Seq[String]] =
+    val labelled: Seq[(String, () => (Seq[String], Seq[String]))] =
+      Seq("data" -> dataThunk) ++
+        dvThunk.map(t => "dv" -> (() => (t(), Seq.empty[String]))) ++
+        cdfThunk.map(t => "cdf" -> (() => (t(), Seq.empty[String])))
+    val arts: Map[String, (Seq[String], Seq[String])] =
       Par.map(spark, labelled)(j => j._1 -> j._2()).toMap
-    val staged = arts("data")
+    val (staged, stagedStats) = arts("data")
     commitNext(path, v, live ++ staged, Some(outSchema),
-      carriedStats(path, v, live) ++ statsLines(spark, staged),
-      dvFiles(path, v) ++ arts.getOrElse("dv", Seq.empty),
-      cdf = cdfThunk.map(_ => arts("cdf")),
+      carriedStats(path, v, live) ++ stagedStats,
+      dvFiles(path, v) ++ arts.get("dv").map(_._1).getOrElse(Seq.empty),
+      cdf = cdfThunk.map(_ => arts("cdf")._1),
       bloomExtra = maybeBloom(spark, path, v, staged),
       txnSet = txn)
   }
@@ -3984,11 +4104,17 @@ object Snapshots {
     if (dvs.isEmpty) return v
     val live = liveFiles(path, v)
     val liveSet = live.map(canonical).toSet
-    // files with live dead-positions: bounded collect, ∝ distinct files
-    // ever DV-touched
-    val touched = spark.read.parquet(dvs: _*).select("__dv_file").distinct()
-      .collect().map(r => canonical(r.getString(0)))
-      .filter(liveSet.contains).toIndexedSeq
+    // files with live dead-positions: answered from the dvMarkCache
+    // memo when every sidecar was written by THIS driver (the
+    // steady-state auto-reconcile case — zero jobs), else the bounded
+    // collect (∝ distinct files ever DV-touched)
+    val cached = dvs.map(f => Option(dvMarkCache.get(canonical(f))))
+    val touched =
+      (if (cached.forall(_.isDefined))
+        cached.flatMap(_.get).distinct.map(canonical)
+      else spark.read.parquet(dvs: _*).select("__dv_file").distinct()
+        .collect().map(r => canonical(r.getString(0))).toSeq)
+        .filter(liveSet.contains).toIndexedSeq
     if (touched.isEmpty) // all entries inert: drop the refs, move on
       return commitNext(path, v, live, tableSchema(path, v),
         carriedStats(path, v, live), cdf = Some(Seq.empty))

@@ -97,9 +97,11 @@ object UpsertSink {
     if (replayed) return
     // materialize the deduped batch ONCE: the emptiness probe and the
     // merge each re-evaluated the batch plan — which for a change-feed
-    // source is the whole per-version diff — per action
-    val latest = latestPerKey(batch, keyCols, orderCol).localCheckpoint()
-    if (!latest.isEmpty) {
+    // source is the whole per-version diff — per action. r16: the
+    // emptiness count RIDES the checkpoint job (observe) instead of
+    // being an action of its own on every micro-batch.
+    val (latest, nonEmpty) = checkpointedWithCount(batch, keyCols, orderCol)
+    if (nonEmpty) {
       // A51 (r9): with a checkpoint lineage the batch commits under a
       // manifest-carried txn mark — ATOMIC with the version, closing
       // the crash window the sidecar marker below leaves open (a crash
@@ -154,14 +156,31 @@ object UpsertSink {
     // ONE evaluation of the deduped batch feeds the emptiness probe,
     // the touched-value collect and every per-partition slice — the
     // change-feed diff a graft-to-graft loop streams would otherwise
-    // recompute per consumer
-    val latest = latestPerKey(batch, keyCols, orderCol).localCheckpoint()
-    if (!latest.isEmpty) {
+    // recompute per consumer. r16: the emptiness count rides the
+    // checkpoint job (observe).
+    val (latest, nonEmpty) = checkpointedWithCount(batch, keyCols, orderCol)
+    if (nonEmpty) {
       val touched = graft.sources.PartitionedSnapshots.mergePartitioned(
         batch.sparkSession, path, latest, keyCols, partCol, mor)
       scope.foreach(sc => recordBatch(path, sc, batchId))
       touched.keys.toSeq
     } else Seq.empty
+  }
+
+  /** r16 — dedupe, checkpoint, and learn the batch's row count in ONE
+    * action: the count observes the checkpoint job's own pass
+    * (CollectMetrics), replacing the per-micro-batch `isEmpty` probe
+    * the three sink shapes each paid as a separate job. */
+  private def checkpointedWithCount(batch: DataFrame, keyCols: Seq[String],
+      orderCol: String): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation()
+    val latest = latestPerKey(batch, keyCols, orderCol)
+      .observe(obs, count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val n = graft.sources.Snapshots.observedCounts(obs, Seq("__n"),
+      () => Seq(latest.count()))
+    (latest, n.head > 0L)
   }
 
   /** r13 (A83) — the HIDDEN-TRANSFORM analog of
@@ -182,8 +201,8 @@ object UpsertSink {
     val replayed = scope.exists(sc => batchId <= lastCommittedBatch(path, sc))
     if (replayed) return Seq.empty
     // one evaluation of the deduped batch (see mergePartitionedBatch)
-    val latest = latestPerKey(batch, keyCols, orderCol).localCheckpoint()
-    if (!latest.isEmpty) {
+    val (latest, nonEmpty) = checkpointedWithCount(batch, keyCols, orderCol)
+    if (nonEmpty) {
       // the merge reports each touched label WITH its directory —
       // never re-parse labels here (a string transform VALUE can look
       // exactly like an `e<k>:<v>` label)

@@ -18,10 +18,41 @@ object SteadyProf {
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val s = spark
+    // per-lap job counting + (opt-in) per-job timeline of the last laps
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val detail = sys.env.get("SPARK_GRAFT_STEADY_DETAIL").contains("1")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]
+    val runStart = System.nanoTime()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        val sites = new java.util.concurrent.ConcurrentHashMap[Int, String]
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          if (detail) {
+            val cs = j.stageInfos.headOption.map(_.details)
+              .flatMap(_.split("\n").find(l =>
+                l.contains("graft.") && !l.contains("graft.tools.")))
+              .map(_.trim).getOrElse("?")
+            sites.put(j.jobId, cs)
+          }
+          starts.put(j.jobId, System.nanoTime()); ()
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = starts.remove(j.jobId)
+          if (detail && st != null)
+            println(f"[steadyjob] job ${j.jobId}%4d " +
+              f"start=${(st - runStart) / 1e9}%7.2f " +
+              f"dur=${(System.nanoTime() - st) / 1e9}%6.3f s  " +
+              sites.getOrDefault(j.jobId, "?"))
+        }
+      })
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = {
       val t = System.nanoTime()
-      println(f"[steadyprof] $tag%-22s ${(t - t0) / 1e9}%7.2f s")
+      println(f"[steadyprof] $tag%-22s ${(t - t0) / 1e9}%7.2f s  " +
+        f"jobs=${jobs.getAndSet(0)}%4d")
       t0 = t
     }
     val orders = Tables.orders(s, d)
